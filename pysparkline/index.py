@@ -1,0 +1,294 @@
+"""OLAP index builder: Spark-managed replacement for the Druid datasource.
+
+The reference queried a Druid index — a time-partitioned, pre-aggregated copy
+of the flattened star (metadata/DruidDataSource.scala:99-134; ingestion spec
+src/test/resources/tpch_index_task.json.template:116-171). This module builds
+the Spark-native equivalent as two artifacts:
+
+1. **flat**: the denormalized star (fact inner-joined to every dimension,
+   broadcast joins for small dims), written as Parquet **partitioned by a time
+   bucket** (``__month``). This replaces Druid segments: time predicates become
+   partition pruning, dimension predicates become Parquet row-group pruning +
+   pushed filters, and star joins are eliminated at query time (the analog of
+   JoinTransform.scala star-join folding).
+
+2. **cubes**: small pre-aggregated rollups at declared grains (dims × time
+   bucket) carrying ``__count``, sum/min/max metrics and HLL sketches
+   (Spark ``hll_sketch_agg``). The planner answers aggregate queries from the
+   smallest covering cube (merge-form aggregation: count→sum(__count),
+   sum→sum(sum_x), avg→sum/count — AggregateTransform.scala:331-347, :425-441
+   semantics).
+
+A JSON ``manifest.json`` (the segment-metadata analog,
+client/DruidMessages.scala:25-65) records schemas, row counts, per-column
+NDV estimates and time bounds for planner costing.
+
+Scale notes (100 TB design intent):
+- The flat build's joins are a one-time cost; dims are broadcast (no shuffle
+  of the fact side), so the build is one shuffle-free map stage + the write.
+- Partitioning by month keeps per-partition file counts bounded; at larger
+  scale switch ``partition_granularity`` to 'day' and/or add a bucket-by on a
+  high-NDV key without changing the query path.
+- Cubes shrink by 3-6 orders of magnitude vs the fact table, so cube queries
+  are metadata-scale regardless of input size; the cube build itself is one
+  partial-agg shuffle (map-side combine does the heavy lifting).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .metadata import StarSchema
+
+MANIFEST = "manifest.json"
+COUNT_COL = "__count"
+BUCKET_COL = "__bucket"
+MONTH_COL = "__month"
+
+_TRUNC = {"year": "year", "quarter": "quarter", "month": "month", "week": "week",
+          "day": "day", "hour": "hour", "minute": "minute"}
+
+
+@dataclass(frozen=True)
+class MetricSpec:
+    """A pre-aggregated measure. ``expr`` is a Spark-SQL expression over flat
+    columns (the JavaScript-metric analog of tpch_index_task.json.template:
+    139-155, expressed natively)."""
+
+    name: str
+    expr: str
+    agg: str = "sum"  # 'sum' | 'min' | 'max'
+
+    @property
+    def col_name(self) -> str:
+        return f"{self.agg}_{self.name}"
+
+
+@dataclass(frozen=True)
+class CubeSpec:
+    name: str
+    dims: tuple[str, ...]
+    granularity: str = "day"
+
+
+@dataclass
+class IndexConfig:
+    time_col: str
+    metrics: list[MetricSpec] = field(default_factory=list)
+    hll_cols: list[str] = field(default_factory=list)
+    cubes: list[CubeSpec] = field(default_factory=list)
+    partition_granularity: str = "month"
+
+    def to_dict(self) -> dict:
+        return {
+            "timeCol": self.time_col,
+            "metrics": [
+                {"name": m.name, "expr": m.expr, "agg": m.agg} for m in self.metrics
+            ],
+            "hllCols": list(self.hll_cols),
+            "cubes": [
+                {"name": c.name, "dims": list(c.dims), "granularity": c.granularity}
+                for c in self.cubes
+            ],
+            "partitionGranularity": self.partition_granularity,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexConfig":
+        return IndexConfig(
+            time_col=d["timeCol"],
+            metrics=[MetricSpec(m["name"], m["expr"], m["agg"]) for m in d["metrics"]],
+            hll_cols=list(d["hllCols"]),
+            cubes=[
+                CubeSpec(c["name"], tuple(c["dims"]), c["granularity"])
+                for c in d["cubes"]
+            ],
+            partition_granularity=d.get("partitionGranularity", "month"),
+        )
+
+
+def flatten_star(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    star: StarSchema,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Inner-join the star into one denormalized DataFrame.
+
+    Join order follows the star tree; every dimension side is broadcast when
+    ``broadcast_dims`` (dimension tables are small relative to the fact by
+    definition of a star schema) so the fact side never shuffles.
+    """
+    df = tables[star.fact_table]
+    joined = {star.fact_table}
+    for rel in star.join_order():
+        right = tables[rel.right_table]
+        if broadcast_dims:
+            right = F.broadcast(right)
+        cond = None
+        for c in rel.conditions:
+            p = F.col(c.left_col) == F.col(c.right_col)
+            cond = p if cond is None else (cond & p)
+        df = df.join(right, cond, "inner")
+        joined.add(rel.right_table)
+    return df
+
+
+def _bucket_expr(time_col: str, granularity: str):
+    if granularity not in _TRUNC:
+        raise ValueError(f"unsupported granularity {granularity!r}")
+    return F.date_trunc(_TRUNC[granularity], F.col(time_col))
+
+
+class OlapIndex:
+    """Built/loaded OLAP index rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self.config = IndexConfig.from_dict(manifest["config"])
+        self._star = (
+            StarSchema.from_json(json.dumps(manifest["star"]))
+            if manifest.get("star")
+            else None
+        )
+
+    # ------------------------------------------------------------------ build
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        flat_df: DataFrame,
+        config: IndexConfig,
+        out_dir: str,
+        star: StarSchema | None = None,
+        compute_ndv: bool = True,
+    ) -> "OlapIndex":
+        os.makedirs(out_dir, exist_ok=True)
+        t = config.time_col
+        flat = flat_df.withColumn(
+            MONTH_COL, F.date_format(F.col(t), "yyyy-MM")
+        )
+        flat_path = os.path.join(out_dir, "flat")
+        (
+            flat.write.mode("overwrite")
+            .partitionBy(MONTH_COL)
+            .parquet(flat_path)
+        )
+        flat = spark.read.parquet(flat_path)
+
+        manifest: dict = {
+            "version": 1,
+            "config": config.to_dict(),
+            "star": json.loads(star.to_json()) if star else None,
+        }
+        stats_aggs = [F.count(F.lit(1)).alias("__rows"),
+                      F.min(t).alias("__tmin"), F.max(t).alias("__tmax")]
+        data_cols = [c for c in flat.columns if c != MONTH_COL]
+        if compute_ndv:
+            stats_aggs += [
+                F.approx_count_distinct(c).alias(f"ndv__{c}") for c in data_cols
+            ]
+        stats = flat.agg(*stats_aggs).collect()[0].asDict()
+        manifest["flat"] = {
+            "path": "flat",
+            "rowCount": stats["__rows"],
+            "timeMin": str(stats["__tmin"]),
+            "timeMax": str(stats["__tmax"]),
+            "columns": {
+                f.name: {
+                    "type": f.dataType.simpleString(),
+                    "ndv": stats.get(f"ndv__{f.name}"),
+                }
+                for f in flat.schema.fields
+            },
+        }
+
+        manifest["cubes"] = {}
+        for cube in config.cubes:
+            cube_df = OlapIndex._build_cube(flat, config, cube)
+            cube_path = os.path.join(out_dir, f"cube_{cube.name}")
+            cube_df.write.mode("overwrite").parquet(cube_path)
+            written = spark.read.parquet(cube_path)
+            manifest["cubes"][cube.name] = {
+                "path": f"cube_{cube.name}",
+                "dims": list(cube.dims),
+                "granularity": cube.granularity,
+                "rowCount": written.count(),
+                "columns": {
+                    f.name: {"type": f.dataType.simpleString()}
+                    for f in written.schema.fields
+                },
+            }
+
+        with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+            json.dump(manifest, fh, indent=1, default=str)
+        return OlapIndex(spark, out_dir, manifest)
+
+    @staticmethod
+    def _build_cube(flat: DataFrame, config: IndexConfig, cube: CubeSpec) -> DataFrame:
+        keys = [
+            _bucket_expr(config.time_col, cube.granularity).alias(BUCKET_COL),
+            *[F.col(d) for d in cube.dims],
+        ]
+        aggs = [F.count(F.lit(1)).alias(COUNT_COL)]
+        for m in config.metrics:
+            fn = {"sum": F.sum, "min": F.min, "max": F.max}[m.agg]
+            aggs.append(fn(F.expr(m.expr)).alias(m.col_name))
+        for c in config.hll_cols:
+            aggs.append(F.hll_sketch_agg(F.col(c).cast("string")).alias(f"hll_{c}"))
+        return flat.groupBy(*keys).agg(*aggs)
+
+    # ------------------------------------------------------------------- load
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "OlapIndex":
+        with open(os.path.join(path, MANIFEST)) as fh:
+            return OlapIndex(spark, path, json.load(fh))
+
+    @property
+    def star(self) -> StarSchema | None:
+        return self._star
+
+    @property
+    def time_col(self) -> str:
+        return self.config.time_col
+
+    def flat_df(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "flat"))
+
+    def cube_df(self, name: str) -> DataFrame:
+        rel = self.manifest["cubes"][name]["path"]
+        return self.spark.read.parquet(os.path.join(self.path, rel))
+
+    def flat_columns(self) -> set[str]:
+        return set(self.manifest["flat"]["columns"])
+
+    def metric_by_expr(self, expr: str, agg: str) -> MetricSpec | None:
+        """Find a pre-built metric matching (normalized expr, agg)."""
+        norm = _norm_expr(expr)
+        for m in self.config.metrics:
+            if m.agg == agg and _norm_expr(m.expr) == norm:
+                return m
+        return None
+
+    def metric_by_field(self, field_name: str, agg: str) -> MetricSpec | None:
+        return self.metric_by_expr(field_name, agg)
+
+    def ndv(self, col: str) -> float | None:
+        info = self.manifest["flat"]["columns"].get(col)
+        return None if info is None else info.get("ndv")
+
+    def time_bounds(self) -> tuple[datetime, datetime]:
+        fmt = "%Y-%m-%d %H:%M:%S"
+        lo = self.manifest["flat"]["timeMin"].split(".")[0]
+        hi = self.manifest["flat"]["timeMax"].split(".")[0]
+        return datetime.strptime(lo, fmt), datetime.strptime(hi, fmt)
+
+
+def _norm_expr(e: str) -> str:
+    return "".join(e.lower().split())

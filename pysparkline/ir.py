@@ -1,0 +1,546 @@
+"""Query IR: the five query shapes + filter/aggregation/post-agg algebra.
+
+Shape inventory mirrors the reference's Druid query specs
+(DruidQuerySpec.scala:573-604 trait; GroupBy :638, Timeseries :709, TopN :767,
+Search :870, Select :981-1098) re-expressed as Python dataclasses that lower to
+PySpark DataFrame pipelines (pysparkline.lowering). Where the reference fell
+back to JavaScript codegen (jscodegen/JSCodeGenerator.scala) this IR simply
+carries a Spark SQL expression string — strictly more general and it stays
+JVM-side inside whole-stage codegen.
+
+All nodes round-trip through ``to_dict``/``node_from_dict`` (json4s serde
+analog, SerTest.scala).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+from typing import Any, Optional
+
+# ---------------------------------------------------------------------------
+# serde registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, type] = {}
+
+
+def _node(cls):
+    _REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def _encode(v: Any) -> Any:
+    if isinstance(v, IRNode):
+        return v.to_dict()
+    if isinstance(v, (list, tuple)):
+        return [_encode(x) for x in v]
+    return v
+
+
+def _decode(v: Any) -> Any:
+    if isinstance(v, dict) and "_type" in v:
+        return node_from_dict(v)
+    if isinstance(v, list):
+        return [_decode(x) for x in v]
+    return v
+
+
+class IRNode:
+    def to_dict(self) -> dict:
+        d = {"_type": type(self).__name__}
+        for f in fields(self):
+            d[f.name] = _encode(getattr(self, f.name))
+        return d
+
+
+def node_from_dict(d: dict) -> Any:
+    cls = _REGISTRY[d["_type"]]
+    kwargs = {k: _decode(v) for k, v in d.items() if k != "_type"}
+    # tuples were serialized as lists; dataclass fields accept lists fine
+    return cls(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Filters (DruidQuerySpec.scala:160-281)
+# ---------------------------------------------------------------------------
+
+
+class FilterSpec(IRNode):
+    def referenced_columns(self) -> set[str]:
+        raise NotImplementedError
+
+
+@_node
+@dataclass
+class SelectorFilter(FilterSpec):
+    """dim = value (DruidQuerySpec.scala:164-169)."""
+
+    dimension: str
+    value: Any
+
+    def referenced_columns(self):
+        return {self.dimension}
+
+
+@_node
+@dataclass
+class InFilter(FilterSpec):
+    """dim IN (values) — extraction+lookup filter analog (:202-208)."""
+
+    dimension: str
+    values: list = field(default_factory=list)
+
+    def referenced_columns(self):
+        return {self.dimension}
+
+
+@_node
+@dataclass
+class BoundFilter(FilterSpec):
+    """Range filter (:238-253). ``ordering`` is 'numeric' or 'lexicographic'."""
+
+    dimension: str
+    lower: Any = None
+    upper: Any = None
+    lower_strict: bool = False
+    upper_strict: bool = False
+    ordering: str = "numeric"
+
+    def referenced_columns(self):
+        return {self.dimension}
+
+
+@_node
+@dataclass
+class RegexFilter(FilterSpec):
+    """dim RLIKE pattern (:171-176)."""
+
+    dimension: str
+    pattern: str
+
+    def referenced_columns(self):
+        return {self.dimension}
+
+
+@_node
+@dataclass
+class ContainsFilter(FilterSpec):
+    """Substring match (:178-183); case_sensitive=False matches Druid's
+    insensitive-contains search spec (:547-552)."""
+
+    dimension: str
+    value: str
+    case_sensitive: bool = True
+
+    def referenced_columns(self):
+        return {self.dimension}
+
+
+@_node
+@dataclass
+class NullFilter(FilterSpec):
+    """IsNull / IsNotNull. The reference mapped these onto ``dim = ''`` per
+    Druid's empty-string-null convention (ProjectFilterTransfom.scala:389-397);
+    our index keeps real SQL nulls."""
+
+    dimension: str
+    is_null: bool = True
+
+    def referenced_columns(self):
+        return {self.dimension}
+
+
+@_node
+@dataclass
+class LogicalFilter(FilterSpec):
+    """and/or with flattening (:185-197)."""
+
+    op: str  # 'and' | 'or'
+    fields_: list = field(default_factory=list)
+
+    def referenced_columns(self):
+        out: set[str] = set()
+        for f in self.fields_:
+            out |= f.referenced_columns()
+        return out
+
+
+@_node
+@dataclass
+class NotFilter(FilterSpec):
+    field_: FilterSpec = None
+
+    def referenced_columns(self):
+        return self.field_.referenced_columns()
+
+
+@_node
+@dataclass
+class ExprFilter(FilterSpec):
+    """Arbitrary Spark-SQL boolean expression — the JavaScript-filter analog
+    (DruidQuerySpec.scala:218-236) without leaving the JVM. ``columns`` must
+    list every column the expression touches (for eligibility checks)."""
+
+    expr: str
+    columns: list = field(default_factory=list)
+
+    def referenced_columns(self):
+        return set(self.columns)
+
+
+def and_(*specs: FilterSpec) -> FilterSpec:
+    flat: list[FilterSpec] = []
+    for s in specs:
+        if isinstance(s, LogicalFilter) and s.op == "and":
+            flat.extend(s.fields_)
+        elif s is not None:
+            flat.append(s)
+    return flat[0] if len(flat) == 1 else LogicalFilter("and", flat)
+
+
+def or_(*specs: FilterSpec) -> FilterSpec:
+    flat: list[FilterSpec] = []
+    for s in specs:
+        if isinstance(s, LogicalFilter) and s.op == "or":
+            flat.extend(s.fields_)
+        elif s is not None:
+            flat.append(s)
+    return flat[0] if len(flat) == 1 else LogicalFilter("or", flat)
+
+
+# ---------------------------------------------------------------------------
+# Time intervals (QueryIntervals.scala:40-131)
+# ---------------------------------------------------------------------------
+
+
+@_node
+@dataclass
+class Interval(IRNode):
+    """[start, end) on the time dimension; ISO date/timestamp strings.
+    None = unbounded on that side."""
+
+    start: Optional[str] = None
+    end: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
+# Dimensions & extraction (DruidQuerySpec.scala:41-138)
+# ---------------------------------------------------------------------------
+
+
+class DimSpec(IRNode):
+    pass
+
+
+@_node
+@dataclass
+class DefaultDim(DimSpec):
+    """Group-by passthrough (:123-128)."""
+
+    dimension: str
+    output_name: Optional[str] = None
+
+    @property
+    def out(self) -> str:
+        return self.output_name or self.dimension
+
+    def referenced_columns(self):
+        return {self.dimension}
+
+
+@_node
+@dataclass
+class TimeFormatDim(DimSpec):
+    """timeFormat extraction (:72-80): format the time dim with a pattern.
+    ``part`` is a date_part name (year/quarter/month/day/hour) or a Spark
+    date_format pattern when ``is_pattern``."""
+
+    dimension: str
+    output_name: str
+    part: str = "year"
+    is_pattern: bool = False
+
+    @property
+    def out(self) -> str:
+        return self.output_name
+
+    def referenced_columns(self):
+        return {self.dimension}
+
+
+@_node
+@dataclass
+class ExprDim(DimSpec):
+    """Group-by an arbitrary Spark-SQL expression — the JS-extraction analog
+    (:90-95)."""
+
+    expr: str
+    output_name: str
+    columns: list = field(default_factory=list)
+
+    @property
+    def out(self) -> str:
+        return self.output_name
+
+    def referenced_columns(self):
+        return set(self.columns)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (DruidQuerySpec.scala:298-377)
+# ---------------------------------------------------------------------------
+
+
+class AggSpec(IRNode):
+    name: str
+
+
+@_node
+@dataclass
+class CountAgg(AggSpec):
+    """count(*) — lowered to sum(__count) over a pre-agg backing
+    (AggregateTransform.scala:331-347 count-vs-sum-of-count switch)."""
+
+    name: str = "count"
+
+
+@_node
+@dataclass
+class FieldAgg(AggSpec):
+    """sum/min/max of a source column (:298-306, longSum/doubleSum/...)."""
+
+    fn: str = "sum"  # 'sum' | 'min' | 'max'
+    name: str = ""
+    field_name: str = ""
+
+
+@_node
+@dataclass
+class AvgAgg(AggSpec):
+    """avg decomposed into sum+count at lowering (AggregateTransform.scala:
+    425-441; divide rebuilt above the scan, DruidStrategy.scala:422-431)."""
+
+    name: str = ""
+    field_name: str = ""
+
+
+@_node
+@dataclass
+class ExprAgg(AggSpec):
+    """fn(arbitrary Spark-SQL expression) — JS-aggregate analog
+    (DruidQuerySpec.scala:350-360, JSAggGenerator.scala:34-117)."""
+
+    fn: str = "sum"
+    name: str = ""
+    expr: str = ""
+    columns: list = field(default_factory=list)
+
+
+@_node
+@dataclass
+class FilteredAgg(AggSpec):
+    """Aggregate over rows matching a filter (:370-377):
+    sum(CASE WHEN cond THEN x END)."""
+
+    name: str = ""
+    filter: FilterSpec = None
+    agg: AggSpec = None
+
+
+@_node
+@dataclass
+class CardinalityAgg(AggSpec):
+    """Approx count-distinct over dimension(s) (:316-325)."""
+
+    name: str = ""
+    field_names: list = field(default_factory=list)
+
+
+@_node
+@dataclass
+class HyperUniqueAgg(AggSpec):
+    """Approx count-distinct from a pre-built HLL sketch metric (:327-336);
+    lowered to hll_sketch_estimate(hll_union_agg(sketch_col))."""
+
+    name: str = ""
+    field_name: str = ""
+
+
+@_node
+@dataclass
+class DistinctAgg(AggSpec):
+    """Exact COUNT(DISTINCT col) — legal over a pre-agg backing only when the
+    column is part of the backing's grain (SURVEY §7 step 5 exactness note)."""
+
+    name: str = ""
+    field_name: str = ""
+
+
+# ---------------------------------------------------------------------------
+# Post-aggregations (DruidQuerySpec.scala:388-430)
+# ---------------------------------------------------------------------------
+
+
+class PostAggSpec(IRNode):
+    name: str
+
+
+@_node
+@dataclass
+class ArithmeticPostAgg(PostAggSpec):
+    """fn over previously-computed agg names / constants (:414-424).
+    ``expr`` is a Spark-SQL expression over agg output names."""
+
+    name: str = ""
+    expr: str = ""
+
+
+# ---------------------------------------------------------------------------
+# Having / limit (DruidQuerySpec.scala:437-506)
+# ---------------------------------------------------------------------------
+
+
+@_node
+@dataclass
+class HavingSpec(IRNode):
+    """Post-aggregation predicate as a Spark-SQL expression over output names.
+    The reference modeled having but never pushed it (DruidQuerySpec.scala:
+    458-476, TODO at DruidTransforms.scala:48); we support it natively."""
+
+    expr: str
+
+
+@_node
+@dataclass
+class OrderByColumn(IRNode):
+    column: str
+    direction: str = "asc"  # 'asc' | 'desc'
+
+
+@_node
+@dataclass
+class LimitSpec(IRNode):
+    columns: list = field(default_factory=list)  # [OrderByColumn]
+    limit: Optional[int] = None
+
+
+# ---------------------------------------------------------------------------
+# Query shapes
+# ---------------------------------------------------------------------------
+
+
+class QuerySpec(IRNode):
+    pass
+
+
+@_node
+@dataclass
+class GroupByQuery(QuerySpec):
+    """DruidQuerySpec.scala:638-707."""
+
+    dimensions: list = field(default_factory=list)  # [DimSpec]
+    granularity: str = "all"  # 'all'|'none'|'day'|'month'|'year'|'hour'|...
+    filter: Optional[FilterSpec] = None
+    aggregations: list = field(default_factory=list)  # [AggSpec]
+    post_aggregations: list = field(default_factory=list)
+    having: Optional[HavingSpec] = None
+    limit_spec: Optional[LimitSpec] = None
+    intervals: list = field(default_factory=list)  # [Interval]
+    grouping_sets: Optional[list] = None  # list[list[str]] of dim out-names
+    time_output_name: str = "__time"
+
+
+@_node
+@dataclass
+class TimeseriesQuery(QuerySpec):
+    """DruidQuerySpec.scala:709-765: aggregation grouped only by time."""
+
+    granularity: str = "all"
+    filter: Optional[FilterSpec] = None
+    aggregations: list = field(default_factory=list)
+    post_aggregations: list = field(default_factory=list)
+    intervals: list = field(default_factory=list)
+    time_output_name: str = "__time"
+
+
+@_node
+@dataclass
+class TopNQuery(QuerySpec):
+    """DruidQuerySpec.scala:767-868. Spark lowering is exact (groupBy + sort +
+    limit = TakeOrderedAndProject), an upgrade over Druid's approximate TopN —
+    the reference gated approximation behind allowTopN
+    (DruidPlanner.scala:149-159)."""
+
+    dimension: DimSpec = None
+    metric: str = ""
+    threshold: int = 10
+    inverted: bool = False  # ascending ("inverted" metric spec :478-506)
+    filter: Optional[FilterSpec] = None
+    aggregations: list = field(default_factory=list)
+    post_aggregations: list = field(default_factory=list)
+    intervals: list = field(default_factory=list)
+
+
+@_node
+@dataclass
+class SearchQuery(QuerySpec):
+    """DruidQuerySpec.scala:870-975: distinct values of dimension(s) matching
+    insensitive-contains, lexicographically sorted, limited."""
+
+    dimensions: list = field(default_factory=list)  # [str]
+    value: str = ""
+    case_sensitive: bool = False
+    filter: Optional[FilterSpec] = None
+    limit: Optional[int] = None
+    intervals: list = field(default_factory=list)
+
+
+@_node
+@dataclass
+class SelectQuery(QuerySpec):
+    """DruidQuerySpec.scala:981-1098: raw row scan with projection + filter.
+    Spark streams natively — no paging spec needed
+    (DruidSelectResultIterator.scala:34-230 is obsolete here)."""
+
+    columns: list = field(default_factory=list)  # [str] or [(col, alias)]
+    filter: Optional[FilterSpec] = None
+    limit: Optional[int] = None
+    order_by: list = field(default_factory=list)  # [OrderByColumn]
+    intervals: list = field(default_factory=list)
+
+
+def query_referenced_columns(q: QuerySpec) -> set[str]:
+    """Every source column a query touches (dims + filters + agg inputs)."""
+    cols: set[str] = set()
+
+    def from_agg(a: AggSpec):
+        if isinstance(a, FieldAgg):
+            cols.add(a.field_name)
+        elif isinstance(a, AvgAgg):
+            cols.add(a.field_name)
+        elif isinstance(a, ExprAgg):
+            cols.update(a.columns)
+        elif isinstance(a, FilteredAgg):
+            cols.update(a.filter.referenced_columns())
+            from_agg(a.agg)
+        elif isinstance(a, (CardinalityAgg,)):
+            cols.update(a.field_names)
+        elif isinstance(a, (HyperUniqueAgg, DistinctAgg)):
+            cols.add(a.field_name)
+
+    if isinstance(q, (GroupByQuery,)):
+        for d in q.dimensions:
+            cols |= d.referenced_columns()
+    if isinstance(q, TopNQuery) and q.dimension is not None:
+        cols |= q.dimension.referenced_columns()
+    if isinstance(q, SearchQuery):
+        cols.update(q.dimensions)
+    if isinstance(q, SelectQuery):
+        for c in q.columns:
+            cols.add(c[0] if isinstance(c, (list, tuple)) else c)
+    f = getattr(q, "filter", None)
+    if f is not None:
+        cols |= f.referenced_columns()
+    for a in getattr(q, "aggregations", []) or []:
+        from_agg(a)
+    return cols

@@ -1,0 +1,566 @@
+"""Lowering: QuerySpec IR -> PySpark DataFrame pipeline over a chosen backing.
+
+The reference executed its IR by POSTing JSON to Druid and streaming rows back
+(DruidRDD.scala:152-242). Here every IR shape lowers to declarative DataFrame
+operations so Catalyst/Tungsten plan the physical execution (predicate
+pushdown, partition pruning, whole-stage codegen, AQE) — no custom execution
+operator is required.
+
+Aggregate rewriting over a pre-aggregated backing follows the reference's
+merge-form rules (AggregateTransform.scala):
+- count(*)        -> sum(__count)                    (:331-347)
+- sum/min/max(x)  -> sum(sum_x) / min(min_x) / ...   (:506-511)
+- avg(x)          -> sum(sum_x) / sum(__count or sum_count) post-division
+                                                      (:425-441, divide rebuilt
+                                                       at DruidStrategy.scala:422-431)
+- count(distinct) -> exact countDistinct when the column is in the backing
+                     grain, else HLL sketch union     (:454-479)
+
+Scale note: every lowering path is a single groupBy (one shuffle with map-side
+partial aggregation) or a pure scan; time intervals are additionally rewritten
+onto the ``__month`` partition column so the Parquet source prunes partitions
+before reading (PartitionFilters in .explain()).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from . import ir
+from .index import BUCKET_COL, COUNT_COL, MONTH_COL, OlapIndex
+
+# granularities coarser-or-equal relationships, coarsest first
+_GRAN_ORDER = ["year", "quarter", "month", "week", "day", "hour", "minute", "none"]
+_DATE_GRAINS = {"year", "quarter", "month", "week", "day"}
+
+
+def gran_coarser_or_equal(a: str, b: str) -> bool:
+    """True if granularity ``a`` is coarser than or equal to ``b`` (a query at
+    grain ``a`` can be answered from data bucketed at grain ``b``). 'week' only
+    aligns with day/hour/..., not with month."""
+    if a == "all":
+        return True
+    if b == "none":
+        return True
+    if a == b:
+        return True
+    if a == "week":
+        return b in ("day", "hour", "minute")
+    if b == "week":
+        return False
+    return _GRAN_ORDER.index(a) < _GRAN_ORDER.index(b)
+
+
+# ---------------------------------------------------------------------------
+# Backing: what table the query runs against
+# ---------------------------------------------------------------------------
+
+
+class Backing:
+    """A physical table choice: 'cube' (pre-aggregated), 'flat' (denormalized
+    row grain) or 'base' (caller-supplied DataFrame, e.g. the raw star join)."""
+
+    def __init__(
+        self,
+        kind: str,
+        df: DataFrame,
+        time_col: str | None,
+        granularity: str,
+        index: OlapIndex | None = None,
+        month_col: str | None = None,
+        cube_name: str | None = None,
+    ):
+        self.kind = kind
+        self.df = df
+        self.time_col = time_col
+        self.granularity = granularity  # 'none' for row-grain backings
+        self.index = index
+        self.month_col = month_col
+        self.cube_name = cube_name
+
+    @property
+    def preagg(self) -> bool:
+        return self.kind == "cube"
+
+    @staticmethod
+    def flat(index: OlapIndex) -> "Backing":
+        return Backing(
+            "flat", index.flat_df(), index.time_col, "none", index, MONTH_COL
+        )
+
+    @staticmethod
+    def cube(index: OlapIndex, name: str) -> "Backing":
+        gran = index.manifest["cubes"][name]["granularity"]
+        return Backing(
+            "cube", index.cube_df(name), BUCKET_COL, gran, index, None, name
+        )
+
+    @staticmethod
+    def base(df: DataFrame, time_col: str | None = None) -> "Backing":
+        return Backing("base", df, time_col, "none")
+
+
+# ---------------------------------------------------------------------------
+# Filters
+# ---------------------------------------------------------------------------
+
+
+def filter_to_column(spec: ir.FilterSpec) -> Column:
+    if isinstance(spec, ir.SelectorFilter):
+        return F.col(spec.dimension) == F.lit(spec.value)
+    if isinstance(spec, ir.InFilter):
+        return F.col(spec.dimension).isin(list(spec.values))
+    if isinstance(spec, ir.BoundFilter):
+        c = F.col(spec.dimension)
+        preds = []
+        if spec.lower is not None:
+            preds.append(c > spec.lower if spec.lower_strict else c >= spec.lower)
+        if spec.upper is not None:
+            preds.append(c < spec.upper if spec.upper_strict else c <= spec.upper)
+        if not preds:
+            return F.lit(True)
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    if isinstance(spec, ir.RegexFilter):
+        return F.col(spec.dimension).rlike(spec.pattern)
+    if isinstance(spec, ir.ContainsFilter):
+        if spec.case_sensitive:
+            return F.col(spec.dimension).contains(spec.value)
+        return F.lower(F.col(spec.dimension)).contains(spec.value.lower())
+    if isinstance(spec, ir.NullFilter):
+        c = F.col(spec.dimension)
+        return c.isNull() if spec.is_null else c.isNotNull()
+    if isinstance(spec, ir.LogicalFilter):
+        cols = [filter_to_column(f) for f in spec.fields_]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if spec.op == "and" else (out | c)
+        return out
+    if isinstance(spec, ir.NotFilter):
+        return ~filter_to_column(spec.field_)
+    if isinstance(spec, ir.ExprFilter):
+        return F.expr(spec.expr)
+    raise TypeError(f"unknown filter spec {spec!r}")
+
+
+def _parse_iso(s: str) -> datetime:
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable interval endpoint {s!r}")
+
+
+def interval_aligned(iv: ir.Interval, granularity: str) -> bool:
+    """Both endpoints land on bucket boundaries of ``granularity`` — required
+    for answering from a pre-bucketed backing without slicing a bucket."""
+
+    def ok(s: str | None) -> bool:
+        if s is None:
+            return True
+        d = _parse_iso(s)
+        if d != d.replace(hour=0, minute=0, second=0, microsecond=0):
+            return granularity in ("hour", "minute") and d.minute == d.second == 0
+        if granularity == "year":
+            return d.month == 1 and d.day == 1
+        if granularity == "quarter":
+            return d.month in (1, 4, 7, 10) and d.day == 1
+        if granularity == "month":
+            return d.day == 1
+        if granularity == "week":
+            return d.weekday() == 0
+        return True  # day/hour/minute: date-aligned is enough
+
+    return ok(iv.start) and ok(iv.end)
+
+
+def interval_predicate(backing: Backing, intervals: list[ir.Interval]) -> Column | None:
+    """Time predicate + (for the flat backing) a redundant ``__month`` range
+    predicate that Catalyst turns into partition pruning."""
+    if not intervals:
+        return None
+    per_iv = []
+    for iv in intervals:
+        preds = []
+        t = F.col(backing.time_col)
+        if iv.start is not None:
+            preds.append(t >= F.lit(iv.start).cast("timestamp"))
+        if iv.end is not None:
+            preds.append(t < F.lit(iv.end).cast("timestamp"))
+        if backing.month_col is not None:
+            if iv.start is not None:
+                preds.append(F.col(backing.month_col) >= iv.start[:7])
+            if iv.end is not None:
+                end_dt = _parse_iso(iv.end) - timedelta(microseconds=1)
+                preds.append(F.col(backing.month_col) <= end_dt.strftime("%Y-%m"))
+        if not preds:
+            continue
+        p = preds[0]
+        for q in preds[1:]:
+            p = p & q
+        per_iv.append(p)
+    if not per_iv:
+        return None
+    out = per_iv[0]
+    for p in per_iv[1:]:
+        out = out | p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dimensions
+# ---------------------------------------------------------------------------
+
+_PART_FN = {
+    "year": F.year,
+    "quarter": F.quarter,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "dayofyear": F.dayofyear,
+    "weekofyear": F.weekofyear,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+}
+
+
+def dim_to_column(spec: ir.DimSpec, backing: Backing) -> Column:
+    if isinstance(spec, ir.DefaultDim):
+        return F.col(spec.dimension).alias(spec.out)
+    if isinstance(spec, ir.TimeFormatDim):
+        src = spec.dimension
+        if backing.preagg and src == (backing.index.time_col if backing.index else None):
+            src = BUCKET_COL  # time dim lives as the bucket column in cubes
+        if spec.is_pattern:
+            return F.date_format(F.col(src), spec.part).alias(spec.out)
+        return _PART_FN[spec.part](F.col(src)).alias(spec.out)
+    if isinstance(spec, ir.ExprDim):
+        return F.expr(spec.expr).alias(spec.out)
+    raise TypeError(f"unknown dim spec {spec!r}")
+
+
+def _time_bucket_col(backing: Backing, granularity: str, out_name: str) -> Column:
+    src = F.col(backing.time_col)
+    if granularity == "none" or (
+        backing.granularity != "none" and granularity == backing.granularity
+    ):
+        bucket = src  # already at (or finer than) the requested grain
+    else:
+        bucket = F.date_trunc(granularity, src)
+    if granularity in _DATE_GRAINS:
+        bucket = bucket.cast("date")
+    return bucket.alias(out_name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+class AggLoweringError(ValueError):
+    """Raised when an aggregation cannot run on the chosen backing; the
+    planner catches this during eligibility checks and falls back."""
+
+
+def _raw_agg(a: ir.AggSpec) -> Column:
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    if isinstance(a, ir.CountAgg):
+        return F.count(F.lit(1)).alias(a.name)
+    if isinstance(a, ir.FieldAgg):
+        return fns[a.fn](F.col(a.field_name)).alias(a.name)
+    if isinstance(a, ir.ExprAgg):
+        return fns[a.fn](F.expr(a.expr)).alias(a.name)
+    if isinstance(a, ir.FilteredAgg):
+        inner = a.agg
+        cond = filter_to_column(a.filter)
+        if isinstance(inner, ir.CountAgg):
+            return F.count(F.when(cond, F.lit(1))).alias(a.name)
+        if isinstance(inner, ir.FieldAgg):
+            return fns[inner.fn](F.when(cond, F.col(inner.field_name))).alias(a.name)
+        if isinstance(inner, ir.ExprAgg):
+            return fns[inner.fn](F.when(cond, F.expr(inner.expr))).alias(a.name)
+        raise AggLoweringError(f"unsupported filtered inner agg {inner!r}")
+    if isinstance(a, ir.CardinalityAgg):
+        return F.approx_count_distinct(
+            F.concat_ws("", *[F.col(c) for c in a.field_names])
+        ).alias(a.name)
+    if isinstance(a, ir.DistinctAgg):
+        return F.countDistinct(F.col(a.field_name)).alias(a.name)
+    if isinstance(a, ir.HyperUniqueAgg):
+        # raw backing: build the sketch on the fly
+        return F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(a.field_name).cast("string"))
+        ).alias(a.name)
+    if isinstance(a, ir.AvgAgg):
+        raise AggLoweringError("AvgAgg must be pre-decomposed (see lower_groupby)")
+    raise AggLoweringError(f"unknown agg spec {a!r}")
+
+
+def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
+    """Merge-form aggregation over a cube backing."""
+    idx = backing.index
+    cube_cols = set(backing.df.columns)
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    if isinstance(a, ir.CountAgg):
+        # coalesce: a global aggregate over zero rows must yield 0 like
+        # count(*), not sum()'s NULL
+        return F.coalesce(F.sum(F.col(COUNT_COL)), F.lit(0)).alias(a.name)
+    if isinstance(a, (ir.FieldAgg, ir.ExprAgg)):
+        expr = a.field_name if isinstance(a, ir.FieldAgg) else a.expr
+        m = idx.metric_by_expr(expr, a.fn)
+        if m is None or m.col_name not in cube_cols:
+            raise AggLoweringError(f"no pre-built metric for {a.fn}({expr})")
+        # sum merges with sum; min with min; max with max
+        return fns[a.fn](F.col(m.col_name)).alias(a.name)
+    if isinstance(a, ir.FilteredAgg):
+        cond = filter_to_column(a.filter)  # over cube dims only (planner-checked)
+        inner = a.agg
+        if isinstance(inner, ir.CountAgg):
+            return F.coalesce(
+                F.sum(F.when(cond, F.col(COUNT_COL))), F.lit(0)
+            ).alias(a.name)
+        if isinstance(inner, (ir.FieldAgg, ir.ExprAgg)):
+            expr = inner.field_name if isinstance(inner, ir.FieldAgg) else inner.expr
+            m = idx.metric_by_expr(expr, inner.fn)
+            if m is None or m.col_name not in cube_cols:
+                raise AggLoweringError(f"no pre-built metric for filtered {expr}")
+            return fns[inner.fn](F.when(cond, F.col(m.col_name))).alias(a.name)
+        raise AggLoweringError(f"unsupported filtered inner agg {inner!r}")
+    if isinstance(a, ir.CardinalityAgg):
+        if not set(a.field_names) <= cube_cols:
+            raise AggLoweringError("cardinality fields not in cube grain")
+        return F.approx_count_distinct(
+            F.concat_ws("", *[F.col(c) for c in a.field_names])
+        ).alias(a.name)
+    if isinstance(a, ir.DistinctAgg):
+        if a.field_name not in cube_cols:
+            raise AggLoweringError(
+                f"exact count-distinct needs {a.field_name} in the cube grain"
+            )
+        return F.countDistinct(F.col(a.field_name)).alias(a.name)
+    if isinstance(a, ir.HyperUniqueAgg):
+        sk = f"hll_{a.field_name}"
+        if sk not in cube_cols:
+            raise AggLoweringError(f"no HLL sketch {sk} in cube")
+        return F.hll_sketch_estimate(F.hll_union_agg(F.col(sk))).alias(a.name)
+    if isinstance(a, ir.AvgAgg):
+        raise AggLoweringError("AvgAgg must be pre-decomposed (see lower_groupby)")
+    raise AggLoweringError(f"unknown agg spec {a!r}")
+
+
+def _decompose_avgs(
+    aggs: list[ir.AggSpec],
+) -> tuple[list[ir.AggSpec], list[tuple[str, str]]]:
+    """Replace AvgAgg(name, x) with sum+count partials and a post-division.
+
+    Returns (new_aggs, [(avg_name, post_expr)]). Mirrors the reference's
+    mandatory avg decomposition — plain avg over pre-aggregated rows is wrong
+    (SURVEY §7 'hard parts')."""
+    out: list[ir.AggSpec] = []
+    post: list[tuple[str, str]] = []
+    have = {a.name for a in aggs}
+    for a in aggs:
+        if not isinstance(a, ir.AvgAgg):
+            out.append(a)
+            continue
+        s, c = f"__avg_sum_{a.name}", f"__avg_cnt_{a.name}"
+        out.append(ir.FieldAgg("sum", s, a.field_name))
+        out.append(ir.CountAgg(c))
+        post.append((a.name, f"CAST(`{s}` AS DOUBLE) / `{c}`"))
+        have.add(s), have.add(c)
+    return out, post
+
+
+# ---------------------------------------------------------------------------
+# Query-shape lowering
+# ---------------------------------------------------------------------------
+
+
+def _apply_filters(df: DataFrame, backing: Backing, q) -> DataFrame:
+    ip = interval_predicate(backing, getattr(q, "intervals", []) or [])
+    if ip is not None:
+        df = df.where(ip)
+    f = getattr(q, "filter", None)
+    if f is not None:
+        df = df.where(filter_to_column(f))
+    return df
+
+
+def _agg_columns(aggs: list[ir.AggSpec], backing: Backing) -> list[Column]:
+    if backing.preagg:
+        return [_preagg_agg(a, backing) for a in aggs]
+    return [_raw_agg(a) for a in aggs]
+
+
+def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
+    df = _apply_filters(backing.df, backing, q)
+
+    dim_cols = [dim_to_column(d, backing) for d in q.dimensions]
+    dim_names = [d.out for d in q.dimensions]
+    key_cols = list(dim_cols)
+    out_names = list(dim_names)
+    if q.granularity not in ("all",):
+        key_cols.append(_time_bucket_col(backing, q.granularity, q.time_output_name))
+        out_names.append(q.time_output_name)
+
+    aggs, avg_post = _decompose_avgs(list(q.aggregations))
+    agg_cols = _agg_columns(aggs, backing)
+
+    if q.grouping_sets is not None:
+        out = _grouping_sets_union(df, q, key_cols, out_names, agg_cols)
+    else:
+        out = df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
+
+    # post-aggregations: avg divisions first, then user post-aggs
+    for name, expr in avg_post:
+        out = out.withColumn(name, F.expr(expr))
+    internal = [c for c in out.columns if c.startswith("__avg_")]
+    if internal:
+        out = out.drop(*internal)
+    for p in q.post_aggregations:
+        out = out.withColumn(p.name, F.expr(p.expr))
+    if q.having is not None:
+        out = out.where(F.expr(q.having.expr))
+    if q.limit_spec is not None:
+        if q.limit_spec.columns:
+            out = out.orderBy(
+                *[
+                    F.col(c.column).asc() if c.direction == "asc" else F.col(c.column).desc()
+                    for c in q.limit_spec.columns
+                ]
+            )
+        if q.limit_spec.limit is not None:
+            out = out.limit(q.limit_spec.limit)
+    return out
+
+
+def _grouping_sets_union(
+    df: DataFrame,
+    q: ir.GroupByQuery,
+    key_cols: list[Column],
+    out_names: list[str],
+    agg_cols: list[Column],
+) -> DataFrame:
+    """Grouping sets as a union of per-set aggregations — the reference issued
+    one Druid query per grouping-set projection and UnionExec'd them
+    (AggregateTransform.scala:170-316, DruidStrategy.scala:74-76). Each branch
+    re-aggregates the (tiny, pre-filtered) backing; absent dims become typed
+    NULL literals plus a ``__grouping_id`` bitmask (Spark bit convention:
+    1 = column absent from the set, high bit = first column)."""
+    schema = {
+        f.name: f.dataType for f in df.select(*key_cols).schema.fields
+    } if key_cols else {}
+    branches = []
+    n = len(out_names)
+    for gset in q.grouping_sets:
+        keep = set(gset)
+        sel_keys = [kc for kc, name in zip(key_cols, out_names) if name in keep]
+        branch = df.groupBy(*sel_keys).agg(*agg_cols) if sel_keys else df.agg(*agg_cols)
+        gid = 0
+        proj = []
+        for i, name in enumerate(out_names):
+            if name in keep:
+                proj.append(F.col(name))
+            else:
+                gid |= 1 << (n - 1 - i)
+                proj.append(F.lit(None).cast(schema[name]).alias(name))
+        proj += [F.col(c) for c in branch.columns if c not in out_names]
+        proj.append(F.lit(gid).cast("long").alias("__grouping_id"))
+        branches.append(branch.select(*proj))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def lower_timeseries(q: ir.TimeseriesQuery, backing: Backing) -> DataFrame:
+    g = ir.GroupByQuery(
+        dimensions=[],
+        granularity=q.granularity,
+        filter=q.filter,
+        aggregations=q.aggregations,
+        post_aggregations=q.post_aggregations,
+        intervals=q.intervals,
+        time_output_name=q.time_output_name,
+    )
+    return lower_groupby(g, backing)
+
+
+def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:
+    df = _apply_filters(backing.df, backing, q)
+    dim = dim_to_column(q.dimension, backing)
+    aggs, avg_post = _decompose_avgs(list(q.aggregations))
+    out = df.groupBy(dim).agg(*_agg_columns(aggs, backing))
+    for name, expr in avg_post:
+        out = out.withColumn(name, F.expr(expr))
+    internal = [c for c in out.columns if c.startswith("__avg_")]
+    if internal:
+        out = out.drop(*internal)
+    for p in q.post_aggregations:
+        out = out.withColumn(p.name, F.expr(p.expr))
+    metric = F.col(q.metric).asc() if q.inverted else F.col(q.metric).desc()
+    # deterministic tie-break on the dimension value
+    return out.orderBy(metric, F.col(q.dimension.out).asc()).limit(q.threshold)
+
+
+def lower_search(q: ir.SearchQuery, backing: Backing) -> DataFrame:
+    df = _apply_filters(backing.df, backing, q)
+    branches = []
+    for d in q.dimensions:
+        c = F.col(d)
+        if q.case_sensitive:
+            m = c.contains(q.value)
+        else:
+            m = F.lower(c).contains(q.value.lower())
+        branches.append(
+            df.where(m).select(
+                F.lit(d).alias("dimension"), c.cast("string").alias("value")
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    out = out.distinct().orderBy("dimension", "value")
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def lower_select(q: ir.SelectQuery, backing: Backing) -> DataFrame:
+    df = _apply_filters(backing.df, backing, q)
+    cols = []
+    for c in q.columns:
+        if isinstance(c, (list, tuple)):
+            cols.append(F.col(c[0]).alias(c[1]))
+        else:
+            cols.append(F.col(c))
+    out = df.select(*cols)
+    if q.order_by:
+        out = out.orderBy(
+            *[
+                F.col(c.column).asc() if c.direction == "asc" else F.col(c.column).desc()
+                for c in q.order_by
+            ]
+        )
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def lower(q: ir.QuerySpec, backing: Backing) -> DataFrame:
+    if isinstance(q, ir.GroupByQuery):
+        return lower_groupby(q, backing)
+    if isinstance(q, ir.TimeseriesQuery):
+        return lower_timeseries(q, backing)
+    if isinstance(q, ir.TopNQuery):
+        return lower_topn(q, backing)
+    if isinstance(q, ir.SearchQuery):
+        return lower_search(q, backing)
+    if isinstance(q, ir.SelectQuery):
+        return lower_select(q, backing)
+    raise TypeError(f"unknown query spec {q!r}")

@@ -1,0 +1,176 @@
+"""Planner: choose the backing (cube / flat / base) for a query and explain it.
+
+This is the PySpark-native replacement for the reference's plan-rewrite engine
+(DruidPlanner.scala:29-50 transform stack + DruidQueryCostModel.scala). The
+reference pattern-matched Catalyst plans and decided broker-vs-historical; we
+match the IR against the index manifest and decide cube-vs-flat-vs-base:
+
+- A **cube** is eligible when every referenced column (dims, filter columns,
+  aggregation inputs) is in the cube grain or satisfied by a pre-built metric,
+  the query granularity is coarser-or-equal the cube's, and every time interval
+  aligns to cube bucket boundaries.
+- The **flat** table is eligible when all referenced columns exist in the
+  flattened star (this is star-join elimination: JoinTransform.scala's whole
+  purpose, achieved here by construction).
+- Otherwise the query falls back to a caller-supplied **base** DataFrame
+  (the raw star join) — always correct, never fast.
+
+Cardinality bail-out mirrors maxResultCardinality (DefaultSource.scala:212-221):
+the estimated result-group count (NDV product collapsed by functional
+dependencies, FunctionalDependency.scala:59-83) above the cap rejects
+pre-aggregated execution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from . import ir, lowering
+from .index import OlapIndex
+from .lowering import AggLoweringError, Backing
+from .metadata import FDGraph
+
+
+@dataclass
+class PlanDecision:
+    backing: str  # 'cube' | 'flat' | 'base'
+    cube_name: str | None = None
+    estimated_groups: float | None = None
+    notes: list[str] = field(default_factory=list)
+
+    def pretty(self) -> str:
+        head = f"backing={self.backing}" + (
+            f" cube={self.cube_name}" if self.cube_name else ""
+        )
+        if self.estimated_groups is not None:
+            head += f" est_groups={int(self.estimated_groups)}"
+        return head + "".join(f"\n  - {n}" for n in self.notes)
+
+
+_AGG_SHAPES = (ir.GroupByQuery, ir.TimeseriesQuery, ir.TopNQuery)
+
+
+def _query_dims(q: ir.QuerySpec) -> list[ir.DimSpec]:
+    if isinstance(q, ir.GroupByQuery):
+        return list(q.dimensions)
+    if isinstance(q, ir.TopNQuery):
+        return [q.dimension]
+    return []
+
+
+def _cube_eligible(
+    q: ir.QuerySpec, index: OlapIndex, cube_name: str, notes: list[str]
+) -> Backing | None:
+    info = index.manifest["cubes"][cube_name]
+    cube_dims = set(info["dims"])
+    gran = info["granularity"]
+    tcol = index.time_col
+
+    def reject(msg: str) -> None:
+        notes.append(f"cube {cube_name}: rejected — {msg}")
+
+    if not isinstance(q, _AGG_SHAPES):
+        reject("not an aggregate query shape")
+        return None
+
+    qgran = getattr(q, "granularity", "all")
+    if not lowering.gran_coarser_or_equal(qgran, gran):
+        reject(f"query granularity {qgran} finer than cube {gran}")
+        return None
+
+    for d in _query_dims(q):
+        if isinstance(d, ir.TimeFormatDim) and d.dimension == tcol:
+            continue  # time extraction runs on the bucket column
+        if not d.referenced_columns() <= cube_dims:
+            reject(f"dimension {sorted(d.referenced_columns())} not in grain")
+            return None
+
+    f = getattr(q, "filter", None)
+    if f is not None and not f.referenced_columns() <= cube_dims:
+        reject(f"filter columns {sorted(f.referenced_columns() - cube_dims)} not in grain")
+        return None
+
+    for iv in getattr(q, "intervals", []) or []:
+        if not lowering.interval_aligned(iv, gran):
+            reject(f"interval {iv} not aligned to {gran} buckets")
+            return None
+
+    backing = Backing.cube(index, cube_name)
+    aggs, _ = lowering._decompose_avgs(list(getattr(q, "aggregations", [])))
+    for a in aggs:
+        try:
+            lowering._preagg_agg(a, backing)
+        except AggLoweringError as e:
+            reject(str(e))
+            return None
+    notes.append(f"cube {cube_name}: eligible (rows={info['rowCount']})")
+    return backing
+
+
+def estimate_groups(
+    q: ir.QuerySpec, index: OlapIndex, fd_graph: FDGraph | None
+) -> float | None:
+    """NDV-product estimate of the result group count, FD-collapsed."""
+    dims = _query_dims(q)
+    cols: list[str] = []
+    for d in dims:
+        cols.extend(sorted(d.referenced_columns()))
+    if not cols:
+        return 1.0
+    card = {c: float(index.ndv(c) or 1.0) for c in cols}
+    if fd_graph is not None:
+        return fd_graph.estimate_cardinality(cols, card)
+    total = 1.0
+    for c in dict.fromkeys(cols):
+        total *= max(1.0, card[c])
+    return total
+
+
+def choose_backing(
+    q: ir.QuerySpec,
+    index: OlapIndex,
+    base_df: DataFrame | None = None,
+    fd_graph: FDGraph | None = None,
+    max_result_cardinality: float = 1_000_000,
+) -> tuple[Backing, PlanDecision]:
+    notes: list[str] = []
+    referenced = ir.query_referenced_columns(q)
+    flat_cols = index.flat_columns()
+
+    est = None
+    if isinstance(q, _AGG_SHAPES):
+        est = estimate_groups(q, index, fd_graph)
+        if est is not None and est > max_result_cardinality:
+            notes.append(
+                f"estimated groups {int(est)} > maxResultCardinality "
+                f"{int(max_result_cardinality)}: pre-agg rejected"
+            )
+        else:
+            candidates: list[tuple[int, str, Backing]] = []
+            for name, info in index.manifest["cubes"].items():
+                b = _cube_eligible(q, index, name, notes)
+                if b is not None:
+                    candidates.append((info["rowCount"], name, b))
+            if candidates:
+                candidates.sort(key=lambda t: (t[0], t[1]))
+                rows, name, backing = candidates[0]
+                notes.append(f"chose cube {name} ({rows} rows)")
+                return backing, PlanDecision("cube", name, est, notes)
+
+    if referenced <= flat_cols:
+        notes.append("flat backing: all referenced columns in flattened star")
+        return Backing.flat(index), PlanDecision("flat", None, est, notes)
+
+    if base_df is not None:
+        notes.append(
+            f"fallback to base: columns {sorted(referenced - flat_cols)} not in index"
+        )
+        return Backing.base(base_df, index.time_col), PlanDecision(
+            "base", None, est, notes
+        )
+    raise ValueError(
+        f"query references columns outside the index {sorted(referenced - flat_cols)} "
+        "and no base DataFrame was supplied"
+    )

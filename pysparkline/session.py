@@ -1,0 +1,141 @@
+"""OlapContext: the user-facing entry point (SPLSessionState/DefaultSource analog).
+
+The reference registered Druid-backed tables via ``CREATE TABLE ... USING
+org.sparklinedata.druid OPTIONS (...)`` (DefaultSource.scala:28-194) and
+exposed ``EXPLAIN DRUID REWRITE`` plus metadata views
+(SparklineDataParser.scala:42-124, metadata/DruidMetadataViews.scala). The
+PySpark-native surface:
+
+    ctx = OlapContext(spark, index, base_tables=..., star=...)
+    df  = ctx.query(spec)            # QuerySpec IR -> DataFrame
+    df  = ctx.execute_ir(json_dict)  # raw-IR execution (ON DRUIDDATASOURCE ... EXECUTE)
+    txt = ctx.explain_rewrite(spec)  # EXPLAIN DRUID REWRITE analog
+    ctx.query_history                # DruidQueryHistory analog (:61-75)
+    ctx.register_metadata_views()    # metadata views as temp views
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import ir, lowering, planner, transforms
+from .index import OlapIndex
+from .metadata import FDGraph, FunctionalDependency, StarSchema
+
+
+def get_spark(
+    app: str = "pysparkline",
+    cpus: str | int = "*",
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Local-mode session with the configs every pysparkline workload wants.
+
+    On a real cluster these land in spark-defaults; the knobs that matter at
+    100 TB: AQE on (runtime coalescing + skew-join), session TZ pinned to UTC
+    (the reference pinned spark.sparklinedata.tz.id, DruidPlanner.scala:73-76),
+    and a shuffle-partition count sized to the executor fleet.
+    """
+    return (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable session configs (for driver-owned sessions)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+@dataclass
+class QueryRecord:
+    spec: dict
+    decision: str
+    backing: str
+
+
+@dataclass
+class OlapContext:
+    spark: SparkSession
+    index: OlapIndex
+    base_tables: dict[str, DataFrame] | None = None
+    star: StarSchema | None = None
+    fds: list[FunctionalDependency] = field(default_factory=list)
+    max_result_cardinality: float = 1_000_000
+    query_history: list[QueryRecord] = field(default_factory=list)
+
+    def __post_init__(self):
+        prep(self.spark)
+        self._fd_graph = FDGraph(self.fds) if self.fds else None
+        if self.star is None:
+            self.star = self.index.star
+
+    # ------------------------------------------------------------------ query
+    def _base_df(self) -> DataFrame | None:
+        if self.base_tables is None or self.star is None:
+            return None
+        from .index import flatten_star
+
+        return flatten_star(self.spark, self.base_tables, self.star)
+
+    def plan(self, spec: ir.QuerySpec):
+        spec = transforms.optimize(spec)
+        backing, decision = planner.choose_backing(
+            spec,
+            self.index,
+            base_df=None if self.base_tables is None else self._base_df(),
+            fd_graph=self._fd_graph,
+            max_result_cardinality=self.max_result_cardinality,
+        )
+        return spec, backing, decision
+
+    def query(self, spec: ir.QuerySpec) -> DataFrame:
+        spec, backing, decision = self.plan(spec)
+        self.query_history.append(
+            QueryRecord(spec.to_dict(), decision.pretty(), decision.backing)
+        )
+        return lowering.lower(spec, backing)
+
+    def execute_ir(self, d: dict | str) -> DataFrame:
+        if isinstance(d, str):
+            d = json.loads(d)
+        return self.query(ir.node_from_dict(d))
+
+    def explain_rewrite(self, spec: ir.QuerySpec) -> str:
+        spec, backing, decision = self.plan(spec)
+        return (
+            f"query shape: {type(spec).__name__}\n"
+            f"{decision.pretty()}\n"
+            f"spec: {json.dumps(spec.to_dict(), default=str)}"
+        )
+
+    # -------------------------------------------------------- metadata views
+    def register_metadata_views(self) -> None:
+        """Expose index metadata as temp views (DruidMetadataViews analog)."""
+        cubes = [
+            (name, ",".join(info["dims"]), info["granularity"], info["rowCount"])
+            for name, info in self.index.manifest["cubes"].items()
+        ]
+        self.spark.createDataFrame(
+            cubes, "cube_name string, dims string, granularity string, row_count long"
+        ).createOrReplaceTempView("olap_cubes")
+        cols = [
+            (c, meta["type"], float(meta["ndv"]) if meta.get("ndv") else None)
+            for c, meta in self.index.manifest["flat"]["columns"].items()
+        ]
+        self.spark.createDataFrame(
+            cols, "column string, type string, ndv double"
+        ).createOrReplaceTempView("olap_columns")
+        hist = [(json.dumps(r.spec), r.backing) for r in self.query_history]
+        self.spark.createDataFrame(
+            hist or [("", "")], "spec string, backing string"
+        ).createOrReplaceTempView("olap_query_history")

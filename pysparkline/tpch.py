@@ -1,0 +1,187 @@
+"""TPC-H star wiring over the driver's testdata (/root/testdata/sf*/).
+
+Mirrors the reference's test star (StarSchemaBaseTest.scala:176-317,
+BaseTest.scala:59-141): fact ``lineitem``; nation/region joined twice with
+renamed columns (custnation/custregion, suppnation/suppregion) because star
+column names must be globally unique (StarSchemaInfo.scala:127-137). The flat
+output matches FIXTURES.md §1's column set where the testdata has the columns.
+
+Numeric exactness: every summed measure is expressed in decimal arithmetic
+(``CAST(x AS DECIMAL(p,s))``) so that Spark and the DuckDB oracle compute
+**bit-identical** sums regardless of floating-point accumulation order — sums
+of doubles are order-dependent across engines, sums of decimals are exact.
+Precisions are chosen so no product exceeds DECIMAL(38) in either engine
+(Spark would otherwise silently reduce scale and round).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .index import CubeSpec, IndexConfig, MetricSpec, OlapIndex, flatten_star
+from .metadata import (
+    N_TO_ONE,
+    EqualityCondition,
+    FunctionalDependency,
+    StarRelation,
+    StarSchema,
+)
+
+# --- canonical measure expressions (shared by index build, queries, oracles) —
+QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+DISC = "CAST(l_discount AS DECIMAL(4,2))"
+TAX = "CAST(l_tax AS DECIMAL(4,2))"
+ONE_MINUS_DISC = "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+ONE_PLUS_TAX = "CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+DISC_PRICE = f"CAST(l_extendedprice AS DECIMAL(12,2)) * {ONE_MINUS_DISC}"
+CHARGE = f"CAST({DISC_PRICE} AS DECIMAL(18,4)) * {ONE_PLUS_TAX}"
+TOTALPRICE = "CAST(o_totalprice AS DECIMAL(12,2))"
+ACCTBAL = "CAST(c_acctbal AS DECIMAL(12,2))"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Star tables with the reference's rename convention applied."""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return {
+        "lineitem": read_table(spark, sf_dir, "lineitem"),
+        "orders": read_table(spark, sf_dir, "orders"),
+        "customer": read_table(spark, sf_dir, "customer"),
+        "supplier": read_table(spark, sf_dir, "supplier"),
+        "part": read_table(spark, sf_dir, "part"),
+        "custnation": nation.select(
+            F.col("n_nationkey").alias("cn_nationkey"),
+            F.col("n_name").alias("c_nation"),
+            F.col("n_regionkey").alias("cn_regionkey"),
+        ),
+        "custregion": region.select(
+            F.col("r_regionkey").alias("cr_regionkey"),
+            F.col("r_name").alias("c_region"),
+        ),
+        "suppnation": nation.select(
+            F.col("n_nationkey").alias("sn_nationkey"),
+            F.col("n_name").alias("s_nation"),
+            F.col("n_regionkey").alias("sn_regionkey"),
+        ),
+        "suppregion": region.select(
+            F.col("r_regionkey").alias("sr_regionkey"),
+            F.col("r_name").alias("s_region"),
+        ),
+    }
+
+
+def tpch_star(tables: dict[str, DataFrame]) -> StarSchema:
+    rel = lambda l, r, lc, rc: StarRelation(  # noqa: E731
+        l, r, N_TO_ONE, (EqualityCondition(lc, rc),)
+    )
+    return StarSchema(
+        fact_table="lineitem",
+        relations=(
+            rel("lineitem", "orders", "l_orderkey", "o_orderkey"),
+            rel("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+            rel("lineitem", "part", "l_partkey", "p_partkey"),
+            rel("orders", "customer", "o_custkey", "c_custkey"),
+            rel("customer", "custnation", "c_nationkey", "cn_nationkey"),
+            rel("custnation", "custregion", "cn_regionkey", "cr_regionkey"),
+            rel("supplier", "suppnation", "s_nationkey", "sn_nationkey"),
+            rel("suppnation", "suppregion", "sn_regionkey", "sr_regionkey"),
+        ),
+        table_columns={t: df.columns for t, df in tables.items()},
+    )
+
+
+def tpch_fds() -> list[FunctionalDependency]:
+    """Fixture FDs (BaseTest.scala:40-49 spirit, mapped to testdata columns)."""
+    return [
+        FunctionalDependency("c_nation", "c_region", N_TO_ONE),
+        FunctionalDependency("s_nation", "s_region", N_TO_ONE),
+        FunctionalDependency("p_brand", "p_type", N_TO_ONE),  # heuristic
+    ]
+
+
+def tpch_index_config() -> IndexConfig:
+    """Index grain per FIXTURES.md §3 (tpch_index_task.json.template analog):
+    sums of the canonical measures, min/max of quantity and price, HLL sketches
+    of the high-cardinality keys, and four small cubes for the headline query
+    families."""
+    return IndexConfig(
+        time_col="l_shipdate",
+        metrics=[
+            MetricSpec("qty", QTY, "sum"),
+            MetricSpec("base_price", PRICE, "sum"),
+            MetricSpec("disc_price", DISC_PRICE, "sum"),
+            MetricSpec("charge", CHARGE, "sum"),
+            MetricSpec("discount", DISC, "sum"),
+            MetricSpec("totalprice", TOTALPRICE, "sum"),
+            MetricSpec("acctbal", ACCTBAL, "sum"),
+            MetricSpec("qty", "l_quantity", "min"),
+            MetricSpec("qty", "l_quantity", "max"),
+            MetricSpec("price", "l_extendedprice", "min"),
+            MetricSpec("price", "l_extendedprice", "max"),
+        ],
+        hll_cols=["o_orderkey", "c_custkey"],
+        cubes=[
+            CubeSpec("flags", ("l_returnflag", "l_linestatus"), "day"),
+            CubeSpec(
+                "market",
+                ("c_mktsegment", "c_nation", "c_region", "o_orderpriority",
+                 "o_orderstatus"),
+                "month",
+            ),
+            CubeSpec(
+                "nations",
+                ("c_nation", "c_region", "s_nation", "s_region", "order_year"),
+                "month",
+            ),
+            CubeSpec("part", ("p_brand", "p_type", "s_nation"), "month"),
+        ],
+        partition_granularity="month",
+    )
+
+
+def flat_star_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denormalized star + derived order_year (FIXTURES.md §1)."""
+    tables = load_star_tables(spark, sf_dir)
+    star = tpch_star(tables)
+    return flatten_star(spark, tables, star).withColumn(
+        "order_year", F.year("o_orderdate")
+    ), star
+
+
+DEFAULT_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".olap_cache")
+
+
+def build_or_load_index(
+    spark: SparkSession, sf_dir: str, cache_root: str | None = None
+) -> OlapIndex:
+    """Build the TPC-H OLAP index for ``sf_dir`` once; reuse from cache after.
+
+    Cache key = sf_dir + config, so config changes invalidate cleanly.
+    """
+    cache_root = cache_root or DEFAULT_CACHE_ROOT
+    config = tpch_index_config()
+    key_src = json.dumps(
+        {"sf_dir": os.path.abspath(sf_dir), "config": config.to_dict()},
+        sort_keys=True,
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    out_dir = os.path.join(cache_root, f"tpch_{os.path.basename(os.path.normpath(sf_dir))}_{key}")
+    manifest = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(manifest):
+        return OlapIndex.load(spark, out_dir)
+    flat, star = flat_star_df(spark, sf_dir)
+    return OlapIndex.build(spark, flat, config, out_dir, star=star)

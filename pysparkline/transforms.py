@@ -1,0 +1,171 @@
+"""IR -> IR rewrite rules, run to fixed point.
+
+Modeled on the reference's QuerySpecTransforms (query/QuerySpecTransforms.scala
+:334-343 batches, themselves modeled on Catalyst's RuleExecutor):
+
+- ``add_count_if_no_aggs``      (:104-117) an aggregate query with no
+  aggregations gets a row count so the shape stays an aggregation.
+- ``groupby_no_dims_to_timeseries`` (:119-142) GroupBy with zero dimensions is
+  a Timeseries query.
+- ``groupby_to_topn``           (:279-332) GroupBy over one dimension, ordered
+  by a single metric with a limit, becomes TopN. Spark lowering is exact, so
+  unlike the reference (allowTopNRewrite + threshold gate,
+  DruidPlanner.scala:149-159) this is always safe.
+- ``merge_bounds``              (:144-178) two Bound filters over the same
+  column inside an AND merge into one between-style Bound.
+- ``simplify_not``              Not(IsNull) -> IsNotNull etc.
+  (util/ExprUtil.scala:192-234 predicate simplification, the fragment that
+  survives in IR form — Catalyst does the rest once lowered).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from . import ir
+
+MAX_ITERS = 20
+
+
+def add_count_if_no_aggs(q: ir.QuerySpec) -> ir.QuerySpec:
+    if isinstance(q, (ir.GroupByQuery, ir.TimeseriesQuery)) and not q.aggregations:
+        return replace(q, aggregations=[ir.CountAgg("count")])
+    return q
+
+
+def groupby_no_dims_to_timeseries(q: ir.QuerySpec) -> ir.QuerySpec:
+    if (
+        isinstance(q, ir.GroupByQuery)
+        and not q.dimensions
+        and q.grouping_sets is None
+        and q.having is None
+        and q.limit_spec is None
+    ):
+        return ir.TimeseriesQuery(
+            granularity=q.granularity,
+            filter=q.filter,
+            aggregations=q.aggregations,
+            post_aggregations=q.post_aggregations,
+            intervals=q.intervals,
+            time_output_name=q.time_output_name,
+        )
+    return q
+
+
+def groupby_to_topn(q: ir.QuerySpec) -> ir.QuerySpec:
+    if not isinstance(q, ir.GroupByQuery):
+        return q
+    ls = q.limit_spec
+    if (
+        ls is not None
+        and ls.limit is not None
+        and len(ls.columns) == 1
+        and len(q.dimensions) == 1
+        and q.granularity == "all"
+        and q.grouping_sets is None
+        and q.having is None
+    ):
+        order = ls.columns[0]
+        agg_names = {a.name for a in q.aggregations} | {
+            p.name for p in q.post_aggregations
+        }
+        if order.column in agg_names:
+            return ir.TopNQuery(
+                dimension=q.dimensions[0],
+                metric=order.column,
+                threshold=ls.limit,
+                inverted=(order.direction == "asc"),
+                filter=q.filter,
+                aggregations=q.aggregations,
+                post_aggregations=q.post_aggregations,
+                intervals=q.intervals,
+            )
+    return q
+
+
+def _merge_bounds_in(f: ir.FilterSpec) -> ir.FilterSpec:
+    if isinstance(f, ir.LogicalFilter):
+        fields = [_merge_bounds_in(x) for x in f.fields_]
+        if f.op == "and":
+            by_dim: dict[str, ir.BoundFilter] = {}
+            out = []
+            for x in fields:
+                if isinstance(x, ir.BoundFilter) and x.ordering == "numeric":
+                    cur = by_dim.get(x.dimension)
+                    if cur is None:
+                        by_dim[x.dimension] = x
+                        out.append(x)
+                    else:
+                        merged = _merge_two_bounds(cur, x)
+                        out[out.index(cur)] = merged
+                        by_dim[x.dimension] = merged
+                else:
+                    out.append(x)
+            return out[0] if len(out) == 1 else ir.LogicalFilter("and", out)
+        return ir.LogicalFilter(f.op, fields)
+    if isinstance(f, ir.NotFilter):
+        return ir.NotFilter(_merge_bounds_in(f.field_))
+    return f
+
+
+def _merge_two_bounds(a: ir.BoundFilter, b: ir.BoundFilter) -> ir.BoundFilter:
+    lower, lower_strict = a.lower, a.lower_strict
+    if b.lower is not None and (lower is None or b.lower > lower):
+        lower, lower_strict = b.lower, b.lower_strict
+    elif b.lower is not None and b.lower == lower:
+        lower_strict = lower_strict or b.lower_strict
+    upper, upper_strict = a.upper, a.upper_strict
+    if b.upper is not None and (upper is None or b.upper < upper):
+        upper, upper_strict = b.upper, b.upper_strict
+    elif b.upper is not None and b.upper == upper:
+        upper_strict = upper_strict or b.upper_strict
+    return ir.BoundFilter(a.dimension, lower, upper, lower_strict, upper_strict)
+
+
+def merge_bounds(q: ir.QuerySpec) -> ir.QuerySpec:
+    f = getattr(q, "filter", None)
+    if f is None:
+        return q
+    nf = _merge_bounds_in(f)
+    return q if nf is f else replace(q, filter=nf)
+
+
+def _simplify_not_in(f: ir.FilterSpec) -> ir.FilterSpec:
+    if isinstance(f, ir.NotFilter):
+        inner = _simplify_not_in(f.field_)
+        if isinstance(inner, ir.NullFilter):
+            return ir.NullFilter(inner.dimension, not inner.is_null)
+        if isinstance(inner, ir.NotFilter):
+            return inner.field_
+        return ir.NotFilter(inner)
+    if isinstance(f, ir.LogicalFilter):
+        return ir.LogicalFilter(f.op, [_simplify_not_in(x) for x in f.fields_])
+    return f
+
+
+def simplify_not(q: ir.QuerySpec) -> ir.QuerySpec:
+    f = getattr(q, "filter", None)
+    if f is None:
+        return q
+    nf = _simplify_not_in(f)
+    return q if nf is f else replace(q, filter=nf)
+
+
+RULES = [
+    merge_bounds,
+    simplify_not,
+    add_count_if_no_aggs,
+    groupby_to_topn,
+    groupby_no_dims_to_timeseries,
+]
+
+
+def optimize(q: ir.QuerySpec) -> ir.QuerySpec:
+    """Run all rules to fixed point (bounded)."""
+    for _ in range(MAX_ITERS):
+        before = q.to_dict()
+        for rule in RULES:
+            q = rule(q)
+        if q.to_dict() == before:
+            break
+    return q
