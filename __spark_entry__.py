@@ -1,38 +1,775 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs through the pysparkline engine (QuerySpec IR ->
+planner -> cube/flat backing -> DataFrame), and ``oracle_sql()`` holds the
+ANSI-SQL equivalent DuckDB runs on the raw parquet star. Numeric columns are
+computed in decimal arithmetic on both sides and cast to DOUBLE at the end so
+values are bit-identical regardless of engine/accumulation order.
+
+Query inventory maps to SURVEY.md §2: GroupBy/Timeseries/TopN/Search/Select
+shapes, the filter algebra, granular time bucketing and extraction, merge-form
+aggregates (count / sum / min / max / avg decomposition / filtered aggregates /
+exact + HLL count-distinct), grouping sets / rollup / cube, having, sort/limit,
+star-join elimination (TPC-H Q1/Q3/Q5/Q7/Q8/Q10 analogs), plus the
+LLM-pipeline operators (dedup / similarity / text analysis) on documents and
+embeddings.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pysparkline import OlapContext, ir, tpch
+from pysparkline.session import prep
+
+# ---------------------------------------------------------------------------
+# shared context (index built once per sf_dir, cached on disk)
+# ---------------------------------------------------------------------------
+
+_CTX: dict[str, OlapContext] = {}
+
+
+def _ctx(spark: SparkSession, sf_dir: str) -> OlapContext:
+    key = os.path.abspath(sf_dir)
+    c = _CTX.get(key)
+    if c is None or c.spark is not spark:
+        prep(spark)
+        idx = tpch.build_or_load_index(spark, sf_dir)
+        c = OlapContext(spark, idx, fds=tpch.tpch_fds())
+        _CTX[key] = c
+    return c
+
+
+def _dbl(*names: str) -> list[ir.ArithmeticPostAgg]:
+    """Cast final decimal aggregates to DOUBLE (exact value, engine-neutral)."""
+    return [ir.ArithmeticPostAgg(n, f"CAST(`{n}` AS DOUBLE)") for n in names]
+
+
+# shared measure expressions (valid in both Spark SQL and DuckDB)
+QTY = tpch.QTY
+PRICE = tpch.PRICE
+DISC = tpch.DISC
+REV = tpch.DISC_PRICE
+CHARGE = tpch.CHARGE
+
+# DuckDB-side flattened star (mirrors pysparkline.tpch.load_star_tables +
+# flatten_star: inner joins, renamed nation/region copies, derived order_year)
+FLAT_CTE = """WITH flat AS (
+  SELECT l.*, o.*, c.*, s.*, p.*,
+         cn.n_name AS c_nation, cr.r_name AS c_region,
+         sn.n_name AS s_nation, sr.r_name AS s_region,
+         CAST(year(o.o_orderdate) AS INTEGER) AS order_year
+  FROM lineitem l
+  JOIN orders o    ON l.l_orderkey = o.o_orderkey
+  JOIN customer c  ON o.o_custkey = c.c_custkey
+  JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+  JOIN region cr   ON cn.n_regionkey = cr.r_regionkey
+  JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+  JOIN region sr   ON sn.n_regionkey = sr.r_regionkey
+  JOIN part p      ON l.l_partkey = p.p_partkey
+)
+"""
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# 1. TPC-H Q1 — the flagship (GroupBy + interval + full aggregate family)
+# ---------------------------------------------------------------------------
+
+
+def _q1_spec() -> ir.GroupByQuery:
+    return ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag"), ir.DefaultDim("l_linestatus")],
+        intervals=[ir.Interval(None, "1998-09-01")],
+        aggregations=[
+            ir.ExprAgg("sum", "sum_qty", QTY),
+            ir.ExprAgg("sum", "sum_base_price", PRICE),
+            ir.ExprAgg("sum", "sum_disc_price", REV),
+            ir.ExprAgg("sum", "sum_charge", CHARGE),
+            ir.ExprAgg("sum", "sum_disc", DISC),
+            ir.CountAgg("count_order"),
+        ],
+        post_aggregations=[
+            *_dbl("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+                  "sum_disc"),
+            ir.ArithmeticPostAgg("avg_qty", "sum_qty / count_order"),
+            ir.ArithmeticPostAgg("avg_price", "sum_base_price / count_order"),
+            ir.ArithmeticPostAgg("avg_disc", "sum_disc / count_order"),
+        ],
+        limit_spec=ir.LimitSpec(
+            [ir.OrderByColumn("l_returnflag"), ir.OrderByColumn("l_linestatus")]
+        ),
+    )
+
+
+@_register(
+    "q1",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({QTY}) AS DOUBLE)   AS sum_qty,
+       CAST(SUM({PRICE}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({REV}) AS DOUBLE)   AS sum_disc_price,
+       CAST(SUM({CHARGE}) AS DOUBLE) AS sum_charge,
+       CAST(SUM({DISC}) AS DOUBLE)  AS sum_disc,
+       COUNT(*) AS count_order,
+       CAST(SUM({QTY}) AS DOUBLE) / COUNT(*)   AS avg_qty,
+       CAST(SUM({PRICE}) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM({DISC}) AS DOUBLE) / COUNT(*)  AS avg_disc
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ctx(spark, sf_dir).query(_q1_spec())
+
+
+@_register(
+    "q1_month",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       CAST(SUM({QTY}) AS DOUBLE) AS sum_qty,
+       CAST(SUM({REV}) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def q1_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag"), ir.DefaultDim("l_linestatus")],
+        granularity="month",
+        time_output_name="ship_month",
+        intervals=[ir.Interval("1996-01-01", "1998-01-01")],
+        aggregations=[
+            ir.ExprAgg("sum", "sum_qty", QTY),
+            ir.ExprAgg("sum", "sum_disc_price", REV),
+            ir.CountAgg("count_order"),
+        ],
+        post_aggregations=_dbl("sum_qty", "sum_disc_price"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+# ---------------------------------------------------------------------------
+# 2. Timeseries shapes (Basic Agg / ShipDateRange baseline queries)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "basic_agg",
+    f"""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM({QTY}) AS DOUBLE) AS sum_qty,
+       CAST(SUM({REV}) AS DOUBLE) AS sum_disc_price
+FROM lineitem
+""",
+)
+def basic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.TimeseriesQuery(
+        granularity="all",
+        aggregations=[
+            ir.CountAgg("cnt"),
+            ir.ExprAgg("sum", "sum_qty", QTY),
+            ir.ExprAgg("sum", "sum_disc_price", REV),
+        ],
+        post_aggregations=_dbl("sum_qty", "sum_disc_price"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "ship_date_range",
+    f"""
+SELECT COUNT(*) AS cnt, CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def ship_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.TimeseriesQuery(
+        granularity="all",
+        intervals=[ir.Interval("1996-01-01", "1996-04-01")],
+        aggregations=[ir.CountAgg("cnt"), ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "monthly_revenue",
+    f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       COUNT(*) AS cnt, CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY 1
+""",
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.TimeseriesQuery(
+        granularity="month",
+        time_output_name="ship_month",
+        aggregations=[ir.CountAgg("cnt"), ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+# ---------------------------------------------------------------------------
+# 3. Filter algebra
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dim_filters",
+    FLAT_CTE
+    + f"""
+SELECT c_nation, COUNT(*) AS cnt, CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM flat
+WHERE c_region IN ('AMERICA', 'ASIA')
+  AND o_orderpriority = '1-URGENT'
+  AND NOT (o_orderstatus = 'P')
+GROUP BY c_nation
+""",
+)
+def dim_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("c_nation")],
+        filter=ir.and_(
+            ir.InFilter("c_region", ["AMERICA", "ASIA"]),
+            ir.SelectorFilter("o_orderpriority", "1-URGENT"),
+            ir.NotFilter(ir.SelectorFilter("o_orderstatus", "P")),
+        ),
+        aggregations=[ir.CountAgg("cnt"), ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "range_filters",
+    f"""
+SELECT l_returnflag, COUNT(*) AS cnt, CAST(SUM({QTY}) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_quantity >= 10 AND l_quantity <= 30 AND l_discount < 0.05
+GROUP BY l_returnflag
+""",
+)
+def range_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag")],
+        filter=ir.and_(
+            ir.BoundFilter("l_quantity", 10, 30),
+            ir.BoundFilter("l_discount", None, 0.05, upper_strict=True),
+        ),
+        aggregations=[ir.CountAgg("cnt"), ir.ExprAgg("sum", "sum_qty", QTY)],
+        post_aggregations=_dbl("sum_qty"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "in_null_not_filters",
+    FLAT_CTE
+    + f"""
+SELECT o_orderstatus, COUNT(*) AS cnt
+FROM flat
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+  AND c_region NOT IN ('EUROPE')
+  AND c_nation IS NOT NULL
+GROUP BY o_orderstatus
+""",
+)
+def in_null_not_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("o_orderstatus")],
+        filter=ir.and_(
+            ir.InFilter("c_mktsegment", ["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+            ir.NotFilter(ir.InFilter("c_region", ["EUROPE"])),
+            ir.NullFilter("c_nation", is_null=False),
+        ),
+        aggregations=[ir.CountAgg("cnt")],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "contains_regex_filters",
+    FLAT_CTE
+    + f"""
+SELECT p_brand, COUNT(*) AS cnt
+FROM flat
+WHERE contains(lower(p_type), 'prom') AND regexp_matches(p_brand, '^Brand#1[0-9]$')
+GROUP BY p_brand
+""",
+)
+def contains_regex_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("p_brand")],
+        filter=ir.and_(
+            ir.ContainsFilter("p_type", "prom", case_sensitive=False),
+            ir.RegexFilter("p_brand", "^Brand#1[0-9]$"),
+        ),
+        aggregations=[ir.CountAgg("cnt")],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "filtered_agg",
+    f"""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {REV} END) AS DOUBLE) AS returned_rev
+FROM lineitem
+""",
+)
+def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.TimeseriesQuery(
+        granularity="all",
+        aggregations=[
+            ir.CountAgg("cnt"),
+            ir.FilteredAgg(
+                "returned_rev",
+                ir.SelectorFilter("l_returnflag", "R"),
+                ir.ExprAgg("sum", "returned_rev", REV),
+            ),
+        ],
+        post_aggregations=_dbl("returned_rev"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+# ---------------------------------------------------------------------------
+# 4. TopN / Search / Select / Having / sort-limit
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "topn_brand",
+    FLAT_CTE
+    + f"""
+SELECT p_brand, CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM flat GROUP BY p_brand
+ORDER BY revenue DESC, p_brand LIMIT 5
+""",
+)
+def topn_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("p_brand")],
+        aggregations=[ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+        limit_spec=ir.LimitSpec([ir.OrderByColumn("revenue", "desc")], 5),
+    )
+    return _ctx(spark, sf_dir).query(spec)  # transforms rewrite this to TopN
+
+
+@_register(
+    "search_ptype",
+    FLAT_CTE
+    + """
+SELECT DISTINCT 'p_type' AS dimension, p_type AS value
+FROM flat WHERE contains(lower(p_type), 'o')
+ORDER BY dimension, value LIMIT 20
+""",
+)
+def search_ptype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.SearchQuery(dimensions=["p_type"], value="o", limit=20)
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "select_pushdown",
+    FLAT_CTE
+    + """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+FROM flat
+WHERE l_returnflag = 'A'
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+""",
+)
+def select_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.SelectQuery(
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"],
+        filter=ir.SelectorFilter("l_returnflag", "A"),
+        intervals=[ir.Interval("1996-01-01", "1997-01-01")],
+        order_by=[ir.OrderByColumn("l_orderkey"), ir.OrderByColumn("l_linenumber")],
+        limit=100,
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "having_filter",
+    FLAT_CTE
+    + f"""
+SELECT c_nation, COUNT(*) AS cnt, CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM flat GROUP BY c_nation HAVING COUNT(*) >= 200
+""",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("c_nation")],
+        aggregations=[ir.CountAgg("cnt"), ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+        having=ir.HavingSpec("cnt >= 200"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+# ---------------------------------------------------------------------------
+# 5. Count-distinct family
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "count_distinct_exact",
+    """
+SELECT l_linestatus, COUNT(DISTINCT l_returnflag) AS distinct_flags
+FROM lineitem GROUP BY l_linestatus
+""",
+)
+def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_linestatus")],
+        aggregations=[ir.DistinctAgg("distinct_flags", "l_returnflag")],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register("hll_count_distinct", None)  # approximate: rows-only check
+def hll_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag")],
+        aggregations=[ir.HyperUniqueAgg("approx_orders", "o_orderkey")],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+# ---------------------------------------------------------------------------
+# 6. Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rollup_flags",
+    f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       CAST(SUM({QTY}) AS DOUBLE) AS sum_qty,
+       CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
+         AS __grouping_id
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag"), ir.DefaultDim("l_linestatus")],
+        grouping_sets=[["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        aggregations=[ir.CountAgg("cnt"), ir.ExprAgg("sum", "sum_qty", QTY)],
+        post_aggregations=_dbl("sum_qty"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "cube_flags",
+    f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
+         AS __grouping_id
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag"), ir.DefaultDim("l_linestatus")],
+        grouping_sets=[
+            ["l_returnflag", "l_linestatus"],
+            ["l_returnflag"],
+            ["l_linestatus"],
+            [],
+        ],
+        aggregations=[ir.CountAgg("cnt")],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+# ---------------------------------------------------------------------------
+# 7. Time extraction dims
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "year_volume",
+    f"""
+SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       COUNT(*) AS cnt, CAST(SUM({QTY}) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY 1
+""",
+)
+def year_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.TimeFormatDim("l_shipdate", "l_year", "year")],
+        aggregations=[ir.CountAgg("cnt"), ir.ExprAgg("sum", "sum_qty", QTY)],
+        post_aggregations=_dbl("sum_qty"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "expr_dim_prefix",
+    FLAT_CTE
+    + f"""
+SELECT substr(p_type, 1, 3) AS type_prefix,
+       COUNT(*) AS cnt, CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM flat GROUP BY 1
+""",
+)
+def expr_dim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.ExprDim("substr(p_type, 1, 3)", "type_prefix", ["p_type"])],
+        aggregations=[ir.CountAgg("cnt"), ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+# ---------------------------------------------------------------------------
+# 8. Min/max metrics
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "min_max_metrics",
+    """
+SELECT l_returnflag,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def min_max_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag")],
+        aggregations=[
+            ir.FieldAgg("min", "min_qty", "l_quantity"),
+            ir.FieldAgg("max", "max_qty", "l_quantity"),
+            ir.FieldAgg("min", "min_price", "l_extendedprice"),
+            ir.FieldAgg("max", "max_price", "l_extendedprice"),
+        ],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+# ---------------------------------------------------------------------------
+# 9. Star-join queries (TPC-H analogs; join elimination onto the index)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q3",
+    FLAT_CTE
+    + f"""
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_odate, o_orderpriority,
+       CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM flat
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-01'
+  AND l_shipdate >= TIMESTAMP '1996-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[
+            ir.DefaultDim("l_orderkey"),
+            ir.ExprDim("CAST(o_orderdate AS DATE)", "o_odate", ["o_orderdate"]),
+            ir.DefaultDim("o_orderpriority"),
+        ],
+        filter=ir.and_(
+            ir.SelectorFilter("c_mktsegment", "BUILDING"),
+            ir.BoundFilter("o_orderdate", None, "1996-06-01", upper_strict=True),
+        ),
+        intervals=[ir.Interval("1996-06-01", None)],
+        aggregations=[ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+        limit_spec=ir.LimitSpec(
+            [ir.OrderByColumn("revenue", "desc"), ir.OrderByColumn("l_orderkey")], 10
+        ),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "q5",
+    FLAT_CTE
+    + f"""
+SELECT c_nation, CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM flat
+WHERE c_region = 'ASIA' AND order_year = 1996 AND c_nation = s_nation
+GROUP BY c_nation
+ORDER BY revenue DESC, c_nation
+""",
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("c_nation")],
+        filter=ir.and_(
+            ir.SelectorFilter("c_region", "ASIA"),
+            ir.SelectorFilter("order_year", 1996),
+            ir.ExprFilter("c_nation = s_nation", ["c_nation", "s_nation"]),
+        ),
+        aggregations=[ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+        limit_spec=ir.LimitSpec(
+            [ir.OrderByColumn("revenue", "desc"), ir.OrderByColumn("c_nation")]
+        ),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "q7",
+    FLAT_CTE
+    + f"""
+SELECT s_nation AS supp_nation, c_nation AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM flat
+WHERE ((c_nation = 'NATION_1' AND s_nation = 'NATION_2')
+    OR (c_nation = 'NATION_2' AND s_nation = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[
+            ir.ExprDim("s_nation", "supp_nation", ["s_nation"]),
+            ir.ExprDim("c_nation", "cust_nation", ["c_nation"]),
+            ir.TimeFormatDim("l_shipdate", "l_year", "year"),
+        ],
+        filter=ir.or_(
+            ir.and_(
+                ir.SelectorFilter("c_nation", "NATION_1"),
+                ir.SelectorFilter("s_nation", "NATION_2"),
+            ),
+            ir.and_(
+                ir.SelectorFilter("c_nation", "NATION_2"),
+                ir.SelectorFilter("s_nation", "NATION_1"),
+            ),
+        ),
+        intervals=[ir.Interval("1996-01-01", "1998-01-01")],
+        aggregations=[ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "q8",
+    FLAT_CTE
+    + f"""
+SELECT order_year,
+       CAST(SUM(CASE WHEN s_nation = 'NATION_3' THEN {REV} END) AS DOUBLE)
+         AS nation_rev,
+       CAST(SUM({REV}) AS DOUBLE) AS total_rev,
+       CAST(SUM(CASE WHEN s_nation = 'NATION_3' THEN {REV} END) AS DOUBLE)
+         / CAST(SUM({REV}) AS DOUBLE) AS mkt_share
+FROM flat
+WHERE c_region = 'AMERICA'
+GROUP BY order_year
+""",
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("order_year")],
+        filter=ir.SelectorFilter("c_region", "AMERICA"),
+        aggregations=[
+            ir.FilteredAgg(
+                "nation_rev",
+                ir.SelectorFilter("s_nation", "NATION_3"),
+                ir.ExprAgg("sum", "nation_rev", REV),
+            ),
+            ir.ExprAgg("sum", "total_rev", REV),
+        ],
+        post_aggregations=[
+            *_dbl("nation_rev", "total_rev"),
+            ir.ArithmeticPostAgg("mkt_share", "nation_rev / total_rev"),
+        ],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "q10",
+    FLAT_CTE
+    + f"""
+SELECT c_custkey, c_name, c_acctbal, c_nation,
+       CAST(SUM({REV}) AS DOUBLE) AS revenue
+FROM flat
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ir.GroupByQuery(
+        dimensions=[
+            ir.DefaultDim("c_custkey"),
+            ir.DefaultDim("c_name"),
+            ir.DefaultDim("c_acctbal"),
+            ir.DefaultDim("c_nation"),
+        ],
+        filter=ir.and_(
+            ir.SelectorFilter("l_returnflag", "R"),
+            ir.BoundFilter("o_orderdate", "1996-01-01", "1996-07-01",
+                           upper_strict=True),
+        ),
+        aggregations=[ir.ExprAgg("sum", "revenue", REV)],
+        post_aggregations=_dbl("revenue"),
+        limit_spec=ir.LimitSpec(
+            [ir.OrderByColumn("revenue", "desc"), ir.OrderByColumn("c_custkey")], 20
+        ),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 via the cube-backed OLAP index) on sf0.001."""
+    return q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

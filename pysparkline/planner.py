@@ -80,9 +80,22 @@ def _cube_eligible(
         reject(f"query granularity {qgran} finer than cube {gran}")
         return None
 
+    part_gran = {
+        "year": "year", "quarter": "quarter", "month": "month", "day": "day",
+        "dayofyear": "day", "weekofyear": "week", "hour": "hour",
+        "minute": "minute", "second": "none",
+    }
     for d in _query_dims(q):
         if isinstance(d, ir.TimeFormatDim) and d.dimension == tcol:
-            continue  # time extraction runs on the bucket column
+            # the extracted part must be constant within a cube bucket:
+            # year() from a month bucket is fine, day() from month is not
+            if d.is_pattern:
+                reject("pattern time-format not supported on pre-agg backing")
+                return None
+            if not lowering.gran_coarser_or_equal(part_gran.get(d.part, "none"), gran):
+                reject(f"time part {d.part} finer than cube granularity {gran}")
+                return None
+            continue
         if not d.referenced_columns() <= cube_dims:
             reject(f"dimension {sorted(d.referenced_columns())} not in grain")
             return None
