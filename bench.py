@@ -1,0 +1,113 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>, ...extras}
+
+Per BASELINE.md the anchor is the reference's speedup of index-accelerated vs
+raw execution, so alongside per-query times this also reports the raw-scan
+(base star join, no index) time for the flagship so the acceleration ratio is
+visible: `raw_q1_sec` / `queries.q1`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+HEADLINE = [
+    "q1",
+    "basic_agg",
+    "ship_date_range",
+    "monthly_revenue",
+    "dim_filters",
+    "topn_brand",
+    "q3",
+    "q5",
+    "q7",
+    "q8",
+    "q10",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+
+    from pysparkline.session import get_spark
+
+    spark = get_spark(app="pysparkline-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    t0 = time.perf_counter()
+    ctx = entry_mod._ctx(spark, sf_dir)  # builds or loads the index
+    index_sec = time.perf_counter() - t0
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # warm (JVM/codegen/file-listing caches)
+        t = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t, 4)
+
+    # raw-scan flagship: same Q1 aggregation over the base star join with no
+    # index artifacts (the "Spark raw" column of BASELINE.md)
+    from pysparkline import tpch
+
+    raw_flat, _ = tpch.flat_star_df(spark, sf_dir)
+    raw_flat.where(F.col("l_shipdate") < "1998-09-01").groupBy(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.sum(F.expr(tpch.QTY)),
+        F.sum(F.expr(tpch.PRICE)),
+        F.sum(F.expr(tpch.DISC_PRICE)),
+        F.sum(F.expr(tpch.CHARGE)),
+        F.count(F.lit(1)),
+    ).collect()
+    t = time.perf_counter()
+    raw_flat.where(F.col("l_shipdate") < "1998-09-01").groupBy(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.sum(F.expr(tpch.QTY)),
+        F.sum(F.expr(tpch.PRICE)),
+        F.sum(F.expr(tpch.DISC_PRICE)),
+        F.sum(F.expr(tpch.CHARGE)),
+        F.count(F.lit(1)),
+    ).collect()
+    raw_q1 = round(time.perf_counter() - t, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "index_build_or_load_sec": round(index_sec, 2),
+                "raw_q1_sec": raw_q1,
+                "q1_speedup_vs_raw": round(raw_q1 / times["q1"], 2)
+                if times.get("q1")
+                else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
