@@ -758,6 +758,314 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 10. LLM-pipeline operators (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+@_register(
+    "dedup_exact_docs",
+    """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    return dedup.exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id")
+
+
+@_register(
+    "doc_fingerprint",
+    r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import text
+
+    prep(spark)
+    return text.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@_register(
+    "text_stats_docs",
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+           AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+           AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digits,
+         length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_digits, n_spaces,
+       CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+       CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS avg_token_len
+FROM s
+""",
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import text
+
+    prep(spark)
+    return text.text_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@_register(
+    "lang_quality",
+    r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> ''))) AS DOUBLE) / COUNT(*)
+         AS avg_tokens
+FROM documents GROUP BY lang
+""",
+)
+def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import text
+    from pyspark.sql import functions as F
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    return docs.select("lang", text.token_count(F.col("text")).alias("t")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@_register("lang_id_docs", None)  # heuristic: rows-only check
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import text
+
+    prep(spark)
+    return text.lang_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@_register("minhash_pairs_docs", None)  # LSH-approximate: rows-only check
+def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+
+
+@_register("simhash_pairs_docs", None)  # rows-only check
+def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+@_register(
+    "ngram_jaccard_docs",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks
+), inv AS (
+  SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams
+), common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.ng AS na, r.ng AS nb,
+         count(*) AS c
+  FROM inv l JOIN inv r ON l.gram = r.gram AND l.doc_id < r.doc_id
+  WHERE l.ng * 0.5 <= r.ng AND r.ng * 0.5 <= l.ng
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, c / (na + nb - c) AS jaccard FROM common
+WHERE c / (na + nb - c) >= 0.5
+""",
+)
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@_register(
+    "cosine_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT unnest(c.embedding) x, unnest(q.qv) y))
+           / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                    FROM (SELECT unnest(c.embedding) x)))
+            * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                    FROM (SELECT unnest(q.qv) y)))), 6) AS cosine
+  FROM embeddings c, q
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import similarity
+    from pyspark.sql import functions as F
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_cosine_topk(
+        emb, queries_df, k=10, round_to=6
+    )
+
+
+@_register("lsh_cosine_topk", None)  # approximate: rows-only check
+def lsh_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import similarity
+    from pyspark.sql import functions as F
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_cosine_topk(emb, queries_df, k=10, dim=64)
+
+
+@_register(
+    "asof_event_purchase",
+    """
+WITH purch AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events
+               WHERE event_type = 'purchase')
+SELECT e.event_type, count(*) AS n_events, count(p.p_value) AS n_matched,
+       CAST(SUM(CASE WHEN p.p_value IS NOT NULL
+                     THEN CAST(p.p_value AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS matched_value
+FROM events e ASOF LEFT JOIN purch p
+  ON e.user_id = p.user_id AND e.ts >= p.p_ts
+GROUP BY e.event_type
+""",
+)
+def asof_event_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import asof
+    from pysparkline import tpch as _tpch
+    from pyspark.sql import functions as F
+
+    prep(spark)
+    ev = _tpch.read_events(spark, sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = asof.asof_join(ev, purch, "user_id", "ts", "p_ts")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("p_value_right").alias("n_matched"),
+        F.sum(F.expr("CAST(p_value_right AS DECIMAL(12,2))"))
+        .cast("double")
+        .alias("matched_value"),
+    )
+
+
+@_register(
+    "sessionize_stats",
+    r"""
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s2 AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS span_seconds,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM s2 GROUP BY 1, 2
+""",
+)
+def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import events as ev_ops
+    from pysparkline import tpch as _tpch
+    from pyspark.sql import functions as F
+
+    prep(spark)
+    ev = _tpch.read_events(spark, sf_dir)
+    return ev_ops.session_stats(ev).withColumn(
+        "value_sum", F.col("value_sum").cast("double")
+    )
+
+
+@_register(
+    "running_totals_user",
+    """
+SELECT user_id, ts,
+       count(*) OVER w AS running_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+""",
+)
+def running_totals_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import events as ev_ops
+    from pysparkline import tpch as _tpch
+    from pyspark.sql import functions as F
+
+    prep(spark)
+    ev = _tpch.read_events(spark, sf_dir)
+    return ev_ops.running_totals(ev).withColumn(
+        "running_value", F.col("running_value").cast("double")
+    )
+
+
+@_register("image_features_stub", None)  # stubbed decode: rows-only check
+def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import multimodal
+    from pyspark.sql import functions as F
+
+    prep(spark)
+    fake = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return multimodal.image_features(fake, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB):
+- **exact_dedup** is one shuffle on a content hash; the winner-per-group is a
+  map-side-combinable min — no row data moves except one id per group.
+- **MinHash** signatures are computed in a vectorized pandas UDF (Arrow
+  batches, numpy matrix of permutations); LSH banding turns O(n^2) pair
+  search into per-bucket joins, so the shuffle is keyed by (band, band_hash)
+  and only candidate pairs are materialized. Bucket skew (a giant near-dup
+  cluster) is bounded with a per-bucket cap.
+- **SimHash** is pure JVM-side expressions (split + hash + bit arithmetic);
+  near-dup candidates come from 4-segment blocking (pigeonhole: hamming
+  distance <= 3 guarantees one exact 16-bit segment match).
+- **n-gram Jaccard** uses an inverted-index join with length prefiltering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], id_col: str, normalize: bool = False
+) -> DataFrame:
+    """One row per distinct content: (content_hash, keep_id = min id, dup_count).
+
+    ``normalize`` lowercases and collapses whitespace first (fingerprint
+    dedup). Single shuffle on the hash; min/count are partial-aggregated.
+    """
+    parts = [
+        F.regexp_replace(F.lower(F.col(c)), r"\s+", " ") if normalize else F.col(c)
+        for c in cols
+    ]
+    h = F.md5(F.concat_ws("", *[p.cast("string") for p in parts]))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep only the min-id row per content group (the usual pipeline step)."""
+    keep = exact_dedup(df, cols, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash over character shingles.
+
+    Vectorized pandas UDF: one numpy (num_perm,) min per document over the
+    universal-hash family h_i(x) = (a_i*x + b_i) mod p. Deterministic (fixed
+    seed), so signatures are stable across runs and engines.
+    """
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = t if t is not None else ""
+            if len(t) < shingle_k:
+                shingles = {t}
+            else:
+                shingles = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
+            # stable 64-bit shingle hashes
+            hs = np.fromiter(
+                (hash_shingle(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+            )
+            # (num_perm, n_shingles) via broadcasting, min along shingles
+            vals = (np.outer(a, hs) + b[:, None]) % _MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def hash_shingle(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (Python's hash() is salted per process)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    LSH banding: split the signature into ``bands`` bands of r rows; documents
+    sharing any band hash become candidates; estimated Jaccard = fraction of
+    matching signature positions. ``max_bucket`` caps pathological buckets
+    (e.g. boilerplate-dominated corpora) — capped buckets are dropped, which
+    trades recall for a hard bound on join fan-out; at 100 TB this is the
+    difference between a bounded job and a quadratic one.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("sig", i * r + 1, r).cast("string"), F.lit(i))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    bucket_sizes = banded.groupBy("band", "band_hash").count()
+    small = banded.join(
+        bucket_sizes.where(F.col("count") <= max_bucket).drop("count"),
+        ["band", "band_hash"],
+    )
+    pairs = (
+        small.alias("l")
+        .join(
+            small.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ) / F.lit(num_perm)
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over whitespace tokens, computed
+    entirely with JVM-side expressions (xxhash64 + bit arithmetic), so it
+    stays inside whole-stage codegen."""
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    # per-bit weighted sum: sum over tokens of (+1 if bit set else -1)
+    bit_cols = []
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    for bit in range(64):
+        contrib = F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << bit if bit < 63 else -(1 << 63))) != 0, 1)
+            .otherwise(-1),
+        )
+        bit_cols.append(F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)))
+    sh = F.lit(0).cast("long")
+    for bit, c in enumerate(bit_cols):
+        sh = sh + (c.cast("long") * F.lit(1 << bit if bit < 63 else -(1 << 63)))
+    return df.select(F.col(id_col).alias("id"), sh.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, via 4-segment blocking:
+    if hamming(a,b) <= 3, at least one of the four 16-bit segments is equal
+    (pigeonhole), so candidates = pairs sharing any segment value."""
+    sh = simhash(df, id_col, text_col)
+    seg = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("seg", "seg_val"),
+    )
+    cand = (
+        seg.alias("l")
+        .join(
+            seg.alias("r"),
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.seg_val") == F.col("r.seg_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity pairs above ``threshold``.
+
+    Inverted index on n-grams -> per-gram join -> count common grams ->
+    jaccard = common / (|A| + |B| - common). Length prefilter: |A| and |B|
+    within a factor of threshold of each other, else jaccard can't reach it.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    )
+    inv = g.select("id", "n_grams", F.explode("grams").alias("gram"))
+    common = (
+        inv.alias("l")
+        .join(
+            inv.alias("r"),
+            (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .where(
+            (F.col("l.n_grams") * F.lit(threshold) <= F.col("r.n_grams"))
+            & (F.col("r.n_grams") * F.lit(threshold) <= F.col("l.n_grams"))
+        )
+        .groupBy(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.n_grams").alias("na"),
+            F.col("r.n_grams").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute-force cosine top-k**: exact baseline. The query set is broadcast
+  (it is small by definition); the corpus is scanned once; dot products are
+  computed JVM-side with zip_with/aggregate (inside codegen — no Python in the
+  hot path); per-query top-k via window rank. At 100 TB the only shuffle is
+  the final per-query rank, whose input is already cut to corpus×|queries|
+  rows — for large query sets switch to ``lsh_cosine_topk``.
+- **lsh_cosine_topk**: random-hyperplane LSH. Deterministic hyperplanes (fixed
+  seed) bucket corpus and queries; candidates are same-bucket (or
+  neighboring-band) rows; exact cosine is then computed only within buckets.
+  This is the 100 TB path: bucket join instead of full cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity_col(a, b):
+    """Cosine similarity of two array<numeric> columns, computed JVM-side with
+    strict left-to-right accumulation (deterministic)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
+
+    Ties broken by neighbor id ascending for determinism. ``round_to`` rounds
+    the similarity BEFORE ranking — use it when results must be reproducible
+    across engines/accumulation orders (rank on the rounded value both agree
+    on, instead of on last-ulp noise).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        )
+    )
+    joined = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    ).crossJoin(q)
+    cos = cosine_similarity_col(F.col("__cv"), F.col("__qv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    sim = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(float)
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id from ``n_planes`` fixed hyperplanes, as a JVM-side
+    expression (sum of shifted sign bits)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets over ``n_tables``
+    independent tables; union of same-bucket candidates, exact cosine within.
+
+    Recall rises with n_tables; cost is n_tables scans of the (pruned) corpus
+    keyed by bucket id — never a cross product.
+    """
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        c = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+            _bucket_expr(F.col(corpus_vec), planes).alias("__bucket"),
+        )
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__qv"),
+                _bucket_expr(F.col(query_vec), planes).alias("__bucket"),
+            )
+        )
+        j = c.join(q, "__bucket").select("query_id", "neighbor_id", "__cv", "__qv")
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    sim = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity_col(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

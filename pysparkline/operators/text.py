@@ -1,0 +1,121 @@
+"""Text analysis operators: token stats, quality score, language ID,
+document fingerprinting. All JVM-side expressions (no Python in the hot path)
+so they vectorize inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "für"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "es", "para", "con"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "也"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (empty string -> empty array)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count word pieces + punctuation via regex splitting
+    (letters/digit runs and single punctuation marks each count)."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?<=[^\w])|(?=[^\w])"), lambda t: F.trim(t) != ""
+        )
+    )
+
+
+def text_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document stats: token/char counts and punctuation/digit/space
+    ratios, all as exact-arithmetic-friendly columns."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_spaces = F.length(text) - F.length(F.regexp_replace(text, r" ", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_digits.alias("n_digits"),
+        n_spaces.alias("n_spaces"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    toks = tokens_col(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: argmax of stopword-hit counts (deterministic
+    tie-break by language code). 'und' when nothing matches."""
+    text = F.col(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # left fold with strict ">" keeps the alphabetically-first language on ties
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "detected_lang"
+        ),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic quality heuristic in [0,1]: length band + punctuation
+    sanity + mean token length band. (The standard cheap pre-filter before
+    expensive model-based scoring.)"""
+    s = text_stats(df, id_col, text_col)
+    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000)
+    punct_ok = F.col("punct_ratio") <= 0.2
+    tok_ok = (F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 12)
+    score = (
+        len_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.3
+        + tok_ok.cast("double") * 0.3
+    )
+    return s.select(F.col(id_col), score.alias("quality_score"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-content fingerprint: md5 of (lowercased, whitespace-collapsed,
+    trimmed) text — the exact-dedup key for near-identical formatting."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

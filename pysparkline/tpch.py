@@ -53,6 +53,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark cannot read
+    natively; read nanos as long and convert to microsecond timestamps with
+    integer division (epoch-nanos exceed double precision, so no float math).
+    The testdata has microsecond precision only, so no information is lost."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return df
+
+
 def load_star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Star tables with the reference's rename convention applied."""
     nation = read_table(spark, sf_dir, "nation")
