@@ -448,6 +448,7 @@ class GroupByQuery(QuerySpec):
     intervals: list = field(default_factory=list)  # [Interval]
     grouping_sets: Optional[list] = None  # list[list[str]] of dim out-names
     time_output_name: str = "__time"
+    output_order: Optional[list] = None  # SQL select-list output column order
 
 
 @_node
@@ -461,6 +462,7 @@ class TimeseriesQuery(QuerySpec):
     post_aggregations: list = field(default_factory=list)
     intervals: list = field(default_factory=list)
     time_output_name: str = "__time"
+    output_order: Optional[list] = None
 
 
 @_node
@@ -479,6 +481,7 @@ class TopNQuery(QuerySpec):
     aggregations: list = field(default_factory=list)
     post_aggregations: list = field(default_factory=list)
     intervals: list = field(default_factory=list)
+    output_order: Optional[list] = None
 
 
 @_node

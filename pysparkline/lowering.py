@@ -268,7 +268,7 @@ class AggLoweringError(ValueError):
 
 
 def _raw_agg(a: ir.AggSpec) -> Column:
-    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
     if isinstance(a, ir.CountAgg):
         return F.count(F.lit(1)).alias(a.name)
     if isinstance(a, ir.FieldAgg):
@@ -305,6 +305,8 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
     """Merge-form aggregation over a cube backing."""
     idx = backing.index
     cube_cols = set(backing.df.columns)
+    # note: no "count" here — count(col) over a pre-agg backing would need a
+    # pre-built non-null-count metric; metric_by_expr lookup handles that
     fns = {"sum": F.sum, "min": F.min, "max": F.max}
     if isinstance(a, ir.CountAgg):
         # coalesce: a global aggregate over zero rows must yield 0 like
@@ -315,8 +317,10 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
         m = idx.metric_by_expr(expr, a.fn)
         if m is None or m.col_name not in cube_cols:
             raise AggLoweringError(f"no pre-built metric for {a.fn}({expr})")
-        # sum merges with sum; min with min; max with max
-        return fns[a.fn](F.col(m.col_name)).alias(a.name)
+        # sum merges with sum; min with min; max with max; count partials
+        # merge by summing (AggregateTransform.scala:331-347)
+        merge = F.sum if a.fn == "count" else fns[a.fn]
+        return merge(F.col(m.col_name)).alias(a.name)
     if isinstance(a, ir.FilteredAgg):
         cond = filter_to_column(a.filter)  # over cube dims only (planner-checked)
         inner = a.agg
@@ -329,7 +333,8 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
             m = idx.metric_by_expr(expr, inner.fn)
             if m is None or m.col_name not in cube_cols:
                 raise AggLoweringError(f"no pre-built metric for filtered {expr}")
-            return fns[inner.fn](F.when(cond, F.col(m.col_name))).alias(a.name)
+            merge = F.sum if inner.fn == "count" else fns[inner.fn]
+            return merge(F.when(cond, F.col(m.col_name))).alias(a.name)
         raise AggLoweringError(f"unsupported filtered inner agg {inner!r}")
     if isinstance(a, ir.CardinalityAgg):
         if not set(a.field_names) <= cube_cols:
@@ -426,6 +431,10 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
         out = out.withColumn(p.name, F.expr(p.expr))
     if q.having is not None:
         out = out.where(F.expr(q.having.expr))
+    # aggs materialized only to feed post-aggs/having (sqlfront convention)
+    hidden = [c for c in out.columns if c.startswith(("__pa_", "__hv_"))]
+    if hidden:
+        out = out.drop(*hidden)
     if q.limit_spec is not None:
         if q.limit_spec.columns:
             out = out.orderBy(
@@ -436,7 +445,16 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
             )
         if q.limit_spec.limit is not None:
             out = out.limit(q.limit_spec.limit)
-    return out
+    return _project_output_order(out, q.output_order)
+
+
+def _project_output_order(df: DataFrame, order: list | None) -> DataFrame:
+    """Final projection to the SQL select-list column order; drops group-by
+    columns that were never selected (including the internal __grouping_id —
+    ANSI CUBE/ROLLUP output does not carry it unless selected)."""
+    if not order:
+        return df
+    return df.select(*[c for c in order if c in df.columns])
 
 
 def _grouping_sets_union(
@@ -487,6 +505,7 @@ def lower_timeseries(q: ir.TimeseriesQuery, backing: Backing) -> DataFrame:
         post_aggregations=q.post_aggregations,
         intervals=q.intervals,
         time_output_name=q.time_output_name,
+        output_order=q.output_order,
     )
     return lower_groupby(g, backing)
 
@@ -505,7 +524,8 @@ def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:
         out = out.withColumn(p.name, F.expr(p.expr))
     metric = F.col(q.metric).asc() if q.inverted else F.col(q.metric).desc()
     # deterministic tie-break on the dimension value
-    return out.orderBy(metric, F.col(q.dimension.out).asc()).limit(q.threshold)
+    out = out.orderBy(metric, F.col(q.dimension.out).asc()).limit(q.threshold)
+    return _project_output_order(out, q.output_order)
 
 
 def lower_search(q: ir.SearchQuery, backing: Backing) -> DataFrame:

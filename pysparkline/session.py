@@ -111,7 +111,51 @@ class OlapContext:
             d = json.loads(d)
         return self.query(ir.node_from_dict(d))
 
-    def explain_rewrite(self, spec: ir.QuerySpec) -> str:
+    # ----------------------------------------------------------------- SQL
+    def _parse_sql(self, sql: str) -> ir.QuerySpec:
+        from . import sqlfront
+
+        return sqlfront.parse_sql(
+            sql,
+            time_col=self.index.time_col,
+            fact_table=self.star.fact_table if self.star else None,
+            star=self.star,
+        )
+
+    def sql(self, sql: str) -> DataFrame:
+        """SQL entry point (the reference's ``spark.sql`` over a Druid table).
+
+        Recognized queries rewrite onto the index through the IR planner;
+        anything outside the surface falls back to ``spark.sql`` over the
+        registered base tables — the reference's exact contract (DruidStrategy
+        returns Nil => Spark plans normally)."""
+        from .sqlfront import SQLFrontError
+
+        try:
+            spec = self._parse_sql(sql)
+        except SQLFrontError as e:
+            if self.base_tables is None:
+                raise
+            self.register_base_views()
+            self.query_history.append(
+                QueryRecord({"sql": sql}, f"fallback: {e}", "sparksql")
+            )
+            return self.spark.sql(sql)
+        return self.query(spec)
+
+    def register_base_views(self) -> None:
+        for name, df in (self.base_tables or {}).items():
+            df.createOrReplaceTempView(name)
+
+    def explain_rewrite(self, spec: ir.QuerySpec | str) -> str:
+        """EXPLAIN DRUID REWRITE analog — accepts a QuerySpec or SQL text."""
+        if isinstance(spec, str):
+            from .sqlfront import SQLFrontError
+
+            try:
+                spec = self._parse_sql(spec)
+            except SQLFrontError as e:
+                return f"no rewrite: {e}\nfallback: spark.sql over base tables"
         spec, backing, decision = self.plan(spec)
         return (
             f"query shape: {type(spec).__name__}\n"

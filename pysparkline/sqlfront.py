@@ -1,0 +1,862 @@
+"""SQL front end: ANSI SQL text -> QuerySpec IR.
+
+The reference's main entry point was ``spark.sql(...)`` over a Druid-backed
+table: a prefix parser plus Catalyst pattern-matching recognized the
+Project/Filter/Join/Aggregate/Sort/Limit subtree and folded it into a Druid
+query spec (SparklineDataParser.scala:42-71, DruidPlanner.scala:29-50,
+AggregateTransform.scala / ProjectFilterTransfom.scala / JoinTransform.scala).
+
+PySpark cannot author Catalyst rules, so this module recognizes the same query
+surface one level up: it parses the SQL text with DuckDB's public
+``json_serialize_sql`` (a battle-tested ANSI parser producing a JSON AST — no
+hand-rolled grammar) and walks the AST into the pysparkline IR. Anything
+outside the recognized surface raises :class:`SQLFrontError`; the caller
+(OlapContext.sql) falls back to ``spark.sql`` over the registered base tables
+— the same always-correct fallback the reference used when no rewrite matched
+(DruidStrategy returns Nil and Spark plans normally).
+
+Star-join elimination happens here exactly as in JoinTransform.scala:305-441:
+the FROM join tree is flattened, every equi-join condition is checked against
+the star schema's edges (StarSchema.is_star_join), and the joins are then
+dropped — the flattened index contains every star column by construction.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import duckdb
+
+from . import ir
+from .metadata import StarSchema
+
+
+class SQLFrontError(ValueError):
+    """SQL outside the rewritable surface; caller should fall back."""
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def _ast(sql: str) -> dict:
+    quoted = sql.replace("'", "''")
+    out = duckdb.sql(f"select json_serialize_sql('{quoted}')").fetchone()[0]
+    d = json.loads(out)
+    if d.get("error"):
+        raise SQLFrontError(f"parse error: {d.get('error_message')}")
+    stmts = d["statements"]
+    if len(stmts) != 1:
+        raise SQLFrontError("expected exactly one statement")
+    node = stmts[0]["node"]
+    if node.get("type") != "SELECT_NODE":
+        raise SQLFrontError(f"not a SELECT: {node.get('type')}")
+    return node
+
+
+# ---------------------------------------------------------------------------
+# expression rendering (AST -> Spark SQL text)
+# ---------------------------------------------------------------------------
+
+_TYPEMAP = {
+    "VARCHAR": "STRING",
+    "INTEGER": "INT",
+    "BIGINT": "BIGINT",
+    "SMALLINT": "SMALLINT",
+    "TINYINT": "TINYINT",
+    "DOUBLE": "DOUBLE",
+    "FLOAT": "FLOAT",
+    "BOOLEAN": "BOOLEAN",
+    "DATE": "DATE",
+    "TIMESTAMP": "TIMESTAMP",
+    "DECIMAL": "DECIMAL",
+    "HUGEINT": "BIGINT",
+}
+
+# duckdb function name -> Spark SQL name (identity if absent)
+_FNMAP = {
+    "len": "length",
+    "strlen": "length",
+    "ln": "ln",
+    "dayofmonth": "dayofmonth",
+    "day": "dayofmonth",
+    "strftime": "date_format",
+    "count_star": "count",
+}
+
+_INFIX_OPS = {"+", "-", "*", "/", "%", "||", "//"}
+_LIKE_OPS = {"~~": "LIKE", "!~~": "NOT LIKE", "~~*": "ILIKE", "!~~*": "NOT ILIKE"}
+_CMP = {
+    "COMPARE_EQUAL": "=",
+    "COMPARE_NOTEQUAL": "<>",
+    "COMPARE_LESSTHAN": "<",
+    "COMPARE_LESSTHANOREQUALTO": "<=",
+    "COMPARE_GREATERTHAN": ">",
+    "COMPARE_GREATERTHANOREQUALTO": ">=",
+}
+
+_AGG_FNS = {"sum", "min", "max", "avg", "count", "count_star",
+            "approx_count_distinct", "mean"}
+
+
+def _type_name(t: dict) -> str:
+    tid = t["id"]
+    if tid == "DECIMAL":
+        ti = t.get("type_info") or {}
+        return f"DECIMAL({ti.get('width', 10)},{ti.get('scale', 0)})"
+    if tid not in _TYPEMAP:
+        raise SQLFrontError(f"unsupported type {tid}")
+    return _TYPEMAP[tid]
+
+
+def _const_value(node: dict):
+    """Python value of a CONSTANT node (unwraps one cast around it)."""
+    if node.get("class") == "CAST":
+        inner = _const_value(node["child"])
+        return inner
+    if node.get("class") != "CONSTANT":
+        raise SQLFrontError("not a constant")
+    v = node["value"]
+    if v.get("is_null"):
+        return None
+    return v["value"]
+
+
+def _is_const(node: dict) -> bool:
+    if node.get("class") == "CONSTANT":
+        return True
+    if node.get("class") == "CAST":
+        return _is_const(node["child"])
+    return False
+
+
+def _render_const(node: dict) -> str:
+    v = node["value"]
+    if v.get("is_null"):
+        return "NULL"
+    tid = v["type"]["id"]
+    val = v["value"]
+    if tid == "VARCHAR":
+        return "'" + str(val).replace("'", "\\'") + "'"
+    if tid == "DATE":
+        return f"DATE '{val}'"
+    if tid == "TIMESTAMP":
+        return f"TIMESTAMP '{val}'"
+    if tid == "DECIMAL":
+        ti = v["type"].get("type_info") or {}
+        scale = ti.get("scale", 0)
+        return str(val / (10 ** scale)) if scale else str(val)
+    if tid == "BOOLEAN":
+        return "TRUE" if val else "FALSE"
+    return str(val)
+
+
+def render(node: dict) -> str:
+    """Render an AST expression as Spark SQL text."""
+    cls = node.get("class")
+    typ = node.get("type")
+    if cls == "COLUMN_REF":
+        return f"`{node['column_names'][-1]}`"
+    if cls == "CONSTANT":
+        return _render_const(node)
+    if cls == "CAST":
+        # a cast wrapped around a plain constant is the parser's literal
+        # typing (DATE '...'); render the typed literal directly
+        if node["child"].get("class") == "CONSTANT":
+            tid = node["cast_type"]["id"]
+            inner = node["child"]["value"]
+            if tid in ("DATE", "TIMESTAMP") and not inner.get("is_null"):
+                return f"{tid} '{inner['value']}'"
+        return f"CAST({render(node['child'])} AS {_type_name(node['cast_type'])})"
+    if cls == "COMPARISON":
+        return f"({render(node['left'])} {_CMP[typ]} {render(node['right'])})"
+    if cls == "CONJUNCTION":
+        op = " AND " if typ == "CONJUNCTION_AND" else " OR "
+        return "(" + op.join(render(c) for c in node["children"]) + ")"
+    if cls == "OPERATOR":
+        ch = node.get("children", [])
+        if typ == "OPERATOR_NOT":
+            return f"(NOT {render(ch[0])})"
+        if typ == "OPERATOR_IS_NULL":
+            return f"({render(ch[0])} IS NULL)"
+        if typ == "OPERATOR_IS_NOT_NULL":
+            return f"({render(ch[0])} IS NOT NULL)"
+        if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
+            neg = "NOT " if typ == "COMPARE_NOT_IN" else ""
+            vals = ", ".join(render(c) for c in ch[1:])
+            return f"({render(ch[0])} {neg}IN ({vals}))"
+        if typ == "OPERATOR_COALESCE":
+            return "coalesce(" + ", ".join(render(c) for c in ch) + ")"
+        raise SQLFrontError(f"unsupported operator {typ}")
+    if cls == "BETWEEN":
+        return (
+            f"({render(node['input'])} BETWEEN {render(node['lower'])}"
+            f" AND {render(node['upper'])})"
+        )
+    if cls == "CASE":
+        parts = ["CASE"]
+        for chk in node["case_checks"]:
+            parts.append(
+                f"WHEN {render(chk['when_expr'])} THEN {render(chk['then_expr'])}"
+            )
+        if node.get("else_expr") is not None:
+            parts.append(f"ELSE {render(node['else_expr'])}")
+        parts.append("END")
+        return " ".join(parts)
+    if cls == "FUNCTION":
+        fn = node["function_name"]
+        ch = node.get("children", [])
+        if node.get("is_operator"):
+            if fn in _LIKE_OPS:
+                return f"({render(ch[0])} {_LIKE_OPS[fn]} {render(ch[1])})"
+            if fn == "~":
+                return f"({render(ch[0])} RLIKE {render(ch[1])})"
+            if fn in _INFIX_OPS:
+                if len(ch) == 1:  # unary minus
+                    return f"(- {render(ch[0])})"
+                op = fn if fn != "//" else "DIV"
+                return f"({render(ch[0])} {op} {render(ch[1])})"
+            raise SQLFrontError(f"unsupported operator function {fn}")
+        name = _FNMAP.get(fn, fn)
+        if fn == "count_star":
+            return "count(*)"
+        distinct = "DISTINCT " if node.get("distinct") else ""
+        return f"{name}({distinct}" + ", ".join(render(c) for c in ch) + ")"
+    raise SQLFrontError(f"unsupported expression class {cls}/{typ}")
+
+
+def _columns_of(node: dict) -> set[str]:
+    out: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, dict):
+            if n.get("class") == "COLUMN_REF":
+                out.add(n["column_names"][-1])
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for v in n:
+                walk(v)
+
+    walk(node)
+    return out
+
+
+def _contains_agg(node: dict) -> bool:
+    if isinstance(node, dict):
+        if (
+            node.get("class") == "FUNCTION"
+            and node.get("function_name", "").lower() in _AGG_FNS
+        ):
+            return True
+        return any(_contains_agg(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_agg(v) for v in node)
+    return False
+
+
+def _strip(node: dict) -> dict:
+    """Structural identity: drop aliases/locations for subtree comparison."""
+    if isinstance(node, dict):
+        return {
+            k: _strip(v)
+            for k, v in node.items()
+            if k not in ("alias", "query_location")
+        }
+    if isinstance(node, list):
+        return [_strip(v) for v in node]
+    return node
+
+
+# ---------------------------------------------------------------------------
+# FROM clause: star-join elimination
+# ---------------------------------------------------------------------------
+
+
+def _flatten_from(node: dict, tables: list[str], pairs: list[tuple[str, str]]):
+    t = node.get("type")
+    if t == "BASE_TABLE":
+        tables.append(node["table_name"].lower())
+        return
+    if t == "JOIN":
+        if node.get("join_type", "INNER") not in ("INNER", "JOIN_INNER"):
+            raise SQLFrontError(f"non-inner join {node.get('join_type')}")
+        _flatten_from(node["left"], tables, pairs)
+        _flatten_from(node["right"], tables, pairs)
+        cond = node.get("condition")
+        if cond is not None:
+            _join_pairs(cond, pairs)
+        return
+    if t == "CROSS_PRODUCT":
+        raise SQLFrontError("cross product in FROM")
+    raise SQLFrontError(f"unsupported FROM node {t}")
+
+
+def _join_pairs(cond: dict, pairs: list[tuple[str, str]]):
+    cls, typ = cond.get("class"), cond.get("type")
+    if cls == "CONJUNCTION" and typ == "CONJUNCTION_AND":
+        for c in cond["children"]:
+            _join_pairs(c, pairs)
+        return
+    if (
+        cls == "COMPARISON"
+        and typ == "COMPARE_EQUAL"
+        and cond["left"].get("class") == "COLUMN_REF"
+        and cond["right"].get("class") == "COLUMN_REF"
+    ):
+        pairs.append(
+            (cond["left"]["column_names"][-1], cond["right"]["column_names"][-1])
+        )
+        return
+    raise SQLFrontError("non-equi join condition")
+
+
+def _check_from(node: dict, fact_table: str | None, star: StarSchema | None):
+    """Validate FROM is the fact table alone or a star join; WHERE-join form
+    (implicit joins) is not supported — use explicit JOIN ... ON."""
+    tables: list[str] = []
+    pairs: list[tuple[str, str]] = []
+    _flatten_from(node, tables, pairs)
+    known = {fact_table.lower()} if fact_table else set()
+    if star is not None:
+        known |= {t.lower() for t in star.tables}
+    unknown = [t for t in tables if known and t not in known]
+    if unknown:
+        raise SQLFrontError(f"unknown tables {unknown}")
+    if pairs:
+        if star is None:
+            raise SQLFrontError("join present but no star schema registered")
+        if not star.is_star_join(set(pairs)):
+            raise SQLFrontError(f"join conditions {pairs} are not star edges")
+
+
+# ---------------------------------------------------------------------------
+# WHERE -> FilterSpec (+ interval extraction)
+# ---------------------------------------------------------------------------
+
+_TIME_PARTS = {
+    "year", "quarter", "month", "dayofmonth", "day", "dayofyear",
+    "weekofyear", "hour", "minute", "second",
+}
+
+
+def _to_filter(node: dict) -> ir.FilterSpec:
+    cls, typ = node.get("class"), node.get("type")
+    if cls == "CONJUNCTION":
+        op = "and" if typ == "CONJUNCTION_AND" else "or"
+        fs = [_to_filter(c) for c in node["children"]]
+        return ir.and_(*fs) if op == "and" else ir.or_(*fs)
+    if cls == "COMPARISON":
+        left, right, cmp = node["left"], node["right"], _CMP[typ]
+        if left.get("class") == "COLUMN_REF" and _is_const(right):
+            col, val = left["column_names"][-1], _const_value(right)
+        elif right.get("class") == "COLUMN_REF" and _is_const(left):
+            col, val = right["column_names"][-1], _const_value(left)
+            cmp = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(cmp, cmp)
+        else:
+            return ir.ExprFilter(render(node), sorted(_columns_of(node)))
+        if cmp == "=":
+            return ir.SelectorFilter(col, val)
+        if cmp == "<>":
+            return ir.NotFilter(ir.SelectorFilter(col, val))
+        if cmp == "<":
+            return ir.BoundFilter(col, upper=val, upper_strict=True)
+        if cmp == "<=":
+            return ir.BoundFilter(col, upper=val)
+        if cmp == ">":
+            return ir.BoundFilter(col, lower=val, lower_strict=True)
+        if cmp == ">=":
+            return ir.BoundFilter(col, lower=val)
+    if cls == "BETWEEN" and node["input"].get("class") == "COLUMN_REF":
+        if _is_const(node["lower"]) and _is_const(node["upper"]):
+            return ir.BoundFilter(
+                node["input"]["column_names"][-1],
+                lower=_const_value(node["lower"]),
+                upper=_const_value(node["upper"]),
+            )
+    if cls == "OPERATOR":
+        ch = node.get("children", [])
+        if typ == "OPERATOR_NOT":
+            return ir.NotFilter(_to_filter(ch[0]))
+        if typ == "OPERATOR_IS_NULL" and ch[0].get("class") == "COLUMN_REF":
+            return ir.NullFilter(ch[0]["column_names"][-1], True)
+        if typ == "OPERATOR_IS_NOT_NULL" and ch[0].get("class") == "COLUMN_REF":
+            return ir.NullFilter(ch[0]["column_names"][-1], False)
+        if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
+            if ch[0].get("class") == "COLUMN_REF" and all(
+                _is_const(c) for c in ch[1:]
+            ):
+                f = ir.InFilter(
+                    ch[0]["column_names"][-1], [_const_value(c) for c in ch[1:]]
+                )
+                return ir.NotFilter(f) if typ == "COMPARE_NOT_IN" else f
+    if cls == "FUNCTION" and node.get("is_operator"):
+        fn, ch = node["function_name"], node.get("children", [])
+        if fn in ("~~", "~") and ch[0].get("class") == "COLUMN_REF" and _is_const(ch[1]):
+            col, pat = ch[0]["column_names"][-1], str(_const_value(ch[1]))
+            if fn == "~":
+                return ir.RegexFilter(col, pat)
+            # LIKE '%v%' with no other wildcards -> contains
+            if (
+                pat.startswith("%") and pat.endswith("%") and len(pat) > 2
+                and "%" not in pat[1:-1] and "_" not in pat
+            ):
+                return ir.ContainsFilter(col, pat[1:-1])
+    return ir.ExprFilter(render(node), sorted(_columns_of(node)))
+
+
+def _conjuncts(node: dict) -> list[dict]:
+    if node.get("class") == "CONJUNCTION" and node.get("type") == "CONJUNCTION_AND":
+        out = []
+        for c in node["children"]:
+            out.extend(_conjuncts(c))
+        return out
+    return [node]
+
+
+def _extract_intervals(
+    conjuncts: list[dict], time_col: str
+) -> tuple[list[ir.Interval], list[dict]]:
+    """Pull `t >= X` / `t < X` conjuncts on the time column into a query
+    interval (QueryIntervals.scala:40-131 analog). `t <= X` / `t > X` stay
+    as ordinary filters (still correct; just no bucket-aligned pruning)."""
+    start = end = None
+    rest: list[dict] = []
+    for c in conjuncts:
+        got = None
+        if c.get("class") == "COMPARISON":
+            left, right, typ = c["left"], c["right"], c["type"]
+            if (
+                left.get("class") == "COLUMN_REF"
+                and left["column_names"][-1] == time_col
+                and _is_const(right)
+            ):
+                v = _const_value(right)
+                if typ == "COMPARE_GREATERTHANOREQUALTO":
+                    got = ("start", str(v))
+                elif typ == "COMPARE_LESSTHAN":
+                    got = ("end", str(v))
+        if got is None:
+            rest.append(c)
+        elif got[0] == "start":
+            start = got[1] if start is None else max(start, got[1])
+        else:
+            end = got[1] if end is None else min(end, got[1])
+    if start is None and end is None:
+        return [], rest
+    return [ir.Interval(start, end)], rest
+
+
+# ---------------------------------------------------------------------------
+# SELECT list / GROUP BY -> dims, aggs, post-aggs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Analysis:
+    dims: list = field(default_factory=list)
+    granularity: str = "all"
+    time_output_name: str = "__time"
+    aggs: list = field(default_factory=list)
+    post_aggs: list = field(default_factory=list)
+    output_order: list = field(default_factory=list)
+    grouping_sets: list | None = None
+    hidden_aggs: list = field(default_factory=list)
+
+
+def _agg_spec(node: dict, name: str) -> ir.AggSpec:
+    """One aggregate FUNCTION node -> AggSpec."""
+    fn = node["function_name"].lower()
+    ch = node.get("children", [])
+    filt = node.get("filter")
+    if filt is not None:
+        inner = dict(node)
+        inner["filter"] = None
+        return ir.FilteredAgg(name, _to_filter(filt), _agg_spec(inner, name))
+    if fn == "count_star" or (fn == "count" and not ch):
+        return ir.CountAgg(name)
+    if fn == "count" and node.get("distinct"):
+        if len(ch) == 1 and ch[0].get("class") == "COLUMN_REF":
+            return ir.DistinctAgg(name, ch[0]["column_names"][-1])
+        raise SQLFrontError("count(DISTINCT <expr>) unsupported")
+    if fn == "approx_count_distinct":
+        cols = []
+        for c in ch:
+            if c.get("class") != "COLUMN_REF":
+                raise SQLFrontError("approx_count_distinct of expression")
+            cols.append(c["column_names"][-1])
+        return ir.CardinalityAgg(name, cols)
+    if fn in ("avg", "mean"):
+        if len(ch) == 1 and ch[0].get("class") == "COLUMN_REF":
+            return ir.AvgAgg(name, ch[0]["column_names"][-1])
+        raise SQLFrontError("avg of expression unsupported in IR; use sum/count")
+    if fn in ("sum", "min", "max", "count"):
+        if node.get("distinct"):
+            raise SQLFrontError(f"{fn}(DISTINCT) unsupported")
+        if len(ch) != 1:
+            raise SQLFrontError(f"{fn} arity {len(ch)}")
+        if ch[0].get("class") == "COLUMN_REF":
+            col = ch[0]["column_names"][-1]
+            if fn == "count":
+                return ir.ExprAgg("count", name, f"`{col}`", [col])
+            return ir.FieldAgg(fn, name, col)
+        expr = render(ch[0])
+        return ir.ExprAgg(fn, name, expr, sorted(_columns_of(ch[0])))
+    raise SQLFrontError(f"unsupported aggregate {fn}")
+
+
+def _dim_spec(node: dict, out_name: str, time_col: str | None) -> ir.DimSpec:
+    if node.get("class") == "COLUMN_REF":
+        col = node["column_names"][-1]
+        return ir.DefaultDim(col, out_name if out_name != col else None)
+    if (
+        node.get("class") == "FUNCTION"
+        and not node.get("is_operator")
+        and node["function_name"].lower() in _TIME_PARTS
+        and len(node.get("children", [])) == 1
+        and node["children"][0].get("class") == "COLUMN_REF"
+        and time_col is not None
+        and node["children"][0]["column_names"][-1] == time_col
+    ):
+        part = node["function_name"].lower()
+        part = {"day": "day", "dayofmonth": "day"}.get(part, part)
+        return ir.TimeFormatDim(time_col, out_name, part)
+    return ir.ExprDim(render(node), out_name, sorted(_columns_of(node)))
+
+
+def _analyze_select(
+    node: dict, time_col: str | None
+) -> _Analysis:
+    a = _Analysis()
+    select_list = node["select_list"]
+    alias_to_expr: dict[str, dict] = {}
+    for i, item in enumerate(select_list):
+        if item.get("class") == "STAR":
+            raise SQLFrontError("SELECT * unsupported in rewrite surface")
+        if item.get("alias"):
+            alias_to_expr[item["alias"]] = item
+
+    # resolve GROUP BY entries (aliases + positions resolve via select list)
+    groups = node.get("group_expressions", [])
+    group_sets_idx = node.get("group_sets") or []
+    group_nodes: list[dict] = []
+    for g in groups:
+        if (
+            g.get("class") == "COLUMN_REF"
+            and g["column_names"][-1] in alias_to_expr
+        ):
+            group_nodes.append(alias_to_expr[g["column_names"][-1]])
+        else:
+            group_nodes.append(g)
+
+    group_keys = [_strip(g) for g in group_nodes]
+    n_aggs = 0
+
+    def out_name_of(item: dict, i: int) -> str:
+        if item.get("alias"):
+            return item["alias"]
+        if item.get("class") == "COLUMN_REF":
+            return item["column_names"][-1]
+        raise SQLFrontError(f"select item {i} needs an alias")
+
+    has_any_agg = any(_contains_agg(s) for s in select_list) or bool(groups)
+
+    dim_out_names: list[str] = []
+    # map from stripped group expr -> output name (fill from select list)
+    for i, item in enumerate(select_list):
+        s = _strip(item)
+        is_group = s in group_keys
+        if is_group:
+            name = out_name_of(item, i)
+            gnode = item
+            d = _dim_spec(gnode, name, time_col)
+            # date_trunc on the time column becomes the query granularity
+            if (
+                item.get("class") == "FUNCTION"
+                and item.get("function_name", "").lower() == "date_trunc"
+                and len(item.get("children", [])) == 2
+                and _is_const(item["children"][0])
+                and item["children"][1].get("class") == "COLUMN_REF"
+                and time_col is not None
+                and item["children"][1]["column_names"][-1] == time_col
+            ):
+                a.granularity = str(_const_value(item["children"][0])).lower()
+                a.time_output_name = name
+                a.output_order.append(name)
+                dim_out_names.append(name)
+                continue
+            a.dims.append(d)
+            a.output_order.append(d.out)
+            dim_out_names.append(d.out)
+        elif _contains_agg(item):
+            name = item.get("alias") or f"agg_{i}"
+            if (
+                item.get("class") == "FUNCTION"
+                and item.get("function_name", "").lower() in _AGG_FNS
+            ):
+                a.aggs.append(_agg_spec(item, name))
+                a.output_order.append(name)
+                n_aggs += 1
+            else:
+                # expression over aggregates -> extract inner aggs, post-agg
+                expr_sql, extracted = _extract_inner_aggs(item, a.aggs)
+                a.post_aggs.append(ir.ArithmeticPostAgg(name, expr_sql))
+                a.output_order.append(name)
+                n_aggs += len(extracted)
+        else:
+            if has_any_agg:
+                raise SQLFrontError(
+                    f"select item {render(item)} neither grouped nor aggregated"
+                )
+            # plain projection (select query) — handled by caller
+            a.output_order.append(out_name_of(item, i))
+
+    # group-by expressions not in the select list still group (but don't project)
+    for g, gn in zip(group_keys, group_nodes):
+        found = any(_strip(item) == g for item in select_list)
+        if not found:
+            name = gn.get("alias") or f"__dim_{len(a.dims)}"
+            a.dims.append(_dim_spec(gn, name, time_col))
+
+    # grouping sets (CUBE/ROLLUP/GROUPING SETS): indexes into group list
+    if len(group_sets_idx) > 1:
+        all_names = []
+        for gn in group_nodes:
+            s = _strip(gn)
+            nm = None
+            for item in select_list:
+                if _strip(item) == s:
+                    nm = out_name_of(item, select_list.index(item))
+            all_names.append(nm or (gn.get("alias") or "?"))
+        a.grouping_sets = [
+            [all_names[i] for i in gset] for gset in group_sets_idx
+        ]
+    else:
+        a.grouping_sets = None
+    return a
+
+
+def _extract_inner_aggs(node: dict, aggs: list) -> tuple[str, list[str]]:
+    """Replace aggregate subtrees inside an expression with generated agg
+    names; append the extracted AggSpecs to ``aggs``. Mirrors the reference's
+    avg/postagg rebuild above the scan (DruidStrategy.scala:400-461)."""
+    extracted: list[str] = []
+
+    def walk(n) -> str:
+        if (
+            isinstance(n, dict)
+            and n.get("class") == "FUNCTION"
+            and n.get("function_name", "").lower() in _AGG_FNS
+        ):
+            # reuse an existing identical agg if present
+            name = f"__pa_{len(aggs)}"
+            spec = _agg_spec(n, name)
+            for existing in aggs:
+                d1 = spec.to_dict(); d1["name"] = ""
+                d2 = existing.to_dict(); d2["name"] = ""
+                if d1 == d2:
+                    return f"`{existing.name}`"
+            aggs.append(spec)
+            extracted.append(name)
+            return f"`{name}`"
+        if isinstance(n, dict):
+            cls = n.get("class")
+            if cls == "FUNCTION" and not n.get("is_operator"):
+                args = ", ".join(walk(c) for c in n.get("children", []))
+                fn = _FNMAP.get(n["function_name"], n["function_name"])
+                return f"{fn}({args})"
+            if cls == "FUNCTION" and n.get("is_operator"):
+                ch = n.get("children", [])
+                if len(ch) == 1:
+                    return f"(- {walk(ch[0])})"
+                return f"({walk(ch[0])} {n['function_name']} {walk(ch[1])})"
+            if cls == "CAST":
+                return f"CAST({walk(n['child'])} AS {_type_name(n['cast_type'])})"
+            if cls == "COMPARISON":
+                return f"({walk(n['left'])} {_CMP[n['type']]} {walk(n['right'])})"
+            if cls == "CASE":
+                parts = ["CASE"]
+                for chk in n["case_checks"]:
+                    parts.append(
+                        f"WHEN {walk(chk['when_expr'])} THEN {walk(chk['then_expr'])}"
+                    )
+                if n.get("else_expr") is not None:
+                    parts.append(f"ELSE {walk(n['else_expr'])}")
+                parts.append("END")
+                return " ".join(parts)
+            return render(n)
+        raise SQLFrontError("unrenderable post-agg expression")
+
+    return walk(node), extracted
+
+
+# ---------------------------------------------------------------------------
+# HAVING / ORDER BY / LIMIT
+# ---------------------------------------------------------------------------
+
+
+def _having_expr(node: dict, select_list: list[dict], analysis: _Analysis) -> str:
+    """Render HAVING, replacing agg subtrees with their output names."""
+    stripped_to_name: dict[str, str] = {}
+    for item in select_list:
+        if item.get("alias"):
+            stripped_to_name[json.dumps(_strip(item), sort_keys=True)] = item["alias"]
+
+    def walk(n) -> str:
+        key = json.dumps(_strip(n), sort_keys=True) if isinstance(n, dict) else None
+        if key in stripped_to_name:
+            return f"`{stripped_to_name[key]}`"
+        if (
+            isinstance(n, dict)
+            and n.get("class") == "FUNCTION"
+            and n.get("function_name", "").lower() in _AGG_FNS
+        ):
+            # an agg in HAVING not in the select list: add as hidden agg
+            name = f"__hv_{len(analysis.aggs)}"
+            spec = _agg_spec(n, name)
+            for existing in analysis.aggs:
+                d1 = spec.to_dict(); d1["name"] = ""
+                d2 = existing.to_dict(); d2["name"] = ""
+                if d1 == d2:
+                    return f"`{existing.name}`"
+            analysis.aggs.append(spec)
+            analysis.hidden_aggs.append(name)
+            return f"`{name}`"
+        if isinstance(n, dict):
+            cls, typ = n.get("class"), n.get("type")
+            if cls == "COMPARISON":
+                return f"({walk(n['left'])} {_CMP[typ]} {walk(n['right'])})"
+            if cls == "CONJUNCTION":
+                op = " AND " if typ == "CONJUNCTION_AND" else " OR "
+                return "(" + op.join(walk(c) for c in n["children"]) + ")"
+            if cls == "OPERATOR" and typ == "OPERATOR_NOT":
+                return f"(NOT {walk(n['children'][0])})"
+            return render(n)
+        raise SQLFrontError("unrenderable HAVING")
+
+    return walk(node)
+
+
+def _order_limit(
+    node: dict, select_list: list[dict], known_outputs: set[str]
+) -> tuple[list[ir.OrderByColumn], int | None]:
+    order_cols: list[ir.OrderByColumn] = []
+    limit = None
+    stripped_to_name = {
+        json.dumps(_strip(i), sort_keys=True): (i.get("alias") or
+            (i["column_names"][-1] if i.get("class") == "COLUMN_REF" else None))
+        for i in select_list
+    }
+    for mod in node.get("modifiers", []):
+        if mod.get("type") == "ORDER_MODIFIER":
+            for o in mod["orders"]:
+                e = o["expression"]
+                name = None
+                if e.get("class") == "COLUMN_REF":
+                    c = e["column_names"][-1]
+                    if c in known_outputs:
+                        name = c
+                if name is None:
+                    name = stripped_to_name.get(json.dumps(_strip(e), sort_keys=True))
+                if name is None or name not in known_outputs:
+                    raise SQLFrontError(f"ORDER BY {render(e)} is not an output")
+                direction = "desc" if o["type"] == "DESCENDING" else "asc"
+                order_cols.append(ir.OrderByColumn(name, direction))
+        elif mod.get("type") == "LIMIT_MODIFIER":
+            if mod.get("limit") is not None:
+                limit = int(_const_value(mod["limit"]))
+            if mod.get("offset") is not None:
+                raise SQLFrontError("OFFSET unsupported")
+        elif mod.get("type") == "DISTINCT_MODIFIER":
+            raise SQLFrontError("SELECT DISTINCT unsupported in rewrite surface")
+        else:
+            raise SQLFrontError(f"unsupported modifier {mod.get('type')}")
+    return order_cols, limit
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+
+def parse_sql(
+    sql: str,
+    time_col: str | None = None,
+    fact_table: str | None = None,
+    star: StarSchema | None = None,
+) -> ir.QuerySpec:
+    """Parse a SELECT into a QuerySpec, or raise SQLFrontError.
+
+    Surface: SELECT [aggregates/dims/post-agg exprs] FROM fact [JOIN dim ON
+    star-edge]* [WHERE ...] [GROUP BY ... [CUBE/ROLLUP/GROUPING SETS]]
+    [HAVING ...] [ORDER BY outputs] [LIMIT n].
+    """
+    node = _ast(sql)
+    if node.get("cte_map", {}).get("map"):
+        raise SQLFrontError("CTEs unsupported")
+    if node.get("qualify") or node.get("sample"):
+        raise SQLFrontError("QUALIFY/SAMPLE unsupported")
+    _check_from(node["from_table"], fact_table, star)
+
+    # WHERE: split conjuncts, pull time intervals, build FilterSpec
+    intervals: list[ir.Interval] = []
+    filt: ir.FilterSpec | None = None
+    wc = node.get("where_clause")
+    if wc is not None:
+        conj = _conjuncts(wc)
+        if time_col:
+            intervals, conj = _extract_intervals(conj, time_col)
+        if conj:
+            filt = ir.and_(*[_to_filter(c) for c in conj])
+
+    select_list = node["select_list"]
+    has_agg = any(_contains_agg(s) for s in select_list)
+    has_group = bool(node.get("group_expressions"))
+
+    if not has_agg and not has_group:
+        # plain projection -> SelectQuery
+        cols = []
+        for i, item in enumerate(select_list):
+            if item.get("class") == "COLUMN_REF":
+                c = item["column_names"][-1]
+                cols.append((c, item["alias"]) if item.get("alias") else c)
+            else:
+                raise SQLFrontError("select of expression unsupported (non-agg)")
+        known = {c[1] if isinstance(c, tuple) else c for c in cols}
+        order_cols, limit = _order_limit(node, select_list, known)
+        return ir.SelectQuery(
+            columns=cols, filter=filt, limit=limit,
+            order_by=order_cols, intervals=intervals,
+        )
+
+    a = _analyze_select(node, time_col)
+    having = None
+    if node.get("having") is not None:
+        having = ir.HavingSpec(_having_expr(node["having"], select_list, a))
+
+    known_outputs = set(a.output_order) | {d.out for d in a.dims} | {
+        g.name for g in a.aggs
+    } | {p.name for p in a.post_aggs}
+    if a.granularity != "all":
+        known_outputs.add(a.time_output_name)
+    order_cols, limit = _order_limit(node, select_list, known_outputs)
+
+    limit_spec = None
+    if order_cols or limit is not None:
+        limit_spec = ir.LimitSpec(order_cols, limit)
+
+    return ir.GroupByQuery(
+        dimensions=a.dims,
+        granularity=a.granularity,
+        filter=filt,
+        aggregations=a.aggs,
+        post_aggregations=a.post_aggs,
+        having=having,
+        limit_spec=limit_spec,
+        intervals=intervals,
+        grouping_sets=a.grouping_sets,
+        time_output_name=a.time_output_name,
+        output_order=a.output_order,
+    )

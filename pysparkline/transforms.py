@@ -48,6 +48,7 @@ def groupby_no_dims_to_timeseries(q: ir.QuerySpec) -> ir.QuerySpec:
             post_aggregations=q.post_aggregations,
             intervals=q.intervals,
             time_output_name=q.time_output_name,
+            output_order=q.output_order,
         )
     return q
 
@@ -79,6 +80,7 @@ def groupby_to_topn(q: ir.QuerySpec) -> ir.QuerySpec:
                 aggregations=q.aggregations,
                 post_aggregations=q.post_aggregations,
                 intervals=q.intervals,
+                output_order=q.output_order,
             )
     return q
 

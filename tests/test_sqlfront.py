@@ -1,0 +1,168 @@
+"""SQL front end (sqlfront.py) conformance vs the DuckDB oracle.
+
+Mirrors the reference's dual-execution cTest harness (AbstractTest.scala:
+127-143 isTwoDataFrameEqual): the same SQL runs through ctx.sql (rewritten
+onto the index) and through DuckDB over the raw parquet; results must agree
+after sorting and numeric rounding.
+"""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    from pysparkline import tpch
+    from pysparkline.session import OlapContext
+
+    idx = tpch.build_or_load_index(spark, SF)
+    base = tpch.load_star_tables(spark, SF)
+    return OlapContext(spark, idx, base_tables=base)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "part", "customer", "supplier",
+              "nation", "region"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def assert_same(ctx, duck, sql, duck_sql=None, sort=True):
+    got = [tuple(r) for r in ctx.sql(sql).collect()]
+    exp = duck.execute(duck_sql or sql).fetchall()
+    if sort:
+        got, exp = sorted(got, key=str), sorted(exp, key=str)
+    assert len(got) == len(exp), f"{len(got)} rows != {len(exp)}"
+    for r1, r2 in zip(got, exp):
+        assert len(r1) == len(r2), f"width {r1} vs {r2}"
+        for a, b in zip(r1, r2):
+            if isinstance(a, float) or isinstance(b, float):
+                assert abs(float(a) - float(b)) <= 1e-4 * max(1.0, abs(float(b))), (
+                    r1, r2)
+            else:
+                assert a == b, (r1, r2)
+
+
+def test_interval_pushdown(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sq FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag""")
+    # the interval must actually reach the IR (partition pruning at scale)
+    spec = ctx._parse_sql("""
+SELECT count(*) AS n FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'""")
+    assert spec.intervals and spec.intervals[0].start == "1996-01-01"
+    assert spec.filter is None
+
+
+def test_filters(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT l_linestatus, count(*) AS n FROM lineitem
+WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20
+GROUP BY l_linestatus""")
+
+
+def test_like_contains(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT p_brand, count(*) AS n FROM part
+WHERE p_type LIKE '%BRASS%' GROUP BY p_brand""")
+
+
+def test_cube(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)""")
+
+
+def test_select_scan(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT l_orderkey, l_quantity AS q FROM lineitem
+WHERE l_quantity > 49 ORDER BY q DESC, l_orderkey LIMIT 20""", sort=False)
+
+
+def test_star_join_elimination(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT c_nation, sum(l_extendedprice) AS rev FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN custnation ON c_nationkey = cn_nationkey
+GROUP BY c_nation ORDER BY rev DESC, c_nation LIMIT 5""", sort=False, duck_sql="""
+SELECT n_name AS c_nation, sum(l_extendedprice) AS rev FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY rev DESC, c_nation LIMIT 5""")
+    # the join must have been eliminated, not fallen back
+    assert ctx.query_history[-1].backing in ("flat", "cube")
+
+
+def test_non_star_join_rejected(ctx):
+    from pysparkline.sqlfront import SQLFrontError
+
+    with pytest.raises(SQLFrontError):
+        ctx._parse_sql(
+            "SELECT count(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_custkey GROUP BY l_returnflag"
+        )
+
+
+def test_filtered_agg(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT l_returnflag,
+       sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS fq,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag""")
+
+
+def test_postagg_column_order(ctx, duck):
+    sql = """
+SELECT l_returnflag, sum(l_extendedprice)/sum(l_quantity) AS unit, count(*) AS n
+FROM lineitem GROUP BY l_returnflag"""
+    df = ctx.sql(sql)
+    assert df.columns == ["l_returnflag", "unit", "n"]
+    assert_same(ctx, duck, sql)
+
+
+def test_having(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT p_brand, count(*) AS n, sum(l_extendedprice) AS rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 10
+GROUP BY p_brand HAVING count(*) > 5 ORDER BY rev DESC, p_brand LIMIT 5""",
+        sort=False)
+
+
+def test_count_distinct(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS ds
+FROM lineitem GROUP BY l_returnflag""")
+
+
+def test_time_part_grouping(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT year(l_shipdate) AS yr, sum(l_extendedprice) AS rev
+FROM lineitem GROUP BY yr ORDER BY yr""", sort=False, duck_sql="""
+SELECT CAST(year(l_shipdate) AS INT) AS yr, sum(l_extendedprice) AS rev
+FROM lineitem GROUP BY yr ORDER BY yr""")
+
+
+def test_fallback_window(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT o_custkey, o_totalprice,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+FROM orders WHERE o_custkey < 10""")
+    assert ctx.query_history[-1].backing == "sparksql"
+
+
+def test_explain_rewrite_sql(ctx):
+    txt = ctx.explain_rewrite(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    assert "backing=" in txt
+    txt2 = ctx.explain_rewrite("SELECT 1 AS x FROM lineitem QUALIFY 1=1")
+    assert "no rewrite" in txt2 or "fallback" in txt2
