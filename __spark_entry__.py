@@ -1066,6 +1066,140 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 11. SQL front end (ctx.sql: ANSI SQL -> IR -> planner -> backing)
+# ---------------------------------------------------------------------------
+
+
+def _sql_ctx(spark: SparkSession, sf_dir: str) -> OlapContext:
+    c = _ctx(spark, sf_dir)
+    if c.base_tables is None:
+        c.base_tables = tpch.load_star_tables(spark, sf_dir)
+    return c
+
+
+@_register(
+    "sql_q1",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({QTY}) AS DOUBLE) AS sum_qty,
+       CAST(SUM({PRICE}) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 via the SQL entry point: the text parses to a GroupByQuery with an
+    extracted interval, and the planner answers it from a cube backing."""
+    return _sql_ctx(spark, sf_dir).sql(f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({QTY}) AS DOUBLE) AS sum_qty,
+       CAST(SUM({PRICE}) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+
+
+@_register(
+    "sql_star_join",
+    """
+SELECT n.n_name AS c_nation, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY rev DESC, c_nation
+LIMIT 10
+""",
+)
+def sql_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join elimination from SQL text: the 4-table join collapses onto
+    the flattened index (JoinTransform.scala:305-441 semantics)."""
+    return _sql_ctx(spark, sf_dir).sql("""
+SELECT c_nation, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN custnation ON c_nationkey = cn_nationkey
+GROUP BY c_nation
+ORDER BY rev DESC, c_nation
+LIMIT 10
+""")
+
+
+@_register(
+    "sql_rollup",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_ctx(spark, sf_dir).sql("""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""")
+
+
+@_register(
+    "sql_having_postagg",
+    """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         / COUNT(*) AS avg_item_price,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+HAVING COUNT(*) > 20
+ORDER BY p_brand
+""",
+)
+def sql_having_postagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_ctx(spark, sf_dir).sql("""
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         / COUNT(*) AS avg_item_price,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+HAVING COUNT(*) > 20
+ORDER BY p_brand
+""")
+
+
+@_register(
+    "sql_select_scan",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity >= 49 AND l_returnflag = 'N'
+ORDER BY l_orderkey, l_linenumber
+LIMIT 100
+""",
+)
+def sql_select_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_ctx(spark, sf_dir).sql("""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity >= 49 AND l_returnflag = 'N'
+ORDER BY l_orderkey, l_linenumber
+LIMIT 100
+""")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

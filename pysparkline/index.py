@@ -291,4 +291,5 @@ class OlapIndex:
 
 
 def _norm_expr(e: str) -> str:
-    return "".join(e.lower().split())
+    # backtick-quoted and bare identifiers are the same expression
+    return "".join(e.lower().split()).replace("`", "")
