@@ -1,0 +1,174 @@
+"""Structured-Streaming ingestion into the OLAP index.
+
+The reference had NO streaming path of its own — Druid ingested streams
+out-of-band and the Spark extension only queried the result (SURVEY.md §1.1:
+"nothing in src/main touches streaming APIs"). This module is the
+beyond-reference extension (SURVEY.md §7 step 11): keep the index fresh from a
+stream without rebuilding it.
+
+Why incremental append is *correct*: every cube column is a merge-form partial
+(``__count``, ``sum_x``, ``min_x``, ``max_x``, HLL sketch buffers), and the
+lowering always re-merges at query time (sum over sums, min over mins,
+``hll_union_agg`` over sketches — lowering.py:304-353). The cube is therefore
+a commutative monoid keyed by (bucket, dims): appending one partial row per
+micro-batch group needs no read-modify-write, no dedup, and no compaction for
+correctness. Compaction (re-grouping appended partials) is purely a
+performance knob, exposed as :meth:`StreamingIngest.compact`.
+
+Scale notes (100 TB / 1000 executors):
+- flat appends are partitioned by the ``__month`` bucket, so a micro-batch
+  touches only the partitions its event times fall in; queries keep pruning.
+- cube appends are tiny (|dims| x buckets-per-batch rows) and never shuffle
+  more than one groupBy per batch.
+- plain Parquet append is not atomic across files; on a production cluster
+  swap the sink for Delta/Iceberg by changing ``_append`` only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..index import BUCKET_COL, COUNT_COL, MONTH_COL, OlapIndex, _bucket_expr
+from ..metadata import StarSchema
+
+
+def stream_flatten(
+    stream_fact: DataFrame,
+    static_tables: dict[str, DataFrame],
+    star: StarSchema,
+) -> DataFrame:
+    """Stream-static star flattening: the streaming fact inner-joins each
+    (static, broadcast) dimension — Spark supports stream-static equi-joins
+    without watermarks, and broadcasting keeps the stream side shuffle-free."""
+    df = stream_fact
+    for rel in star.join_order():
+        right = F.broadcast(static_tables[rel.right_table])
+        cond = None
+        for c in rel.conditions:
+            p = F.col(c.left_col) == F.col(c.right_col)
+            cond = p if cond is None else (cond & p)
+        df = df.join(right, cond, "inner")
+    return df
+
+
+def windowed_rollup(
+    stream_df: DataFrame,
+    time_col: str,
+    dims: list[str],
+    agg_cols: list,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data bound — the streaming
+    analog of a cube at ``window`` granularity. Returns a streaming DataFrame
+    (append/update sink-ready)."""
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("window"), *dims)
+        .agg(*agg_cols)
+    )
+
+
+class StreamingIngest:
+    """foreachBatch writer keeping an OlapIndex fresh from a stream.
+
+    Usage::
+
+        ingest = StreamingIngest(index)
+        q = ingest.start(flat_stream_df, checkpoint_dir)
+        q.awaitTermination()
+    """
+
+    def __init__(self, index: OlapIndex):
+        self.index = index
+        self.batches_seen = 0
+        self.rows_ingested = 0
+
+    # ------------------------------------------------------------------ sink
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Append one micro-batch of *flattened star rows* to the index."""
+        cfg = self.index.config
+        t = cfg.time_col
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            # 1. flat rows, partitioned by the month bucket (partition-pruned
+            #    reads keep working on the appended data)
+            flat = batch_df.withColumn(
+                MONTH_COL, F.date_format(F.col(t), "yyyy-MM")
+            )
+            flat.write.mode("append").partitionBy(MONTH_COL).parquet(
+                os.path.join(self.index.path, "flat")
+            )
+            # 2. one merge-form partial row per cube group for this batch
+            for cube in cfg.cubes:
+                partial = OlapIndex._build_cube(batch_df, cfg, cube)
+                partial.write.mode("append").parquet(
+                    os.path.join(self.index.path, f"cube_{cube.name}")
+                )
+            self.batches_seen += 1
+            self.rows_ingested += n
+            self._update_manifest(batch_df, n)
+        finally:
+            batch_df.unpersist()
+
+    def _update_manifest(self, batch_df: DataFrame, n: int) -> None:
+        t = self.index.config.time_col
+        lo, hi = batch_df.agg(F.min(t), F.max(t)).collect()[0]
+        m = self.index.manifest
+        m["flat"]["rowCount"] = m["flat"].get("rowCount", 0) + n
+        if lo is not None and str(lo) < m["flat"]["timeMin"]:
+            m["flat"]["timeMin"] = str(lo)
+        if hi is not None and str(hi) > m["flat"]["timeMax"]:
+            m["flat"]["timeMax"] = str(hi)
+        with open(os.path.join(self.index.path, "manifest.json"), "w") as fh:
+            json.dump(m, fh, indent=1, default=str)
+
+    def start(
+        self,
+        flat_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+    ):
+        """Start the streaming query. ``trigger`` defaults to availableNow
+        (drain everything queued, then stop) — pass e.g.
+        ``{"processingTime": "30 seconds"}`` for continuous ingestion."""
+        writer = flat_stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        writer = writer.trigger(**(trigger or {"availableNow": True}))
+        return writer.start()
+
+    # ----------------------------------------------------------- maintenance
+    def compact(self, cube_name: str) -> None:
+        """Re-merge appended partials so each (bucket, dims) group is one row
+        again. Pure performance maintenance — queries are correct without it.
+        Uses overwrite-via-temp so readers never see a half-written cube."""
+        spark = self.index.spark
+        cfg = self.index.config
+        info = self.index.manifest["cubes"][cube_name]
+        path = os.path.join(self.index.path, f"cube_{cube_name}")
+        df = spark.read.parquet(path)
+        keys = [BUCKET_COL, *info["dims"]]
+        aggs = [F.sum(COUNT_COL).alias(COUNT_COL)]
+        for m in cfg.metrics:
+            fn = {"sum": F.sum, "min": F.min, "max": F.max}[m.agg]
+            aggs.append(fn(F.col(m.col_name)).alias(m.col_name))
+        for c in cfg.hll_cols:
+            aggs.append(F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}"))
+        merged = df.groupBy(*keys).agg(*aggs)
+        tmp = path + "__compact"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        info["rowCount"] = self.index.spark.read.parquet(path).count()
+        with open(os.path.join(self.index.path, "manifest.json"), "w") as fh:
+            json.dump(self.index.manifest, fh, indent=1, default=str)

@@ -1,0 +1,120 @@
+"""Streaming ingestion: chunked stream-ingest must answer queries identically
+to a batch-built index (the merge-form monoid property), before and after
+compaction."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def streamed_index(spark, tmp_path_factory):
+    from pysparkline import tpch
+    from pysparkline.index import OlapIndex
+    from pysparkline.streaming import StreamingIngest, stream_flatten
+
+    root = tmp_path_factory.mktemp("stream_ingest")
+    flat, star = tpch.flat_star_df(spark, SF)
+    cfg = tpch.tpch_index_config()
+
+    # bootstrap the index from the first third of the fact table, stream in
+    # the rest as two chunks through a file-source stream
+    fact = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    part1 = fact.where(F.col("l_orderkey") % 3 == 0)
+    rest = fact.where(F.col("l_orderkey") % 3 != 0)
+
+    tables = tpch.load_star_tables(spark, SF)
+    tables1 = dict(tables, lineitem=part1)
+    from pysparkline.index import flatten_star
+
+    flat1 = flatten_star(spark, tables1, star).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    idx = OlapIndex.build(
+        spark, flat1, cfg, str(root / "index"), star=star, compute_ndv=False
+    )
+
+    # chunk files for the stream source
+    in_dir = str(root / "incoming")
+    rest.where(F.col("l_orderkey") % 3 == 1).write.parquet(in_dir + "/c1")
+    rest.where(F.col("l_orderkey") % 3 == 2).write.parquet(in_dir + "/c2")
+    # flatten the streaming fact against static dims
+    stream_fact = (
+        spark.readStream.schema(fact.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    flat_stream = stream_flatten(stream_fact, tables, star).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    ingest = StreamingIngest(idx)
+    q = ingest.start(flat_stream, str(root / "ckpt"))
+    q.awaitTermination(120)
+    assert ingest.rows_ingested > 0
+
+    yield idx, ingest, fact.count()
+    shutil.rmtree(str(root), ignore_errors=True)
+
+
+def _q1(ctx):
+    from pysparkline import ir
+
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag"), ir.DefaultDim("l_linestatus")],
+        aggregations=[
+            ir.CountAgg("n"),
+            ir.ExprAgg("sum", "sum_qty", "CAST(l_quantity AS DECIMAL(12,2))"),
+        ],
+        limit_spec=ir.LimitSpec(
+            [ir.OrderByColumn("l_returnflag"), ir.OrderByColumn("l_linestatus")]
+        ),
+    )
+    return [tuple(r) for r in ctx.query(spec).collect()]
+
+
+def test_streamed_equals_batch(spark, streamed_index):
+    from pysparkline import tpch
+    from pysparkline.session import OlapContext
+
+    idx, ingest, total_rows = streamed_index
+    ctx = OlapContext(spark, idx)
+    got = _q1(ctx)
+    # batch oracle: the full, batch-built index
+    batch_idx = tpch.build_or_load_index(spark, SF)
+    exp = _q1(OlapContext(spark, batch_idx))
+    assert got == exp
+    # flat side is complete too
+    assert idx.spark.read.parquet(os.path.join(idx.path, "flat")).count() == total_rows
+    assert ctx.query_history[-1].backing == "cube"
+
+
+def test_compaction_preserves_answers(spark, streamed_index):
+    from pysparkline.session import OlapContext
+
+    idx, ingest, _ = streamed_index
+    ctx = OlapContext(spark, idx)
+    before = _q1(ctx)
+    pre_rows = spark.read.parquet(os.path.join(idx.path, "cube_flags")).count()
+    ingest.compact("flags")
+    post_rows = spark.read.parquet(os.path.join(idx.path, "cube_flags")).count()
+    assert post_rows <= pre_rows
+    assert _q1(ctx) == before
+
+
+def test_windowed_rollup_plan(spark):
+    """Streaming windowed agg with watermark builds and is streaming-valid."""
+    from pysparkline.streaming import windowed_rollup
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )
+    out = windowed_rollup(
+        src, "timestamp", ["value"], [F.count(F.lit(1)).alias("n")],
+        window="1 minute", watermark="2 minutes",
+    )
+    assert out.isStreaming
+    assert set(c for c in out.columns) == {"window", "value", "n"}
