@@ -52,6 +52,9 @@ def main() -> None:
 
     t0 = time.perf_counter()
     ctx = entry_mod._ctx(spark, sf_dir)  # builds or loads the index
+    # pin cubes in executor memory — the serving posture of the reference
+    # (Druid historicals hold segments resident); flat data stays on disk
+    ctx.index.cache_cubes()
     index_sec = time.perf_counter() - t0
 
     qs = entry_mod.queries()

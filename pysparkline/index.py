@@ -158,6 +158,8 @@ class OlapIndex:
             if manifest.get("star")
             else None
         )
+        self._df_memo: dict[str, "DataFrame"] = {}
+        self._cached: set[str] = set()
 
     # ------------------------------------------------------------------ build
     @staticmethod
@@ -259,11 +261,43 @@ class OlapIndex:
         return self.config.time_col
 
     def flat_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "flat"))
+        # memoized: repeated queries reuse the analyzed relation instead of
+        # re-listing files + re-reading footers (py4j + driver overhead)
+        df = self._df_memo.get("flat")
+        if df is None:
+            df = self.spark.read.parquet(os.path.join(self.path, "flat"))
+            self._df_memo["flat"] = df
+        return df
 
     def cube_df(self, name: str) -> DataFrame:
-        rel = self.manifest["cubes"][name]["path"]
-        return self.spark.read.parquet(os.path.join(self.path, rel))
+        key = f"cube_{name}"
+        df = self._df_memo.get(key)
+        if df is None:
+            rel = self.manifest["cubes"][name]["path"]
+            df = self.spark.read.parquet(os.path.join(self.path, rel))
+            self._df_memo[key] = df
+        return df
+
+    def invalidate(self) -> None:
+        """Drop memoized/cached relations (after streaming appends)."""
+        for key in self._cached:
+            self._df_memo[key].unpersist()
+        self._df_memo.clear()
+        self._cached.clear()
+
+    def cache_cubes(self, eager: bool = True) -> None:
+        """Pin every cube in executor memory — the analog of Druid holding
+        segments resident on historicals. Cubes are the small, hot artifacts
+        (pre-aggregated: orders of magnitude under the flat data), so this is
+        the right default for an interactive-BI session even at 100 TB scale."""
+        for name in self.manifest["cubes"]:
+            key = f"cube_{name}"
+            if key not in self._cached:
+                df = self.cube_df(name).cache()
+                self._df_memo[key] = df
+                self._cached.add(key)
+                if eager:
+                    df.count()
 
     def flat_columns(self) -> set[str]:
         return set(self.manifest["flat"]["columns"])

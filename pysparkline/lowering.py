@@ -421,14 +421,21 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
     else:
         out = df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
 
-    # post-aggregations: avg divisions first, then user post-aggs
-    for name, expr in avg_post:
-        out = out.withColumn(name, F.expr(expr))
+    # post-aggregations: avg divisions first, then user post-aggs. Applied in
+    # waves of withColumns (one plan node + py4j call per wave) — a new wave
+    # only when an expression references a name defined in the current wave.
+    post = list(avg_post) + [(p.name, p.expr) for p in q.post_aggregations]
+    wave: dict[str, Column] = {}
+    for name, expr in post:
+        if any(w in expr for w in wave):
+            out = out.withColumns(wave)
+            wave = {}
+        wave[name] = F.expr(expr)
+    if wave:
+        out = out.withColumns(wave)
     internal = [c for c in out.columns if c.startswith("__avg_")]
     if internal:
         out = out.drop(*internal)
-    for p in q.post_aggregations:
-        out = out.withColumn(p.name, F.expr(p.expr))
     if q.having is not None:
         out = out.where(F.expr(q.having.expr))
     # aggs materialized only to feed post-aggs/having (sqlfront convention)
@@ -437,12 +444,22 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
         out = out.drop(*hidden)
     if q.limit_spec is not None:
         if q.limit_spec.columns:
-            out = out.orderBy(
-                *[
-                    F.col(c.column).asc() if c.direction == "asc" else F.col(c.column).desc()
-                    for c in q.limit_spec.columns
-                ]
-            )
+            order_cols = [
+                F.col(c.column).asc() if c.direction == "asc" else F.col(c.column).desc()
+                for c in q.limit_spec.columns
+            ]
+            if q.limit_spec.limit is None and backing.preagg:
+                # cube-backed results are bounded (<= maxResultCardinality by
+                # the planner gate): a single-partition sort avoids the range
+                # partitioner's sampling job that a global orderBy pays — that
+                # job costs more than the sort itself. repartition (not
+                # coalesce!) so the aggregation above keeps its parallelism.
+                out = out.repartition(1).sortWithinPartitions(*order_cols)
+            else:
+                # with a limit Spark plans TakeOrderedAndProject (no range
+                # shuffle); unbounded sorts over row-grain backings keep the
+                # scalable global sort
+                out = out.orderBy(*order_cols)
         if q.limit_spec.limit is not None:
             out = out.limit(q.limit_spec.limit)
     return _project_output_order(out, q.output_order)

@@ -114,6 +114,8 @@ class StreamingIngest:
             self.batches_seen += 1
             self.rows_ingested += n
             self._update_manifest(batch_df, n)
+            # memoized relations hold a stale file listing after append
+            self.index.invalidate()
         finally:
             batch_df.unpersist()
 
@@ -172,3 +174,4 @@ class StreamingIngest:
         info["rowCount"] = self.index.spark.read.parquet(path).count()
         with open(os.path.join(self.index.path, "manifest.json"), "w") as fh:
             json.dump(self.index.manifest, fh, indent=1, default=str)
+        self.index.invalidate()  # memoized relation holds the old file list
