@@ -1066,6 +1066,162 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 10b. spatial / extraction / json / quality / approximate-NN coverage
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "spatial_bounds",
+    """
+SELECT event_type, COUNT(*) AS n, SUM(CAST(floor(value) AS BIGINT)) AS sv
+FROM events
+WHERE value >= 10 AND value < 100 AND user_id >= 100 AND user_id < 5000
+GROUP BY event_type
+""",
+)
+def spatial_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangular spatial filter (DruidQuerySpec.scala:255-281): two boxes
+    conjoined; transforms.combine_spatial intersects them into one before
+    lowering to per-axis range predicates."""
+    from pysparkline import lowering, transforms
+
+    prep(spark)
+    events = tpch.read_events(spark, sf_dir)
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("event_type")],
+        filter=ir.and_(
+            ir.SpatialFilter(["value", "user_id"], [10.0, 0], [1e9, 5000]),
+            ir.SpatialFilter(["value", "user_id"], [None, 100], [100.0, None]),
+        ),
+        aggregations=[
+            ir.CountAgg("n"),
+            ir.ExprAgg("sum", "sv", "CAST(floor(value) AS BIGINT)", ["value"]),
+        ],
+    )
+    spec = transforms.optimize(spec)
+    assert isinstance(spec.filter, ir.SpatialFilter), "boxes must have merged"
+    return lowering.lower(spec, lowering.Backing.base(events, "ts"))
+
+
+@_register(
+    "ym_format_dim",
+    """
+SELECT strftime(l_shipdate, '%Y-%m') AS ym, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ym ORDER BY ym
+""",
+)
+def ym_format_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern timeFormat extraction dim (DruidQuerySpec.scala:72-80):
+    date_format(time, 'yyyy-MM') as a group-by dimension."""
+    spec = ir.GroupByQuery(
+        dimensions=[ir.TimeFormatDim("l_shipdate", "ym", "yyyy-MM", is_pattern=True)],
+        aggregations=[
+            ir.CountAgg("n"),
+            ir.ExprAgg("sum", "sum_qty", tpch.QTY),
+        ],
+        post_aggregations=_dbl("sum_qty"),
+        limit_spec=ir.LimitSpec([ir.OrderByColumn("ym")]),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "json_props",
+    """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: get_json_object over an opaque JSON props
+    column, grouped — JVM-side, no UDF."""
+    from pysparkline import lowering
+
+    prep(spark)
+    events = tpch.read_events(spark, sf_dir)
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("event_type")],
+        aggregations=[
+            ir.ExprAgg(
+                "sum", "sum_k",
+                "CAST(get_json_object(props, '$.k') AS BIGINT)", ["props"],
+            ),
+            ir.CountAgg("n"),
+        ],
+    )
+    return lowering.lower(spec, lowering.Backing.base(events, "ts"))
+
+
+@_register(
+    "topn_low_brand",
+    f"""
+SELECT p_brand, CAST(SUM({PRICE}) AS DOUBLE) AS rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY rev ASC, p_brand ASC LIMIT 5
+""",
+)
+def topn_low_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted (ascending) TopN metric spec (DruidQuerySpec.scala:478-506)."""
+    spec = ir.TopNQuery(
+        dimension=ir.DefaultDim("p_brand"),
+        metric="rev",
+        threshold=5,
+        inverted=True,
+        aggregations=[ir.ExprAgg("sum", "rev_dec", PRICE)],
+        post_aggregations=[ir.ArithmeticPostAgg("rev", "CAST(`rev_dec` AS DOUBLE)")],
+        output_order=["p_brand", "rev"],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "quality_docs",
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+           AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+           AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       0.4 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1 ELSE 0 END)
+     + 0.3 * (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.2
+                   THEN 1 ELSE 0 END)
+     + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
+                        BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
+       AS quality_score
+FROM s
+""",
+)
+def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysparkline.operators import text
+
+    prep(spark)
+    return text.quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@_register("ivf_topk", None)  # KMeans-based: not SQL-expressible, rows-only
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: KMeans cells + n_probe nearest cells per query."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import similarity
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
 # 11. SQL front end (ctx.sql: ANSI SQL -> IR -> planner -> backing)
 # ---------------------------------------------------------------------------
 

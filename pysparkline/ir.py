@@ -176,6 +176,24 @@ class NotFilter(FilterSpec):
 
 @_node
 @dataclass
+class SpatialFilter(FilterSpec):
+    """Rectangular bounding box over spatial-indexed numeric dimensions
+    (DruidQuerySpec.scala:255-281). ``dimensions[i]`` constrained to
+    [lower[i], upper[i]); either bound may be None (unbounded). Conjoined
+    spatial filters over the same dimensions intersect their boxes
+    (metadata/DruidRelationInfo.scala:142-173 combine semantics — see
+    transforms.combine_spatial)."""
+
+    dimensions: list = field(default_factory=list)
+    lower: list = field(default_factory=list)
+    upper: list = field(default_factory=list)
+
+    def referenced_columns(self):
+        return set(self.dimensions)
+
+
+@_node
+@dataclass
 class ExprFilter(FilterSpec):
     """Arbitrary Spark-SQL boolean expression — the JavaScript-filter analog
     (DruidQuerySpec.scala:218-236) without leaving the JVM. ``columns`` must

@@ -142,6 +142,23 @@ def filter_to_column(spec: ir.FilterSpec) -> Column:
         return out
     if isinstance(spec, ir.NotFilter):
         return ~filter_to_column(spec.field_)
+    if isinstance(spec, ir.SpatialFilter):
+        # a bounding box is just per-axis range predicates; Parquet min/max
+        # row-group pruning gives the index-side effect the reference got
+        # from Druid's spatial index
+        preds = []
+        for dim, lo, hi in zip(spec.dimensions, spec.lower, spec.upper):
+            c = F.col(dim)
+            if lo is not None:
+                preds.append(c >= lo)
+            if hi is not None:
+                preds.append(c < hi)
+        if not preds:
+            return F.lit(True)
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
     if isinstance(spec, ir.ExprFilter):
         return F.expr(spec.expr)
     raise TypeError(f"unknown filter spec {spec!r}")

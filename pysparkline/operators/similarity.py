@@ -81,6 +81,89 @@ def brute_force_cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the corpus,
+    probe only the ``n_probe`` nearest cells per query.
+
+    The 100 TB shape: centroids are tiny and broadcast everywhere; the corpus
+    is scanned once at build to assign cells (a narrow map); each query joins
+    only its probed cells — an equi-join on cell id, never a cross product.
+    Exact cosine is computed inside the probed cells only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def nearest_cells(vec_col, n: int):
+        """Array of the n nearest centroid ids (JVM-side exprs)."""
+        dists = F.array(
+            *[
+                F.struct(
+                    _dot(
+                        F.zip_with(
+                            vec_col,
+                            F.array(*[F.lit(v) for v in c]),
+                            lambda x, y: x.cast("double") - y,
+                        ),
+                        F.zip_with(
+                            vec_col,
+                            F.array(*[F.lit(v) for v in c]),
+                            lambda x, y: x.cast("double") - y,
+                        ),
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(
+            F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n
+        )
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        nearest_cells(F.col(corpus_vec), 1)[0].alias("__cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+            F.explode(nearest_cells(F.col(query_vec), n_probe)).alias("__cell"),
+        )
+    )
+    cands = c.join(q, "__cell").select("query_id", "neighbor_id", "__cv", "__qv")
+    sim = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity_col(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).astype(float)

@@ -141,16 +141,41 @@ def estimate_groups(
     return total
 
 
+NON_AGG_MODES = ("push_none", "push_filters", "push_project_and_filters")
+
+
 def choose_backing(
     q: ir.QuerySpec,
     index: OlapIndex,
     base_df: DataFrame | None = None,
     fd_graph: FDGraph | None = None,
     max_result_cardinality: float = 1_000_000,
+    non_agg_handling: str = "push_project_and_filters",
 ) -> tuple[Backing, PlanDecision]:
     notes: list[str] = []
     referenced = ir.query_referenced_columns(q)
     flat_cols = index.flat_columns()
+
+    # nonAggregateQueryHandling (DruidRelationInfo.scala:27-32): how much of a
+    # non-aggregate query may run against the index. push_none = never;
+    # push_filters = only filtering scans; push_project_and_filters = all.
+    if isinstance(q, (ir.SelectQuery, ir.SearchQuery)):
+        mode = non_agg_handling
+        if mode not in NON_AGG_MODES:
+            raise ValueError(f"bad non_agg_handling {mode!r}")
+        pushable = mode == "push_project_and_filters" or (
+            mode == "push_filters" and getattr(q, "filter", None) is not None
+        )
+        if not pushable:
+            notes.append(f"non-agg query not pushed (mode={mode})")
+            if base_df is None:
+                raise ValueError(
+                    f"non_agg_handling={mode} forbids index execution and no "
+                    "base DataFrame was supplied"
+                )
+            return Backing.base(base_df, index.time_col), PlanDecision(
+                "base", None, None, notes
+            )
 
     est = None
     if isinstance(q, _AGG_SHAPES):

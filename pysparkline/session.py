@@ -72,6 +72,7 @@ class OlapContext:
     star: StarSchema | None = None
     fds: list[FunctionalDependency] = field(default_factory=list)
     max_result_cardinality: float = 1_000_000
+    non_agg_handling: str = "push_project_and_filters"
     query_history: list[QueryRecord] = field(default_factory=list)
 
     def __post_init__(self):
@@ -96,6 +97,7 @@ class OlapContext:
             base_df=None if self.base_tables is None else self._base_df(),
             fd_graph=self._fd_graph,
             max_result_cardinality=self.max_result_cardinality,
+            non_agg_handling=self.non_agg_handling,
         )
         return spec, backing, decision
 

@@ -153,8 +153,53 @@ def simplify_not(q: ir.QuerySpec) -> ir.QuerySpec:
     return q if nf is f else replace(q, filter=nf)
 
 
+def _combine_spatial_in(f: ir.FilterSpec) -> ir.FilterSpec:
+    """Two spatial boxes over the same dimension list inside an AND intersect
+    (QuerySpecTransforms.scala:180-223; DruidRelationInfo.scala:142-173)."""
+    if isinstance(f, ir.LogicalFilter):
+        fields = [_combine_spatial_in(x) for x in f.fields_]
+        if f.op == "and":
+            by_dims: dict[tuple, ir.SpatialFilter] = {}
+            out: list[ir.FilterSpec] = []
+            for x in fields:
+                if isinstance(x, ir.SpatialFilter):
+                    key = tuple(x.dimensions)
+                    cur = by_dims.get(key)
+                    if cur is None:
+                        by_dims[key] = x
+                        out.append(x)
+                        continue
+                    lo = [
+                        b if a is None else a if b is None else max(a, b)
+                        for a, b in zip(cur.lower, x.lower)
+                    ]
+                    hi = [
+                        b if a is None else a if b is None else min(a, b)
+                        for a, b in zip(cur.upper, x.upper)
+                    ]
+                    merged = ir.SpatialFilter(list(key), lo, hi)
+                    out[out.index(cur)] = merged
+                    by_dims[key] = merged
+                else:
+                    out.append(x)
+            return out[0] if len(out) == 1 else ir.LogicalFilter("and", out)
+        return ir.LogicalFilter(f.op, fields)
+    if isinstance(f, ir.NotFilter):
+        return ir.NotFilter(_combine_spatial_in(f.field_))
+    return f
+
+
+def combine_spatial(q: ir.QuerySpec) -> ir.QuerySpec:
+    f = getattr(q, "filter", None)
+    if f is None:
+        return q
+    nf = _combine_spatial_in(f)
+    return q if nf is f else replace(q, filter=nf)
+
+
 RULES = [
     merge_bounds,
+    combine_spatial,
     simplify_not,
     add_count_if_no_aggs,
     groupby_to_topn,
