@@ -1206,6 +1206,32 @@ def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@_register(
+    "embedding_neardup",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.46
+ORDER BY id_a, id_b
+""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact upper-triangle baseline (the
+    LSH-bucketed variant is dedup.cosine_neardup_pairs(approximate=True) —
+    at a real near-dup threshold (>=0.95) hyperplane collision probability
+    is ~0.86/table, so recall is high; at this synthetic corpus's max
+    cosine ~0.51 the exact path is the meaningful check)."""
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    return dedup.cosine_neardup_pairs(emb, "vec_id", "embedding", 0.46)
+
+
 @_register("ivf_topk", None)  # KMeans-based: not SQL-expressible, rows-only
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: KMeans cells + n_probe nearest cells per query."""

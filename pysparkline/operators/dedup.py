@@ -311,3 +311,61 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    approximate: bool = False,
+    dim: int | None = None,
+    n_planes: int = 10,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    exact (default): upper-triangle self-join — correct baseline, O(n^2); use
+    for corpora that fit a broadcast (or as the oracle for the approximate
+    path). approximate=True: random-hyperplane LSH buckets (same machinery as
+    similarity.lsh_cosine_topk) so only same-bucket pairs are scored — the
+    100 TB path; recall < 1 near the threshold, rising with n_tables.
+    """
+    from .similarity import _bucket_expr, _hyperplanes, cosine_similarity_col
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if not approximate:
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("approximate=True requires dim")
+        cands = None
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, 42 + t)
+            ab = df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("__va"),
+                _bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+            )
+            bb = df.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("__vb"),
+                _bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+            )
+            j = ab.join(bb, "__bucket").where(F.col("id_a") < F.col("id_b"))
+            j = j.select("id_a", "id_b", "__va", "__vb")
+            cands = j if cands is None else cands.unionByName(j)
+        pairs = cands.dropDuplicates(["id_a", "id_b"])
+    cos = cosine_similarity_col(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
