@@ -1362,6 +1362,23 @@ ORDER BY p_brand
 
 
 @_register(
+    "sql_distinct",
+    """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+WHERE l_quantity > 30 ORDER BY l_returnflag, l_linestatus
+""",
+)
+def sql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT -> GroupBy-on-dims (the reference's GroupBy->Search
+    distinct-values shape, QuerySpecTransforms.scala:225-277) answered from
+    the cube when the columns are in grain."""
+    return _sql_ctx(spark, sf_dir).sql("""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+WHERE l_quantity > 30 ORDER BY l_returnflag, l_linestatus
+""")
+
+
+@_register(
     "sql_select_scan",
     """
 SELECT l_orderkey, l_linenumber, l_quantity

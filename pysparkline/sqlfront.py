@@ -770,7 +770,7 @@ def _order_limit(
             if mod.get("offset") is not None:
                 raise SQLFrontError("OFFSET unsupported")
         elif mod.get("type") == "DISTINCT_MODIFIER":
-            raise SQLFrontError("SELECT DISTINCT unsupported in rewrite surface")
+            pass  # handled by the caller (distinct-projection -> GroupBy dims)
         else:
             raise SQLFrontError(f"unsupported modifier {mod.get('type')}")
     return order_cols, limit
@@ -814,6 +814,40 @@ def parse_sql(
     select_list = node["select_list"]
     has_agg = any(_contains_agg(s) for s in select_list)
     has_group = bool(node.get("group_expressions"))
+    is_distinct = any(
+        m.get("type") == "DISTINCT_MODIFIER" for m in node.get("modifiers", [])
+    )
+
+    if is_distinct and not has_agg and not has_group:
+        # SELECT DISTINCT cols -> GroupBy on those columns with no aggregates
+        # (the reference rewrote this shape GroupBy->Search,
+        # QuerySpecTransforms.scala:225-277; our transforms add a hidden count
+        # that the output projection drops again)
+        dims: list[ir.DimSpec] = []
+        names: list[str] = []
+        for i, item in enumerate(select_list):
+            name = (
+                item.get("alias")
+                or (
+                    item["column_names"][-1]
+                    if item.get("class") == "COLUMN_REF"
+                    else None
+                )
+            )
+            if name is None:
+                raise SQLFrontError(f"DISTINCT select item {i} needs an alias")
+            dims.append(_dim_spec(item, name, time_col))
+            names.append(name)
+        order_cols, limit = _order_limit(node, select_list, set(names))
+        return ir.GroupByQuery(
+            dimensions=dims,
+            filter=filt,
+            intervals=intervals,
+            limit_spec=ir.LimitSpec(order_cols, limit)
+            if (order_cols or limit is not None)
+            else None,
+            output_order=names,
+        )
 
     if not has_agg and not has_group:
         # plain projection -> SelectQuery

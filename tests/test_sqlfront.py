@@ -151,6 +151,13 @@ SELECT CAST(year(l_shipdate) AS INT) AS yr, sum(l_extendedprice) AS rev
 FROM lineitem GROUP BY yr ORDER BY yr""")
 
 
+def test_select_distinct(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+WHERE l_quantity > 30 ORDER BY l_returnflag, l_linestatus""", sort=False)
+    assert ctx.query_history[-1].backing in ("cube", "flat")
+
+
 def test_fallback_window(ctx, duck):
     assert_same(ctx, duck, """
 SELECT o_custkey, o_totalprice,
