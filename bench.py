@@ -33,6 +33,20 @@ HEADLINE = [
     "q10",
 ]
 
+# LLM-pipeline operator throughput (documents/embeddings/events tables) —
+# reported separately so the headline total stays comparable across rounds
+LLM_OPS = [
+    "sql_q1",
+    "dedup_exact_docs",
+    "minhash_pairs_docs",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "text_stats_docs",
+    "lang_id_docs",
+    "sessionize_stats",
+    "asof_event_purchase",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +79,14 @@ def main() -> None:
         t = time.perf_counter()
         fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t, 4)
+
+    llm_times: dict[str, float] = {}
+    for name in LLM_OPS:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()
+        t = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        llm_times[name] = round(time.perf_counter() - t, 4)
 
     # raw-scan flagship: same Q1 aggregation over the base star join with no
     # index artifacts (the "Spark raw" column of BASELINE.md)
@@ -100,6 +122,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "llm_ops": llm_times,
+                "llm_ops_total_sec": round(sum(llm_times.values()), 4),
                 "sf": sf,
                 "index_build_or_load_sec": round(index_sec, 2),
                 "raw_q1_sec": raw_q1,

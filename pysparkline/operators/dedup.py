@@ -80,30 +80,38 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>) — MinHash over character shingles.
+    """(id, sig: array<long>) — MinHash over UTF-8 byte k-shingles.
 
-    Vectorized pandas UDF: one numpy (num_perm,) min per document over the
-    universal-hash family h_i(x) = (a_i*x + b_i) mod p. Deterministic (fixed
-    seed), so signatures are stable across runs and engines.
+    Vectorized pandas UDF: shingle hashes come from a numpy-vectorized FNV-1a
+    (the j-th byte of every window processed in one array op), then one
+    (num_perm,) min per document over the universal-hash family
+    h_i(x) = (a_i*x + b_i) mod p. Deterministic (fixed seed), so signatures
+    are stable across runs and engines.
     """
     a, b = _perm_params(num_perm, seed)
+    prime = np.uint64(0x100000001B3)
+    basis = np.uint64(0xCBF29CE484222325)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            t = t if t is not None else ""
-            if len(t) < shingle_k:
-                shingles = {t}
-            else:
-                shingles = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
-            # stable 64-bit shingle hashes
-            hs = np.fromiter(
-                (hash_shingle(s) for s in shingles), dtype=np.uint64, count=len(shingles)
-            )
-            # (num_perm, n_shingles) via broadcasting, min along shingles
-            vals = (np.outer(a, hs) + b[:, None]) % _MERSENNE
-            out.append(vals.min(axis=1).astype(np.int64))
+        with np.errstate(over="ignore"):
+            for t in texts:
+                raw = (t or "").encode("utf-8")
+                if len(raw) < shingle_k:
+                    hs = np.array([hash_shingle(t or "")], dtype=np.uint64)
+                else:
+                    # vectorized FNV-1a over every k-byte window: process the
+                    # j-th byte of all windows in one numpy op (uint64 wraps)
+                    B = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+                    m = len(raw) - shingle_k + 1
+                    H = np.full(m, basis, dtype=np.uint64)
+                    for j in range(shingle_k):
+                        H = (H ^ B[j : j + m]) * prime
+                    hs = np.unique(H)
+                # (num_perm, n_shingles) via broadcasting, min along shingles
+                vals = (np.outer(a, hs) + b[:, None]) % _MERSENNE
+                out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
@@ -141,7 +149,11 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    # persist: the signature UDF (the expensive stage) feeds both sides of
+    # the candidate self-join — without this it would evaluate once per side
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_k, seed
+    ).persist()
     banded = sigs.select(
         "id",
         "sig",
@@ -154,11 +166,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    bucket_sizes = banded.groupBy("band", "band_hash").count()
-    small = banded.join(
-        bucket_sizes.where(F.col("count") <= max_bucket).drop("count"),
-        ["band", "band_hash"],
-    )
+    # bucket-size cap via window (one shuffle) instead of a groupBy+join back
+    bw = Window.partitionBy("band", "band_hash")
+    small = banded.withColumn("__bsz", F.count(F.lit(1)).over(bw)).where(
+        F.col("__bsz") <= max_bucket
+    ).drop("__bsz")
     pairs = (
         small.alias("l")
         .join(

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -187,6 +188,26 @@ def _bucket_expr(vec_col, planes: np.ndarray):
     return bucket
 
 
+def _all_table_buckets(planes_per_table: list[np.ndarray]):
+    """Arrow-batched UDF: bucket id for every LSH table in ONE pass — a numpy
+    matmul per batch (BLAS) instead of n_tables * n_planes scalar aggregate
+    expressions. Returns array<long> of length n_tables."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    mats = [p.T.astype(np.float64) for p in planes_per_table]  # (dim, n_planes)
+    weights = [1 << np.arange(m.shape[1], dtype=np.int64) for m in mats]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.zeros((len(vecs), len(mats)), dtype=np.int64)
+        for t, (M, w) in enumerate(zip(mats, weights)):
+            out[:, t] = ((V @ M) > 0) @ w
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -201,29 +222,31 @@ def lsh_cosine_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets over ``n_tables``
-    independent tables; union of same-bucket candidates, exact cosine within.
+    independent tables; same-(table, bucket) candidates, exact cosine within.
 
-    Recall rises with n_tables; cost is n_tables scans of the (pruned) corpus
-    keyed by bucket id — never a cross product.
+    Recall rises with n_tables. One corpus scan computes every table's bucket
+    (Arrow-batched matmul), then posexplode keys candidates by
+    (table, bucket) — a single equi-join, never a cross product.
     """
-    cands = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        c = corpus.select(
-            F.col(corpus_id).alias("neighbor_id"),
-            F.col(corpus_vec).alias("__cv"),
-            _bucket_expr(F.col(corpus_vec), planes).alias("__bucket"),
+    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    buckets = _all_table_buckets(planes)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        F.posexplode(buckets(F.col(corpus_vec))).alias("__table", "__bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+            F.posexplode(buckets(F.col(query_vec))).alias("__table", "__bucket"),
         )
-        q = F.broadcast(
-            queries.select(
-                F.col(query_id).alias("query_id"),
-                F.col(query_vec).alias("__qv"),
-                _bucket_expr(F.col(query_vec), planes).alias("__bucket"),
-            )
-        )
-        j = c.join(q, "__bucket").select("query_id", "neighbor_id", "__cv", "__qv")
-        cands = j if cands is None else cands.unionByName(j)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cands = (
+        c.join(q, ["__table", "__bucket"])
+        .select("query_id", "neighbor_id", "__cv", "__qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     sim = cands.select(
         "query_id",
         "neighbor_id",
