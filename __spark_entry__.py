@@ -1207,6 +1207,56 @@ def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "time_parse_reformat",
+    """
+SELECT strftime(strptime(strftime(l_shipdate, '%Y/%m/%d'), '%Y/%m/%d'),
+                '%Y-%m') AS ym,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ym ORDER BY ym
+""",
+)
+def time_parse_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeParsing extraction fn (DruidQuerySpec.scala:82-88): parse a
+    formatted string back to a timestamp and re-emit in another format —
+    native date_format/to_timestamp, no JS."""
+    spec = ir.GroupByQuery(
+        dimensions=[
+            ir.ExprDim(
+                "date_format(to_timestamp(date_format(l_shipdate, 'yyyy/MM/dd'),"
+                " 'yyyy/MM/dd'), 'yyyy-MM')",
+                "ym",
+                ["l_shipdate"],
+            )
+        ],
+        aggregations=[ir.CountAgg("n")],
+        limit_spec=ir.LimitSpec([ir.OrderByColumn("ym")]),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "sql_multi_interval",
+    """
+SELECT l_returnflag, COUNT(*) AS n
+FROM lineitem
+WHERE (l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-03-01')
+   OR (l_shipdate >= DATE '1998-06-01' AND l_shipdate < DATE '1998-09-01')
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def sql_multi_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint date ranges -> a multi-interval list (QueryIntervals.scala
+    semantics); each interval prunes __month partitions independently."""
+    return _sql_ctx(spark, sf_dir).sql("""
+SELECT l_returnflag, COUNT(*) AS n
+FROM lineitem
+WHERE (l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-03-01')
+   OR (l_shipdate >= DATE '1998-06-01' AND l_shipdate < DATE '1998-09-01')
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+
+@_register(
     "embedding_neardup",
     """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -407,6 +407,23 @@ def _to_filter(node: dict) -> ir.FilterSpec:
     return ir.ExprFilter(render(node), sorted(_columns_of(node)))
 
 
+def _try_or_intervals(wc: dict, time_col: str) -> list[ir.Interval] | None:
+    """`(t >= a AND t < b) OR (t >= c AND t < d) ...` — a disjunction whose
+    every branch is purely time-range conjuncts becomes a multi-interval list
+    (QueryIntervals held a list for exactly this)."""
+    if not (
+        wc.get("class") == "CONJUNCTION" and wc.get("type") == "CONJUNCTION_OR"
+    ):
+        return None
+    ivs: list[ir.Interval] = []
+    for child in wc["children"]:
+        iv, rest = _extract_intervals(_conjuncts(child), time_col)
+        if rest or not iv:
+            return None
+        ivs.extend(iv)
+    return ivs
+
+
 def _conjuncts(node: dict) -> list[dict]:
     if node.get("class") == "CONJUNCTION" and node.get("type") == "CONJUNCTION_AND":
         out = []
@@ -805,11 +822,15 @@ def parse_sql(
     filt: ir.FilterSpec | None = None
     wc = node.get("where_clause")
     if wc is not None:
-        conj = _conjuncts(wc)
-        if time_col:
-            intervals, conj = _extract_intervals(conj, time_col)
-        if conj:
-            filt = ir.and_(*[_to_filter(c) for c in conj])
+        or_ivs = _try_or_intervals(wc, time_col) if time_col else None
+        if or_ivs is not None:
+            intervals = or_ivs
+        else:
+            conj = _conjuncts(wc)
+            if time_col:
+                intervals, conj = _extract_intervals(conj, time_col)
+            if conj:
+                filt = ir.and_(*[_to_filter(c) for c in conj])
 
     select_list = node["select_list"]
     has_agg = any(_contains_agg(s) for s in select_list)

@@ -1,0 +1,175 @@
+"""Cluster-free unit tests: star validation, FD closure, cardinality
+estimation, IR serde round-trips, interval/granularity arithmetic.
+
+The reference's analogs: StarSchemaInfo validation constraints
+(StarSchemaInfo.scala:127-175), FunctionalDependency closure + estimate
+(:141-190, :59-83), SerTest.scala json round-trips, QueryIntervals arithmetic.
+"""
+
+import pytest
+
+from pysparkline import ir
+from pysparkline.lowering import gran_coarser_or_equal, interval_aligned
+from pysparkline.metadata import (
+    N_TO_ONE,
+    ONE_TO_ONE,
+    EqualityCondition,
+    FDGraph,
+    FunctionalDependency,
+    StarRelation,
+    StarSchema,
+    StarSchemaError,
+)
+
+
+def _rel(l, r, lc, rc, t=N_TO_ONE):
+    return StarRelation(l, r, t, (EqualityCondition(lc, rc),))
+
+
+# --------------------------------------------------------------- star schema
+
+
+def test_star_validation_unique_parent():
+    with pytest.raises(StarSchemaError, match="two parents"):
+        StarSchema(
+            "f",
+            (_rel("f", "d", "a", "b"), _rel("g", "d", "c", "b")),
+        )
+
+
+def test_star_validation_unique_columns():
+    with pytest.raises(StarSchemaError, match="globally unique"):
+        StarSchema(
+            "f",
+            (_rel("f", "d", "k", "dk"),),
+            table_columns={"f": ["k", "x"], "d": ["dk", "x"]},
+        )
+
+
+def test_star_validation_disconnected():
+    with pytest.raises(StarSchemaError):
+        StarSchema("f", (_rel("g", "d", "a", "b"),))
+
+
+def test_star_join_order_and_is_star_join():
+    s = StarSchema(
+        "f",
+        (_rel("d1", "d2", "x", "y"), _rel("f", "d1", "a", "b")),
+    )
+    order = [r.right_table for r in s.join_order()]
+    assert order == ["d1", "d2"]
+    assert s.is_star_join({("a", "b"), ("y", "x")})
+    assert not s.is_star_join({("a", "y")})
+
+
+# ------------------------------------------------------------------- FD graph
+
+
+def test_fd_closure_composition():
+    g = FDGraph(
+        [
+            FunctionalDependency("a", "b", N_TO_ONE),
+            FunctionalDependency("b", "c", N_TO_ONE),
+        ]
+    )
+    assert g.determines("a", "c")  # transitive
+    assert not g.determines("c", "a")
+
+
+def test_fd_one_to_one_bidirectional():
+    g = FDGraph([FunctionalDependency("a", "b", ONE_TO_ONE)])
+    assert g.determines("a", "b") and g.determines("b", "a")
+
+
+def test_fd_cardinality_collapse():
+    # nation determines region: grouping by both costs only |nation|
+    g = FDGraph([FunctionalDependency("nation", "region", N_TO_ONE)])
+    card = {"nation": 25.0, "region": 5.0, "brand": 40.0}
+    assert g.estimate_cardinality(["nation", "region"], card) == 25.0
+    assert g.estimate_cardinality(["nation", "region", "brand"], card) == 1000.0
+    assert g.estimate_cardinality(["region"], card) == 5.0
+
+
+# -------------------------------------------------------------------- IR serde
+
+
+def test_ir_roundtrip_groupby():
+    q = ir.GroupByQuery(
+        dimensions=[
+            ir.DefaultDim("a"),
+            ir.TimeFormatDim("t", "yr", "year"),
+            ir.ExprDim("upper(b)", "ub", ["b"]),
+        ],
+        granularity="month",
+        filter=ir.and_(
+            ir.SelectorFilter("a", "x"),
+            ir.or_(
+                ir.BoundFilter("m", lower=1, upper=10, upper_strict=True),
+                ir.NotFilter(ir.NullFilter("c", True)),
+                ir.SpatialFilter(["lat", "lon"], [0.0, 0.0], [1.0, 1.0]),
+            ),
+        ),
+        aggregations=[
+            ir.CountAgg("n"),
+            ir.AvgAgg("av", "m"),
+            ir.FilteredAgg("f", ir.SelectorFilter("a", "y"), ir.FieldAgg("sum", "f", "m")),
+            ir.HyperUniqueAgg("hu", "k"),
+        ],
+        post_aggregations=[ir.ArithmeticPostAgg("r", "`n` / `av`")],
+        having=ir.HavingSpec("`n` > 5"),
+        limit_spec=ir.LimitSpec([ir.OrderByColumn("n", "desc")], 10),
+        intervals=[ir.Interval("1996-01-01", "1997-01-01")],
+        grouping_sets=[["a"], []],
+        output_order=["a", "n"],
+    )
+    d = q.to_dict()
+    import json
+
+    q2 = ir.node_from_dict(json.loads(json.dumps(d)))
+    assert q2.to_dict() == d
+
+
+def test_ir_roundtrip_all_shapes():
+    shapes = [
+        ir.TimeseriesQuery(granularity="day", aggregations=[ir.CountAgg("n")]),
+        ir.TopNQuery(
+            dimension=ir.DefaultDim("d"), metric="n", threshold=5,
+            aggregations=[ir.CountAgg("n")],
+        ),
+        ir.SearchQuery(dimensions=["a", "b"], value="x", limit=3),
+        ir.SelectQuery(columns=["a", ("b", "bb")], limit=7),
+    ]
+    for q in shapes:
+        d = q.to_dict()
+        assert ir.node_from_dict(d).to_dict() == d
+
+
+def test_referenced_columns():
+    q = ir.GroupByQuery(
+        dimensions=[ir.ExprDim("a+b", "s", ["a", "b"])],
+        filter=ir.InFilter("c", [1, 2]),
+        aggregations=[ir.FilteredAgg("f", ir.NullFilter("d"), ir.FieldAgg("sum", "f", "e"))],
+    )
+    assert ir.query_referenced_columns(q) == {"a", "b", "c", "d", "e"}
+
+
+# -------------------------------------------- granularity/interval arithmetic
+
+
+def test_gran_coarser_or_equal():
+    assert gran_coarser_or_equal("year", "month")
+    assert gran_coarser_or_equal("month", "month")
+    assert not gran_coarser_or_equal("day", "month")
+    assert gran_coarser_or_equal("all", "none")
+    assert gran_coarser_or_equal("week", "day")
+    assert not gran_coarser_or_equal("week", "month")
+    assert not gran_coarser_or_equal("month", "week")
+
+
+def test_interval_alignment():
+    assert interval_aligned(ir.Interval("1996-01-01", "1997-01-01"), "month")
+    assert not interval_aligned(ir.Interval("1996-01-15", None), "month")
+    assert interval_aligned(ir.Interval("1996-04-01", None), "quarter")
+    assert not interval_aligned(ir.Interval("1996-02-01", None), "quarter")
+    assert interval_aligned(ir.Interval(None, None), "day")
+    assert interval_aligned(ir.Interval("1996-01-02", None), "day")
