@@ -122,20 +122,61 @@ def _cube_eligible(
     return backing
 
 
+def _time_part_ndv(index: OlapIndex, part: str) -> float:
+    """Bucket-count estimate for a time part/granularity over the index's
+    time span — year(ts) has ~#years distinct values, not ndv(ts). The
+    reference made the same interval-based dampening in its cost model
+    (DruidQueryCostModel.scala:622-636 ndv-by-interval)."""
+    try:
+        lo, hi = index.time_bounds()
+    except Exception:
+        return float(index.ndv(index.time_col) or 1.0)
+    days = max(1.0, (hi - lo).total_seconds() / 86400.0)
+    years = hi.year - lo.year + 1
+    months = (hi.year - lo.year) * 12 + (hi.month - lo.month) + 1
+    per_part = {
+        "year": years,
+        "quarter": min(4 * years, months),
+        "month": months,
+        "week": days / 7 + 1,
+        "day": days,
+        "hour": days * 24,
+        "minute": days * 1440,
+        "second": days * 86400,
+        "dayofyear": 366,
+        "weekofyear": 53,
+        "none": float(index.ndv(index.time_col) or days),
+    }
+    return float(max(1.0, per_part.get(part, days)))
+
+
 def estimate_groups(
     q: ir.QuerySpec, index: OlapIndex, fd_graph: FDGraph | None
 ) -> float | None:
-    """NDV-product estimate of the result group count, FD-collapsed."""
+    """NDV-product estimate of the result group count: FD-collapsed column
+    NDVs x time-part bucket counts x granularity bucket count."""
     dims = _query_dims(q)
     cols: list[str] = []
+    time_factor = 1.0
+    tcol = index.time_col
     for d in dims:
-        cols.extend(sorted(d.referenced_columns()))
+        if (
+            isinstance(d, ir.TimeFormatDim)
+            and d.dimension == tcol
+            and not d.is_pattern
+        ):
+            time_factor *= _time_part_ndv(index, d.part)
+        else:
+            cols.extend(sorted(d.referenced_columns()))
+    gran = getattr(q, "granularity", "all")
+    if gran not in ("all",):
+        time_factor *= _time_part_ndv(index, gran)
     if not cols:
-        return 1.0
+        return time_factor
     card = {c: float(index.ndv(c) or 1.0) for c in cols}
     if fd_graph is not None:
-        return fd_graph.estimate_cardinality(cols, card)
-    total = 1.0
+        return time_factor * fd_graph.estimate_cardinality(cols, card)
+    total = time_factor
     for c in dict.fromkeys(cols):
         total *= max(1.0, card[c])
     return total
