@@ -1053,6 +1053,34 @@ def running_totals_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("frame_sample_stub", None)  # stubbed decode: rows-only check
+def frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (1 payload -> k frame rows)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import multimodal
+
+    prep(spark)
+    fake = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return multimodal.frame_sample(fake, "doc_id", "payload", every_n=5)
+
+
+@_register("audio_features_stub", None)  # stubbed decode: rows-only check
+def audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing (Arrow-batched, fixed schema)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import multimodal
+
+    prep(spark)
+    fake = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return multimodal.audio_features(fake, "doc_id", "payload")
+
+
 @_register("image_features_stub", None)  # stubbed decode: rows-only check
 def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkline.operators import multimodal
@@ -1408,6 +1436,31 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 HAVING COUNT(*) > 20
 ORDER BY p_brand
+""")
+
+
+@_register(
+    "sql_subquery",
+    """
+SELECT l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+FROM lineitem
+WHERE l_quantity > 20
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+)
+def sql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubQry+filters+ShipDtRange (the reference's benchmark query family):
+    the FROM-subquery flattens into the outer aggregate, keeping interval
+    extraction + cube eligibility."""
+    return _sql_ctx(spark, sf_dir).sql("""
+SELECT l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+FROM (SELECT l_linestatus, l_shipdate, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_quantity > 20) t
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
 """)
 
 

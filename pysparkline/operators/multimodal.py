@@ -107,3 +107,68 @@ def frame_sample(
     return df.select(id_col, binary_col).mapInPandas(
         batches, schema="id long, frame_idx int, frame_binary binary"
     )
+
+
+def resize_images(
+    df: DataFrame, id_col: str, binary_col: str, width: int = 2, height: int = 2
+) -> DataFrame:
+    """Resize plumbing: decode (stub) -> nearest-neighbor downsample ->
+    re-emit raw RGB bytes + dims. The batch shape and output schema are the
+    production contract; only decode_image is fake."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                img = decode_image(bytes(payload) if payload is not None else b"")
+                ys = np.linspace(0, img.shape[0] - 1, height).astype(int)
+                xs = np.linspace(0, img.shape[1] - 1, width).astype(int)
+                small = img[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "id": _id,
+                        "width": width,
+                        "height": height,
+                        "rgb": small.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, schema="id long, width int, height int, rgb binary"
+    )
+
+
+def audio_features(
+    df: DataFrame, id_col: str, binary_col: str, n_bands: int = 4
+) -> DataFrame:
+    """Audio feature plumbing: (id, duration_s, rms, band_0..band_{n-1}).
+
+    STUB decode (torchaudio/librosa not in this container): treats the payload
+    as 8-bit PCM at a fake 8 kHz — deterministic in the bytes. The schema and
+    Arrow batching are the production contract."""
+
+    cols = ", ".join(f"band_{i} double" for i in range(n_bands))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                data = np.frombuffer(
+                    bytes(payload) if payload else b"\x80", dtype=np.uint8
+                ).astype(np.float64)
+                sig = (data - 128.0) / 128.0
+                row = {
+                    "id": _id,
+                    "duration_s": float(len(sig) / 8000.0),
+                    "rms": float(np.sqrt((sig**2).mean())),
+                }
+                chunks = np.array_split(sig, n_bands)
+                for i, ch in enumerate(chunks):
+                    row[f"band_{i}"] = float(np.abs(ch).mean()) if len(ch) else 0.0
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, schema=f"id long, duration_s double, rms double, {cols}"
+    )

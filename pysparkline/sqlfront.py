@@ -794,6 +794,74 @@ def _order_limit(
 
 
 # ---------------------------------------------------------------------------
+# subquery-in-FROM flattening
+# ---------------------------------------------------------------------------
+
+
+def _rename_columns(node, mapping: dict[str, str]):
+    if isinstance(node, dict):
+        if node.get("class") == "COLUMN_REF":
+            last = node["column_names"][-1]
+            if last in mapping:
+                node["column_names"] = [mapping[last]]
+        for v in node.values():
+            _rename_columns(v, mapping)
+    elif isinstance(node, list):
+        for v in node:
+            _rename_columns(v, mapping)
+
+
+def _flatten_subquery(node: dict) -> dict:
+    """Merge `FROM (SELECT plain-columns FROM ... WHERE ...) t` into the outer
+    query: rename outer refs through the subquery's aliases and AND the inner
+    WHERE into the outer one. The reference relied on Spark's optimizer doing
+    exactly this before its patterns matched (SURVEY §2 'SubQry' benchmark);
+    here it's an AST pre-pass. Applied repeatedly for nested subqueries."""
+    while True:
+        ft = node.get("from_table") or {}
+        if ft.get("type") != "SUBQUERY":
+            return node
+        inner = ft["subquery"]["node"]
+        if inner.get("type") != "SELECT_NODE":
+            raise SQLFrontError("non-SELECT subquery in FROM")
+        if (
+            inner.get("group_expressions")
+            or inner.get("having")
+            or inner.get("modifiers")
+            or inner.get("cte_map", {}).get("map")
+            or any(_contains_agg(s) for s in inner.get("select_list", []))
+        ):
+            raise SQLFrontError("non-projection subquery in FROM")
+        mapping: dict[str, str] = {}
+        for item in inner["select_list"]:
+            if item.get("class") == "STAR":
+                continue  # SELECT * passes every column through unchanged
+            if item.get("class") != "COLUMN_REF":
+                raise SQLFrontError("subquery select must be plain columns")
+            src = item["column_names"][-1]
+            if item.get("alias"):
+                mapping[item["alias"]] = src
+        _rename_columns(node.get("select_list"), mapping)
+        _rename_columns(node.get("where_clause"), mapping)
+        _rename_columns(node.get("group_expressions"), mapping)
+        _rename_columns(node.get("having"), mapping)
+        _rename_columns(node.get("modifiers"), mapping)
+        node["from_table"] = inner["from_table"]
+        iw = inner.get("where_clause")
+        if iw is not None:
+            ow = node.get("where_clause")
+            node["where_clause"] = (
+                iw
+                if ow is None
+                else {
+                    "class": "CONJUNCTION",
+                    "type": "CONJUNCTION_AND",
+                    "children": [ow, iw],
+                }
+            )
+
+
+# ---------------------------------------------------------------------------
 # entry point
 # ---------------------------------------------------------------------------
 
@@ -815,6 +883,7 @@ def parse_sql(
         raise SQLFrontError("CTEs unsupported")
     if node.get("qualify") or node.get("sample"):
         raise SQLFrontError("QUALIFY/SAMPLE unsupported")
+    node = _flatten_subquery(node)
     _check_from(node["from_table"], fact_table, star)
 
     # WHERE: split conjuncts, pull time intervals, build FilterSpec

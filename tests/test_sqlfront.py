@@ -158,6 +158,28 @@ WHERE l_quantity > 30 ORDER BY l_returnflag, l_linestatus""", sort=False)
     assert ctx.query_history[-1].backing in ("cube", "flat")
 
 
+def test_subquery_flattening(ctx, duck):
+    """FROM (SELECT cols ... WHERE ...) merges into the outer query — the
+    reference's 'SubQry+filters' benchmark shape."""
+    assert_same(ctx, duck, """
+SELECT rf, count(*) AS n FROM
+  (SELECT l_returnflag AS rf, l_shipdate, l_quantity FROM lineitem
+   WHERE l_quantity > 10) t
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY rf ORDER BY rf""", sort=False, duck_sql="""
+SELECT l_returnflag AS rf, count(*) AS n FROM lineitem
+WHERE l_quantity > 10
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY rf ORDER BY rf""")
+    assert ctx.query_history[-1].backing in ("cube", "flat")
+    # the interval must still be extracted through the flattening
+    spec = ctx._parse_sql("""
+SELECT count(*) AS n FROM
+  (SELECT * FROM lineitem WHERE l_quantity > 10) t
+WHERE l_shipdate >= DATE '1996-01-01'""")
+    assert spec.intervals and spec.intervals[0].start == "1996-01-01"
+
+
 def test_fallback_window(ctx, duck):
     assert_same(ctx, duck, """
 SELECT o_custkey, o_totalprice,
