@@ -382,7 +382,10 @@ def _decompose_avgs(
 
     Returns (new_aggs, [(avg_name, post_expr)]). Mirrors the reference's
     mandatory avg decomposition — plain avg over pre-aggregated rows is wrong
-    (SURVEY §7 'hard parts')."""
+    (SURVEY §7 'hard parts'). Like the reference (Count(1) partial,
+    AggregateTransform.scala:425-441), the divisor is the ROW count: on a
+    null-bearing column this differs from ANSI avg (which divides by the
+    non-null count) — use sum(x)/count(x) explicitly when that matters."""
     out: list[ir.AggSpec] = []
     post: list[tuple[str, str]] = []
     have = {a.name for a in aggs}

@@ -165,6 +165,11 @@ class OlapContext:
             f"spec: {json.dumps(spec.to_dict(), default=str)}"
         )
 
+    def clear_cache(self) -> None:
+        """CLEAR DRUID CACHE analog: drop memoized/pinned backings so the
+        next query re-reads the index from disk."""
+        self.index.invalidate()
+
     # -------------------------------------------------------- metadata views
     def register_metadata_views(self) -> None:
         """Expose index metadata as temp views (DruidMetadataViews analog)."""

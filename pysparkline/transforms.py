@@ -27,6 +27,22 @@ from . import ir
 MAX_ITERS = 20
 
 
+# ISO-8601 period granularities (DruidQueryGranularity.scala:42-59 period
+# JSON form) normalize to the named grains the lowering understands
+_PERIOD_GRAN = {
+    "P1Y": "year", "P3M": "quarter", "P1M": "month", "P7D": "week",
+    "P1W": "week", "P1D": "day", "PT1H": "hour", "PT1M": "minute",
+    "PT1S": "second",
+}
+
+
+def normalize_granularity(q: ir.QuerySpec) -> ir.QuerySpec:
+    g = getattr(q, "granularity", None)
+    if isinstance(g, str) and g.upper() in _PERIOD_GRAN:
+        return replace(q, granularity=_PERIOD_GRAN[g.upper()])
+    return q
+
+
 def add_count_if_no_aggs(q: ir.QuerySpec) -> ir.QuerySpec:
     if isinstance(q, (ir.GroupByQuery, ir.TimeseriesQuery)) and not q.aggregations:
         return replace(q, aggregations=[ir.CountAgg("count")])
@@ -198,6 +214,7 @@ def combine_spatial(q: ir.QuerySpec) -> ir.QuerySpec:
 
 
 RULES = [
+    normalize_granularity,
     merge_bounds,
     combine_spatial,
     simplify_not,
