@@ -180,6 +180,9 @@ class OlapIndex:
         (
             flat.write.mode("overwrite")
             .partitionBy(MONTH_COL)
+            # scale guard: bound file sizes so a 100 TB flat table becomes
+            # many ~128 MB-ish files per month partition, never one giant file
+            .option("maxRecordsPerFile", 5_000_000)
             .parquet(flat_path)
         )
         flat = spark.read.parquet(flat_path)
