@@ -482,7 +482,24 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
                 out = out.orderBy(*order_cols)
         if q.limit_spec.limit is not None:
             out = out.limit(q.limit_spec.limit)
-    return _project_output_order(out, q.output_order)
+    if q.output_order:
+        return _project_output_order(out, q.output_order)
+    # default contract: dims, time bucket, aggregations in declared order,
+    # post-aggs — avg decomposition would otherwise push the avg column last
+    declared = list(
+        dict.fromkeys(
+            out_names
+            + [a.name for a in q.aggregations]
+            + [p.name for p in q.post_aggregations]
+        )
+    )
+    return _default_order(out, declared)
+
+
+def _default_order(df: DataFrame, declared: list) -> DataFrame:
+    cols = [c for c in declared if c in df.columns]
+    cols += [c for c in df.columns if c not in cols]
+    return df.select(*cols) if cols != df.columns else df
 
 
 def _project_output_order(df: DataFrame, order: list | None) -> DataFrame:
@@ -562,7 +579,16 @@ def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:
     metric = F.col(q.metric).asc() if q.inverted else F.col(q.metric).desc()
     # deterministic tie-break on the dimension value
     out = out.orderBy(metric, F.col(q.dimension.out).asc()).limit(q.threshold)
-    return _project_output_order(out, q.output_order)
+    if q.output_order:
+        return _project_output_order(out, q.output_order)
+    declared = list(
+        dict.fromkeys(
+            [q.dimension.out]
+            + [a.name for a in q.aggregations]
+            + [p.name for p in q.post_aggregations]
+        )
+    )
+    return _default_order(out, declared)
 
 
 def lower_search(q: ir.SearchQuery, backing: Backing) -> DataFrame:
