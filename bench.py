@@ -88,31 +88,41 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         llm_times[name] = round(time.perf_counter() - t, 4)
 
-    # raw-scan flagship: same Q1 aggregation over the base star join with no
-    # index artifacts (the "Spark raw" column of BASELINE.md)
+    # raw-scan counterparts over the base star join with no index artifacts
+    # (the "Spark raw" column of BASELINE.md); ship-date-range was the
+    # reference's 125x headline case
     from pysparkline import tpch
 
     raw_flat, _ = tpch.flat_star_df(spark, sf_dir)
-    raw_flat.where(F.col("l_shipdate") < "1998-09-01").groupBy(
-        "l_returnflag", "l_linestatus"
-    ).agg(
-        F.sum(F.expr(tpch.QTY)),
-        F.sum(F.expr(tpch.PRICE)),
-        F.sum(F.expr(tpch.DISC_PRICE)),
-        F.sum(F.expr(tpch.CHARGE)),
-        F.count(F.lit(1)),
-    ).collect()
-    t = time.perf_counter()
-    raw_flat.where(F.col("l_shipdate") < "1998-09-01").groupBy(
-        "l_returnflag", "l_linestatus"
-    ).agg(
-        F.sum(F.expr(tpch.QTY)),
-        F.sum(F.expr(tpch.PRICE)),
-        F.sum(F.expr(tpch.DISC_PRICE)),
-        F.sum(F.expr(tpch.CHARGE)),
-        F.count(F.lit(1)),
-    ).collect()
-    raw_q1 = round(time.perf_counter() - t, 4)
+
+    def raw_q1_df():
+        return (
+            raw_flat.where(F.col("l_shipdate") < "1998-09-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.expr(tpch.QTY)),
+                F.sum(F.expr(tpch.PRICE)),
+                F.sum(F.expr(tpch.DISC_PRICE)),
+                F.sum(F.expr(tpch.CHARGE)),
+                F.count(F.lit(1)),
+            )
+        )
+
+    def raw_sdr_df():
+        return (
+            raw_flat.where(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+            ).agg(F.count(F.lit(1)), F.sum(F.expr(tpch.QTY)))
+        )
+
+    raws = {}
+    for key, mk in [("raw_q1_sec", raw_q1_df), ("raw_ship_date_range_sec", raw_sdr_df)]:
+        mk().collect()
+        t = time.perf_counter()
+        mk().collect()
+        raws[key] = round(time.perf_counter() - t, 4)
+    raw_q1 = raws["raw_q1_sec"]
 
     total = round(sum(times.values()), 4)
     print(
@@ -127,8 +137,14 @@ def main() -> None:
                 "sf": sf,
                 "index_build_or_load_sec": round(index_sec, 2),
                 "raw_q1_sec": raw_q1,
+                "raw_ship_date_range_sec": raws["raw_ship_date_range_sec"],
                 "q1_speedup_vs_raw": round(raw_q1 / times["q1"], 2)
                 if times.get("q1")
+                else None,
+                "ship_date_range_speedup_vs_raw": round(
+                    raws["raw_ship_date_range_sec"] / times["ship_date_range"], 2
+                )
+                if times.get("ship_date_range")
                 else None,
             }
         )

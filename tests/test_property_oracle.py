@@ -156,6 +156,22 @@ def _norm(v):
     return v
 
 
+def _check(harness, spec, sort=True):
+    ctx, con = harness
+    sql = to_sql(spec, "flat", "duckdb")
+    df = ctx.query(spec)
+    got = [tuple(_norm(x) for x in r) for r in df.collect()]
+    exp = [tuple(_norm(x) for x in r) for r in con.execute(sql).fetchall()]
+    if sort:
+        got, exp = sorted(got, key=str), sorted(exp, key=str)
+    assert got == exp, (
+        f"\nspec: {spec.to_dict()}\nsql: {sql}\nbacking: "
+        f"{ctx.query_history[-1].backing}\ngot {len(got)} rows, exp {len(exp)}"
+        + (f"\nfirst diff: {next(((a, b) for a, b in zip(got, exp) if a != b), None)}"
+           if got and exp else "")
+    )
+
+
 @settings(
     max_examples=30,
     deadline=None,
@@ -163,18 +179,66 @@ def _norm(v):
 )
 @given(spec=groupby_specs())
 def test_random_groupby_matches_duckdb(harness, spec):
-    ctx, con = harness
-    sql = to_sql(spec, "flat", "duckdb")
-    df = ctx.query(spec)
-    got = sorted(
-        [tuple(_norm(x) for x in r) for r in df.collect()], key=str
+    _check(harness, spec)
+
+
+@st.composite
+def topn_specs(draw):
+    dim = draw(dim_col)
+    ags = draw(aggs)
+    for i, a in enumerate(ags):
+        a.name = f"m{i}"
+    return ir.TopNQuery(
+        dimension=ir.DefaultDim(dim),
+        metric=ags[0].name,
+        threshold=draw(st.integers(1, 4)),
+        inverted=draw(st.booleans()),
+        filter=draw(st.one_of(st.just(None), simple_filter)),
+        aggregations=ags,
+        intervals=draw(intervals),
     )
-    exp = sorted(
-        [tuple(_norm(x) for x in r) for r in con.execute(sql).fetchall()], key=str
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(spec=topn_specs())
+def test_random_topn_matches_duckdb(harness, spec):
+    # ordered comparison: both sides order by (metric, dim) deterministically.
+    # Equal metric values at the cut boundary can still legally differ only
+    # when floats tie beyond the tiebreak — dims are strings, metric+dim
+    # ordering is total, so exact match is required.
+    _check(harness, spec, sort=False)
+
+
+@st.composite
+def select_specs(draw):
+    cols = ["l_orderkey", "l_linenumber"] + draw(
+        st.lists(
+            st.sampled_from(["l_quantity", "l_returnflag", "o_orderpriority"]),
+            max_size=2,
+            unique=True,
+        )
     )
-    assert got == exp, (
-        f"\nspec: {spec.to_dict()}\nsql: {sql}\nbacking: "
-        f"{ctx.query_history[-1].backing}\ngot {len(got)} rows, exp {len(exp)}"
-        + (f"\nfirst diff: {next(((a, b) for a, b in zip(got, exp) if a != b), None)}"
-           if got and exp else "")
+    return ir.SelectQuery(
+        columns=cols,
+        filter=draw(st.one_of(st.just(None), filters)),
+        # the synthetic lineitem has no unique key: order by EVERY selected
+        # column so the limit prefix is a deterministic multiset
+        order_by=[ir.OrderByColumn(c) for c in cols],
+        limit=draw(st.integers(1, 200)),
+        intervals=draw(intervals),
     )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(spec=select_specs())
+def test_random_select_matches_duckdb(harness, spec):
+    # (l_orderkey, l_linenumber) is a unique key: total order, exact match
+    _check(harness, spec, sort=False)
