@@ -155,7 +155,8 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
         sql = f"SELECT {', '.join(cols)} FROM {table}{where_sql}"
         if q.order_by:
             sql += " ORDER BY " + ", ".join(
-                f"{o.column} {o.direction.upper()}" for o in q.order_by
+                f"{o.column} {o.direction.upper()}{_nulls(o.direction)}"
+                for o in q.order_by
             )
         if q.limit is not None:
             sql += f" LIMIT {q.limit}"
@@ -245,7 +246,8 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
     ls = q.limit_spec
     if ls is not None and ls.columns:
         sql += " ORDER BY " + ", ".join(
-            f"{c.column} {c.direction.upper()}" for c in ls.columns
+            f"{c.column} {c.direction.upper()}{_nulls(c.direction)}"
+            for c in ls.columns
         )
     if ls is not None and ls.limit is not None:
         sql += f" LIMIT {ls.limit}"
@@ -254,6 +256,12 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
 
 def _portable_aggs(q):
     return list(q.aggregations), None
+
+
+def _nulls(direction: str) -> str:
+    """Match Spark's null ordering (ASC => NULLS FIRST, DESC => NULLS LAST) —
+    DuckDB defaults to the opposite for ASC."""
+    return " NULLS FIRST" if direction == "asc" else " NULLS LAST"
 
 
 def _ts(s: str) -> str:
