@@ -54,6 +54,8 @@ PRICE = tpch.PRICE
 DISC = tpch.DISC
 REV = tpch.DISC_PRICE
 CHARGE = tpch.CHARGE
+ONE_MINUS_DISC = tpch.ONE_MINUS_DISC
+TOTALPRICE = tpch.TOTALPRICE
 
 # DuckDB-side flattened star (mirrors pysparkline.tpch.load_star_tables +
 # flatten_star: inner joins, renamed nation/region copies, derived order_year)
@@ -753,6 +755,150 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit_spec=ir.LimitSpec(
             [ir.OrderByColumn("revenue", "desc"), ir.OrderByColumn("c_custkey")], 20
         ),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "q6",
+    f"""
+SELECT CAST(SUM({PRICE} * {DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter + global agg —
+    lowers to a Timeseries-shaped query; predicates + interval pushed."""
+    spec = ir.GroupByQuery(
+        dimensions=[],
+        intervals=[ir.Interval("1996-01-01", "1997-01-01")],
+        filter=ir.and_(
+            ir.BoundFilter("l_discount", 0.05, 0.07),
+            ir.BoundFilter("l_quantity", upper=24, upper_strict=True),
+        ),
+        aggregations=[ir.ExprAgg("sum", "revenue", f"{PRICE} * {DISC}")],
+        post_aggregations=_dbl("revenue"),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "q14",
+    f"""
+SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%%'
+                              THEN {PRICE} * {ONE_MINUS_DISC} END)
+            AS DOUBLE)
+       / CAST(SUM({PRICE} * {ONE_MINUS_DISC}) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+""".replace("%%", "%"),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): filtered-agg ratio over a star join."""
+    spec = ir.GroupByQuery(
+        dimensions=[],
+        intervals=[ir.Interval("1996-09-01", "1996-10-01")],
+        aggregations=[
+            ir.FilteredAgg(
+                "promo",
+                ir.RegexFilter("p_type", "^PROMO"),  # LIKE 'PROMO%'
+                agg=ir.ExprAgg("sum", "promo", f"{PRICE} * {ONE_MINUS_DISC}"),
+            ),
+            ir.ExprAgg("sum", "total", f"{PRICE} * {ONE_MINUS_DISC}"),
+        ],
+        post_aggregations=[
+            ir.ArithmeticPostAgg(
+                "promo_revenue",
+                "CAST(100.00 * `promo` AS DOUBLE) / CAST(`total` AS DOUBLE)",
+            )
+        ],
+        output_order=["promo_revenue"],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
+    "q17",
+    f"""
+WITH part_avg AS (
+  SELECT l_partkey AS pk, round(0.2 * AVG(l_quantity), 6) AS lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM({PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey JOIN part_avg ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND l_quantity < lim
+""",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated subquery as a
+    window average over the flat backing — beyond the reference's rewrite
+    surface (it never pushed subqueries), expressed Spark-native here."""
+    from pyspark.sql import Window, functions as F
+
+    prep(spark)
+    idx = _ctx(spark, sf_dir).index
+    flat = idx.flat_df()
+    w = Window.partitionBy("l_partkey")
+    out = (
+        flat.where(F.col("p_brand") == "Brand#23")
+        # round: keep the boundary comparison identical across engines
+        # (per-partition double-avg accumulation differs in the last ulp)
+        .withColumn("lim", F.round(0.2 * F.avg("l_quantity").over(w), 6))
+        .where(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            (F.sum(F.expr(PRICE)).cast("double") / 7.0).alias("avg_yearly")
+        )
+    )
+    return out
+
+
+@_register(
+    "q18",
+    f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST({TOTALPRICE} AS DOUBLE) AS o_total,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+ORDER BY o_total DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): high-cardinality group-by +
+    having — planner correctly refuses pre-agg (group count ~ |orders|) and
+    answers from the flat star."""
+    spec = ir.GroupByQuery(
+        dimensions=[
+            ir.DefaultDim("c_name"),
+            ir.DefaultDim("c_custkey"),
+            ir.DefaultDim("o_orderkey"),
+            ir.DefaultDim("o_orderdate"),
+            ir.ExprDim(f"CAST({TOTALPRICE} AS DOUBLE)", "o_total",
+                       ["o_totalprice"]),
+        ],
+        aggregations=[ir.ExprAgg("sum", "sum_qty_dec", QTY)],
+        post_aggregations=[
+            ir.ArithmeticPostAgg("sum_qty", "CAST(`sum_qty_dec` AS DOUBLE)")
+        ],
+        having=ir.HavingSpec("`sum_qty_dec` > 150"),
+        limit_spec=ir.LimitSpec(
+            [
+                ir.OrderByColumn("o_total", "desc"),
+                ir.OrderByColumn("o_orderdate"),
+                ir.OrderByColumn("o_orderkey"),
+            ],
+            100,
+        ),
+        output_order=[
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_total",
+            "sum_qty",
+        ],
     )
     return _ctx(spark, sf_dir).query(spec)
 

@@ -339,7 +339,15 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
         merge = F.sum if a.fn == "count" else fns[a.fn]
         return merge(F.col(m.col_name)).alias(a.name)
     if isinstance(a, ir.FilteredAgg):
-        cond = filter_to_column(a.filter)  # over cube dims only (planner-checked)
+        grain = set(
+            idx.manifest["cubes"][backing.cube_name]["dims"]
+        ) | {BUCKET_COL}
+        missing = a.filter.referenced_columns() - grain
+        if missing:
+            raise AggLoweringError(
+                f"filtered-agg condition columns {sorted(missing)} not in cube grain"
+            )
+        cond = filter_to_column(a.filter)
         inner = a.agg
         if isinstance(inner, ir.CountAgg):
             return F.coalesce(
