@@ -192,14 +192,45 @@ class OlapIndex:
             "config": config.to_dict(),
             "star": json.loads(star.to_json()) if star else None,
         }
-        stats_aggs = [F.count(F.lit(1)).alias("__rows"),
-                      F.min(t).alias("__tmin"), F.max(t).alias("__tmax")]
-        data_cols = [c for c in flat.columns if c != MONTH_COL]
-        if compute_ndv:
-            stats_aggs += [
-                F.approx_count_distinct(c).alias(f"ndv__{c}") for c in data_cols
-            ]
-        stats = flat.agg(*stats_aggs).collect()[0].asDict()
+        # stats and each cube are independent Spark jobs over the same (just
+        # written) flat parquet: submit them concurrently so the scheduler
+        # interleaves their stages across the executor cores instead of
+        # running ~5 small jobs serially
+        from concurrent.futures import ThreadPoolExecutor
+
+        def compute_stats():
+            stats_aggs = [F.count(F.lit(1)).alias("__rows"),
+                          F.min(t).alias("__tmin"), F.max(t).alias("__tmax")]
+            data_cols = [c for c in flat.columns if c != MONTH_COL]
+            if compute_ndv:
+                stats_aggs += [
+                    F.approx_count_distinct(c).alias(f"ndv__{c}")
+                    for c in data_cols
+                ]
+            return flat.agg(*stats_aggs).collect()[0].asDict()
+
+        def build_one_cube(cube: CubeSpec):
+            cube_df = OlapIndex._build_cube(flat, config, cube)
+            cube_path = os.path.join(out_dir, f"cube_{cube.name}")
+            cube_df.write.mode("overwrite").parquet(cube_path)
+            written = spark.read.parquet(cube_path)
+            return cube.name, {
+                "path": f"cube_{cube.name}",
+                "dims": list(cube.dims),
+                "granularity": cube.granularity,
+                "rowCount": written.count(),
+                "columns": {
+                    f.name: {"type": f.dataType.simpleString()}
+                    for f in written.schema.fields
+                },
+            }
+
+        with ThreadPoolExecutor(max_workers=1 + len(config.cubes)) as pool:
+            stats_f = pool.submit(compute_stats)
+            cube_fs = [pool.submit(build_one_cube, c) for c in config.cubes]
+            stats = stats_f.result()
+            manifest["cubes"] = dict(f.result() for f in cube_fs)
+
         manifest["flat"] = {
             "path": "flat",
             "rowCount": stats["__rows"],
@@ -213,23 +244,6 @@ class OlapIndex:
                 for f in flat.schema.fields
             },
         }
-
-        manifest["cubes"] = {}
-        for cube in config.cubes:
-            cube_df = OlapIndex._build_cube(flat, config, cube)
-            cube_path = os.path.join(out_dir, f"cube_{cube.name}")
-            cube_df.write.mode("overwrite").parquet(cube_path)
-            written = spark.read.parquet(cube_path)
-            manifest["cubes"][cube.name] = {
-                "path": f"cube_{cube.name}",
-                "dims": list(cube.dims),
-                "granularity": cube.granularity,
-                "rowCount": written.count(),
-                "columns": {
-                    f.name: {"type": f.dataType.simpleString()}
-                    for f in written.schema.fields
-                },
-            }
 
         with open(os.path.join(out_dir, MANIFEST), "w") as fh:
             json.dump(manifest, fh, indent=1, default=str)
