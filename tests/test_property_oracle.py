@@ -147,13 +147,28 @@ def harness(spark):
 def _norm(v):
     if isinstance(v, decimal.Decimal):
         v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()[:10]
     return v
+
+
+def _sort_key(row):
+    # coarse float snapping for a stable sort; equality uses tolerance
+    return str(tuple(f"{x:.4g}" if isinstance(x, float) else x for x in row))
+
+
+def _rows_equal(a, b) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                return False
+        elif x != y:
+            return False
+    return True
 
 
 def _check(harness, spec, sort=True):
@@ -163,11 +178,15 @@ def _check(harness, spec, sort=True):
     got = [tuple(_norm(x) for x in r) for r in df.collect()]
     exp = [tuple(_norm(x) for x in r) for r in con.execute(sql).fetchall()]
     if sort:
-        got, exp = sorted(got, key=str), sorted(exp, key=str)
-    assert got == exp, (
+        got, exp = sorted(got, key=_sort_key), sorted(exp, key=_sort_key)
+    ok = len(got) == len(exp) and all(
+        _rows_equal(a, b) for a, b in zip(got, exp)
+    )
+    assert ok, (
         f"\nspec: {spec.to_dict()}\nsql: {sql}\nbacking: "
         f"{ctx.query_history[-1].backing}\ngot {len(got)} rows, exp {len(exp)}"
-        + (f"\nfirst diff: {next(((a, b) for a, b in zip(got, exp) if a != b), None)}"
+        + (f"\nfirst diff: "
+           f"{next(((a, b) for a, b in zip(got, exp) if not _rows_equal(a, b)), None)}"
            if got and exp else "")
     )
 
