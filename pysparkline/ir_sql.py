@@ -219,8 +219,6 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
 
     if not isinstance(q, ir.GroupByQuery):
         raise NotPortable(f"shape {type(q).__name__}")
-    if q.grouping_sets is not None:
-        raise NotPortable("grouping sets rendering not implemented")
 
     sel, group_names = [], []
     for d in q.dimensions:
@@ -237,7 +235,14 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
     sel.extend(agg_to_sql(a, dialect) for a in aggs)
 
     sql = f"SELECT {', '.join(sel)} FROM {table}{where_sql}"
-    if group_names:
+    if q.grouping_sets is not None:
+        if q.output_order and "__grouping_id" in q.output_order:
+            raise NotPortable("__grouping_id has no ANSI equivalent here")
+        sets = ", ".join(
+            "(" + ", ".join(s) + ")" for s in q.grouping_sets
+        )
+        sql += f" GROUP BY GROUPING SETS ({sets})"
+    elif group_names:
         sql += " GROUP BY " + ", ".join(group_names)
     for p in q.post_aggregations:
         raise NotPortable("post-aggregations carry Spark SQL text")

@@ -101,6 +101,26 @@ def test_star_flatten_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan  # the fact side must never shuffle
 
 
+def test_hll_estimate_accuracy(ctx):
+    """Approximate count-distinct from pre-built sketches must land within
+    HLL's published error (lgK=12 => ~1.6% sigma; assert 5%) of exact."""
+    spec_hll = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag")],
+        aggregations=[ir.HyperUniqueAgg("d", "o_orderkey")],
+    )
+    spec_exact = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag")],
+        aggregations=[ir.DistinctAgg("d", "o_orderkey")],
+    )
+    _, backing, decision = ctx.plan(spec_hll)
+    assert decision.backing == "cube"  # sketches come from the index
+    approx = {r[0]: r[1] for r in ctx.query(spec_hll).collect()}
+    exact = {r[0]: r[1] for r in ctx.query(spec_exact).collect()}
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)
+
+
 def test_cube_agg_has_partial_aggregation(ctx):
     """Merge-form agg over a cube: partial + final HashAggregate around one
     exchange (map-side combine keeps the shuffle tiny at any scale)."""

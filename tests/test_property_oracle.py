@@ -233,6 +233,51 @@ def test_random_topn_matches_duckdb(harness, spec):
 
 
 @st.composite
+def grouping_set_specs(draw):
+    import itertools
+
+    ds = draw(st.lists(dim_col, min_size=1, max_size=2, unique=True))
+    power = [
+        list(s)
+        for r in range(len(ds) + 1)
+        for s in itertools.combinations(ds, r)
+    ]
+    # ANSI requires every projected dim to appear in >=1 set: always include
+    # the full set (the realistic cube/rollup shape), plus random subsets
+    extra = draw(
+        st.lists(
+            st.sampled_from(power),
+            max_size=3,
+            unique_by=lambda s: tuple(s),
+        )
+    )
+    sets = [ds] + [s for s in extra if s != ds]
+    ags = draw(aggs)
+    for i, a in enumerate(ags):
+        a.name = f"m{i}"
+    return ir.GroupByQuery(
+        dimensions=[ir.DefaultDim(c) for c in ds],
+        filter=draw(st.one_of(st.just(None), simple_filter)),
+        aggregations=ags,
+        grouping_sets=sets,
+        intervals=draw(intervals),
+        output_order=ds + [a.name for a in ags],
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(spec=grouping_set_specs())
+def test_random_grouping_sets_match_duckdb(harness, spec):
+    """The per-set union lowering (null re-insertion, the reference's
+    subtlest logic — AggregateTransform.scala:233-291) vs ANSI GROUPING SETS."""
+    _check(harness, spec)
+
+
+@st.composite
 def select_specs(draw):
     cols = ["l_orderkey", "l_linenumber"] + draw(
         st.lists(
