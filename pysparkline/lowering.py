@@ -362,11 +362,19 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
             return merge(F.when(cond, F.col(m.col_name))).alias(a.name)
         raise AggLoweringError(f"unsupported filtered inner agg {inner!r}")
     if isinstance(a, ir.CardinalityAgg):
-        if not set(a.field_names) <= cube_cols:
-            raise AggLoweringError("cardinality fields not in cube grain")
-        return F.approx_count_distinct(
-            F.concat_ws("", *[F.col(c) for c in a.field_names])
-        ).alias(a.name)
+        if set(a.field_names) <= cube_cols:
+            return F.approx_count_distinct(
+                F.concat_ws("", *[F.col(c) for c in a.field_names])
+            ).alias(a.name)
+        # single column with a pre-built sketch: estimate from the HLL
+        # (AggregateTransform.scala:454-479 cardinality->hyperUnique switch)
+        if len(a.field_names) == 1 and f"hll_{a.field_names[0]}" in cube_cols:
+            return F.hll_sketch_estimate(
+                F.hll_union_agg(F.col(f"hll_{a.field_names[0]}"))
+            ).alias(a.name)
+        raise AggLoweringError(
+            "cardinality fields not in cube grain and no sketch"
+        )
     if isinstance(a, ir.DistinctAgg):
         if a.field_name not in cube_cols:
             raise AggLoweringError(

@@ -114,6 +114,13 @@ def test_hll_estimate_accuracy(ctx):
     )
     _, backing, decision = ctx.plan(spec_hll)
     assert decision.backing == "cube"  # sketches come from the index
+    # approx_count_distinct over a non-grain column also rides the sketch
+    spec_card = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag")],
+        aggregations=[ir.CardinalityAgg("d", ["o_orderkey"])],
+    )
+    _, _, d2 = ctx.plan(spec_card)
+    assert d2.backing == "cube"
     approx = {r[0]: r[1] for r in ctx.query(spec_hll).collect()}
     exact = {r[0]: r[1] for r in ctx.query(spec_exact).collect()}
     assert set(approx) == set(exact)
