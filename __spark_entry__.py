@@ -1239,6 +1239,81 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_features(fake, "doc_id", "payload")
 
 
+@_register(
+    "grouped_topn_brands",
+    FLAT_CTE
+    + """
+, agg AS (
+  SELECT c_nation, p_brand,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+  FROM flat GROUP BY c_nation, p_brand
+)
+SELECT c_nation, p_brand, rev, rank FROM (
+  SELECT c_nation, p_brand, rev,
+         CAST(row_number() OVER (PARTITION BY c_nation
+                                 ORDER BY rev DESC, p_brand) AS INT) AS rank
+  FROM agg
+) WHERE rank <= 3
+ORDER BY c_nation, rank
+""",
+)
+def grouped_topn_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group TopN (top 3 brands per customer nation by revenue) — the
+    partitioned analog of the TopN query shape."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import events as ev
+
+    ctx = _ctx(spark, sf_dir)
+    agg = (
+        ctx.index.flat_df()
+        .groupBy("c_nation", "p_brand")
+        .agg(F.sum(F.expr(PRICE)).cast("double").alias("rev"))
+    )
+    out = ev.grouped_topn(agg, ["c_nation"], "rev", 3, tiebreak_cols=["p_brand"])
+    return out.orderBy("c_nation", "rank")
+
+
+@_register(
+    "funnel_events",
+    """
+WITH base AS (SELECT user_id AS usr, ts, event_type AS et FROM events),
+t0 AS (
+  SELECT usr, min(ts) FILTER (WHERE et = 'signup') AS t0
+  FROM base GROUP BY usr
+),
+t1 AS (
+  SELECT b.usr,
+         min(b.ts) FILTER (WHERE b.et = 'click' AND b.ts > t0.t0
+                             AND b.ts <= t0.t0 + INTERVAL 7 DAY) AS t1
+  FROM base b JOIN t0 ON b.usr = t0.usr GROUP BY b.usr
+),
+t2 AS (
+  SELECT b.usr,
+         min(b.ts) FILTER (WHERE b.et = 'purchase' AND b.ts > t1.t1
+                             AND b.ts <= t0.t0 + INTERVAL 7 DAY) AS t2
+  FROM base b JOIN t0 ON b.usr = t0.usr JOIN t1 ON b.usr = t1.usr
+  GROUP BY b.usr
+)
+SELECT t0.usr AS user,
+       CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL THEN 3
+            WHEN t0 IS NOT NULL AND t1 IS NOT NULL THEN 2
+            WHEN t0 IS NOT NULL THEN 1
+            ELSE 0 END AS steps_completed
+FROM t0 JOIN t1 ON t0.usr = t1.usr JOIN t2 ON t0.usr = t2.usr
+""",
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the events stream table:
+    signup -> click -> purchase within 7 days of signup."""
+    from pysparkline.operators import events as ev
+
+    prep(spark)
+    e = tpch.read_events(spark, sf_dir)
+    return ev.funnel(e, "user_id", "ts", "event_type",
+                     ["signup", "click", "purchase"], "7 days")
+
+
 # ---------------------------------------------------------------------------
 # 10b. spatial / extraction / json / quality / approximate-NN coverage
 # ---------------------------------------------------------------------------

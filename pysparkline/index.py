@@ -302,6 +302,16 @@ class OlapIndex:
         self._df_memo.clear()
         self._cached.clear()
 
+    def append_batch(self, flat_batch: DataFrame) -> int:
+        """Batch-append flattened star rows to the index (the non-streaming
+        twin of StreamingIngest.process_batch; same merge-form-partial
+        correctness argument). Returns rows appended."""
+        from .streaming.ingest import StreamingIngest
+
+        ingest = StreamingIngest(self)
+        ingest.process_batch(flat_batch, batch_id=-1)
+        return ingest.rows_ingested
+
     def cache_cubes(self, eager: bool = True) -> None:
         """Pin every cube in executor memory — the analog of Druid holding
         segments resident on historicals. Cubes are the small, hot artifacts

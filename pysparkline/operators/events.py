@@ -72,3 +72,77 @@ def running_totals(
             "running_value"
         ),
     )
+
+
+def grouped_topn(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows per group (partitioned TopN — the per-group analog of the
+    TopN query shape). One shuffle on the group keys; rank computed in-
+    partition; deterministic via tiebreak columns."""
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    for c in tiebreak_cols or []:
+        order.append(F.col(c).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    max_span: str = "7 days",
+) -> DataFrame:
+    """Ordered-sequence funnel: per user, the furthest step reached where each
+    step strictly follows the previous one, with the whole sequence inside
+    ``max_span`` of the first step. Returns (user, steps_completed).
+
+    Scale shape: one shuffle on user_col; per-user state is the min timestamp
+    of each step-so-far (a running min over an ordered window is unnecessary —
+    a conditional min aggregate per step suffices, computed iteratively with
+    earlier steps' mins as the lower bound). No cross join, no explode.
+    """
+    u, t, e = F.col(user_col), F.col(ts_col), F.col(type_col)
+    # min timestamp of step 0 per user; then min timestamp of step i AFTER
+    # step i-1's chosen time — expressible as chained conditional aggregates
+    # over one grouped pass per step (steps are few; each pass is a map-side
+    # combinable min on the same user partitioning, reused by Catalyst)
+    base = events.select(u.alias("user"), t.alias("ts"), e.alias("et"))
+    per_user = base.groupBy("user").agg(
+        F.min(F.when(F.col("et") == steps[0], F.col("ts"))).alias("t0")
+    )
+    joined = base.join(per_user, "user")
+    for i, step in enumerate(steps[1:], start=1):
+        prev = f"t{i - 1}"
+        agg = joined.groupBy("user").agg(
+            F.min(
+                F.when(
+                    (F.col("et") == step)
+                    & (F.col("ts") > F.col(prev))
+                    & (F.col("ts") <= F.col("t0") + F.expr(f"INTERVAL {max_span}")),
+                    F.col("ts"),
+                )
+            ).alias(f"t{i}")
+        )
+        per_user = per_user.join(agg, "user")
+        joined = base.join(per_user, "user")
+    # steps_completed = longest prefix of steps with non-null times
+    out = per_user
+    completed = F.lit(0)
+    for i in reversed(range(len(steps))):
+        cond = None
+        for j in range(i + 1):
+            c = F.col(f"t{j}").isNotNull()
+            cond = c if cond is None else (cond & c)
+        completed = F.when(cond & (completed == 0), F.lit(i + 1)).otherwise(completed)
+    return out.select("user", completed.alias("steps_completed"))
