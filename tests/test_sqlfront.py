@@ -143,6 +143,16 @@ SELECT l_returnflag, count(DISTINCT l_suppkey) AS ds
 FROM lineitem GROUP BY l_returnflag""")
 
 
+def test_mixed_distinct_and_regular_aggs(ctx, duck):
+    """count(DISTINCT) alongside sums/counts in one aggregate — the shape the
+    reference needed SPLRewriteDistinctAggregates for; Spark's native
+    Expand-based planning handles it on the flat backing."""
+    assert_same(ctx, duck, """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS ds, count(*) AS n,
+       sum(l_quantity) AS sq
+FROM lineitem GROUP BY l_returnflag""")
+
+
 def test_time_part_grouping(ctx, duck):
     assert_same(ctx, duck, """
 SELECT year(l_shipdate) AS yr, sum(l_extendedprice) AS rev

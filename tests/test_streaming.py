@@ -105,6 +105,37 @@ def test_compaction_preserves_answers(spark, streamed_index):
     assert _q1(ctx) == before
 
 
+def test_append_batch(spark, tmp_path):
+    """Batch append API: index stays query-correct after an append."""
+    from pyspark.sql import functions as F
+
+    from pysparkline import tpch
+    from pysparkline.index import OlapIndex, flatten_star
+    from pysparkline.session import OlapContext
+
+    tables = tpch.load_star_tables(spark, SF)
+    star = tpch.tpch_star(tables)
+    cfg = tpch.tpch_index_config()
+    fact = tables["lineitem"]
+    part1 = dict(tables, lineitem=fact.where(F.col("l_orderkey") % 2 == 0))
+    flat1 = flatten_star(spark, part1, star).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    idx = OlapIndex.build(
+        spark, flat1, cfg, str(tmp_path / "idx"), star=star, compute_ndv=False
+    )
+    rest = dict(tables, lineitem=fact.where(F.col("l_orderkey") % 2 == 1))
+    flat2 = flatten_star(spark, rest, star).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    n = idx.append_batch(flat2)
+    assert n > 0
+    ctx = OlapContext(spark, idx)
+    got = _q1(ctx)
+    exp = _q1(OlapContext(spark, tpch.build_or_load_index(spark, SF)))
+    assert got == exp
+
+
 def test_windowed_rollup_plan(spark):
     """Streaming windowed agg with watermark builds and is streaming-valid."""
     from pysparkline.streaming import windowed_rollup
