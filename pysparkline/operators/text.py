@@ -61,20 +61,27 @@ def text_stats(
     )
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
-    toks = tokens_col(F.lower(text))
+def _hits(toks: Column, lang: str) -> Column:
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
 
+def stopword_hits(text: Column, lang: str) -> Column:
+    return _hits(tokens_col(F.lower(text)), lang)
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic language ID: argmax of stopword-hit counts (deterministic
-    tie-break by language code). 'und' when nothing matches."""
-    text = F.col(text_col)
+    tie-break by language code). 'und' when nothing matches.
+
+    The text is lowered + tokenized ONCE into a projected column; per-language
+    scoring reuses that array (a 5x expression saving over re-tokenizing)."""
+    df = df.withColumn("__toks", tokens_col(F.lower(F.col(text_col))))
     scores = F.array(
         *[
             F.struct(
-                stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang")
+                _hits(F.col("__toks"), lang).alias("hits"),
+                F.lit(lang).alias("lang"),
             )
             for lang in sorted(STOPWORDS)
         ]

@@ -1,3 +1,9 @@
 from .ingest import StreamingIngest, stream_flatten, windowed_rollup
+from .stateful import streaming_sessionize
 
-__all__ = ["StreamingIngest", "stream_flatten", "windowed_rollup"]
+__all__ = [
+    "StreamingIngest",
+    "stream_flatten",
+    "windowed_rollup",
+    "streaming_sessionize",
+]
