@@ -1,0 +1,165 @@
+"""Property-based fuzzing of the SQL entry point.
+
+Hypothesis composes random ANSI SELECTs from a dialect-shared grammar
+(aliased aggregates, portable filters) — the SAME text executes through
+ctx.sql (sqlfront -> IR -> planner -> cube/flat lowering) and through DuckDB
+over the raw lineitem parquet. Any parse, interval-extraction, filter-
+translation, aggregate-mapping, or planner-routing bug surfaces as a
+counterexample with the offending SQL attached.
+"""
+
+import datetime
+import decimal
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pysparkline import tpch
+from pysparkline.session import OlapContext
+
+SF = "/root/testdata/sf0.001"
+
+DIMS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+}
+METRICS = ["l_quantity", "l_extendedprice"]
+
+dim = st.sampled_from(sorted(DIMS))
+
+
+@st.composite
+def predicates(draw):
+    kind = draw(st.sampled_from(["eq", "in", "between", "notnull", "like"]))
+    if kind == "eq":
+        c = draw(dim)
+        return f"{c} = '{draw(st.sampled_from(DIMS[c]))}'"
+    if kind == "in":
+        c = draw(dim)
+        vs = draw(st.lists(st.sampled_from(DIMS[c]), min_size=1, max_size=3,
+                           unique=True))
+        return f"{c} IN ({', '.join(repr(v) for v in vs)})"
+    if kind == "between":
+        lo = draw(st.integers(0, 25))
+        hi = draw(st.integers(26, 50))
+        return f"l_quantity BETWEEN {lo} AND {hi}"
+    if kind == "notnull":
+        return f"{draw(dim)} IS NOT NULL"
+    return "l_returnflag LIKE '%A%'"
+
+
+@st.composite
+def where_clauses(draw):
+    n = draw(st.integers(0, 3))
+    if n == 0:
+        return ""
+    preds = [draw(predicates()) for _ in range(n)]
+    op = draw(st.sampled_from([" AND ", " OR "]))
+    body = op.join(preds)
+    if draw(st.booleans()):
+        y = draw(st.integers(1995, 1999))
+        body = (
+            f"l_shipdate >= DATE '{y}-01-01' AND "
+            f"l_shipdate < DATE '{y + 1}-01-01' AND ({body})"
+        )
+    return " WHERE " + body
+
+
+@st.composite
+def select_sqls(draw):
+    gcols = draw(st.lists(dim, min_size=0, max_size=2, unique=True))
+    aggs = draw(
+        st.lists(
+            st.sampled_from(
+                ["COUNT(*)", "SUM({m})", "MIN({m})", "MAX({m})",
+                 "COUNT(DISTINCT l_suppkey)"]
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    sel, names = list(gcols), list(gcols)
+    for i, a in enumerate(aggs):
+        m = draw(st.sampled_from(METRICS))
+        sel.append(f"{a.format(m=m)} AS m{i}")
+        names.append(f"m{i}")
+    sql = f"SELECT {', '.join(sel)} FROM lineitem{draw(where_clauses())}"
+    if gcols:
+        sql += " GROUP BY " + ", ".join(gcols)
+        if draw(st.booleans()):
+            sql += f" HAVING COUNT(*) > {draw(st.integers(0, 100))}"
+        if draw(st.booleans()):
+            sql += " ORDER BY " + ", ".join(gcols) + f" LIMIT {draw(st.integers(1, 10))}"
+    return sql
+
+
+@pytest.fixture(scope="module")
+def harness(spark):
+    idx = tpch.build_or_load_index(spark, SF)
+    base = tpch.load_star_tables(spark, SF)
+    ctx = OlapContext(spark, idx, base_tables=base)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
+    )
+    return ctx, con
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()[:10]
+    return v
+
+
+def _sort_key(row):
+    return str(tuple(f"{x:.4g}" if isinstance(x, float) else x for x in row))
+
+
+def _rows_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                return False
+        elif x != y:
+            return False
+    return True
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sql=select_sqls())
+def test_random_sql_matches_duckdb(harness, sql):
+    ctx, con = harness
+    got = sorted(
+        [tuple(_norm(x) for x in r) for r in ctx.sql(sql).collect()],
+        key=_sort_key,
+    )
+    exp = sorted(
+        [tuple(_norm(x) for x in r) for r in con.execute(sql).fetchall()],
+        key=_sort_key,
+    )
+    backing = ctx.query_history[-1].backing
+    ok = len(got) == len(exp) and all(
+        _rows_equal(a, b) for a, b in zip(got, exp)
+    )
+    assert ok, (
+        f"\nsql: {sql}\nbacking: {backing}\n"
+        f"got {len(got)} rows, exp {len(exp)}\n"
+        f"first diff: "
+        f"{next(((a, b) for a, b in zip(got, exp) if not _rows_equal(a, b)), None)}"
+    )
+    # fuzzed SQL must stay inside the rewrite surface, not silently fall back
+    assert backing in ("cube", "flat"), backing
