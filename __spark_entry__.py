@@ -1239,6 +1239,77 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_features(fake, "doc_id", "payload")
 
 
+_EVENTS_CTX: dict[str, OlapContext] = {}
+
+
+def _events_ctx(spark: SparkSession, sf_dir: str) -> OlapContext:
+    key = os.path.abspath(sf_dir)
+    c = _EVENTS_CTX.get(key)
+    if c is None or c.spark is not spark:
+        from pysparkline.events_index import build_or_load_events_index
+
+        prep(spark)
+        c = OlapContext(spark, build_or_load_events_index(spark, sf_dir))
+        _EVENTS_CTX[key] = c
+    return c
+
+
+@_register(
+    "events_daily_types",
+    """
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+)
+def events_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second OLAP index (events single-table star): daily per-type counts
+    answered from the 'types' day-grain cube — same planner/lowering, a
+    completely different fact table and time column."""
+    ctx = _events_ctx(spark, sf_dir)
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("event_type")],
+        granularity="day",
+        time_output_name="day",
+        intervals=[ir.Interval("2024-01-05", "2024-01-20")],
+        aggregations=[
+            ir.CountAgg("n"),
+            ir.ExprAgg("sum", "sv_dec", "CAST(value AS DECIMAL(18,6))"),
+        ],
+        post_aggregations=[ir.ArithmeticPostAgg("sv", "CAST(`sv_dec` AS DOUBLE)")],
+        limit_spec=ir.LimitSpec(
+            [ir.OrderByColumn("event_type"), ir.OrderByColumn("day")]
+        ),
+        output_order=["event_type", "day", "n", "sv"],
+    )
+    out = ctx.query(spec)
+    assert ctx.query_history[-1].backing == "cube", ctx.query_history[-1].decision
+    return out
+
+
+@_register(
+    "events_user_distinct",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS du
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per type over the events flat backing (the HLL
+    sketch path is exercised by the TPC-H index; this is the exact twin on
+    the second index)."""
+    ctx = _events_ctx(spark, sf_dir)
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("event_type")],
+        aggregations=[ir.DistinctAgg("du", "user_id")],
+        limit_spec=ir.LimitSpec([ir.OrderByColumn("event_type")]),
+    )
+    return ctx.query(spec)
+
+
 @_register(
     "grouped_topn_brands",
     FLAT_CTE
