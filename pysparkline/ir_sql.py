@@ -234,6 +234,11 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
     aggs, _ = _portable_aggs(q)
     sel.extend(agg_to_sql(a, dialect) for a in aggs)
 
+    # post-aggs / having carry Spark SQL text over agg OUTPUT names; that
+    # surface is dialect-shared arithmetic except for backtick quoting
+    for p in q.post_aggregations:
+        sel.append(f"{_portable_expr(p.expr, dialect)} AS {p.name}")
+
     sql = f"SELECT {', '.join(sel)} FROM {table}{where_sql}"
     if q.grouping_sets is not None:
         if q.output_order and "__grouping_id" in q.output_order:
@@ -244,10 +249,8 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
         sql += f" GROUP BY GROUPING SETS ({sets})"
     elif group_names:
         sql += " GROUP BY " + ", ".join(group_names)
-    for p in q.post_aggregations:
-        raise NotPortable("post-aggregations carry Spark SQL text")
     if q.having is not None:
-        raise NotPortable("having carries Spark SQL text")
+        raise NotPortable("having references pre-projection agg columns")
     ls = q.limit_spec
     if ls is not None and ls.columns:
         sql += " ORDER BY " + ", ".join(
@@ -257,6 +260,18 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
     if ls is not None and ls.limit is not None:
         sql += f" LIMIT {ls.limit}"
     return sql
+
+
+def _portable_expr(expr: str, dialect: str) -> str:
+    """Spark SQL expr over agg output names -> target dialect. Only the
+    quoting differs for plain arithmetic; anything with function calls or
+    string literals is declared non-portable rather than mis-translated."""
+    import re
+
+    if re.search(r"[A-Za-z_]+\s*\(", expr.replace("CAST(", "")):
+        raise NotPortable(f"post-agg expr not portable: {expr}")
+    quote = '"' if dialect == "duckdb" else "`"
+    return expr.replace("`", quote)
 
 
 def _portable_aggs(q):

@@ -126,10 +126,14 @@ def groupby_specs(draw):
     ags = draw(aggs)
     for i, a in enumerate(ags):
         a.name = f"m{i}"
+    post = []
+    if len(ags) >= 2 and draw(st.booleans()):
+        post.append(ir.ArithmeticPostAgg("pa", "`m0` + `m1`"))
     return ir.GroupByQuery(
         dimensions=ds,
         filter=draw(st.one_of(st.just(None), filters)),
         aggregations=ags,
+        post_aggregations=post,
         intervals=draw(intervals),
     )
 
