@@ -1602,6 +1602,39 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cosine_neardup_pairs(emb, "vec_id", "embedding", 0.46)
 
 
+@_register("stratified_sample_docs", None)  # seed-dependent rows: rows-only
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample of the documents corpus + audit counts
+    (the subset-selection step of a training-data pipeline)."""
+    from pysparkline.operators import sampling
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    sampled = sampling.stratified_sample(docs, "lang", 0.5, seed=42)
+    return sampling.sample_counts(sampled, "lang")
+
+
+@_register("mix_sources_docs", None)  # seed-dependent rows: rows-only
+def mix_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture of two 'sources' (split of the documents corpus by
+    source column), tagged and recombined — the data-mixing step."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import sampling
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    sources = {s: docs.where(F.col("source") == s) for s in srcs}
+    weights = {s: 0.8 if i % 2 == 0 else 0.3 for i, s in enumerate(sorted(srcs))}
+    mixed = sampling.mix_sources(sources, weights, seed=42)
+    return (
+        mixed.groupBy("__source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("__source")
+    )
+
+
 @_register("ivf_topk", None)  # KMeans-based: not SQL-expressible, rows-only
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: KMeans cells + n_probe nearest cells per query."""

@@ -1,0 +1,58 @@
+"""Sampling operators for training-data pipelines: stratified sampling and
+weighted source mixing.
+
+Scale notes: both are pure narrow maps (`sampleBy` filters rows with a
+per-stratum Bernoulli draw keyed by a seed — no shuffle at all); the only
+aggregation is the optional exact post-count. Determinism: Spark's sample is
+seed-stable for a fixed partitioning, so pipelines get reproducible subsets
+as long as the input layout is stable (write the sampled output if you need
+layout-independent reproducibility).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict | float,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling. ``fractions`` is either one rate for
+    every stratum or a {stratum_value: rate} dict (missing strata => 0)."""
+    if isinstance(fractions, float):
+        values = [r[0] for r in df.select(strata_col).distinct().collect()]
+        fractions = {v: fractions for v in values}
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def sample_counts(df: DataFrame, strata_col: str) -> DataFrame:
+    """Exact per-stratum counts — the audit twin of stratified_sample."""
+    return df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def mix_sources(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    seed: int = 42,
+    tag_col: str = "__source",
+) -> DataFrame:
+    """Weighted mixture of datasets (the data-mixing step of a training
+    pipeline): each source is independently subsampled at its weight and
+    tagged. Weights are sampling RATES (0..1], not normalized proportions —
+    compute rates upstream from target token budgets."""
+    out = None
+    for name in sorted(sources):
+        rate = weights.get(name, 0.0)
+        if rate <= 0:
+            continue
+        part = sources[name]
+        if rate < 1.0:
+            part = part.sample(withReplacement=False, fraction=rate, seed=seed)
+        part = part.withColumn(tag_col, F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no source has positive weight")
+    return out

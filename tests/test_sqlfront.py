@@ -198,6 +198,30 @@ FROM orders WHERE o_custkey < 10""")
     assert ctx.query_history[-1].backing == "sparksql"
 
 
+def test_sql_on_second_index(spark, duck):
+    """ctx.sql works against the events index (different fact/time column)."""
+    from pysparkline.events_index import build_or_load_events_index
+    from pysparkline.session import OlapContext
+
+    ectx = OlapContext(spark, build_or_load_events_index(spark, SF))
+    got = [
+        tuple(r)
+        for r in ectx.sql(
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE ts >= DATE '2024-01-10' AND ts < DATE '2024-01-20' "
+            "GROUP BY event_type ORDER BY event_type"
+        ).collect()
+    ]
+    duck.execute(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '{SF}/events.parquet'")
+    exp = duck.execute(
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE ts >= DATE '2024-01-10' AND ts < DATE '2024-01-20' "
+        "GROUP BY event_type ORDER BY event_type"
+    ).fetchall()
+    assert got == exp
+    assert ectx.query_history[-1].backing == "cube"
+
+
 def test_explain_rewrite_sql(ctx):
     txt = ctx.explain_rewrite(
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
