@@ -164,6 +164,13 @@ class StreamingIngest:
         for c in cfg.hll_cols:
             aggs.append(F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}"))
         merged = df.groupBy(*keys).agg(*aggs)
+        # re-aggregation widens decimal types (sum(DECIMAL(22,2)) =>
+        # DECIMAL(32,2)); cast back so compacted files share a schema with
+        # future appended partials
+        orig = {f.name: f.dataType for f in df.schema.fields}
+        merged = merged.select(
+            *[F.col(c).cast(orig[c]).alias(c) for c in merged.columns]
+        )
         tmp = path + "__compact"
         merged.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)

@@ -136,6 +136,46 @@ def test_append_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_interleaved_append_compact(spark, tmp_path):
+    """Appends and compactions interleaved in arbitrary order must keep every
+    query answer equal to the batch-built index (the monoid property under
+    maintenance)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline import tpch
+    from pysparkline.index import OlapIndex, flatten_star
+    from pysparkline.session import OlapContext
+    from pysparkline.streaming import StreamingIngest
+
+    tables = tpch.load_star_tables(spark, SF)
+    star = tpch.tpch_star(tables)
+    cfg = tpch.tpch_index_config()
+    fact = tables["lineitem"]
+
+    def flat_part(mod, rem):
+        t = dict(tables, lineitem=fact.where(F.col("l_orderkey") % mod == rem))
+        return flatten_star(spark, t, star).withColumn(
+            "order_year", F.year("o_orderdate")
+        )
+
+    idx = OlapIndex.build(
+        spark, flat_part(4, 0), cfg, str(tmp_path / "idx"), star=star,
+        compute_ndv=False,
+    )
+    ingest = StreamingIngest(idx)
+    ctx = OlapContext(spark, idx)
+    batch_ctx = OlapContext(spark, tpch.build_or_load_index(spark, SF))
+
+    ingest.process_batch(flat_part(4, 1), 1)
+    ingest.process_batch(flat_part(4, 2), 2)
+    ingest.compact("flags")
+    ingest.process_batch(flat_part(4, 3), 3)
+    assert _q1(ctx) == _q1(batch_ctx)
+    ingest.compact("flags")
+    ingest.compact("market")
+    assert _q1(ctx) == _q1(batch_ctx)
+
+
 def test_windowed_rollup_plan(spark):
     """Streaming windowed agg with watermark builds and is streaming-valid."""
     from pysparkline.streaming import windowed_rollup
