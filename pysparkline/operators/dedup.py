@@ -39,7 +39,17 @@ def exact_dedup(
         F.regexp_replace(F.lower(F.col(c)), r"\s+", " ") if normalize else F.col(c)
         for c in cols
     ]
-    h = F.md5(F.concat_ws("", *[p.cast("string") for p in parts]))
+    if len(parts) == 1:
+        key = parts[0].cast("string")
+    else:
+        # separator + NULL sentinel: without them ("ab","c") would collide
+        # with ("a","bc") and ("a",NULL) with (NULL,"a") (concat_ws skips
+        # NULLs) -- silent data loss in drop_exact_dups
+        key = F.concat_ws(
+            "\x01",
+            *[F.coalesce(p.cast("string"), F.lit("\x00")) for p in parts],
+        )
+    h = F.md5(key)
     return (
         df.select(h.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
@@ -84,9 +94,11 @@ def minhash_signatures(
 
     Vectorized pandas UDF: shingle hashes come from a numpy-vectorized FNV-1a
     (the j-th byte of every window processed in one array op), then one
-    (num_perm,) min per document over the universal-hash family
-    h_i(x) = (a_i*x + b_i) mod p. Deterministic (fixed seed), so signatures
-    are stable across runs and engines.
+    (num_perm,) min per document over the affine family
+    h_i(x) = ((a_i*x + b_i) wrap 2^64) mod p — the product wraps at 64 bits
+    before the Mersenne reduction (numpy-native; a well-mixing hash, though
+    not the textbook universal family). Deterministic (fixed seed), so
+    signatures are stable across runs and engines.
     """
     a, b = _perm_params(num_perm, seed)
     prime = np.uint64(0x100000001B3)
@@ -145,6 +157,11 @@ def minhash_lsh_pairs(
     (e.g. boilerplate-dominated corpora) — capped buckets are dropped, which
     trades recall for a hard bound on join fan-out; at 100 TB this is the
     difference between a bounded job and a quadratic one.
+
+    Note: the signatures DataFrame is persisted (it feeds both sides of the
+    candidate join); the cache is released when the session drops it —
+    long-running pipelines reusing one session should unpersist via
+    ``spark.catalog.clearCache()`` between corpora if memory-pressured.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -208,7 +225,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over whitespace tokens, computed
     entirely with JVM-side expressions (xxhash64 + bit arithmetic), so it
     stays inside whole-stage codegen."""
-    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     # per-bit weighted sum: sum over tokens of (+1 if bit set else -1)
     bit_cols = []
     th = F.transform(tokens, lambda t: F.xxhash64(t))
@@ -233,6 +252,11 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash hamming distance, via 4-segment blocking:
     if hamming(a,b) <= 3, at least one of the four 16-bit segments is equal
     (pigeonhole), so candidates = pairs sharing any segment value."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-segment blocking only guarantees recall for hamming <= 3; "
+            "use more segments for a larger radius"
+        )
     sh = simhash(df, id_col, text_col)
     seg = sh.select(
         "id",
@@ -288,7 +312,9 @@ def ngram_jaccard_pairs(
     jaccard = common / (|A| + |B| - common). Length prefilter: |A| and |B|
     within a factor of threshold of each other, else jaccard can't reach it.
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -349,7 +375,7 @@ def cosine_neardup_pairs(
     similarity.lsh_cosine_topk) so only same-bucket pairs are scored — the
     100 TB path; recall < 1 near the threshold, rising with n_tables.
     """
-    from .similarity import _bucket_expr, _hyperplanes, cosine_similarity_col
+    from .similarity import _hyperplanes, cosine_similarity_col
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
@@ -358,23 +384,31 @@ def cosine_neardup_pairs(
     else:
         if dim is None:
             raise ValueError("approximate=True requires dim")
-        cands = None
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, 42 + t)
-            ab = df.select(
-                F.col(id_col).alias("id_a"),
-                F.col(vec_col).alias("__va"),
-                _bucket_expr(F.col(vec_col), planes).alias("__bucket"),
-            )
-            bb = df.select(
-                F.col(id_col).alias("id_b"),
-                F.col(vec_col).alias("__vb"),
-                _bucket_expr(F.col(vec_col), planes).alias("__bucket"),
-            )
-            j = ab.join(bb, "__bucket").where(F.col("id_a") < F.col("id_b"))
-            j = j.select("id_a", "id_b", "__va", "__vb")
-            cands = j if cands is None else cands.unionByName(j)
-        pairs = cands.dropDuplicates(["id_a", "id_b"])
+        # single-pass bucketing (one Arrow matmul for every table), keyed by
+        # (table, bucket) -- same machinery as similarity.lsh_cosine_topk
+        planes = [_hyperplanes(dim, n_planes, 42 + t) for t in range(n_tables)]
+        from .similarity import _all_table_buckets
+
+        buckets = _all_table_buckets(planes)
+        keyed = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            F.posexplode(buckets(F.col(vec_col))).alias("__table", "__bucket"),
+        )
+        ab = keyed.select(
+            F.col("id").alias("id_a"), F.col("__v").alias("__va"),
+            "__table", "__bucket",
+        )
+        bb = keyed.select(
+            F.col("id").alias("id_b"), F.col("__v").alias("__vb"),
+            "__table", "__bucket",
+        )
+        pairs = (
+            ab.join(bb, ["__table", "__bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     cos = cosine_similarity_col(F.col("__va"), F.col("__vb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))

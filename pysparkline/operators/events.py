@@ -34,6 +34,7 @@ def session_stats(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
+    value_col: str = "value",
 ) -> DataFrame:
     """One row per session: event count, span seconds, value sum (exact
     decimal)."""
@@ -46,7 +47,7 @@ def session_stats(
             (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
             / F.lit(1000000.0)
         ).alias("span_seconds"),
-        F.sum(F.expr("CAST(value AS DECIMAL(12,2))")).alias("value_sum"),
+        F.sum(F.col(value_col).cast("decimal(12,2)")).alias("value_sum"),
     )
 
 
@@ -106,6 +107,12 @@ def funnel(
     """Ordered-sequence funnel: per user, the furthest step reached where each
     step strictly follows the previous one, with the whole sequence inside
     ``max_span`` of the first step. Returns (user, steps_completed).
+
+    Semantics note: the span window anchors at the user's EARLIEST step-0
+    event (first-touch attribution). A user whose only completed sequence
+    starts at a later step-0 occurrence counts as incomplete — the
+    any-qualifying-window variant needs per-occurrence state and is out of
+    scope here.
 
     Scale shape: one shuffle on user_col; per-user state is the min timestamp
     of each step-so-far (a running min over an ordered window is unnecessary —

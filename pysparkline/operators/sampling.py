@@ -43,6 +43,13 @@ def mix_sources(
     pipeline): each source is independently subsampled at its weight and
     tagged. Weights are sampling RATES (0..1], not normalized proportions —
     compute rates upstream from target token budgets."""
+    unknown = set(weights) - set(sources)
+    missing = set(sources) - set(weights)
+    if unknown or missing:
+        raise ValueError(
+            f"weights must cover every source exactly: unknown={sorted(unknown)}"
+            f" missing={sorted(missing)} (pass an explicit 0.0 to drop a source)"
+        )
     out = None
     for name in sorted(sources):
         rate = weights.get(name, 0.0)

@@ -7,7 +7,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# tiny per-language stopword lists for the n-gram/stopword language heuristic
+# tiny per-language stopword lists for the n-gram/stopword language heuristic.
+# NOTE: whitespace tokenization means zh only matches artificially
+# space-separated text; real unsegmented Chinese detects as 'und' — a
+# character-n-gram scorer is the upgrade path.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
     "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "für"],
