@@ -345,10 +345,19 @@ class OlapIndex:
         return None if info is None else info.get("ndv")
 
     def time_bounds(self) -> tuple[datetime, datetime]:
-        fmt = "%Y-%m-%d %H:%M:%S"
         lo = self.manifest["flat"]["timeMin"].split(".")[0]
         hi = self.manifest["flat"]["timeMax"].split(".")[0]
-        return datetime.strptime(lo, fmt), datetime.strptime(hi, fmt)
+
+        def parse(s: str) -> datetime:
+            # DATE-typed time columns store date-only strings in the manifest
+            for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+                try:
+                    return datetime.strptime(s, fmt)
+                except ValueError:
+                    continue
+            raise ValueError(f"unparseable manifest time bound {s!r}")
+
+        return parse(lo), parse(hi)
 
 
 def _norm_expr(e: str) -> str:

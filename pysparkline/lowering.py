@@ -165,7 +165,8 @@ def filter_to_column(spec: ir.FilterSpec) -> Column:
 
 
 def _parse_iso(s: str) -> datetime:
-    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S.%f",
+                "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
         try:
             return datetime.strptime(s, fmt)
         except ValueError:
@@ -182,7 +183,11 @@ def interval_aligned(iv: ir.Interval, granularity: str) -> bool:
             return True
         d = _parse_iso(s)
         if d != d.replace(hour=0, minute=0, second=0, microsecond=0):
-            return granularity in ("hour", "minute") and d.minute == d.second == 0
+            if granularity == "hour":
+                return d.minute == d.second == d.microsecond == 0
+            if granularity == "minute":
+                return d.second == d.microsecond == 0
+            return False
         if granularity == "year":
             return d.month == 1 and d.day == 1
         if granularity == "quarter":

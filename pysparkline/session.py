@@ -85,9 +85,16 @@ class OlapContext:
     def _base_df(self) -> DataFrame | None:
         if self.base_tables is None or self.star is None:
             return None
-        from .index import flatten_star
+        # memoized: plan() passes this on every query but it's only consumed
+        # on the rare base fallback; rebuilding the star join per query costs
+        # N py4j join constructions of pure driver latency
+        cached = getattr(self, "_base_df_cache", None)
+        if cached is None:
+            from .index import flatten_star
 
-        return flatten_star(self.spark, self.base_tables, self.star)
+            cached = flatten_star(self.spark, self.base_tables, self.star)
+            self._base_df_cache = cached
+        return cached
 
     def plan(self, spec: ir.QuerySpec):
         spec = transforms.optimize(spec)

@@ -121,7 +121,12 @@ def _const_value(node: dict):
     v = node["value"]
     if v.get("is_null"):
         return None
-    return v["value"]
+    val = v["value"]
+    if v["type"]["id"] == "DECIMAL":
+        # DuckDB serializes 2.5 as value=25/scale=1: unscale it
+        scale = (v["type"].get("type_info") or {}).get("scale", 0)
+        return val / (10 ** scale) if scale else val
+    return val
 
 
 def _is_const(node: dict) -> bool:
@@ -139,7 +144,8 @@ def _render_const(node: dict) -> str:
     tid = v["type"]["id"]
     val = v["value"]
     if tid == "VARCHAR":
-        return "'" + str(val).replace("'", "\\'") + "'"
+        s = str(val).replace("\\", "\\\\").replace("'", "\\'")
+        return "'" + s + "'"
     if tid == "DATE":
         return f"DATE '{val}'"
     if tid == "TIMESTAMP":
@@ -286,8 +292,12 @@ def _flatten_from(node: dict, tables: list[str], pairs: list[tuple[str, str]]):
         _flatten_from(node["left"], tables, pairs)
         _flatten_from(node["right"], tables, pairs)
         cond = node.get("condition")
-        if cond is not None:
-            _join_pairs(cond, pairs)
+        if cond is None:
+            # comma-style cross joins and USING joins carry no ON condition;
+            # dropping them silently would rewrite a cross product (or a
+            # non-star USING join) onto the pre-joined flat star
+            raise SQLFrontError("JOIN without ON condition (cross/USING)")
+        _join_pairs(cond, pairs)
         return
     if t == "CROSS_PRODUCT":
         raise SQLFrontError("cross product in FROM")
@@ -491,7 +501,12 @@ def _agg_spec(node: dict, name: str) -> ir.AggSpec:
     if filt is not None:
         inner = dict(node)
         inner["filter"] = None
-        return ir.FilteredAgg(name, _to_filter(filt), _agg_spec(inner, name))
+        inner_spec = _agg_spec(inner, name)
+        if not isinstance(inner_spec, (ir.CountAgg, ir.FieldAgg, ir.ExprAgg)):
+            raise SQLFrontError(
+                f"FILTER over {type(inner_spec).__name__} unsupported"
+            )
+        return ir.FilteredAgg(name, _to_filter(filt), inner_spec)
     if fn == "count_star" or (fn == "count" and not ch):
         return ir.CountAgg(name)
     if fn == "count" and node.get("distinct"):
@@ -569,6 +584,11 @@ def _analyze_select(
             group_nodes.append(g)
 
     group_keys = [_strip(g) for g in group_nodes]
+    name_by_key: dict[str, str] = {}
+
+    def _gk(stripped) -> str:
+        return json.dumps(stripped, sort_keys=True)
+
     n_aggs = 0
 
     def out_name_of(item: dict, i: int) -> str:
@@ -603,10 +623,12 @@ def _analyze_select(
                 a.time_output_name = name
                 a.output_order.append(name)
                 dim_out_names.append(name)
+                name_by_key[_gk(s)] = name
                 continue
             a.dims.append(d)
             a.output_order.append(d.out)
             dim_out_names.append(d.out)
+            name_by_key[_gk(s)] = d.out
         elif _contains_agg(item):
             name = item.get("alias") or f"agg_{i}"
             if (
@@ -630,23 +652,18 @@ def _analyze_select(
             # plain projection (select query) — handled by caller
             a.output_order.append(out_name_of(item, i))
 
-    # group-by expressions not in the select list still group (but don't project)
+    # group-by expressions not in the select list still group (but don't
+    # project); they get hidden dim names shared with grouping-set resolution
     for g, gn in zip(group_keys, group_nodes):
-        found = any(_strip(item) == g for item in select_list)
-        if not found:
+        if _gk(g) not in name_by_key:
             name = gn.get("alias") or f"__dim_{len(a.dims)}"
             a.dims.append(_dim_spec(gn, name, time_col))
+            name_by_key[_gk(g)] = name
 
-    # grouping sets (CUBE/ROLLUP/GROUPING SETS): indexes into group list
+    # grouping sets (CUBE/ROLLUP/GROUPING SETS): indexes into group list,
+    # resolved through the same name map the dims carry
     if len(group_sets_idx) > 1:
-        all_names = []
-        for gn in group_nodes:
-            s = _strip(gn)
-            nm = None
-            for item in select_list:
-                if _strip(item) == s:
-                    nm = out_name_of(item, select_list.index(item))
-            all_names.append(nm or (gn.get("alias") or "?"))
+        all_names = [name_by_key[_gk(g)] for g in group_keys]
         a.grouping_sets = [
             [all_names[i] for i in gset] for gset in group_sets_idx
         ]
@@ -907,6 +924,12 @@ def parse_sql(
     is_distinct = any(
         m.get("type") == "DISTINCT_MODIFIER" for m in node.get("modifiers", [])
     )
+
+    if is_distinct and (has_agg or has_group):
+        # SELECT DISTINCT over an aggregate/grouped query can drop rows the
+        # GroupBy mapping would keep (e.g. GROUP BY a superset of the select
+        # list) — outside the surface, fall back
+        raise SQLFrontError("SELECT DISTINCT with GROUP BY/aggregates")
 
     if is_distinct and not has_agg and not has_group:
         # SELECT DISTINCT cols -> GroupBy on those columns with no aggregates

@@ -222,6 +222,50 @@ def test_sql_on_second_index(spark, duck):
     assert ectx.query_history[-1].backing == "cube"
 
 
+def test_decimal_literals(ctx, duck):
+    """Fractional literals must unscale (DuckDB stores 0.05 as value=5,
+    scale=2 in its AST)."""
+    assert_same(ctx, duck, """
+SELECT l_linestatus, count(*) AS n FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity > 2.5
+GROUP BY l_linestatus""")
+    spec = ctx._parse_sql(
+        "SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05"
+    )
+    assert spec.filter.lower == 0.05
+
+
+def test_cross_and_using_joins_fall_back(ctx):
+    from pysparkline.sqlfront import SQLFrontError
+
+    with pytest.raises(SQLFrontError):
+        ctx._parse_sql("SELECT count(*) AS n FROM lineitem, part")
+    with pytest.raises(SQLFrontError):
+        ctx._parse_sql(
+            "SELECT count(*) AS n FROM lineitem JOIN orders USING (l_orderkey)"
+        )
+
+
+def test_rollup_with_unprojected_group_col(ctx, duck):
+    """ROLLUP over a column absent from the select list must still group by
+    it per set (hidden-dim naming shared with grouping-set resolution)."""
+    assert_same(ctx, duck, """
+SELECT count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag)""")
+
+
+def test_distinct_with_group_by_falls_back(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT DISTINCT l_returnflag FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+    assert ctx.query_history[-1].backing == "sparksql"
+
+
+def test_filtered_avg_falls_back(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT l_returnflag, avg(l_quantity) FILTER (WHERE l_linestatus = 'F') AS fa
+FROM lineitem GROUP BY l_returnflag""")
+    assert ctx.query_history[-1].backing == "sparksql"
+
+
 def test_explain_rewrite_sql(ctx):
     txt = ctx.explain_rewrite(
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
