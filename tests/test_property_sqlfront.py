@@ -43,6 +43,10 @@ def predicates(draw):
                            unique=True))
         return f"{c} IN ({', '.join(repr(v) for v in vs)})"
     if kind == "between":
+        if draw(st.booleans()):
+            lo = draw(st.integers(0, 5))
+            hi = draw(st.integers(5, 10))
+            return f"l_discount BETWEEN 0.0{lo} AND 0.0{hi}"
         lo = draw(st.integers(0, 25))
         hi = draw(st.integers(26, 50))
         return f"l_quantity BETWEEN {lo} AND {hi}"
