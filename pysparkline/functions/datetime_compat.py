@@ -154,7 +154,11 @@ def second_of_minute(c) -> Column:  # "ss"
 
 
 def millis_of_second(c) -> Column:
-    return (F.expr(f"extract(MICROSECOND FROM {_sql(c)})") / 1000).cast("int")
+    # extract(MICROSECOND) was removed from Spark's extract (SPARK-31507);
+    # derive from the epoch-microsecond remainder instead
+    return ((F.unix_micros(_col(c).cast("timestamp")) % 1_000_000) / 1000).cast(
+        "int"
+    )
 
 
 def _sql(c) -> str:

@@ -226,13 +226,14 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
         sel.append(expr)
         group_names.append(name)
     if q.granularity != "all":
-        sel.append(
-            f"CAST(date_trunc('{q.granularity}', {time_col}) AS DATE)"
-            f" AS {q.time_output_name}"
-        )
+        if q.grouping_sets is not None:
+            raise NotPortable("grouping sets with a time granularity")
+        bucket = f"date_trunc('{q.granularity}', {time_col})"
+        if q.granularity in ("year", "quarter", "month", "week", "day"):
+            bucket = f"CAST({bucket} AS DATE)"  # sub-day grains keep the time
+        sel.append(f"{bucket} AS {q.time_output_name}")
         group_names.append(q.time_output_name)
-    aggs, _ = _portable_aggs(q)
-    sel.extend(agg_to_sql(a, dialect) for a in aggs)
+    sel.extend(agg_to_sql(a, dialect) for a in q.aggregations)
 
     # post-aggs / having carry Spark SQL text over agg OUTPUT names; that
     # surface is dialect-shared arithmetic except for backtick quoting
@@ -272,10 +273,6 @@ def _portable_expr(expr: str, dialect: str) -> str:
         raise NotPortable(f"post-agg expr not portable: {expr}")
     quote = '"' if dialect == "duckdb" else "`"
     return expr.replace("`", quote)
-
-
-def _portable_aggs(q):
-    return list(q.aggregations), None
 
 
 def _nulls(direction: str) -> str:

@@ -266,8 +266,10 @@ class FDGraph:
             # col determines these: they don't multiply cardinality
             determiners = [c for c in remaining if self.determines(c, col)]
             if determiners:
-                # some later column determines col; defer to it
-                remaining = [c for c in remaining if c not in determined]
+                # a later column determines col: defer to it, but keep the
+                # rest of the group in play — stripping `determined` here too
+                # would drop a mutually-determining (1-1) group entirely and
+                # estimate cardinality 1
                 continue
             total *= max(1.0, cardinality.get(col, 1.0))
             remaining = [c for c in remaining if c not in determined]

@@ -86,10 +86,31 @@ class StreamingIngest:
         self.index = index
         self.batches_seen = 0
         self.rows_ingested = 0
+        self._state_path = os.path.join(index.path, "_ingest_state.json")
+
+    def _committed_batch(self) -> int:
+        try:
+            with open(self._state_path) as fh:
+                return json.load(fh).get("lastBatchId", -1)
+        except (OSError, ValueError):
+            return -1
+
+    def _commit_batch(self, batch_id: int) -> None:
+        with open(self._state_path, "w") as fh:
+            json.dump({"lastBatchId": batch_id}, fh)
 
     # ------------------------------------------------------------------ sink
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Append one micro-batch of *flattened star rows* to the index."""
+        """Append one micro-batch of *flattened star rows* to the index.
+
+        foreachBatch is at-least-once: after a crash between the append and
+        the checkpoint commit, Spark replays the same batch_id. A committed
+        high-water mark makes the replay a no-op (a crash strictly inside the
+        append window can still duplicate — plain Parquet has no transaction;
+        the Delta/Iceberg swap noted above closes that window too).
+        batch_id < 0 (the batch append API) bypasses the mark."""
+        if batch_id >= 0 and batch_id <= self._committed_batch():
+            return
         cfg = self.index.config
         t = cfg.time_col
         batch_df = batch_df.persist()
@@ -114,6 +135,8 @@ class StreamingIngest:
             self.batches_seen += 1
             self.rows_ingested += n
             self._update_manifest(batch_df, n)
+            if batch_id >= 0:
+                self._commit_batch(batch_id)
             # memoized relations hold a stale file listing after append
             self.index.invalidate()
         finally:
@@ -124,10 +147,18 @@ class StreamingIngest:
         lo, hi = batch_df.agg(F.min(t), F.max(t)).collect()[0]
         m = self.index.manifest
         m["flat"]["rowCount"] = m["flat"].get("rowCount", 0) + n
-        if lo is not None and str(lo) < m["flat"]["timeMin"]:
-            m["flat"]["timeMin"] = str(lo)
-        if hi is not None and str(hi) > m["flat"]["timeMax"]:
-            m["flat"]["timeMax"] = str(hi)
+
+        def absent(v) -> bool:  # empty initial build stores str(None)
+            return v in (None, "None", "")
+
+        if lo is not None:
+            cur = m["flat"].get("timeMin")
+            if absent(cur) or str(lo) < cur:
+                m["flat"]["timeMin"] = str(lo)
+        if hi is not None:
+            cur = m["flat"].get("timeMax")
+            if absent(cur) or str(hi) > cur:
+                m["flat"]["timeMax"] = str(hi)
         with open(os.path.join(self.index.path, "manifest.json"), "w") as fh:
             json.dump(m, fh, indent=1, default=str)
 
@@ -150,7 +181,14 @@ class StreamingIngest:
     def compact(self, cube_name: str) -> None:
         """Re-merge appended partials so each (bucket, dims) group is one row
         again. Pure performance maintenance — queries are correct without it.
-        Uses overwrite-via-temp so readers never see a half-written cube."""
+
+        Concurrency contract: run in a maintenance window. A batch appended
+        between the initial read and the final overwrite would be lost, and
+        a reader racing the overwrite can observe a partially-replaced
+        directory — plain Parquet directories are not transactional (swap
+        ``_append``/this rewrite for Delta/Iceberg commits to lift both
+        restrictions). The temp-dir staging only bounds the inconsistency
+        window; it does not eliminate it."""
         spark = self.index.spark
         cfg = self.index.config
         info = self.index.manifest["cubes"][cube_name]

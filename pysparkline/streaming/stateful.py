@@ -7,7 +7,10 @@ with event-time timeouts.
 
 ``streaming_sessionize`` — gap-based sessions over an event stream:
 state per user = (open-session start, last event time, event count), all as
-epoch-microsecond longs (Arrow-friendly, timezone-proof). A session closes
+epoch-microsecond longs. Requires the session timezone to be UTC (the engine
+pins it — get_spark/prep): Arrow hands the UDF tz-naive timestamps, so under
+a non-UTC session zone the event-time timeout target would be offset by the
+zone and sessions would flush early. A session closes
 when a later event arrives more than ``gap`` after the last one (emitted
 immediately) or when the event-time watermark passes last+gap (timeout path —
 so idle users' final sessions DO emit without waiting for their next visit).

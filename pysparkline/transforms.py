@@ -108,7 +108,11 @@ def _merge_bounds_in(f: ir.FilterSpec) -> ir.FilterSpec:
             by_dim: dict[str, ir.BoundFilter] = {}
             out = []
             for x in fields:
-                if isinstance(x, ir.BoundFilter) and x.ordering == "numeric":
+                if (
+                    isinstance(x, ir.BoundFilter)
+                    and x.ordering == "numeric"
+                    and _numeric_bounds(x)
+                ):
                     cur = by_dim.get(x.dimension)
                     if cur is None:
                         by_dim[x.dimension] = x
@@ -124,6 +128,15 @@ def _merge_bounds_in(f: ir.FilterSpec) -> ir.FilterSpec:
     if isinstance(f, ir.NotFilter):
         return ir.NotFilter(_merge_bounds_in(f.field_))
     return f
+
+
+def _numeric_bounds(f: ir.BoundFilter) -> bool:
+    """Only genuinely numeric bounds merge — mixed/str values would compare
+    lexicographically (wrong merge) or raise (str vs int)."""
+    return all(
+        v is None or (isinstance(v, (int, float)) and not isinstance(v, bool))
+        for v in (f.lower, f.upper)
+    )
 
 
 def _merge_two_bounds(a: ir.BoundFilter, b: ir.BoundFilter) -> ir.BoundFilter:

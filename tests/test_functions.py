@@ -64,6 +64,23 @@ def test_comparisons(df):
     assert n == 2
 
 
+def test_millis_and_weekyear(df):
+    from pysparkline import functions as dtf
+
+    rows = df.select(
+        dtf.millis_of_second("ts").alias("ms"),
+        dtf.weekyear("ts").alias("wy"),
+    ).collect()
+    assert rows[0].ms == 0 and rows[0].wy == 1996
+    import datetime
+
+    spark = df.sparkSession
+    frac = spark.createDataFrame(
+        [(datetime.datetime(2020, 1, 1, 0, 0, 1, 456000),)], "ts timestamp"
+    )
+    assert frac.select(dtf.millis_of_second("ts").alias("ms")).collect()[0].ms == 456
+
+
 def test_no_python_udf_in_plan(df):
     """Every compat function must stay JVM-side (no BatchEvalPython)."""
     from pysparkline import functions as dtf

@@ -81,6 +81,14 @@ def test_fd_one_to_one_bidirectional():
     assert g.determines("a", "b") and g.determines("b", "a")
 
 
+def test_fd_cardinality_one_to_one_group():
+    """A mutually-determining (1-1) pair must count ONE member, not zero."""
+    g = FDGraph([FunctionalDependency("a", "b", ONE_TO_ONE)])
+    card = {"a": 100.0, "b": 100.0}
+    assert g.estimate_cardinality(["a", "b"], card) == 100.0
+    assert g.estimate_cardinality(["b", "a"], card) == 100.0
+
+
 def test_fd_cardinality_collapse():
     # nation determines region: grouping by both costs only |nation|
     g = FDGraph([FunctionalDependency("nation", "region", N_TO_ONE)])
