@@ -1311,6 +1311,31 @@ def events_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+GROUP BY hr ORDER BY hr
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-day (hour) granularity timeseries: finer than the day-grain cube,
+    so the planner correctly answers from the flat backing with the interval
+    pruned to one partition."""
+    ctx = _events_ctx(spark, sf_dir)
+    spec = ir.TimeseriesQuery(
+        granularity="hour",
+        time_output_name="hr",
+        intervals=[ir.Interval("2024-01-10", "2024-01-11")],
+        aggregations=[ir.CountAgg("n")],
+    )
+    out = ctx.query(spec).orderBy("hr")
+    assert ctx.query_history[-1].backing == "flat"
+    return out
+
+
+@_register(
     "grouped_topn_brands",
     FLAT_CTE
     + """

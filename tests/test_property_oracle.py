@@ -131,6 +131,7 @@ def groupby_specs(draw):
         post.append(ir.ArithmeticPostAgg("pa", "`m0` + `m1`"))
     return ir.GroupByQuery(
         dimensions=ds,
+        granularity=draw(st.sampled_from(["all", "all", "year", "month", "day"])),
         filter=draw(st.one_of(st.just(None), filters)),
         aggregations=ags,
         post_aggregations=post,

@@ -136,6 +136,40 @@ def test_append_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_replayed_batch_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a committed batch_id must not
+    double-count (the committed high-water mark)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline import tpch
+    from pysparkline.index import OlapIndex, flatten_star
+    from pysparkline.session import OlapContext
+    from pysparkline.streaming import StreamingIngest
+
+    tables = tpch.load_star_tables(spark, SF)
+    star = tpch.tpch_star(tables)
+    cfg = tpch.tpch_index_config()
+    fact = tables["lineitem"]
+    half = dict(tables, lineitem=fact.where(F.col("l_orderkey") % 2 == 0))
+    flat1 = flatten_star(spark, half, star).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    idx = OlapIndex.build(
+        spark, flat1, cfg, str(tmp_path / "idx"), star=star, compute_ndv=False
+    )
+    rest = dict(tables, lineitem=fact.where(F.col("l_orderkey") % 2 == 1))
+    flat2 = flatten_star(spark, rest, star).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    ingest = StreamingIngest(idx)
+    ingest.process_batch(flat2, 5)
+    before = _q1(OlapContext(spark, idx))
+    ingest.process_batch(flat2, 5)  # replay: must be a no-op
+    ingest.process_batch(flat2, 3)  # stale id: also a no-op
+    assert _q1(OlapContext(spark, idx)) == before
+    assert ingest.batches_seen == 1
+
+
 def test_interleaved_append_compact(spark, tmp_path):
     """Appends and compactions interleaved in arbitrary order must keep every
     query answer equal to the batch-built index (the monoid property under
