@@ -787,13 +787,13 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q14",
     f"""
-SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%%'
+SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
                               THEN {PRICE} * {ONE_MINUS_DISC} END)
             AS DOUBLE)
        / CAST(SUM({PRICE} * {ONE_MINUS_DISC}) AS DOUBLE) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
-""".replace("%%", "%"),
+""",
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): filtered-agg ratio over a star join."""

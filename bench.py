@@ -118,10 +118,13 @@ def main() -> None:
 
     raws = {}
     for key, mk in [("raw_q1_sec", raw_q1_df), ("raw_ship_date_range_sec", raw_sdr_df)]:
-        mk().collect()
-        t = time.perf_counter()
-        mk().collect()
-        raws[key] = round(time.perf_counter() - t, 4)
+        mk().collect()  # warm
+        best = float("inf")
+        for _ in range(2):  # same best-of-2 statistic as the indexed side
+            t = time.perf_counter()
+            mk().collect()
+            best = min(best, time.perf_counter() - t)
+        raws[key] = round(best, 4)
     raw_q1 = raws["raw_q1_sec"]
 
     total = round(sum(times.values()), 4)

@@ -9,10 +9,6 @@ granularity). The reference supported N datasources the same way
 
 from __future__ import annotations
 
-import hashlib
-import json
-import os
-
 from pyspark.sql import SparkSession
 
 from .index import CubeSpec, IndexConfig, MetricSpec, OlapIndex
@@ -43,19 +39,15 @@ def events_index_config() -> IndexConfig:
 def build_or_load_events_index(
     spark: SparkSession, sf_dir: str, cache_root: str | None = None
 ) -> OlapIndex:
-    cache_root = cache_root or DEFAULT_CACHE_ROOT
-    config = events_index_config()
-    key_src = json.dumps(
-        {"sf_dir": os.path.abspath(sf_dir), "config": config.to_dict(),
-         "fixture": "events"},
-        sort_keys=True,
+    from .index import cached_build_or_load
+
+    return cached_build_or_load(
+        spark,
+        sf_dir,
+        cache_root or DEFAULT_CACHE_ROOT,
+        "events",
+        events_index_config(),
+        lambda: read_events(spark, sf_dir),
+        star=events_star(),
+        extra_key={"fixture": "events"},
     )
-    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
-    out_dir = os.path.join(
-        cache_root,
-        f"events_{os.path.basename(os.path.normpath(sf_dir))}_{key}",
-    )
-    if os.path.exists(os.path.join(out_dir, "manifest.json")):
-        return OlapIndex.load(spark, out_dir)
-    flat = read_events(spark, sf_dir)
-    return OlapIndex.build(spark, flat, config, out_dir, star=events_star())

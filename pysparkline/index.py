@@ -139,6 +139,37 @@ def flatten_star(
     return df
 
 
+def cached_build_or_load(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_root: str,
+    prefix: str,
+    config: "IndexConfig",
+    flat_fn,
+    star: StarSchema | None = None,
+    extra_key: dict | None = None,
+) -> "OlapIndex":
+    """Build an index once per (sf_dir, config[, extra_key]) and reuse it from
+    ``cache_root`` after — the shared cache protocol for fixtures.
+    ``flat_fn()`` is only invoked on a cache miss."""
+    import hashlib
+
+    key_src = json.dumps(
+        {
+            "sf_dir": os.path.abspath(sf_dir),
+            "config": config.to_dict(),
+            **(extra_key or {}),
+        },
+        sort_keys=True,
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(cache_root, f"{prefix}_{base}_{key}")
+    if os.path.exists(os.path.join(out_dir, MANIFEST)):
+        return OlapIndex.load(spark, out_dir)
+    return OlapIndex.build(spark, flat_fn(), config, out_dir, star=star)
+
+
 def _bucket_expr(time_col: str, granularity: str):
     if granularity not in _TRUNC:
         raise ValueError(f"unsupported granularity {granularity!r}")

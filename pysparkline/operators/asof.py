@@ -60,15 +60,27 @@ def asof_join(
         F.col(right_ts).alias("__rts"),
     )
 
+    # deterministic tie-break among right rows at equal (key, ts): order by
+    # the payload struct itself, so F.last always picks the same row
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__right").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     annotated = (
         l_tagged.unionByName(r_tagged)
         .withColumn("__last_right", F.last("__right", ignorenulls=True).over(w))
         .withColumn("__last_rts", F.last("__rts", ignorenulls=True).over(w))
+    )
+
+    # SQL join equality never matches NULL = NULL: left rows with a NULL key
+    # must come out unmatched, not annotated from the NULL-key partition
+    annotated = annotated.withColumn(
+        "__last_right",
+        F.when(F.col("__key").isNotNull(), F.col("__last_right")),
+    ).withColumn(
+        "__last_rts",
+        F.when(F.col("__key").isNotNull(), F.col("__last_rts")),
     )
 
     out = annotated.where(F.col("__side") == 1)

@@ -21,7 +21,7 @@ def sessionize(
     # integer-microsecond gap: exact, engine-portable boundary comparison
     gap_us = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
     new_session = F.when(
-        gap_us.isNull() | (gap_us > int(gap_minutes * 60 * 1_000_000)), F.lit(1)
+        gap_us.isNull() | (gap_us > round(gap_minutes * 60 * 1_000_000)), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn("__new", new_session).withColumn(
         "session_seq",
@@ -86,6 +86,10 @@ def grouped_topn(
     """Top-k rows per group (partitioned TopN — the per-group analog of the
     TopN query shape). One shuffle on the group keys; rank computed in-
     partition; deterministic via tiebreak columns."""
+    if "rank" in df.columns:
+        raise ValueError(
+            "input already has a 'rank' column; rename it before grouped_topn"
+        )
     order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
     for c in tiebreak_cols or []:
         order.append(F.col(c).asc())

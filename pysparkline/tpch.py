@@ -57,7 +57,12 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark cannot read
     natively; read nanos as long and convert to microsecond timestamps with
     integer division (epoch-nanos exceed double precision, so no float math).
-    The testdata has microsecond precision only, so no information is lost."""
+    The testdata has microsecond precision only, so no information is lost.
+
+    NOTE: sets spark.sql.legacy.parquet.nanosAsLong for the whole session
+    (the conf is consulted lazily at scan time, so it cannot be restored
+    around this call) — nano-timestamped parquet read elsewhere in the same
+    session will also arrive as bigint."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
@@ -165,8 +170,10 @@ def tpch_index_config() -> IndexConfig:
     )
 
 
-def flat_star_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The denormalized star + derived order_year (FIXTURES.md §1)."""
+def flat_star_df(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, StarSchema]:
+    """(denormalized star + derived order_year, star schema) — FIXTURES.md §1."""
     tables = load_star_tables(spark, sf_dir)
     star = tpch_star(tables)
     return flatten_star(spark, tables, star).withColumn(
@@ -184,16 +191,19 @@ def build_or_load_index(
 
     Cache key = sf_dir + config, so config changes invalidate cleanly.
     """
-    cache_root = cache_root or DEFAULT_CACHE_ROOT
-    config = tpch_index_config()
-    key_src = json.dumps(
-        {"sf_dir": os.path.abspath(sf_dir), "config": config.to_dict()},
-        sort_keys=True,
+    from .index import cached_build_or_load
+
+    def flat_fn():
+        flat, _ = flat_star_df(spark, sf_dir)
+        return flat
+
+    tables = load_star_tables(spark, sf_dir)
+    return cached_build_or_load(
+        spark,
+        sf_dir,
+        cache_root or DEFAULT_CACHE_ROOT,
+        "tpch",
+        tpch_index_config(),
+        flat_fn,
+        star=tpch_star(tables),
     )
-    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
-    out_dir = os.path.join(cache_root, f"tpch_{os.path.basename(os.path.normpath(sf_dir))}_{key}")
-    manifest = os.path.join(out_dir, "manifest.json")
-    if os.path.exists(manifest):
-        return OlapIndex.load(spark, out_dir)
-    flat, star = flat_star_df(spark, sf_dir)
-    return OlapIndex.build(spark, flat, config, out_dir, star=star)
