@@ -1523,6 +1523,41 @@ def topn_low_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_monthly_brand",
+    f"""
+WITH agg AS (
+  SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+         CAST(SUM({PRICE}) AS DOUBLE) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+  GROUP BY p_brand, mo
+)
+SELECT p_brand, mo, rev FROM (
+  SELECT p_brand, mo, rev,
+         row_number() OVER (PARTITION BY mo ORDER BY rev DESC, p_brand) AS rk
+  FROM agg
+) WHERE rk <= 2
+ORDER BY mo, rev DESC, p_brand
+""",
+)
+def topn_monthly_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granular TopN (DruidQuerySpec.scala:767-868 TopN WITH granularity):
+    top-2 brands per month by revenue — per-bucket ranking, not global."""
+    spec = ir.TopNQuery(
+        dimension=ir.DefaultDim("p_brand"),
+        metric="rev",
+        threshold=2,
+        granularity="month",
+        time_output_name="mo",
+        intervals=[ir.Interval("1996-01-01", "1996-07-01")],
+        aggregations=[ir.ExprAgg("sum", "rev_dec", PRICE)],
+        post_aggregations=[ir.ArithmeticPostAgg("rev", "CAST(`rev_dec` AS DOUBLE)")],
+        output_order=["p_brand", "mo", "rev"],
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
     "quality_docs",
     r"""
 WITH s AS (

@@ -495,10 +495,12 @@ class TopNQuery(QuerySpec):
     metric: str = ""
     threshold: int = 10
     inverted: bool = False  # ascending ("inverted" metric spec :478-506)
+    granularity: str = "all"  # != all => top-k PER time bucket (Druid TopN)
     filter: Optional[FilterSpec] = None
     aggregations: list = field(default_factory=list)
     post_aggregations: list = field(default_factory=list)
     intervals: list = field(default_factory=list)
+    time_output_name: str = "__time"
     output_order: Optional[list] = None
 
 

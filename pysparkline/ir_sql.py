@@ -187,6 +187,11 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
         return sql
 
     if isinstance(q, ir.TopNQuery):
+        if getattr(q, "granularity", "all") not in ("all",):
+            raise NotPortable(
+                "granular TopN is per-bucket ranking (window SQL), not a "
+                "global ORDER BY/LIMIT"
+            )
         g = ir.GroupByQuery(
             dimensions=[q.dimension],
             filter=q.filter,

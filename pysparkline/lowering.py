@@ -589,7 +589,11 @@ def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:
     df = _apply_filters(backing.df, backing, q)
     dim = dim_to_column(q.dimension, backing)
     aggs, avg_post = _decompose_avgs(list(q.aggregations))
-    out = df.groupBy(dim).agg(*_agg_columns(aggs, backing))
+    keys = [dim]
+    if q.granularity not in ("all",):
+        # Druid TopN semantics with a granularity: top-k per time bucket
+        keys.append(_time_bucket_col(backing, q.granularity, q.time_output_name))
+    out = df.groupBy(*keys).agg(*_agg_columns(aggs, backing))
     for name, expr in avg_post:
         out = out.withColumn(name, F.expr(expr))
     internal = [c for c in out.columns if c.startswith("__avg_")]
@@ -598,13 +602,29 @@ def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:
     for p in q.post_aggregations:
         out = out.withColumn(p.name, F.expr(p.expr))
     metric = F.col(q.metric).asc() if q.inverted else F.col(q.metric).desc()
-    # deterministic tie-break on the dimension value
-    out = out.orderBy(metric, F.col(q.dimension.out).asc()).limit(q.threshold)
+    if q.granularity not in ("all",):
+        # per-bucket top-k: window rank inside each time bucket (one shuffle
+        # keyed by bucket; the agg above already shuffled on (dim, bucket))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(q.time_output_name).orderBy(
+            metric, F.col(q.dimension.out).asc()
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= q.threshold)
+            .drop("__rk")
+            .orderBy(q.time_output_name, metric, F.col(q.dimension.out).asc())
+        )
+    else:
+        # deterministic tie-break on the dimension value
+        out = out.orderBy(metric, F.col(q.dimension.out).asc()).limit(q.threshold)
     if q.output_order:
         return _project_output_order(out, q.output_order)
     declared = list(
         dict.fromkeys(
             [q.dimension.out]
+            + ([q.time_output_name] if q.granularity not in ("all",) else [])
             + [a.name for a in q.aggregations]
             + [p.name for p in q.post_aggregations]
         )
