@@ -181,3 +181,17 @@ def test_interval_alignment():
     assert not interval_aligned(ir.Interval("1996-02-01", None), "quarter")
     assert interval_aligned(ir.Interval(None, None), "day")
     assert interval_aligned(ir.Interval("1996-01-02", None), "day")
+
+
+def test_interval_alignment_sub_day():
+    # hour cube: hour-aligned endpoints only
+    assert interval_aligned(ir.Interval("1996-01-01 10:00:00", None), "hour")
+    assert not interval_aligned(ir.Interval("1996-01-01 10:30:00", None), "hour")
+    # minute cube: minute-aligned endpoints are fine (regression: the old
+    # check demanded minute == 0 even at minute grain)
+    assert interval_aligned(ir.Interval("1996-01-01 10:30:00", None), "minute")
+    assert not interval_aligned(ir.Interval("1996-01-01 10:30:30", None), "minute")
+    # fractional seconds parse (regression: ValueError) and never align
+    assert not interval_aligned(ir.Interval("1996-01-01 10:30:00.5", None), "minute")
+    # day+ grains reject any intra-day time
+    assert not interval_aligned(ir.Interval("1996-01-01 10:00:00", None), "day")
