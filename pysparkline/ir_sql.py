@@ -108,9 +108,10 @@ def agg_to_sql(a: ir.AggSpec, dialect: str = "duckdb") -> str:
     if isinstance(a, ir.FieldAgg):
         return f"{a.fn.upper()}({a.field_name}) AS {a.name}"
     if isinstance(a, ir.AvgAgg):
-        # faithful to the engine's decomposition: sum / row-count
+        # ANSI avg: sum / non-null count (matches the engine's decomposition)
         return (
-            f"CAST(SUM({a.field_name}) AS DOUBLE) / COUNT(*) AS {a.name}"
+            f"CAST(SUM({a.field_name}) AS DOUBLE) / COUNT({a.field_name})"
+            f" AS {a.name}"
         )
     if isinstance(a, ir.FilteredAgg):
         cond = filter_to_sql(a.filter, dialect)

@@ -32,14 +32,18 @@ from . import ir
 from .index import BUCKET_COL, COUNT_COL, MONTH_COL, OlapIndex
 
 # granularities coarser-or-equal relationships, coarsest first
-_GRAN_ORDER = ["year", "quarter", "month", "week", "day", "hour", "minute", "none"]
+_GRAN_ORDER = [
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second", "none"
+]
 _DATE_GRAINS = {"year", "quarter", "month", "week", "day"}
 
 
 def gran_coarser_or_equal(a: str, b: str) -> bool:
     """True if granularity ``a`` is coarser than or equal to ``b`` (a query at
     grain ``a`` can be answered from data bucketed at grain ``b``). 'week' only
-    aligns with day/hour/..., not with month."""
+    aligns with day/hour/..., not with month. Unknown granularities are never
+    answerable from a bucketed backing (False, not an exception) so the
+    planner rejects the cube and falls back instead of crashing."""
     if a == "all":
         return True
     if b == "none":
@@ -47,8 +51,10 @@ def gran_coarser_or_equal(a: str, b: str) -> bool:
     if a == b:
         return True
     if a == "week":
-        return b in ("day", "hour", "minute")
+        return b in ("day", "hour", "minute", "second")
     if b == "week":
+        return False
+    if a not in _GRAN_ORDER or b not in _GRAN_ORDER:
         return False
     return _GRAN_ORDER.index(a) < _GRAN_ORDER.index(b)
 
@@ -187,6 +193,8 @@ def interval_aligned(iv: ir.Interval, granularity: str) -> bool:
                 return d.minute == d.second == d.microsecond == 0
             if granularity == "minute":
                 return d.second == d.microsecond == 0
+            if granularity == "second":
+                return d.microsecond == 0
             return False
         if granularity == "year":
             return d.month == 1 and d.day == 1
@@ -289,6 +297,18 @@ class AggLoweringError(ValueError):
     planner catches this during eligibility checks and falls back."""
 
 
+def _multi_col_key(cols: list[str]) -> Column:
+    """Unambiguous composite key for multi-column distinct counting: separator
+    + NULL sentinel so ("ab","c") never collides with ("a","bc") and
+    ("a",NULL) with (NULL,"a") — same guard as operators.dedup.exact_dedup."""
+    if len(cols) == 1:
+        return F.col(cols[0]).cast("string")
+    return F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+    )
+
+
 def _raw_agg(a: ir.AggSpec) -> Column:
     fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
     if isinstance(a, ir.CountAgg):
@@ -308,9 +328,7 @@ def _raw_agg(a: ir.AggSpec) -> Column:
             return fns[inner.fn](F.when(cond, F.expr(inner.expr))).alias(a.name)
         raise AggLoweringError(f"unsupported filtered inner agg {inner!r}")
     if isinstance(a, ir.CardinalityAgg):
-        return F.approx_count_distinct(
-            F.concat_ws("", *[F.col(c) for c in a.field_names])
-        ).alias(a.name)
+        return F.approx_count_distinct(_multi_col_key(a.field_names)).alias(a.name)
     if isinstance(a, ir.DistinctAgg):
         return F.countDistinct(F.col(a.field_name)).alias(a.name)
     if isinstance(a, ir.HyperUniqueAgg):
@@ -368,9 +386,7 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
         raise AggLoweringError(f"unsupported filtered inner agg {inner!r}")
     if isinstance(a, ir.CardinalityAgg):
         if set(a.field_names) <= cube_cols:
-            return F.approx_count_distinct(
-                F.concat_ws("", *[F.col(c) for c in a.field_names])
-            ).alias(a.name)
+            return F.approx_count_distinct(_multi_col_key(a.field_names)).alias(a.name)
         # single column with a pre-built sketch: estimate from the HLL
         # (AggregateTransform.scala:454-479 cardinality->hyperUnique switch)
         if len(a.field_names) == 1 and f"hll_{a.field_names[0]}" in cube_cols:
@@ -403,10 +419,12 @@ def _decompose_avgs(
 
     Returns (new_aggs, [(avg_name, post_expr)]). Mirrors the reference's
     mandatory avg decomposition — plain avg over pre-aggregated rows is wrong
-    (SURVEY §7 'hard parts'). Like the reference (Count(1) partial,
-    AggregateTransform.scala:425-441), the divisor is the ROW count: on a
-    null-bearing column this differs from ANSI avg (which divides by the
-    non-null count) — use sum(x)/count(x) explicitly when that matters."""
+    (SURVEY §7 'hard parts'). Unlike the reference (Count(1) partial,
+    AggregateTransform.scala:425-441), the divisor is the NON-NULL count of
+    the column (ANSI avg): count(x) on row-grain backings; on a cube backing
+    FieldAgg('count', x) requires a pre-built non-null-count metric and
+    raises AggLoweringError otherwise, so the planner falls back to the flat
+    backing rather than silently dividing by the row count."""
     out: list[ir.AggSpec] = []
     post: list[tuple[str, str]] = []
     have = {a.name for a in aggs}
@@ -416,7 +434,7 @@ def _decompose_avgs(
             continue
         s, c = f"__avg_sum_{a.name}", f"__avg_cnt_{a.name}"
         out.append(ir.FieldAgg("sum", s, a.field_name))
-        out.append(ir.CountAgg(c))
+        out.append(ir.FieldAgg("count", c, a.field_name))
         post.append((a.name, f"CAST(`{s}` AS DOUBLE) / `{c}`"))
         have.add(s), have.add(c)
     return out, post

@@ -171,9 +171,12 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_k, seed
     ).persist()
+    # band on (id, band, band_hash) ONLY: the full signature (~8B * num_perm
+    # per copy * bands copies) must not ride through the band shuffle or the
+    # candidate dedup — ids are 8 bytes. Signatures are joined back exactly
+    # once per side after dropDuplicates collapses multi-band hits.
     banded = sigs.select(
         "id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -188,7 +191,7 @@ def minhash_lsh_pairs(
     small = banded.withColumn("__bsz", F.count(F.lit(1)).over(bw)).where(
         F.col("__bsz") <= max_bucket
     ).drop("__bsz")
-    pairs = (
+    cand = (
         small.alias("l")
         .join(
             small.alias("r"),
@@ -196,13 +199,13 @@ def minhash_lsh_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     est = F.size(
         F.filter(
@@ -216,33 +219,93 @@ def minhash_lsh_pairs(
     )
 
 
+def shingle_set_col(text, k: int = 5):
+    """Distinct k-character shingles of a text column as an array (JVM-side).
+    For ASCII text char-shingles == the byte shingles minhash hashes, so this
+    is the exact counterpart of the signature estimate."""
+    t = F.coalesce(text, F.lit(""))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    )
+
+
+def verify_pairs_exact_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact-verify candidate pairs: join each (id_a, id_b) back to its texts
+    and compute the true shingle-set Jaccard with JVM expressions, keeping
+    pairs with exact jaccard >= threshold.
+
+    This is the production LSH shape — candidate generation bounds the join,
+    exact verification removes false positives — and it makes the output an
+    oracle-checkable set (DuckDB can compute the same exact Jaccard).
+    Cost: two broadcast-friendly joins over the (small) candidate set only.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__vid"),
+        shingle_set_col(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    j = pairs.join(
+        sh.select(F.col("__vid").alias("id_a"), F.col("__sh").alias("__sa")), "id_a"
+    ).join(
+        sh.select(F.col("__vid").alias("id_b"), F.col("__sh").alias("__sb")), "id_b"
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    jac = F.round(inter.cast("double") / union, round_to)
+    return (
+        j.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .drop("__sa", "__sb")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long exactly
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over whitespace tokens, computed
-    entirely with JVM-side expressions (xxhash64 + bit arithmetic), so it
-    stays inside whole-stage codegen."""
+    """(id, simhash: long) — 60-bit SimHash over whitespace tokens, computed
+    entirely with JVM-side expressions, so it stays inside whole-stage
+    codegen.
+
+    The per-token hash is the first 15 hex chars of md5 (60 bits): md5 is
+    available bit-identically in every engine (Spark, DuckDB, Trino, Python),
+    which makes the whole simhash — and therefore the near-dup pair set —
+    independently recomputable as an oracle. (xxhash64 would be ~2x faster
+    but is Spark-specific.)"""
     tokens = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
     # per-bit weighted sum: sum over tokens of (+1 if bit set else -1)
+    th = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
     bit_cols = []
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
-    for bit in range(64):
+    for bit in range(SIMHASH_BITS):
         contrib = F.aggregate(
             th,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << bit if bit < 63 else -(1 << 63))) != 0, 1)
-            .otherwise(-1),
+            + F.when(h.bitwiseAND(F.lit(1 << bit)) != 0, 1).otherwise(-1),
         )
         bit_cols.append(F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)))
     sh = F.lit(0).cast("long")
     for bit, c in enumerate(bit_cols):
-        sh = sh + (c.cast("long") * F.lit(1 << bit if bit < 63 else -(1 << 63)))
+        sh = sh + (c.cast("long") * F.lit(1 << bit))
     return df.select(F.col(id_col).alias("id"), sh.alias("simhash"))
 
 
@@ -250,21 +313,26 @@ def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, via 4-segment blocking:
-    if hamming(a,b) <= 3, at least one of the four 16-bit segments is equal
-    (pigeonhole), so candidates = pairs sharing any segment value."""
+    if hamming(a,b) <= 3, at least one of the four 15-bit segments is equal
+    (pigeonhole), so candidates = pairs sharing any segment value. Recall is
+    therefore exactly 1.0 for max_hamming <= 3 — the emitted set equals the
+    brute-force set."""
     if max_hamming > 3:
         raise ValueError(
             "4-segment blocking only guarantees recall for hamming <= 3; "
             "use more segments for a larger radius"
         )
     sh = simhash(df, id_col, text_col)
+    seg_bits = SIMHASH_BITS // 4
     seg = sh.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned("simhash", i * seg_bits).bitwiseAND(
+                        F.lit((1 << seg_bits) - 1)
+                    )
                     for i in range(4)
                 ]
             )
@@ -305,12 +373,21 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard similarity pairs above ``threshold``.
 
     Inverted index on n-grams -> per-gram join -> count common grams ->
     jaccard = common / (|A| + |B| - common). Length prefilter: |A| and |B|
     within a factor of threshold of each other, else jaccard can't reach it.
+
+    ``max_df`` caps the postings list per gram: a stop-gram appearing in d
+    documents fans the join out d^2 — on real text ("of the" in every doc)
+    that is quadratic in the corpus. Grams with document frequency > max_df
+    are dropped from the INDEX only (denominators keep the full gram counts),
+    so jaccard is underestimated for pairs whose overlap relies on dropped
+    grams — a bounded-recall / bounded-cost trade, same as minhash's
+    ``max_bucket``. Pass None to disable (exact, unbounded).
     """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
@@ -325,6 +402,15 @@ def ngram_jaccard_pairs(
         "n_grams", F.size("grams")
     )
     inv = g.select("id", "n_grams", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        # document frequency per gram via window (one shuffle keyed by gram —
+        # the same key the join below shuffles on, so AQE coalesces them)
+        gw = Window.partitionBy("gram")
+        inv = (
+            inv.withColumn("__df", F.count(F.lit(1)).over(gw))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     common = (
         inv.alias("l")
         .join(

@@ -1,20 +1,28 @@
-"""Multimodal column plumbing: images/audio/video as opaque binary columns
+"""Multimodal column operators: images/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (image/audio libraries are not available in
-this environment — see ``decode_image``); everything around it — schema,
-batching, partition sizing, UDF signatures — is real and tested. Swapping the
-stub for Pillow/torchaudio/ffmpeg is a one-function change.
+The decode step is REAL, using only the standard library + numpy:
+- images: PNG (zlib inflate + per-scanline unfilter; 8-bit gray/RGB/RGBA,
+  non-interlaced), BMP (24-bit uncompressed), PPM (P6)
+- audio: WAV/RIFF PCM (8-bit unsigned, 16-bit signed; any channel count)
+- video: an uncompressed raw-RGB container (``RVID`` header + concatenated
+  frames). Codec formats (H.264/VP9 …) require ffmpeg, which is not in this
+  container — they raise ``UnsupportedMediaError`` so a cluster deployment
+  can wire ffmpeg into ``decode_video_frames`` without touching the Spark
+  plumbing.
 
 Scale notes: binary payloads ride in Parquet as BYTE_ARRAY; keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a batch of decoded
 frames fits executor memory (decoded size >> encoded size — budget ~10x).
 ``mapInPandas`` streams record batches, so peak memory is one Arrow batch of
-binaries + its decoded output, not the whole partition.
+binaries + its decoded output, not the whole partition. Corrupt payloads are
+per-row failures, not job failures, when ``on_error='skip'``.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -22,27 +30,257 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
-DECODE_AVAILABLE = False  # flips when a real decoder is wired in
+class UnsupportedMediaError(ValueError):
+    """Payload is a recognized media type this build cannot decode (e.g. a
+    codec video without ffmpeg) or an unrecognized byte stream."""
+
+
+# ---------------------------------------------------------------------------
+# image decode (PNG / BMP / PPM) — stdlib only
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (h, w, channels) uint8 array."""
+    pos = len(_PNG_MAGIC)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = b""
+    palette = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + CRC
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise UnsupportedMediaError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise UnsupportedMediaError(
+            f"PNG bit_depth={bit_depth} interlace={interlace} unsupported"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise UnsupportedMediaError(f"PNG color_type={color_type} unsupported")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise UnsupportedMediaError("PNG pixel data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(height):
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        ftype = raw[y * (stride + 1)]
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"PNG filter {ftype} invalid")
+        out[y] = line
+        prev = line
+    img = out.reshape(height, width, channels)
+    if color_type == 3:  # palette -> RGB
+        if palette is None:
+            raise UnsupportedMediaError("PNG palette image missing PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB (BMP stores BGR,
+    bottom-up)."""
+    if len(data) < 54:
+        raise UnsupportedMediaError("BMP truncated")
+    offset, header_size = struct.unpack("<II", data[10:18])
+    width, height = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or compression != 0:
+        raise UnsupportedMediaError(f"BMP bpp={bpp} compression={compression}")
+    flip = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        row = np.frombuffer(data, np.uint8, count=width * 3, offset=offset + y * row_size)
+        img[height - 1 - y if flip else y] = row.reshape(width, 3)[:, ::-1]  # BGR->RGB
+    return img
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8."""
+    parts = data.split(maxsplit=4)
+    if len(parts) < 5 or parts[0] != b"P6":
+        raise UnsupportedMediaError("not a P6 PPM")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise UnsupportedMediaError("PPM maxval != 255")
+    pixels = parts[4][: w * h * 3]
+    return np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake decode.
+    """Decode an image payload to an (h, w, channels) uint8 array.
 
-    Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
-    that library is not in this container. The fake is deterministic in the
-    payload bytes so tests are stable: a 4x4 'image' whose pixels derive from
-    a rolling hash of the payload.
+    Dispatches on magic bytes: PNG, BMP, PPM(P6). Raises
+    UnsupportedMediaError for anything else — callers choose skip-vs-fail
+    via ``on_error``."""
+    if payload.startswith(_PNG_MAGIC):
+        return _decode_png(payload)
+    if payload.startswith(b"BM"):
+        return _decode_bmp(payload)
+    if payload.startswith(b"P6"):
+        return _decode_ppm(payload)
+    raise UnsupportedMediaError("unrecognized image format")
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0 on every scanline) — the fixture/test
+    counterpart of ``decode_image``; also handy for re-emitting thumbnails."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio decode (WAV PCM) — stdlib only
+# ---------------------------------------------------------------------------
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV/RIFF PCM -> (mono float64 signal in [-1, 1], sample_rate).
+
+    Multi-channel audio is downmixed by mean. 8-bit unsigned and 16-bit
+    signed PCM supported (the overwhelming majority of PCM WAVs)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise UnsupportedMediaError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise UnsupportedMediaError(f"WAV format {audio_format} is not PCM")
+    if bits == 16:
+        sig = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        sig = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise UnsupportedMediaError(f"WAV bits={bits} unsupported")
+    if n_channels > 1:
+        sig = sig[: len(sig) - len(sig) % n_channels]
+        sig = sig.reshape(-1, n_channels).mean(axis=1)
+    return sig, sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal mono 16-bit PCM WAV writer (fixture counterpart)."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+# ---------------------------------------------------------------------------
+# video decode (raw-RGB container) — stdlib only
+# ---------------------------------------------------------------------------
+
+_RVID_MAGIC = b"RVID"
+
+
+def encode_raw_video(frames: list[np.ndarray]) -> bytes:
+    """Uncompressed raw-RGB video container: ``RVID`` + u16 w + u16 h +
+    u16 n_frames, then n_frames blocks of w*h*3 RGB bytes."""
+    h, w, _ = frames[0].shape
+    out = [_RVID_MAGIC, struct.pack("<HHH", w, h, len(frames))]
+    for f in frames:
+        out.append(np.asarray(f, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_video_frames(payload: bytes) -> tuple[int, int, int, memoryview]:
+    """Parse an RVID payload -> (width, height, n_frames, frame_bytes_view).
+
+    Frame i is ``view[i*w*h*3 : (i+1)*w*h*3]``. Codec containers (mp4/webm
+    magic) raise UnsupportedMediaError — wire ffmpeg here on a real cluster.
     """
-    if DECODE_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("wire in PIL/torchvision here")
-    h = 2166136261
-    vals = []
-    data = payload or b"\x00"
-    for i in range(48):  # 4*4*3
-        h = (h ^ data[i % len(data)]) * 16777619 & 0xFFFFFFFF
-        vals.append(h % 256)
-    return np.array(vals, dtype=np.uint8).reshape(4, 4, 3)
+    if not payload.startswith(_RVID_MAGIC):
+        raise UnsupportedMediaError(
+            "not an RVID payload (codec formats need ffmpeg)"
+        )
+    w, h, n = struct.unpack("<HHH", payload[4:10])
+    body = memoryview(payload)[10:]
+    if len(body) < w * h * 3 * n:
+        raise UnsupportedMediaError("RVID truncated")
+    return w, h, n, body
 
+
+# ---------------------------------------------------------------------------
+# Spark operators (Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
 
 IMAGE_FEATURES_SCHEMA = (
     "id long, width int, height int, channels int, "
@@ -50,31 +288,51 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def image_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+def image_features(
+    df: DataFrame, id_col: str, binary_col: str, on_error: str = "raise"
+) -> DataFrame:
     """Decode + feature-extract over ``mapInPandas`` (Arrow batches).
 
     Output schema is fixed and engine-friendly (flat doubles/ints) so the
     result joins back into relational pipelines with no special handling.
+    Gray images report the gray mean in all three mean_* channels.
+    ``on_error='skip'`` drops undecodable rows instead of failing the job.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[binary_col]):
-                img = decode_image(bytes(payload) if payload is not None else b"")
+                try:
+                    img = decode_image(bytes(payload) if payload is not None else b"")
+                except UnsupportedMediaError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                means = img.reshape(-1, img.shape[2]).mean(axis=0)
+                if img.shape[2] < 3:  # gray / gray+alpha
+                    r = g = b = float(means[0])
+                else:
+                    r, g, b = (float(means[i]) for i in range(3))
                 rows.append(
                     {
                         "id": _id,
                         "width": img.shape[1],
                         "height": img.shape[0],
                         "channels": img.shape[2],
-                        "mean_r": float(img[:, :, 0].mean()),
-                        "mean_g": float(img[:, :, 1].mean()),
-                        "mean_b": float(img[:, :, 2].mean()),
+                        "mean_r": r,
+                        "mean_g": g,
+                        "mean_b": b,
                         "payload_bytes": int(len(payload) if payload is not None else 0),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b", "payload_bytes",
+                ],
+            )
 
     return df.select(id_col, binary_col).mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
@@ -82,45 +340,72 @@ def image_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
 
 
 def frame_sample(
-    df: DataFrame, id_col: str, binary_col: str, every_n: int = 10
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n: int = 10,
+    on_error: str = "raise",
 ) -> DataFrame:
-    """Video frame-sampling plumbing: emits (id, frame_idx, frame_binary) rows.
-    Decode stubbed the same way; the row-explosion shape (1 video -> k frames)
-    and schema are the real contract."""
+    """Video frame-sampling: every ``every_n``-th frame as a row
+    (id, frame_idx, frame_mean, frame_binary). The row-explosion shape
+    (1 video -> k frames) is the contract; frame_mean (mean byte value of the
+    raw RGB frame) makes the output oracle-checkable."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[binary_col]):
-                data = bytes(payload) if payload is not None else b""
-                n_frames = max(1, len(data) // 64)  # fake: 64 bytes per "frame"
-                for idx in range(0, n_frames, every_n):
+                try:
+                    w, h, n, body = decode_video_frames(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except UnsupportedMediaError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                fsz = w * h * 3
+                for idx in range(0, n, every_n):
+                    fb = bytes(body[idx * fsz : (idx + 1) * fsz])
                     rows.append(
                         {
                             "id": _id,
                             "frame_idx": idx,
-                            "frame_binary": data[idx * 64 : (idx + 1) * 64],
+                            "frame_mean": float(
+                                np.frombuffer(fb, dtype=np.uint8).mean()
+                            ),
+                            "frame_binary": fb,
                         }
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_idx", "frame_mean", "frame_binary"]
+            )
 
     return df.select(id_col, binary_col).mapInPandas(
-        batches, schema="id long, frame_idx int, frame_binary binary"
+        batches,
+        schema="id long, frame_idx int, frame_mean double, frame_binary binary",
     )
 
 
 def resize_images(
-    df: DataFrame, id_col: str, binary_col: str, width: int = 2, height: int = 2
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int = 2,
+    height: int = 2,
+    on_error: str = "raise",
 ) -> DataFrame:
-    """Resize plumbing: decode (stub) -> nearest-neighbor downsample ->
-    re-emit raw RGB bytes + dims. The batch shape and output schema are the
-    production contract; only decode_image is fake."""
+    """Decode -> nearest-neighbor downsample -> re-emit as PNG + dims."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[binary_col]):
-                img = decode_image(bytes(payload) if payload is not None else b"")
+                try:
+                    img = decode_image(bytes(payload) if payload is not None else b"")
+                except UnsupportedMediaError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, width).astype(int)
                 small = img[np.ix_(ys, xs)]
@@ -129,45 +414,112 @@ def resize_images(
                         "id": _id,
                         "width": width,
                         "height": height,
-                        "rgb": small.tobytes(),
+                        "png": encode_png(small),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "png"])
 
     return df.select(id_col, binary_col).mapInPandas(
-        batches, schema="id long, width int, height int, rgb binary"
+        batches, schema="id long, width int, height int, png binary"
     )
 
 
-def audio_features(
-    df: DataFrame, id_col: str, binary_col: str, n_bands: int = 4
-) -> DataFrame:
-    """Audio feature plumbing: (id, duration_s, rms, band_0..band_{n-1}).
+# ---------------------------------------------------------------------------
+# synthetic-media fixtures: VALID payloads deterministically derived from an
+# id, so an encode->decode round trip is checkable end-to-end with exact
+# oracles (solid-color image => mean_r == id % 256, constant-signal WAV =>
+# rms == v / 32768, ...). Used by tests and the demo queries; production
+# pipelines read real payload columns instead.
+# ---------------------------------------------------------------------------
 
-    STUB decode (torchaudio/librosa not in this container): treats the payload
-    as 8-bit PCM at a fake 8 kHz — deterministic in the bytes. The schema and
-    Arrow batching are the production contract."""
+
+def synth_image_payload(doc_id: int) -> bytes:
+    """8x8 solid-color PNG: (r, g, b) = (id % 256, id*7 % 256, id*13 % 256)."""
+    i = int(doc_id)
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, :, 0] = i % 256
+    img[:, :, 1] = (i * 7) % 256
+    img[:, :, 2] = (i * 13) % 256
+    return encode_png(img)
+
+
+def synth_audio_payload(doc_id: int) -> bytes:
+    """Constant-amplitude 16-bit mono WAV @8kHz: value = id*37 % 1000,
+    n_samples = 1600 + (id % 5) * 800."""
+    i = int(doc_id)
+    n = 1600 + (i % 5) * 800
+    v = (i * 37) % 1000
+    return encode_wav(np.full(n, v, dtype="<i2"), 8000)
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    """RVID with 1 + id % 7 solid 4x4 frames; frame f's value is
+    (id + 11*f) % 256."""
+    i = int(doc_id)
+    n = 1 + i % 7
+    frames = [
+        np.full((4, 4, 3), (i + 11 * f) % 256, dtype=np.uint8) for f in range(n)
+    ]
+    return encode_raw_video(frames)
+
+
+def with_synth_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Adds img/wav/vid binary columns derived from ``id_col`` (Arrow-batched;
+    runs on executors, so payload generation scales with the data)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def img(ids: pd.Series) -> pd.Series:
+        return ids.map(synth_image_payload)
+
+    @F.pandas_udf(BinaryType())
+    def wav(ids: pd.Series) -> pd.Series:
+        return ids.map(synth_audio_payload)
+
+    @F.pandas_udf(BinaryType())
+    def vid(ids: pd.Series) -> pd.Series:
+        return ids.map(synth_video_payload)
+
+    c = F.col(id_col)
+    return df.withColumns({"img": img(c), "wav": wav(c), "vid": vid(c)})
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    n_bands: int = 4,
+    on_error: str = "raise",
+) -> DataFrame:
+    """WAV decode + features: (id, duration_s, rms, band_0..band_{n-1}) where
+    band_i is the mean absolute amplitude of the i-th time slice."""
 
     cols = ", ".join(f"band_{i} double" for i in range(n_bands))
+    names = ["id", "duration_s", "rms"] + [f"band_{i}" for i in range(n_bands)]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[binary_col]):
-                data = np.frombuffer(
-                    bytes(payload) if payload else b"\x80", dtype=np.uint8
-                ).astype(np.float64)
-                sig = (data - 128.0) / 128.0
+                try:
+                    sig, rate = decode_audio(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except UnsupportedMediaError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 row = {
                     "id": _id,
-                    "duration_s": float(len(sig) / 8000.0),
-                    "rms": float(np.sqrt((sig**2).mean())),
+                    "duration_s": float(len(sig) / rate),
+                    "rms": float(np.sqrt((sig**2).mean())) if len(sig) else 0.0,
                 }
                 chunks = np.array_split(sig, n_bands)
                 for i, ch in enumerate(chunks):
                     row[f"band_{i}"] = float(np.abs(ch).mean()) if len(ch) else 0.0
                 rows.append(row)
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=names)
 
     return df.select(id_col, binary_col).mapInPandas(
         batches, schema=f"id long, duration_s double, rms double, {cols}"

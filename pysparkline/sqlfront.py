@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
+from decimal import Decimal
 
 import duckdb
 
@@ -123,9 +124,11 @@ def _const_value(node: dict):
         return None
     val = v["value"]
     if v["type"]["id"] == "DECIMAL":
-        # DuckDB serializes 2.5 as value=25/scale=1: unscale it
+        # DuckDB serializes 2.5 as value=25/scale=1: unscale it exactly
+        # (Decimal, not float division — >15-significant-digit literals
+        # must compare exactly against DECIMAL columns)
         scale = (v["type"].get("type_info") or {}).get("scale", 0)
-        return val / (10 ** scale) if scale else val
+        return Decimal(val).scaleb(-scale) if scale else val
     return val
 
 
@@ -153,7 +156,8 @@ def _render_const(node: dict) -> str:
     if tid == "DECIMAL":
         ti = v["type"].get("type_info") or {}
         scale = ti.get("scale", 0)
-        return str(val / (10 ** scale)) if scale else str(val)
+        # exact decimal text (no float round-trip): 25/scale 1 -> "2.5"
+        return str(Decimal(val).scaleb(-scale)) if scale else str(val)
     if tid == "BOOLEAN":
         return "TRUE" if val else "FALSE"
     return str(val)
@@ -248,6 +252,18 @@ def _columns_of(node: dict) -> set[str]:
 
     walk(node)
     return out
+
+
+def _contains_grouping(node) -> bool:
+    """True if the expression tree contains GROUPING()/GROUPING_ID() (DuckDB
+    parses both as an OPERATOR of type GROUPING_FUNCTION)."""
+    if isinstance(node, dict):
+        if node.get("type") == "GROUPING_FUNCTION":
+            return True
+        return any(_contains_grouping(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_grouping(v) for v in node)
+    return False
 
 
 def _contains_agg(node: dict) -> bool:
@@ -601,10 +617,18 @@ def _analyze_select(
     has_any_agg = any(_contains_agg(s) for s in select_list) or bool(groups)
 
     dim_out_names: list[str] = []
+    pending_grouping: list[tuple[str, dict]] = []
     # map from stripped group expr -> output name (fill from select list)
     for i, item in enumerate(select_list):
         s = _strip(item)
         is_group = s in group_keys
+        if not is_group and _contains_grouping(item):
+            # GROUPING()/GROUPING_ID(): resolved after the group-name map is
+            # complete (bit positions follow the lowering's dim order)
+            name = item.get("alias") or f"grouping_{i}"
+            pending_grouping.append((name, item))
+            a.output_order.append(name)
+            continue
         if is_group:
             name = out_name_of(item, i)
             gnode = item
@@ -669,16 +693,59 @@ def _analyze_select(
         ]
     else:
         a.grouping_sets = None
+
+    if pending_grouping:
+        # bit positions follow the lowering's key order: declared dims, then
+        # the time bucket (lowering._grouping_sets_union, high bit = first)
+        order = [d.out for d in a.dims]
+        if a.granularity != "all":
+            order.append(a.time_output_name)
+        n_keys = len(order)
+        pos = {name: i for i, name in enumerate(order)}
+
+        def grouping_bit(children: list) -> str:
+            terms = []
+            for j, c in enumerate(children):
+                name = name_by_key.get(_gk(_strip(c)))
+                if name is None or name not in pos:
+                    raise SQLFrontError(
+                        f"grouping() argument {render(c)} is not grouped"
+                    )
+                if a.grouping_sets is None:
+                    bit = "0"  # plain GROUP BY: nothing aggregated away
+                else:
+                    bit = (
+                        f"(shiftright(`__grouping_id`,"
+                        f" {n_keys - 1 - pos[name]}) & 1)"
+                    )
+                shift = len(children) - 1 - j
+                terms.append(f"({bit} << {shift})" if shift else bit)
+            out = " + ".join(terms) if len(terms) > 1 else terms[0]
+            return f"CAST(({out}) AS BIGINT)"
+
+        for name, item in pending_grouping:
+            expr_sql, _ = _extract_inner_aggs(item, a.aggs, grouping_bit)
+            a.post_aggs.append(ir.ArithmeticPostAgg(name, expr_sql))
     return a
 
 
-def _extract_inner_aggs(node: dict, aggs: list) -> tuple[str, list[str]]:
+def _extract_inner_aggs(
+    node: dict, aggs: list, grouping_bit=None
+) -> tuple[str, list[str]]:
     """Replace aggregate subtrees inside an expression with generated agg
     names; append the extracted AggSpecs to ``aggs``. Mirrors the reference's
-    avg/postagg rebuild above the scan (DruidStrategy.scala:400-461)."""
+    avg/postagg rebuild above the scan (DruidStrategy.scala:400-461).
+
+    ``grouping_bit(children) -> sql`` renders GROUPING()/GROUPING_ID()
+    subtrees (the ANSI grouping functions over ``__grouping_id``; reference:
+    grouping-set literal re-insertion, AggregateTransform.scala:233-291)."""
     extracted: list[str] = []
 
     def walk(n) -> str:
+        if isinstance(n, dict) and n.get("type") == "GROUPING_FUNCTION":
+            if grouping_bit is None:
+                raise SQLFrontError("grouping() without GROUP BY")
+            return grouping_bit(n.get("children", []))
         if (
             isinstance(n, dict)
             and n.get("class") == "FUNCTION"
@@ -828,6 +895,57 @@ def _rename_columns(node, mapping: dict[str, str]):
             _rename_columns(v, mapping)
 
 
+def _inline_ctes(node: dict) -> None:
+    """WITH-inlining pre-pass: substitute each CTE body as a FROM subquery
+    wherever its name is referenced, innermost-first (earlier CTEs are
+    visible inside later ones). The reference never needed this — Catalyst
+    inlines CTEs before its rules ran (SparklineDataParser delegated to the
+    standard parser); here it's the AST-level equivalent. CTE bodies that
+    survive inlining but are not plain projections are rejected later by
+    ``_flatten_subquery`` and fall back to spark.sql."""
+    cte_map = (node.get("cte_map") or {}).get("map") or []
+    if not cte_map:
+        return
+    defs: dict[str, dict] = {}
+    for entry in cte_map:
+        if entry["value"].get("aliases"):
+            raise SQLFrontError("CTE column aliases unsupported")
+        body = entry["value"]["query"]["node"]
+        if body.get("type") != "SELECT_NODE":
+            raise SQLFrontError("non-SELECT CTE")
+        _subst_cte_tables(body, defs)
+        defs[entry["key"].lower()] = body
+    _subst_cte_tables(node, defs)
+    node["cte_map"] = {"map": []}
+
+
+def _subst_cte_tables(node: dict, defs: dict[str, dict]) -> None:
+    """Replace BASE_TABLE references to CTE names in ``node``'s FROM tree
+    with SUBQUERY nodes (deep-copied so multiple references stay independent)."""
+    import copy
+
+    def subst(t: dict) -> dict:
+        ty = t.get("type")
+        if ty == "BASE_TABLE" and t.get("table_name", "").lower() in defs:
+            return {
+                "type": "SUBQUERY",
+                "alias": t.get("alias") or t["table_name"],
+                "subquery": {
+                    "node": copy.deepcopy(defs[t["table_name"].lower()])
+                },
+            }
+        if ty == "JOIN":
+            t["left"] = subst(t["left"])
+            t["right"] = subst(t["right"])
+        elif ty == "SUBQUERY":
+            _subst_cte_tables(t["subquery"]["node"], defs)
+        return t
+
+    ft = node.get("from_table")
+    if ft:
+        node["from_table"] = subst(ft)
+
+
 def _flatten_subquery(node: dict) -> dict:
     """Merge `FROM (SELECT plain-columns FROM ... WHERE ...) t` into the outer
     query: rename outer refs through the subquery's aliases and AND the inner
@@ -896,10 +1014,9 @@ def parse_sql(
     [HAVING ...] [ORDER BY outputs] [LIMIT n].
     """
     node = _ast(sql)
-    if node.get("cte_map", {}).get("map"):
-        raise SQLFrontError("CTEs unsupported")
     if node.get("qualify") or node.get("sample"):
         raise SQLFrontError("QUALIFY/SAMPLE unsupported")
+    _inline_ctes(node)
     node = _flatten_subquery(node)
     _check_from(node["from_table"], fact_table, star)
 

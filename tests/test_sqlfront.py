@@ -232,7 +232,16 @@ GROUP BY l_linestatus""")
     spec = ctx._parse_sql(
         "SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05"
     )
-    assert spec.filter.lower == 0.05
+    # exact Decimal (not float): >15-significant-digit literals must not
+    # round-trip through float division
+    from decimal import Decimal
+
+    assert spec.filter.lower == Decimal("0.05")
+    spec2 = ctx._parse_sql(
+        "SELECT count(*) AS n FROM lineitem"
+        " WHERE l_extendedprice > 1234567890123.456789"
+    )
+    assert spec2.filter.lower == Decimal("1234567890123.456789")
 
 
 def test_cross_and_using_joins_fall_back(ctx):
