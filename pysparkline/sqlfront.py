@@ -128,8 +128,17 @@ def _const_value(node: dict):
         # (Decimal, not float division — >15-significant-digit literals
         # must compare exactly against DECIMAL columns)
         scale = (v["type"].get("type_info") or {}).get("scale", 0)
+        val = _decimal_unscaled(val)
         return Decimal(val).scaleb(-scale) if scale else val
     return val
+
+
+def _decimal_unscaled(val) -> int:
+    """DuckDB serializes width<=18 decimals as a plain int and wider ones as
+    int128 {upper, lower} halves (lower is the unsigned low 64 bits)."""
+    if isinstance(val, dict):
+        return (int(val["upper"]) << 64) + int(val["lower"])
+    return int(val)
 
 
 def _is_const(node: dict) -> bool:
@@ -157,7 +166,8 @@ def _render_const(node: dict) -> str:
         ti = v["type"].get("type_info") or {}
         scale = ti.get("scale", 0)
         # exact decimal text (no float round-trip): 25/scale 1 -> "2.5"
-        return str(Decimal(val).scaleb(-scale)) if scale else str(val)
+        n = _decimal_unscaled(val)
+        return str(Decimal(n).scaleb(-scale)) if scale else str(n)
     if tid == "BOOLEAN":
         return "TRUE" if val else "FALSE"
     return str(val)
