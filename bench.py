@@ -73,59 +73,230 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
+    cold_times: dict[str, float] = {}
+
+    def scan_rows(df, runs: int) -> int | None:
+        """Rows emitted per run by the leaf scans (Spark SQL metrics; they
+        accumulate across executions of one plan, hence /runs) — the
+        scale-faithful signal: at 100 TB the wall-clock ratio follows the
+        rows-scanned ratio, while at bench SF both sides sit on the
+        per-stage scheduling floor."""
+        try:
+            plan = df._jdf.queryExecution().executedPlan()
+            if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
+                plan = plan.finalPhysicalPlan()
+            total = 0
+
+            def walk(p):
+                nonlocal total
+                if "QueryStage" in p.getClass().getSimpleName():
+                    walk(p.plan())
+                    return
+                if p.children().size() == 0:
+                    m = p.metrics()
+                    if m.contains("numOutputRows"):
+                        total += m.apply("numOutputRows").value()
+                    return
+                it = p.children().iterator()
+                while it.hasNext():
+                    walk(it.next())
+
+            walk(plan)
+            return int(total // runs)
+        except Exception:
+            return None
+
     def timed(name: str) -> float:
-        """Warm once, take the best of two measured runs (local-mode job
+        """First call = cold (Catalyst analysis + execution; recorded
+        separately), then best of two warm runs — with the compiled-plan
+        memo both sides of every ratio pay execution only (local-mode job
         scheduling noise is +-30%; min is the stable statistic)."""
         fn = qs[name]
-        fn(spark, sf_dir).collect()  # warm (JVM/codegen/file-listing caches)
+        t = time.perf_counter()
+        fn(spark, sf_dir).collect()  # cold: plan compile + execute
+        cold_times[name] = round(time.perf_counter() - t, 4)
         best = float("inf")
         for _ in range(2):
             t = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            df.collect()
             best = min(best, time.perf_counter() - t)
+        scan_rows_indexed[name] = scan_rows(df, 3)
         return round(best, 4)
+
+    scan_rows_indexed: dict[str, int | None] = {}
 
     times = {name: timed(name) for name in HEADLINE}
     llm_times = {name: timed(name) for name in LLM_OPS}
 
     # raw-scan counterparts over the base star join with no index artifacts
-    # (the "Spark raw" column of BASELINE.md); ship-date-range was the
-    # reference's 125x headline case
+    # (the "Spark raw" column of BASELINE.md) — one per headline query plus
+    # the SubQry+filters analog, so every published BASELINE.md ratio has a
+    # measured twin. Semantics mirror the indexed queries; output cosmetics
+    # (aliases/sort) are skipped exactly as the reference's raw runs skipped
+    # them (BenchMarkDetails.org: "no aggregation formulas, no order-by").
     from pysparkline import tpch
 
     raw_flat, _ = tpch.flat_star_df(spark, sf_dir)
+    REV = F.expr(tpch.DISC_PRICE)
 
-    def raw_q1_df():
+    def _raw_q1():
         return (
             raw_flat.where(F.col("l_shipdate") < "1998-09-01")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
                 F.sum(F.expr(tpch.QTY)),
                 F.sum(F.expr(tpch.PRICE)),
-                F.sum(F.expr(tpch.DISC_PRICE)),
+                F.sum(REV),
                 F.sum(F.expr(tpch.CHARGE)),
                 F.count(F.lit(1)),
             )
         )
 
-    def raw_sdr_df():
+    def _raw_basic_agg():
+        return raw_flat.agg(F.count(F.lit(1)), F.sum(F.expr(tpch.QTY)), F.sum(REV))
+
+    def _raw_sdr():
+        return raw_flat.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        ).agg(F.count(F.lit(1)), F.sum(REV))
+
+    def _raw_monthly_revenue():
         return (
-            raw_flat.where(
-                (F.col("l_shipdate") >= "1996-01-01")
-                & (F.col("l_shipdate") < "1997-01-01")
-            ).agg(F.count(F.lit(1)), F.sum(F.expr(tpch.QTY)))
+            raw_flat.groupBy(F.date_trunc("month", F.col("l_shipdate")))
+            .agg(F.count(F.lit(1)), F.sum(REV))
         )
 
-    raws = {}
-    for key, mk in [("raw_q1_sec", raw_q1_df), ("raw_ship_date_range_sec", raw_sdr_df)]:
-        mk().collect()  # warm
+    def _raw_dim_filters():
+        return (
+            raw_flat.where(
+                F.col("c_region").isin("AMERICA", "ASIA")
+                & (F.col("o_orderpriority") == "1-URGENT")
+                & ~(F.col("o_orderstatus") == "P")
+            )
+            .groupBy("c_nation")
+            .agg(F.count(F.lit(1)), F.sum(REV))
+        )
+
+    def _raw_topn_brand():
+        return (
+            raw_flat.groupBy("p_brand")
+            .agg(F.sum(REV).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "p_brand")
+            .limit(5)
+        )
+
+    def _raw_q3():
+        return (
+            raw_flat.where(
+                (F.col("c_mktsegment") == "BUILDING")
+                & (F.col("o_orderdate") < "1996-06-01")
+                & (F.col("l_shipdate") >= "1996-06-01")
+            )
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(REV).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "l_orderkey")
+            .limit(10)
+        )
+
+    def _raw_q5():
+        return (
+            raw_flat.where(
+                (F.col("c_region") == "ASIA")
+                & (F.col("order_year") == 1996)
+                & (F.col("c_nation") == F.col("s_nation"))
+            )
+            .groupBy("c_nation")
+            .agg(F.sum(REV))
+        )
+
+    def _raw_q7():
+        n1, n2 = "NATION_1", "NATION_2"
+        return (
+            raw_flat.where(
+                (
+                    ((F.col("c_nation") == n1) & (F.col("s_nation") == n2))
+                    | ((F.col("c_nation") == n2) & (F.col("s_nation") == n1))
+                )
+                & (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1998-01-01")
+            )
+            .groupBy("s_nation", "c_nation", F.year("l_shipdate"))
+            .agg(F.sum(REV))
+        )
+
+    def _raw_q8():
+        nat = F.when(F.col("s_nation") == "NATION_3", REV)
+        return (
+            raw_flat.where(F.col("c_region") == "AMERICA")
+            .groupBy("order_year")
+            .agg(F.sum(nat), F.sum(REV))
+        )
+
+    def _raw_q10():
+        return (
+            raw_flat.where(
+                (F.col("l_returnflag") == "R")
+                & (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            )
+            .groupBy("c_custkey", "c_name", "c_acctbal", "c_nation")
+            .agg(F.sum(REV).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20)
+        )
+
+    def _raw_subquery():
+        return (
+            raw_flat.where(
+                (F.col("l_quantity") > 20)
+                & (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+            )
+            .groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)), F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(12,2))")))
+        )
+
+    raw_builders = {
+        "q1": _raw_q1,
+        "basic_agg": _raw_basic_agg,
+        "ship_date_range": _raw_sdr,
+        "monthly_revenue": _raw_monthly_revenue,
+        "dim_filters": _raw_dim_filters,
+        "topn_brand": _raw_topn_brand,
+        "q3": _raw_q3,
+        "q5": _raw_q5,
+        "q7": _raw_q7,
+        "q8": _raw_q8,
+        "q10": _raw_q10,
+        "sql_subquery": _raw_subquery,
+    }
+
+    # same warm-plan discipline as the indexed side (queries() memoizes the
+    # compiled DataFrame): construct once, collect repeatedly — both sides
+    # pay execution only, neither pays per-run Catalyst re-analysis
+    raw_times: dict[str, float] = {}
+    scan_rows_raw: dict[str, int | None] = {}
+    for name, mk in raw_builders.items():
+        df = mk()
+        df.collect()  # warm
         best = float("inf")
         for _ in range(2):  # same best-of-2 statistic as the indexed side
             t = time.perf_counter()
-            mk().collect()
+            df.collect()
             best = min(best, time.perf_counter() - t)
-        raws[key] = round(best, 4)
-    raw_q1 = raws["raw_q1_sec"]
+        raw_times[name] = round(best, 4)
+        scan_rows_raw[name] = scan_rows(df, 3)
+
+    indexed_for_ratio = dict(times)
+    if "sql_subquery" not in indexed_for_ratio:
+        indexed_for_ratio["sql_subquery"] = timed("sql_subquery")
+    speedups = {
+        name: round(raw_times[name] / indexed_for_ratio[name], 2)
+        for name in raw_builders
+        if indexed_for_ratio.get(name)
+    }
 
     total = round(sum(times.values()), 4)
     print(
@@ -139,16 +310,30 @@ def main() -> None:
                 "llm_ops_total_sec": round(sum(llm_times.values()), 4),
                 "sf": sf,
                 "index_build_or_load_sec": round(index_sec, 2),
-                "raw_q1_sec": raw_q1,
-                "raw_ship_date_range_sec": raws["raw_ship_date_range_sec"],
-                "q1_speedup_vs_raw": round(raw_q1 / times["q1"], 2)
-                if times.get("q1")
-                else None,
-                "ship_date_range_speedup_vs_raw": round(
-                    raws["raw_ship_date_range_sec"] / times["ship_date_range"], 2
-                )
-                if times.get("ship_date_range")
-                else None,
+                "cold": cold_times,
+                "raw": raw_times,
+                "speedup_vs_raw": speedups,
+                "scan_rows_indexed": scan_rows_indexed,
+                "scan_rows_raw": scan_rows_raw,
+                "scan_reduction_vs_raw": {
+                    n: round(scan_rows_raw[n] / scan_rows_indexed[n], 1)
+                    for n in scan_rows_raw
+                    if scan_rows_raw.get(n) and scan_rows_indexed.get(n)
+                },
+                "sql_subquery_sec": indexed_for_ratio["sql_subquery"],
+                "note": (
+                    "warm times at this SF sit on the local-mode per-stage "
+                    "scheduling floor (~25-40ms/stage) on BOTH sides, so "
+                    "speedup_vs_raw compresses toward 1; scan_reduction_vs_raw "
+                    "(rows read, from SQL metrics) is the scale-faithful "
+                    "signal, and 'cold' holds first-query latency incl. "
+                    "Catalyst compile"
+                ),
+                # legacy keys (round-1 BENCH continuity)
+                "raw_q1_sec": raw_times["q1"],
+                "raw_ship_date_range_sec": raw_times["ship_date_range"],
+                "q1_speedup_vs_raw": speedups.get("q1"),
+                "ship_date_range_speedup_vs_raw": speedups.get("ship_date_range"),
             }
         )
     )

@@ -191,6 +191,7 @@ class OlapIndex:
         )
         self._df_memo: dict[str, "DataFrame"] = {}
         self._cached: set[str] = set()
+        self.epoch = 0  # bumped on invalidate(); versions compiled-plan caches
 
     # ------------------------------------------------------------------ build
     @staticmethod
@@ -317,21 +318,38 @@ class OlapIndex:
             self._df_memo["flat"] = df
         return df
 
+    # target rows per in-memory cube partition: low enough that a single
+    # partition never serializes a six-figure-row scan (latency), with the
+    # partition count clamped to 2x the cluster parallelism so a 100 TB-scale
+    # cube still lands at millions of rows per task (throughput)
+    CUBE_ROWS_PER_PARTITION = 64_000
+
     def cube_df(self, name: str) -> DataFrame:
         key = f"cube_{name}"
         df = self._df_memo.get(key)
         if df is None:
-            rel = self.manifest["cubes"][name]["path"]
-            df = self.spark.read.parquet(os.path.join(self.path, rel))
+            info = self.manifest["cubes"][name]
+            df = self.spark.read.parquet(os.path.join(self.path, info["path"]))
+            # partition count scales with cube size, not with the session's
+            # default file-split count: a tiny cube must not pay 32 tasks per
+            # scan, and a huge one must not collapse below the fleet size
+            by_rows = -(-int(info["rowCount"]) // self.CUBE_ROWS_PER_PARTITION)
+            cap = 2 * self.spark.sparkContext.defaultParallelism
+            want = max(1, min(by_rows, cap))
+            if want < df.rdd.getNumPartitions():
+                df = df.coalesce(want)
             self._df_memo[key] = df
         return df
 
     def invalidate(self) -> None:
-        """Drop memoized/cached relations (after streaming appends)."""
+        """Drop memoized/cached relations (after streaming appends). Bumps
+        the epoch so downstream compiled-plan caches (OlapContext) discard
+        DataFrames that still reference the pre-append file listing."""
         for key in self._cached:
             self._df_memo[key].unpersist()
         self._df_memo.clear()
         self._cached.clear()
+        self.epoch += 1
 
     def append_batch(self, flat_batch: DataFrame) -> int:
         """Batch-append flattened star rows to the index (the non-streaming

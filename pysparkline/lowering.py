@@ -510,10 +510,13 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
             if q.limit_spec.limit is None and backing.preagg:
                 # cube-backed results are bounded (<= maxResultCardinality by
                 # the planner gate): a single-partition sort avoids the range
-                # partitioner's sampling job that a global orderBy pays — that
-                # job costs more than the sort itself. repartition (not
-                # coalesce!) so the aggregation above keeps its parallelism.
-                out = out.repartition(1).sortWithinPartitions(*order_cols)
+                # partitioner's sampling job that a global orderBy pays.
+                # coalesce (not repartition!) folds the final aggregation's
+                # reduce side and the sort into ONE task with no extra
+                # exchange/stage — the map-side partial aggregation upstream
+                # keeps its parallelism, and the reduce input is bounded by
+                # the planner gate, so one task is safe at any scale.
+                out = out.coalesce(1).sortWithinPartitions(*order_cols)
             else:
                 # with a limit Spark plans TakeOrderedAndProject (no range
                 # shuffle); unbounded sorts over row-grain backings keep the

@@ -248,9 +248,18 @@ def verify_pairs_exact_jaccard(
     This is the production LSH shape — candidate generation bounds the join,
     exact verification removes false positives — and it makes the output an
     oracle-checkable set (DuckDB can compute the same exact Jaccard).
-    Cost: two broadcast-friendly joins over the (small) candidate set only.
+    Cost: shingle arrays are materialized ONLY for documents that appear in a
+    candidate pair (semi-join first) — at near-dup rates the verify side is
+    orders of magnitude smaller than the corpus.
     """
-    sh = docs.select(
+    ids = (
+        pairs.select(F.col("id_a").alias("__vid"))
+        .union(pairs.select(F.col("id_b").alias("__vid")))
+        .distinct()
+    )
+    sh = docs.join(
+        ids, docs[id_col] == ids["__vid"], "left_semi"
+    ).select(
         F.col(id_col).alias("__vid"),
         shingle_set_col(F.col(text_col), shingle_k).alias("__sh"),
     )

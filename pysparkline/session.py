@@ -78,6 +78,8 @@ class OlapContext:
     def __post_init__(self):
         prep(self.spark)
         self._fd_graph = FDGraph(self.fds) if self.fds else None
+        self._plan_cache: dict = {}
+        self._plan_epoch = self.index.epoch
         if self.star is None:
             self.star = self.index.star
 
@@ -109,11 +111,30 @@ class OlapContext:
         return spec, backing, decision
 
     def query(self, spec: ir.QuerySpec) -> DataFrame:
+        """Plan + lower a QuerySpec. Compiled plans are cached by canonical
+        spec (bounded FIFO): repeated queries reuse the analyzed/optimized
+        DataFrame, so only job execution is paid — the serving posture of an
+        OLAP endpoint (the reference's Druid side equally reused compiled
+        segment plans across repeated queries)."""
+        if self._plan_epoch != self.index.epoch:
+            # the index was appended/compacted: cached plans reference a
+            # stale file listing
+            self._plan_cache.clear()
+            self._plan_epoch = self.index.epoch
+        key = json.dumps(spec.to_dict(), sort_keys=True, default=str)
+        cached = self._plan_cache.get(key)
+        if cached is not None:
+            df, record = cached
+            self.query_history.append(record)
+            return df
         spec, backing, decision = self.plan(spec)
-        self.query_history.append(
-            QueryRecord(spec.to_dict(), decision.pretty(), decision.backing)
-        )
-        return lowering.lower(spec, backing)
+        record = QueryRecord(spec.to_dict(), decision.pretty(), decision.backing)
+        self.query_history.append(record)
+        df = lowering.lower(spec, backing)
+        if len(self._plan_cache) >= 256:  # bounded; FIFO eviction is fine here
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[key] = (df, record)
+        return df
 
     def execute_ir(self, d: dict | str) -> DataFrame:
         if isinstance(d, str):
@@ -173,8 +194,9 @@ class OlapContext:
         )
 
     def clear_cache(self) -> None:
-        """CLEAR DRUID CACHE analog: drop memoized/pinned backings so the
-        next query re-reads the index from disk."""
+        """CLEAR DRUID CACHE analog: drop memoized/pinned backings and
+        compiled plans so the next query re-reads the index from disk."""
+        self._plan_cache.clear()
         self.index.invalidate()
 
     # -------------------------------------------------------- metadata views

@@ -1,0 +1,122 @@
+"""Bounded-fan-out guarantees of the dedup operators: hot-gram capping,
+candidate-then-verify equivalence, and the engine-portable simhash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkline.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def stopgram_corpus(spark):
+    """A corpus where one 3-gram ('the same thing') appears in EVERY doc —
+    the quadratic-join hazard — plus one true near-dup pair."""
+    base = (
+        "the same thing appears in every single document here because all"
+        " web pages share one boilerplate navigation footer block"
+    )
+    rows = [(i, f"{base} unique{i} filler{i}") for i in range(60)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_max_df_bounds_join(spark, stopgram_corpus):
+    """With max_df below the corpus size, stop-grams leave the inverted index:
+    the join fans out over rare grams only, and the true near-dup pair (whose
+    overlap is in rare grams) still surfaces."""
+    out = dedup.ngram_jaccard_pairs(
+        stopgram_corpus, "doc_id", "text", n=3, threshold=0.5, max_df=10
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (100, 101) in pairs
+    # the boilerplate docs share ONLY capped grams -> no quadratic pair dump
+    assert all(a == 100 for a, _ in pairs)
+
+
+def test_max_df_none_is_exact(spark, stopgram_corpus):
+    """Uncapped: the boilerplate docs share most of their grams, so the full
+    quadratic pair set appears (why the cap exists)."""
+    out = dedup.ngram_jaccard_pairs(
+        stopgram_corpus, "doc_id", "text", n=3, threshold=0.5, max_df=None
+    ).collect()
+    assert len(out) > 1000  # ~60*59/2 boilerplate pairs + the alpha pair
+
+
+def test_minhash_verify_equals_exact(spark):
+    """LSH candidates + exact verify == brute-force exact pairs on a corpus
+    with clear near-dups (the oracle identity the entry query relies on)."""
+    rows = []
+    for i in range(30):
+        rows.append((i, f"totally distinct document number {i} with words {i * 7}"))
+    # two near-dup clusters
+    rows.append((200, "the quick brown fox jumps over the lazy dog again and again"))
+    rows.append((201, "the quick brown fox jumps over the lazy dog again and again!"))
+    rows.append((300, "pack my box with five dozen liquor jugs right now please ok"))
+    rows.append((301, "pack my box with five dozen liquor jugs right now please okay"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    verified = dedup.verify_pairs_exact_jaccard(
+        cand, docs, "doc_id", "text", threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    # brute-force exact shingle jaccard
+    sh = docs.select(
+        "doc_id", dedup.shingle_set_col(F.col("text"), 5).alias("s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.s", "b.s"))
+    uni = F.size("a.s") + F.size("b.s") - inter
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(inter / uni >= 0.5)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .collect()
+    )
+    assert got == {(r.x, r.y) for r in brute}
+    assert (200, 201) in got and (300, 301) in got
+
+
+def test_simhash_matches_duckdb(spark, duck):
+    """The md5-based 60-bit simhash is bit-identical across engines — the
+    portability property the driver oracle depends on."""
+    docs = spark.createDataFrame(
+        [(1, "hello world foo bar"), (2, "completely different text here"),
+         (3, "hello world foo baz")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    bits = dedup.SIMHASH_BITS
+    rows = duck.execute(rf"""
+WITH t(doc_id, text) AS (VALUES (1, 'hello world foo bar'),
+                                (2, 'completely different text here'),
+                                (3, 'hello world foo baz')),
+toks AS (SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+         FROM t),
+hs AS (SELECT doc_id,
+       list_transform(t, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hl
+       FROM toks)
+SELECT doc_id, list_sum(list_transform(range(0, {bits}), b ->
+  CASE WHEN list_sum(list_transform(hl, h ->
+           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS sh
+FROM hs
+""").fetchall()
+    assert {r[0]: r[1] for r in rows} == got
+
+
+def test_plan_cache_reuses_dataframe(ctx):
+    from pysparkline import ir
+
+    spec = ir.TimeseriesQuery(
+        granularity="all", aggregations=[ir.CountAgg("n")]
+    )
+    d1 = ctx.query(spec)
+    d2 = ctx.query(spec)
+    assert d1 is d2  # compiled-plan cache hit
+    assert ctx.query_history[-1].backing == ctx.query_history[-2].backing
+    ctx.clear_cache()
+    assert ctx.query(spec) is not d1

@@ -1,0 +1,165 @@
+"""Multimodal operators: real decoders (PNG/BMP/PPM/WAV/RVID) driven through
+the Arrow-batched Spark plumbing, checked against known-geometry fixtures."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkline.operators import multimodal as mm
+
+
+# ---------------------------------------------------------------------------
+# pure decoder units (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_shapes():
+    rng = np.random.RandomState(0)
+    for shape in [(8, 8, 3), (5, 7, 4), (6, 4, 1), (1, 1, 3), (16, 3, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        out = mm.decode_image(mm.encode_png(img))
+        assert out.shape == shape
+        assert (out == img).all()
+
+
+def test_png_all_filter_types():
+    """Decode scanlines written with filters 1 (Sub) and 2 (Up) — encoders in
+    the wild use them all; the unfilter path must invert each."""
+    import zlib
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    stride = 12
+    rows = []
+    prev = np.zeros(stride, np.int16)
+    for y in range(4):
+        flat = img[y].reshape(-1).astype(np.int16)
+        if y == 0:  # Sub
+            enc = flat.copy()
+            enc[3:] -= flat[:-3]
+            rows.append(b"\x01" + (enc % 256).astype(np.uint8).tobytes())
+        else:  # Up
+            rows.append(b"\x02" + ((flat - prev) % 256).astype(np.uint8).tobytes())
+        prev = flat
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    png = (
+        mm._PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert (mm.decode_image(png) == img).all()
+
+
+def test_wav_roundtrip_and_multichannel():
+    rng = np.random.RandomState(2)
+    sig = rng.randint(-32768, 32767, size=1000).astype("<i2")
+    s, rate = mm.decode_audio(mm.encode_wav(sig, 16000))
+    assert rate == 16000 and len(s) == 1000
+    assert np.allclose(s, sig / 32768.0)
+    # stereo downmix: interleave two channels, expect their mean
+    stereo = np.empty(200, dtype="<i2")
+    stereo[0::2] = 100
+    stereo[1::2] = 300
+    pcm = stereo.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 2,
+        8000, 8000 * 4, 4, 16, b"data", len(pcm),
+    )
+    s2, _ = mm.decode_audio(hdr + pcm)
+    assert np.allclose(s2, 200 / 32768.0)
+
+
+def test_rvid_frames():
+    frames = [
+        np.full((4, 6, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)
+    ]
+    w, h, n, body = mm.decode_video_frames(mm.encode_raw_video(frames))
+    assert (w, h, n) == (6, 4, 5)
+    f3 = np.frombuffer(bytes(body[3 * 72 : 4 * 72]), np.uint8)
+    assert (f3 == 40).all()
+
+
+def test_unsupported_raises():
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm.decode_image(b"GIF89a....")
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm.decode_audio(b"\x00" * 64)
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm.decode_video_frames(b"\x00\x00\x00\x20ftypmp42")  # mp4 magic
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing (mapInPandas end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    return mm.with_synth_media(ids, "doc_id")
+
+
+def test_image_features_exact(spark, media_df):
+    rows = mm.image_features(media_df, "doc_id", "img").collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert (r.width, r.height, r.channels) == (8, 8, 3)
+        assert r.mean_r == r.id % 256
+        assert r.mean_g == (r.id * 7) % 256
+        assert r.mean_b == (r.id * 13) % 256
+
+
+def test_audio_features_exact(spark, media_df):
+    rows = mm.audio_features(media_df, "doc_id", "wav").collect()
+    for r in rows:
+        v = (r.id * 37) % 1000
+        n = 1600 + (r.id % 5) * 800
+        assert r.duration_s == n / 8000.0
+        assert r.rms == v / 32768.0
+        assert r.band_0 == v / 32768.0
+
+
+def test_frame_sample_explosion(spark, media_df):
+    rows = mm.frame_sample(media_df, "doc_id", "vid", every_n=2).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    for i in range(40):
+        n_frames = 1 + i % 7
+        expected = list(range(0, n_frames, 2))
+        got = sorted(r.frame_idx for r in by_id[i])
+        assert got == expected
+        for r in by_id[i]:
+            assert r.frame_mean == (i + 11 * r.frame_idx) % 256
+            assert len(r.frame_binary) == 4 * 4 * 3
+
+
+def test_resize_reencodes_png(spark, media_df):
+    rows = mm.resize_images(media_df, "doc_id", "img", width=2, height=2).collect()
+    for r in rows[:5]:
+        img = mm.decode_image(bytes(r.png))
+        assert img.shape == (2, 2, 3)
+        assert (img[:, :, 0] == r.id % 256).all()
+
+
+def test_on_error_skip(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.synth_image_payload(1))), (2, bytearray(b"not an image"))],
+        "doc_id long, img binary",
+    )
+    out = mm.image_features(df, "doc_id", "img", on_error="skip").collect()
+    assert [r.id for r in out] == [1]
+    with pytest.raises(Exception):
+        mm.image_features(df, "doc_id", "img").collect()
