@@ -21,10 +21,14 @@ def stratified_sample(
     seed: int = 42,
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling. ``fractions`` is either one rate for
-    every stratum or a {stratum_value: rate} dict (missing strata => 0)."""
+    every stratum or a {stratum_value: rate} dict (missing strata => 0).
+
+    A uniform rate needs no stratum enumeration at all (per-row Bernoulli is
+    identical across strata), so that path is a pure narrow map with no
+    driver-side distinct-collect — at 100 TB the dict form should likewise be
+    built from upstream knowledge, not by enumerating the column."""
     if isinstance(fractions, float):
-        values = [r[0] for r in df.select(strata_col).distinct().collect()]
-        fractions = {v: fractions for v in values}
+        return df.sample(withReplacement=False, fraction=fractions, seed=seed)
     return df.sampleBy(strata_col, fractions, seed)
 
 
