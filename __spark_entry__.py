@@ -1830,12 +1830,12 @@ WITH s AS (
   FROM documents
 )
 SELECT doc_id,
-       0.4 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1 ELSE 0 END)
-     + 0.3 * (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.2
-                   THEN 1 ELSE 0 END)
-     + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
-                        BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
-       AS quality_score
+       CAST(0.4 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1 ELSE 0 END)
+          + 0.3 * (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)
+                             <= 0.2 THEN 1 ELSE 0 END)
+          + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
+                             BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
+            AS DOUBLE) AS quality_score
 FROM s
 """,
 )
