@@ -2273,6 +2273,30 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 
 
 @_register(
+    "sql_count_distinct",
+    """
+SELECT l_returnflag, COUNT(DISTINCT o_orderstatus) AS n_status,
+       COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def sql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT dim) through the SQL entry point: the analog of
+    SPLRewriteDistinctAggregates — exact countDistinct when the column is in
+    the backing grain (here: cube 'market' carries o_orderstatus)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql("""
+SELECT l_returnflag, COUNT(DISTINCT o_orderstatus) AS n_status,
+       COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+    assert ctx.query_history[-1].backing != "sparksql"
+    return out
+
+
+@_register(
     "sql_select_scan",
     """
 SELECT l_orderkey, l_linenumber, l_quantity
@@ -2318,12 +2342,12 @@ _PRIORITY = [
     "sql_cte", "sql_grouping_fns", "image_features", "audio_features",
     "frame_sample", "hll_count_distinct", "lang_id_docs",
     "minhash_pairs_docs", "simhash_pairs_docs", "lsh_cosine_topk",
-    "sessionize_stats", "avg_null_aware",
+    "sessionize_stats", "avg_null_aware", "sql_count_distinct",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",
     "asof_event_purchase", "dedup_exact_docs", "ngram_jaccard_docs",
-    "cosine_topk", "events_daily_types",
+    "cosine_topk",
 ]
 
 

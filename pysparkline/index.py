@@ -324,20 +324,32 @@ class OlapIndex:
     # cube still lands at millions of rows per task (throughput)
     CUBE_ROWS_PER_PARTITION = 64_000
 
+    def _cube_base(self, name: str) -> DataFrame:
+        """The cube relation at native file-split parallelism — what gets
+        cached, so cache materialization parallelizes across the fleet."""
+        key = f"cube_{name}__base"
+        df = self._df_memo.get(key)
+        if df is None:
+            rel = self.manifest["cubes"][name]["path"]
+            df = self.spark.read.parquet(os.path.join(self.path, rel))
+            self._df_memo[key] = df
+        return df
+
     def cube_df(self, name: str) -> DataFrame:
         key = f"cube_{name}"
         df = self._df_memo.get(key)
         if df is None:
+            base = self._cube_base(name)
+            # query-side partition count scales with cube size, not with the
+            # file-split count: a tiny cube must not pay 32 tasks per scan,
+            # and a huge one must not collapse below the fleet size. coalesce
+            # is a narrow wrapper OVER the (possibly cached) base, so the
+            # in-memory columnar cache is still hit.
             info = self.manifest["cubes"][name]
-            df = self.spark.read.parquet(os.path.join(self.path, info["path"]))
-            # partition count scales with cube size, not with the session's
-            # default file-split count: a tiny cube must not pay 32 tasks per
-            # scan, and a huge one must not collapse below the fleet size
             by_rows = -(-int(info["rowCount"]) // self.CUBE_ROWS_PER_PARTITION)
             cap = 2 * self.spark.sparkContext.defaultParallelism
             want = max(1, min(by_rows, cap))
-            if want < df.rdd.getNumPartitions():
-                df = df.coalesce(want)
+            df = base.coalesce(want) if want < base.rdd.getNumPartitions() else base
             self._df_memo[key] = df
         return df
 
@@ -365,15 +377,25 @@ class OlapIndex:
         """Pin every cube in executor memory — the analog of Druid holding
         segments resident on historicals. Cubes are the small, hot artifacts
         (pre-aggregated: orders of magnitude under the flat data), so this is
-        the right default for an interactive-BI session even at 100 TB scale."""
+        the right default for an interactive-BI session even at 100 TB scale.
+
+        Eager materialization submits one count() job per cube from a thread
+        pool — Spark schedules them concurrently, so warmup is bounded by the
+        largest cube, not the sum."""
+        fresh = []
         for name in self.manifest["cubes"]:
-            key = f"cube_{name}"
+            key = f"cube_{name}__base"
             if key not in self._cached:
-                df = self.cube_df(name).cache()
-                self._df_memo[key] = df
+                base = self._cube_base(name).cache()
+                self._df_memo[key] = base
+                self._df_memo.pop(f"cube_{name}", None)  # rebuild view on base
                 self._cached.add(key)
-                if eager:
-                    df.count()
+                fresh.append(base)
+        if eager and fresh:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(fresh)) as pool:
+                list(pool.map(lambda d: d.count(), fresh))
 
     def flat_columns(self) -> set[str]:
         return set(self.manifest["flat"]["columns"])
