@@ -151,6 +151,10 @@ def tpch_index_config() -> IndexConfig:
             MetricSpec("price", "l_extendedprice", "max"),
         ],
         hll_cols=["o_orderkey", "c_custkey"],
+        # o_orderdate correlates with l_shipdate but is not the partition
+        # key: a within-partition sort gives parquet row-group stats that
+        # prune o_orderdate ranges (q3/q10) the month partitioning cannot
+        sort_cols=["o_orderdate"],
         cubes=[
             CubeSpec("flags", ("l_returnflag", "l_linestatus"), "day"),
             CubeSpec(
