@@ -2017,6 +2017,25 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "skew_salted_distinct",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS distinct_user_id
+FROM events GROUP BY event_type
+""",
+)
+def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-group-safe exact count-distinct: hash-bucket the value space so a
+    dominant group's distinct-set build spreads across n reduce tasks.
+    Salting changes placement, never answers — the oracle is the plain
+    COUNT(DISTINCT)."""
+    from pysparkline.operators import skew
+
+    prep(spark)
+    ev = tpch.read_events(spark, sf_dir)
+    return skew.salted_count_distinct(ev, ["event_type"], "user_id", n_salts=16)
+
+
+@_register(
     "avg_null_aware",
     """
 SELECT CAST(user_id % 3 AS BIGINT) AS g,
