@@ -257,7 +257,12 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
     elif group_names:
         sql += " GROUP BY " + ", ".join(group_names)
     if q.having is not None:
-        raise NotPortable("having references pre-projection agg columns")
+        # the IR's having references agg OUTPUT names; DuckDB permits select
+        # aliases in HAVING (extension), so plain arithmetic predicates render
+        # directly — anything with function calls stays non-portable
+        if dialect != "duckdb":
+            raise NotPortable("having aliases need a dialect that allows them")
+        sql += " HAVING " + _portable_expr(q.having.expr, dialect)
     ls = q.limit_spec
     if ls is not None and ls.columns:
         sql += " ORDER BY " + ", ".join(

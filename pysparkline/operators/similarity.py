@@ -208,6 +208,36 @@ def _all_table_buckets(planes_per_table: list[np.ndarray]):
     return buckets
 
 
+def _query_probe_codes(planes_per_table: list[np.ndarray], n_probes: int):
+    """Arrow-batched UDF for the QUERY side of multiprobe LSH: per table,
+    the exact bucket plus the buckets reached by flipping the ``n_probes-1``
+    least-confident hyperplanes (smallest |dot| — the planes the vector sits
+    closest to). Encoded as (table << 32) | bucket so one explode yields the
+    probe list. Only queries multiprobe — the corpus keeps ONE bucket per
+    table, so recall rises with zero extra corpus shuffle volume."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    mats = [p.T.astype(np.float64) for p in planes_per_table]
+    weights = [1 << np.arange(m.shape[1], dtype=np.int64) for m in mats]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            row = np.asarray(v, dtype=np.float64)
+            codes = []
+            for t, (M, w) in enumerate(zip(mats, weights)):
+                dots = row @ M
+                bucket = int(((dots > 0) @ w))
+                codes.append((t << 32) | bucket)
+                for j in np.argsort(np.abs(dots))[: max(0, n_probes - 1)]:
+                    codes.append((t << 32) | (bucket ^ int(w[j])))
+            out.append(np.array(codes, dtype=np.int64))
+        return pd.Series(out)
+
+    return probes
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -215,6 +245,7 @@ def lsh_cosine_topk(
     dim: int,
     n_planes: int = 8,
     n_tables: int = 4,
+    n_probes: int = 1,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
@@ -224,7 +255,10 @@ def lsh_cosine_topk(
     """Approximate top-k: random-hyperplane buckets over ``n_tables``
     independent tables; same-(table, bucket) candidates, exact cosine within.
 
-    Recall rises with n_tables. One corpus scan computes every table's bucket
+    Recall rises with n_tables, and with ``n_probes`` (multiprobe: each query
+    also searches the buckets across its least-confident hyperplanes) — the
+    multiprobe path costs nothing on the corpus side, so it is the preferred
+    recall knob at scale. One corpus scan computes every table's bucket
     (Arrow-batched matmul), then posexplode keys candidates by
     (table, bucket) — a single equi-join, never a cross product.
     """
@@ -235,13 +269,30 @@ def lsh_cosine_topk(
         F.col(corpus_vec).alias("__cv"),
         F.posexplode(buckets(F.col(corpus_vec))).alias("__table", "__bucket"),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("query_id"),
-            F.col(query_vec).alias("__qv"),
-            F.posexplode(buckets(F.col(query_vec))).alias("__table", "__bucket"),
+    if n_probes > 1:
+        codes = _query_probe_codes(planes, n_probes)
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__qv"),
+                F.explode(codes(F.col(query_vec))).alias("__code"),
+            ).select(
+                "query_id",
+                "__qv",
+                F.shiftright("__code", 32).cast("int").alias("__table"),
+                F.col("__code").bitwiseAND(F.lit((1 << 32) - 1)).alias("__bucket"),
+            )
         )
-    )
+    else:
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__qv"),
+                F.posexplode(buckets(F.col(query_vec))).alias(
+                    "__table", "__bucket"
+                ),
+            )
+        )
     cands = (
         c.join(q, ["__table", "__bucket"])
         .select("query_id", "neighbor_id", "__cv", "__qv")

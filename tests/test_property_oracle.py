@@ -128,13 +128,26 @@ def groupby_specs(draw):
         a.name = f"m{i}"
     post = []
     if len(ags) >= 2 and draw(st.booleans()):
-        post.append(ir.ArithmeticPostAgg("pa", "`m0` + `m1`"))
+        post.append(
+            ir.ArithmeticPostAgg(
+                "pa", draw(st.sampled_from(["`m0` + `m1`", "`m0` * 2 - `m1`"]))
+            )
+        )
+    having = None
+    if draw(st.booleans()):
+        # arithmetic predicate over an agg output name (NULL -> dropped on
+        # both engines; DuckDB permits select aliases in HAVING)
+        having = ir.HavingSpec(
+            f"`m0` {draw(st.sampled_from(['>=', '<', '>']))} "
+            f"{draw(st.sampled_from([0, 1, 10]))}"
+        )
     return ir.GroupByQuery(
         dimensions=ds,
         granularity=draw(st.sampled_from(["all", "all", "year", "month", "day"])),
         filter=draw(st.one_of(st.just(None), filters)),
         aggregations=ags,
         post_aggregations=post,
+        having=having,
         intervals=draw(intervals),
     )
 
