@@ -104,12 +104,10 @@ def minhash_signatures(
     prime = np.uint64(0x100000001B3)
     basis = np.uint64(0xCBF29CE484222325)
 
-    # the signature UDF is CPU-bound: a corpus read from few parquet files
-    # would otherwise run it on few cores. Spread to the fleet first (cheap
-    # relative to the hashing); no-op when the input is already wide.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # the signature UDF is CPU-bound: spread narrow inputs to the fleet first
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:

@@ -334,7 +334,9 @@ def image_features(
                 ],
             )
 
-    return df.select(id_col, binary_col).mapInPandas(
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, binary_col)).mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
     )
 
@@ -380,7 +382,9 @@ def frame_sample(
                 rows, columns=["id", "frame_idx", "frame_mean", "frame_binary"]
             )
 
-    return df.select(id_col, binary_col).mapInPandas(
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, binary_col)).mapInPandas(
         batches,
         schema="id long, frame_idx int, frame_mean double, frame_binary binary",
     )
@@ -419,7 +423,9 @@ def resize_images(
                 )
             yield pd.DataFrame(rows, columns=["id", "width", "height", "png"])
 
-    return df.select(id_col, binary_col).mapInPandas(
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, binary_col)).mapInPandas(
         batches, schema="id long, width int, height int, png binary"
     )
 
@@ -481,7 +487,10 @@ def with_synth_media(df: DataFrame, id_col: str) -> DataFrame:
     def vid(ids: pd.Series) -> pd.Series:
         return ids.map(synth_video_payload)
 
+    from .util import ensure_parallelism
+
     c = F.col(id_col)
+    df = ensure_parallelism(df)
     return df.withColumns({"img": img(c), "wav": wav(c), "vid": vid(c)})
 
 
@@ -521,6 +530,8 @@ def audio_features(
                 rows.append(row)
             yield pd.DataFrame(rows, columns=names)
 
-    return df.select(id_col, binary_col).mapInPandas(
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, binary_col)).mapInPandas(
         batches, schema=f"id long, duration_s double, rms double, {cols}"
     )

@@ -262,8 +262,11 @@ def lsh_cosine_topk(
     (Arrow-batched matmul), then posexplode keys candidates by
     (table, bucket) — a single equi-join, never a cross product.
     """
+    from .util import ensure_parallelism
+
     planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     buckets = _all_table_buckets(planes)
+    corpus = ensure_parallelism(corpus)  # Arrow matmul stage is CPU-bound
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
