@@ -1026,6 +1026,28 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_tokens_docs",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+'))
+          + len(regexp_extract_all(text, '[^\w\s]')) AS INT) AS bpe_tokens
+FROM documents
+""",
+)
+def bpe_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (word-piece runs + punctuation marks), the
+    tokenizer-budget estimator of a training-data pipeline."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import text
+
+    prep(spark)
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
+    )
+
+
+@_register(
     "lang_quality",
     r"""
 SELECT lang, COUNT(*) AS n_docs,

@@ -30,12 +30,12 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-ish proxy: count word pieces + punctuation via regex splitting
-    (letters/digit runs and single punctuation marks each count)."""
-    return F.size(
-        F.filter(
-            F.split(text, r"(?<=[^\w])|(?=[^\w])"), lambda t: F.trim(t) != ""
-        )
+    """BPE-ish proxy: word/digit runs + individual punctuation marks each
+    count as one piece. Formulated as two regexp_extract_all counts (no
+    lookarounds), so any RE2-class engine computes it identically — the
+    oracle-portability property the driver check relies on."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+"), 0)) + F.size(
+        F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)
     )
 
 
