@@ -2384,6 +2384,7 @@ _PRIORITY = [
     "frame_sample", "hll_count_distinct", "lang_id_docs",
     "minhash_pairs_docs", "simhash_pairs_docs", "lsh_cosine_topk",
     "sessionize_stats", "avg_null_aware", "sql_count_distinct",
+    "bpe_tokens_docs", "skew_salted_distinct",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",
