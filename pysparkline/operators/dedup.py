@@ -92,44 +92,133 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash over UTF-8 byte k-shingles.
 
-    Vectorized pandas UDF: shingle hashes come from a numpy-vectorized FNV-1a
-    (the j-th byte of every window processed in one array op), then one
-    (num_perm,) min per document over the affine family
-    h_i(x) = ((a_i*x + b_i) wrap 2^64) mod p — the product wraps at 64 bits
-    before the Mersenne reduction (numpy-native; a well-mixing hash, though
-    not the textbook universal family). Deterministic (fixed seed), so
-    signatures are stable across runs and engines.
+    Batch-vectorized pandas UDF: the whole Arrow batch is hashed in ONE
+    windowed FNV-1a pass (all documents' bytes concatenated; windows that
+    straddle a document boundary are masked out), then the affine family
+    h_i(x) = ((a_i*x + b_i) wrap 2^64) mod p is applied in shingle-blocked
+    (num_perm, BLOCK) ops with ``np.minimum.reduceat`` taking per-document
+    segment minima — no per-document numpy calls, which is what dominated the
+    per-doc formulation on short/medium documents. Two systematic wins:
+
+    * the Mersenne reduction is a shift/mask fold (x mod 2^61-1 ==
+      ((x>>61)+(x&p)) mod p, one conditional subtract) — ~10× faster than
+      uint64 ``%`` (no SIMD integer division), bit-identical results;
+    * ALL large temporaries come from a worker-lifetime scratch cache that
+      grows monotonically — fresh multi-MB numpy allocations are mmap-backed
+      and their first-touch page faults dominate runtime on some hosts, and
+      glibc returns them to the OS on free, so per-batch allocation would pay
+      that cost every call.
+
+    Duplicate shingles are NOT deduped (min is idempotent under duplicates),
+    so signatures are bit-identical to a per-doc unique()-based evaluation.
+    Deterministic (fixed seed), stable across runs and engines.
     """
     a, b = _perm_params(num_perm, seed)
     prime = np.uint64(0x100000001B3)
     basis = np.uint64(0xCBF29CE484222325)
+    k = shingle_k
+    # 128k shingles/block: (num_perm, 128k) uint64 temp ≈ 64 MB at 64 perms —
+    # bounded per-thread memory regardless of batch or document size
+    block = 1 << 17
+    p64 = np.uint64(_MERSENNE)
+    shift61 = np.uint64(61)
 
     # the signature UDF is CPU-bound: spread narrow inputs to the fleet first
     from .util import ensure_parallelism
 
     df = ensure_parallelism(df)
 
+    scratch: dict = {}
+
+    def _buf(name: str, size: int, dtype):
+        arr = scratch.get(name)
+        if arr is None or arr.size < size:
+            arr = np.empty(max(size, 2 * (arr.size if arr is not None else 0)), dtype)
+            scratch[name] = arr
+        return arr[:size]
+
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
+        encs = [(t or "").encode("utf-8") for t in texts]
+        n = len(encs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
         with np.errstate(over="ignore"):
-            for t in texts:
-                raw = (t or "").encode("utf-8")
-                if len(raw) < shingle_k:
-                    hs = np.array([hash_shingle(t or "")], dtype=np.uint64)
-                else:
-                    # vectorized FNV-1a over every k-byte window: process the
-                    # j-th byte of all windows in one numpy op (uint64 wraps)
-                    B = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
-                    m = len(raw) - shingle_k + 1
-                    H = np.full(m, basis, dtype=np.uint64)
-                    for j in range(shingle_k):
-                        H = (H ^ B[j : j + m]) * prime
-                    hs = np.unique(H)
-                # (num_perm, n_shingles) via broadcasting, min along shingles
-                vals = (np.outer(a, hs) + b[:, None]) % _MERSENNE
-                out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+            raw = b"".join(encs)
+            allb = _buf("allb", len(raw), np.uint64)
+            np.copyto(allb, np.frombuffer(raw, dtype=np.uint8), casting="unsafe")
+            m_total = len(raw) - k + 1
+            if m_total > 0:
+                H = _buf("H", m_total, np.uint64)
+                H.fill(basis)
+                for j in range(k):
+                    np.bitwise_xor(H, allb[j : j + m_total], out=H)
+                    np.multiply(H, prime, out=H)
+                # windows starting within k-1 bytes of a doc boundary straddle it
+                ends = np.cumsum(lens)
+                bad = (ends[:-1, None] - np.arange(1, k)[None, :]).ravel()
+                mask = _buf("mask", m_total, bool)
+                mask.fill(True)
+                mask[bad[(bad >= 0) & (bad < m_total)]] = False
+                # doc d's windows start at offset_d and number len_d-k+1 (if ≥0)
+                starts = ends - lens
+                over = np.minimum(starts + np.maximum(lens - k + 1, 0), m_total)
+                counts = np.maximum(over - np.minimum(starts, m_total), 0)
+                nvalid = int(counts.sum())
+                valid = _buf("valid", nvalid, np.uint64)
+                np.compress(mask, H, out=valid)
+            else:
+                counts = np.zeros(n, dtype=np.int64)
+                valid = np.empty(0, dtype=np.uint64)
+            if (counts == 0).any():
+                # short docs (< k bytes): splice in one whole-text fallback hash
+                segs, pos = [], 0
+                for d in range(n):
+                    if counts[d] == 0:
+                        segs.append(
+                            np.array([hash_shingle(texts.iloc[d] or "")], dtype=np.uint64)
+                        )
+                    else:
+                        segs.append(valid[pos : pos + counts[d]].copy())
+                        pos += counts[d]
+                valid = np.concatenate(segs)
+                counts = np.maximum(counts, 1)
+            seg_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=seg_off[1:])
+            out = np.empty((n, num_perm), dtype=np.uint64)
+            width = min(block, int(seg_off[-1]) or 1)
+            d0 = 0
+            while d0 < n:
+                d1 = d0 + 1
+                while d1 < n and seg_off[d1 + 1] - seg_off[d0] <= block:
+                    d1 += 1
+                hs = valid[seg_off[d0] : seg_off[d1]]
+                width = max(width, len(hs))  # single doc wider than the block
+                vals = _buf("vals", num_perm * width, np.uint64)[
+                    : num_perm * len(hs)
+                ].reshape(num_perm, len(hs))
+                fold = _buf("fold", num_perm * width, np.uint64)[
+                    : num_perm * len(hs)
+                ].reshape(num_perm, len(hs))
+                ge = _buf("ge", num_perm * width, bool)[: num_perm * len(hs)].reshape(
+                    num_perm, len(hs)
+                )
+                np.multiply(a[:, None], hs[None, :], out=vals)
+                np.add(vals, b[:, None], out=vals)
+                # Mersenne fold == vals % (2^61-1): high bits + low bits, one
+                # conditional subtract (sum < 2p since vals>>61 < 8)
+                np.bitwise_and(vals, p64, out=fold)
+                np.right_shift(vals, shift61, out=vals)
+                np.add(vals, fold, out=vals)
+                np.greater_equal(vals, p64, out=ge)
+                np.subtract(vals, p64, out=vals, where=ge)
+                out[d0:d1] = np.minimum.reduceat(
+                    vals, seg_off[d0:d1] - seg_off[d0], axis=1
+                ).T
+                d0 = d1
+        signed = out.astype(np.int64)
+        return pd.Series([signed[i] for i in range(n)])
 
     return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
 
