@@ -212,10 +212,11 @@ class OlapIndex:
     ) -> "OlapIndex":
         os.makedirs(out_dir, exist_ok=True)
         t = config.time_col
-        flat = flat_df.withColumn(
+        pre = flat_df.withColumn(
             MONTH_COL, F.date_format(F.col(t), "yyyy-MM")
         )
         flat_path = os.path.join(out_dir, "flat")
+        to_write = pre
         if config.sort_cols:
             # layout for stats pruning: range-partition by (month, sort cols)
             # so big months split across parallel tasks with CONTIGUOUS sort
@@ -223,43 +224,47 @@ class OlapIndex:
             # min/max stats on the sort columns, and parquet skips row groups
             # for predicates on them (q10's o_orderdate range, for example,
             # which the month partitioning alone cannot prune)
-            flat = flat.repartitionByRange(
+            to_write = pre.repartitionByRange(
                 MONTH_COL, *config.sort_cols
             ).sortWithinPartitions(MONTH_COL, *config.sort_cols)
-        (
-            flat.write.mode("overwrite")
-            .partitionBy(MONTH_COL)
-            # scale guard: bound file sizes so a 100 TB flat table becomes
-            # many ~128 MB-ish files per month partition, never one giant file
-            .option("maxRecordsPerFile", 5_000_000)
-            .parquet(flat_path)
-        )
-        flat = spark.read.parquet(flat_path)
 
         manifest: dict = {
             "version": 1,
             "config": config.to_dict(),
             "star": json.loads(star.to_json()) if star else None,
         }
-        # stats and each cube are independent Spark jobs over the same (just
-        # written) flat parquet: submit them concurrently so the scheduler
-        # interleaves their stages across the executor cores instead of
-        # running ~5 small jobs serially
+        # the flat write, the stats pass, and each cube build are independent
+        # Spark jobs; stats/cubes aggregate the PRE-write plan (column-pruned
+        # scan of the raw star — Catalyst pushes each cube's column set down
+        # to the source), so nothing serializes behind the flat write and the
+        # scheduler interleaves all stages across the executor cores. The
+        # sorted/range-partitioned plan is only used for the write itself —
+        # aggregations don't need the sort, and skipping it avoids its shuffle.
         from concurrent.futures import ThreadPoolExecutor
+
+        def write_flat():
+            (
+                to_write.write.mode("overwrite")
+                .partitionBy(MONTH_COL)
+                # scale guard: bound file sizes so a 100 TB flat table becomes
+                # many ~128 MB-ish files per month partition, never 1 giant file
+                .option("maxRecordsPerFile", 5_000_000)
+                .parquet(flat_path)
+            )
 
         def compute_stats():
             stats_aggs = [F.count(F.lit(1)).alias("__rows"),
                           F.min(t).alias("__tmin"), F.max(t).alias("__tmax")]
-            data_cols = [c for c in flat.columns if c != MONTH_COL]
+            data_cols = [c for c in pre.columns if c != MONTH_COL]
             if compute_ndv:
                 stats_aggs += [
                     F.approx_count_distinct(c).alias(f"ndv__{c}")
                     for c in data_cols
                 ]
-            return flat.agg(*stats_aggs).collect()[0].asDict()
+            return pre.agg(*stats_aggs).collect()[0].asDict()
 
         def build_one_cube(cube: CubeSpec):
-            cube_df = OlapIndex._build_cube(flat, config, cube)
+            cube_df = OlapIndex._build_cube(pre, config, cube)
             cube_path = os.path.join(out_dir, f"cube_{cube.name}")
             cube_df.write.mode("overwrite").parquet(cube_path)
             written = spark.read.parquet(cube_path)
@@ -274,11 +279,14 @@ class OlapIndex:
                 },
             }
 
-        with ThreadPoolExecutor(max_workers=1 + len(config.cubes)) as pool:
+        with ThreadPoolExecutor(max_workers=2 + len(config.cubes)) as pool:
+            write_f = pool.submit(write_flat)
             stats_f = pool.submit(compute_stats)
             cube_fs = [pool.submit(build_one_cube, c) for c in config.cubes]
             stats = stats_f.result()
             manifest["cubes"] = dict(f.result() for f in cube_fs)
+            write_f.result()
+        flat = spark.read.parquet(flat_path)
 
         manifest["flat"] = {
             "path": "flat",
