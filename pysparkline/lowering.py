@@ -85,6 +85,10 @@ class Backing:
         self.index = index
         self.month_col = month_col
         self.cube_name = cube_name
+        # >1 = planner's distinct-agg skew guard: lower exact count-distinct
+        # as a two-stage (keys, hash-bucket) aggregation spread over this many
+        # value-space buckets (see _two_stage_distinct)
+        self.distinct_buckets = 1
 
     @property
     def preagg(self) -> bool:
@@ -461,6 +465,85 @@ def _agg_columns(aggs: list[ir.AggSpec], backing: Backing) -> list[Column]:
     return [_raw_agg(a) for a in aggs]
 
 
+def _distinct_merge_agg(a: ir.AggSpec) -> Column | None:
+    """Stage-2 merge column for ``a``'s stage-1 partial, or None if ``a``
+    cannot re-aggregate through a (keys, value-bucket) partial grouping.
+    count-like partials merge by sum (coalesced to 0 so an empty global
+    aggregate still yields count semantics); sums by sum; min/max by
+    themselves. Sketches (HLL/cardinality) are excluded — their partials
+    don't merge through countDistinct buckets."""
+    name = a.name
+
+    def count_like() -> Column:
+        return F.coalesce(F.sum(F.col(name)), F.lit(0)).alias(name)
+
+    if isinstance(a, (ir.DistinctAgg, ir.CountAgg)):
+        return count_like()
+    fn = None
+    if isinstance(a, (ir.FieldAgg, ir.ExprAgg)):
+        fn = a.fn
+    elif isinstance(a, ir.FilteredAgg):
+        inner = a.agg
+        fn = "count" if isinstance(inner, ir.CountAgg) else getattr(inner, "fn", None)
+    if fn == "count":
+        return count_like()
+    if fn in ("sum", "min", "max"):
+        return {"sum": F.sum, "min": F.min, "max": F.max}[fn](F.col(name)).alias(name)
+    return None
+
+
+def _two_stage_distinct(
+    df: DataFrame,
+    key_cols: list[Column],
+    out_names: list[str],
+    aggs: list[ir.AggSpec],
+    agg_cols: list[Column],
+    n_buckets: int,
+) -> DataFrame | None:
+    """Skew-guarded exact count-distinct: aggregate by (keys..., hash(x) % n)
+    first, then merge partials by keys.
+
+    When the group count is far below the shuffle parallelism, a one-stage
+    ``groupBy(keys).agg(countDistinct(x))`` funnels every row of a group into
+    ONE reduce task (Spark's distinct-aggregate Expand keys by (keys, x), but
+    the final distinct-set build still lands on the group's single partition).
+    Hash-bucketing the VALUE space first spreads that build over ``n_buckets``
+    tasks; buckets partition the values, so per-bucket distinct counts sum
+    exactly. Deterministic — bucketing only changes physical placement.
+
+    Returns None when the agg shape doesn't decompose (multiple distinct
+    columns, sketch aggs) — caller falls back to the one-stage plan. Output
+    column types are cast to the one-stage schema (two-stage sum-of-sum
+    widens decimals otherwise).
+    """
+    dcols = {a.field_name for a in aggs if isinstance(a, ir.DistinctAgg)}
+    if len(dcols) != 1:
+        return None
+    merges = [_distinct_merge_agg(a) for a in aggs]
+    if any(m is None for m in merges):
+        return None
+    dcol = next(iter(dcols))
+    bucket = F.pmod(F.hash(F.col(dcol)), F.lit(n_buckets)).alias("__dbucket")
+    stage1 = df.groupBy(*key_cols, bucket).agg(*agg_cols)
+    stage2 = (
+        stage1.groupBy(*out_names).agg(*merges)
+        if out_names
+        else stage1.agg(*merges)
+    )
+    # one-stage schema is the contract (decimal sums re-widen through the
+    # second sum; counts go nullable): cast every agg output back
+    one_stage = (
+        df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
+    )
+    want = {f.name: f.dataType for f in one_stage.schema.fields}
+    return stage2.select(
+        *[
+            F.col(c).cast(want[c]).alias(c) if c in want else F.col(c)
+            for c in stage2.columns
+        ]
+    )
+
+
 def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
     df = _apply_filters(backing.df, backing, q)
 
@@ -478,7 +561,13 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
     if q.grouping_sets is not None:
         out = _grouping_sets_union(df, q, key_cols, out_names, agg_cols)
     else:
-        out = df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
+        out = None
+        if backing.distinct_buckets > 1 and not backing.preagg:
+            out = _two_stage_distinct(
+                df, key_cols, out_names, aggs, agg_cols, backing.distinct_buckets
+            )
+        if out is None:
+            out = df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
 
     # post-aggregations: avg divisions first, then user post-aggs. Applied in
     # waves of withColumns (one plan node + py4j call per wave) — a new wave

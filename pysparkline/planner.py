@@ -185,6 +185,30 @@ def estimate_groups(
 NON_AGG_MODES = ("push_none", "push_filters", "push_project_and_filters")
 
 
+def _distinct_skew_buckets(q: ir.QuerySpec, est: float | None, df: DataFrame) -> int:
+    """Value-space bucket count for the distinct-agg skew guard, or 1 (off).
+
+    Exact count-distinct over FEW groups is the skew shape AQE cannot fix:
+    however Spark plans it, the final distinct-set build for a group lands on
+    one reduce task, so a 100 TB scan funnels into ≤ est_groups tasks. When
+    the NDV-estimated group count is below the configured shuffle parallelism,
+    lowering decomposes the distinct into (keys, hash(x) % n) partials first
+    (lowering._two_stage_distinct) — n chosen so groups × n ≈ parallelism."""
+    if est is None or not any(
+        isinstance(a, ir.DistinctAgg) for a in getattr(q, "aggregations", [])
+    ):
+        return 1
+    try:
+        par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        par = 200
+    if est >= par:
+        return 1
+    import math
+
+    return min(par, max(2, math.ceil(par / max(est, 1.0))))
+
+
 def choose_backing(
     q: ir.QuerySpec,
     index: OlapIndex,
@@ -240,15 +264,29 @@ def choose_backing(
 
     if referenced <= flat_cols:
         notes.append("flat backing: all referenced columns in flattened star")
-        return Backing.flat(index), PlanDecision("flat", None, est, notes)
+        backing = Backing.flat(index)
+        n = _distinct_skew_buckets(q, est, backing.df)
+        if n > 1:
+            backing.distinct_buckets = n
+            notes.append(
+                f"distinct-agg skew guard: est groups {int(est)} < shuffle "
+                f"parallelism — value-space bucketed x{n}"
+            )
+        return backing, PlanDecision("flat", None, est, notes)
 
     if base_df is not None:
         notes.append(
             f"fallback to base: columns {sorted(referenced - flat_cols)} not in index"
         )
-        return Backing.base(base_df, index.time_col), PlanDecision(
-            "base", None, est, notes
-        )
+        backing = Backing.base(base_df, index.time_col)
+        n = _distinct_skew_buckets(q, est, backing.df)
+        if n > 1:
+            backing.distinct_buckets = n
+            notes.append(
+                f"distinct-agg skew guard: est groups {int(est)} < shuffle "
+                f"parallelism — value-space bucketed x{n}"
+            )
+        return backing, PlanDecision("base", None, est, notes)
     raise ValueError(
         f"query references columns outside the index {sorted(referenced - flat_cols)} "
         "and no base DataFrame was supplied"

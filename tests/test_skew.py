@@ -61,3 +61,71 @@ def test_salt_collision_guard(spark, skewed):
         skew.salted_join(
             skewed.withColumn("__salt", F.lit(1)), skewed, ["k"]
         )
+
+
+# ---------------------------------------------------------------------------
+# planner-integrated distinct-agg skew guard
+# ---------------------------------------------------------------------------
+
+
+def _distinct_spec(with_avg=False):
+    from pysparkline import ir
+
+    aggs = [
+        ir.DistinctAgg(name="users", field_name="c_custkey"),
+        ir.CountAgg(name="cnt"),
+        ir.FieldAgg(name="qty", field_name="l_quantity", fn="sum"),
+    ]
+    if with_avg:
+        aggs.append(ir.AvgAgg(name="avg_qty", field_name="l_quantity"))
+    return ir.GroupByQuery(
+        dimensions=[ir.DefaultDim(dimension="l_returnflag", output_name="flag")],
+        aggregations=aggs,
+    )
+
+
+def test_planner_flags_low_group_distinct(ctx):
+    """Few groups + exact distinct -> the planner bucket-spreads the value
+    space and the lowered plan carries the __dbucket partial stage."""
+    spec, backing, decision = ctx.plan(_distinct_spec())
+    assert backing.distinct_buckets > 1
+    assert any("skew guard" in n for n in decision.notes)
+    from pysparkline import lowering
+
+    plan = lowering.lower(spec, backing)._jdf.queryExecution().toString()
+    assert "__dbucket" in plan
+
+
+def test_two_stage_distinct_matches_one_stage(ctx, duck):
+    out = {
+        tuple(r): None for r in ctx.query(_distinct_spec(with_avg=True)).collect()
+    }
+    want = {
+        tuple(r): None
+        for r in duck.execute(
+            """
+            SELECT l_returnflag AS flag,
+                   COUNT(DISTINCT c_custkey) AS users,
+                   COUNT(*) AS cnt,
+                   SUM(l_quantity) AS qty,
+                   AVG(l_quantity) AS avg_qty
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert out == want
+
+
+def test_high_group_distinct_not_bucketed(ctx):
+    """Plenty of groups -> no guard; the one-stage plan parallelizes fine."""
+    from pysparkline import ir
+
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim(dimension="o_orderkey", output_name="ok")],
+        aggregations=[ir.DistinctAgg(name="users", field_name="c_custkey")],
+    )
+    _, backing, _ = ctx.plan(spec)
+    assert backing.distinct_buckets == 1
