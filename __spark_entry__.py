@@ -1242,6 +1242,98 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "decontaminate_docs",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 8, 0) + 2),
+                                      i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks
+), cg AS (SELECT doc_id AS corpus_id, unnest(g) AS gram FROM grams
+          WHERE doc_id % 17 <> 0),
+   bg AS (SELECT doc_id AS bench_id, unnest(g) AS gram FROM grams
+          WHERE doc_id % 17 = 0)
+SELECT corpus_id, bench_id, count(*) AS n_shared_grams
+FROM cg JOIN bg USING (gram) GROUP BY 1, 2
+""",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: docs with doc_id % 17 == 0 play the
+    held-out eval set; report corpus docs sharing any token 8-gram with it."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import clean
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return clean.decontaminate(corpus, bench, "doc_id", "text", n=8)
+
+
+@_register(
+    "boilerplate_prune_docs",
+    """
+WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+units AS (SELECT doc_id, unnest(range(len(p))) AS pos, unnest(p) AS unit
+          FROM parts),
+total AS (SELECT count(*) AS n FROM documents),
+boiler AS (
+  SELECT unit
+  FROM (SELECT unit, count(DISTINCT doc_id) AS d FROM units GROUP BY 1), total
+  WHERE d >= 2 AND d >= ceil(0.5 * n)
+),
+kept AS (SELECT * FROM units WHERE unit NOT IN (SELECT unit FROM boiler)),
+rebuilt AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY 1)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def boilerplate_prune_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style over-frequent-unit pruning at token granularity (this corpus
+    has no newlines, so 'units' are tokens: words in >=50% of documents are
+    the boilerplate analog)."""
+    from pysparkline.operators import clean
+
+    prep(spark)
+    return clean.prune_frequent_units(
+        _docs(spark, sf_dir), "doc_id", "text",
+        delimiter=" ", min_doc_frac=0.5, min_docs=2,
+    )
+
+
+@_register(
+    "pii_redact_docs",
+    r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+    '\b[0-9]{9,}\b', '<LONG_DIGITS>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\b[0-9]{9,}\b')) AS INTEGER) AS n_long_digits
+FROM documents
+""",
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails / IPv4 / long digit runs) with per-kind
+    replacement counts; portable-regex parity with the DuckDB oracle."""
+    from pysparkline.operators import clean
+
+    prep(spark)
+    return clean.redact_pii(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@_register(
     "cosine_topk",
     """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -2385,6 +2477,7 @@ _PRIORITY = [
     "minhash_pairs_docs", "simhash_pairs_docs", "lsh_cosine_topk",
     "sessionize_stats", "avg_null_aware", "sql_count_distinct",
     "bpe_tokens_docs", "skew_salted_distinct",
+    "decontaminate_docs", "boilerplate_prune_docs", "pii_redact_docs",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

@@ -456,6 +456,10 @@ def _apply_filters(df: DataFrame, backing: Backing, q) -> DataFrame:
     f = getattr(q, "filter", None)
     if f is not None:
         df = df.where(filter_to_column(f))
+    # measured dead end, do not revisit: coalesce(1)-before-agg for small
+    # cubes removes the exchange but serializes the (decimal-heavy) partial
+    # aggregation onto the cube's 1-2 scan tasks — A/B at sf0.1 showed the
+    # parallel partial/final plan ~2x faster warm (88ms vs 170ms for q1)
     return df
 
 

@@ -1,0 +1,172 @@
+"""Corpus-cleaning operators for training-data pipelines: benchmark
+decontamination, over-frequent-unit (boilerplate) pruning, and PII redaction.
+
+All three stay JVM-side (split/explode/join/window/regexp — no Python in the
+hot path) and are shaped for the 100 TB case:
+
+- decontamination joins the (huge) corpus gram stream against a DISTINCT,
+  usually-small benchmark gram set — Spark broadcasts it when it fits, and
+  non-matching corpus grams die at the join before any shuffle of documents;
+- boilerplate pruning is two shuffles (unit document-frequency, then
+  per-document reconstruction), both with map-side combine;
+- redaction is a narrow map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _token_ngrams(text: Column, n: int) -> Column:
+    """Distinct lowercase token n-grams of ``text`` (same construction as
+    dedup.ngram_jaccard_pairs, shared convention: whitespace tokens,
+    space-joined)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark contamination report: (corpus_id, bench_id, n_shared_grams)
+    for every corpus document sharing at least one token ``n``-gram with a
+    benchmark document.
+
+    The standard eval-set decontamination check (n-gram collision against
+    held-out benchmarks) as a pure DataFrame plan: explode distinct n-grams
+    on both sides, inner-join on the gram, count collisions per (corpus,
+    bench) pair. The benchmark side is DISTINCT grams per bench doc and is
+    small in practice — Spark/AQE broadcasts it, so the corpus NEVER
+    shuffles: contaminated rows reduce at the (tiny) pair aggregation.
+
+    Filtering the corpus is then a semi/anti join of ids against this
+    report. n defaults to 8 — large enough that natural collisions are rare,
+    the usual choice for contamination sweeps.
+    """
+    bid = bench_id_col or id_col
+    btext = bench_text_col or text_col
+    cg = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(_token_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    bg = bench.select(
+        F.col(bid).alias("bench_id"),
+        F.explode(_token_ngrams(F.col(btext), n)).alias("gram"),
+    )
+    return (
+        cg.join(bg, "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def prune_frequent_units(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str = "\n",
+    min_doc_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove units (lines by default) that occur in too many documents —
+    the C4-style boilerplate filter (nav bars, cookie banners, licence
+    headers repeat verbatim across pages).
+
+    A unit is boilerplate when it appears in ≥ ``min_docs`` documents AND in
+    ≥ ``min_doc_frac`` of all documents. ``delimiter`` is a regex (Spark
+    split semantics); keep it a plain character for oracle parity. Output: (id, clean_text) for EVERY
+    input document (all-boilerplate documents come back as ''), with
+    surviving units in their original order.
+
+    Shape: split → posexplode (narrow), document-frequency per unit (shuffle
+    1, map-side combined), anti-join against the flagged set (broadcast when
+    small — the flagged set is bounded by NDV(units), further cut by the
+    threshold), re-assemble per document (shuffle 2). No per-row Python.
+    """
+    units = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias(
+            "pos", "unit"
+        ),
+    )
+    # corpus size enters the plan as a broadcast 1-row aggregate (no eager
+    # driver count; the whole operator stays one lazy plan)
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    dfreq = units.groupBy("unit").agg(
+        F.count_distinct("id").alias("__df")
+    )
+    boiler = (
+        dfreq.crossJoin(F.broadcast(total))
+        .where(
+            (F.col("__df") >= F.lit(int(min_docs)))
+            & (
+                F.col("__df")
+                >= F.ceil(F.lit(float(min_doc_frac)) * F.col("__total"))
+            )
+        )
+        .select("unit")
+    )
+    kept = units.join(boiler, "unit", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("unit")))
+                ),
+                lambda s: s["unit"],
+            ),
+        ).alias("clean_text")
+    )
+    # every input id comes back, even when all units were pruned
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# portable regexes (no lookarounds/backrefs): Java regex and RE2-class
+# engines (DuckDB) read these identically — the oracle-parity property
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "long_digits": r"\b[0-9]{9,}\b",
+}
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 addresses, ≥9-digit runs) to
+    typed placeholders and count the replacements per kind.
+
+    Order matters: emails first (their local parts may contain digit runs),
+    then IPs (dotted digits would otherwise partially match long_digits),
+    then bare digit runs. A narrow map — no shuffle, codegen-friendly.
+    """
+    text = F.col(text_col)
+    counts = {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+    red = text
+    for kind in ("email", "ipv4", "long_digits"):
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return df.select(
+        F.col(id_col),
+        red.alias("clean_text"),
+        *[counts[k].cast("int").alias(f"n_{k}") for k in PII_PATTERNS],
+    )

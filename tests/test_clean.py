@@ -1,0 +1,147 @@
+"""Corpus-cleaning operators: decontamination, boilerplate pruning, PII
+redaction — semantics on synthetic fixtures (the testdata corpus has no
+newlines or PII, so the driver queries exercise parity while these exercise
+behavior)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkline.operators import clean
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally unrelated words nothing shared here at all folks ok"),
+            (3, "x alpha beta gamma delta epsilon zeta eta theta end"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.corpus_id, r.bench_id): r.n_shared_grams
+        for r in clean.decontaminate(corpus, bench, "doc_id", "text", n=8).collect()
+    }
+    # doc 1 and 3 contain the full benchmark 8-gram; doc 2 shares nothing
+    assert set(out) == {(1, 100), (3, 100)}
+    assert all(v >= 1 for v in out.values())
+
+
+def test_decontaminate_short_docs_whole_text_gram(spark):
+    # docs shorter than n fall back to their whole text as one gram — an
+    # exact short-text match is still contamination
+    corpus = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    out = clean.decontaminate(corpus, bench, "doc_id", "text", n=8).collect()
+    assert len(out) == 1 and out[0].n_shared_grams == 1
+
+
+def test_prune_frequent_units_lines(spark):
+    header = "COOKIE BANNER"
+    docs = [
+        (1, f"{header}\nreal content one\nmore text"),
+        (2, f"{header}\nreal content two"),
+        (3, f"{header}\nreal content three"),
+        (4, "no banner here\njust text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.clean_text
+        for r in clean.prune_frequent_units(
+            df, "doc_id", "text", delimiter="\n", min_doc_frac=0.5, min_docs=2
+        ).collect()
+    }
+    assert out[1] == "real content one\nmore text"
+    assert out[2] == "real content two"
+    assert out[4] == "no banner here\njust text"
+    assert header not in "\n".join(out.values())
+
+
+def test_prune_all_boilerplate_doc_survives_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in clean.prune_frequent_units(
+            df, "doc_id", "text", min_doc_frac=0.5, min_docs=2
+        ).collect()
+    }
+    assert out == {1: "", 2: "", 3: ""}
+
+
+def test_prune_preserves_unit_order(spark):
+    # kept units must come back in original order, not collection order
+    df = spark.createDataFrame(
+        [(1, "z\na\nm\nb"), (2, "unrelated")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in clean.prune_frequent_units(
+            df, "doc_id", "text", min_doc_frac=0.9, min_docs=2
+        ).collect()
+    }
+    assert out[1] == "z\na\nm\nb"
+
+
+PII_FIXTURES = [
+    (1, "contact john.doe+spam@example.co.uk or admin@host.io today"),
+    (2, "server at 192.168.0.1 and card 1234567890123456 leaked"),
+    (3, "clean text with the number 12345678 (too short to redact)"),
+    (4, "mixed: a@b.com from 10.0.0.255 acct 999999999"),
+]
+
+
+def test_redact_pii_fixtures(spark):
+    df = spark.createDataFrame(PII_FIXTURES, "doc_id long, text string")
+    out = {r.doc_id: r for r in clean.redact_pii(df, "doc_id", "text").collect()}
+    assert out[1].clean_text == "contact <EMAIL> or <EMAIL> today"
+    assert out[1].n_email == 2 and out[1].n_ipv4 == 0
+    assert out[2].clean_text == "server at <IPV4> and card <LONG_DIGITS> leaked"
+    assert out[3].clean_text == PII_FIXTURES[2][1]  # untouched
+    assert out[4].n_email == 1 and out[4].n_ipv4 == 1 and out[4].n_long_digits == 1
+
+
+def test_redact_pii_matches_duckdb_on_fixtures(spark):
+    """Regex-dialect parity: the same portable patterns produce byte-identical
+    redactions in Java regex (Spark) and RE2 (DuckDB)."""
+    df = spark.createDataFrame(PII_FIXTURES, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.clean_text, r.n_email, r.n_ipv4, r.n_long_digits)
+        for r in clean.redact_pii(df, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in PII_FIXTURES)
+        + ") AS t(doc_id, text)"
+    )
+    email, ipv4, digits = (
+        clean.PII_PATTERNS["email"],
+        clean.PII_PATTERNS["ipv4"],
+        clean.PII_PATTERNS["long_digits"],
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '{email}', '<EMAIL>', 'g'),
+                '{ipv4}', '<IPV4>', 'g'),
+                '{digits}', '<LONG_DIGITS>', 'g'),
+              CAST(len(regexp_extract_all(text, '{email}')) AS INTEGER),
+              CAST(len(regexp_extract_all(text, '{ipv4}')) AS INTEGER),
+              CAST(len(regexp_extract_all(text, '{digits}')) AS INTEGER)
+            FROM d
+            """
+        ).fetchall()
+    )
+    assert got == want
