@@ -117,9 +117,13 @@ def minhash_signatures(
     prime = np.uint64(0x100000001B3)
     basis = np.uint64(0xCBF29CE484222325)
     k = shingle_k
-    # 128k shingles/block: (num_perm, 128k) uint64 temp ≈ 64 MB at 64 perms —
-    # bounded per-thread memory regardless of batch or document size
-    block = 1 << 17
+    # 16k shingles/block: (num_perm, 16k) uint64 temp = 8 MB at 64 perms —
+    # bounded per-worker memory regardless of batch or document size. Kept
+    # deliberately small: 16k x 64 = 1M elements/op amortizes numpy dispatch
+    # fully, while the FIRST-touch page-fault cost of the scratch buffers
+    # (which a fleet of cold Python workers pays simultaneously) scales with
+    # buffer size — 64 MB blocks measurably ballooned cold-start wall time.
+    block = 1 << 14
     p64 = np.uint64(_MERSENNE)
     shift61 = np.uint64(61)
 
