@@ -1,9 +1,15 @@
-from .ingest import StreamingIngest, stream_flatten, windowed_rollup
+from .ingest import (
+    StreamingIngest,
+    stream_flatten,
+    streaming_dedup_exact,
+    windowed_rollup,
+)
 from .stateful import streaming_sessionize
 
 __all__ = [
     "StreamingIngest",
     "stream_flatten",
+    "streaming_dedup_exact",
     "windowed_rollup",
     "streaming_sessionize",
 ]

@@ -72,6 +72,30 @@ def windowed_rollup(
     )
 
 
+def streaming_dedup_exact(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit the first arrival of each key,
+    dropping duplicates that arrive within the watermark horizon — the
+    streaming analog of ``operators.dedup.exact_dedup`` for at-least-once
+    sources (replayed Kafka offsets, retried file drops).
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event time:
+    keys whose last sighting fell behind the watermark are evicted, so state
+    is O(keys-per-horizon), not O(all keys ever) — the property that lets
+    the job run forever at ingest scale. The trade is explicit: a duplicate
+    arriving later than ``watermark`` after the original is emitted again;
+    exact global dedup over unbounded lateness needs unbounded state and
+    belongs to the batch operator.
+    """
+    return stream_df.withWatermark(
+        time_col, watermark
+    ).dropDuplicatesWithinWatermark(key_cols)
+
+
 class StreamingIngest:
     """foreachBatch writer keeping an OlapIndex fresh from a stream.
 

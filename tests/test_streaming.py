@@ -223,3 +223,58 @@ def test_windowed_rollup_plan(spark):
     )
     assert out.isStreaming
     assert set(c for c in out.columns) == {"window", "value", "n"}
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Cross-micro-batch exact dedup with bounded state: duplicates within
+    the watermark horizon are dropped, including replays in later batches."""
+    from pysparkline.streaming import streaming_dedup_exact
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available(_name):
+        stream = (
+            spark.readStream.schema("k string, ts timestamp, v long")
+            .parquet(str(src))
+        )
+        out = streaming_dedup_exact(stream, ["k"], "ts", watermark="1 hour")
+        rows = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: rows.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.k: r.v for r in rows}
+
+    batch1 = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", 1),
+            ("b", "2024-01-01 10:05:00", 2),
+            ("a", "2024-01-01 10:10:00", 99),  # dup within horizon
+        ],
+        "k string, ts string, v long",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v")
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    got1 = run_available("dedup_b1")
+    assert set(got1) == {"a", "b"}
+    assert got1["a"] == 1  # first arrival wins
+
+    # second run (checkpointed state carries over): replayed 'b' suppressed,
+    # fresh 'c' passes
+    batch2 = spark.createDataFrame(
+        [
+            ("b", "2024-01-01 10:20:00", 42),  # dup vs batch 1, in horizon
+            ("c", "2024-01-01 10:30:00", 3),
+        ],
+        "k string, ts string, v long",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v")
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    got2 = run_available("dedup_b2")
+    assert set(got2) == {"c"}, "only the fresh key appears in the new batch"
