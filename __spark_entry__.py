@@ -1242,6 +1242,52 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_clusters_docs",
+    r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks
+), inv AS (
+  SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams
+), common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.ng AS na, r.ng AS nb,
+         count(*) AS c
+  FROM inv l JOIN inv r ON l.gram = r.gram AND l.doc_id < r.doc_id
+  WHERE l.ng * 0.5 <= r.ng AND r.ng * 0.5 <= l.ng
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT id_a, id_b FROM common WHERE c / (na + nb - c) >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(id, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON r.id = e.s
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+""",
+)
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components (min-label
+    propagation) over the exact n-gram Jaccard pairs — turns pairwise dup
+    reports into keep-one-per-cluster decisions."""
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+    return dedup.cluster_pairs(pairs).withColumnRenamed("id", "doc_id")
+
+
+@_register(
     "decontaminate_docs",
     r"""
 WITH toks AS (
@@ -2478,6 +2524,7 @@ _PRIORITY = [
     "sessionize_stats", "avg_null_aware", "sql_count_distinct",
     "bpe_tokens_docs", "skew_salted_distinct",
     "decontaminate_docs", "boilerplate_prune_docs", "pii_redact_docs",
+    "dedup_clusters_docs",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

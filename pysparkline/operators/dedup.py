@@ -608,3 +608,74 @@ def cosine_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster assignment (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: (id, cluster_id) with
+    ``cluster_id`` = the smallest member id of the component.
+
+    This is the step that turns pairwise dup reports into an actionable
+    "keep one document per cluster" decision (filter = keep id ==
+    cluster_id, or any deterministic champion rule per cluster).
+
+    Min-label propagation: every node starts labeled with itself; each round
+    nodes take the min of their own and their neighbors' labels; converged
+    when no label changes. Rounds needed = component diameter — near-dup
+    clusters are shallow (dups of a common source), so this converges in a
+    handful of rounds. Each round is ONE equi-join + ONE min-aggregation
+    (both map-side combined) over the edge list; `localCheckpoint` truncates
+    the growing lineage so Catalyst never re-analyzes a 20-round plan. The
+    loop's only driver action is a 1-row convergence probe per round.
+
+    Only ids appearing in ``pairs`` are returned (singletons are their own
+    cluster trivially — joining them in is the caller's one-line left join).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iter} rounds — a "
+            "component with diameter > max_iter exists; raise max_iter "
+            "(rounds are cheap equi-joins) rather than accept partial labels"
+        )
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -120,3 +120,47 @@ def test_plan_cache_reuses_dataframe(ctx):
     assert ctx.query_history[-1].backing == ctx.query_history[-2].backing
     ctx.clear_cache()
     assert ctx.query(spec) is not d1
+
+
+def test_cluster_pairs_components(spark):
+    """Chain, triangle, and isolated pair resolve to min-id components."""
+    from pysparkline.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 1-2-3-4 (diameter 3: needs multiple propagation rounds)
+            (1, 2), (2, 3), (3, 4),
+            # triangle 10-11-12
+            (10, 11), (11, 12), (10, 12),
+            # isolated pair
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    from pysparkline.operators import dedup
+
+    n = 12  # diameter > default few rounds; still << max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
+    assert out == {i: 0 for i in range(n + 1)}
+
+
+def test_cluster_pairs_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from pysparkline.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.cluster_pairs(pairs, max_iter=2)
