@@ -1242,6 +1242,33 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "length_quantiles_docs",
+    """
+SELECT source,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY source
+""",
+)
+def length_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (exact linear-interpolated
+    percentiles — Spark `percentile` and DuckDB `quantile_cont` share the
+    a + (b-a)*f formula, so the oracle matches to FP rounding)."""
+    from pyspark.sql import functions as F
+
+    prep(spark)
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile(F.col("n_chars"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("n_chars"), F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(F.col("n_chars"), F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@_register(
     "dedup_clusters_docs",
     r"""
 WITH RECURSIVE toks AS (
@@ -2524,7 +2551,7 @@ _PRIORITY = [
     "sessionize_stats", "avg_null_aware", "sql_count_distinct",
     "bpe_tokens_docs", "skew_salted_distinct",
     "decontaminate_docs", "boilerplate_prune_docs", "pii_redact_docs",
-    "dedup_clusters_docs",
+    "dedup_clusters_docs", "length_quantiles_docs",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",
