@@ -45,6 +45,9 @@ LLM_OPS = [
     "lang_id_docs",
     "sessionize_stats",
     "asof_event_purchase",
+    "decontaminate_docs",
+    "dedup_clusters_docs",
+    "boilerplate_prune_docs",
 ]
 
 
