@@ -2503,6 +2503,37 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 @_register(
+    "sql_quantile",
+    """
+SELECT l_returnflag,
+       round(CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS DOUBLE), 4) AS p90_qty,
+       round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE), 4) AS med_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def sql_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles through the SQL entry (QuantileAgg:
+    row-grain lowering via F.percentile; cubes reject it so the planner's
+    fallback machinery is exercised on every run)."""
+    from pyspark.sql import functions as F
+
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql("""
+SELECT l_returnflag, quantile_cont(l_quantity, 0.9) AS p90_qty,
+       median(l_extendedprice) AS med_price, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+    assert ctx.query_history[-1].backing != "sparksql"
+    return out.select(
+        "l_returnflag",
+        F.round("p90_qty", 4).alias("p90_qty"),
+        F.round("med_price", 4).alias("med_price"),
+        "n",
+    )
+
+
+@_register(
     "sql_select_scan",
     """
 SELECT l_orderkey, l_linenumber, l_quantity
@@ -2551,7 +2582,7 @@ _PRIORITY = [
     "sessionize_stats", "avg_null_aware", "sql_count_distinct",
     "bpe_tokens_docs", "skew_salted_distinct",
     "decontaminate_docs", "boilerplate_prune_docs", "pii_redact_docs",
-    "dedup_clusters_docs", "length_quantiles_docs",
+    "dedup_clusters_docs", "length_quantiles_docs", "sql_quantile",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

@@ -394,6 +394,20 @@ class DistinctAgg(AggSpec):
     field_name: str = ""
 
 
+@_node
+@dataclass
+class QuantileAgg(AggSpec):
+    """Exact linear-interpolated percentile of a column (beyond-reference:
+    the reference ecosystem served percentiles from approxHistogram sketches;
+    here row-grain backings compute the exact percentile and pre-aggregated
+    backings REJECT it — percentiles don't merge — so the planner falls back
+    to flat/base automatically via the AggLoweringError eligibility path)."""
+
+    name: str = ""
+    field_name: str = ""
+    fraction: float = 0.5
+
+
 # ---------------------------------------------------------------------------
 # Post-aggregations (DruidQuerySpec.scala:388-430)
 # ---------------------------------------------------------------------------
@@ -548,7 +562,7 @@ def query_referenced_columns(q: QuerySpec) -> set[str]:
             from_agg(a.agg)
         elif isinstance(a, (CardinalityAgg,)):
             cols.update(a.field_names)
-        elif isinstance(a, (HyperUniqueAgg, DistinctAgg)):
+        elif isinstance(a, (HyperUniqueAgg, DistinctAgg, QuantileAgg)):
             cols.add(a.field_name)
 
     if isinstance(q, (GroupByQuery,)):

@@ -126,6 +126,13 @@ def agg_to_sql(a: ir.AggSpec, dialect: str = "duckdb") -> str:
         raise NotPortable("filtered inner agg")
     if isinstance(a, ir.DistinctAgg):
         return f"COUNT(DISTINCT {a.field_name}) AS {a.name}"
+    if isinstance(a, ir.QuantileAgg):
+        # CAST both the input and result: Spark computes on double; DuckDB
+        # would otherwise interpolate decimals in decimal arithmetic
+        return (
+            f"CAST(quantile_cont(CAST({a.field_name} AS DOUBLE), "
+            f"{a.fraction!r}) AS DOUBLE) AS {a.name}"
+        )
     raise NotPortable(f"agg {type(a).__name__} has no portable SQL")
 
 

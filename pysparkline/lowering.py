@@ -335,6 +335,14 @@ def _raw_agg(a: ir.AggSpec) -> Column:
         return F.approx_count_distinct(_multi_col_key(a.field_names)).alias(a.name)
     if isinstance(a, ir.DistinctAgg):
         return F.countDistinct(F.col(a.field_name)).alias(a.name)
+    if isinstance(a, ir.QuantileAgg):
+        # exact interpolated percentile (a + (b-a)*f) — double-typed like
+        # DuckDB's quantile_cont, the oracle-parity property
+        return (
+            F.percentile(
+                F.col(a.field_name).cast("double"), F.lit(float(a.fraction))
+            ).alias(a.name)
+        )
     if isinstance(a, ir.HyperUniqueAgg):
         # raw backing: build the sketch on the fly
         return F.hll_sketch_estimate(
@@ -406,6 +414,10 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
                 f"exact count-distinct needs {a.field_name} in the cube grain"
             )
         return F.countDistinct(F.col(a.field_name)).alias(a.name)
+    if isinstance(a, ir.QuantileAgg):
+        # percentiles don't merge across pre-aggregated partials; the planner
+        # catches this and keeps the query on a row-grain backing
+        raise AggLoweringError("percentile cannot run on a pre-agg backing")
     if isinstance(a, ir.HyperUniqueAgg):
         sk = f"hll_{a.field_name}"
         if sk not in cube_cols:

@@ -99,7 +99,7 @@ _CMP = {
 }
 
 _AGG_FNS = {"sum", "min", "max", "avg", "count", "count_star",
-            "approx_count_distinct", "mean"}
+            "approx_count_distinct", "mean", "quantile_cont", "median"}
 
 
 def _type_name(t: dict) -> str:
@@ -550,6 +550,18 @@ def _agg_spec(node: dict, name: str) -> ir.AggSpec:
         if len(ch) == 1 and ch[0].get("class") == "COLUMN_REF":
             return ir.AvgAgg(name, ch[0]["column_names"][-1])
         raise SQLFrontError("avg of expression unsupported in IR; use sum/count")
+    if fn in ("quantile_cont", "median"):
+        # function-style percentile: quantile_cont(col, f) / median(col);
+        # WITHIN GROUP syntax parses to different AST shapes and falls back
+        if ch and ch[0].get("class") == "COLUMN_REF":
+            col = ch[0]["column_names"][-1]
+            if fn == "median":
+                return ir.QuantileAgg(name, col, 0.5)
+            if len(ch) == 2:
+                frac = _const_value(ch[1])  # 0.9 parses as DECIMAL → Decimal
+                if isinstance(frac, (int, float, Decimal)):
+                    return ir.QuantileAgg(name, col, float(frac))
+        raise SQLFrontError(f"{fn} shape unsupported")
     if fn in ("sum", "min", "max", "count"):
         if node.get("distinct"):
             raise SQLFrontError(f"{fn}(DISTINCT) unsupported")

@@ -86,6 +86,9 @@ aggs = st.lists(
         ),
         st.sampled_from(METRIC_COLS).map(lambda c: ir.AvgAgg("", c)),
         st.tuples(
+            st.sampled_from(METRIC_COLS), st.sampled_from([0.25, 0.5, 0.9])
+        ).map(lambda t: ir.QuantileAgg("", t[0], t[1])),
+        st.tuples(
             dim_col, st.sampled_from(METRIC_COLS)
         ).map(
             lambda t: ir.FilteredAgg(

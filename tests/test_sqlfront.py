@@ -282,3 +282,24 @@ def test_explain_rewrite_sql(ctx):
     assert "backing=" in txt
     txt2 = ctx.explain_rewrite("SELECT 1 AS x FROM lineitem QUALIFY 1=1")
     assert "no rewrite" in txt2 or "fallback" in txt2
+
+
+def test_sql_quantile_rewrites_and_matches(ctx, duck):
+    """quantile_cont/median through ctx.sql: QuantileAgg rejects cubes,
+    lowers on flat, matches DuckDB's interpolation exactly."""
+    out = ctx.sql(
+        "SELECT l_returnflag AS flag, quantile_cont(l_quantity, 0.9) AS p90, "
+        "median(l_extendedprice) AS med FROM lineitem GROUP BY l_returnflag"
+    )
+    assert ctx.query_history[-1].backing == "flat"
+    got = {r.flag: (r.p90, r.med) for r in out.collect()}
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            "SELECT l_returnflag, "
+            "CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS DOUBLE), "
+            "CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
