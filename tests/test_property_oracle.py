@@ -88,6 +88,10 @@ aggs = st.lists(
         st.tuples(
             st.sampled_from(METRIC_COLS), st.sampled_from([0.25, 0.5, 0.9])
         ).map(lambda t: ir.QuantileAgg("", t[0], t[1])),
+        # exact count-distinct: low-NDV dims keep est_groups under the
+        # shuffle parallelism, so these draws routinely trigger the planner's
+        # two-stage distinct skew guard (lowering._two_stage_distinct)
+        dim_col.map(lambda c: ir.DistinctAgg("", c)),
         st.tuples(
             dim_col, st.sampled_from(METRIC_COLS)
         ).map(
