@@ -142,3 +142,48 @@ def test_cube_agg_has_partial_aggregation(ctx):
     plan = _physical(lowering.lower(spec2, backing))
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    """The benchmark gram set must broadcast: a shuffled corpus-side join
+    would be the 100 TB scale-killer."""
+    from pysparkline.operators import clean
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = clean.decontaminate(
+        docs.where(F.col("doc_id") % 17 != 0),
+        docs.where(F.col("doc_id") % 17 == 0),
+        "doc_id", "text", n=8,
+    )
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_prune_frequent_units_no_python_and_pruned_scan(spark):
+    """Boilerplate pruning stays JVM-side and reads only (id, text)."""
+    from pysparkline.operators import clean
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = clean.prune_frequent_units(docs, "doc_id", "text", delimiter=" ")
+    plan = _physical(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # '' = the corpus-size scan reading ZERO columns (count-only) — ideal
+    assert schemas and all(
+        set(s.split(",")) <= {"doc_id:bigint", "text:string", ""}
+        for s in schemas
+    )
+
+
+def test_redact_pii_is_narrow_map(spark):
+    """Redaction must plan with zero exchanges — a pure projection."""
+    from pysparkline.operators import clean
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _physical(clean.redact_pii(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
