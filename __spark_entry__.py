@@ -1269,6 +1269,37 @@ def length_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "chunk_docs",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, len(t) AS n,
+         CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INT) + 1 AS k, t
+  FROM toks
+), ex AS (
+  SELECT doc_id, n, t, unnest(range(0, k)) AS i FROM c
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text,
+       least(n - i*24, 32) AS n_tokens
+FROM ex
+""",
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training chunking: 32-token windows with 8-token overlap
+    (stride 24) — a single narrow pass, no shuffle."""
+    from pysparkline.operators import text as t
+
+    prep(spark)
+    return t.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
+@_register(
     "dedup_clusters_docs",
     r"""
 WITH RECURSIVE toks AS (
@@ -2582,7 +2613,7 @@ _PRIORITY = [
     "sessionize_stats", "avg_null_aware", "sql_count_distinct",
     "bpe_tokens_docs", "skew_salted_distinct",
     "decontaminate_docs", "boilerplate_prune_docs", "pii_redact_docs",
-    "dedup_clusters_docs", "length_quantiles_docs", "sql_quantile",
+    "dedup_clusters_docs", "length_quantiles_docs", "sql_quantile", "chunk_docs",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

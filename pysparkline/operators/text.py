@@ -148,3 +148,52 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training chunking step. Output: (id, chunk_id, chunk_text, n_tokens),
+    chunk i covering tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final window may be short, and an
+    empty document yields one empty chunk (row count preserved per doc >= 1).
+
+    Pure JVM expressions (tokenize once, one transform + posexplode) — a
+    narrow map with no shuffle, so chunking 100 TB is a single pass.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(float(stride)))
+        .cast("int")
+        + F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_id"),
+            F.col("c.chunk_text"),
+            F.col("c.n_tokens"),
+        )
+    )

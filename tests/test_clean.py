@@ -145,3 +145,39 @@ def test_redact_pii_matches_duckdb_on_fixtures(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from pysparkline.operators import text as t
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")],
+                               "doc_id long, text string")
+    out = t.chunk_documents(df, "doc_id", "text", chunk_tokens=32, overlap=8)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: 100 tokens, stride 24 -> ceil(68/24)+1 = 4 chunks
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2, 3]
+    # consecutive chunks overlap by exactly 8 tokens
+    c0 = rows[(1, 0)].chunk_text.split()
+    c1 = rows[(1, 1)].chunk_text.split()
+    assert c0[-8:] == c1[:8] and len(c0) == 32
+    # every token appears in order across chunks (strided reconstruction)
+    recon = c0 + [tok for cid in (1, 2, 3)
+                  for tok in rows[(1, cid)].chunk_text.split()[8:]]
+    assert recon == words.split()
+    # last chunk is short: tokens 72..99 = 28
+    assert rows[(1, 3)].n_tokens == 28
+    # short doc: one whole chunk; empty doc: one empty chunk
+    assert rows[(2, 0)].chunk_text == "short doc" and rows[(2, 0)].n_tokens == 2
+    assert rows[(3, 0)].chunk_text == "" and rows[(3, 0)].n_tokens == 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from pysparkline.operators import text as t
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        t.chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
