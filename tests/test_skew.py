@@ -129,3 +129,28 @@ def test_high_group_distinct_not_bucketed(ctx):
     )
     _, backing, _ = ctx.plan(spec)
     assert backing.distinct_buckets == 1
+
+
+def test_two_stage_distinct_null_values(spark):
+    """NULLs in the distinct column: countDistinct ignores them in both the
+    one-stage and bucketed plans (hash(NULL) lands in one bucket, counts 0)."""
+    from pysparkline import lowering
+    from pysparkline.lowering import Backing
+    from pysparkline import ir
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("b", None), ("b", None),
+         ("a", 1), ("b", 7)],
+        "g string, v int",
+    )
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim(dimension="g")],
+        aggregations=[ir.DistinctAgg(name="d", field_name="v"),
+                      ir.CountAgg(name="n")],
+    )
+    one = Backing.base(df)
+    two = Backing.base(df)
+    two.distinct_buckets = 8
+    r1 = {r.g: (r.d, r.n) for r in lowering.lower(spec, one).collect()}
+    r2 = {r.g: (r.d, r.n) for r in lowering.lower(spec, two).collect()}
+    assert r1 == r2 == {"a": (2, 4), "b": (1, 3)}
