@@ -79,7 +79,8 @@ def select_sqls(draw):
         st.lists(
             st.sampled_from(
                 ["COUNT(*)", "SUM({m})", "MIN({m})", "MAX({m})",
-                 "COUNT(DISTINCT l_suppkey)"]
+                 "COUNT(DISTINCT l_suppkey)",
+                 "quantile_cont({m}, 0.9)", "median({m})"]
             ),
             min_size=1,
             max_size=3,
