@@ -1769,6 +1769,54 @@ def events_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_hist_p90",
+    """
+WITH b AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0)/8.0), 0), 63)
+              AS INT) AS bin
+  FROM events WHERE value IS NOT NULL
+), h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+w AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS total FROM h),
+est AS (
+  SELECT event_type,
+         arg_min(0.0 + 8.0*(bin + (CAST(0.9 AS DOUBLE)*CAST(total AS DOUBLE)
+                                   - CAST(cum - c AS DOUBLE))/CAST(c AS DOUBLE)),
+                 bin)
+           FILTER (WHERE CAST(cum AS DOUBLE) >=
+                         CAST(0.9 AS DOUBLE)*CAST(total AS DOUBLE) AND c > 0)
+           AS p90_value
+  FROM w GROUP BY 1),
+n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+SELECT est.event_type, round(est.p90_value, 6) AS p90_value, n.n
+FROM est JOIN n USING (event_type) ORDER BY event_type
+""",
+)
+def events_hist_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram percentile (approxHistogram analog): p90 of value
+    per event type answered from the cube's hist_value partials — the oracle
+    runs the identical binned estimator, so the match is exact, and the cube
+    answer is bit-identical to row-grain evaluation (tests/test_hist_quantile)."""
+    from pyspark.sql import functions as F
+
+    ctx = _events_ctx(spark, sf_dir)
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("event_type")],
+        aggregations=[
+            ir.HistQuantileAgg(
+                "p90_value", "value", fraction=0.9, lo=0.0, hi=512.0, nbins=64
+            ),
+            ir.CountAgg("n"),
+        ],
+        limit_spec=ir.LimitSpec([ir.OrderByColumn("event_type")]),
+    )
+    out = ctx.query(spec)
+    assert ctx.query_history[-1].backing == "cube", ctx.query_history[-1].decision
+    return out.withColumn("p90_value", F.round("p90_value", 6))
+
+
+@_register(
     "events_user_distinct",
     """
 SELECT event_type, COUNT(DISTINCT user_id) AS du
@@ -2614,6 +2662,7 @@ _PRIORITY = [
     "bpe_tokens_docs", "skew_salted_distinct",
     "decontaminate_docs", "boilerplate_prune_docs", "pii_redact_docs",
     "dedup_clusters_docs", "length_quantiles_docs", "sql_quantile", "chunk_docs",
+    "events_hist_p90",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from .index import CubeSpec, IndexConfig, MetricSpec, OlapIndex
+from .index import CubeSpec, HistSpec, IndexConfig, MetricSpec, OlapIndex
 from .metadata import StarSchema
 from .tpch import DEFAULT_CACHE_ROOT, read_events
 
@@ -33,6 +33,9 @@ def events_index_config() -> IndexConfig:
             CubeSpec("types", ("event_type",), "day"),
         ],
         partition_granularity="month",
+        # mergeable histogram over the value column: quantile queries ride
+        # the cube (HistQuantileAgg), bit-identical to row-grain evaluation
+        hist_specs=[HistSpec("value", 0.0, 512.0, 64)],
     )
 
 

@@ -76,6 +76,42 @@ class CubeSpec:
     granularity: str = "day"
 
 
+@dataclass(frozen=True)
+class HistSpec:
+    """A mergeable fixed-bin histogram metric (the approxHistogram analog:
+    Druid served percentiles from mergeable histogram sketches; here the
+    sketch is a plain ``array<long>`` of bin counts over [lo, hi) — partials
+    merge by element-wise sum, so quantile estimates are cube-servable and
+    BIT-IDENTICAL between cube and row-grain evaluation (both run the same
+    binned estimator). Values outside [lo, hi) clamp to the edge bins."""
+
+    col: str
+    lo: float
+    hi: float
+    nbins: int = 64
+
+    @property
+    def col_name(self) -> str:
+        return f"hist_{self.col}"
+
+    def bin_col(self):
+        binw = (self.hi - self.lo) / self.nbins
+        raw = F.floor((F.col(self.col) - F.lit(self.lo)) / F.lit(binw))
+        return F.least(
+            F.greatest(raw, F.lit(0)), F.lit(self.nbins - 1)
+        ).cast("int")
+
+    def count_array(self):
+        """Aggregation column: per-group bin counts (NULL values excluded)."""
+        b = self.bin_col()
+        return F.array(
+            *[
+                F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0)))
+                for i in range(self.nbins)
+            ]
+        )
+
+
 @dataclass
 class IndexConfig:
     time_col: str
@@ -88,9 +124,11 @@ class IndexConfig:
     # predicates (the stats-pruning analog of Druid per-dim indexes for
     # columns correlated with, but not equal to, the partition key)
     sort_cols: list = field(default_factory=list)
+    # mergeable histogram metrics (see HistSpec)
+    hist_specs: list = field(default_factory=list)
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "timeCol": self.time_col,
             "metrics": [
                 {"name": m.name, "expr": m.expr, "agg": m.agg} for m in self.metrics
@@ -103,6 +141,14 @@ class IndexConfig:
             "partitionGranularity": self.partition_granularity,
             "sortCols": list(self.sort_cols),
         }
+        if self.hist_specs:
+            # only serialized when present: existing manifests/cache keys for
+            # histogram-free configs stay byte-identical
+            d["histSpecs"] = [
+                {"col": h.col, "lo": h.lo, "hi": h.hi, "nbins": h.nbins}
+                for h in self.hist_specs
+            ]
+        return d
 
     @staticmethod
     def from_dict(d: dict) -> "IndexConfig":
@@ -116,6 +162,10 @@ class IndexConfig:
             ],
             partition_granularity=d.get("partitionGranularity", "month"),
             sort_cols=list(d.get("sortCols", [])),
+            hist_specs=[
+                HistSpec(h["col"], h["lo"], h["hi"], h["nbins"])
+                for h in d.get("histSpecs", [])
+            ],
         )
 
 
@@ -318,6 +368,8 @@ class OlapIndex:
             aggs.append(fn(F.expr(m.expr)).alias(m.col_name))
         for c in config.hll_cols:
             aggs.append(F.hll_sketch_agg(F.col(c).cast("string")).alias(f"hll_{c}"))
+        for h in config.hist_specs:
+            aggs.append(h.count_array().alias(h.col_name))
         return flat.groupBy(*keys).agg(*aggs)
 
     # ------------------------------------------------------------------- load

@@ -396,6 +396,26 @@ class DistinctAgg(AggSpec):
 
 @_node
 @dataclass
+class HistQuantileAgg(AggSpec):
+    """Approximate percentile from a mergeable fixed-bin histogram — the
+    approxHistogram analog (Druid's histogram extension served percentiles
+    from mergeable bucket sketches). The estimator is fully determined by
+    (lo, hi, nbins): row-grain backings bin the raw values, cube backings
+    element-wise-sum pre-built ``hist_<col>`` partials, and both interpolate
+    inside the target bin — so cube and flat answers are BIT-IDENTICAL and
+    exactly reproducible by any engine (the oracle property). Error bound:
+    |est - exact percentile| <= (hi-lo)/nbins for in-range data."""
+
+    name: str = ""
+    field_name: str = ""
+    fraction: float = 0.5
+    lo: float = 0.0
+    hi: float = 1.0
+    nbins: int = 64
+
+
+@_node
+@dataclass
 class QuantileAgg(AggSpec):
     """Exact linear-interpolated percentile of a column (beyond-reference:
     the reference ecosystem served percentiles from approxHistogram sketches;
@@ -562,7 +582,9 @@ def query_referenced_columns(q: QuerySpec) -> set[str]:
             from_agg(a.agg)
         elif isinstance(a, (CardinalityAgg,)):
             cols.update(a.field_names)
-        elif isinstance(a, (HyperUniqueAgg, DistinctAgg, QuantileAgg)):
+        elif isinstance(
+            a, (HyperUniqueAgg, DistinctAgg, QuantileAgg, HistQuantileAgg)
+        ):
             cols.add(a.field_name)
 
     if isinstance(q, (GroupByQuery,)):

@@ -313,6 +313,43 @@ def _multi_col_key(cols: list[str]) -> Column:
     )
 
 
+def _hist_quantile_expr(hist: Column, a: "ir.HistQuantileAgg") -> Column:
+    """Percentile estimate from a bin-count array: walk the cumulative
+    distribution to the first bin reaching fraction*total, interpolate
+    linearly inside it. Pure fold expression (no UDF); the arithmetic order
+    matches the documented oracle formula term-for-term so DuckDB reproduces
+    the exact doubles."""
+    binw = (a.hi - a.lo) / a.nbins
+    total = F.aggregate(
+        hist, F.lit(0.0), lambda acc, c: acc + c.cast("double")
+    )
+    target = F.lit(a.fraction) * total
+    walk = F.aggregate(
+        F.zip_with(
+            hist,
+            F.sequence(F.lit(0), F.lit(a.nbins - 1)),
+            lambda c, i: F.struct(c.cast("double").alias("c"), i.alias("i")),
+        ),
+        F.struct(
+            F.lit(0.0).alias("cum"), F.lit(None).cast("double").alias("est")
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.coalesce(
+                acc["est"],
+                F.when(
+                    (acc["cum"] + x["c"] >= target) & (x["c"] > 0),
+                    F.lit(a.lo)
+                    + F.lit(binw)
+                    * (x["i"] + (target - acc["cum"]) / x["c"]),
+                ),
+            ).alias("est"),
+        ),
+        lambda acc: acc["est"],
+    )
+    return F.when(total > 0, walk)
+
+
 def _raw_agg(a: ir.AggSpec) -> Column:
     fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
     if isinstance(a, ir.CountAgg):
@@ -343,6 +380,11 @@ def _raw_agg(a: ir.AggSpec) -> Column:
                 F.col(a.field_name).cast("double"), F.lit(float(a.fraction))
             ).alias(a.name)
         )
+    if isinstance(a, ir.HistQuantileAgg):
+        from .index import HistSpec
+
+        spec = HistSpec(a.field_name, a.lo, a.hi, a.nbins)
+        return _hist_quantile_expr(spec.count_array(), a).alias(a.name)
     if isinstance(a, ir.HyperUniqueAgg):
         # raw backing: build the sketch on the fly
         return F.hll_sketch_estimate(
@@ -418,6 +460,32 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
         # percentiles don't merge across pre-aggregated partials; the planner
         # catches this and keeps the query on a row-grain backing
         raise AggLoweringError("percentile cannot run on a pre-agg backing")
+    if isinstance(a, ir.HistQuantileAgg):
+        # histogram partials DO merge (element-wise sum) — but only when the
+        # cube carries a histogram built with the SAME (lo, hi, nbins)
+        hs = next(
+            (
+                h
+                for h in idx.config.hist_specs
+                if h.col == a.field_name
+                and h.lo == a.lo
+                and h.hi == a.hi
+                and h.nbins == a.nbins
+            ),
+            None,
+        )
+        if hs is None or hs.col_name not in cube_cols:
+            raise AggLoweringError(
+                f"no matching hist_{a.field_name}[{a.lo},{a.hi})x{a.nbins} "
+                "metric in cube"
+            )
+        merged = F.array(
+            *[
+                F.sum(F.element_at(F.col(hs.col_name), i + 1))
+                for i in range(a.nbins)
+            ]
+        )
+        return _hist_quantile_expr(merged, a).alias(a.name)
     if isinstance(a, ir.HyperUniqueAgg):
         sk = f"hll_{a.field_name}"
         if sk not in cube_cols:
