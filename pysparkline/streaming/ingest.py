@@ -225,6 +225,16 @@ class StreamingIngest:
             aggs.append(fn(F.col(m.col_name)).alias(m.col_name))
         for c in cfg.hll_cols:
             aggs.append(F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}"))
+        for h in cfg.hist_specs:
+            # histogram partials merge by element-wise sum (same as querying)
+            aggs.append(
+                F.array(
+                    *[
+                        F.sum(F.element_at(F.col(h.col_name), i + 1))
+                        for i in range(h.nbins)
+                    ]
+                ).alias(h.col_name)
+            )
         merged = df.groupBy(*keys).agg(*aggs)
         # re-aggregation widens decimal types (sum(DECIMAL(22,2)) =>
         # DECIMAL(32,2)); cast back so compacted files share a schema with

@@ -88,3 +88,35 @@ def test_mismatched_params_fall_back_to_flat(ectx):
     assert any("no matching hist" in n for n in dec.notes)
     out = {r.event_type: r.p for r in ectx.query(_spec(nbins=32)).collect()}
     assert len(out) == 5 and all(v is not None for v in out.values())
+
+
+def test_hist_survives_append_and_compaction(spark, tmp_path):
+    """Streamed-in cube partials and compaction both preserve the histogram:
+    quantiles after append+compact equal row-grain evaluation over ALL rows."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.events_index import events_index_config, events_star
+    from pysparkline.index import OlapIndex
+    from pysparkline.session import OlapContext
+    from pysparkline.streaming.ingest import StreamingIngest
+    from pysparkline.tpch import read_events
+
+    ev = read_events(spark, SF_DIR)
+    cfg = events_index_config()
+    split = "2024-01-15"
+    idx = OlapIndex.build(
+        spark, ev.where(F.col("ts") < split), cfg, str(tmp_path / "idx"),
+        star=events_star(),
+    )
+    ing = StreamingIngest(idx)
+    ing.process_batch(ev.where(F.col("ts") >= split), 0)
+    ing.compact("types")
+    ctx = OlapContext(spark, idx)
+    spec, backing, dec = ctx.plan(_spec())
+    assert dec.backing == "cube"
+    got = {r.event_type: r.p for r in ctx.query(_spec()).collect()}
+    want = {
+        r.event_type: r.p
+        for r in lowering.lower(spec, Backing.base(ev, "ts")).collect()
+    }
+    assert got == want
