@@ -7,7 +7,20 @@ exceeds the timeout, then a running sum of flags numbers the sessions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _epoch_us(c) -> Column:
+    """Exact integer epoch-microseconds of a timestamp column.
+
+    Accepts both TIMESTAMP and TIMESTAMP_NTZ (parquet `timestamp[us]` without
+    UTC adjustment loads as NTZ, which `unix_micros` rejects). The cast to
+    TIMESTAMP interprets NTZ wall-clock in the session timezone; the engine
+    pins that to UTC (session.prep), so the mapping is deterministic and
+    matches DuckDB's naive-timestamp epoch.
+    """
+    c = c if isinstance(c, Column) else F.col(c)
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def sessionize(
@@ -19,7 +32,7 @@ def sessionize(
     """Adds ``session_seq`` (1-based per user) to every event row."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
     # integer-microsecond gap: exact, engine-portable boundary comparison
-    gap_us = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    gap_us = _epoch_us(ts_col) - F.lag(_epoch_us(ts_col)).over(w)
     new_session = F.when(
         gap_us.isNull() | (gap_us > round(gap_minutes * 60 * 1_000_000)), F.lit(1)
     ).otherwise(F.lit(0))
@@ -44,7 +57,7 @@ def session_stats(
         # integer micros subtraction, then one division: bit-identical across
         # engines (double-per-endpoint rounding would not be)
         (
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            (_epoch_us(F.max(ts_col)) - _epoch_us(F.min(ts_col)))
             / F.lit(1000000.0)
         ).alias("span_seconds"),
         F.sum(F.col(value_col).cast("decimal(12,2)")).alias("value_sum"),

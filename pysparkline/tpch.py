@@ -67,6 +67,12 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # plain timestamp[us] parquet loads as NTZ; normalize to TIMESTAMP so
+        # every downstream operator sees one type. Session tz is pinned to UTC
+        # (session.prep), so the instant mapping is deterministic and equals
+        # DuckDB's naive-timestamp reading of the same file.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
