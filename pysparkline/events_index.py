@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from .index import CubeSpec, HistSpec, IndexConfig, MetricSpec, OlapIndex
+from .index import CubeSpec, HistSpec, IndexConfig, MetricSpec, OlapIndex, ThetaSpec
 from .metadata import StarSchema
 from .tpch import DEFAULT_CACHE_ROOT, read_events
 
@@ -36,6 +36,10 @@ def events_index_config() -> IndexConfig:
         # mergeable histogram over the value column: quantile queries ride
         # the cube (HistQuantileAgg), bit-identical to row-grain evaluation
         hist_specs=[HistSpec("value", 0.0, 512.0, 64)],
+        # mergeable theta sketch over user_id: distinct users AND set-op
+        # cardinalities (retention = month-over-month intersection) ride the
+        # cube; exact while per-group NDV < k
+        theta_specs=[ThetaSpec("user_id", k=4096)],
     )
 
 

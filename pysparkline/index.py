@@ -112,6 +112,33 @@ class HistSpec:
         )
 
 
+@dataclass(frozen=True)
+class ThetaSpec:
+    """A mergeable KMV theta-sketch metric over a column — the thetaSketch
+    column type of the reference's type mapping (DruidRelationInfo column
+    links: ``sketchMetric``; Druid serves set-operation cardinalities from
+    these). Sketch = sorted array<long> of the k smallest distinct 63-bit
+    value hashes; partials merge EXACTLY (see functions/theta.py), so cube
+    and row-grain evaluation are bit-identical."""
+
+    col: str
+    k: int = 4096
+
+    @property
+    def col_name(self) -> str:
+        return f"theta_{self.col}_k{self.k}"
+
+    def sketch_agg(self):
+        from .functions import theta as T
+
+        return T.theta_sketch_agg(F.col(self.col), self.k)
+
+    def merge_agg(self):
+        from .functions import theta as T
+
+        return T.theta_merge_agg(F.col(self.col_name), self.k)
+
+
 @dataclass
 class IndexConfig:
     time_col: str
@@ -126,6 +153,8 @@ class IndexConfig:
     sort_cols: list = field(default_factory=list)
     # mergeable histogram metrics (see HistSpec)
     hist_specs: list = field(default_factory=list)
+    # mergeable theta-sketch metrics (see ThetaSpec)
+    theta_specs: list = field(default_factory=list)
 
     def to_dict(self) -> dict:
         d = {
@@ -148,6 +177,11 @@ class IndexConfig:
                 {"col": h.col, "lo": h.lo, "hi": h.hi, "nbins": h.nbins}
                 for h in self.hist_specs
             ]
+        if self.theta_specs:
+            # guarded like histSpecs: theta-free manifests stay byte-identical
+            d["thetaSpecs"] = [
+                {"col": t.col, "k": t.k} for t in self.theta_specs
+            ]
         return d
 
     @staticmethod
@@ -165,6 +199,9 @@ class IndexConfig:
             hist_specs=[
                 HistSpec(h["col"], h["lo"], h["hi"], h["nbins"])
                 for h in d.get("histSpecs", [])
+            ],
+            theta_specs=[
+                ThetaSpec(t["col"], t["k"]) for t in d.get("thetaSpecs", [])
             ],
         )
 
@@ -370,6 +407,8 @@ class OlapIndex:
             aggs.append(F.hll_sketch_agg(F.col(c).cast("string")).alias(f"hll_{c}"))
         for h in config.hist_specs:
             aggs.append(h.count_array().alias(h.col_name))
+        for t in config.theta_specs:
+            aggs.append(t.sketch_agg().alias(t.col_name))
         return flat.groupBy(*keys).agg(*aggs)
 
     # ------------------------------------------------------------------- load

@@ -386,6 +386,35 @@ class HyperUniqueAgg(AggSpec):
 
 @_node
 @dataclass
+class ThetaAgg(AggSpec):
+    """Distinct-count estimate from a KMV theta sketch — the thetaSketch
+    column type of the reference's type map (DruidDataType thetaSketch ->
+    BinaryType; columnInfos ``sketchMetric`` link). Row-grain backings build
+    the sketch on the fly, cube backings merge pre-built ``theta_<col>_k<k>``
+    partials — the merge is exact, so both paths produce the bit-identical
+    estimate. Exact (= COUNT DISTINCT) while group NDV < k."""
+
+    name: str = ""
+    field_name: str = ""
+    k: int = 4096
+
+
+@_node
+@dataclass
+class ThetaSketchAgg(AggSpec):
+    """Emit the merged theta sketch itself (sorted array<long>) so set
+    operations — intersect / difference / union cardinality, Druid's
+    thetaSketchSetOp post-aggregations — can run above the aggregation
+    (functions/theta.py theta_intersect_estimate & co.). This is the
+    operation family HLL sketches cannot serve."""
+
+    name: str = ""
+    field_name: str = ""
+    k: int = 4096
+
+
+@_node
+@dataclass
 class DistinctAgg(AggSpec):
     """Exact COUNT(DISTINCT col) — legal over a pre-agg backing only when the
     column is part of the backing's grain (SURVEY §7 step 5 exactness note)."""
@@ -583,7 +612,15 @@ def query_referenced_columns(q: QuerySpec) -> set[str]:
         elif isinstance(a, (CardinalityAgg,)):
             cols.update(a.field_names)
         elif isinstance(
-            a, (HyperUniqueAgg, DistinctAgg, QuantileAgg, HistQuantileAgg)
+            a,
+            (
+                HyperUniqueAgg,
+                DistinctAgg,
+                QuantileAgg,
+                HistQuantileAgg,
+                ThetaAgg,
+                ThetaSketchAgg,
+            ),
         ):
             cols.add(a.field_name)
 

@@ -390,6 +390,16 @@ def _raw_agg(a: ir.AggSpec) -> Column:
         return F.hll_sketch_estimate(
             F.hll_sketch_agg(F.col(a.field_name).cast("string"))
         ).alias(a.name)
+    if isinstance(a, ir.ThetaAgg):
+        from .functions import theta as T
+
+        return T.theta_estimate(
+            T.theta_sketch_agg(F.col(a.field_name), a.k), a.k
+        ).alias(a.name)
+    if isinstance(a, ir.ThetaSketchAgg):
+        from .functions import theta as T
+
+        return T.theta_sketch_agg(F.col(a.field_name), a.k).alias(a.name)
     if isinstance(a, ir.AvgAgg):
         raise AggLoweringError("AvgAgg must be pre-decomposed (see lower_groupby)")
     raise AggLoweringError(f"unknown agg spec {a!r}")
@@ -491,6 +501,27 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
         if sk not in cube_cols:
             raise AggLoweringError(f"no HLL sketch {sk} in cube")
         return F.hll_sketch_estimate(F.hll_union_agg(F.col(sk))).alias(a.name)
+    if isinstance(a, (ir.ThetaAgg, ir.ThetaSketchAgg)):
+        # theta partials merge exactly — but only a sketch pre-built with the
+        # SAME (col, k) serves the query (smaller k = different retained set)
+        from .functions import theta as T
+
+        ts = next(
+            (
+                t
+                for t in idx.config.theta_specs
+                if t.col == a.field_name and t.k == a.k
+            ),
+            None,
+        )
+        if ts is None or ts.col_name not in cube_cols:
+            raise AggLoweringError(
+                f"no theta sketch theta_{a.field_name}_k{a.k} in cube"
+            )
+        merged = T.theta_merge_agg(F.col(ts.col_name), a.k)
+        if isinstance(a, ir.ThetaSketchAgg):
+            return merged.alias(a.name)
+        return T.theta_estimate(merged, a.k).alias(a.name)
     if isinstance(a, ir.AvgAgg):
         raise AggLoweringError("AvgAgg must be pre-decomposed (see lower_groupby)")
     raise AggLoweringError(f"unknown agg spec {a!r}")

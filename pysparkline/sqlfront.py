@@ -99,7 +99,8 @@ _CMP = {
 }
 
 _AGG_FNS = {"sum", "min", "max", "avg", "count", "count_star",
-            "approx_count_distinct", "mean", "quantile_cont", "median"}
+            "approx_count_distinct", "mean", "quantile_cont", "median",
+            "theta_count_distinct"}
 
 
 def _type_name(t: dict) -> str:
@@ -550,6 +551,19 @@ def _agg_spec(node: dict, name: str) -> ir.AggSpec:
         if len(ch) == 1 and ch[0].get("class") == "COLUMN_REF":
             return ir.AvgAgg(name, ch[0]["column_names"][-1])
         raise SQLFrontError("avg of expression unsupported in IR; use sum/count")
+    if fn == "theta_count_distinct":
+        # engine extension: distinct-count from a theta (KMV) sketch —
+        # theta_count_distinct(col [, k]); rides a pre-built cube sketch when
+        # (col, k) matches, else row-grain (exact while NDV < k either way)
+        if ch and ch[0].get("class") == "COLUMN_REF":
+            col = ch[0]["column_names"][-1]
+            if len(ch) == 1:
+                return ir.ThetaAgg(name, col)
+            if len(ch) == 2:
+                k = _const_value(ch[1])
+                if isinstance(k, (int, Decimal)) and int(k) > 1:
+                    return ir.ThetaAgg(name, col, k=int(k))
+        raise SQLFrontError("theta_count_distinct shape unsupported")
     if fn in ("quantile_cont", "median"):
         # function-style percentile: quantile_cont(col, f) / median(col);
         # WITHIN GROUP syntax parses to different AST shapes and falls back

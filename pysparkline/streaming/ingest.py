@@ -235,6 +235,10 @@ class StreamingIngest:
                     ]
                 ).alias(h.col_name)
             )
+        for t in cfg.theta_specs:
+            # theta partials merge exactly (k smallest of the union of the
+            # parts' k-smallest sets — same merge the query path runs)
+            aggs.append(t.merge_agg().alias(t.col_name))
         merged = df.groupBy(*keys).agg(*aggs)
         # re-aggregation widens decimal types (sum(DECIMAL(22,2)) =>
         # DECIMAL(32,2)); cast back so compacted files share a schema with

@@ -303,3 +303,35 @@ def test_sql_quantile_rewrites_and_matches(ctx, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_sql_theta_count_distinct(ctx, duck):
+    """theta_count_distinct through ctx.sql: ThetaAgg with explicit k parses,
+    the TPC-H index has no theta sketch so it lowers on a row-grain backing,
+    and the estimate is exact while NDV < k."""
+    from pysparkline import ir
+
+    spec = ctx._parse_sql(
+        "SELECT l_returnflag AS flag, "
+        "theta_count_distinct(o_orderstatus, 64) AS ns "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag"
+    )
+    (agg,) = spec.aggregations
+    assert isinstance(agg, ir.ThetaAgg) and agg.k == 64
+    out = ctx.sql(
+        "SELECT l_returnflag AS flag, "
+        "theta_count_distinct(o_orderstatus, 64) AS ns "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag"
+    )
+    assert ctx.query_history[-1].backing != "sparksql"
+    got = {r.flag: r.ns for r in out.collect()}
+    want = {
+        r[0]: float(r[1])
+        for r in duck.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT o_orderstatus) "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want

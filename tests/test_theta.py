@@ -1,0 +1,180 @@
+"""Theta (KMV) sketches: exact-while-not-full semantics, bit-identical
+cube/flat evaluation, exact partial merge through append+compaction, set
+operations vs ground truth, and the full-sketch estimator error bound.
+
+Reference surface: thetaSketch column type (DruidRelationInfo type map) and
+Druid's thetaSketchSetOp post-aggregations, rebuilt Spark-native in
+pysparkline/functions/theta.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkline import ir, lowering
+from pysparkline.functions import theta as T
+from pysparkline.lowering import Backing
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def ectx(spark):
+    from pysparkline.events_index import build_or_load_events_index
+    from pysparkline.session import OlapContext
+
+    return OlapContext(spark, build_or_load_events_index(spark, SF_DIR))
+
+
+def _spec(k=4096, field="user_id"):
+    return ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("event_type")],
+        aggregations=[ir.ThetaAgg("du", field, k=k)],
+    )
+
+
+# ------------------------------------------------------------------ unit level
+
+
+def test_exact_below_k_and_null_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, None), (5, "c")], ["id", "v"]
+    )
+    row = df.agg(
+        T.theta_estimate(T.theta_sketch_agg(F.col("v"), 16), 16).alias("e")
+    ).collect()[0]
+    assert row.e == 3.0  # exact, NULL not counted (approx_count_distinct parity)
+
+
+def test_merge_equals_rebuild(spark):
+    """k smallest of the union == merge of per-part k-smallest — the property
+    that makes cube partials exact. Asserted on the raw arrays (bit level)."""
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 10).alias("g"), (F.col("id") % 997).alias("v")
+    )
+    k = 64
+    parts = df.groupBy("g").agg(T.theta_sketch_agg(F.col("v"), k).alias("sk"))
+    merged = parts.agg(T.theta_merge_agg(F.col("sk"), k).alias("sk")).collect()[0].sk
+    direct = df.agg(T.theta_sketch_agg(F.col("v"), k).alias("sk")).collect()[0].sk
+    assert merged == direct and len(merged) == k
+
+
+def test_set_ops_exact_vs_ground_truth(spark):
+    a_vals = set(range(0, 600))
+    b_vals = set(range(400, 900))
+    rows = [(x, "a") for x in a_vals] + [(x, "b") for x in b_vals]
+    df = spark.createDataFrame(rows, ["v", "side"])
+    k = 4096  # not full: every set op is exact
+    sk = df.groupBy("side").agg(T.theta_sketch_agg(F.col("v"), k).alias("sk"))
+    a = sk.where("side = 'a'").select(F.col("sk").alias("a"))
+    b = sk.where("side = 'b'").select(F.col("sk").alias("b"))
+    row = a.crossJoin(b).select(
+        T.theta_intersect_estimate(F.col("a"), F.col("b"), k).alias("i"),
+        T.theta_diff_estimate(F.col("a"), F.col("b"), k).alias("d"),
+        T.theta_union_estimate(F.col("a"), F.col("b"), k).alias("u"),
+    ).collect()[0]
+    assert row.i == len(a_vals & b_vals)
+    assert row.d == len(a_vals - b_vals)
+    assert row.u == len(a_vals | b_vals)
+
+
+def test_full_sketch_estimator_error_bound(spark):
+    """Estimator branch (theta < 1): k=256 over 50k distincts lands within
+    5x the theoretical RSE (1/sqrt(k-2) ~ 6.3%) — deterministic given data."""
+    df = spark.range(0, 50_000)
+    k = 256
+    est = df.agg(
+        T.theta_estimate(T.theta_sketch_agg(F.col("id"), k), k).alias("e")
+    ).collect()[0].e
+    assert abs(est - 50_000) / 50_000 < 0.32
+
+
+def test_clipped_intersection_estimator(spark):
+    """Set ops on FULL sketches: clip to min-theta, scale — the estimate must
+    land near the true overlap, and stay consistent when one side is much
+    smaller (the small side's theta dominates)."""
+    n, overlap = 20_000, 5_000
+    a = spark.range(0, n).select(F.col("id").alias("v"), F.lit("a").alias("s"))
+    b = spark.range(n - overlap, 2 * n - overlap).select(
+        F.col("id").alias("v"), F.lit("b").alias("s")
+    )
+    k = 512
+    sk = a.union(b).groupBy("s").agg(T.theta_sketch_agg(F.col("v"), k).alias("sk"))
+    aa = sk.where("s = 'a'").select(F.col("sk").alias("a"))
+    bb = sk.where("s = 'b'").select(F.col("sk").alias("b"))
+    est = aa.crossJoin(bb).select(
+        T.theta_intersect_estimate(F.col("a"), F.col("b"), k).alias("i")
+    ).collect()[0].i
+    # RSE of clipped intersection ~ sqrt(U/I)/sqrt(k) (union/intersection
+    # ratio amplifies); allow a generous deterministic band
+    assert abs(est - overlap) / overlap < 0.35
+
+
+# ------------------------------------------------------------ engine level
+
+
+def test_cube_and_flat_bit_identical(ectx):
+    spec, backing, dec = ectx.plan(_spec())
+    assert dec.backing == "cube"
+    cube = {r.event_type: r.du for r in ectx.query(_spec()).collect()}
+    flat = {
+        r.event_type: r.du
+        for r in lowering.lower(spec, Backing.flat(ectx.index)).collect()
+    }
+    assert cube == flat
+
+
+def test_exact_at_test_scale(ectx):
+    got = {r.event_type: r.du for r in ectx.query(_spec()).collect()}
+    want = {
+        r.event_type: r.x
+        for r in ectx.query(
+            ir.GroupByQuery(
+                dimensions=[ir.DefaultDim("event_type")],
+                aggregations=[ir.DistinctAgg("x", "user_id")],
+            )
+        ).collect()
+    }
+    assert got == {t: float(v) for t, v in want.items()}
+
+
+def test_mismatched_k_falls_back_to_flat(ectx):
+    """A sketch built at k=4096 cannot serve a k=512 query (different
+    retained set) — the planner must fall back, not serve a wrong answer."""
+    spec, backing, dec = ectx.plan(_spec(k=512))
+    assert dec.backing != "cube"
+
+
+def test_no_sketch_column_falls_back(ectx):
+    spec, backing, dec = ectx.plan(_spec(field="event_id"))
+    assert dec.backing != "cube"
+
+
+def test_theta_survives_append_and_compaction(spark, tmp_path):
+    """Streamed-in partials and compaction preserve the sketch: the merged
+    cube answer equals row-grain evaluation over ALL rows (exact merge)."""
+    from pysparkline.events_index import events_index_config, events_star
+    from pysparkline.index import OlapIndex
+    from pysparkline.session import OlapContext
+    from pysparkline.streaming.ingest import StreamingIngest
+    from pysparkline.tpch import read_events
+
+    ev = read_events(spark, SF_DIR)
+    cfg = events_index_config()
+    split = "2024-01-15"
+    idx = OlapIndex.build(
+        spark, ev.where(F.col("ts") < split), cfg, str(tmp_path / "idx"),
+        star=events_star(),
+    )
+    ing = StreamingIngest(idx)
+    ing.process_batch(ev.where(F.col("ts") >= split), 0)
+    ing.compact("types")
+    ctx = OlapContext(spark, idx)
+    spec, backing, dec = ctx.plan(_spec())
+    assert dec.backing == "cube"
+    got = {r.event_type: r.du for r in ctx.query(_spec()).collect()}
+    want = {
+        r.event_type: r.du
+        for r in lowering.lower(spec, Backing.base(ev, "ts")).collect()
+    }
+    assert got == want
