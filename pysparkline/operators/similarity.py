@@ -82,6 +82,48 @@ def brute_force_cosine_topk(
     )
 
 
+def _fit_centroids(
+    corpus: DataFrame, vec_col: str, n_clusters: int, seed: int
+) -> list[list[float]]:
+    """One KMeans pass over the corpus (deterministic given seed)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    return [list(map(float, c)) for c in km.clusterCenters()]
+
+
+def _nearest_cells_expr(vec_col, centroids: list[list[float]], n: int):
+    """Array of the n nearest centroid ids (JVM-side exprs; centroids are
+    literals — tiny, effectively broadcast inside the plan)."""
+    dists = F.array(
+        *[
+            F.struct(
+                _dot(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: x.cast("double") - y,
+                    ),
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: x.cast("double") - y,
+                    ),
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(
+        F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -102,40 +144,10 @@ def ivf_topk(
     only its probed cells — an equi-join on cell id, never a cross product.
     Exact cosine is computed inside the probed cells only.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
-        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
-    )
-    km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
-    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+    centroids = _fit_centroids(corpus, corpus_vec, n_clusters, seed)
 
     def nearest_cells(vec_col, n: int):
-        """Array of the n nearest centroid ids (JVM-side exprs)."""
-        dists = F.array(
-            *[
-                F.struct(
-                    _dot(
-                        F.zip_with(
-                            vec_col,
-                            F.array(*[F.lit(v) for v in c]),
-                            lambda x, y: x.cast("double") - y,
-                        ),
-                        F.zip_with(
-                            vec_col,
-                            F.array(*[F.lit(v) for v in c]),
-                            lambda x, y: x.cast("double") - y,
-                        ),
-                    ).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(
-            F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n
-        )
+        return _nearest_cells_expr(vec_col, centroids, n)
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
@@ -314,3 +326,129 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+class IvfIndex:
+    """Persisted IVF index: the ANN serving posture for a 100 TB corpus.
+
+    ``ivf_topk`` refits KMeans and re-assigns cells on every call — fine for
+    one-shot jobs, wrong for serving. This builds ONCE: centroids go into a
+    JSON manifest (tiny — broadcast as plan literals), and the corpus is
+    written as parquet PARTITIONED BY cell id, so a search touches only the
+    ``n_probe`` probed cells' files via static partition pruning (the scan's
+    PartitionFilters — the same mechanism the OLAP index uses for time
+    intervals). Search-time cost scales with |probed cells| / n_clusters of
+    the corpus, not with the corpus.
+
+    Same estimator as ``ivf_topk``: exact cosine within probed cells, so
+    given identical (corpus, n_clusters, seed) the two return identical
+    results (tests/test_ivf_index.py asserts it).
+    """
+
+    MANIFEST = "ivf_manifest.json"
+
+    def __init__(self, spark, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self.centroids: list[list[float]] = manifest["centroids"]
+
+    # --------------------------------------------------------------- build
+    @staticmethod
+    def build(
+        spark,
+        corpus: DataFrame,
+        path: str,
+        n_clusters: int = 16,
+        corpus_id: str = "vec_id",
+        corpus_vec: str = "embedding",
+        seed: int = 42,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        centroids = _fit_centroids(corpus, corpus_vec, n_clusters, seed)
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+            _nearest_cells_expr(F.col(corpus_vec), centroids, 1)[0].alias(
+                "__cell"
+            ),
+        )
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("__cell")
+            .parquet(os.path.join(path, "cells"))
+        )
+        manifest = {
+            "centroids": centroids,
+            "nClusters": n_clusters,
+            "corpusId": corpus_id,
+            "corpusVec": corpus_vec,
+            "seed": seed,
+        }
+        with open(os.path.join(path, IvfIndex.MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        return IvfIndex(spark, path, manifest)
+
+    @staticmethod
+    def load(spark, path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, IvfIndex.MANIFEST)) as fh:
+            return IvfIndex(spark, path, json.load(fh))
+
+    # -------------------------------------------------------------- search
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 3,
+        query_id: str = "query_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """Top-k per query over the probed cells only.
+
+        The probed-cell set is collected from the (small, broadcast-class)
+        query side — bounded by |queries| * n_probe ids — and applied as a
+        LITERAL partition predicate, so the parquet scan statically prunes
+        to those cells' files; no full-corpus pass, no dynamic-pruning
+        dependency."""
+        import os
+
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__qv"),
+                F.explode(
+                    _nearest_cells_expr(
+                        F.col(query_vec), self.centroids, n_probe
+                    )
+                ).alias("__cell"),
+            )
+        )
+        cells = sorted(
+            r["__cell"] for r in q.select("__cell").distinct().collect()
+        )
+        corpus = (
+            self.spark.read.parquet(os.path.join(self.path, "cells"))
+            # literal IN over the partition column => static pruning
+            .where(F.col("__cell").isin([int(c) for c in cells]))
+        )
+        cands = corpus.join(q, "__cell").select(
+            "query_id", "neighbor_id", "__cv", "__qv"
+        )
+        sim = cands.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sim.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )

@@ -1,0 +1,88 @@
+"""Persisted IVF index: build/load roundtrip, search == in-memory ivf_topk
+(same corpus/params/seed), and static partition pruning of probed cells."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkline.operators.similarity import IvfIndex, ivf_topk
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    return IvfIndex.build(spark, emb, path, n_clusters=8, seed=42)
+
+
+def _queries(emb):
+    return emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_search_matches_in_memory_ivf(spark, emb, ivf):
+    """Same (corpus, n_clusters, seed, n_probe) => identical result sets:
+    the persisted index changes where the corpus lives, never the answer."""
+    q = _queries(emb)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf.search(q, k=5, n_probe=3).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, q, k=5, n_clusters=8, n_probe=3).collect()
+    }
+    assert got == want and got
+
+
+def test_load_roundtrip(spark, ivf):
+    loaded = IvfIndex.load(spark, ivf.path)
+    assert loaded.centroids == ivf.centroids
+    assert loaded.manifest["nClusters"] == 8
+
+
+def test_probed_partitions_only(spark, emb, ivf):
+    """The scan must touch only probed cells' files — the partition-pruning
+    contract (PartitionFilters with literal cell ids, no full-corpus read)."""
+    from pysparkline.operators.similarity import _nearest_cells_expr
+
+    q = _queries(emb).limit(1)
+    cells = {
+        r["c"]
+        for r in q.select(
+            F.explode(
+                _nearest_cells_expr(F.col("embedding"), ivf.centroids, 2)
+            ).alias("c")
+        ).collect()
+    }
+    # the corpus side search() builds: literal IN over the partition column
+    corpus = spark.read.parquet(f"{ivf.path}/cells").where(
+        F.col("__cell").isin([int(c) for c in cells])
+    )
+    files = corpus.select(F.input_file_name().alias("f")).distinct().collect()
+    touched = {int(f.f.split("__cell=")[1].split("/")[0]) for f in files}
+    assert touched <= cells and len(touched) <= 2  # pruned to probed cells
+    plan = corpus._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan
+    # and the full search plan keeps the partition filter on its scan
+    splan = (
+        ivf.search(q, k=3, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in splan and "__cell" in splan
+
+
+def test_search_self_top1(spark, emb, ivf):
+    """Every query's own vector lives in one of its probed cells (its nearest
+    cell is probe #1), so rank-1 must be the query itself at cosine ~1."""
+    q = _queries(emb)
+    top1 = ivf.search(q, k=1, n_probe=1).collect()
+    assert top1 and all(r.query_id == r.neighbor_id for r in top1)
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in top1)
