@@ -48,6 +48,8 @@ LLM_OPS = [
     "decontaminate_docs",
     "dedup_clusters_docs",
     "boilerplate_prune_docs",
+    "theta_retention_daily",
+    "ivf_index_topk",
 ]
 
 

@@ -8,7 +8,15 @@ execution is plain DataFrame pipelines optimized by Catalyst/Tungsten.
 """
 
 from . import ir, transforms  # noqa: F401
-from .index import CubeSpec, IndexConfig, MetricSpec, OlapIndex, flatten_star  # noqa: F401
+from .index import (  # noqa: F401
+    CubeSpec,
+    HistSpec,
+    IndexConfig,
+    MetricSpec,
+    OlapIndex,
+    ThetaSpec,
+    flatten_star,
+)
 from .lowering import Backing, lower  # noqa: F401
 from .metadata import (  # noqa: F401
     EqualityCondition,
@@ -19,6 +27,6 @@ from .metadata import (  # noqa: F401
     StarSchemaError,
 )
 from .planner import PlanDecision, choose_backing  # noqa: F401
-from .session import OlapContext, get_spark, prep  # noqa: F401
+from .session import OlapCatalog, OlapContext, get_spark, prep  # noqa: F401
 
 __version__ = "0.1.0"

@@ -199,6 +199,16 @@ class OlapContext:
         self._plan_cache.clear()
         self.index.invalidate()
 
+    def owned_tables(self) -> set[str]:
+        """Table names this context can answer for: the star's tables (fact +
+        dimensions) or, star-less, the index's fact plus any base tables."""
+        owned: set[str] = set()
+        if self.star is not None:
+            owned |= {t.lower() for t in self.star.tables}
+        if self.base_tables:
+            owned |= {t.lower() for t in self.base_tables}
+        return owned
+
     # -------------------------------------------------------- metadata views
     def register_metadata_views(self) -> None:
         """Expose index metadata as temp views (DruidMetadataViews analog)."""
@@ -220,3 +230,71 @@ class OlapContext:
         self.spark.createDataFrame(
             hist or [("", "")], "spec string, backing string"
         ).createOrReplaceTempView("olap_query_history")
+
+
+class OlapCatalog:
+    """N registered datasources in one session — the reference's model: each
+    ``CREATE TABLE ... USING org.sparklinedata.druid`` made one independent
+    DruidRelation (DefaultSource.scala:28-194), queries over one relation
+    rewrote onto its index, and anything else planned as plain Spark.
+
+    Here: ``catalog.sql(text)`` routes by the statement's referenced tables —
+    exactly one owning context => that context's rewrite path (with its own
+    fallback semantics); several contexts / unregistered tables =>
+    ``spark.sql`` over every registered base view (cross-datasource joins
+    were never index-servable in the reference either; Spark plans them).
+    """
+
+    def __init__(self, spark: SparkSession, contexts: dict[str, OlapContext]):
+        self.spark = spark
+        self.contexts = dict(contexts)
+        self.query_history: list[QueryRecord] = []
+
+    def register(self, name: str, ctx: OlapContext) -> None:
+        self.contexts[name] = ctx
+
+    def context_for(self, sql: str) -> OlapContext | None:
+        """The unique context owning every referenced table, else None."""
+        from .sqlfront import SQLFrontError, referenced_tables
+
+        try:
+            tables = referenced_tables(sql)
+        except SQLFrontError:
+            return None
+        if not tables:
+            return None
+        owners = {
+            name
+            for name, ctx in self.contexts.items()
+            if tables <= ctx.owned_tables()
+        }
+        if len(owners) == 1:
+            return self.contexts[next(iter(owners))]
+        # several contexts fully own the tables (shared-name case): any is
+        # correct — pick deterministically
+        if owners:
+            return self.contexts[sorted(owners)[0]]
+        return None
+
+    def _register_all_views(self) -> None:
+        for ctx in self.contexts.values():
+            ctx.register_base_views()
+
+    def sql(self, sql: str) -> DataFrame:
+        ctx = self.context_for(sql)
+        if ctx is not None:
+            out = ctx.sql(sql)
+            self.query_history.append(ctx.query_history[-1])
+            return out
+        # cross-datasource / unregistered tables: plain Spark over all views
+        self._register_all_views()
+        self.query_history.append(
+            QueryRecord({"sql": sql}, "fallback: multi-datasource", "sparksql")
+        )
+        return self.spark.sql(sql)
+
+    def explain_rewrite(self, sql: str) -> str:
+        ctx = self.context_for(sql)
+        if ctx is None:
+            return "no rewrite: tables span datasources or are unregistered"
+        return ctx.explain_rewrite(sql)

@@ -1032,6 +1032,33 @@ def _flatten_subquery(node: dict) -> dict:
             )
 
 
+def referenced_tables(sql: str) -> set[str]:
+    """Every base table referenced anywhere in the statement (FROM trees of
+    the main query, subqueries, and CTE bodies; CTE names themselves
+    excluded) — the routing key for ``session.OlapCatalog``. Raises
+    SQLFrontError on unparseable text (via ``_ast``)."""
+    node = _ast(sql)
+    tables: set[str] = set()
+    ctes: set[str] = set()
+
+    def walk(n) -> None:
+        if isinstance(n, dict):
+            if n.get("type") == "BASE_TABLE" and "table_name" in n:
+                tables.add(n["table_name"].lower())
+            cm = n.get("cte_map")
+            if isinstance(cm, dict):
+                for entry in cm.get("map") or []:
+                    ctes.add(entry["key"].lower())
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for v in n:
+                walk(v)
+
+    walk(node)
+    return tables - ctes
+
+
 # ---------------------------------------------------------------------------
 # entry point
 # ---------------------------------------------------------------------------
