@@ -126,6 +126,14 @@ def agg_to_sql(a: ir.AggSpec, dialect: str = "duckdb") -> str:
         raise NotPortable("filtered inner agg")
     if isinstance(a, ir.DistinctAgg):
         return f"COUNT(DISTINCT {a.field_name}) AS {a.name}"
+    if isinstance(a, ir.ThetaAgg):
+        # portable ONLY in the sketch's exact regime (per-group NDV < k):
+        # there the KMV estimate IS the distinct count (double-typed). The
+        # fuzzer draws k far above any test-table NDV; real approximate use
+        # has no portable SQL and goes through invariant queries instead.
+        if a.k < 1 << 17:
+            raise NotPortable("theta below exactness-guaranteed k")
+        return f"CAST(COUNT(DISTINCT {a.field_name}) AS DOUBLE) AS {a.name}"
     if isinstance(a, ir.QuantileAgg):
         # CAST both the input and result: Spark computes on double; DuckDB
         # would otherwise interpolate decimals in decimal arithmetic

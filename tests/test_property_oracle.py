@@ -92,6 +92,12 @@ aggs = st.lists(
         # shuffle parallelism, so these draws routinely trigger the planner's
         # two-stage distinct skew guard (lowering._two_stage_distinct)
         dim_col.map(lambda c: ir.DistinctAgg("", c)),
+        # theta distinct in its exact regime (k >> any sf0.001/0.01 NDV):
+        # the estimate equals COUNT(DISTINCT), so the oracle is portable —
+        # random specs exercise build/merge and the planner fallback paths
+        st.one_of(dim_col, st.sampled_from(METRIC_COLS)).map(
+            lambda c: ir.ThetaAgg("", c, k=1 << 17)
+        ),
         st.tuples(
             dim_col, st.sampled_from(METRIC_COLS)
         ).map(
