@@ -1932,6 +1932,78 @@ def theta_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "theta_funnel_users",
+    """
+WITH v AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+           FROM events WHERE event_type = 'view'),
+b AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events WHERE event_type = 'purchase'),
+days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+SELECT d.day,
+  CAST((SELECT COUNT(*) FROM v WHERE v.day = d.day) AS BIGINT) AS viewers,
+  CAST((SELECT COUNT(*) FROM b WHERE b.day = d.day) AS BIGINT) AS buyers,
+  CAST((SELECT COUNT(*) FROM v JOIN b ON v.user_id = b.user_id
+        AND v.day = d.day AND b.day = d.day) AS BIGINT) AS both_vb,
+  CAST((SELECT COUNT(*) FROM v WHERE v.day = d.day AND user_id NOT IN
+        (SELECT user_id FROM b WHERE b.day = d.day)) AS BIGINT) AS view_only
+FROM days d ORDER BY d.day
+""",
+)
+def theta_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Druid theta-funnel shape in ONE IR query: two FILTERED sketch
+    aggregations (daily users who viewed / who purchased — Druid's filtered
+    aggregator over a thetaSketch) + set-operation POST-aggregations
+    (thetaSketchSetOp INTERSECT / NOT as post-agg expression text). Rides
+    the cube: the filter is on a grain dim, so only matching partial
+    sketches merge per day bucket. Exact at test NDVs => plain-SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.functions import theta as T
+
+    k = 4096
+    ctx = _events_ctx(spark, sf_dir)
+    spec = ir.GroupByQuery(
+        dimensions=[],
+        granularity="day",
+        time_output_name="day",
+        aggregations=[
+            ir.FilteredAgg(
+                "sk_view",
+                ir.SelectorFilter("event_type", "view"),
+                ir.ThetaSketchAgg("sk_view", "user_id", k=k),
+            ),
+            ir.FilteredAgg(
+                "sk_buy",
+                ir.SelectorFilter("event_type", "purchase"),
+                ir.ThetaSketchAgg("sk_buy", "user_id", k=k),
+            ),
+        ],
+        post_aggregations=[
+            ir.ArithmeticPostAgg(
+                "viewers", f"CAST({T.estimate_sql('sk_view', k)} AS BIGINT)"
+            ),
+            ir.ArithmeticPostAgg(
+                "buyers", f"CAST({T.estimate_sql('sk_buy', k)} AS BIGINT)"
+            ),
+            ir.ArithmeticPostAgg(
+                "both_vb",
+                f"CAST({T.intersect_estimate_sql('sk_view', 'sk_buy', k)}"
+                " AS BIGINT)",
+            ),
+            ir.ArithmeticPostAgg(
+                "view_only",
+                f"CAST({T.diff_estimate_sql('sk_view', 'sk_buy', k)}"
+                " AS BIGINT)",
+            ),
+        ],
+        output_order=["day", "viewers", "buyers", "both_vb", "view_only"],
+    )
+    out = ctx.query(spec)
+    assert ctx.query_history[-1].backing == "cube", ctx.query_history[-1].decision
+    return out.withColumn("day", F.col("day").cast("date")).orderBy("day")
+
+
+@_register(
     "theta_error_small_k",
     """
 SELECT event_type, COUNT(DISTINCT event_id) AS exact_events, TRUE AS theta_ok
@@ -2876,7 +2948,7 @@ _PRIORITY = [
     "dedup_clusters_docs", "length_quantiles_docs", "sql_quantile", "chunk_docs",
     "events_hist_p90",
     "theta_users_type", "theta_retention_daily", "theta_error_small_k",
-    "sql_theta", "ivf_index_topk",
+    "sql_theta", "ivf_index_topk", "theta_funnel_users",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

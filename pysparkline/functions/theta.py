@@ -115,3 +115,52 @@ def theta_diff_estimate(a: Column, b: Column, k: int) -> Column:
 
 def theta_union_estimate(a: Column, b: Column, k: int) -> Column:
     return theta_estimate(theta_union(a, b, k), k)
+
+
+# ---------------------------------------------------------------------------
+# Spark-SQL string forms — for IR post-aggregations (ArithmeticPostAgg takes
+# expression text), mirroring Druid's thetaSketchEstimate / thetaSketchSetOp
+# post-aggs over named sketch aggregations. Same arithmetic as the Column
+# helpers above, term for term (Catalyst CSE dedupes the repeated threshold
+# subexpression).
+# ---------------------------------------------------------------------------
+
+
+def _theta_hash_sql(s: str, k: int) -> str:
+    return f"(CASE WHEN size({s}) >= {k} THEN element_at({s}, {k}) END)"
+
+
+def estimate_sql(s: str, k: int) -> str:
+    th = _theta_hash_sql(s, k)
+    return (
+        f"(CASE WHEN {th} IS NULL THEN CAST(size({s}) AS DOUBLE) "
+        f"ELSE {float(k - 1)!r} * {_MAXH!r} / CAST({th} AS DOUBLE) END)"
+    )
+
+
+def _setop_estimate_sql(members: str, th: str) -> str:
+    m = (
+        f"(CASE WHEN {th} IS NULL THEN size({members}) "
+        f"ELSE size(filter({members}, v -> v < {th})) END)"
+    )
+    return (
+        f"(CASE WHEN {th} IS NULL THEN CAST({m} AS DOUBLE) "
+        f"ELSE CAST({m} AS DOUBLE) * {_MAXH!r} / CAST({th} AS DOUBLE) END)"
+    )
+
+
+def intersect_estimate_sql(a: str, b: str, k: int) -> str:
+    """|A ∩ B| estimate as Spark SQL text (least() skips NULLs, matching the
+    Column form's theta semantics)."""
+    th = f"least({_theta_hash_sql(a, k)}, {_theta_hash_sql(b, k)})"
+    return _setop_estimate_sql(f"array_intersect({a}, {b})", th)
+
+
+def diff_estimate_sql(a: str, b: str, k: int) -> str:
+    th = f"least({_theta_hash_sql(a, k)}, {_theta_hash_sql(b, k)})"
+    return _setop_estimate_sql(f"array_except({a}, {b})", th)
+
+
+def union_estimate_sql(a: str, b: str, k: int) -> str:
+    merged = f"slice(array_sort(array_distinct(concat({a}, {b}))), 1, {k})"
+    return estimate_sql(merged, k)

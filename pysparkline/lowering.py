@@ -367,6 +367,17 @@ def _raw_agg(a: ir.AggSpec) -> Column:
             return fns[inner.fn](F.when(cond, F.col(inner.field_name))).alias(a.name)
         if isinstance(inner, ir.ExprAgg):
             return fns[inner.fn](F.when(cond, F.expr(inner.expr))).alias(a.name)
+        if isinstance(inner, (ir.ThetaAgg, ir.ThetaSketchAgg)):
+            # filtered theta (Druid filtered aggregator over a thetaSketch —
+            # the funnel shape): non-matching rows hash to NULL and drop out
+            from .functions import theta as T
+
+            sk = T.theta_sketch_agg(
+                F.when(cond, F.col(inner.field_name)), inner.k
+            )
+            if isinstance(inner, ir.ThetaSketchAgg):
+                return sk.alias(a.name)
+            return T.theta_estimate(sk, inner.k).alias(a.name)
         raise AggLoweringError(f"unsupported filtered inner agg {inner!r}")
     if isinstance(a, ir.CardinalityAgg):
         return F.approx_count_distinct(_multi_col_key(a.field_names)).alias(a.name)
@@ -447,6 +458,29 @@ def _preagg_agg(a: ir.AggSpec, backing: Backing) -> Column:
                 raise AggLoweringError(f"no pre-built metric for filtered {expr}")
             merge = F.sum if inner.fn == "count" else fns[inner.fn]
             return merge(F.when(cond, F.col(m.col_name))).alias(a.name)
+        if isinstance(inner, (ir.ThetaAgg, ir.ThetaSketchAgg)):
+            # merge only matching partials (collect_list skips the NULLed-out
+            # non-matching rows) — condition already grain-checked above
+            from .functions import theta as T
+
+            ts = next(
+                (
+                    t
+                    for t in idx.config.theta_specs
+                    if t.col == inner.field_name and t.k == inner.k
+                ),
+                None,
+            )
+            if ts is None or ts.col_name not in cube_cols:
+                raise AggLoweringError(
+                    f"no theta sketch theta_{inner.field_name}_k{inner.k} in cube"
+                )
+            sk = T.theta_merge_agg(
+                F.when(cond, F.col(ts.col_name)), inner.k
+            )
+            if isinstance(inner, ir.ThetaSketchAgg):
+                return sk.alias(a.name)
+            return T.theta_estimate(sk, inner.k).alias(a.name)
         raise AggLoweringError(f"unsupported filtered inner agg {inner!r}")
     if isinstance(a, ir.CardinalityAgg):
         if set(a.field_names) <= cube_cols:

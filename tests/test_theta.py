@@ -178,3 +178,40 @@ def test_theta_survives_append_and_compaction(spark, tmp_path):
         for r in lowering.lower(spec, Backing.base(ev, "ts")).collect()
     }
     assert got == want
+
+
+def test_filtered_sketch_cube_equals_base(ectx, spark):
+    """FilteredAgg(ThetaSketchAgg) — the funnel shape: filtered partial
+    merge over the cube must equal a from-raw filtered build."""
+    from pysparkline.functions import theta as T
+    from pysparkline.tpch import read_events
+    from tests.conftest import SF_DIR as _SF
+
+    k = 4096
+    spec = ir.GroupByQuery(
+        dimensions=[],
+        granularity="day",
+        time_output_name="day",
+        aggregations=[
+            ir.FilteredAgg(
+                "sk",
+                ir.SelectorFilter("event_type", "view"),
+                ir.ThetaSketchAgg("sk", "user_id", k=k),
+            ),
+        ],
+        post_aggregations=[
+            ir.ArithmeticPostAgg(
+                "viewers", f"CAST({T.estimate_sql('sk', k)} AS BIGINT)"
+            )
+        ],
+        output_order=["day", "viewers"],
+    )
+    planned, backing, dec = ectx.plan(spec)
+    assert dec.backing == "cube"
+    got = {str(r.day): r.viewers for r in ectx.query(spec).collect()}
+    ev = read_events(ectx.spark, _SF)
+    want = {
+        str(r.day): r.viewers
+        for r in lowering.lower(planned, Backing.base(ev, "ts")).collect()
+    }
+    assert got == want and got
