@@ -123,6 +123,12 @@ def agg_to_sql(a: ir.AggSpec, dialect: str = "duckdb") -> str:
                 f"{inner.fn.upper()}({inner.field_name}) FILTER (WHERE {cond})"
                 f" AS {a.name}"
             )
+        if isinstance(inner, ir.ThetaAgg) and inner.k >= 1 << 17:
+            # exact regime only (see the bare ThetaAgg case below)
+            return (
+                f"CAST(COUNT(DISTINCT {inner.field_name}) FILTER"
+                f" (WHERE {cond}) AS DOUBLE) AS {a.name}"
+            )
         raise NotPortable("filtered inner agg")
     if isinstance(a, ir.DistinctAgg):
         return f"COUNT(DISTINCT {a.field_name}) AS {a.name}"

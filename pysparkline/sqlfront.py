@@ -529,7 +529,10 @@ def _agg_spec(node: dict, name: str) -> ir.AggSpec:
         inner = dict(node)
         inner["filter"] = None
         inner_spec = _agg_spec(inner, name)
-        if not isinstance(inner_spec, (ir.CountAgg, ir.FieldAgg, ir.ExprAgg)):
+        if not isinstance(
+            inner_spec,
+            (ir.CountAgg, ir.FieldAgg, ir.ExprAgg, ir.ThetaAgg, ir.ThetaSketchAgg),
+        ):
             raise SQLFrontError(
                 f"FILTER over {type(inner_spec).__name__} unsupported"
             )

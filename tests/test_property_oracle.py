@@ -107,6 +107,14 @@ aggs = st.lists(
                 ir.FieldAgg("sum", "", t[1]),
             )
         ),
+        # filtered theta in the exact regime (the SQL-funnel shape)
+        st.tuples(dim_col, dim_col).map(
+            lambda t: ir.FilteredAgg(
+                "",
+                ir.SelectorFilter(t[0], DIM_DOMAIN[t[0]][0]),
+                ir.ThetaAgg("", t[1], k=1 << 17),
+            )
+        ),
     ),
     min_size=1,
     max_size=3,

@@ -335,3 +335,26 @@ def test_sql_theta_count_distinct(ctx, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_sql_theta_filtered(ctx, duck):
+    """theta_count_distinct with FILTER — the SQL funnel shape."""
+    sql = (
+        "SELECT l_linestatus AS ls, "
+        "theta_count_distinct(o_orderstatus, 64) "
+        "FILTER (WHERE l_returnflag = 'A') AS ns "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_linestatus"
+    )
+    out = ctx.sql(sql)
+    assert ctx.query_history[-1].backing != "sparksql"
+    got = {r.ls: r.ns for r in out.collect()}
+    want = {
+        r[0]: float(r[1])
+        for r in duck.execute(
+            "SELECT l_linestatus, COUNT(DISTINCT o_orderstatus) "
+            "FILTER (WHERE l_returnflag = 'A') "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
