@@ -122,6 +122,10 @@ def test_ir_roundtrip_groupby():
             ir.AvgAgg("av", "m"),
             ir.FilteredAgg("f", ir.SelectorFilter("a", "y"), ir.FieldAgg("sum", "f", "m")),
             ir.HyperUniqueAgg("hu", "k"),
+            ir.ThetaAgg("th", "k", k=512),
+            ir.FilteredAgg(
+                "fs", ir.SelectorFilter("a", "z"), ir.ThetaSketchAgg("fs", "k")
+            ),
         ],
         post_aggregations=[ir.ArithmeticPostAgg("r", "`n` / `av`")],
         having=ir.HavingSpec("`n` > 5"),
