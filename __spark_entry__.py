@@ -2049,6 +2049,33 @@ def theta_error_small_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tz_format_dim",
+    """
+SELECT CAST(EXTRACT(hour FROM timezone('Asia/Tokyo', timezone('UTC', ts)))
+            AS INT) AS tokyo_hour,
+       COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def tz_format_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeFormat extraction with a timeZone (DruidQuerySpec.scala:72-80
+    pattern+TZ): group by Tokyo wall-clock hour-of-day. The planner must
+    keep it on row grain — a zone shift moves bucket boundaries, so the
+    UTC-bucketed cube cannot serve it (plan-asserted)."""
+    ctx = _events_ctx(spark, sf_dir)
+    spec = ir.GroupByQuery(
+        dimensions=[
+            ir.TimeFormatDim("ts", "tokyo_hour", part="hour", tz="Asia/Tokyo")
+        ],
+        aggregations=[ir.CountAgg("n")],
+        limit_spec=ir.LimitSpec([ir.OrderByColumn("tokyo_hour")]),
+    )
+    out = ctx.query(spec)
+    assert ctx.query_history[-1].backing != "cube", ctx.query_history[-1].decision
+    return out
+
+
+@_register(
     "events_hourly",
     """
 SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
@@ -2948,7 +2975,7 @@ _PRIORITY = [
     "dedup_clusters_docs", "length_quantiles_docs", "sql_quantile", "chunk_docs",
     "events_hist_p90",
     "theta_users_type", "theta_retention_daily", "theta_error_small_k",
-    "sql_theta", "ivf_index_topk", "theta_funnel_users",
+    "sql_theta", "ivf_index_topk", "theta_funnel_users", "tz_format_dim",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

@@ -271,12 +271,16 @@ class DefaultDim(DimSpec):
 class TimeFormatDim(DimSpec):
     """timeFormat extraction (:72-80): format the time dim with a pattern.
     ``part`` is a date_part name (year/quarter/month/day/hour) or a Spark
-    date_format pattern when ``is_pattern``."""
+    date_format pattern when ``is_pattern``. ``tz`` shifts the (UTC-stored)
+    instant to a zone's wall clock first — the extraction's timeZone
+    parameter; non-UTC zones force row-grain backings (bucket boundaries
+    move, so pre-aggregated UTC buckets cannot serve them)."""
 
     dimension: str
     output_name: str
     part: str = "year"
     is_pattern: bool = False
+    tz: Optional[str] = None
 
     @property
     def out(self) -> str:

@@ -270,9 +270,14 @@ def dim_to_column(spec: ir.DimSpec, backing: Backing) -> Column:
         src = spec.dimension
         if backing.preagg and src == (backing.index.time_col if backing.index else None):
             src = BUCKET_COL  # time dim lives as the bucket column in cubes
+        col = F.col(src)
+        if spec.tz and spec.tz not in ("UTC", "Etc/UTC"):
+            # timeFormat's timeZone parameter: shift the UTC instant to the
+            # zone's wall clock (planner keeps such dims on row grain)
+            col = F.from_utc_timestamp(col, spec.tz)
         if spec.is_pattern:
-            return F.date_format(F.col(src), spec.part).alias(spec.out)
-        return _PART_FN[spec.part](F.col(src)).alias(spec.out)
+            return F.date_format(col, spec.part).alias(spec.out)
+        return _PART_FN[spec.part](col).alias(spec.out)
     if isinstance(spec, ir.ExprDim):
         return F.expr(spec.expr).alias(spec.out)
     raise TypeError(f"unknown dim spec {spec!r}")

@@ -89,6 +89,11 @@ def _cube_eligible(
         if isinstance(d, ir.TimeFormatDim) and d.dimension == tcol:
             # the extracted part must be constant within a cube bucket:
             # year() from a month bucket is fine, day() from month is not
+            if getattr(d, "tz", None) not in (None, "UTC", "Etc/UTC"):
+                # a zone shift moves bucket boundaries (wall-clock day !=
+                # UTC day): pre-aggregated UTC buckets cannot answer it
+                reject(f"time-format tz {d.tz} shifts bucket boundaries")
+                return None
             if d.is_pattern:
                 reject("pattern time-format not supported on pre-agg backing")
                 return None

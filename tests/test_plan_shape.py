@@ -187,3 +187,25 @@ def test_redact_pii_is_narrow_map(spark):
     plan = _physical(clean.redact_pii(docs, "doc_id", "text"))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tz_time_format_rejects_cube(ctx):
+    """timeFormat with a non-UTC timeZone shifts bucket boundaries — the
+    planner must keep it off pre-aggregated (UTC-bucketed) backings; the
+    same part without tz (or with UTC) stays cube-servable."""
+    from pysparkline import ir
+
+    def spec(tz):
+        return ir.GroupByQuery(
+            dimensions=[
+                ir.TimeFormatDim("l_shipdate", "yr", part="year", tz=tz)
+            ],
+            aggregations=[ir.CountAgg("n")],
+        )
+
+    _, _, dec = ctx.plan(spec("Asia/Tokyo"))
+    assert dec.backing != "cube"
+    _, _, dec = ctx.plan(spec(None))
+    assert dec.backing == "cube"
+    _, _, dec = ctx.plan(spec("UTC"))
+    assert dec.backing == "cube"
