@@ -2076,6 +2076,38 @@ def tz_format_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tz_daily_revenue",
+    """
+SELECT CAST(date_trunc('day', timezone('Asia/Tokyo', timezone('UTC', ts)))
+            AS DATE) AS tokyo_day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def tz_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period granularity with a timeZone (DruidQueryGranularity.scala:42-59
+    {"period": "P1D", "timeZone": "Asia/Tokyo"}): day buckets follow Tokyo's
+    wall clock, output is the wall-clock bucket start. Row-grain by planner
+    rule (UTC cube buckets can't serve shifted boundaries; plan-asserted)."""
+    ctx = _events_ctx(spark, sf_dir)
+    spec = ir.GroupByQuery(
+        dimensions=[],
+        granularity={"period": "P1D", "timeZone": "Asia/Tokyo"},
+        time_output_name="tokyo_day",
+        aggregations=[
+            ir.CountAgg("n"),
+            ir.ExprAgg("sum", "sv_dec", "CAST(value AS DECIMAL(18,6))"),
+        ],
+        post_aggregations=[ir.ArithmeticPostAgg("sv", "CAST(`sv_dec` AS DOUBLE)")],
+        output_order=["tokyo_day", "n", "sv"],
+    )
+    out = ctx.query(spec)
+    assert ctx.query_history[-1].backing != "cube", ctx.query_history[-1].decision
+    return out.orderBy("tokyo_day")
+
+
+@_register(
     "events_hourly",
     """
 SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
@@ -2976,6 +3008,7 @@ _PRIORITY = [
     "events_hist_p90",
     "theta_users_type", "theta_retention_daily", "theta_error_small_k",
     "sql_theta", "ivf_index_topk", "theta_funnel_users", "tz_format_dim",
+    "tz_daily_revenue",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

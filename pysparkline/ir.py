@@ -534,6 +534,10 @@ class GroupByQuery(QuerySpec):
     grouping_sets: Optional[list] = None  # list[list[str]] of dim out-names
     time_output_name: str = "__time"
     output_order: Optional[list] = None  # SQL select-list output column order
+    # period-granularity timeZone (DruidQueryGranularity.scala:42-59): time
+    # buckets follow the zone's wall clock; output is the wall-clock bucket
+    # start. Non-UTC zones force row-grain backings.
+    granularity_tz: Optional[str] = None
 
 
 @_node
@@ -548,6 +552,7 @@ class TimeseriesQuery(QuerySpec):
     intervals: list = field(default_factory=list)
     time_output_name: str = "__time"
     output_order: Optional[list] = None
+    granularity_tz: Optional[str] = None  # see GroupByQuery.granularity_tz
 
 
 @_node
@@ -569,6 +574,7 @@ class TopNQuery(QuerySpec):
     intervals: list = field(default_factory=list)
     time_output_name: str = "__time"
     output_order: Optional[list] = None
+    granularity_tz: Optional[str] = None  # see GroupByQuery.granularity_tz
 
 
 @_node

@@ -283,9 +283,16 @@ def dim_to_column(spec: ir.DimSpec, backing: Backing) -> Column:
     raise TypeError(f"unknown dim spec {spec!r}")
 
 
-def _time_bucket_col(backing: Backing, granularity: str, out_name: str) -> Column:
+def _time_bucket_col(
+    backing: Backing, granularity: str, out_name: str, tz: str | None = None
+) -> Column:
     src = F.col(backing.time_col)
-    if granularity == "none" or (
+    if tz:
+        # period-granularity timeZone: bucket along the zone's wall clock;
+        # the output is the wall-clock bucket start (unambiguous given the
+        # zone; the planner keeps such queries on row-grain backings)
+        bucket = F.date_trunc(granularity, F.from_utc_timestamp(src, tz))
+    elif granularity == "none" or (
         backing.granularity != "none" and granularity == backing.granularity
     ):
         bucket = src  # already at (or finer than) the requested grain
@@ -706,7 +713,12 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
     key_cols = list(dim_cols)
     out_names = list(dim_names)
     if q.granularity not in ("all",):
-        key_cols.append(_time_bucket_col(backing, q.granularity, q.time_output_name))
+        key_cols.append(
+            _time_bucket_col(
+                backing, q.granularity, q.time_output_name,
+                getattr(q, "granularity_tz", None),
+            )
+        )
         out_names.append(q.time_output_name)
 
     aggs, avg_post = _decompose_avgs(list(q.aggregations))
@@ -845,6 +857,7 @@ def lower_timeseries(q: ir.TimeseriesQuery, backing: Backing) -> DataFrame:
         intervals=q.intervals,
         time_output_name=q.time_output_name,
         output_order=q.output_order,
+        granularity_tz=getattr(q, "granularity_tz", None),
     )
     return lower_groupby(g, backing)
 
@@ -856,7 +869,12 @@ def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:
     keys = [dim]
     if q.granularity not in ("all",):
         # Druid TopN semantics with a granularity: top-k per time bucket
-        keys.append(_time_bucket_col(backing, q.granularity, q.time_output_name))
+        keys.append(
+            _time_bucket_col(
+                backing, q.granularity, q.time_output_name,
+                getattr(q, "granularity_tz", None),
+            )
+        )
     out = df.groupBy(*keys).agg(*_agg_columns(aggs, backing))
     for name, expr in avg_post:
         out = out.withColumn(name, F.expr(expr))

@@ -79,6 +79,11 @@ def _cube_eligible(
     if not lowering.gran_coarser_or_equal(qgran, gran):
         reject(f"query granularity {qgran} finer than cube {gran}")
         return None
+    qtz = getattr(q, "granularity_tz", None)
+    if qtz not in (None, "UTC", "Etc/UTC"):
+        # zone-shifted buckets don't align with the cube's UTC buckets
+        reject(f"granularity timeZone {qtz} shifts bucket boundaries")
+        return None
 
     part_gran = {
         "year": "year", "quarter": "quarter", "month": "month", "day": "day",

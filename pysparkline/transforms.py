@@ -38,6 +38,19 @@ _PERIOD_GRAN = {
 
 def normalize_granularity(q: ir.QuerySpec) -> ir.QuerySpec:
     g = getattr(q, "granularity", None)
+    if isinstance(g, dict):
+        # Druid period-granularity JSON: {"period": "P1D", "timeZone": ...}
+        # (DruidQueryGranularity.scala:42-59) — unpack into the named grain
+        # plus the zone carried on the spec
+        period = str(g.get("period", "")).upper()
+        if period not in _PERIOD_GRAN:
+            raise ValueError(f"unsupported period granularity {g!r}")
+        tz = g.get("timeZone")
+        return replace(
+            q,
+            granularity=_PERIOD_GRAN[period],
+            granularity_tz=tz if tz not in (None, "UTC", "Etc/UTC") else None,
+        )
     if isinstance(g, str) and g.upper() in _PERIOD_GRAN:
         return replace(q, granularity=_PERIOD_GRAN[g.upper()])
     return q
@@ -65,6 +78,7 @@ def groupby_no_dims_to_timeseries(q: ir.QuerySpec) -> ir.QuerySpec:
             intervals=q.intervals,
             time_output_name=q.time_output_name,
             output_order=q.output_order,
+            granularity_tz=q.granularity_tz,
         )
     return q
 

@@ -209,3 +209,23 @@ def test_tz_time_format_rejects_cube(ctx):
     assert dec.backing == "cube"
     _, _, dec = ctx.plan(spec("UTC"))
     assert dec.backing == "cube"
+
+
+def test_tz_granularity_rejects_cube(ctx):
+    """Period granularity with a non-UTC timeZone must stay off UTC-bucketed
+    cubes; the plain period form still normalizes and rides them."""
+    from pysparkline import ir
+
+    def spec(gran):
+        return ir.GroupByQuery(
+            dimensions=[],
+            granularity=gran,
+            aggregations=[ir.CountAgg("n")],
+        )
+
+    _, _, dec = ctx.plan(spec({"period": "P1M", "timeZone": "Asia/Tokyo"}))
+    assert dec.backing != "cube"
+    _, _, dec = ctx.plan(spec({"period": "P1M"}))
+    assert dec.backing == "cube"
+    _, _, dec = ctx.plan(spec("P1M"))
+    assert dec.backing == "cube"
