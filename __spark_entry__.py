@@ -2108,6 +2108,37 @@ def tz_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_15min",
+    """
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS bucket,
+       COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def events_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid duration granularity (DruidQueryGranularity.scala:42-107
+    {"duration": 900000}): arbitrary fixed-width epoch-aligned buckets.
+    15-minute buckets can't be served by the day-grain cube (width not a
+    multiple — plan-asserted); the flat backing still partition-prunes on
+    the interval."""
+    ctx = _events_ctx(spark, sf_dir)
+    spec = ir.GroupByQuery(
+        dimensions=[],
+        granularity={"duration": 900_000},
+        time_output_name="bucket",
+        intervals=[ir.Interval("2024-01-10", "2024-01-11")],
+        aggregations=[ir.CountAgg("n")],
+        output_order=["bucket", "n"],
+    )
+    out = ctx.query(spec)
+    assert ctx.query_history[-1].backing != "cube", ctx.query_history[-1].decision
+    return out.orderBy("bucket")
+
+
+@_register(
     "events_hourly",
     """
 SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
@@ -3008,7 +3039,7 @@ _PRIORITY = [
     "events_hist_p90",
     "theta_users_type", "theta_retention_daily", "theta_error_small_k",
     "sql_theta", "ivf_index_topk", "theta_funnel_users", "tz_format_dim",
-    "tz_daily_revenue",
+    "tz_daily_revenue", "events_15min",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

@@ -38,6 +38,20 @@ _GRAN_ORDER = [
 _DATE_GRAINS = {"year", "quarter", "month", "week", "day"}
 
 
+# fixed-length grains in seconds (calendar grains vary; week is fixed in the
+# proleptic UTC timeline Spark/DuckDB share — no DST in UTC)
+_GRAN_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+              "week": 604800}
+
+
+def duration_seconds(granularity: str) -> int | None:
+    """Seconds of a ``duration:<n>s`` granularity (Druid duration form —
+    arbitrary fixed-width epoch-aligned buckets), else None."""
+    if isinstance(granularity, str) and granularity.startswith("duration:"):
+        return int(granularity[len("duration:"):-1])
+    return None
+
+
 def gran_coarser_or_equal(a: str, b: str) -> bool:
     """True if granularity ``a`` is coarser than or equal to ``b`` (a query at
     grain ``a`` can be answered from data bucketed at grain ``b``). 'week' only
@@ -50,6 +64,14 @@ def gran_coarser_or_equal(a: str, b: str) -> bool:
         return True
     if a == b:
         return True
+    dur = duration_seconds(a)
+    if dur is not None:
+        # duration buckets are epoch-aligned; second/minute/hour/day named
+        # buckets are too (UTC midnight = epoch multiple of 86400) — servable
+        # iff the width is an exact multiple. week is NOT epoch-aligned
+        # (epoch was a Thursday, date_trunc weeks start Monday).
+        aligned = {k: v for k, v in _GRAN_SECS.items() if k != "week"}
+        return b in aligned and dur % aligned[b] == 0 and dur >= aligned[b]
     if a == "week":
         return b in ("day", "hour", "minute", "second")
     if b == "week":
@@ -287,6 +309,14 @@ def _time_bucket_col(
     backing: Backing, granularity: str, out_name: str, tz: str | None = None
 ) -> Column:
     src = F.col(backing.time_col)
+    dur = duration_seconds(granularity)
+    if dur is not None:
+        # Druid duration granularity: arbitrary fixed-width epoch-aligned
+        # buckets (floor to the width); tz shifts to wall clock first
+        shifted = F.from_utc_timestamp(src, tz) if tz else src
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(shifted) / F.lit(dur)) * F.lit(dur)
+        ).alias(out_name)
     if tz:
         # period-granularity timeZone: bucket along the zone's wall clock;
         # the output is the wall-clock bucket start (unambiguous given the

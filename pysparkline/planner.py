@@ -157,6 +157,9 @@ def _time_part_ndv(index: OlapIndex, part: str) -> float:
         "weekofyear": 53,
         "none": float(index.ndv(index.time_col) or days),
     }
+    dur = lowering.duration_seconds(part)
+    if dur is not None:
+        return float(max(1.0, days * 86400.0 / dur))
     return float(max(1.0, per_part.get(part, days)))
 
 

@@ -20,6 +20,7 @@ Modeled on the reference's QuerySpecTransforms (query/QuerySpecTransforms.scala
 
 from __future__ import annotations
 
+import re
 from dataclasses import replace
 
 from . import ir
@@ -35,24 +36,56 @@ _PERIOD_GRAN = {
     "PT1S": "second",
 }
 
+_ISO_FIXED = re.compile(
+    r"^P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$"
+)
+
+
+def _period_to_seconds(period: str) -> int | None:
+    """Fixed-length ISO periods (days/hours/minutes/seconds — no months or
+    years, whose length varies) as a bucket width in seconds."""
+    m = _ISO_FIXED.match(period)
+    if not m or not any(m.groups()):
+        return None
+    d, h, mi, s = (int(g or 0) for g in m.groups())
+    return ((d * 24 + h) * 60 + mi) * 60 + s
+
+
+def _named_or_duration(period_or_ms) -> str | None:
+    """A period string / duration millis value as a canonical granularity:
+    a named grain when one exists, else ``duration:<n>s`` for fixed-length
+    widths (Druid duration granularity), else None."""
+    if isinstance(period_or_ms, (int, float)):
+        ms = int(period_or_ms)
+        return f"duration:{ms // 1000}s" if ms > 0 and ms % 1000 == 0 else None
+    p = str(period_or_ms).upper()
+    if p in _PERIOD_GRAN:
+        return _PERIOD_GRAN[p]
+    secs = _period_to_seconds(p)
+    return f"duration:{secs}s" if secs else None
+
 
 def normalize_granularity(q: ir.QuerySpec) -> ir.QuerySpec:
     g = getattr(q, "granularity", None)
     if isinstance(g, dict):
-        # Druid period-granularity JSON: {"period": "P1D", "timeZone": ...}
-        # (DruidQueryGranularity.scala:42-59) — unpack into the named grain
-        # plus the zone carried on the spec
-        period = str(g.get("period", "")).upper()
-        if period not in _PERIOD_GRAN:
-            raise ValueError(f"unsupported period granularity {g!r}")
+        # Druid granularity JSON: {"period": "PT15M", "timeZone": ...} or
+        # {"duration": <millis>} (DruidQueryGranularity.scala:42-107) —
+        # unpack into the canonical grain plus the zone carried on the spec
+        norm = _named_or_duration(
+            g["period"] if "period" in g else g.get("duration", "")
+        )
+        if norm is None:
+            raise ValueError(f"unsupported granularity {g!r}")
         tz = g.get("timeZone")
         return replace(
             q,
-            granularity=_PERIOD_GRAN[period],
+            granularity=norm,
             granularity_tz=tz if tz not in (None, "UTC", "Etc/UTC") else None,
         )
-    if isinstance(g, str) and g.upper() in _PERIOD_GRAN:
-        return replace(q, granularity=_PERIOD_GRAN[g.upper()])
+    if isinstance(g, str) and g.upper().startswith("P"):
+        norm = _named_or_duration(g)
+        if norm is not None and norm != g:
+            return replace(q, granularity=norm)
     return q
 
 

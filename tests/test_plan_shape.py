@@ -229,3 +229,36 @@ def test_tz_granularity_rejects_cube(ctx):
     assert dec.backing == "cube"
     _, _, dec = ctx.plan(spec("P1M"))
     assert dec.backing == "cube"
+
+
+def test_duration_granularity(ctx, spark):
+    """Druid duration granularity: epoch-aligned fixed-width buckets.
+    A width that's a multiple of the cube grain rides the cube (identical
+    answer to row grain); a non-multiple rejects it."""
+    from pysparkline import ir, lowering
+    from pysparkline.events_index import build_or_load_events_index
+    from pysparkline.lowering import Backing
+    from pysparkline.session import OlapContext
+    from pysparkline.tpch import read_events
+
+    assert lowering.gran_coarser_or_equal("duration:172800s", "day")
+    assert not lowering.gran_coarser_or_equal("duration:900s", "day")
+    assert lowering.gran_coarser_or_equal("duration:900s", "minute")
+    assert not lowering.gran_coarser_or_equal("duration:604800s", "week")
+
+    ectx = OlapContext(spark, build_or_load_events_index(spark, SF))
+    spec = ir.GroupByQuery(
+        dimensions=[],
+        granularity={"duration": 172_800_000},  # P2D: 2x the day cube grain
+        time_output_name="b",
+        aggregations=[ir.CountAgg("n")],
+    )
+    planned, backing, dec = ectx.plan(spec)
+    assert dec.backing == "cube", dec
+    got = {str(r.b): r.n for r in ectx.query(spec).collect()}
+    ev = read_events(spark, SF)
+    want = {
+        str(r.b): r.n
+        for r in lowering.lower(planned, Backing.base(ev, "ts")).collect()
+    }
+    assert got == want and len(got) > 10
