@@ -265,6 +265,14 @@ def cached_build_or_load(
 
 
 def _bucket_expr(time_col: str, granularity: str):
+    if isinstance(granularity, str) and granularity.startswith("duration:"):
+        # Druid duration queryGranularity: fixed-width epoch-aligned buckets
+        # (a 15-minute cube serving sub-hour dashboards)
+        secs = int(granularity[len("duration:"):-1])
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(time_col)) / F.lit(secs))
+            * F.lit(secs)
+        )
     if granularity not in _TRUNC:
         raise ValueError(f"unsupported granularity {granularity!r}")
     return F.date_trunc(_TRUNC[granularity], F.col(time_col))

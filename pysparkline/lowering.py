@@ -64,14 +64,25 @@ def gran_coarser_or_equal(a: str, b: str) -> bool:
         return True
     if a == b:
         return True
-    dur = duration_seconds(a)
-    if dur is not None:
-        # duration buckets are epoch-aligned; second/minute/hour/day named
-        # buckets are too (UTC midnight = epoch multiple of 86400) — servable
-        # iff the width is an exact multiple. week is NOT epoch-aligned
-        # (epoch was a Thursday, date_trunc weeks start Monday).
-        aligned = {k: v for k, v in _GRAN_SECS.items() if k != "week"}
-        return b in aligned and dur % aligned[b] == 0 and dur >= aligned[b]
+    # duration buckets are epoch-aligned; second/minute/hour/day named
+    # buckets are too (UTC midnight = epoch multiple of 86400). week is NOT
+    # epoch-aligned (epoch was a Thursday, date_trunc weeks start Monday),
+    # and calendar grains (month+) have no fixed width.
+    _aligned_secs = {k: v for k, v in _GRAN_SECS.items() if k != "week"}
+    dur_a, dur_b = duration_seconds(a), duration_seconds(b)
+    if dur_a is not None:
+        wb = dur_b if dur_b is not None else _aligned_secs.get(b)
+        return wb is not None and dur_a % wb == 0 and dur_a >= wb
+    if dur_b is not None:
+        # named query grain from a duration-bucketed backing
+        wa = _aligned_secs.get(a)
+        if wa is not None:
+            return wa % dur_b == 0 and wa >= dur_b
+        if a in ("year", "quarter", "month", "week"):
+            # calendar boundaries always land on UTC midnights: safe iff
+            # every midnight is a bucket boundary
+            return 86400 % dur_b == 0
+        return False
     if a == "week":
         return b in ("day", "hour", "minute", "second")
     if b == "week":
@@ -214,6 +225,13 @@ def interval_aligned(iv: ir.Interval, granularity: str) -> bool:
         if s is None:
             return True
         d = _parse_iso(s)
+        dur = duration_seconds(granularity)
+        if dur is not None:
+            # endpoint must be an epoch-multiple of the bucket width
+            from datetime import timezone as _tz
+
+            epoch_s = d.replace(tzinfo=_tz.utc).timestamp()
+            return d.microsecond == 0 and epoch_s % dur == 0
         if d != d.replace(hour=0, minute=0, second=0, microsecond=0):
             if granularity == "hour":
                 return d.minute == d.second == d.microsecond == 0

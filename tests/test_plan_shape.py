@@ -262,3 +262,55 @@ def test_duration_granularity(ctx, spark):
         for r in lowering.lower(planned, Backing.base(ev, "ts")).collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_duration_cube_granularity(spark, tmp_path):
+    """A cube bucketed at a duration width (15-minute) serves hour/30-min/
+    calendar queries (boundaries align) and rejects minute queries."""
+    from pysparkline import ir, lowering
+    from pysparkline.events_index import events_star
+    from pysparkline.index import CubeSpec, IndexConfig, MetricSpec, OlapIndex
+    from pysparkline.lowering import Backing
+    from pysparkline.session import OlapContext
+    from pysparkline.tpch import read_events
+
+    ev = read_events(spark, SF)
+    cfg = IndexConfig(
+        time_col="ts",
+        metrics=[MetricSpec("value", "value", "sum")],
+        cubes=[CubeSpec("q15", ("event_type",), "duration:900s")],
+    )
+    idx = OlapIndex.build(spark, ev, cfg, str(tmp_path / "idx"), star=events_star())
+    ctx = OlapContext(spark, idx)
+
+    def spec(gran):
+        return ir.GroupByQuery(
+            dimensions=[], granularity=gran, time_output_name="b",
+            aggregations=[ir.CountAgg("n")],
+        )
+
+    for gran, want_cube in [
+        ("hour", True), ({"duration": 1_800_000}, True), ("month", True),
+        ("minute", False), ({"duration": 600_000}, False),
+    ]:
+        planned, backing, dec = ctx.plan(spec(gran))
+        assert (dec.backing == "cube") == want_cube, (gran, dec)
+
+    # answers from the duration cube match row-grain evaluation
+    for gran in ["hour", {"duration": 1_800_000}, "month"]:
+        planned, _, dec = ctx.plan(spec(gran))
+        assert dec.backing == "cube"
+        got = {str(r.b): r.n for r in ctx.query(spec(gran)).collect()}
+        want = {
+            str(r.b): r.n
+            for r in lowering.lower(planned, Backing.base(ev, "ts")).collect()
+        }
+        assert got == want and got
+
+    # interval alignment against the width
+    assert lowering.interval_aligned(
+        ir.Interval("2024-01-10T00:15:00", "2024-01-11"), "duration:900s"
+    )
+    assert not lowering.interval_aligned(
+        ir.Interval("2024-01-10T00:10:00", "2024-01-11"), "duration:900s"
+    )
