@@ -24,6 +24,7 @@ dropped — the flattened index contains every star column by construction.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from decimal import Decimal
 
@@ -373,6 +374,29 @@ def _check_from(node: dict, fact_table: str | None, star: StarSchema | None):
 # WHERE -> FilterSpec (+ interval extraction)
 # ---------------------------------------------------------------------------
 
+_INTERVAL_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                   "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+
+
+def _interval_seconds(node: dict) -> int | None:
+    """Fixed-length INTERVAL literal (CAST('15 minutes' AS INTERVAL)) in
+    seconds — the bucket-width argument of time_bucket."""
+    if (
+        node.get("class") != "CAST"
+        or (node.get("cast_type") or {}).get("id") != "INTERVAL"
+    ):
+        return None
+    c = node.get("child") or {}
+    if c.get("class") != "CONSTANT":
+        return None
+    v = (c.get("value") or {}).get("value")
+    m = re.match(r"^\s*(\d+)\s+([a-z]+)\s*$", str(v).lower())
+    if not m or m.group(2) not in _INTERVAL_UNITS:
+        return None
+    secs = int(m.group(1)) * _INTERVAL_UNITS[m.group(2)]
+    return secs or None
+
+
 _TIME_PARTS = {
     "year", "quarter", "month", "dayofmonth", "day", "dayofyear",
     "weekofyear", "hour", "minute", "second",
@@ -671,7 +695,6 @@ def _analyze_select(
         if is_group:
             name = out_name_of(item, i)
             gnode = item
-            d = _dim_spec(gnode, name, time_col)
             # date_trunc on the time column becomes the query granularity
             if (
                 item.get("class") == "FUNCTION"
@@ -688,6 +711,26 @@ def _analyze_select(
                 dim_out_names.append(name)
                 name_by_key[_gk(s)] = name
                 continue
+            # time_bucket(INTERVAL '15 minutes', ts) — duration granularity
+            # (epoch-aligned; agrees with DuckDB's origin for widths that
+            # divide a day, the practical dashboard widths)
+            if (
+                item.get("class") == "FUNCTION"
+                and item.get("function_name", "").lower() == "time_bucket"
+                and len(item.get("children", [])) == 2
+                and _interval_seconds(item["children"][0]) is not None
+                and item["children"][1].get("class") == "COLUMN_REF"
+                and time_col is not None
+                and item["children"][1]["column_names"][-1] == time_col
+            ):
+                secs = _interval_seconds(item["children"][0])
+                a.granularity = f"duration:{secs}s"
+                a.time_output_name = name
+                a.output_order.append(name)
+                dim_out_names.append(name)
+                name_by_key[_gk(s)] = name
+                continue
+            d = _dim_spec(gnode, name, time_col)
             a.dims.append(d)
             a.output_order.append(d.out)
             dim_out_names.append(d.out)

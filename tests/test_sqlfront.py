@@ -358,3 +358,26 @@ def test_sql_theta_filtered(ctx, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_time_bucket_duration(ctx, duck):
+    """time_bucket(INTERVAL, ts) through ctx.sql lowers to duration
+    granularity and matches DuckDB's native time_bucket (origins agree for
+    widths dividing a day)."""
+    sql = (
+        "SELECT time_bucket(INTERVAL '6 hours', l_shipdate) AS b, "
+        "count(*) AS n FROM lineitem "
+        "GROUP BY time_bucket(INTERVAL '6 hours', l_shipdate)"
+    )
+    spec = ctx._parse_sql(sql)
+    assert spec.granularity == "duration:21600s"
+    got = {str(r.b): r.n for r in ctx.sql(sql).collect()}
+    assert ctx.query_history[-1].backing != "sparksql"
+    want = {
+        str(r[0]): r[1]
+        for r in duck.execute(
+            "SELECT CAST(time_bucket(INTERVAL '6 hours', CAST(l_shipdate AS "
+            "TIMESTAMP)) AS TIMESTAMP) AS b, count(*) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want and len(got) > 100
