@@ -659,8 +659,19 @@ def _analyze_select(
             and g["column_names"][-1] in alias_to_expr
         ):
             group_nodes.append(alias_to_expr[g["column_names"][-1]])
-        else:
-            group_nodes.append(g)
+            continue
+        if g.get("class") == "CONSTANT":
+            # positional GROUP BY 1 (ANSI ordinal — common BI SQL)
+            pos = _const_value(g)
+            if (
+                isinstance(pos, (int, Decimal))
+                and int(pos) == pos
+                and 1 <= int(pos) <= len(select_list)
+            ):
+                group_nodes.append(select_list[int(pos) - 1])
+                continue
+            raise SQLFrontError(f"GROUP BY ordinal {pos!r} out of range")
+        group_nodes.append(g)
 
     group_keys = [_strip(g) for g in group_nodes]
     name_by_key: dict[str, str] = {}

@@ -381,3 +381,16 @@ def test_time_bucket_duration(ctx, duck):
         ).fetchall()
     }
     assert got == want and len(got) > 100
+
+
+def test_positional_group_by(ctx, duck):
+    """GROUP BY 1 ordinals resolve through the select list (BI-tool SQL)."""
+    assert_same(ctx, duck, """
+SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sq
+FROM lineitem GROUP BY 1, 2""")
+    sql = (
+        "SELECT time_bucket(INTERVAL '6 hours', l_shipdate) AS b, "
+        "count(*) AS n FROM lineitem GROUP BY 1"
+    )
+    spec = ctx._parse_sql(sql)
+    assert spec.granularity == "duration:21600s"
