@@ -948,10 +948,21 @@ def _order_limit(
             for o in mod["orders"]:
                 e = o["expression"]
                 name = None
+                if e.get("class") == "CONSTANT":
+                    # ORDER BY 2 ordinals (ANSI; BI-tool SQL)
+                    pos = _const_value(e)
+                    if (
+                        isinstance(pos, (int, Decimal))
+                        and int(pos) == pos
+                        and 1 <= int(pos) <= len(select_list)
+                    ):
+                        e = select_list[int(pos) - 1]
                 if e.get("class") == "COLUMN_REF":
                     c = e["column_names"][-1]
                     if c in known_outputs:
                         name = c
+                if name is None and e.get("alias") in known_outputs:
+                    name = e["alias"]
                 if name is None:
                     name = stripped_to_name.get(json.dumps(_strip(e), sort_keys=True))
                 if name is None or name not in known_outputs:

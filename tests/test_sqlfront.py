@@ -394,3 +394,10 @@ FROM lineitem GROUP BY 1, 2""")
     )
     spec = ctx._parse_sql(sql)
     assert spec.granularity == "duration:21600s"
+
+
+def test_positional_order_by(ctx, duck):
+    assert_same(ctx, duck, """
+SELECT p_brand, sum(l_extendedprice) AS rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 5""", sort=False)
