@@ -507,6 +507,8 @@ class OrderByColumn(IRNode):
 class LimitSpec(IRNode):
     columns: list = field(default_factory=list)  # [OrderByColumn]
     limit: Optional[int] = None
+    # skip the first n ordered rows (SelectSpec paging analog; ANSI OFFSET)
+    offset: Optional[int] = None
 
 
 # ---------------------------------------------------------------------------
@@ -601,6 +603,7 @@ class SelectQuery(QuerySpec):
     columns: list = field(default_factory=list)  # [str] or [(col, alias)]
     filter: Optional[FilterSpec] = None
     limit: Optional[int] = None
+    offset: Optional[int] = None  # paging (PagingSpec analog; ANSI OFFSET)
     order_by: list = field(default_factory=list)  # [OrderByColumn]
     intervals: list = field(default_factory=list)
 

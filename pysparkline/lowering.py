@@ -825,6 +825,8 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
                 # shuffle); unbounded sorts over row-grain backings keep the
                 # scalable global sort
                 out = out.orderBy(*order_cols)
+        if getattr(q.limit_spec, "offset", None):
+            out = out.offset(q.limit_spec.offset)
         if q.limit_spec.limit is not None:
             out = out.limit(q.limit_spec.limit)
     if q.output_order:
@@ -1001,6 +1003,8 @@ def lower_select(q: ir.SelectQuery, backing: Backing) -> DataFrame:
                 for c in q.order_by
             ]
         )
+    if getattr(q, "offset", None):
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

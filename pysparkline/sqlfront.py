@@ -935,9 +935,10 @@ def _having_expr(node: dict, select_list: list[dict], analysis: _Analysis) -> st
 
 def _order_limit(
     node: dict, select_list: list[dict], known_outputs: set[str]
-) -> tuple[list[ir.OrderByColumn], int | None]:
+) -> tuple[list[ir.OrderByColumn], int | None, int | None]:
     order_cols: list[ir.OrderByColumn] = []
     limit = None
+    offset = None
     stripped_to_name = {
         json.dumps(_strip(i), sort_keys=True): (i.get("alias") or
             (i["column_names"][-1] if i.get("class") == "COLUMN_REF" else None))
@@ -973,12 +974,12 @@ def _order_limit(
             if mod.get("limit") is not None:
                 limit = int(_const_value(mod["limit"]))
             if mod.get("offset") is not None:
-                raise SQLFrontError("OFFSET unsupported")
+                offset = int(_const_value(mod["offset"]))
         elif mod.get("type") == "DISTINCT_MODIFIER":
             pass  # handled by the caller (distinct-projection -> GroupBy dims)
         else:
             raise SQLFrontError(f"unsupported modifier {mod.get('type')}")
-    return order_cols, limit
+    return order_cols, limit, offset
 
 
 # ---------------------------------------------------------------------------
@@ -1199,13 +1200,13 @@ def parse_sql(
                 raise SQLFrontError(f"DISTINCT select item {i} needs an alias")
             dims.append(_dim_spec(item, name, time_col))
             names.append(name)
-        order_cols, limit = _order_limit(node, select_list, set(names))
+        order_cols, limit, offset = _order_limit(node, select_list, set(names))
         return ir.GroupByQuery(
             dimensions=dims,
             filter=filt,
             intervals=intervals,
-            limit_spec=ir.LimitSpec(order_cols, limit)
-            if (order_cols or limit is not None)
+            limit_spec=ir.LimitSpec(order_cols, limit, offset)
+            if (order_cols or limit is not None or offset is not None)
             else None,
             output_order=names,
         )
@@ -1220,9 +1221,9 @@ def parse_sql(
             else:
                 raise SQLFrontError("select of expression unsupported (non-agg)")
         known = {c[1] if isinstance(c, tuple) else c for c in cols}
-        order_cols, limit = _order_limit(node, select_list, known)
+        order_cols, limit, offset = _order_limit(node, select_list, known)
         return ir.SelectQuery(
-            columns=cols, filter=filt, limit=limit,
+            columns=cols, filter=filt, limit=limit, offset=offset,
             order_by=order_cols, intervals=intervals,
         )
 
@@ -1236,11 +1237,11 @@ def parse_sql(
     } | {p.name for p in a.post_aggs}
     if a.granularity != "all":
         known_outputs.add(a.time_output_name)
-    order_cols, limit = _order_limit(node, select_list, known_outputs)
+    order_cols, limit, offset = _order_limit(node, select_list, known_outputs)
 
     limit_spec = None
-    if order_cols or limit is not None:
-        limit_spec = ir.LimitSpec(order_cols, limit)
+    if order_cols or limit is not None or offset is not None:
+        limit_spec = ir.LimitSpec(order_cols, limit, offset)
 
     return ir.GroupByQuery(
         dimensions=a.dims,

@@ -401,3 +401,17 @@ def test_positional_order_by(ctx, duck):
 SELECT p_brand, sum(l_extendedprice) AS rev
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 5""", sort=False)
+
+
+def test_limit_offset_paging(ctx, duck):
+    """LIMIT/OFFSET paging (SelectSpec PagingSpec analog) on both the
+    aggregate and the plain-scan paths."""
+    assert_same(ctx, duck, """
+SELECT p_brand, sum(l_extendedprice) AS rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 5 OFFSET 3""", sort=False)
+    assert_same(ctx, duck, """
+SELECT l_orderkey, l_quantity AS q FROM lineitem
+WHERE l_quantity > 49 ORDER BY q DESC, l_orderkey LIMIT 10 OFFSET 5""",
+        sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
