@@ -540,6 +540,10 @@ class GroupByQuery(QuerySpec):
     # buckets follow the zone's wall clock; output is the wall-clock bucket
     # start. Non-UTC zones force row-grain backings.
     granularity_tz: Optional[str] = None
+    # duration-granularity origin (DruidQueryGranularity.scala:42-107):
+    # buckets anchor at this ISO timestamp instead of the epoch. Origins not
+    # on an epoch-aligned bucket boundary force row-grain backings.
+    granularity_origin: Optional[str] = None
 
 
 @_node
@@ -555,6 +559,7 @@ class TimeseriesQuery(QuerySpec):
     time_output_name: str = "__time"
     output_order: Optional[list] = None
     granularity_tz: Optional[str] = None  # see GroupByQuery.granularity_tz
+    granularity_origin: Optional[str] = None
 
 
 @_node
@@ -577,6 +582,7 @@ class TopNQuery(QuerySpec):
     time_output_name: str = "__time"
     output_order: Optional[list] = None
     granularity_tz: Optional[str] = None  # see GroupByQuery.granularity_tz
+    granularity_origin: Optional[str] = None
 
 
 @_node

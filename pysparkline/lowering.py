@@ -323,17 +323,33 @@ def dim_to_column(spec: ir.DimSpec, backing: Backing) -> Column:
     raise TypeError(f"unknown dim spec {spec!r}")
 
 
+def origin_epoch_seconds(origin: str | None) -> int | None:
+    """Epoch seconds of a granularity origin ISO timestamp (UTC)."""
+    if origin is None:
+        return None
+    from datetime import timezone as _tz
+
+    return int(_parse_iso(origin).replace(tzinfo=_tz.utc).timestamp())
+
+
 def _time_bucket_col(
-    backing: Backing, granularity: str, out_name: str, tz: str | None = None
+    backing: Backing,
+    granularity: str,
+    out_name: str,
+    tz: str | None = None,
+    origin: str | None = None,
 ) -> Column:
     src = F.col(backing.time_col)
     dur = duration_seconds(granularity)
     if dur is not None:
-        # Druid duration granularity: arbitrary fixed-width epoch-aligned
-        # buckets (floor to the width); tz shifts to wall clock first
+        # Druid duration granularity: arbitrary fixed-width buckets anchored
+        # at the epoch (or an explicit origin); tz shifts wall clock first
         shifted = F.from_utc_timestamp(src, tz) if tz else src
+        o = origin_epoch_seconds(origin) or 0
         return F.timestamp_seconds(
-            F.floor(F.unix_timestamp(shifted) / F.lit(dur)) * F.lit(dur)
+            F.floor((F.unix_timestamp(shifted) - F.lit(o)) / F.lit(dur))
+            * F.lit(dur)
+            + F.lit(o)
         ).alias(out_name)
     if tz:
         # period-granularity timeZone: bucket along the zone's wall clock;
@@ -765,6 +781,7 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
             _time_bucket_col(
                 backing, q.granularity, q.time_output_name,
                 getattr(q, "granularity_tz", None),
+                getattr(q, "granularity_origin", None),
             )
         )
         out_names.append(q.time_output_name)
@@ -908,6 +925,7 @@ def lower_timeseries(q: ir.TimeseriesQuery, backing: Backing) -> DataFrame:
         time_output_name=q.time_output_name,
         output_order=q.output_order,
         granularity_tz=getattr(q, "granularity_tz", None),
+        granularity_origin=getattr(q, "granularity_origin", None),
     )
     return lower_groupby(g, backing)
 
@@ -923,6 +941,7 @@ def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:
             _time_bucket_col(
                 backing, q.granularity, q.time_output_name,
                 getattr(q, "granularity_tz", None),
+                getattr(q, "granularity_origin", None),
             )
         )
     out = df.groupBy(*keys).agg(*_agg_columns(aggs, backing))

@@ -84,6 +84,14 @@ def _cube_eligible(
         # zone-shifted buckets don't align with the cube's UTC buckets
         reject(f"granularity timeZone {qtz} shifts bucket boundaries")
         return None
+    qorigin = getattr(q, "granularity_origin", None)
+    if qorigin is not None:
+        dur = lowering.duration_seconds(qgran)
+        o = lowering.origin_epoch_seconds(qorigin)
+        if dur is None or o % dur != 0:
+            # an origin off the epoch-aligned grid shifts every boundary
+            reject(f"granularity origin {qorigin} shifts bucket boundaries")
+            return None
 
     part_gran = {
         "year": "year", "quarter": "quarter", "month": "month", "day": "day",

@@ -81,6 +81,7 @@ def normalize_granularity(q: ir.QuerySpec) -> ir.QuerySpec:
             q,
             granularity=norm,
             granularity_tz=tz if tz not in (None, "UTC", "Etc/UTC") else None,
+            granularity_origin=g.get("origin"),
         )
     if isinstance(g, str) and g.upper().startswith("P"):
         norm = _named_or_duration(g)
@@ -112,6 +113,7 @@ def groupby_no_dims_to_timeseries(q: ir.QuerySpec) -> ir.QuerySpec:
             time_output_name=q.time_output_name,
             output_order=q.output_order,
             granularity_tz=q.granularity_tz,
+            granularity_origin=q.granularity_origin,
         )
     return q
 

@@ -314,3 +314,41 @@ def test_duration_cube_granularity(spark, tmp_path):
     assert not lowering.interval_aligned(
         ir.Interval("2024-01-10T00:10:00", "2024-01-11"), "duration:900s"
     )
+
+
+def test_duration_origin(spark, ctx):
+    """Duration granularity with an origin: buckets anchor at the origin
+    timestamp; off-grid origins reject cubes, on-grid ones still ride."""
+    from pysparkline import ir, lowering
+    from pysparkline.events_index import build_or_load_events_index
+    from pysparkline.lowering import Backing
+    from pysparkline.session import OlapContext
+    from pysparkline.tpch import read_events
+
+    ectx = OlapContext(spark, build_or_load_events_index(spark, SF))
+
+    def spec(origin):
+        return ir.GroupByQuery(
+            dimensions=[],
+            granularity={"duration": 172_800_000, "origin": origin},
+            time_output_name="b",
+            aggregations=[ir.CountAgg("n")],
+        )
+
+    # off-grid origin (2024-01-03 = odd day count since epoch, not a
+    # multiple of 2 days): row grain
+    planned, _, dec = ectx.plan(spec("2024-01-03T00:00:00"))
+    assert dec.backing != "cube", dec
+    got = {str(r.b): r.n for r in ectx.query(spec("2024-01-03T00:00:00")).collect()}
+    ev = read_events(spark, SF)
+    want = {
+        str(r.b): r.n
+        for r in lowering.lower(planned, Backing.base(ev, "ts")).collect()
+    }
+    assert got == want and got
+    # buckets genuinely anchor at the origin (Jan 3 starts a bucket)
+    assert "2024-01-03 00:00:00" in got
+    # epoch-grid origin (2024-01-02 = even day count): cube still serves,
+    # buckets identical to the no-origin grid
+    planned, _, dec = ectx.plan(spec("2024-01-02T00:00:00"))
+    assert dec.backing == "cube", dec
