@@ -414,6 +414,28 @@ def search_ptype(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "search_strlen",
+    FLAT_CTE
+    + """
+SELECT dimension, value FROM (
+  SELECT DISTINCT 'p_type' AS dimension, p_type AS value
+  FROM flat WHERE contains(lower(p_type), 'm')
+)
+ORDER BY dimension, length(value), value LIMIT 2
+""",
+)
+def search_strlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SearchQuery with the strlen sort spec (DruidQuerySpec.scala:870-975
+    SearchSortSpec): shortest matching values first, lexicographic
+    tie-break — observable through the LIMIT cut (PROMO/MEDIUM beat the
+    lexicographically-first ECONOMY)."""
+    spec = ir.SearchQuery(
+        dimensions=["p_type"], value="m", limit=2, sort="strlen"
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
     "select_pushdown",
     FLAT_CTE
     + """
@@ -3039,7 +3061,7 @@ _PRIORITY = [
     "events_hist_p90",
     "theta_users_type", "theta_retention_daily", "theta_error_small_k",
     "sql_theta", "ivf_index_topk", "theta_funnel_users", "tz_format_dim",
-    "tz_daily_revenue", "events_15min",
+    "tz_daily_revenue", "events_15min", "search_strlen",
     # (c) round-1-green anchors filling the 50-query window
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",

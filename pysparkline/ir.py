@@ -597,6 +597,9 @@ class SearchQuery(QuerySpec):
     filter: Optional[FilterSpec] = None
     limit: Optional[int] = None
     intervals: list = field(default_factory=list)
+    # SearchSortSpec (:870-975): 'lexicographic' (default) or 'strlen'
+    # (shortest values first, lexicographic tie-break)
+    sort: str = "lexicographic"
 
 
 @_node

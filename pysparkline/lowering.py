@@ -1000,7 +1000,11 @@ def lower_search(q: ir.SearchQuery, backing: Backing) -> DataFrame:
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    out = out.distinct().orderBy("dimension", "value")
+    order = ["dimension", "value"]
+    if getattr(q, "sort", "lexicographic") == "strlen":
+        # Druid strlen search sort: shortest first, lexicographic tie-break
+        order = ["dimension", F.length("value"), "value"]
+    out = out.distinct().orderBy(*order)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
