@@ -634,6 +634,20 @@ def _dim_spec(node: dict, out_name: str, time_col: str | None) -> ir.DimSpec:
         part = node["function_name"].lower()
         part = {"day": "day", "dayofmonth": "day"}.get(part, part)
         return ir.TimeFormatDim(time_col, out_name, part)
+    # EXTRACT(part FROM ts) parses as date_part('part', ts)
+    if (
+        node.get("class") == "FUNCTION"
+        and node.get("function_name", "").lower() in ("date_part", "datepart")
+        and len(node.get("children", [])) == 2
+        and _is_const(node["children"][0])
+        and node["children"][1].get("class") == "COLUMN_REF"
+        and time_col is not None
+        and node["children"][1]["column_names"][-1] == time_col
+    ):
+        part = str(_const_value(node["children"][0])).lower()
+        part = {"day": "day", "dayofmonth": "day"}.get(part, part)
+        if part in _TIME_PARTS:
+            return ir.TimeFormatDim(time_col, out_name, part)
     return ir.ExprDim(render(node), out_name, sorted(_columns_of(node)))
 
 

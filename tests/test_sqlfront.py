@@ -415,3 +415,19 @@ SELECT l_orderkey, l_quantity AS q FROM lineitem
 WHERE l_quantity > 49 ORDER BY q DESC, l_orderkey LIMIT 10 OFFSET 5""",
         sort=False)
     assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_extract_time_part_grouping(ctx, duck):
+    """EXTRACT(part FROM ts) groups as a TimeFormatDim (cube-servable when
+    the part is coarser than the cube grain)."""
+    from pysparkline import ir
+
+    sql = """
+SELECT EXTRACT(month FROM l_shipdate) AS m, count(*) AS n
+FROM lineitem GROUP BY m ORDER BY m"""
+    spec = ctx._parse_sql(sql)
+    (dim,) = spec.dimensions
+    assert isinstance(dim, ir.TimeFormatDim) and dim.part == "month"
+    assert_same(ctx, duck, sql, sort=False, duck_sql="""
+SELECT CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m, count(*) AS n
+FROM lineitem GROUP BY m ORDER BY m""")
