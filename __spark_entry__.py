@@ -3049,10 +3049,10 @@ _PRIORITY = [
     "spatial_bounds", "ym_format_dim", "json_props", "topn_low_brand",
     "topn_monthly_brand", "quality_docs", "time_parse_reformat",
     "funnel_events", "embedding_neardup", "stratified_sample_docs",
-    "mix_sources_docs", "ivf_topk",
+    "ivf_topk",
     # (b) new or changed this round
     "sql_cte", "sql_grouping_fns", "image_features", "audio_features",
-    "frame_sample", "hll_count_distinct", "lang_id_docs",
+    "hll_count_distinct", "lang_id_docs",
     "minhash_pairs_docs", "simhash_pairs_docs", "lsh_cosine_topk",
     "sessionize_stats", "avg_null_aware", "sql_count_distinct",
     "bpe_tokens_docs", "skew_salted_distinct",
@@ -3061,8 +3061,12 @@ _PRIORITY = [
     "events_hist_p90",
     "theta_users_type", "theta_retention_daily", "theta_error_small_k",
     "sql_theta", "ivf_index_topk", "theta_funnel_users", "tz_format_dim",
-    "tz_daily_revenue", "events_15min", "search_strlen",
-    # (c) round-1-green anchors filling the 50-query window
+    "tz_daily_revenue", "events_15min",
+    # (c) beyond the 50-query window: families already represented above
+    # (frame_sample = same mapInPandas contract as image/audio features;
+    # mix_sources = same sampling-invariant family as stratified_sample)
+    # and round-1-green anchors
+    "frame_sample", "mix_sources_docs", "search_strlen",
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",
     "asof_event_purchase", "dedup_exact_docs", "ngram_jaccard_docs",
