@@ -215,3 +215,26 @@ def test_filtered_sketch_cube_equals_base(ectx, spark):
         for r in lowering.lower(planned, Backing.base(ev, "ts")).collect()
     }
     assert got == want and got
+
+
+def test_retention_join_is_broadcast(ectx):
+    """The day-pair self-join in the retention pattern must broadcast (the
+    joined side is ~#days aggregated rows) — never a sort-merge shuffle."""
+    from pyspark.sql import functions as F
+
+    k = 4096
+    spec = ir.GroupByQuery(
+        dimensions=[],
+        granularity="day",
+        time_output_name="day",
+        aggregations=[ir.ThetaSketchAgg("sk", "user_id", k=k)],
+    )
+    days = ectx.query(spec)
+    cur = days.select(F.col("day").cast("date").alias("day"), "sk")
+    prv = cur.select(F.date_add("day", 1).alias("day"), F.col("sk").alias("p"))
+    joined = cur.join(prv, "day").select(
+        "day", T.theta_intersect_estimate(F.col("p"), F.col("sk"), k).alias("r")
+    )
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
