@@ -97,31 +97,25 @@ def _fit_centroids(
 
 
 def _nearest_cells_expr(vec_col, centroids: list[list[float]], n: int):
-    """Array of the n nearest centroid ids (JVM-side exprs; centroids are
-    literals — tiny, effectively broadcast inside the plan)."""
-    dists = F.array(
-        *[
-            F.struct(
-                _dot(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(v) for v in c]),
-                        lambda x, y: x.cast("double") - y,
-                    ),
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(v) for v in c]),
-                        lambda x, y: x.cast("double") - y,
-                    ),
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.slice(
-        F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n
-    )
+    """Array of the n nearest centroid ids as an Arrow-batched numpy matmul
+    (one ``V @ C.T`` per batch — the same rationale as the LSH bucketing UDF:
+    with n_clusters x dim literal expressions Catalyst analysis alone costs
+    seconds per query). Ties break by cell id (stable argsort), matching the
+    previous JVM-expression formulation."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # argmin over ||v-c||^2; |v|^2 is constant per row and drops out
+        d = c2[None, :] - 2.0 * (V @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return cells(vec_col)
 
 
 def ivf_topk(
