@@ -213,11 +213,23 @@ class OlapContext:
     def register_metadata_views(self) -> None:
         """Expose index metadata as temp views (DruidMetadataViews analog)."""
         cubes = [
-            (name, ",".join(info["dims"]), info["granularity"], info["rowCount"])
+            (
+                name,
+                ",".join(info["dims"]),
+                info["granularity"],
+                info["rowCount"],
+                ",".join(
+                    c
+                    for c in info.get("columns", {})
+                    if c.startswith(("hll_", "hist_", "theta_"))
+                ),
+            )
             for name, info in self.index.manifest["cubes"].items()
         ]
         self.spark.createDataFrame(
-            cubes, "cube_name string, dims string, granularity string, row_count long"
+            cubes,
+            "cube_name string, dims string, granularity string, "
+            "row_count long, sketch_columns string",
         ).createOrReplaceTempView("olap_cubes")
         cols = [
             (c, meta["type"], float(meta["ndv"]) if meta.get("ndv") else None)

@@ -238,3 +238,15 @@ def test_retention_join_is_broadcast(ectx):
     joined.collect()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_metadata_view_lists_sketch_columns(ectx):
+    """olap_cubes (DruidMetadataViews analog) surfaces the cube's sketch
+    metrics — HLL, histogram, and theta — so a BI layer can discover which
+    distinct/quantile/set-op queries are cube-servable."""
+    ectx.register_metadata_views()
+    row = ectx.spark.sql(
+        "SELECT sketch_columns FROM olap_cubes WHERE cube_name = 'types'"
+    ).collect()[0]
+    cols = set(row.sketch_columns.split(","))
+    assert {"hll_user_id", "hist_value", "theta_user_id_k4096"} <= cols
