@@ -17,6 +17,12 @@ import math
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+import os
+
+# deepen all fuzzers by a factor (one-off robustness sweeps):
+#   PYSPARKLINE_FUZZ_SCALE=5 python -m pytest tests/test_property_*.py
+_FUZZ_SCALE = int(os.environ.get("PYSPARKLINE_FUZZ_SCALE", "1"))
 from hypothesis import strategies as st
 
 from pysparkline import ir, tpch
@@ -231,7 +237,7 @@ def _check(harness, spec, sort=True):
 
 
 @settings(
-    max_examples=30,
+    max_examples=30 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -258,7 +264,7 @@ def topn_specs(draw):
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -305,7 +311,7 @@ def grouping_set_specs(draw):
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -337,7 +343,7 @@ def select_specs(draw):
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

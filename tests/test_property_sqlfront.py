@@ -15,6 +15,12 @@ import math
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+import os
+
+# deepen all fuzzers by a factor (one-off robustness sweeps):
+#   PYSPARKLINE_FUZZ_SCALE=5 python -m pytest tests/test_property_*.py
+_FUZZ_SCALE = int(os.environ.get("PYSPARKLINE_FUZZ_SCALE", "1"))
 from hypothesis import strategies as st
 
 from pysparkline import tpch
@@ -141,7 +147,7 @@ def _rows_equal(a, b):
 
 
 @settings(
-    max_examples=40,
+    max_examples=40 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
