@@ -2268,7 +2268,8 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "spatial_bounds",
     """
-SELECT event_type, COUNT(*) AS n, SUM(CAST(floor(value) AS BIGINT)) AS sv
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
 FROM events
 WHERE value >= 10 AND value < 100 AND user_id >= 100 AND user_id < 5000
 GROUP BY event_type
@@ -2325,7 +2326,8 @@ def ym_format_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props",
     """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """,
