@@ -1402,6 +1402,57 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "repetition_stats_docs",
+    r"""
+WITH lines AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+  ) WHERE length(line) > 0
+),
+lstats AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS mx
+  FROM (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS w
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> length(x) > 0) AS ws
+          FROM documents)
+  )
+),
+bigrams AS (
+  SELECT a.doc_id, a.w || chr(1) || b.w AS bg
+  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bstats AS (
+  SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(1.0 - CAST(l.d AS DOUBLE) / l.n, 0.0) AS dup_line_frac,
+       COALESCE(CAST(l.mx AS DOUBLE) / l.n, 0.0) AS max_line_frac,
+       COALESCE(CAST(b.mx AS DOUBLE) / b.n, 0.0) AS top_bigram_frac
+FROM documents d
+LEFT JOIN lstats l USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)
+""",
+)
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-line / max-line /
+    top-bigram fractions): per-doc array folds over sorted copies — a
+    narrow map, zero shuffles at any corpus size. The oracle recomputes the
+    same exact integer ratios via unnest+GROUP BY."""
+    from pysparkline.operators import clean
+
+    prep(spark)
+    return clean.repetition_stats(_docs(spark, sf_dir))
+
+
+@_register(
     "boilerplate_prune_docs",
     """
 WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
@@ -3061,7 +3112,7 @@ _PRIORITY = [
     "decontaminate_docs", "boilerplate_prune_docs", "pii_redact_docs",
     "dedup_clusters_docs", "length_quantiles_docs", "sql_quantile", "chunk_docs",
     "events_hist_p90",
-    "theta_users_type", "theta_retention_daily", "theta_error_small_k",
+    "theta_users_type", "theta_retention_daily", "repetition_stats_docs",
     "sql_theta", "ivf_index_topk", "theta_funnel_users", "tz_format_dim",
     "tz_daily_revenue", "events_15min",
     # (c) beyond the 50-query window: families already represented above
@@ -3069,6 +3120,7 @@ _PRIORITY = [
     # mix_sources = same sampling-invariant family as stratified_sample)
     # and round-1-green anchors
     "frame_sample", "mix_sources_docs", "search_strlen",
+    "theta_error_small_k",
     "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
     "rollup_flags", "cube_flags", "count_distinct_exact",
     "asof_event_purchase", "dedup_exact_docs", "ngram_jaccard_docs",

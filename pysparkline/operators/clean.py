@@ -170,3 +170,76 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         red.alias("clean_text"),
         *[counts[k].cast("int").alias(f"n_{k}") for k in PII_PATTERNS],
     )
+
+
+def _max_sorted_run(arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e. the
+    count of the most frequent element — as a pure fold (no explode, no
+    shuffle; the narrow-map formulation of per-doc mode counting)."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1))
+        .otherwise(acc["run"] + 1)
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1))
+            .otherwise(acc["run"] + 1),
+        ).alias("best"),
+    )
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (public Rae et al. 2021
+    quality rules): duplicate-line fraction, most-frequent-line fraction,
+    and most-frequent word-bigram fraction. Everything is array folds over
+    a sorted copy (array_distinct / longest-equal-run) — a narrow map with
+    zero shuffles at any corpus size; thresholding is the caller's filter.
+    Fractions are exact integer ratios in double (DuckDB reproduces them
+    bit-identically — the oracle property)."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0
+    )
+    words = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda x: F.length(x) > 0
+    )
+    # zip words with their successors; zip_with pads the shorter side with
+    # NULL, so slicing back to n-1 drops the padded tail pair
+    shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    paired = F.zip_with(words, shifted, lambda a, b: F.concat_ws("\x01", a, b))
+    bigrams = F.slice(paired, 1, F.greatest(F.size(words) - 1, F.lit(0)))
+    n_lines = F.size(lines)
+    n_bi = F.size(bigrams)
+    return df.select(
+        F.col(id_col),
+        F.when(
+            n_lines > 0,
+            1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(
+            n_lines > 0,
+            _max_sorted_run(F.array_sort(lines)).cast("double") / n_lines,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("max_line_frac"),
+        F.when(
+            n_bi > 0,
+            _max_sorted_run(F.array_sort(bigrams)).cast("double") / n_bi,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )

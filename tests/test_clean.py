@@ -181,3 +181,32 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         t.chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_repetition_stats_fixture(spark):
+    """Known-geometry fixtures: exact Gopher-signal values."""
+    from pysparkline.operators.clean import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, one duplicated; "a b" bigram twice out of 5
+            (1, "a b c\na b c\nx y\nz w"),
+            # single line, all-distinct bigrams
+            (2, "one two three"),
+            # pathological: one word repeated
+            (3, "spam spam spam spam"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert abs(r1.dup_line_frac - 0.25) < 1e-12       # 4 lines, 3 distinct
+    assert abs(r1.max_line_frac - 0.5) < 1e-12        # "a b c" twice / 4
+    # bigrams: (a,b) (b,c) (c,a) (a,b) (b,c) (c,x) (x,y) (y,z) (z,w) = 9,
+    # top (a,b) or (b,c) twice
+    assert abs(r1.top_bigram_frac - 2 / 9) < 1e-12
+    r2 = rows[2]
+    assert r2.dup_line_frac == 0.0 and r2.max_line_frac == 1.0
+    assert abs(r2.top_bigram_frac - 0.5) < 1e-12      # 2 distinct of 2
+    r3 = rows[3]
+    assert abs(r3.top_bigram_frac - 1.0) < 1e-12      # all bigrams equal
