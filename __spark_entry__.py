@@ -2221,9 +2221,11 @@ GROUP BY hr ORDER BY hr
 """,
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-day (hour) granularity timeseries: finer than the day-grain cube,
-    so the planner correctly answers from the flat backing with the interval
-    pruned to one partition."""
+    """Hour-granularity timeseries: multi-cube routing — the day-grain
+    'types' cube is rejected (finer query grain) and the dimension-free
+    hour-grain 'hourly' cube serves it; per-type queries route the other
+    way (hourly lacks the dim). At 100 TB the dashboard reads ~24 rows/day
+    instead of the event stream."""
     ctx = _events_ctx(spark, sf_dir)
     spec = ir.TimeseriesQuery(
         granularity="hour",
@@ -2232,7 +2234,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggregations=[ir.CountAgg("n")],
     )
     out = ctx.query(spec).orderBy("hr")
-    assert ctx.query_history[-1].backing == "flat"
+    assert ctx.query_history[-1].backing == "cube", ctx.query_history[-1].decision
+    assert "hourly" in ctx.query_history[-1].decision
     return out
 
 

@@ -31,6 +31,10 @@ def events_index_config() -> IndexConfig:
         hll_cols=["user_id"],
         cubes=[
             CubeSpec("types", ("event_type",), "day"),
+            # dimension-free hour-grain cube: serves hourly dashboards (and
+            # any epoch-aligned duration that's a multiple of an hour) from
+            # ~24 rows/day instead of the raw event stream
+            CubeSpec("hourly", (), "hour"),
         ],
         partition_granularity="month",
         # mergeable histogram over the value column: quantile queries ride
