@@ -297,6 +297,23 @@ class OlapIndex:
 
     # ------------------------------------------------------------------ build
     @staticmethod
+    def create(
+        spark: SparkSession,
+        tables: dict[str, DataFrame],
+        star: StarSchema,
+        config: "IndexConfig",
+        path: str,
+        broadcast_dims: bool = True,
+    ) -> "OlapIndex":
+        """One-call datasource registration — the ``CREATE TABLE ... USING
+        org.sparklinedata.druid OPTIONS (...)`` analog (DefaultSource.scala:
+        28-194): flatten the star (dimension sides broadcast) and build the
+        index artifacts at ``path``. The returned index carries the star, so
+        ``OlapContext(spark, index, base_tables=tables)`` is query-ready."""
+        flat = flatten_star(spark, tables, star, broadcast_dims)
+        return OlapIndex.build(spark, flat, config, path, star=star)
+
+    @staticmethod
     def build(
         spark: SparkSession,
         flat_df: DataFrame,

@@ -199,3 +199,29 @@ def test_interval_alignment_sub_day():
     assert not interval_aligned(ir.Interval("1996-01-01 10:30:00.5", None), "minute")
     # day+ grains reject any intra-day time
     assert not interval_aligned(ir.Interval("1996-01-01 10:00:00", None), "day")
+
+
+def test_olapindex_create_one_call(spark, tmp_path):
+    """OlapIndex.create = flatten star + build (the CREATE TABLE ... USING
+    analog): the resulting context answers a star query from a cube."""
+    from pysparkline import ir, tpch
+    from pysparkline.index import CubeSpec, IndexConfig, MetricSpec, OlapIndex
+    from pysparkline.session import OlapContext
+
+    sf = "/root/testdata/sf0.001"
+    tables = tpch.load_star_tables(spark, sf)
+    cfg = IndexConfig(
+        time_col="l_shipdate",
+        metrics=[MetricSpec("qty", "l_quantity", "sum")],
+        cubes=[CubeSpec("rf", ("l_returnflag",), "month")],
+    )
+    idx = OlapIndex.create(
+        spark, tables, tpch.tpch_star(tables), cfg, str(tmp_path / "idx")
+    )
+    ctx = OlapContext(spark, idx, base_tables=tables)
+    out = ctx.sql(
+        "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sq "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    assert ctx.query_history[-1].backing == "cube"
+    assert out.count() == 3
