@@ -109,6 +109,8 @@ def _nearest_cells_expr(vec_col, centroids: list[list[float]], n: int):
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.vstack rejects an empty batch
+            return pd.Series([], dtype=object)
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         # argmin over ||v-c||^2; |v|^2 is constant per row and drops out
         d = c2[None, :] - 2.0 * (V @ C.T)
@@ -404,27 +406,45 @@ class IvfIndex:
     ) -> DataFrame:
         """Top-k per query over the probed cells only.
 
-        The probed-cell set is collected from the (small, broadcast-class)
-        query side — bounded by |queries| * n_probe ids — and applied as a
-        LITERAL partition predicate, so the parquet scan statically prunes
-        to those cells' files; no full-corpus pass, no dynamic-pruning
-        dependency."""
+        The query side is small by contract (it broadcasts), so probe cells
+        are assigned driver-side with one numpy matmul over the collected
+        query vectors — a single Spark job, after which the probed-cell set
+        is applied as a LITERAL partition predicate and the parquet scan
+        statically prunes to those cells' files; no full-corpus pass, no
+        dynamic-pruning dependency, and no re-evaluation of the query side
+        inside the join."""
         import os
 
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        q_sel = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+        )
+        rows = q_sel.collect()
+        if rows:
+            C = np.asarray(self.centroids, dtype=np.float64)
+            c2 = (C * C).sum(axis=1)
+            V = np.vstack([np.asarray(r["__qv"], dtype=np.float64) for r in rows])
+            d = c2[None, :] - 2.0 * (V @ C.T)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        else:
+            idx = np.empty((0, 0), dtype=np.int64)
+        schema = StructType(
+            list(q_sel.schema.fields)
+            + [StructField("__cell", IntegerType(), False)]
+        )
         q = F.broadcast(
-            queries.select(
-                F.col(query_id).alias("query_id"),
-                F.col(query_vec).alias("__qv"),
-                F.explode(
-                    _nearest_cells_expr(
-                        F.col(query_vec), self.centroids, n_probe
-                    )
-                ).alias("__cell"),
+            self.spark.createDataFrame(
+                [
+                    (r["query_id"], r["__qv"], int(c))
+                    for r, cs in zip(rows, idx)
+                    for c in cs
+                ],
+                schema,
             )
         )
-        cells = sorted(
-            r["__cell"] for r in q.select("__cell").distinct().collect()
-        )
+        cells = sorted({int(c) for cs in idx for c in cs})
         corpus = (
             self.spark.read.parquet(os.path.join(self.path, "cells"))
             # literal IN over the partition column => static pruning

@@ -70,6 +70,9 @@ class OlapContext:
     index: OlapIndex
     base_tables: dict[str, DataFrame] | None = None
     star: StarSchema | None = None
+    # name queries use for the indexed fact/datasource; defaults to the
+    # star's fact table, so it only needs passing for star-less indexes
+    fact_name: str | None = None
     fds: list[FunctionalDependency] = field(default_factory=list)
     max_result_cardinality: float = 1_000_000
     non_agg_handling: str = "push_project_and_filters"
@@ -82,6 +85,8 @@ class OlapContext:
         self._plan_epoch = self.index.epoch
         if self.star is None:
             self.star = self.index.star
+        if self.fact_name is None and self.star is not None:
+            self.fact_name = self.star.fact_table
 
     # ------------------------------------------------------------------ query
     def _base_df(self) -> DataFrame | None:
@@ -164,7 +169,7 @@ class OlapContext:
         try:
             spec = self._parse_sql(sql)
         except SQLFrontError as e:
-            if self.base_tables is None:
+            if self.base_tables is None and not self.fact_name:
                 raise
             self.register_base_views()
             self.query_history.append(
@@ -176,6 +181,10 @@ class OlapContext:
     def register_base_views(self) -> None:
         for name, df in (self.base_tables or {}).items():
             df.createOrReplaceTempView(name)
+        if self.fact_name and self.fact_name not in (self.base_tables or {}):
+            # star-less index: the fallback path still needs the fact view so
+            # spark.sql can resolve queries the rewriter declined
+            self.index.flat_df().createOrReplaceTempView(self.fact_name)
 
     def explain_rewrite(self, spec: ir.QuerySpec | str) -> str:
         """EXPLAIN DRUID REWRITE analog — accepts a QuerySpec or SQL text."""
@@ -205,6 +214,8 @@ class OlapContext:
         owned: set[str] = set()
         if self.star is not None:
             owned |= {t.lower() for t in self.star.tables}
+        if self.fact_name:
+            owned.add(self.fact_name.lower())
         if self.base_tables:
             owned |= {t.lower() for t in self.base_tables}
         return owned

@@ -1122,24 +1122,29 @@ def referenced_tables(sql: str) -> set[str]:
     SQLFrontError on unparseable text (via ``_ast``)."""
     node = _ast(sql)
     tables: set[str] = set()
-    ctes: set[str] = set()
 
-    def walk(n) -> None:
+    def walk(n, visible: frozenset) -> None:
+        # CTE names mask base tables only within the statement node that
+        # defines them (and nested scopes) — a sibling scope's CTE must not
+        # hide a same-named base table here, or the routing key under-counts
         if isinstance(n, dict):
-            if n.get("type") == "BASE_TABLE" and "table_name" in n:
-                tables.add(n["table_name"].lower())
             cm = n.get("cte_map")
-            if isinstance(cm, dict):
-                for entry in cm.get("map") or []:
-                    ctes.add(entry["key"].lower())
+            if isinstance(cm, dict) and cm.get("map"):
+                visible = visible | {
+                    e["key"].lower() for e in cm["map"]
+                }
+            if n.get("type") == "BASE_TABLE" and "table_name" in n:
+                t = n["table_name"].lower()
+                if t not in visible:
+                    tables.add(t)
             for v in n.values():
-                walk(v)
+                walk(v, visible)
         elif isinstance(n, list):
             for v in n:
-                walk(v)
+                walk(v, visible)
 
-    walk(node)
-    return tables - ctes
+    walk(node, frozenset())
+    return tables
 
 
 # ---------------------------------------------------------------------------

@@ -71,9 +71,23 @@ def normalize_granularity(q: ir.QuerySpec) -> ir.QuerySpec:
         # Druid granularity JSON: {"period": "PT15M", "timeZone": ...} or
         # {"duration": <millis>} (DruidQueryGranularity.scala:42-107) —
         # unpack into the canonical grain plus the zone carried on the spec
-        norm = _named_or_duration(
-            g["period"] if "period" in g else g.get("duration", "")
-        )
+        origin = g.get("origin")
+        if origin is not None and "period" in g:
+            # PeriodGranularity with an origin: only the duration lowering
+            # branch anchors buckets at the origin, so canonicalize
+            # fixed-width periods straight to duration:<n>s (bypassing the
+            # named-grain shortcut, whose date_trunc path ignores origins);
+            # variable-width periods (months/years) can't be origin-anchored
+            secs = _period_to_seconds(str(g["period"]).upper())
+            if secs is None:
+                raise ValueError(
+                    f"granularity origin requires a fixed-width period, got {g!r}"
+                )
+            norm = f"duration:{secs}s"
+        else:
+            norm = _named_or_duration(
+                g["period"] if "period" in g else g.get("duration", "")
+            )
         if norm is None:
             raise ValueError(f"unsupported granularity {g!r}")
         tz = g.get("timeZone")

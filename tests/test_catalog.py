@@ -42,6 +42,46 @@ def test_referenced_tables():
     assert referenced_tables(
         "SELECT * FROM (SELECT l_orderkey FROM lineitem) t"
     ) == {"lineitem"}
+    # a CTE defined inside a subquery scope must not mask a same-named base
+    # table referenced in the OUTER scope (the routing key would under-count
+    # and route to a context that doesn't own the table)
+    assert referenced_tables(
+        "SELECT * FROM (WITH events AS (SELECT 1 AS a) "
+        "SELECT * FROM events) t JOIN events e2 ON t.a = e2.user_id"
+    ) == {"events"}
+
+
+def test_starless_fact_name_routes(spark):
+    """A star-less context with fact_name and no base tables is routable and
+    its fallback can resolve the fact view."""
+    from pysparkline.index import IndexConfig, MetricSpec, cached_build_or_load
+    from pysparkline.tpch import DEFAULT_CACHE_ROOT, read_events
+
+    idx = cached_build_or_load(
+        spark,
+        SF_DIR,
+        DEFAULT_CACHE_ROOT,
+        "events_nostar",
+        IndexConfig(time_col="ts", metrics=[MetricSpec("value", "value", "sum")]),
+        lambda: read_events(spark, SF_DIR),
+        star=None,
+        extra_key={"fixture": "events_nostar"},
+    )
+    assert idx.star is None
+    ectx = OlapContext(spark, idx, fact_name="events")
+    assert "events" in ectx.owned_tables()
+    cat = OlapCatalog(spark, {"ev": ectx})
+    out = cat.sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    )
+    assert out.count() > 0
+    # a shape the rewriter declines (window fn) falls back to spark.sql over
+    # the registered fact view instead of failing with AnalysisException
+    out2 = ectx.sql(
+        "SELECT user_id, row_number() OVER (ORDER BY user_id) AS rn "
+        "FROM events LIMIT 5"
+    )
+    assert out2.count() == 5
 
 
 def test_routes_to_owning_context(catalog):

@@ -352,3 +352,47 @@ def test_duration_origin(spark, ctx):
     # buckets identical to the no-origin grid
     planned, _, dec = ectx.plan(spec("2024-01-02T00:00:00"))
     assert dec.backing == "cube", dec
+
+
+def test_period_origin(spark, ctx):
+    """PeriodGranularity with an origin: fixed-width periods canonicalize to
+    the duration form so buckets genuinely anchor at the origin (Druid
+    PeriodGranularity origin semantics); variable-width periods reject."""
+    from pysparkline import ir, transforms
+    from pysparkline.events_index import build_or_load_events_index
+    from pysparkline.session import OlapContext
+
+    ectx = OlapContext(spark, build_or_load_events_index(spark, SF))
+
+    def spec(gran):
+        return ir.GroupByQuery(
+            dimensions=[],
+            granularity=gran,
+            time_output_name="b",
+            aggregations=[ir.CountAgg("n")],
+        )
+
+    q = transforms.normalize_granularity(
+        spec({"period": "P2D", "origin": "2024-01-03T00:00:00"})
+    )
+    assert q.granularity == "duration:172800s"
+    assert q.granularity_origin == "2024-01-03T00:00:00"
+    # period+origin buckets match the equivalent duration+origin query
+    got = {
+        str(r.b): r.n
+        for r in ectx.query(
+            spec({"period": "P2D", "origin": "2024-01-03T00:00:00"})
+        ).collect()
+    }
+    want = {
+        str(r.b): r.n
+        for r in ectx.query(
+            spec({"duration": 172_800_000, "origin": "2024-01-03T00:00:00"})
+        ).collect()
+    }
+    assert got == want and "2024-01-03 00:00:00" in got
+    # a variable-width period cannot anchor at an origin
+    with pytest.raises(ValueError, match="fixed-width"):
+        transforms.normalize_granularity(
+            spec({"period": "P1M", "origin": "2024-01-03T00:00:00"})
+        )
