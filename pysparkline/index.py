@@ -434,7 +434,47 @@ class OlapIndex:
             aggs.append(h.count_array().alias(h.col_name))
         for t in config.theta_specs:
             aggs.append(t.sketch_agg().alias(t.col_name))
-        return flat.groupBy(*keys).agg(*aggs)
+        one_stage = flat.groupBy(*keys).agg(*aggs)
+        if not config.theta_specs:
+            return one_stage
+        # Theta build state is the one unbounded aggregation buffer in the
+        # codebase: collect_set holds EVERY distinct hash per group before the
+        # slice-to-k. Bound it by pre-aggregating per (keys, input partition)
+        # — partial state is then capped by partition-local NDV (itself capped
+        # by maxPartitionBytes), and the merge stage only ever sees <=k-element
+        # partials. Every other metric re-aggregates through its exact merge
+        # form (sum/min/max of partials; HLL union is the same buffer merge
+        # the single-stage partial aggregation performs; histogram bin counts
+        # sum element-wise), so the cube is value-identical — and for theta
+        # BIT-identical (KMV k-smallest-of-k-smallest property).
+        key_names = [BUCKET_COL, *cube.dims]
+        stage1 = flat.groupBy(
+            *keys, F.spark_partition_id().alias("__bpid")
+        ).agg(*aggs)
+        merges = [F.sum(F.col(COUNT_COL)).alias(COUNT_COL)]
+        for m in config.metrics:
+            fn = {"sum": F.sum, "min": F.min, "max": F.max}[m.agg]
+            merges.append(fn(F.col(m.col_name)).alias(m.col_name))
+        for c in config.hll_cols:
+            merges.append(F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}"))
+        for h in config.hist_specs:
+            merges.append(
+                F.array(
+                    *[
+                        F.sum(F.element_at(F.col(h.col_name), i + 1))
+                        for i in range(h.nbins)
+                    ]
+                ).alias(h.col_name)
+            )
+        for t in config.theta_specs:
+            merges.append(t.merge_agg().alias(t.col_name))
+        merged = stage1.groupBy(*key_names).agg(*merges)
+        # the single-stage schema is the cube contract (second-stage sums
+        # widen decimals and go nullable): cast every column back
+        want = {f.name: f.dataType for f in one_stage.schema.fields}
+        return merged.select(
+            *[F.col(c).cast(want[c]).alias(c) for c in one_stage.columns]
+        )
 
     # ------------------------------------------------------------------- load
     @staticmethod

@@ -769,6 +769,136 @@ def _two_stage_distinct(
     )
 
 
+def _theta_build_parts(a: ir.AggSpec) -> tuple[Column, int, bool] | None:
+    """(hash source column, k, wrap-in-estimate) for a raw theta build agg —
+    ThetaAgg / ThetaSketchAgg / FilteredAgg over either — else None."""
+    if isinstance(a, (ir.ThetaAgg, ir.ThetaSketchAgg)):
+        return F.col(a.field_name), a.k, isinstance(a, ir.ThetaAgg)
+    if isinstance(a, ir.FilteredAgg) and isinstance(
+        a.agg, (ir.ThetaAgg, ir.ThetaSketchAgg)
+    ):
+        inner = a.agg
+        return (
+            F.when(filter_to_column(a.filter), F.col(inner.field_name)),
+            inner.k,
+            isinstance(inner, ir.ThetaAgg),
+        )
+    return None
+
+
+def _pid_merge_agg(a: ir.AggSpec) -> Column | None:
+    """Stage-2 merge column for ``a``'s per-input-partition partial, or None.
+
+    Unlike ``_distinct_merge_agg`` (whose stage 1 buckets the VALUE space, so
+    per-bucket distinct counts sum exactly), partition-id partials see
+    overlapping value sets across partitions — DistinctAgg/CardinalityAgg do
+    NOT merge here and must aggregate separately."""
+    name = a.name
+    if isinstance(a, ir.CountAgg):
+        return F.coalesce(F.sum(F.col(name)), F.lit(0)).alias(name)
+    fn = None
+    if isinstance(a, (ir.FieldAgg, ir.ExprAgg)):
+        fn = a.fn
+    elif isinstance(a, ir.FilteredAgg):
+        inner = a.agg
+        fn = "count" if isinstance(inner, ir.CountAgg) else getattr(inner, "fn", None)
+    if fn == "count":
+        return F.coalesce(F.sum(F.col(name)), F.lit(0)).alias(name)
+    if fn in ("sum", "min", "max"):
+        return {"sum": F.sum, "min": F.min, "max": F.max}[fn](F.col(name)).alias(name)
+    return None
+
+
+def _bounded_theta_groupby(
+    df: DataFrame,
+    key_cols: list[Column],
+    out_names: list[str],
+    aggs: list[ir.AggSpec],
+) -> DataFrame | None:
+    """Raw-backing groupBy with theta build aggs, with BOUNDED partial state.
+
+    The naive lowering's ``collect_set`` holds every distinct hash per group
+    before slicing to k — an executor OOM over a high-NDV column. Instead:
+    stage 1 builds sketches per (keys, spark_partition_id()), capping each
+    aggregation buffer at partition-local NDV; stage 2 merges the <=k-element
+    partials (exact: the k smallest of a union are among each part's k
+    smallest). Non-theta aggs whose partials merge exactly (count/sum/min/
+    max) ride the same two stages; anything else (exact distinct, percentile)
+    aggregates in a separate single-stage plan joined back null-safely on the
+    group keys — both sides are post-aggregation group-count-sized.
+
+    Returns None when ``aggs`` contains no theta build, so the caller keeps
+    the one-stage plan."""
+    from .functions import theta as T
+
+    theta = [(a, _theta_build_parts(a)) for a in aggs]
+    if not any(p is not None for _, p in theta):
+        return None
+    stage1_cols: list[Column] = []
+    merge_cols: list[Column] = []
+    rest: list[ir.AggSpec] = []
+    rest_cols: list[Column] = []
+    for a, parts in theta:
+        if parts is not None:
+            src, k, wrap = parts
+            stage1_cols.append(T.theta_sketch_agg(src, k).alias(a.name))
+            m = T.theta_merge_agg(F.col(a.name), k)
+            merge_cols.append(
+                (T.theta_estimate(m, k) if wrap else m).alias(a.name)
+            )
+            continue
+        m = _pid_merge_agg(a)
+        if m is not None:
+            stage1_cols.append(_raw_agg(a))
+            merge_cols.append(m)
+        else:
+            rest.append(a)
+            rest_cols.append(_raw_agg(a))
+    pid = F.spark_partition_id().alias("__tpid")
+    stage1 = df.groupBy(*key_cols, pid).agg(*stage1_cols)
+    out = (
+        stage1.groupBy(*out_names).agg(*merge_cols)
+        if out_names
+        else stage1.agg(*merge_cols)
+    )
+    # cast pid-merged partials back to the one-stage schema (sum-of-sum
+    # widens decimals; counts go nullable); theta outputs already have their
+    # one-stage types (estimate -> double, sketch -> array<long>)
+    cast_names = {
+        a.name for a, p in theta if p is None and _pid_merge_agg(a) is not None
+    }
+    if cast_names:
+        ref = (
+            df.groupBy(*key_cols).agg(*stage1_cols)
+            if key_cols
+            else df.agg(*stage1_cols)
+        )
+        want = {
+            f.name: f.dataType for f in ref.schema.fields if f.name in cast_names
+        }
+        out = out.select(
+            *[
+                F.col(c).cast(want[c]).alias(c) if c in want else F.col(c)
+                for c in out.columns
+            ]
+        )
+    if rest:
+        other = (
+            df.groupBy(*key_cols).agg(*rest_cols)
+            if key_cols
+            else df.agg(*rest_cols)
+        )
+        if out_names:
+            cond = None
+            for n in out_names:
+                c = out[n].eqNullSafe(other[n])
+                cond = c if cond is None else cond & c
+            out = out.join(other, cond).drop(*[other[n] for n in out_names])
+        else:
+            out = out.crossJoin(other)
+    return out
+
+
 def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
     df = _apply_filters(backing.df, backing, q)
 
@@ -797,6 +927,8 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
             out = _two_stage_distinct(
                 df, key_cols, out_names, aggs, agg_cols, backing.distinct_buckets
             )
+        if out is None and not backing.preagg:
+            out = _bounded_theta_groupby(df, key_cols, out_names, aggs)
         if out is None:
             out = df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
 

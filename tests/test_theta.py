@@ -240,6 +240,123 @@ def test_retention_join_is_broadcast(ectx):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_bounded_raw_build_engages_and_matches(ectx, spark):
+    """From-raw theta builds go through the bounded two-stage plan (stage 1
+    keyed by spark_partition_id caps the collect_set buffer at
+    partition-local NDV) and stay bit-identical to the one-stage answer."""
+    from pysparkline.tpch import read_events
+
+    spec, _, _ = ectx.plan(_spec())
+    df = lowering.lower(spec, Backing.flat(ectx.index))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    got = {r.event_type: r.du for r in df.collect()}
+    ev = read_events(spark, SF_DIR)
+    want = {
+        r.event_type: r.x
+        for r in ev.groupBy("event_type")
+        .agg(T.theta_estimate(T.theta_sketch_agg(F.col("user_id"), 4096), 4096).alias("x"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_bounded_raw_build_mixed_aggs(ectx, spark):
+    """Theta alongside mergeable aggs (count/sum) AND a non-mergeable agg
+    (exact percentile): the mergeables ride the two stages, the percentile
+    aggregates separately and joins back null-safely — values all match the
+    one-stage plan."""
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("event_type")],
+        aggregations=[
+            ir.ThetaAgg("du", "user_id", k=4096),
+            ir.CountAgg("n"),
+            ir.FieldAgg("sum", "sv", "value"),
+            ir.QuantileAgg("p50", "value", 0.5),
+        ],
+    )
+    planned, backing, dec = ectx.plan(spec)
+    flat = Backing.flat(ectx.index)
+    got = {
+        r.event_type: (r.du, r.n, round(float(r.sv), 6), round(r.p50, 6))
+        for r in lowering.lower(planned, flat).collect()
+    }
+    base = flat.df.groupBy("event_type").agg(
+        T.theta_estimate(T.theta_sketch_agg(F.col("user_id"), 4096), 4096).alias("du"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.percentile(F.col("value").cast("double"), F.lit(0.5)).alias("p50"),
+    )
+    want = {
+        r.event_type: (r.du, r.n, round(float(r.sv), 6), round(r.p50, 6))
+        for r in base.collect()
+    }
+    assert got == want and got
+
+
+def test_bounded_build_ndv_smoke(spark):
+    """NDV >> k: 200k distinct values into a k=64 sketch through the bounded
+    path — the merge stage only ever carries <=k-element partials per input
+    partition, and the estimate still lands within the KMV error band."""
+    df = spark.range(0, 200_000, 1, 8).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("g")],
+        aggregations=[ir.ThetaAgg("du", "v", k=64)],
+    )
+    out = lowering.lower(spec, Backing.base(df.withColumn("ts", F.current_timestamp()), "ts"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    for r in out.collect():
+        assert abs(r.du - 50_000) / 50_000 < 0.5  # k=64 KMV band
+    # bit-identity with the unbounded one-stage build at NDV >> k
+    direct = {
+        r.g: r.du
+        for r in df.groupBy("g")
+        .agg(T.theta_estimate(T.theta_sketch_agg(F.col("v"), 64), 64).alias("du"))
+        .collect()
+    }
+    assert {r.g: r.du for r in out.collect()} == direct
+
+
+def test_cube_build_two_stage_bit_identical(spark, tmp_path):
+    """The index cube build (now two-stage when theta specs are present)
+    produces bit-identical sketch AND metric columns to the direct one-stage
+    aggregation."""
+    from pysparkline.events_index import events_index_config, events_star
+    from pysparkline.index import OlapIndex
+    from pysparkline.tpch import read_events
+
+    ev = read_events(spark, SF_DIR)
+    idx = OlapIndex.build(
+        spark, ev, events_index_config(), str(tmp_path / "idx"), star=events_star()
+    )
+    cube = idx.cube_df("types")
+    direct = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("__bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("__count"),
+        T.theta_sketch_agg(F.col("user_id"), 4096).alias("theta_user_id_k4096"),
+        F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).alias("sum_value"),
+    )
+    got = {
+        (str(r["__bucket"]), r.event_type): (
+            r["__count"], tuple(r.theta_user_id_k4096), r.sum_value
+        )
+        for r in cube.select(
+            "__bucket", "event_type", "__count", "theta_user_id_k4096", "sum_value"
+        ).collect()
+    }
+    want = {
+        (str(r["__bucket"]), r.event_type): (
+            r["__count"], tuple(r.theta_user_id_k4096), r.sum_value
+        )
+        for r in direct.collect()
+    }
+    assert got == want and got
+
+
 def test_metadata_view_lists_sketch_columns(ectx):
     """olap_cubes (DruidMetadataViews analog) surfaces the cube's sketch
     metrics — HLL, histogram, and theta — so a BI layer can discover which
