@@ -828,7 +828,9 @@ def _bounded_theta_groupby(
     group keys — both sides are post-aggregation group-count-sized.
 
     Returns None when ``aggs`` contains no theta build, so the caller keeps
-    the one-stage plan."""
+    the one-stage plan. Grouping-sets unions and TopN keep the one-stage
+    build (documented scope: theta-over-grouping-sets is not a cube-servable
+    shape the reference exposed either)."""
     from .functions import theta as T
 
     theta = [(a, _theta_build_parts(a)) for a in aggs]

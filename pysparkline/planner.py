@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from . import ir, lowering
 from .index import OlapIndex
@@ -230,6 +230,199 @@ def _distinct_skew_buckets(q: ir.QuerySpec, est: float | None, df: DataFrame) ->
     return min(par, max(2, math.ceil(par / max(est, 1.0))))
 
 
+# ---------------------------------------------------------------------------
+# File-manifest pruning (the Druid per-dimension index analog)
+# ---------------------------------------------------------------------------
+#
+# The index build persists per-file min/max for every scalar column and exact
+# distinct-value sets for low-NDV string dimensions (index.py
+# _build_file_manifest), with the flat layout range-clustered on
+# config.sort_cols so those stats are SELECTIVE. The functions below evaluate
+# a query's FilterSpec tree against that manifest driver-side (no Spark job,
+# no footer reads) and hand choose_backing an explicit file list — whole-file
+# skipping for Selector/In/Bound/spatial/contains predicates on any manifested
+# dimension, which partition pruning (time only) and row-group stats (read
+# per-query, footer cost) cannot give at plan time. Conservative by
+# construction: any stat that is missing, un-coercible, or outside the
+# mirrored comparison semantics keeps the file.
+
+
+def _coerce(stat, val):
+    """``val`` coerced into ``stat``'s comparison domain, or None to keep the
+    file. Strings compare only when both ASCII (Python str ordering mirrors
+    Spark's binary UTF-8 ordering on the ASCII plane)."""
+    import datetime
+    import decimal
+
+    if stat is None or val is None or isinstance(val, bool):
+        return None
+    if isinstance(stat, str):
+        if isinstance(val, str) and stat.isascii() and val.isascii():
+            return val
+        return None
+    if isinstance(stat, bool):
+        return None
+    if isinstance(stat, decimal.Decimal):
+        try:
+            return decimal.Decimal(str(val))
+        except decimal.InvalidOperation:
+            return None
+    if isinstance(stat, (int, float)):
+        try:
+            return float(val)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(stat, datetime.datetime):
+        try:
+            return lowering._parse_iso(str(val))
+        except ValueError:
+            return None
+    if isinstance(stat, datetime.date):
+        try:
+            return lowering._parse_iso(str(val)).date()
+        except ValueError:
+            return None
+    return None
+
+
+def _range_excludes(row: dict, col: str, val) -> bool:
+    """True when the file's [min, max] provably cannot contain ``val``."""
+    lo, hi = row.get(f"min__{col}"), row.get(f"max__{col}")
+    v_lo, v_hi = _coerce(lo, val), _coerce(hi, val)
+    return (v_lo is not None and v_lo < lo) or (v_hi is not None and v_hi > hi)
+
+
+def _file_passes(row: dict, f: ir.FilterSpec) -> bool:
+    """May this file contain a row matching ``f``? False only on proof."""
+    if isinstance(f, ir.SelectorFilter):
+        s = row.get(f"set__{f.dimension}")
+        if s is not None and isinstance(f.value, str) and f.value not in s:
+            return False
+        return not _range_excludes(row, f.dimension, f.value)
+    if isinstance(f, ir.InFilter):
+        return any(
+            _file_passes(row, ir.SelectorFilter(f.dimension, v))
+            for v in f.values
+        )
+    if isinstance(f, ir.BoundFilter):
+        lo, hi = row.get(f"min__{f.dimension}"), row.get(f"max__{f.dimension}")
+        if f.upper is not None:
+            u = _coerce(lo, f.upper)
+            if u is not None and (lo > u or (f.upper_strict and lo >= u)):
+                return False
+        if f.lower is not None:
+            l = _coerce(hi, f.lower)
+            if l is not None and (hi < l or (f.lower_strict and hi <= l)):
+                return False
+        return True
+    if isinstance(f, ir.ContainsFilter):
+        s = row.get(f"set__{f.dimension}")
+        if s is not None:
+            if f.case_sensitive:
+                return any(f.value in v for v in s if v is not None)
+            needle = f.value.lower()
+            return any(needle in v.lower() for v in s if v is not None)
+        return True
+    if isinstance(f, ir.LogicalFilter):
+        if f.op == "and":
+            return all(_file_passes(row, c) for c in f.fields_)
+        return any(_file_passes(row, c) for c in f.fields_)
+    if isinstance(f, ir.NotFilter):
+        inner = f.field_
+        if isinstance(inner, ir.SelectorFilter):
+            # exact value set == {v}: no row can satisfy NOT v
+            s = row.get(f"set__{inner.dimension}")
+            if s is not None and s == [inner.value]:
+                return False
+        return True
+    if isinstance(f, ir.SpatialFilter):
+        for dim, lo, hi in zip(f.dimensions, f.lower, f.upper):
+            fmin, fmax = row.get(f"min__{dim}"), row.get(f"max__{dim}")
+            if lo is not None:
+                v = _coerce(fmax, lo)
+                if v is not None and fmax < v:
+                    return False
+            if hi is not None:
+                v = _coerce(fmin, hi)
+                if v is not None and fmin >= v:  # upper bound is exclusive
+                    return False
+        return True
+    # Regex/Null/Expr/extraction shapes: no mirrored semantics — keep
+    return True
+
+
+def _intervals_overlap(row: dict, time_col: str, ivs: list) -> bool:
+    import datetime
+
+    tmin, tmax = row.get(f"min__{time_col}"), row.get(f"max__{time_col}")
+    if tmin is None or tmax is None:
+        return True
+    if isinstance(tmin, datetime.date) and not isinstance(
+        tmin, datetime.datetime
+    ):
+        tmin = datetime.datetime.combine(tmin, datetime.time())
+        tmax = datetime.datetime.combine(tmax, datetime.time())
+    for iv in ivs:
+        try:
+            start = lowering._parse_iso(iv.start) if iv.start else None
+            end = lowering._parse_iso(iv.end) if iv.end else None
+        except ValueError:
+            return True
+        if (end is None or tmin < end) and (start is None or tmax >= start):
+            return True
+    return False
+
+
+def _norm_path(p: str) -> str:
+    for pre in ("file:///", "file:/"):
+        if p.startswith(pre):
+            return "/" + p[len(pre):].lstrip("/")
+    return p
+
+
+def prune_flat_files(
+    index: OlapIndex, q: ir.QuerySpec
+) -> tuple[list[str], int] | None:
+    """Explicit file list for ``q`` over the flat backing, or None when the
+    manifest is absent / the query prunes nothing. Unmanifested files (e.g.
+    appended after the build) are always kept."""
+    fm = index.file_manifest()
+    if fm is None:
+        return None
+    f = getattr(q, "filter", None)
+    ivs = getattr(q, "intervals", None) or []
+    if f is None and not ivs:
+        return None
+    by_norm = {_norm_path(k): v for k, v in fm.items()}
+    all_files = index.flat_input_files()
+    tcol = index.time_col
+    keep = []
+    for path in all_files:
+        row = by_norm.get(_norm_path(path))
+        if row is None:
+            keep.append(path)
+            continue
+        ok = not ivs or _intervals_overlap(row, tcol, ivs)
+        if ok and f is not None:
+            ok = _file_passes(row, f)
+        if ok:
+            keep.append(path)
+    if len(keep) == len(all_files):
+        return None
+    return keep, len(all_files)
+
+
+def _pruned_flat_df(index: OlapIndex, files: list[str]) -> DataFrame:
+    if not files:
+        # provably empty — keep the schema, skip the scan entirely
+        return index.flat_df().where(F.lit(False))
+    return (
+        index.spark.read.schema(index.flat_df().schema)
+        .option("basePath", index.flat_root())
+        .parquet(*files)
+    )
+
+
 def choose_backing(
     q: ir.QuerySpec,
     index: OlapIndex,
@@ -286,6 +479,13 @@ def choose_backing(
     if referenced <= flat_cols:
         notes.append("flat backing: all referenced columns in flattened star")
         backing = Backing.flat(index)
+        pr = prune_flat_files(index, q)
+        if pr is not None:
+            files, total = pr
+            notes.append(
+                f"file manifest pruned scan: {len(files)}/{total} files"
+            )
+            backing.df = _pruned_flat_df(index, files)
         n = _distinct_skew_buckets(q, est, backing.df)
         if n > 1:
             backing.distinct_buckets = n

@@ -157,10 +157,15 @@ def tpch_index_config() -> IndexConfig:
             MetricSpec("price", "l_extendedprice", "max"),
         ],
         hll_cols=["o_orderkey", "c_custkey"],
-        # o_orderdate correlates with l_shipdate but is not the partition
-        # key: a within-partition sort gives parquet row-group stats that
-        # prune o_orderdate ranges (q3/q10) the month partitioning cannot
-        sort_cols=["o_orderdate"],
+        # cluster the flat layout on the selective non-time dims (then the
+        # correlated order date): each file covers a contiguous
+        # (mktsegment, returnflag, o_orderdate) slice, so the per-file
+        # dimension manifest prunes whole files for q3's segment selector and
+        # q10's returnflag + order-date range — predicates the l_shipdate
+        # month partitioning cannot touch (the Druid per-dimension-index
+        # analog); row-group stats inside each kept file stay tight on the
+        # same columns for free
+        sort_cols=["c_mktsegment", "l_returnflag", "o_orderdate"],
         cubes=[
             CubeSpec("flags", ("l_returnflag", "l_linestatus"), "day"),
             CubeSpec(

@@ -1,0 +1,198 @@
+"""File-manifest pruning — the Druid per-dimension inverted-index analog.
+
+The reference's headline wins came from dimension indexes inside Druid
+segments (docs/benchmark/BenchMarkDetails.org:165-190): selective non-time
+predicates skipped whole segments. Here the index build persists per-file
+min/max + exact value sets (index._build_file_manifest) over a layout
+range-clustered on config.sort_cols, and the planner turns filter trees into
+an explicit file list driver-side (planner.prune_flat_files) — no Spark job,
+no footer reads, conservative on every unknown.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkline import ir, lowering, planner, tpch
+from pysparkline.lowering import Backing
+from pysparkline.session import OlapContext
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    return OlapContext(spark, tpch.build_or_load_index(spark, SF_DIR))
+
+
+# ------------------------------------------------------------- driver-side unit
+
+
+def test_file_passes_selector_and_bound():
+    row = {
+        "min__d": "AAA", "max__d": "MMM", "set__d": ["AAA", "BBB"],
+        "min__n": 10, "max__n": 20,
+        "min__t": datetime.date(1996, 1, 1), "max__t": datetime.date(1996, 3, 31),
+    }
+    ok = planner._file_passes
+    assert ok(row, ir.SelectorFilter("d", "AAA"))
+    assert not ok(row, ir.SelectorFilter("d", "CCC"))  # in [min,max], not in set
+    assert not ok(row, ir.SelectorFilter("d", "ZZZ"))  # outside min/max
+    assert ok(row, ir.InFilter("d", ["ZZZ", "BBB"]))
+    assert not ok(row, ir.InFilter("d", ["ZZZ", "QQQ"]))
+    assert ok(row, ir.BoundFilter("n", 15, None))
+    assert not ok(row, ir.BoundFilter("n", 25, None))
+    assert not ok(row, ir.BoundFilter("n", 20, None, lower_strict=True))
+    assert ok(row, ir.BoundFilter("n", 20, None))
+    assert not ok(row, ir.BoundFilter("n", None, 5, upper_strict=True))
+    assert ok(row, ir.BoundFilter("t", "1996-02-01", None))
+    assert not ok(row, ir.BoundFilter("t", "1996-06-01", None))
+    # conjunction prunes when ANY conjunct excludes; disjunction when all do
+    assert not ok(
+        row,
+        ir.LogicalFilter(
+            "and",
+            [ir.SelectorFilter("d", "AAA"), ir.BoundFilter("n", 25, None)],
+        ),
+    )
+    assert ok(
+        row,
+        ir.LogicalFilter(
+            "or",
+            [ir.SelectorFilter("d", "CCC"), ir.BoundFilter("n", 15, None)],
+        ),
+    )
+    # unknown stats / filter kinds keep the file
+    assert ok(row, ir.SelectorFilter("unknown_col", "x"))
+    assert ok(row, ir.RegexFilter("d", "^A"))
+    # NOT prunes only on an exact single-value set
+    assert not ok({"set__d": ["v"]}, ir.NotFilter(ir.SelectorFilter("d", "v")))
+    assert ok(row, ir.NotFilter(ir.SelectorFilter("d", "AAA")))
+    # contains consults the exact value set
+    assert ok(row, ir.ContainsFilter("d", "BB", case_sensitive=True))
+    assert not ok(row, ir.ContainsFilter("d", "QQ", case_sensitive=True))
+    assert ok(row, ir.ContainsFilter("d", "bb", case_sensitive=False))
+
+
+def test_coerce_conservative():
+    # non-ASCII strings and unparseable values never exclude
+    assert planner._coerce("ZÜRICH", "A") is None
+    assert planner._coerce(10, "not a number") is None
+    assert planner._coerce(datetime.date(2020, 1, 1), "garbage") is None
+
+
+# -------------------------------------------------------------- engine level
+
+
+def _q3_spec():
+    return ir.GroupByQuery(
+        dimensions=[
+            ir.DefaultDim("l_orderkey"),
+            ir.DefaultDim("o_orderdate"),
+            ir.DefaultDim("o_orderpriority"),
+        ],
+        filter=ir.LogicalFilter(
+            "and",
+            [
+                ir.SelectorFilter("c_mktsegment", "BUILDING"),
+                ir.BoundFilter("o_orderdate", None, "1996-06-01", upper_strict=True),
+            ],
+        ),
+        intervals=[ir.Interval("1996-06-01", None)],
+        aggregations=[ir.ExprAgg("sum", "revenue", tpch.DISC_PRICE)],
+    )
+
+
+def test_manifest_built_and_covers_all_files(ctx):
+    idx = ctx.index
+    fm = idx.file_manifest()
+    assert fm is not None and len(fm) == len(idx.flat_input_files())
+    info = idx.manifest["fileManifest"]
+    assert "c_mktsegment" in info["setCols"]
+    assert "l_returnflag" in info["setCols"]
+    assert "o_orderdate" in info["statsCols"]
+
+
+def test_q3_shape_prunes_and_matches_full_scan(ctx):
+    spec = _q3_spec()
+    planned, backing, dec = ctx.plan(spec)
+    note = "\n".join(dec.notes)
+    assert "file manifest pruned scan" in note, note
+    got = sorted(map(tuple, ctx.query(spec).collect()))
+    want = sorted(
+        map(tuple, lowering.lower(planned, Backing.flat(ctx.index)).collect())
+    )
+    assert got == want and got
+
+
+def test_prune_fraction_is_material(ctx):
+    """The clustered layout must make the segment selector selective: the
+    kept-file fraction stays under half of the interval-only baseline."""
+    spec = _q3_spec()
+    files, total = planner.prune_flat_files(ctx.index, spec)
+    iv_only = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_orderkey")],
+        intervals=[ir.Interval("1996-06-01", None)],
+        aggregations=[ir.CountAgg("n")],
+    )
+    pr = planner.prune_flat_files(ctx.index, iv_only)
+    iv_files = pr[0] if pr is not None else ctx.index.flat_input_files()
+    assert len(files) < 0.5 * len(iv_files), (len(files), len(iv_files), total)
+
+
+def test_impossible_selector_prunes_everything(ctx):
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("c_nation")],
+        filter=ir.SelectorFilter("c_mktsegment", "NO_SUCH_SEGMENT"),
+        aggregations=[ir.CountAgg("n")],
+    )
+    files, total = planner.prune_flat_files(ctx.index, spec)
+    assert files == [] and total > 0
+    assert ctx.query(spec).count() == 0
+
+
+def test_appended_files_are_kept(spark, tmp_path):
+    """Files appended after the build are absent from the manifest and must
+    always be kept — pruned queries stay exact across appends."""
+    from pysparkline.index import IndexConfig, MetricSpec, OlapIndex
+    from pysparkline.tpch import read_events
+
+    ev = read_events(spark, SF_DIR)
+    split = "2024-01-20"
+    cfg = IndexConfig(
+        time_col="ts",
+        metrics=[MetricSpec("value", "value", "sum")],
+        sort_cols=["event_type"],
+    )
+    idx = OlapIndex.build(
+        spark, ev.where(F.col("ts") < split), cfg, str(tmp_path / "idx")
+    )
+    idx.append_batch(ev.where(F.col("ts") >= split))
+    ctx = OlapContext(spark, idx, fact_name="events")
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("event_type")],
+        filter=ir.SelectorFilter("event_type", "purchase"),
+        aggregations=[ir.CountAgg("n")],
+    )
+    planned, backing, dec = ctx.plan(spec)
+    got = {r.event_type: r.n for r in ctx.query(spec).collect()}
+    want = {
+        r.event_type: r.n
+        for r in ev.where(F.col("event_type") == "purchase")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_pruned_plan_reads_fewer_files(ctx):
+    """The executed plan's scan reads only the kept files (file-level skip,
+    not just a predicate over the full listing)."""
+    spec = _q3_spec()
+    files, total = planner.prune_flat_files(ctx.index, spec)
+    df = ctx.query(spec)
+    df.collect()
+    assert len(df.inputFiles()) == len(files) < total
