@@ -3094,40 +3094,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1(spark, "/root/testdata/sf0.001")
 
 
-# The driver verifies the FIRST 50 registered queries. Round 1 checked the
-# original first 50, so this priority front-loads (a) the 20 queries that
-# round never reached, (b) queries new or materially changed this round,
-# leaving the tail for queries already driver-green in CORRECTNESS_r01.
+# The driver verifies the FIRST 50 registered queries. Across rounds 1-2,
+# 91/95 registered queries earned a green driver verdict; this round's window
+# front-loads (a) the 4 never-verdicted queries, then (b) everything round 3
+# materially changed: the theta/HLL/histogram cube rebuild (two-stage bounded
+# build), file-manifest pruning (every flat-served TPC-H/filter query), and
+# the IVF search rewrite — leaving the tail for untouched already-green ops.
 _PRIORITY = [
-    # (a) unchecked in round 1
-    "sql_q1", "sql_star_join", "sql_rollup", "sql_having_postagg",
-    "sql_subquery", "sql_distinct", "sql_select_scan", "sql_multi_interval",
-    "spatial_bounds", "ym_format_dim", "json_props", "topn_low_brand",
-    "topn_monthly_brand", "quality_docs", "time_parse_reformat",
-    "funnel_events", "embedding_neardup", "stratified_sample_docs",
-    "ivf_topk",
-    # (b) new or changed this round
-    "sql_cte", "sql_grouping_fns", "image_features", "audio_features",
-    "hll_count_distinct", "lang_id_docs",
-    "minhash_pairs_docs", "simhash_pairs_docs", "lsh_cosine_topk",
-    "sessionize_stats", "avg_null_aware", "sql_count_distinct",
-    "bpe_tokens_docs", "skew_salted_distinct",
-    "decontaminate_docs", "boilerplate_prune_docs", "pii_redact_docs",
-    "dedup_clusters_docs", "length_quantiles_docs", "sql_quantile", "chunk_docs",
-    "events_hist_p90",
-    "theta_users_type", "theta_retention_daily", "repetition_stats_docs",
-    "sql_theta", "ivf_index_topk", "theta_funnel_users", "tz_format_dim",
-    "tz_daily_revenue", "events_15min",
-    # (c) beyond the 50-query window: families already represented above
-    # (frame_sample = same mapInPandas contract as image/audio features;
-    # mix_sources = same sampling-invariant family as stratified_sample)
-    # and round-1-green anchors
+    # (a) never inside a driver window yet (VERDICT r2 "What's missing #2")
     "frame_sample", "mix_sources_docs", "search_strlen",
     "theta_error_small_k",
-    "q1", "q3", "q5", "q7", "q8", "q10", "q6", "q14", "q17", "q18",
-    "rollup_flags", "cube_flags", "count_distinct_exact",
-    "asof_event_purchase", "dedup_exact_docs", "ngram_jaccard_docs",
-    "cosine_topk",
+    # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
+    "theta_users_type", "theta_retention_daily", "theta_funnel_users",
+    "sql_theta", "hll_count_distinct", "events_hist_p90",
+    "events_user_distinct", "events_daily_types", "events_hourly",
+    # (b) similarity: IVF search rewrite + empty-batch guard
+    "ivf_index_topk", "ivf_topk", "lsh_cosine_topk", "cosine_topk",
+    "embedding_neardup",
+    # (b) file-manifest pruning touches every flat-served scan/filter path
+    "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10", "q6",
+    "q14", "q17", "q18",
+    "dim_filters", "range_filters", "in_null_not_filters",
+    "contains_regex_filters", "filtered_agg", "spatial_bounds",
+    "select_pushdown", "search_ptype", "min_max_metrics",
+    "count_distinct_exact", "skew_salted_distinct",
+    "sql_q1", "sql_star_join", "sql_subquery", "sql_select_scan",
+    "sql_multi_interval",
+    # (b) granularity lowering touched (period-origin canonicalization)
+    "events_15min", "monthly_revenue", "ship_date_range", "topn_brand",
+    # --- 50-query window boundary (everything below is driver-green across
+    # r1∪r2 and untouched by round-3 diffs) ---
+    "rollup_flags", "cube_flags", "asof_event_purchase", "dedup_exact_docs",
+    "ngram_jaccard_docs", "sessionize_stats", "funnel_events",
 ]
 
 

@@ -150,11 +150,33 @@ def _decode_ppm(data: bytes) -> np.ndarray:
     return np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
 
 
+def _pil_decode(payload: bytes) -> np.ndarray | None:
+    """Codec-format decode through Pillow when the library is present in the
+    runtime (it is not in this container): JPEG/WEBP/TIFF/... route through
+    the SAME (h, w, channels) uint8 contract as the stdlib decoders, so a
+    cluster with Pillow installed gets full-codec image features with zero
+    plumbing changes. Returns None when Pillow is absent or declines."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency, never required
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            mode = im.mode if im.mode in ("L", "RGB", "RGBA") else "RGB"
+            arr = np.asarray(im.convert(mode), dtype=np.uint8)
+    except Exception:
+        return None
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (h, w, channels) uint8 array.
 
-    Dispatches on magic bytes: PNG, BMP, PPM(P6). Raises
-    UnsupportedMediaError for anything else — callers choose skip-vs-fail
+    Dispatches on magic bytes: PNG, BMP, PPM(P6) via the stdlib decoders;
+    anything else (JPEG, WEBP, ...) attempts the optional Pillow path and
+    otherwise raises UnsupportedMediaError — callers choose skip-vs-fail
     via ``on_error``."""
     if payload.startswith(_PNG_MAGIC):
         return _decode_png(payload)
@@ -162,6 +184,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
+    via_pil = _pil_decode(payload)
+    if via_pil is not None:
+        return via_pil
     raise UnsupportedMediaError("unrecognized image format")
 
 

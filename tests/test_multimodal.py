@@ -163,3 +163,33 @@ def test_on_error_skip(spark):
     assert [r.id for r in out] == [1]
     with pytest.raises(Exception):
         mm.image_features(df, "doc_id", "img").collect()
+
+
+def test_jpeg_without_pillow_raises():
+    """Codec formats stay an honest UnsupportedMediaError when Pillow is
+    absent (this container); the skip-marked twin below proves the guarded
+    path when it is present."""
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: the no-PIL branch is unreachable here")
+    except ImportError:
+        pass
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm.decode_image(jpeg_magic)
+
+
+def test_pillow_codec_roundtrip():
+    """With Pillow installed, JPEG routes through the same (h, w, ch) uint8
+    contract as the stdlib decoders — zero plumbing changes."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (4, 3), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    arr = mm.decode_image(buf.getvalue())
+    assert arr.shape == (3, 4, 3) and arr.dtype == np.uint8
