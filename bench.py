@@ -15,8 +15,68 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.request
 
 from pyspark.sql import functions as F
+
+
+class TaskTimeMeter:
+    """Per-query summed executor task time via the Spark UI REST API.
+
+    Wall-clock at bench SF sits on the local-mode per-stage scheduling floor
+    (~25-40 ms/stage) on both the indexed and raw side, compressing every
+    ratio toward 1. Summed executor run time has no such floor: it is the
+    work the cluster actually does, and at 100 TB wall-clock tracks it
+    (VERDICT r2 "Next round" #2). Each measured collect runs inside a
+    `setJobGroup`; afterwards one pass over /api/v1 jobs+stages attributes
+    stage executorRunTime to groups (skipped/reused stages report no attempt
+    and are correctly not re-counted).
+    """
+
+    def __init__(self, spark):
+        self.sc = spark.sparkContext
+        self.runs: dict[str, int] = {}
+
+    def group(self, name: str, runs: int = 1):
+        self.runs[name] = self.runs.get(name, 0) + runs
+        self.sc.setJobGroup(name, name, interruptOnCancel=False)
+        return self
+
+    def clear(self):
+        self.sc.setJobGroup("", "")
+
+    def collect(self) -> dict[str, float]:
+        """Return per-group summed executorRunTime in seconds / run."""
+        try:
+            base = self.sc.uiWebUrl
+            app = self.sc.applicationId
+            if not base:
+                return {}
+
+            def get(path):
+                with urllib.request.urlopen(
+                    f"{base}/api/v1/applications/{app}/{path}", timeout=20
+                ) as r:
+                    return json.load(r)
+
+            jobs = get("jobs")
+            stages = get("stages?status=complete")
+            stage_ms: dict[int, int] = {}
+            for s in stages:
+                sid = s["stageId"]
+                stage_ms[sid] = max(stage_ms.get(sid, 0), s.get("executorRunTime", 0))
+            out: dict[str, float] = {}
+            for j in jobs:
+                g = j.get("jobGroup")
+                if g not in self.runs:
+                    continue
+                ms = sum(stage_ms.get(sid, 0) for sid in j.get("stageIds", []))
+                out[g] = out.get(g, 0.0) + ms
+            return {
+                g: round(ms / 1000.0 / self.runs[g], 4) for g, ms in out.items()
+            }
+        except Exception:
+            return {}
 
 
 HEADLINE = [
@@ -110,6 +170,8 @@ def main() -> None:
             return int(total // runs)
         except Exception:
             return None
+
+    meter = TaskTimeMeter(spark)
 
     def timed(name: str) -> float:
         """First call = cold (Catalyst analysis + execution; recorded
@@ -304,44 +366,97 @@ def main() -> None:
     }
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "llm_ops": llm_times,
-                "llm_ops_total_sec": round(sum(llm_times.values()), 4),
-                "sf": sf,
-                "index_build_or_load_sec": round(index_sec, 2),
-                "cold": cold_times,
-                "raw": raw_times,
-                "speedup_vs_raw": speedups,
-                "scan_rows_indexed": scan_rows_indexed,
-                "scan_rows_raw": scan_rows_raw,
-                "scan_reduction_vs_raw": {
-                    n: round(scan_rows_raw[n] / scan_rows_indexed[n], 1)
-                    for n in scan_rows_raw
-                    if scan_rows_raw.get(n) and scan_rows_indexed.get(n)
-                },
-                "sql_subquery_sec": indexed_for_ratio["sql_subquery"],
-                "note": (
-                    "warm times at this SF sit on the local-mode per-stage "
-                    "scheduling floor (~25-40ms/stage) on BOTH sides, so "
-                    "speedup_vs_raw compresses toward 1; scan_reduction_vs_raw "
-                    "(rows read, from SQL metrics) is the scale-faithful "
-                    "signal, and 'cold' holds first-query latency incl. "
-                    "Catalyst compile"
-                ),
-                # legacy keys (round-1 BENCH continuity)
-                "raw_q1_sec": raw_times["q1"],
-                "raw_ship_date_range_sec": raw_times["ship_date_range"],
-                "q1_speedup_vs_raw": speedups.get("q1"),
-                "ship_date_range_speedup_vs_raw": speedups.get("ship_date_range"),
-            }
-        )
-    )
+
+    # ---- floor-free task-time pass --------------------------------------
+    # Re-collecting a DataFrame reuses its materialized AQE query stages
+    # (only the final stage re-runs), so warm runs cannot attribute full
+    # executor work. This pass builds a FRESH plan per query (plan memo
+    # cleared on the indexed side; raw builders construct new Datasets) and
+    # executes it once inside a job group: every stage — scans, shuffles,
+    # broadcasts — runs in-group, and summed executorRunTime is the total
+    # work a first-time execution costs. Catalyst compile is driver-side
+    # and does not pollute executor task time.
+    tt_names = list(dict.fromkeys(HEADLINE + ["sql_subquery"]))
+    for name in tt_names:
+        ctx._plan_cache.clear()
+        meter.group(f"ix:{name}")
+        qs[name](spark, sf_dir).collect()
+        meter.clear()
+    for name, mk in raw_builders.items():
+        meter.group(f"raw:{name}")
+        mk().collect()
+        meter.clear()
+
+    tt = meter.collect()
+    tasktime_indexed = {n: tt.get(f"ix:{n}") for n in indexed_for_ratio}
+    tasktime_raw = {n: tt.get(f"raw:{n}") for n in raw_builders}
+    tasktime_speedup = {
+        n: round(tasktime_raw[n] / tasktime_indexed[n], 2)
+        for n in raw_builders
+        if tasktime_raw.get(n) and tasktime_indexed.get(n)
+    }
+
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "llm_ops": llm_times,
+        "llm_ops_total_sec": round(sum(llm_times.values()), 4),
+        "sf": sf,
+        "index_build_or_load_sec": round(index_sec, 2),
+        "cold": cold_times,
+        "raw": raw_times,
+        "speedup_vs_raw": speedups,
+        "tasktime_indexed_sec": tasktime_indexed,
+        "tasktime_raw_sec": tasktime_raw,
+        "tasktime_speedup_vs_raw": tasktime_speedup,
+        "scan_rows_indexed": scan_rows_indexed,
+        "scan_rows_raw": scan_rows_raw,
+        "scan_reduction_vs_raw": {
+            n: round(scan_rows_raw[n] / scan_rows_indexed[n], 1)
+            for n in scan_rows_raw
+            if scan_rows_raw.get(n) and scan_rows_indexed.get(n)
+        },
+        "sql_subquery_sec": indexed_for_ratio["sql_subquery"],
+        "note": (
+            "wall-clock at this SF sits on the local-mode per-stage "
+            "scheduling floor (~25-40ms/stage) on BOTH sides, compressing "
+            "speedup_vs_raw toward 1; the floor-free signals are "
+            "tasktime_speedup_vs_raw (summed executor task time, no "
+            "scheduling floor) and scan_reduction_vs_raw (rows read); "
+            "'cold' holds first-query latency incl. Catalyst compile"
+        ),
+        # legacy keys (round-1 BENCH continuity)
+        "raw_q1_sec": raw_times["q1"],
+        "raw_ship_date_range_sec": raw_times["ship_date_range"],
+        "q1_speedup_vs_raw": speedups.get("q1"),
+        "ship_date_range_speedup_vs_raw": speedups.get("ship_date_range"),
+    }
+
+    # full detail: first stdout line + a repo-root file. The driver captures a
+    # bounded tail of stdout (r2's single long line got truncated to
+    # parsed:null), so the LAST line is a compact summary guaranteed to fit.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "tasktime_speedup_vs_raw": tasktime_speedup,
+        "scan_reduction_vs_raw": detail["scan_reduction_vs_raw"],
+        "llm_ops_total_sec": detail["llm_ops_total_sec"],
+        "index_build_or_load_sec": detail["index_build_or_load_sec"],
+        "detail": "bench_detail.json + first stdout line",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -23,6 +23,7 @@ pre-aggregated execution.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -201,6 +202,87 @@ def estimate_groups(
     for c in dict.fromkeys(cols):
         total *= max(1.0, card[c])
     return total
+
+
+class GroupCountFeedback:
+    """Observed-group-count feedback: adaptive re-optimization of the NDV
+    estimator (VERDICT r2 "Next round" #8).
+
+    ``estimate_groups`` is an NDV-product heuristic; correlated dimensions
+    make it overshoot by orders of magnitude (two FD-free 1000-NDV columns
+    that move together: est 10^6, actual 10^3), wrongly tripping the
+    maxResultCardinality pre-agg rejection and mis-sizing the distinct-agg
+    skew guard. After a query EXECUTES, the context harvests the actual
+    output row count from the executed plan's SQL metrics (no extra job) and
+    records it here; the next planning pass corrects with it. Two tiers:
+
+    - exact tier: same (shape, dims, granularity, filter, intervals)
+      signature => the observed count is authoritative.
+    - drift tier: same (shape, dims, granularity) under a DIFFERENT filter
+      => multiply the raw estimate by the median observed/estimated ratio
+      seen for that dims-key. Filters only shrink group counts, so a <1
+      median is evidence of correlation the FD graph missed; ratios are
+      clamped to <=1 so a permissive filter can never inflate an estimate.
+
+    State is bounded: per-key ratio lists are capped, the exact map is a
+    FIFO of ``cap`` entries. Driver-side only — nothing here touches a plan.
+    """
+
+    def __init__(self, cap: int = 512, ratios_per_key: int = 32):
+        self.cap = cap
+        self.ratios_per_key = ratios_per_key
+        self.exact: dict[str, float] = {}
+        self.ratios: dict[str, list[float]] = {}
+
+    # -- signatures ---------------------------------------------------------
+    @staticmethod
+    def _dims_part(q: ir.QuerySpec) -> list:
+        d = q.to_dict()
+        return [
+            type(q).__name__,
+            d.get("dimensions") or d.get("dimension"),
+            d.get("granularity"),
+        ]
+
+    @classmethod
+    def dims_sig(cls, q: ir.QuerySpec) -> str:
+        return json.dumps(cls._dims_part(q), sort_keys=True, default=str)
+
+    @classmethod
+    def exact_sig(cls, q: ir.QuerySpec) -> str:
+        d = q.to_dict()
+        part = cls._dims_part(q) + [d.get("filter"), d.get("intervals")]
+        return json.dumps(part, sort_keys=True, default=str)
+
+    # -- record / correct ---------------------------------------------------
+    def record(self, q: ir.QuerySpec, estimated: float | None, observed: int) -> None:
+        if observed <= 0:
+            return
+        key = self.exact_sig(q)
+        if key not in self.exact and len(self.exact) >= self.cap:
+            self.exact.pop(next(iter(self.exact)))
+        self.exact[key] = float(observed)
+        if estimated and estimated > 0:
+            lst = self.ratios.setdefault(self.dims_sig(q), [])
+            lst.append(min(1.0, observed / estimated))
+            del lst[: -self.ratios_per_key]
+
+    def correct(self, q: ir.QuerySpec, est: float | None) -> tuple[float | None, str | None]:
+        """(corrected estimate, note) — note is None when nothing applied."""
+        obs = self.exact.get(self.exact_sig(q))
+        if obs is not None:
+            return obs, f"feedback: observed group count {int(obs)} (exact match)"
+        if est is None:
+            return est, None
+        lst = self.ratios.get(self.dims_sig(q))
+        if lst:
+            med = sorted(lst)[len(lst) // 2]
+            if med < 1.0:
+                return est * med, (
+                    f"feedback: est {int(est)} x median observed/est ratio "
+                    f"{med:.3g} for this dims-key -> {int(est * med)}"
+                )
+        return est, None
 
 
 NON_AGG_MODES = ("push_none", "push_filters", "push_project_and_filters")
@@ -430,6 +512,7 @@ def choose_backing(
     fd_graph: FDGraph | None = None,
     max_result_cardinality: float = 1_000_000,
     non_agg_handling: str = "push_project_and_filters",
+    feedback: GroupCountFeedback | None = None,
 ) -> tuple[Backing, PlanDecision]:
     notes: list[str] = []
     referenced = ir.query_referenced_columns(q)
@@ -459,6 +542,10 @@ def choose_backing(
     est = None
     if isinstance(q, _AGG_SHAPES):
         est = estimate_groups(q, index, fd_graph)
+        if feedback is not None:
+            est, fb_note = feedback.correct(q, est)
+            if fb_note:
+                notes.append(fb_note)
         if est is not None and est > max_result_cardinality:
             notes.append(
                 f"estimated groups {int(est)} > maxResultCardinality "

@@ -62,6 +62,45 @@ class QueryRecord:
     spec: dict
     decision: str
     backing: str
+    # adaptive-feedback fields (DruidQueryHistory carried druidExecTime etc.;
+    # we carry the planner's group estimate and the post-execution observed
+    # row count so olap_query_history exposes estimator drift)
+    estimated_groups: float | None = None
+    observed_rows: int | None = None
+
+
+def _executed_output_rows(df: DataFrame) -> int | None:
+    """Result row count from the EXECUTED plan's SQL metrics, else None.
+
+    Reads the topmost numOutputRows metric (py4j walk, no Spark job). An
+    unexecuted plan reports 0 and returns None — so harvesting is safe to
+    attempt on lazy DataFrames the caller never ran."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
+            if not plan.isFinalPlan():
+                # not yet executed — calling finalPhysicalPlan() here would
+                # TRIGGER stage materialization, not observe it
+                return None
+            plan = plan.finalPhysicalPlan()
+
+        def first(p):
+            if "QueryStage" in p.getClass().getSimpleName():
+                return first(p.plan())
+            m = p.metrics()
+            if m.contains("numOutputRows"):
+                return m.apply("numOutputRows").value()
+            it = p.children().iterator()
+            while it.hasNext():
+                v = first(it.next())
+                if v is not None:
+                    return v
+            return None
+
+        v = first(plan)
+        return int(v) if v is not None and v > 0 else None
+    except Exception:
+        return None
 
 
 @dataclass
@@ -83,6 +122,9 @@ class OlapContext:
         self._fd_graph = FDGraph(self.fds) if self.fds else None
         self._plan_cache: dict = {}
         self._plan_epoch = self.index.epoch
+        self._feedback = planner.GroupCountFeedback()
+        # (df, record, spec, cache_key) awaiting execution-metric harvest
+        self._pending_obs: list = []
         if self.star is None:
             self.star = self.index.star
         if self.fact_name is None and self.star is not None:
@@ -112,6 +154,7 @@ class OlapContext:
             fd_graph=self._fd_graph,
             max_result_cardinality=self.max_result_cardinality,
             non_agg_handling=self.non_agg_handling,
+            feedback=self._feedback,
         )
         return spec, backing, decision
 
@@ -126,6 +169,7 @@ class OlapContext:
             # stale file listing
             self._plan_cache.clear()
             self._plan_epoch = self.index.epoch
+        self._harvest_feedback()
         key = json.dumps(spec.to_dict(), sort_keys=True, default=str)
         cached = self._plan_cache.get(key)
         if cached is not None:
@@ -133,13 +177,56 @@ class OlapContext:
             self.query_history.append(record)
             return df
         spec, backing, decision = self.plan(spec)
-        record = QueryRecord(spec.to_dict(), decision.pretty(), decision.backing)
+        record = QueryRecord(
+            spec.to_dict(),
+            decision.pretty(),
+            decision.backing,
+            estimated_groups=decision.estimated_groups,
+        )
         self.query_history.append(record)
         df = lowering.lower(spec, backing)
         if len(self._plan_cache) >= 256:  # bounded; FIFO eviction is fine here
             self._plan_cache.pop(next(iter(self._plan_cache)))
         self._plan_cache[key] = (df, record)
+        if self._feedback_eligible(spec):
+            self._pending_obs.append((df, record, spec, key))
+            del self._pending_obs[:-64]  # bounded
         return df
+
+    @staticmethod
+    def _feedback_eligible(spec: ir.QuerySpec) -> bool:
+        """Group-count feedback only where output rows == group count: an
+        agg shape with no row limit (TopN/limited output observes the limit,
+        not the cardinality)."""
+        if isinstance(spec, ir.TimeseriesQuery):
+            return True
+        if isinstance(spec, ir.GroupByQuery):
+            ls = spec.limit_spec
+            return ls is None or getattr(ls, "limit", None) is None
+        return False
+
+    def _harvest_feedback(self) -> None:
+        """Pull executed-plan output counts into the planner feedback store.
+
+        Called at the top of every query(): each pending DataFrame that has
+        since executed contributes its observed group count; its plan-cache
+        entry is evicted ONLY when the estimate was off by >2x, so the next
+        identical query re-plans against the corrected estimate (and the
+        re-planned entry, whose estimate now matches observation, is never
+        evicted again — the memo keeps working for repeated queries)."""
+        still_pending = []
+        for df, record, spec, key in self._pending_obs:
+            obs = _executed_output_rows(df)
+            if obs is None:
+                still_pending.append((df, record, spec, key))
+                continue
+            record.observed_rows = obs
+            est = record.estimated_groups
+            self._feedback.record(spec, est, obs)
+            drifted = est is None or max(obs, est) / max(1.0, min(obs, est)) > 2.0
+            if drifted and self._plan_cache.get(key, (None, None))[1] is record:
+                self._plan_cache.pop(key, None)
+        self._pending_obs = still_pending
 
     def execute_ir(self, d: dict | str) -> DataFrame:
         if isinstance(d, str):
@@ -249,9 +336,19 @@ class OlapContext:
         self.spark.createDataFrame(
             cols, "column string, type string, ndv double"
         ).createOrReplaceTempView("olap_columns")
-        hist = [(json.dumps(r.spec), r.backing) for r in self.query_history]
+        hist = [
+            (
+                json.dumps(r.spec),
+                r.backing,
+                float(r.estimated_groups) if r.estimated_groups is not None else None,
+                r.observed_rows,
+            )
+            for r in self.query_history
+        ]
         self.spark.createDataFrame(
-            hist or [("", "")], "spec string, backing string"
+            hist or [("", "", None, None)],
+            "spec string, backing string, estimated_groups double, "
+            "observed_rows long",
         ).createOrReplaceTempView("olap_query_history")
 
 
