@@ -1321,6 +1321,53 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY = "data quality model training"
+
+from pysparkline.operators.search import bm25_topk_oracle_sql as _bm25_oracle_sql
+
+
+@_register("bm25_topk_docs", _bm25_oracle_sql("documents", _BM25_QUERY, k=10))
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval: inverted postings (explode + map-side
+    combined groupBy) scored against a literal query — content search the
+    reference's SearchQuerySpec (dimension-substring) can't express. Plan is
+    UDF-free; at scale postings persist bucketed by term
+    (operators/search.py docstring)."""
+    from pysparkline.operators import search as s
+
+    prep(spark)
+    return s.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=10)
+
+
+@_register(
+    "pack_docs",
+    r"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_tokens,
+         sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))
+           OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM documents)
+SELECT source, doc_id, n_tokens,
+       cum - n_tokens AS start_offset,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE CAST(floor((cum - 1) / 512.0)
+                      - floor((cum - n_tokens) / 512.0) + 1 AS BIGINT)
+       END AS packs_spanned
+FROM t
+""",
+)
+def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token training packs: one
+    integer window per source stream (operators/text.py pack_sequences)."""
+    from pysparkline.operators import text as t
+
+    prep(spark)
+    return t.pack_sequences(_docs(spark, sf_dir), 512)
+
+
 @_register(
     "dedup_clusters_docs",
     r"""
@@ -3104,6 +3151,8 @@ _PRIORITY = [
     # (a) never inside a driver window yet (VERDICT r2 "What's missing #2")
     "frame_sample", "mix_sources_docs", "search_strlen",
     "theta_error_small_k",
+    # (a') new this round: BM25 retrieval + sequence packing
+    "bm25_topk_docs", "pack_docs",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

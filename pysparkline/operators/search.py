@@ -1,0 +1,164 @@
+"""Full-text retrieval over a document corpus: inverted postings + BM25 top-k.
+
+The reference's SearchQuerySpec (QueryDSL at src/main — dimension-value
+substring search) covers *dimension* search; a training-data pipeline also
+needs *content* retrieval — find the documents most relevant to a probe query
+(e.g. pulling eval-adjacent documents, building targeted decontamination
+lists, curating topical subsets). This is the Spark-first equivalent of a
+Lucene/Druid search node:
+
+- ``build_postings``: one explode + one map-side-combined groupBy produces the
+  (term, doc_id, tf) postings relation plus per-doc lengths. At 100 TB the
+  postings are written out partitioned/bucketed BY TERM, so a query's term
+  lookups become partition-pruned scans; here they stay a DataFrame.
+- ``bm25_topk``: query terms are a literal array (broadcast-class by
+  construction); scoring is a semi-join of postings against the terms, one
+  aggregation over matching docs, one ordered limit. No UDFs anywhere — the
+  whole plan is JVM expressions inside whole-stage codegen.
+
+Determinism contract (driver oracle): tokenization is lower + split on
+``[^a-z0-9]+`` (identical across RE2/PCRE-class engines), scores are rounded
+to 4 decimals BEFORE ranking, ties break on doc_id — so DuckDB computes the
+bit-same ranking.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _terms(text_col) -> "F.Column":
+    return F.filter(
+        F.split(F.lower(text_col), TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens): postings = (term, doc_id, tf); doclens =
+    (doc_id, dl). One shuffle each, both map-side combined."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_terms(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    doclens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_terms(F.col(text_col))).alias("dl"),
+    )
+    return postings, doclens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 for a whitespace-ish query string.
+
+    Returns (doc_id, score) with score rounded to 4 decimals and ranking on
+    (rounded score DESC, doc_id ASC). Corpus stats (N, avgdl) come from one
+    tiny aggregate; idf uses the standard
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` form (always positive).
+    """
+    q_terms = sorted(
+        {t for t in __import__("re").split(TOKEN_SPLIT, query.lower()) if t}
+    )
+    if not q_terms:
+        raise ValueError("query has no indexable terms")
+    postings, doclens = build_postings(docs, id_col, text_col)
+
+    # corpus constants: one 2-row-ish aggregate, collected once (driver-side
+    # scalars keep the scoring expression literal — no cross join, no UDF)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+
+    matched = postings.where(F.col("term").isin(q_terms))
+    # df per matched term (distinct docs): tiny — at most len(q_terms) rows
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    ).collect()
+    idf = {
+        r["term"]: math.log(1.0 + (n_docs - r["dfreq"] + 0.5) / (r["dfreq"] + 0.5))
+        for r in dfreq
+    }
+    idf_col = F.element_at(
+        F.create_map(
+            *[x for t in idf for x in (F.lit(t), F.lit(idf[t]))]
+        ),
+        F.col("term"),
+    )
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = idf_col * tf * F.lit(k1 + 1.0) / (tf + norm)
+    scored = (
+        matched.join(doclens, "doc_id")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def bm25_topk_oracle_sql(
+    table: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """The DuckDB twin of :func:`bm25_topk` (same tokenization, same rounded
+    ranking) — the driver's semantic oracle."""
+    q_terms = sorted(
+        {t for t in __import__("re").split(TOKEN_SPLIT, query.lower()) if t}
+    )
+    terms_sql = ", ".join(f"'{t}'" for t in q_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM {table},
+       UNNEST(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}')) AS t(term)
+  WHERE t.term <> ''
+),
+-- doc lengths from the TABLE (not toks), so zero-token docs keep dl=0 rows
+-- exactly like the Spark side's F.size over the split array
+doclens AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                         x -> x <> '')) AS dl
+  FROM {table}
+),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+postings AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({terms_sql}) GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM postings GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (c.n - f.dfreq + 0.5) / (f.dfreq + 0.5))
+           * (CAST(p.tf AS DOUBLE) * ({k1} + 1.0))
+           / (CAST(p.tf AS DOUBLE)
+              + {k1} * (1.0 - {b} + {b} * CAST(d.dl AS DOUBLE) / c.avgdl))
+         ), 4) AS score
+  FROM postings p
+  JOIN doclens d ON p.doc_id = d.doc_id
+  JOIN dfreq f ON p.term = f.term
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""

@@ -197,3 +197,55 @@ def chunk_documents(
             F.col("c.n_tokens"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document its position
+    in a stream of fixed-size training packs.
+
+    The standard LM data prep step — documents are concatenated (per
+    ``part_col`` stream, in ``id_col`` order) and the token stream is cut
+    every ``budget`` tokens. For each document this returns where it landed:
+    ``start_offset`` (tokens before it in its stream), ``pack_id`` (the pack
+    its first token falls in) and ``packs_spanned`` (how many packs it
+    straddles; 0 for empty docs). All integer window arithmetic — one shuffle
+    on ``part_col``, exact in any SQL engine (the driver oracle mirrors it
+    with the same window sum).
+
+    100 TB posture: a single window over (part_col, id_col) — each source
+    stream is one partition's sort, no iteration, no driver state. For
+    production layouts with giant single sources, pre-split the stream into
+    shards and use (source, shard) as ``part_col``.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    n = token_count(F.col(text_col))
+    out = df.select(
+        F.col(part_col),
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    pack_id = F.floor((cum - F.col("n_tokens")) / budget)
+    end_pack = F.floor((cum - 1) / budget)
+    return out.select(
+        part_col,
+        id_col,
+        "n_tokens",
+        start,
+        pack_id.alias("pack_id"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(end_pack - pack_id + 1)
+        .cast("long")
+        .alias("packs_spanned"),
+    )

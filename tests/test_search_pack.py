@@ -1,0 +1,98 @@
+"""BM25 retrieval + sequence packing vs the DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkline.operators import search, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_bm25_matches_duckdb(spark, docs, duck):
+    q = "data quality model training"
+    got = [
+        (r["doc_id"], float(r["score"]))
+        for r in search.bm25_topk(docs, q, k=10).collect()
+    ]
+    want = [
+        (d, float(s))
+        for d, s in duck.execute(
+            search.bm25_topk_oracle_sql("documents", q, k=10)
+        ).fetchall()
+    ]
+    assert len(got) == 10
+    assert got == want
+
+
+def test_bm25_scores_positive_and_ranked(spark, docs):
+    rows = search.bm25_topk(docs, "the language", k=5).collect()
+    scores = [r["score"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_rejects_empty_query(docs):
+    with pytest.raises(ValueError):
+        search.bm25_topk(docs, "!!! ...")
+
+
+def test_bm25_plan_is_jvm_only(docs):
+    plan = search.bm25_topk(docs, "training data")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_matches_duckdb(spark, docs, duck):
+    budget = 512
+    got = sorted(
+        map(tuple, text.pack_sequences(docs, budget).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+           OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM documents)
+SELECT source, doc_id, n_tokens,
+       cum - n_tokens AS start_offset,
+       CAST(floor((cum - n_tokens) / {budget}.0) AS BIGINT) AS pack_id,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE CAST(floor((cum - 1) / {budget}.0)
+                      - floor((cum - n_tokens) / {budget}.0) + 1 AS BIGINT)
+       END AS packs_spanned
+FROM t""").fetchall(),
+        )
+    )
+    assert got == want
+    # invariant: within a source, offsets are a prefix-sum partition
+    by_src = {}
+    for src, did, n, off, pid, spans in got:
+        by_src.setdefault(src, []).append((did, n, off))
+    for src, rows in by_src.items():
+        rows.sort()
+        acc = 0
+        for did, n, off in rows:
+            assert off == acc
+            acc += n
+
+
+def test_pack_sequences_spans(spark):
+    df = spark.createDataFrame(
+        [("s", 1, "a " * 10), ("s", 2, "b " * 95), ("s", 3, "")],
+        "source string, doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.pack_sequences(df, 100).collect()}
+    assert rows[1]["pack_id"] == 0 and rows[1]["packs_spanned"] == 1
+    # doc 2: tokens 10..104 -> starts pack 0, ends pack 1 -> spans 2
+    assert rows[2]["start_offset"] == 10 and rows[2]["packs_spanned"] == 2
+    assert rows[3]["n_tokens"] == 0 and rows[3]["packs_spanned"] == 0
