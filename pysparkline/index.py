@@ -166,6 +166,19 @@ class IndexConfig:
     # distinct-value set in the file manifest (the dictionary-presence index);
     # every scalar column gets per-file min/max
     manifest_set_max_ndv: int = 256
+    # Z-ORDER clustering (the Delta OPTIMIZE ZORDER analog): when set, files
+    # within each time partition are range-clustered on the interleaved-bit
+    # z-value of these columns instead of the lexicographic sort_cols order.
+    # A lexicographic sort gives file locality only to its LEADING column —
+    # a predicate on the 2nd/3rd key scans everything (r2 bench: q10's
+    # l_returnflag+o_orderdate filters pruned 1.25x under
+    # (c_mktsegment, l_returnflag, o_orderdate) sort). Z-interleaving gives
+    # every listed dimension ~2^(bits/ncols) distinguishable ranges per
+    # partition, so the SAME per-file min/max + value-set manifest prunes on
+    # any subset of them. Use for 2-4 filter dims with independent predicate
+    # families; single-dim clustering is better served by sort_cols.
+    zorder_cols: list = field(default_factory=list)
+    zorder_bits: int = 8  # bits per column in the interleave
 
     def to_dict(self) -> dict:
         d = {
@@ -197,6 +210,9 @@ class IndexConfig:
             d["filesPerTimePartition"] = self.files_per_time_partition
         if self.manifest_set_max_ndv != 256:
             d["manifestSetMaxNdv"] = self.manifest_set_max_ndv
+        if self.zorder_cols:
+            d["zorderCols"] = list(self.zorder_cols)
+            d["zorderBits"] = self.zorder_bits
         return d
 
     @staticmethod
@@ -220,7 +236,94 @@ class IndexConfig:
             ],
             files_per_time_partition=d.get("filesPerTimePartition", 8),
             manifest_set_max_ndv=d.get("manifestSetMaxNdv", 256),
+            zorder_cols=list(d.get("zorderCols", [])),
+            zorder_bits=d.get("zorderBits", 8),
         )
+
+
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def zvalue_column(df: DataFrame, cols: list, bits: int = 8, max_dict: int = 1024):
+    """Interleaved-bit z-value over ``cols`` (Morton order) as a pure-JVM
+    Column — the clustering key behind IndexConfig.zorder_cols.
+
+    Per-column order-preserving codes in [0, 2^bits):
+    - numeric / date / timestamp: min-max-uniform buckets (ranges come from
+      ONE tiny aggregate at build time);
+    - strings: dictionary rank over the sorted distinct values (one distinct
+      collect, capped at ``max_dict``; past the cap the code degrades to a
+      hash — value-set/selector pruning still works, range locality for that
+      one column is given up).
+
+    The bit interleave means every column contributes its high bits to the
+    TOP of the z-value, so range-clustering files by z gives each listed
+    dimension ~2^(bits)/spread contiguous runs — per-file min/max and
+    value-set stats stay selective for predicates on ANY subset of the
+    columns, which a lexicographic sort only achieves for its leading key.
+    Build-time-only cost; nulls sort to bucket 0.
+    """
+    ncols = len(cols)
+    if ncols == 0:
+        raise ValueError("zorder_cols is empty")
+    nb = 1 << bits
+    dtypes = dict(df.dtypes)
+    num_exprs = {}
+    for c in cols:
+        dt = dtypes[c]
+        if dt == "date" or dt.startswith("timestamp"):
+            num_exprs[c] = F.col(c).cast("timestamp").cast("double")
+        elif dt in _NUMERIC_DTYPES or dt.startswith("decimal"):
+            num_exprs[c] = F.col(c).cast("double")
+    rng: dict = {}
+    if num_exprs:
+        aggs = []
+        for c, e in num_exprs.items():
+            aggs += [F.min(e).alias(f"lo__{c}"), F.max(e).alias(f"hi__{c}")]
+        rng = df.agg(*aggs).collect()[0].asDict()
+    codes = []
+    for c in cols:
+        if c in num_exprs:
+            lo, hi = rng.get(f"lo__{c}"), rng.get(f"hi__{c}")
+            if lo is None or hi is None or hi <= lo:
+                code = F.lit(0).cast("long")
+            else:
+                e = num_exprs[c]
+                scaled = (
+                    (e - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * nb
+                ).cast("long")
+                code = F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                    F.least(F.greatest(scaled, F.lit(0)), F.lit(nb - 1))
+                )
+        else:
+            vals = [
+                r[0] for r in df.select(c).distinct().limit(max_dict + 1).collect()
+            ]
+            vals = sorted(v for v in vals if v is not None)
+            if len(vals) > max_dict:
+                code = F.pmod(F.hash(F.col(c)), F.lit(nb)).cast("long")
+            elif not vals:
+                code = F.lit(0).cast("long")
+            else:
+                n = len(vals)
+                m = F.create_map(
+                    *[
+                        x
+                        for i, v in enumerate(vals)
+                        for x in (F.lit(v), F.lit(i * nb // n))
+                    ]
+                )
+                code = F.coalesce(
+                    F.element_at(m, F.col(c)).cast("long"), F.lit(0)
+                )
+        codes.append(code.cast("long"))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, code in enumerate(codes):
+            z = z + F.shiftleft(
+                F.shiftright(code, b).bitwiseAND(F.lit(1)), b * ncols + i
+            )
+    return z
 
 
 def flatten_star(
@@ -376,7 +479,42 @@ class OlapIndex:
 
         def write_flat(stats_future):
             to_write = pre
-            if config.sort_cols:
+            if config.zorder_cols:
+                # multi-dimensional clustering: range-partition each time
+                # partition by the interleaved-bit z-value so per-file
+                # min/max + value-set manifest stats are selective for
+                # predicates on ANY of the z columns (zvalue_column doc).
+                parts = int(stats_future.result()["__parts"])
+                n = max(
+                    parts * max(1, config.files_per_time_partition),
+                    spark.sparkContext.defaultParallelism,
+                )
+                z = zvalue_column(pre, config.zorder_cols, config.zorder_bits)
+                # range-partition on the COARSE z prefix (top log2(files)
+                # bits) rather than raw z: sampled range boundaries then can
+                # only fall on bucket edges, so every file holds whole
+                # z-buckets — per-file value sets stay PURE combinations of
+                # the top per-dimension bits instead of straddling sampled
+                # cut points. Oversized buckets still split under
+                # maxRecordsPerFile; the fine z orders rows within files so
+                # row-group stats refine further.
+                import math as _math
+
+                k = max(
+                    1,
+                    int(_math.log2(max(2, config.files_per_time_partition))),
+                )
+                shift = max(
+                    0, config.zorder_bits * len(config.zorder_cols) - k
+                )
+                to_write = (
+                    pre.withColumn("__z", z)
+                    .withColumn("__zb", F.shiftright(F.col("__z"), shift))
+                    .repartitionByRange(n, MONTH_COL, "__zb")
+                    .sortWithinPartitions(MONTH_COL, "__z")
+                    .drop("__z", "__zb")
+                )
+            elif config.sort_cols:
                 # layout for pruning: range-partition by (month, sort cols)
                 # so each time partition splits into files with CONTIGUOUS
                 # sort-column ranges, then sort within each task — row groups

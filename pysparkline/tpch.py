@@ -165,7 +165,17 @@ def tpch_index_config() -> IndexConfig:
         # month partitioning cannot touch (the Druid per-dimension-index
         # analog); row-group stats inside each kept file stay tight on the
         # same columns for free
-        sort_cols=["c_mktsegment", "l_returnflag", "o_orderdate"],
+        # z-order (not lexicographic sort): q3 filters c_mktsegment +
+        # o_orderdate, q10 filters l_returnflag + o_orderdate — under a
+        # lexicographic sort only the leading column pruned (q10: 1.25x).
+        # Interleaved-bit clustering keeps per-file stats selective for all
+        # three predicate families at once (index.zvalue_column).
+        zorder_cols=["c_mktsegment", "l_returnflag", "o_orderdate"],
+        # 32 z-buckets per time partition = 5 interleaved prefix bits of
+        # per-file resolution across the three z dims (aligned buckets:
+        # q10's flag+date filters keep ~8% of files, q3 ~12%). File COUNT
+        # scales with partitions, not data — size stays writer-bounded.
+        files_per_time_partition=32,
         cubes=[
             CubeSpec("flags", ("l_returnflag", "l_linestatus"), "day"),
             CubeSpec(

@@ -196,3 +196,83 @@ def test_pruned_plan_reads_fewer_files(ctx):
     df = ctx.query(spec)
     df.collect()
     assert len(df.inputFiles()) == len(files) < total
+
+
+# ------------------------------------------------------------------- z-order
+
+
+def test_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """The property lexicographic sort lacks: with zorder_cols=(a, b), a
+    selective predicate on EITHER column alone prunes files (under
+    sort_cols=(a, b) a filter on b keeps every file)."""
+    from pysparkline.index import IndexConfig, MetricSpec, OlapIndex
+
+    n = 40_000
+    df = spark.range(0, n).select(
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 28) + 1, 2, "0"))
+        ).alias("ts"),
+        F.concat(F.lit("a"), (F.pmod(F.hash(F.col("id")), 5))).alias("a"),
+        F.concat(F.lit("b"), (F.pmod(F.hash(F.col("id") * 7 + 3), 4))).alias("b"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    cfg = IndexConfig(
+        time_col="ts",
+        metrics=[MetricSpec("v_sum", "v", "sum")],
+        zorder_cols=["a", "b"],
+        files_per_time_partition=16,
+    )
+    idx = OlapIndex.build(spark, df, cfg, str(tmp_path / "zidx"))
+
+    def pruned(filt):
+        q = ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("a")],
+            filter=filt,
+            aggregations=[ir.CountAgg("n")],
+        )
+        res = planner.prune_flat_files(idx, q)
+        assert res is not None
+        return res
+
+    kept_a, total = pruned(ir.SelectorFilter("a", "a0"))
+    kept_b, _ = pruned(ir.SelectorFilter("b", "b0"))
+    assert total >= 8
+    # both dimensions must prune materially — not just the leading one
+    assert len(kept_a) <= total * 0.6, (len(kept_a), total)
+    assert len(kept_b) <= total * 0.6, (len(kept_b), total)
+
+    # correctness: pruned scan == full scan
+    ctx = OlapContext(spark, idx, fact_name="zfact")
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("a")],
+        filter=ir.SelectorFilter("b", "b0"),
+        aggregations=[ir.CountAgg("n"), ir.FieldAgg("sum", "sv", "v")],
+    )
+    got = sorted(map(tuple, ctx.query(spec).collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.where(F.col("b") == "b0")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_zvalue_column_order_preserving(spark):
+    """Monotone inputs -> monotone z-codes per dimension (top bits)."""
+    from pysparkline.index import zvalue_column
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "k long, x double"
+    )
+    z = [
+        r["z"]
+        for r in df.select(zvalue_column(df, ["x"], bits=6).alias("z"))
+        .orderBy("k")
+        .collect()
+    ]
+    assert z == sorted(z)
+    assert len(set(z)) > 32  # buckets actually spread
