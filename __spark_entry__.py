@@ -1369,6 +1369,65 @@ def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "hash_split_docs",
+    r"""
+SELECT doc_id,
+       CASE WHEN CAST('0x' || substr(
+                    md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                            '\s+', ' ', 'g'))),
+                    1, 8) AS BIGINT) % 10000 < 9000 THEN 'train'
+            WHEN CAST('0x' || substr(
+                    md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                            '\s+', ' ', 'g'))),
+                    1, 8) AS BIGINT) % 10000 < 9500 THEN 'valid'
+            ELSE 'test'
+       END AS split
+FROM documents
+""",
+)
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/valid/test split (90/5/5): md5 of
+    normalized text -> bucket -> cumulative-weight cut. Survives re-sharding
+    and appends — the reproducibility property seeded sampling lacks
+    (operators/sampling.py hash_split)."""
+    from pysparkline.operators import sampling
+
+    prep(spark)
+    return sampling.hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+@_register(
+    "source_overlap_docs",
+    r"""
+WITH sh AS (
+  SELECT DISTINCT source AS g, substr(coalesce(text, ''), i, 5) AS s
+  FROM documents,
+       UNNEST(range(1, greatest(length(coalesce(text, '')) - 4, 1) + 1)) AS t(i)
+), totals AS (
+  SELECT g, count(*) AS total FROM sh GROUP BY g
+), pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS shared_shingles
+  FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT p.group_a, p.group_b, p.shared_shingles,
+       ta.total AS total_a, tb.total AS total_b
+FROM pairs p
+JOIN totals ta ON p.group_a = ta.g
+JOIN totals tb ON p.group_b = tb.g
+""",
+)
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test-leakage audit: pairwise distinct-shingle overlap between
+    sources (operators/clean.py source_overlap). Per-shingle join fan-out is
+    bounded by (#groups choose 2), never corpus size."""
+    from pysparkline.operators import clean
+
+    prep(spark)
+    return clean.source_overlap(_docs(spark, sf_dir))
+
+
+@_register(
     "dedup_clusters_docs",
     r"""
 WITH RECURSIVE toks AS (
@@ -3151,8 +3210,9 @@ _PRIORITY = [
     # (a) never inside a driver window yet (VERDICT r2 "What's missing #2")
     "frame_sample", "mix_sources_docs", "search_strlen",
     "theta_error_small_k",
-    # (a') new this round: BM25 retrieval + sequence packing
-    "bm25_topk_docs", "pack_docs",
+    # (a') new this round: BM25 retrieval, sequence packing, content-hash
+    # splits, cross-source leakage audit
+    "bm25_topk_docs", "pack_docs", "hash_split_docs", "source_overlap_docs",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

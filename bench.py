@@ -110,6 +110,10 @@ LLM_OPS = [
     "boilerplate_prune_docs",
     "theta_retention_daily",
     "ivf_index_topk",
+    "bm25_topk_docs",
+    "pack_docs",
+    "hash_split_docs",
+    "source_overlap_docs",
 ]
 
 

@@ -243,3 +243,53 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Pairwise shingle-overlap matrix between document groups — the
+    train/test-leakage audit: how much character-shingle mass two sources
+    (or two split assignments) share.
+
+    Returns one row per unordered group pair (a < b):
+    (group_a, group_b, shared_shingles, total_a, total_b) over DISTINCT
+    k-char shingles per group. Plan: explode shingles -> distinct
+    (group, shingle) [one map-side-combined shuffle] -> self-equi-join on
+    shingle [shuffle or broadcast by size] -> pair counts. Per-shingle join
+    fan-out is bounded by (#groups choose 2), never by corpus size, so the
+    pair explosion a naive doc-level cross join would hit cannot occur.
+    """
+    from .dedup import shingle_set_col
+
+    gs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(shingle_set_col(F.col(text_col), shingle_k)).alias("sh"),
+        )
+        .distinct()
+    )
+    totals = gs.groupBy("g").agg(F.count(F.lit(1)).alias("total"))
+    a, b = gs.alias("a"), gs.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    return (
+        shared.join(totals.withColumnRenamed("g", "group_a"), "group_a")
+        .withColumnRenamed("total", "total_a")
+        .join(
+            totals.withColumnRenamed("g", "group_b").withColumnRenamed(
+                "total", "total_b"
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a", "group_b", "shared_shingles", "total_a", "total_b"
+        )
+    )

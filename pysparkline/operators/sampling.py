@@ -67,3 +67,46 @@ def mix_sources(
     if out is None:
         raise ValueError("no source has positive weight")
     return out
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic, content-keyed train/valid/test assignment.
+
+    Seeded sampling is reproducible only for a fixed partition layout; a
+    CONTENT hash survives re-sharding, re-ordering, and incremental appends
+    — the property a 100 TB pipeline actually needs (the same document lands
+    in the same split forever, so eval never leaks into train across
+    re-builds). The key is md5 of the normalized text (same normalization as
+    text.fingerprint), its first 8 hex chars read as an integer modulo
+    ``buckets``, cut by cumulative weight. Pure narrow map, no shuffle; every
+    piece (md5, hex->int, modulo) is portable SQL, so the assignment is
+    oracle-checkable in any engine.
+    """
+    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), norm)), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    acc = 0.0
+    expr = None
+    items = list(weights.items())
+    for name, wgt in items[:-1]:
+        acc += wgt / total * buckets
+        cond = bucket < int(round(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

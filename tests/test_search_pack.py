@@ -96,3 +96,59 @@ def test_pack_sequences_spans(spark):
     # doc 2: tokens 10..104 -> starts pack 0, ends pack 1 -> spans 2
     assert rows[2]["start_offset"] == 10 and rows[2]["packs_spanned"] == 2
     assert rows[3]["n_tokens"] == 0 and rows[3]["packs_spanned"] == 0
+
+
+# --------------------------------------------------- hash split / overlap
+
+
+def test_hash_split_content_keyed(spark):
+    from pysparkline.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other words entirely")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["split"] for r in sampling.hash_split(df).collect()}
+    # identical content -> identical split, independent of id
+    assert rows[1] == rows[2]
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, weights={"a": 0.0})
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    from pysparkline.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(200)],
+        "doc_id long, text string",
+    )
+    base = {r["doc_id"]: r["split"] for r in sampling.hash_split(df).collect()}
+    salted = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(df, salt="v2").collect()
+    }
+    assert base != salted  # salt re-rolls at least one assignment
+    # and the weights are roughly honored
+    from collections import Counter
+
+    c = Counter(base.values())
+    assert c["train"] > 150
+
+
+def test_source_overlap_exact_counts(spark):
+    from pysparkline.operators import clean
+
+    df = spark.createDataFrame(
+        [
+            ("s1", 1, "abcdefgh"),   # shingles: abcde bcdef cdefg defgh
+            ("s2", 2, "abcdef"),     # shingles: abcde bcdef
+            ("s2", 3, "zzzzzz"),     # shingle: zzzzz (x2 -> distinct 1)
+        ],
+        "source string, doc_id long, text string",
+    )
+    rows = clean.source_overlap(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["group_a"], r["group_b"]) == ("s1", "s2")
+    assert r["shared_shingles"] == 2      # abcde, bcdef
+    assert r["total_a"] == 4 and r["total_b"] == 3
