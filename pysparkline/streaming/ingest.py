@@ -258,3 +258,124 @@ class StreamingIngest:
         with open(os.path.join(self.index.path, "manifest.json"), "w") as fh:
             json.dump(self.index.manifest, fh, indent=1, default=str)
         self.index.invalidate()  # memoized relation holds the old file list
+
+
+    def compact_flat(self, months: list[str] | None = None) -> int:
+        """Re-cluster appended flat files into the indexed layout and refresh
+        their file-manifest rows — the Druid compaction-task analog for the
+        FLAT table. Returns the number of month partitions rewritten.
+
+        Appends land partition-correct but un-clustered, and the pruner keeps
+        manifest-unknown files unconditionally (correct, never fast): over
+        time an always-appending index degrades toward full-partition scans.
+        This rewrites each affected month with the SAME clustering the build
+        used (z-order buckets or lexicographic sort), swaps the directory,
+        and replaces that month's rows in the file manifest — pruning
+        selectivity is restored without touching any other partition.
+
+        Scale/concurrency contract mirrors :meth:`compact`: per-month work
+        (never a full-table rewrite), run it in a maintenance window — plain
+        Parquet directory swaps are not transactional (Delta/Iceberg lifts
+        that). Z-codes are computed from the month's own value ranges, which
+        may differ from the build's global ranges; pruning reads per-file
+        stats, not codes, so this only affects locality, never correctness.
+        """
+        import shutil
+
+        from ..index import FILE_MANIFEST, zvalue_column
+
+        idx, cfg, spark = self.index, self.index.config, self.index.spark
+        flat_root = os.path.join(idx.path, "flat")
+        fm_info = idx.manifest.get("fileManifest")
+        if fm_info is None:
+            raise ValueError("index predates file manifests; rebuild it")
+        if months is None:
+            known = set(idx.file_manifest() or {})
+            months = []
+            for d in sorted(os.listdir(flat_root)):
+                if not d.startswith(f"{MONTH_COL}="):
+                    continue
+                mdir = os.path.join(flat_root, d)
+                files = [
+                    os.path.join(mdir, f)
+                    for f in os.listdir(mdir)
+                    if f.endswith(".parquet")
+                ]
+                if any(f"file:{f}" not in known and f not in known for f in files):
+                    months.append(d.split("=", 1)[1])
+        if not months:
+            return 0
+
+        n_files = max(1, cfg.files_per_time_partition)
+        for m in months:
+            mdir = os.path.join(flat_root, f"{MONTH_COL}={m}")
+            df = spark.read.parquet(mdir)
+            if cfg.zorder_cols:
+                import math as _math
+
+                k = max(1, int(_math.log2(max(2, n_files))))
+                shift = max(0, cfg.zorder_bits * len(cfg.zorder_cols) - k)
+                z = zvalue_column(df, cfg.zorder_cols, cfg.zorder_bits)
+                out = (
+                    df.withColumn("__z", z)
+                    .withColumn("__zb", F.shiftright(F.col("__z"), shift))
+                    .repartitionByRange(n_files, "__zb")
+                    .sortWithinPartitions("__z")
+                    .drop("__z", "__zb")
+                )
+            elif cfg.sort_cols:
+                out = df.repartitionByRange(
+                    n_files, *cfg.sort_cols
+                ).sortWithinPartitions(*cfg.sort_cols)
+            else:
+                out = df
+            tmp = os.path.join(idx.path, f"_compact_flat__{m}")
+            out.write.mode("overwrite").option(
+                "maxRecordsPerFile", 5_000_000
+            ).parquet(tmp)
+            old = mdir + "__old"
+            os.rename(mdir, old)
+            os.rename(tmp, mdir)
+            shutil.rmtree(old, ignore_errors=True)
+
+        # refresh manifest rows for ONLY the rewritten months
+        mm_cols = fm_info["statsCols"]
+        set_cols = fm_info["setCols"]
+        month_dirs = [
+            os.path.join(flat_root, f"{MONTH_COL}={m}") for m in months
+        ]
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for c in mm_cols:
+            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+        for c in set_cols:
+            aggs.append(
+                F.array_sort(F.collect_set(F.col(c).cast("string"))).alias(
+                    f"set__{c}"
+                )
+            )
+        fresh = (
+            spark.read.parquet(*month_dirs)
+            .groupBy(F.col("_metadata.file_path").alias("file"))
+            .agg(*aggs)
+        )
+        fm_path = os.path.join(idx.path, fm_info["path"])
+        prefixes = tuple(
+            p
+            for d in month_dirs
+            for p in (f"file:{d}{os.sep}", f"{d}{os.sep}")
+        )
+        kept = (
+            spark.read.parquet(fm_path)
+            .where(~F.col("file").startswith(prefixes[0]))
+        )
+        for p in prefixes[1:]:
+            kept = kept.where(~F.col("file").startswith(p))
+        merged = kept.unionByName(fresh, allowMissingColumns=True)
+        tmp_fm = fm_path + "__compact"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_fm)
+        spark.read.parquet(tmp_fm).coalesce(1).write.mode("overwrite").parquet(
+            fm_path
+        )
+        shutil.rmtree(tmp_fm, ignore_errors=True)
+        self.index.invalidate()
+        return len(months)

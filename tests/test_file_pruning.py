@@ -276,3 +276,153 @@ def test_zvalue_column_order_preserving(spark):
     ]
     assert z == sorted(z)
     assert len(set(z)) > 32  # buckets actually spread
+
+
+# ---------------------------------------------------------------- fuzzer
+
+
+def _prune_filter_strategy():
+    import hypothesis.strategies as st
+
+    seg = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    flag = ["A", "N", "R"]
+    leaf = st.one_of(
+        st.sampled_from(seg).map(lambda v: ir.SelectorFilter("c_mktsegment", v)),
+        st.sampled_from(flag).map(lambda v: ir.SelectorFilter("l_returnflag", v)),
+        st.lists(st.sampled_from(seg), min_size=1, max_size=3, unique=True).map(
+            lambda vs: ir.InFilter("c_mktsegment", vs)
+        ),
+        st.tuples(
+            st.integers(1994, 1999), st.integers(1, 12),
+            st.integers(1994, 1999), st.integers(1, 12),
+            st.booleans(), st.booleans(),
+        ).map(
+            lambda t: ir.BoundFilter(
+                "o_orderdate",
+                f"{min(t[0], t[2])}-{t[1]:02d}-01",
+                f"{max(t[0], t[2])}-{t[3]:02d}-28",
+                lower_strict=t[4],
+                upper_strict=t[5],
+            )
+        ),
+        st.tuples(st.integers(0, 30), st.integers(10, 50)).map(
+            lambda t: ir.BoundFilter("l_quantity", t[0], t[1])
+        ),
+        st.sampled_from(["BUILD", "URN", "zzz"]).map(
+            lambda v: ir.ContainsFilter("c_mktsegment", v, case_sensitive=False)
+        ),
+    )
+    tree = st.one_of(
+        leaf,
+        leaf.map(lambda f: ir.NotFilter(f)),
+        st.lists(leaf, min_size=2, max_size=3).map(
+            lambda fs: ir.LogicalFilter("and", fs)
+        ),
+        st.lists(leaf, min_size=2, max_size=3).map(
+            lambda fs: ir.LogicalFilter("or", fs)
+        ),
+    )
+    return tree
+
+
+def test_prune_is_conservative_fuzz(spark, ctx):
+    """Property: the pruned file list retains EVERY row the filter matches —
+    a dropped matching row is silent data corruption, the one failure mode
+    manifest pruning must never have (z-order + aligned buckets in the
+    loop: the module fixture index is the sf0.001 TPC-H z-order build)."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    import hypothesis.strategies as st
+
+    from pysparkline import lowering as low
+
+    idx = ctx.index
+    flat = idx.flat_df()
+
+    @given(f=_prune_filter_strategy())
+    @settings(
+        max_examples=30 * int(os.environ.get("PYSPARKLINE_FUZZ_SCALE", "1")),
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def run(f):
+        q = ir.GroupByQuery(
+            dimensions=[],
+            filter=f,
+            aggregations=[ir.CountAgg("n")],
+        )
+        res = planner.prune_flat_files(idx, q)
+        if res is None:
+            return
+        files, total = res
+        cond = low.filter_to_column(f)
+        full = flat.where(cond).count()
+        pruned = planner._pruned_flat_df(idx, files).where(cond).count()
+        assert pruned == full, (f, len(files), total, pruned, full)
+
+    run()
+
+
+def test_compact_flat_restores_pruning(spark, tmp_path):
+    """Append -> files unknown to the manifest (kept, correct-but-unpruned);
+    compact_flat -> re-clustered + manifest-refreshed; results identical and
+    the appended month prunes again."""
+    from pysparkline.index import IndexConfig, MetricSpec, OlapIndex
+    from pysparkline.streaming.ingest import StreamingIngest
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.to_timestamp(
+                F.concat(F.lit("2024-0"), (F.col("id") % 2) + 1, F.lit("-15"))
+            ).alias("ts"),
+            F.concat(F.lit("a"), F.pmod(F.hash(F.col("id")), 4)).alias("a"),
+            (F.col("id") % 100).alias("v"),
+        )
+
+    cfg = IndexConfig(
+        time_col="ts",
+        metrics=[MetricSpec("v_sum", "v", "sum")],
+        zorder_cols=["a"],
+        files_per_time_partition=8,
+    )
+    idx = OlapIndex.build(spark, mk(0, 8000), cfg, str(tmp_path / "cidx"))
+    ing = StreamingIngest(idx)
+    ing.process_batch(mk(8000, 12000), batch_id=-1)
+
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("a")],
+        filter=ir.SelectorFilter("a", "a1"),
+        aggregations=[ir.CountAgg("n"), ir.FieldAgg("sum", "sv", "v")],
+    )
+    ctx = OlapContext(spark, idx, fact_name="cfact")
+    before = sorted(map(tuple, ctx.query(spec).collect()))
+    res_before = planner.prune_flat_files(idx, spec)
+    kept_before, total_before = len(res_before[0]), res_before[1]
+
+    n = ing.compact_flat()
+    assert n == 2  # both months got appended files
+
+    res_after = planner.prune_flat_files(idx, spec)
+    kept_after, total_after = len(res_after[0]), res_after[1]
+    # every file known again and the selector prunes materially
+    assert kept_after < total_after
+    assert kept_after / total_after < kept_before / total_before
+
+    ctx2 = OlapContext(spark, idx, fact_name="cfact")
+    after = sorted(map(tuple, ctx2.query(spec).collect()))
+    assert after == before
+    # expected ground truth
+    want = sorted(
+        map(
+            tuple,
+            mk(0, 12000)
+            .where(F.col("a") == "a1")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect(),
+        )
+    )
+    assert after == want
+    # idempotent: nothing left to compact
+    assert ing.compact_flat() == 0
