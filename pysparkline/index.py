@@ -297,9 +297,14 @@ def zvalue_column(df: DataFrame, cols: list, bits: int = 8, max_dict: int = 1024
                 )
         else:
             vals = [
-                r[0] for r in df.select(c).distinct().limit(max_dict + 1).collect()
+                r[0]
+                for r in df.select(c)
+                .where(F.col(c).isNotNull())  # a NULL row must not eat a
+                .distinct()                   # dictionary slot: the cap check
+                .limit(max_dict + 1)          # below counts real values only
+                .collect()
             ]
-            vals = sorted(v for v in vals if v is not None)
+            vals = sorted(vals)
             if len(vals) > max_dict:
                 code = F.pmod(F.hash(F.col(c)), F.lit(nb)).cast("long")
             elif not vals:
@@ -324,6 +329,50 @@ def zvalue_column(df: DataFrame, cols: list, bits: int = 8, max_dict: int = 1024
                 F.shiftright(code, b).bitwiseAND(F.lit(1)), b * ncols + i
             )
     return z
+
+
+def cluster_for_layout(
+    df: DataFrame, config: IndexConfig, n: int, lead_cols: tuple = ()
+) -> DataFrame:
+    """Apply the index layout's clustering (z-order buckets or lexicographic
+    sort) to ``df`` — the ONE definition shared by the initial build
+    (lead_cols=(MONTH_COL,), clustering across all partitions) and per-month
+    flat compaction (lead_cols=()), so the two can never diverge."""
+    if config.zorder_cols:
+        import math as _math
+
+        k = max(1, int(_math.log2(max(2, config.files_per_time_partition))))
+        shift = max(0, config.zorder_bits * len(config.zorder_cols) - k)
+        z = zvalue_column(df, config.zorder_cols, config.zorder_bits)
+        return (
+            df.withColumn("__z", z)
+            .withColumn("__zb", F.shiftright(F.col("__z"), shift))
+            .repartitionByRange(n, *lead_cols, "__zb")
+            .sortWithinPartitions(*lead_cols, "__z")
+            .drop("__z", "__zb")
+        )
+    if config.sort_cols:
+        return df.repartitionByRange(
+            n, *lead_cols, *config.sort_cols
+        ).sortWithinPartitions(*lead_cols, *config.sort_cols)
+    return df
+
+
+def manifest_stat_aggs(mm_cols: list, set_cols: list) -> list:
+    """The per-file stats aggregation list (rows / min__ / max__ / set__) —
+    shared by the build's full manifest pass and compaction's per-month
+    refresh so manifest rows always have one format."""
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in mm_cols:
+        aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+    for c in set_cols:
+        # values stored as strings: one comparison domain driver-side
+        aggs.append(
+            F.array_sort(F.collect_set(F.col(c).cast("string"))).alias(
+                f"set__{c}"
+            )
+        )
+    return aggs
 
 
 def flatten_star(
@@ -484,35 +533,21 @@ class OlapIndex:
                 # partition by the interleaved-bit z-value so per-file
                 # min/max + value-set manifest stats are selective for
                 # predicates on ANY of the z columns (zvalue_column doc).
-                parts = int(stats_future.result()["__parts"])
-                n = max(
-                    parts * max(1, config.files_per_time_partition),
-                    spark.sparkContext.defaultParallelism,
-                )
-                z = zvalue_column(pre, config.zorder_cols, config.zorder_bits)
-                # range-partition on the COARSE z prefix (top log2(files)
-                # bits) rather than raw z: sampled range boundaries then can
+                # cluster_for_layout range-partitions on the COARSE z prefix
+                # (top log2(files) bits): sampled range boundaries then can
                 # only fall on bucket edges, so every file holds whole
                 # z-buckets — per-file value sets stay PURE combinations of
                 # the top per-dimension bits instead of straddling sampled
                 # cut points. Oversized buckets still split under
                 # maxRecordsPerFile; the fine z orders rows within files so
                 # row-group stats refine further.
-                import math as _math
-
-                k = max(
-                    1,
-                    int(_math.log2(max(2, config.files_per_time_partition))),
+                parts = int(stats_future.result()["__parts"])
+                n = max(
+                    parts * max(1, config.files_per_time_partition),
+                    spark.sparkContext.defaultParallelism,
                 )
-                shift = max(
-                    0, config.zorder_bits * len(config.zorder_cols) - k
-                )
-                to_write = (
-                    pre.withColumn("__z", z)
-                    .withColumn("__zb", F.shiftright(F.col("__z"), shift))
-                    .repartitionByRange(n, MONTH_COL, "__zb")
-                    .sortWithinPartitions(MONTH_COL, "__z")
-                    .drop("__z", "__zb")
+                to_write = cluster_for_layout(
+                    pre, config, n, lead_cols=(MONTH_COL,)
                 )
             elif config.sort_cols:
                 # layout for pruning: range-partition by (month, sort cols)
@@ -689,19 +724,9 @@ class OlapIndex:
             if (stats.get(f"ndv__{c}") or float("inf"))
             <= config.manifest_set_max_ndv
         ]
-        aggs = [F.count(F.lit(1)).alias("rows")]
-        for c in mm_cols:
-            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
-        for c in set_cols:
-            # values stored as strings: one comparison domain driver-side
-            aggs.append(
-                F.array_sort(F.collect_set(F.col(c).cast("string"))).alias(
-                    f"set__{c}"
-                )
-            )
         fm = flat.groupBy(
             F.col("_metadata.file_path").alias("file")
-        ).agg(*aggs)
+        ).agg(*manifest_stat_aggs(mm_cols, set_cols))
         fm.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, FILE_MANIFEST)
         )

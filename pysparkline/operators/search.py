@@ -81,7 +81,12 @@ def bm25_topk(
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
-    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+    n_docs = stats["n"]
+    if n_docs == 0:  # empty corpus: empty (doc_id, score) result, no crash
+        return docs.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    avgdl = float(stats["avgdl"])
 
     matched = postings.where(F.col("term").isin(q_terms))
     # df per matched term (distinct docs): tiny — at most len(q_terms) rows

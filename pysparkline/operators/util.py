@@ -2,26 +2,71 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def _packed_width(df: DataFrame, files: list[str]) -> int:
+    """Estimate how many scan partitions Spark will pack ``files`` into.
+
+    File COUNT alone overestimates width for many-small-file layouts: the
+    reader bin-packs files into splits of up to maxPartitionBytes (charging
+    openCostInBytes per file), so 500 tiny files can become 2 scan
+    partitions — exactly the narrow shape a CPU-bound stage must not run on.
+    Local paths are stat-ed (metadata only, no Spark job); any path we can't
+    stat falls back to file count for the rest.
+    """
+    conf = df.sparkSession.conf
+
+    def _bytes(key: str, default: int) -> int:
+        v = str(conf.get(key, str(default)))
+        units = {"k": 10, "m": 20, "g": 30, "b": 0}
+        v = v.lower()
+        for suf, shift in units.items():
+            if v.endswith(suf):
+                try:
+                    return int(float(v[: -len(suf)])) << shift
+                except ValueError:
+                    return default
+        try:
+            return int(v)
+        except ValueError:
+            return default
+
+    max_part = _bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes("spark.sql.files.openCostInBytes", 4 << 20)
+    total_cost = 0
+    unstat = 0
+    for f in files:
+        p = f[5:] if f.startswith("file:") else f
+        try:
+            total_cost += os.stat(p).st_size + open_cost
+        except OSError:
+            unstat += 1
+    packed = -(-total_cost // max_part) if total_cost else 0
+    return int(packed) + unstat
 
 
 def ensure_parallelism(df: DataFrame, width: int | None = None) -> DataFrame:
     """Spread a narrow input across the fleet before a CPU-bound Python/Arrow
     stage (decode, hashing, matmul): a corpus read from one or two parquet
-    files would otherwise run the stage on one or two cores. No-op when the
-    input is already at least as wide as the default parallelism — wide
+    files — or from hundreds of tiny files the scan bin-packs into two
+    splits — would otherwise run the stage on one or two cores. No-op when
+    the input is already at least as wide as the default parallelism — wide
     production inputs never pay the shuffle.
 
-    Width probe: the caller's hint, else the source file count (a pure
-    listing call — at production file sizes maxPartitionBytes makes scan
-    partitions track files ~1:1). Never ``df.rdd.getNumPartitions()``, which
-    forces a full physical-planning pass per invocation just to read a
-    number. Non-file sources (in-memory test frames) report no files and
-    repartition — the safe direction for the narrow inputs they are."""
+    Width probe: the caller's hint, else the scan-partition estimate from
+    the source file listing + sizes (pure metadata calls). Never
+    ``df.rdd.getNumPartitions()``, which forces a full physical-planning
+    pass per invocation just to read a number. Non-file sources (in-memory
+    test frames) report no files and repartition — the safe direction for
+    the narrow inputs they are."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if width is None:
         try:
-            width = len(df.inputFiles())
+            files = df.inputFiles()
+            width = _packed_width(df, files) if files else 0
         except Exception:
             width = 0
     if width >= par:

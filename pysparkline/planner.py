@@ -262,7 +262,16 @@ class GroupCountFeedback:
         if key not in self.exact and len(self.exact) >= self.cap:
             self.exact.pop(next(iter(self.exact)))
         self.exact[key] = float(observed)
-        if estimated and estimated > 0:
+        # drift ratios ONLY from unfiltered queries: estimate_groups ignores
+        # filters, so a filtered query's observed/estimated measures the
+        # filter's selectivity, not dimension correlation — generalizing it
+        # to other filters would deflate estimates and bypass the pre-agg
+        # cardinality gate. (Filtered queries still feed the exact tier.)
+        if (
+            estimated
+            and estimated > 0
+            and getattr(q, "filter", None) is None
+        ):
             lst = self.ratios.setdefault(self.dims_sig(q), [])
             lst.append(min(1.0, observed / estimated))
             del lst[: -self.ratios_per_key]
@@ -374,10 +383,23 @@ def _range_excludes(row: dict, col: str, val) -> bool:
     return (v_lo is not None and v_lo < lo) or (v_hi is not None and v_hi > hi)
 
 
+def _value_set(row: dict, col: str):
+    """The per-file distinct-value set for ``col``, but ONLY when the column
+    is string-typed (min/max stat is str): set values are stored as
+    cast-to-string, and for any other type the filter literal's textual form
+    need not match Spark's cast ("5" vs "5.0" vs "5.00", "1996-1-5" vs
+    "1996-01-05") — comparing those would wrongly prune files whose rows the
+    lowered (type-coercing) predicate matches. Non-string columns still get
+    min/max range pruning through _coerce's typed comparisons."""
+    if isinstance(row.get(f"min__{col}"), str):
+        return row.get(f"set__{col}")
+    return None
+
+
 def _file_passes(row: dict, f: ir.FilterSpec) -> bool:
     """May this file contain a row matching ``f``? False only on proof."""
     if isinstance(f, ir.SelectorFilter):
-        s = row.get(f"set__{f.dimension}")
+        s = _value_set(row, f.dimension)
         if s is not None and isinstance(f.value, str) and f.value not in s:
             return False
         return not _range_excludes(row, f.dimension, f.value)
@@ -398,7 +420,7 @@ def _file_passes(row: dict, f: ir.FilterSpec) -> bool:
                 return False
         return True
     if isinstance(f, ir.ContainsFilter):
-        s = row.get(f"set__{f.dimension}")
+        s = _value_set(row, f.dimension)
         if s is not None:
             if f.case_sensitive:
                 return any(f.value in v for v in s if v is not None)
@@ -413,7 +435,7 @@ def _file_passes(row: dict, f: ir.FilterSpec) -> bool:
         inner = f.field_
         if isinstance(inner, ir.SelectorFilter):
             # exact value set == {v}: no row can satisfy NOT v
-            s = row.get(f"set__{inner.dimension}")
+            s = _value_set(row, inner.dimension)
             if s is not None and s == [inner.value]:
                 return False
         return True

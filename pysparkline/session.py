@@ -189,20 +189,27 @@ class OlapContext:
             self._plan_cache.pop(next(iter(self._plan_cache)))
         self._plan_cache[key] = (df, record)
         if self._feedback_eligible(spec):
-            self._pending_obs.append((df, record, spec, key))
+            self._pending_obs.append([df, record, spec, key, 0])
             del self._pending_obs[:-64]  # bounded
         return df
 
     @staticmethod
     def _feedback_eligible(spec: ir.QuerySpec) -> bool:
         """Group-count feedback only where output rows == group count: an
-        agg shape with no row limit (TopN/limited output observes the limit,
-        not the cardinality)."""
+        agg shape with no row limit/offset, no HAVING, and no grouping sets
+        — each of those makes the observed count something other than the
+        grouping cardinality (and the feedback signature doesn't carry them,
+        so admitting them would poison signature-colliding queries)."""
         if isinstance(spec, ir.TimeseriesQuery):
             return True
         if isinstance(spec, ir.GroupByQuery):
+            if spec.having is not None or spec.grouping_sets is not None:
+                return False
             ls = spec.limit_spec
-            return ls is None or getattr(ls, "limit", None) is None
+            return ls is None or (
+                getattr(ls, "limit", None) is None
+                and getattr(ls, "offset", None) is None
+            )
         return False
 
     def _harvest_feedback(self) -> None:
@@ -215,10 +222,16 @@ class OlapContext:
         re-planned entry, whose estimate now matches observation, is never
         evicted again — the memo keeps working for repeated queries)."""
         still_pending = []
-        for df, record, spec, key in self._pending_obs:
+        for entry in self._pending_obs:
+            df, record, spec, key, attempts = entry
             obs = _executed_output_rows(df)
             if obs is None:
-                still_pending.append((df, record, spec, key))
+                # each probe pays physical planning for a never-executed
+                # frame; a plan the caller keeps not running stops being
+                # worth polling — drop it after a few tries
+                entry[4] = attempts + 1
+                if entry[4] < 8:
+                    still_pending.append(entry)
                 continue
             record.observed_rows = obs
             est = record.estimated_groups

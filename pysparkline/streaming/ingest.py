@@ -282,7 +282,7 @@ class StreamingIngest:
         """
         import shutil
 
-        from ..index import FILE_MANIFEST, zvalue_column
+        from ..index import cluster_for_layout, manifest_stat_aggs
 
         idx, cfg, spark = self.index, self.index.config, self.index.spark
         flat_root = os.path.join(idx.path, "flat")
@@ -310,25 +310,7 @@ class StreamingIngest:
         for m in months:
             mdir = os.path.join(flat_root, f"{MONTH_COL}={m}")
             df = spark.read.parquet(mdir)
-            if cfg.zorder_cols:
-                import math as _math
-
-                k = max(1, int(_math.log2(max(2, n_files))))
-                shift = max(0, cfg.zorder_bits * len(cfg.zorder_cols) - k)
-                z = zvalue_column(df, cfg.zorder_cols, cfg.zorder_bits)
-                out = (
-                    df.withColumn("__z", z)
-                    .withColumn("__zb", F.shiftright(F.col("__z"), shift))
-                    .repartitionByRange(n_files, "__zb")
-                    .sortWithinPartitions("__z")
-                    .drop("__z", "__zb")
-                )
-            elif cfg.sort_cols:
-                out = df.repartitionByRange(
-                    n_files, *cfg.sort_cols
-                ).sortWithinPartitions(*cfg.sort_cols)
-            else:
-                out = df
+            out = cluster_for_layout(df, cfg, n_files)
             tmp = os.path.join(idx.path, f"_compact_flat__{m}")
             out.write.mode("overwrite").option(
                 "maxRecordsPerFile", 5_000_000
@@ -344,19 +326,10 @@ class StreamingIngest:
         month_dirs = [
             os.path.join(flat_root, f"{MONTH_COL}={m}") for m in months
         ]
-        aggs = [F.count(F.lit(1)).alias("rows")]
-        for c in mm_cols:
-            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
-        for c in set_cols:
-            aggs.append(
-                F.array_sort(F.collect_set(F.col(c).cast("string"))).alias(
-                    f"set__{c}"
-                )
-            )
         fresh = (
             spark.read.parquet(*month_dirs)
             .groupBy(F.col("_metadata.file_path").alias("file"))
-            .agg(*aggs)
+            .agg(*manifest_stat_aggs(mm_cols, set_cols))
         )
         fm_path = os.path.join(idx.path, fm_info["path"])
         prefixes = tuple(

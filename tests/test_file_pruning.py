@@ -68,7 +68,12 @@ def test_file_passes_selector_and_bound():
     assert ok(row, ir.SelectorFilter("unknown_col", "x"))
     assert ok(row, ir.RegexFilter("d", "^A"))
     # NOT prunes only on an exact single-value set
-    assert not ok({"set__d": ["v"]}, ir.NotFilter(ir.SelectorFilter("d", "v")))
+    # real manifests always carry min/max next to a value set; the string-
+    # typed min is what licenses exact set semantics (planner._value_set)
+    assert not ok(
+        {"min__d": "v", "max__d": "v", "set__d": ["v"]},
+        ir.NotFilter(ir.SelectorFilter("d", "v")),
+    )
     assert ok(row, ir.NotFilter(ir.SelectorFilter("d", "AAA")))
     # contains consults the exact value set
     assert ok(row, ir.ContainsFilter("d", "BB", case_sensitive=True))
@@ -426,3 +431,20 @@ def test_compact_flat_restores_pruning(spark, tmp_path):
     assert after == want
     # idempotent: nothing left to compact
     assert ing.compact_flat() == 0
+
+
+def test_value_sets_ignored_for_non_string_columns():
+    """Regression (round-3 review): set values are cast-to-string, so for a
+    numeric/date column the filter literal's textual form need not match
+    ("5" vs "5.00") — membership must not prune; range pruning (typed
+    coercion) still applies."""
+    row = {"min__n": 1.0, "max__n": 9.0, "set__n": ["5.00", "7.00"]}
+    # "5" would fail naive membership against ["5.00", ...] but coerces into
+    # range -> file must be KEPT
+    assert planner._file_passes(row, ir.SelectorFilter("n", "5"))
+    # typed range pruning still rejects out-of-range values
+    assert not planner._file_passes(row, ir.SelectorFilter("n", "12"))
+    # string columns keep exact set pruning
+    srow = {"min__d": "AAA", "max__d": "MMM", "set__d": ["AAA"]}
+    assert not planner._file_passes(srow, ir.SelectorFilter("d", "BBB"))
+    assert planner._file_passes(srow, ir.SelectorFilter("d", "AAA"))
