@@ -2795,6 +2795,39 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     return idx
 
 
+_TEXT_INDEX: dict = {}
+
+
+def _text_index(spark: SparkSession, sf_dir: str):
+    """Build-once persisted BM25 inverted index per sf_dir (term-bucketed
+    postings parquet + corpus-constant manifest), cached like _ivf_index."""
+    from pysparkline.operators.search import TextIndex
+    from pysparkline.tpch import DEFAULT_CACHE_ROOT
+
+    key = os.path.abspath(sf_dir)
+    idx = _TEXT_INDEX.get(key)
+    if idx is not None and idx.spark is spark:
+        return idx
+    path = os.path.join(
+        DEFAULT_CACHE_ROOT, f"textix_{os.path.basename(os.path.normpath(key))}"
+    )
+    if os.path.exists(os.path.join(path, TextIndex.MANIFEST)):
+        idx = TextIndex.load(spark, path)
+    else:
+        idx = TextIndex.build(spark, _docs(spark, sf_dir), path, n_buckets=16)
+    _TEXT_INDEX[key] = idx
+    return idx
+
+
+@_register("text_index_topk", _bm25_oracle_sql("documents", _BM25_QUERY, k=10))
+def text_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-inverted-index BM25 (TextIndex: term-bucketed postings, the
+    probed buckets prune partitions statically — plan-asserted) — identical
+    scoring contract to bm25_topk_docs, so the same DuckDB oracle applies."""
+    prep(spark)
+    return _text_index(spark, sf_dir).search(_BM25_QUERY, k=10)
+
+
 @_register(
     "ivf_index_topk",
     _TOP1_ORACLE.format(qfilter="% 100 = 0"),
@@ -3212,7 +3245,8 @@ _PRIORITY = [
     "theta_error_small_k",
     # (a') new this round: BM25 retrieval, sequence packing, content-hash
     # splits, cross-source leakage audit
-    "bm25_topk_docs", "pack_docs", "hash_split_docs", "source_overlap_docs",
+    "bm25_topk_docs", "text_index_topk", "pack_docs", "hash_split_docs",
+    "source_overlap_docs",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

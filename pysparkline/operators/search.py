@@ -167,3 +167,125 @@ scored AS (
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+class TextIndex:
+    """Persisted inverted index: the BM25 serving posture for a 100 TB corpus.
+
+    ``bm25_topk`` rebuilds postings on every call — fine for one-shot jobs,
+    wrong for serving. This builds ONCE: postings are written PARTITIONED BY
+    a term-hash bucket (denormalized with the doc length, so scoring needs no
+    join), and corpus constants (N, avgdl) go into a tiny JSON manifest. A
+    search hashes its query terms into bucket ids (one local Spark job — the
+    ids must match the writer's Murmur3 F.hash) and applies them as a LITERAL
+    partition predicate: the scan statically prunes to the probed buckets'
+    files, so search cost scales with |query terms| / n_buckets of the
+    postings, not with the corpus. The IvfIndex pattern (similarity.py:327)
+    applied to text.
+
+    Same scoring contract as ``bm25_topk`` (shared tokenization, exact df
+    from the term's complete bucket, 4dp-rounded ranking): given the same
+    corpus and parameters the two return identical rows
+    (tests/test_search_pack.py asserts it).
+    """
+
+    MANIFEST = "text_manifest.json"
+
+    def __init__(self, spark, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+
+    @staticmethod
+    def build(
+        spark,
+        docs: DataFrame,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 64,
+    ) -> "TextIndex":
+        import json
+        import os
+
+        postings, doclens = build_postings(docs, id_col, text_col)
+        stats = doclens.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        denorm = postings.join(doclens, "doc_id").withColumn(
+            "__bucket", F.pmod(F.hash(F.col("term")), F.lit(n_buckets))
+        )
+        denorm.write.mode("overwrite").partitionBy("__bucket").parquet(
+            os.path.join(path, "postings")
+        )
+        manifest = {
+            "nBuckets": n_buckets,
+            "nDocs": int(stats["n"]),
+            "avgdl": float(stats["avgdl"]) if stats["n"] else 0.0,
+            "idCol": id_col,
+            "textCol": text_col,
+        }
+        with open(os.path.join(path, TextIndex.MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        return TextIndex(spark, path, manifest)
+
+    @staticmethod
+    def load(spark, path: str) -> "TextIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, TextIndex.MANIFEST)) as fh:
+            return TextIndex(spark, path, json.load(fh))
+
+    def search(
+        self, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
+    ) -> DataFrame:
+        import math
+        import os
+        import re
+
+        q_terms = sorted({t for t in re.split(TOKEN_SPLIT, query.lower()) if t})
+        if not q_terms:
+            raise ValueError("query has no indexable terms")
+        n_docs, avgdl = self.manifest["nDocs"], self.manifest["avgdl"]
+        nb = self.manifest["nBuckets"]
+        # bucket ids must equal the writer's Murmur3 — computed by Spark
+        # itself over a tiny local frame (no reimplementation drift)
+        trows = self.spark.createDataFrame(
+            [(t,) for t in q_terms], "term string"
+        ).select("term", F.pmod(F.hash("term"), F.lit(nb)).alias("bkt"))
+        buckets = sorted({int(r["bkt"]) for r in trows.collect()})
+        matched = (
+            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            # literal IN over the partition column => static pruning
+            .where(F.col("__bucket").isin(buckets))
+            .where(F.col("term").isin(q_terms))
+        )
+        dfreq = matched.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("dfreq")
+        ).collect()
+        idf = {
+            r["term"]: math.log(
+                1.0 + (n_docs - r["dfreq"] + 0.5) / (r["dfreq"] + 0.5)
+            )
+            for r in dfreq
+        }
+        if not idf:
+            return matched.select(
+                F.col("doc_id"), F.lit(0.0).alias("score")
+            ).limit(0)
+        idf_col = F.element_at(
+            F.create_map(*[x for t in idf for x in (F.lit(t), F.lit(idf[t]))]),
+            F.col("term"),
+        )
+        tf = F.col("tf").cast("double")
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        contrib = idf_col * tf * F.lit(k1 + 1.0) / (tf + norm)
+        scored = (
+            matched.withColumn("contrib", contrib)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("contrib"), 4).alias("score"))
+        )
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

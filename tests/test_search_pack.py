@@ -152,3 +152,43 @@ def test_source_overlap_exact_counts(spark):
     assert (r["group_a"], r["group_b"]) == ("s1", "s2")
     assert r["shared_shingles"] == 2      # abcde, bcdef
     assert r["total_a"] == 4 and r["total_b"] == 3
+
+
+# ----------------------------------------------------------- persisted index
+
+
+def test_text_index_matches_inline_bm25(spark, docs, tmp_path):
+    from pysparkline.operators.search import TextIndex
+
+    ti = TextIndex.build(spark, docs, str(tmp_path / "tix"), n_buckets=16)
+    q = "data quality model training"
+    got = [(r["doc_id"], r["score"]) for r in ti.search(q, k=10).collect()]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in search.bm25_topk(docs, q, k=10).collect()
+    ]
+    assert got == want
+
+    # reload from disk: same results
+    ti2 = TextIndex.load(spark, str(tmp_path / "tix"))
+    assert [
+        (r["doc_id"], r["score"]) for r in ti2.search(q, k=10).collect()
+    ] == want
+
+    # nonsense terms: empty result, no crash
+    assert ti.search("qqqqxyzzy").collect() == []
+
+
+def test_text_index_prunes_buckets(spark, docs, tmp_path):
+    """The probed-bucket predicate must reach the scan as PartitionFilters —
+    the serving-cost contract (scan scales with |query terms|/n_buckets)."""
+    from pysparkline.operators.search import TextIndex
+
+    ti = TextIndex.build(spark, docs, str(tmp_path / "tix2"), n_buckets=16)
+    plan = (
+        ti.search("training data")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "__bucket" in plan
