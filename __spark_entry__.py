@@ -2318,6 +2318,48 @@ def events_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_15min_zero_fill",
+    """
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                                TIMESTAMP '2024-01-10 23:45:00',
+                                INTERVAL 15 MINUTE)) AS bucket
+), agg AS (
+  SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS bucket,
+         COUNT(*) AS n, SUM(value) AS sv
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts < TIMESTAMP '2024-01-11 00:00:00'
+    AND event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT s.bucket, coalesce(a.n, 0) AS n, coalesce(a.sv, 0) AS sv
+FROM spine s LEFT JOIN agg a USING (bucket) ORDER BY 1
+""",
+)
+def events_15min_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid timeseries zero-fill (skipEmptyBuckets=false default,
+    DruidQuerySpec.scala:709-765): EVERY 15-min bucket of the interval is
+    emitted — 96 rows exactly — with count/sum identities (0) in buckets the
+    purchase filter empties. Spine generated JVM-side (lowering
+    _zero_fill_spine); min/max/avg identities stay NULL."""
+    ctx = _events_ctx(spark, sf_dir)
+    spec = ir.TimeseriesQuery(
+        granularity={"duration": 900_000},
+        time_output_name="bucket",
+        intervals=[ir.Interval("2024-01-10", "2024-01-11")],
+        filter=ir.SelectorFilter("event_type", "purchase"),
+        aggregations=[
+            ir.CountAgg("n"),
+            ir.FieldAgg("sum", "sv", "value"),
+        ],
+        zero_fill=True,
+    )
+    return ctx.query(spec)
+
+
+@_register(
     "events_hourly",
     """
 SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
@@ -3246,7 +3288,7 @@ _PRIORITY = [
     # (a') new this round: BM25 retrieval, sequence packing, content-hash
     # splits, cross-source leakage audit
     "bm25_topk_docs", "text_index_topk", "pack_docs", "hash_split_docs",
-    "source_overlap_docs",
+    "source_overlap_docs", "events_15min_zero_fill",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

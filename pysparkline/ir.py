@@ -560,6 +560,13 @@ class TimeseriesQuery(QuerySpec):
     output_order: Optional[list] = None
     granularity_tz: Optional[str] = None  # see GroupByQuery.granularity_tz
     granularity_origin: Optional[str] = None
+    # Druid timeseries emits EVERY bucket in the queried intervals, filling
+    # empty ones with aggregator identities (skipEmptyBuckets=false default);
+    # True reproduces that: count/sum-family (incl. sketch estimates) -> 0,
+    # min/max/avg/quantile -> NULL, post-aggs computed over the filled
+    # values. Requires fully-bounded intervals + a bucketing granularity
+    # (lowering._zero_fill_spine).
+    zero_fill: bool = False
 
 
 @_node

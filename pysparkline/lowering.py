@@ -1048,20 +1048,146 @@ def _grouping_sets_union(
     return out
 
 
+_SPINE_STEP = {
+    "year": "1 year", "quarter": "3 month", "month": "1 month",
+    "week": "7 day", "day": "1 day", "hour": "1 hour", "minute": "1 minute",
+    "second": "1 second",
+}
+
+
+def _bucket_floor_py(dt: datetime, gran: str, origin: str | None) -> datetime:
+    """Driver-side twin of _time_bucket_col's bucket start (UTC, no tz)."""
+    from datetime import timedelta
+
+    dur = duration_seconds(gran)
+    if dur is not None:
+        o = _parse_iso(origin) if origin else datetime(1970, 1, 1)
+        off = (dt - o).total_seconds()
+        return o + timedelta(seconds=(off // dur) * dur)
+    z = dict(hour=0, minute=0, second=0, microsecond=0)
+    if gran == "year":
+        return dt.replace(month=1, day=1, **z)
+    if gran == "quarter":
+        return dt.replace(month=((dt.month - 1) // 3) * 3 + 1, day=1, **z)
+    if gran == "month":
+        return dt.replace(day=1, **z)
+    if gran == "week":  # ISO Monday, matching Spark date_trunc('week')
+        d = dt.replace(**z)
+        return d - timedelta(days=d.weekday())
+    if gran == "day":
+        return dt.replace(**z)
+    if gran == "hour":
+        return dt.replace(minute=0, second=0, microsecond=0)
+    if gran == "minute":
+        return dt.replace(second=0, microsecond=0)
+    if gran == "second":
+        return dt.replace(microsecond=0)
+    raise ValueError(f"zero_fill unsupported for granularity {gran!r}")
+
+
+def _zero_fill_spine(spark, q: ir.TimeseriesQuery, tname: str) -> DataFrame:
+    """One row per bucket of the queried intervals (the Druid timeseries
+    bucket spine). Buckets are generated JVM-side with sequence() — the
+    driver only computes the two aligned endpoints per interval — so a
+    years-of-minutes spine never materializes on the driver."""
+    from datetime import timedelta
+
+    gran = q.granularity
+    if gran in ("all", "none"):
+        raise ValueError("zero_fill requires a bucketing granularity")
+    if getattr(q, "granularity_tz", None):
+        raise ValueError("zero_fill with granularity timeZone not supported")
+    if not q.intervals or any(
+        iv.start is None or iv.end is None for iv in q.intervals
+    ):
+        raise ValueError("zero_fill requires fully-bounded intervals")
+    dur = duration_seconds(gran)
+    step = f"{dur} second" if dur is not None else _SPINE_STEP.get(gran)
+    if step is None:
+        raise ValueError(f"zero_fill unsupported for granularity {gran!r}")
+    origin = getattr(q, "granularity_origin", None)
+    seqs = []
+    for iv in q.intervals:
+        s, e = _parse_iso(iv.start), _parse_iso(iv.end)
+        if e <= s:
+            continue
+        b0 = _bucket_floor_py(s, gran, origin)
+        last = _bucket_floor_py(e - timedelta(microseconds=1), gran, origin)
+        if last < b0:
+            continue
+        seqs.append(
+            f"sequence(timestamp'{b0}', timestamp'{last}', interval {step})"
+        )
+    if not seqs:
+        from pyspark.sql.types import StructField, StructType, TimestampType
+
+        return spark.createDataFrame(
+            [], StructType([StructField(tname, TimestampType())])
+        )
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.flatten(F.array(*[F.expr(s) for s in seqs]))
+            ).alias(tname)
+        )
+        .distinct()
+    )
+
+
+def _zero_fill_names(aggs: list) -> list[str]:
+    """Aggregation output names whose empty-bucket identity is 0: count and
+    the sum family, plus distinct-count estimates (sketch of nothing = 0).
+    min/max/avg/quantile/histogram identities stay NULL."""
+    out: list[str] = []
+    for a in aggs:
+        if isinstance(a, ir.CountAgg):
+            out.append(a.name)
+        elif isinstance(a, (ir.FieldAgg, ir.ExprAgg)) and a.fn == "sum":
+            out.append(a.name)
+        elif isinstance(
+            a, (ir.CardinalityAgg, ir.HyperUniqueAgg, ir.ThetaAgg, ir.DistinctAgg)
+        ):
+            out.append(a.name)
+        elif isinstance(a, ir.FilteredAgg) and a.agg is not None:
+            if _zero_fill_names([a.agg]):
+                out.append(a.name)
+    return out
+
+
 def lower_timeseries(q: ir.TimeseriesQuery, backing: Backing) -> DataFrame:
+    zf = bool(getattr(q, "zero_fill", False))
     g = ir.GroupByQuery(
         dimensions=[],
         granularity=q.granularity,
         filter=q.filter,
         aggregations=q.aggregations,
-        post_aggregations=q.post_aggregations,
+        # with zero-fill, post-aggs run AFTER the spine join so they see the
+        # identity-filled aggregate values (Druid computes them per emitted
+        # bucket, empty or not)
+        post_aggregations=[] if zf else q.post_aggregations,
         intervals=q.intervals,
         time_output_name=q.time_output_name,
-        output_order=q.output_order,
+        output_order=None if zf else q.output_order,
         granularity_tz=getattr(q, "granularity_tz", None),
         granularity_origin=getattr(q, "granularity_origin", None),
     )
-    return lower_groupby(g, backing)
+    out = lower_groupby(g, backing)
+    if not zf:
+        return out
+    tname = q.time_output_name
+    spine = _zero_fill_spine(out.sparkSession, q, tname)
+    dtypes = dict(out.dtypes)
+    spine = spine.select(F.col(tname).cast(dtypes.get(tname, "timestamp")))
+    joined = spine.join(out, tname, "left")
+    for n in _zero_fill_names(q.aggregations):
+        if n in dtypes:
+            joined = joined.withColumn(
+                n, F.coalesce(F.col(n), F.lit(0).cast(dtypes[n]))
+            )
+    for p in q.post_aggregations:
+        joined = joined.withColumn(p.name, F.expr(p.expr))
+    return joined.orderBy(tname)
 
 
 def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:
