@@ -725,6 +725,43 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lookup_dim_market",
+    FLAT_CTE
+    + """
+SELECT CASE WHEN c_nation = 'NATION_1' THEN 'tier-one'
+            WHEN c_nation = 'NATION_2' THEN 'tier-one'
+            WHEN c_nation = 'NATION_3' THEN 'tier-two'
+            ELSE c_nation END AS market,
+       count(*) AS n
+FROM flat
+GROUP BY 1 ORDER BY 1
+""",
+)
+def lookup_dim_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-lookup extraction DIMENSION (Druid lookup extractionFn
+    with retainMissingValue=true): values map through a broadcast-class
+    literal table at query time — create_map + element_at, no join, and the
+    cube still serves it (mapping is a function of the grouped dim)."""
+    spec = ir.GroupByQuery(
+        dimensions=[
+            ir.LookupDim(
+                "c_nation",
+                "market",
+                lookup={
+                    "NATION_1": "tier-one",
+                    "NATION_2": "tier-one",
+                    "NATION_3": "tier-two",
+                },
+                retain_missing_value=True,
+            )
+        ],
+        aggregations=[ir.CountAgg("n")],
+        limit_spec=ir.LimitSpec([ir.OrderByColumn("market")]),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
+@_register(
     "q7",
     FLAT_CTE
     + f"""
@@ -3288,7 +3325,7 @@ _PRIORITY = [
     # (a') new this round: BM25 retrieval, sequence packing, content-hash
     # splits, cross-source leakage audit
     "bm25_topk_docs", "text_index_topk", "pack_docs", "hash_split_docs",
-    "source_overlap_docs", "events_15min_zero_fill",
+    "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

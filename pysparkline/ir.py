@@ -292,6 +292,34 @@ class TimeFormatDim(DimSpec):
 
 @_node
 @dataclass
+class LookupDim(DimSpec):
+    """Registered-lookup extraction dimension (Druid's lookup extractionFn,
+    DruidQuerySpec.scala:202-208 family used as a DIMENSION, not a filter):
+    map the dimension's values through a small key->value table at query
+    time. ``retain_missing_value=True`` passes unmapped values through
+    unchanged; otherwise they become ``replace_missing_with`` (default
+    NULL). The table is broadcast-class by contract (Druid lookups live on
+    every historical's heap) and lowers to a literal create_map +
+    element_at — pure JVM, no join, cube-servable because the mapping is a
+    function of the grouped dimension (re-aggregation over mapped values
+    rides the same merge-form partials)."""
+
+    dimension: str
+    output_name: str
+    lookup: dict = field(default_factory=dict)
+    retain_missing_value: bool = False
+    replace_missing_with: Optional[str] = None
+
+    @property
+    def out(self) -> str:
+        return self.output_name
+
+    def referenced_columns(self):
+        return {self.dimension}
+
+
+@_node
+@dataclass
 class ExprDim(DimSpec):
     """Group-by an arbitrary Spark-SQL expression — the JS-extraction analog
     (:90-95)."""

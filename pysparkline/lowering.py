@@ -320,6 +320,28 @@ def dim_to_column(spec: ir.DimSpec, backing: Backing) -> Column:
         return _PART_FN[spec.part](col).alias(spec.out)
     if isinstance(spec, ir.ExprDim):
         return F.expr(spec.expr).alias(spec.out)
+    if isinstance(spec, ir.LookupDim):
+        src = F.col(spec.dimension)
+        if spec.lookup:
+            m = F.create_map(
+                *[
+                    x
+                    for k in sorted(spec.lookup)
+                    for x in (F.lit(k), F.lit(spec.lookup[k]))
+                ]
+            )
+            mapped = F.element_at(m, src)
+        else:
+            mapped = F.lit(None).cast("string")
+        if spec.retain_missing_value:
+            out = F.coalesce(mapped, src)
+        elif spec.replace_missing_with is not None:
+            # Druid replaceMissingValueWith: unmapped AND null inputs both
+            # land on the replacement
+            out = F.coalesce(mapped, F.lit(spec.replace_missing_with))
+        else:
+            out = mapped
+        return out.alias(spec.out)
     raise TypeError(f"unknown dim spec {spec!r}")
 
 
