@@ -3203,6 +3203,42 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 
 
 @_register(
+    "sql_window_share",
+    """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+  round(sum(l_quantity) / sum(sum(l_quantity))
+        OVER (PARTITION BY l_returnflag), 6) AS flag_share,
+  rank() OVER (ORDER BY sum(l_quantity) DESC) AS rk
+FROM lineitem
+WHERE l_shipdate < DATE '1998-09-03'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def sql_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over the aggregated result (share-of-total +
+    global rank) — beyond the reference surface (it never rewrote windows,
+    SURVEY §2 'notably absent'). The heavy aggregation is still served by
+    the index; the windows cost one pass over the planner-bounded output
+    (ir.WindowPostSpec, lowering._apply_window_posts)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql("""
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+  round(sum(l_quantity) / sum(sum(l_quantity))
+        OVER (PARTITION BY l_returnflag), 6) AS flag_share,
+  rank() OVER (ORDER BY sum(l_quantity) DESC) AS rk
+FROM lineitem
+WHERE l_shipdate < DATE '1998-09-03'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "window-over-aggregate must rewrite onto the index, not fall back"
+    )
+    return out
+
+
+@_register(
     "sql_count_distinct",
     """
 SELECT l_returnflag, COUNT(DISTINCT o_orderstatus) AS n_status,
@@ -3326,6 +3362,7 @@ _PRIORITY = [
     # splits, cross-source leakage audit
     "bm25_topk_docs", "text_index_topk", "pack_docs", "hash_split_docs",
     "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
+    "sql_window_share",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

@@ -539,6 +539,29 @@ class LimitSpec(IRNode):
     offset: Optional[int] = None
 
 
+@_node
+@dataclass
+class WindowPostSpec(IRNode):
+    """ANSI window function evaluated over the AGGREGATED result (e.g.
+    ``sum(sum(m)) OVER ()`` share-of-total, ``rank() OVER (PARTITION BY dim
+    ORDER BY sum(m) DESC)``). Beyond the reference surface — it never rewrote
+    window functions (SURVEY §2 "notably absent") — but windows whose inputs
+    are the grouped outputs cost only a pass over the (planner-bounded)
+    aggregate result, so the index still serves the heavy aggregation.
+
+    ``arg``/``order[].column`` are Spark-SQL expressions over output columns;
+    ``partition`` entries are grouped-dimension output names. Aggregate
+    window functions carry no ORDER BY (whole-partition frame — identical in
+    Spark and ANSI); rank/dense_rank/row_number require one.
+    """
+
+    name: str
+    func: str  # sum|count|avg|min|max|rank|dense_rank|row_number
+    arg: Optional[str] = None  # None for the rank family
+    partition: list = field(default_factory=list)  # dim output names
+    order: list = field(default_factory=list)  # [OrderByColumn]
+
+
 # ---------------------------------------------------------------------------
 # Query shapes
 # ---------------------------------------------------------------------------
@@ -572,6 +595,12 @@ class GroupByQuery(QuerySpec):
     # buckets anchor at this ISO timestamp instead of the epoch. Origins not
     # on an epoch-aligned bucket boundary force row-grain backings.
     granularity_origin: Optional[str] = None
+    # window functions over the aggregated result (WindowPostSpec); computed
+    # after HAVING, before ORDER BY/LIMIT (ANSI evaluation order)
+    window_posts: list = field(default_factory=list)
+    # scalar expressions over window outputs (e.g. round(share, 6)):
+    # [name, spark_sql_expr] pairs applied after window_posts
+    window_exprs: list = field(default_factory=list)
 
 
 @_node

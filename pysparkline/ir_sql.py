@@ -246,6 +246,10 @@ def to_sql(q: ir.QuerySpec, table: str, dialect: str = "duckdb", time_col: str =
 
     if not isinstance(q, ir.GroupByQuery):
         raise NotPortable(f"shape {type(q).__name__}")
+    if getattr(q, "window_posts", None):
+        # window-over-aggregate renders need alias-visibility rules that
+        # differ per dialect; declared non-portable rather than mis-rendered
+        raise NotPortable("window_posts")
 
     sel, group_names = [], []
     for d in q.dimensions:

@@ -973,8 +973,16 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
         out = out.drop(*internal)
     if q.having is not None:
         out = out.where(F.expr(q.having.expr))
+    if getattr(q, "window_posts", None):
+        out = _apply_window_posts(out, q.window_posts)
+        if getattr(q, "window_exprs", None):
+            out = out.withColumns(
+                {name: F.expr(e) for name, e in q.window_exprs}
+            )
     # aggs materialized only to feed post-aggs/having (sqlfront convention)
-    hidden = [c for c in out.columns if c.startswith(("__pa_", "__hv_"))]
+    hidden = [
+        c for c in out.columns if c.startswith(("__pa_", "__hv_", "__wp_"))
+    ]
     if hidden:
         out = out.drop(*hidden)
     if q.limit_spec is not None:
@@ -1014,6 +1022,33 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
         )
     )
     return _default_order(out, declared)
+
+
+def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
+    """Window functions over the aggregated result (ir.WindowPostSpec; ANSI
+    order: after HAVING, before ORDER BY/LIMIT). The input here is the
+    planner-bounded aggregate output (<= maxResultCardinality), so even an
+    empty PARTITION BY — which Spark evaluates in a single partition — is a
+    bounded, safe pass; the heavy aggregation below stayed distributed."""
+    from pyspark.sql.window import Window
+
+    wcols: dict[str, Column] = {}
+    for w in posts:
+        spec = Window.partitionBy(*[F.col(p) for p in w.partition])
+        if w.order:
+            spec = spec.orderBy(
+                *[
+                    F.expr(o.column).asc()
+                    if o.direction == "asc"
+                    else F.expr(o.column).desc()
+                    for o in w.order
+                ]
+            )
+        if w.func in ("rank", "dense_rank", "row_number"):
+            wcols[w.name] = getattr(F, w.func)().over(spec)
+        else:
+            wcols[w.name] = F.expr(f"{w.func}({w.arg})").over(spec)
+    return df.withColumns(wcols)
 
 
 def _default_order(df: DataFrame, declared: list) -> DataFrame:

@@ -291,6 +291,16 @@ def _contains_agg(node: dict) -> bool:
     return False
 
 
+def _contains_window(node) -> bool:
+    if isinstance(node, dict):
+        if node.get("class") == "WINDOW":
+            return True
+        return any(_contains_window(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_window(v) for v in node)
+    return False
+
+
 def _strip(node: dict) -> dict:
     """Structural identity: drop aliases/locations for subtree comparison."""
     if isinstance(node, dict):
@@ -542,6 +552,8 @@ class _Analysis:
     output_order: list = field(default_factory=list)
     grouping_sets: list | None = None
     hidden_aggs: list = field(default_factory=list)
+    window_posts: list = field(default_factory=list)
+    window_exprs: list = field(default_factory=list)  # [name, expr] pairs
 
 
 def _agg_spec(node: dict, name: str) -> ir.AggSpec:
@@ -651,6 +663,76 @@ def _dim_spec(node: dict, out_name: str, time_col: str | None) -> ir.DimSpec:
     return ir.ExprDim(render(node), out_name, sorted(_columns_of(node)))
 
 
+_WINDOW_AGG_FNS = {"sum", "count", "avg", "min", "max"}
+_WINDOW_RANK_FNS = {"rank", "dense_rank", "row_number"}
+
+
+def _window_spec(
+    item: dict, name: str, a: "_Analysis", name_by_key: dict, _gk
+) -> ir.WindowPostSpec:
+    """One WINDOW select item -> WindowPostSpec (window over the aggregated
+    result — the surface the reference never rewrote, SURVEY §2 "notably
+    absent"). Supported: sum/count/avg/min/max with PARTITION BY only
+    (whole-partition frame), and rank/dense_rank/row_number with ORDER BY.
+    Anything with frames, FILTER, DISTINCT, or unresolvable partitions
+    raises SQLFrontError => the always-correct spark.sql fallback."""
+    fn = item.get("function_name", "").lower()
+    if (
+        item.get("filter_expr") is not None
+        or item.get("distinct")
+        or item.get("ignore_nulls")
+        or item.get("offset_expr") is not None
+        or item.get("default_expr") is not None
+        or item.get("start") != "UNBOUNDED_PRECEDING"
+        or item.get("end") != "CURRENT_ROW_RANGE"
+        or item.get("exclude_clause", "NO_OTHER") != "NO_OTHER"
+    ):
+        raise SQLFrontError(f"window {fn}: frames/FILTER/DISTINCT unsupported")
+
+    dim_names = set(name_by_key.values())
+
+    def resolve_partition(p: dict) -> str:
+        key = _gk(_strip(p))
+        if key in name_by_key:
+            return name_by_key[key]
+        if (
+            p.get("class") == "COLUMN_REF"
+            and p["column_names"][-1] in dim_names
+        ):
+            return p["column_names"][-1]
+        raise SQLFrontError(
+            f"window PARTITION BY {render(p)} is not a grouped dimension"
+        )
+
+    partition = [resolve_partition(p) for p in item.get("partitions", [])]
+    orders = [
+        ir.OrderByColumn(
+            _extract_inner_aggs(o["expression"], a.aggs)[0],
+            "desc" if o.get("type") == "DESCENDING" else "asc",
+        )
+        for o in item.get("orders", [])
+    ]
+
+    if fn in _WINDOW_RANK_FNS:
+        if not orders:
+            raise SQLFrontError(f"window {fn} requires ORDER BY")
+        return ir.WindowPostSpec(name, fn, None, partition, orders)
+    if fn in _WINDOW_AGG_FNS:
+        if orders:
+            # ORDER BY inside an aggregate window implies a running frame;
+            # out of surface (keep the exact whole-partition semantics only)
+            raise SQLFrontError(f"running window {fn} (ORDER BY) unsupported")
+        ch = item.get("children", [])
+        if not ch and fn == "count":
+            arg = "1"
+        elif len(ch) == 1:
+            arg, _ = _extract_inner_aggs(ch[0], a.aggs)
+        else:
+            raise SQLFrontError(f"window {fn}: expected one argument")
+        return ir.WindowPostSpec(name, fn, arg, partition, [])
+    raise SQLFrontError(f"window function {fn} unsupported")
+
+
 def _analyze_select(
     node: dict, time_col: str | None
 ) -> _Analysis:
@@ -706,6 +788,7 @@ def _analyze_select(
 
     dim_out_names: list[str] = []
     pending_grouping: list[tuple[str, dict]] = []
+    pending_windows: list[tuple[str, dict]] = []
     # map from stripped group expr -> output name (fill from select list)
     for i, item in enumerate(select_list):
         s = _strip(item)
@@ -715,6 +798,14 @@ def _analyze_select(
             # complete (bit positions follow the lowering's dim order)
             name = item.get("alias") or f"grouping_{i}"
             pending_grouping.append((name, item))
+            a.output_order.append(name)
+            continue
+        if not is_group and _contains_window(item):
+            # window function over the aggregated result (possibly inside a
+            # scalar expression); partitions resolve through the group-name
+            # map, so defer until it is complete
+            name = item.get("alias") or f"win_{i}"
+            pending_windows.append((name, item))
             a.output_order.append(name)
             continue
         if is_group:
@@ -801,6 +892,28 @@ def _analyze_select(
     else:
         a.grouping_sets = None
 
+    if pending_windows:
+        if a.grouping_sets is not None:
+            raise SQLFrontError("window functions over CUBE/ROLLUP")
+        for name, item in pending_windows:
+            if item.get("class") == "WINDOW":
+                a.window_posts.append(
+                    _window_spec(item, name, a, name_by_key, _gk)
+                )
+                continue
+
+            # expression containing window(s): extract each WINDOW subtree
+            # as a hidden window post, leave a scalar expr over the outputs
+            def sink(n: dict) -> str:
+                wname = f"__wp_{len(a.window_posts)}"
+                a.window_posts.append(
+                    _window_spec(n, wname, a, name_by_key, _gk)
+                )
+                return wname
+
+            expr_sql, _ = _extract_inner_aggs(item, a.aggs, window_sink=sink)
+            a.window_exprs.append([name, expr_sql])
+
     if pending_grouping:
         # bit positions follow the lowering's key order: declared dims, then
         # the time bucket (lowering._grouping_sets_union, high bit = first)
@@ -837,7 +950,7 @@ def _analyze_select(
 
 
 def _extract_inner_aggs(
-    node: dict, aggs: list, grouping_bit=None
+    node: dict, aggs: list, grouping_bit=None, window_sink=None
 ) -> tuple[str, list[str]]:
     """Replace aggregate subtrees inside an expression with generated agg
     names; append the extracted AggSpecs to ``aggs``. Mirrors the reference's
@@ -853,6 +966,10 @@ def _extract_inner_aggs(
             if grouping_bit is None:
                 raise SQLFrontError("grouping() without GROUP BY")
             return grouping_bit(n.get("children", []))
+        if isinstance(n, dict) and n.get("class") == "WINDOW":
+            if window_sink is None:
+                raise SQLFrontError("window function in unsupported position")
+            return f"`{window_sink(n)}`"
         if (
             isinstance(n, dict)
             and n.get("class") == "FUNCTION"
@@ -1253,7 +1370,7 @@ def parse_sql(
 
     known_outputs = set(a.output_order) | {d.out for d in a.dims} | {
         g.name for g in a.aggs
-    } | {p.name for p in a.post_aggs}
+    } | {p.name for p in a.post_aggs} | {w.name for w in a.window_posts}
     if a.granularity != "all":
         known_outputs.add(a.time_output_name)
     order_cols, limit, offset = _order_limit(node, select_list, known_outputs)
@@ -1274,4 +1391,6 @@ def parse_sql(
         grouping_sets=a.grouping_sets,
         time_output_name=a.time_output_name,
         output_order=a.output_order,
+        window_posts=a.window_posts,
+        window_exprs=a.window_exprs,
     )

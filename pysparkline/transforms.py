@@ -117,6 +117,7 @@ def groupby_no_dims_to_timeseries(q: ir.QuerySpec) -> ir.QuerySpec:
         and q.grouping_sets is None
         and q.having is None
         and q.limit_spec is None
+        and not q.window_posts
     ):
         return ir.TimeseriesQuery(
             granularity=q.granularity,
@@ -144,6 +145,7 @@ def groupby_to_topn(q: ir.QuerySpec) -> ir.QuerySpec:
         and q.granularity == "all"
         and q.grouping_sets is None
         and q.having is None
+        and not q.window_posts
     ):
         order = ls.columns[0]
         agg_names = {a.name for a in q.aggregations} | {

@@ -431,3 +431,89 @@ FROM lineitem GROUP BY m ORDER BY m"""
     assert_same(ctx, duck, sql, sort=False, duck_sql="""
 SELECT CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m, count(*) AS n
 FROM lineitem GROUP BY m ORDER BY m""")
+
+
+# ---------------------------------------------------------------------------
+# window functions over the aggregated result (beyond the reference surface —
+# it never rewrote windows, SURVEY §2 "notably absent"; here windows whose
+# inputs are grouped outputs cost one pass over the bounded aggregate result)
+# ---------------------------------------------------------------------------
+
+
+def test_window_share_of_total(ctx, duck):
+    sql = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+  round(sum(l_quantity) / sum(sum(l_quantity))
+        OVER (PARTITION BY l_returnflag), 6) AS flag_share,
+  sum(sum(l_quantity)) OVER () AS total_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_rank_within_group(ctx, duck):
+    sql = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s,
+  rank() OVER (PARTITION BY l_returnflag ORDER BY sum(l_quantity) DESC) AS rk,
+  dense_rank() OVER (ORDER BY sum(l_quantity) DESC) AS drk
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_with_having(ctx, duck):
+    sql = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s,
+  row_number() OVER (ORDER BY sum(l_quantity) DESC, l_returnflag,
+                     l_linestatus) AS rn
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+HAVING sum(l_quantity) > 25000
+ORDER BY rn
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_count_star_over_partition(ctx, duck):
+    sql = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  count(1) OVER (PARTITION BY l_returnflag) AS groups_in_flag
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_unsupported_falls_back(ctx, duck):
+    # ntile / running frames / non-grouped partitions stay outside the
+    # surface: the always-correct spark.sql fallback answers instead
+    for sql in [
+        """SELECT l_returnflag, sum(l_quantity) AS s,
+           ntile(3) OVER (ORDER BY sum(l_quantity)) AS nt
+           FROM lineitem GROUP BY l_returnflag""",
+        """SELECT l_returnflag, sum(l_quantity) AS s,
+           sum(sum(l_quantity)) OVER (ORDER BY sum(l_quantity)) AS run
+           FROM lineitem GROUP BY l_returnflag""",
+    ]:
+        ctx.sql(sql).collect()
+        assert ctx.query_history[-1].backing == "sparksql"
+
+
+def test_window_serde_roundtrip(ctx):
+    from pysparkline import ir, sqlfront
+
+    spec = sqlfront.parse_sql(
+        """SELECT l_returnflag, sum(l_quantity) AS s,
+           rank() OVER (PARTITION BY l_returnflag
+                        ORDER BY sum(l_quantity) DESC) AS rk
+           FROM lineitem GROUP BY l_returnflag""",
+        time_col="l_shipdate",
+    )
+    assert spec.window_posts and spec.window_posts[0].func == "rank"
+    back = ir.node_from_dict(spec.to_dict())
+    assert back.to_dict() == spec.to_dict()
