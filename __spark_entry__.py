@@ -2754,6 +2754,66 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "semantic_dedup_emb",
+    """
+SELECT a.vec_id, a.label AS cluster,
+  NOT EXISTS (
+    SELECT 1 FROM embeddings b
+    WHERE b.label = a.label AND b.vec_id < a.vec_id
+      AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.46
+  ) AS kept
+FROM embeddings a ORDER BY a.vec_id
+""",
+)
+def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each cluster, drop a row when
+    an earlier (smaller-id) member has cosine >= threshold. The fixture's
+    ``label`` column stands in for the kmeans assignment so the oracle is
+    exact SQL (the kmeans path is dedup.semantic_dedup(cluster_col=None),
+    exercised in tests); threshold 0.46 sits below this synthetic corpus's
+    max cosine so real drops occur."""
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    out = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", 0.46, cluster_col="label"
+    )
+    return out.orderBy("vec_id")
+
+
+@_register(
+    "perplexity_docs",
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+lm AS (SELECT tok, ln((c + 1.0) / (n + v)) AS logp FROM counts, tot)
+SELECT t.doc_id, count(*) AS n_tokens, round(-avg(l.logp), 6) AS nll
+FROM tok t JOIN lm l USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+)
+def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality signal (the cheap analog of the
+    CCNet-style LM filter): corpus unigram model with add-one smoothing,
+    per-document mean negative log-likelihood. Exact dual implementation in
+    DuckDB — same tokenizer regex, same smoothing."""
+    from pysparkline.operators import text
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    return text.perplexity_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@_register(
     "stratified_sample_docs",
     """
 SELECT lang, COUNT(*) AS n_total, TRUE AS sample_ok
@@ -3362,7 +3422,7 @@ _PRIORITY = [
     # splits, cross-source leakage audit
     "bm25_topk_docs", "text_index_topk", "pack_docs", "hash_split_docs",
     "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
-    "sql_window_share",
+    "sql_window_share", "semantic_dedup_emb", "perplexity_docs",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

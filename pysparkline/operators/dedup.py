@@ -611,6 +611,77 @@ def cosine_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: within-cluster cosine pruning)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    cluster_col: str | None = None,
+    n_clusters: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: (id, cluster, kept) where
+    ``kept`` is False iff an EARLIER (smaller-id) member of the same cluster
+    has cosine >= threshold.
+
+    The predecessor rule ("drop if ANY earlier member is a near-dup") is the
+    deterministic, order-free formulation standard in minhash-style dedup
+    pipelines; it equals keep-one-per-group when near-dup groups are cliques
+    and over-drops (never under-drops) on chains — the conservative
+    direction for training-data dedup.
+
+    Clustering bounds the pair generation (the SemDeDup premise: candidates
+    only form within a cluster). ``cluster_col`` uses a caller-provided
+    assignment (e.g. pre-computed kmeans labels); otherwise kmeans centroids
+    are fit on a sample and rows are assigned via one Arrow-batched matmul
+    pass (similarity.py machinery). Cost is one equi-join keyed on cluster:
+    sum over clusters of |c|^2 — sized by n_clusters, never corpus^2.
+    """
+    from .similarity import _fit_centroids, _nearest_cells_expr, cosine_similarity_col
+
+    if cluster_col is None:
+        centroids = _fit_centroids(df, vec_col, n_clusters, seed)
+        work = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            _nearest_cells_expr(F.col(vec_col), centroids, 1)[0].alias(
+                "__cluster"
+            ),
+        )
+    else:
+        work = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.col(cluster_col).alias("__cluster"),
+        )
+    a = work.select(
+        F.col("__id").alias("id"), F.col("__v").alias("__va"), "__cluster"
+    )
+    b = work.select(
+        F.col("__id").alias("__id_b"), F.col("__v").alias("__vb"), "__cluster"
+    )
+    cos = F.round(cosine_similarity_col(F.col("__va"), F.col("__vb")), 6)
+    dropped = (
+        a.join(b, "__cluster")
+        .where((F.col("__id_b") < F.col("id")) & (cos >= threshold))
+        .select("id")
+        .distinct()
+    )
+    return (
+        a.join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__cluster").alias("cluster"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup cluster assignment (connected components over candidate pairs)
 # ---------------------------------------------------------------------------
 

@@ -139,6 +139,63 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return s.select(F.col(id_col), score.alias("quality_score"))
 
 
+def unigram_lm(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus unigram language model: (tok, logp) with add-one smoothing,
+    logp = ln((count+1) / (N+V)) over lowercased whitespace tokens.
+
+    The counts aggregation is ONE map-side-combined shuffle over the token
+    stream; N/V are a single-row aggregate broadcast onto it. At 100 TB the
+    model table is vocabulary-sized (weakly sub-linear in corpus size), so
+    it stays joinable/broadcastable downstream.
+    """
+    toks = df.select(
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log((F.col("c") + 1) / (F.col("n") + F.col("v"))).alias("logp"),
+    )
+
+
+def perplexity_scores(
+    df: DataFrame, id_col: str, text_col: str, lm: DataFrame | None = None
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM —
+    the cheap analog of the CCNet-style LM-perplexity quality filter
+    (documents whose token distribution diverges from the corpus score
+    high and get filtered/bucketed). Returns (id, n_tokens, nll); docs
+    with zero tokens are dropped (no likelihood is defined).
+
+    ``lm`` defaults to ``unigram_lm(df, text_col)`` (self-scoring); pass a
+    model built on a reference corpus to score drift against it. Tokens
+    absent from a supplied LM are skipped (inner join) — the ANSI-portable
+    choice the DuckDB oracle reproduces exactly.
+
+    Scale: tokenize is a narrow map; the score is one equi-join on token
+    (AQE broadcasts vocabulary-sized LMs) + one map-side-combined
+    aggregation by doc id. Nothing driver-side, nothing all-pairs.
+    """
+    if lm is None:
+        lm = unigram_lm(df, text_col)
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    return (
+        toks.join(lm, "tok")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("logp"), 6).alias("nll"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized-content fingerprint: md5 of (lowercased, whitespace-collapsed,
     trimmed) text — the exact-dedup key for near-identical formatting."""

@@ -1,0 +1,97 @@
+"""semantic_dedup (SemDeDup-style) and unigram-LM perplexity operators.
+
+The driver-mirror oracle (tests/test_entry_oracle.py: semantic_dedup_emb,
+perplexity_docs) covers the label-cluster / self-scoring paths exactly vs
+DuckDB; these tests cover the paths the oracle can't express: the kmeans
+cluster assignment and scoring against a separately-built reference LM.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_semantic_dedup_kmeans_path_sound(spark, emb):
+    from pysparkline.operators import dedup
+    from pysparkline.operators.similarity import cosine_similarity_col
+
+    out = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", 0.46, n_clusters=8, seed=42
+    )
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert set(out.columns) == {"vec_id", "cluster", "kept"}
+    dropped = {r.vec_id for r in rows if not r.kept}
+    # soundness: every dropped row has SOME earlier near-dup in the corpus
+    # (the cluster partition can only reduce drops, never invent them)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cos = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 6)
+    with_earlier = {
+        r.ia
+        for r in a.join(b, (F.col("ib") < F.col("ia")) & (cos >= 0.46))
+        .select("ia")
+        .distinct()
+        .collect()
+    }
+    assert dropped <= with_earlier
+    # determinism: same seed, same result
+    again = {
+        (r.vec_id, r.kept)
+        for r in dedup.semantic_dedup(
+            emb, "vec_id", "embedding", 0.46, n_clusters=8, seed=42
+        ).collect()
+    }
+    assert again == {(r.vec_id, r.kept) for r in rows}
+
+
+def test_semantic_dedup_threshold_one_keeps_all(spark, emb):
+    from pysparkline.operators import dedup
+
+    out = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", 1.000001, cluster_col="label"
+    )
+    assert out.where(~F.col("kept")).count() == 0
+
+
+def test_perplexity_hand_example(spark):
+    from pysparkline.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "id long, txt string"
+    )
+    got = {
+        r.id: (r.n_tokens, r.nll)
+        for r in text.perplexity_scores(df, "id", "txt").collect()
+    }
+    # counts: a=2 b=1 c=1, N=4, V=3; logp = ln((c+1)/(N+V))
+    lp_a, lp_bc = math.log(3 / 7), math.log(2 / 7)
+    assert got[1][0] == 3
+    assert abs(got[1][1] - round(-(2 * lp_a + lp_bc) / 3, 6)) <= 1e-6
+    assert got[2] == (1, round(-lp_bc, 6))
+
+
+def test_perplexity_reference_lm_skips_oov(spark):
+    from pysparkline.operators import text
+
+    ref = spark.createDataFrame([(0, "x x y")], "id long, txt string")
+    lm = text.unigram_lm(ref, "txt")
+    df = spark.createDataFrame(
+        [(1, "x z"), (2, "z")], "id long, txt string"
+    )
+    got = {
+        r.id: (r.n_tokens, r.nll)
+        for r in text.perplexity_scores(df, "id", "txt", lm=lm).collect()
+    }
+    # z is OOV in the reference LM -> skipped; doc 2 has no scored tokens
+    lp_x = math.log(3 / 5)  # x count 2, N=3, V=2
+    assert got[1] == (1, round(-lp_x, 6))
+    assert 2 not in got
