@@ -3299,6 +3299,40 @@ ORDER BY l_returnflag, l_linestatus
 
 
 @_register(
+    "sql_window_mom",
+    """
+SELECT date_trunc('month', l_shipdate) AS m,
+  round(sum(l_extendedprice), 2) AS rev,
+  round(lag(sum(l_extendedprice), 1, 0.0) OVER (ORDER BY m), 2) AS prev_rev,
+  round(sum(l_extendedprice)
+        - lag(sum(l_extendedprice), 1, 0.0) OVER (ORDER BY m), 2) AS mom_delta
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY m ORDER BY m
+""",
+)
+def sql_window_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta: lag() over the aggregated monthly
+    series — the classic BI window pattern, served from the index with the
+    lag applied to the ~12-row output (ir.WindowPostSpec offset family)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql("""
+SELECT date_trunc('month', l_shipdate) AS m,
+  round(sum(l_extendedprice), 2) AS rev,
+  round(lag(sum(l_extendedprice), 1, 0.0) OVER (ORDER BY m), 2) AS prev_rev,
+  round(sum(l_extendedprice)
+        - lag(sum(l_extendedprice), 1, 0.0) OVER (ORDER BY m), 2) AS mom_delta
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY m ORDER BY m
+""")
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "lag-over-aggregate must rewrite onto the index, not fall back"
+    )
+    return out
+
+
+@_register(
     "sql_count_distinct",
     """
 SELECT l_returnflag, COUNT(DISTINCT o_orderstatus) AS n_status,
@@ -3422,7 +3456,8 @@ _PRIORITY = [
     # splits, cross-source leakage audit
     "bm25_topk_docs", "text_index_topk", "pack_docs", "hash_split_docs",
     "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
-    "sql_window_share", "semantic_dedup_emb", "perplexity_docs",
+    "sql_window_share", "sql_window_mom", "semantic_dedup_emb",
+    "perplexity_docs",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

@@ -556,10 +556,12 @@ class WindowPostSpec(IRNode):
     """
 
     name: str
-    func: str  # sum|count|avg|min|max|rank|dense_rank|row_number
+    func: str  # sum|count|avg|min|max|rank|dense_rank|row_number|lag|lead
     arg: Optional[str] = None  # None for the rank family
     partition: list = field(default_factory=list)  # dim output names
     order: list = field(default_factory=list)  # [OrderByColumn]
+    offset: Optional[int] = None  # lag/lead row offset (default 1)
+    default: Any = None  # lag/lead default literal (JSON-serializable)
 
 
 # ---------------------------------------------------------------------------

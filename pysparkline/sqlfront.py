@@ -665,6 +665,16 @@ def _dim_spec(node: dict, out_name: str, time_col: str | None) -> ir.DimSpec:
 
 _WINDOW_AGG_FNS = {"sum", "count", "avg", "min", "max"}
 _WINDOW_RANK_FNS = {"rank", "dense_rank", "row_number"}
+_WINDOW_OFFSET_FNS = {"lag", "lead"}
+
+
+def _window_const(node: dict, what: str):
+    if not _is_const(node):
+        raise SQLFrontError(f"window {what} must be a literal")
+    v = _const_value(node)
+    if isinstance(v, Decimal):
+        v = int(v) if v == int(v) else float(v)
+    return v
 
 
 def _window_spec(
@@ -673,21 +683,26 @@ def _window_spec(
     """One WINDOW select item -> WindowPostSpec (window over the aggregated
     result — the surface the reference never rewrote, SURVEY §2 "notably
     absent"). Supported: sum/count/avg/min/max with PARTITION BY only
-    (whole-partition frame), and rank/dense_rank/row_number with ORDER BY.
-    Anything with frames, FILTER, DISTINCT, or unresolvable partitions
-    raises SQLFrontError => the always-correct spark.sql fallback."""
+    (whole-partition frame); rank/dense_rank/row_number with ORDER BY; and
+    lag/lead with ORDER BY (+literal offset/default) — the month-over-month
+    delta pattern. Anything with frames, FILTER, DISTINCT, or unresolvable
+    partitions raises SQLFrontError => the always-correct spark.sql
+    fallback."""
     fn = item.get("function_name", "").lower()
     if (
         item.get("filter_expr") is not None
         or item.get("distinct")
         or item.get("ignore_nulls")
-        or item.get("offset_expr") is not None
-        or item.get("default_expr") is not None
         or item.get("start") != "UNBOUNDED_PRECEDING"
         or item.get("end") != "CURRENT_ROW_RANGE"
         or item.get("exclude_clause", "NO_OTHER") != "NO_OTHER"
     ):
         raise SQLFrontError(f"window {fn}: frames/FILTER/DISTINCT unsupported")
+    if fn not in _WINDOW_OFFSET_FNS and (
+        item.get("offset_expr") is not None
+        or item.get("default_expr") is not None
+    ):
+        raise SQLFrontError(f"window {fn}: unexpected offset/default")
 
     dim_names = set(name_by_key.values())
 
@@ -704,10 +719,19 @@ def _window_spec(
             f"window PARTITION BY {render(p)} is not a grouped dimension"
         )
 
+    def resolve_expr(e: dict) -> str:
+        # a grouped expression (e.g. the date_trunc that became the query
+        # granularity) must reference its OUTPUT name — the base column no
+        # longer exists after aggregation
+        key = _gk(_strip(e))
+        if key in name_by_key:
+            return f"`{name_by_key[key]}`"
+        return _extract_inner_aggs(e, a.aggs)[0]
+
     partition = [resolve_partition(p) for p in item.get("partitions", [])]
     orders = [
         ir.OrderByColumn(
-            _extract_inner_aggs(o["expression"], a.aggs)[0],
+            resolve_expr(o["expression"]),
             "desc" if o.get("type") == "DESCENDING" else "asc",
         )
         for o in item.get("orders", [])
@@ -717,6 +741,22 @@ def _window_spec(
         if not orders:
             raise SQLFrontError(f"window {fn} requires ORDER BY")
         return ir.WindowPostSpec(name, fn, None, partition, orders)
+    if fn in _WINDOW_OFFSET_FNS:
+        if not orders:
+            raise SQLFrontError(f"window {fn} requires ORDER BY")
+        ch = item.get("children", [])
+        if len(ch) != 1:
+            raise SQLFrontError(f"window {fn}: expected one argument")
+        arg = resolve_expr(ch[0])
+        off = 1
+        if item.get("offset_expr") is not None:
+            off = int(_window_const(item["offset_expr"], f"{fn} offset"))
+        dflt = None
+        if item.get("default_expr") is not None:
+            dflt = _window_const(item["default_expr"], f"{fn} default")
+        return ir.WindowPostSpec(
+            name, fn, arg, partition, orders, offset=off, default=dflt
+        )
     if fn in _WINDOW_AGG_FNS:
         if orders:
             # ORDER BY inside an aggregate window implies a running frame;

@@ -517,3 +517,41 @@ def test_window_serde_roundtrip(ctx):
     assert spec.window_posts and spec.window_posts[0].func == "rank"
     back = ir.node_from_dict(spec.to_dict())
     assert back.to_dict() == spec.to_dict()
+
+
+def test_window_lag_lead_mom(ctx, duck):
+    sql = """
+SELECT date_trunc('month', l_shipdate) AS m,
+  round(sum(l_extendedprice), 2) AS rev,
+  round(lag(sum(l_extendedprice), 1, 0.0) OVER (ORDER BY m), 2) AS prev_rev,
+  lead(sum(l_extendedprice), 2) OVER
+    (ORDER BY date_trunc('month', l_shipdate)) AS next2
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY m ORDER BY m
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_lag_partitioned(ctx, duck):
+    sql = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s,
+  lag(sum(l_quantity)) OVER
+    (PARTITION BY l_returnflag ORDER BY l_linestatus) AS prev_in_flag
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_outside_surface_falls_back(ctx, duck):
+    # first_value is outside the rewritten window surface; Spark answers it
+    # through the fallback
+    sql = """
+SELECT l_returnflag, sum(l_quantity) AS s,
+  first_value(sum(l_quantity)) OVER (ORDER BY l_returnflag) AS f
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing == "sparksql"
