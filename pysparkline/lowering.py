@@ -1046,6 +1046,8 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
             )
         if w.func in ("rank", "dense_rank", "row_number"):
             wcols[w.name] = getattr(F, w.func)().over(spec)
+        elif w.func == "ntile":
+            wcols[w.name] = F.ntile(w.offset or 1).over(spec)
         elif w.func in ("lag", "lead"):
             wcols[w.name] = getattr(F, w.func)(
                 F.expr(w.arg), w.offset or 1, w.default

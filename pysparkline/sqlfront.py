@@ -741,6 +741,15 @@ def _window_spec(
         if not orders:
             raise SQLFrontError(f"window {fn} requires ORDER BY")
         return ir.WindowPostSpec(name, fn, None, partition, orders)
+    if fn == "ntile":
+        if not orders:
+            raise SQLFrontError("window ntile requires ORDER BY")
+        ch = item.get("children", [])
+        if len(ch) != 1:
+            raise SQLFrontError("window ntile: expected one argument")
+        n = int(_window_const(ch[0], "ntile bucket count"))
+        # bucket count rides in `offset` (the literal-integer slot)
+        return ir.WindowPostSpec(name, fn, None, partition, orders, offset=n)
     if fn in _WINDOW_OFFSET_FNS:
         if not orders:
             raise SQLFrontError(f"window {fn} requires ORDER BY")

@@ -490,18 +490,29 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def test_window_unsupported_falls_back(ctx, duck):
-    # ntile / running frames / non-grouped partitions stay outside the
-    # surface: the always-correct spark.sql fallback answers instead
+    # running frames / nth_value stay outside the surface: the
+    # always-correct spark.sql fallback answers instead
     for sql in [
         """SELECT l_returnflag, sum(l_quantity) AS s,
-           ntile(3) OVER (ORDER BY sum(l_quantity)) AS nt
+           sum(sum(l_quantity)) OVER (ORDER BY sum(l_quantity)) AS run
            FROM lineitem GROUP BY l_returnflag""",
         """SELECT l_returnflag, sum(l_quantity) AS s,
-           sum(sum(l_quantity)) OVER (ORDER BY sum(l_quantity)) AS run
+           nth_value(sum(l_quantity), 2) OVER (ORDER BY l_returnflag) AS nv
            FROM lineitem GROUP BY l_returnflag""",
     ]:
         ctx.sql(sql).collect()
         assert ctx.query_history[-1].backing == "sparksql"
+
+
+def test_window_ntile(ctx, duck):
+    sql = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s,
+  ntile(3) OVER (ORDER BY sum(l_quantity) DESC) AS bucket
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
 
 
 def test_window_serde_roundtrip(ctx):
