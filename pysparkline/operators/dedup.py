@@ -637,11 +637,22 @@ def semantic_dedup(
     Clustering bounds the pair generation (the SemDeDup premise: candidates
     only form within a cluster). ``cluster_col`` uses a caller-provided
     assignment (e.g. pre-computed kmeans labels); otherwise kmeans centroids
-    are fit on a sample and rows are assigned via one Arrow-batched matmul
-    pass (similarity.py machinery). Cost is one equi-join keyed on cluster:
-    sum over clusters of |c|^2 — sized by n_clusters, never corpus^2.
+    are fit and rows are assigned via one Arrow-batched matmul pass
+    (similarity.py machinery).
+
+    The within-cluster comparison is a grouped numpy kernel
+    (``applyInPandas`` per cluster): L2-normalize once, then blockwise
+    ``B @ V.T`` against earlier rows — one shuffle keyed on cluster, cost
+    sum over clusters of |c|^2 BLAS flops, never corpus^2. (A pair-explode
+    self-join formulation was measured 50x slower at the 20x smoke: 12.5M
+    per-pair higher-order-function cosines — the same lesson as the IVF
+    cell assignment, batched BLAS beats scalar expressions.) Block rows cap
+    the score-matrix memory at block x |c| per task; |c| itself is bounded
+    by the kmeans balance, the knob is ``n_clusters``.
     """
-    from .similarity import _fit_centroids, _nearest_cells_expr, cosine_similarity_col
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    from .similarity import _fit_centroids, _nearest_cells_expr
 
     if cluster_col is None:
         centroids = _fit_centroids(df, vec_col, n_clusters, seed)
@@ -658,25 +669,43 @@ def semantic_dedup(
             F.col(vec_col).alias("__v"),
             F.col(cluster_col).alias("__cluster"),
         )
-    a = work.select(
-        F.col("__id").alias("id"), F.col("__v").alias("__va"), "__cluster"
+
+    out_schema = StructType(
+        [work.schema["__id"], work.schema["__cluster"],
+         StructField("kept", BooleanType())]
     )
-    b = work.select(
-        F.col("__id").alias("__id_b"), F.col("__v").alias("__vb"), "__cluster"
-    )
-    cos = F.round(cosine_similarity_col(F.col("__va"), F.col("__vb")), 6)
-    dropped = (
-        a.join(b, "__cluster")
-        .where((F.col("__id_b") < F.col("id")) & (cos >= threshold))
-        .select("id")
-        .distinct()
-    )
+    block = 2048
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__v"].to_numpy()[order]]
+        )
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        n = len(ids)
+        kept = np.ones(n, dtype=bool)
+        for s0 in range(0, n, block):
+            e0 = min(s0 + block, n)
+            # cosine of each block row vs EVERY earlier row (j < i); rounded
+            # to 6 dp to share the oracle's comparison grid
+            S = np.round(Vn[s0:e0] @ Vn[:e0].T, 6) >= threshold
+            mask = np.arange(e0)[None, :] < np.arange(s0, e0)[:, None]
+            kept[s0:e0] = ~(S & mask).any(axis=1)
+        return pd.DataFrame(
+            {"__id": ids, "__cluster": pdf["__cluster"].iloc[0], "kept": kept}
+        )
+
     return (
-        a.join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
+        work.groupBy("__cluster")
+        .applyInPandas(_dedup_cluster, out_schema)
         .select(
-            F.col("id").alias(id_col),
+            F.col("__id").alias(id_col),
             F.col("__cluster").alias("cluster"),
-            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+            "kept",
         )
     )
 
