@@ -98,6 +98,23 @@ def select_sqls(draw):
         m = draw(st.sampled_from(METRICS))
         sel.append(f"{a.format(m=m)} AS m{i}")
         names.append(f"m{i}")
+    if gcols and draw(st.booleans()):
+        # window over the aggregated result (WindowPostSpec surface); shapes
+        # chosen deterministic under ties: rank (ties share a rank), sum
+        # over a partition, lag ordered by the full (unique) group key
+        m = draw(st.sampled_from(METRICS))
+        kind = draw(st.sampled_from(["share", "rank", "lag"]))
+        if kind == "share":
+            part = draw(st.sampled_from(["", f"PARTITION BY {gcols[0]}"]))
+            sel.append(f"SUM(SUM({m})) OVER ({part}) AS w0")
+        elif kind == "rank":
+            sel.append(f"RANK() OVER (ORDER BY SUM({m}) DESC) AS w0")
+        else:
+            sel.append(
+                f"LAG(SUM({m}), 1, 0.0) OVER "
+                f"(ORDER BY {', '.join(gcols)}) AS w0"
+            )
+        names.append("w0")
     sql = f"SELECT {', '.join(sel)} FROM lineitem{draw(where_clauses())}"
     if gcols:
         sql += " GROUP BY " + ", ".join(gcols)
