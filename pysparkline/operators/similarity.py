@@ -466,3 +466,211 @@ class IvfIndex:
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN — the compressed-corpus search path
+# ---------------------------------------------------------------------------
+
+
+def _np_kmeans(X: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarray:
+    """Deterministic Lloyd kmeans (numpy, distance via dots — no n*k*d
+    blowup). Empty clusters keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64).copy()
+    x2 = (X * X).sum(axis=1)
+    for _ in range(iters):
+        d = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    train_limit: int = 20000,
+) -> list[np.ndarray]:
+    """Per-subspace codebooks for product quantization over L2-normalized
+    vectors (cosine ≡ dot after normalization): split dim into
+    ``m_subspaces`` blocks, kmeans each block to ``n_codes`` codewords.
+
+    Training collects a bounded sample (``train_limit`` rows) to the driver
+    — codebooks are model-sized (m*k*subdim floats), the corpus is never
+    collected. At 100 TB the sample is one bounded `.limit()` scan."""
+    rows = corpus.select(vec_col).limit(train_limit).collect()
+    X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
+    dim = X.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    d = dim // m_subspaces
+    return [
+        _np_kmeans(X[:, m * d:(m + 1) * d], n_codes, seed + m)
+        for m in range(m_subspaces)
+    ]
+
+
+def _pq_codes_expr(vec_col, codebooks: list[np.ndarray]):
+    """array<int> PQ code per vector (normalize, per-subspace argmin) —
+    Arrow-batched: one small matmul per subspace per batch."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cbs = [C.astype(np.float64) for C in codebooks]
+    d = cbs[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        V /= np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+        out = np.empty((len(V), len(cbs)), dtype=np.int32)
+        for m, C in enumerate(cbs):
+            sub = V[:, m * d:(m + 1) * d]
+            dist = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ C.T) + (
+                C * C
+            ).sum(1)[None, :]
+            out[:, m] = dist.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return codes(vec_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    seed: int = 42,
+    codebooks: list[np.ndarray] | None = None,
+    rerank: bool = True,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k: (query_id, neighbor_id,
+    score, rank). With ``rerank`` (default) ``score`` is the EXACT cosine of
+    a PQ-shortlisted candidate; without, the asymmetric-distance
+    approximation.
+
+    The memory-bound complement to IVF: the corpus is represented by
+    ``m_subspaces`` small ints per vector (e.g. 8 bytes vs 256 for a 64-dim
+    float array — the difference between spilling and RAM-resident at
+    100 TB). ADC scoring never touches the original vectors: per corpus
+    partition, one lookup-table pass (LUT[q, m, code] built once per query
+    set, summed by fancy indexing) emits only each partition's local
+    shortlist per query; shuffle volume is partitions x queries x shortlist
+    rows, independent of corpus size. The re-rank then computes exact
+    cosine for the ``shortlist`` (default max(4k, 32)) global ADC
+    candidates only — the standard PQ serving shape (quantized scan for
+    candidates, exact math on a bounded shortlist).
+    """
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            corpus, corpus_vec, m_subspaces, n_codes, seed
+        )
+    d = codebooks[0].shape[1]
+    M = len(codebooks)
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1)[:, None], 1e-12)
+    # asymmetric-distance lookup tables: (n_queries, M, n_codes)
+    lut = np.stack(
+        [
+            np.stack([Q[:, m * d:(m + 1) * d] @ C.T for m, C in
+                      enumerate(codebooks)], axis=1)
+        ]
+    )[0]
+
+    coded = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _pq_codes_expr(F.col(corpus_vec), codebooks).alias("__codes"),
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    kk = max(shortlist or 4 * k, 32) if rerank else k
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            codes = np.vstack(pdf["__codes"].to_numpy())
+            S = np.zeros((len(qids), len(ids)))
+            for m in range(M):
+                S += lut[:, m, codes[:, m]]
+            top = min(kk, len(ids))
+            part = np.argpartition(-S, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, top),
+                    "neighbor_id": ids[part.ravel()],
+                    "score": np.take_along_axis(S, part, axis=1).ravel(),
+                }
+            )
+
+    scored = coded.mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+    )
+    if not rerank:
+        return top.select(
+            "query_id", "neighbor_id", F.round("score", 6).alias("score"),
+            "rank",
+        )
+    # exact re-rank of the bounded shortlist: fetch original vectors for the
+    # candidate ids only (equi-join), exact cosine, keep k
+    qdf = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        )
+    )
+    cand = (
+        top.select("query_id", "neighbor_id")
+        .join(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(corpus_vec).alias("__cv"),
+            ),
+            "neighbor_id",
+        )
+        .join(qdf, "query_id")
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity_col(F.col("__cv"), F.col("__qv")), 6
+        ).alias("score"),
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -95,3 +95,46 @@ def test_perplexity_reference_lm_skips_oov(spark):
     lp_x = math.log(3 / 5)  # x count 2, N=3, V=2
     assert got[1] == (1, round(-lp_x, 6))
     assert 2 not in got
+
+
+def test_pq_topk_exact_on_small_corpus(spark, emb):
+    from pysparkline.operators import similarity
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = similarity.pq_topk(emb, queries, k=5)
+    brute = similarity.brute_force_cosine_topk(emb, queries, k=5, round_to=6)
+    # re-ranked PQ recovers the exact top-5 on the fixture corpus, with
+    # exact cosine scores (re-rank computes them from original vectors)
+    got = {(r.query_id, r.neighbor_id, r.score, r.rank) for r in pq.collect()}
+    exp = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in brute.collect()
+    }
+    assert got == exp
+
+
+def test_pq_adc_only_bounded_output(spark, emb):
+    from pysparkline.operators import similarity
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = similarity.pq_topk(emb, queries, k=3, rerank=False)
+    rows = pq.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= 3 for v in per_q.values())
+
+
+def test_pq_codebooks_deterministic(spark, emb):
+    from pysparkline.operators import similarity
+    import numpy as np
+
+    a = similarity.fit_pq_codebooks(emb, "embedding", 8, 16, seed=7)
+    b = similarity.fit_pq_codebooks(emb, "embedding", 8, 16, seed=7)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
