@@ -1044,8 +1044,14 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                     for o in w.order
                 ]
             )
-        if w.func in ("rank", "dense_rank", "row_number"):
+        if w.func in (
+            "rank", "dense_rank", "row_number", "percent_rank", "cume_dist"
+        ):
             wcols[w.name] = getattr(F, w.func)().over(spec)
+        elif w.func == "first_value":
+            # default frame (unbounded preceding -> current row) makes the
+            # ordered first constant per partition — same in ANSI and Spark
+            wcols[w.name] = F.first(F.expr(w.arg)).over(spec)
         elif w.func == "ntile":
             wcols[w.name] = F.ntile(w.offset or 1).over(spec)
         elif w.func in ("lag", "lead"):

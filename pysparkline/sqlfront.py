@@ -664,7 +664,9 @@ def _dim_spec(node: dict, out_name: str, time_col: str | None) -> ir.DimSpec:
 
 
 _WINDOW_AGG_FNS = {"sum", "count", "avg", "min", "max"}
-_WINDOW_RANK_FNS = {"rank", "dense_rank", "row_number"}
+_WINDOW_RANK_FNS = {
+    "rank", "dense_rank", "row_number", "percent_rank", "cume_dist",
+}
 _WINDOW_OFFSET_FNS = {"lag", "lead"}
 
 
@@ -741,6 +743,15 @@ def _window_spec(
         if not orders:
             raise SQLFrontError(f"window {fn} requires ORDER BY")
         return ir.WindowPostSpec(name, fn, None, partition, orders)
+    if fn == "first_value":
+        if not orders:
+            raise SQLFrontError("window first_value requires ORDER BY")
+        ch = item.get("children", [])
+        if len(ch) != 1:
+            raise SQLFrontError("window first_value: expected one argument")
+        return ir.WindowPostSpec(
+            name, fn, resolve_expr(ch[0]), partition, orders
+        )
     if fn == "ntile":
         if not orders:
             raise SQLFrontError("window ntile requires ORDER BY")

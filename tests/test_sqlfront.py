@@ -558,11 +558,25 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def test_window_outside_surface_falls_back(ctx, duck):
-    # first_value is outside the rewritten window surface; Spark answers it
+    # stddev windows are outside the rewritten surface; Spark answers them
     # through the fallback
     sql = """
 SELECT l_returnflag, sum(l_quantity) AS s,
-  first_value(sum(l_quantity)) OVER (ORDER BY l_returnflag) AS f
+  stddev(sum(l_quantity)) OVER () AS sd
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     assert_same(ctx, duck, sql, sort=False)
     assert ctx.query_history[-1].backing == "sparksql"
+
+
+def test_window_rank_variants_and_first_value(ctx, duck):
+    sql = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s,
+  round(percent_rank() OVER (ORDER BY sum(l_quantity)), 6) AS pr,
+  round(cume_dist() OVER (ORDER BY sum(l_quantity)), 6) AS cd,
+  first_value(l_linestatus) OVER
+    (PARTITION BY l_returnflag ORDER BY sum(l_quantity) DESC) AS top_status
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
