@@ -114,6 +114,10 @@ LLM_OPS = [
     "pack_docs",
     "hash_split_docs",
     "source_overlap_docs",
+    "perplexity_docs",
+    "semantic_dedup_emb",
+    "pq_topk",
+    "sql_window_share",
 ]
 
 
