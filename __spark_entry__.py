@@ -3353,6 +3353,40 @@ GROUP BY m ORDER BY m
 
 
 @_register(
+    "sql_window_ma",
+    """
+SELECT date_trunc('month', l_shipdate) AS m,
+  round(sum(l_extendedprice), 2) AS rev,
+  round(sum(sum(l_extendedprice)) OVER (ORDER BY m), 2) AS cum_rev,
+  round(avg(sum(l_extendedprice)) OVER
+    (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY m ORDER BY m
+""",
+)
+def sql_window_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue + 3-month moving average: running frame (ANSI
+    default RANGE..CURRENT ROW, tie-peers identical in Spark) and explicit
+    ROWS BETWEEN frame over the index-served monthly series."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql("""
+SELECT date_trunc('month', l_shipdate) AS m,
+  round(sum(l_extendedprice), 2) AS rev,
+  round(sum(sum(l_extendedprice)) OVER (ORDER BY m), 2) AS cum_rev,
+  round(avg(sum(l_extendedprice)) OVER
+    (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY m ORDER BY m
+""")
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "running/framed windows must rewrite onto the index, not fall back"
+    )
+    return out
+
+
+@_register(
     "sql_count_distinct",
     """
 SELECT l_returnflag, COUNT(DISTINCT o_orderstatus) AS n_status,
@@ -3476,8 +3510,8 @@ _PRIORITY = [
     # splits, cross-source leakage audit
     "bm25_topk_docs", "text_index_topk", "pack_docs", "hash_split_docs",
     "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
-    "sql_window_share", "sql_window_mom", "semantic_dedup_emb",
-    "perplexity_docs", "pq_topk",
+    "sql_window_share", "sql_window_mom", "sql_window_ma",
+    "semantic_dedup_emb", "perplexity_docs", "pq_topk",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

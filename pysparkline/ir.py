@@ -562,6 +562,11 @@ class WindowPostSpec(IRNode):
     order: list = field(default_factory=list)  # [OrderByColumn]
     offset: Optional[int] = None  # lag/lead row offset (default 1)
     default: Any = None  # lag/lead default literal (JSON-serializable)
+    # aggregate-window frame: None + no order = whole partition; None +
+    # order = ANSI default running frame (RANGE ... CURRENT ROW, ties are
+    # peers — identical in Spark); [lo, hi] = ROWS BETWEEN frame in Spark
+    # rowsBetween convention (negative = preceding, null = unbounded)
+    frame: Optional[list] = None
 
 
 # ---------------------------------------------------------------------------

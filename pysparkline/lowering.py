@@ -1059,6 +1059,13 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                 F.expr(w.arg), w.offset or 1, w.default
             ).over(spec)
         else:
+            frame = getattr(w, "frame", None)
+            if frame is not None:
+                lo = Window.unboundedPreceding if frame[0] is None else frame[0]
+                hi = Window.unboundedFollowing if frame[1] is None else frame[1]
+                spec = spec.rowsBetween(lo, hi)
+            # w.order without a frame keeps Spark's default ordered frame
+            # (RANGE ... CURRENT ROW with tie-peers — the ANSI running agg)
             wcols[w.name] = F.expr(f"{w.func}({w.arg})").over(spec)
     return df.withColumns(wcols)
 

@@ -695,16 +695,44 @@ def _window_spec(
         item.get("filter_expr") is not None
         or item.get("distinct")
         or item.get("ignore_nulls")
-        or item.get("start") != "UNBOUNDED_PRECEDING"
-        or item.get("end") != "CURRENT_ROW_RANGE"
         or item.get("exclude_clause", "NO_OTHER") != "NO_OTHER"
     ):
-        raise SQLFrontError(f"window {fn}: frames/FILTER/DISTINCT unsupported")
+        raise SQLFrontError(f"window {fn}: FILTER/DISTINCT unsupported")
     if fn not in _WINDOW_OFFSET_FNS and (
         item.get("offset_expr") is not None
         or item.get("default_expr") is not None
     ):
         raise SQLFrontError(f"window {fn}: unexpected offset/default")
+
+    # frame: default RANGE (whole-partition / ANSI running) => None;
+    # explicit ROWS BETWEEN with literal bounds => [lo, hi] in Spark
+    # rowsBetween convention; anything else (RANGE/GROUPS frames) => out
+    start, end = item.get("start"), item.get("end")
+    if start == "UNBOUNDED_PRECEDING" and end == "CURRENT_ROW_RANGE":
+        frame = None
+    elif fn in _WINDOW_AGG_FNS:
+        def bound(tok: str, expr, side: str):
+            if tok == "UNBOUNDED_PRECEDING":
+                return None if side == "lo" else _bad()
+            if tok == "UNBOUNDED_FOLLOWING":
+                return None if side == "hi" else _bad()
+            if tok == "CURRENT_ROW_ROWS":
+                return 0
+            if tok == "EXPR_PRECEDING_ROWS":
+                return -int(_window_const(expr, "frame bound"))
+            if tok == "EXPR_FOLLOWING_ROWS":
+                return int(_window_const(expr, "frame bound"))
+            return _bad()
+
+        def _bad():
+            raise SQLFrontError(f"window {fn}: unsupported frame")
+
+        frame = [
+            bound(start, item.get("start_expr"), "lo"),
+            bound(end, item.get("end_expr"), "hi"),
+        ]
+    else:
+        raise SQLFrontError(f"window {fn}: explicit frames unsupported")
 
     dim_names = set(name_by_key.values())
 
@@ -778,10 +806,8 @@ def _window_spec(
             name, fn, arg, partition, orders, offset=off, default=dflt
         )
     if fn in _WINDOW_AGG_FNS:
-        if orders:
-            # ORDER BY inside an aggregate window implies a running frame;
-            # out of surface (keep the exact whole-partition semantics only)
-            raise SQLFrontError(f"running window {fn} (ORDER BY) unsupported")
+        if frame is not None and not orders:
+            raise SQLFrontError(f"window {fn}: ROWS frame requires ORDER BY")
         ch = item.get("children", [])
         if not ch and fn == "count":
             arg = "1"
@@ -789,7 +815,11 @@ def _window_spec(
             arg, _ = _extract_inner_aggs(ch[0], a.aggs)
         else:
             raise SQLFrontError(f"window {fn}: expected one argument")
-        return ir.WindowPostSpec(name, fn, arg, partition, [])
+        # orders + frame None = ANSI running frame (RANGE ... CURRENT ROW,
+        # ties are peers — Spark's default ordered frame, identical)
+        return ir.WindowPostSpec(
+            name, fn, arg, partition, orders, frame=frame
+        )
     raise SQLFrontError(f"window function {fn} unsupported")
 
 

@@ -490,11 +490,12 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def test_window_unsupported_falls_back(ctx, duck):
-    # running frames / nth_value stay outside the surface: the
+    # RANGE value-frames / nth_value stay outside the surface: the
     # always-correct spark.sql fallback answers instead
     for sql in [
         """SELECT l_returnflag, sum(l_quantity) AS s,
-           sum(sum(l_quantity)) OVER (ORDER BY sum(l_quantity)) AS run
+           sum(sum(l_quantity)) OVER (ORDER BY sum(l_quantity)
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS run
            FROM lineitem GROUP BY l_returnflag""",
         """SELECT l_returnflag, sum(l_quantity) AS s,
            nth_value(sum(l_quantity), 2) OVER (ORDER BY l_returnflag) AS nv
@@ -502,6 +503,23 @@ def test_window_unsupported_falls_back(ctx, duck):
     ]:
         ctx.sql(sql).collect()
         assert ctx.query_history[-1].backing == "sparksql"
+
+
+def test_window_running_and_moving_average(ctx, duck):
+    sql = """
+SELECT date_trunc('month', l_shipdate) AS m,
+  round(sum(l_extendedprice), 2) AS rev,
+  round(sum(sum(l_extendedprice)) OVER (ORDER BY m), 2) AS cum_rev,
+  round(avg(sum(l_extendedprice)) OVER
+    (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3,
+  round(sum(sum(l_extendedprice)) OVER
+    (ORDER BY m ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS win3
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY m ORDER BY m
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
 
 
 def test_window_ntile(ctx, duck):
