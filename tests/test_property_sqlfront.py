@@ -103,12 +103,26 @@ def select_sqls(draw):
         # chosen deterministic under ties: rank (ties share a rank), sum
         # over a partition, lag ordered by the full (unique) group key
         m = draw(st.sampled_from(METRICS))
-        kind = draw(st.sampled_from(["share", "rank", "lag"]))
+        kind = draw(
+            st.sampled_from(["share", "rank", "lag", "running", "frame"])
+        )
         if kind == "share":
             part = draw(st.sampled_from(["", f"PARTITION BY {gcols[0]}"]))
             sel.append(f"SUM(SUM({m})) OVER ({part}) AS w0")
         elif kind == "rank":
             sel.append(f"RANK() OVER (ORDER BY SUM({m}) DESC) AS w0")
+        elif kind == "running":
+            # cumulative over the full (unique) group key — total order, so
+            # the ANSI tie-peer frame is trivially deterministic
+            sel.append(
+                f"SUM(SUM({m})) OVER (ORDER BY {', '.join(gcols)}) AS w0"
+            )
+        elif kind == "frame":
+            lo = draw(st.integers(0, 3))
+            sel.append(
+                f"AVG(SUM({m})) OVER (ORDER BY {', '.join(gcols)} "
+                f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW) AS w0"
+            )
         else:
             sel.append(
                 f"LAG(SUM({m}), 1, 0.0) OVER "
