@@ -3486,6 +3486,143 @@ LIMIT 100
 """)
 
 
+def _curate_oracle() -> str:
+    """Composed curation-funnel oracle: every stage reuses the formula its
+    standalone oracle pins (quality_docs, lang_id_docs,
+    repetition_stats_docs, dedup_exact_docs, decontaminate_docs,
+    hash_split_docs), joined into one per-document verdict row."""
+    lang = _lang_id_oracle()
+    return rf"""
+WITH lang AS ({lang}),
+q AS (
+  SELECT doc_id,
+         0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END)
+       + 0.3 * (CASE WHEN CAST(length(text)
+                    - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                    AS DOUBLE) / greatest(length(text), 1) <= 0.2
+                THEN 1 ELSE 0 END)
+       + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+                    / greatest(len(list_filter(
+                        regexp_split_to_array(text, '\s+'), x -> x <> '')), 1)
+                    BETWEEN 3 AND 12 THEN 1 ELSE 0 END) AS score
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+  ) WHERE length(line) > 0
+),
+lstats AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS mx
+  FROM (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS w
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> length(x) > 0) AS ws
+          FROM documents)
+  )
+),
+bigrams2 AS (
+  SELECT a.doc_id, a.w || chr(1) || b.w AS bg
+  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bstats AS (
+  SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams2 GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+rep AS (
+  SELECT d.doc_id,
+         COALESCE(1.0 - CAST(l.d AS DOUBLE) / l.n, 0.0) AS dup_line_frac,
+         COALESCE(CAST(b.mx AS DOUBLE) / b.n, 0.0) AS top_bigram_frac
+  FROM documents d
+  LEFT JOIN lstats l USING (doc_id)
+  LEFT JOIN bstats b USING (doc_id)
+),
+toks2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+           AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 8, 0) + 2),
+                                      i -> array_to_string(t[i:i+7], ' ')))
+           AS g
+  FROM toks2
+),
+cg AS (SELECT doc_id AS corpus_id, unnest(g) AS gram FROM grams),
+bg3 AS (SELECT doc_id AS bench_id, unnest(g) AS gram FROM grams
+        WHERE doc_id % 17 = 0),
+contaminated AS (
+  SELECT DISTINCT corpus_id AS doc_id FROM cg JOIN bg3 USING (gram)
+),
+canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(
+                      md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                              '\s+', ' ', 'g'))),
+                      1, 8) AS BIGINT) % 10000 < 9000 THEN 'train'
+              WHEN CAST('0x' || substr(
+                      md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                              '\s+', ' ', 'g'))),
+                      1, 8) AS BIGINT) % 10000 < 9500 THEN 'valid'
+              ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT d.doc_id,
+       q.score >= 0.5 AS quality_ok,
+       lang.detected_lang IN ('en') AS lang_ok,
+       (rep.dup_line_frac <= 0.3 AND rep.top_bigram_frac <= 0.2)
+         AS repetition_ok,
+       canon.is_canonical,
+       (c.doc_id IS NULL) AS clean_ok,
+       (q.score >= 0.5 AND lang.detected_lang IN ('en')
+        AND rep.dup_line_frac <= 0.3 AND rep.top_bigram_frac <= 0.2
+        AND canon.is_canonical AND c.doc_id IS NULL) AS kept,
+       sp.split
+FROM documents d
+JOIN q USING (doc_id)
+JOIN lang USING (doc_id)
+JOIN rep USING (doc_id)
+JOIN canon USING (doc_id)
+JOIN sp USING (doc_id)
+LEFT JOIN contaminated c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@_register("curate_docs", _curate_oracle())
+def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation funnel (pipeline.curate_corpus):
+    quality + language + repetition filters, exact dedup, benchmark
+    decontamination (docs with doc_id % 17 == 0 play the eval set), and
+    content-hash splits — one per-document verdict row, every flag
+    independently recomputed by the DuckDB oracle. The per-row signals fuse
+    into ONE projection (operators' column/append forms); the funnel's only
+    shuffle is the content-hash canonical window plus the contamination
+    join."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import pipeline
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return pipeline.curate_corpus(docs, bench=bench).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3511,7 +3648,7 @@ _PRIORITY = [
     "bm25_topk_docs", "text_index_topk", "pack_docs", "hash_split_docs",
     "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
     "sql_window_share", "sql_window_mom", "sql_window_ma",
-    "semantic_dedup_emb", "perplexity_docs", "pq_topk",
+    "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

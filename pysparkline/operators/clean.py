@@ -200,7 +200,10 @@ def _max_sorted_run(arr: Column) -> Column:
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
 ) -> DataFrame:
     """Gopher-style repetition signals per document (public Rae et al. 2021
     quality rules): duplicate-line fraction, most-frequent-line fraction,
@@ -222,8 +225,9 @@ def repetition_stats(
     bigrams = F.slice(paired, 1, F.greatest(F.size(words) - 1, F.lit(0)))
     n_lines = F.size(lines)
     n_bi = F.size(bigrams)
+    lead = list(df.columns) if append else [F.col(id_col)]
     return df.select(
-        F.col(id_col),
+        *lead,
         F.when(
             n_lines > 0,
             1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,

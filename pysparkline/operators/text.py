@@ -73,7 +73,9 @@ def stopword_hits(text: Column, lang: str) -> Column:
     return _hits(tokens_col(F.lower(text)), lang)
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, append: bool = False
+) -> DataFrame:
     """Heuristic language ID: argmax of stopword-hit counts (deterministic
     tie-break by language code). 'und' when nothing matches.
 
@@ -81,7 +83,11 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token does ONE literal-map lookup producing a language bitmask (a token
     can be a stopword of several languages, e.g. 'la' in fr+es) — versus
     |langs| * |stopwords| array_contains probes per token, this is the
-    difference between 1 and 50 comparisons on every token of the corpus."""
+    difference between 1 and 50 comparisons on every token of the corpus.
+
+    ``append=True`` keeps the input columns (join-free pipeline
+    composition) instead of projecting down to (id, signals)."""
+    keep = list(df.columns)
     langs = sorted(STOPWORDS)
     mask: dict[str, int] = {}
     for i, lang in enumerate(langs):
@@ -114,12 +120,33 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
         lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
     )
-    return df.select(
-        F.col(id_col),
+    out_cols = [
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
             "detected_lang"
         ),
         best["hits"].alias("stopword_hits"),
+    ]
+    if append:
+        return df.select(*keep, *out_cols)
+    return df.select(F.col(id_col), *out_cols)
+
+
+def quality_score_col(text: Column) -> Column:
+    """Pure-expression form of the quality heuristic — composable into any
+    projection without a join (pipeline.curate_corpus fuses it into the one
+    scan)."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    avg_token_len = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    len_ok = (n_chars >= 100) & (n_chars <= 20000)
+    punct_ok = punct_ratio <= 0.2
+    tok_ok = (avg_token_len >= 3) & (avg_token_len <= 12)
+    return (
+        len_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.3
+        + tok_ok.cast("double") * 0.3
     )
 
 
@@ -127,16 +154,10 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic quality heuristic in [0,1]: length band + punctuation
     sanity + mean token length band. (The standard cheap pre-filter before
     expensive model-based scoring.)"""
-    s = text_stats(df, id_col, text_col)
-    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000)
-    punct_ok = F.col("punct_ratio") <= 0.2
-    tok_ok = (F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 12)
-    score = (
-        len_ok.cast("double") * 0.4
-        + punct_ok.cast("double") * 0.3
-        + tok_ok.cast("double") * 0.3
+    return df.select(
+        F.col(id_col),
+        quality_score_col(F.col(text_col)).alias("quality_score"),
     )
-    return s.select(F.col(id_col), score.alias("quality_score"))
 
 
 def unigram_lm(df: DataFrame, text_col: str) -> DataFrame:

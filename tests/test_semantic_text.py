@@ -138,3 +138,29 @@ def test_pq_codebooks_deterministic(spark, emb):
     a = similarity.fit_pq_codebooks(emb, "embedding", 8, 16, seed=7)
     b = similarity.fit_pq_codebooks(emb, "embedding", 8, 16, seed=7)
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_curate_corpus_audit_consistent(spark):
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import pipeline
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    v = pipeline.curate_corpus(docs, bench=bench).persist()
+    audit = pipeline.curation_audit(v).first()
+    n = docs.count()
+    assert audit.n_docs == n
+    assert audit.n_kept == v.where("kept").count()
+    # every bench doc shares its grams with itself -> decontaminated away
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    clean_fail = {r.doc_id for r in v.where("NOT clean_ok").collect()}
+    assert bench_ids <= clean_fail
+    # kept implies every stage flag
+    assert v.where(
+        "kept AND NOT (quality_ok AND lang_ok AND repetition_ok "
+        "AND is_canonical AND clean_ok)"
+    ).count() == 0
+    # splits partition the corpus deterministically
+    assert v.groupBy("split").count().count() <= 3
+    v.unpersist()
