@@ -3486,6 +3486,44 @@ LIMIT 100
 """)
 
 
+@_register(
+    "tfidf_docs",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n FROM documents),
+wt AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+         tf * (ln((n + 1.0) / (df + 1.0)) + 1) AS w
+  FROM tf JOIN dfreq USING (tok), n
+),
+bw AS (SELECT doc_id, bucket, SUM(w) AS w FROM wt GROUP BY 1, 2)
+SELECT doc_id, bucket,
+       round(w / sqrt(SUM(w * w) OVER (PARTITION BY doc_id)), 6) AS weight
+FROM bw ORDER BY doc_id, bucket
+""",
+)
+def tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF features (the text->vector bridge into the similarity
+    family): md5-prefix hashing trick, smoothed idf, per-document L2
+    normalization — every piece portable SQL, recomputed exactly by the
+    oracle."""
+    from pysparkline.operators import text
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    return text.tfidf_hash_features(docs, "doc_id", "text", dim=64).orderBy(
+        "doc_id", "bucket"
+    )
+
+
 def _curate_oracle() -> str:
     """Composed curation-funnel oracle: every stage reuses the formula its
     standalone oracle pins (quality_docs, lang_id_docs,
@@ -3649,6 +3687,7 @@ _PRIORITY = [
     "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
     "sql_window_share", "sql_window_mom", "sql_window_ma",
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
+    "tfidf_docs",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

@@ -327,3 +327,76 @@ def pack_sequences(
         .cast("long")
         .alias("packs_spanned"),
     )
+
+
+def tfidf_hash_features(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 1024
+) -> DataFrame:
+    """Hashed TF-IDF features: (id, bucket, weight) — the text->vector
+    bridge for the similarity operators (hashing trick: md5-prefix of the
+    token modulo ``dim``; colliding tokens sum).
+
+    weight = tf * (ln((N+1)/(df+1)) + 1), L2-normalized per document and
+    rounded to 6 dp (the oracle-portability grid). Every hash piece (md5,
+    hex->int, modulo) is portable SQL — the same trick sampling.hash_split
+    relies on — so any engine recomputes the features bit-for-bit.
+
+    Scale: token tf and df are map-side-combined aggregations; N is a
+    single-row broadcast; bucketing is a narrow map; normalization is one
+    window keyed by doc id. No collects, nothing all-pairs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    tf = toks.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % dim
+    )
+    weighted = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            bucket.alias("bucket"),
+            (
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1)
+            ).alias("w"),
+        )
+        .groupBy("__id", "bucket")
+        .agg(F.sum("w").alias("w"))
+    )
+    from pyspark.sql import Window
+
+    norm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("__id")))
+    return weighted.select(
+        F.col("__id").alias(id_col),
+        "bucket",
+        F.round(F.col("w") / norm, 6).alias("weight"),
+    )
+
+
+def tfidf_vectors(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 1024
+) -> DataFrame:
+    """Dense array<double> form of tfidf_hash_features — plugs directly
+    into the similarity operators (cosine top-k, LSH, IVF, PQ)."""
+    feats = tfidf_hash_features(df, id_col, text_col, dim)
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+    )
+    return (
+        feats.groupBy(id_col)
+        .agg(m.alias("__m"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at("__m", i.cast("long")), F.lit(0.0)),
+            ).alias("features"),
+        )
+    )

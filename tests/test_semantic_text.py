@@ -164,3 +164,31 @@ def test_curate_corpus_audit_consistent(spark):
     # splits partition the corpus deterministically
     assert v.groupBy("split").count().count() <= 3
     v.unpersist()
+
+
+def test_tfidf_vectors_unit_norm_and_similarity_ready(spark):
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import similarity, text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    vecs = text.tfidf_vectors(docs, "doc_id", "text", dim=64).persist()
+    norms = vecs.select(
+        F.aggregate(
+            "features", F.lit(0.0), lambda a, x: a + x * x
+        ).alias("n2")
+    ).collect()
+    # components are rounded to 6 dp (oracle grid), so the norm is within
+    # ~sqrt(dim)*5e-7 of 1
+    assert all(abs(r.n2 - 1.0) < 1e-4 for r in norms)
+    # plugs into the similarity family: self-similarity is the top hit
+    q = vecs.limit(3).select(
+        F.col("doc_id").alias("query_id"), F.col("features").alias("embedding")
+    )
+    top = similarity.brute_force_cosine_topk(
+        vecs.withColumnRenamed("features", "embedding"),
+        q, k=1, corpus_id="doc_id",
+    )
+    got = {(r.query_id, r.neighbor_id) for r in top.collect()}
+    assert got == {(r.query_id, r.query_id) for r in q.collect()}
+    vecs.unpersist()
