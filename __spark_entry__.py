@@ -3524,6 +3524,52 @@ def tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "interval_join_events",
+    """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS w_start,
+         ts + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM p JOIN events e
+  ON e.user_id = p.user_id AND e.ts >= p.w_start AND e.ts < p.w_end
+GROUP BY p.purchase_id ORDER BY p.purchase_id
+""",
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (events.interval_join): every event inside
+    each purchase's 1-hour attribution window, per user — lowered to a
+    shuffle EQUI-join on (user, time bucket) + containment filter instead
+    of the nested-loop theta join Spark would otherwise plan. Aggregated
+    per window; DuckDB recomputes with a plain range join."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import events as ev
+
+    prep(spark)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    joined = ev.interval_join(
+        events, purchases, "ts", "w_start", "w_end", on=["user_id"]
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def _curate_oracle() -> str:
     """Composed curation-funnel oracle: every stage reuses the formula its
     standalone oracle pins (quality_docs, lang_id_docs,
@@ -3687,7 +3733,7 @@ _PRIORITY = [
     "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
     "sql_window_share", "sql_window_mom", "sql_window_ma",
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
-    "tfidf_docs",
+    "tfidf_docs", "interval_join_events",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

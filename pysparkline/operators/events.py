@@ -170,3 +170,46 @@ def funnel(
             cond = c if cond is None else (cond & c)
         completed = F.when(cond & (completed == 0), F.lit(i + 1)).otherwise(completed)
     return out.select("user", completed.alias("steps_completed"))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner interval join: rows of ``left`` whose ``left_ts`` falls in a
+    ``right`` row's half-open window [right_start, right_end) — with equal
+    ``on`` keys when given. The attribution/feature-window shape ("events
+    inside each purchase window").
+
+    Spark plans a raw range predicate as a nested-loop/broadcast theta join
+    — quadratic per key at scale. Here both sides resolve to time BUCKETS:
+    intervals explode to the buckets they cover (one sequence() per row),
+    event rows carry their single bucket, and the match is an ordinary
+    shuffle EQUI-join on (keys..., bucket) + the exact containment filter.
+    Each qualifying pair matches exactly once — in the bucket of left_ts —
+    so no dedup pass. Cost scales with rows x ceil(window/bucket): pick
+    ``bucket_seconds`` near the typical window length (explode factor
+    ~2), never with |left| x |right|.
+    """
+    us = F.lit(int(bucket_seconds) * 1_000_000)
+    lb = F.floor(_epoch_us(F.col(left_ts)) / us).cast("long")
+    lo = F.floor(_epoch_us(F.col(right_start)) / us).cast("long")
+    hi = F.floor((_epoch_us(F.col(right_end)) - 1) / us).cast("long")
+    exploded = right.where(
+        F.col(right_start) < F.col(right_end)
+    ).withColumn("__bucket", F.explode(F.sequence(lo, hi)))
+    keys = list(on or []) + ["__bucket"]
+    return (
+        left.withColumn("__bucket", lb)
+        .join(exploded, keys)
+        .where(
+            (F.col(right_start) <= F.col(left_ts))
+            & (F.col(left_ts) < F.col(right_end))
+        )
+        .drop("__bucket")
+    )

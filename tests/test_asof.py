@@ -76,3 +76,37 @@ def test_asof_tie_break_deterministic(spark):
         for _ in range(3)
     }
     assert vals == {7.0}  # max payload struct wins, every run
+
+
+def test_interval_join_matches_range_join(spark, duck):
+    """Bucketed interval join == DuckDB naive range join, across bucket
+    widths (matching must be bucket-width-invariant), incl. boundary
+    semantics [start, end)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import events as ev
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+    )
+    exp = duck.execute("""
+        WITH p AS (SELECT event_id AS pid, user_id, ts AS w_start,
+                          ts + INTERVAL 90 MINUTE AS w_end
+                   FROM events WHERE event_type = 'purchase')
+        SELECT p.pid, e.event_id FROM p JOIN events e
+          ON e.user_id = p.user_id AND e.ts >= p.w_start AND e.ts < p.w_end
+    """).fetchall()
+    exp = {tuple(r) for r in exp}
+    for bucket in (600, 3600, 86400):
+        got = {
+            (r.pid, r.event_id)
+            for r in ev.interval_join(
+                e, p, "ts", "w_start", "w_end", on=["user_id"],
+                bucket_seconds=bucket,
+            ).select("pid", "event_id").collect()
+        }
+        assert got == exp, f"bucket={bucket}"
