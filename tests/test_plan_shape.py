@@ -396,3 +396,31 @@ def test_period_origin(spark, ctx):
         transforms.normalize_granularity(
             spec({"period": "P1M", "origin": "2024-01-03T00:00:00"})
         )
+
+
+def test_window_post_single_scan_above_aggregate(ctx):
+    """Window-over-aggregate must not re-scan or re-shuffle the input: ONE
+    backing scan, the Window exec sitting above the final HashAggregate,
+    and no Python in the plan. (The window input is the bounded aggregate
+    output — re-deriving it from the scan would double the heavy work.)"""
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag")],
+        aggregations=[ir.CountAgg("n")],
+        window_posts=[
+            ir.WindowPostSpec("share_n", "sum", "`n`", [], []),
+            ir.WindowPostSpec(
+                "rk", "rank", None, [],
+                [ir.OrderByColumn("`n`", "desc")],
+            ),
+        ],
+        output_order=["l_returnflag", "n", "share_n", "rk"],
+    )
+    spec2, backing, decision = ctx.plan(spec)
+    from pysparkline import lowering
+
+    plan = _physical(lowering.lower(spec2, backing))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
+    # Window evaluates above the (final) aggregate, not under it
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "BatchEvalPython" not in plan
