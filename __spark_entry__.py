@@ -2954,6 +2954,52 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     return idx
 
 
+_IVFPQ_INDEX: dict[str, object] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build-once persisted IVF-PQ index per sf_dir (coarse cells for
+    partition pruning + PQ codes for the compressed column-pruned scan),
+    cached like _ivf_index."""
+    from pysparkline.operators.similarity import IvfPqIndex
+    from pysparkline.tpch import DEFAULT_CACHE_ROOT
+
+    key = os.path.abspath(sf_dir)
+    idx = _IVFPQ_INDEX.get(key)
+    if idx is not None and idx.spark is spark:
+        return idx
+    path = os.path.join(
+        DEFAULT_CACHE_ROOT, f"ivfpq_{os.path.basename(os.path.normpath(key))}"
+    )
+    if os.path.exists(os.path.join(path, IvfPqIndex.MANIFEST)):
+        idx = IvfPqIndex.load(spark, path)
+    else:
+        idx = IvfPqIndex.build(
+            spark, _emb(spark, sf_dir), path, n_clusters=8, m_subspaces=8,
+            n_codes=64, seed=42,
+        )
+    _IVFPQ_INDEX[key] = idx
+    return idx
+
+
+@_register("ivfpq_index_topk", _TOP1_ORACLE.format(qfilter="% 100 = 0"))
+def ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ serving (build-once cells + codes; search =
+    probed-cell PartitionFilters -> column-pruned ADC code scan -> bounded
+    exact re-rank) with the shared oracle invariant: exact brute-force
+    top-1 + recall@5 bound."""
+    from pyspark.sql import functions as F
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = _ivfpq_index(spark, sf_dir)
+    res = idx.search(queries, k=5, n_probe=3)
+    return _ann_recall_invariant(spark, emb, queries, res, 5, 0.4)
+
+
 _TEXT_INDEX: dict = {}
 
 
@@ -3733,7 +3779,7 @@ _PRIORITY = [
     "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
     "sql_window_share", "sql_window_mom", "sql_window_ma",
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
-    "tfidf_docs", "interval_join_events",
+    "tfidf_docs", "interval_join_events", "ivfpq_index_topk",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",

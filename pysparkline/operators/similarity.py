@@ -544,6 +544,66 @@ def _pq_codes_expr(vec_col, codebooks: list[np.ndarray]):
     return codes(vec_col)
 
 
+def _collect_queries(queries: DataFrame, query_id: str, query_vec: str):
+    """Collect + L2-normalize the (broadcast-class) query side."""
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    if len(qrows):
+        Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        Q /= np.maximum(np.linalg.norm(Q, axis=1)[:, None], 1e-12)
+    else:
+        Q = np.empty((0, 0))
+    return qids, Q
+
+
+def _adc_shortlist(
+    coded: DataFrame, qids, Qn, codebooks: list[np.ndarray], kk: int
+) -> DataFrame:
+    """Asymmetric-distance scoring over PQ codes: one lookup-table pass per
+    corpus partition (LUT[q, m, code] built once per query set, summed by
+    fancy indexing), emitting each partition's local top-``kk`` per query —
+    shuffle volume = partitions x queries x kk, independent of corpus
+    size."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    d = codebooks[0].shape[1]
+    M = len(codebooks)
+    lut = np.stack(
+        [Qn[:, m * d:(m + 1) * d] @ C.T for m, C in enumerate(codebooks)],
+        axis=1,
+    )  # (n_queries, M, n_codes)
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            codes = np.vstack(pdf["__codes"].to_numpy())
+            S = np.zeros((len(qids), len(ids)))
+            for m in range(M):
+                S += lut[:, m, codes[:, m]]
+            top = min(kk, len(ids))
+            part = np.argpartition(-S, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, top),
+                    "neighbor_id": ids[part.ravel()],
+                    "score": np.take_along_axis(S, part, axis=1).ravel(),
+                }
+            )
+
+    return coded.mapInPandas(score_partition, out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -576,62 +636,17 @@ def pq_topk(
     candidates only — the standard PQ serving shape (quantized scan for
     candidates, exact math on a bounded shortlist).
     """
-    from pyspark.sql.types import (
-        DoubleType, LongType, StructField, StructType,
-    )
-
     if codebooks is None:
         codebooks = fit_pq_codebooks(
             corpus, corpus_vec, m_subspaces, n_codes, seed
         )
-    d = codebooks[0].shape[1]
-    M = len(codebooks)
-
-    qrows = queries.select(query_id, query_vec).collect()
-    qids = np.array([r[0] for r in qrows])
-    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    Q /= np.maximum(np.linalg.norm(Q, axis=1)[:, None], 1e-12)
-    # asymmetric-distance lookup tables: (n_queries, M, n_codes)
-    lut = np.stack(
-        [
-            np.stack([Q[:, m * d:(m + 1) * d] @ C.T for m, C in
-                      enumerate(codebooks)], axis=1)
-        ]
-    )[0]
-
+    qids, Qn = _collect_queries(queries, query_id, query_vec)
     coded = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         _pq_codes_expr(F.col(corpus_vec), codebooks).alias("__codes"),
     )
-    out_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField("neighbor_id", LongType()),
-            StructField("score", DoubleType()),
-        ]
-    )
     kk = max(shortlist or 4 * k, 32) if rerank else k
-
-    def score_partition(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["neighbor_id"].to_numpy()
-            codes = np.vstack(pdf["__codes"].to_numpy())
-            S = np.zeros((len(qids), len(ids)))
-            for m in range(M):
-                S += lut[:, m, codes[:, m]]
-            top = min(kk, len(ids))
-            part = np.argpartition(-S, top - 1, axis=1)[:, :top]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, top),
-                    "neighbor_id": ids[part.ravel()],
-                    "score": np.take_along_axis(S, part, axis=1).ravel(),
-                }
-            )
-
-    scored = coded.mapInPandas(score_partition, out_schema)
+    scored = _adc_shortlist(coded, qids, Qn, codebooks, kk)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -674,3 +689,147 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+class IvfPqIndex:
+    """Persisted IVF-PQ index — the canonical billion-vector serving layout
+    (coarse cells for partition pruning + product-quantized codes for a
+    compressed scan).
+
+    Build once: IVF centroids + PQ codebooks go into a JSON manifest
+    (model-sized); the corpus is written as parquet PARTITIONED BY cell id
+    carrying BOTH the PQ codes and the original vector per row. A search
+    then composes the two pruning mechanisms the OLAP index itself uses:
+    static partition pruning to the probed cells (PartitionFilters), and
+    COLUMN pruning — the ADC scan reads only (id, codes), ~32x narrower
+    than the float vectors, while the exact re-rank reads the original
+    vectors for the bounded shortlist ids only. PQ is fit on the raw
+    L2-normalized vectors (not per-cell residuals — a documented
+    simplification; the exact re-rank absorbs the coarser quantization).
+    """
+
+    MANIFEST = "ivfpq_manifest.json"
+
+    def __init__(self, spark, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self.centroids: list[list[float]] = manifest["centroids"]
+        self.codebooks = [
+            np.asarray(c, dtype=np.float64) for c in manifest["codebooks"]
+        ]
+
+    @staticmethod
+    def build(
+        spark,
+        corpus: DataFrame,
+        path: str,
+        n_clusters: int = 16,
+        m_subspaces: int = 8,
+        n_codes: int = 256,
+        corpus_id: str = "vec_id",
+        corpus_vec: str = "embedding",
+        seed: int = 42,
+    ) -> "IvfPqIndex":
+        import json
+        import os
+
+        centroids = _fit_centroids(corpus, corpus_vec, n_clusters, seed)
+        codebooks = fit_pq_codebooks(
+            corpus, corpus_vec, m_subspaces, n_codes, seed
+        )
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+            _pq_codes_expr(F.col(corpus_vec), codebooks).alias("__codes"),
+            _nearest_cells_expr(F.col(corpus_vec), centroids, 1)[0].alias(
+                "__cell"
+            ),
+        )
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("__cell")
+            .parquet(os.path.join(path, "cells"))
+        )
+        manifest = {
+            "centroids": centroids,
+            "codebooks": [c.tolist() for c in codebooks],
+            "nClusters": n_clusters,
+            "mSubspaces": m_subspaces,
+            "nCodes": n_codes,
+            "corpusId": corpus_id,
+            "corpusVec": corpus_vec,
+            "seed": seed,
+        }
+        with open(os.path.join(path, IvfPqIndex.MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        return IvfPqIndex(spark, path, manifest)
+
+    @staticmethod
+    def load(spark, path: str) -> "IvfPqIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, IvfPqIndex.MANIFEST)) as fh:
+            return IvfPqIndex(spark, path, json.load(fh))
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 3,
+        shortlist: int | None = None,
+        query_id: str = "query_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """Top-k per query: probed-cell partition pruning -> column-pruned
+        ADC code scan -> bounded exact re-rank. Candidates come from the
+        UNION of all queries' probed cells (scoring a superset only adds
+        candidates; the exact re-rank keeps the final k)."""
+        import os
+
+        qids, Qn = _collect_queries(queries, query_id, query_vec)
+        if len(qids):
+            C = np.asarray(self.centroids, dtype=np.float64)
+            c2 = (C * C).sum(axis=1)
+            d = c2[None, :] - 2.0 * (Qn @ C.T)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            cells = sorted({int(c) for cs in idx for c in cs})
+        else:
+            cells = []
+        src = self.spark.read.parquet(os.path.join(self.path, "cells"))
+        pruned = src.where(F.col("__cell").isin(cells))
+        coded = pruned.select("neighbor_id", "__codes")
+        kk = max(shortlist or 4 * k, 32)
+        scored = _adc_shortlist(coded, qids, Qn, self.codebooks, kk)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        top = scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= kk
+        )
+        qdf = F.broadcast(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__qv"),
+            )
+        )
+        cand = (
+            top.select("query_id", "neighbor_id")
+            .join(pruned.select("neighbor_id", "__cv"), "neighbor_id")
+            .join(qdf, "query_id")
+        )
+        exact = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity_col(F.col("__cv"), F.col("__qv")), 6
+            ).alias("cosine"),
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w.orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id").asc()
+            )))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )

@@ -86,3 +86,60 @@ def test_search_self_top1(spark, emb, ivf):
     top1 = ivf.search(q, k=1, n_probe=1).collect()
     assert top1 and all(r.query_id == r.neighbor_id for r in top1)
     assert all(abs(r.cosine - 1.0) < 1e-9 for r in top1)
+
+
+# --------------------------------------------------------------- IVF-PQ
+
+
+@pytest.fixture(scope="module")
+def ivfpq(spark, emb, tmp_path_factory):
+    from pysparkline.operators.similarity import IvfPqIndex
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    return IvfPqIndex.build(
+        spark, emb, path, n_clusters=8, m_subspaces=8, n_codes=64, seed=42
+    )
+
+
+def test_ivfpq_recall_vs_brute_force(spark, emb, ivfpq):
+    """IVF-PQ search (probed-cell pruning -> ADC shortlist -> exact
+    re-rank) against ground truth: per-query recall@5 vs the exact
+    brute-force top-5. (vs the plain-IVF result only rank swaps from the
+    6 dp rounding grid and union-of-probed-cells candidates appear — both
+    documented semantics, so the assertion anchors on ground truth.)"""
+    from pysparkline.operators.similarity import brute_force_cosine_topk
+
+    q = _queries(emb)
+    got: dict = {}
+    for r in ivfpq.search(q, k=5, n_probe=3).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    want: dict = {}
+    for r in brute_force_cosine_topk(emb, q, k=5, round_to=6).collect():
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert got
+    for qid, ids in want.items():
+        assert len(got.get(qid, set()) & ids) / len(ids) >= 0.6, qid
+
+
+def test_ivfpq_load_roundtrip(spark, ivfpq):
+    from pysparkline.operators.similarity import IvfPqIndex
+
+    loaded = IvfPqIndex.load(spark, ivfpq.path)
+    assert loaded.centroids == ivfpq.centroids
+    assert len(loaded.codebooks) == 8
+
+
+def test_ivfpq_adc_scan_is_column_and_partition_pruned(spark, emb, ivfpq):
+    """The ADC scan must read only (neighbor_id, __codes) — NOT the float
+    vectors — and only the probed cells' partitions: the two pruning
+    mechanisms that make the compressed scan ~32x narrower than the corpus."""
+    q = _queries(emb).limit(2)
+    plan = ivfpq.search(q, k=3, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.split("\n") if "Scan parquet" in l or "ReadSchema" in l or "PartitionFilters" in l]
+    txt = "\n".join(scans)
+    # at least one scan reads codes without the vector column
+    assert "__codes" in txt
+    import re
+    code_scan = [s for s in txt.split("Scan parquet") if "__codes" in s and "__cv" not in s]
+    assert code_scan, f"no column-pruned code scan in:\n{txt}"
+    assert "PartitionFilters" in txt and "__cell" in txt
