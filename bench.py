@@ -118,6 +118,10 @@ LLM_OPS = [
     "semantic_dedup_emb",
     "pq_topk",
     "sql_window_share",
+    "curate_docs",
+    "tfidf_docs",
+    "interval_join_events",
+    "ivfpq_index_topk",
 ]
 
 
