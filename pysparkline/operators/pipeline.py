@@ -99,3 +99,52 @@ def curation_audit(verdicts: DataFrame) -> DataFrame:
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
     ]
     return verdicts.agg(*agg)
+
+
+def curate_stream(
+    stream_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    time_col: str = "ts",
+    *,
+    watermark: str = "1 hour",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Streaming curation: the same funnel on a Structured Streaming source.
+
+    The stateless stages (quality, language, repetition, split) are the
+    SAME column expressions as the batch funnel — they evaluate per
+    micro-batch with zero state. Exact dedup becomes first-arrival-wins on
+    the content hash within the ``watermark`` horizon
+    (dropDuplicatesWithinWatermark — state bounded by keys-per-horizon,
+    the property that lets ingest run forever; a duplicate later than the
+    horizon is re-emitted, the documented streaming trade). Filters run
+    BEFORE the dedup so state holds only curated survivors.
+    Decontamination is omitted: a static bench-gram set joins as a
+    stream-static broadcast join at write time if required.
+
+    Returns the stream of kept documents: (id, ts, quality_score,
+    detected_lang, split).
+    """
+    d = text.lang_id(stream_docs, id_col, text_col, append=True)
+    d = d.withColumn("quality_score", text.quality_score_col(F.col(text_col)))
+    d = clean.repetition_stats(d, id_col, text_col, append=True)
+    d = d.where(
+        (F.col("quality_score") >= min_quality)
+        & F.col("detected_lang").isin(list(langs))
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    d = sampling.hash_split(d, weights=split_weights, text_col=text_col)
+    d = d.withColumn("__content", F.md5(F.col(text_col)))
+    d = d.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        ["__content"]
+    )
+    return d.select(
+        F.col(id_col), F.col(time_col), "quality_score", "detected_lang",
+        "split",
+    )

@@ -278,3 +278,61 @@ def test_streaming_dedup_exact(spark, tmp_path):
     batch2.coalesce(1).write.mode("append").parquet(str(src))
     got2 = run_available("dedup_b2")
     assert set(got2) == {"c"}, "only the fresh key appears in the new batch"
+
+
+def test_curate_stream_matches_batch(spark, tmp_path):
+    """Streaming curation == batch curation on the same documents: the
+    stateless flags are the same expressions, and first-arrival dedup picks
+    the batch canonical winner when arrivals are id-ordered (one batch)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import pipeline
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps going for a "
+        "while with plenty of words in the sentence to pass the length and "
+        "quality checks of the curation funnel today."
+    )
+    import datetime as dt
+
+    T = dt.datetime
+    rows = [
+        (1, good, T(2024, 1, 1, 10, 0)),
+        (2, good, T(2024, 1, 1, 10, 5)),          # exact dup of 1
+        (3, "short", T(2024, 1, 1, 10, 6)),       # fails quality
+        (4, good + " Unique tail one.", T(2024, 1, 1, 10, 7)),
+        (5, "la la la " * 40, T(2024, 1, 1, 10, 8)),  # repetition fail
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    batch_df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    )
+    batch_df.coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(str(src / "b1"))
+    )
+    out = pipeline.curate_stream(stream)
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_kept = {
+        r.doc_id
+        for r in pipeline.curate_corpus(batch_df).where("kept").collect()
+    }
+    assert {r.doc_id for r in got} == batch_kept == {1, 4}
+    splits = {
+        r.doc_id: r.split
+        for r in pipeline.curate_corpus(batch_df).collect()
+    }
+    for r in got:
+        assert splits[r.doc_id] == r.split
