@@ -570,10 +570,6 @@ def _adc_shortlist(
 
     d = codebooks[0].shape[1]
     M = len(codebooks)
-    lut = np.stack(
-        [Qn[:, m * d:(m + 1) * d] @ C.T for m, C in enumerate(codebooks)],
-        axis=1,
-    )  # (n_queries, M, n_codes)
     out_schema = StructType(
         [
             StructField("query_id", LongType()),
@@ -581,6 +577,12 @@ def _adc_shortlist(
             StructField("score", DoubleType()),
         ]
     )
+    if len(qids) == 0:  # an empty query side would matmul a (0, 0) array
+        return coded.sparkSession.createDataFrame([], out_schema)
+    lut = np.stack(
+        [Qn[:, m * d:(m + 1) * d] @ C.T for m, C in enumerate(codebooks)],
+        axis=1,
+    )  # (n_queries, M, n_codes)
 
     def score_partition(batches):
         for pdf in batches:
