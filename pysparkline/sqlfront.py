@@ -1004,6 +1004,32 @@ def _analyze_select(
             expr_sql, _ = _extract_inner_aggs(item, a.aggs, window_sink=sink)
             a.window_exprs.append([name, expr_sql])
 
+        # a window whose argument/order/partition references ANOTHER
+        # window's alias parses in the AST but cannot evaluate in one wave
+        # (and window nesting is invalid ANSI anyway) — fall back instead of
+        # failing at lowering. Word-match is conservative: a collision with
+        # a function name only causes a (correct) fallback.
+        import re
+
+        win_names = {n for n, _ in pending_windows}
+
+        def _refs_window(expr: str | None) -> bool:
+            if not expr:
+                return False
+            return bool(
+                set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr)) & win_names
+            )
+
+        for wspec in a.window_posts:
+            if (
+                _refs_window(wspec.arg)
+                or any(_refs_window(o.column) for o in wspec.order)
+                or (set(wspec.partition) & win_names)
+            ):
+                raise SQLFrontError(
+                    "window function referencing another window's output"
+                )
+
     if pending_grouping:
         # bit positions follow the lowering's key order: declared dims, then
         # the time bucket (lowering._grouping_sets_union, high bit = first)

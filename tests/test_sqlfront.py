@@ -598,3 +598,26 @@ ORDER BY l_returnflag, l_linestatus
 """
     assert_same(ctx, duck, sql, sort=False)
     assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_referencing_window_declined(ctx, duck):
+    # parses in the AST but is invalid ANSI window nesting (both engines
+    # reject it at binding) — our parser must DECLINE it cleanly
+    # (SQLFrontError -> fallback surfaces Spark's own error for the invalid
+    # SQL), never crash inside lowering
+    from pysparkline.sqlfront import SQLFrontError
+
+    # partition reference: caught by grouped-dimension resolution
+    with pytest.raises(SQLFrontError, match="not a grouped dimension"):
+        ctx._parse_sql("""
+SELECT l_returnflag, sum(l_quantity) AS s,
+  rank() OVER (ORDER BY sum(l_quantity) DESC) AS r,
+  sum(sum(l_quantity)) OVER (PARTITION BY r) AS t
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    # order/argument reference: caught by the cross-window guard
+    with pytest.raises(SQLFrontError, match="another window"):
+        ctx._parse_sql("""
+SELECT l_returnflag, sum(l_quantity) AS s,
+  rank() OVER (ORDER BY sum(l_quantity) DESC) AS r,
+  lag(sum(l_quantity)) OVER (ORDER BY r) AS prev
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
