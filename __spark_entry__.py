@@ -3780,6 +3780,9 @@ _PRIORITY = [
     "sql_window_share", "sql_window_mom", "sql_window_ma",
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events", "ivfpq_index_topk",
+    # the flagship SQL-front rows re-verify the _analyze_select surface the
+    # window family extended this round
+    "sql_q1", "sql_star_join",
     # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",
