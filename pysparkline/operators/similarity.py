@@ -83,15 +83,24 @@ def brute_force_cosine_topk(
 
 
 def _fit_centroids(
-    corpus: DataFrame, vec_col: str, n_clusters: int, seed: int
+    corpus: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    seed: int,
+    train_limit: int = 200_000,
 ) -> list[list[float]]:
-    """One KMeans pass over the corpus (deterministic given seed)."""
+    """KMeans centroids from a BOUNDED training sample (deterministic given
+    seed). Lloyd iteration is 20 passes over its input; over the full
+    corpus that is 20 full scans at 100 TB for a model that stabilizes with
+    a few hundred points per centroid — so training reads at most
+    ``train_limit`` rows (a no-op below that size, so small-corpus results
+    are unchanged). Assignment still covers every row, in one pass."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
+    ).limit(train_limit)
     km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
     return [list(map(float, c)) for c in km.clusterCenters()]
 
