@@ -3616,6 +3616,63 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "incremental_dedup_docs",
+    r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 4, 1) + 1),
+           i -> substr(text, i, 5))) AS s
+  FROM documents
+), inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.n AS na, r.n AS nb,
+         count(*) AS c
+  FROM inv l JOIN inv r
+    ON l.g = r.g
+   AND ((l.doc_id % 3 <> 0 AND r.doc_id % 3 = 0)
+     OR (l.doc_id % 3 = 0 AND r.doc_id % 3 = 0 AND l.doc_id < r.doc_id))
+  GROUP BY 1, 2, 3, 4
+),
+dups AS (
+  SELECT DISTINCT id_b FROM common
+  WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.5
+)
+SELECT d.doc_id AS id, (dups.id_b IS NULL) AS kept
+FROM documents d LEFT JOIN dups ON d.doc_id = dups.id_b
+WHERE d.doc_id % 3 = 0 ORDER BY id
+""",
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted MinHash SignatureStore — the
+    production ingest shape: the store holds the historical corpus' (2/3 of
+    documents) signatures; the new batch (doc_id % 3 == 0) dedups against
+    it AND its own earlier docs without rescanning history text except for
+    the exact verification of candidates. Built into a fresh temp store per
+    call (idempotent); DuckDB recomputes the verdict with exact shingle
+    Jaccard (candidate recall is exact-equal on this corpus — the same
+    identity minhash_pairs_docs pins)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators.dedup import SignatureStore
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    store = SignatureStore.create(
+        spark, tempfile.mkdtemp(prefix="sigstore_"), threshold=0.5
+    )
+    store.append(old, "doc_id", "text")
+    verdict = store.dedup_and_append(
+        new, "doc_id", "text", history_docs=old
+    )
+    return verdict.orderBy("id")
+
+
 def _curate_oracle() -> str:
     """Composed curation-funnel oracle: every stage reuses the formula its
     standalone oracle pins (quality_docs, lang_id_docs,
@@ -3780,6 +3837,7 @@ _PRIORITY = [
     "sql_window_share", "sql_window_mom", "sql_window_ma",
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events", "ivfpq_index_topk",
+    "incremental_dedup_docs",
     # the flagship SQL-front rows re-verify the _analyze_select surface the
     # window family extended this round
     "sql_q1", "sql_star_join",

@@ -236,6 +236,25 @@ def hash_shingle(s: str) -> int:
     return h
 
 
+def _banded(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) — LSH banding of (id, sig) rows. Deterministic
+    given (num_perm, bands), so bands computed in different batches/sessions
+    collide identically (the property SignatureStore's incremental join
+    relies on)."""
+    r = num_perm // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("sig", i * r + 1, r).cast("string"), F.lit(i))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -273,17 +292,7 @@ def minhash_lsh_pairs(
     # per copy * bands copies) must not ride through the band shuffle or the
     # candidate dedup — ids are 8 bytes. Signatures are joined back exactly
     # once per side after dropDuplicates collapses multi-band hits.
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", i * r + 1, r).cast("string"), F.lit(i))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded(sigs, num_perm, bands)
     # bucket-size cap via window (one shuffle) instead of a groupBy+join back
     bw = Window.partitionBy("band", "band_hash")
     small = banded.withColumn("__bsz", F.count(F.lit(1)).over(bw)).where(
@@ -779,3 +788,206 @@ def cluster_pairs(
         )
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+
+
+class SignatureStore:
+    """Persisted MinHash signature store — the production INGEST shape:
+    each new batch dedups against the full historical corpus without
+    recomputing anything about it.
+
+    Layout: ``sigs/`` parquet of (id, sig) and ``bands/`` parquet of
+    (id, band, band_hash), plus a JSON manifest pinning (num_perm, bands,
+    shingle_k, seed) so every batch's signatures and band hashes are
+    computed identically — the property the incremental candidate join
+    relies on. A batch costs: one signature pass over the NEW docs, one
+    equi-join of the new bands against the stored bands (the store side
+    never recomputes), exact Jaccard verification for candidates only, and
+    one append of the survivors' rows. Nothing rescans the historical
+    corpus text.
+    """
+
+    MANIFEST = "minhash_store.json"
+
+    def __init__(self, spark, path: str, manifest: dict):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self._sigs_path = os.path.join(path, "sigs")
+        self._bands_path = os.path.join(path, "bands")
+
+    @staticmethod
+    def create(
+        spark,
+        path: str,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+        threshold: float = 0.5,
+        seed: int = 42,
+        max_bucket: int = 1000,
+    ) -> "SignatureStore":
+        import json
+        import os
+
+        if num_perm % bands != 0:
+            raise ValueError("num_perm must be divisible by bands")
+        manifest = {
+            "numPerm": num_perm,
+            "bands": bands,
+            "shingleK": shingle_k,
+            "threshold": threshold,
+            "seed": seed,
+            "maxBucket": max_bucket,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, SignatureStore.MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        return SignatureStore(spark, path, manifest)
+
+    @staticmethod
+    def load(spark, path: str) -> "SignatureStore":
+        import json
+        import os
+
+        with open(os.path.join(path, SignatureStore.MANIFEST)) as fh:
+            return SignatureStore(spark, path, json.load(fh))
+
+    def _stored(self, sub_path: str, schema: str) -> DataFrame:
+        import os
+
+        if os.path.exists(sub_path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(sub_path) for f in fs
+        ):
+            return self.spark.read.parquet(sub_path)
+        return self.spark.createDataFrame([], schema)
+
+    def append(self, docs: DataFrame, id_col: str, text_col: str) -> None:
+        """Register documents WITHOUT dedup (store initialization / trusted
+        batches): computes and appends their signatures and band hashes."""
+        m = self.manifest
+        sigs = minhash_signatures(
+            docs, id_col, text_col, m["numPerm"], m["shingleK"], m["seed"]
+        ).persist()
+        sigs.write.mode("append").parquet(self._sigs_path)
+        _banded(sigs, m["numPerm"], m["bands"]).write.mode("append").parquet(
+            self._bands_path
+        )
+        sigs.unpersist()
+
+    def dedup_and_append(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        history_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """Dedup ``docs`` against the store AND against earlier docs in the
+        batch (smaller id wins), then append the survivors' signatures.
+        Returns the collected verdict as a DataFrame (id, kept) — this
+        method RUNS the job (the append is a write).
+
+        Candidates are exact-verified by shingle Jaccard: new-batch texts
+        come from ``docs``; historical texts resolve from ``history_docs``
+        (the corpus the caller already stores — signatures alone cannot
+        verify exactly). Without ``history_docs`` the signature ESTIMATE
+        decides historical matches (documented approximation).
+        """
+        m = self.manifest
+        sigs_new = minhash_signatures(
+            docs, id_col, text_col, m["numPerm"], m["shingleK"], m["seed"]
+        ).persist()
+        bands_new = _banded(sigs_new, m["numPerm"], m["bands"])
+        bands_old = self._stored(
+            self._bands_path, "id long, band int, band_hash int"
+        )
+        sigs_old = self._stored(self._sigs_path, "id long, sig array<long>")
+
+        bw = Window.partitionBy("band", "band_hash")
+        all_bands = bands_new.select(
+            "id", "band", "band_hash", F.lit(True).alias("__new")
+        ).unionByName(
+            bands_old.select(
+                "id", "band", "band_hash", F.lit(False).alias("__new")
+            )
+        )
+        capped = (
+            all_bands.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+            .where(F.col("__bsz") <= m["maxBucket"])
+            .drop("__bsz")
+        )
+        new_side = capped.where("__new")
+        # candidate = new doc vs (older new doc) OR (any stored doc)
+        cand = (
+            new_side.alias("l")
+            .join(
+                capped.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (
+                    (F.col("r.__new") & (F.col("r.id") < F.col("l.id")))
+                    | ~F.col("r.__new")
+                ),
+            )
+            .select(F.col("r.id").alias("id_a"), F.col("l.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        if history_docs is not None:
+            texts = history_docs.select(
+                F.col(id_col), F.col(text_col)
+            ).unionByName(docs.select(F.col(id_col), F.col(text_col)))
+            dup_hits = verify_pairs_exact_jaccard(
+                cand, texts, id_col, text_col, m["shingleK"], m["threshold"]
+            )
+        else:
+            sigs_all = sigs_new.unionByName(sigs_old)
+            est_pairs = cand.join(
+                sigs_all.select(F.col("id").alias("id_a"),
+                                F.col("sig").alias("sig_a")), "id_a"
+            ).join(
+                sigs_all.select(F.col("id").alias("id_b"),
+                                F.col("sig").alias("sig_b")), "id_b"
+            )
+            est = F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            ) / F.lit(m["numPerm"])
+            dup_hits = est_pairs.where(est >= m["threshold"])
+        dup_ids = dup_hits.select(F.col("id_b").alias("id")).distinct()
+
+        # localCheckpoint (eager) BEFORE the appends below: the verdict plan
+        # reads the store's parquet lazily, and the append both mutates that
+        # data AND invalidates any cache over the path (refreshByPath), so a
+        # merely-persisted verdict would recompute against a store already
+        # containing this batch — every survivor a duplicate of itself.
+        # Checkpointing severs the lineage from the parquet source.
+        verdict = (
+            sigs_new.select("id")
+            .join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+            .select(
+                "id", F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept")
+            )
+            .localCheckpoint()
+        )
+        survivors = verdict.where("kept").select("id")
+        (
+            sigs_new.join(survivors, "id", "left_semi")
+            .write.mode("append").parquet(self._sigs_path)
+        )
+        (
+            _banded(
+                sigs_new.join(survivors, "id", "left_semi"),
+                m["numPerm"], m["bands"],
+            )
+            .write.mode("append").parquet(self._bands_path)
+        )
+        sigs_new.unpersist()
+        return verdict

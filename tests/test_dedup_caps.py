@@ -164,3 +164,93 @@ def test_cluster_pairs_nonconvergence_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.cluster_pairs(pairs, max_iter=2)
+
+
+def test_signature_store_incremental(spark, tmp_path):
+    """Incremental dedup against a persisted store: batch 2 dedups against
+    batch 1 (no recompute of batch 1) and against its own earlier docs;
+    batch 3 then sees batch 2's survivors in the store."""
+    from pysparkline.operators.dedup import SignatureStore
+
+    def base(i: int) -> str:
+        # genuinely disjoint shingle sets per i (a shared suffix-varied
+        # template would make every doc a true near-dup of every other)
+        return " ".join(f"w{i}x{j}q{i * 31 + j}" for j in range(40))
+
+    b1 = spark.createDataFrame(
+        [(i, base(i)) for i in range(5)], "doc_id long, text string"
+    )
+    store = SignatureStore.create(
+        spark, str(tmp_path / "store"), threshold=0.5
+    )
+    store.append(b1, "doc_id", "text")
+
+    # batch 2: 10 = dup of 1; 11 fresh; 12 = dup of 11 (internal); 13 fresh
+    b2 = spark.createDataFrame(
+        [
+            (10, base(1)),
+            (11, base(100)),
+            (12, base(100)),
+            (13, base(200)),
+        ],
+        "doc_id long, text string",
+    )
+    v2 = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            b2, "doc_id", "text", history_docs=b1
+        ).collect()
+    }
+    assert v2 == {10: False, 11: True, 12: False, 13: True}
+
+    # batch 3: dup of batch-2 SURVIVOR 11 must be caught; dup of the dropped
+    # 12's text too (11's signature represents that content in the store)
+    b3 = spark.createDataFrame(
+        [(20, base(100)), (21, base(300))], "doc_id long, text string"
+    )
+    v3 = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            b3, "doc_id", "text",
+            history_docs=b1.unionByName(b2.where("doc_id in (11, 13)")),
+        ).collect()
+    }
+    assert v3 == {20: False, 21: True}
+
+    # reload from disk: same store state
+    reloaded = SignatureStore.load(spark, store.path)
+    v4 = {
+        r.id: r.kept
+        for r in reloaded.dedup_and_append(
+            spark.createDataFrame(
+                [(30, base(300))], "doc_id long, text string"
+            ),
+            "doc_id", "text",
+            history_docs=b3.where("doc_id = 21"),
+        ).collect()
+    }
+    assert v4 == {30: False}
+
+
+def test_signature_store_estimate_path(spark, tmp_path):
+    """Without history texts the signature estimate decides — exact dups
+    estimate to 1.0 and are still caught."""
+    from pysparkline.operators.dedup import SignatureStore
+
+    txt = "the same exact document text repeated across batches " * 3
+    store = SignatureStore.create(spark, str(tmp_path / "s2"))
+    store.append(
+        spark.createDataFrame([(1, txt)], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    v = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            spark.createDataFrame(
+                [(2, txt), (3, "completely different content here" * 4)],
+                "doc_id long, text string",
+            ),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert v == {2: False, 3: True}
