@@ -122,6 +122,7 @@ LLM_OPS = [
     "tfidf_docs",
     "interval_join_events",
     "ivfpq_index_topk",
+    "incremental_dedup_docs",
 ]
 
 
