@@ -3851,16 +3851,19 @@ _PRIORITY = [
     # (b) file-manifest pruning touches every flat-served scan/filter path
     "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10", "q6",
     "q14", "q17", "q18",
+    # --- 50-query window boundary sits inside the TPC-H block above
+    # (the 22 new/never-verdicted round-3 queries consumed that many slots;
+    # everything below IS still r3-touched but carries a green r1/r2 driver
+    # verdict AND full repo-mirror coverage — tests/test_entry_oracle runs
+    # every registered query against its oracle at the driver's own SF) ---
     "dim_filters", "range_filters", "in_null_not_filters",
     "contains_regex_filters", "filtered_agg", "spatial_bounds",
     "select_pushdown", "search_ptype", "min_max_metrics",
     "count_distinct_exact", "skew_salted_distinct",
-    "sql_q1", "sql_star_join", "sql_subquery", "sql_select_scan",
+    "sql_subquery", "sql_select_scan",
     "sql_multi_interval",
     # (b) granularity lowering touched (period-origin canonicalization)
     "events_15min", "monthly_revenue", "ship_date_range", "topn_brand",
-    # --- 50-query window boundary (everything below is driver-green across
-    # r1∪r2 and untouched by round-3 diffs) ---
     "rollup_flags", "cube_flags", "asof_event_purchase", "dedup_exact_docs",
     "ngram_jaccard_docs", "sessionize_stats", "funnel_events",
 ]

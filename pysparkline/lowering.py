@@ -1055,8 +1055,11 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
         elif w.func == "ntile":
             wcols[w.name] = F.ntile(w.offset or 1).over(spec)
         elif w.func in ("lag", "lead"):
+            # `or 1` would silently turn an explicit offset 0 (= current
+            # row, valid SQL) into offset 1
+            off = 1 if w.offset is None else w.offset
             wcols[w.name] = getattr(F, w.func)(
-                F.expr(w.arg), w.offset or 1, w.default
+                F.expr(w.arg), off, w.default
             ).over(spec)
         else:
             frame = getattr(w, "frame", None)
@@ -1263,7 +1266,12 @@ def lower_timeseries(q: ir.TimeseriesQuery, backing: Backing) -> DataFrame:
             )
     for p in q.post_aggregations:
         joined = joined.withColumn(p.name, F.expr(p.expr))
-    return joined.orderBy(tname)
+    joined = joined.orderBy(tname)
+    # the non-zero-fill path honors the SQL select-list column order via
+    # lower_groupby; the spine join must not silently drop it
+    if q.output_order:
+        return _project_output_order(joined, q.output_order)
+    return joined
 
 
 def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:

@@ -88,15 +88,38 @@ def bm25_topk(
         ).limit(0)
     avgdl = float(stats["avgdl"])
 
-    matched = postings.where(F.col("term").isin(q_terms))
-    # df per matched term (distinct docs): tiny — at most len(q_terms) rows
+    matched = postings.where(F.col("term").isin(q_terms)).join(
+        doclens, "doc_id"
+    )
+    return _bm25_score(matched, n_docs, avgdl, k1, b, k)
+
+
+def _bm25_score(
+    matched: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """BM25 scoring over matched postings rows (term, doc_id, tf, dl) —
+    the SINGLE implementation behind both the inline operator and
+    TextIndex.search, so the rounded-ranking contract their shared DuckDB
+    oracle twin pins cannot drift between copies."""
+    # df per matched term (distinct docs): tiny — at most |query terms| rows
     dfreq = matched.groupBy("term").agg(
         F.countDistinct("doc_id").alias("dfreq")
     ).collect()
     idf = {
-        r["term"]: math.log(1.0 + (n_docs - r["dfreq"] + 0.5) / (r["dfreq"] + 0.5))
+        r["term"]: math.log(
+            1.0 + (n_docs - r["dfreq"] + 0.5) / (r["dfreq"] + 0.5)
+        )
         for r in dfreq
     }
+    if not idf:  # no query term occurs in the corpus
+        return matched.select(
+            F.col("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
     idf_col = F.element_at(
         F.create_map(
             *[x for t in idf for x in (F.lit(t), F.lit(idf[t]))]
@@ -109,8 +132,7 @@ def bm25_topk(
     )
     contrib = idf_col * tf * F.lit(k1 + 1.0) / (tf + norm)
     scored = (
-        matched.join(doclens, "doc_id")
-        .withColumn("contrib", contrib)
+        matched.withColumn("contrib", contrib)
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 4).alias("score"))
     )
@@ -261,31 +283,4 @@ class TextIndex:
             .where(F.col("__bucket").isin(buckets))
             .where(F.col("term").isin(q_terms))
         )
-        dfreq = matched.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("dfreq")
-        ).collect()
-        idf = {
-            r["term"]: math.log(
-                1.0 + (n_docs - r["dfreq"] + 0.5) / (r["dfreq"] + 0.5)
-            )
-            for r in dfreq
-        }
-        if not idf:
-            return matched.select(
-                F.col("doc_id"), F.lit(0.0).alias("score")
-            ).limit(0)
-        idf_col = F.element_at(
-            F.create_map(*[x for t in idf for x in (F.lit(t), F.lit(idf[t]))]),
-            F.col("term"),
-        )
-        tf = F.col("tf").cast("double")
-        norm = F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
-        )
-        contrib = idf_col * tf * F.lit(k1 + 1.0) / (tf + norm)
-        scored = (
-            matched.withColumn("contrib", contrib)
-            .groupBy("doc_id")
-            .agg(F.round(F.sum("contrib"), 4).alias("score"))
-        )
-        return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+        return _bm25_score(matched, n_docs, avgdl, k1, b, k)

@@ -656,6 +656,11 @@ def pq_topk(
         F.col(corpus_id).alias("neighbor_id"),
         _pq_codes_expr(F.col(corpus_vec), codebooks).alias("__codes"),
     )
+    if shortlist is not None and not rerank:
+        raise ValueError(
+            "shortlist only applies with rerank=True (without the re-rank "
+            "the result is exactly the top-k ADC scores)"
+        )
     kk = max(shortlist or 4 * k, 32) if rerank else k
     scored = _adc_shortlist(coded, qids, Qn, codebooks, kk)
     w = Window.partitionBy("query_id").orderBy(

@@ -20,9 +20,14 @@ def _packed_width(df: DataFrame, files: list[str]) -> int:
     conf = df.sparkSession.conf
 
     def _bytes(key: str, default: int) -> int:
-        v = str(conf.get(key, str(default)))
-        units = {"k": 10, "m": 20, "g": 30, "b": 0}
-        v = v.lower()
+        v = str(conf.get(key, str(default))).lower().strip()
+        # Spark accepts both one-letter (128m) and two-letter (128mb)
+        # suffixes — check the two-letter forms FIRST or '512mb' strips only
+        # 'b' and falls back to the default silently
+        units = {
+            "kb": 10, "mb": 20, "gb": 30, "tb": 40,
+            "k": 10, "m": 20, "g": 30, "t": 40, "b": 0,
+        }
         for suf, shift in units.items():
             if v.endswith(suf):
                 try:

@@ -262,15 +262,19 @@ class GroupCountFeedback:
         if key not in self.exact and len(self.exact) >= self.cap:
             self.exact.pop(next(iter(self.exact)))
         self.exact[key] = float(observed)
-        # drift ratios ONLY from unfiltered queries: estimate_groups ignores
-        # filters, so a filtered query's observed/estimated measures the
-        # filter's selectivity, not dimension correlation — generalizing it
-        # to other filters would deflate estimates and bypass the pre-agg
-        # cardinality gate. (Filtered queries still feed the exact tier.)
+        # drift ratios ONLY from unfiltered, un-intervaled queries:
+        # estimate_groups ignores filters AND intervals (it derives
+        # time-part NDV from the full index time bounds), so a restricted
+        # query's observed/estimated measures that restriction's
+        # selectivity, not dimension correlation — generalizing it to
+        # full-span queries would deflate estimates and bypass the pre-agg
+        # cardinality gate. (Restricted queries still feed the exact tier,
+        # whose signature carries filter + intervals.)
         if (
             estimated
             and estimated > 0
             and getattr(q, "filter", None) is None
+            and not getattr(q, "intervals", None)
         ):
             lst = self.ratios.setdefault(self.dims_sig(q), [])
             lst.append(min(1.0, observed / estimated))

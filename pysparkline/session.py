@@ -201,7 +201,10 @@ class OlapContext:
         grouping cardinality (and the feedback signature doesn't carry them,
         so admitting them would poison signature-colliding queries)."""
         if isinstance(spec, ir.TimeseriesQuery):
-            return True
+            # zero-fill emits one row per interval bucket (the spine), not
+            # one per non-empty group — and exact_sig doesn't carry the
+            # flag, so admitting it would poison the non-zero-fill twin
+            return not getattr(spec, "zero_fill", False)
         if isinstance(spec, ir.GroupByQuery):
             if spec.having is not None or spec.grouping_sets is not None:
                 return False

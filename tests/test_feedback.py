@@ -116,3 +116,50 @@ def test_feedback_never_inflates():
     # but the exact tier still reports the true larger count
     est2, _ = fb.correct(q, 10.0)
     assert est2 == 500.0
+
+
+def test_drift_tier_excludes_interval_restricted(spark):
+    """estimate_groups ignores intervals (full-span time NDV), so an
+    interval-restricted query's observed/estimated ratio measures the
+    interval's selectivity — it must not deflate full-span estimates."""
+    from pysparkline import ir
+    from pysparkline.planner import GroupCountFeedback
+
+    fb = GroupCountFeedback()
+    restricted = ir.TimeseriesQuery(
+        granularity="month",
+        aggregations=[ir.CountAgg("n")],
+        intervals=[ir.Interval("1996-01-01", "1996-02-01")],
+    )
+    fb.record(restricted, estimated=84.0, observed=1)
+    full = ir.TimeseriesQuery(
+        granularity="month", aggregations=[ir.CountAgg("n")]
+    )
+    est, note = fb.correct(full, 84.0)
+    assert est == 84.0 and note is None
+    # unrestricted observations still feed the drift tier: a query with a
+    # DIFFERENT filter (not in the exact signature) gets the median ratio
+    fb.record(full, estimated=84.0, observed=42)
+    est2, note2 = fb.correct(
+        ir.TimeseriesQuery(
+            granularity="month",
+            aggregations=[ir.CountAgg("n")],
+            filter=ir.SelectorFilter("l_returnflag", "A"),
+        ),
+        84.0,
+    )
+    assert est2 == 42.0 and "ratio" in note2
+
+
+def test_zero_fill_not_feedback_eligible(spark):
+    from pysparkline import ir
+    from pysparkline.session import OlapContext
+
+    zf = ir.TimeseriesQuery(
+        granularity="day", aggregations=[ir.CountAgg("n")], zero_fill=True
+    )
+    plain = ir.TimeseriesQuery(
+        granularity="day", aggregations=[ir.CountAgg("n")]
+    )
+    assert not OlapContext._feedback_eligible(zf)
+    assert OlapContext._feedback_eligible(plain)

@@ -621,3 +621,14 @@ SELECT l_returnflag, sum(l_quantity) AS s,
   rank() OVER (ORDER BY sum(l_quantity) DESC) AS r,
   lag(sum(l_quantity)) OVER (ORDER BY r) AS prev
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+
+def test_window_lag_offset_zero(ctx, duck):
+    # offset 0 = the current row's value (valid SQL); `or 1` would silently
+    # shift it
+    sql = """
+SELECT l_returnflag, sum(l_quantity) AS s,
+  lag(sum(l_quantity), 0) OVER (ORDER BY l_returnflag) AS same
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
