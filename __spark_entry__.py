@@ -1394,15 +1394,19 @@ SELECT source, doc_id, n_tokens,
                       - floor((cum - n_tokens) / 512.0) + 1 AS BIGINT)
        END AS packs_spanned
 FROM t
+ORDER BY source, doc_id
 """,
 )
 def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing into 512-token training packs: one
-    integer window per source stream (operators/text.py pack_sequences)."""
+    integer window per source stream (operators/text.py pack_sequences).
+    Output sorted deterministically (source, doc_id) — window-output order is
+    otherwise partition-layout dependent and the driver's hash is
+    order-sensitive (VERDICT r3 #1)."""
     from pysparkline.operators import text as t
 
     prep(spark)
-    return t.pack_sequences(_docs(spark, sf_dir), 512)
+    return t.pack_sequences(_docs(spark, sf_dir), 512).orderBy("source", "doc_id")
 
 
 @_register(
@@ -3404,8 +3408,9 @@ GROUP BY m ORDER BY m
 SELECT date_trunc('month', l_shipdate) AS m,
   round(sum(l_extendedprice), 2) AS rev,
   round(sum(sum(l_extendedprice)) OVER (ORDER BY m), 2) AS cum_rev,
-  round(avg(sum(l_extendedprice)) OVER
-    (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+  CAST(round(CAST(avg(sum(l_extendedprice)) OVER
+    (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    AS DECIMAL(28,6)), 2) AS DOUBLE) AS ma3
 FROM lineitem
 WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
 GROUP BY m ORDER BY m
@@ -3414,14 +3419,18 @@ GROUP BY m ORDER BY m
 def sql_window_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue + 3-month moving average: running frame (ANSI
     default RANGE..CURRENT ROW, tie-peers identical in Spark) and explicit
-    ROWS BETWEEN frame over the index-served monthly series."""
+    ROWS BETWEEN frame over the index-served monthly series. The moving
+    average rounds through DECIMAL(28,6) on BOTH sides: avg-of-sums can
+    land exactly on a .xx5 half-edge where Spark (shortest-repr HALF_UP)
+    and DuckDB (raw-double) round differently (VERDICT r3 #2)."""
     ctx = _sql_ctx(spark, sf_dir)
     out = ctx.sql("""
 SELECT date_trunc('month', l_shipdate) AS m,
   round(sum(l_extendedprice), 2) AS rev,
   round(sum(sum(l_extendedprice)) OVER (ORDER BY m), 2) AS cum_rev,
-  round(avg(sum(l_extendedprice)) OVER
-    (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+  CAST(round(CAST(avg(sum(l_extendedprice)) OVER
+    (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    AS DECIMAL(28,6)), 2) AS DOUBLE) AS ma3
 FROM lineitem
 WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
 GROUP BY m ORDER BY m
