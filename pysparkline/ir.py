@@ -560,13 +560,23 @@ class WindowPostSpec(IRNode):
     arg: Optional[str] = None  # None for the rank family
     partition: list = field(default_factory=list)  # dim output names
     order: list = field(default_factory=list)  # [OrderByColumn]
-    offset: Optional[int] = None  # lag/lead row offset (default 1)
+    offset: Optional[int] = None  # lag/lead row offset (default 1); nth_value n
     default: Any = None  # lag/lead default literal (JSON-serializable)
     # aggregate-window frame: None + no order = whole partition; None +
     # order = ANSI default running frame (RANGE ... CURRENT ROW, ties are
-    # peers — identical in Spark); [lo, hi] = ROWS BETWEEN frame in Spark
-    # rowsBetween convention (negative = preceding, null = unbounded)
+    # peers — identical in Spark); [lo, hi] = explicit frame in Spark
+    # rowsBetween/rangeBetween convention (negative = preceding,
+    # null = unbounded)
     frame: Optional[list] = None
+    # "rows" (default when frame is set) or "range". RANGE frames require a
+    # single ascending ORDER BY; bounds are in order-key units (numeric key)
+    # or in `range_unit` calendar units (time-bucket key)
+    frame_type: Optional[str] = None
+    # for RANGE over the time bucket: "year"|"month"|"day"|"hour"|"minute"|
+    # "second" — the lowering orders by an integer surrogate (calendar month
+    # index / epoch seconds) so Spark's numeric rangeBetween reproduces
+    # DuckDB's interval-arithmetic frame exactly on bucket-truncated keys
+    range_unit: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------

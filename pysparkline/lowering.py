@@ -1034,8 +1034,33 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
 
     wcols: dict[str, Column] = {}
     for w in posts:
+        frame = getattr(w, "frame", None)
+        is_range = frame is not None and getattr(w, "frame_type", None) == "range"
         spec = Window.partitionBy(*[F.col(p) for p in w.partition])
-        if w.order:
+        if is_range:
+            # RANGE frame: single ascending ORDER BY (front-end invariant).
+            # INTERVAL units order by an integer surrogate of the time
+            # bucket — calendar index for month/year (exact because the
+            # keys are bucket-truncated), epoch seconds for fixed-length
+            # units (exact in the engine's UTC session) — so Spark's
+            # numeric rangeBetween reproduces DuckDB's interval arithmetic.
+            okey = w.order[0].column
+            unit = getattr(w, "range_unit", None)
+            if unit is None:
+                ocol, scale = F.expr(okey), 1
+            elif unit == "year":
+                ocol, scale = F.expr(f"year({okey})"), 1
+            elif unit == "month":
+                ocol, scale = F.expr(f"year({okey}) * 12 + month({okey})"), 1
+            else:
+                secs = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
+                ocol = F.expr(f"unix_timestamp(CAST({okey} AS TIMESTAMP))")
+                scale = secs
+            spec = spec.orderBy(ocol.asc()).rangeBetween(
+                Window.unboundedPreceding if frame[0] is None else frame[0] * scale,
+                Window.unboundedFollowing if frame[1] is None else frame[1] * scale,
+            )
+        elif w.order:
             spec = spec.orderBy(
                 *[
                     F.expr(o.column).asc()
@@ -1048,10 +1073,20 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
             "rank", "dense_rank", "row_number", "percent_rank", "cume_dist"
         ):
             wcols[w.name] = getattr(F, w.func)().over(spec)
-        elif w.func == "first_value":
+        elif w.func in ("first_value", "last_value", "nth_value"):
             # default frame (unbounded preceding -> current row) makes the
-            # ordered first constant per partition — same in ANSI and Spark
-            wcols[w.name] = F.first(F.expr(w.arg)).over(spec)
+            # ordered first constant per partition — same in ANSI and Spark;
+            # explicit ROWS/RANGE frames (e.g. last_value over UNBOUNDED
+            # FOLLOWING) apply below like aggregate windows
+            if frame is not None and not is_range:
+                lo = Window.unboundedPreceding if frame[0] is None else frame[0]
+                hi = Window.unboundedFollowing if frame[1] is None else frame[1]
+                spec = spec.rowsBetween(lo, hi)
+            if w.func == "nth_value":
+                wcols[w.name] = F.nth_value(F.expr(w.arg), w.offset or 1).over(spec)
+            else:
+                fcol = F.first if w.func == "first_value" else F.last
+                wcols[w.name] = fcol(F.expr(w.arg)).over(spec)
         elif w.func == "ntile":
             wcols[w.name] = F.ntile(w.offset or 1).over(spec)
         elif w.func in ("lag", "lead"):
@@ -1062,8 +1097,7 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                 F.expr(w.arg), off, w.default
             ).over(spec)
         else:
-            frame = getattr(w, "frame", None)
-            if frame is not None:
+            if frame is not None and not is_range:
                 lo = Window.unboundedPreceding if frame[0] is None else frame[0]
                 hi = Window.unboundedFollowing if frame[1] is None else frame[1]
                 spec = spec.rowsBetween(lo, hi)

@@ -668,6 +668,18 @@ _WINDOW_RANK_FNS = {
     "rank", "dense_rank", "row_number", "percent_rank", "cume_dist",
 }
 _WINDOW_OFFSET_FNS = {"lag", "lead"}
+_WINDOW_VALUE_FNS = {"first_value", "last_value", "nth_value"}
+
+# DuckDB serializes `INTERVAL 'n' <unit>` frame bounds as to_<unit>s(...)
+# constructor calls wrapping the integer literal
+_FRAME_INTERVAL_FNS = {
+    "to_years": "year",
+    "to_months": "month",
+    "to_days": "day",
+    "to_hours": "hour",
+    "to_minutes": "minute",
+    "to_seconds": "second",
+}
 
 
 def _window_const(node: dict, what: str):
@@ -677,6 +689,99 @@ def _window_const(node: dict, what: str):
     if isinstance(v, Decimal):
         v = int(v) if v == int(v) else float(v)
     return v
+
+
+def _frame_interval(node: dict) -> tuple[str, int] | None:
+    """``(unit, n)`` for an INTERVAL frame-bound expression
+    (``to_months(CAST(trunc(CAST('2' AS DOUBLE)) AS INTEGER))`` and kin),
+    else None."""
+    if not isinstance(node, dict) or node.get("class") != "FUNCTION":
+        return None
+    unit = _FRAME_INTERVAL_FNS.get(node.get("function_name", "").lower())
+    ch = node.get("children", [])
+    if unit is None or len(ch) != 1:
+        return None
+
+    def unwrap(x: dict) -> dict:
+        if x.get("class") == "CAST":
+            return unwrap(x["child"])
+        if (
+            x.get("class") == "FUNCTION"
+            and x.get("function_name", "").lower() == "trunc"
+            and len(x.get("children", [])) == 1
+        ):
+            return unwrap(x["children"][0])
+        return x
+
+    c = unwrap(ch[0])
+    if not _is_const(c):
+        return None
+    try:
+        f = float(_const_value(c))
+    except (TypeError, ValueError):
+        return None
+    if f != int(f):
+        return None
+    return unit, int(f)
+
+
+def _parse_frame(item: dict, fn: str) -> tuple[list, str, str | None]:
+    """Explicit window frame -> ``(bounds, frame_type, range_unit)``.
+
+    ROWS frames: integer-literal bounds in Spark rowsBetween convention.
+    RANGE frames: either integer bounds over a numeric order key, or
+    INTERVAL bounds over the time bucket (``range_unit`` set) — both lower
+    to ``Window.rangeBetween``. GROUPS frames and non-literal bounds raise
+    => the always-correct spark.sql fallback."""
+    start, end = item.get("start"), item.get("end")
+
+    def _bad():
+        raise SQLFrontError(f"window {fn}: unsupported frame")
+
+    # a fully-UNBOUNDED frame classifies as "rows" (identical semantics);
+    # the ANSI-default RANGE UNBOUNDED..CURRENT ROW never reaches here
+    is_range = any(
+        isinstance(t, str) and t.endswith("_RANGE") for t in (start, end)
+    )
+    units: list[str | None] = []
+
+    def bound(tok: str, expr, side: str):
+        if tok == "UNBOUNDED_PRECEDING":
+            return None if side == "lo" else _bad()
+        if tok == "UNBOUNDED_FOLLOWING":
+            return None if side == "hi" else _bad()
+        if tok in ("CURRENT_ROW_ROWS", "CURRENT_ROW_RANGE"):
+            return 0
+        sign = -1 if tok in ("EXPR_PRECEDING_ROWS", "EXPR_PRECEDING_RANGE") else 1
+        if tok not in (
+            "EXPR_PRECEDING_ROWS",
+            "EXPR_FOLLOWING_ROWS",
+            "EXPR_PRECEDING_RANGE",
+            "EXPR_FOLLOWING_RANGE",
+        ):
+            return _bad()
+        iv = _frame_interval(expr)
+        if iv is not None:
+            if tok.endswith("_ROWS"):
+                return _bad()  # INTERVAL in a ROWS frame is invalid anyway
+            units.append(iv[0])
+            return sign * iv[1]
+        v = _window_const(expr, "frame bound")
+        if not isinstance(v, int):
+            return _bad()
+        units.append(None)
+        return sign * v
+
+    frame = [
+        bound(start, item.get("start_expr"), "lo"),
+        bound(end, item.get("end_expr"), "hi"),
+    ]
+    if not is_range:
+        return frame, "rows", None
+    real_units = {u for u in units if u is not None}
+    if len(real_units) > 1 or (real_units and None in units):
+        _bad()  # mixed-unit / mixed numeric+interval RANGE bounds
+    return frame, "range", next(iter(real_units)) if real_units else None
 
 
 def _window_spec(
@@ -705,32 +810,16 @@ def _window_spec(
         raise SQLFrontError(f"window {fn}: unexpected offset/default")
 
     # frame: default RANGE (whole-partition / ANSI running) => None;
-    # explicit ROWS BETWEEN with literal bounds => [lo, hi] in Spark
-    # rowsBetween convention; anything else (RANGE/GROUPS frames) => out
+    # explicit ROWS/RANGE with literal or interval bounds => _parse_frame;
+    # anything else (GROUPS frames, rank/lag families with frames) => out
     start, end = item.get("start"), item.get("end")
+    frame = None
+    frame_type = None
+    range_unit = None
     if start == "UNBOUNDED_PRECEDING" and end == "CURRENT_ROW_RANGE":
-        frame = None
-    elif fn in _WINDOW_AGG_FNS:
-        def bound(tok: str, expr, side: str):
-            if tok == "UNBOUNDED_PRECEDING":
-                return None if side == "lo" else _bad()
-            if tok == "UNBOUNDED_FOLLOWING":
-                return None if side == "hi" else _bad()
-            if tok == "CURRENT_ROW_ROWS":
-                return 0
-            if tok == "EXPR_PRECEDING_ROWS":
-                return -int(_window_const(expr, "frame bound"))
-            if tok == "EXPR_FOLLOWING_ROWS":
-                return int(_window_const(expr, "frame bound"))
-            return _bad()
-
-        def _bad():
-            raise SQLFrontError(f"window {fn}: unsupported frame")
-
-        frame = [
-            bound(start, item.get("start_expr"), "lo"),
-            bound(end, item.get("end_expr"), "hi"),
-        ]
+        pass  # ANSI default running frame (or no ORDER BY: whole partition)
+    elif fn in _WINDOW_AGG_FNS or fn in _WINDOW_VALUE_FNS:
+        frame, frame_type, range_unit = _parse_frame(item, fn)
     else:
         raise SQLFrontError(f"window {fn}: explicit frames unsupported")
 
@@ -767,18 +856,64 @@ def _window_spec(
         for o in item.get("orders", [])
     ]
 
+    # RANGE frames: single ascending ORDER BY; INTERVAL units only over the
+    # time bucket (the lowering orders by a calendar/epoch surrogate, exact
+    # iff the keys are bucket-truncated — month/year units additionally need
+    # a month-/year-truncated granularity); numeric bounds only over
+    # numeric keys. Violations raise => the correct spark.sql fallback.
+    if frame_type == "range":
+        if len(orders) != 1 or orders[0].direction != "asc":
+            raise SQLFrontError(
+                f"window {fn}: RANGE frame requires a single ascending ORDER BY"
+            )
+        bare = orders[0].column.strip("`")
+        is_time_key = (
+            a.time_output_name is not None and bare == a.time_output_name
+        )
+        if range_unit is None and is_time_key:
+            raise SQLFrontError(
+                f"window {fn}: numeric RANGE bounds over the time bucket"
+            )
+        if range_unit is not None:
+            if not is_time_key:
+                raise SQLFrontError(
+                    f"window {fn}: INTERVAL RANGE requires ORDER BY the"
+                    " time bucket"
+                )
+            if range_unit == "month" and a.granularity not in (
+                "month", "quarter", "year",
+            ):
+                raise SQLFrontError(
+                    f"window {fn}: MONTH RANGE frame needs month-truncated"
+                    f" buckets (granularity is {a.granularity})"
+                )
+            if range_unit == "year" and a.granularity != "year":
+                raise SQLFrontError(
+                    f"window {fn}: YEAR RANGE frame needs year-truncated"
+                    f" buckets (granularity is {a.granularity})"
+                )
+
     if fn in _WINDOW_RANK_FNS:
         if not orders:
             raise SQLFrontError(f"window {fn} requires ORDER BY")
         return ir.WindowPostSpec(name, fn, None, partition, orders)
-    if fn == "first_value":
+    if fn in _WINDOW_VALUE_FNS:
         if not orders:
-            raise SQLFrontError("window first_value requires ORDER BY")
+            raise SQLFrontError(f"window {fn} requires ORDER BY")
         ch = item.get("children", [])
-        if len(ch) != 1:
-            raise SQLFrontError("window first_value: expected one argument")
+        n = None
+        if fn == "nth_value":
+            if len(ch) != 2:
+                raise SQLFrontError("window nth_value: expected (expr, n)")
+            n = int(_window_const(ch[1], "nth_value position"))
+            if n < 1:
+                raise SQLFrontError("window nth_value: position must be >= 1")
+        elif len(ch) != 1:
+            raise SQLFrontError(f"window {fn}: expected one argument")
         return ir.WindowPostSpec(
-            name, fn, resolve_expr(ch[0]), partition, orders
+            name, fn, resolve_expr(ch[0]), partition, orders,
+            offset=n, frame=frame, frame_type=frame_type,
+            range_unit=range_unit,
         )
     if fn == "ntile":
         if not orders:
@@ -807,7 +942,7 @@ def _window_spec(
         )
     if fn in _WINDOW_AGG_FNS:
         if frame is not None and not orders:
-            raise SQLFrontError(f"window {fn}: ROWS frame requires ORDER BY")
+            raise SQLFrontError(f"window {fn}: explicit frame requires ORDER BY")
         ch = item.get("children", [])
         if not ch and fn == "count":
             arg = "1"
@@ -818,7 +953,8 @@ def _window_spec(
         # orders + frame None = ANSI running frame (RANGE ... CURRENT ROW,
         # ties are peers — Spark's default ordered frame, identical)
         return ir.WindowPostSpec(
-            name, fn, arg, partition, orders, frame=frame
+            name, fn, arg, partition, orders, frame=frame,
+            frame_type=frame_type, range_unit=range_unit,
         )
     raise SQLFrontError(f"window function {fn} unsupported")
 

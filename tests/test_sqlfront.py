@@ -490,16 +490,19 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def test_window_unsupported_falls_back(ctx, duck):
-    # RANGE value-frames / nth_value stay outside the surface: the
-    # always-correct spark.sql fallback answers instead
+    # still outside the rewritten surface (descending RANGE, month RANGE
+    # over non-month-truncated buckets): the always-correct spark.sql
+    # fallback answers instead (GROUPS frames decline too, but Spark itself
+    # cannot parse GROUPS, so the fallback surfaces Spark's parse error)
     for sql in [
         """SELECT l_returnflag, sum(l_quantity) AS s,
-           sum(sum(l_quantity)) OVER (ORDER BY sum(l_quantity)
+           sum(sum(l_quantity)) OVER (ORDER BY sum(l_quantity) DESC
              RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS run
            FROM lineitem GROUP BY l_returnflag""",
-        """SELECT l_returnflag, sum(l_quantity) AS s,
-           nth_value(sum(l_quantity), 2) OVER (ORDER BY l_returnflag) AS nv
-           FROM lineitem GROUP BY l_returnflag""",
+        """SELECT date_trunc('day', l_shipdate) AS d, sum(l_quantity) AS s,
+           sum(sum(l_quantity)) OVER (ORDER BY date_trunc('day', l_shipdate)
+             RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) AS run
+           FROM lineitem GROUP BY date_trunc('day', l_shipdate)""",
     ]:
         ctx.sql(sql).collect()
         assert ctx.query_history[-1].backing == "sparksql"
@@ -517,6 +520,77 @@ SELECT date_trunc('month', l_shipdate) AS m,
 FROM lineitem
 WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
 GROUP BY m ORDER BY m
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_range_interval_month_with_gap(ctx, duck):
+    # the discriminating case: months {Jan, Feb, Jun..Dec} — a 2-month RANGE
+    # frame at Jun covers only Jun (Apr/May absent from the FRAME's value
+    # range), where ROWS 2 PRECEDING would wrongly reach back to Jan/Feb
+    sql = """
+SELECT date_trunc('month', l_shipdate) AS m,
+  round(sum(l_extendedprice), 2) AS rev,
+  CAST(round(CAST(sum(sum(l_extendedprice)) OVER
+    (ORDER BY m RANGE BETWEEN INTERVAL '2' MONTH PRECEDING AND CURRENT ROW)
+    AS DECIMAL(28,6)), 2) AS DOUBLE) AS rev_3mo,
+  count(sum(l_extendedprice)) OVER
+    (ORDER BY m RANGE BETWEEN INTERVAL '2' MONTH PRECEDING AND CURRENT ROW)
+    AS months_in_frame
+FROM lineitem
+WHERE (l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-03-01')
+   OR (l_shipdate >= DATE '1997-06-01' AND l_shipdate < DATE '1998-01-01')
+GROUP BY m ORDER BY m
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+    # the frame really is value-ranged: June sees only itself
+    row = {r["m"].month: r["months_in_frame"] for r in ctx.sql(sql).collect()}
+    assert row[6] == 1 and row[2] == 2 and row[8] == 3
+
+
+def test_window_range_interval_day(ctx, duck):
+    sql = """
+SELECT date_trunc('day', l_shipdate) AS d,
+  round(sum(l_extendedprice), 2) AS rev,
+  count(sum(l_extendedprice)) OVER
+    (ORDER BY d RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
+    AS days_in_week
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-02-01'
+GROUP BY d ORDER BY d
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_range_numeric_over_agg(ctx, duck):
+    # numeric RANGE bounds over a numeric (aggregate) order key
+    sql = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s,
+  count(1) OVER (ORDER BY sum(l_quantity)
+    RANGE BETWEEN 30000 PRECEDING AND CURRENT ROW) AS near_below
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_nth_and_last_value(ctx, duck):
+    sql = """
+SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS rev,
+  nth_value(l_linestatus, 2) OVER
+    (PARTITION BY l_returnflag
+     ORDER BY sum(l_extendedprice) DESC, l_linestatus
+     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS runner_up,
+  last_value(l_linestatus) OVER
+    (PARTITION BY l_returnflag
+     ORDER BY sum(l_extendedprice) DESC, l_linestatus
+     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS weakest
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """
     assert_same(ctx, duck, sql, sort=False)
     assert ctx.query_history[-1].backing != "sparksql"
