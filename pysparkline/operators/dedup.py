@@ -800,15 +800,28 @@ class SignatureStore:
     each new batch dedups against the full historical corpus without
     recomputing anything about it.
 
-    Layout: ``sigs/`` parquet of (id, sig) and ``bands/`` parquet of
-    (id, band, band_hash), plus a JSON manifest pinning (num_perm, bands,
-    shingle_k, seed) so every batch's signatures and band hashes are
-    computed identically — the property the incremental candidate join
-    relies on. A batch costs: one signature pass over the NEW docs, one
-    equi-join of the new bands against the stored bands (the store side
-    never recomputes), exact Jaccard verification for candidates only, and
-    one append of the survivors' rows. Nothing rescans the historical
-    corpus text.
+    Layout: ``batches/<name>/sigs/`` parquet of (id, sig) and
+    ``batches/<name>/bands/`` parquet of (id, band, band_hash), plus a JSON
+    manifest pinning (num_perm, bands, shingle_k, seed) — so every batch's
+    signatures and band hashes are computed identically, the property the
+    incremental candidate join relies on — and listing the COMMITTED batch
+    names. An append writes both outputs into a fresh batch directory and
+    only then commits the name with an atomic manifest rewrite (tmp file +
+    ``os.replace``): a crash between the sigs and bands writes leaves an
+    orphan directory that readers never see (previously two independent
+    ``mode("append")`` writes could strand signatures without band rows —
+    docs that silently stopped generating candidates). ``compact()`` sweeps
+    orphans, merges committed batches, and optionally expires old ones.
+
+    Ingest is SINGLE-WRITER: the commit protocol makes a crashed append
+    invisible, but two concurrent appends would race the manifest rewrite
+    (last writer wins, dropping the other's commit).
+
+    A batch costs: one signature pass over the NEW docs, one equi-join of
+    the new bands against the stored bands (the store side never
+    recomputes), exact Jaccard verification for candidates only, and one
+    batch-directory write of the survivors' rows. Nothing rescans the
+    historical corpus text.
     """
 
     MANIFEST = "minhash_store.json"
@@ -819,8 +832,7 @@ class SignatureStore:
         self.spark = spark
         self.path = path
         self.manifest = manifest
-        self._sigs_path = os.path.join(path, "sigs")
-        self._bands_path = os.path.join(path, "bands")
+        self._batches_path = os.path.join(path, "batches")
 
     @staticmethod
     def create(
@@ -845,6 +857,7 @@ class SignatureStore:
             "threshold": threshold,
             "seed": seed,
             "maxBucket": max_bucket,
+            "batches": [],
         }
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, SignatureStore.MANIFEST), "w") as fh:
@@ -859,27 +872,135 @@ class SignatureStore:
         with open(os.path.join(path, SignatureStore.MANIFEST)) as fh:
             return SignatureStore(spark, path, json.load(fh))
 
-    def _stored(self, sub_path: str, schema: str) -> DataFrame:
+    # -- commit protocol ---------------------------------------------------
+
+    def _write_manifest(self) -> None:
+        """Atomic manifest rewrite: readers see the old or the new commit
+        list, never a torn file."""
+        import json
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(self.manifest, fh)
+        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+
+    def _write_batch(self, sigs: DataFrame) -> str:
+        """Write (sigs, bands) into a fresh batch directory, then commit its
+        name. Returns the batch name."""
+        import os
+        import time
+        import uuid
+
+        m = self.manifest
+        name = uuid.uuid4().hex[:12]
+        bdir = os.path.join(self._batches_path, name)
+        sigs.write.parquet(os.path.join(bdir, "sigs"))
+        _banded(sigs, m["numPerm"], m["bands"]).write.parquet(
+            os.path.join(bdir, "bands")
+        )
+        m["batches"].append({"name": name, "ts": time.time()})
+        try:
+            self._write_manifest()
+        except BaseException:
+            # failed commit: the in-memory view must match the on-disk
+            # manifest, so this session doesn't read the orphan either
+            m["batches"].pop()
+            raise
+        return name
+
+    def _stored(self, kind: str, schema: str) -> DataFrame:
         import os
 
-        if os.path.exists(sub_path) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(sub_path) for f in fs
-        ):
-            return self.spark.read.parquet(sub_path)
-        return self.spark.createDataFrame([], schema)
+        paths = [
+            os.path.join(self._batches_path, b["name"], kind)
+            for b in self.manifest["batches"]
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def compact(self, max_age_seconds: float | None = None) -> None:
+        """Merge committed batches into one and delete the rest — after many
+        daily ingests the bands join otherwise degrades into a
+        thousands-of-small-files scan. ``max_age_seconds`` first EXPIRES
+        whole batches committed longer ago (retention window: their docs
+        stop blocking future ingests); expiry is batch-grained, so compact
+        on a cadence coarser than the retention window. Orphan directories
+        from crashed appends are swept. Single-writer, like append."""
+        import os
+        import shutil
+        import time
+
+        m = self.manifest
+        now = time.time()
+        keep = [
+            b
+            for b in m["batches"]
+            if max_age_seconds is None or now - b["ts"] <= max_age_seconds
+        ]
+        if keep:
+            paths_s = [
+                os.path.join(self._batches_path, b["name"], "sigs")
+                for b in keep
+            ]
+            merged = self.spark.read.parquet(*paths_s)
+            # one merged batch; checkpoint severs lineage from the batch
+            # dirs deleted below
+            merged = merged.localCheckpoint()
+            m["batches"] = []
+            self._write_batch(merged)
+        else:
+            m["batches"] = []
+            self._write_manifest()
+        committed = {b["name"] for b in m["batches"]}
+        if os.path.isdir(self._batches_path):
+            for d in os.listdir(self._batches_path):
+                # anything uncommitted: merged-away dirs, expired dirs, and
+                # orphans from crashed appends
+                if d not in committed:
+                    shutil.rmtree(
+                        os.path.join(self._batches_path, d),
+                        ignore_errors=True,
+                    )
+
+    # -- ingest ------------------------------------------------------------
 
     def append(self, docs: DataFrame, id_col: str, text_col: str) -> None:
         """Register documents WITHOUT dedup (store initialization / trusted
-        batches): computes and appends their signatures and band hashes."""
+        batches): computes and commits their signatures and band hashes."""
         m = self.manifest
         sigs = minhash_signatures(
             docs, id_col, text_col, m["numPerm"], m["shingleK"], m["seed"]
         ).persist()
-        sigs.write.mode("append").parquet(self._sigs_path)
-        _banded(sigs, m["numPerm"], m["bands"]).write.mode("append").parquet(
-            self._bands_path
-        )
+        self._write_batch(sigs)
         sigs.unpersist()
+
+    @staticmethod
+    def _estimate_hits(
+        cand: DataFrame, sigs_all: DataFrame, num_perm: int, threshold: float
+    ) -> DataFrame:
+        """Signature-estimate duplicate decision for candidate pairs:
+        matching-minhash fraction >= threshold."""
+        est_pairs = cand.join(
+            sigs_all.select(
+                F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+            ),
+            "id_a",
+        ).join(
+            sigs_all.select(
+                F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+            ),
+            "id_b",
+        )
+        est = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ) / F.lit(num_perm)
+        return est_pairs.where(est >= threshold).select("id_a", "id_b")
 
     def dedup_and_append(
         self,
@@ -897,7 +1018,11 @@ class SignatureStore:
         come from ``docs``; historical texts resolve from ``history_docs``
         (the corpus the caller already stores — signatures alone cannot
         verify exactly). Without ``history_docs`` the signature ESTIMATE
-        decides historical matches (documented approximation).
+        decides historical matches (documented approximation); candidates
+        whose stored-side text is MISSING from a partial ``history_docs``
+        fall back to the same estimate rather than silently passing as
+        non-duplicates (the store always has their signatures — the
+        committed-batch layout guarantees sig and band rows land together).
         """
         m = self.manifest
         sigs_new = minhash_signatures(
@@ -905,9 +1030,9 @@ class SignatureStore:
         ).persist()
         bands_new = _banded(sigs_new, m["numPerm"], m["bands"])
         bands_old = self._stored(
-            self._bands_path, "id long, band int, band_hash int"
+            "bands", "id long, band int, band_hash int"
         )
-        sigs_old = self._stored(self._sigs_path, "id long, sig array<long>")
+        sigs_old = self._stored("sigs", "id long, sig array<long>")
 
         bw = Window.partitionBy("band", "band_hash")
         all_bands = bands_new.select(
@@ -938,37 +1063,34 @@ class SignatureStore:
             .select(F.col("r.id").alias("id_a"), F.col("l.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        sigs_all = sigs_new.unionByName(sigs_old)
         if history_docs is not None:
             texts = history_docs.select(
                 F.col(id_col), F.col(text_col)
             ).unionByName(docs.select(F.col(id_col), F.col(text_col)))
-            dup_hits = verify_pairs_exact_jaccard(
-                cand, texts, id_col, text_col, m["shingleK"], m["threshold"]
+            text_ids = texts.select(F.col(id_col).alias("id_a")).distinct()
+            exact_hits = verify_pairs_exact_jaccard(
+                cand.join(text_ids, "id_a", "left_semi"),
+                texts, id_col, text_col, m["shingleK"], m["threshold"],
+            ).select("id_a", "id_b")
+            # stored-side text absent from a PARTIAL history: decide by the
+            # signature estimate instead of silently keeping the new doc
+            # (the inner text join would drop the pair otherwise)
+            est_hits = self._estimate_hits(
+                cand.join(text_ids, "id_a", "left_anti"),
+                sigs_all, m["numPerm"], m["threshold"],
             )
+            dup_hits = exact_hits.unionByName(est_hits)
         else:
-            sigs_all = sigs_new.unionByName(sigs_old)
-            est_pairs = cand.join(
-                sigs_all.select(F.col("id").alias("id_a"),
-                                F.col("sig").alias("sig_a")), "id_a"
-            ).join(
-                sigs_all.select(F.col("id").alias("id_b"),
-                                F.col("sig").alias("sig_b")), "id_b"
+            dup_hits = self._estimate_hits(
+                cand, sigs_all, m["numPerm"], m["threshold"]
             )
-            est = F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda v: v,
-                )
-            ) / F.lit(m["numPerm"])
-            dup_hits = est_pairs.where(est >= m["threshold"])
         dup_ids = dup_hits.select(F.col("id_b").alias("id")).distinct()
 
-        # localCheckpoint (eager) BEFORE the appends below: the verdict plan
-        # reads the store's parquet lazily, and the append both mutates that
-        # data AND invalidates any cache over the path (refreshByPath), so a
-        # merely-persisted verdict would recompute against a store already
-        # containing this batch — every survivor a duplicate of itself.
-        # Checkpointing severs the lineage from the parquet source.
+        # localCheckpoint (eager) BEFORE the batch write below: the verdict
+        # plan reads the store's parquet lazily; materializing it first
+        # guarantees the decision is over the pre-append store even if a
+        # caller re-evaluates the returned DataFrame later.
         verdict = (
             sigs_new.select("id")
             .join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
@@ -978,16 +1100,6 @@ class SignatureStore:
             .localCheckpoint()
         )
         survivors = verdict.where("kept").select("id")
-        (
-            sigs_new.join(survivors, "id", "left_semi")
-            .write.mode("append").parquet(self._sigs_path)
-        )
-        (
-            _banded(
-                sigs_new.join(survivors, "id", "left_semi"),
-                m["numPerm"], m["bands"],
-            )
-            .write.mode("append").parquet(self._bands_path)
-        )
+        self._write_batch(sigs_new.join(survivors, "id", "left_semi"))
         sigs_new.unpersist()
         return verdict

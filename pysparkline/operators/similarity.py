@@ -89,19 +89,34 @@ def _fit_centroids(
     seed: int,
     train_limit: int = 200_000,
 ) -> list[list[float]]:
-    """KMeans centroids from a BOUNDED training sample (deterministic given
-    seed). Lloyd iteration is 20 passes over its input; over the full
-    corpus that is 20 full scans at 100 TB for a model that stabilizes with
-    a few hundred points per centroid — so training reads at most
-    ``train_limit`` rows (a no-op below that size, so small-corpus results
-    are unchanged). Assignment still covers every row, in one pass."""
+    """KMeans centroids from a BOUNDED training sample, deterministic given
+    (seed, content). Lloyd iteration is 20 passes over its input; over the
+    full corpus that is 20 full scans at 100 TB for a model that stabilizes
+    with a few hundred points per centroid — so training reads a
+    content-hash-thresholded sample of ~``train_limit`` rows (a no-op below
+    that size, so small-corpus results are unchanged). The hash filter —
+    not ``limit()``, whose row selection is partition-layout dependent
+    (ADVICE r3) — keeps the sample, and therefore the centroids,
+    reproducible across cluster configs and re-shards. Assignment still
+    covers every row, in one pass."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    ).limit(train_limit)
-    km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        F.col(vec_col).cast("string").alias("__key"),
+    )
+    n = train.count()  # count(*) reads parquet footers, not column data
+    if n > train_limit:
+        denom = 1_000_000
+        thresh = max(1, int(denom * train_limit / n))
+        train = train.where(
+            F.pmod(F.xxhash64(F.col("__key"), F.lit(int(seed))), F.lit(denom))
+            < F.lit(thresh)
+        )
+    km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(
+        train.select("features")
+    )
     return [list(map(float, c)) for c in km.clusterCenters()]
 
 

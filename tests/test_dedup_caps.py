@@ -232,6 +232,143 @@ def test_signature_store_incremental(spark, tmp_path):
     assert v4 == {30: False}
 
 
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _basetext(i: int) -> str:
+    return " ".join(f"w{i}x{j}q{i * 31 + j}" for j in range(40))
+
+
+def test_signature_store_crashed_append_invisible(spark, tmp_path):
+    """A failure between the batch-directory write and the manifest commit
+    leaves an orphan the readers never see (ADVICE r3: the old two-append
+    layout could strand sigs without band rows); compact() sweeps it."""
+    import os
+
+    from pysparkline.operators.dedup import SignatureStore
+
+    store = SignatureStore.create(spark, str(tmp_path / "s"), threshold=0.5)
+    store.append(_mk_docs(spark, [(1, _basetext(1))]), "doc_id", "text")
+
+    # simulate the crash: data lands, commit never happens
+    orig = SignatureStore._write_manifest
+    SignatureStore._write_manifest = lambda self: (_ for _ in ()).throw(
+        OSError("disk gone")
+    )
+    try:
+        with pytest.raises(OSError):
+            store.append(_mk_docs(spark, [(2, _basetext(2))]), "doc_id", "text")
+    finally:
+        SignatureStore._write_manifest = orig  # noqa: restore the real commit
+    # doc 2's orphan batch is invisible: a dup of it is NOT flagged, a dup
+    # of committed doc 1 still is
+    v = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            _mk_docs(spark, [(10, _basetext(2)), (11, _basetext(1))]),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert v == {10: True, 11: False}
+
+    n_dirs = len(os.listdir(os.path.join(store.path, "batches")))
+    n_committed = len(store.manifest["batches"])
+    assert n_dirs == n_committed + 1  # the orphan
+    store.compact()
+    assert len(os.listdir(os.path.join(store.path, "batches"))) == 1
+    # post-compaction verdicts unchanged
+    v2 = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            _mk_docs(spark, [(20, _basetext(1)), (21, _basetext(3))]),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert v2 == {20: False, 21: True}
+
+
+def test_signature_store_compaction_equivalence(spark, tmp_path):
+    """Three daily batches, then compact: the merged store must give the
+    same verdicts as the uncompacted one (VERDICT r3 #7)."""
+    import os
+
+    from pysparkline.operators.dedup import SignatureStore
+
+    def build(path):
+        s = SignatureStore.create(spark, path, threshold=0.5)
+        for day in range(3):
+            s.dedup_and_append(
+                _mk_docs(
+                    spark,
+                    [(day * 10 + k, _basetext(day * 2 + k % 2)) for k in range(3)],
+                ),
+                "doc_id", "text",
+            ).collect()
+        return s
+
+    a = build(str(tmp_path / "a"))
+    b = build(str(tmp_path / "b"))
+    b.compact()
+    assert len(b.manifest["batches"]) == 1
+    assert len(os.listdir(os.path.join(b.path, "batches"))) == 1
+
+    probe = _mk_docs(
+        spark, [(100 + i, _basetext(i)) for i in range(8)]
+    )
+    va = {r.id: r.kept for r in a.dedup_and_append(probe, "doc_id", "text").collect()}
+    vb = {r.id: r.kept for r in b.dedup_and_append(probe, "doc_id", "text").collect()}
+    assert va == vb
+
+
+def test_signature_store_retention_expiry(spark, tmp_path):
+    """compact(max_age_seconds) drops batches older than the window: their
+    docs stop blocking future ingests."""
+    from pysparkline.operators.dedup import SignatureStore
+
+    store = SignatureStore.create(spark, str(tmp_path / "s"), threshold=0.5)
+    store.append(_mk_docs(spark, [(1, _basetext(1))]), "doc_id", "text")
+    # age the first batch far into the past
+    store.manifest["batches"][0]["ts"] -= 10_000
+    store._write_manifest()
+    store.append(_mk_docs(spark, [(2, _basetext(2))]), "doc_id", "text")
+
+    store.compact(max_age_seconds=5_000)
+    v = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            _mk_docs(spark, [(10, _basetext(1)), (11, _basetext(2))]),
+            "doc_id", "text",
+        ).collect()
+    }
+    # expired doc 1 no longer blocks; retained doc 2 still does
+    assert v == {10: True, 11: False}
+
+
+def test_signature_store_partial_history_falls_back_to_estimate(spark, tmp_path):
+    """ADVICE r3: a candidate whose stored-side text is missing from a
+    partial history_docs must fall back to the signature estimate, not be
+    silently kept."""
+    from pysparkline.operators.dedup import SignatureStore
+
+    store = SignatureStore.create(spark, str(tmp_path / "s"), threshold=0.5)
+    b1 = _mk_docs(spark, [(1, _basetext(1)), (2, _basetext(2))])
+    store.append(b1, "doc_id", "text")
+
+    # history covers doc 1 only; new batch duplicates BOTH stored docs
+    probe = _mk_docs(spark, [(10, _basetext(1)), (11, _basetext(2))])
+    v = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            probe, "doc_id", "text",
+            history_docs=b1.where("doc_id = 1"),
+        ).collect()
+    }
+    # 10 verified exactly; 11 caught by the estimate fallback (an exact dup
+    # estimates to 1.0) — previously it slipped through as kept
+    assert v == {10: False, 11: False}
+
+
 def test_signature_store_estimate_path(spark, tmp_path):
     """Without history texts the signature estimate decides — exact dups
     estimate to 1.0 and are still caught."""
