@@ -463,6 +463,7 @@ class OlapIndex:
         self._df_memo: dict[str, "DataFrame"] = {}
         self._cached: set[str] = set()
         self._file_manifest: dict[str, dict] | None = None
+        self._file_manifest_tbl = None  # pyarrow Table twin of the dict
         self._input_files: list[str] | None = None
         self.epoch = 0  # bumped on invalidate(); versions compiled-plan caches
 
@@ -758,18 +759,33 @@ class OlapIndex:
     def flat_root(self) -> str:
         return os.path.join(self.path, self.manifest["flat"].get("path", "flat"))
 
-    def file_manifest(self) -> dict[str, dict] | None:
-        """file path -> per-file stats row (min__c / max__c / set__c), loaded
-        driver-side with pyarrow — no Spark job — and memoized per epoch.
-        None when the index predates file manifests. Files appended after the
-        build are simply absent, and the pruner keeps unknown files."""
+    def file_manifest_table(self):
+        """The per-file stats manifest as a pyarrow Table (columns: file,
+        min__c / max__c / set__c), loaded driver-side — no Spark job — and
+        memoized per epoch. None when the index predates file manifests.
+        The planner's vectorized coarse pruning pass works on this columnar
+        form; at 100 TB file counts (~10^6 manifest rows) the per-row dict
+        materialization alone costs seconds, so conversion happens only for
+        rows that survive the coarse pass."""
         info = self.manifest.get("fileManifest")
         if not info:
             return None
-        if self._file_manifest is None:
+        if self._file_manifest_tbl is None:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(os.path.join(self.path, info["path"]))
+            self._file_manifest_tbl = pq.read_table(
+                os.path.join(self.path, info["path"])
+            )
+        return self._file_manifest_tbl
+
+    def file_manifest(self) -> dict[str, dict] | None:
+        """file path -> per-file stats row (min__c / max__c / set__c).
+        None when the index predates file manifests. Files appended after the
+        build are simply absent, and the pruner keeps unknown files."""
+        tbl = self.file_manifest_table()
+        if tbl is None:
+            return None
+        if self._file_manifest is None:
             self._file_manifest = {r["file"]: r for r in tbl.to_pylist()}
         return self._file_manifest
 
@@ -823,6 +839,7 @@ class OlapIndex:
         self._df_memo.clear()
         self._cached.clear()
         self._file_manifest = None
+        self._file_manifest_tbl = None
         self._input_files = None
         self.epoch += 1
 

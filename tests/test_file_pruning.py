@@ -158,6 +158,75 @@ def test_impossible_selector_prunes_everything(ctx):
     assert ctx.query(spec).count() == 0
 
 
+def test_vectorized_prune_equals_per_row_walk(ctx):
+    """The arrow coarse pass + survivor walk must return exactly the file
+    list the pure per-row walk does, across the filter-shape zoo (it exists
+    only to cut 10^6-row planning cost, never to change results)."""
+
+    class _DictOnly:
+        """Forces prune_flat_files onto the legacy dict path."""
+
+        def __init__(self, idx):
+            self._idx = idx
+            self.time_col = idx.time_col
+
+        def file_manifest_table(self):
+            return None
+
+        def file_manifest(self):
+            return self._idx.file_manifest()
+
+        def flat_input_files(self):
+            return self._idx.flat_input_files()
+
+    specs = [
+        _q3_spec(),
+        ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("l_returnflag")],
+            filter=ir.LogicalFilter(
+                "and",
+                [
+                    ir.SelectorFilter("l_returnflag", "R"),
+                    ir.BoundFilter(
+                        "o_orderdate", "1996-01-01", "1996-07-01",
+                        upper_strict=True,
+                    ),
+                ],
+            ),
+            aggregations=[ir.CountAgg("n")],
+        ),
+        ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("c_mktsegment")],
+            filter=ir.InFilter("c_mktsegment", ["BUILDING", "MACHINERY"]),
+            intervals=[ir.Interval("1995-06-01", "1996-06-01")],
+            aggregations=[ir.CountAgg("n")],
+        ),
+        ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("c_nation")],
+            filter=ir.LogicalFilter(
+                "or",
+                [
+                    ir.SelectorFilter("c_mktsegment", "BUILDING"),
+                    ir.BoundFilter("l_quantity", 45, None),
+                ],
+            ),
+            aggregations=[ir.CountAgg("n")],
+        ),
+        ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("c_nation")],
+            filter=ir.NotFilter(ir.SelectorFilter("l_returnflag", "N")),
+            aggregations=[ir.CountAgg("n")],
+        ),
+    ]
+    for spec in specs:
+        fast = planner.prune_flat_files(ctx.index, spec)
+        slow = planner.prune_flat_files(_DictOnly(ctx.index), spec)
+        f_files = fast[0] if fast is not None else None
+        s_files = slow[0] if slow is not None else None
+        assert f_files == s_files, (spec.filter, fast and len(f_files),
+                                    slow and len(s_files))
+
+
 def test_appended_files_are_kept(spark, tmp_path):
     """Files appended after the build are absent from the manifest and must
     always be kept — pruned queries stay exact across appends."""
