@@ -1,0 +1,556 @@
+"""Baseline-sequential JPEG codec in pure numpy (no Pillow, no native libs).
+
+The reference's multimodal story treats images as opaque binary columns with
+decode behind the engine (SURVEY.md multimodal scope); round 3 left JPEG
+"environment-blocked" — decodable only where Pillow happens to exist. This
+module closes that gap with a from-spec (ITU-T T.81) implementation:
+
+- ``decode(payload)``: baseline sequential DCT, grayscale or YCbCr with any
+  of the common sampling factors (4:4:4, 4:2:2, 4:2:0), DQT/DHT/DRI read
+  from the FILE (nothing here depends on the default tables), restart
+  markers, byte-stuffing. Progressive/arithmetic/12-bit raise
+  ``ValueError`` — callers (operators/multimodal.py) surface that as the
+  honest UnsupportedMediaError.
+- ``encode(img, quality)``: 4:4:4 (or grayscale) baseline encoder with the
+  Annex-K example quantization/Huffman tables — used to vendor
+  deterministic test fixtures and to round-trip-verify the decoder in THIS
+  container; in a Pillow-bearing environment the same fixtures cross-check
+  against an independent implementation (tests/test_multimodal.py).
+
+Throughput note: entropy decode is sequential per block (Python loop); the
+IDCT/color math is vectorized numpy. That is fine for the Arrow-batched
+``mapInPandas`` contract at thumbnail/feature scale; clusters decoding
+megapixel corpora should install Pillow — ``multimodal.decode_image``
+prefers it automatically when present and falls back here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# shared constants (ITU-T T.81 Annex K examples)
+# --------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# (bits-per-length counts[1..16], symbol values) — Annex K.3.3
+DC_LUMA = (
+    [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA = (
+    [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA = (
+    [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# 8-point type-II DCT basis: C[u, x] = a(u) cos((2x+1)u pi / 16)
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        a = np.sqrt(0.125) if _u == 0 else 0.5
+        _DCT[_u, _x] = a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _huffman_codes(counts: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, bit length), canonical JPEG assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huffman_decoder(counts: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(bit length, code) -> symbol."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huffman_codes(counts, values).items()
+    }
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 de-stuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.bits = (self.bits << 8) | 0  # pad past EOI
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    return  # restart marker: caller consumes via sync()
+                else:
+                    # EOI / next segment: pad with zeros
+                    self.bits = (self.bits << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+            if self.nbits < n:  # parked at a restart marker mid-symbol
+                raise ValueError("jpeg: truncated entropy data")
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+    def sync_restart(self) -> None:
+        """Discard pad bits and consume the RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("jpeg: missing restart marker")
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a ``size``-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w, channels) uint8 (channels = 1 or 3)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any scan
+            break
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        if seglen < 2:
+            raise ValueError("jpeg: malformed segment length")
+        body = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i:i + 64], dtype=np.uint8)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(
+                        body[i:i + 128], dtype=">u2"
+                    )
+                    i += 128
+                q = np.zeros(64, dtype=np.int64)
+                q[ZIGZAG] = tbl.astype(np.int64)
+                qtables[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = [0] + list(body[i + 1:i + 17])
+                nsym = sum(counts)
+                values = list(body[i + 17:i + 17 + nsym])
+                htables[(tc, th)] = _huffman_decoder(counts, values)
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline & extended sequential
+            prec = body[0]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: progressive/arithmetic not supported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cs = body[1 + 2 * c]
+                td, ta = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF
+                sel[cs] = (td, ta)
+            return _decode_scan(
+                payload, pos + 2 + seglen, frame, sel, qtables, htables,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("jpeg: no scan data")
+
+
+def _decode_scan(data, pos, frame, sel, qtables, htables, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        cw, ch = 8 * mcux * c["h"], 8 * mcuy * c["v"]
+        planes.append(np.zeros((ch, cw), dtype=np.float64))
+        c["pred"] = 0
+    reader = _BitReader(data, pos)
+    idct_t = _DCT.T
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                reader.sync_restart()
+                for c in comps:
+                    c["pred"] = 0
+            for ci, c in enumerate(comps):
+                td, ta = sel[c["id"]]
+                dc_tbl = htables[(0, td)]
+                ac_tbl = htables[(1, ta)]
+                q = qtables[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        s = _decode_huff(reader, dc_tbl)
+                        diff = _extend(reader.read(s), s)
+                        c["pred"] += diff
+                        coeffs[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(reader, ac_tbl)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: coefficient overrun")
+                            coeffs[k] = _extend(reader.read(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = coeffs * q.reshape(-1)[ZIGZAG]
+                        pix = idct_t @ block.reshape(8, 8) @ _DCT + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+            mcu_count += 1
+    # upsample to full resolution (nearest-neighbor replication) and crop
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(full[0], 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# encoder (fixtures / round-trip verification; 4:4:4 or grayscale)
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nacc += length
+        while self.nacc >= 8:
+            self.nacc -= 8
+            b = (self.acc >> self.nacc) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> None:
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, magnitude bits) for a signed coefficient (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v & ((1 << size) - 1)
+
+
+def encode(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w[, 1|3]) uint8 as baseline JPEG (4:4:4, Annex-K tables)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError("jpeg encode: 1 or 3 channels")
+    ql = _scaled_q(QUANT_LUMA, quality)
+    qc = _scaled_q(QUANT_CHROMA, quality)
+
+    def pad8(p):
+        ph, pw = -(-p.shape[0] // 8) * 8, -(-p.shape[1] // 8) * 8
+        out = np.empty((ph, pw), dtype=np.float64)
+        out[:p.shape[0], :p.shape[1]] = p
+        out[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
+        return out
+
+    if ch == 3:
+        rf, gf, bf = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        planes = [(pad8(y), ql, 0), (pad8(cb), qc, 1), (pad8(cr), qc, 1)]
+    else:
+        planes = [(pad8(img[:, :, 0].astype(np.float64)), ql, 0)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    def dqt_body(tid: int, q: np.ndarray) -> bytes:
+        zz = q.reshape(-1)[ZIGZAG]
+        return bytes([tid]) + bytes(int(v) for v in zz)
+
+    seg(0xDB, dqt_body(0, ql))
+    if ch == 3:
+        seg(0xDB, dqt_body(1, qc))
+    ncomp = 1 if ch == 1 else 3
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof.extend([cid, 0x11, 0 if cid == 1 else 1])  # 4:4:4
+    seg(0xC0, bytes(sof))
+
+    def dht_body(tc: int, th: int, spec) -> bytes:
+        counts, values = spec
+        return bytes([(tc << 4) | th]) + bytes(counts[1:]) + bytes(values)
+
+    seg(0xC4, dht_body(0, 0, DC_LUMA))
+    seg(0xC4, dht_body(1, 0, AC_LUMA))
+    if ch == 3:
+        seg(0xC4, dht_body(0, 1, DC_CHROMA))
+        seg(0xC4, dht_body(1, 1, AC_CHROMA))
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos.extend([cid, 0x00 if cid == 1 else 0x11])
+    sos.extend([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    writer = _BitWriter()
+    dc_l = _huffman_codes(*DC_LUMA)
+    ac_l = _huffman_codes(*AC_LUMA)
+    dc_c = _huffman_codes(*DC_CHROMA)
+    ac_c = _huffman_codes(*AC_CHROMA)
+    # non-interleaved would need one scan per component; baseline interleaved
+    # MCU at 4:4:4 = one block of each component per MCU
+    h8, w8 = -(-h // 8), -(-w // 8)
+    preds = [0] * len(planes)
+    for by in range(h8):
+        for bx in range(w8):
+            for ci, (plane, q, is_chroma) in enumerate(planes):
+                dc_codes = dc_c if is_chroma else dc_l
+                ac_codes = ac_c if is_chroma else ac_l
+                block = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                co = _DCT @ block @ _DCT.T
+                natural = np.round(co / q).astype(np.int64).reshape(-1)
+                quant = natural[ZIGZAG]
+                diff = int(quant[0]) - preds[ci]
+                preds[ci] = int(quant[0])
+                size, bits = _mag_bits(diff)
+                code, length = dc_codes[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if quant[k] != 0:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    v = int(quant[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    size, bits = _mag_bits(v)
+                    code, length = ac_codes[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[0x00]
+                    writer.write(code, length)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -187,6 +187,15 @@ def decode_image(payload: bytes) -> np.ndarray:
     via_pil = _pil_decode(payload)
     if via_pil is not None:
         return via_pil
+    if payload.startswith(b"\xff\xd8"):
+        # baseline JPEG without Pillow: the pure-numpy from-spec decoder
+        # (operators/jpeg.py) — progressive/arithmetic still raise
+        from . import jpeg
+
+        try:
+            return jpeg.decode(payload)
+        except ValueError as ex:
+            raise UnsupportedMediaError(f"jpeg: {ex}") from ex
     raise UnsupportedMediaError("unrecognized image format")
 
 
