@@ -280,6 +280,22 @@ class GroupCountFeedback:
             lst.append(min(1.0, observed / estimated))
             del lst[: -self.ratios_per_key]
 
+    # -- persistence (VERDICT r3 #8: fresh sessions start corrected) --------
+    def to_dict(self) -> dict:
+        return {"exact": dict(self.exact), "ratios": dict(self.ratios)}
+
+    @classmethod
+    def from_dict(
+        cls, d: dict, cap: int = 512, ratios_per_key: int = 32
+    ) -> "GroupCountFeedback":
+        fb = cls(cap, ratios_per_key)
+        fb.exact = dict(list(d.get("exact", {}).items())[-cap:])
+        fb.ratios = {
+            k: [float(x) for x in v][-ratios_per_key:]
+            for k, v in d.get("ratios", {}).items()
+        }
+        return fb
+
     def correct(self, q: ir.QuerySpec, est: float | None) -> tuple[float | None, str | None]:
         """(corrected estimate, note) — note is None when nothing applied."""
         obs = self.exact.get(self.exact_sig(q))

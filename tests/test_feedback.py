@@ -163,3 +163,51 @@ def test_zero_fill_not_feedback_eligible(spark):
     )
     assert not OlapContext._feedback_eligible(zf)
     assert OlapContext._feedback_eligible(plain)
+
+
+def test_feedback_persists_across_sessions(spark, tmp_path):
+    """VERDICT r3 #8: with persist_feedback, a misestimate learned in
+    session 1 corrects the FIRST plan of a fresh session 2 over the same
+    index directory (feedback.json sidecar, atomic write)."""
+    import os
+
+    df = spark.range(0, 6000).select(
+        F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+        F.concat(F.lit("a"), (F.col("id") % 60).cast("string")).alias("a"),
+        F.concat(F.lit("b"), (F.col("id") % 60).cast("string")).alias("b"),
+        (F.col("id") % 97).alias("v"),
+    )
+    cfg = IndexConfig(
+        time_col="ts",
+        metrics=[MetricSpec("v_sum", "v", "sum")],
+        cubes=[CubeSpec("ab", ("a", "b"), "day")],
+    )
+    idx = OlapIndex.build(spark, df, cfg, str(tmp_path / "idx"))
+
+    # session 1: misestimate (3600 > cap) -> flat; execute; harvest persists
+    s1 = OlapContext(
+        spark, idx, fact_name="corr", max_result_cardinality=1000,
+        persist_feedback=True,
+    )
+    s1.query(_spec()).collect()
+    s1.query(_spec())  # triggers the harvest (and the sidecar write)
+    assert os.path.exists(os.path.join(idx.path, "feedback.json"))
+
+    # session 2: FRESH context over the same index — first plan corrected
+    idx2 = OlapIndex.load(spark, idx.path)
+    s2 = OlapContext(
+        spark, idx2, fact_name="corr", max_result_cardinality=1000,
+        persist_feedback=True,
+    )
+    s2.query(_spec())
+    rec = s2.query_history[-1]
+    assert rec.backing == "cube", rec.decision
+    assert "feedback" in rec.decision
+
+    # default (no persist_feedback): same fresh session stays uncorrected
+    s3 = OlapContext(
+        spark, OlapIndex.load(spark, idx.path), fact_name="corr",
+        max_result_cardinality=1000,
+    )
+    s3.query(_spec())
+    assert s3.query_history[-1].backing == "flat"
