@@ -3503,6 +3503,37 @@ def sql_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_WINDOW_ROWGRAIN = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn,
+  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    AS run_qty,
+  count(1) OVER (ORDER BY l_shipdate
+    RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
+    AS trailing_week
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@_register("sql_window_rowgrain", _SQL_WINDOW_ROWGRAIN)
+def sql_window_rowgrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-GRAIN windows (no GROUP BY — round 4): per-order line numbering,
+    running quantity, and a trailing-7-day row count over raw fact rows.
+    Evaluates over the index's star-eliminated, partition- and file-pruned
+    scan (previously these fell back to spark.sql over re-joined base
+    tables); fixed-length INTERVAL RANGE rides the epoch-seconds surrogate,
+    exact on raw keys. Dimension-table-only windows still fall back — the
+    flat backing is fact-grain (sqlfront._check_from)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_WINDOW_ROWGRAIN)
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "row-grain windows over the fact must rewrite onto the index"
+    )
+    return out
+
+
 @_register(
     "sql_count_distinct",
     """

@@ -696,6 +696,15 @@ class SelectQuery(QuerySpec):
     offset: Optional[int] = None  # paging (PagingSpec analog; ANSI OFFSET)
     order_by: list = field(default_factory=list)  # [OrderByColumn]
     intervals: list = field(default_factory=list)
+    # ROW-GRAIN window functions (rank/running/lag over raw rows — no GROUP
+    # BY): arg/partition/order are Spark SQL exprs over SOURCE columns,
+    # evaluated ANSI-style over the filtered scan BEFORE projection.
+    # window_source_columns lists every source column they reference so the
+    # planner's flat-coverage check sees them.
+    window_posts: list = field(default_factory=list)
+    window_exprs: list = field(default_factory=list)  # [name, expr] pairs
+    window_source_columns: list = field(default_factory=list)
+    output_order: Optional[list] = None  # select-list output column order
 
 
 def query_referenced_columns(q: QuerySpec) -> set[str]:
@@ -737,6 +746,7 @@ def query_referenced_columns(q: QuerySpec) -> set[str]:
     if isinstance(q, SelectQuery):
         for c in q.columns:
             cols.add(c[0] if isinstance(c, (list, tuple)) else c)
+        cols.update(q.window_source_columns)
     f = getattr(q, "filter", None)
     if f is not None:
         cols |= f.referenced_columns()

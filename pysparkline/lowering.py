@@ -1396,7 +1396,26 @@ def lower_select(q: ir.SelectQuery, backing: Backing) -> DataFrame:
             cols.append(F.col(c[0]).alias(c[1]))
         else:
             cols.append(F.col(c))
+    if getattr(q, "window_posts", None):
+        # ANSI: row-grain windows evaluate over the filtered FROM result,
+        # before projection. Unlike the aggregate path the input here is NOT
+        # planner-bounded — this is Spark's standard distributed window (one
+        # shuffle on the partition keys), with the index contributing the
+        # star-eliminated, partition- and file-pruned scan under it. The
+        # same empty-PARTITION-BY single-partition hazard as any Spark SQL
+        # window applies equally to the fallback this replaces.
+        df = _apply_window_posts(df, q.window_posts)
+        if getattr(q, "window_exprs", None):
+            df = df.withColumns(
+                {name: F.expr(e) for name, e in q.window_exprs}
+            )
+        wnames = [
+            w.name for w in q.window_posts if not w.name.startswith("__wp_")
+        ] + [name for name, _ in (q.window_exprs or [])]
+        cols = cols + [F.col(n) for n in wnames]
     out = df.select(*cols)
+    if getattr(q, "output_order", None):
+        out = out.select(*q.output_order)
     if q.order_by:
         out = out.orderBy(
             *[

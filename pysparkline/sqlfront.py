@@ -373,6 +373,13 @@ def _check_from(node: dict, fact_table: str | None, star: StarSchema | None):
     unknown = [t for t in tables if known and t not in known]
     if unknown:
         raise SQLFrontError(f"unknown tables {unknown}")
+    # the flat backing is FACT-grain: a query over a dimension table alone
+    # (SELECT count(*) FROM orders) would wrongly multiply by fact rows per
+    # dim row — it must fall back to the base tables
+    if fact_table and fact_table.lower() not in tables:
+        raise SQLFrontError(
+            f"query does not reference the fact table {fact_table}"
+        )
     if pairs:
         if star is None:
             raise SQLFrontError("join present but no star schema registered")
@@ -785,16 +792,19 @@ def _parse_frame(item: dict, fn: str) -> tuple[list, str, str | None]:
 
 
 def _window_spec(
-    item: dict, name: str, a: "_Analysis", name_by_key: dict, _gk
+    item: dict, name: str, a: "_Analysis", name_by_key: dict, _gk,
+    row_grain: bool = False,
 ) -> ir.WindowPostSpec:
-    """One WINDOW select item -> WindowPostSpec (window over the aggregated
-    result — the surface the reference never rewrote, SURVEY §2 "notably
-    absent"). Supported: sum/count/avg/min/max with PARTITION BY only
-    (whole-partition frame); rank/dense_rank/row_number with ORDER BY; and
-    lag/lead with ORDER BY (+literal offset/default) — the month-over-month
-    delta pattern. Anything with frames, FILTER, DISTINCT, or unresolvable
-    partitions raises SQLFrontError => the always-correct spark.sql
-    fallback."""
+    """One WINDOW select item -> WindowPostSpec.
+
+    Two grains share this parser. Aggregate grain (``row_grain=False`` — the
+    surface the reference never rewrote, SURVEY §2 "notably absent"):
+    partitions/orders/args resolve through the group-name map onto the
+    planner-bounded aggregate output. Row grain (``row_grain=True``, no
+    GROUP BY): they render directly as Spark SQL exprs over SOURCE columns,
+    evaluated over the index's pruned scan. FILTER/DISTINCT/IGNORE NULLS,
+    GROUPS frames, and unresolvable shapes raise SQLFrontError => the
+    always-correct spark.sql fallback."""
     fn = item.get("function_name", "").lower()
     if (
         item.get("filter_expr") is not None
@@ -823,29 +833,45 @@ def _window_spec(
     else:
         raise SQLFrontError(f"window {fn}: explicit frames unsupported")
 
-    dim_names = set(name_by_key.values())
-
-    def resolve_partition(p: dict) -> str:
-        key = _gk(_strip(p))
-        if key in name_by_key:
-            return name_by_key[key]
-        if (
-            p.get("class") == "COLUMN_REF"
-            and p["column_names"][-1] in dim_names
-        ):
+    if row_grain:
+        def resolve_partition(p: dict) -> str:
+            if p.get("class") != "COLUMN_REF":
+                raise SQLFrontError(
+                    f"window PARTITION BY {render(p)}: row-grain partitions"
+                    " must be plain columns"
+                )
             return p["column_names"][-1]
-        raise SQLFrontError(
-            f"window PARTITION BY {render(p)} is not a grouped dimension"
-        )
 
-    def resolve_expr(e: dict) -> str:
-        # a grouped expression (e.g. the date_trunc that became the query
-        # granularity) must reference its OUTPUT name — the base column no
-        # longer exists after aggregation
-        key = _gk(_strip(e))
-        if key in name_by_key:
-            return f"`{name_by_key[key]}`"
-        return _extract_inner_aggs(e, a.aggs)[0]
+        def resolve_expr(e: dict) -> str:
+            if _contains_agg(e) or _contains_window(e):
+                raise SQLFrontError(
+                    "window argument nests aggregates/windows (row grain)"
+                )
+            return render(e)
+    else:
+        dim_names = set(name_by_key.values())
+
+        def resolve_partition(p: dict) -> str:
+            key = _gk(_strip(p))
+            if key in name_by_key:
+                return name_by_key[key]
+            if (
+                p.get("class") == "COLUMN_REF"
+                and p["column_names"][-1] in dim_names
+            ):
+                return p["column_names"][-1]
+            raise SQLFrontError(
+                f"window PARTITION BY {render(p)} is not a grouped dimension"
+            )
+
+        def resolve_expr(e: dict) -> str:
+            # a grouped expression (e.g. the date_trunc that became the
+            # query granularity) must reference its OUTPUT name — the base
+            # column no longer exists after aggregation
+            key = _gk(_strip(e))
+            if key in name_by_key:
+                return f"`{name_by_key[key]}`"
+            return _extract_inner_aggs(e, a.aggs)[0]
 
     partition = [resolve_partition(p) for p in item.get("partitions", [])]
     orders = [
@@ -866,32 +892,42 @@ def _window_spec(
             raise SQLFrontError(
                 f"window {fn}: RANGE frame requires a single ascending ORDER BY"
             )
-        bare = orders[0].column.strip("`")
-        is_time_key = (
-            a.time_output_name is not None and bare == a.time_output_name
-        )
-        if range_unit is None and is_time_key:
-            raise SQLFrontError(
-                f"window {fn}: numeric RANGE bounds over the time bucket"
+        if row_grain:
+            # raw timestamps aren't bucket-truncated, so calendar-unit
+            # surrogates (month/year index) are NOT exact per-row — only
+            # fixed-length units ride the epoch-seconds surrogate here
+            if range_unit in ("month", "year"):
+                raise SQLFrontError(
+                    f"window {fn}: {range_unit.upper()} RANGE frames need"
+                    " bucket-truncated keys (aggregate grain)"
+                )
+        else:
+            bare = orders[0].column.strip("`")
+            is_time_key = (
+                a.time_output_name is not None and bare == a.time_output_name
             )
-        if range_unit is not None:
-            if not is_time_key:
+            if range_unit is None and is_time_key:
                 raise SQLFrontError(
-                    f"window {fn}: INTERVAL RANGE requires ORDER BY the"
-                    " time bucket"
+                    f"window {fn}: numeric RANGE bounds over the time bucket"
                 )
-            if range_unit == "month" and a.granularity not in (
-                "month", "quarter", "year",
-            ):
-                raise SQLFrontError(
-                    f"window {fn}: MONTH RANGE frame needs month-truncated"
-                    f" buckets (granularity is {a.granularity})"
-                )
-            if range_unit == "year" and a.granularity != "year":
-                raise SQLFrontError(
-                    f"window {fn}: YEAR RANGE frame needs year-truncated"
-                    f" buckets (granularity is {a.granularity})"
-                )
+            if range_unit is not None:
+                if not is_time_key:
+                    raise SQLFrontError(
+                        f"window {fn}: INTERVAL RANGE requires ORDER BY the"
+                        " time bucket"
+                    )
+                if range_unit == "month" and a.granularity not in (
+                    "month", "quarter", "year",
+                ):
+                    raise SQLFrontError(
+                        f"window {fn}: MONTH RANGE frame needs month-truncated"
+                        f" buckets (granularity is {a.granularity})"
+                    )
+                if range_unit == "year" and a.granularity != "year":
+                    raise SQLFrontError(
+                        f"window {fn}: YEAR RANGE frame needs year-truncated"
+                        f" buckets (granularity is {a.granularity})"
+                    )
 
     if fn in _WINDOW_RANK_FNS:
         if not orders:
@@ -947,7 +983,11 @@ def _window_spec(
         if not ch and fn == "count":
             arg = "1"
         elif len(ch) == 1:
-            arg, _ = _extract_inner_aggs(ch[0], a.aggs)
+            arg = (
+                resolve_expr(ch[0])
+                if row_grain
+                else _extract_inner_aggs(ch[0], a.aggs)[0]
+            )
         else:
             raise SQLFrontError(f"window {fn}: expected one argument")
         # orders + frame None = ANSI running frame (RANGE ... CURRENT ROW,
@@ -1600,19 +1640,55 @@ def parse_sql(
         )
 
     if not has_agg and not has_group:
-        # plain projection -> SelectQuery
+        # plain projection (+ optional ROW-GRAIN windows) -> SelectQuery.
+        # Row-grain windows (rank over raw rows, running totals, lag) render
+        # partitions/orders/args directly over source columns and evaluate
+        # over the index's pruned scan — the fallback this replaces re-joins
+        # the base star for the same answer.
         cols = []
+        window_posts: list = []
+        window_exprs: list = []
+        src_cols: set[str] = set()
+        output_order: list[str] = []
         for i, item in enumerate(select_list):
-            if item.get("class") == "COLUMN_REF":
+            if _contains_window(item):
+                name = item.get("alias") or f"win_{i}"
+                if item.get("class") == "WINDOW":
+                    window_posts.append(
+                        _window_spec(item, name, None, None, None,
+                                     row_grain=True)
+                    )
+                else:
+                    def sink(n: dict) -> str:
+                        wname = f"__wp_{len(window_posts)}"
+                        window_posts.append(
+                            _window_spec(n, wname, None, None, None,
+                                         row_grain=True)
+                        )
+                        return wname
+
+                    expr_sql, _ = _extract_inner_aggs(
+                        item, [], window_sink=sink
+                    )
+                    window_exprs.append([name, expr_sql])
+                src_cols |= _columns_of(item)
+                output_order.append(name)
+            elif item.get("class") == "COLUMN_REF":
                 c = item["column_names"][-1]
                 cols.append((c, item["alias"]) if item.get("alias") else c)
+                output_order.append(item.get("alias") or c)
             else:
                 raise SQLFrontError("select of expression unsupported (non-agg)")
-        known = {c[1] if isinstance(c, tuple) else c for c in cols}
+        known = {c[1] if isinstance(c, tuple) else c for c in cols} | set(
+            output_order
+        )
         order_cols, limit, offset = _order_limit(node, select_list, known)
         return ir.SelectQuery(
             columns=cols, filter=filt, limit=limit, offset=offset,
             order_by=order_cols, intervals=intervals,
+            window_posts=window_posts, window_exprs=window_exprs,
+            window_source_columns=sorted(src_cols),
+            output_order=output_order if window_posts else None,
         )
 
     a = _analyze_select(node, time_col)

@@ -191,11 +191,28 @@ WHERE l_shipdate >= DATE '1996-01-01'""")
 
 
 def test_fallback_window(ctx, duck):
+    # a window over a DIMENSION table alone: the flat backing is fact-grain,
+    # so this must fall back to the base tables (row-grain windows over the
+    # FACT are index-served — test_window_row_grain)
     assert_same(ctx, duck, """
 SELECT o_custkey, o_totalprice,
        rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
 FROM orders WHERE o_custkey < 10""")
     assert ctx.query_history[-1].backing == "sparksql"
+
+
+def test_dim_table_only_aggregate_falls_back(ctx, duck):
+    """Aggregates over a dimension table ALONE must not serve from the
+    fact-grain backing (count(*) FROM orders would multiply by lineitems
+    per order — a real wrong-answer found in round 4); they fall back."""
+    for sql in [
+        "SELECT count(*) AS n FROM orders",
+        """SELECT o_orderstatus, count(*) AS n FROM orders
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY 1",
+    ]:
+        assert_same(ctx, duck, sql, sort=False)
+        assert ctx.query_history[-1].backing == "sparksql"
 
 
 def test_sql_on_second_index(spark, duck):
@@ -594,6 +611,54 @@ ORDER BY l_returnflag, l_linestatus
 """
     assert_same(ctx, duck, sql, sort=False)
     assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_row_grain(ctx, duck):
+    # no GROUP BY: windows evaluate over raw rows on the index's pruned
+    # scan (the fallback this replaces re-joins the base star)
+    sql = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn,
+  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    AS run_qty,
+  round(l_extendedprice - lag(l_extendedprice, 1, 0.0) OVER
+    (PARTITION BY l_orderkey ORDER BY l_linenumber), 2) AS price_delta
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+ORDER BY l_orderkey, l_linenumber
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_row_grain_range_day(ctx, duck):
+    # fixed-length INTERVAL RANGE over a raw date key: epoch-seconds
+    # surrogate is exact per-row (no bucket truncation needed)
+    sql = """
+SELECT l_orderkey, l_shipdate,
+  count(1) OVER (ORDER BY l_shipdate
+    RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
+    AS trailing_week
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+ORDER BY l_shipdate, l_orderkey
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_row_grain_month_range_falls_back(ctx, duck):
+    # calendar-unit RANGE over raw (non-bucket-truncated) timestamps is NOT
+    # surrogate-exact: declines to the spark.sql fallback
+    sql = """
+SELECT l_orderkey, l_shipdate,
+  count(1) OVER (ORDER BY l_shipdate
+    RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) AS trail
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+"""
+    ctx.sql(sql).collect()
+    assert ctx.query_history[-1].backing == "sparksql"
 
 
 def test_window_ntile(ctx, duck):
