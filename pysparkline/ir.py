@@ -577,6 +577,9 @@ class WindowPostSpec(IRNode):
     # index / epoch seconds) so Spark's numeric rangeBetween reproduces
     # DuckDB's interval-arithmetic frame exactly on bucket-truncated keys
     range_unit: Optional[str] = None
+    # IGNORE NULLS for first_value/last_value/nth_value (ANSI null
+    # treatment; Spark first/last/nth_value carry it natively)
+    ignore_nulls: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -1082,11 +1082,17 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                 lo = Window.unboundedPreceding if frame[0] is None else frame[0]
                 hi = Window.unboundedFollowing if frame[1] is None else frame[1]
                 spec = spec.rowsBetween(lo, hi)
+            ig = bool(getattr(w, "ignore_nulls", False))
             if w.func == "nth_value":
-                wcols[w.name] = F.nth_value(F.expr(w.arg), w.offset or 1).over(spec)
+                nv = (
+                    F.nth_value(F.expr(w.arg), w.offset or 1, ignoreNulls=True)
+                    if ig
+                    else F.nth_value(F.expr(w.arg), w.offset or 1)
+                )
+                wcols[w.name] = nv.over(spec)
             else:
                 fcol = F.first if w.func == "first_value" else F.last
-                wcols[w.name] = fcol(F.expr(w.arg)).over(spec)
+                wcols[w.name] = fcol(F.expr(w.arg), ignorenulls=ig).over(spec)
         elif w.func == "ntile":
             wcols[w.name] = F.ntile(w.offset or 1).over(spec)
         elif w.func in ("lag", "lead"):

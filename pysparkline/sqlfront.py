@@ -806,13 +806,16 @@ def _window_spec(
     GROUPS frames, and unresolvable shapes raise SQLFrontError => the
     always-correct spark.sql fallback."""
     fn = item.get("function_name", "").lower()
+    ignore_nulls = bool(item.get("ignore_nulls"))
     if (
         item.get("filter_expr") is not None
         or item.get("distinct")
-        or item.get("ignore_nulls")
+        or (ignore_nulls and fn not in _WINDOW_VALUE_FNS)
         or item.get("exclude_clause", "NO_OTHER") != "NO_OTHER"
     ):
-        raise SQLFrontError(f"window {fn}: FILTER/DISTINCT unsupported")
+        raise SQLFrontError(
+            f"window {fn}: FILTER/DISTINCT/IGNORE NULLS unsupported"
+        )
     if fn not in _WINDOW_OFFSET_FNS and (
         item.get("offset_expr") is not None
         or item.get("default_expr") is not None
@@ -949,7 +952,7 @@ def _window_spec(
         return ir.WindowPostSpec(
             name, fn, resolve_expr(ch[0]), partition, orders,
             offset=n, frame=frame, frame_type=frame_type,
-            range_unit=range_unit,
+            range_unit=range_unit, ignore_nulls=ignore_nulls,
         )
     if fn == "ntile":
         if not orders:

@@ -647,6 +647,37 @@ ORDER BY l_shipdate, l_orderkey
     assert ctx.query_history[-1].backing != "sparksql"
 
 
+def test_window_ignore_nulls_value_fns(ctx, duck):
+    # ANSI null treatment for the value family (Spark carries it natively);
+    # the CASE makes nulls actually occur in the argument
+    sql = """
+SELECT l_orderkey, l_linenumber,
+  first_value(CASE WHEN l_quantity >= 25 THEN l_quantity END IGNORE NULLS)
+    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS first_big,
+  last_value(CASE WHEN l_quantity >= 25 THEN l_quantity END IGNORE NULLS)
+    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS last_big
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+ORDER BY l_orderkey, l_linenumber
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+    # lag IGNORE NULLS stays outside the surface -> declines to fallback
+    # (the two dialects disagree on IGNORE NULLS placement — in-parens for
+    # the DuckDB-style parser, post-parens for Spark — so the decline is
+    # checked at the rewrite layer rather than by executing the fallback)
+    out = ctx.explain_rewrite("""
+SELECT l_orderkey, l_linenumber,
+  lag(l_quantity IGNORE NULLS)
+    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS lq
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-01-05'
+""")
+    assert "no rewrite" in out and "IGNORE NULLS" in out
+
+
 def test_window_row_grain_month_range_falls_back(ctx, duck):
     # calendar-unit RANGE over raw (non-bucket-truncated) timestamps is NOT
     # surrogate-exact: declines to the spark.sql fallback
