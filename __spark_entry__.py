@@ -3922,52 +3922,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1(spark, "/root/testdata/sf0.001")
 
 
-# The driver verifies the FIRST 50 registered queries. Across rounds 1-2,
-# 91/95 registered queries earned a green driver verdict; this round's window
-# front-loads (a) the 4 never-verdicted queries, then (b) everything round 3
-# materially changed: the theta/HLL/histogram cube rebuild (two-stage bounded
-# build), file-manifest pruning (every flat-served TPC-H/filter query), and
-# the IVF search rewrite — leaving the tail for untouched already-green ops.
+# The driver verifies the FIRST 50 registered queries. After round 3,
+# 111/113 then-registered queries carried a green driver verdict (the 2 reds
+# are fixed this round and re-verify first). Round 4's window: (a) this
+# round's new/fixed rows, then (b) every query whose last verdict is ROUND 1
+# (oldest first — VERDICT r3 #3), then (c) round-2-verdicted rows sitting on
+# code round 4 touched (vectorized file pruning -> every flat-served filter
+# path; lower_select/window surface; multimodal decode dispatch; centroid
+# sampling). The 18 round-2-verdicted rows left below the boundary are
+# untouched text/format ops that rotate in next round — and every registered
+# query still runs against its oracle in tests/test_entry_oracle each round.
 _PRIORITY = [
-    # (a) never inside a driver window yet (VERDICT r2 "What's missing #2")
+    # (a) fixed reds (pack_docs ordering, sql_window_ma rounding) + new
+    "pack_docs", "sql_window_ma",
+    "sql_window_range", "sql_window_nth", "sql_window_rowgrain",
+    # (b) last driver verdict in ROUND 1 (all 25)
+    "ship_date_range", "monthly_revenue", "dim_filters", "range_filters",
+    "in_null_not_filters", "contains_regex_filters", "filtered_agg",
+    "topn_brand", "search_ptype", "select_pushdown", "having_filter",
+    "count_distinct_exact", "rollup_flags", "cube_flags", "year_volume",
+    "expr_dim_prefix", "min_max_metrics", "dedup_exact_docs",
+    "doc_fingerprint", "text_stats_docs", "lang_quality",
+    "ngram_jaccard_docs", "asof_event_purchase", "running_totals_user",
+    "grouped_topn_brands",
+    # (c) round-2-verdicted rows on round-4-touched code
+    "image_features", "audio_features",  # decode_image dispatch changed
+    "minhash_pairs_docs", "dedup_clusters_docs", "decontaminate_docs",
+    "sessionize_stats", "funnel_events",
+    "spatial_bounds", "events_15min", "tz_daily_revenue",
+    "topn_monthly_brand",  # flat-served pruning paths
+    "sql_select_scan", "sql_multi_interval",  # lower_select rewritten
+    "sql_subquery", "sql_cte", "sql_rollup", "sql_distinct",
+    "skew_salted_distinct", "avg_null_aware", "sql_count_distinct",
+    # --- 50-query window boundary ---
+    # round-3-green rows (fresh verdicts) follow in their r3 order so their
+    # positions stay stable for cross-round comparison
     "frame_sample", "mix_sources_docs", "search_strlen",
-    "theta_error_small_k",
-    # (a') new this round: BM25 retrieval, sequence packing, content-hash
-    # splits, cross-source leakage audit
-    "bm25_topk_docs", "text_index_topk", "pack_docs", "hash_split_docs",
-    "source_overlap_docs", "events_15min_zero_fill", "lookup_dim_market",
-    "sql_window_share", "sql_window_mom", "sql_window_ma",
+    "theta_error_small_k", "bm25_topk_docs", "text_index_topk",
+    "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
+    "lookup_dim_market", "sql_window_share", "sql_window_mom",
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events", "ivfpq_index_topk",
-    "incremental_dedup_docs",
-    # the flagship SQL-front rows re-verify the _analyze_select surface the
-    # window family extended this round
-    "sql_q1", "sql_star_join",
-    # (b) cube artifacts rebuilt two-stage: theta / HLL / histogram metrics
+    "incremental_dedup_docs", "sql_q1", "sql_star_join",
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",
     "events_user_distinct", "events_daily_types", "events_hourly",
-    # (b) similarity: IVF search rewrite + empty-batch guard
     "ivf_index_topk", "ivf_topk", "lsh_cosine_topk", "cosine_topk",
     "embedding_neardup",
-    # (b) file-manifest pruning touches every flat-served scan/filter path
     "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10", "q6",
     "q14", "q17", "q18",
-    # --- 50-query window boundary sits inside the TPC-H block above
-    # (the 22 new/never-verdicted round-3 queries consumed that many slots;
-    # everything below IS still r3-touched but carries a green r1/r2 driver
-    # verdict AND full repo-mirror coverage — tests/test_entry_oracle runs
-    # every registered query against its oracle at the driver's own SF) ---
-    "dim_filters", "range_filters", "in_null_not_filters",
-    "contains_regex_filters", "filtered_agg", "spatial_bounds",
-    "select_pushdown", "search_ptype", "min_max_metrics",
-    "count_distinct_exact", "skew_salted_distinct",
-    "sql_subquery", "sql_select_scan",
-    "sql_multi_interval",
-    # (b) granularity lowering touched (period-origin canonicalization)
-    "events_15min", "monthly_revenue", "ship_date_range", "topn_brand",
-    "rollup_flags", "cube_flags", "asof_event_purchase", "dedup_exact_docs",
-    "ngram_jaccard_docs", "sessionize_stats", "funnel_events",
 ]
 
 

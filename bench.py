@@ -118,6 +118,8 @@ LLM_OPS = [
     "semantic_dedup_emb",
     "pq_topk",
     "sql_window_share",
+    "sql_window_range",
+    "sql_window_rowgrain",
     "curate_docs",
     "tfidf_docs",
     "interval_join_events",

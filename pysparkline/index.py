@@ -465,6 +465,7 @@ class OlapIndex:
         self._file_manifest: dict[str, dict] | None = None
         self._file_manifest_tbl = None  # pyarrow Table twin of the dict
         self._input_files: list[str] | None = None
+        self._norm_paths: tuple[list, set] | None = None
         self.epoch = 0  # bumped on invalidate(); versions compiled-plan caches
 
     # ------------------------------------------------------------------ build
@@ -795,6 +796,24 @@ class OlapIndex:
             self._input_files = list(self.flat_df().inputFiles())
         return self._input_files
 
+    def pruning_path_sets(self) -> tuple[list[str], set[str]]:
+        """(normalized flat listing, normalized manifested-file set) —
+        memoized per epoch. Path normalization over a 10^6-file listing
+        costs ~0.5 s of driver time; paying it once per epoch instead of
+        per query keeps repeat planning at set-lookup cost."""
+        if self._norm_paths is None:
+            from .planner import _norm_path  # lazy: planner imports index
+
+            listing = [_norm_path(p) for p in self.flat_input_files()]
+            tbl = self.file_manifest_table()
+            manifested = (
+                {_norm_path(p) for p in tbl.column("file").to_pylist()}
+                if tbl is not None
+                else set()
+            )
+            self._norm_paths = (listing, manifested)
+        return self._norm_paths
+
     # target rows per in-memory cube partition: low enough that a single
     # partition never serializes a six-figure-row scan (latency), with the
     # partition count clamped to 2x the cluster parallelism so a 100 TB-scale
@@ -841,6 +860,7 @@ class OlapIndex:
         self._file_manifest = None
         self._file_manifest_tbl = None
         self._input_files = None
+        self._norm_paths = None
         self.epoch += 1
 
     def append_batch(self, flat_batch: DataFrame) -> int:

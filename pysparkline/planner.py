@@ -796,17 +796,22 @@ def prune_flat_files(
                     ok = _file_passes(row, f)
                 keep_mask[i] = ok
         fnames = tbl.column("file").to_pylist()
-        passing = set()
-        manifested_n = set()
-        for i, p in enumerate(fnames):
-            np_ = _norm_path(p)
-            manifested_n.add(np_)
-            if keep_mask[i]:
-                passing.add(np_)
+        passing = {
+            _norm_path(p) for i, p in enumerate(fnames) if keep_mask[i]
+        }
+        # normalized listing + manifested set are epoch-memoized on the
+        # index (a 10^6-file normalization costs ~0.5 s — once, not per
+        # query); stub/foreign indexes without the hook compute inline
+        paths_fn = getattr(index, "pruning_path_sets", None)
+        if paths_fn is not None:
+            normed, manifested_n = paths_fn()
+        else:
+            normed = [_norm_path(p) for p in all_files]
+            manifested_n = {_norm_path(p) for p in fnames}
         keep = [
             p
-            for p in all_files
-            if _norm_path(p) in passing or _norm_path(p) not in manifested_n
+            for p, np_ in zip(all_files, normed)
+            if np_ in passing or np_ not in manifested_n
         ]
     else:
         by_norm = {_norm_path(k): v for k, v in fm.items()}
