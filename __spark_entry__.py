@@ -1410,6 +1410,51 @@ def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "shard_docs",
+    r"""
+WITH a AS (
+  SELECT CAST(CAST('0x' || substr(
+           md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\s+', ' ', 'g'))),
+           1, 8) AS BIGINT) % 16 AS INTEGER) AS shard,
+         CAST('0x' || substr(
+           md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\s+', ' ', 'g'))),
+           1, 8) AS BIGINT) AS chk
+  FROM documents)
+SELECT shard, count(*) AS rows_, CAST(sum(chk) AS BIGINT) AS checksum
+FROM a GROUP BY shard ORDER BY shard
+""",
+)
+def shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed training-shard assignment + manifest stats (the
+    write_training_shards handoff format): md5-bucket shard membership is a
+    pure narrow map that survives re-shards/appends, and the per-shard
+    checksum is an order-independent sum of 32-bit content hashes — both
+    portable SQL, exactly oracle-checkable (operators/sampling.py)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import sampling
+
+    prep(spark)
+    docs = sampling.shard_assignment(_docs(spark, sf_dir), "text", 16)
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+        )
+    )
+    chk = F.conv(F.substring(F.md5(norm), 1, 8), 16, 10).cast("long")
+    return (
+        docs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows_"),
+            F.sum(chk).alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@_register(
     "hash_split_docs",
     r"""
 SELECT doc_id,
@@ -3936,6 +3981,7 @@ _PRIORITY = [
     # (a) fixed reds (pack_docs ordering, sql_window_ma rounding) + new
     "pack_docs", "sql_window_ma",
     "sql_window_range", "sql_window_nth", "sql_window_rowgrain",
+    "shard_docs",
     # (b) last driver verdict in ROUND 1 (all 25)
     "ship_date_range", "monthly_revenue", "dim_filters", "range_filters",
     "in_null_not_filters", "contains_regex_filters", "filtered_agg",
@@ -3953,7 +3999,7 @@ _PRIORITY = [
     "topn_monthly_brand",  # flat-served pruning paths
     "sql_select_scan", "sql_multi_interval",  # lower_select rewritten
     "sql_subquery", "sql_cte", "sql_rollup", "sql_distinct",
-    "skew_salted_distinct", "avg_null_aware", "sql_count_distinct",
+    "skew_salted_distinct", "avg_null_aware",
     # --- 50-query window boundary ---
     # round-3-green rows (fresh verdicts) follow in their r3 order so their
     # positions stay stable for cross-round comparison
@@ -3964,6 +4010,7 @@ _PRIORITY = [
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events", "ivfpq_index_topk",
     "incremental_dedup_docs", "sql_q1", "sql_star_join",
+    "sql_count_distinct",
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",
     "events_user_distinct", "events_daily_types", "events_hourly",

@@ -886,9 +886,11 @@ class SignatureStore:
             json.dump(self.manifest, fh)
         os.replace(tmp, os.path.join(self.path, self.MANIFEST))
 
-    def _write_batch(self, sigs: DataFrame) -> str:
+    def _write_batch(self, sigs: DataFrame, extra: dict | None = None) -> str:
         """Write (sigs, bands) into a fresh batch directory, then commit its
-        name. Returns the batch name."""
+        name — with ``extra`` manifest keys landing in the SAME atomic
+        rewrite (streaming exactly-once relies on the batch append and its
+        stream-batch marker committing together). Returns the batch name."""
         import os
         import time
         import uuid
@@ -901,12 +903,19 @@ class SignatureStore:
             os.path.join(bdir, "bands")
         )
         m["batches"].append({"name": name, "ts": time.time()})
+        before = {k: m.get(k) for k in (extra or {})}
+        m.update(extra or {})
         try:
             self._write_manifest()
         except BaseException:
             # failed commit: the in-memory view must match the on-disk
             # manifest, so this session doesn't read the orphan either
             m["batches"].pop()
+            for k, v in before.items():
+                if v is None:
+                    m.pop(k, None)
+                else:
+                    m[k] = v
             raise
         return name
 
@@ -1008,6 +1017,7 @@ class SignatureStore:
         id_col: str,
         text_col: str,
         history_docs: DataFrame | None = None,
+        _commit_extra: dict | None = None,
     ) -> DataFrame:
         """Dedup ``docs`` against the store AND against earlier docs in the
         batch (smaller id wins), then append the survivors' signatures.
@@ -1100,6 +1110,51 @@ class SignatureStore:
             .localCheckpoint()
         )
         survivors = verdict.where("kept").select("id")
-        self._write_batch(sigs_new.join(survivors, "id", "left_semi"))
+        self._write_batch(
+            sigs_new.join(survivors, "id", "left_semi"), extra=_commit_extra
+        )
         sigs_new.unpersist()
         return verdict
+
+    # -- streaming ingest --------------------------------------------------
+
+    def process_stream_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        id_col: str,
+        text_col: str,
+        verdict_path: str,
+    ) -> None:
+        """foreachBatch body for incremental dedup over a stream, with
+        EXACTLY-ONCE store semantics under at-least-once replays:
+
+        1. already-committed batch ids (``lastStreamBatch`` in the manifest)
+           are skipped entirely — their survivors are in the store and their
+           verdict directory exists;
+        2. otherwise the verdict is computed against the pre-batch store,
+           written to ``verdict_path/batch=<id>`` with overwrite (a replay
+           after a crash between verdict write and store commit recomputes
+           the IDENTICAL verdict — the store is unchanged — and overwrites
+           the same directory);
+        3. the survivors' batch directory commits with the stream-batch
+           marker in the SAME atomic manifest rewrite, so "appended" and
+           "marked done" cannot diverge.
+
+        Single-writer, like every store mutation.
+        """
+        import os
+
+        done = int(self.manifest.get("lastStreamBatch", -1))
+        if batch_id <= done:
+            return
+        verdict = self.dedup_and_append(
+            batch_df, id_col, text_col,
+            _commit_extra={"lastStreamBatch": int(batch_id)},
+        )
+        # NOTE: dedup_and_append checkpoints the verdict BEFORE the store
+        # commit, and the plan below reads that checkpoint — so this write,
+        # though issued after the commit, reflects the pre-batch store.
+        verdict.write.mode("overwrite").parquet(
+            os.path.join(verdict_path, f"batch={int(batch_id)}")
+        )

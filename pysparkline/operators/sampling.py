@@ -110,3 +110,84 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def shard_assignment(
+    df: DataFrame, text_col: str = "text", n_shards: int = 16, salt: str = ""
+) -> DataFrame:
+    """+``shard`` column: content-keyed md5 bucket modulo ``n_shards``.
+
+    Same normalization and hash as ``hash_split``/``text.fingerprint``, so a
+    document lands in the same shard across re-shards, re-orders, and
+    incremental appends — and the assignment is portable SQL, exactly
+    oracle-checkable in any engine. Pure narrow map."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), norm)), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+    return df.withColumn("shard", shard.cast("int"))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    text_col: str = "text",
+    salt: str = "",
+) -> dict:
+    """Materialize a curated corpus as ``shard=K/`` parquet directories plus
+    a ``_shards.json`` manifest (per-shard row counts and an
+    order-independent content checksum) — the handoff format a training job
+    consumes shard-by-shard.
+
+    Layout-independent by construction: shard membership is the content
+    hash (``shard_assignment``), and the checksum is a SUM of per-row
+    32-bit content hashes, so re-running over a re-partitioned or appended-
+    then-deduped input produces byte-comparable manifests. One shuffle
+    (repartition by shard) so each shard writes contiguously; file sizes
+    stay writer-bounded via maxRecordsPerFile at scale."""
+    import json as _json
+    import os
+
+    out = shard_assignment(df, text_col, n_shards, salt)
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    chk = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), norm)), 1, 8), 16, 10
+    ).cast("long")
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    stats = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(chk).alias("checksum"),
+        )
+        .collect()
+    )
+    manifest = {
+        "nShards": n_shards,
+        "salt": salt,
+        "shards": {
+            int(r["shard"]): {"rows": int(r["rows"]), "checksum": int(r["checksum"])}
+            for r in stats
+        },
+    }
+    with open(os.path.join(path, "_shards.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    return manifest

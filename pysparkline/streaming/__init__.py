@@ -2,6 +2,7 @@ from .ingest import (
     StreamingIngest,
     stream_flatten,
     streaming_dedup_exact,
+    streaming_incremental_dedup,
     windowed_rollup,
 )
 from .stateful import streaming_sessionize
@@ -10,6 +11,7 @@ __all__ = [
     "StreamingIngest",
     "stream_flatten",
     "streaming_dedup_exact",
+    "streaming_incremental_dedup",
     "windowed_rollup",
     "streaming_sessionize",
 ]

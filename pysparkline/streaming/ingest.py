@@ -96,6 +96,38 @@ def streaming_dedup_exact(
     ).dropDuplicatesWithinWatermark(key_cols)
 
 
+def streaming_incremental_dedup(
+    store,
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    verdict_path: str,
+    checkpoint: str,
+):
+    """Near-dup dedup of a document STREAM against a persisted
+    ``dedup.SignatureStore`` — the production ingest loop: each micro-batch
+    dedups against the full historical corpus (and itself), appends its
+    survivors' signatures, and writes per-batch verdicts to
+    ``verdict_path/batch=<id>``.
+
+    Exactly-once store semantics under foreachBatch's at-least-once
+    replays come from the store's committed-batch protocol
+    (SignatureStore.process_stream_batch: replayed batch ids skip; the
+    survivors' append and the stream-batch marker commit in one atomic
+    manifest rewrite). Returns the started StreamingQuery.
+    """
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda bdf, bid: store.process_stream_batch(
+                bdf, bid, id_col, text_col, verdict_path
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 class StreamingIngest:
     """foreachBatch writer keeping an OlapIndex fresh from a stream.
 

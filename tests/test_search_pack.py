@@ -192,3 +192,48 @@ def test_text_index_prunes_buckets(spark, docs, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "__bucket" in plan
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Shard materialization: read-back equals input, shard dirs match the
+    manifest, and the manifest is identical across partition layouts
+    (content-keyed assignment + order-independent checksums)."""
+    import json
+
+    from pysparkline.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} " * (3 + i % 5)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    p1 = str(tmp_path / "shards1")
+    m1 = sampling.write_training_shards(docs, p1, n_shards=8)
+    assert sum(s["rows"] for s in m1["shards"].values()) == 200
+    back = spark.read.parquet(p1)
+    assert back.count() == 200
+    assert sorted(r.doc_id for r in back.collect()) == list(range(200))
+    # every shard dir row-count matches its manifest entry
+    for k, s in m1["shards"].items():
+        assert back.where(f"shard = {k}").count() == s["rows"]
+    with open(p1 + "/_shards.json") as fh:
+        assert json.load(fh)["nShards"] == 8
+
+    # a different input layout yields a byte-identical manifest
+    m2 = sampling.write_training_shards(
+        docs.repartition(13).sortWithinPartitions("text"),
+        str(tmp_path / "shards2"), n_shards=8,
+    )
+    assert m1["shards"] == m2["shards"]
+
+    # shard membership is content-keyed: appending new docs never moves old
+    m3 = sampling.write_training_shards(
+        docs.unionByName(
+            spark.createDataFrame(
+                [(1000 + i, f"fresh doc {i}") for i in range(50)],
+                "doc_id long, text string",
+            )
+        ),
+        str(tmp_path / "shards3"), n_shards=8,
+    )
+    for k, s in m1["shards"].items():
+        assert m3["shards"][k]["rows"] >= s["rows"]

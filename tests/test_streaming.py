@@ -336,3 +336,70 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     }
     for r in got:
         assert splits[r.doc_id] == r.split
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Micro-batches dedup against the persisted SignatureStore: a dup of a
+    batch-1 survivor arriving in batch 2 is dropped; replaying a committed
+    batch id is a no-op (exactly-once store semantics)."""
+    from pysparkline.operators.dedup import SignatureStore
+    from pysparkline.streaming import streaming_incremental_dedup
+
+    def base(i: int) -> str:
+        return " ".join(f"w{i}x{j}q{i * 31 + j}" for j in range(40))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = SignatureStore.create(
+        spark, str(tmp_path / "store"), threshold=0.5
+    )
+    verdicts = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src))
+        )
+        q = streaming_incremental_dedup(
+            store, stream, "doc_id", "text", verdicts, ckpt
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(1, base(1)), (2, base(2))], "doc_id long, text string"
+    ).write.mode("append").parquet(str(src))
+    run()
+    # batch 2: 10 dups stored 1; 11 fresh; 12 dups 11 within the batch
+    spark.createDataFrame(
+        [(10, base(1)), (11, base(100)), (12, base(100))],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(str(src))
+    run()
+
+    got = {
+        r.id: r.kept for r in spark.read.parquet(verdicts).collect()
+    }
+    assert got == {1: True, 2: True, 10: False, 11: True, 12: False}
+
+    # replay the last committed batch id directly: no-op (no new store
+    # batch, verdicts unchanged)
+    n_batches = len(store.manifest["batches"])
+    last = int(store.manifest["lastStreamBatch"])
+    replay = spark.createDataFrame(
+        [(99, base(999))], "doc_id long, text string"
+    )
+    store.process_stream_batch(replay, last, "doc_id", "text", verdicts)
+    assert len(store.manifest["batches"]) == n_batches
+    got2 = {r.id: r.kept for r in spark.read.parquet(verdicts).collect()}
+    assert got2 == got
+
+    # a FRESH batch id against the same store still works batch-style
+    store.process_stream_batch(
+        spark.createDataFrame(
+            [(20, base(100)), (21, base(555))], "doc_id long, text string"
+        ),
+        last + 1, "doc_id", "text", verdicts,
+    )
+    got3 = {r.id: r.kept for r in spark.read.parquet(verdicts).collect()}
+    assert got3[20] is False and got3[21] is True
