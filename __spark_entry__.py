@@ -3550,8 +3550,10 @@ def sql_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_WINDOW_ROWGRAIN = """
 SELECT l_orderkey, l_linenumber, l_quantity,
-  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn,
-  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+  row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_quantity, l_shipdate) AS rn,
+  sum(l_quantity) OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_quantity, l_shipdate)
     AS run_qty,
   count(1) OVER (ORDER BY l_shipdate
     RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
@@ -3570,7 +3572,10 @@ def sql_window_rowgrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (previously these fell back to spark.sql over re-joined base
     tables); fixed-length INTERVAL RANGE rides the epoch-seconds surrogate,
     exact on raw keys. Dimension-table-only windows still fall back — the
-    flat backing is fact-grain (sqlfront._check_from)."""
+    flat backing is fact-grain (sqlfront._check_from). The window orders
+    carry every selected column: (l_orderkey, l_linenumber) is NOT unique
+    in this fixture, and the multiset is tie-deterministic only when tied
+    rows are identical in everything the query projects."""
     ctx = _sql_ctx(spark, sf_dir)
     out = ctx.sql(_SQL_WINDOW_ROWGRAIN)
     assert ctx.query_history[-1].backing != "sparksql", (

@@ -80,6 +80,26 @@ def where_clauses(draw):
 
 @st.composite
 def select_sqls(draw):
+    if draw(st.integers(0, 5)) == 0:
+        # ROW-GRAIN windows (no GROUP BY) over the fact's pruned scan —
+        # (l_orderkey, l_linenumber) is unique, so every shape below is
+        # value-deterministic however rows are ordered
+        # (l_orderkey, l_linenumber) is NOT unique in this synthetic
+        # fixture, so every shape must be deterministic AS A MULTISET under
+        # tie reordering: rn/run select only the ordering columns (tie rows
+        # are then fully identical), and lag lags the ORDER column itself
+        # (swapping equal-keyed rows permutes equal lag inputs)
+        kind = draw(st.sampled_from(["rn", "run", "lag"]))
+        w = "PARTITION BY l_orderkey ORDER BY l_linenumber"
+        expr = {
+            "rn": f"ROW_NUMBER() OVER ({w})",
+            "run": f"SUM(l_linenumber) OVER ({w})",
+            "lag": f"LAG(l_linenumber, 1, 0) OVER ({w})",
+        }[kind]
+        return (
+            f"SELECT l_orderkey, l_linenumber, {expr} AS w0 "
+            f"FROM lineitem{draw(where_clauses())}"
+        )
     gcols = draw(st.lists(dim, min_size=0, max_size=2, unique=True))
     aggs = draw(
         st.lists(
@@ -104,7 +124,9 @@ def select_sqls(draw):
         # over a partition, lag ordered by the full (unique) group key
         m = draw(st.sampled_from(METRICS))
         kind = draw(
-            st.sampled_from(["share", "rank", "lag", "running", "frame"])
+            st.sampled_from(
+                ["share", "rank", "lag", "running", "frame", "vrange", "nth"]
+            )
         )
         if kind == "share":
             part = draw(st.sampled_from(["", f"PARTITION BY {gcols[0]}"]))
@@ -122,6 +144,22 @@ def select_sqls(draw):
             sel.append(
                 f"AVG(SUM({m})) OVER (ORDER BY {', '.join(gcols)} "
                 f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW) AS w0"
+            )
+        elif kind == "vrange":
+            # numeric RANGE value frame over the aggregate key: the frame
+            # is defined by VALUES, so tie order never matters
+            width = draw(st.integers(0, 10_000))
+            sel.append(
+                f"COUNT(1) OVER (ORDER BY SUM({m}) RANGE BETWEEN {width} "
+                f"PRECEDING AND CURRENT ROW) AS w0"
+            )
+        elif kind == "nth":
+            # full frame + total order (sum then the unique group key):
+            # deterministic runner-up
+            sel.append(
+                f"NTH_VALUE({gcols[0]}, 2) OVER (ORDER BY SUM({m}) DESC, "
+                f"{', '.join(gcols)} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                "UNBOUNDED FOLLOWING) AS w0"
             )
         else:
             sel.append(

@@ -615,19 +615,24 @@ ORDER BY l_returnflag, l_linestatus
 
 def test_window_row_grain(ctx, duck):
     # no GROUP BY: windows evaluate over raw rows on the index's pruned
-    # scan (the fallback this replaces re-joins the base star)
+    # scan (the fallback this replaces re-joins the base star). Window
+    # orders carry every projected column — (l_orderkey, l_linenumber) is
+    # NOT unique in this fixture, and only fully-identical tie rows keep
+    # the multiset deterministic under tie reordering
     sql = """
-SELECT l_orderkey, l_linenumber, l_quantity,
-  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn,
-  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
-    AS run_qty,
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+  row_number() OVER (PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn,
+  sum(l_quantity) OVER (PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_quantity, l_extendedprice) AS run_qty,
   round(l_extendedprice - lag(l_extendedprice, 1, 0.0) OVER
-    (PARTITION BY l_orderkey ORDER BY l_linenumber), 2) AS price_delta
+    (PARTITION BY l_orderkey
+     ORDER BY l_linenumber, l_quantity, l_extendedprice), 2) AS price_delta
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
 ORDER BY l_orderkey, l_linenumber
 """
-    assert_same(ctx, duck, sql, sort=False)
+    assert_same(ctx, duck, sql)  # multiset: tie order is engine-arbitrary
     assert ctx.query_history[-1].backing != "sparksql"
 
 
@@ -643,26 +648,29 @@ FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
 ORDER BY l_shipdate, l_orderkey
 """
-    assert_same(ctx, duck, sql, sort=False)
+    assert_same(ctx, duck, sql)  # multiset: tie order is engine-arbitrary
     assert ctx.query_history[-1].backing != "sparksql"
 
 
 def test_window_ignore_nulls_value_fns(ctx, duck):
     # ANSI null treatment for the value family (Spark carries it natively);
     # the CASE makes nulls actually occur in the argument
+    # l_quantity in the ORDER BY: (l_orderkey, l_linenumber) ties exist in
+    # this fixture, and the value argument must be tie-determined
     sql = """
 SELECT l_orderkey, l_linenumber,
   first_value(CASE WHEN l_quantity >= 25 THEN l_quantity END IGNORE NULLS)
-    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS first_big,
+    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
+    AS first_big,
   last_value(CASE WHEN l_quantity >= 25 THEN l_quantity END IGNORE NULLS)
-    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     AS last_big
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
 ORDER BY l_orderkey, l_linenumber
 """
-    assert_same(ctx, duck, sql, sort=False)
+    assert_same(ctx, duck, sql)  # multiset: tie order is engine-arbitrary
     assert ctx.query_history[-1].backing != "sparksql"
     # lag IGNORE NULLS stays outside the surface -> declines to fallback
     # (the two dialects disagree on IGNORE NULLS placement — in-parens for
