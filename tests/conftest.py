@@ -15,6 +15,11 @@ def spark():
     s = (
         SparkSession.builder.master("local[8]")
         .appName("pysparkline-tests")
+        # one JVM is shared by the WHOLE suite (367 tests): pinned cube
+        # caches, broadcast refs, and plan state accumulate, and the 1g
+        # default driver heap eventually fails broadcast builds in whatever
+        # test lands late in the run (observed twice, different victims)
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
