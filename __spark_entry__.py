@@ -3584,6 +3584,56 @@ def sql_window_rowgrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_QUALIFY_TOPK = """
+SELECT l_returnflag, p_brand, round(sum(l_extendedprice), 2) AS rev,
+  rank() OVER (PARTITION BY l_returnflag
+               ORDER BY sum(l_extendedprice) DESC, p_brand) AS rk
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_returnflag, p_brand
+QUALIFY rk <= 3
+ORDER BY l_returnflag, rk
+"""
+
+
+@_register("sql_qualify_topk", _SQL_QUALIFY_TOPK)
+def sql_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY (round 4): top-3 brands per returnflag in one statement —
+    the top-k-per-group idiom Spark SQL cannot express at all (no QUALIFY
+    clause); the rank filter applies to the index-served aggregate after
+    the window, before ORDER BY, and DuckDB answers the oracle with its
+    native QUALIFY."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_QUALIFY_TOPK)
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "QUALIFY must rewrite onto the index (Spark has no fallback for it)"
+    )
+    return out
+
+
+_SQL_LATEST_PER_KEY = """
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-06-01' AND l_shipdate < DATE '1997-07-01'
+QUALIFY row_number() OVER (PARTITION BY l_orderkey
+  ORDER BY l_shipdate DESC, l_linenumber DESC) = 1
+ORDER BY l_orderkey
+"""
+
+
+@_register("sql_latest_per_key", _SQL_LATEST_PER_KEY)
+def sql_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grain QUALIFY (round 4): latest line per order over the pruned
+    scan — the dedup-to-latest idiom. The projection equals the partition +
+    order keys, so tied rows are identical and the verdict is
+    tie-deterministic."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_LATEST_PER_KEY)
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "row-grain QUALIFY must rewrite onto the index"
+    )
+    return out
+
+
 @_register(
     "sql_count_distinct",
     """
@@ -3986,7 +4036,7 @@ _PRIORITY = [
     # (a) fixed reds (pack_docs ordering, sql_window_ma rounding) + new
     "pack_docs", "sql_window_ma",
     "sql_window_range", "sql_window_nth", "sql_window_rowgrain",
-    "shard_docs",
+    "shard_docs", "sql_qualify_topk", "sql_latest_per_key",
     # (b) last driver verdict in ROUND 1 (all 25)
     "ship_date_range", "monthly_revenue", "dim_filters", "range_filters",
     "in_null_not_filters", "contains_regex_filters", "filtered_agg",
@@ -4003,7 +4053,7 @@ _PRIORITY = [
     "spatial_bounds", "events_15min", "tz_daily_revenue",
     "topn_monthly_brand",  # flat-served pruning paths
     "sql_select_scan", "sql_multi_interval",  # lower_select rewritten
-    "sql_subquery", "sql_cte", "sql_rollup", "sql_distinct",
+    "sql_subquery", "sql_cte",
     "skew_salted_distinct", "avg_null_aware",
     # --- 50-query window boundary ---
     # round-3-green rows (fresh verdicts) follow in their r3 order so their
@@ -4015,7 +4065,7 @@ _PRIORITY = [
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events", "ivfpq_index_topk",
     "incremental_dedup_docs", "sql_q1", "sql_star_join",
-    "sql_count_distinct",
+    "sql_count_distinct", "sql_rollup", "sql_distinct",
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",
     "events_user_distinct", "events_daily_types", "events_hourly",

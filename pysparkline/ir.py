@@ -621,6 +621,10 @@ class GroupByQuery(QuerySpec):
     # scalar expressions over window outputs (e.g. round(share, 6)):
     # [name, spark_sql_expr] pairs applied after window_posts
     window_exprs: list = field(default_factory=list)
+    # QUALIFY: boolean Spark-SQL expr over output/window columns, applied
+    # after the windows, before ORDER BY/LIMIT (ANSI evaluation order);
+    # Spark SQL has no QUALIFY — natively-served surface
+    qualify: Optional[str] = None
 
 
 @_node
@@ -708,6 +712,11 @@ class SelectQuery(QuerySpec):
     window_exprs: list = field(default_factory=list)  # [name, expr] pairs
     window_source_columns: list = field(default_factory=list)
     output_order: Optional[list] = None  # select-list output column order
+    # QUALIFY: boolean Spark-SQL expr over output/window columns, applied
+    # after the windows, before ORDER BY/LIMIT (the latest-row-per-key /
+    # top-k-per-group idiom — Spark SQL itself has no QUALIFY, so this is
+    # natively-served surface with no fallback twin)
+    qualify: Optional[str] = None
 
 
 def query_referenced_columns(q: QuerySpec) -> set[str]:

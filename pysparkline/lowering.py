@@ -979,6 +979,10 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
             out = out.withColumns(
                 {name: F.expr(e) for name, e in q.window_exprs}
             )
+    if getattr(q, "qualify", None):
+        # ANSI: QUALIFY filters after the windows, before ORDER BY/LIMIT
+        # (and before the hidden __wp_ columns it may reference drop)
+        out = out.where(F.expr(q.qualify))
     # aggs materialized only to feed post-aggs/having (sqlfront convention)
     hidden = [
         c for c in out.columns if c.startswith(("__pa_", "__hv_", "__wp_"))
@@ -1415,6 +1419,9 @@ def lower_select(q: ir.SelectQuery, backing: Backing) -> DataFrame:
             df = df.withColumns(
                 {name: F.expr(e) for name, e in q.window_exprs}
             )
+        if getattr(q, "qualify", None):
+            # ANSI: QUALIFY filters after the windows, before projection
+            df = df.where(F.expr(q.qualify))
         wnames = [
             w.name for w in q.window_posts if not w.name.startswith("__wp_")
         ] + [name for name, _ in (q.window_exprs or [])]

@@ -561,6 +561,7 @@ class _Analysis:
     hidden_aggs: list = field(default_factory=list)
     window_posts: list = field(default_factory=list)
     window_exprs: list = field(default_factory=list)  # [name, expr] pairs
+    qualify: str | None = None
 
 
 def _agg_spec(node: dict, name: str) -> ir.AggSpec:
@@ -1209,6 +1210,24 @@ def _analyze_select(
                     "window function referencing another window's output"
                 )
 
+    if node.get("qualify") is not None:
+        # QUALIFY: boolean filter over output/window columns, evaluated
+        # after the windows (ANSI). Inline windows inside the QUALIFY
+        # expression extract as hidden window posts via the same sink.
+        if a.grouping_sets is not None:
+            raise SQLFrontError("QUALIFY over CUBE/ROLLUP")
+
+        def qsink(n: dict) -> str:
+            wname = f"__wp_{len(a.window_posts)}"
+            a.window_posts.append(
+                _window_spec(n, wname, a, name_by_key, _gk)
+            )
+            return wname
+
+        a.qualify, _ = _extract_inner_aggs(
+            node["qualify"], a.aggs, window_sink=qsink
+        )
+
     if pending_grouping:
         # bit positions follow the lowering's key order: declared dims, then
         # the time bucket (lowering._grouping_sets_union, high bit = first)
@@ -1577,8 +1596,8 @@ def parse_sql(
     [HAVING ...] [ORDER BY outputs] [LIMIT n].
     """
     node = _ast(sql)
-    if node.get("qualify") or node.get("sample"):
-        raise SQLFrontError("QUALIFY/SAMPLE unsupported")
+    if node.get("sample"):
+        raise SQLFrontError("SAMPLE unsupported")
     _inline_ctes(node)
     node = _flatten_subquery(node)
     _check_from(node["from_table"], fact_table, star)
@@ -1682,6 +1701,21 @@ def parse_sql(
                 output_order.append(item.get("alias") or c)
             else:
                 raise SQLFrontError("select of expression unsupported (non-agg)")
+        qualify_sql = None
+        if node.get("qualify") is not None:
+            # QUALIFY over raw rows (latest-row-per-key idiom): inline
+            # windows extract as hidden row-grain posts
+            def qsink(n: dict) -> str:
+                wname = f"__wp_{len(window_posts)}"
+                window_posts.append(
+                    _window_spec(n, wname, None, None, None, row_grain=True)
+                )
+                return wname
+
+            qualify_sql, _ = _extract_inner_aggs(
+                node["qualify"], [], window_sink=qsink
+            )
+            src_cols |= _columns_of(node["qualify"])
         known = {c[1] if isinstance(c, tuple) else c for c in cols} | set(
             output_order
         )
@@ -1692,6 +1726,7 @@ def parse_sql(
             window_posts=window_posts, window_exprs=window_exprs,
             window_source_columns=sorted(src_cols),
             output_order=output_order if window_posts else None,
+            qualify=qualify_sql,
         )
 
     a = _analyze_select(node, time_col)
@@ -1724,4 +1759,5 @@ def parse_sql(
         output_order=a.output_order,
         window_posts=a.window_posts,
         window_exprs=a.window_exprs,
+        qualify=a.qualify,
     )

@@ -700,6 +700,46 @@ WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
     assert ctx.query_history[-1].backing == "sparksql"
 
 
+def test_qualify_topk_per_group(ctx, duck):
+    # QUALIFY (aliased AND inline window forms): the top-k-per-group idiom.
+    # Spark SQL has no QUALIFY at all — natively-served surface (DuckDB
+    # answers the oracle natively)
+    sql = """
+SELECT l_returnflag, l_linestatus, sum(l_extendedprice) AS rev,
+  rank() OVER (PARTITION BY l_returnflag
+               ORDER BY sum(l_extendedprice) DESC, l_linestatus) AS rk
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+QUALIFY rk <= 2
+ORDER BY l_returnflag, rk
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+    sql2 = """
+SELECT l_returnflag, l_linestatus, sum(l_extendedprice) AS rev
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+QUALIFY rank() OVER (PARTITION BY l_returnflag
+  ORDER BY sum(l_extendedprice) DESC, l_linestatus) = 1
+ORDER BY l_returnflag
+"""
+    assert_same(ctx, duck, sql2, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_qualify_latest_row_per_key(ctx, duck):
+    # row-grain QUALIFY: the latest-row-per-key idiom over the pruned scan;
+    # projection == partition + order keys, so ties stay deterministic
+    sql = """
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+QUALIFY row_number() OVER (PARTITION BY l_orderkey
+  ORDER BY l_shipdate DESC, l_linenumber DESC) = 1
+ORDER BY l_orderkey
+"""
+    assert_same(ctx, duck, sql)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
 def test_window_ntile(ctx, duck):
     sql = """
 SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s,
