@@ -284,6 +284,8 @@ def decode(payload: bytes) -> np.ndarray:
                 counts = [0] + list(body[i + 1:i + 17])
                 nsym = sum(counts)
                 values = list(body[i + 17:i + 17 + nsym])
+                if len(values) < nsym or nsym > 256:
+                    raise ValueError("jpeg: truncated huffman table")
                 htables[(tc, th)] = _huffman_decoder(counts, values)
                 i += 17 + nsym
         elif marker == 0xDD:  # DRI
@@ -294,11 +296,22 @@ def decode(payload: bytes) -> np.ndarray:
                 raise ValueError("jpeg: only 8-bit precision supported")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            # corrupt/hostile headers must not demand multi-GB plane
+            # buffers from an executor: decode serves feature extraction
+            # over untrusted corpus bytes, so decline past a sane area
+            # (64 MP ≈ 8 uncompressed GB across 3 float planes)
+            if h == 0 or w == 0 or h * w > 64_000_000:
+                raise ValueError(f"jpeg: implausible dimensions {w}x{h}")
             ncomp = body[5]
+            if not 1 <= ncomp <= 4:
+                raise ValueError("jpeg: bad component count")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("jpeg: bad sampling factors")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -312,10 +325,15 @@ def decode(payload: bytes) -> np.ndarray:
                 cs = body[1 + 2 * c]
                 td, ta = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF
                 sel[cs] = (td, ta)
-            return _decode_scan(
-                payload, pos + 2 + seglen, frame, sel, qtables, htables,
-                restart_interval,
-            )
+            try:
+                return _decode_scan(
+                    payload, pos + 2 + seglen, frame, sel, qtables, htables,
+                    restart_interval,
+                )
+            except KeyError as ex:
+                # missing quant/huffman table or undeclared component id in
+                # a corrupt stream: a clean decline, not a KeyError
+                raise ValueError(f"jpeg: missing table/component {ex}") from ex
         pos += 2 + seglen
     raise ValueError("jpeg: no scan data")
 

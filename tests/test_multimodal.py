@@ -272,3 +272,47 @@ def test_pillow_codec_cross_check():
     # 3. decode_image prefers the PIL fast path when present — same contract
     arr = mm.decode_image(buf.getvalue())
     assert arr.shape == (24, 40, 3) and arr.dtype == np.uint8
+
+
+def test_jpeg_malformed_inputs_decline_cleanly():
+    """Corpus bytes are untrusted: truncations, bit flips, and hostile
+    headers must raise ValueError/UnsupportedMediaError promptly — never
+    hang, never demand header-declared multi-GB buffers, never leak a
+    KeyError from a missing table."""
+    import struct
+
+    from pysparkline.operators import jpeg
+
+    base = jpeg.encode(_gradient(16, 24), quality=85)
+
+    # truncations at every region of the stream
+    for cut in [2, 4, 10, len(base) // 2, len(base) - 3]:
+        try:
+            jpeg.decode(base[:cut])
+        except ValueError:
+            pass  # expected decline
+        # (a truncation inside entropy data may still decode by zero-padding
+        # — the spec's EOB behavior — so success is also acceptable)
+
+    # single-byte corruptions across the header region decode or decline,
+    # never crash with a non-ValueError
+    for i in range(2, min(len(base), 120)):
+        mutated = bytearray(base)
+        mutated[i] ^= 0xFF
+        try:
+            jpeg.decode(bytes(mutated))
+        except ValueError:
+            pass
+
+    # hostile SOF: 65535x65535 dimensions must decline, not allocate ~12 GB
+    sof = base.find(b"\xff\xc0")
+    hostile = bytearray(base)
+    hostile[sof + 5:sof + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="implausible"):
+        jpeg.decode(bytes(hostile))
+
+    # zero-dimension SOF declines too
+    zero = bytearray(base)
+    zero[sof + 5:sof + 9] = struct.pack(">HH", 0, 16)
+    with pytest.raises(ValueError):
+        jpeg.decode(bytes(zero))
