@@ -1410,6 +1410,45 @@ def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "temperature_mix_docs",
+    r"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+     t AS (SELECT count(*) AS total,
+                  (SELECT count(*) FROM c) AS k
+           FROM documents),
+     r AS (SELECT c.source,
+             least(1.0, (((3 * t.total) // 5) * 1.0 / t.k) / c.n) AS rate
+           FROM c, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.source
+WHERE CAST('0x' || substr(
+        md5(trim(regexp_replace(lower(coalesce(d.text, '')),
+                                '\s+', ' ', 'g'))),
+        1, 8) AS BIGINT) % 10000
+      < CAST(floor(r.rate * 10000 + 0.5) AS BIGINT)
+ORDER BY d.doc_id
+""",
+)
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-based source rebalancing (the multilingual
+    training-mix recipe) at tau=0 with a 60% row target: per-source rates
+    derive from one bounded count, and row selection is the content-hash
+    Bernoulli — the same document survives the mix across re-shards and the
+    whole selection is exact portable SQL (operators/sampling.py
+    temperature_mix). tau=0 keeps the rate arithmetic an exact IEEE mirror
+    of the oracle's (no pow() libm divergence)."""
+    from pysparkline.operators import sampling
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    target = (3 * docs.count()) // 5
+    out = sampling.temperature_mix(
+        docs, "source", tau=0.0, target_rows=target
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@_register(
     "shard_docs",
     r"""
 WITH a AS (
@@ -4037,6 +4076,7 @@ _PRIORITY = [
     "pack_docs", "sql_window_ma",
     "sql_window_range", "sql_window_nth", "sql_window_rowgrain",
     "shard_docs", "sql_qualify_topk", "sql_latest_per_key",
+    "temperature_mix_docs",
     # (b) last driver verdict in ROUND 1 (all 25)
     "ship_date_range", "monthly_revenue", "dim_filters", "range_filters",
     "in_null_not_filters", "contains_regex_filters", "filtered_agg",
@@ -4053,7 +4093,7 @@ _PRIORITY = [
     "spatial_bounds", "events_15min", "tz_daily_revenue",
     "topn_monthly_brand",  # flat-served pruning paths
     "sql_select_scan", "sql_multi_interval",  # lower_select rewritten
-    "sql_subquery", "sql_cte",
+    "sql_subquery",
     "skew_salted_distinct", "avg_null_aware",
     # --- 50-query window boundary ---
     # round-3-green rows (fresh verdicts) follow in their r3 order so their
@@ -4065,7 +4105,7 @@ _PRIORITY = [
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events", "ivfpq_index_topk",
     "incremental_dedup_docs", "sql_q1", "sql_star_join",
-    "sql_count_distinct", "sql_rollup", "sql_distinct",
+    "sql_count_distinct", "sql_rollup", "sql_distinct", "sql_cte",
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",
     "events_user_distinct", "events_daily_types", "events_hourly",

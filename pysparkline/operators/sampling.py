@@ -191,3 +191,72 @@ def write_training_shards(
     with open(os.path.join(path, "_shards.json"), "w") as fh:
         _json.dump(manifest, fh)
     return manifest
+
+
+def temperature_mix_rates(
+    counts: dict[str, int], tau: float, target_rows: int | None = None
+) -> dict[str, float]:
+    """Per-source sampling rates for temperature-based mixing: source i is
+    drawn with probability proportional to ``n_i ** tau`` (tau=1 keeps
+    natural proportions; tau->0 flattens toward uniform — the standard
+    multilingual/multi-source rebalancing recipe). Rates are clamped to 1
+    (no replacement); ``target_rows`` scales the mix size, defaulting to
+    the full corpus."""
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    if not counts or min(counts.values()) < 0:
+        raise ValueError("counts must be non-negative and non-empty")
+    total = sum(counts.values())
+    if total == 0:
+        return {k: 0.0 for k in counts}
+    target = total if target_rows is None else target_rows
+    weights = {k: (n ** tau if n > 0 else 0.0) for k, n in counts.items()}
+    wsum = sum(weights.values())
+    rates = {}
+    for k, n in counts.items():
+        want = target * weights[k] / wsum if wsum else 0.0
+        rates[k] = min(1.0, want / n) if n else 0.0
+    return rates
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    tau: float,
+    text_col: str = "text",
+    target_rows: int | None = None,
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic temperature-based source rebalancing over ONE tagged
+    corpus: per-source rates come from ``temperature_mix_rates`` (counted
+    with one map-side-combined aggregation), and row selection is the
+    CONTENT-hash Bernoulli (`hash_split`'s md5 bucket < rate * buckets) —
+    so the same document survives the mix across re-shards/appends and the
+    selection is exact portable SQL, oracle-checkable in any engine (the
+    property seeded `sample()` lacks). One narrow filter; the only job is
+    the bounded per-source count."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_mix_rates(counts, tau, target_rows)
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), norm)), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    cut = None
+    for name, rate in sorted(rates.items()):
+        # floor(x + 0.5), not round(): python round() is banker's rounding,
+        # and the oracle-side SQL needs one reproducible half-up rule
+        cond = (F.col(source_col) == F.lit(name)) & (
+            bucket < int(rate * buckets + 0.5)
+        )
+        cut = cond if cut is None else cut | cond
+    return df.where(cut)

@@ -237,3 +237,49 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     )
     for k, s in m1["shards"].items():
         assert m3["shards"][k]["rows"] >= s["rows"]
+
+
+def test_temperature_mix_rates_math():
+    from pysparkline.operators import sampling
+
+    counts = {"big": 9000, "small": 1000}
+    # tau=1: natural proportions -> every source keeps everything
+    r1 = sampling.temperature_mix_rates(counts, 1.0)
+    assert r1 == {"big": 1.0, "small": 1.0}
+    # tau=0: uniform target -> the big source downsamples toward the small
+    r0 = sampling.temperature_mix_rates(counts, 0.0)
+    assert r0["small"] == 1.0
+    assert abs(r0["big"] - 5000 / 9000) < 1e-12
+    # target_rows scales the mix
+    rt = sampling.temperature_mix_rates(counts, 1.0, target_rows=5000)
+    assert abs(rt["big"] - 0.5) < 1e-12 and abs(rt["small"] - 0.5) < 1e-12
+    # zero-count source contributes nothing and never divides by zero
+    rz = sampling.temperature_mix_rates({"a": 0, "b": 10}, 0.5)
+    assert rz["a"] == 0.0 and rz["b"] == 1.0
+
+
+def test_temperature_mix_deterministic_and_balanced(spark):
+    """The mix is content-keyed (identical across partition layouts) and
+    the realized per-source sizes track the temperature rates."""
+    from pysparkline.operators import sampling
+
+    rows = [(i, f"doc {i} body {'x' * (i % 7)}",
+             "big" if i < 9000 else "small") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = sampling.temperature_mix(df, "source", tau=0.0)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["small"] == 1000
+    # md5-bucket Bernoulli at rate 5000/9000: binomial 6-sigma band
+    import math
+    rate = 5000 / 9000
+    sd = math.sqrt(9000 * rate * (1 - rate))
+    assert abs(got["big"] - 9000 * rate) < 6 * sd
+
+    out2 = sampling.temperature_mix(
+        df.repartition(17).sortWithinPartitions("text"), "source", tau=0.0
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
