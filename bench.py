@@ -125,6 +125,9 @@ LLM_OPS = [
     "interval_join_events",
     "ivfpq_index_topk",
     "incremental_dedup_docs",
+    "shard_docs",
+    "temperature_mix_docs",
+    "sql_qualify_topk",
 ]
 
 
