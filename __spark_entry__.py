@@ -443,15 +443,19 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
 FROM flat
 WHERE l_returnflag = 'A'
   AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-ORDER BY l_orderkey, l_linenumber LIMIT 100
+ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate LIMIT 100
 """,
 )
 def select_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORDER BY covers every selected column: the synthetic lineitem has
+    # duplicate (orderkey, linenumber) pairs, so a 2-column sort + LIMIT is
+    # tie-broken differently per engine and the driver's ordered hash flips
     spec = ir.SelectQuery(
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"],
         filter=ir.SelectorFilter("l_returnflag", "A"),
         intervals=[ir.Interval("1996-01-01", "1997-01-01")],
-        order_by=[ir.OrderByColumn("l_orderkey"), ir.OrderByColumn("l_linenumber")],
+        order_by=[ir.OrderByColumn("l_orderkey"), ir.OrderByColumn("l_linenumber"),
+                  ir.OrderByColumn("l_quantity"), ir.OrderByColumn("l_shipdate")],
         limit=100,
     )
     return _ctx(spark, sf_dir).query(spec)
@@ -1387,7 +1391,7 @@ WITH t AS (
            OVER (PARTITION BY source ORDER BY doc_id) AS cum
   FROM documents)
 SELECT source, doc_id, n_tokens,
-       cum - n_tokens AS start_offset,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
        CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
        CASE WHEN n_tokens = 0 THEN 0
             ELSE CAST(floor((cum - 1) / 512.0)

@@ -1018,6 +1018,7 @@ class SignatureStore:
         text_col: str,
         history_docs: DataFrame | None = None,
         _commit_extra: dict | None = None,
+        _pre_commit=None,
     ) -> DataFrame:
         """Dedup ``docs`` against the store AND against earlier docs in the
         batch (smaller id wins), then append the survivors' signatures.
@@ -1109,6 +1110,12 @@ class SignatureStore:
             )
             .localCheckpoint()
         )
+        if _pre_commit is not None:
+            # durability hook: persist the (already-materialized) verdict
+            # BEFORE the store's manifest commit, so a crash between the two
+            # replays into "verdict exists, batch not marked done" — the
+            # recoverable order (process_stream_batch) — never the reverse
+            _pre_commit(verdict)
         survivors = verdict.where("kept").select("id")
         self._write_batch(
             sigs_new.join(survivors, "id", "left_semi"), extra=_commit_extra
@@ -1132,11 +1139,13 @@ class SignatureStore:
         1. already-committed batch ids (``lastStreamBatch`` in the manifest)
            are skipped entirely — their survivors are in the store and their
            verdict directory exists;
-        2. otherwise the verdict is computed against the pre-batch store,
-           written to ``verdict_path/batch=<id>`` with overwrite (a replay
-           after a crash between verdict write and store commit recomputes
-           the IDENTICAL verdict — the store is unchanged — and overwrites
-           the same directory);
+        2. otherwise the verdict is computed against the pre-batch store
+           and written to ``verdict_path/batch=<id>`` with overwrite BEFORE
+           the store commit (a replay after a crash between verdict write
+           and store commit recomputes the IDENTICAL verdict — the store is
+           unchanged — and overwrites the same directory; the reverse order
+           would lose the verdict forever, since a replay after the commit
+           skips the batch);
         3. the survivors' batch directory commits with the stream-batch
            marker in the SAME atomic manifest rewrite, so "appended" and
            "marked done" cannot diverge.
@@ -1148,13 +1157,12 @@ class SignatureStore:
         done = int(self.manifest.get("lastStreamBatch", -1))
         if batch_id <= done:
             return
-        verdict = self.dedup_and_append(
+        self.dedup_and_append(
             batch_df, id_col, text_col,
             _commit_extra={"lastStreamBatch": int(batch_id)},
-        )
-        # NOTE: dedup_and_append checkpoints the verdict BEFORE the store
-        # commit, and the plan below reads that checkpoint — so this write,
-        # though issued after the commit, reflects the pre-batch store.
-        verdict.write.mode("overwrite").parquet(
-            os.path.join(verdict_path, f"batch={int(batch_id)}")
+            # verdict is localCheckpoint'ed (materialized) by then, so this
+            # write runs no store-reading plan — it lands pre-commit
+            _pre_commit=lambda verdict: verdict.write.mode(
+                "overwrite"
+            ).parquet(os.path.join(verdict_path, f"batch={int(batch_id)}")),
         )

@@ -26,6 +26,8 @@ prefers it automatically when present and falls back here.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 # --------------------------------------------------------------------------
@@ -239,7 +241,21 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, channels) uint8 (channels = 1 or 3)."""
+    """Baseline JPEG -> (h, w, channels) uint8 (channels = 1 or 3).
+
+    Every decline path raises ``ValueError`` — including residual
+    ``IndexError``/``struct.error`` from truncated segment bodies in hostile
+    input, which are converted here so decode_image's skip-vs-fail policy
+    (operators/multimodal.py) sees one exception type per malformed row
+    instead of crashing the whole Spark task.
+    """
+    try:
+        return _decode(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"jpeg: truncated/corrupt structure ({ex})") from ex
+
+
+def _decode(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -302,9 +318,19 @@ def decode(payload: bytes) -> np.ndarray:
             # (64 MP ≈ 8 uncompressed GB across 3 float planes)
             if h == 0 or w == 0 or h * w > 64_000_000:
                 raise ValueError(f"jpeg: implausible dimensions {w}x{h}")
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF header")
             ncomp = body[5]
-            if not 1 <= ncomp <= 4:
-                raise ValueError("jpeg: bad component count")
+            # only greyscale and YCbCr are decodable here: 4-component
+            # (Adobe CMYK/YCCK) streams would otherwise be silently decoded
+            # as if the first planes were YCbCr — wrong pixels, not an
+            # honest decline
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"jpeg: {ncomp}-component (CMYK/unknown) not supported"
+                )
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("jpeg: truncated SOF component specs")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
@@ -319,6 +345,8 @@ def decode(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("jpeg: truncated SOS header")
             ns = body[0]
             sel = {}
             for c in range(ns):

@@ -234,12 +234,22 @@ def temperature_mix(
     CONTENT-hash Bernoulli (`hash_split`'s md5 bucket < rate * buckets) —
     so the same document survives the mix across re-shards/appends and the
     selection is exact portable SQL, oracle-checkable in any engine (the
-    property seeded `sample()` lacks). One narrow filter; the only job is
-    the bounded per-source count."""
+    property seeded `sample()` lacks). Selection is a broadcast join of the
+    tiny (source, threshold) frame against the corpus — NOT a per-source
+    OR-chain, so a per-domain mix with 10⁴+ sources doesn't blow up
+    Catalyst analysis (same literal-explosion lesson as IVF cells / LSH
+    buckets) — plus one narrow filter; the only job is the bounded
+    per-source count. NULL-valued sources form their own bucket
+    (null-safe join key) rather than crashing or silently vanishing; an
+    empty corpus returns empty."""
+    from pyspark.sql import types as T
+
     counts = {
         r[source_col]: r["n"]
         for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if not counts:
+        return df.where(F.lit(False))
     rates = temperature_mix_rates(counts, tau, target_rows)
     norm = F.trim(
         F.regexp_replace(
@@ -251,12 +261,25 @@ def temperature_mix(
         .cast("long")
         % buckets
     )
-    cut = None
-    for name, rate in sorted(rates.items()):
-        # floor(x + 0.5), not round(): python round() is banker's rounding,
-        # and the oracle-side SQL needs one reproducible half-up rule
-        cond = (F.col(source_col) == F.lit(name)) & (
-            bucket < int(rate * buckets + 0.5)
+    # floor(x + 0.5), not round(): python round() is banker's rounding,
+    # and the oracle-side SQL needs one reproducible half-up rule
+    src_type = df.schema[source_col].dataType
+    rates_df = df.sparkSession.createDataFrame(
+        [(name, int(rate * buckets + 0.5)) for name, rate in rates.items()],
+        T.StructType(
+            [
+                T.StructField("__mix_src", src_type),
+                T.StructField("__mix_thresh", T.LongType()),
+            ]
+        ),
+    )
+    return (
+        df.withColumn("__mix_bucket", bucket)
+        .join(
+            F.broadcast(rates_df),
+            F.col(source_col).eqNullSafe(F.col("__mix_src")),
+            "inner",
         )
-        cut = cond if cut is None else cut | cond
-    return df.where(cut)
+        .where(F.col("__mix_bucket") < F.col("__mix_thresh"))
+        .drop("__mix_src", "__mix_thresh", "__mix_bucket")
+    )

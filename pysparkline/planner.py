@@ -684,9 +684,17 @@ def _vector_excluded_mask(tbl, f, time_col: str, ivs: list):
                 term, full = range_excl(c.dimension, vmin, vmax)
             excluded |= term
             sv = set_valid(c.dimension)
-            if not full or sv is not None:
-                # per-row checks every member against the value set
-                extra = sv if (full and sv is not None) else np.ones(n, bool)
+            # per-row retains power beyond the [min(v),max(v)] envelope
+            # whenever the IN list has >1 member: a file range can sit
+            # strictly BETWEEN two members (IN (1,45), file [20,30]) and
+            # only the per-member walk proves exclusion — for any stat
+            # type, not just string value sets (ADVICE r4)
+            if not full or sv is not None or len(c.values) > 1:
+                extra = (
+                    sv
+                    if (full and sv is not None and len(c.values) == 1)
+                    else np.ones(n, bool)
+                )
                 needs_row |= extra & ~term
         elif isinstance(c, (ir.RegexFilter, ir.NullFilter, ir.ExprFilter)):
             pass  # per-row always keeps these shapes — nothing to mirror

@@ -1,12 +1,23 @@
 """Mirror of the driver's correctness gate: every queries() entry with an
-oracle must match DuckDB on row count, column names, and (sorted) values.
+oracle must match DuckDB on row count, column names, TYPED values, and — for
+oracles with a top-level ORDER BY — emitted row order.
 
 This is the cTest analog (AbstractTest.scala:127-143 dual-execution check),
-with DuckDB instead of a second Spark plan as the oracle.
+with DuckDB instead of a second Spark plan as the oracle. Both sides go
+through pandas, the same representation the driver hashes — so an oracle
+whose window SUM comes back as DuckDB HUGEINT→float64 while Spark emits
+BIGINT fails HERE, not only in the driver (this oracle-typing bug class
+shipped three times — r2 ×2, r4 `pack_docs` — because the old mirror
+float-coerced values and sorted rows; VERDICT r4 #1).
 """
 
+import datetime
+import decimal
 import math
+import re
 
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -16,58 +27,164 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 
-def _normalize(rows, columns):
-    """Sort columns by name and rows by repr for order-insensitive compare."""
-    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+def _strip_parens(sql: str) -> str:
+    """Remove all balanced-paren content (OVER(ORDER BY..), CTE bodies,
+    subqueries) so a remaining ORDER BY is the top-level output order."""
     out = []
-    for r in rows:
-        vals = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=repr)
-    return [columns[i] for i in idx], out
+    depth = 0
+    for ch in sql:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
+def _has_toplevel_order_by(sql: str) -> bool:
+    return re.search(r"\border\s+by\b", _strip_parens(sql), re.I) is not None
+
+
+def _type_category(series: pd.Series) -> str:
+    """Collapse a pandas column to the category the typed compare enforces.
+
+    int vs float IS the distinction to catch (the HUGEINT→float64 oracle
+    class). Dates are one category whether pandas materialized them as
+    datetime64 or as object-dtype datetime.date (Spark's toPandas does the
+    latter, DuckDB the former — both hash equal at the driver, verified by
+    119 green rows spanning both shapes).
+    """
+    k = series.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    # object column: inspect the first non-null value
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+            return "datetime"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array"
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        return "object"
+    return "empty"
+
+
+_CATEGORY_OK = {
+    ("decimal", "float"), ("float", "decimal"),
+    ("decimal", "decimal"),
+    # an all-null / empty column carries no type evidence either way
+}
+
+
+def _categories_compatible(s: str, d: str) -> bool:
+    if s == d or "empty" in (s, d):
+        return True
+    return (s, d) in _CATEGORY_OK
+
+
+def _canon(v):
+    """Canonical scalar for value compare (post type gate)."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day)
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
 
 
 def _values_close(a, b):
     if a == b:
         return True
-    if isinstance(a, float) and isinstance(b, (int, float)):
-        return math.isclose(a, float(b), rel_tol=1e-9, abs_tol=1e-9)
-    try:
-        return float(a) == float(b)
-    except (TypeError, ValueError):
+    if a is None or b is None:
         return False
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            _values_close(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+    return False
+
+
+def _sort_key(row):
+    return repr(row)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     df = QUERIES[name](spark, SF_DIR)
-    spark_rows = [tuple(r) for r in df.collect()]
-    spark_cols = df.columns
 
     if name not in ORACLES:
         # rows-only check (the driver's weaker gate for non-SQL ops)
-        assert isinstance(spark_rows, list)
+        assert isinstance(df.collect(), list)
         return
 
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    sdf = df.toPandas()
+    ddf = duck.execute(ORACLES[name]).df()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        f"{name}: column mismatch {list(sdf.columns)} vs {list(ddf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    assert len(sdf) == len(ddf), (
+        f"{name}: row count {len(sdf)} vs oracle {len(ddf)}"
     )
-    _, s_norm = _normalize(spark_rows, spark_cols)
-    _, d_norm = _normalize(duck_rows, duck_cols)
-    for i, (sr, dr) in enumerate(zip(s_norm, d_norm)):
-        for sv, dv in zip(sr, dr):
+
+    cols = sorted(sdf.columns)
+    # typed gate: the driver hashes typed values, so an int column on one
+    # side and float64 on the other diverges there even when values match
+    for c in cols:
+        sc, dc = _type_category(sdf[c]), _type_category(ddf[c])
+        assert _categories_compatible(sc, dc), (
+            f"{name}: column {c!r} type category {sc} (spark) vs {dc}"
+            f" (oracle) — the driver's typed hash will diverge"
+        )
+
+    s_rows = [
+        tuple(_canon(v) for v in row)
+        for row in sdf[cols].itertuples(index=False, name=None)
+    ]
+    d_rows = [
+        tuple(_canon(v) for v in row)
+        for row in ddf[cols].itertuples(index=False, name=None)
+    ]
+    ordered = _has_toplevel_order_by(ORACLES[name])
+    if not ordered:
+        s_rows = sorted(s_rows, key=_sort_key)
+        d_rows = sorted(d_rows, key=_sort_key)
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        for c, sv, dv in zip(cols, sr, dr):
             assert _values_close(sv, dv), (
-                f"{name}: row {i} differs: spark={sr} oracle={dr}"
+                f"{name}: row {i} col {c} differs"
+                f" ({'ordered' if ordered else 'sorted'} compare):"
+                f" spark={sr} oracle={dr}"
             )

@@ -217,6 +217,26 @@ def test_vectorized_prune_equals_per_row_walk(ctx):
             filter=ir.NotFilter(ir.SelectorFilter("l_returnflag", "N")),
             aggregations=[ir.CountAgg("n")],
         ),
+        # numeric IN with a gap: a file whose [min,max] sits strictly
+        # between two members is excluded by the per-member walk but NOT
+        # by the [min(v),max(v)] envelope — the vector pass must hand such
+        # rows to the walk (ADVICE r4: was only tested for string INs)
+        ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("l_returnflag")],
+            filter=ir.InFilter("l_quantity", [1, 45]),
+            aggregations=[ir.CountAgg("n")],
+        ),
+        ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("l_returnflag")],
+            filter=ir.LogicalFilter(
+                "and",
+                [
+                    ir.InFilter("l_quantity", [2, 3, 49]),
+                    ir.SelectorFilter("l_returnflag", "A"),
+                ],
+            ),
+            aggregations=[ir.CountAgg("n")],
+        ),
     ]
     for spec in specs:
         fast = planner.prune_flat_files(ctx.index, spec)

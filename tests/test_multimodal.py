@@ -316,3 +316,29 @@ def test_jpeg_malformed_inputs_decline_cleanly():
     zero[sof + 5:sof + 9] = struct.pack(">HH", 0, 16)
     with pytest.raises(ValueError):
         jpeg.decode(bytes(zero))
+
+    # SOF claiming components its truncated body never specifies: must be
+    # a ValueError decline (was IndexError escaping decode_image's wrapper)
+    trunc_sof = bytearray(base[:sof + 2])
+    trunc_sof += struct.pack(">H", 8)  # seglen covers prec+h+w+ncomp only
+    trunc_sof += bytes([8]) + struct.pack(">HH", 8, 8) + bytes([2])
+    trunc_sof += b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg.decode(bytes(trunc_sof))
+
+    # payload cut inside the SOS header body (ditto)
+    sos = base.find(b"\xff\xda")
+    with pytest.raises(ValueError, match="SOS"):
+        jpeg.decode(bytes(base[:sos + 5]))
+
+    # 4-component (Adobe CMYK) streams must decline honestly, not be
+    # decoded as if the first 3 planes were YCbCr (wrong pixels)
+    seglen = int.from_bytes(base[sof + 2:sof + 4], "big")
+    sof4 = (
+        b"\xff\xc0" + struct.pack(">H", 8 + 3 * 4) + bytes([8])
+        + struct.pack(">HH", 8, 8) + bytes([4])
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    )
+    cmyk = bytes(base[:sof]) + sof4 + bytes(base[sof + 2 + seglen:])
+    with pytest.raises(ValueError, match="component"):
+        jpeg.decode(cmyk)

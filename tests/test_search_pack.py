@@ -283,3 +283,54 @@ def test_temperature_mix_deterministic_and_balanced(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in out2.collect()
     )
+
+
+def test_temperature_mix_null_source_and_empty(spark):
+    """NULL-valued sources are a real bucket (null-safe join key), not a
+    crash or a silent drop; an empty corpus returns empty (ADVICE r4)."""
+    from pysparkline.operators import sampling
+
+    rows = [
+        (i, f"doc {i} words", "a" if i % 3 == 0 else None)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sampling.temperature_mix(df, "source", tau=1.0)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # tau=1 keeps natural proportions: every row of both buckets survives
+    assert got == {"a": 100, None: 200}
+
+    empty = df.where(F.lit(False))
+    assert sampling.temperature_mix(empty, "source", tau=0.5).count() == 0
+
+
+def test_temperature_mix_many_sources_analysis_bounded(spark):
+    """A per-domain mix (thousands of sources) must not build a per-source
+    OR-chain predicate — Catalyst analysis blows up on 10⁴ disjuncts (the
+    IVF-cells / LSH-buckets literal-explosion lesson). The broadcast-join
+    formulation keeps plan build + analysis bounded."""
+    import time
+
+    from pysparkline.operators import sampling
+
+    n_src = 10_000
+    df = (
+        spark.range(n_src)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text of doc "), F.col("id")).alias("text"),
+            F.concat(F.lit("domain-"), F.col("id")).alias("source"),
+        )
+    )
+    t0 = time.monotonic()
+    out = sampling.temperature_mix(df, "source", tau=0.5)
+    _ = out.schema  # force analysis
+    wall = time.monotonic() - t0
+    assert wall < 60, f"plan build+analysis took {wall:.1f}s for 10k sources"
+    # every source has exactly 1 row -> tau keeps everything
+    assert out.count() == n_src

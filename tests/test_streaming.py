@@ -403,3 +403,52 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     )
     got3 = {r.id: r.kept for r in spark.read.parquet(verdicts).collect()}
     assert got3[20] is False and got3[21] is True
+
+
+def test_stream_batch_crash_between_verdict_and_commit(spark, tmp_path):
+    """The verdict parquet lands BEFORE the store's manifest commit: a crash
+    between the two replays into 'verdict exists, batch not marked done' —
+    the replay recomputes the identical verdict (the store is unchanged) and
+    commits. The reverse order would lose the verdict forever, since a
+    replay after the commit skips the batch (ADVICE r4)."""
+    from pysparkline.operators.dedup import SignatureStore
+
+    def base(i: int) -> str:
+        return " ".join(f"c{i}x{j}q{i * 31 + j}" for j in range(40))
+
+    store = SignatureStore.create(
+        spark, str(tmp_path / "store"), threshold=0.5
+    )
+    verdicts = str(tmp_path / "verdicts")
+    store.process_stream_batch(
+        spark.createDataFrame(
+            [(1, base(1)), (2, base(2))], "doc_id long, text string"
+        ),
+        0, "doc_id", "text", verdicts,
+    )
+
+    # simulate a crash AFTER the verdict write, BEFORE the manifest commit
+    real_write = SignatureStore._write_batch
+
+    def crash_write(self, *a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    SignatureStore._write_batch = crash_write
+    batch2 = spark.createDataFrame(
+        [(10, base(1)), (11, base(77))], "doc_id long, text string"
+    )
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.process_stream_batch(batch2, 1, "doc_id", "text", verdicts)
+    finally:
+        SignatureStore._write_batch = real_write
+
+    # the recoverable state: verdict directory exists, batch NOT committed
+    assert os.path.exists(os.path.join(verdicts, "batch=1"))
+    assert int(store.manifest.get("lastStreamBatch", -1)) == 0
+
+    # replay completes: identical verdict, batch committed exactly once
+    store.process_stream_batch(batch2, 1, "doc_id", "text", verdicts)
+    assert int(store.manifest["lastStreamBatch"]) == 1
+    got = {r.id: r.kept for r in spark.read.parquet(verdicts).collect()}
+    assert got == {1: True, 2: True, 10: False, 11: True}
