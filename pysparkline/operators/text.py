@@ -277,12 +277,54 @@ def chunk_documents(
     )
 
 
+def _pack_shard_bounds(
+    out: DataFrame, id_col: str, part_col: str, rows_per_shard: int
+) -> DataFrame | None:
+    """Per-source ``id_col`` cut points for sources larger than
+    ``rows_per_shard`` rows, or None when no source needs sharding.
+
+    Returns a tiny (part_col, __cuts array) frame — one row per OVERSIZED
+    source only (count bounded by total_rows / rows_per_shard), built with a
+    broadcast semi-join, never a literal IN chain. Cut placement comes from
+    ``percentile_approx`` so it is only approximately balanced — exactness
+    of the packing offsets never depends on where the cuts fall, only on
+    the cut function being monotone in ``id_col`` (it is: shard = number of
+    cuts <= id)."""
+    big = (
+        out.groupBy(part_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > rows_per_shard)
+        .select(part_col, "__n")
+        .collect()
+    )
+    if not big:
+        return None
+    k = max(-(-int(r["__n"]) // rows_per_shard) for r in big)
+    fracs = [i / k for i in range(1, k)]
+    big_df = out.sparkSession.createDataFrame(
+        [(r[part_col],) for r in big],
+        _schema_of(out, part_col),
+    )
+    return (
+        out.join(F.broadcast(big_df), [part_col], "left_semi")
+        .groupBy(part_col)
+        .agg(F.percentile_approx(id_col, fracs, 10_000).alias("__cuts"))
+    )
+
+
+def _schema_of(df: DataFrame, col: str):
+    from pyspark.sql import types as T
+
+    return T.StructType([T.StructField(col, df.schema[col].dataType)])
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     part_col: str = "source",
+    rows_per_shard: int = 4_000_000,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: assign every document its position
     in a stream of fixed-size training packs.
@@ -292,27 +334,63 @@ def pack_sequences(
     every ``budget`` tokens. For each document this returns where it landed:
     ``start_offset`` (tokens before it in its stream), ``pack_id`` (the pack
     its first token falls in) and ``packs_spanned`` (how many packs it
-    straddles; 0 for empty docs). All integer window arithmetic — one shuffle
-    on ``part_col``, exact in any SQL engine (the driver oracle mirrors it
-    with the same window sum).
+    straddles; 0 for empty docs). All integer window arithmetic, exact in
+    any SQL engine (the driver oracle mirrors it with the same window sum).
 
-    100 TB posture: a single window over (part_col, id_col) — each source
-    stream is one partition's sort, no iteration, no driver state. For
-    production layouts with giant single sources, pre-split the stream into
-    shards and use (source, shard) as ``part_col``.
+    100 TB posture: a per-source window alone would serialize a dominant
+    source into ONE reducer (the r4 scale hazard), so sources larger than
+    ``rows_per_shard`` rows are auto-split into id-range shards: a local
+    window runs within each (source, shard) — parallelism = shard count —
+    and exact global offsets are composed by adding the per-shard prefix
+    sums (a tiny broadcast frame, sources x shards rows). Equal ids land in
+    the same shard, so RANGE-frame tie semantics are bit-identical to the
+    single-window form. When no source is oversized the original one-window
+    plan runs unchanged.
     """
     from pyspark.sql import Window
 
     if budget <= 0:
         raise ValueError("budget must be positive")
-    w = Window.partitionBy(part_col).orderBy(id_col)
     n = token_count(F.col(text_col))
     out = df.select(
         F.col(part_col),
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
     )
-    cum = F.sum("n_tokens").over(w)
+    bounds = _pack_shard_bounds(out, id_col, part_col, rows_per_shard)
+    if bounds is None:
+        w = Window.partitionBy(part_col).orderBy(id_col)
+        cum = F.sum("n_tokens").over(w)
+    else:
+        # shard = count of cuts <= id: monotone in id, ties co-located
+        shard = F.when(F.col("__cuts").isNull(), F.lit(0)).otherwise(
+            F.size(F.filter("__cuts", lambda c: c <= F.col(id_col)))
+        )
+        sharded = (
+            out.join(F.broadcast(bounds), [part_col], "left")
+            .withColumn("__shard", shard)
+            .drop("__cuts")
+        )
+        # exclusive prefix of earlier shards' token totals, per source —
+        # computed on the tiny per-shard frame, then broadcast back
+        shard_tot = sharded.groupBy(part_col, "__shard").agg(
+            F.sum("n_tokens").alias("__tot")
+        )
+        wb = (
+            Window.partitionBy(part_col)
+            .orderBy("__shard")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        shard_base = shard_tot.select(
+            part_col,
+            "__shard",
+            F.coalesce(F.sum("__tot").over(wb), F.lit(0)).alias("__base"),
+        )
+        wl = Window.partitionBy(part_col, "__shard").orderBy(id_col)
+        out = sharded.join(
+            F.broadcast(shard_base), [part_col, "__shard"], "inner"
+        )
+        cum = F.col("__base") + F.sum("n_tokens").over(wl)
     start = (cum - F.col("n_tokens")).alias("start_offset")
     pack_id = F.floor((cum - F.col("n_tokens")) / budget)
     end_pack = F.floor((cum - 1) / budget)
