@@ -3562,6 +3562,38 @@ def sql_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_WINDOW_RANGE_DESC = """
+SELECT date_trunc('month', l_shipdate) AS m,
+  round(sum(l_extendedprice), 2) AS rev,
+  CAST(round(CAST(sum(sum(l_extendedprice)) OVER
+    (ORDER BY m DESC RANGE BETWEEN INTERVAL '2' MONTH PRECEDING AND CURRENT ROW)
+    AS DECIMAL(28,6)), 2) AS DOUBLE) AS rev_fwd3,
+  count(sum(l_extendedprice)) OVER
+    (ORDER BY m DESC RANGE BETWEEN INTERVAL '2' MONTH PRECEDING AND CURRENT ROW)
+    AS months_in_frame
+FROM lineitem
+WHERE (l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-03-01')
+   OR (l_shipdate >= DATE '1997-06-01' AND l_shipdate < DATE '1998-01-01')
+GROUP BY m ORDER BY m
+"""
+
+
+@_register("sql_window_range_desc", _SQL_WINDOW_RANGE_DESC)
+def sql_window_range_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCENDING RANGE value frame (VERDICT r4 #4): ORDER BY month DESC
+    with a 2-MONTH PRECEDING frame sums the CURRENT-and-NEXT-two months —
+    the trailing-window shape BI tools emit. The month gap (Mar-May 1997
+    absent) discriminates a VALUE frame from a ROWS frame here too. Spark
+    evaluates descending RangeFrames natively over the calendar-month
+    surrogate; previously this shape declined to the spark.sql fallback."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_WINDOW_RANGE_DESC)
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "descending RANGE frames must rewrite onto the index, not fall back"
+    )
+    return out
+
+
 _SQL_WINDOW_NTH = """
 SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS rev,
   nth_value(l_linestatus, 2) OVER
@@ -4076,40 +4108,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # untouched text/format ops that rotate in next round — and every registered
 # query still runs against its oracle in tests/test_entry_oracle each round.
 _PRIORITY = [
-    # (a) fixed reds (pack_docs ordering, sql_window_ma rounding) + new
-    "pack_docs", "sql_window_ma",
-    "sql_window_range", "sql_window_nth", "sql_window_rowgrain",
-    "shard_docs", "sql_qualify_topk", "sql_latest_per_key",
-    "temperature_mix_docs",
-    # (b) last driver verdict in ROUND 1 (all 25)
-    "ship_date_range", "monthly_revenue", "dim_filters", "range_filters",
-    "in_null_not_filters", "contains_regex_filters", "filtered_agg",
-    "topn_brand", "search_ptype", "select_pushdown", "having_filter",
-    "count_distinct_exact", "rollup_flags", "cube_flags", "year_volume",
-    "expr_dim_prefix", "min_max_metrics", "dedup_exact_docs",
-    "doc_fingerprint", "text_stats_docs", "lang_quality",
-    "ngram_jaccard_docs", "asof_event_purchase", "running_totals_user",
-    "grouped_topn_brands",
-    # (c) round-2-verdicted rows on round-4-touched code
-    "image_features", "audio_features",  # decode_image dispatch changed
-    "minhash_pairs_docs", "dedup_clusters_docs", "decontaminate_docs",
-    "sessionize_stats", "funnel_events",
-    "spatial_bounds", "events_15min", "tz_daily_revenue",
-    "topn_monthly_brand",  # flat-served pruning paths
-    "sql_select_scan", "sql_multi_interval",  # lower_select rewritten
-    "sql_subquery",
-    "skew_salted_distinct", "avg_null_aware",
-    # --- 50-query window boundary ---
-    # round-3-green rows (fresh verdicts) follow in their r3 order so their
-    # positions stay stable for cross-round comparison
+    # --- round-5 window (first 50): (a) queries whose code or oracle
+    # changed THIS round must re-verify ---
+    "pack_docs",              # oracle BIGINT cast (the r4 red)
+    "sql_window_range_desc",  # NEW: descending RANGE frames
+    "select_pushdown",        # ORDER BY made total (tie-break fix)
+    "temperature_mix_docs",   # broadcast-join selection rewrite
+    "sql_window_range", "sql_window_ma",  # shared window-lowering edits
+    "ship_date_range", "sql_multi_interval",  # manifest pruning touched
+    "image_features", "audio_features",  # jpeg decode hardening
+    # (b) every row whose last driver verdict is round <= 2 (the 22 oldest)
+    "boilerplate_prune_docs", "bpe_tokens_docs", "chunk_docs", "json_props",
+    "lang_id_docs", "length_quantiles_docs", "pii_redact_docs",
+    "quality_docs", "repetition_stats_docs", "simhash_pairs_docs",
+    "sql_count_distinct", "sql_cte", "sql_distinct", "sql_grouping_fns",
+    "sql_having_postagg", "sql_quantile", "sql_rollup",
+    "stratified_sample_docs", "time_parse_reformat", "topn_low_brand",
+    "tz_format_dim", "ym_format_dim",
+    # (c) oldest round-3-verdicted rows, in their r3 order (the remainder
+    # of the r3 cohort rotates into round 6's window)
     "frame_sample", "mix_sources_docs", "search_strlen",
     "theta_error_small_k", "bm25_topk_docs", "text_index_topk",
     "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
     "lookup_dim_market", "sql_window_share", "sql_window_mom",
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
-    "tfidf_docs", "interval_join_events", "ivfpq_index_topk",
-    "incremental_dedup_docs", "sql_q1", "sql_star_join",
-    "sql_count_distinct", "sql_rollup", "sql_distinct", "sql_cte",
+    "tfidf_docs", "interval_join_events",
+    # --- 50-query window boundary ---
+    # remaining r3-verdicted rows (2 rounds old after r5 — r6 re-checks)
+    "ivfpq_index_topk", "incremental_dedup_docs", "sql_q1", "sql_star_join",
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",
     "events_user_distinct", "events_daily_types", "events_hourly",
@@ -4117,6 +4143,22 @@ _PRIORITY = [
     "embedding_neardup",
     "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10", "q6",
     "q14", "q17", "q18",
+    # r4-green rows (freshest verdicts) trail
+    "sql_window_nth", "sql_window_rowgrain", "shard_docs",
+    "sql_qualify_topk", "sql_latest_per_key",
+    "monthly_revenue", "dim_filters", "range_filters",
+    "in_null_not_filters", "contains_regex_filters", "filtered_agg",
+    "topn_brand", "search_ptype", "having_filter",
+    "count_distinct_exact", "rollup_flags", "cube_flags", "year_volume",
+    "expr_dim_prefix", "min_max_metrics", "dedup_exact_docs",
+    "doc_fingerprint", "text_stats_docs", "lang_quality",
+    "ngram_jaccard_docs", "asof_event_purchase", "running_totals_user",
+    "grouped_topn_brands",
+    "minhash_pairs_docs", "dedup_clusters_docs", "decontaminate_docs",
+    "sessionize_stats", "funnel_events",
+    "spatial_bounds", "events_15min", "tz_daily_revenue",
+    "topn_monthly_brand", "sql_select_scan", "sql_subquery",
+    "skew_salted_distinct", "avg_null_aware",
 ]
 
 

@@ -1042,12 +1042,14 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
         is_range = frame is not None and getattr(w, "frame_type", None) == "range"
         spec = Window.partitionBy(*[F.col(p) for p in w.partition])
         if is_range:
-            # RANGE frame: single ascending ORDER BY (front-end invariant).
-            # INTERVAL units order by an integer surrogate of the time
-            # bucket — calendar index for month/year (exact because the
-            # keys are bucket-truncated), epoch seconds for fixed-length
-            # units (exact in the engine's UTC session) — so Spark's
-            # numeric rangeBetween reproduces DuckDB's interval arithmetic.
+            # RANGE frame: single ORDER BY key, either direction (Spark's
+            # RangeFrame walks PRECEDING toward larger keys under DESC,
+            # matching ANSI/DuckDB — probe-verified). INTERVAL units order
+            # by an integer surrogate of the time bucket — calendar index
+            # for month/year (exact because the keys are bucket-truncated),
+            # epoch seconds for fixed-length units (exact in the engine's
+            # UTC session) — so Spark's numeric rangeBetween reproduces
+            # DuckDB's interval arithmetic.
             okey = w.order[0].column
             unit = getattr(w, "range_unit", None)
             if unit is None:
@@ -1060,7 +1062,10 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                 secs = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
                 ocol = F.expr(f"unix_timestamp(CAST({okey} AS TIMESTAMP))")
                 scale = secs
-            spec = spec.orderBy(ocol.asc()).rangeBetween(
+            okcol = (
+                ocol.asc() if w.order[0].direction == "asc" else ocol.desc()
+            )
+            spec = spec.orderBy(okcol).rangeBetween(
                 Window.unboundedPreceding if frame[0] is None else frame[0] * scale,
                 Window.unboundedFollowing if frame[1] is None else frame[1] * scale,
             )

@@ -886,15 +886,18 @@ def _window_spec(
         for o in item.get("orders", [])
     ]
 
-    # RANGE frames: single ascending ORDER BY; INTERVAL units only over the
-    # time bucket (the lowering orders by a calendar/epoch surrogate, exact
-    # iff the keys are bucket-truncated — month/year units additionally need
-    # a month-/year-truncated granularity); numeric bounds only over
-    # numeric keys. Violations raise => the correct spark.sql fallback.
+    # RANGE frames: single ORDER BY (either direction — Spark evaluates
+    # descending value frames natively with DuckDB-identical semantics,
+    # probe-verified: PRECEDING walks toward larger keys); INTERVAL units
+    # only over the time bucket (the lowering orders by a calendar/epoch
+    # surrogate, exact iff the keys are bucket-truncated — month/year units
+    # additionally need a month-/year-truncated granularity); numeric
+    # bounds only over numeric keys. Violations raise => the correct
+    # spark.sql fallback.
     if frame_type == "range":
-        if len(orders) != 1 or orders[0].direction != "asc":
+        if len(orders) != 1:
             raise SQLFrontError(
-                f"window {fn}: RANGE frame requires a single ascending ORDER BY"
+                f"window {fn}: RANGE frame requires a single ORDER BY key"
             )
         if row_grain:
             # raw timestamps aren't bucket-truncated, so calendar-unit

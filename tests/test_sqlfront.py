@@ -507,15 +507,11 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def test_window_unsupported_falls_back(ctx, duck):
-    # still outside the rewritten surface (descending RANGE, month RANGE
-    # over non-month-truncated buckets): the always-correct spark.sql
+    # still outside the rewritten surface (month RANGE over
+    # non-month-truncated buckets): the always-correct spark.sql
     # fallback answers instead (GROUPS frames decline too, but Spark itself
     # cannot parse GROUPS, so the fallback surfaces Spark's parse error)
     for sql in [
-        """SELECT l_returnflag, sum(l_quantity) AS s,
-           sum(sum(l_quantity)) OVER (ORDER BY sum(l_quantity) DESC
-             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS run
-           FROM lineitem GROUP BY l_returnflag""",
         """SELECT date_trunc('day', l_shipdate) AS d, sum(l_quantity) AS s,
            sum(sum(l_quantity)) OVER (ORDER BY date_trunc('day', l_shipdate)
              RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) AS run
@@ -523,6 +519,34 @@ def test_window_unsupported_falls_back(ctx, duck):
     ]:
         ctx.sql(sql).collect()
         assert ctx.query_history[-1].backing == "sparksql"
+
+
+def test_window_range_descending(ctx, duck):
+    # descending RANGE value frames now rewrite (round 5): Spark's
+    # RangeFrame walks PRECEDING toward larger keys under DESC, matching
+    # DuckDB — both numeric and INTERVAL-unit shapes
+    sql = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s,
+  count(1) OVER (ORDER BY sum(l_quantity) DESC
+    RANGE BETWEEN 30000 PRECEDING AND CURRENT ROW) AS near_above
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+    sql2 = """
+SELECT date_trunc('month', l_shipdate) AS m,
+  round(sum(sum(l_extendedprice)) OVER
+    (ORDER BY m DESC
+     RANGE BETWEEN INTERVAL '2' MONTH PRECEDING AND CURRENT ROW), 2)
+    AS fwd3
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY m ORDER BY m
+"""
+    assert_same(ctx, duck, sql2, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
 
 
 def test_window_running_and_moving_average(ctx, duck):
