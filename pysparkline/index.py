@@ -466,6 +466,7 @@ class OlapIndex:
         self._file_manifest_tbl = None  # pyarrow Table twin of the dict
         self._input_files: list[str] | None = None
         self._norm_paths: tuple[list, set] | None = None
+        self._files_by_month = None
         self.epoch = 0  # bumped on invalidate(); versions compiled-plan caches
 
     # ------------------------------------------------------------------ build
@@ -814,6 +815,40 @@ class OlapIndex:
             self._norm_paths = (listing, manifested)
         return self._norm_paths
 
+    def files_by_month(self):
+        """The flat listing grouped by its ``__month=`` partition directory
+        (memoized per epoch): ``(by_month, unmanifested_by_month)`` where
+        ``by_month`` maps month string (or None for paths without a month
+        dir) -> (original paths, normalized paths) and
+        ``unmanifested_by_month`` lists files absent from the manifest per
+        month. ``by_month`` is None when no path carries a month dir
+        (foreign layouts) — the planner then falls back to the full-listing
+        walk. This is what lets interval pruning iterate only
+        interval-surviving months' files: the per-query Python loop scales
+        with PRUNED file count, not total (the last O(total-files)
+        driver-side cost — SCALE.md)."""
+        if self._files_by_month is None:
+            import re
+
+            listing, manifested = self.pruning_path_sets()
+            origs = self.flat_input_files()
+            rx = re.compile(r"/" + re.escape(MONTH_COL) + r"=([^/]+)/")
+            by: dict = {}
+            unman: dict = {}
+            any_month = False
+            for p, np_ in zip(origs, listing):
+                m = rx.search(p)
+                key = m.group(1) if m else None
+                if key is not None:
+                    any_month = True
+                b = by.setdefault(key, ([], []))
+                b[0].append(p)
+                b[1].append(np_)
+                if np_ not in manifested:
+                    unman.setdefault(key, []).append(p)
+            self._files_by_month = (by if any_month else None, unman)
+        return self._files_by_month
+
     # target rows per in-memory cube partition: low enough that a single
     # partition never serializes a six-figure-row scan (latency), with the
     # partition count clamped to 2x the cluster parallelism so a 100 TB-scale
@@ -861,6 +896,7 @@ class OlapIndex:
         self._file_manifest_tbl = None
         self._input_files = None
         self._norm_paths = None
+        self._files_by_month = None
         self.epoch += 1
 
     def append_batch(self, flat_batch: DataFrame) -> int:

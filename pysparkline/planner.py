@@ -24,6 +24,7 @@ pre-aggregated execution.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -504,6 +505,35 @@ def _norm_path(p: str) -> str:
     return p
 
 
+_MONTH_RX = re.compile(r"/__month=([^/]+)/")
+
+
+def _month_survives(month: str, ivs: list) -> bool:
+    """May a ``__month=yyyy-MM`` partition contain rows inside any interval?
+    False only on proof (unparseable month strings or interval bounds keep
+    the month). Interval semantics are [start, end), matching
+    _intervals_overlap."""
+    from datetime import datetime
+
+    try:
+        y, mo = month.split("-")
+        start = datetime(int(y), int(mo), 1)
+        end = datetime(
+            start.year + (start.month == 12), start.month % 12 + 1, 1
+        )
+    except (ValueError, TypeError):
+        return True
+    for iv in ivs:
+        try:
+            s = lowering._parse_iso(iv.start) if iv.start else None
+            e = lowering._parse_iso(iv.end) if iv.end else None
+        except ValueError:
+            return True
+        if (s is None or s < end) and (e is None or e > start):
+            return True
+    return False
+
+
 def _vector_scalar(arr_type, val):
     """``val`` coerced for a vectorized comparison against an arrow column of
     ``arr_type`` — mirroring ``_coerce``'s per-type rules so the coarse pass
@@ -803,9 +833,13 @@ def prune_flat_files(
                 if ok and f is not None:
                     ok = _file_passes(row, f)
                 keep_mask[i] = ok
-        fnames = tbl.column("file").to_pylist()
+        # normalize ONLY the kept manifest paths (arrow take, then Python
+        # over the pruned count — not the full listing)
         passing = {
-            _norm_path(p) for i, p in enumerate(fnames) if keep_mask[i]
+            _norm_path(p)
+            for p in tbl.column("file")
+            .take(np.flatnonzero(keep_mask))
+            .to_pylist()
         }
         # normalized listing + manifested set are epoch-memoized on the
         # index (a 10^6-file normalization costs ~0.5 s — once, not per
@@ -815,12 +849,50 @@ def prune_flat_files(
             normed, manifested_n = paths_fn()
         else:
             normed = [_norm_path(p) for p in all_files]
-            manifested_n = {_norm_path(p) for p in fnames}
-        keep = [
-            p
-            for p, np_ in zip(all_files, normed)
-            if np_ in passing or np_ not in manifested_n
-        ]
+            manifested_n = {
+                _norm_path(p) for p in tbl.column("file").to_pylist()
+            }
+        by_month = unman_by_month = None
+        if ivs:
+            fbm_fn = getattr(index, "files_by_month", None)
+            if fbm_fn is not None:
+                by_month, unman_by_month = fbm_fn()
+        if by_month is not None:
+            # interval query over a month-partitioned layout: compose the
+            # keep list from interval-surviving months only, so this final
+            # Python loop scales with PRUNED file count, not total.
+            # Strict equivalence with the full walk: a month also counts as
+            # surviving when a passing file lives in it (possible when a
+            # file's time stats are absent/incomparable and the exact walk
+            # conservatively kept it) — an O(pruned) regex pass, and months
+            # the intervals exclude still contribute their unmanifested
+            # files (kept unconditionally — the month directory is never
+            # trusted over actual data stats, same as the full walk).
+            months_with_passing = {
+                m.group(1)
+                for m in (_MONTH_RX.search(q) for q in passing)
+                if m is not None
+            }
+            keep = []
+            for mkey, (origs, norms) in by_month.items():
+                if (
+                    mkey is None
+                    or mkey in months_with_passing
+                    or _month_survives(mkey, ivs)
+                ):
+                    keep.extend(
+                        p
+                        for p, q in zip(origs, norms)
+                        if q in passing or q not in manifested_n
+                    )
+                else:
+                    keep.extend(unman_by_month.get(mkey, ()))
+        else:
+            keep = [
+                p
+                for p, np_ in zip(all_files, normed)
+                if np_ in passing or np_ not in manifested_n
+            ]
     else:
         by_norm = {_norm_path(k): v for k, v in fm.items()}
         keep = []

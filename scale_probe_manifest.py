@@ -64,13 +64,17 @@ def _probe_query(f: ir.FilterSpec) -> ir.GroupByQuery:
 
 class _StubIndex:
     """prune_flat_files sees only file_manifest_table()/file_manifest()/
-    flat_input_files()/time_col — enough to drive both pruning paths over a
-    synthetic listing."""
+    flat_input_files()/time_col (+ the memoized path hooks real indexes
+    carry) — enough to drive every pruning path over a synthetic listing."""
 
-    def __init__(self, fm_tbl, files: list, time_col: str, use_table: bool):
+    def __init__(self, fm_tbl, files: list, time_col: str, use_table: bool,
+                 with_months: bool = False):
         self._tbl, self._files, self.time_col = fm_tbl, files, time_col
         self._use_table = use_table
+        self._with_months = with_months
         self._dict = None
+        self._paths = None
+        self._fbm = None
 
     def file_manifest_table(self):
         return self._tbl if self._use_table else None
@@ -82,6 +86,35 @@ class _StubIndex:
 
     def flat_input_files(self):
         return self._files
+
+    def pruning_path_sets(self):
+        if self._paths is None:
+            listing = [planner._norm_path(p) for p in self._files]
+            manifested = {
+                planner._norm_path(p)
+                for p in self._tbl.column("file").to_pylist()
+            }
+            self._paths = (listing, manifested)
+        return self._paths
+
+    def files_by_month(self):
+        if not self._with_months:
+            return None, {}
+        if self._fbm is None:
+            listing, manifested = self.pruning_path_sets()
+            by, unman = {}, {}
+            any_month = False
+            for p, np_ in zip(self._files, listing):
+                m = planner._MONTH_RX.search(p)
+                key = m.group(1) if m else None
+                any_month = any_month or key is not None
+                b = by.setdefault(key, ([], []))
+                b[0].append(p)
+                b[1].append(np_)
+                if np_ not in manifested:
+                    unman.setdefault(key, []).append(p)
+            self._fbm = (by if any_month else None, unman)
+        return self._fbm
 
 
 def main() -> None:
@@ -142,23 +175,43 @@ def main() -> None:
 
         base_tbl = idx.file_manifest_table()
         tcol = idx.time_col
+        tmin_i = base_tbl.schema.get_field_index(f"min__{tcol}")
+        tmax_i = base_tbl.schema.get_field_index(f"max__{tcol}")
+        t_type = base_tbl.column(tmin_i).type
         scaling = {}
         for n in (100_000, 1_000_000):
             reps = -(-n // base_tbl.num_rows)
             parts = []
             files_big = []
             for r in range(reps):
+                # honest month layout: replica r is one month of a ~10-year
+                # span — dir label AND time stats agree (files_by_month's
+                # contract on a real index)
+                y, mo = 1993 + (r // 12) % 10, 1 + r % 12
+                month = f"{y:04d}-{mo:02d}"
                 paths = [
-                    f"/synthetic/part{r}/f{i}.parquet"
+                    f"/synthetic/part{r}/__month={month}/f{i}.parquet"
                     for i in range(base_tbl.num_rows)
                 ]
-                parts.append(
-                    base_tbl.set_column(
-                        base_tbl.schema.get_field_index("file"),
-                        "file",
-                        pa.array(paths),
-                    )
+                import datetime as _dt
+
+                lo = _dt.datetime(y, mo, 3)
+                hi = _dt.datetime(y, mo, 27)
+                if pa.types.is_date(t_type):
+                    lo, hi = lo.date(), hi.date()
+                nrow = base_tbl.num_rows
+                t = base_tbl.set_column(
+                    base_tbl.schema.get_field_index("file"),
+                    "file",
+                    pa.array(paths),
                 )
+                t = t.set_column(
+                    tmin_i, f"min__{tcol}", pa.array([lo] * nrow, t_type)
+                )
+                t = t.set_column(
+                    tmax_i, f"max__{tcol}", pa.array([hi] * nrow, t_type)
+                )
+                parts.append(t)
                 files_big.extend(paths)
             big = pa.concat_tables(parts).slice(0, n)
             files_big = files_big[:n]
@@ -172,6 +225,33 @@ def main() -> None:
                 planner.prune_flat_files(stub, _probe_query(Q10_FILTER))
                 scaling[f"{n}_files_{label}_prune_ms"] = round(
                     (time.perf_counter() - t0) * 1e3, 1
+                )
+            # the round-5 interval path: a 1-year query over the ~10-year
+            # span must cost O(pruned) driver time, not O(total) — months
+            # outside the intervals never enter the Python keep loop
+            iv_q = ir.GroupByQuery(
+                dimensions=[ir.DefaultDim("l_returnflag")],
+                aggregations=[ir.CountAgg("n")],
+                granularity="all",
+                filter=FLAG_FILTER,
+                intervals=[ir.Interval("1997-01-01", "1998-01-01")],
+            )
+            for with_months, label in (
+                (True, "interval_month_sharded"),
+                (False, "interval_full_walk"),
+            ):
+                stub = _StubIndex(big, files_big, tcol, True,
+                                  with_months=with_months)
+                stub.pruning_path_sets()  # epoch memo, outside the timer
+                if with_months:
+                    stub.files_by_month()
+                t0 = time.perf_counter()
+                pr = planner.prune_flat_files(stub, iv_q)
+                scaling[f"{n}_files_{label}_prune_ms"] = round(
+                    (time.perf_counter() - t0) * 1e3, 1
+                )
+                scaling[f"{n}_files_{label}_kept"] = (
+                    len(pr[0]) if pr else None
                 )
         out["driver_scaling"] = scaling
     finally:
