@@ -327,7 +327,10 @@ class OlapContext:
             self.index.flat_df().createOrReplaceTempView(self.fact_name)
 
     def explain_rewrite(self, spec: ir.QuerySpec | str) -> str:
-        """EXPLAIN DRUID REWRITE analog — accepts a QuerySpec or SQL text."""
+        """EXPLAIN DRUID REWRITE analog (DruidMetadataCommands.scala:49-77
+        rendered the chosen Druid query + datasource; here: chosen backing,
+        cube-vs-flat decision trail, file-pruning keep ratio, and the lowered
+        spec) — accepts a QuerySpec or SQL text."""
         if isinstance(spec, str):
             from .sqlfront import SQLFrontError
 
@@ -336,11 +339,33 @@ class OlapContext:
             except SQLFrontError as e:
                 return f"no rewrite: {e}\nfallback: spark.sql over base tables"
         spec, backing, decision = self.plan(spec)
-        return (
-            f"query shape: {type(spec).__name__}\n"
-            f"{decision.pretty()}\n"
-            f"spec: {json.dumps(spec.to_dict(), default=str)}"
-        )
+        lines = [f"query shape: {type(spec).__name__}", decision.pretty()]
+        if decision.backing == "flat":
+            from . import planner as _planner
+
+            pr = _planner.prune_flat_files(self.index, spec)
+            if pr is None:
+                total = len(self.index.flat_input_files())
+                lines.append(
+                    f"pruning: no file-level pruning (scan {total}/{total}"
+                    " files; partition/row-group pruning still applies)"
+                )
+            else:
+                kept, total = pr
+                pct = 100.0 * len(kept) / max(total, 1)
+                lines.append(
+                    f"pruning: keep {len(kept)}/{total} files"
+                    f" ({pct:.1f}%) via the per-file manifest"
+                )
+        elif decision.backing == "cube" and decision.cube_name:
+            info = self.index.manifest["cubes"].get(decision.cube_name, {})
+            if info.get("rowCount") is not None:
+                lines.append(
+                    f"cube rows: {info['rowCount']} (vs flat"
+                    f" {self.index.manifest['flat'].get('rowCount', '?')})"
+                )
+        lines.append(f"spec: {json.dumps(spec.to_dict(), default=str)}")
+        return "\n".join(lines)
 
     def clear_cache(self) -> None:
         """CLEAR DRUID CACHE analog: drop memoized/pinned backings and

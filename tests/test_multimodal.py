@@ -342,3 +342,69 @@ def test_jpeg_malformed_inputs_decline_cleanly():
     cmyk = bytes(base[:sof]) + sof4 + bytes(base[sof + 2 + seglen:])
     with pytest.raises(ValueError, match="component"):
         jpeg.decode(cmyk)
+
+
+def test_ffmpeg_dispatch_plumbing():
+    """Codec containers route to the ffmpeg wiring point; the subprocess
+    plumbing (probe -> dims -> rawvideo frames) is exercised through an
+    injectable runner, so it is tested even on hosts without ffmpeg — where
+    real payloads must raise an honest UnsupportedMediaError instead."""
+    import json
+    import struct as _struct
+
+    from pysparkline.operators import multimodal as mm
+
+    mp4ish = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 32
+    ebml = b"\x1a\x45\xdf\xa3" + b"\x00" * 32
+    assert mm._is_codec_video(mp4ish) and mm._is_codec_video(ebml)
+    assert not mm._is_codec_video(b"RVID" + b"\x00" * 8)
+
+    class R:
+        def __init__(self, stdout):
+            self.stdout = stdout
+
+    w, h, n = 4, 3, 2
+    frames = bytes(range(w * h * 3)) * n
+
+    def fake_run(cmd, capture_output, timeout):
+        if cmd[0] == "ffprobe":
+            return R(json.dumps(
+                {"streams": [{"width": w, "height": h}]}
+            ).encode())
+        assert cmd[0] == "ffmpeg" and "rgb24" in cmd
+        return R(frames)
+
+    gw, gh, gn, view = mm._ffmpeg_decode_video(mp4ish, 64, _run=fake_run)
+    assert (gw, gh, gn) == (w, h, n) and bytes(view) == frames
+
+    # no decodable stream -> honest decline, not a KeyError
+    with pytest.raises(mm.UnsupportedMediaError, match="no decodable"):
+        mm._ffmpeg_decode_video(
+            mp4ish, 64, _run=lambda *a, **k: R(b"{}")
+        )
+
+    # audio twin
+    sig_raw = _struct.pack("<4h", 0, 16384, -16384, 32767)
+
+    def fake_run_audio(cmd, capture_output, timeout):
+        if cmd[0] == "ffprobe":
+            return R(json.dumps(
+                {"streams": [{"sample_rate": "22050"}]}
+            ).encode())
+        return R(sig_raw)
+
+    assert mm._is_codec_audio(b"ID3\x04" + b"\x00" * 16)
+    assert mm._is_codec_audio(b"OggS" + b"\x00" * 16)
+    assert mm._is_codec_audio(b"fLaC" + b"\x00" * 16)
+    sig, rate = mm._ffmpeg_decode_audio(
+        b"ID3\x04" + b"\x00" * 16, _run=fake_run_audio
+    )
+    assert rate == 22050 and len(sig) == 4
+    assert abs(sig[1] - 0.5) < 1e-4 and abs(sig[3] - 32767 / 32768) < 1e-9
+
+    # where ffmpeg is genuinely absent: honest decline end-to-end
+    if not mm._ffmpeg_available():
+        with pytest.raises(mm.UnsupportedMediaError, match="ffmpeg"):
+            mm.decode_video_frames(mp4ish)
+        with pytest.raises(mm.UnsupportedMediaError, match="ffmpeg"):
+            mm.decode_audio(b"OggS" + b"\x00" * 16)

@@ -301,6 +301,33 @@ def test_explain_rewrite_sql(ctx):
     assert "no rewrite" in txt2 or "fallback" in txt2
 
 
+def test_explain_rewrite_carries_pruning_stats(ctx):
+    """The explain block shows the decision a user needs to see: chosen
+    backing, the file-pruning keep ratio on flat scans, and cube-vs-flat
+    row counts on cube routes (DruidMetadataCommands.scala:49-77 analog)."""
+    import re
+
+    # selective flat-served scan: keep ratio present and well-formed
+    txt = ctx.explain_rewrite("""
+SELECT l_orderkey, l_quantity FROM lineitem
+WHERE l_returnflag = 'R'
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-03-01'
+ORDER BY l_orderkey LIMIT 10
+""")
+    assert "backing=flat" in txt
+    m = re.search(r"pruning: keep (\d+)/(\d+) files \((\d+\.\d)%\)", txt)
+    assert m, txt
+    kept, total = int(m.group(1)), int(m.group(2))
+    assert 0 < kept < total
+
+    # cube-served aggregate: cube-vs-flat row counts present
+    txt2 = ctx.explain_rewrite(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    if "backing=cube" in txt2:
+        assert re.search(r"cube rows: \d+ \(vs flat \d+\)", txt2), txt2
+
+
 def test_sql_quantile_rewrites_and_matches(ctx, duck):
     """quantile_cont/median through ctx.sql: QuantileAgg rejects cubes,
     lowers on flat, matches DuckDB's interpolation exactly."""
