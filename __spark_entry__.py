@@ -3594,6 +3594,60 @@ def sql_window_range_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_WINDOW_FILTER_DISTINCT = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  CAST(sum(count(*)) FILTER (WHERE l_linestatus = 'F')
+    OVER (PARTITION BY l_returnflag) AS BIGINT) AS f_rows,
+  CAST(count(DISTINCT l_linestatus) OVER (PARTITION BY l_returnflag)
+    AS BIGINT) AS statuses
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@_register("sql_window_filter_distinct", _SQL_WINDOW_FILTER_DISTINCT)
+def sql_window_filter_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER and COUNT(DISTINCT) window aggregates (round 5): FILTER
+    rewrites to CASE WHEN inside the aggregate (Spark has no native window
+    FILTER), DISTINCT count lowers to size(collect_set(..)) (Spark rejects
+    DISTINCT window aggregates outright) — both previously spark.sql
+    fallbacks; the heavy aggregation stays index-served."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_WINDOW_FILTER_DISTINCT)
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "FILTER/DISTINCT windows must rewrite onto the index, not fall back"
+    )
+    return out
+
+
+_SQL_WINDOW_LAG_NULLS = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+  lag(CASE WHEN l_quantity >= 25 THEN l_quantity END IGNORE NULLS)
+    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
+    AS prev_big
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+ORDER BY l_orderkey, l_linenumber, l_quantity, prev_big
+"""
+
+
+@_register("sql_window_lag_nulls", _SQL_WINDOW_LAG_NULLS)
+def sql_window_lag_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag IGNORE NULLS over the row-grain pruned scan (round 5): Spark
+    evaluates it natively through SQL text (the python lag builder lacks
+    the flag); the CASE makes nulls occur so null-skipping discriminates.
+    prev_big joins the ORDER BY so tie rows (duplicate (orderkey,
+    linenumber, quantity) triples exist in the fixture) emit in one order
+    for the driver's ordered hash."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_WINDOW_LAG_NULLS)
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "lag IGNORE NULLS must rewrite onto the index, not fall back"
+    )
+    return out
+
+
 _SQL_WINDOW_NTH = """
 SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS rev,
   nth_value(l_linestatus, 2) OVER
@@ -4114,6 +4168,7 @@ _PRIORITY = [
     "sql_window_range_desc",  # NEW: descending RANGE frames
     "select_pushdown",        # ORDER BY made total (tie-break fix)
     "temperature_mix_docs",   # broadcast-join selection rewrite
+    "sql_window_filter_distinct", "sql_window_lag_nulls",  # NEW shapes
     "sql_window_range", "sql_window_ma",  # shared window-lowering edits
     "ship_date_range", "sql_multi_interval",  # manifest pruning touched
     "image_features", "audio_features",  # jpeg decode hardening
@@ -4132,8 +4187,8 @@ _PRIORITY = [
     "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
     "lookup_dim_market", "sql_window_share", "sql_window_mom",
     "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
-    "tfidf_docs", "interval_join_events",
     # --- 50-query window boundary ---
+    "tfidf_docs", "interval_join_events",
     # remaining r3-verdicted rows (2 rounds old after r5 — r6 re-checks)
     "ivfpq_index_topk", "incremental_dedup_docs", "sql_q1", "sql_star_join",
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",

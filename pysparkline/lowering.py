@@ -1028,6 +1028,16 @@ def lower_groupby(q: ir.GroupByQuery, backing: Backing) -> DataFrame:
     return _default_order(out, declared)
 
 
+def _sql_literal(v) -> str:
+    """Render a JSON-scalar default as a Spark SQL literal (for the
+    SQL-text-only lag/lead IGNORE NULLS form)."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return repr(v)
+
+
 def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
     """Window functions over the aggregated result (ir.WindowPostSpec; ANSI
     order: after HAVING, before ORDER BY/LIMIT). The input here is the
@@ -1108,9 +1118,32 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
             # `or 1` would silently turn an explicit offset 0 (= current
             # row, valid SQL) into offset 1
             off = 1 if w.offset is None else w.offset
-            wcols[w.name] = getattr(F, w.func)(
-                F.expr(w.arg), off, w.default
-            ).over(spec)
+            if getattr(w, "ignore_nulls", False):
+                # Spark's lag/lead take IGNORE NULLS only through SQL text
+                # (the python builders lack the flag); semantics match
+                # ANSI/DuckDB — probe-verified
+                args = f"{w.arg}, {off}"
+                if w.default is not None:
+                    args += f", {_sql_literal(w.default)}"
+                wcols[w.name] = F.expr(
+                    f"{w.func}({args}) IGNORE NULLS"
+                ).over(spec)
+            else:
+                wcols[w.name] = getattr(F, w.func)(
+                    F.expr(w.arg), off, w.default
+                ).over(spec)
+        elif w.func == "count_distinct":
+            # COUNT(DISTINCT x) OVER — Spark rejects DISTINCT window
+            # aggregates outright; size(collect_set(x) OVER frame) is the
+            # exact equivalent (collect_set drops NULLs, count DISTINCT
+            # skips them) for whole-partition, running, and explicit frames
+            if frame is not None and not is_range:
+                lo = Window.unboundedPreceding if frame[0] is None else frame[0]
+                hi = Window.unboundedFollowing if frame[1] is None else frame[1]
+                spec = spec.rowsBetween(lo, hi)
+            wcols[w.name] = F.size(
+                F.collect_set(F.expr(w.arg)).over(spec)
+            ).cast("long")
         else:
             if frame is not None and not is_range:
                 lo = Window.unboundedPreceding if frame[0] is None else frame[0]

@@ -808,14 +808,26 @@ def _window_spec(
     always-correct spark.sql fallback."""
     fn = item.get("function_name", "").lower()
     ignore_nulls = bool(item.get("ignore_nulls"))
+    filt = item.get("filter_expr")
+    distinct = bool(item.get("distinct"))
+    # round 5: FILTER rewrites to CASE WHEN inside any aggregate window
+    # (exact — aggregates skip NULLs); DISTINCT lowers for count (via
+    # collect_set) and is a no-op for min/max; lag/lead IGNORE NULLS is
+    # native Spark (probe-verified identical to DuckDB). Remaining out:
+    # sum/avg DISTINCT windows and EXCLUDE clauses => spark.sql fallback.
     if (
-        item.get("filter_expr") is not None
-        or item.get("distinct")
-        or (ignore_nulls and fn not in _WINDOW_VALUE_FNS)
+        (filt is not None and fn not in _WINDOW_AGG_FNS)
+        or (distinct and fn not in ("count", "min", "max"))
+        or (
+            ignore_nulls
+            and fn not in _WINDOW_VALUE_FNS
+            and fn not in _WINDOW_OFFSET_FNS
+        )
         or item.get("exclude_clause", "NO_OTHER") != "NO_OTHER"
     ):
         raise SQLFrontError(
-            f"window {fn}: FILTER/DISTINCT/IGNORE NULLS unsupported"
+            f"window {fn}: this FILTER/DISTINCT/IGNORE NULLS/EXCLUDE shape"
+            " is unsupported"
         )
     if fn not in _WINDOW_OFFSET_FNS and (
         item.get("offset_expr") is not None
@@ -981,7 +993,8 @@ def _window_spec(
         if item.get("default_expr") is not None:
             dflt = _window_const(item["default_expr"], f"{fn} default")
         return ir.WindowPostSpec(
-            name, fn, arg, partition, orders, offset=off, default=dflt
+            name, fn, arg, partition, orders, offset=off, default=dflt,
+            ignore_nulls=ignore_nulls,
         )
     if fn in _WINDOW_AGG_FNS:
         if frame is not None and not orders:
@@ -997,10 +1010,28 @@ def _window_spec(
             )
         else:
             raise SQLFrontError(f"window {fn}: expected one argument")
+        if filt is not None:
+            # ANSI FILTER over the window's input rows == CASE WHEN inside
+            # the aggregate (aggregates skip NULLs) — exact, and Spark has
+            # no native window FILTER. The condition resolves at the same
+            # grain as the argument.
+            cond = (
+                resolve_expr(filt)
+                if row_grain
+                else _extract_inner_aggs(filt, a.aggs)[0]
+            )
+            arg = f"CASE WHEN ({cond}) THEN ({arg}) END"
+        out_fn = fn
+        if distinct and fn == "count":
+            # lowering emits size(collect_set(arg)) — exact running/framed
+            # distinct count (collect_set drops NULLs, as count DISTINCT
+            # does); Spark rejects DISTINCT window aggregates natively
+            out_fn = "count_distinct"
+        # DISTINCT min/max == plain min/max: nothing to change
         # orders + frame None = ANSI running frame (RANGE ... CURRENT ROW,
         # ties are peers — Spark's default ordered frame, identical)
         return ir.WindowPostSpec(
-            name, fn, arg, partition, orders, frame=frame,
+            name, out_fn, arg, partition, orders, frame=frame,
             frame_type=frame_type, range_unit=range_unit,
         )
     raise SQLFrontError(f"window function {fn} unsupported")

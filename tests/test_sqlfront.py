@@ -723,18 +723,65 @@ ORDER BY l_orderkey, l_linenumber
 """
     assert_same(ctx, duck, sql)  # multiset: tie order is engine-arbitrary
     assert ctx.query_history[-1].backing != "sparksql"
-    # lag IGNORE NULLS stays outside the surface -> declines to fallback
-    # (the two dialects disagree on IGNORE NULLS placement — in-parens for
-    # the DuckDB-style parser, post-parens for Spark — so the decline is
-    # checked at the rewrite layer rather than by executing the fallback)
+def test_window_lag_lead_ignore_nulls(ctx, duck):
+    """lag/lead IGNORE NULLS (round 5): Spark evaluates it natively through
+    SQL text (the python builders lack the flag; the rewrite emits the
+    post-parens Spark placement from the in-parens DuckDB one). The CASE
+    makes nulls actually occur so null-skipping discriminates. lag and lead
+    are asserted in separate queries: on (orderkey, linenumber, quantity)
+    ties the PAIRING of lag and lead in one row is tie-order-dependent even
+    though each column's multiset is engine-invariant."""
+    for fn in ("lag", "lead"):
+        sql = f"""
+SELECT l_orderkey, l_linenumber, l_quantity,
+  {fn}(CASE WHEN l_quantity >= 25 THEN l_quantity END IGNORE NULLS)
+    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
+    AS neighbor_big
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+ORDER BY l_orderkey, l_linenumber, l_quantity
+"""
+        assert_same(ctx, duck, sql)  # multiset: tie order engine-arbitrary
+        assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_filter_and_distinct_agg_grain(ctx, duck):
+    """FILTER on a window aggregate rewrites to CASE WHEN inside the
+    aggregate (Spark has no native window FILTER); count(DISTINCT) windows
+    lower to size(collect_set(..)) — Spark rejects DISTINCT window
+    aggregates natively (round 5; both previously spark.sql fallbacks)."""
+    sql = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  sum(count(*)) FILTER (WHERE l_linestatus = 'F')
+    OVER (PARTITION BY l_returnflag) AS f_rows,
+  count(DISTINCT l_linestatus) OVER (PARTITION BY l_returnflag) AS statuses
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_filter_and_distinct_row_grain(ctx, duck):
+    sql = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+  sum(l_quantity) FILTER (WHERE l_quantity >= 25)
+    OVER (PARTITION BY l_orderkey) AS big_qty,
+  count(DISTINCT l_linestatus) OVER (PARTITION BY l_orderkey) AS statuses
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+ORDER BY l_orderkey, l_linenumber, l_quantity
+"""
+    assert_same(ctx, duck, sql)  # multiset
+    assert ctx.query_history[-1].backing != "sparksql"
+    # sum/avg DISTINCT windows remain outside the surface -> honest decline
     out = ctx.explain_rewrite("""
-SELECT l_orderkey, l_linenumber,
-  lag(l_quantity IGNORE NULLS)
-    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS lq
+SELECT l_orderkey, sum(DISTINCT l_quantity) OVER (PARTITION BY l_orderkey)
+  AS sd
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-01-05'
 """)
-    assert "no rewrite" in out and "IGNORE NULLS" in out
+    assert "no rewrite" in out
 
 
 def test_window_row_grain_month_range_falls_back(ctx, duck):
