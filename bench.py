@@ -119,6 +119,8 @@ LLM_OPS = [
     "pq_topk",
     "sql_window_share",
     "sql_window_range",
+    "sql_window_range_desc",
+    "sql_window_filter_distinct",
     "sql_window_rowgrain",
     "curate_docs",
     "tfidf_docs",
