@@ -89,12 +89,24 @@ def select_sqls(draw):
         # tie reordering: rn/run select only the ordering columns (tie rows
         # are then fully identical), and lag lags the ORDER column itself
         # (swapping equal-keyed rows permutes equal lag inputs)
-        kind = draw(st.sampled_from(["rn", "run", "lag"]))
+        kind = draw(st.sampled_from(["rn", "run", "lag", "lagn", "fsum"]))
         w = "PARTITION BY l_orderkey ORDER BY l_linenumber"
         expr = {
             "rn": f"ROW_NUMBER() OVER ({w})",
             "run": f"SUM(l_linenumber) OVER ({w})",
             "lag": f"LAG(l_linenumber, 1, 0) OVER ({w})",
+            # IGNORE NULLS lags a function of the order column only, so tie
+            # permutations permute equal inputs (same argument as "lag")
+            "lagn": (
+                "LAG(CASE WHEN l_linenumber > 2 THEN l_linenumber END"
+                f" IGNORE NULLS) OVER ({w})"
+            ),
+            # FILTER over the window input rows (CASE rewrite surface);
+            # condition depends only on the ordering column — tie-safe
+            "fsum": (
+                "SUM(l_linenumber) FILTER (WHERE l_linenumber % 2 = 0)"
+                f" OVER ({w})"
+            ),
         }[kind]
         return (
             f"SELECT l_orderkey, l_linenumber, {expr} AS w0 "
@@ -125,7 +137,8 @@ def select_sqls(draw):
         m = draw(st.sampled_from(METRICS))
         kind = draw(
             st.sampled_from(
-                ["share", "rank", "lag", "running", "frame", "vrange", "nth"]
+                ["share", "rank", "lag", "running", "frame", "vrange",
+                 "vrange_desc", "nth", "wfilter", "cdist"]
             )
         )
         if kind == "share":
@@ -153,6 +166,37 @@ def select_sqls(draw):
                 f"COUNT(1) OVER (ORDER BY SUM({m}) RANGE BETWEEN {width} "
                 f"PRECEDING AND CURRENT ROW) AS w0"
             )
+        elif kind == "vrange_desc":
+            # descending value frame (round 5): PRECEDING walks toward
+            # larger keys; value-defined, so tie order never matters
+            width = draw(st.integers(0, 10_000))
+            sel.append(
+                f"COUNT(1) OVER (ORDER BY SUM({m}) DESC RANGE BETWEEN "
+                f"{width} PRECEDING AND CURRENT ROW) AS w0"
+            )
+        elif kind == "wfilter":
+            # FILTER on a window aggregate (CASE rewrite); condition over a
+            # grouped dim — deterministic, and the IS NULL draw exercises
+            # the all-rows-filtered (empty window -> NULL) edge
+            cond = draw(
+                st.sampled_from(
+                    [f"{gcols[0]} IS NOT NULL", f"{gcols[0]} IS NULL"]
+                )
+            )
+            part = draw(st.sampled_from(["", f"PARTITION BY {gcols[0]}"]))
+            sel.append(
+                f"SUM(SUM({m})) FILTER (WHERE {cond}) OVER ({part}) AS w0"
+            )
+        elif kind == "cdist":
+            # DISTINCT count window (collect_set rewrite); no ORDER BY, so
+            # tie order never matters
+            if len(gcols) == 2:
+                sel.append(
+                    f"COUNT(DISTINCT {gcols[1]}) OVER "
+                    f"(PARTITION BY {gcols[0]}) AS w0"
+                )
+            else:
+                sel.append(f"COUNT(DISTINCT {gcols[0]}) OVER () AS w0")
         elif kind == "nth":
             # full frame + total order (sum then the unique group key):
             # deterministic runner-up
