@@ -375,24 +375,44 @@ def manifest_stat_aggs(mm_cols: list, set_cols: list) -> list:
     return aggs
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a DataFrame's optimized plan (bytes) —
+    driver-side metadata only, no job. None when unavailable."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001 — py4j/plan shapes vary
+        return None
+
+
 def flatten_star(
     spark: SparkSession,
     tables: dict[str, DataFrame],
     star: StarSchema,
     broadcast_dims: bool = True,
+    broadcast_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Inner-join the star into one denormalized DataFrame.
 
-    Join order follows the star tree; every dimension side is broadcast when
-    ``broadcast_dims`` (dimension tables are small relative to the fact by
-    definition of a star schema) so the fact side never shuffles.
+    Join order follows the star tree. A dimension side is broadcast only
+    when its Catalyst size estimate fits ``broadcast_max_bytes`` (default
+    512 MB — comfortably executor-resident): genuinely small dims never
+    shuffle the fact side, but a fact-SIZED "dimension" (TPC-H ``orders``
+    is ~25% of a 100 TB dataset) must NOT be forced into a broadcast that
+    would OOM every executor — it takes the sort-merge/shuffle join Spark
+    plans for it, the unavoidable one-time build cost. Unknown sizes also
+    decline the forced broadcast and leave the choice to Catalyst/AQE,
+    which still auto-broadcasts small sides at runtime.
     """
     df = tables[star.fact_table]
     joined = {star.fact_table}
     for rel in star.join_order():
         right = tables[rel.right_table]
         if broadcast_dims:
-            right = F.broadcast(right)
+            sz = _plan_size_bytes(right)
+            if sz is not None and sz <= broadcast_max_bytes:
+                right = F.broadcast(right)
         cond = None
         for c in rel.conditions:
             p = F.col(c.left_col) == F.col(c.right_col)

@@ -10,6 +10,7 @@ import pytest
 
 from pysparkline import ir
 from pysparkline.lowering import gran_coarser_or_equal, interval_aligned
+from tests.conftest import SF_DIR
 from pysparkline.metadata import (
     N_TO_ONE,
     ONE_TO_ONE,
@@ -225,3 +226,38 @@ def test_olapindex_create_one_call(spark, tmp_path):
     )
     assert ctx.query_history[-1].backing == "cube"
     assert out.count() == 3
+
+
+def test_flatten_star_size_gated_broadcast(spark):
+    """A fact-sized 'dimension' must not be forced into a broadcast (at
+    100 TB, TPC-H orders is ~25% of the dataset — a forced broadcast OOMs
+    every executor). With a tiny threshold the oversized side takes the
+    planner's shuffle join; small dims still broadcast."""
+    from pysparkline import tpch
+    from pysparkline.index import flatten_star
+
+    tables = tpch.load_star_tables(spark, SF_DIR)
+    star = tpch.tpch_star(tables)
+
+    # disable Catalyst's own auto-broadcast so the plan shows exactly what
+    # WE forced: with it on, tiny test dims re-broadcast under the 10MB
+    # auto threshold no matter what the hint says
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        normal = flatten_star(spark, tables, star)
+        plan_n = normal._jdf.queryExecution().executedPlan().toString()
+        # small dims carry the forced broadcast hint as before
+        assert "BroadcastHashJoin" in plan_n
+
+        tiny = flatten_star(spark, tables, star, broadcast_max_bytes=1)
+        plan_t = tiny._jdf.queryExecution().executedPlan().toString()
+        # every forced broadcast declined above the size gate: the planner
+        # falls to shuffle joins (at real scale AQE still auto-broadcasts
+        # genuinely small sides at runtime)
+        assert "BroadcastHashJoin" not in plan_t
+        assert "SortMergeJoin" in plan_t or "ShuffledHashJoin" in plan_t
+        # results identical either way
+        assert normal.count() == tiny.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
