@@ -198,7 +198,17 @@ def decode_image(payload: bytes) -> np.ndarray:
             return jpeg.decode(payload)
         except ValueError as ex:
             raise UnsupportedMediaError(f"jpeg: {ex}") from ex
+    if _is_webp(payload):
+        # WEBP without Pillow: ffmpeg decodes stills as a 1-frame video
+        w, h, _n, view = _ffmpeg_decode_video(payload, max_frames=1)
+        return np.frombuffer(bytes(view[: w * h * 3]), np.uint8).reshape(
+            h, w, 3
+        )
     raise UnsupportedMediaError("unrecognized image format")
+
+
+def _is_webp(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
 
 
 def encode_png(img: np.ndarray) -> bytes:

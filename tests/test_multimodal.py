@@ -408,3 +408,41 @@ def test_ffmpeg_dispatch_plumbing():
             mm.decode_video_frames(mp4ish)
         with pytest.raises(mm.UnsupportedMediaError, match="ffmpeg"):
             mm.decode_audio(b"OggS" + b"\x00" * 16)
+
+
+def test_webp_routes_to_ffmpeg_or_declines():
+    """WEBP dispatches to the ffmpeg wiring point when Pillow can't take it
+    (ffmpeg decodes stills as a 1-frame video); without either library the
+    decline names the missing tool instead of 'unrecognized'."""
+    import json
+
+    from pysparkline.operators import multimodal as mm
+
+    webp = b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 24
+    assert mm._is_webp(webp) and not mm._is_codec_audio(webp)
+
+    class R:
+        def __init__(self, stdout):
+            self.stdout = stdout
+
+    w, h = 2, 2
+    px = bytes(range(w * h * 3))
+
+    def fake_run(cmd, capture_output, timeout):
+        if cmd[0] == "ffprobe":
+            return R(json.dumps(
+                {"streams": [{"width": w, "height": h}]}
+            ).encode())
+        return R(px)
+
+    gw, gh, n, view = mm._ffmpeg_decode_video(webp, 1, _run=fake_run)
+    assert (gw, gh, n) == (w, h, 1)
+
+    try:
+        from PIL import Image  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil and not mm._ffmpeg_available():
+        with pytest.raises(mm.UnsupportedMediaError, match="ffmpeg"):
+            mm.decode_image(webp)

@@ -774,6 +774,20 @@ ORDER BY l_orderkey, l_linenumber, l_quantity
 """
     assert_same(ctx, duck, sql)  # multiset
     assert ctx.query_history[-1].backing != "sparksql"
+
+    # RUNNING distinct count (ORDER BY, ANSI default tie-peer frame):
+    # collect_set over the running frame — the value depends only on the
+    # set of peers at-or-before the key, so tie order never matters
+    sql_run = """
+SELECT l_orderkey, l_linenumber,
+  count(DISTINCT l_linestatus)
+    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS statuses_so_far
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+ORDER BY l_orderkey, l_linenumber
+"""
+    assert_same(ctx, duck, sql_run)  # multiset
+    assert ctx.query_history[-1].backing != "sparksql"
     # sum/avg DISTINCT windows remain outside the surface -> honest decline
     out = ctx.explain_rewrite("""
 SELECT l_orderkey, sum(DISTINCT l_quantity) OVER (PARTITION BY l_orderkey)
