@@ -3689,7 +3689,7 @@ SELECT l_orderkey, l_linenumber, l_quantity,
     AS trailing_week
 FROM lineitem
 WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
-ORDER BY l_orderkey, l_linenumber
+ORDER BY l_orderkey, rn
 """
 
 
@@ -3704,7 +3704,12 @@ def sql_window_rowgrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat backing is fact-grain (sqlfront._check_from). The window orders
     carry every selected column: (l_orderkey, l_linenumber) is NOT unique
     in this fixture, and the multiset is tie-deterministic only when tied
-    rows are identical in everything the query projects."""
+    rows are identical in everything the query projects. The final ORDER BY
+    is (l_orderkey, rn) — TOTAL, since row_number is unique per partition
+    and tied input rows are identical in every other projected column — so
+    the driver's ordered hash can't flip on engine tie-break (an sf0.01
+    ordered-mirror run caught the old (orderkey, linenumber) sort doing
+    exactly that)."""
     ctx = _sql_ctx(spark, sf_dir)
     out = ctx.sql(_SQL_WINDOW_ROWGRAIN)
     assert ctx.query_history[-1].backing != "sparksql", (
