@@ -4175,6 +4175,7 @@ _PRIORITY = [
     "temperature_mix_docs",   # broadcast-join selection rewrite
     "sql_window_filter_distinct", "sql_window_lag_nulls",  # NEW shapes
     "sql_window_range", "sql_window_ma",  # shared window-lowering edits
+    "sql_window_rowgrain",    # ordering made total (tie-break fix)
     "ship_date_range", "sql_multi_interval",  # manifest pruning touched
     "image_features", "audio_features",  # jpeg decode hardening
     # (b) every row whose last driver verdict is round <= 2 (the 22 oldest)
@@ -4191,8 +4192,9 @@ _PRIORITY = [
     "theta_error_small_k", "bm25_topk_docs", "text_index_topk",
     "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
     "lookup_dim_market", "sql_window_share", "sql_window_mom",
-    "semantic_dedup_emb", "perplexity_docs", "pq_topk", "curate_docs",
+    "semantic_dedup_emb", "perplexity_docs", "pq_topk",
     # --- 50-query window boundary ---
+    "curate_docs",
     "tfidf_docs", "interval_join_events",
     # remaining r3-verdicted rows (2 rounds old after r5 — r6 re-checks)
     "ivfpq_index_topk", "incremental_dedup_docs", "sql_q1", "sql_star_join",
@@ -4204,7 +4206,7 @@ _PRIORITY = [
     "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10", "q6",
     "q14", "q17", "q18",
     # r4-green rows (freshest verdicts) trail
-    "sql_window_nth", "sql_window_rowgrain", "shard_docs",
+    "sql_window_nth", "shard_docs",
     "sql_qualify_topk", "sql_latest_per_key",
     "monthly_revenue", "dim_filters", "range_filters",
     "in_null_not_filters", "contains_regex_filters", "filtered_agg",
