@@ -188,3 +188,57 @@ def test_query_matches_oracle(name, spark, duck):
                 f" ({'ordered' if ordered else 'sorted'} compare):"
                 f" spark={sr} oracle={dr}"
             )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_ordered_oracle_sort_key_is_total(name, duck):
+    """Every oracle with a top-level ORDER BY must order totally — or tie
+    only on fully-identical rows — because the driver hashes rows in
+    emitted order and engines break ties differently (this class shipped
+    twice in round 5 alone: select_pushdown, sql_window_rowgrain). Sort-key
+    tokens resolve against the result frame (ordinals and output names);
+    qualified/computed keys fall back to requiring zero full-row
+    duplicates."""
+    sql = ORACLES[name]
+    if not _has_toplevel_order_by(sql):
+        pytest.skip("unordered oracle (sorted compare)")
+    low = sql.lower()
+    depth = 0
+    pos = None
+    for i, ch in enumerate(sql):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith("order by", i):
+            pos = i
+    clause = re.split(
+        r"\blimit\b|\boffset\b", sql[pos + 8:], flags=re.I
+    )[0].strip().rstrip(";")
+    toks = [
+        re.sub(r"(?i)\s+(asc|desc)\s*$", "", c.strip())
+        for c in clause.split(",")
+    ]
+    ddf = duck.execute(sql.rstrip().rstrip(";")).df()
+    cols, unresolved = [], []
+    for t in toks:
+        if re.fullmatch(r"\d+", t):
+            cols.append(ddf.columns[int(t) - 1])
+        elif t.strip('`"') in ddf.columns:
+            cols.append(t.strip('`"'))
+        else:
+            unresolved.append(t)
+    full_dups = len(ddf) - len(ddf.drop_duplicates())
+    if unresolved:
+        assert full_dups == 0, (
+            f"{name}: sort key {unresolved} not resolvable against the "
+            f"output and {full_dups} duplicate rows exist — tie order is "
+            "engine-arbitrary"
+        )
+        return
+    key_dups = len(ddf) - len(ddf.drop_duplicates(subset=cols))
+    assert key_dups <= full_dups, (
+        f"{name}: {key_dups - full_dups} rows tie on ORDER BY {cols} while "
+        "differing elsewhere — the driver's ordered hash can flip on "
+        "engine tie-break; make the ordering total"
+    )
