@@ -299,7 +299,10 @@ def _pack_shard_bounds(
     )
     if not big:
         return None
-    k = max(-(-int(r["__n"]) // rows_per_shard) for r in big)
+    # cap the cut count: 4096 shards is ample parallelism at any scale,
+    # and an uncapped k puts k-1 literal fractions into the percentile
+    # expression — the IVF-cells/LSH-buckets literal-explosion class
+    k = min(4096, max(-(-int(r["__n"]) // rows_per_shard) for r in big))
     fracs = [i / k for i in range(1, k)]
     big_df = out.sparkSession.createDataFrame(
         [(r[part_col],) for r in big],
