@@ -1111,6 +1111,34 @@ def bpe_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "vocab_topk_docs",
+    r"""
+SELECT token, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS token
+  FROM documents)
+GROUP BY token
+ORDER BY df DESC, tf DESC, token
+LIMIT 100
+""",
+)
+def vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary by document frequency (operators/text.py
+    vocab_stats) — the corpus-stats pass of tokenizer training: one explode
+    + one two-phase aggregation (tf map-side combined, df via partial
+    distinct), shuffled once on token; output totally ordered (df desc,
+    tf desc, token) and k-bounded so it is driver-safe at any corpus
+    size."""
+    from pysparkline.operators import text
+
+    prep(spark)
+    return text.vocab_stats(_docs(spark, sf_dir), "doc_id", "text", k=100)
+
+
+@_register(
     "lang_quality",
     r"""
 SELECT lang, COUNT(*) AS n_docs,
@@ -4178,6 +4206,7 @@ _PRIORITY = [
     "sql_window_rowgrain",    # ordering made total (tie-break fix)
     "ship_date_range", "sql_multi_interval",  # manifest pruning touched
     "image_features", "audio_features",  # jpeg decode hardening
+    "vocab_topk_docs",        # NEW: corpus vocabulary stats
     # (b) every row whose last driver verdict is round <= 2 (the 22 oldest)
     "boilerplate_prune_docs", "bpe_tokens_docs", "chunk_docs", "json_props",
     "lang_id_docs", "length_quantiles_docs", "pii_redact_docs",
@@ -4192,9 +4221,9 @@ _PRIORITY = [
     "theta_error_small_k", "bm25_topk_docs", "text_index_topk",
     "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
     "lookup_dim_market", "sql_window_share", "sql_window_mom",
-    "semantic_dedup_emb", "perplexity_docs", "pq_topk",
+    "semantic_dedup_emb", "perplexity_docs",
     # --- 50-query window boundary ---
-    "curate_docs",
+    "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events",
     # remaining r3-verdicted rows (2 rounds old after r5 — r6 re-checks)
     "ivfpq_index_topk", "incremental_dedup_docs", "sql_q1", "sql_star_join",

@@ -130,6 +130,7 @@ LLM_OPS = [
     "shard_docs",
     "temperature_mix_docs",
     "sql_qualify_topk",
+    "vocab_topk_docs",
 ]
 
 

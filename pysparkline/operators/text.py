@@ -228,6 +228,40 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def vocab_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k corpus vocabulary by document frequency: (token, tf, df) —
+    the corpus-stats pass of tokenizer training / vocab pruning.
+
+    One explode + one two-phase aggregation: ``tf`` (total occurrences)
+    map-side combines, ``df`` (distinct docs) runs Spark's partial-distinct
+    expansion — both shuffle once on token. Output ordered totally
+    (df desc, tf desc, token) and bounded by ``k``, so the result is
+    driver-safe at any corpus size; ``min_df`` drops hapax-class noise
+    before the sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    out = (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("__doc").alias("df"),
+        )
+        .where(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("token"))
+        .limit(k)
+    )
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,
