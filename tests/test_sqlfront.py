@@ -962,3 +962,47 @@ SELECT l_returnflag, sum(l_quantity) AS s,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     assert_same(ctx, duck, sql, sort=False)
     assert ctx.query_history[-1].backing != "sparksql"
+
+
+@pytest.fixture(scope="module")
+def ectx(spark):
+    from pysparkline.events_index import build_or_load_events_index
+    from pysparkline.session import OlapContext
+
+    return OlapContext(spark, build_or_load_events_index(spark, SF))
+
+
+@pytest.fixture(scope="module")
+def educk():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    return con
+
+
+def test_round5_window_shapes_on_events(ectx, educk):
+    """The round-5 window rewrites are not TPC-H-hardwired: FILTER,
+    COUNT(DISTINCT), and descending RANGE windows serve from the events
+    (second) datasource's index too."""
+    sql = """
+SELECT event_type, count(*) AS n,
+  CAST(sum(count(*)) FILTER (WHERE event_type <> 'click')
+    OVER () AS BIGINT) AS other_rows,
+  CAST(count(DISTINCT event_type) OVER () AS BIGINT) AS n_types,
+  count(1) OVER (ORDER BY count(*) DESC
+    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS near_above
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+    assert_same(ectx, educk, sql, sort=False)
+    assert ectx.query_history[-1].backing != "sparksql"
+
+    # row-grain lag IGNORE NULLS over the events fact's pruned scan
+    sql2 = """
+SELECT event_id, user_id,
+  lag(CASE WHEN value >= 100 THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY event_id) AS prev_big
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'
+ORDER BY event_id
+"""
+    assert_same(ectx, educk, sql2, sort=False)
+    assert ectx.query_history[-1].backing != "sparksql"
