@@ -341,9 +341,14 @@ def _pack_shard_bounds(
     big_df = out.sparkSession.createDataFrame(
         [(r[part_col],) for r in big],
         _schema_of(out, part_col),
-    )
+    ).withColumnRenamed(part_col, "__big_src")
     return (
-        out.join(F.broadcast(big_df), [part_col], "left_semi")
+        # null-safe semi join: a NULL-valued source can be the oversized one
+        out.join(
+            F.broadcast(big_df),
+            F.col(part_col).eqNullSafe(F.col("__big_src")),
+            "left_semi",
+        )
         .groupBy(part_col)
         .agg(F.percentile_approx(id_col, fracs, 10_000).alias("__cuts"))
     )
@@ -399,14 +404,26 @@ def pack_sequences(
         w = Window.partitionBy(part_col).orderBy(id_col)
         cum = F.sum("n_tokens").over(w)
     else:
-        # shard = count of cuts <= id: monotone in id, ties co-located
-        shard = F.when(F.col("__cuts").isNull(), F.lit(0)).otherwise(
-            F.size(F.filter("__cuts", lambda c: c <= F.col(id_col)))
+        # shard = count of cuts <= id: monotone in id, ties co-located.
+        # ALL source-keyed joins here are NULL-SAFE: a NULL-valued source
+        # is a real stream (the window's partitionBy groups it), and a
+        # name-list equality join would silently DROP its rows when the
+        # sharded path engages
+        bcuts = F.broadcast(
+            bounds.select(
+                F.col(part_col).alias("__bnd_src"), "__cuts"
+            )
         )
         sharded = (
-            out.join(F.broadcast(bounds), [part_col], "left")
-            .withColumn("__shard", shard)
-            .drop("__cuts")
+            out.join(bcuts, F.col(part_col).eqNullSafe(F.col("__bnd_src")),
+                     "left")
+            .withColumn(
+                "__shard",
+                F.when(F.col("__cuts").isNull(), F.lit(0)).otherwise(
+                    F.size(F.filter("__cuts", lambda c: c <= F.col(id_col)))
+                ),
+            )
+            .drop("__cuts", "__bnd_src")
         )
         # exclusive prefix of earlier shards' token totals, per source —
         # computed on the tiny per-shard frame, then broadcast back
@@ -419,14 +436,17 @@ def pack_sequences(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         shard_base = shard_tot.select(
-            part_col,
-            "__shard",
+            F.col(part_col).alias("__base_src"),
+            F.col("__shard").alias("__base_shard"),
             F.coalesce(F.sum("__tot").over(wb), F.lit(0)).alias("__base"),
         )
         wl = Window.partitionBy(part_col, "__shard").orderBy(id_col)
         out = sharded.join(
-            F.broadcast(shard_base), [part_col, "__shard"], "inner"
-        )
+            F.broadcast(shard_base),
+            F.col(part_col).eqNullSafe(F.col("__base_src"))
+            & (F.col("__shard") == F.col("__base_shard")),
+            "inner",
+        ).drop("__base_src", "__base_shard")
         cum = F.col("__base") + F.sum("n_tokens").over(wl)
     start = (cum - F.col("n_tokens")).alias("start_offset")
     pack_id = F.floor((cum - F.col("n_tokens")) / budget)

@@ -119,6 +119,31 @@ def test_pack_sequences_auto_shard_exact(spark, docs):
     assert text._pack_shard_bounds(out, "doc_id", "source", 10**9) is None
 
 
+def test_pack_sequences_auto_shard_null_source(spark):
+    """A NULL-valued source is a real stream: when the sharded path engages
+    it must neither drop those rows (a name-list equality join would) nor
+    mis-offset them — and a giant NULL source itself shards (null-safe
+    joins throughout)."""
+    rows = [(None if i % 2 == 0 else "s", i, "a b c d") for i in range(2000)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    plain = sorted(
+        map(tuple, text.pack_sequences(df, 64).collect()),
+        key=repr,
+    )
+    sharded = sorted(
+        map(tuple, text.pack_sequences(df, 64, rows_per_shard=300).collect()),
+        key=repr,
+    )
+    assert len(sharded) == 2000 and plain == sharded
+    # the NULL stream got cut points too
+    out = df.select("source", "doc_id",
+                    text.token_count(F.col("text")).cast("long")
+                    .alias("n_tokens"))
+    bounds = text._pack_shard_bounds(out, "doc_id", "source", 300)
+    cuts = {r["source"]: r["__cuts"] for r in bounds.collect()}
+    assert None in cuts and len(cuts[None]) >= 1
+
+
 def test_pack_sequences_spans(spark):
     df = spark.createDataFrame(
         [("s", 1, "a " * 10), ("s", 2, "b " * 95), ("s", 3, "")],
