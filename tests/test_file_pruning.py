@@ -237,6 +237,29 @@ def test_vectorized_prune_equals_per_row_walk(ctx):
             ),
             aggregations=[ir.CountAgg("n")],
         ),
+        # interval-heavy shapes: the month-grouped keep composition
+        # (round 5) must stay file-set-identical to the per-row walk on
+        # multi-interval ORs, sub-month windows crossing a boundary, and
+        # open-ended intervals
+        ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("l_returnflag")],
+            intervals=[
+                ir.Interval("1995-03-01", "1995-05-15"),
+                ir.Interval("1996-11-20", "1997-01-10"),
+            ],
+            aggregations=[ir.CountAgg("n")],
+        ),
+        ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("l_returnflag")],
+            intervals=[ir.Interval("1997-06-15", None)],
+            filter=ir.SelectorFilter("l_linestatus", "O"),
+            aggregations=[ir.CountAgg("n")],
+        ),
+        ir.GroupByQuery(
+            dimensions=[ir.DefaultDim("l_returnflag")],
+            intervals=[ir.Interval(None, "1993-06-10")],
+            aggregations=[ir.CountAgg("n")],
+        ),
     ]
     for spec in specs:
         fast = planner.prune_flat_files(ctx.index, spec)
