@@ -314,13 +314,17 @@ def _ffmpeg_decode_audio(
     try:
         with os.fdopen(fd, "wb") as fh:
             fh.write(payload)
-        probe = _run(
-            [
-                "ffprobe", "-v", "error", "-select_streams", "a:0",
-                "-show_entries", "stream=sample_rate", "-of", "json", path,
-            ],
-            capture_output=True, timeout=60,
-        )
+        try:
+            probe = _run(
+                [
+                    "ffprobe", "-v", "error", "-select_streams", "a:0",
+                    "-show_entries", "stream=sample_rate", "-of", "json",
+                    path,
+                ],
+                capture_output=True, timeout=60,
+            )
+        except (subprocess.TimeoutExpired, OSError) as ex:
+            raise UnsupportedMediaError(f"ffprobe failed: {ex}") from ex
         try:
             streams = _json.loads(probe.stdout or b"{}").get("streams") or []
             rate = int(streams[0]["sample_rate"])
@@ -330,13 +334,17 @@ def _ffmpeg_decode_audio(
             ) from ex
         if rate <= 0 or rate > 768_000:
             raise UnsupportedMediaError(f"implausible sample rate {rate}")
-        dec = _run(
-            [
-                "ffmpeg", "-v", "error", "-i", path, "-map", "0:a:0",
-                "-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1", "pipe:1",
-            ],
-            capture_output=True, timeout=300,
-        )
+        try:
+            dec = _run(
+                [
+                    "ffmpeg", "-v", "error", "-i", path, "-map", "0:a:0",
+                    "-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1",
+                    "pipe:1",
+                ],
+                capture_output=True, timeout=300,
+            )
+        except (subprocess.TimeoutExpired, OSError) as ex:
+            raise UnsupportedMediaError(f"ffmpeg failed: {ex}") from ex
         raw = dec.stdout or b""
         if len(raw) < 2:
             raise UnsupportedMediaError("ffmpeg produced no samples")
@@ -447,13 +455,18 @@ def _ffmpeg_decode_video(
     try:
         with os.fdopen(fd, "wb") as fh:
             fh.write(payload)
-        probe = _run(
-            [
-                "ffprobe", "-v", "error", "-select_streams", "v:0",
-                "-show_entries", "stream=width,height", "-of", "json", path,
-            ],
-            capture_output=True, timeout=60,
-        )
+        try:
+            probe = _run(
+                [
+                    "ffprobe", "-v", "error", "-select_streams", "v:0",
+                    "-show_entries", "stream=width,height", "-of", "json",
+                    path,
+                ],
+                capture_output=True, timeout=60,
+            )
+        except (subprocess.TimeoutExpired, OSError) as ex:
+            # a hung/missing probe is a per-row decline, not a task crash
+            raise UnsupportedMediaError(f"ffprobe failed: {ex}") from ex
         try:
             streams = _json.loads(probe.stdout or b"{}").get("streams") or []
             w, h = int(streams[0]["width"]), int(streams[0]["height"])
@@ -463,14 +476,17 @@ def _ffmpeg_decode_video(
             ) from ex
         if w <= 0 or h <= 0 or w * h > 64_000_000:
             raise UnsupportedMediaError(f"implausible video dims {w}x{h}")
-        dec = _run(
-            [
-                "ffmpeg", "-v", "error", "-i", path, "-map", "0:v:0",
-                "-frames:v", str(max_frames), "-f", "rawvideo",
-                "-pix_fmt", "rgb24", "pipe:1",
-            ],
-            capture_output=True, timeout=300,
-        )
+        try:
+            dec = _run(
+                [
+                    "ffmpeg", "-v", "error", "-i", path, "-map", "0:v:0",
+                    "-frames:v", str(max_frames), "-f", "rawvideo",
+                    "-pix_fmt", "rgb24", "pipe:1",
+                ],
+                capture_output=True, timeout=300,
+            )
+        except (subprocess.TimeoutExpired, OSError) as ex:
+            raise UnsupportedMediaError(f"ffmpeg failed: {ex}") from ex
         raw = dec.stdout or b""
         fsz = w * h * 3
         n = len(raw) // fsz
