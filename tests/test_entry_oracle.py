@@ -29,11 +29,20 @@ ORACLES = entry_mod.oracle_sql()
 
 def _strip_parens(sql: str) -> str:
     """Remove all balanced-paren content (OVER(ORDER BY..), CTE bodies,
-    subqueries) so a remaining ORDER BY is the top-level output order."""
+    subqueries) so a remaining ORDER BY is the top-level output order.
+    String literals are skipped whole — a paren inside '...' must not
+    shift the depth tracking."""
     out = []
     depth = 0
+    in_str = False
     for ch in sql:
-        if ch == "(":
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth = max(0, depth - 1)
