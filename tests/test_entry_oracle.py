@@ -30,15 +30,31 @@ ORACLES = entry_mod.oracle_sql()
 def _strip_parens(sql: str) -> str:
     """Remove all balanced-paren content (OVER(ORDER BY..), CTE bodies,
     subqueries) so a remaining ORDER BY is the top-level output order.
-    String literals are skipped whole — a paren inside '...' must not
-    shift the depth tracking."""
+    String literals and -- line comments are skipped whole — a paren
+    inside '...' or an apostrophe in a comment must not derail the depth
+    or quote tracking."""
     out = []
     depth = 0
-    in_str = False
-    for ch in sql:
+    in_str = in_comment = False
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_comment:
+            if ch == "\n":
+                in_comment = False
+                if depth == 0:
+                    out.append(ch)
+            i += 1
+            continue
         if in_str:
             if ch == "'":
                 in_str = False
+            i += 1
+            continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            in_comment = True
+            i += 2
             continue
         if ch == "'":
             in_str = True
@@ -48,6 +64,7 @@ def _strip_parens(sql: str) -> str:
             depth = max(0, depth - 1)
         elif depth == 0:
             out.append(ch)
+        i += 1
     return "".join(out)
 
 
