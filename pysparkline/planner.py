@@ -508,10 +508,25 @@ def _norm_path(p: str) -> str:
 _MONTH_RX = re.compile(r"/__month=([^/]+)/")
 
 
-def _month_survives(month: str, ivs: list) -> bool:
-    """May a ``__month=yyyy-MM`` partition contain rows inside any interval?
-    False only on proof (unparseable month strings or interval bounds keep
-    the month). Interval semantics are [start, end), matching
+def _parse_interval_bounds(ivs: list):
+    """Intervals parsed to [(start_dt|None, end_dt|None)] ONCE per query —
+    the month loop must not re-parse the same ISO strings per month. None
+    when any bound is unparseable (callers then keep every month)."""
+    out = []
+    for iv in ivs:
+        try:
+            s = lowering._parse_iso(iv.start) if iv.start else None
+            e = lowering._parse_iso(iv.end) if iv.end else None
+        except ValueError:
+            return None
+        out.append((s, e))
+    return out
+
+
+def _month_survives(month: str, bounds: list) -> bool:
+    """May a ``__month=yyyy-MM`` partition contain rows inside any parsed
+    interval? False only on proof (unparseable month strings keep the
+    month). Interval semantics are [start, end), matching
     _intervals_overlap."""
     from datetime import datetime
 
@@ -523,12 +538,7 @@ def _month_survives(month: str, ivs: list) -> bool:
         )
     except (ValueError, TypeError):
         return True
-    for iv in ivs:
-        try:
-            s = lowering._parse_iso(iv.start) if iv.start else None
-            e = lowering._parse_iso(iv.end) if iv.end else None
-        except ValueError:
-            return True
+    for s, e in bounds:
         if (s is None or s < end) and (e is None or e > start):
             return True
     return False
@@ -853,10 +863,13 @@ def prune_flat_files(
                 _norm_path(p) for p in tbl.column("file").to_pylist()
             }
         by_month = unman_by_month = None
+        iv_bounds = None
         if ivs:
             fbm_fn = getattr(index, "files_by_month", None)
             if fbm_fn is not None:
-                by_month, unman_by_month = fbm_fn()
+                iv_bounds = _parse_interval_bounds(ivs)
+                if iv_bounds is not None:
+                    by_month, unman_by_month = fbm_fn()
         if by_month is not None:
             # interval query over a month-partitioned layout: compose the
             # keep list from interval-surviving months only, so this final
@@ -878,7 +891,7 @@ def prune_flat_files(
                 if (
                     mkey is None
                     or mkey in months_with_passing
-                    or _month_survives(mkey, ivs)
+                    or _month_survives(mkey, iv_bounds)
                 ):
                     keep.extend(
                         p
