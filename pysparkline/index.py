@@ -645,8 +645,14 @@ class OlapIndex:
             },
         }
 
-        with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        # atomic manifest commit (tmp + rename): the cache protocol treats
+        # MANIFEST's existence as "build complete", so a crash mid-write
+        # must not leave a truncated file that passes that check
+        final = os.path.join(out_dir, MANIFEST)
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, default=str)
+        os.replace(tmp, final)
         return OlapIndex(spark, out_dir, manifest)
 
     @staticmethod
