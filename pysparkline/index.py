@@ -46,6 +46,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .metadata import StarSchema
 
 MANIFEST = "manifest.json"
+
+
+def atomic_json_dump(obj, path: str, **kw) -> None:
+    """Write JSON via tmp + rename: readers see the old or the new file,
+    never a torn one — every on-disk manifest/marker a crash could truncate
+    goes through here."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, **kw)
+    os.replace(tmp, path)
 FILE_MANIFEST = "file_manifest"
 COUNT_COL = "__count"
 BUCKET_COL = "__bucket"
@@ -648,11 +658,9 @@ class OlapIndex:
         # atomic manifest commit (tmp + rename): the cache protocol treats
         # MANIFEST's existence as "build complete", so a crash mid-write
         # must not leave a truncated file that passes that check
-        final = os.path.join(out_dir, MANIFEST)
-        tmp = final + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1, default=str)
-        os.replace(tmp, final)
+        atomic_json_dump(
+            manifest, os.path.join(out_dir, MANIFEST), indent=1, default=str
+        )
         return OlapIndex(spark, out_dir, manifest)
 
     @staticmethod

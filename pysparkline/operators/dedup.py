@@ -860,8 +860,11 @@ class SignatureStore:
             "batches": [],
         }
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, SignatureStore.MANIFEST), "w") as fh:
-            json.dump(manifest, fh)
+        from ..index import atomic_json_dump
+
+        atomic_json_dump(
+            manifest, os.path.join(path, SignatureStore.MANIFEST)
+        )
         return SignatureStore(spark, path, manifest)
 
     @staticmethod

@@ -188,8 +188,9 @@ def write_training_shards(
             for r in stats
         },
     }
-    with open(os.path.join(path, "_shards.json"), "w") as fh:
-        _json.dump(manifest, fh)
+    from ..index import atomic_json_dump
+
+    atomic_json_dump(manifest, os.path.join(path, "_shards.json"))
     return manifest
 
 

@@ -247,8 +247,9 @@ class TextIndex:
             "idCol": id_col,
             "textCol": text_col,
         }
-        with open(os.path.join(path, TextIndex.MANIFEST), "w") as fh:
-            json.dump(manifest, fh)
+        from ..index import atomic_json_dump
+
+        atomic_json_dump(manifest, os.path.join(path, TextIndex.MANIFEST))
         return TextIndex(spark, path, manifest)
 
     @staticmethod

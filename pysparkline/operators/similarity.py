@@ -407,8 +407,9 @@ class IvfIndex:
             "corpusVec": corpus_vec,
             "seed": seed,
         }
-        with open(os.path.join(path, IvfIndex.MANIFEST), "w") as fh:
-            json.dump(manifest, fh)
+        from ..index import atomic_json_dump
+
+        atomic_json_dump(manifest, os.path.join(path, IvfIndex.MANIFEST))
         return IvfIndex(spark, path, manifest)
 
     @staticmethod
@@ -792,8 +793,9 @@ class IvfPqIndex:
             "corpusVec": corpus_vec,
             "seed": seed,
         }
-        with open(os.path.join(path, IvfPqIndex.MANIFEST), "w") as fh:
-            json.dump(manifest, fh)
+        from ..index import atomic_json_dump
+
+        atomic_json_dump(manifest, os.path.join(path, IvfPqIndex.MANIFEST))
         return IvfPqIndex(spark, path, manifest)
 
     @staticmethod

@@ -152,8 +152,10 @@ class StreamingIngest:
             return -1
 
     def _commit_batch(self, batch_id: int) -> None:
-        with open(self._state_path, "w") as fh:
-            json.dump({"lastBatchId": batch_id}, fh)
+        # the exactly-once marker: a torn write here would break replay
+        from ..index import atomic_json_dump
+
+        atomic_json_dump({"lastBatchId": batch_id}, self._state_path)
 
     # ------------------------------------------------------------------ sink
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -215,8 +217,12 @@ class StreamingIngest:
             cur = m["flat"].get("timeMax")
             if absent(cur) or str(hi) > cur:
                 m["flat"]["timeMax"] = str(hi)
-        with open(os.path.join(self.index.path, "manifest.json"), "w") as fh:
-            json.dump(m, fh, indent=1, default=str)
+        from ..index import atomic_json_dump
+
+        atomic_json_dump(
+            m, os.path.join(self.index.path, "manifest.json"),
+            indent=1, default=str,
+        )
 
     def start(
         self,
@@ -287,8 +293,13 @@ class StreamingIngest:
 
         shutil.rmtree(tmp, ignore_errors=True)
         info["rowCount"] = self.index.spark.read.parquet(path).count()
-        with open(os.path.join(self.index.path, "manifest.json"), "w") as fh:
-            json.dump(self.index.manifest, fh, indent=1, default=str)
+        from ..index import atomic_json_dump
+
+        atomic_json_dump(
+            self.index.manifest,
+            os.path.join(self.index.path, "manifest.json"),
+            indent=1, default=str,
+        )
         self.index.invalidate()  # memoized relation holds the old file list
 
 
