@@ -4207,6 +4207,7 @@ _PRIORITY = [
     "ship_date_range", "sql_multi_interval",  # manifest pruning touched
     "image_features", "audio_features",  # jpeg decode hardening
     "vocab_topk_docs",        # NEW: corpus vocabulary stats
+    "shard_docs", "incremental_dedup_docs",  # atomic-write / pre-commit
     # (b) every row whose last driver verdict is round <= 2 (the 22 oldest)
     "boilerplate_prune_docs", "bpe_tokens_docs", "chunk_docs", "json_props",
     "lang_id_docs", "length_quantiles_docs", "pii_redact_docs",
@@ -4221,12 +4222,12 @@ _PRIORITY = [
     "theta_error_small_k", "bm25_topk_docs", "text_index_topk",
     "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
     "lookup_dim_market", "sql_window_share", "sql_window_mom",
-    "semantic_dedup_emb", "perplexity_docs",
     # --- 50-query window boundary ---
+    "semantic_dedup_emb", "perplexity_docs",
     "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events",
     # remaining r3-verdicted rows (2 rounds old after r5 — r6 re-checks)
-    "ivfpq_index_topk", "incremental_dedup_docs", "sql_q1", "sql_star_join",
+    "ivfpq_index_topk", "sql_q1", "sql_star_join",
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",
     "events_user_distinct", "events_daily_types", "events_hourly",
@@ -4235,7 +4236,7 @@ _PRIORITY = [
     "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10", "q6",
     "q14", "q17", "q18",
     # r4-green rows (freshest verdicts) trail
-    "sql_window_nth", "shard_docs",
+    "sql_window_nth",
     "sql_qualify_topk", "sql_latest_per_key",
     "monthly_revenue", "dim_filters", "range_filters",
     "in_null_not_filters", "contains_regex_filters", "filtered_agg",
