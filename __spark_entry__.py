@@ -3676,6 +3676,32 @@ def sql_window_lag_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_WINDOW_SUM_DISTINCT = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  CAST(sum(DISTINCT count(*)) OVER (PARTITION BY l_returnflag) AS BIGINT)
+    AS distinct_count_sum,
+  avg(DISTINCT CAST(count(*) AS BIGINT)) OVER (PARTITION BY l_returnflag)
+    AS distinct_count_avg
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@_register("sql_window_sum_distinct", _SQL_WINDOW_SUM_DISTINCT)
+def sql_window_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg DISTINCT window aggregates (round 5): a typed fold over
+    collect_set — Spark rejects DISTINCT window aggregates outright
+    (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), so the rewrite is the ONLY way
+    Spark serves this ANSI surface at all (like QUALIFY). CASTs on both
+    sides: DuckDB sums BIGINTs into HUGEINT."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_WINDOW_SUM_DISTINCT)
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "DISTINCT sum/avg windows must rewrite onto the index"
+    )
+    return out
+
+
 _SQL_WINDOW_NTH = """
 SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS rev,
   nth_value(l_linestatus, 2) OVER
@@ -4202,6 +4228,7 @@ _PRIORITY = [
     "select_pushdown",        # ORDER BY made total (tie-break fix)
     "temperature_mix_docs",   # broadcast-join selection rewrite
     "sql_window_filter_distinct", "sql_window_lag_nulls",  # NEW shapes
+    "sql_window_sum_distinct",  # NEW: DISTINCT sum/avg fold
     "sql_window_range", "sql_window_ma",  # shared window-lowering edits
     "sql_window_rowgrain",    # ordering made total (tie-break fix)
     "ship_date_range", "sql_multi_interval",  # manifest pruning touched
@@ -4221,8 +4248,9 @@ _PRIORITY = [
     "frame_sample", "mix_sources_docs", "search_strlen",
     "theta_error_small_k", "bm25_topk_docs", "text_index_topk",
     "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
-    "lookup_dim_market", "sql_window_share", "sql_window_mom",
+    "lookup_dim_market",
     # --- 50-query window boundary ---
+    "sql_window_share", "sql_window_mom",
     "semantic_dedup_emb", "perplexity_docs",
     "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events",

@@ -1132,18 +1132,48 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                 wcols[w.name] = getattr(F, w.func)(
                     F.expr(w.arg), off, w.default
                 ).over(spec)
-        elif w.func == "count_distinct":
-            # COUNT(DISTINCT x) OVER — Spark rejects DISTINCT window
-            # aggregates outright; size(collect_set(x) OVER frame) is the
-            # exact equivalent (collect_set drops NULLs, count DISTINCT
-            # skips them) for whole-partition, running, and explicit frames
+        elif w.func in ("count_distinct", "sum_distinct", "avg_distinct"):
+            # DISTINCT window aggregates — Spark rejects them outright, so
+            # this surface exists only through the collect_set rewrite:
+            # count = size(set); sum/avg = a typed fold over the set (the
+            # set drops NULLs exactly as DISTINCT aggregation does), for
+            # whole-partition, running, and explicit frames
             if frame is not None and not is_range:
                 lo = Window.unboundedPreceding if frame[0] is None else frame[0]
                 hi = Window.unboundedFollowing if frame[1] is None else frame[1]
                 spec = spec.rowsBetween(lo, hi)
-            wcols[w.name] = F.size(
-                F.collect_set(F.expr(w.arg)).over(spec)
-            ).cast("long")
+            sset = F.collect_set(F.expr(w.arg)).over(spec)
+            if w.func == "count_distinct":
+                wcols[w.name] = F.size(sset).cast("long")
+            else:
+                from pyspark.sql import types as T
+
+                dt = df.select(F.expr(w.arg).alias("_t")).schema[0].dataType
+                if isinstance(
+                    dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+                ):
+                    acc = "bigint"
+                elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                    acc = "double"
+                else:
+                    raise AggLoweringError(
+                        f"{w.func} window over {dt.simpleString()}"
+                        " unsupported (non-decimal numerics only)"
+                    )
+                total = F.aggregate(
+                    sset,
+                    F.lit(0).cast(acc),
+                    lambda a, x: a + x.cast(acc),
+                )
+                if w.func == "sum_distinct":
+                    val = total
+                else:
+                    val = total.cast("double") / F.size(sset)
+                # SQL sum/avg over an empty (all-NULL) window is NULL,
+                # not 0
+                wcols[w.name] = F.when(
+                    F.size(sset) == 0, F.lit(None)
+                ).otherwise(val)
         else:
             if frame is not None and not is_range:
                 lo = Window.unboundedPreceding if frame[0] is None else frame[0]

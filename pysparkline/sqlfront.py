@@ -817,7 +817,7 @@ def _window_spec(
     # sum/avg DISTINCT windows and EXCLUDE clauses => spark.sql fallback.
     if (
         (filt is not None and fn not in _WINDOW_AGG_FNS)
-        or (distinct and fn not in ("count", "min", "max"))
+        or (distinct and fn not in ("count", "min", "max", "sum", "avg"))
         or (
             ignore_nulls
             and fn not in _WINDOW_VALUE_FNS
@@ -1022,11 +1022,14 @@ def _window_spec(
             )
             arg = f"CASE WHEN ({cond}) THEN ({arg}) END"
         out_fn = fn
-        if distinct and fn == "count":
-            # lowering emits size(collect_set(arg)) — exact running/framed
-            # distinct count (collect_set drops NULLs, as count DISTINCT
-            # does); Spark rejects DISTINCT window aggregates natively
-            out_fn = "count_distinct"
+        if distinct and fn in ("count", "sum", "avg"):
+            # lowering folds collect_set(arg) — exact running/framed
+            # distinct aggregates (collect_set drops NULLs, as DISTINCT
+            # aggregation does); Spark rejects DISTINCT window aggregates
+            # natively, so this surface exists ONLY through the rewrite.
+            # sum/avg resolve a typed accumulator at lowering (non-decimal
+            # numerics; decimal raises there with a clear message)
+            out_fn = f"{fn}_distinct"
         # DISTINCT min/max == plain min/max: nothing to change
         # orders + frame None = ANSI running frame (RANGE ... CURRENT ROW,
         # ties are peers — Spark's default ordered frame, identical)

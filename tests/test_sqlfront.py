@@ -788,14 +788,32 @@ ORDER BY l_orderkey, l_linenumber
 """
     assert_same(ctx, duck, sql_run)  # multiset
     assert ctx.query_history[-1].backing != "sparksql"
-    # sum/avg DISTINCT windows remain outside the surface -> honest decline
-    out = ctx.explain_rewrite("""
-SELECT l_orderkey, sum(DISTINCT l_quantity) OVER (PARTITION BY l_orderkey)
-  AS sd
+
+    # sum/avg DISTINCT windows (round 5, second half): a typed fold over
+    # collect_set — Spark cannot express these at all, so the rewrite IS
+    # the only serving path. CAST both sides: DuckDB sums ints to HUGEINT
+    sql_sd = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+  CAST(sum(DISTINCT l_quantity) OVER (PARTITION BY l_orderkey) AS BIGINT)
+    AS sd,
+  avg(DISTINCT l_quantity) OVER (PARTITION BY l_orderkey) AS ad
 FROM lineitem
-WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-01-05'
-""")
-    assert "no rewrite" in out
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+ORDER BY l_orderkey, l_linenumber, l_quantity
+"""
+    assert_same(ctx, duck, sql_sd)  # multiset
+    assert ctx.query_history[-1].backing != "sparksql"
+
+    # running DISTINCT sum over the aggregate grain
+    sql_sd2 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  CAST(sum(DISTINCT count(*)) OVER (PARTITION BY l_returnflag) AS BIGINT)
+    AS distinct_count_sum
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    assert_same(ctx, duck, sql_sd2, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
 
 
 def test_window_row_grain_month_range_falls_back(ctx, duck):
