@@ -49,13 +49,28 @@ MANIFEST = "manifest.json"
 
 
 def atomic_json_dump(obj, path: str, **kw) -> None:
-    """Write JSON via tmp + rename: readers see the old or the new file,
-    never a torn one — every on-disk manifest/marker a crash could truncate
-    goes through here."""
+    """Write JSON via tmp + fsync + rename: readers see the old or the new
+    file, never a torn one — every on-disk manifest/marker a crash could
+    truncate goes through here. The fsync (file, then directory) extends
+    the guarantee from process crashes to power loss, where an unsynced
+    rename can otherwise survive with empty tmp contents on some
+    filesystems."""
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(obj, fh, **kw)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
+    try:
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    except OSError:
+        return  # directory fsync is best-effort (not supported everywhere)
+    try:
+        os.fsync(dfd)
+    except OSError:
+        pass
+    finally:
+        os.close(dfd)
 FILE_MANIFEST = "file_manifest"
 COUNT_COL = "__count"
 BUCKET_COL = "__bucket"

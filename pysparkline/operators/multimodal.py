@@ -345,6 +345,12 @@ def _ffmpeg_decode_audio(
             )
         except (subprocess.TimeoutExpired, OSError) as ex:
             raise UnsupportedMediaError(f"ffmpeg failed: {ex}") from ex
+        if dec.returncode != 0:
+            # partial stdout from a mid-stream failure is NOT a decode —
+            # a truncated signal must decline, not pass as shorter audio
+            raise UnsupportedMediaError(
+                f"ffmpeg exited {dec.returncode} on audio stream"
+            )
         raw = dec.stdout or b""
         if len(raw) < 2:
             raise UnsupportedMediaError("ffmpeg produced no samples")
@@ -487,6 +493,12 @@ def _ffmpeg_decode_video(
             )
         except (subprocess.TimeoutExpired, OSError) as ex:
             raise UnsupportedMediaError(f"ffmpeg failed: {ex}") from ex
+        if dec.returncode != 0:
+            # a max_frames-bounded early exit still returns 0, so this only
+            # fires on genuine mid-stream failures (partial stdout != frames)
+            raise UnsupportedMediaError(
+                f"ffmpeg exited {dec.returncode} on video stream"
+            )
         raw = dec.stdout or b""
         fsz = w * h * 3
         n = len(raw) // fsz

@@ -323,7 +323,16 @@ def _pack_shard_bounds(
     ``percentile_approx`` so it is only approximately balanced — exactness
     of the packing offsets never depends on where the cuts fall, only on
     the cut function being monotone in ``id_col`` (it is: shard = number of
-    cuts <= id)."""
+    cuts <= id).
+
+    The sharded path requires a NUMERIC ``id_col`` (percentile_approx
+    rejects strings); non-numeric ids return None so the caller keeps the
+    always-correct single-window plan — sorting strings works there, it
+    just foregoes the dominant-source parallelism upgrade."""
+    from pyspark.sql import types as T
+
+    if not isinstance(out.schema[id_col].dataType, T.NumericType):
+        return None
     big = (
         out.groupBy(part_col)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -387,7 +396,9 @@ def pack_sequences(
     sums (a tiny broadcast frame, sources x shards rows). Equal ids land in
     the same shard, so RANGE-frame tie semantics are bit-identical to the
     single-window form. When no source is oversized the original one-window
-    plan runs unchanged.
+    plan runs unchanged. The sharded upgrade needs a NUMERIC ``id_col``
+    (its cuts come from percentile_approx); string ids always take the
+    single-window plan, which sorts them fine.
     """
     from pyspark.sql import Window
 

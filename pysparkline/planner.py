@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import index as index_mod
 from . import ir, lowering
 from .index import OlapIndex
 from .lowering import AggLoweringError, Backing
@@ -505,7 +506,9 @@ def _norm_path(p: str) -> str:
     return p
 
 
-_MONTH_RX = re.compile(r"/__month=([^/]+)/")
+# built from the shared constant so the planner and index.files_by_month
+# cannot silently disagree on the partition directory name
+_MONTH_RX = re.compile(r"/" + re.escape(index_mod.MONTH_COL) + r"=([^/]+)/")
 
 
 def _parse_interval_bounds(ivs: list):

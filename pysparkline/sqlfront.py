@@ -811,10 +811,11 @@ def _window_spec(
     filt = item.get("filter_expr")
     distinct = bool(item.get("distinct"))
     # round 5: FILTER rewrites to CASE WHEN inside any aggregate window
-    # (exact — aggregates skip NULLs); DISTINCT lowers for count (via
-    # collect_set) and is a no-op for min/max; lag/lead IGNORE NULLS is
-    # native Spark (probe-verified identical to DuckDB). Remaining out:
-    # sum/avg DISTINCT windows and EXCLUDE clauses => spark.sql fallback.
+    # (exact — aggregates skip NULLs); DISTINCT lowers for count/sum/avg
+    # (typed collect_set fold; decimal args hard-raise at lowering) and is
+    # a no-op for min/max; lag/lead IGNORE NULLS is native Spark
+    # (probe-verified identical to DuckDB). Remaining out: EXCLUDE clauses
+    # => spark.sql fallback.
     if (
         (filt is not None and fn not in _WINDOW_AGG_FNS)
         or (distinct and fn not in ("count", "min", "max", "sum", "avg"))

@@ -360,8 +360,9 @@ def test_ffmpeg_dispatch_plumbing():
     assert not mm._is_codec_video(b"RVID" + b"\x00" * 8)
 
     class R:
-        def __init__(self, stdout):
+        def __init__(self, stdout, returncode=0):
             self.stdout = stdout
+            self.returncode = returncode
 
     w, h, n = 4, 3, 2
     frames = bytes(range(w * h * 3)) * n
@@ -402,6 +403,29 @@ def test_ffmpeg_dispatch_plumbing():
     assert rate == 22050 and len(sig) == 4
     assert abs(sig[1] - 0.5) < 1e-4 and abs(sig[3] - 32767 / 32768) < 1e-9
 
+    # mid-stream decoder failure: partial stdout + nonzero exit must
+    # DECLINE, not pass as a (silently truncated) successful decode
+    def failing_run(cmd, capture_output, timeout):
+        if cmd[0] == "ffprobe":
+            return R(json.dumps(
+                {"streams": [{"width": w, "height": h}]}
+            ).encode())
+        return R(frames[: w * h * 3], returncode=1)  # 1 full frame emitted
+
+    with pytest.raises(mm.UnsupportedMediaError, match="exited 1"):
+        mm._ffmpeg_decode_video(mp4ish, 64, _run=failing_run)
+
+    def failing_run_audio(cmd, capture_output, timeout):
+        if cmd[0] == "ffprobe":
+            return R(json.dumps(
+                {"streams": [{"sample_rate": "22050"}]}
+            ).encode())
+        return R(sig_raw, returncode=69)
+
+    with pytest.raises(mm.UnsupportedMediaError, match="exited 69"):
+        mm._ffmpeg_decode_audio(b"ID3\x04" + b"\x00" * 16,
+                                _run=failing_run_audio)
+
     # where ffmpeg is genuinely absent: honest decline end-to-end
     if not mm._ffmpeg_available():
         with pytest.raises(mm.UnsupportedMediaError, match="ffmpeg"):
@@ -422,8 +446,9 @@ def test_webp_routes_to_ffmpeg_or_declines():
     assert mm._is_webp(webp) and not mm._is_codec_audio(webp)
 
     class R:
-        def __init__(self, stdout):
+        def __init__(self, stdout, returncode=0):
             self.stdout = stdout
+            self.returncode = returncode
 
     w, h = 2, 2
     px = bytes(range(w * h * 3))

@@ -144,6 +144,27 @@ def test_pack_sequences_auto_shard_null_source(spark):
     assert None in cuts and len(cuts[None]) >= 1
 
 
+def test_pack_sequences_string_ids_fall_back_unsharded(spark):
+    """percentile_approx rejects string columns, so a corpus with string
+    doc ids and one dominant source must take the single-window plan (which
+    sorts strings fine) instead of failing with an AnalysisException in the
+    sharded path (ADVICE r5)."""
+    rows = [("giant", f"doc-{i:05d}", "a b c") for i in range(1200)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, text string"
+    )
+    out = df.select("source", "doc_id",
+                    text.token_count(F.col("text")).cast("long")
+                    .alias("n_tokens"))
+    # non-numeric id: the shard-bounds probe declines without touching Spark
+    assert text._pack_shard_bounds(out, "doc_id", "source", 300) is None
+    got = text.pack_sequences(df, 64, rows_per_shard=300).collect()
+    assert len(got) == 1200
+    offs = {r["doc_id"]: r["start_offset"] for r in got}
+    # string order == generation order here; 3 tokens per doc
+    assert offs["doc-00000"] == 0 and offs["doc-00007"] == 21
+
+
 def test_pack_sequences_spans(spark):
     df = spark.createDataFrame(
         [("s", 1, "a " * 10), ("s", 2, "b " * 95), ("s", 3, "")],
