@@ -3702,6 +3702,54 @@ def sql_window_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_WINDOW_EXCLUDE_BODY = """
+SELECT p_brand, l_linenumber AS ln, CAST(sum(l_quantity) AS BIGINT) AS qty,
+  CAST(sum(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (ORDER BY l_linenumber RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+     EXCLUDE GROUP) AS BIGINT) AS qty_adjacent,
+  CAST(sum(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (ORDER BY l_linenumber RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+     EXCLUDE TIES) AS BIGINT) AS qty_self_plus_adj,
+  CAST(sum(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (PARTITION BY p_brand ORDER BY l_linenumber
+     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+     AS BIGINT) AS qty_neighbors,
+  CAST(min(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (PARTITION BY p_brand ORDER BY l_linenumber
+     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+     AS BIGINT) AS min_neighbor
+FROM {src} GROUP BY p_brand, l_linenumber
+ORDER BY p_brand, ln
+"""
+
+
+@_register(
+    "sql_window_exclude",
+    _SQL_WINDOW_EXCLUDE_BODY.format(
+        src="lineitem JOIN part ON l_partkey = p_partkey"
+    ),
+)
+def sql_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI frame EXCLUDE clauses (round 6): Spark has no native EXCLUDE at
+    all, so — like QUALIFY and DISTINCT windows — this surface exists only
+    through the rewrite. sum EXCLUDE GROUP/TIES over a RANGE frame lower by
+    subtracting the peer-group aggregate (RANGE [0,0] — exact: a RANGE
+    frame holds a peer group entirely or not at all); sum EXCLUDE CURRENT
+    ROW subtracts the row's own contribution; min EXCLUDE CURRENT ROW over
+    a ROWS frame combines the sub-frames each side of the row. The shared
+    month gap/tie structure: l_linenumber repeats across brands, so
+    EXCLUDE GROUP (drop all same-ln rows) and EXCLUDE TIES (drop the other
+    same-ln rows, keep self) genuinely differ. BIGINT args keep the
+    subtraction exact; (p_brand, ln) is the grouping key, so the ORDER BY
+    is total."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_WINDOW_EXCLUDE_BODY.format(src="lineitem"))
+    assert ctx.query_history[-1].backing != "sparksql", (
+        "composable EXCLUDE windows must rewrite onto the index"
+    )
+    return out
+
+
 _SQL_WINDOW_NTH = """
 SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS rev,
   nth_value(l_linestatus, 2) OVER

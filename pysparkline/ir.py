@@ -580,6 +580,12 @@ class WindowPostSpec(IRNode):
     # IGNORE NULLS for first_value/last_value/nth_value (ANSI null
     # treatment; Spark first/last/nth_value carry it natively)
     ignore_nulls: bool = False
+    # ANSI frame-exclusion clause for aggregate windows: "NO_OTHER"
+    # (default), "CURRENT_ROW", "GROUP", "TIES". Spark has no native
+    # EXCLUDE — the lowering composes it from subtractable aggregates
+    # (sum/count/avg) or split sub-frames (min/max ROWS); the SQL front
+    # gates to exactly the composable shapes
+    exclude: str = "NO_OTHER"
 
 
 # ---------------------------------------------------------------------------

@@ -1051,6 +1051,7 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
         frame = getattr(w, "frame", None)
         is_range = frame is not None and getattr(w, "frame_type", None) == "range"
         spec = Window.partitionBy(*[F.col(p) for p in w.partition])
+        peers_spec = None  # RANGE [0,0]: the ORDER-BY peer group
         if is_range:
             # RANGE frame: single ORDER BY key, either direction (Spark's
             # RangeFrame walks PRECEDING toward larger keys under DESC,
@@ -1075,7 +1076,9 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
             okcol = (
                 ocol.asc() if w.order[0].direction == "asc" else ocol.desc()
             )
-            spec = spec.orderBy(okcol).rangeBetween(
+            ordered = spec.orderBy(okcol)
+            peers_spec = ordered.rangeBetween(0, 0)
+            spec = ordered.rangeBetween(
                 Window.unboundedPreceding if frame[0] is None else frame[0] * scale,
                 Window.unboundedFollowing if frame[1] is None else frame[1] * scale,
             )
@@ -1175,14 +1178,88 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                     F.size(sset) == 0, F.lit(None)
                 ).otherwise(val)
         else:
+            base = spec  # partition (+ order) before any explicit frame
             if frame is not None and not is_range:
                 lo = Window.unboundedPreceding if frame[0] is None else frame[0]
                 hi = Window.unboundedFollowing if frame[1] is None else frame[1]
                 spec = spec.rowsBetween(lo, hi)
+            excl = getattr(w, "exclude", "NO_OTHER")
+            if excl != "NO_OTHER" and frame is not None:
+                wcols[w.name] = _excluded_window_agg(
+                    w, excl, spec, base, peers_spec, frame
+                )
+                continue
             # w.order without a frame keeps Spark's default ordered frame
             # (RANGE ... CURRENT ROW with tie-peers — the ANSI running agg)
             wcols[w.name] = F.expr(f"{w.func}({w.arg})").over(spec)
     return df.withColumns(wcols)
+
+
+def _excluded_window_agg(w, excl, framed, base, peers, frame):
+    """ANSI frame EXCLUDE for aggregate windows — Spark has no native
+    EXCLUDE, so the lowering composes it (the SQL front gates to exactly
+    these shapes):
+
+    - sum/count/avg: subtract the excluded contribution from the framed
+      aggregate. EXCLUDE CURRENT ROW subtracts the row's own (null-aware)
+      value; EXCLUDE GROUP/TIES subtract the peer-group aggregate (a
+      RANGE [0,0] window over the same key — exact because a RANGE frame
+      contains a peer group entirely or not at all; TIES adds the current
+      row back). SQL empty-set semantics hold: the result is NULL (sum/avg)
+      when no rows remain, and the remaining-count is tracked null-aware.
+    - min/max (ROWS + EXCLUDE CURRENT ROW): combine the sub-frames on each
+      side of the current row; least/greatest skip a NULL (empty) side.
+
+    When the frame does not contain offset 0 the excluded rows are outside
+    it and the clause is a no-op (ANSI: exclusion applies to frame rows).
+    Float caveat: a subtracted double sum can differ from a direct
+    re-accumulation by an ulp — same class as any cross-engine float sum;
+    oracles round, exactly as the plain window queries do."""
+    from pyspark.sql.window import Window
+
+    lo, hi = frame
+    agg = F.expr(f"{w.func}({w.arg})")
+    if not ((lo is None or lo <= 0) and (hi is None or hi >= 0)):
+        return agg.over(framed)
+    arg = F.expr(w.arg)
+    if w.func in ("min", "max"):
+        parts = []
+        if lo is None or lo <= -1:
+            parts.append(agg.over(base.rowsBetween(
+                Window.unboundedPreceding if lo is None else lo, -1
+            )))
+        if hi is None or hi >= 1:
+            parts.append(agg.over(base.rowsBetween(
+                1, Window.unboundedFollowing if hi is None else hi
+            )))
+        if not parts:  # the frame was only the current row
+            return F.when(F.lit(False), agg.over(framed))
+        if len(parts) == 1:
+            return parts[0]
+        return (F.least if w.func == "min" else F.greatest)(*parts)
+    cnt_full = F.count(arg).over(framed)
+    sum_full = F.sum(arg).over(framed)
+    cur_cnt = F.when(arg.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    cur_sum = F.coalesce(arg, F.lit(0))
+    if excl == "CURRENT_ROW":
+        cnt_x = cnt_full - cur_cnt
+        sum_x = sum_full - cur_sum
+    else:
+        cnt_p = F.count(arg).over(peers)
+        sum_p = F.coalesce(F.sum(arg).over(peers), F.lit(0))
+        if excl == "GROUP":
+            cnt_x = cnt_full - cnt_p
+            sum_x = sum_full - sum_p
+        else:  # TIES: drop the peers, keep the current row itself
+            cnt_x = cnt_full - cnt_p + cur_cnt
+            sum_x = sum_full - sum_p + cur_sum
+    if w.func == "count":
+        return cnt_x.cast("long")
+    if w.func == "sum":
+        return F.when(cnt_x == 0, F.lit(None)).otherwise(sum_x)
+    return F.when(cnt_x == 0, F.lit(None)).otherwise(
+        sum_x.cast("double") / cnt_x
+    )
 
 
 def _default_order(df: DataFrame, declared: list) -> DataFrame:

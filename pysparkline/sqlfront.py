@@ -810,12 +810,13 @@ def _window_spec(
     ignore_nulls = bool(item.get("ignore_nulls"))
     filt = item.get("filter_expr")
     distinct = bool(item.get("distinct"))
+    exclude = item.get("exclude_clause", "NO_OTHER")
     # round 5: FILTER rewrites to CASE WHEN inside any aggregate window
     # (exact — aggregates skip NULLs); DISTINCT lowers for count/sum/avg
     # (typed collect_set fold; decimal args hard-raise at lowering) and is
     # a no-op for min/max; lag/lead IGNORE NULLS is native Spark
-    # (probe-verified identical to DuckDB). Remaining out: EXCLUDE clauses
-    # => spark.sql fallback.
+    # (probe-verified identical to DuckDB). Round 6: EXCLUDE clauses lower
+    # for the composable shapes (gated after frame parsing, below).
     if (
         (filt is not None and fn not in _WINDOW_AGG_FNS)
         or (distinct and fn not in ("count", "min", "max", "sum", "avg"))
@@ -824,7 +825,7 @@ def _window_spec(
             and fn not in _WINDOW_VALUE_FNS
             and fn not in _WINDOW_OFFSET_FNS
         )
-        or item.get("exclude_clause", "NO_OTHER") != "NO_OTHER"
+        or (exclude != "NO_OTHER" and fn not in _WINDOW_AGG_FNS)
     ):
         raise SQLFrontError(
             f"window {fn}: this FILTER/DISTINCT/IGNORE NULLS/EXCLUDE shape"
@@ -1000,6 +1001,40 @@ def _window_spec(
     if fn in _WINDOW_AGG_FNS:
         if frame is not None and not orders:
             raise SQLFrontError(f"window {fn}: explicit frame requires ORDER BY")
+        if exclude != "NO_OTHER":
+            # Spark has no native EXCLUDE; the lowering composes exactly:
+            # - sum/count/avg EXCLUDE CURRENT ROW: subtract the current
+            #   row's contribution from the framed aggregate (any frame)
+            # - sum/count/avg EXCLUDE GROUP/TIES over a RANGE frame:
+            #   subtract the peer-group aggregate (RANGE [0,0]) — exact
+            #   because a RANGE frame contains the peer group entirely or
+            #   not at all
+            # - min/max EXCLUDE CURRENT ROW over a ROWS frame: combine the
+            #   two sub-frames around the current row
+            # ROWS GROUP/TIES (peers only partially in frame) and min/max
+            # RANGE exclusion are not composable => spark.sql fallback.
+            ok = (
+                frame is not None
+                and not distinct
+                and (
+                    (
+                        fn in ("sum", "count", "avg")
+                        and (
+                            exclude == "CURRENT_ROW" or frame_type == "range"
+                        )
+                    )
+                    or (
+                        fn in ("min", "max")
+                        and exclude == "CURRENT_ROW"
+                        and frame_type == "rows"
+                    )
+                )
+            )
+            if not ok:
+                raise SQLFrontError(
+                    f"window {fn}: EXCLUDE {exclude} over this"
+                    " frame/DISTINCT shape is not composable"
+                )
         ch = item.get("children", [])
         if not ch and fn == "count":
             arg = "1"
@@ -1036,7 +1071,7 @@ def _window_spec(
         # ties are peers — Spark's default ordered frame, identical)
         return ir.WindowPostSpec(
             name, out_fn, arg, partition, orders, frame=frame,
-            frame_type=frame_type, range_unit=range_unit,
+            frame_type=frame_type, range_unit=range_unit, exclude=exclude,
         )
     raise SQLFrontError(f"window function {fn} unsupported")
 

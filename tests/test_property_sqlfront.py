@@ -138,7 +138,7 @@ def select_sqls(draw):
         kind = draw(
             st.sampled_from(
                 ["share", "rank", "lag", "running", "frame", "vrange",
-                 "vrange_desc", "nth", "wfilter", "cdist"]
+                 "vrange_desc", "nth", "wfilter", "cdist", "xcur", "xgrp"]
             )
         )
         if kind == "share":
@@ -186,6 +186,28 @@ def select_sqls(draw):
             part = draw(st.sampled_from(["", f"PARTITION BY {gcols[0]}"]))
             sel.append(
                 f"SUM(SUM({m})) FILTER (WHERE {cond}) OVER ({part}) AS w0"
+            )
+        elif kind == "xcur":
+            # EXCLUDE CURRENT ROW (round 6, subtraction/split composition):
+            # ROWS frame over the full (unique) group key — deterministic
+            fn = draw(st.sampled_from(["SUM", "AVG", "COUNT", "MIN", "MAX"]))
+            lo = draw(st.integers(0, 3))
+            hi = draw(st.integers(0, 3))
+            sel.append(
+                f"{fn}(SUM({m})) OVER (ORDER BY {', '.join(gcols)} "
+                f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING "
+                "EXCLUDE CURRENT ROW) AS w0"
+            )
+        elif kind == "xgrp":
+            # EXCLUDE GROUP/TIES over a RANGE value frame (peer-group
+            # subtraction): value-defined, so tie order never matters
+            ex = draw(st.sampled_from(["GROUP", "TIES"]))
+            fn = draw(st.sampled_from(["SUM", "COUNT"]))
+            width = draw(st.integers(0, 10_000))
+            sel.append(
+                f"{fn}(SUM({m})) OVER (ORDER BY SUM({m}) RANGE BETWEEN "
+                f"{width} PRECEDING AND {width} FOLLOWING "
+                f"EXCLUDE {ex}) AS w0"
             )
         elif kind == "cdist":
             # DISTINCT count window (collect_set rewrite); no ORDER BY, so

@@ -548,6 +548,75 @@ def test_window_unsupported_falls_back(ctx, duck):
         assert ctx.query_history[-1].backing == "sparksql"
 
 
+def test_window_exclude_composable(ctx, duck):
+    """ANSI frame EXCLUDE (round 6): Spark cannot parse EXCLUDE at all, so
+    — like QUALIFY and DISTINCT windows — the surface exists only through
+    the rewrite. sum/count/avg EXCLUDE CURRENT ROW subtract the row's own
+    contribution; EXCLUDE GROUP/TIES over RANGE frames subtract the
+    peer-group aggregate (exact: a RANGE frame holds a peer group entirely
+    or not at all); min/max EXCLUDE CURRENT ROW over ROWS frames combine
+    the two sub-frames around the row."""
+    sql = """
+SELECT l_returnflag, l_linenumber AS ln, CAST(sum(l_quantity) AS BIGINT) AS q,
+  CAST(sum(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (ORDER BY l_linenumber RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+     EXCLUDE GROUP) AS BIGINT) AS adj,
+  CAST(sum(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (ORDER BY l_linenumber RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+     EXCLUDE TIES) AS BIGINT) AS self_adj,
+  count(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (ORDER BY l_linenumber RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+     EXCLUDE GROUP) AS n_adj,
+  round(avg(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (PARTITION BY l_returnflag ORDER BY l_linenumber
+     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 6)
+    AS avg_nb,
+  CAST(max(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (PARTITION BY l_returnflag ORDER BY l_linenumber
+     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+    AS BIGINT) AS max_nb
+FROM lineitem GROUP BY l_returnflag, l_linenumber
+ORDER BY l_returnflag, ln
+"""
+    assert_same(ctx, duck, sql, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+    # exclusion of rows OUTSIDE the frame is a no-op (ANSI: EXCLUDE applies
+    # to frame rows) — a pure-PRECEDING frame with EXCLUDE CURRENT ROW
+    sql2 = """
+SELECT l_returnflag, l_linenumber AS ln,
+  CAST(sum(CAST(sum(l_quantity) AS BIGINT)) OVER
+    (PARTITION BY l_returnflag ORDER BY l_linenumber
+     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW)
+    AS BIGINT) AS trailing
+FROM lineitem GROUP BY l_returnflag, l_linenumber
+ORDER BY l_returnflag, ln
+"""
+    assert_same(ctx, duck, sql2, sort=False)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_window_exclude_noncomposable_declines(ctx):
+    """ROWS + EXCLUDE GROUP (the peer group is only partially in a ROWS
+    frame) and min/max RANGE exclusion are not composable: the decline
+    hands to spark.sql, which surfaces its own parse error because Spark
+    has no EXCLUDE syntax (same honest-decline class as GROUPS frames)."""
+    from pysparkline.sqlfront import SQLFrontError
+
+    for sql in [
+        """SELECT l_returnflag, sum(sum(l_quantity)) OVER
+             (ORDER BY l_returnflag ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+              EXCLUDE GROUP) AS s
+           FROM lineitem GROUP BY l_returnflag""",
+        """SELECT l_returnflag, min(sum(l_quantity)) OVER
+             (ORDER BY sum(l_quantity) RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING
+              EXCLUDE CURRENT ROW) AS m
+           FROM lineitem GROUP BY l_returnflag""",
+    ]:
+        with pytest.raises(Exception) as ei:
+            ctx.sql(sql).collect()
+        assert not isinstance(ei.value, (AssertionError, SQLFrontError))
+
+
 def test_window_range_descending(ctx, duck):
     # descending RANGE value frames now rewrite (round 5): Spark's
     # RangeFrame walks PRECEDING toward larger keys under DESC, matching
