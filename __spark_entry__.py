@@ -1333,6 +1333,42 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "substring_dup_docs",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     range(1, greatest(len(t) - 8 + 1, 0) + 1),
+     i -> array_to_string(t[i:i+8-1], ' ')))) AS w
+  FROM t
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity dedup (round 6; Lee et al. 2022): document
+    pairs sharing a contiguous run of >= 8 tokens. The paper's corpus-wide
+    suffix array (a single-machine global sort) becomes rolling window
+    xxhash64 fingerprints bucket-joined on the 64-bit hash, with the exact
+    string verify recomputed for candidate docs ONLY — collisions cannot
+    produce a false pair, and at 100 TB the postings shrink via
+    content-defined 0-mod-p sampling + the max_df boilerplate cap (inert
+    here: exact mode, the oracle recomputes with a full string join)."""
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    out = dedup.substring_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", min_tokens=8
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+@_register(
     "length_quantiles_docs",
     """
 SELECT source,

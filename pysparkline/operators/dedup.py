@@ -553,6 +553,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+    sample_mod: int = 1,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing a contiguous run of >= ``min_tokens`` tokens —
+    substring-granularity dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"), re-expressed Spark-first: the
+    paper builds one corpus-wide suffix array (a single-machine global
+    sort); here every document emits its rolling ``min_tokens``-token
+    window fingerprints (xxhash64), postings bucket-join on the 64-bit
+    hash, and the surviving candidate pairs are verified EXACTLY by
+    recomputing the window strings for candidate documents only and
+    intersecting — so hash collisions cannot produce a false pair.
+
+    Sharing any one window == sharing a run >= min_tokens, so the
+    default (``sample_mod=1``) is exact. ``sample_mod=p > 1`` keeps only
+    windows with ``hash % p == 0`` — Broder's content-defined 0-mod-p
+    sampling, consistent across documents because selection depends on the
+    window's CONTENT (a positional stride would misalign between the two
+    documents' window grids): postings shrink ~p-fold and a shared run of
+    R tokens is detected with probability ``1 - (1-1/p)^(R-min_tokens+1)``
+    (runs much longer than ``p * min_tokens`` are essentially always
+    caught — the cost/recall lever for 100 TB).
+
+    ``max_df`` drops fingerprints appearing in more documents (boilerplate
+    guard — a stop-phrase in d docs fans the join out d^2), the same
+    bounded-recall trade as ``ngram_jaccard_pairs``. Tokens are
+    whitespace-split, case-preserving (this is EXACT substring dedup).
+    """
+    L = min_tokens
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    wins = F.when(
+        F.size(toks) >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - L + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("id"), wins.alias("wins"))
+    hashes = F.array_distinct(
+        F.transform(F.col("wins"), lambda w: F.xxhash64(w))
+    )
+    if sample_mod > 1:
+        hashes = F.filter(
+            hashes, lambda h: h % sample_mod == 0
+        )
+    inv = base.select("id", F.explode(hashes).alias("h"))
+    if max_df is not None:
+        hw = Window.partitionBy("h")
+        inv = (
+            inv.withColumn("__df", F.count(F.lit(1)).over(hw))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    cand = (
+        inv.alias("l")
+        .join(
+            inv.alias("r"),
+            (F.col("l.h") == F.col("r.h")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on candidate docs only: recompute window STRINGS for the
+    # (bounded) candidate set and require a true shared window — the same
+    # candidate-bounded pattern as verify_pairs_exact_jaccard
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    wstr = (
+        base.join(cand_ids, "id", "left_semi")
+        .select("id", F.explode(F.array_distinct(F.col("wins"))).alias("w"))
+    )
+    return (
+        cand.join(
+            wstr.alias("wa"), F.col("id_a") == F.col("wa.id")
+        )
+        .join(
+            wstr.alias("wb"),
+            (F.col("id_b") == F.col("wb.id"))
+            & (F.col("wa.w") == F.col("wb.w")),
+            "left_semi",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -391,3 +391,80 @@ def test_signature_store_estimate_path(spark, tmp_path):
         ).collect()
     }
     assert v == {2: False, 3: True}
+
+
+# ---------------------------------------------------------------------------
+# substring-granularity dedup (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _substr_corpus(spark):
+    run = " ".join(f"tok{i}" for i in range(30))  # 30-token shared run
+    rows = [
+        (1, "alpha beta " + run + " gamma delta"),
+        (2, "completely different prefix here " + run),
+        (3, "no overlap with anything at all whatsoever in this text row"),
+        (4, "short doc"),  # < min_tokens tokens: emits no windows
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_pairs_exact(spark):
+    from pysparkline.operators.dedup import substring_dup_pairs
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in substring_dup_pairs(
+            _substr_corpus(spark), "doc_id", "text", min_tokens=8
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_substring_sample_mod_detects_long_runs(spark):
+    """0-mod-p sampling is content-defined, so both documents keep the SAME
+    windows of the shared run — a run much longer than p windows is still
+    detected, and sampled results are always a subset of exact ones."""
+    from pysparkline.operators.dedup import substring_dup_pairs
+
+    run = " ".join(f"w{i}" for i in range(400))  # ~393 windows at L=8
+    df = spark.createDataFrame(
+        [(1, "x " + run), (2, run + " y"), (3, "unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in substring_dup_pairs(
+            df, "doc_id", "text", min_tokens=8
+        ).collect()
+    }
+    sampled = {
+        (r.id_a, r.id_b)
+        for r in substring_dup_pairs(
+            df, "doc_id", "text", min_tokens=8, sample_mod=16
+        ).collect()
+    }
+    assert exact == {(1, 2)}
+    assert sampled == {(1, 2)}  # 393 windows >> p=16: detection certain-ish
+    assert sampled <= exact
+
+
+def test_substring_max_df_drops_boilerplate(spark):
+    """A window shared by MORE than max_df docs is dropped from the index
+    (the d^2 fan-out guard); pairs relying on it disappear — bounded
+    recall, never wrong pairs."""
+    from pysparkline.operators.dedup import substring_dup_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(i, f"doc {i} prefix " + boiler) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    full = substring_dup_pairs(
+        df, "doc_id", "text", min_tokens=8, max_df=None
+    ).count()
+    capped = substring_dup_pairs(
+        df, "doc_id", "text", min_tokens=8, max_df=3
+    ).count()
+    assert full == 10 and capped == 0
