@@ -1158,10 +1158,15 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                     acc = "bigint"
                 elif isinstance(dt, (T.FloatType, T.DoubleType)):
                     acc = "double"
+                elif isinstance(dt, T.DecimalType):
+                    # max-precision accumulator at the argument's scale —
+                    # the same widening Spark's own sum(decimal) performs
+                    # (38-digit headroom; both engines overflow-guard there)
+                    acc = f"decimal(38,{dt.scale})"
                 else:
                     raise AggLoweringError(
                         f"{w.func} window over {dt.simpleString()}"
-                        " unsupported (non-decimal numerics only)"
+                        " unsupported (numeric arguments only)"
                     )
                 total = F.aggregate(
                     sset,

@@ -813,7 +813,7 @@ def _window_spec(
     exclude = item.get("exclude_clause", "NO_OTHER")
     # round 5: FILTER rewrites to CASE WHEN inside any aggregate window
     # (exact — aggregates skip NULLs); DISTINCT lowers for count/sum/avg
-    # (typed collect_set fold; decimal args hard-raise at lowering) and is
+    # (typed collect_set fold — bigint/double/decimal(38,s) accumulator) and is
     # a no-op for min/max; lag/lead IGNORE NULLS is native Spark
     # (probe-verified identical to DuckDB). Round 6: EXCLUDE clauses lower
     # for the composable shapes (gated after frame parsing, below).
@@ -1063,8 +1063,8 @@ def _window_spec(
             # distinct aggregates (collect_set drops NULLs, as DISTINCT
             # aggregation does); Spark rejects DISTINCT window aggregates
             # natively, so this surface exists ONLY through the rewrite.
-            # sum/avg resolve a typed accumulator at lowering (non-decimal
-            # numerics; decimal raises there with a clear message)
+            # sum/avg resolve a typed accumulator at lowering (bigint/
+            # double/decimal-38 by argument type; others raise there)
             out_fn = f"{fn}_distinct"
         # DISTINCT min/max == plain min/max: nothing to change
         # orders + frame None = ANSI running frame (RANGE ... CURRENT ROW,

@@ -424,3 +424,40 @@ def test_window_post_single_scan_above_aggregate(ctx):
     # Window evaluates above the (final) aggregate, not under it
     assert plan.index("Window") < plan.index("HashAggregate")
     assert "BatchEvalPython" not in plan
+
+
+def test_distinct_window_decimal_accumulator(spark):
+    """sum/avg DISTINCT windows over DECIMAL arguments fold with a
+    decimal(38,s) accumulator (round 6 — previously a hard raise): the
+    same widening Spark's own sum(decimal) performs, verified against
+    DuckDB on a corpus with duplicates and a NULL."""
+    from decimal import Decimal
+
+    import duckdb
+    import pandas as pd
+
+    from pysparkline import ir
+    from pysparkline.lowering import _apply_window_posts
+
+    rows = [
+        (i, "ab"[i % 2], Decimal(f"{(i % 5) * 7}.2{i % 3}"))
+        for i in range(20)
+    ] + [(20, "a", None)]
+    df = spark.createDataFrame(rows, "i int, p string, v decimal(12,2)")
+    got = _apply_window_posts(
+        df,
+        [
+            ir.WindowPostSpec("sd", "sum_distinct", "v", ["p"], []),
+            ir.WindowPostSpec("ad", "avg_distinct", "v", ["p"], []),
+        ],
+    ).orderBy("i").toPandas()
+    assert dict(df.dtypes)["v"] == "decimal(12,2)"
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["i", "p", "v"]))
+    exp = con.execute(
+        "SELECT i, sum(DISTINCT v) OVER (PARTITION BY p) AS sd,"
+        " avg(DISTINCT v) OVER (PARTITION BY p) AS ad FROM t ORDER BY i"
+    ).df()
+    m = got.merge(exp, on="i", suffixes=("_s", "_d"))
+    assert (m.sd_s.astype(float) - m.sd_d.astype(float)).abs().max() < 1e-9
+    assert (m.ad_s.astype(float) - m.ad_d.astype(float)).abs().max() < 1e-9
