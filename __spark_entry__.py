@@ -3210,6 +3210,43 @@ def ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivf_append_topk",
+    _TOP1_ORACLE.format(qfilter="% 100 = 0"),
+)
+def ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-IVF ingest (round 6): the index is built on HALF the
+    corpus, the other half arrives through IvfIndex.append (assigned to
+    the frozen centroids, committed as a batch directory via atomic
+    manifest rewrite — SignatureStore's committed-batch layout). Search
+    reads every committed batch with the same static cell pruning, so the
+    recall invariant is checked against brute force over the FULL corpus —
+    appended vectors must be findable, not second-class. Exact probed-cell
+    equivalence vs a numpy reference is pinned in
+    tests/test_ivf_index.py::test_append_matches_exact_probed_topk."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators.similarity import IvfIndex
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex.build(
+        spark,
+        emb.where(F.col("vec_id") % 2 == 0),
+        tempfile.mkdtemp(prefix="ivf_append_"),
+        n_clusters=8,
+        seed=42,
+    )
+    idx.append(emb.where(F.col("vec_id") % 2 == 1))
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = idx.search(queries, k=5, n_probe=3)
+    return _ann_recall_invariant(spark, emb, queries, res, 5, 0.4)
+
+
+@_register(
     "skew_salted_distinct",
     """
 SELECT event_type, COUNT(DISTINCT user_id) AS distinct_user_id

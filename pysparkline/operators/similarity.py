@@ -363,6 +363,16 @@ class IvfIndex:
     Same estimator as ``ivf_topk``: exact cosine within probed cells, so
     given identical (corpus, n_clusters, seed) the two return identical
     results (tests/test_ivf_index.py asserts it).
+
+    Incremental ingest (round 6): ``append`` assigns NEW vectors to the
+    EXISTING centroids (no refit — standard IVF ingestion) and lands them
+    as an additional cell-partitioned batch directory, committed by an
+    atomic manifest rewrite — the same committed-batch layout as
+    SignatureStore: a crash mid-write leaves an unreferenced directory
+    search never reads. ``compact`` folds all batches back into one
+    directory (same atomic commit). Centroid-drift caveat: appended
+    distributions the centroids never saw skew cell sizes and degrade
+    recall — monitor ``cell_counts`` and rebuild when unbalanced.
     """
 
     MANIFEST = "ivf_manifest.json"
@@ -406,6 +416,8 @@ class IvfIndex:
             "corpusId": corpus_id,
             "corpusVec": corpus_vec,
             "seed": seed,
+            "batches": ["cells"],
+            "nextOrdinal": 1,
         }
         from ..index import atomic_json_dump
 
@@ -419,6 +431,96 @@ class IvfIndex:
 
         with open(os.path.join(path, IvfIndex.MANIFEST)) as fh:
             return IvfIndex(spark, path, json.load(fh))
+
+    # ------------------------------------------------------------- batches
+    def _batch_dirs(self) -> list[str]:
+        # pre-append manifests carry no "batches" key: one "cells" dir
+        return self.manifest.get("batches", ["cells"])
+
+    def _assigned(self, corpus: DataFrame):
+        cid = self.manifest["corpusId"]
+        cvec = self.manifest["corpusVec"]
+        return corpus.select(
+            F.col(cid).alias("neighbor_id"),
+            F.col(cvec).alias("__cv"),
+            _nearest_cells_expr(F.col(cvec), self.centroids, 1)[0].alias(
+                "__cell"
+            ),
+        )
+
+    def _commit(self, batches: list[str]) -> None:
+        import os
+
+        from ..index import atomic_json_dump
+
+        m = dict(self.manifest)
+        m["batches"] = batches
+        m["nextOrdinal"] = int(m.get("nextOrdinal", 1)) + 1
+        atomic_json_dump(m, os.path.join(self.path, IvfIndex.MANIFEST))
+        self.manifest = m
+
+    def append(self, corpus: DataFrame) -> str:
+        """Incremental ingest: assign new vectors to the FROZEN centroids
+        and land them as a new cell-partitioned batch directory; the batch
+        becomes visible only through the atomic manifest rewrite, so a
+        crash mid-write cannot surface a torn batch. Returns the committed
+        directory name. Columns must match the build schema
+        (``corpusId``/``corpusVec`` from the manifest)."""
+        import os
+
+        bdir = f"cells_b{int(self.manifest.get('nextOrdinal', 1))}"
+        (
+            self._assigned(corpus)
+            .write.mode("overwrite")
+            .partitionBy("__cell")
+            .parquet(os.path.join(self.path, bdir))
+        )
+        self._commit(self._batch_dirs() + [bdir])
+        return bdir
+
+    def compact(self) -> str:
+        """Fold every committed batch into one cell-partitioned directory
+        and swap it in atomically; old directories are deleted only AFTER
+        the commit (a crash between commit and delete leaves garbage,
+        never wrong results). Search results are identical before/after —
+        compaction moves rows, it never re-assigns them."""
+        import functools
+        import os
+        import shutil
+
+        old = self._batch_dirs()
+        cdir = f"cells_b{int(self.manifest.get('nextOrdinal', 1))}"
+        rows = functools.reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(os.path.join(self.path, b))
+                for b in old
+            ],
+        )
+        (
+            rows.write.mode("overwrite")
+            .partitionBy("__cell")
+            .parquet(os.path.join(self.path, cdir))
+        )
+        self._commit([cdir])
+        for b in old:
+            shutil.rmtree(os.path.join(self.path, b), ignore_errors=True)
+        return cdir
+
+    def cell_counts(self) -> DataFrame:
+        """Rows per cell across committed batches — the balance signal for
+        the rebuild decision (drifted appends concentrate in few cells)."""
+        import functools
+        import os
+
+        rows = functools.reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(os.path.join(self.path, b))
+                for b in self._batch_dirs()
+            ],
+        )
+        return rows.groupBy("__cell").agg(F.count(F.lit(1)).alias("n"))
 
     # -------------------------------------------------------------- search
     def search(
@@ -469,11 +571,18 @@ class IvfIndex:
                 schema,
             )
         )
+        import functools
+
         cells = sorted({int(c) for cs in idx for c in cs})
-        corpus = (
-            self.spark.read.parquet(os.path.join(self.path, "cells"))
-            # literal IN over the partition column => static pruning
-            .where(F.col("__cell").isin([int(c) for c in cells]))
+        corpus = functools.reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(os.path.join(self.path, b))
+                # literal IN over the partition column => static pruning,
+                # applied per committed batch directory
+                .where(F.col("__cell").isin([int(c) for c in cells]))
+                for b in self._batch_dirs()
+            ],
         )
         cands = corpus.join(q, "__cell").select(
             "query_id", "neighbor_id", "__cv", "__qv"

@@ -143,3 +143,112 @@ def test_ivfpq_adc_scan_is_column_and_partition_pruned(spark, emb, ivfpq):
     code_scan = [s for s in txt.split("Scan parquet") if "__codes" in s and "__cv" not in s]
     assert code_scan, f"no column-pruned code scan in:\n{txt}"
     assert "PartitionFilters" in txt and "__cell" in txt
+
+
+# ---------------------------------------------------------------------------
+# incremental append / compaction (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _exact_probed_topk(emb_pdf, centroids, queries, k, n_probe):
+    """numpy reference: assign every corpus vector to its nearest centroid,
+    probe n_probe cells per query, exact cosine top-k within them."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    X = np.vstack(emb_pdf["embedding"].to_numpy())
+    ids = emb_pdf["vec_id"].to_numpy()
+    cell = np.argmin(
+        c2[None, :] - 2.0 * (X @ C.T), axis=1
+    )
+    out = {}
+    for qid, qv in queries:
+        qv = np.asarray(qv, dtype=np.float64)
+        probed = np.argsort(
+            c2 - 2.0 * (C @ qv), kind="stable"
+        )[:n_probe]
+        mask = np.isin(cell, probed)
+        sims = (X[mask] @ qv) / (
+            np.linalg.norm(X[mask], axis=1) * np.linalg.norm(qv)
+        )
+        order = np.lexsort((ids[mask], -sims))[:k]
+        out[qid] = [int(i) for i in ids[mask][order]]
+    return out
+
+
+def test_append_matches_exact_probed_topk(spark, emb, tmp_path):
+    """build(first half) + append(second half): search == exact numpy
+    cosine top-k within the probed cells over the UNION — appended vectors
+    are first-class citizens of their cells."""
+    path = str(tmp_path / "idx_app")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    idx = IvfIndex.build(spark, first, path, n_clusters=8, seed=42)
+    idx.append(second)
+    q = _queries(emb)
+    got = {}
+    for r in idx.search(q, k=5, n_probe=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    got = {k_: [n for _, n in sorted(v)] for k_, v in got.items()}
+    qrows = [(r.query_id, r.embedding) for r in q.collect()]
+    want = _exact_probed_topk(
+        emb.toPandas(), idx.centroids, qrows, 5, 3
+    )
+    assert got == want and got
+
+
+def test_append_uncommitted_batch_invisible(spark, emb, tmp_path):
+    """A batch directory without a manifest commit (the crash window) is
+    never read: search results match the pre-append index exactly."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "idx_crash")
+    idx = IvfIndex.build(spark, emb, path, n_clusters=8, seed=42)
+    q = _queries(emb)
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.search(q, k=5, n_probe=3).collect()
+    }
+    # simulate a crash mid-append: data landed, manifest rewrite never ran
+    shutil.copytree(
+        os.path.join(path, "cells"), os.path.join(path, "cells_b1")
+    )
+    reloaded = IvfIndex.load(spark, path)
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in reloaded.search(q, k=5, n_probe=3).collect()
+    }
+    assert after == before
+
+
+def test_compaction_equivalence(spark, emb, tmp_path):
+    """compact() folds batches into one directory: identical results,
+    old directories deleted, one committed batch left."""
+    import os
+
+    path = str(tmp_path / "idx_cmp")
+    idx = IvfIndex.build(
+        spark, emb.where(F.col("vec_id") % 2 == 0), path,
+        n_clusters=8, seed=42,
+    )
+    idx.append(emb.where(F.col("vec_id") % 2 == 1))
+    q = _queries(emb)
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.search(q, k=5, n_probe=3).collect()
+    }
+    olds = list(idx._batch_dirs())
+    new = idx.compact()
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.search(q, k=5, n_probe=3).collect()
+    }
+    assert after == before
+    assert idx._batch_dirs() == [new]
+    for b in olds:
+        assert not os.path.exists(os.path.join(path, b))
+    # totals preserved
+    total = idx.cell_counts().agg(F.sum("n")).collect()[0][0]
+    assert total == emb.count()
