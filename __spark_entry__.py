@@ -4184,6 +4184,59 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdict.orderBy("id")
 
 
+@_register(
+    "incremental_substring_docs",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     range(1, greatest(len(t) - 8 + 1, 0) + 1),
+     i -> array_to_string(t[i:i+8-1], ' ')))) AS w
+  FROM t
+), dups AS (
+  SELECT DISTINCT r.doc_id AS id_b
+  FROM w l JOIN w r ON l.w = r.w
+   AND ((l.doc_id % 3 <> 0 AND r.doc_id % 3 = 0)
+     OR (l.doc_id % 3 = 0 AND r.doc_id % 3 = 0 AND l.doc_id < r.doc_id))
+)
+SELECT d.doc_id AS id, (dups.id_b IS NULL) AS kept
+FROM documents d LEFT JOIN dups ON d.doc_id = dups.id_b
+WHERE d.doc_id % 3 = 0 ORDER BY id
+""",
+)
+def incremental_substring_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact-substring decontamination against a persisted
+    SubstringStore (round 6): the store holds the historical corpus'
+    (2/3 of documents) window fingerprints; the new batch (doc_id % 3 == 0)
+    is flagged for any shared >= 8-token run with history OR an earlier
+    batch doc, exact-verified against the provided history texts, and only
+    survivors' fingerprints append. DuckDB recomputes the verdict with a
+    full window-string join. Built into a fresh temp store per call
+    (idempotent) — the incremental complement of substring_dup_docs, same
+    committed-batch crash discipline as incremental_dedup_docs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators.dedup import SubstringStore
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    store = SubstringStore.create(
+        spark, tempfile.mkdtemp(prefix="substrstore_"), min_tokens=8
+    )
+    store.append(old, "doc_id", "text")
+    verdict = store.dedup_and_append(
+        new, "doc_id", "text", history_docs=old
+    )
+    return verdict.orderBy("id")
+
+
 def _curate_oracle() -> str:
     """Composed curation-funnel oracle: every stage reuses the formula its
     standalone oracle pins (quality_docs, lang_id_docs,

@@ -586,24 +586,7 @@ def substring_dup_pairs(
     bounded-recall trade as ``ngram_jaccard_pairs``. Tokens are
     whitespace-split, case-preserving (this is EXACT substring dedup).
     """
-    L = min_tokens
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    wins = F.when(
-        F.size(toks) >= L,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - L + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, L)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col).alias("id"), wins.alias("wins"))
-    hashes = F.array_distinct(
-        F.transform(F.col("wins"), lambda w: F.xxhash64(w))
-    )
-    if sample_mod > 1:
-        hashes = F.filter(
-            hashes, lambda h: h % sample_mod == 0
-        )
-    inv = base.select("id", F.explode(hashes).alias("h"))
+    inv = _substr_fingerprints(df, id_col, text_col, min_tokens, sample_mod)
     if max_df is not None:
         hw = Window.partitionBy("h")
         inv = (
@@ -620,22 +603,63 @@ def substring_dup_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on candidate docs only: recompute window STRINGS for the
-    # (bounded) candidate set and require a true shared window — the same
-    # candidate-bounded pattern as verify_pairs_exact_jaccard
+    return _substr_verify_pairs(cand, df, id_col, text_col, min_tokens)
+
+
+def _substr_windows(text_col: str, L: int):
+    """array<string> of every rolling L-token window of a text column
+    (whitespace-split, case-preserving); empty when the doc has < L tokens
+    (a run of >= L tokens needs >= L tokens on both sides)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return F.when(
+        F.size(toks) >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - L + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _substr_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, L: int, sample_mod: int = 1
+) -> DataFrame:
+    """(id, h): distinct xxhash64 window fingerprints per document,
+    optionally 0-mod-p sampled (content-defined, so selection is identical
+    for the same run in two documents)."""
+    hashes = F.array_distinct(
+        F.transform(
+            _substr_windows(text_col, L), lambda w: F.xxhash64(w)
+        )
+    )
+    if sample_mod > 1:
+        hashes = F.filter(hashes, lambda h: h % sample_mod == 0)
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(hashes).alias("h")
+    )
+
+
+def _substr_verify_pairs(
+    cand: DataFrame, docs: DataFrame, id_col: str, text_col: str, L: int
+) -> DataFrame:
+    """Exact verify on candidate docs only: recompute window STRINGS for
+    the (bounded) candidate set and require a true shared window — the
+    candidate-bounded pattern of verify_pairs_exact_jaccard; fingerprint
+    collisions cannot survive it."""
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
     wstr = (
-        base.join(cand_ids, "id", "left_semi")
+        docs.select(
+            F.col(id_col).alias("id"),
+            _substr_windows(text_col, L).alias("wins"),
+        )
+        .join(cand_ids, "id", "left_semi")
         .select("id", F.explode(F.array_distinct(F.col("wins"))).alias("w"))
     )
     return (
-        cand.join(
-            wstr.alias("wa"), F.col("id_a") == F.col("wa.id")
-        )
+        cand.join(wstr.alias("wa"), F.col("id_a") == F.col("wa.id"))
         .join(
             wstr.alias("wb"),
             (F.col("id_b") == F.col("wb.id"))
@@ -645,6 +669,239 @@ def substring_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+class SubstringStore:
+    """Persisted substring-fingerprint store — ingest-time exact-substring
+    decontamination (round 6): each new batch is checked for shared
+    >= ``min_tokens``-token runs against the FULL history without ever
+    rescanning it. The incremental complement of ``substring_dup_pairs``,
+    with SignatureStore's layout and commit protocol.
+
+    Layout: ``batches/<name>/fps`` parquet of (id, h) window fingerprints,
+    plus a JSON manifest pinning (minTokens, sampleMod, maxDf) — every
+    batch fingerprints identically, the property the incremental join
+    relies on — and listing COMMITTED batch names; an append writes a
+    fresh batch directory and only then commits its name atomically, so a
+    crash leaves an orphan readers never see. Single-writer, like
+    SignatureStore.
+
+    Verdict semantics: a new doc is flagged when it shares a window
+    fingerprint with the store or with an EARLIER doc of its own batch
+    (smaller id wins). With ``history_docs`` the flagged candidates are
+    exact-verified by window-string intersection (collisions cannot flag a
+    doc); without it the 64-bit fingerprint match decides — the store
+    deliberately keeps O(windows) fingerprints, not O(corpus) text, so the
+    estimate-vs-exact contract mirrors SignatureStore's.
+    """
+
+    MANIFEST = "substring_store.json"
+
+    def __init__(self, spark, path: str, manifest: dict):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self._batches_path = os.path.join(path, "batches")
+
+    @staticmethod
+    def create(
+        spark,
+        path: str,
+        min_tokens: int = 8,
+        sample_mod: int = 1,
+        max_df: int | None = 1000,
+    ) -> "SubstringStore":
+        import os
+
+        manifest = {
+            "minTokens": min_tokens,
+            "sampleMod": sample_mod,
+            "maxDf": max_df,
+            "batches": [],
+        }
+        os.makedirs(path, exist_ok=True)
+        from ..index import atomic_json_dump
+
+        atomic_json_dump(
+            manifest, os.path.join(path, SubstringStore.MANIFEST)
+        )
+        return SubstringStore(spark, path, manifest)
+
+    @staticmethod
+    def load(spark, path: str) -> "SubstringStore":
+        import json
+        import os
+
+        with open(os.path.join(path, SubstringStore.MANIFEST)) as fh:
+            return SubstringStore(spark, path, json.load(fh))
+
+    # -- commit protocol (SignatureStore's, over one output kind) ----------
+
+    def _write_manifest(self) -> None:
+        import os
+
+        from ..index import atomic_json_dump
+
+        atomic_json_dump(
+            self.manifest, os.path.join(self.path, self.MANIFEST)
+        )
+
+    def _write_batch(self, fps: DataFrame) -> str:
+        import os
+        import time
+        import uuid
+
+        m = self.manifest
+        name = uuid.uuid4().hex[:12]
+        fps.write.parquet(
+            os.path.join(self._batches_path, name, "fps")
+        )
+        m["batches"].append({"name": name, "ts": time.time()})
+        try:
+            self._write_manifest()
+        except BaseException:
+            m["batches"].pop()
+            raise
+        return name
+
+    def _stored(self) -> DataFrame:
+        import os
+
+        paths = [
+            os.path.join(self._batches_path, b["name"], "fps")
+            for b in self.manifest["batches"]
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], "id long, h long")
+        return self.spark.read.parquet(*paths)
+
+    def compact(self, max_age_seconds: float | None = None) -> None:
+        """Merge committed batches into one; ``max_age_seconds`` first
+        expires whole batches older than the retention window (their docs
+        stop blocking future ingests). Orphans from crashed appends are
+        swept. Single-writer."""
+        import os
+        import shutil
+        import time
+
+        m = self.manifest
+        now = time.time()
+        keep = [
+            b
+            for b in m["batches"]
+            if max_age_seconds is None or now - b["ts"] <= max_age_seconds
+        ]
+        if keep:
+            merged = self.spark.read.parquet(
+                *[
+                    os.path.join(self._batches_path, b["name"], "fps")
+                    for b in keep
+                ]
+            ).localCheckpoint()
+            m["batches"] = []
+            self._write_batch(merged)
+        else:
+            m["batches"] = []
+            self._write_manifest()
+        committed = {b["name"] for b in m["batches"]}
+        if os.path.isdir(self._batches_path):
+            for d in os.listdir(self._batches_path):
+                if d not in committed:
+                    shutil.rmtree(
+                        os.path.join(self._batches_path, d),
+                        ignore_errors=True,
+                    )
+
+    # -- ingest -------------------------------------------------------------
+
+    def _fps(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        m = self.manifest
+        return _substr_fingerprints(
+            docs, id_col, text_col, m["minTokens"], m["sampleMod"]
+        )
+
+    def append(self, docs: DataFrame, id_col: str, text_col: str) -> None:
+        """Register documents WITHOUT dedup (store initialization /
+        trusted history): computes and commits their fingerprints."""
+        self._write_batch(self._fps(docs, id_col, text_col))
+
+    def dedup_and_append(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        history_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """Flag ``docs`` sharing a >= minTokens-token run with the store or
+        with earlier docs of the batch, then append the SURVIVORS'
+        fingerprints. Returns the verdict (id, kept) — this method RUNS
+        the job (the append is a write).
+
+        ``maxDf`` caps the per-fingerprint postings over store+batch
+        combined (the boilerplate d^2 guard — bounded recall, same trade
+        as the batch operator). With ``history_docs`` (+ the batch's own
+        texts) flagged candidates are exact-verified; pairs whose stored
+        text is missing from a PARTIAL history fall back to the
+        fingerprint match rather than silently passing."""
+        m = self.manifest
+        fps_new = self._fps(docs, id_col, text_col).persist()
+        both = fps_new.select(
+            "id", "h", F.lit(True).alias("__new")
+        ).unionByName(
+            self._stored().select("id", "h", F.lit(False).alias("__new"))
+        )
+        if m.get("maxDf") is not None:
+            hw = Window.partitionBy("h")
+            both = (
+                both.withColumn("__df", F.count(F.lit(1)).over(hw))
+                .where(F.col("__df") <= m["maxDf"])
+                .drop("__df")
+            )
+        new_side = both.where("__new")
+        cand = (
+            new_side.alias("l")
+            .join(
+                both.alias("r"),
+                (F.col("l.h") == F.col("r.h"))
+                & (
+                    (F.col("r.__new") & (F.col("r.id") < F.col("l.id")))
+                    | ~F.col("r.__new")
+                ),
+            )
+            .select(F.col("r.id").alias("id_a"), F.col("l.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        if history_docs is not None:
+            texts = history_docs.select(
+                F.col(id_col), F.col(text_col)
+            ).unionByName(docs.select(F.col(id_col), F.col(text_col)))
+            text_ids = texts.select(F.col(id_col).alias("id_a")).distinct()
+            verified = _substr_verify_pairs(
+                cand.join(text_ids, "id_a", "left_semi"),
+                texts, id_col, text_col, m["minTokens"],
+            )
+            # stored-side text absent from a partial history: the
+            # fingerprint match decides (never silently keep)
+            dup_hits = verified.unionByName(
+                cand.join(text_ids, "id_a", "left_anti")
+            )
+        else:
+            dup_hits = cand
+        dup_ids = dup_hits.select(F.col("id_b").alias("id")).distinct()
+        verdict = (
+            docs.select(F.col(id_col).alias("id"))
+            .join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+            .select("id", F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"))
+            .localCheckpoint()
+        )
+        keep_ids = verdict.where("kept").select("id")
+        self._write_batch(
+            fps_new.join(keep_ids, "id", "left_semi").localCheckpoint()
+        )
+        fps_new.unpersist()
+        return verdict
 
 
 # ---------------------------------------------------------------------------

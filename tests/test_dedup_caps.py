@@ -468,3 +468,115 @@ def test_substring_max_df_drops_boilerplate(spark):
         df, "doc_id", "text", min_tokens=8, max_df=3
     ).count()
     assert full == 10 and capped == 0
+
+
+def test_substring_store_incremental(spark, tmp_path):
+    """Ingest flow: history -> batch1 -> batch2. A batch doc sharing a run
+    with history or an EARLIER batch doc is dropped; only survivors'
+    fingerprints append (so later batches dedup against the canonical
+    survivors, not the dropped copies)."""
+    from pysparkline.operators.dedup import SubstringStore
+
+    run = " ".join(f"h{i}" for i in range(12))
+    run2 = " ".join(f"z{i}" for i in range(12))
+    hist = spark.createDataFrame(
+        [(1, "history doc with " + run)], "doc_id long, text string"
+    )
+    store = SubstringStore.create(spark, str(tmp_path / "ss"), min_tokens=8)
+    store.append(hist, "doc_id", "text")
+
+    b1 = spark.createDataFrame(
+        [
+            (10, "leaked " + run + " again"),        # dups history
+            (11, "fresh content " + run2),            # new canonical
+            (12, "also has " + run2 + " trailing"),   # dups earlier 11
+            (13, "entirely unrelated text body here with many words"),
+        ],
+        "doc_id long, text string",
+    )
+    v1 = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            b1, "doc_id", "text", history_docs=hist
+        ).collect()
+    }
+    assert v1 == {10: False, 11: True, 12: False, 13: True}
+
+    b2 = spark.createDataFrame(
+        [
+            (20, "second batch reuses " + run2),  # dups stored survivor 11
+            (21, "completely novel second batch document text"),
+        ],
+        "doc_id long, text string",
+    )
+    v2 = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            b2, "doc_id", "text", history_docs=hist.unionByName(b1)
+        ).collect()
+    }
+    assert v2 == {20: False, 21: True}
+
+
+def test_substring_store_matches_batch_operator(spark, tmp_path):
+    """Empty store + one batch == the batch operator's min-id-wins verdict:
+    kept(d) iff substring_dup_pairs has no (a, d) pair with a < d."""
+    from pysparkline.operators.dedup import SubstringStore, substring_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = SubstringStore.create(spark, str(tmp_path / "sse"), min_tokens=8)
+    got = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            docs, "doc_id", "text", history_docs=docs.limit(0)
+        ).collect()
+    }
+    dup_ids = {
+        r.id_b
+        for r in substring_dup_pairs(
+            docs, "doc_id", "text", min_tokens=8
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.doc_id not in dup_ids for r in docs.collect()
+    }
+    assert got == want
+
+
+def test_substring_store_crash_and_compact(spark, tmp_path):
+    """An orphan batch directory (crashed append) is invisible; compact
+    merges committed batches and sweeps the orphan."""
+    import os
+
+    from pysparkline.operators.dedup import SubstringStore
+
+    run = " ".join(f"c{i}" for i in range(10))
+    store = SubstringStore.create(spark, str(tmp_path / "ssc"), min_tokens=8)
+    store.append(
+        spark.createDataFrame([(1, "stored " + run)], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    # orphan: batch dir exists, never committed
+    orphan = os.path.join(store._batches_path, "deadbeef0000", "fps")
+    store._stored().limit(0).write.parquet(orphan)
+    reloaded = SubstringStore.load(spark, store.path)
+    assert [b["name"] for b in reloaded.manifest["batches"]] == [
+        b["name"] for b in store.manifest["batches"]
+    ]
+    n_before = reloaded._stored().count()
+    reloaded.compact()
+    assert reloaded._stored().count() == n_before
+    assert len(reloaded.manifest["batches"]) == 1
+    assert not os.path.exists(os.path.dirname(orphan))
+    # the store still blocks a duplicate after compaction
+    v = {
+        r.id: r.kept
+        for r in reloaded.dedup_and_append(
+            spark.createDataFrame(
+                [(9, "later " + run + " again"), (8, "novel words only here")],
+                "doc_id long, text string",
+            ),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert v == {9: False, 8: True}
