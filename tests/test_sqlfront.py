@@ -756,6 +756,28 @@ ORDER BY l_orderkey, l_linenumber
     assert ctx.query_history[-1].backing != "sparksql"
 
 
+def test_window_row_grain_exclude(ctx, duck):
+    """EXCLUDE composition at ROW grain (no GROUP BY): the same lowering
+    serves both grains, so the subtraction/split forms must hold over the
+    pruned fact scan too."""
+    sql = """
+SELECT l_orderkey, l_linenumber,
+  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_quantity
+    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+    AS BIGINT) AS qty_neighbors,
+  CAST(min(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_quantity
+    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+    AS BIGINT) AS min_neighbor
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+ORDER BY l_orderkey, l_linenumber
+"""
+    assert_same(ctx, duck, sql)  # multiset: tie order is engine-arbitrary
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
 def test_window_row_grain_range_day(ctx, duck):
     # fixed-length INTERVAL RANGE over a raw date key: epoch-seconds
     # surrogate is exact per-row (no bucket truncation needed)
