@@ -1357,13 +1357,17 @@ def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 fingerprints bucket-joined on the 64-bit hash, with the exact
     string verify recomputed for candidate docs ONLY — collisions cannot
     produce a false pair, and at 100 TB the postings shrink via
-    content-defined 0-mod-p sampling + the max_df boilerplate cap (inert
-    here: exact mode, the oracle recomputes with a full string join)."""
+    content-defined 0-mod-p sampling + the max_df boilerplate cap (both
+    DISABLED here so the operator provably runs the exact mode its
+    uncapped full-string-join oracle recomputes)."""
     from pysparkline.operators import dedup
 
     prep(spark)
+    # max_df=None: the oracle is an uncapped full string join, so the
+    # operator must run in exact mode — a capped run would silently
+    # diverge the moment some window's document frequency crossed the cap
     out = dedup.substring_dup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", min_tokens=8
+        _docs(spark, sf_dir), "doc_id", "text", min_tokens=8, max_df=None
     )
     return out.orderBy("id_a", "id_b")
 
@@ -4228,7 +4232,8 @@ def incremental_substring_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.where(F.col("doc_id") % 3 != 0)
     new = docs.where(F.col("doc_id") % 3 == 0)
     store = SubstringStore.create(
-        spark, tempfile.mkdtemp(prefix="substrstore_"), min_tokens=8
+        spark, tempfile.mkdtemp(prefix="substrstore_"), min_tokens=8,
+        max_df=None,  # exact mode: the oracle joins uncapped
     )
     store.append(old, "doc_id", "text")
     verdict = store.dedup_and_append(
@@ -4418,8 +4423,12 @@ _PRIORITY = [
     "ivf_topk", "lsh_cosine_topk", "cosine_topk",
     "embedding_neardup",
     "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10", "q6",
-    "q14", "q17", "q18",
-    # --- 50-query window boundary (everything below: r4/r5 verdicts) ---
+    "q14",
+    # --- 50-query window boundary ---
+    # q17/q18 are the r3 cohort's tail that did NOT fit this round's
+    # window — the only rows still on r3 verdicts; they rotate FIRST next
+    # round. Everything after them carries r4/r5 verdicts.
+    "q17", "q18",
     "sql_window_nth", "sql_window_lag_nulls",
     "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
     "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",

@@ -1051,7 +1051,19 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
         frame = getattr(w, "frame", None)
         is_range = frame is not None and getattr(w, "frame_type", None) == "range"
         spec = Window.partitionBy(*[F.col(p) for p in w.partition])
-        peers_spec = None  # RANGE [0,0]: the ORDER-BY peer group
+        # ANSI peer group = equal ORDER BY tuple: an equality PARTITION over
+        # the RAW order expressions, never a rangeBetween(0,0) over the
+        # RANGE surrogate — the surrogate truncates (epoch seconds), so
+        # sub-bucket-distinct keys would wrongly collapse into one peer
+        # group (round-6 review finding)
+        peers_spec = (
+            Window.partitionBy(
+                *[F.col(p) for p in w.partition],
+                *[F.expr(o.column) for o in w.order],
+            )
+            if w.order
+            else None
+        )
         if is_range:
             # RANGE frame: single ORDER BY key, either direction (Spark's
             # RangeFrame walks PRECEDING toward larger keys under DESC,
@@ -1077,7 +1089,6 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                 ocol.asc() if w.order[0].direction == "asc" else ocol.desc()
             )
             ordered = spec.orderBy(okcol)
-            peers_spec = ordered.rangeBetween(0, 0)
             spec = ordered.rangeBetween(
                 Window.unboundedPreceding if frame[0] is None else frame[0] * scale,
                 Window.unboundedFollowing if frame[1] is None else frame[1] * scale,
@@ -1189,7 +1200,7 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                 hi = Window.unboundedFollowing if frame[1] is None else frame[1]
                 spec = spec.rowsBetween(lo, hi)
             excl = getattr(w, "exclude", "NO_OTHER")
-            if excl != "NO_OTHER" and frame is not None:
+            if excl != "NO_OTHER":
                 wcols[w.name] = _excluded_window_agg(
                     w, excl, spec, base, peers_spec, frame
                 )
@@ -1207,11 +1218,14 @@ def _excluded_window_agg(w, excl, framed, base, peers, frame):
 
     - sum/count/avg: subtract the excluded contribution from the framed
       aggregate. EXCLUDE CURRENT ROW subtracts the row's own (null-aware)
-      value; EXCLUDE GROUP/TIES subtract the peer-group aggregate (a
-      RANGE [0,0] window over the same key — exact because a RANGE frame
-      contains a peer group entirely or not at all; TIES adds the current
-      row back). SQL empty-set semantics hold: the result is NULL (sum/avg)
-      when no rows remain, and the remaining-count is tracked null-aware.
+      value; EXCLUDE GROUP/TIES subtract the peer-group aggregate — an
+      equality PARTITION over the raw ORDER BY expressions (the ANSI peer
+      definition), exact because the gated frames (RANGE, default running,
+      fully-unbounded) contain a peer group entirely or not at all; TIES
+      adds the current row back. SQL empty-set semantics hold: the result
+      is NULL (sum/avg) when no rows remain, and the remaining-count is
+      tracked null-aware. ``frame=None`` is the ANSI default running frame
+      (RANGE ... CURRENT ROW — current row and peers always in-frame).
     - min/max (ROWS + EXCLUDE CURRENT ROW): combine the sub-frames on each
       side of the current row; least/greatest skip a NULL (empty) side.
 
@@ -1222,7 +1236,7 @@ def _excluded_window_agg(w, excl, framed, base, peers, frame):
     oracles round, exactly as the plain window queries do."""
     from pyspark.sql.window import Window
 
-    lo, hi = frame
+    lo, hi = frame if frame is not None else (None, 0)
     agg = F.expr(f"{w.func}({w.arg})")
     if not ((lo is None or lo <= 0) and (hi is None or hi >= 0)):
         return agg.over(framed)

@@ -748,7 +748,7 @@ class SubstringStore:
             self.manifest, os.path.join(self.path, self.MANIFEST)
         )
 
-    def _write_batch(self, fps: DataFrame) -> str:
+    def _write_batch(self, fps: DataFrame, ts: float | None = None) -> str:
         import os
         import time
         import uuid
@@ -758,7 +758,7 @@ class SubstringStore:
         fps.write.parquet(
             os.path.join(self._batches_path, name, "fps")
         )
-        m["batches"].append({"name": name, "ts": time.time()})
+        m["batches"].append({"name": name, "ts": time.time() if ts is None else ts})
         try:
             self._write_manifest()
         except BaseException:
@@ -801,7 +801,13 @@ class SubstringStore:
                 ]
             ).localCheckpoint()
             m["batches"] = []
-            self._write_batch(merged)
+            # the merged batch inherits the OLDEST constituent's timestamp:
+            # a fresh stamp would reset the retention clock on every
+            # compaction, so max_age_seconds would never expire anything
+            # on a regular maintenance cadence. Expiry stays batch-grained
+            # (the merged batch expires when its oldest docs must), so
+            # compact on a cadence coarser than the retention window.
+            self._write_batch(merged, ts=min(b["ts"] for b in keep))
         else:
             m["batches"] = []
             self._write_manifest()
@@ -847,10 +853,19 @@ class SubstringStore:
         fingerprint match rather than silently passing."""
         m = self.manifest
         fps_new = self._fps(docs, id_col, text_col).persist()
+        # only stored rows whose fingerprint occurs in the NEW batch can
+        # matter — semi-join the store down to those before the df-cap
+        # window and candidate join, so an ingest batch shuffles O(batch
+        # matches), never the whole fingerprint history (round-6 review:
+        # the unfiltered union re-shuffled every committed fingerprint per
+        # batch, undercutting the 'never rescan history' posture)
+        stored_matched = self._stored().join(
+            fps_new.select("h").distinct(), "h", "left_semi"
+        )
         both = fps_new.select(
             "id", "h", F.lit(True).alias("__new")
         ).unionByName(
-            self._stored().select("id", "h", F.lit(False).alias("__new"))
+            stored_matched.select("id", "h", F.lit(False).alias("__new"))
         )
         if m.get("maxDf") is not None:
             hw = Window.partitionBy("h")
@@ -1240,7 +1255,10 @@ class SignatureStore:
             json.dump(self.manifest, fh)
         os.replace(tmp, os.path.join(self.path, self.MANIFEST))
 
-    def _write_batch(self, sigs: DataFrame, extra: dict | None = None) -> str:
+    def _write_batch(
+        self, sigs: DataFrame, extra: dict | None = None,
+        ts: float | None = None,
+    ) -> str:
         """Write (sigs, bands) into a fresh batch directory, then commit its
         name — with ``extra`` manifest keys landing in the SAME atomic
         rewrite (streaming exactly-once relies on the batch append and its
@@ -1256,7 +1274,9 @@ class SignatureStore:
         _banded(sigs, m["numPerm"], m["bands"]).write.parquet(
             os.path.join(bdir, "bands")
         )
-        m["batches"].append({"name": name, "ts": time.time()})
+        m["batches"].append(
+            {"name": name, "ts": time.time() if ts is None else ts}
+        )
         before = {k: m.get(k) for k in (extra or {})}
         m.update(extra or {})
         try:
@@ -1310,10 +1330,15 @@ class SignatureStore:
             ]
             merged = self.spark.read.parquet(*paths_s)
             # one merged batch; checkpoint severs lineage from the batch
-            # dirs deleted below
+            # dirs deleted below. It inherits the OLDEST constituent's
+            # timestamp — a fresh stamp would reset the retention clock on
+            # every compaction, so max_age_seconds would never expire
+            # anything on a regular maintenance cadence (expiry stays
+            # batch-grained: compact on a cadence coarser than retention)
             merged = merged.localCheckpoint()
+            oldest = min(b["ts"] for b in keep)
             m["batches"] = []
-            self._write_batch(merged)
+            self._write_batch(merged, ts=oldest)
         else:
             m["batches"] = []
             self._write_manifest()

@@ -459,22 +459,31 @@ class IvfIndex:
         atomic_json_dump(m, os.path.join(self.path, IvfIndex.MANIFEST))
         self.manifest = m
 
-    def append(self, corpus: DataFrame) -> str:
+    def append(self, corpus: DataFrame) -> str | None:
         """Incremental ingest: assign new vectors to the FROZEN centroids
         and land them as a new cell-partitioned batch directory; the batch
         becomes visible only through the atomic manifest rewrite, so a
         crash mid-write cannot surface a torn batch. Returns the committed
-        directory name. Columns must match the build schema
-        (``corpusId``/``corpusVec`` from the manifest)."""
+        directory name, or None for an empty input (a zero-row partitioned
+        write produces a directory with no parquet files — committing it
+        would poison every later read with an unreadable batch). Columns
+        must match the build schema (``corpusId``/``corpusVec`` from the
+        manifest)."""
+        import glob
         import os
+        import shutil
 
         bdir = f"cells_b{int(self.manifest.get('nextOrdinal', 1))}"
+        full = os.path.join(self.path, bdir)
         (
             self._assigned(corpus)
             .write.mode("overwrite")
             .partitionBy("__cell")
-            .parquet(os.path.join(self.path, bdir))
+            .parquet(full)
         )
+        if not glob.glob(os.path.join(full, "**", "*.parquet"), recursive=True):
+            shutil.rmtree(full, ignore_errors=True)
+            return None
         self._commit(self._batch_dirs() + [bdir])
         return bdir
 
@@ -503,8 +512,15 @@ class IvfIndex:
             .parquet(os.path.join(self.path, cdir))
         )
         self._commit([cdir])
-        for b in old:
-            shutil.rmtree(os.path.join(self.path, b), ignore_errors=True)
+        # sweep everything uncommitted: the merged-away batches AND any
+        # orphan cells_b* directory a crashed append left behind
+        for d in os.listdir(self.path):
+            if (
+                (d == "cells" or d.startswith("cells_b"))
+                and d != cdir
+                and os.path.isdir(os.path.join(self.path, d))
+            ):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return cdir
 
     def cell_counts(self) -> DataFrame:

@@ -1004,28 +1004,36 @@ def _window_spec(
         if exclude != "NO_OTHER":
             # Spark has no native EXCLUDE; the lowering composes exactly:
             # - sum/count/avg EXCLUDE CURRENT ROW: subtract the current
-            #   row's contribution from the framed aggregate (any frame)
-            # - sum/count/avg EXCLUDE GROUP/TIES over a RANGE frame:
-            #   subtract the peer-group aggregate (RANGE [0,0]) — exact
-            #   because a RANGE frame contains the peer group entirely or
-            #   not at all
+            #   row's contribution from the framed aggregate (any frame,
+            #   including the ANSI default running frame)
+            # - sum/count/avg EXCLUDE GROUP/TIES: subtract the peer-group
+            #   aggregate (equality partition over the raw ORDER BY keys)
+            #   — exact whenever the frame holds a peer group entirely or
+            #   not at all: RANGE frames, the default running frame, and
+            #   fully-unbounded frames
             # - min/max EXCLUDE CURRENT ROW over a ROWS frame: combine the
             #   two sub-frames around the current row
-            # ROWS GROUP/TIES (peers only partially in frame) and min/max
-            # RANGE exclusion are not composable => spark.sql fallback.
+            # Bounded-ROWS GROUP/TIES (peers only partially in frame) and
+            # min/max RANGE exclusion are not composable => decline (the
+            # spark.sql fallback then surfaces Spark's parse error: it has
+            # no EXCLUDE syntax at all — same class as GROUPS frames).
+            peers_whole = (
+                frame is None
+                or frame_type == "range"
+                or frame == [None, None]
+            )
             ok = (
-                frame is not None
-                and not distinct
+                not distinct
+                and bool(item.get("orders"))
                 and (
                     (
                         fn in ("sum", "count", "avg")
-                        and (
-                            exclude == "CURRENT_ROW" or frame_type == "range"
-                        )
+                        and (exclude == "CURRENT_ROW" or peers_whole)
                     )
                     or (
                         fn in ("min", "max")
                         and exclude == "CURRENT_ROW"
+                        and frame is not None
                         and frame_type == "rows"
                     )
                 )

@@ -580,3 +580,71 @@ def test_substring_store_crash_and_compact(spark, tmp_path):
         ).collect()
     }
     assert v == {9: False, 8: True}
+
+
+def test_substring_store_compact_preserves_retention_clock(spark, tmp_path):
+    """compact() stamps the merged batch with the OLDEST constituent's
+    timestamp, so retention expiry still fires after regular compactions
+    (round-6 review: a fresh stamp reset the clock forever)."""
+    from pysparkline.operators.dedup import SubstringStore
+
+    run = " ".join(f"r{i}" for i in range(10))
+    store = SubstringStore.create(spark, str(tmp_path / "ssr"), min_tokens=8)
+    store.append(
+        spark.createDataFrame([(1, "old " + run)], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    old_ts = store.manifest["batches"][0]["ts"]
+    store.append(
+        spark.createDataFrame([(2, "unrelated novel content words")],
+                              "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    store.compact()
+    assert store.manifest["batches"][0]["ts"] == old_ts
+    # a second compact with retention now EXPIRES the merged batch
+    store.compact(max_age_seconds=0.0)
+    assert store.manifest["batches"] == [] or all(
+        b["ts"] > old_ts for b in store.manifest["batches"]
+    )
+    v = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            spark.createDataFrame(
+                [(9, "later " + run + " again")], "doc_id long, text string"
+            ),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert v == {9: True}  # expired history no longer blocks
+
+
+def test_signature_store_compact_preserves_retention_clock(spark, tmp_path):
+    """Same clock-preservation contract for SignatureStore.compact."""
+    from pysparkline.operators.dedup import SignatureStore
+
+    txt = "the same exact document text repeated across batches " * 3
+    store = SignatureStore.create(spark, str(tmp_path / "sgr"))
+    store.append(
+        spark.createDataFrame([(1, txt)], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    old_ts = store.manifest["batches"][0]["ts"]
+    store.append(
+        spark.createDataFrame(
+            [(2, "different content entirely here" * 4)],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text",
+    )
+    store.compact()
+    assert store.manifest["batches"][0]["ts"] == old_ts
+    store.compact(max_age_seconds=0.0)
+    v = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            spark.createDataFrame([(9, txt)], "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert v == {9: True}  # expired history no longer blocks

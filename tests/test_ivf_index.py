@@ -252,3 +252,42 @@ def test_compaction_equivalence(spark, emb, tmp_path):
     # totals preserved
     total = idx.cell_counts().agg(F.sum("n")).collect()[0][0]
     assert total == emb.count()
+
+
+def test_append_empty_batch_is_not_committed(spark, emb, tmp_path):
+    """A zero-row append must NOT commit (the partitioned write leaves a
+    directory with no parquet files — committing it would poison every
+    later read); the index stays fully usable (round-6 review)."""
+    path = str(tmp_path / "idx_empty")
+    idx = IvfIndex.build(spark, emb, path, n_clusters=8, seed=42)
+    before = list(idx._batch_dirs())
+    assert idx.append(emb.where(F.lit(False))) is None
+    assert idx._batch_dirs() == before
+    q = _queries(emb)
+    assert idx.search(q, k=3, n_probe=2).count() > 0
+    reloaded = IvfIndex.load(spark, path)
+    assert reloaded._batch_dirs() == before
+
+
+def test_compact_sweeps_crashed_append_orphan(spark, emb, tmp_path):
+    """compact() removes uncommitted cells_b* directories left by crashed
+    appends, not only the merged-away batches (round-6 review: the sweep
+    previously skipped orphans)."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "idx_sweep")
+    idx = IvfIndex.build(
+        spark, emb.where(F.col("vec_id") % 2 == 0), path,
+        n_clusters=8, seed=42,
+    )
+    idx.append(emb.where(F.col("vec_id") % 2 == 1))
+    shutil.copytree(
+        os.path.join(path, "cells"), os.path.join(path, "cells_b77")
+    )  # orphan: never committed
+    new = idx.compact()
+    dirs = {
+        d for d in os.listdir(path)
+        if d == "cells" or d.startswith("cells_b")
+    }
+    assert dirs == {new}

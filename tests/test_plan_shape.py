@@ -461,3 +461,47 @@ def test_distinct_window_decimal_accumulator(spark):
     m = got.merge(exp, on="i", suffixes=("_s", "_d"))
     assert (m.sd_s.astype(float) - m.sd_d.astype(float)).abs().max() < 1e-9
     assert (m.ad_s.astype(float) - m.ad_d.astype(float)).abs().max() < 1e-9
+
+
+def test_exclude_peers_use_raw_key_not_surrogate(spark):
+    """EXCLUDE GROUP peers over an INTERVAL RANGE frame partition on the
+    RAW order key: two timestamps in the same second but different
+    sub-second instants are DIFFERENT peer groups (round-6 review: the
+    rangeBetween(0,0) peers window over the epoch-seconds surrogate
+    collapsed them)."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from pysparkline import ir
+    from pysparkline.lowering import _apply_window_posts
+
+    rows = [
+        (0, datetime.datetime(2024, 1, 1, 12, 0, 0, 100000), 10),
+        (1, datetime.datetime(2024, 1, 1, 12, 0, 0, 900000), 20),
+        (2, datetime.datetime(2024, 1, 2, 12, 0, 0, 100000), 40),
+    ]
+    tdf = spark.createDataFrame(rows, "i int, ts timestamp, v int")
+    w = ir.WindowPostSpec(
+        "sg", "sum", "v", [], [ir.OrderByColumn("ts", "asc")],
+        frame=[-1, 1], frame_type="range", range_unit="day",
+        exclude="GROUP",
+    )
+    got = {
+        r.i: r.sg
+        for r in _apply_window_posts(tdf, [w]).collect()
+    }
+    con = duckdb.connect()
+    con.register("tt", pd.DataFrame(rows, columns=["i", "ts", "v"]))
+    exp = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT i, sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 DAY"
+            " PRECEDING AND INTERVAL 1 DAY FOLLOWING EXCLUDE GROUP) FROM tt"
+        ).fetchall()
+    }
+    assert got == exp
+    # the discriminating rows: each same-second neighbor must stay IN the
+    # other's frame (they are not peers)
+    assert got[0] == 20 + 40 and got[1] == 10 + 40
