@@ -1419,8 +1419,19 @@ class SignatureStore:
             docs, id_col, text_col, m["numPerm"], m["shingleK"], m["seed"]
         ).persist()
         bands_new = _banded(sigs_new, m["numPerm"], m["bands"])
+        # only stored rows in buckets the NEW batch touches can produce
+        # candidates or change a touched bucket's size — semi-join the
+        # store down to those before the cap window and candidate join, so
+        # an ingest shuffles O(batch bucket matches), never the full band
+        # history (cap semantics unchanged: every stored member of a
+        # touched bucket survives the semi-join, untouched buckets never
+        # mattered). Same round-6 fix as SubstringStore's df cap.
         bands_old = self._stored(
             "bands", "id long, band int, band_hash int"
+        ).join(
+            bands_new.select("band", "band_hash").distinct(),
+            ["band", "band_hash"],
+            "left_semi",
         )
         sigs_old = self._stored("sigs", "id long, sig array<long>")
 
