@@ -748,7 +748,10 @@ class SubstringStore:
             self.manifest, os.path.join(self.path, self.MANIFEST)
         )
 
-    def _write_batch(self, fps: DataFrame, ts: float | None = None) -> str:
+    def _write_batch(
+        self, fps: DataFrame, ts: float | None = None,
+        extra: dict | None = None,
+    ) -> str:
         import os
         import time
         import uuid
@@ -758,11 +761,22 @@ class SubstringStore:
         fps.write.parquet(
             os.path.join(self._batches_path, name, "fps")
         )
-        m["batches"].append({"name": name, "ts": time.time() if ts is None else ts})
+        m["batches"].append(
+            {"name": name, "ts": time.time() if ts is None else ts}
+        )
+        before = {k: m.get(k) for k in (extra or {})}
+        m.update(extra or {})
         try:
             self._write_manifest()
         except BaseException:
+            # failed commit: the in-memory view must match the on-disk
+            # manifest, so this session doesn't read the orphan either
             m["batches"].pop()
+            for k, v in before.items():
+                if v is None:
+                    m.pop(k, None)
+                else:
+                    m[k] = v
             raise
         return name
 
@@ -839,6 +853,8 @@ class SubstringStore:
         id_col: str,
         text_col: str,
         history_docs: DataFrame | None = None,
+        _commit_extra: dict | None = None,
+        _pre_commit=None,
     ) -> DataFrame:
         """Flag ``docs`` sharing a >= minTokens-token run with the store or
         with earlier docs of the batch, then append the SURVIVORS'
@@ -912,11 +928,47 @@ class SubstringStore:
             .localCheckpoint()
         )
         keep_ids = verdict.where("kept").select("id")
+        if _pre_commit is not None:
+            # verdict is localCheckpoint'ed (materialized), so this runs no
+            # store-reading plan — it must land BEFORE the store commit
+            # (stream exactly-once: a replay after a crash in between
+            # recomputes the identical verdict against the unchanged store)
+            _pre_commit(verdict)
         self._write_batch(
-            fps_new.join(keep_ids, "id", "left_semi").localCheckpoint()
+            fps_new.join(keep_ids, "id", "left_semi").localCheckpoint(),
+            extra=_commit_extra,
         )
         fps_new.unpersist()
         return verdict
+
+    def process_stream_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        id_col: str,
+        text_col: str,
+        verdict_path: str,
+    ) -> None:
+        """foreachBatch body for incremental substring decontamination over
+        a stream, with EXACTLY-ONCE store semantics under at-least-once
+        replays — the same protocol as SignatureStore.process_stream_batch:
+        committed batch ids skip; the verdict lands (overwrite) BEFORE the
+        store commit; survivors' fingerprints and the stream-batch marker
+        commit in ONE atomic manifest rewrite. Single-writer. Works with
+        streaming.ingest.streaming_incremental_dedup unchanged (it is
+        store-agnostic)."""
+        import os
+
+        done = int(self.manifest.get("lastStreamBatch", -1))
+        if batch_id <= done:
+            return
+        self.dedup_and_append(
+            batch_df, id_col, text_col,
+            _commit_extra={"lastStreamBatch": int(batch_id)},
+            _pre_commit=lambda verdict: verdict.write.mode(
+                "overwrite"
+            ).parquet(os.path.join(verdict_path, f"batch={int(batch_id)}")),
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -648,3 +648,43 @@ def test_signature_store_compact_preserves_retention_clock(spark, tmp_path):
         ).collect()
     }
     assert v == {9: True}  # expired history no longer blocks
+
+
+def test_substring_store_stream_batch_exactly_once(spark, tmp_path):
+    """SubstringStore.process_stream_batch: a replayed batch id is a no-op
+    (store unchanged, verdict directory already present), and the verdict
+    lands under verdict_path/batch=<id> — SignatureStore's exactly-once
+    protocol carried over."""
+    import os
+
+    from pysparkline.operators.dedup import SubstringStore
+
+    run = " ".join(f"s{i}" for i in range(10))
+    store = SubstringStore.create(spark, str(tmp_path / "sss"), min_tokens=8)
+    store.append(
+        spark.createDataFrame([(1, "hist " + run)], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    vdir = str(tmp_path / "verdicts")
+    b0 = spark.createDataFrame(
+        [(10, "leak " + run), (11, "novel words entirely here")],
+        "doc_id long, text string",
+    )
+    store.process_stream_batch(b0, 0, "doc_id", "text", vdir)
+    v = {
+        r.id: r.kept
+        for r in spark.read.parquet(os.path.join(vdir, "batch=0")).collect()
+    }
+    assert v == {10: False, 11: True}
+    n_batches = len(store.manifest["batches"])
+    assert store.manifest["lastStreamBatch"] == 0
+    # at-least-once replay of the same batch id: nothing changes
+    store.process_stream_batch(b0, 0, "doc_id", "text", vdir)
+    assert len(store.manifest["batches"]) == n_batches
+    # the next batch dedups against batch-0 SURVIVORS too
+    b1 = spark.createDataFrame(
+        [(20, "again novel words entirely here padding tokens galore")],
+        "doc_id long, text string",
+    )
+    store.process_stream_batch(b1, 1, "doc_id", "text", vdir)
+    assert store.manifest["lastStreamBatch"] == 1
