@@ -138,7 +138,8 @@ def select_sqls(draw):
         kind = draw(
             st.sampled_from(
                 ["share", "rank", "lag", "running", "frame", "vrange",
-                 "vrange_desc", "nth", "wfilter", "cdist", "xcur", "xgrp"]
+                 "vrange_desc", "nth", "wfilter", "cdist", "xcur", "xgrp",
+                 "xdef"]
             )
         )
         if kind == "share":
@@ -209,6 +210,24 @@ def select_sqls(draw):
                 f"{width} PRECEDING AND {width} FOLLOWING "
                 f"EXCLUDE {ex}) AS w0"
             )
+        elif kind == "xdef":
+            # EXCLUDE over the ANSI default running frame / fully-unbounded
+            # ROWS frame (round-6 review fix: these previously hard-failed);
+            # running frame ordered by the full unique group key so the
+            # running prefix is deterministic
+            ex = draw(st.sampled_from(["CURRENT ROW", "GROUP", "TIES"]))
+            if draw(st.booleans()):
+                sel.append(
+                    f"SUM(SUM({m})) OVER (ORDER BY {', '.join(gcols)} "
+                    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW "
+                    f"EXCLUDE {ex}) AS w0"
+                )
+            else:
+                sel.append(
+                    f"COUNT(SUM({m})) OVER (ORDER BY {', '.join(gcols)} "
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+                    f"FOLLOWING EXCLUDE {ex}) AS w0"
+                )
         elif kind == "cdist":
             # DISTINCT count window (collect_set rewrite); no ORDER BY, so
             # tie order never matters
