@@ -2093,6 +2093,38 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "frame_idx", "frame_mean")
 
 
+@_register(
+    "image_dhash_pairs",
+    """
+WITH d AS (SELECT doc_id, doc_id % 16 AS seed FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM d a JOIN d b ON a.seed = b.seed AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def image_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (round 6): dHash + pigeonhole segment
+    blocking — the multimodal analog of SimHash text dedup. The fixture
+    gives each document a deterministic textured PNG keyed by
+    doc_id % 16, decoded by the REAL decoder on executors: equal seeds are
+    byte-identical (hamming 0), distinct seeds measure >= 21 bits apart
+    (asserted in tests/test_multimodal), so at max_hamming=4 the exact
+    expected pair set is same-seed pairs — which the oracle enumerates in
+    pure SQL."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import multimodal
+
+    prep(spark)
+    media = multimodal.with_patterned_images(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_seeds=16
+    )
+    out = multimodal.image_dhash_pairs(media, "doc_id", "img", max_hamming=4)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 _EVENTS_CTX: dict[str, OlapContext] = {}
 
 
@@ -4404,6 +4436,7 @@ _PRIORITY = [
     "substring_dup_docs",          # NEW: substring-granularity dedup
     "incremental_substring_docs",  # NEW: SubstringStore ingest dedup
     "ivf_append_topk",             # NEW: IvfIndex incremental append
+    "image_dhash_pairs",           # NEW: perceptual image dedup
     "ivf_index_topk",              # IvfIndex.search multi-batch read
     "sql_window_sum_distinct", "sql_window_filter_distinct",  # fold edits
     "sql_window_range", "sql_window_range_desc",  # shared lowering edits
@@ -4423,12 +4456,11 @@ _PRIORITY = [
     "ivf_topk", "lsh_cosine_topk", "cosine_topk",
     "embedding_neardup",
     "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10", "q6",
-    "q14",
     # --- 50-query window boundary ---
-    # q17/q18 are the r3 cohort's tail that did NOT fit this round's
+    # q14/q17/q18 are the r3 cohort's tail that did NOT fit this round's
     # window — the only rows still on r3 verdicts; they rotate FIRST next
     # round. Everything after them carries r4/r5 verdicts.
-    "q17", "q18",
+    "q14", "q17", "q18",
     "sql_window_nth", "sql_window_lag_nulls",
     "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
     "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",

@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 class UnsupportedMediaError(ValueError):
@@ -701,6 +701,160 @@ def synth_video_payload(doc_id: int) -> bytes:
         np.full((4, 4, 3), (i + 11 * f) % 256, dtype=np.uint8) for f in range(n)
     ]
     return encode_raw_video(frames)
+
+
+def synth_patterned_image_payload(seed: int, size: int = 16) -> bytes:
+    """Deterministic TEXTURED grayscale PNG whose content (and therefore
+    dHash) is a function of ``seed`` alone — the fixture for perceptual
+    dedup: equal seeds give byte-identical images, distinct seeds give
+    visually unrelated textures (Knuth/xxhash-style multiplicative mix per
+    pixel; numpy uint64 wraps, which is exactly the mixing we want)."""
+    i = np.arange(size * size, dtype=np.uint64)
+    mixed = (
+        i * np.uint64(2654435761) + np.uint64((int(seed) + 1) * 2246822519)
+    )
+    mixed ^= mixed >> np.uint64(13)
+    mixed *= np.uint64(0x9E3779B97F4A7C15)
+    px = ((mixed >> np.uint64(29)) % np.uint64(256)).astype(np.uint8)
+    return encode_png(px.reshape(size, size)[:, :, None].repeat(3, axis=2))
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of a decoded image — the standard
+    perceptual fingerprint for image near-dup detection: integer-luma
+    grayscale, area-mean downsample to an 8x9 grid, bit (r, c) =
+    cell[r, c] > cell[r, c+1] (row-major, MSB first), returned as a
+    SIGNED 64-bit int so it rides Spark's LongType unchanged. Robust to
+    re-encoding and mild compression (gradient SIGNS survive); identical
+    images hash identically across PNG/BMP/JPEG-lossless round trips."""
+    a = img.astype(np.float64)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:
+            g = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+        else:
+            g = a[:, :, 0]
+    else:
+        g = a
+    h, w = g.shape
+    re_ = np.linspace(0, h, 9).astype(int)
+    ce = np.linspace(0, w, 10).astype(int)
+    cells = np.empty((8, 9), dtype=np.float64)
+    for r in range(8):
+        r0, r1 = re_[r], max(re_[r + 1], re_[r] + 1)
+        for c in range(9):
+            c0, c1 = ce[c], max(ce[c + 1], ce[c] + 1)
+            cells[r, c] = g[r0:r1, c0:c1].mean()
+    v = 0
+    for b in (cells[:, :-1] > cells[:, 1:]).ravel():
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    df: DataFrame, id_col: str, binary_col: str, on_error: str = "raise"
+) -> DataFrame:
+    """(id, dhash): decode + dHash over ``mapInPandas`` (Arrow batches);
+    ``on_error='skip'`` drops undecodable rows, like image_features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    img = decode_image(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except UnsupportedMediaError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows.append({"id": _id, "dhash": dhash64(img)})
+            yield pd.DataFrame(rows, columns=["id", "dhash"])
+
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, binary_col)).mapInPandas(
+        batches, schema="id long, dhash long"
+    )
+
+
+def image_dhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 4,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Perceptual image near-dup pairs: (id_a, id_b, hamming) for image
+    pairs whose dHashes differ in <= ``max_hamming`` bits — the multimodal
+    analog of SimHash text dedup, built the same way: split the 64-bit
+    hash into ``max_hamming + 1`` segments (pigeonhole: hamming <= h
+    forces at least one EXACT segment match), equi-join candidates on
+    (segment index, segment value), then filter by exact hamming
+    (JVM-side ``bit_count(a ^ b)``). The decode+hash pass is a narrow
+    Arrow-batched map; the only shuffle is the segment-keyed candidate
+    join, so cost scales with genuine perceptual-duplicate mass, never
+    corpus^2."""
+    s = max_hamming + 1
+    base = s * [64 // s]
+    for i in range(64 % s):
+        base[i] += 1
+    offs = []
+    off = 0
+    for wd in reversed(base):  # low bits first; widths near-equal
+        offs.append((off, wd))
+        off += wd
+    d = image_dhash(df, id_col, binary_col, on_error=on_error)
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftrightunsigned(F.col("dhash"), o)
+                .bitwiseAND(F.lit((1 << wd) - 1))
+                .alias("val"),
+            )
+            for i, (o, wd) in enumerate(offs)
+        ]
+    )
+    inv = d.select("id", "dhash", F.explode(segs).alias("sv")).select(
+        "id", "dhash", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val")
+    )
+    return (
+        inv.alias("l")
+        .join(
+            inv.alias("r"),
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.dhash").bitwiseXOR(F.col("r.dhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def with_patterned_images(
+    df: DataFrame, id_col: str, n_seeds: int = 16, out_col: str = "img"
+) -> DataFrame:
+    """Adds a textured PNG column keyed by ``id % n_seeds`` (Arrow-batched,
+    runs on executors) — the perceptual-dedup fixture: equal seeds are
+    byte-identical images, distinct seeds are unrelated textures."""
+
+    @F.pandas_udf("binary")
+    def img(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda s: synth_patterned_image_payload(int(s) % n_seeds)
+        )
+
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df).withColumn(out_col, img(F.col(id_col)))
 
 
 def with_synth_media(df: DataFrame, id_col: str) -> DataFrame:

@@ -471,3 +471,94 @@ def test_webp_routes_to_ffmpeg_or_declines():
     if not has_pil and not mm._ffmpeg_available():
         with pytest.raises(mm.UnsupportedMediaError, match="ffmpeg"):
             mm.decode_image(webp)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup (dHash, round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_fixture_seed_separation():
+    """The 16 patterned-fixture seeds must be pairwise FAR apart (the
+    driver oracle's exactness rests on cross-seed pairs being impossible
+    at max_hamming=4) and equal seeds byte-identical."""
+    import itertools
+
+    hs = {
+        s: mm.dhash64(mm.decode_image(mm.synth_patterned_image_payload(s)))
+        for s in range(16)
+    }
+    mind = min(
+        bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in itertools.combinations(range(16), 2)
+    )
+    assert mind >= 21
+    assert mm.synth_patterned_image_payload(3) == mm.synth_patterned_image_payload(3)
+
+
+def test_dhash_stable_across_encodings():
+    """Identical pixels through PNG and BMP (different encoder + decoder
+    paths) hash identically — the re-encoding robustness that makes dHash
+    a perceptual dedup key rather than a byte fingerprint."""
+    img = mm.decode_image(mm.synth_patterned_image_payload(7))
+    png = mm.encode_png(img)
+    bmp = mm.encode_bmp(img) if hasattr(mm, "encode_bmp") else None
+    h_png = mm.dhash64(mm.decode_image(png))
+    assert h_png == mm.dhash64(img)
+    if bmp is not None:
+        assert mm.dhash64(mm.decode_image(bmp)) == h_png
+
+
+def test_dhash_perturbation_small_hamming():
+    """Flipping a couple of pixels moves the dHash only a few bits (the
+    near-dup case), while a different seed is far away."""
+    base = mm.decode_image(mm.synth_patterned_image_payload(2))
+    pert = base.copy()
+    pert[0, 0] = 255 - pert[0, 0]
+    pert[5, 9] = 255 - pert[5, 9]
+    d = bin(
+        (mm.dhash64(base) ^ mm.dhash64(pert)) & ((1 << 64) - 1)
+    ).count("1")
+    far = bin(
+        (mm.dhash64(base)
+         ^ mm.dhash64(mm.decode_image(mm.synth_patterned_image_payload(9))))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert d <= 6 < far
+
+
+def test_image_dhash_pairs_blocking_equals_bruteforce(spark):
+    """Segment blocking loses NOTHING under the pigeonhole bound: the
+    Spark pair set == brute-force hamming over all locally computed
+    hashes, including a planted near-dup pair (perturbed copy)."""
+    import itertools
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    payloads = {i: mm.synth_patterned_image_payload(i % 8) for i in range(24)}
+    # plant a perturbed near-copy of image 0 as id 100
+    img = mm.decode_image(payloads[0]).copy()
+    img[0, 0] = 255 - img[0, 0]
+    payloads[100] = mm.encode_png(img)
+
+    hashes = {
+        i: mm.dhash64(mm.decode_image(p)) for i, p in payloads.items()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(payloads), 2)
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 4
+    }
+    assert any(100 in p for p in want)  # the planted near-dup is found
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(payloads), "img": [payloads[i] for i in payloads]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.id_a, r.id_b)
+        for r in mm.image_dhash_pairs(df, "doc_id", "img", max_hamming=4).collect()
+    }
+    assert got == want and got
