@@ -71,6 +71,132 @@ def atomic_json_dump(obj, path: str, **kw) -> None:
         pass
     finally:
         os.close(dfd)
+
+
+def sweep_uncommitted_dirs(root: str, committed: set[str]) -> None:
+    """Delete every subdirectory of ``root`` whose name is not in
+    ``committed`` — orphans from crashed appends, merged-away batches,
+    expired batches. The committed set must come from the manifest AFTER
+    its atomic rewrite, so a reader never loses a directory it can see."""
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        if d not in committed:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+class BatchLedger:
+    """The committed-batch manifest discipline shared by the incremental
+    stores (SignatureStore, SubstringStore): batch directories live under
+    ``<path>/batches/<name>``, the JSON manifest lists COMMITTED batch
+    entries ``{"name", "ts"}`` plus store-specific parameters, and every
+    mutation is one atomic manifest rewrite (``atomic_json_dump``) — so a
+    crash mid-append leaves an orphan directory readers never see, and a
+    failed rewrite rolls the in-memory view back to match disk.
+
+    Extracted in round 6's follow-up because three stores carried private
+    copies of this protocol and drifted twice (orphan sweep, retention
+    stamping — and SignatureStore's manifest writer missed the fsync
+    upgrade entirely). Single-writer, like the stores themselves.
+    IvfIndex keeps its own ordinal ``cells_b<N>`` top-level layout (its
+    manifest predates the ``batches`` schema) but shares
+    ``atomic_json_dump`` and ``sweep_uncommitted_dirs``.
+    """
+
+    def __init__(self, path: str, manifest: dict, manifest_file: str):
+        self.path = path
+        self.manifest = manifest
+        self.manifest_file = manifest_file
+        self.batches_path = os.path.join(path, "batches")
+
+    def write_manifest(self) -> None:
+        atomic_json_dump(
+            self.manifest, os.path.join(self.path, self.manifest_file)
+        )
+
+    def batch_dir(self, name: str) -> str:
+        return os.path.join(self.batches_path, name)
+
+    def batch_paths(self, kind: str) -> list[str]:
+        """Paths of one payload kind across all committed batches."""
+        return [
+            os.path.join(self.batches_path, b["name"], kind)
+            for b in self.manifest["batches"]
+        ]
+
+    def commit_batch(
+        self,
+        write_files,
+        extra: dict | None = None,
+        ts: float | None = None,
+    ) -> str:
+        """Write a fresh batch directory via ``write_files(bdir)``, then
+        commit its name — with ``extra`` manifest keys landing in the SAME
+        atomic rewrite (streaming exactly-once relies on the batch append
+        and its stream-batch marker committing together). On a failed
+        rewrite the in-memory view rolls back so this session doesn't read
+        the orphan either. Returns the batch name."""
+        import time
+        import uuid
+
+        m = self.manifest
+        name = uuid.uuid4().hex[:12]
+        write_files(self.batch_dir(name))
+        m["batches"].append(
+            {"name": name, "ts": time.time() if ts is None else ts}
+        )
+        before = {k: m.get(k) for k in (extra or {})}
+        m.update(extra or {})
+        try:
+            self.write_manifest()
+        except BaseException:
+            m["batches"].pop()
+            for k, v in before.items():
+                if v is None:
+                    m.pop(k, None)
+                else:
+                    m[k] = v
+            raise
+        return name
+
+    def compact_batches(
+        self, write_merged, max_age_seconds: float | None = None
+    ) -> None:
+        """Batch-grained retention + merge + sweep: batches older than
+        ``max_age_seconds`` EXPIRE (their rows stop blocking future
+        ingests); the survivors merge into ONE batch written by
+        ``write_merged(kept_entries, bdir)`` and stamped with the OLDEST
+        constituent's timestamp — a fresh stamp would reset the retention
+        clock on every compaction, so ``max_age_seconds`` would never
+        expire anything on a regular maintenance cadence (compact on a
+        cadence coarser than the retention window). Everything uncommitted
+        afterwards — merged-away dirs, expired dirs, crashed-append
+        orphans — is swept."""
+        import time
+
+        m = self.manifest
+        now = time.time()
+        keep = [
+            b
+            for b in m["batches"]
+            if max_age_seconds is None or now - b["ts"] <= max_age_seconds
+        ]
+        if keep:
+            oldest = min(b["ts"] for b in keep)
+            m["batches"] = []
+            self.commit_batch(
+                lambda bdir: write_merged(keep, bdir), ts=oldest
+            )
+        else:
+            m["batches"] = []
+            self.write_manifest()
+        sweep_uncommitted_dirs(
+            self.batches_path, {b["name"] for b in m["batches"]}
+        )
+
+
 FILE_MANIFEST = "file_manifest"
 COUNT_COL = "__count"
 BUCKET_COL = "__bucket"
@@ -165,6 +291,54 @@ class ThetaSpec:
         return T.theta_merge_agg(F.col(self.col_name), self.k)
 
 
+@dataclass(frozen=True)
+class TopKSpec:
+    """A mergeable per-cell top-``m`` weight map over a dimension OUTSIDE
+    the cube grain — the serving structure behind Druid's approximate TopN,
+    which the reference gated behind ``allowTopN``
+    (DruidPlanner.scala:149-159; Druid merges per-segment top-``m`` lists).
+    Our default TopN lowering is exact; a ``TopNQuery(approx=True)`` opts
+    back into the Druid semantics and rides this sketch when one matches.
+
+    Each cube cell stores the top ``m`` values of ``dim`` ranked by summed
+    ``metric`` as ``map<string, weight>``, plus a residual bound: the
+    smallest retained weight when the cell overflowed ``m`` distinct
+    values, else 0. Query-time merge = explode + sum, so a value absent
+    from a cell undercounts by at most that cell's bound:
+    ``est <= true <= est + sum(bounds of cells where absent)``. When every
+    selected cell's bound is 0 the merge is provably EXACT — the regime
+    the driver oracle pins (per-cell NDV <= m), mirroring theta's
+    exact-while-small contract.
+
+    NULL dimension values are not ranked (map keys cannot be null); the
+    exact path includes them. Dimension values serve as STRINGS (Druid
+    dimensions were strings). ``metric`` must be additive ("count" or a
+    sum()-able SQL expression) for per-cell partials to merge.
+    """
+
+    dim: str
+    metric: str = "count"  # "count" or a sum()-able Spark SQL expression
+    m: int = 1024
+
+    @property
+    def _slug(self) -> str:
+        import re
+
+        return re.sub(r"\W+", "_", self.metric).strip("_")
+
+    @property
+    def col_name(self) -> str:
+        return f"topk_{self.dim}__{self._slug}"
+
+    @property
+    def bound_col_name(self) -> str:
+        return f"topkb_{self.dim}__{self._slug}"
+
+    @property
+    def weight_expr(self) -> str:
+        return "1" if self.metric == "count" else self.metric
+
+
 @dataclass
 class IndexConfig:
     time_col: str
@@ -181,6 +355,8 @@ class IndexConfig:
     hist_specs: list = field(default_factory=list)
     # mergeable theta-sketch metrics (see ThetaSpec)
     theta_specs: list = field(default_factory=list)
+    # per-cell top-k weight maps for approximate TopN (see TopKSpec)
+    topk_specs: list = field(default_factory=list)
     # with sort_cols: target file count per time partition — the knob that
     # gives the per-file dimension manifest (the Druid inverted-index analog)
     # something to prune. More files per partition = finer sort-range slices
@@ -231,6 +407,12 @@ class IndexConfig:
             d["thetaSpecs"] = [
                 {"col": t.col, "k": t.k} for t in self.theta_specs
             ]
+        if self.topk_specs:
+            # guarded like histSpecs: topk-free manifests stay byte-identical
+            d["topkSpecs"] = [
+                {"dim": t.dim, "metric": t.metric, "m": t.m}
+                for t in self.topk_specs
+            ]
         if self.files_per_time_partition != 8:
             d["filesPerTimePartition"] = self.files_per_time_partition
         if self.manifest_set_max_ndv != 256:
@@ -258,6 +440,10 @@ class IndexConfig:
             ],
             theta_specs=[
                 ThetaSpec(t["col"], t["k"]) for t in d.get("thetaSpecs", [])
+            ],
+            topk_specs=[
+                TopKSpec(t["dim"], t["metric"], t["m"])
+                for t in d.get("topkSpecs", [])
             ],
             files_per_time_partition=d.get("filesPerTimePartition", 8),
             manifest_set_max_ndv=d.get("manifestSetMaxNdv", 256),
@@ -696,7 +882,7 @@ class OlapIndex:
             aggs.append(t.sketch_agg().alias(t.col_name))
         one_stage = flat.groupBy(*keys).agg(*aggs)
         if not config.theta_specs:
-            return one_stage
+            return OlapIndex._join_topk_maps(flat, config, cube, one_stage)
         # Theta build state is the one unbounded aggregation buffer in the
         # codebase: collect_set holds EVERY distinct hash per group before the
         # slice-to-k. Bound it by pre-aggregating per (keys, input partition)
@@ -732,9 +918,88 @@ class OlapIndex:
         # the single-stage schema is the cube contract (second-stage sums
         # widen decimals and go nullable): cast every column back
         want = {f.name: f.dataType for f in one_stage.schema.fields}
-        return merged.select(
+        merged = merged.select(
             *[F.col(c).cast(want[c]).alias(c) for c in one_stage.columns]
         )
+        return OlapIndex._join_topk_maps(flat, config, cube, merged)
+
+    @staticmethod
+    def _join_topk_maps(
+        flat: DataFrame, config: IndexConfig, cube: CubeSpec, result: DataFrame
+    ) -> DataFrame:
+        """Attach each TopKSpec's per-cell top-m map + residual bound to the
+        cube rows. Built as a separate (cell keys, dim) aggregation + window
+        rank — a nested aggregation the single groupBy can't express — and
+        joined back null-safely (cube dims can be NULL). Build-time-only
+        cost: one extra shuffle keyed (cell, dim) per spec, the map buffer
+        bounded by m."""
+        import functools
+
+        from pyspark.sql import Window
+
+        key_names = [BUCKET_COL, *cube.dims]
+        for tk in config.topk_specs:
+            keys = [
+                _bucket_expr(config.time_col, cube.granularity).alias(
+                    BUCKET_COL
+                ),
+                *[F.col(d) for d in cube.dims],
+            ]
+            per = (
+                flat.where(F.col(tk.dim).isNotNull())
+                .groupBy(
+                    *keys, F.col(tk.dim).cast("string").alias("__tkv")
+                )
+                .agg(F.sum(F.expr(tk.weight_expr)).alias("__w"))
+            )
+            cell_w = Window.partitionBy(*key_names)
+            rank_w = cell_w.orderBy(F.desc("__w"), F.asc("__tkv"))
+            ranked = per.withColumn(
+                "__rk", F.row_number().over(rank_w)
+            ).withColumn("__ndv", F.count(F.lit(1)).over(cell_w))
+            maps = (
+                ranked.where(F.col("__rk") <= tk.m)
+                .groupBy(*key_names)
+                .agg(
+                    F.map_from_entries(
+                        F.sort_array(
+                            F.collect_list(F.struct("__tkv", "__w"))
+                        )
+                    ).alias(tk.col_name),
+                    # bound = smallest RETAINED weight, but only when the
+                    # cell actually dropped values (ndv > m); complete
+                    # cells are exact, bound 0
+                    F.when(
+                        F.max("__ndv") > tk.m, F.min("__w")
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("double")
+                    .alias(tk.bound_col_name),
+                )
+            )
+            renamed = maps.select(
+                *[F.col(k).alias(f"__tkj_{k}") for k in key_names],
+                tk.col_name,
+                tk.bound_col_name,
+            )
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    result[k].eqNullSafe(renamed[f"__tkj_{k}"])
+                    for k in key_names
+                ],
+            )
+            result = (
+                result.join(renamed, cond, "left")
+                .drop(*[f"__tkj_{k}" for k in key_names])
+                # a cell whose dim values were all NULL has no map row:
+                # empty map + bound 0 keeps the serve-side explode exact
+                .withColumn(
+                    tk.bound_col_name,
+                    F.coalesce(F.col(tk.bound_col_name), F.lit(0.0)),
+                )
+            )
+        return result
 
     @staticmethod
     def _build_file_manifest(

@@ -698,12 +698,19 @@ class SubstringStore:
     MANIFEST = "substring_store.json"
 
     def __init__(self, spark, path: str, manifest: dict):
-        import os
+        from ..index import BatchLedger
 
         self.spark = spark
         self.path = path
         self.manifest = manifest
-        self._batches_path = os.path.join(path, "batches")
+        self._ledger = BatchLedger(path, manifest, self.MANIFEST)
+
+    @property
+    def _batches_path(self) -> str:
+        return self._ledger.batches_path
+
+    def _write_manifest(self) -> None:
+        self._ledger.write_manifest()
 
     @staticmethod
     def create(
@@ -722,12 +729,9 @@ class SubstringStore:
             "batches": [],
         }
         os.makedirs(path, exist_ok=True)
-        from ..index import atomic_json_dump
-
-        atomic_json_dump(
-            manifest, os.path.join(path, SubstringStore.MANIFEST)
-        )
-        return SubstringStore(spark, path, manifest)
+        store = SubstringStore(spark, path, manifest)
+        store._ledger.write_manifest()
+        return store
 
     @staticmethod
     def load(spark, path: str) -> "SubstringStore":
@@ -737,56 +741,22 @@ class SubstringStore:
         with open(os.path.join(path, SubstringStore.MANIFEST)) as fh:
             return SubstringStore(spark, path, json.load(fh))
 
-    # -- commit protocol (SignatureStore's, over one output kind) ----------
-
-    def _write_manifest(self) -> None:
-        import os
-
-        from ..index import atomic_json_dump
-
-        atomic_json_dump(
-            self.manifest, os.path.join(self.path, self.MANIFEST)
-        )
+    # -- commit protocol: index.BatchLedger (shared with SignatureStore) ---
 
     def _write_batch(
         self, fps: DataFrame, ts: float | None = None,
         extra: dict | None = None,
     ) -> str:
         import os
-        import time
-        import uuid
 
-        m = self.manifest
-        name = uuid.uuid4().hex[:12]
-        fps.write.parquet(
-            os.path.join(self._batches_path, name, "fps")
+        return self._ledger.commit_batch(
+            lambda bdir: fps.write.parquet(os.path.join(bdir, "fps")),
+            extra=extra,
+            ts=ts,
         )
-        m["batches"].append(
-            {"name": name, "ts": time.time() if ts is None else ts}
-        )
-        before = {k: m.get(k) for k in (extra or {})}
-        m.update(extra or {})
-        try:
-            self._write_manifest()
-        except BaseException:
-            # failed commit: the in-memory view must match the on-disk
-            # manifest, so this session doesn't read the orphan either
-            m["batches"].pop()
-            for k, v in before.items():
-                if v is None:
-                    m.pop(k, None)
-                else:
-                    m[k] = v
-            raise
-        return name
 
     def _stored(self) -> DataFrame:
-        import os
-
-        paths = [
-            os.path.join(self._batches_path, b["name"], "fps")
-            for b in self.manifest["batches"]
-        ]
+        paths = self._ledger.batch_paths("fps")
         if not paths:
             return self.spark.createDataFrame([], "id long, h long")
         return self.spark.read.parquet(*paths)
@@ -794,45 +764,21 @@ class SubstringStore:
     def compact(self, max_age_seconds: float | None = None) -> None:
         """Merge committed batches into one; ``max_age_seconds`` first
         expires whole batches older than the retention window (their docs
-        stop blocking future ingests). Orphans from crashed appends are
-        swept. Single-writer."""
+        stop blocking future ingests; the merged batch keeps the oldest
+        constituent's timestamp — see BatchLedger.compact_batches). Orphans
+        from crashed appends are swept. Single-writer."""
         import os
-        import shutil
-        import time
 
-        m = self.manifest
-        now = time.time()
-        keep = [
-            b
-            for b in m["batches"]
-            if max_age_seconds is None or now - b["ts"] <= max_age_seconds
-        ]
-        if keep:
+        def write_merged(keep, bdir):
             merged = self.spark.read.parquet(
                 *[
-                    os.path.join(self._batches_path, b["name"], "fps")
+                    os.path.join(self._ledger.batch_dir(b["name"]), "fps")
                     for b in keep
                 ]
             ).localCheckpoint()
-            m["batches"] = []
-            # the merged batch inherits the OLDEST constituent's timestamp:
-            # a fresh stamp would reset the retention clock on every
-            # compaction, so max_age_seconds would never expire anything
-            # on a regular maintenance cadence. Expiry stays batch-grained
-            # (the merged batch expires when its oldest docs must), so
-            # compact on a cadence coarser than the retention window.
-            self._write_batch(merged, ts=min(b["ts"] for b in keep))
-        else:
-            m["batches"] = []
-            self._write_manifest()
-        committed = {b["name"] for b in m["batches"]}
-        if os.path.isdir(self._batches_path):
-            for d in os.listdir(self._batches_path):
-                if d not in committed:
-                    shutil.rmtree(
-                        os.path.join(self._batches_path, d),
-                        ignore_errors=True,
-                    )
+            merged.write.parquet(os.path.join(bdir, "fps"))
+
+        self._ledger.compact_batches(write_merged, max_age_seconds)
 
     # -- ingest -------------------------------------------------------------
 
@@ -1245,12 +1191,16 @@ class SignatureStore:
     MANIFEST = "minhash_store.json"
 
     def __init__(self, spark, path: str, manifest: dict):
-        import os
+        from ..index import BatchLedger
 
         self.spark = spark
         self.path = path
         self.manifest = manifest
-        self._batches_path = os.path.join(path, "batches")
+        self._ledger = BatchLedger(path, manifest, self.MANIFEST)
+
+    @property
+    def _batches_path(self) -> str:
+        return self._ledger.batches_path
 
     @staticmethod
     def create(
@@ -1278,12 +1228,9 @@ class SignatureStore:
             "batches": [],
         }
         os.makedirs(path, exist_ok=True)
-        from ..index import atomic_json_dump
-
-        atomic_json_dump(
-            manifest, os.path.join(path, SignatureStore.MANIFEST)
-        )
-        return SignatureStore(spark, path, manifest)
+        store = SignatureStore(spark, path, manifest)
+        store._write_manifest()
+        return store
 
     @staticmethod
     def load(spark, path: str) -> "SignatureStore":
@@ -1293,19 +1240,12 @@ class SignatureStore:
         with open(os.path.join(path, SignatureStore.MANIFEST)) as fh:
             return SignatureStore(spark, path, json.load(fh))
 
-    # -- commit protocol ---------------------------------------------------
+    # -- commit protocol: index.BatchLedger (shared with SubstringStore) ---
 
     def _write_manifest(self) -> None:
         """Atomic manifest rewrite: readers see the old or the new commit
-        list, never a torn file."""
-        import json
-        import os
-        import tempfile
-
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(self.manifest, fh)
-        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+        list, never a torn file (delegates to the shared BatchLedger)."""
+        self._ledger.write_manifest()
 
     def _write_batch(
         self, sigs: DataFrame, extra: dict | None = None,
@@ -1316,42 +1256,19 @@ class SignatureStore:
         rewrite (streaming exactly-once relies on the batch append and its
         stream-batch marker committing together). Returns the batch name."""
         import os
-        import time
-        import uuid
 
         m = self.manifest
-        name = uuid.uuid4().hex[:12]
-        bdir = os.path.join(self._batches_path, name)
-        sigs.write.parquet(os.path.join(bdir, "sigs"))
-        _banded(sigs, m["numPerm"], m["bands"]).write.parquet(
-            os.path.join(bdir, "bands")
-        )
-        m["batches"].append(
-            {"name": name, "ts": time.time() if ts is None else ts}
-        )
-        before = {k: m.get(k) for k in (extra or {})}
-        m.update(extra or {})
-        try:
-            self._write_manifest()
-        except BaseException:
-            # failed commit: the in-memory view must match the on-disk
-            # manifest, so this session doesn't read the orphan either
-            m["batches"].pop()
-            for k, v in before.items():
-                if v is None:
-                    m.pop(k, None)
-                else:
-                    m[k] = v
-            raise
-        return name
+
+        def write_files(bdir: str) -> None:
+            sigs.write.parquet(os.path.join(bdir, "sigs"))
+            _banded(sigs, m["numPerm"], m["bands"]).write.parquet(
+                os.path.join(bdir, "bands")
+            )
+
+        return self._ledger.commit_batch(write_files, extra=extra, ts=ts)
 
     def _stored(self, kind: str, schema: str) -> DataFrame:
-        import os
-
-        paths = [
-            os.path.join(self._batches_path, b["name"], kind)
-            for b in self.manifest["batches"]
-        ]
+        paths = self._ledger.batch_paths(kind)
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*paths)
@@ -1361,49 +1278,25 @@ class SignatureStore:
         daily ingests the bands join otherwise degrades into a
         thousands-of-small-files scan. ``max_age_seconds`` first EXPIRES
         whole batches committed longer ago (retention window: their docs
-        stop blocking future ingests); expiry is batch-grained, so compact
-        on a cadence coarser than the retention window. Orphan directories
-        from crashed appends are swept. Single-writer, like append."""
+        stop blocking future ingests; the merged batch keeps the oldest
+        constituent's timestamp — see BatchLedger.compact_batches). Orphan
+        directories from crashed appends are swept. Single-writer, like
+        append."""
         import os
-        import shutil
-        import time
 
-        m = self.manifest
-        now = time.time()
-        keep = [
-            b
-            for b in m["batches"]
-            if max_age_seconds is None or now - b["ts"] <= max_age_seconds
-        ]
-        if keep:
-            paths_s = [
-                os.path.join(self._batches_path, b["name"], "sigs")
-                for b in keep
-            ]
-            merged = self.spark.read.parquet(*paths_s)
-            # one merged batch; checkpoint severs lineage from the batch
-            # dirs deleted below. It inherits the OLDEST constituent's
-            # timestamp — a fresh stamp would reset the retention clock on
-            # every compaction, so max_age_seconds would never expire
-            # anything on a regular maintenance cadence (expiry stays
-            # batch-grained: compact on a cadence coarser than retention)
-            merged = merged.localCheckpoint()
-            oldest = min(b["ts"] for b in keep)
-            m["batches"] = []
-            self._write_batch(merged, ts=oldest)
-        else:
-            m["batches"] = []
-            self._write_manifest()
-        committed = {b["name"] for b in m["batches"]}
-        if os.path.isdir(self._batches_path):
-            for d in os.listdir(self._batches_path):
-                # anything uncommitted: merged-away dirs, expired dirs, and
-                # orphans from crashed appends
-                if d not in committed:
-                    shutil.rmtree(
-                        os.path.join(self._batches_path, d),
-                        ignore_errors=True,
-                    )
+        def write_merged(keep, bdir):
+            merged = self.spark.read.parquet(
+                *[
+                    os.path.join(self._ledger.batch_dir(b["name"]), "sigs")
+                    for b in keep
+                ]
+            ).localCheckpoint()  # two write actions below re-read this
+            merged.write.parquet(os.path.join(bdir, "sigs"))
+            _banded(
+                merged, self.manifest["numPerm"], self.manifest["bands"]
+            ).write.parquet(os.path.join(bdir, "bands"))
+
+        self._ledger.compact_batches(write_merged, max_age_seconds)
 
     # -- ingest ------------------------------------------------------------
 

@@ -251,16 +251,19 @@ def test_signature_store_crashed_append_invisible(spark, tmp_path):
     store = SignatureStore.create(spark, str(tmp_path / "s"), threshold=0.5)
     store.append(_mk_docs(spark, [(1, _basetext(1))]), "doc_id", "text")
 
-    # simulate the crash: data lands, commit never happens
-    orig = SignatureStore._write_manifest
-    SignatureStore._write_manifest = lambda self: (_ for _ in ()).throw(
+    # simulate the crash: data lands, commit never happens (the commit
+    # path is the shared BatchLedger, so patch it there)
+    from pysparkline.index import BatchLedger
+
+    orig = BatchLedger.write_manifest
+    BatchLedger.write_manifest = lambda self: (_ for _ in ()).throw(
         OSError("disk gone")
     )
     try:
         with pytest.raises(OSError):
             store.append(_mk_docs(spark, [(2, _basetext(2))]), "doc_id", "text")
     finally:
-        SignatureStore._write_manifest = orig  # noqa: restore the real commit
+        BatchLedger.write_manifest = orig  # noqa: restore the real commit
     # doc 2's orphan batch is invisible: a dup of it is NOT flagged, a dup
     # of committed doc 1 still is
     v = {
