@@ -15,6 +15,7 @@ from .index import (  # noqa: F401
     MetricSpec,
     OlapIndex,
     ThetaSpec,
+    TopKSpec,
     flatten_star,
 )
 from .lowering import Backing, lower  # noqa: F401

@@ -1002,6 +1002,100 @@ class OlapIndex:
         return result
 
     @staticmethod
+    def _merge_topk_partials(
+        partials: DataFrame,
+        config: IndexConfig,
+        key_names: list[str],
+        result: DataFrame,
+    ) -> DataFrame:
+        """Compaction merge for TopKSpec columns: appended merge-form
+        partial rows each carry their own top-m map + bound, and the QUERY
+        path needs no merge at all (explode+sum is additive across
+        partials, each row's bound covering its own absent values). This
+        re-merges them into one map per cell so compaction keeps the cube
+        schema: weights sum by value; the merged bound =
+        sum(partial bounds) + (m-th retained merged weight when the merge
+        overflows m, else 0) — a dropped value's merged weight is at most
+        the m-th retained one, and its true weight at most that plus every
+        partial's bound, so est <= true <= est + bound still holds."""
+        import functools
+
+        from pyspark.sql import Window
+
+        for tk in config.topk_specs:
+            bsum = partials.groupBy(*key_names).agg(
+                F.sum(tk.bound_col_name).alias("__bsum")
+            )
+            ex = partials.select(
+                *key_names, F.explode(F.col(tk.col_name)).alias("__tkv", "__w")
+            )
+            per = ex.groupBy(*key_names, "__tkv").agg(
+                F.sum("__w").alias("__w")
+            )
+            cell_w = Window.partitionBy(*key_names)
+            rank_w = cell_w.orderBy(F.desc("__w"), F.asc("__tkv"))
+            ranked = per.withColumn(
+                "__rk", F.row_number().over(rank_w)
+            ).withColumn("__ndv", F.count(F.lit(1)).over(cell_w))
+            maps = (
+                ranked.where(F.col("__rk") <= tk.m)
+                .groupBy(*key_names)
+                .agg(
+                    F.map_from_entries(
+                        F.sort_array(
+                            F.collect_list(F.struct("__tkv", "__w"))
+                        )
+                    ).alias(tk.col_name),
+                    F.when(F.max("__ndv") > tk.m, F.min("__w"))
+                    .otherwise(F.lit(0))
+                    .cast("double")
+                    .alias("__trunc"),
+                )
+            )
+            side = bsum.join(
+                maps.select(
+                    *[F.col(k).alias(f"__tkm_{k}") for k in key_names],
+                    tk.col_name,
+                    "__trunc",
+                ),
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        bsum[k].eqNullSafe(F.col(f"__tkm_{k}"))
+                        for k in key_names
+                    ],
+                ),
+                "left",
+            ).select(
+                *[bsum[k] for k in key_names],
+                F.col(tk.col_name),
+                (
+                    F.col("__bsum") + F.coalesce("__trunc", F.lit(0.0))
+                ).alias(tk.bound_col_name),
+            )
+            renamed = side.select(
+                *[F.col(k).alias(f"__tkj_{k}") for k in key_names],
+                tk.col_name,
+                tk.bound_col_name,
+            )
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    result[k].eqNullSafe(renamed[f"__tkj_{k}"])
+                    for k in key_names
+                ],
+            )
+            result = (
+                result.join(renamed, cond, "left")
+                .drop(*[f"__tkj_{k}" for k in key_names])
+                .withColumn(
+                    tk.bound_col_name,
+                    F.coalesce(F.col(tk.bound_col_name), F.lit(0.0)),
+                )
+            )
+        return result
+
+    @staticmethod
     def _build_file_manifest(
         spark: SparkSession,
         flat_path: str,

@@ -677,6 +677,12 @@ class TopNQuery(QuerySpec):
     output_order: Optional[list] = None
     granularity_tz: Optional[str] = None  # see GroupByQuery.granularity_tz
     granularity_origin: Optional[str] = None
+    # opt back into Druid's approximate TopN semantics (the reference's
+    # allowTopN gate, DruidPlanner.scala:149-159): when a cube carries a
+    # matching TopKSpec map the planner serves the per-cell top-m merge
+    # (est-ranked, provably exact when no selected cell overflowed m);
+    # otherwise the exact lowering runs as usual
+    approx: bool = False
 
 
 @_node

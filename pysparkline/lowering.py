@@ -122,6 +122,11 @@ class Backing:
         # as a two-stage (keys, hash-bucket) aggregation spread over this many
         # value-space buckets (see _two_stage_distinct)
         self.distinct_buckets = 1
+        # set by the planner when an approx TopNQuery rides a cube's
+        # TopKSpec map (index.TopKSpec): lower_topn then merges the
+        # per-cell top-m maps instead of aggregating a dimension the cube
+        # grain doesn't even carry
+        self.topk = None
 
     @property
     def preagg(self) -> bool:
@@ -1482,7 +1487,63 @@ def lower_timeseries(q: ir.TimeseriesQuery, backing: Backing) -> DataFrame:
     return joined
 
 
+def _lower_topn_sketch(q: ir.TopNQuery, backing: Backing) -> DataFrame:
+    """Approximate TopN from a cube's TopKSpec map — Druid's per-segment
+    top-m merge (the reference's allowTopN semantics,
+    DruidPlanner.scala:149-159): explode the selected cells' maps, sum the
+    partial weights per value, rank by the estimate. Provably exact when
+    no selected cell overflowed m (bound column all-zero — the regime the
+    driver oracle pins); otherwise est <= true <= est + sum of absent
+    cells' bounds. The merge's input is CUBE rows (cells x <= m entries),
+    never the fact table — the scan and shuffle are both sketch-sized."""
+    tk = backing.topk
+    df = _apply_filters(backing.df, backing, q)
+    keys = []
+    if q.granularity not in ("all",):
+        keys.append(
+            _time_bucket_col(
+                backing, q.granularity, q.time_output_name,
+                getattr(q, "granularity_tz", None),
+                getattr(q, "granularity_origin", None),
+            )
+        )
+    key_names = [q.time_output_name] if keys else []
+    ex = df.select(
+        *keys, F.explode(F.col(tk.col_name)).alias("__tkv", "__w")
+    )
+    out = ex.groupBy(
+        *key_names, F.col("__tkv").alias(q.dimension.out)
+    ).agg(F.sum("__w").alias(q.metric))
+    metric = F.col(q.metric).desc()  # planner rejects inverted
+    if key_names:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_names).orderBy(
+            metric, F.col(q.dimension.out).asc()
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= q.threshold)
+            .drop("__rk")
+            .orderBy(*key_names, metric, F.col(q.dimension.out).asc())
+        )
+    else:
+        out = out.orderBy(metric, F.col(q.dimension.out).asc()).limit(
+            q.threshold
+        )
+    if q.output_order:
+        return _project_output_order(out, q.output_order)
+    declared = list(
+        dict.fromkeys(
+            [q.dimension.out] + key_names + [a.name for a in q.aggregations]
+        )
+    )
+    return _default_order(out, declared)
+
+
 def lower_topn(q: ir.TopNQuery, backing: Backing) -> DataFrame:
+    if getattr(backing, "topk", None) is not None:
+        return _lower_topn_sketch(q, backing)
     df = _apply_filters(backing.df, backing, q)
     dim = dim_to_column(q.dimension, backing)
     aggs, avg_post = _decompose_avgs(list(q.aggregations))

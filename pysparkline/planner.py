@@ -143,6 +143,93 @@ def _cube_eligible(
     return backing
 
 
+def _topn_ranking_expr(agg) -> str | None:
+    """The additive measure a TopN ranks by, in TopKSpec.metric terms —
+    None when the agg shape can't ride a top-k map (non-sum folds)."""
+    if isinstance(agg, ir.CountAgg):
+        return "count"
+    if isinstance(agg, ir.FieldAgg) and agg.fn == "sum":
+        return agg.field_name
+    if isinstance(agg, ir.ExprAgg) and agg.fn == "sum":
+        return agg.expr
+    return None
+
+
+def _topk_eligible(
+    q: ir.TopNQuery, index: OlapIndex, notes: list[str]
+) -> Backing | None:
+    """Serve an approx TopN from a cube's TopKSpec map (the Druid
+    per-segment-top-m merge the reference gated behind allowTopN,
+    DruidPlanner.scala:149-159). Requirements: the query opted in
+    (``approx=True``), ranks DESCENDING by its single sum/count
+    aggregation, groups a plain dimension matching a spec, and every
+    filter column lives in the cube grain (filters select CELLS; a filter
+    on the sketched dim itself would change what the stored maps mean).
+    Anything else falls through to the exact lowering."""
+    if not getattr(q, "approx", False):
+        return None
+    if q.inverted:
+        notes.append("approx TopN: inverted (ascending) metric — the maps "
+                     "keep the LARGEST weights; exact path serves it")
+        return None
+    if q.post_aggregations or len(q.aggregations) != 1:
+        notes.append("approx TopN: needs exactly one sum/count aggregation "
+                     "and no post-aggregations")
+        return None
+    agg = q.aggregations[0]
+    want = _topn_ranking_expr(agg)
+    if want is None or q.metric != agg.name:
+        notes.append("approx TopN: ranking aggregation not an additive "
+                     "sum/count of the sketched measure")
+        return None
+    if not isinstance(q.dimension, ir.DefaultDim):
+        notes.append("approx TopN: extraction dimensions not in the maps")
+        return None
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", "", s)
+
+    tcol = index.time_col
+    for name, info in sorted(
+        index.manifest["cubes"].items(), key=lambda kv: kv[1]["rowCount"]
+    ):
+        gran = info["granularity"]
+        cube_dims = set(info["dims"])
+        if not lowering.gran_coarser_or_equal(
+            getattr(q, "granularity", "all"), gran
+        ):
+            continue
+        if getattr(q, "granularity_tz", None) not in (None, "UTC", "Etc/UTC"):
+            continue
+        qorigin = getattr(q, "granularity_origin", None)
+        if qorigin is not None:
+            dur = lowering.duration_seconds(getattr(q, "granularity", "all"))
+            o = lowering.origin_epoch_seconds(qorigin)
+            if dur is None or o % dur != 0:
+                continue
+        f = q.filter
+        if f is not None and not f.referenced_columns() <= cube_dims:
+            continue
+        for tk in index.config.topk_specs:
+            if tk.dim != q.dimension.dimension:
+                continue
+            if norm(tk.metric) != norm(want):
+                continue
+            if tk.col_name not in index.cube_df(name).columns:
+                continue
+            backing = Backing.cube(index, name)
+            backing.topk = tk
+            notes.append(
+                f"approx TopN: cube {name} serves dim {tk.dim} from its "
+                f"top-{tk.m} map (est-ranked; exact when no cell "
+                f"overflowed m)"
+            )
+            return backing
+    notes.append("approx TopN: no cube carries a matching top-k map; "
+                 "exact path serves it")
+    return None
+
+
 def _time_part_ndv(index: OlapIndex, part: str) -> float:
     """Bucket-count estimate for a time part/granularity over the index's
     time span — year(ts) has ~#years distinct values, not ndv(ts). The
@@ -973,6 +1060,10 @@ def choose_backing(
             )
 
     est = None
+    if isinstance(q, ir.TopNQuery) and getattr(q, "approx", False):
+        b = _topk_eligible(q, index, notes)
+        if b is not None:
+            return b, PlanDecision("cube", b.cube_name, None, notes)
     if isinstance(q, _AGG_SHAPES):
         est = estimate_groups(q, index, fd_graph)
         if feedback is not None:

@@ -123,6 +123,13 @@ class OlapContext:
     # sessions/tests, making plan decisions depend on run history.
     # Single-writer like the index itself; the write is atomic (tmp+replace)
     persist_feedback: bool = False
+    # the reference's allowTopN session gate (DruidPlanner.scala:149-159):
+    # when True, every TopN-shaped query (including SQL GROUP BY ... ORDER
+    # BY metric DESC LIMIT k rewritten by transforms.groupby_to_topn) is
+    # ALLOWED to serve approximately from a cube's TopKSpec map; queries no
+    # sketch matches still run exact. Per-query opt-in stays available via
+    # TopNQuery(approx=True) regardless of this flag.
+    allow_topn: bool = False
 
     def __post_init__(self):
         prep(self.spark)
@@ -166,6 +173,10 @@ class OlapContext:
 
     def plan(self, spec: ir.QuerySpec):
         spec = transforms.optimize(spec)
+        if self.allow_topn and isinstance(spec, ir.TopNQuery):
+            import dataclasses
+
+            spec = dataclasses.replace(spec, approx=True)
         backing, decision = planner.choose_backing(
             spec,
             self.index,
@@ -397,7 +408,7 @@ class OlapContext:
                 ",".join(
                     c
                     for c in info.get("columns", {})
-                    if c.startswith(("hll_", "hist_", "theta_"))
+                    if c.startswith(("hll_", "hist_", "theta_", "topk_"))
                 ),
             )
             for name, info in self.index.manifest["cubes"].items()

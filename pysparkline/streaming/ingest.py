@@ -278,12 +278,19 @@ class StreamingIngest:
             # parts' k-smallest sets — same merge the query path runs)
             aggs.append(t.merge_agg().alias(t.col_name))
         merged = df.groupBy(*keys).agg(*aggs)
+        if cfg.topk_specs:
+            # top-k maps re-merge by value-sum + re-rank; the merged bound
+            # absorbs the partials' bounds plus any truncation (the query
+            # path needs NO merge — explode+sum is additive across
+            # partials — so this is schema maintenance, like the rest)
+            merged = OlapIndex._merge_topk_partials(df, cfg, keys, merged)
         # re-aggregation widens decimal types (sum(DECIMAL(22,2)) =>
         # DECIMAL(32,2)); cast back so compacted files share a schema with
-        # future appended partials
+        # future appended partials — and keep the original column ORDER so
+        # compacted files and future appended partials stay byte-compatible
         orig = {f.name: f.dataType for f in df.schema.fields}
         merged = merged.select(
-            *[F.col(c).cast(orig[c]).alias(c) for c in merged.columns]
+            *[F.col(c).cast(orig[c]).alias(c) for c in df.columns]
         )
         tmp = path + "__compact"
         merged.write.mode("overwrite").parquet(tmp)

@@ -22,7 +22,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .index import CubeSpec, IndexConfig, MetricSpec, OlapIndex, flatten_star
+from .index import (
+    CubeSpec, IndexConfig, MetricSpec, OlapIndex, TopKSpec, flatten_star,
+)
 from .metadata import (
     N_TO_ONE,
     EqualityCondition,
@@ -157,6 +159,13 @@ def tpch_index_config() -> IndexConfig:
             MetricSpec("price", "l_extendedprice", "max"),
         ],
         hll_cols=["o_orderkey", "c_custkey"],
+        # approximate-TopN serving maps (TopKSpec): per-cell top-m supplier
+        # lineitem counts. m=1024 >= the per-cell supplier NDV at every test
+        # SF, so the merge runs in its provably-exact regime (bounds all 0)
+        # — the contract the driver oracle pins, like theta's exact-while-
+        # small. s_name is deliberately OUTSIDE every cube's grain: the
+        # sketch is what makes the query cube-servable at all.
+        topk_specs=[TopKSpec("s_name", "count", 1024)],
         # cluster the flat layout on the selective non-time dims (then the
         # correlated order date): each file covers a contiguous
         # (mktsegment, returnflag, o_orderdate) slice, so the per-file

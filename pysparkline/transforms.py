@@ -137,10 +137,22 @@ def groupby_to_topn(q: ir.QuerySpec) -> ir.QuerySpec:
     if not isinstance(q, ir.GroupByQuery):
         return q
     ls = q.limit_spec
+    if ls is not None and getattr(ls, "offset", None):
+        return q  # TopNQuery has no paging: OFFSET stays on the GroupBy
+    cols_ok = ls is not None and ls.limit is not None and (
+        len(ls.columns) == 1
+        or (
+            # (metric, dim ASC) is exactly the TopN lowering's own
+            # deterministic order — a 2-column ORDER BY whose tie-break is
+            # the single dimension ascending is still TopN-shaped
+            len(ls.columns) == 2
+            and len(q.dimensions) == 1
+            and ls.columns[1].column == q.dimensions[0].out
+            and ls.columns[1].direction == "asc"
+        )
+    )
     if (
-        ls is not None
-        and ls.limit is not None
-        and len(ls.columns) == 1
+        cols_ok
         and len(q.dimensions) == 1
         and q.granularity == "all"
         and q.grouping_sets is None

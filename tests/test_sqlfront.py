@@ -459,6 +459,14 @@ SELECT l_orderkey, l_quantity AS q FROM lineitem
 WHERE l_quantity > 49 ORDER BY q DESC, l_orderkey LIMIT 10 OFFSET 5""",
         sort=False)
     assert ctx.query_history[-1].backing != "sparksql"
+    # regression: a SINGLE-order-column aggregate with OFFSET used to be
+    # rewritten to TopNQuery (which has no paging), silently DROPPING the
+    # offset — rows 1..k instead of offset+1..offset+k. groupby_to_topn
+    # now declines when an offset is present.
+    assert_same(ctx, duck, """
+SELECT p_brand, sum(l_extendedprice) AS rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 2 DESC LIMIT 4 OFFSET 2""", sort=False)
 
 
 def test_extract_time_part_grouping(ctx, duck):

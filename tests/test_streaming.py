@@ -92,17 +92,49 @@ def test_streamed_equals_batch(spark, streamed_index):
     assert ctx.query_history[-1].backing == "cube"
 
 
+def _approx_topn(ctx):
+    from pysparkline import ir
+
+    spec = ir.TopNQuery(
+        dimension=ir.DefaultDim("s_name"),
+        metric="cnt",
+        threshold=10,
+        aggregations=[ir.CountAgg("cnt")],
+        approx=True,
+    )
+    rows = [tuple(r) for r in ctx.query(spec).collect()]
+    assert ctx.query_history[-1].backing == "cube"
+    return rows
+
+
 def test_compaction_preserves_answers(spark, streamed_index):
     from pysparkline.session import OlapContext
 
     idx, ingest, _ = streamed_index
     ctx = OlapContext(spark, idx)
     before = _q1(ctx)
+    # approx TopN needs NO merge across appended partials (explode+sum is
+    # additive), and compaction's map re-merge must not change answers —
+    # the streamed index is still in its exact regime, so compare against
+    # the batch-built index's sketch result
+    from pysparkline import tpch
+    from pysparkline.index import OlapIndex
+
+    topn_before = _approx_topn(ctx)
+    assert topn_before == _approx_topn(
+        OlapContext(spark, tpch.build_or_load_index(spark, SF))
+    )
     pre_rows = spark.read.parquet(os.path.join(idx.path, "cube_flags")).count()
     ingest.compact("flags")
     post_rows = spark.read.parquet(os.path.join(idx.path, "cube_flags")).count()
     assert post_rows <= pre_rows
     assert _q1(ctx) == before
+    assert _approx_topn(ctx) == topn_before
+    # compacted files must keep the appended-partial schema (incl. the
+    # top-k map + bound columns) so future appends stay byte-compatible
+    cube = spark.read.parquet(os.path.join(idx.path, "cube_flags"))
+    tk = idx.config.topk_specs[0]
+    assert tk.col_name in cube.columns and tk.bound_col_name in cube.columns
 
 
 def test_append_batch(spark, tmp_path):
