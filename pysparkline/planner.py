@@ -207,6 +207,13 @@ def _topk_eligible(
             o = lowering.origin_epoch_seconds(qorigin)
             if dur is None or o % dur != 0:
                 continue
+        # interval bounds must land on cube-bucket boundaries — a cell
+        # cannot split mid-bucket (same rule as _cube_eligible)
+        if any(
+            not lowering.interval_aligned(iv, gran)
+            for iv in (getattr(q, "intervals", []) or [])
+        ):
+            continue
         f = q.filter
         if f is not None and not f.referenced_columns() <= cube_dims:
             continue

@@ -248,7 +248,12 @@ def test_random_groupby_matches_duckdb(harness, spec):
 
 @st.composite
 def topn_specs(draw):
-    dim = draw(dim_col)
+    # s_name is the TopKSpec-sketched dim: drawing it (with approx below)
+    # exercises the approximate serving path in its exact regime, where the
+    # oracle must still match EXACTLY; every other combination exercises
+    # the honest declines (inverted/multi-agg/unsketched dim), which must
+    # also match — approx=True may never change an answer at fuzz SFs
+    dim = draw(st.one_of(dim_col, st.just("s_name")))
     ags = draw(aggs)
     for i, a in enumerate(ags):
         a.name = f"m{i}"
@@ -260,6 +265,7 @@ def topn_specs(draw):
         filter=draw(st.one_of(st.just(None), simple_filter)),
         aggregations=ags,
         intervals=draw(intervals),
+        approx=draw(st.booleans()),
     )
 
 
