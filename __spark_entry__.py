@@ -2172,6 +2172,68 @@ def _events_ctx(spark: SparkSession, sf_dir: str) -> OlapContext:
     return c
 
 
+_CATALOGS: dict[str, "OlapCatalog"] = {}
+
+
+def _catalog(spark: SparkSession, sf_dir: str) -> "OlapCatalog":
+    """Both datasources (TPC-H star + events) in one OlapCatalog, each with
+    base tables so declined bodies can still fall back."""
+    key = os.path.abspath(sf_dir)
+    c = _CATALOGS.get(key)
+    if c is None or c.spark is not spark:
+        from pysparkline.events_index import build_or_load_events_index
+        from pysparkline.session import OlapCatalog
+
+        prep(spark)
+        tctx = OlapContext(
+            spark,
+            tpch.build_or_load_index(spark, sf_dir),
+            base_tables=tpch.load_star_tables(spark, sf_dir),
+            fds=tpch.tpch_fds(),
+        )
+        ectx = OlapContext(
+            spark,
+            build_or_load_events_index(spark, sf_dir),
+            base_tables={"events": tpch.read_events(spark, sf_dir)},
+        )
+        c = OlapCatalog(spark, {"tpch": tctx, "events": ectx})
+        _CATALOGS[key] = c
+    return c
+
+
+_FED_SQL = """
+WITH rev AS (
+  SELECT c_custkey % 20 AS b, CAST(SUM(l_extendedprice) AS DOUBLE) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), ev AS (
+  SELECT user_id % 20 AS b, COUNT(*) AS n_ev,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+  FROM events GROUP BY 1
+)
+SELECT rev.b AS b, rev, n_ev, sv
+FROM rev JOIN ev ON rev.b = ev.b
+ORDER BY b
+"""
+
+
+@_register("federated_rev_events", _FED_SQL)
+def federated_rev_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-datasource federation (round 6, continued session): an
+    OlapCatalog WITH-join routes each CTE body to its owning context —
+    revenue-per-customer-bucket rides the TPC-H index, event stats ride
+    the events index — and Spark joins the two LAZY index-served results
+    in one DAG. The plain multi-datasource fallback would raw-scan both
+    stars; DuckDB runs the identical statement natively as the oracle."""
+    cat = _catalog(spark, sf_dir)
+    out = cat.sql(_FED_SQL)
+    assert cat.query_history[-1].backing == "federated", (
+        cat.query_history[-1].decision
+    )
+    return out
+
+
 @_register(
     "events_daily_types",
     """
@@ -4465,6 +4527,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- round-6 window (first 50): (a) new or touched this round ---
     "approx_topn_supplier",        # NEW: Druid approx-TopN sketch serving
+    "federated_rev_events",        # NEW: cross-datasource CTE federation
     "sql_window_exclude",          # NEW: ANSI frame EXCLUDE lowering
     "substring_dup_docs",          # NEW: substring-granularity dedup
     "incremental_substring_docs",  # NEW: SubstringStore ingest dedup
@@ -4475,7 +4538,7 @@ _PRIORITY = [
     "sql_window_range", "sql_window_range_desc",  # shared lowering edits
     "image_features", "audio_features",  # ffmpeg returncode decline
     "pack_docs",                   # pack_sequences string-id fallback
-    "ship_date_range", "sql_multi_interval",  # planner month-regex share
+    "ship_date_range",             # planner month-regex share
     "shard_docs", "incremental_dedup_docs",   # manifest fsync path
     # (b) the r3-verdicted cohort (oldest verdicts, 3 rounds)
     "sql_window_share", "sql_window_mom",
@@ -4492,9 +4555,11 @@ _PRIORITY = [
     # --- 50-query window boundary ---
     # q6/q14/q17/q18 are the r3 cohort's tail that did NOT fit this round's
     # window (q6 displaced by the new approx_topn_supplier row) — the only
-    # rows still on r3 verdicts; they rotate FIRST next round. Everything
-    # after them carries r4/r5 verdicts.
-    "q6", "q14", "q17", "q18",
+    # rows still on r3 verdicts; they rotate FIRST next round, along with
+    # sql_multi_interval (r5-green; displaced by federated_rev_events —
+    # its round-6 touch was the behavior-neutral shared month regex,
+    # regression-covered by tests/test_file_pruning).
+    "q6", "q14", "q17", "q18", "sql_multi_interval",
     "sql_window_nth", "sql_window_lag_nulls",
     "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
     "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",

@@ -495,12 +495,86 @@ class OlapCatalog:
             out = ctx.sql(sql)
             self.query_history.append(ctx.query_history[-1])
             return out
+        fed = self._federated_sql(sql)
+        if fed is not None:
+            return fed
         # cross-datasource / unregistered tables: plain Spark over all views
         self._register_all_views()
         self.query_history.append(
             QueryRecord({"sql": sql}, "fallback: multi-datasource", "sparksql")
         )
         return self.spark.sql(sql)
+
+    def _federated_sql(self, sql: str) -> DataFrame | None:
+        """Cross-datasource federation: a WITH statement whose CTE bodies
+        each live in ONE datasource runs every body through its owning
+        context (index-served — cube/flat/pruned, the works), registers the
+        lazy results as temp views, and lets Spark execute the OUTER query
+        over them. The final plan is one Spark DAG whose leaves are the
+        index-served sub-plans — a cross-datasource join costs two bounded
+        aggregate scans plus the join, never two raw star scans (which is
+        what the plain multi-datasource fallback pays).
+
+        Returns None (caller falls back) when the statement has no WITH,
+        when no CTE body is context-servable, or when the text is outside
+        the splitter's surface (RECURSIVE, CTE column aliases). A CTE
+        referencing an earlier CTE runs through spark.sql over the already-
+        registered views. CTE names shadow same-named base views for the
+        outer query (standard CTE scoping); the views are re-registered by
+        the next fallback statement."""
+        from .sqlfront import SQLFrontError, referenced_tables, split_ctes
+
+        try:
+            ctes, outer = split_ctes(sql)
+        except SQLFrontError:
+            return None
+        plans: list[tuple[str, str, OlapContext | None, str | None]] = []
+        cte_names: set[str] = set()
+        for name, body in ctes:
+            try:
+                tables = referenced_tables(body)
+            except SQLFrontError:
+                return None
+            owner = owner_name = None
+            if tables and not (tables & cte_names):
+                owners = sorted(
+                    nm
+                    for nm, c in self.contexts.items()
+                    if tables <= c.owned_tables()
+                )
+                if owners:
+                    owner_name = owners[0]
+                    owner = self.contexts[owner_name]
+            plans.append((name, body, owner, owner_name))
+            cte_names.add(name)
+        if not any(owner is not None for _, _, owner, _ in plans):
+            return None  # nothing index-servable: no benefit over fallback
+        self._register_all_views()  # base tables for outer + unowned bodies
+        notes = []
+        for name, body, owner, owner_name in plans:
+            if owner is not None:
+                try:
+                    df = owner.sql(body)
+                    notes.append(
+                        f"{name} -> {owner_name} "
+                        f"({owner.query_history[-1].backing})"
+                    )
+                except (SQLFrontError, ValueError):
+                    # body parses but the context declines and has no
+                    # fallback tables of its own: run it over the views
+                    df = self.spark.sql(body)
+                    notes.append(f"{name} -> sparksql")
+            else:
+                df = self.spark.sql(body)
+                notes.append(f"{name} -> sparksql")
+            df.createOrReplaceTempView(name)
+        out = self.spark.sql(outer)
+        self.query_history.append(
+            QueryRecord(
+                {"sql": sql}, "federated: " + "; ".join(notes), "federated"
+            )
+        )
+        return out
 
     def explain_rewrite(self, sql: str) -> str:
         ctx = self.context_for(sql)

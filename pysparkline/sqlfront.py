@@ -1660,6 +1660,132 @@ def referenced_tables(sql: str) -> set[str]:
 
 
 # ---------------------------------------------------------------------------
+# CTE text splitting (OlapCatalog federation)
+# ---------------------------------------------------------------------------
+
+
+def _skip_ws(s: str, i: int) -> int:
+    """Advance past whitespace and SQL comments (-- and /* */)."""
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif s.startswith("--", i):
+            j = s.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif s.startswith("/*", i):
+            j = s.find("*/", i + 2)
+            if j < 0:
+                raise SQLFrontError("unterminated block comment")
+            i = j + 2
+        else:
+            break
+    return i
+
+
+def _read_ident(s: str, i: int) -> tuple[str, int]:
+    if i < len(s) and s[i] == '"':
+        j = i + 1
+        while j < len(s):
+            if s[j] == '"':
+                if j + 1 < len(s) and s[j + 1] == '"':
+                    j += 2
+                    continue
+                return s[i + 1:j].replace('""', '"'), j + 1
+            j += 1
+        raise SQLFrontError("unterminated quoted identifier")
+    j = i
+    while j < len(s) and (s[j].isalnum() or s[j] == "_"):
+        j += 1
+    if j == i:
+        raise SQLFrontError(f"expected identifier at {s[i:i+20]!r}")
+    return s[i:j], j
+
+
+def _match_paren(s: str, i: int) -> int:
+    """Index of the ')' closing the '(' at ``i``, skipping strings, quoted
+    identifiers, and comments."""
+    assert s[i] == "("
+    depth = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == '"':
+            i += 1
+            while i < n and s[i] != '"':
+                i += 1
+        elif s.startswith("--", i):
+            j = s.find("\n", i)
+            i = n if j < 0 else j
+        elif s.startswith("/*", i):
+            i = s.find("*/", i + 2)
+            if i < 0:
+                raise SQLFrontError("unterminated block comment")
+            i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise SQLFrontError("unbalanced parentheses")
+
+
+def split_ctes(sql: str) -> tuple[list[tuple[str, str]], str]:
+    """Text-level WITH splitter: ``([(name, body_sql), ...], outer_sql)``.
+
+    The federation path (OlapCatalog.sql) runs each CTE body through the
+    context owning its tables and the OUTER text through spark.sql over the
+    resulting temp views — so the pieces must be real SQL strings, which
+    the JSON AST (no source offsets) cannot give back. Quote-, comment-,
+    and paren-aware; raises SQLFrontError for statements without a leading
+    WITH, RECURSIVE CTEs, or CTE column aliases (``name(cols) AS``)."""
+    s = sql.strip().rstrip(";")
+    i = _skip_ws(s, 0)
+    word, j = (s[i:i + 4], i + 4) if len(s) >= i + 4 else ("", i)
+    if word.upper() != "WITH" or (j < len(s) and (s[j].isalnum() or s[j] == "_")):
+        raise SQLFrontError("no WITH clause")
+    i = j
+    ctes: list[tuple[str, str]] = []
+    while True:
+        i = _skip_ws(s, i)
+        name, i = _read_ident(s, i)
+        if not ctes and name.upper() == "RECURSIVE":
+            raise SQLFrontError("RECURSIVE CTE unsupported")
+        i = _skip_ws(s, i)
+        if i < len(s) and s[i] == "(":
+            raise SQLFrontError("CTE column aliases unsupported")
+        kw, i = _read_ident(s, i)
+        if kw.upper() != "AS":
+            raise SQLFrontError(f"expected AS after CTE name {name!r}")
+        i = _skip_ws(s, i)
+        if i >= len(s) or s[i] != "(":
+            raise SQLFrontError("expected ( after AS")
+        close = _match_paren(s, i)
+        ctes.append((name.lower(), s[i + 1:close].strip()))
+        i = _skip_ws(s, close + 1)
+        if i < len(s) and s[i] == ",":
+            i += 1
+            continue
+        break
+    outer = s[i:].strip()
+    if not outer:
+        raise SQLFrontError("WITH without a trailing query")
+    return ctes, outer
+
+
+# ---------------------------------------------------------------------------
 # entry point
 # ---------------------------------------------------------------------------
 

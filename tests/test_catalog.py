@@ -135,3 +135,92 @@ def test_explain_rewrite_routing(catalog):
     assert "no rewrite" in catalog.explain_rewrite(
         "SELECT * FROM events JOIN lineitem ON user_id = l_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# federation: WITH bodies routed to their owning contexts
+# ---------------------------------------------------------------------------
+
+
+def _duck_all():
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def test_federated_cte_join_matches_duckdb(catalog):
+    """A cross-datasource WITH-join: each CTE body runs through its owning
+    context, the outer join runs over the lazy results — one Spark DAG,
+    index-served leaves, never two raw star scans."""
+    sql = """
+WITH cust AS (
+  SELECT c_custkey % 10 AS b, count(*) AS n_cust
+  FROM customer GROUP BY 1
+), ev AS (
+  SELECT user_id % 10 AS b, count(*) AS n_ev
+  FROM events GROUP BY 1
+)
+SELECT cust.b AS b, n_cust, n_ev
+FROM cust JOIN ev ON cust.b = ev.b
+ORDER BY b"""
+    got = [tuple(r) for r in catalog.sql(sql).collect()]
+    rec = catalog.query_history[-1]
+    assert rec.backing == "federated", rec.decision
+    assert "cust -> tpch" in rec.decision and "ev -> events" in rec.decision
+    assert got == _duck_all().execute(sql).fetchall()
+
+
+def test_federated_bodies_are_index_served(catalog):
+    """Plain-dimension aggregate bodies must come back cube/flat-served,
+    not sparksql — the whole point of federating instead of falling back."""
+    sql = """
+WITH seg AS (
+  SELECT l_returnflag AS s, count(*) AS n_items FROM lineitem GROUP BY 1
+), ev AS (
+  SELECT event_type, count(*) AS n_ev FROM events GROUP BY 1
+)
+SELECT s, event_type, n_items, n_ev
+FROM seg CROSS JOIN ev ORDER BY s, event_type"""
+    got = [tuple(r) for r in catalog.sql(sql).collect()]
+    rec = catalog.query_history[-1]
+    assert rec.backing == "federated"
+    # each body landed on an index backing (cube or flat), not sparksql
+    import re
+
+    routed = dict(re.findall(r"(\w+) -> \w+ \((\w+)\)", rec.decision))
+    assert routed.get("seg") in ("cube", "flat"), rec.decision
+    assert routed.get("ev") in ("cube", "flat"), rec.decision
+    assert got == _duck_all().execute(sql).fetchall()
+
+
+def test_federated_cte_chain(catalog):
+    """A CTE referencing an earlier CTE runs over the registered views
+    (spark.sql); the statement still federates and matches DuckDB."""
+    sql = """
+WITH ev AS (
+  SELECT user_id % 5 AS b, count(*) AS n FROM events GROUP BY 1
+), top_b AS (
+  SELECT b FROM ev ORDER BY n DESC, b LIMIT 2
+)
+SELECT c_custkey % 5 AS b, count(*) AS n_cust
+FROM customer WHERE c_custkey % 5 IN (SELECT b FROM top_b)
+GROUP BY 1 ORDER BY 1"""
+    got = [tuple(r) for r in catalog.sql(sql).collect()]
+    rec = catalog.query_history[-1]
+    assert rec.backing == "federated"
+    assert "top_b -> sparksql" in rec.decision
+    assert got == _duck_all().execute(sql).fetchall()
+
+
+def test_federated_declines_recursive(catalog):
+    """RECURSIVE is outside the splitter surface: the plain multi-datasource
+    fallback answers it (correctly) instead."""
+    sql = """
+WITH RECURSIVE r(n) AS (
+  SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 3
+)
+SELECT (SELECT count(*) FROM events) AS ev_n, max(n) AS m FROM r"""
+    got = [tuple(r) for r in catalog.sql(sql).collect()]
+    assert catalog.query_history[-1].backing == "sparksql"
+    assert got[0][1] == 3
