@@ -1959,6 +1959,42 @@ def lsh_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "knn_join_emb",
+    """
+WITH sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])),
+               6) AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+)
+def knn_join_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN JOIN (every embedding row -> its top-3 non-self
+    neighbors) with NEITHER side broadcast or collected — the corpus-scale
+    form brute_force/ivf_topk (which broadcast queries) cannot take. All
+    cells probed (n_probe=None) makes it provably exact, so the DuckDB full
+    self-join oracle reproduces it bit-for-bit; the block-salted approximate
+    form is recall-tested in tests/test_knn_join.py."""
+    from pyspark.sql import functions as F
+    from pysparkline.operators import similarity
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.knn_join(
+        emb, q, k=3, n_cells=8, exclude_self=True, round_to=6
+    )
+
+
+@_register(
     "asof_event_purchase",
     """
 WITH purch AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events
@@ -4533,12 +4569,12 @@ _PRIORITY = [
     "incremental_substring_docs",  # NEW: SubstringStore ingest dedup
     "ivf_append_topk",             # NEW: IvfIndex incremental append
     "image_dhash_pairs",           # NEW: perceptual image dedup
+    "knn_join_emb",                # NEW: distributed exact kNN join
     "ivf_index_topk",              # IvfIndex.search multi-batch read
     "sql_window_sum_distinct", "sql_window_filter_distinct",  # fold edits
     "sql_window_range", "sql_window_range_desc",  # shared lowering edits
     "image_features", "audio_features",  # ffmpeg returncode decline
     "pack_docs",                   # pack_sequences string-id fallback
-    "ship_date_range",             # planner month-regex share
     "shard_docs", "incremental_dedup_docs",   # manifest fsync path
     # (b) the r3-verdicted cohort (oldest verdicts, 3 rounds)
     "sql_window_share", "sql_window_mom",
@@ -4556,10 +4592,11 @@ _PRIORITY = [
     # q6/q14/q17/q18 are the r3 cohort's tail that did NOT fit this round's
     # window (q6 displaced by the new approx_topn_supplier row) — the only
     # rows still on r3 verdicts; they rotate FIRST next round, along with
-    # sql_multi_interval (r5-green; displaced by federated_rev_events —
-    # its round-6 touch was the behavior-neutral shared month regex,
-    # regression-covered by tests/test_file_pruning).
-    "q6", "q14", "q17", "q18", "sql_multi_interval",
+    # sql_multi_interval and ship_date_range (both r5-green; displaced by
+    # federated_rev_events and knn_join_emb — their round-6 touch was the
+    # behavior-neutral shared month regex, regression-covered by
+    # tests/test_file_pruning).
+    "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
     "sql_window_nth", "sql_window_lag_nulls",
     "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
     "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",

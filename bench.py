@@ -131,6 +131,7 @@ LLM_OPS = [
     "temperature_mix_docs",
     "sql_qualify_topk",
     "vocab_topk_docs",
+    "knn_join_emb",
 ]
 
 
