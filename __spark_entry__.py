@@ -2193,6 +2193,41 @@ def image_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@_register(
+    "audio_fp_pairs",
+    """
+WITH d AS (SELECT doc_id, doc_id % 16 AS seed FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM d a JOIN d b ON a.seed = b.seed AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def audio_fp_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup: Haitsma-Kalker-style 64-bit spectral
+    fingerprint + the shared pigeonhole segment blocking
+    (multimodal.hamming_blocked_pairs). The fixture gives each document a
+    deterministic colored-noise WAV keyed by doc_id % 16, decoded by the
+    REAL WAV parser on executors: equal seeds are byte-identical
+    (hamming 0), distinct seeds measure >= 17 fingerprint bits apart
+    (asserted in tests/test_multimodal), so at max_hamming=6 the exact
+    expected pair set is same-seed pairs — enumerated by the oracle in
+    pure SQL."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import multimodal
+
+    prep(spark)
+    media = multimodal.with_colored_audio(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_seeds=16
+    )
+    out = multimodal.audio_fingerprint_pairs(
+        media, "doc_id", "wav", max_hamming=6
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 _EVENTS_CTX: dict[str, OlapContext] = {}
 
 
@@ -4570,8 +4605,11 @@ _PRIORITY = [
     "ivf_append_topk",             # NEW: IvfIndex incremental append
     "image_dhash_pairs",           # NEW: perceptual image dedup
     "knn_join_emb",                # NEW: distributed exact kNN join
+    "audio_fp_pairs",              # NEW: perceptual audio dedup
     "ivf_index_topk",              # IvfIndex.search multi-batch read
-    "sql_window_sum_distinct", "sql_window_filter_distinct",  # fold edits
+    "sql_window_sum_distinct",     # fold edits (represents the fold path;
+    # sql_window_filter_distinct displaced below — same edited function,
+    # r5-green, typed+ordered-mirrored every pytest run)
     "sql_window_range", "sql_window_range_desc",  # shared lowering edits
     "image_features", "audio_features",  # ffmpeg returncode decline
     "pack_docs",                   # pack_sequences string-id fallback
@@ -4597,6 +4635,7 @@ _PRIORITY = [
     # behavior-neutral shared month regex, regression-covered by
     # tests/test_file_pruning).
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
+    "sql_window_filter_distinct",
     "sql_window_nth", "sql_window_lag_nulls",
     "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
     "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",

@@ -562,3 +562,94 @@ def test_image_dhash_pairs_blocking_equals_bruteforce(spark):
         for r in mm.image_dhash_pairs(df, "doc_id", "img", max_hamming=4).collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# perceptual AUDIO dedup (audio_fingerprint64 / audio_fingerprint_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_audio_fp_seed_separation_and_identity():
+    """Equal seeds byte-identical; 16 distinct fixture seeds measure far
+    apart (>= 12 bits, measured 17) — the property the driver oracle's
+    same-seed pair enumeration rests on."""
+    import itertools
+
+    payloads = {s: mm.synth_colored_audio_payload(s) for s in range(16)}
+    assert payloads[3] == mm.synth_colored_audio_payload(3)
+    fps = {
+        s: mm.audio_fingerprint64(*mm.decode_audio(p))
+        for s, p in payloads.items()
+    }
+    dmin = min(
+        _ham(fps[a], fps[b]) for a, b in itertools.combinations(range(16), 2)
+    )
+    assert dmin >= 12
+
+
+def test_audio_fp_gain_and_requant_invariant_noise_small():
+    """Gain scaling and 16-bit requantization leave the fingerprint
+    unchanged (log-energy gradients cancel the shift); mild additive noise
+    moves only a few bits — the near-dup regime."""
+    import numpy as np
+
+    sig, rate = mm.decode_audio(mm.synth_colored_audio_payload(5))
+    base = mm.audio_fingerprint64(sig, rate)
+    assert mm.audio_fingerprint64(sig * 0.37, rate) == base
+    assert mm.audio_fingerprint64(sig * 8.0, rate) == base
+    # 16-bit re-encode round trip (decode_audio is unit-normalized)
+    requant = mm.decode_audio(
+        mm.encode_wav((sig * 20000).astype("<i2"), rate)
+    )[0]
+    assert _ham(mm.audio_fingerprint64(requant, rate), base) <= 2
+    rng = np.random.RandomState(1)
+    noisy = sig + rng.normal(0, 100 / 32768, len(sig))
+    assert _ham(mm.audio_fingerprint64(noisy, rate), base) <= 6
+
+
+def test_audio_fp_short_signal_hashes_zero():
+    import numpy as np
+
+    assert mm.audio_fingerprint64(np.zeros(10), 8000) == 0
+
+
+def test_audio_fingerprint_pairs_blocking_equals_bruteforce(spark):
+    """Segment blocking loses NOTHING under the pigeonhole bound, including
+    a planted noisy near-copy of seed 0's payload."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    payloads = {i: mm.synth_colored_audio_payload(i % 8) for i in range(24)}
+    sig, rate = mm.decode_audio(payloads[0])  # unit-normalized floats
+    rng = np.random.RandomState(7)
+    noisy = np.clip(sig + rng.normal(0, 80 / 32768, len(sig)), -1.0, 1.0)
+    payloads[100] = mm.encode_wav((noisy * 32000).astype("<i2"), rate)
+
+    fps = {
+        i: mm.audio_fingerprint64(*mm.decode_audio(p))
+        for i, p in payloads.items()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(payloads), 2)
+        if _ham(fps[a], fps[b]) <= 6
+    }
+    assert any(100 in p for p in want)  # planted near-dup found
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(payloads), "wav": [payloads[i] for i in payloads]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.id_a, r.id_b)
+        for r in mm.audio_fingerprint_pairs(
+            df, "doc_id", "wav", max_hamming=6
+        ).collect()
+    }
+    assert got == want and got
