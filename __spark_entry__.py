@@ -2228,6 +2228,38 @@ def audio_fp_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@_register(
+    "video_dhash_pairs",
+    """
+WITH d AS (SELECT doc_id, doc_id % 16 AS seed FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(2 + (a.seed % 3) AS BIGINT) AS frames_matched,
+       CAST(1.0 AS DOUBLE) AS match_frac
+FROM d a JOIN d b ON a.seed = b.seed AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def video_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup: per-sampled-frame dHash matched at the same
+    frame position through the SHARED pigeonhole blocking (key_cols=[pos]),
+    then pairs kept where >= min_match_frac of the shorter video's frames
+    match. Fixture: deterministic textured RVID keyed by doc_id % 16 with
+    2 + seed % 3 frames, every frame pair across distinct seeds > 12 dHash
+    bits apart (asserted in tests/test_multimodal) — so the exact expected
+    output is same-seed pairs with all frames matched, which the oracle
+    (including the per-seed frame count) states in pure SQL."""
+    from pysparkline.operators import multimodal
+
+    prep(spark)
+    media = multimodal.with_patterned_videos(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_seeds=16
+    )
+    out = multimodal.video_dhash_pairs(
+        media, "doc_id", "vid", max_hamming=4, min_match_frac=0.8
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 _EVENTS_CTX: dict[str, OlapContext] = {}
 
 
@@ -4606,11 +4638,14 @@ _PRIORITY = [
     "image_dhash_pairs",           # NEW: perceptual image dedup
     "knn_join_emb",                # NEW: distributed exact kNN join
     "audio_fp_pairs",              # NEW: perceptual audio dedup
+    "video_dhash_pairs",           # NEW: perceptual video dedup
     "ivf_index_topk",              # IvfIndex.search multi-batch read
     "sql_window_sum_distinct",     # fold edits (represents the fold path;
     # sql_window_filter_distinct displaced below — same edited function,
     # r5-green, typed+ordered-mirrored every pytest run)
-    "sql_window_range", "sql_window_range_desc",  # shared lowering edits
+    "sql_window_range",            # shared lowering edits (represents the
+    # RANGE path; sql_window_range_desc displaced below — same edited
+    # lowering, r5-green, typed+ordered-mirrored every pytest run)
     "image_features", "audio_features",  # ffmpeg returncode decline
     "pack_docs",                   # pack_sequences string-id fallback
     "shard_docs", "incremental_dedup_docs",   # manifest fsync path
@@ -4635,7 +4670,7 @@ _PRIORITY = [
     # behavior-neutral shared month regex, regression-covered by
     # tests/test_file_pruning).
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
-    "sql_window_filter_distinct",
+    "sql_window_filter_distinct", "sql_window_range_desc",
     "sql_window_nth", "sql_window_lag_nulls",
     "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
     "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",

@@ -703,12 +703,10 @@ def synth_video_payload(doc_id: int) -> bytes:
     return encode_raw_video(frames)
 
 
-def synth_patterned_image_payload(seed: int, size: int = 16) -> bytes:
-    """Deterministic TEXTURED grayscale PNG whose content (and therefore
-    dHash) is a function of ``seed`` alone — the fixture for perceptual
-    dedup: equal seeds give byte-identical images, distinct seeds give
-    visually unrelated textures (Knuth/xxhash-style multiplicative mix per
-    pixel; numpy uint64 wraps, which is exactly the mixing we want)."""
+def _patterned_pixels(seed: int, size: int = 16) -> np.ndarray:
+    """Deterministic texture keyed by ``seed`` (Knuth/xxhash-style
+    multiplicative mix per pixel; numpy uint64 wraps, which is exactly the
+    mixing we want) -> (size, size) uint8."""
     i = np.arange(size * size, dtype=np.uint64)
     mixed = (
         i * np.uint64(2654435761) + np.uint64((int(seed) + 1) * 2246822519)
@@ -716,7 +714,16 @@ def synth_patterned_image_payload(seed: int, size: int = 16) -> bytes:
     mixed ^= mixed >> np.uint64(13)
     mixed *= np.uint64(0x9E3779B97F4A7C15)
     px = ((mixed >> np.uint64(29)) % np.uint64(256)).astype(np.uint8)
-    return encode_png(px.reshape(size, size)[:, :, None].repeat(3, axis=2))
+    return px.reshape(size, size)
+
+
+def synth_patterned_image_payload(seed: int, size: int = 16) -> bytes:
+    """Deterministic TEXTURED grayscale PNG whose content (and therefore
+    dHash) is a function of ``seed`` alone — the fixture for perceptual
+    dedup: equal seeds give byte-identical images, distinct seeds give
+    visually unrelated textures."""
+    px = _patterned_pixels(seed, size)
+    return encode_png(px[:, :, None].repeat(3, axis=2))
 
 
 def dhash64(img: np.ndarray) -> int:
@@ -801,13 +808,19 @@ def image_dhash_pairs(
     )
 
 
-def hamming_blocked_pairs(d: DataFrame, max_hamming: int) -> DataFrame:
+def hamming_blocked_pairs(
+    d: DataFrame, max_hamming: int, key_cols: list[str] | None = None
+) -> DataFrame:
     """Exact hamming-<=h pairs over an (id, h) frame of 64-bit fingerprints
     via pigeonhole segment blocking: split the hash into ``max_hamming + 1``
     segments (hamming <= h forces at least one EXACT segment match),
     equi-join candidates on (segment index, segment value), filter by exact
-    ``bit_count(a ^ b)``. Shared by the image-dHash and audio-fingerprint
-    dedups (and structurally identical to dedup.simhash blocking)."""
+    ``bit_count(a ^ b)``. Shared by the image-dHash, audio-fingerprint and
+    per-frame video dedups (and structurally identical to dedup.simhash
+    blocking). ``key_cols`` adds equality-join context columns (e.g. the
+    sampled frame position for video): only rows agreeing on every key are
+    candidates, and the keys ride through to the output."""
+    keys = list(key_cols or [])
     s = max_hamming + 1
     base = s * [64 // s]
     for i in range(64 % s):
@@ -828,26 +841,30 @@ def hamming_blocked_pairs(d: DataFrame, max_hamming: int) -> DataFrame:
             for i, (o, wd) in enumerate(offs)
         ]
     )
-    inv = d.select("id", "h", F.explode(segs).alias("sv")).select(
-        "id", "h", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val")
+    inv = d.select("id", "h", *keys, F.explode(segs).alias("sv")).select(
+        "id", "h", *keys,
+        F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val"),
     )
+    cond = (
+        (F.col("l.seg") == F.col("r.seg"))
+        & (F.col("l.val") == F.col("r.val"))
+        & (F.col("l.id") < F.col("r.id"))
+    )
+    for kc in keys:
+        cond = cond & (F.col(f"l.{kc}") == F.col(f"r.{kc}"))
     return (
         inv.alias("l")
-        .join(
-            inv.alias("r"),
-            (F.col("l.seg") == F.col("r.seg"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
+        .join(inv.alias("r"), cond)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
+            *[F.col(f"l.{kc}").alias(kc) for kc in keys],
             F.bit_count(
                 F.col("l.h").bitwiseXOR(F.col("r.h"))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b", *keys])
     )
 
 
@@ -1072,3 +1089,118 @@ def with_colored_audio(
     from .util import ensure_parallelism
 
     return ensure_parallelism(df).withColumn(out_col, wav(F.col(id_col)))
+
+
+def video_dhash(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n: int = 1,
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, pos, h): per-sampled-frame dHash over ``mapInPandas`` —
+    ``pos`` is the frame index (sampling every ``every_n`` frames), so two
+    time-aligned videos produce comparable (pos, h) rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    w, h_, n, body = decode_video_frames(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except UnsupportedMediaError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                fsz = w * h_ * 3
+                for idx in range(0, n, every_n):
+                    fr = np.frombuffer(
+                        body, dtype=np.uint8, count=fsz, offset=idx * fsz
+                    ).reshape(h_, w, 3)
+                    rows.append(
+                        {"id": _id, "pos": idx, "h": dhash64(fr)}
+                    )
+            yield pd.DataFrame(rows, columns=["id", "pos", "h"])
+
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, binary_col)).mapInPandas(
+        batches, schema="id long, pos int, h long"
+    )
+
+
+def video_dhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n: int = 1,
+    max_hamming: int = 4,
+    min_match_frac: float = 0.8,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Perceptual VIDEO near-dup pairs: (id_a, id_b, frames_matched,
+    match_frac) for time-aligned videos where >= ``min_match_frac`` of the
+    shorter video's sampled frames dHash-match (<= ``max_hamming`` bits) the
+    other video's frame at the SAME position. Built on the shared pigeonhole
+    blocking with the frame position as a join key — candidates are only
+    (same position, same hash segment) frame pairs, so cost scales with
+    near-duplicate frame mass, never corpus^2 x frames^2. Completes the
+    image (dHash) / audio (spectral fingerprint) / video modality triple on
+    one blocking implementation."""
+    d = video_dhash(df, id_col, binary_col, every_n=every_n, on_error=on_error)
+    counts = d.groupBy("id").agg(F.count(F.lit(1)).alias("nf"))
+    matched = (
+        hamming_blocked_pairs(d, max_hamming, key_cols=["pos"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("frames_matched"))
+    )
+    return (
+        matched.join(
+            counts.select(F.col("id").alias("id_a"), F.col("nf").alias("__na")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("id").alias("id_b"), F.col("nf").alias("__nb")),
+            "id_b",
+        )
+        .withColumn(
+            "match_frac",
+            F.col("frames_matched") / F.least(F.col("__na"), F.col("__nb")),
+        )
+        .where(F.col("match_frac") >= min_match_frac)
+        .select("id_a", "id_b", "frames_matched", "match_frac")
+    )
+
+
+def synth_patterned_video_payload(seed: int, size: int = 16) -> bytes:
+    """Deterministic textured RVID keyed by ``seed`` alone: 2 + seed % 3
+    frames, frame f's texture keyed by (seed*31 + 7*f + 1000) — equal seeds
+    are byte-identical videos, distinct seeds unrelated at every position."""
+    s = int(seed)
+    n = 2 + s % 3
+    frames = [
+        _patterned_pixels(s * 31 + 7 * f + 1000, size)[:, :, None].repeat(
+            3, axis=2
+        )
+        for f in range(n)
+    ]
+    return encode_raw_video(frames)
+
+
+def with_patterned_videos(
+    df: DataFrame, id_col: str, n_seeds: int = 16, out_col: str = "vid"
+) -> DataFrame:
+    """Adds a textured RVID column keyed by ``id % n_seeds`` (Arrow-batched,
+    runs on executors) — the perceptual-video-dedup fixture."""
+
+    @F.pandas_udf("binary")
+    def vid(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda s: synth_patterned_video_payload(int(s) % n_seeds)
+        )
+
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df).withColumn(out_col, vid(F.col(id_col)))

@@ -653,3 +653,103 @@ def test_audio_fingerprint_pairs_blocking_equals_bruteforce(spark):
         ).collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# perceptual VIDEO dedup (video_dhash / video_dhash_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_video_fixture_separation_and_identity():
+    """Equal seeds byte-identical; distinct seeds' frames at every shared
+    position measure far apart in dHash (> 12 bits) — what makes the
+    same-seed oracle enumeration exact."""
+    import itertools
+
+    payloads = {s: mm.synth_patterned_video_payload(s) for s in range(16)}
+    assert payloads[4] == mm.synth_patterned_video_payload(4)
+    hashes = {}
+    for s, p in payloads.items():
+        w, h, n, body = mm.decode_video_frames(p)
+        fsz = w * h * 3
+        hashes[s] = [
+            mm.dhash64(
+                __import__("numpy")
+                .frombuffer(body, dtype="uint8", count=fsz, offset=i * fsz)
+                .reshape(h, w, 3)
+            )
+            for i in range(n)
+        ]
+    dmin = 64
+    for a, b in itertools.combinations(range(16), 2):
+        for pos in range(min(len(hashes[a]), len(hashes[b]))):
+            dmin = min(dmin, _ham(hashes[a][pos], hashes[b][pos]))
+    assert dmin > 12
+
+
+def test_video_dhash_pairs_same_seed_and_planted_partial(spark):
+    """Same-seed videos match at every frame (frac 1.0); a planted copy of
+    one video with ONE frame replaced matches at 4/5 frames and is included
+    at min_match_frac=0.8 but excluded at 0.9."""
+    import numpy as np
+    import pandas as pd
+
+    frames = [
+        mm._patterned_pixels(9000 + f)[:, :, None].repeat(3, axis=2)
+        for f in range(5)
+    ]
+    vid_a = mm.encode_raw_video(frames)
+    frames_b = list(frames)
+    frames_b[2] = mm._patterned_pixels(7777)[:, :, None].repeat(3, axis=2)
+    vid_b = mm.encode_raw_video(frames_b)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "vid": [vid_a, vid_a, vid_b,
+                    mm.synth_patterned_video_payload(3)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.id_a, r.id_b): (r.frames_matched, round(r.match_frac, 3))
+        for r in mm.video_dhash_pairs(
+            df, "doc_id", "vid", max_hamming=4, min_match_frac=0.8
+        ).collect()
+    }
+    assert got[(1, 2)] == (5, 1.0)
+    assert got[(1, 3)] == (4, 0.8) and got[(2, 3)] == (4, 0.8)
+    assert all(4 not in p for p in got)
+    strict = {
+        (r.id_a, r.id_b)
+        for r in mm.video_dhash_pairs(
+            df, "doc_id", "vid", max_hamming=4, min_match_frac=0.9
+        ).collect()
+    }
+    assert strict == {(1, 2)}
+
+
+def test_video_dhash_pairs_fixture_driver_shape(spark):
+    """Over the driver fixture (seed = id % 16), the pair set is exactly the
+    same-seed pairs with match_frac 1.0."""
+    import itertools
+
+    import pandas as pd
+
+    ids = list(range(32))
+    df = mm.with_patterned_videos(
+        spark.createDataFrame(pd.DataFrame({"doc_id": ids})), "doc_id",
+        n_seeds=16,
+    )
+    got = {
+        (r.id_a, r.id_b): (r.frames_matched, r.match_frac)
+        for r in mm.video_dhash_pairs(df, "doc_id", "vid").collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if a % 16 == b % 16
+    }
+    assert set(got) == want
+    for (a, b), (nm, frac) in got.items():
+        assert frac == 1.0 and nm == 2 + (a % 16) % 3
