@@ -4608,6 +4608,98 @@ def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.curate_corpus(docs, bench=bench).orderBy("doc_id")
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """SQL twin of ``bpe.bpe_train``: the greedy leftmost non-overlapping
+    merge is expressed RELATIONALLY — mark positions whose (sym, next sym)
+    equals the round's argmax pair; within each maximal run of consecutive
+    marked positions (runs > 1 only when lhs = rhs), greedy takes exactly
+    the odd-ranked ones (gaps-and-islands), the right symbol of a selected
+    position is consumed (lag filter), and surviving symbols re-index.
+    Every SUM is cast back to BIGINT (the DuckDB HUGEINT typing class)."""
+    parts = [
+        r"""
+WITH wc AS (
+  SELECT w AS word_id, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+w0 AS (
+  SELECT word_id, i, cs[i] AS sym
+  FROM (SELECT word_id, string_split(word_id, '') AS cs FROM wc),
+       LATERAL unnest(generate_series(1, len(cs))) t(i)
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT word_id, i,
+         sym || ' ' || lead(sym) OVER (PARTITION BY word_id ORDER BY i)
+           AS pair
+  FROM w{k}
+),
+b{k} AS (
+  SELECT pair, freq FROM (
+    SELECT p.pair, CAST(SUM(c.cnt) AS BIGINT) AS freq
+    FROM p{k} p JOIN wc c USING (word_id)
+    WHERE p.pair IS NOT NULL GROUP BY p.pair
+  ) ORDER BY freq DESC, pair LIMIT 1
+),
+s{k} AS (
+  SELECT *, CASE WHEN mk THEN ROW_NUMBER() OVER (
+              PARTITION BY word_id, isl ORDER BY i) END AS rn
+  FROM (
+    SELECT *, CASE WHEN mk THEN i - ROW_NUMBER() OVER (
+                PARTITION BY word_id, mk ORDER BY i) END AS isl
+    FROM (
+      SELECT p.word_id, p.i, w.sym,
+             coalesce(p.pair = b.pair, FALSE) AS mk
+      FROM p{k} p JOIN w{k} w USING (word_id, i), b{k} b
+    )
+  )
+),
+w{k + 1} AS (
+  SELECT word_id,
+         ROW_NUMBER() OVER (PARTITION BY word_id ORDER BY i) AS i,
+         CASE WHEN sel THEN replace(b.pair, ' ', '') ELSE sym END AS sym
+  FROM (
+    SELECT word_id, i, sym,
+           coalesce(mk AND rn % 2 = 1, FALSE) AS sel,
+           lag(coalesce(mk AND rn % 2 = 1, FALSE)) OVER (
+             PARTITION BY word_id ORDER BY i) AS psel
+    FROM s{k}
+  ), b{k} b
+  WHERE NOT coalesce(psel, FALSE)
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, string_split(pair, ' ')[1] AS lhs,"
+        f" string_split(pair, ' ')[2] AS rhs, freq FROM b{k}"
+        for k in range(n_merges)
+    )
+    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY merge_rank\n")
+    return "".join(parts)
+
+
+@_register("bpe_train_docs", _bpe_oracle(4))
+def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016) over the corpus:
+    ONE corpus shuffle builds the (word, count) vocabulary table; each
+    merge round is UDF-free Column algebra over it — pair explode +
+    map-side-combined count, a 1-row argmax collect, and an F.aggregate
+    fold applying the merge with EXACT greedy leftmost semantics (a naive
+    string replace mis-merges repeated-symbol runs). The oracle replays
+    all 4 rounds relationally (islands selection of greedy positions).
+    Cross-checked against an independent pure-Python classic trainer in
+    tests/test_bpe.py."""
+    from pysparkline.operators import bpe
+
+    prep(spark)
+    return bpe.bpe_train_df(_docs(spark, sf_dir), "text", n_merges=4).orderBy(
+        "merge_rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4639,6 +4731,7 @@ _PRIORITY = [
     "knn_join_emb",                # NEW: distributed exact kNN join
     "audio_fp_pairs",              # NEW: perceptual audio dedup
     "video_dhash_pairs",           # NEW: perceptual video dedup
+    "bpe_train_docs",              # NEW: distributed BPE tokenizer training
     "ivf_index_topk",              # IvfIndex.search multi-batch read
     "sql_window_sum_distinct",     # fold edits (represents the fold path;
     # sql_window_filter_distinct displaced below — same edited function,
@@ -4646,7 +4739,9 @@ _PRIORITY = [
     "sql_window_range",            # shared lowering edits (represents the
     # RANGE path; sql_window_range_desc displaced below — same edited
     # lowering, r5-green, typed+ordered-mirrored every pytest run)
-    "image_features", "audio_features",  # ffmpeg returncode decline
+    "image_features",              # ffmpeg returncode decline (represents
+    # the decline path; audio_features displaced below — its WAV fixture
+    # never reaches ffmpeg, decline unit-tested via injectable runner)
     "pack_docs",                   # pack_sequences string-id fallback
     "shard_docs", "incremental_dedup_docs",   # manifest fsync path
     # (b) the r3-verdicted cohort (oldest verdicts, 3 rounds)
@@ -4670,7 +4765,7 @@ _PRIORITY = [
     # behavior-neutral shared month regex, regression-covered by
     # tests/test_file_pruning).
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
-    "sql_window_filter_distinct", "sql_window_range_desc",
+    "sql_window_filter_distinct", "sql_window_range_desc", "audio_features",
     "sql_window_nth", "sql_window_lag_nulls",
     "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
     "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",
