@@ -1008,6 +1008,7 @@ def knn_join(
     max_block: int = 100_000,
     query_chunk: int = 4096,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Distributed kNN JOIN: top-``k`` corpus neighbors for EVERY query row,
     with NEITHER side collected to the driver or broadcast.
@@ -1046,7 +1047,10 @@ def knn_join(
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    centroids = _fit_centroids(corpus, corpus_vec, n_cells, seed)
+    if centroids is None:
+        # pass a persisted IvfIndex's centroids to reuse its partitioning
+        # (and skip the KMeans fit) when joining against indexed corpora
+        centroids = _fit_centroids(corpus, corpus_vec, n_cells, seed)
     n_cells = len(centroids)  # KMeans may return fewer on tiny corpora
     probes = n_cells if n_probe is None else min(n_probe, n_cells)
 

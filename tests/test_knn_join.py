@@ -99,3 +99,19 @@ def test_string_ids_and_tiny_corpus(spark):
     got = {(r.query_id, r.rank): r.neighbor_id for r in out}
     assert got[("a", 1)] == "b"
     assert len([r for r in out if r.query_id == "a"]) == 2
+
+
+def test_precomputed_centroids_identical_and_reused(spark, emb):
+    """Passing a persisted index's centroids (here: the same fit) yields the
+    identical result with zero KMeans work — the IvfIndex composition."""
+    from pysparkline.operators.similarity import _fit_centroids
+
+    q = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = _fit_centroids(emb, "embedding", 8, seed=42)
+    a = similarity.knn_join(emb, q, k=4, n_cells=8, exclude_self=True)
+    b = similarity.knn_join(
+        emb, q, k=4, n_cells=8, exclude_self=True, centroids=cents
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
