@@ -1,16 +1,22 @@
-"""Baseline-sequential JPEG codec in pure numpy (no Pillow, no native libs).
+"""JPEG codec in pure numpy (no Pillow, no native libs): baseline sequential
+AND progressive decode, baseline encode.
 
 The reference's multimodal story treats images as opaque binary columns with
 decode behind the engine (SURVEY.md multimodal scope); round 3 left JPEG
 "environment-blocked" — decodable only where Pillow happens to exist. This
 module closes that gap with a from-spec (ITU-T T.81) implementation:
 
-- ``decode(payload)``: baseline sequential DCT, grayscale or YCbCr with any
+- ``decode(payload)``: baseline sequential DCT (SOF0/1) and PROGRESSIVE
+  (SOF2, Annex G: spectral selection + successive approximation — DC
+  first/refine, AC first/refine with EOB runs), grayscale or YCbCr with any
   of the common sampling factors (4:4:4, 4:2:2, 4:2:0), DQT/DHT/DRI read
   from the FILE (nothing here depends on the default tables), restart
-  markers, byte-stuffing. Progressive/arithmetic/12-bit raise
-  ``ValueError`` — callers (operators/multimodal.py) surface that as the
-  honest UnsupportedMediaError.
+  markers, byte-stuffing. Cross-checked against libjpeg itself where
+  gcc + libjpeg-dev exist (tests/test_jpeg_progressive.py builds the
+  harness at test time) — decoded samples agree within IDCT rounding.
+  Arithmetic coding / 12-bit / lossless raise ``ValueError`` — callers
+  (operators/multimodal.py) surface that as the honest
+  UnsupportedMediaError.
 - ``encode(img, quality)``: 4:4:4 (or grayscale) baseline encoder with the
   Annex-K example quantization/Huffman tables — used to vendor
   deterministic test fixtures and to round-trip-verify the decoder in THIS
@@ -263,6 +269,7 @@ def _decode(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     restart_interval = 0
     frame = None
+    coef = None  # progressive coefficient store, filled across scans
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -271,7 +278,7 @@ def _decode(payload: bytes) -> np.ndarray:
         if marker == 0xD8:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI (progressive: reconstruct below)
             break
         seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
         if seglen < 2:
@@ -306,7 +313,7 @@ def _decode(payload: bytes) -> np.ndarray:
                 i += 17 + nsym
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline & extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -338,31 +345,51 @@ def _decode(payload: bytes) -> np.ndarray:
                 if not (1 <= ch <= 4 and 1 <= cv <= 4):
                     raise ValueError("jpeg: bad sampling factors")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: progressive/arithmetic not supported")
+            raise ValueError("jpeg: lossless/arithmetic not supported")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
                 raise ValueError("jpeg: truncated SOS header")
             ns = body[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cs = body[1 + 2 * c]
                 td, ta = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF
                 sel[cs] = (td, ta)
+                order.append(cs)
             try:
-                return _decode_scan(
-                    payload, pos + 2 + seglen, frame, sel, qtables, htables,
-                    restart_interval,
+                if not frame["progressive"]:
+                    return _decode_scan(
+                        payload, pos + 2 + seglen, frame, sel, qtables,
+                        htables, restart_interval,
+                    )
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if coef is None:
+                    coef = _init_coef(frame)
+                pos = _decode_prog_scan(
+                    payload, pos + 2 + seglen, frame, order, sel,
+                    htables, restart_interval, coef,
+                    ss, se, ahal >> 4, ahal & 0xF,
                 )
+                continue
             except KeyError as ex:
                 # missing quant/huffman table or undeclared component id in
                 # a corrupt stream: a clean decline, not a KeyError
                 raise ValueError(f"jpeg: missing table/component {ex}") from ex
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and coef is not None:
+        try:
+            return _reconstruct(frame, coef, qtables)
+        except KeyError as ex:
+            raise ValueError(f"jpeg: missing quant table {ex}") from ex
     raise ValueError("jpeg: no scan data")
 
 
@@ -423,21 +450,262 @@ def _decode_scan(data, pos, frame, sel, qtables, htables, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
             mcu_count += 1
-    # upsample to full resolution (nearest-neighbor replication) and crop
+    return _finish_planes(comps, planes, h, w, hmax, vmax)
+
+
+def _finish_planes(comps, planes, h, w, hmax, vmax):
+    """Range-limit each component plane to integer 0..255 (libjpeg's sample
+    range limiting — color converting unclamped floats drifts up to ~5
+    levels from every reference decoder), then upsample (nearest
+    replication), crop, and color-convert."""
     full = []
     for c, p in zip(comps, planes):
+        p = np.clip(np.round(p), 0, 255)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        out = np.clip(full[0], 0, 255).astype(np.uint8)
-        return out[:, :, None]
+        return full[0].astype(np.uint8)[:, :, None]
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive decoding (ITU-T T.81 Annex G: spectral selection + successive
+# approximation; DC first/refine, AC first/refine with EOB runs)
+# --------------------------------------------------------------------------
+
+
+def _geom(frame):
+    """MCU grid + per-component block geometry (full = MCU-padded grid that
+    interleaved scans cover incl. dummy blocks; own = the component's own
+    ceil dimensions that non-interleaved scans cover)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        chh = -(-(h * c["v"]) // vmax)
+        geo.append(
+            {
+                "bw_full": mcux * c["h"],
+                "bh_full": mcuy * c["v"],
+                "bw_own": -(-cw // 8),
+                "bh_own": -(-chh // 8),
+            }
+        )
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _init_coef(frame):
+    _, _, _, _, geo = _geom(frame)
+    return [
+        np.zeros((g["bh_full"], g["bw_full"], 64), dtype=np.int32)
+        for g in geo
+    ]
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First non-stuffed, non-RST marker at or after ``pos`` (end of the
+    current scan's entropy data)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_prog_scan(
+    data, pos, frame, order, sel, htables, restart_interval, coef,
+    ss, se, ah, al,
+):
+    """One progressive SOS: fills ``coef`` in place, returns the position of
+    the next marker. DC scans (ss == 0) may be interleaved; AC scans are
+    single-component per T.81 G.1.1.1."""
+    comps = frame["comps"]
+    idx_of = {c["id"]: i for i, c in enumerate(comps)}
+    scan_idx = [idx_of[cid] for cid in order]  # KeyError -> clean decline
+    if not (0 <= ss <= se <= 63) or al > 13:
+        raise ValueError("jpeg: bad spectral selection/approximation")
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: progressive DC scan must have Se=0")
+    if ss > 0 and len(scan_idx) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    reader = _BitReader(data, pos)
+    hmax, vmax, mcux, mcuy, geo = _geom(frame)
+
+    if ss == 0:
+        preds = {i: 0 for i in scan_idx}
+        dc_tbl = {}
+        for i in scan_idx:
+            td, _ = sel[comps[i]["id"]]
+            if ah == 0:
+                dc_tbl[i] = htables[(0, td)]
+        interleaved = len(scan_idx) > 1
+        if interleaved:
+            units = mcuy * mcux
+        else:
+            g = geo[scan_idx[0]]
+            units = g["bh_own"] * g["bw_own"]
+        unit = 0
+        for uy in range(mcuy if interleaved else geo[scan_idx[0]]["bh_own"]):
+            ux_n = mcux if interleaved else geo[scan_idx[0]]["bw_own"]
+            for ux in range(ux_n):
+                if (
+                    restart_interval
+                    and unit
+                    and unit % restart_interval == 0
+                ):
+                    reader.sync_restart()
+                    for i in preds:
+                        preds[i] = 0
+                for i in scan_idx:
+                    c = comps[i]
+                    blocks = (
+                        [
+                            (uy * c["v"] + by, ux * c["h"] + bx)
+                            for by in range(c["v"])
+                            for bx in range(c["h"])
+                        ]
+                        if interleaved
+                        else [(uy, ux)]
+                    )
+                    for (byy, bxx) in blocks:
+                        if ah == 0:
+                            s = _decode_huff(reader, dc_tbl[i])
+                            diff = _extend(reader.read(s), s)
+                            preds[i] += diff
+                            coef[i][byy, bxx, 0] = preds[i] << al
+                        else:
+                            if reader.read(1):
+                                coef[i][byy, bxx, 0] |= 1 << al
+                unit += 1
+        return _next_marker_pos(data, reader.pos)
+
+    # AC scan: single component, non-interleaved block walk
+    i = scan_idx[0]
+    c = comps[i]
+    _, ta = sel[c["id"]]
+    ac_tbl = htables[(1, ta)]
+    g = geo[i]
+    eobrun = 0
+    unit = 0
+    p1 = 1 << al
+    for by in range(g["bh_own"]):
+        for bx in range(g["bw_own"]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.sync_restart()
+                eobrun = 0
+            block = coef[i][by, bx]
+            if ah == 0:
+                # AC first (G.1.2.2): EOB runs span whole blocks
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(reader, ac_tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC band overrun")
+                        block[k] = _extend(reader.read(s), s) << al
+                        k += 1
+            else:
+                # AC refine (G.1.2.3): correction bits for known-nonzero
+                # coefficients; new coefficients appear as +-(1 << Al)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff(reader, ac_tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                # NOTE: unlike AC-first, no -1 here — the
+                                # current block consumes one run unit via
+                                # the correction-bit tail below, which must
+                                # run even for EOB0 (remaining already-
+                                # nonzero coefficients still carry bits)
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg: bad refinement magnitude"
+                                )
+                            val = p1 if reader.read(1) else -p1
+                        while k <= se:
+                            if block[k] != 0:
+                                if reader.read(1) and (
+                                    int(block[k]) & p1
+                                ) == 0:
+                                    block[k] += p1 if block[k] > 0 else -p1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            block[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # remaining coefficients of this block only take
+                    # correction bits
+                    while k <= se:
+                        if block[k] != 0:
+                            if reader.read(1) and (int(block[k]) & p1) == 0:
+                                block[k] += p1 if block[k] > 0 else -p1
+                        k += 1
+                    eobrun -= 1
+            unit += 1
+    return _next_marker_pos(data, reader.pos)
+
+
+def _reconstruct(frame, coef, qtables):
+    """Dequantize + IDCT the accumulated progressive coefficients
+    (vectorized over all blocks per component) and finish exactly like the
+    baseline path (upsample, crop, color convert)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for i, c in enumerate(comps):
+        q = qtables[c["tq"]]
+        qz = q.reshape(-1)[ZIGZAG].astype(np.float64)  # zigzag-order factors
+        cz = coef[i].astype(np.float64) * qz  # (bh, bw, 64) dequantized
+        bh, bw = cz.shape[:2]
+        nat = np.zeros_like(cz)
+        nat[..., ZIGZAG] = cz  # scatter zigzag -> natural order
+        blocks = nat.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ux,ijuv,vy->ijxy", _DCT, blocks, _DCT) + 128.0
+        planes.append(
+            pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+    return _finish_planes(comps, planes, h, w, hmax, vmax)
 
 
 # --------------------------------------------------------------------------

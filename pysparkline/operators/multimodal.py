@@ -190,8 +190,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if via_pil is not None:
         return via_pil
     if payload.startswith(b"\xff\xd8"):
-        # baseline JPEG without Pillow: the pure-numpy from-spec decoder
-        # (operators/jpeg.py) — progressive/arithmetic still raise
+        # JPEG without Pillow: the pure-numpy from-spec decoder
+        # (operators/jpeg.py) — baseline AND progressive; arithmetic/
+        # 12-bit/lossless still raise
         from . import jpeg
 
         try:
