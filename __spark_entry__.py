@@ -4653,6 +4653,105 @@ def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.curate_corpus(docs, bench=bench).orderBy("doc_id")
 
 
+@_register(
+    "snapshot_diff_docs",
+    """
+WITH o AS (SELECT doc_id AS id, md5(text) AS old_hash FROM documents),
+n AS (
+  SELECT doc_id AS id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+           AS new_hash
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0
+)
+SELECT coalesce(o.id, n.id) AS id,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            WHEN o.old_hash = n.new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_hash, n.new_hash
+FROM o FULL OUTER JOIN n ON o.id = n.id
+ORDER BY id
+""",
+)
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (the incremental-curation bookkeeping op): one
+    full outer join on id, content equality by md5, presence tracked
+    separately from NULL text. The 'new' snapshot is a deterministic
+    transform of the corpus (mod-7 edits, mod-11 removals, mod-13 adds)
+    the oracle reconstructs in SQL."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import snapshot
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot.snapshot_diff(old, new).orderBy("id")
+
+
+@_register(
+    "token_budget_docs",
+    r"""
+WITH q AS (
+  SELECT doc_id, CAST((doc_id * 37) % 100 AS DOUBLE) AS quality,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, quality, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM q
+)
+SELECT doc_id, quality, n_tokens FROM c
+WHERE cum <= (SELECT CAST(SUM(n_tokens) // 3 AS BIGINT) FROM q)
+ORDER BY doc_id
+""",
+)
+def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: the prefix of the (quality DESC, id)
+    ranking whose running token sum fits the budget. Runs the SCALE path
+    (quality-bucket histogram cutoff — no global sort; only the single
+    boundary bucket is ordered), which is provably equivalent to the exact
+    window form the oracle states (ties cannot straddle buckets);
+    exact == bucketed also asserted in tests/test_snapshot.py."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import snapshot
+
+    prep(spark)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * 37, F.lit(100)).cast("double").alias(
+            "quality"
+        ),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    total = d.agg(F.sum("n_tokens")).first()[0]
+    return snapshot.select_token_budget(
+        d, int(total) // 3, exact=False
+    ).orderBy("doc_id")
+
+
 def _bpe_oracle(n_merges: int) -> str:
     """SQL twin of ``bpe.bpe_train``: the greedy leftmost non-overlapping
     merge is expressed RELATIONALLY — mark positions whose (sym, next sym)
@@ -4823,17 +4922,21 @@ _PRIORITY = [
     "video_dhash_pairs",           # NEW: perceptual video dedup
     "bpe_train_docs",              # NEW: distributed BPE tokenizer training
     "profile_lineitem",            # NEW: single-pass table profiling
-    "image_features_progressive",  # NEW: progressive JPEG decode
-    "ivf_index_topk",              # IvfIndex.search multi-batch read
+    "image_features_progressive",  # NEW: progressive JPEG decode (also
+    # exercises the image_features surface, whose baseline row —
+    # "image_features", r5-green, ffmpeg-decline-untouchable fixture —
+    # is displaced below)
+    "snapshot_diff_docs",          # NEW: corpus snapshot diff
+    "token_budget_docs",           # NEW: token-budget selection (scale path)
+    # ivf_index_topk displaced below: ivf_append_topk (in-window, NEW this
+    # round) exercises the same multi-batch IvfIndex.search read path
+    # after an append — a strict superset of the touched code.
     "sql_window_sum_distinct",     # fold edits (represents the fold path;
     # sql_window_filter_distinct displaced below — same edited function,
     # r5-green, typed+ordered-mirrored every pytest run)
     "sql_window_range",            # shared lowering edits (represents the
     # RANGE path; sql_window_range_desc displaced below — same edited
     # lowering, r5-green, typed+ordered-mirrored every pytest run)
-    "image_features",              # ffmpeg returncode decline (represents
-    # the decline path; audio_features displaced below — its WAV fixture
-    # never reaches ffmpeg, decline unit-tested via injectable runner)
     # pack_docs displaced below: its round-6 touch (string-id shard
     # fallback) is unreachable from the driver row's numeric doc ids and
     # regression-covered in tests/test_search_pack; r5-green.
@@ -4862,7 +4965,7 @@ _PRIORITY = [
     # tests/test_file_pruning).
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
     "sql_window_filter_distinct", "sql_window_range_desc", "audio_features",
-    "pack_docs", "shard_docs",
+    "pack_docs", "shard_docs", "image_features", "ivf_index_topk",
     "sql_window_nth", "sql_window_lag_nulls",
     "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
     "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",
