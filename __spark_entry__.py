@@ -4668,7 +4668,7 @@ n AS (
 SELECT coalesce(o.id, n.id) AS id,
        CASE WHEN o.id IS NULL THEN 'added'
             WHEN n.id IS NULL THEN 'removed'
-            WHEN o.old_hash = n.new_hash THEN 'unchanged'
+            WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash THEN 'unchanged'
             ELSE 'changed' END AS status,
        o.old_hash, n.new_hash
 FROM o FULL OUTER JOIN n ON o.id = n.id

@@ -194,11 +194,21 @@ def bpe_encode(
             F.size(tokens).alias("n_tokens"),
         )
 
+    import re
+
+    # Java's regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's str.split()
+    # splits on Unicode whitespace (NBSP etc.) — the UDF path must tokenize
+    # EXACTLY like the expression path and word_counts (both Java \s+), or
+    # the same document encodes differently across the two paths.
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
         def one(t: str) -> list[str]:
             toks: list[str] = []
-            for w in (t or "").split():
+            for w in _ws.split(t or ""):
+                if not w:
+                    continue
                 syms = list(w)
                 for lhs, rhs in pairs:
                     out, i = [], 0

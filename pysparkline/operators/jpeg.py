@@ -554,11 +554,6 @@ def _decode_prog_scan(
             if ah == 0:
                 dc_tbl[i] = htables[(0, td)]
         interleaved = len(scan_idx) > 1
-        if interleaved:
-            units = mcuy * mcux
-        else:
-            g = geo[scan_idx[0]]
-            units = g["bh_own"] * g["bw_own"]
         unit = 0
         for uy in range(mcuy if interleaved else geo[scan_idx[0]]["bh_own"]):
             ux_n = mcux if interleaved else geo[scan_idx[0]]["bw_own"]

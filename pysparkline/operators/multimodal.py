@@ -831,13 +831,17 @@ def hamming_blocked_pairs(
     for wd in reversed(base):  # low bits first; widths near-equal
         offs.append((off, wd))
         off += wd
+    def seg_val(o: int, wd: int):
+        # max_hamming=0 => one 64-bit segment: the whole hash, no mask
+        # ((1 << 64) - 1 does not fit LongType)
+        v = F.shiftrightunsigned(F.col("h"), o)
+        return v if wd >= 64 else v.bitwiseAND(F.lit((1 << wd) - 1))
+
     segs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("seg"),
-                F.shiftrightunsigned(F.col("h"), o)
-                .bitwiseAND(F.lit((1 << wd) - 1))
-                .alias("val"),
+                seg_val(o, wd).alias("val"),
             )
             for i, (o, wd) in enumerate(offs)
         ]
@@ -964,18 +968,29 @@ def audio_fingerprint64(sig: np.ndarray, rate: int = 8000) -> int:
     gain (log energy shifts cancel in the gradient) and to 16-bit
     requantization, and move only a few bits under mild additive noise —
     measured on the fixture family: gain x0.37 -> 0 bits, requantization
-    -> 0 bits, noise sigma=150/20000 -> 2-6 bits, while distinct fixture
-    seeds measure >= 17 bits apart. Returned SIGNED 64-bit (LongType).
-    Signals shorter than 144 samples hash to 0 (too short to frame)."""
+    -> 0 bits, noise sigma=100/32768 -> <= 6 bits, 2x resampling -> 0-1
+    bits, while distinct fixture seeds measure >= 20 bits apart. Returned
+    SIGNED 64-bit (LongType). Signals shorter than 144 samples hash to 0
+    (too short to frame)."""
     sig = np.asarray(sig, dtype=np.float64)
     if sig.size < 144:
         return 0
+    # Band edges are FIXED FREQUENCIES (100 Hz .. 3.5 kHz log-spaced,
+    # clamped under Nyquist), not bin indices — the same content sampled at
+    # 8 kHz and 16 kHz lands in the same bands (measured cross-rate
+    # distance 0-1 bits on the fixture family), and time frames are
+    # duration fractions, so the fingerprint is sample-rate aware.
+    hi_hz = min(3500.0, 0.45 * rate)
+    edges_hz = np.geomspace(100.0, hi_hz, 10)
     E = []
     for fr in np.array_split(sig, 9):
         spec = np.abs(np.fft.rfft(fr * np.hanning(len(fr)))) ** 2
         spec = spec[1:]  # drop DC: offset invariance
-        nb = len(spec)
-        e = np.clip(np.geomspace(1, nb + 1, 10).astype(int), 1, nb + 1) - 1
+        L = len(fr)
+        # rFFT bin i (DC dropped) holds frequency (i + 1) * rate / L
+        e = np.clip(
+            np.round(edges_hz * L / rate).astype(int) - 1, 0, len(spec)
+        )
         band = np.empty(9)
         for i in range(9):
             lo, hi = e[i], max(e[i + 1], e[i] + 1)

@@ -1054,11 +1054,16 @@ def knn_join(
     n_cells = len(centroids)  # KMeans may return fewer on tiny corpora
     probes = n_cells if n_probe is None else min(n_probe, n_cells)
 
+    # Persisted: the per-cell count collect below materializes the cell
+    # assignment (the expensive Arrow-matmul pass over the whole corpus),
+    # and the cogrouped join then reuses the cache instead of recomputing
+    # the same full-corpus UDF pass a second time. MEMORY_AND_DISK and
+    # LRU-evictable, so long sessions reclaim it.
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
         _nearest_cells_expr(F.col(corpus_vec), centroids, 1)[0].alias("__cell"),
-    )
+    ).persist()
     # Block count per cell: ceil(count / max_block). One bounded collect of
     # <= n_cells rows — never corpus data.
     counts = {

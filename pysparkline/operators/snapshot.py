@@ -75,7 +75,15 @@ def select_token_budget(
     boundary falls (n_buckets-row collect), everything strictly above it is
     kept WITHOUT any global sort, the boundary bucket alone is sorted to
     spend the remaining budget."""
-    d = df.withColumn("__q", F.col(quality_col).cast("double"))
+    # Rows with NULL quality or NULL token counts are excluded in BOTH
+    # modes (they can neither be ranked nor budgeted deterministically) —
+    # keeps exact and scale modes equivalent on dirty data.
+    d = (
+        df.where(
+            F.col(quality_col).isNotNull() & F.col(tokens_col).isNotNull()
+        )
+        .withColumn("__q", F.col(quality_col).cast("double"))
+    )
     if exact:
         w = (
             Window.orderBy(F.col("__q").desc(), F.col(id_col).asc())
@@ -108,7 +116,7 @@ def select_token_budget(
     running = 0
     boundary = -1
     for b in range(n_buckets - 1, -1, -1):
-        t = hist.get(b, 0)
+        t = hist.get(b) or 0
         if running + t > budget:
             boundary = b
             break

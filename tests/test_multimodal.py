@@ -227,8 +227,11 @@ def test_jpeg_garbage_raises():
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
-def test_jpeg_progressive_raises():
-    """Progressive (SOF2) declines honestly — baseline only."""
+def test_jpeg_sof2_with_baseline_scan_declines():
+    """Progressive (SOF2) is now SUPPORTED (tests/test_jpeg_progressive.py);
+    this hostile input — a baseline stream whose frame marker is rewritten
+    to SOF2 so its full-band SOS violates the progressive DC-scan Se=0
+    rule — must still decline cleanly, not desync or crash."""
     from pysparkline.operators import jpeg
 
     enc = bytearray(jpeg.encode(_gradient(8, 8), 90))
@@ -753,3 +756,36 @@ def test_video_dhash_pairs_fixture_driver_shape(spark):
     assert set(got) == want
     for (a, b), (nm, frac) in got.items():
         assert frac == 1.0 and nm == 2 + (a % 16) % 3
+
+
+def test_audio_fp_rate_invariant():
+    """The same content resampled 2x (8 kHz -> 16 kHz) fingerprints within
+    1 bit: band edges are fixed frequencies, frames duration fractions."""
+    import numpy as np
+
+    for seed in (0, 5, 11):
+        sig, rate = mm.decode_audio(mm.synth_colored_audio_payload(seed))
+        up = np.interp(
+            np.linspace(0, len(sig) - 1, 2 * len(sig)),
+            np.arange(len(sig)), sig,
+        )
+        d = _ham(
+            mm.audio_fingerprint64(sig, rate),
+            mm.audio_fingerprint64(up, 2 * rate),
+        )
+        assert d <= 2
+
+
+def test_hamming_blocked_pairs_zero_hamming(spark):
+    """max_hamming=0 (exact-fingerprint dedup): one unmasked 64-bit
+    segment — must not overflow LongType at plan time."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "h": [7, 7, -9223372036854775808]})
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in mm.hamming_blocked_pairs(df, 0).collect()
+    }
+    assert got == {(1, 2)}
