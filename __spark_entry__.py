@@ -4654,6 +4654,55 @@ def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "canonical_docs",
+    """
+WITH d AS (SELECT doc_id,
+                  CAST((doc_id * 37) % 100 AS DOUBLE) AS quality
+           FROM documents),
+c AS (SELECT doc_id, quality,
+             CASE WHEN doc_id % 25 = 0 THEN doc_id % 100
+                  ELSE doc_id END AS cluster_id
+      FROM d),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id) AS rn
+      FROM c)
+SELECT doc_id, quality, cluster_id, rn = 1 AS is_canonical
+FROM r ORDER BY doc_id
+""",
+)
+def canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-preferring canonical selection over dup clusters (the
+    keep-which-copy step after dedup): connected components over a
+    deterministic chain pair set (doc_id % 25 == 0 linked to doc_id + 100;
+    contiguous ids make the component minimum doc_id % 100 — a CLOSED FORM
+    the oracle states), then per-cluster argmax quality with id
+    tie-break."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * 37, F.lit(100)).cast("double").alias(
+            "quality"
+        ),
+    )
+    pairs = (
+        d.alias("a")
+        .where(F.col("a.doc_id") % 25 == 0)
+        .join(
+            d.alias("b"),
+            F.col("b.doc_id") == F.col("a.doc_id") + 100,
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    return dedup.canonical_docs(d, pairs).orderBy("doc_id")
+
+
+@_register(
     "snapshot_diff_docs",
     """
 WITH o AS (SELECT doc_id AS id, md5(text) AS old_hash FROM documents),
@@ -4928,15 +4977,18 @@ _PRIORITY = [
     # is displaced below)
     "snapshot_diff_docs",          # NEW: corpus snapshot diff
     "token_budget_docs",           # NEW: token-budget selection (scale path)
+    "canonical_docs",              # NEW: quality-preferring canonicals
     # ivf_index_topk displaced below: ivf_append_topk (in-window, NEW this
     # round) exercises the same multi-batch IvfIndex.search read path
     # after an append — a strict superset of the touched code.
     "sql_window_sum_distinct",     # fold edits (represents the fold path;
     # sql_window_filter_distinct displaced below — same edited function,
     # r5-green, typed+ordered-mirrored every pytest run)
-    "sql_window_range",            # shared lowering edits (represents the
-    # RANGE path; sql_window_range_desc displaced below — same edited
-    # lowering, r5-green, typed+ordered-mirrored every pytest run)
+    # sql_window_range / sql_window_range_desc displaced below: the NEW
+    # sql_window_exclude row (in-window) exercises the same round-6-edited
+    # window-lowering area more deeply (EXCLUDE composes over RANGE
+    # frames); both are r5-green and typed+ordered-mirrored every pytest
+    # run.
     # pack_docs displaced below: its round-6 touch (string-id shard
     # fallback) is unreachable from the driver row's numeric doc ids and
     # regression-covered in tests/test_search_pack; r5-green.
@@ -4965,6 +5017,7 @@ _PRIORITY = [
     # tests/test_file_pruning).
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
     "sql_window_filter_distinct", "sql_window_range_desc", "audio_features",
+    "sql_window_range",
     "pack_docs", "shard_docs", "image_features", "ivf_index_topk",
     "sql_window_nth", "sql_window_lag_nulls",
     "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",

@@ -1154,6 +1154,37 @@ def cluster_pairs(
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Quality-preferring canonical selection — the "which copy do we keep"
+    step after any pairwise dedup: cluster the pairs (``cluster_pairs``
+    connected components), then per cluster keep the HIGHEST-quality member
+    (ties by smallest id — deterministic); documents in no pair are their
+    own canonicals. Returns ``df``'s rows + ``cluster_id`` + ``is_canonical``
+    so callers can either filter (keep canonicals) or audit (who lost to
+    whom). One component loop + one membership join + one per-cluster
+    window over cluster-sized groups — no corpus^2 anywhere."""
+    labels = cluster_pairs(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    j = df.join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return j.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup against a persisted signature store
 # ---------------------------------------------------------------------------

@@ -691,3 +691,35 @@ def test_substring_store_stream_batch_exactly_once(spark, tmp_path):
     )
     store.process_stream_batch(b1, 1, "doc_id", "text", vdir)
     assert store.manifest["lastStreamBatch"] == 1
+
+
+def test_canonical_docs_quality_champion(spark):
+    """canonical_docs: per-cluster highest-quality member wins (tie by id);
+    singletons are their own canonicals; cluster ids are component minima."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, float((i * 7) % 10)) for i in range(10)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 2), (2, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in dedup.canonical_docs(df, pairs).collect()}
+    # cluster {0,2,4}: qualities 0,4,8 -> 4 wins; cluster {5,6}: 5,2 -> 5
+    assert out[4].is_canonical and not out[0].is_canonical
+    assert not out[2].is_canonical
+    assert out[5].is_canonical and not out[6].is_canonical
+    for i in (1, 3, 7, 8, 9):
+        assert out[i].is_canonical and out[i].cluster_id == i
+    assert out[0].cluster_id == out[2].cluster_id == out[4].cluster_id == 0
+    # quality tie -> smallest id
+    df2 = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0)], "doc_id long, quality double"
+    )
+    p2 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out2 = {r.doc_id: r.is_canonical
+            for r in dedup.canonical_docs(df2, p2).collect()}
+    assert out2 == {1: True, 2: False}
