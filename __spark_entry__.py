@@ -1994,6 +1994,28 @@ def knn_join_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("knn_join_probe_emb", _TOP1_ORACLE.format(qfilter="< 8"))
+def knn_join_probe_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE knn_join form (n_probe < n_cells) under the same
+    oracle-checkable invariant as the other ANN rows: exact brute-force
+    top-1 per query (DuckDB recomputes it) + recall@10 of the probed join
+    vs brute force. Probing 4/8 cells on this near-uniform corpus measures
+    recall 0.6-0.9 across SFs -> bound 0.4 with margin."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import similarity
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap = similarity.knn_join(
+        emb, queries_df, k=10, n_cells=8, n_probe=4
+    )
+    return _ann_recall_invariant(spark, emb, queries_df, ap, 10, 0.4)
+
+
 @_register(
     "asof_event_purchase",
     """
@@ -5015,6 +5037,12 @@ _PRIORITY = [
     # federated_rev_events and knn_join_emb — their round-6 touch was the
     # behavior-neutral shared month regex, regression-covered by
     # tests/test_file_pruning).
+    # knn_join_probe_emb is NEW but below the boundary (the window is full
+    # of this session's 9 other new rows): its machinery is the in-window
+    # knn_join_emb's (exact mode, bit-identical kernel); the recall
+    # invariant runs in the local mirror every pytest. Rotates FIRST in r7
+    # with the r3-cohort tail below.
+    "knn_join_probe_emb",
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
     "sql_window_filter_distinct", "sql_window_range_desc", "audio_features",
     "sql_window_range",
