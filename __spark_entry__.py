@@ -1994,6 +1994,59 @@ def knn_join_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hard_negatives_emb",
+    """
+WITH dup AS (
+  SELECT a.vec_id AS qa, b.vec_id AS nb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 10 = 0
+), dup2 AS (
+  SELECT qa, nb FROM dup UNION SELECT nb, qa FROM dup
+), sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])),
+               6) AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+), kept AS (
+  SELECT s.* FROM sims s
+  WHERE NOT EXISTS (SELECT 1 FROM dup2 d
+                    WHERE d.qa = s.query_id AND d.nb = s.neighbor_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM kept
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+)
+def hard_negatives_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training prep): every anchor's
+    top-3 most-similar NON-duplicate neighbors via the distributed kNN
+    join (all cells probed -> exact) with the known dup pairs (a, a+1 for
+    a % 10 == 0 — existence-joined) anti-joined in both orientations;
+    retrieval depth auto-widens by the corpus-max duplicates per anchor so
+    the exclusion can never leave an anchor short. The oracle replays the
+    full pairwise form in SQL."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import similarity
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    dup = (
+        emb.alias("a")
+        .where(F.col("a.vec_id") % 10 == 0)
+        .join(emb.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    return similarity.hard_negatives(emb, dup, k=3, n_cells=8)
+
+
 @_register("knn_join_probe_emb", _TOP1_ORACLE.format(qfilter="< 8"))
 def knn_join_probe_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPROXIMATE knn_join form (n_probe < n_cells) under the same
@@ -5037,12 +5090,13 @@ _PRIORITY = [
     # federated_rev_events and knn_join_emb — their round-6 touch was the
     # behavior-neutral shared month regex, regression-covered by
     # tests/test_file_pruning).
-    # knn_join_probe_emb is NEW but below the boundary (the window is full
-    # of this session's 9 other new rows): its machinery is the in-window
-    # knn_join_emb's (exact mode, bit-identical kernel); the recall
-    # invariant runs in the local mirror every pytest. Rotates FIRST in r7
-    # with the r3-cohort tail below.
-    "knn_join_probe_emb",
+    # knn_join_probe_emb / hard_negatives_emb are NEW but below the
+    # boundary (the window is full of this session's 9 other new rows):
+    # their machinery is the in-window knn_join_emb's (same kernel; the
+    # probe adds cell subsetting, hard negatives an anti-join), and both
+    # run typed+ordered in the local mirror every pytest. They rotate
+    # FIRST in r7 with the r3-cohort tail below.
+    "knn_join_probe_emb", "hard_negatives_emb",
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
     "sql_window_filter_distinct", "sql_window_range_desc", "audio_features",
     "sql_window_range",

@@ -1162,3 +1162,58 @@ def knn_join(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    dup_pairs: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **knn_kwargs,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: for every corpus
+    row (the anchor), its ``k`` most-similar NON-duplicate neighbors —
+    near-but-not-the-same examples, the contrastive-training staple.
+
+    Built on ``knn_join`` (so neither side is broadcast; all of its
+    exactness/probing/salting knobs pass through via ``knn_kwargs``):
+    retrieve k + max_dups_per_anchor candidates, anti-join the known
+    duplicate pairs (both orientations) and the self pair, re-rank.
+    ``dup_pairs`` is whatever pairwise dedup produced (MinHash, SimHash,
+    semantic, ...) — (id_a, id_b) in any orientation.
+
+    Retrieval depth: candidates are fetched at k + the corpus-wide MAX
+    duplicates per anchor (one bounded aggregate over dup_pairs) so the
+    anti-join can never leave an anchor short — every anchor with at
+    least k non-duplicate neighbors gets exactly k."""
+    both = dup_pairs.select(
+        F.col(id_a).alias("query_id"), F.col(id_b).alias("neighbor_id")
+    ).union(
+        dup_pairs.select(
+            F.col(id_b).alias("query_id"), F.col(id_a).alias("neighbor_id")
+        )
+    ).distinct()
+    max_dups_row = (
+        both.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n")).first()
+    )
+    depth = int(k) + int(max_dups_row[0] or 0)
+    q = corpus.select(
+        F.col(corpus_id).alias("query_id"), F.col(corpus_vec).alias("embedding")
+    )
+    cand = knn_join(
+        corpus, q, k=depth, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        exclude_self=True, **knn_kwargs,
+    )
+    kept = cand.join(both, ["query_id", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -115,3 +115,46 @@ def test_precomputed_centroids_identical_and_reused(spark, emb):
         emb, q, k=4, n_cells=8, exclude_self=True, centroids=cents
     )
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_hard_negatives_excludes_dups_and_self(spark, emb):
+    """Every anchor gets k most-similar NON-duplicate neighbors: dup pairs
+    (both orientations) and self never appear; result equals brute-force
+    re-ranking after exclusion."""
+    dup = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 400, 10)], "id_a long, id_b long"
+    )
+    out = similarity.hard_negatives(emb, dup, k=3, n_cells=8)
+    rows = out.collect()
+    dup_set = {(r.id_a, r.id_b) for r in dup.collect()}
+    dup_set |= {(b, a) for a, b in dup_set}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert (r.query_id, r.neighbor_id) not in dup_set
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+    # brute-force twin: full pairwise, exclude self+dups, top-3
+    bf = similarity.brute_force_cosine_topk(
+        emb,
+        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=emb.count(),
+        round_to=6,
+    )
+    bf = bf.where(F.col("query_id") != F.col("neighbor_id"))
+    excl = spark.createDataFrame(
+        [(a, b) for a, b in dup_set], "query_id long, neighbor_id long"
+    )
+    bf = bf.join(excl, ["query_id", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine, r.r2)
+        for r in bf.withColumn("r2", F.row_number().over(w))
+        .where(F.col("r2") <= 3).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in rows}
+    assert got == want
