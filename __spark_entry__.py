@@ -4778,6 +4778,43 @@ def canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "length_batches_docs",
+    r"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT *, CAST(floor(log2(greatest(n_tokens, 1))) AS INT) AS bucket
+  FROM q
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket
+                               ORDER BY n_tokens, doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor((rn - 1) / 8) AS BIGINT) AS batch_idx,
+       CAST((rn - 1) % 8 AS INT) AS pos_in_batch
+FROM r ORDER BY doc_id
+""",
+)
+def length_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient length-bucketed batching (the sequence-training
+    batching recipe): power-of-two length buckets, batches cut in
+    (n_tokens, id) order within each — padding-to-max beats id-order
+    batching (test-asserted). Oversized buckets auto-shard exactly like
+    pack_sequences (percentile cuts on the FIRST sort key + broadcast
+    count prefixes; shard-invariance test-asserted)."""
+    from pysparkline.operators import text
+
+    prep(spark)
+    return text.length_bucketed_batches(
+        _docs(spark, sf_dir), batch_size=8
+    ).orderBy("doc_id")
+
+
+@_register(
     "snapshot_diff_docs",
     """
 WITH o AS (SELECT doc_id AS id, md5(text) AS old_hash FROM documents),
@@ -5090,13 +5127,15 @@ _PRIORITY = [
     # federated_rev_events and knn_join_emb — their round-6 touch was the
     # behavior-neutral shared month regex, regression-covered by
     # tests/test_file_pruning).
-    # knn_join_probe_emb / hard_negatives_emb are NEW but below the
-    # boundary (the window is full of this session's 9 other new rows):
-    # their machinery is the in-window knn_join_emb's (same kernel; the
-    # probe adds cell subsetting, hard negatives an anti-join), and both
-    # run typed+ordered in the local mirror every pytest. They rotate
-    # FIRST in r7 with the r3-cohort tail below.
-    "knn_join_probe_emb", "hard_negatives_emb",
+    # knn_join_probe_emb / hard_negatives_emb / length_batches_docs are
+    # NEW but below the boundary (the window is full of this session's 9
+    # other new rows): the first two ride the in-window knn_join_emb's
+    # kernel (probe adds cell subsetting, hard negatives an anti-join),
+    # length_batches rides pack_sequences' shard machinery (its
+    # shard-invariance and DuckDB equality are test-asserted), and all
+    # three run typed+ordered in the local mirror every pytest. They
+    # rotate FIRST in r7 with the r3-cohort tail below.
+    "knn_join_probe_emb", "hard_negatives_emb", "length_batches_docs",
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
     "sql_window_filter_distinct", "sql_window_range_desc", "audio_features",
     "sql_window_range",

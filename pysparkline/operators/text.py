@@ -475,6 +475,117 @@ def pack_sequences(
     )
 
 
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rows_per_shard: int = 4_000_000,
+) -> DataFrame:
+    """Padding-efficient batch assignment: documents are grouped into
+    power-of-two LENGTH BUCKETS (bucket = floor(log2(n_tokens)), empty docs
+    bucket 0) and, within a bucket, batches of ``batch_size`` docs are cut
+    in (n_tokens, id) order — so a batch's members have near-equal lengths
+    and padding-to-max inside a batch stays small (the classic bucketed
+    batching of sequence training). Returns (id, n_tokens, bucket,
+    batch_idx, pos_in_batch) — deterministic, exact in any SQL engine.
+
+    100 TB posture: the per-bucket ranking reuses ``pack_sequences``' shard
+    upgrade — buckets larger than ``rows_per_shard`` rows are split by
+    percentile cuts on ``n_tokens`` (monotone in the FIRST sort key, so
+    equal lengths co-locate and tie semantics match the single window),
+    ranks compose from a local row_number + broadcast per-shard COUNT
+    prefix. A dozen-odd buckets never serialize into single reducers."""
+    from pyspark.sql import Window
+
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    n = token_count(F.col(text_col))
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.floor(F.log2(F.greatest(n.cast("double"), F.lit(1.0))))
+        .cast("int")
+        .alias("bucket"),
+    )
+    bounds = _pack_shard_bounds(
+        out, id_col="n_tokens", part_col="bucket",
+        rows_per_shard=rows_per_shard,
+    )
+    if bounds is None:
+        w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+        rank = F.row_number().over(w)
+    else:
+        bcuts = F.broadcast(
+            bounds.select(F.col("bucket").alias("__bnd_b"), "__cuts")
+        )
+        sharded = (
+            out.join(bcuts, F.col("bucket") == F.col("__bnd_b"), "left")
+            .withColumn(
+                "__shard",
+                F.when(F.col("__cuts").isNull(), F.lit(0)).otherwise(
+                    F.size(
+                        F.filter("__cuts", lambda c: c <= F.col("n_tokens"))
+                    )
+                ),
+            )
+            .drop("__cuts", "__bnd_b")
+        )
+        shard_cnt = sharded.groupBy("bucket", "__shard").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        wb = (
+            Window.partitionBy("bucket")
+            .orderBy("__shard")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        shard_base = shard_cnt.select(
+            F.col("bucket").alias("__base_b"),
+            F.col("__shard").alias("__base_s"),
+            F.coalesce(F.sum("__cnt").over(wb), F.lit(0)).alias("__base"),
+        )
+        wl = Window.partitionBy("bucket", "__shard").orderBy(
+            "n_tokens", id_col
+        )
+        out = sharded.join(
+            F.broadcast(shard_base),
+            (F.col("bucket") == F.col("__base_b"))
+            & (F.col("__shard") == F.col("__base_s")),
+        ).drop("__base_b", "__base_s")
+        rank = F.col("__base") + F.row_number().over(wl)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor((rank - 1) / batch_size).cast("long").alias("batch_idx"),
+        ((rank - 1) % batch_size).cast("int").alias("pos_in_batch"),
+    )
+
+
+def batch_padding_stats(batches: DataFrame) -> DataFrame:
+    """Per-batch padding report over ``length_bucketed_batches`` output:
+    (bucket, batch_idx, n_docs, max_len, sum_len, padding_frac) where
+    padding_frac = wasted fraction when every member pads to the batch
+    max. One map-side-combined aggregate."""
+    return (
+        batches.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+        )
+        .withColumn(
+            "padding_frac",
+            F.when(
+                F.col("max_len") * F.col("n_docs") == 0, F.lit(0.0)
+            ).otherwise(
+                1.0
+                - F.col("sum_len") / (F.col("max_len") * F.col("n_docs"))
+            ),
+        )
+    )
+
+
 def tfidf_hash_features(
     df: DataFrame, id_col: str, text_col: str, dim: int = 1024
 ) -> DataFrame:

@@ -413,3 +413,101 @@ def test_temperature_mix_many_sources_analysis_bounded(spark):
     assert wall < 60, f"plan build+analysis took {wall:.1f}s for 10k sources"
     # every source has exactly 1 row -> tau keeps everything
     assert out.count() == n_src
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching
+# ---------------------------------------------------------------------------
+
+
+def test_length_batches_match_duckdb(spark, duck):
+    from pysparkline.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_tokens, r.bucket, r.batch_idx, r.pos_in_batch)
+        for r in T.length_bucketed_batches(docs, batch_size=8).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in duck.execute(r"""
+          WITH q AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+          ), b AS (
+            SELECT *, CAST(floor(log2(greatest(n_tokens, 1))) AS INT)
+                        AS bucket FROM q
+          ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY bucket
+                        ORDER BY n_tokens, doc_id) AS rn FROM b
+          )
+          SELECT doc_id, n_tokens, bucket,
+                 CAST(floor((rn - 1) / 8) AS BIGINT),
+                 CAST((rn - 1) % 8 AS INT)
+          FROM r
+        """).fetchall()
+    }
+    assert got == want and got
+
+
+def test_length_batches_shard_invariant(spark):
+    """Forcing the shard path (tiny rows_per_shard) must not change any
+    assignment: count-prefix rank composition is exact, ties co-located."""
+    from pysparkline.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {
+        (r.doc_id, r.bucket, r.batch_idx, r.pos_in_batch)
+        for r in T.length_bucketed_batches(docs, 8).collect()
+    }
+    b = {
+        (r.doc_id, r.bucket, r.batch_idx, r.pos_in_batch)
+        for r in T.length_bucketed_batches(
+            docs, 8, rows_per_shard=13
+        ).collect()
+    }
+    assert a == b
+
+
+def test_length_batches_padding_beats_id_order(spark):
+    """The point of bucketing: padding-to-max within batches is lower than
+    batching in plain id order."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bucketed = T.batch_padding_stats(
+        T.length_bucketed_batches(docs, 8)
+    ).agg(
+        (1.0 - F.sum("sum_len") / F.sum(F.col("max_len") * F.col("n_docs")))
+        .alias("pad")
+    ).first()["pad"]
+
+    idorder = (
+        docs.select(
+            "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+        )
+        .withColumn(
+            "batch_idx",
+            F.floor(
+                (F.row_number().over(
+                    __import__("pyspark").sql.Window.orderBy("doc_id")
+                ) - 1) / 8
+            ),
+        )
+        .groupBy("batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+        )
+        .agg(
+            (1.0 - F.sum("sum_len") / F.sum(F.col("max_len") * F.col("n_docs")))
+            .alias("pad")
+        )
+        .first()["pad"]
+    )
+    assert bucketed < idorder
