@@ -2260,6 +2260,50 @@ def image_features_progressive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_features_arith",
+    """
+SELECT doc_id AS id, 16 AS width, 16 AS height, 3 AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 201 WHEN 1 THEN 11 ELSE 130 END
+            AS DOUBLE) AS mean_r,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 40 WHEN 1 THEN 180 ELSE 130 END
+            AS DOUBLE) AS mean_g,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 90 WHEN 1 THEN 221 ELSE 30 END
+            AS DOUBLE) AS mean_b
+FROM documents
+""",
+)
+def image_features_arith_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded JPEG decode (T.81 Annex D QM-coder + F.1.4.4
+    statistical models — SOF9) through the pure-numpy codec: vendored
+    libjpeg-written arithmetic files (4:2:0, 4:4:4, restart intervals) of
+    solid colors whose decoded means the oracle states literally. The
+    QM decoder is bit-exact against libjpeg's own decode (fresh vectors
+    each run, tests/test_jpeg_arith.py)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import multimodal
+
+    prep(spark)
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "data")
+    payloads = [
+        open(os.path.join(base, f"arith_{n}.jpg"), "rb").read()
+        for n in ("s0", "s1", "s2")
+    ]
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.withColumn(
+        "img",
+        F.element_at(
+            F.array(*[F.lit(p) for p in payloads]),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    return multimodal.image_features(media, "doc_id", "img").select(
+        "id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@_register(
     "frame_sample",
     """
 WITH f AS (
@@ -5136,6 +5180,8 @@ _PRIORITY = [
     # three run typed+ordered in the local mirror every pytest. They
     # rotate FIRST in r7 with the r3-cohort tail below.
     "knn_join_probe_emb", "hard_negatives_emb", "length_batches_docs",
+    "image_features_arith",  # NEW (same decode surface as the in-window
+    # image_features_progressive row; QM coder bit-exact vs libjpeg)
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
     "sql_window_filter_distinct", "sql_window_range_desc", "audio_features",
     "sql_window_range",

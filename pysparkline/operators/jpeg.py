@@ -6,16 +6,19 @@ decode behind the engine (SURVEY.md multimodal scope); round 3 left JPEG
 "environment-blocked" — decodable only where Pillow happens to exist. This
 module closes that gap with a from-spec (ITU-T T.81) implementation:
 
-- ``decode(payload)``: baseline sequential DCT (SOF0/1) and PROGRESSIVE
+- ``decode(payload)``: baseline sequential DCT (SOF0/1), PROGRESSIVE
   (SOF2, Annex G: spectral selection + successive approximation — DC
-  first/refine, AC first/refine with EOB runs), grayscale or YCbCr with any
-  of the common sampling factors (4:4:4, 4:2:2, 4:2:0), DQT/DHT/DRI read
-  from the FILE (nothing here depends on the default tables), restart
-  markers, byte-stuffing. Cross-checked against libjpeg itself where
-  gcc + libjpeg-dev exist (tests/test_jpeg_progressive.py builds the
-  harness at test time) — decoded samples agree within IDCT rounding.
-  Arithmetic coding / 12-bit / lossless raise ``ValueError`` — callers
-  (operators/multimodal.py) surface that as the honest
+  first/refine, AC first/refine with EOB runs), and ARITHMETIC-coded
+  sequential (SOF9, Annex D QM-coder + Annex F.1.4.4 statistical models
+  with DAC conditioning), grayscale or YCbCr with any of the common
+  sampling factors (4:4:4, 4:2:2, 4:2:0), DQT/DHT/DRI read from the FILE
+  (nothing here depends on the default tables), restart markers,
+  byte-stuffing. Cross-checked against libjpeg itself where gcc +
+  libjpeg-dev exist (tests/test_jpeg_progressive.py and
+  tests/test_jpeg_arith.py build the harness at test time) — Huffman
+  paths agree within IDCT rounding, the QM decoder is bit-exact.
+  12-bit / lossless / progressive-arithmetic raise ``ValueError`` —
+  callers (operators/multimodal.py) surface that as the honest
   UnsupportedMediaError.
 - ``encode(img, quality)``: 4:4:4 (or grayscale) baseline encoder with the
   Annex-K example quantization/Huffman tables — used to vendor
@@ -270,6 +273,7 @@ def _decode(payload: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None
     coef = None  # progressive coefficient store, filled across scans
+    dac: dict[tuple[int, int], int] = {}  # arithmetic conditioning (DAC)
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -313,7 +317,14 @@ def _decode(payload: bytes) -> np.ndarray:
                 i += 17 + nsym
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(body):
+                tc_tb = body[i]
+                dac[(tc_tb >> 4, tc_tb & 0xF)] = body[i + 1]
+                i += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic sequential
             prec = body[0]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -346,10 +357,13 @@ def _decode(payload: bytes) -> np.ndarray:
                     raise ValueError("jpeg: bad sampling factors")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     "progressive": marker == 0xC2,
+                     "arith": marker == 0xC9}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: lossless/arithmetic not supported")
+            raise ValueError(
+                "jpeg: lossless/progressive-arithmetic not supported"
+            )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -364,6 +378,11 @@ def _decode(payload: bytes) -> np.ndarray:
                 sel[cs] = (td, ta)
                 order.append(cs)
             try:
+                if frame.get("arith"):
+                    return _decode_scan_arith(
+                        payload, pos + 2 + seglen, frame, sel, qtables,
+                        dac, restart_interval,
+                    )
                 if not frame["progressive"]:
                     return _decode_scan(
                         payload, pos + 2 + seglen, frame, sel, qtables,
@@ -701,6 +720,283 @@ def _reconstruct(frame, coef, qtables):
             pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
     return _finish_planes(comps, planes, h, w, hmax, vmax)
+
+
+
+
+# --------------------------------------------------------------------------
+# arithmetic-coded sequential decoding (ITU-T T.81 Annex D QM-coder +
+# Annex F.1.4.4 statistical models; SOF9). Table D.3 constants below are
+# the published spec values (validated byte-for-byte against libjpeg's
+# copy and against libjpeg's decoded output in tests).
+# --------------------------------------------------------------------------
+
+# (Qe, NMPS, NLPS, SWITCH) per state; state 113 is the fixed
+# equiprobable bin (never transitions) used for AC sign decisions.
+ARITH_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithDecoder:
+    """T.81 Annex D QM decoder in the deferred-renormalization register
+    convention (the one libjpeg's decoder uses — verified instruction-for-
+    instruction against its disassembly, then bit-exactly against its
+    decoded coefficients): C accumulates raw data bytes at the BOTTOM and
+    is never shifted; the interval A is scaled to C's magnitude by
+    ``A << CT`` at decision time; renormalization (A doubling + byte
+    feeding) happens at the START of the next decision. Startup: two data
+    bytes load into C with A = 0x10000, CT = 0. Byte feeding per D.1.6:
+    0xFF runs are skipped, 0xFF...0x00 yields a stuffed 0xFF data byte,
+    0xFF followed by anything else is the terminating marker (zero bytes
+    fed thereafter). MPS occupies the BOTTOM subinterval [0, A - Qe)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.marker_pos: int | None = None
+        self.c = (self._fetch() << 8) | self._fetch()
+        self.a = 0x10000
+        self.ct = 0
+
+    def _fetch(self) -> int:
+        d = self.data
+        if self.marker_pos is not None or self.pos >= len(d):
+            if self.marker_pos is None:
+                self.marker_pos = self.pos
+            return 0
+        b = d[self.pos]
+        if b != 0xFF:
+            self.pos += 1
+            return b
+        ff_at = self.pos
+        p = self.pos
+        while p < len(d) and d[p] == 0xFF:
+            p += 1
+        nxt = d[p] if p < len(d) else 0xD9
+        if nxt == 0x00:
+            self.pos = p + 1
+            return 0xFF  # stuffed data byte
+        self.marker_pos = ff_at  # real marker: feed zeros from here on
+        return 0
+
+    def decode(self, st: list) -> int:
+        """One binary decision; ``st`` = [state_index, mps], mutated."""
+        a, ct, c = self.a, self.ct, self.c
+        # deferred renormalization & data feeding (D.2.6)
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._fetch()
+                ct += 8
+            a <<= 1
+        qe, nmps, nlps, switch = ARITH_TAB[st[0]]
+        a -= qe
+        temp = a << ct
+        if c < temp:
+            # MPS subinterval (bottom)
+            if a > 0x7FFF:
+                d = st[1]  # no renorm pending -> no state transition
+            elif qe <= a:
+                d = st[1]
+                st[0] = nmps
+            else:  # conditional exchange
+                d = 1 - st[1]
+                if switch:
+                    st[1] = 1 - st[1]
+                st[0] = nlps
+        else:
+            c -= temp
+            if qe <= a:  # conditional exchange check on the REDUCED a
+                d = 1 - st[1]
+                if switch:
+                    st[1] = 1 - st[1]
+                st[0] = nlps
+            else:
+                d = st[1]
+                st[0] = nmps
+            a = qe
+        self.a, self.ct, self.c = a, ct, c
+        return d
+
+    def end_pos(self) -> int:
+        return self.marker_pos if self.marker_pos is not None else self.pos
+
+
+def _decode_scan_arith(data, pos, frame, sel, qtables, dac, restart_interval):
+    """Sequential arithmetic-coded scan (T.81 F.1.4.4): QM decisions drive
+    the DC difference model (zero/sign/log2-magnitude/mantissa bins with
+    context classification of the PREVIOUS diff via the DAC L/U
+    conditioning) and the AC model (per-k EOB/significance/magnitude bins,
+    Kx splitting the low/high-frequency magnitude-category bins; the AC
+    sign uses the fixed equiprobable state). Fills a coefficient store and
+    reconstructs through the shared dequant/IDCT/color pipeline."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy, geo = _geom(frame)
+    coef = _init_coef(frame)
+
+    def fresh_stats():
+        return (
+            {t: [[0, 0] for _ in range(64)] for t in range(4)},
+            {t: [[0, 0] for _ in range(4 * 64)] for t in range(4)},
+        )
+
+    dc_stats, ac_stats = fresh_stats()
+    fixed = [113, 0]
+    last_dc = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+
+    def cond_dc(tbl):
+        v = dac.get((0, tbl), 0x10)  # default L=0, U=1
+        return v & 0x0F, v >> 4
+
+    def cond_ac(tbl):
+        return dac.get((1, tbl), 5)  # default Kx=5
+
+    dec = _ArithDecoder(data, pos)
+
+    def decode_block(ci):
+        c = comps[ci]
+        td, ta = sel[c["id"]]
+        L, U = cond_dc(td)
+        kx = cond_ac(ta)
+        dstats = dc_stats[td]
+        astats = ac_stats[ta]
+        block = np.zeros(64, dtype=np.int64)
+        # --- DC (F.1.4.4.1) ---
+        base = dc_ctx[ci]
+        if dec.decode(dstats[base]) == 0:
+            diff = 0
+            dc_ctx[ci] = 0
+        else:
+            sign = dec.decode(dstats[base + 1])
+            m = dec.decode(dstats[base + 2 + sign])
+            idx = None
+            if m != 0:
+                idx = 20  # X1 (Table F.4)
+                while dec.decode(dstats[idx]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("jpeg: arith DC magnitude overflow")
+                    idx += 1
+            # conditioning category for the NEXT block's DC (F.1.4.4.1.2)
+            if m < (1 << L) >> 1:
+                dc_ctx[ci] = 0
+            elif m > (1 << U) >> 1:
+                dc_ctx[ci] = 12 + sign * 4
+            else:
+                dc_ctx[ci] = 4 + sign * 4
+            v = m
+            if idx is not None:
+                midx = idx + 14  # M bins sit 14 past the X bins
+            else:
+                midx = base + 2 + sign + 14  # unused (m == 1)
+            mm = m
+            while mm > 1:
+                mm >>= 1
+                if dec.decode(dstats[midx]):
+                    v |= mm
+            v += 1
+            diff = -v if sign else v
+        last_dc[ci] += diff
+        block[0] = last_dc[ci]
+        # --- AC (F.1.4.4.2) ---
+        k = 1
+        while k <= 63:
+            st = 3 * (k - 1)
+            if dec.decode(astats[st]):
+                break  # EOB
+            while dec.decode(astats[st + 1]) == 0:
+                k += 1
+                if k > 63:
+                    raise ValueError("jpeg: arith AC run overflow")
+                st = 3 * (k - 1)
+            sign = dec.decode(fixed)
+            m = dec.decode(astats[st + 2])
+            idx = None
+            if m != 0:
+                if dec.decode(astats[st + 2]):
+                    m = 2
+                    idx = 189 if k <= kx else 217
+                    while dec.decode(astats[idx]):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError(
+                                "jpeg: arith AC magnitude overflow"
+                            )
+                        idx += 1
+            v = m
+            midx = (idx + 14) if idx is not None else (st + 2 + 14)
+            mm = m
+            while mm > 1:
+                mm >>= 1
+                if dec.decode(astats[midx]):
+                    v |= mm
+            v += 1
+            block[k] = -v if sign else v
+            k += 1
+        return block
+
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # consume the RSTn marker and re-init everything (F.1.4.1)
+                mp = dec.end_pos()
+                while mp + 1 < len(data) and not (
+                    data[mp] == 0xFF and 0xD0 <= data[mp + 1] <= 0xD7
+                ):
+                    mp += 1
+                if mp + 1 >= len(data):
+                    raise ValueError("jpeg: missing restart marker")
+                dec = _ArithDecoder(data, mp + 2)
+                dc_stats, ac_stats = fresh_stats()
+                last_dc[:] = [0] * len(comps)
+                dc_ctx[:] = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = decode_block(ci)
+                        coef[ci][my * c["v"] + by, mx * c["h"] + bx] = blk
+            mcu += 1
+    return _reconstruct(frame, coef, qtables)
 
 
 # --------------------------------------------------------------------------
