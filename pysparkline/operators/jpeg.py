@@ -1,25 +1,28 @@
-"""JPEG codec in pure numpy (no Pillow, no native libs): baseline sequential
-AND progressive decode, baseline encode.
+"""JPEG codec in pure numpy (no Pillow, no native libs): the full T.81 DCT
+decode matrix (baseline, progressive, arithmetic, progressive-arithmetic),
+baseline encode.
 
 The reference's multimodal story treats images as opaque binary columns with
 decode behind the engine (SURVEY.md multimodal scope); round 3 left JPEG
 "environment-blocked" — decodable only where Pillow happens to exist. This
 module closes that gap with a from-spec (ITU-T T.81) implementation:
 
-- ``decode(payload)``: baseline sequential DCT (SOF0/1), PROGRESSIVE
-  (SOF2, Annex G: spectral selection + successive approximation — DC
-  first/refine, AC first/refine with EOB runs), and ARITHMETIC-coded
-  sequential (SOF9, Annex D QM-coder + Annex F.1.4.4 statistical models
-  with DAC conditioning), grayscale or YCbCr with any of the common
-  sampling factors (4:4:4, 4:2:2, 4:2:0), DQT/DHT/DRI read from the FILE
-  (nothing here depends on the default tables), restart markers,
-  byte-stuffing. Cross-checked against libjpeg itself where gcc +
-  libjpeg-dev exist (tests/test_jpeg_progressive.py and
-  tests/test_jpeg_arith.py build the harness at test time) — Huffman
-  paths agree within IDCT rounding, the QM decoder is bit-exact.
-  12-bit / lossless / progressive-arithmetic raise ``ValueError`` —
-  callers (operators/multimodal.py) surface that as the honest
-  UnsupportedMediaError.
+- ``decode(payload)``: the full T.81 DCT decode matrix — baseline
+  sequential (SOF0/1), PROGRESSIVE Huffman (SOF2, Annex G: spectral
+  selection + successive approximation — DC first/refine, AC
+  first/refine with EOB runs), ARITHMETIC-coded sequential (SOF9,
+  Annex D QM-coder + Annex F.1.4.4 statistical models with DAC
+  conditioning) and PROGRESSIVE ARITHMETIC (SOF10: the Annex G scan
+  script over QM decisions, G.2 models incl. the fixed-bin DC
+  refinement and kex-gated AC refinement) — grayscale or YCbCr with any
+  of the common sampling factors (4:4:4, 4:2:2, 4:2:0), DQT/DHT/DRI/DAC
+  read from the FILE, restart markers, byte-stuffing. Cross-checked
+  against libjpeg itself where gcc + libjpeg-dev exist
+  (tests/test_jpeg_progressive.py and tests/test_jpeg_arith.py build
+  the harness at test time) — Huffman paths agree within IDCT rounding,
+  BOTH QM paths are bit-exact. 12-bit / lossless / hierarchical raise
+  ``ValueError`` — callers (operators/multimodal.py) surface that as
+  the honest UnsupportedMediaError.
 - ``encode(img, quality)``: 4:4:4 (or grayscale) baseline encoder with the
   Annex-K example quantization/Huffman tables — used to vendor
   deterministic test fixtures and to round-trip-verify the decoder in THIS
@@ -323,8 +326,9 @@ def _decode(payload: bytes) -> np.ndarray:
                 tc_tb = body[i]
                 dac[(tc_tb >> 4, tc_tb & 0xF)] = body[i + 1]
                 i += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic sequential
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic
+            # sequential, SOF10 arithmetic progressive
             prec = body[0]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -357,13 +361,10 @@ def _decode(payload: bytes) -> np.ndarray:
                     raise ValueError("jpeg: bad sampling factors")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2,
-                     "arith": marker == 0xC9}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                "jpeg: lossless/progressive-arithmetic not supported"
-            )
+                     "progressive": marker in (0xC2, 0xCA),
+                     "arith": marker in (0xC9, 0xCA)}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: lossless/hierarchical not supported")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -378,11 +379,23 @@ def _decode(payload: bytes) -> np.ndarray:
                 sel[cs] = (td, ta)
                 order.append(cs)
             try:
-                if frame.get("arith"):
+                if frame.get("arith") and not frame["progressive"]:
                     return _decode_scan_arith(
                         payload, pos + 2 + seglen, frame, sel, qtables,
                         dac, restart_interval,
                     )
+                if frame.get("arith"):  # progressive arithmetic (SOF10)
+                    ss = body[1 + 2 * ns]
+                    se = body[2 + 2 * ns]
+                    ahal = body[3 + 2 * ns]
+                    if coef is None:
+                        coef = _init_coef(frame)
+                    pos = _decode_prog_scan_arith(
+                        payload, pos + 2 + seglen, frame, order, sel,
+                        dac, restart_interval, coef,
+                        ss, se, ahal >> 4, ahal & 0xF,
+                    )
+                    continue
                 if not frame["progressive"]:
                     return _decode_scan(
                         payload, pos + 2 + seglen, frame, sel, qtables,
@@ -858,6 +871,222 @@ class _ArithDecoder:
 
     def end_pos(self) -> int:
         return self.marker_pos if self.marker_pos is not None else self.pos
+
+
+
+
+def _decode_prog_scan_arith(
+    data, pos, frame, order, sel, dac, restart_interval, coef,
+    ss, se, ah, al,
+):
+    """One progressive ARITHMETIC scan (T.81 G.2 + Annex D): QM decisions
+    drive per-scan-zeroed statistics (libjpeg semantics: each scan resets
+    its tables' bins and the DC predictors). DC-first uses the sequential
+    DC difference model shifted by Al; DC refinement is one equiprobable
+    fixed-bin decision per block; AC-first is the sequential AC model over
+    the band with values << Al; AC refinement gates the EOB decision on
+    the previous stage's end-of-block index (kex) and spends one
+    correction bit per already-nonzero coefficient. Returns the position
+    of the next marker."""
+    comps = frame["comps"]
+    idx_of = {c["id"]: i for i, c in enumerate(comps)}
+    scan_idx = [idx_of[cid] for cid in order]
+    if not (0 <= ss <= se <= 63) or al > 13:
+        raise ValueError("jpeg: bad spectral selection/approximation")
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: progressive DC scan must have Se=0")
+    if ss > 0 and len(scan_idx) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    hmax, vmax, mcux, mcuy, geo = _geom(frame)
+
+    def fresh():
+        dc = {t: [[0, 0] for _ in range(64)] for t in range(4)}
+        ac = {t: [[0, 0] for _ in range(4 * 64)] for t in range(4)}
+        return dc, ac
+
+    dc_stats, ac_stats = fresh()
+    fixed = [113, 0]
+    last_dc = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    dec = _ArithDecoder(data, pos)
+
+    def cond_dc(tbl):
+        v = dac.get((0, tbl), 0x10)
+        return v & 0x0F, v >> 4
+
+    def dc_block(ci, byy, bxx):
+        c = comps[ci]
+        td, _ = sel[c["id"]]
+        if ah == 0:
+            L, U = cond_dc(td)
+            dstats = dc_stats[td]
+            base = dc_ctx[ci]
+            if dec.decode(dstats[base]) == 0:
+                diff = 0
+                dc_ctx[ci] = 0
+            else:
+                sign = dec.decode(dstats[base + 1])
+                m = dec.decode(dstats[base + 2 + sign])
+                idx = None
+                if m != 0:
+                    idx = 20
+                    while dec.decode(dstats[idx]):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError(
+                                "jpeg: arith DC magnitude overflow"
+                            )
+                        idx += 1
+                if m < (1 << L) >> 1:
+                    dc_ctx[ci] = 0
+                elif m > (1 << U) >> 1:
+                    dc_ctx[ci] = 12 + sign * 4
+                else:
+                    dc_ctx[ci] = 4 + sign * 4
+                v = m
+                midx = (idx + 14) if idx is not None else 0
+                mm = m
+                while mm > 1:
+                    mm >>= 1
+                    if dec.decode(dstats[midx]):
+                        v |= mm
+                v += 1
+                diff = -v if sign else v
+            last_dc[ci] += diff
+            coef[ci][byy, bxx, 0] = last_dc[ci] << al
+        else:
+            # DC refinement: one equiprobable decision per block
+            if dec.decode(fixed):
+                coef[ci][byy, bxx, 0] = int(coef[ci][byy, bxx, 0]) | (1 << al)
+
+    if ss == 0:
+        interleaved = len(scan_idx) > 1
+        unit = 0
+        uy_n = mcuy if interleaved else geo[scan_idx[0]]["bh_own"]
+        ux_n = mcux if interleaved else geo[scan_idx[0]]["bw_own"]
+        for uy in range(uy_n):
+            for ux in range(ux_n):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    dec = _restart(data, dec)
+                    dc_stats, ac_stats = fresh()
+                    last_dc[:] = [0] * len(comps)
+                    dc_ctx[:] = [0] * len(comps)
+                for i in scan_idx:
+                    c = comps[i]
+                    blocks = (
+                        [
+                            (uy * c["v"] + by, ux * c["h"] + bx)
+                            for by in range(c["v"])
+                            for bx in range(c["h"])
+                        ]
+                        if interleaved
+                        else [(uy, ux)]
+                    )
+                    for (byy, bxx) in blocks:
+                        dc_block(i, byy, bxx)
+                unit += 1
+        return _next_marker_pos(data, dec.end_pos())
+
+    # AC scan: single component
+    i = scan_idx[0]
+    c = comps[i]
+    _, ta = sel[c["id"]]
+    kx = dac.get((1, ta), 5)
+    astats = ac_stats[ta]
+    g = geo[i]
+    unit = 0
+    p1 = 1 << al
+    for by in range(g["bh_own"]):
+        for bx in range(g["bw_own"]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                dec = _restart(data, dec)
+                dc_stats, ac_stats = fresh()
+                astats = ac_stats[ta]
+            block = coef[i][by, bx]
+            if ah == 0:
+                # AC first (G.2.3 via the sequential model, values << Al)
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if dec.decode(astats[st]):
+                        break  # EOB
+                    while dec.decode(astats[st + 1]) == 0:
+                        k += 1
+                        if k > se:
+                            raise ValueError("jpeg: arith AC band overrun")
+                        st = 3 * (k - 1)
+                    sign = dec.decode(fixed)
+                    m = dec.decode(astats[st + 2])
+                    idx = None
+                    if m != 0:
+                        if dec.decode(astats[st + 2]):
+                            m = 2
+                            idx = 189 if k <= kx else 217
+                            while dec.decode(astats[idx]):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "jpeg: arith AC magnitude overflow"
+                                    )
+                                idx += 1
+                    v = m
+                    midx = (idx + 14) if idx is not None else (st + 2 + 14)
+                    mm = m
+                    while mm > 1:
+                        mm >>= 1
+                        if dec.decode(astats[midx]):
+                            v |= mm
+                    v += 1
+                    block[k] = (-v if sign else v) << al
+                    k += 1
+            else:
+                # AC refinement (G.2.4): the EOB decision fires only at
+                # RUN boundaries (outer loop, and only past the previous
+                # stage's last nonzero index kex) — a significance run
+                # that crosses kex keeps consuming significance bins
+                # without EOB decisions until it ends. Within a run, st
+                # advances 3 per zero-history position; a nonzero-history
+                # position takes one correction decision (applied without
+                # the Huffman raw-bit & p1 guard) and ends the run.
+                kex = se
+                while kex > 0 and block[kex] == 0:
+                    kex -= 1
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if kex < k:
+                        if dec.decode(astats[st]):
+                            break  # EOB: rest of band untouched
+                    while True:
+                        cur = k
+                        k += 1
+                        if block[cur] != 0:
+                            if dec.decode(astats[st + 2]):
+                                block[cur] += p1 if block[cur] > 0 else -p1
+                            break
+                        if dec.decode(astats[st + 1]):
+                            block[cur] = -p1 if dec.decode(fixed) else p1
+                            break
+                        st += 3
+                        if k > se:
+                            raise ValueError(
+                                "jpeg: arith AC refine band overrun"
+                            )
+            unit += 1
+    return _next_marker_pos(data, dec.end_pos())
+
+
+def _restart(data, dec):
+    """Consume the RSTn marker at/after the decoder's stop point and
+    return a fresh QM decoder starting after it."""
+    mp = dec.end_pos()
+    while mp + 1 < len(data) and not (
+        data[mp] == 0xFF and 0xD0 <= data[mp + 1] <= 0xD7
+    ):
+        mp += 1
+    if mp + 1 >= len(data):
+        raise ValueError("jpeg: missing restart marker")
+    return _ArithDecoder(data, mp + 2)
 
 
 def _decode_scan_arith(data, pos, frame, sel, qtables, dac, restart_interval):

@@ -65,11 +65,15 @@ def test_arith_truncated_declines_or_degrades_cleanly():
             pass
 
 
-def test_progressive_arithmetic_declines():
+def test_sof10_with_sequential_scan_declines():
+    """SOF10 (progressive arithmetic) is now SUPPORTED; this hostile input
+    — a SEQUENTIAL arithmetic stream whose frame marker is rewritten to
+    SOF10, so its full-band SOS violates the progressive DC-scan Se=0
+    rule — must decline cleanly rather than desync."""
     data = bytearray(_load("arith_t444.jpg"))
     sof = bytes(data).find(b"\xff\xc9")
     assert sof > 0
-    data[sof + 1] = 0xCA  # SOF10: progressive arithmetic
+    data[sof + 1] = 0xCA
     with pytest.raises(ValueError):
         jpeg.decode(bytes(data))
 
@@ -185,5 +189,56 @@ def test_arith_cross_check_vs_libjpeg():
             with open(p, "rb") as f:
                 mine = jpeg.decode(f.read())
             assert mine.shape == (h, w, 3 if not gray else 1)
+            diff = np.abs(mine.astype(int) - ref.astype(int))
+            assert diff.max() <= 1, (i, diff.max())
+
+
+def test_progressive_arithmetic_vendored_vectors():
+    """SOF10 (progressive + arithmetic — the full Annex G scan script over
+    QM decisions) decodes the vendored libjpeg vectors; bit-exactness vs a
+    fresh libjpeg is asserted in the cross-check below."""
+    for name, shape in [
+        ("parith_t444.jpg", (16, 24, 3)),
+        ("parith_t420.jpg", (23, 37, 3)),  # + restart intervals
+        ("parith_tgray.jpg", (9, 17, 1)),
+    ]:
+        img = jpeg.decode(_load(name))
+        assert img.shape == shape
+        assert img.std() > 20
+
+
+def test_progressive_arithmetic_cross_check_vs_libjpeg():
+    with tempfile.TemporaryDirectory() as tmp:
+        progen, decraw = _build_harness(tmp)
+        # patch the generator to emit progressive scripts
+        with open(progen + ".c") as f:
+            src = f.read()
+        src = src.replace("c.arith_code = TRUE;",
+                          "jpeg_simple_progression(&c);\n  c.arith_code = TRUE;")
+        pg2 = os.path.join(tmp, "pagen")
+        with open(pg2 + ".c", "w") as f:
+            f.write(src)
+        r = subprocess.run(["gcc", "-O2", "-o", pg2, pg2 + ".c", "-ljpeg"],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("pagen build failed")
+        cases = [
+            (24, 16, 90, 0, 1, 0),
+            (37, 23, 85, 0, 2, 4),
+            (17, 9, 92, 1, 1, 0),
+            (50, 29, 75, 0, 3, 3),
+            (64, 48, 60, 0, 2, 1),
+        ]
+        for i, (w, h, q, gray, sub, rst) in enumerate(cases):
+            p = os.path.join(tmp, f"pv{i}.jpg")
+            subprocess.run([pg2, p, str(w), str(h), str(q), str(gray),
+                            str(sub), str(rst)], check=True)
+            out = subprocess.run([decraw, p], capture_output=True).stdout
+            nl = out.index(b"\n")
+            rw, rh, rc = map(int, out[:nl].split())
+            ref = np.frombuffer(out[nl + 1:], dtype=np.uint8).reshape(
+                rh, rw, rc)
+            with open(p, "rb") as f:
+                mine = jpeg.decode(f.read())
             diff = np.abs(mine.astype(int) - ref.astype(int))
             assert diff.max() <= 1, (i, diff.max())
