@@ -4822,6 +4822,33 @@ def canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topk_per_group_docs",
+    """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || '42'), doc_id)
+           AS rk
+  FROM documents
+) WHERE rk <= 7
+ORDER BY source, doc_id
+""",
+)
+def topk_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: exactly min(k, group size) rows
+    per source by md5-hash rank — content-keyed (layout/re-shard
+    invariant, test-asserted), exact-count (Bernoulli stratified_sample
+    cannot guarantee counts), and the md5 ranking is portable SQL the
+    oracle replays verbatim."""
+    from pysparkline.operators import sampling
+
+    prep(spark)
+    return sampling.top_k_per_group(
+        _docs(spark, sf_dir).select("source", "doc_id"), "source", 7
+    ).orderBy("source", "doc_id")
+
+
+@_register(
     "length_batches_docs",
     r"""
 WITH q AS (
@@ -5182,6 +5209,7 @@ _PRIORITY = [
     "knn_join_probe_emb", "hard_negatives_emb", "length_batches_docs",
     "image_features_arith",  # NEW (same decode surface as the in-window
     # image_features_progressive row; QM coder bit-exact vs libjpeg)
+    "topk_per_group_docs",   # NEW (md5-rank sampling; oracle-verbatim)
     "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
     "sql_window_filter_distinct", "sql_window_range_desc", "audio_features",
     "sql_window_range",

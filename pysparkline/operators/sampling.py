@@ -284,3 +284,31 @@ def temperature_mix(
         .where(F.col("__mix_bucket") < F.col("__mix_thresh"))
         .drop("__mix_src", "__mix_thresh", "__mix_bucket")
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic k-per-group sampling: exactly ``min(k, group size)``
+    rows per group, selected by md5-hash rank over (id, seed) — the
+    content-keyed determinism discipline of ``hash_split`` (survives
+    re-sharding/appends of UNCHANGED rows, unlike seeded ``sample()``,
+    whose row picks depend on partition layout), with an exact-count
+    guarantee ``stratified_sample``'s Bernoulli draws cannot give.
+    The md5 ranking is portable SQL, so the selection is reproducible by
+    any engine (the driver oracle replays it verbatim). One shuffle on
+    the group key; groups are window-partitioned, never collected."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(str(int(seed)))))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(k))
+        .drop("__rk")
+    )

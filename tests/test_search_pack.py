@@ -511,3 +511,39 @@ def test_length_batches_padding_beats_id_order(spark):
         .first()["pad"]
     )
     assert bucketed < idorder
+
+
+def test_top_k_per_group_exact_and_layout_invariant(spark, duck):
+    from pysparkline.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    got = sorted(
+        (r.source, r.doc_id)
+        for r in sampling.top_k_per_group(docs, "source", 7).collect()
+    )
+    want = sorted(duck.execute(r"""
+      SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || '42'),
+                          doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 7
+    """).fetchall())
+    assert got == want and got
+    # per-group counts are exactly min(k, group size)
+    sizes = {r[0]: r[1] for r in duck.execute(
+        "SELECT source, count(*) FROM documents GROUP BY source").fetchall()}
+    from collections import Counter
+    cnt = Counter(s for s, _ in got)
+    for src, n in sizes.items():
+        assert cnt[src] == min(7, n)
+    # content-keyed: a different partition layout picks identical rows
+    got2 = sorted(
+        (r.source, r.doc_id)
+        for r in sampling.top_k_per_group(
+            docs.repartition(23), "source", 7).collect()
+    )
+    assert got2 == got
