@@ -165,3 +165,37 @@ def test_encode_empty_and_single_char(spark):
     assert out[1] == ([], 0)
     assert out[2] == (["x"], 1)
     assert out[3] == ([], 0)
+
+
+def test_train_matches_reference_random_corpora(spark):
+    """Property: on randomized small corpora (alphabet of 3 symbols forces
+    heavy pair ties and repeated-symbol runs), the distributed trainer
+    matches the classic reference exactly."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 8))
+            )
+            for _ in range(rng.randint(2, 10))
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe.bpe_train(df, "text", n_merges=6)
+        want = _ref_train(texts, 6)
+        assert got == want, (trial, texts, got, want)
+        merges = got
+        out = {
+            r.id: list(r.tokens)
+            for r in bpe.bpe_encode(
+                df.select(
+                    F.monotonically_increasing_id().alias("doc_id"), "text"
+                ).withColumnRenamed("doc_id", "id_"),
+                "id_", "text", merges,
+            ).collect()
+        }
+        # every encoding concatenates back to the original words
+        texts_by_tokens = sorted("".join(v) for v in out.values())
+        assert texts_by_tokens == sorted(t.replace(" ", "") for t in texts)

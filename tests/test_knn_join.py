@@ -158,3 +158,22 @@ def test_hard_negatives_excludes_dups_and_self(spark, emb):
     }
     got = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in rows}
     assert got == want
+
+
+def test_exact_knn_join_with_duplicate_vectors(spark):
+    """Duplicate vectors create exact cosine ties everywhere — the rounded
+    (cosine DESC, id ASC) total order must still make block-local top-k
+    provably lossless: exact join == brute force on a corpus drawn from
+    only 4 distinct vectors."""
+    import random
+
+    rng = random.Random(3)
+    base = [[1.0, 0.0, 0.0], [0.9, 0.1, 0.0], [0.0, 1.0, 0.0], [0.5, 0.5, 0.5]]
+    rows = [(i, base[rng.randrange(4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    kj = similarity.knn_join(
+        df, q, k=7, n_cells=3, exclude_self=True, max_block=11
+    )
+    bf = _brute_excl_self(df, q, 7)
+    assert {tuple(r) for r in kj.collect()} == {tuple(r) for r in bf.collect()}
