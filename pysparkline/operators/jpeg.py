@@ -1208,14 +1208,7 @@ def _decode_scan_arith(data, pos, frame, sel, qtables, dac, restart_interval):
         for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # consume the RSTn marker and re-init everything (F.1.4.1)
-                mp = dec.end_pos()
-                while mp + 1 < len(data) and not (
-                    data[mp] == 0xFF and 0xD0 <= data[mp + 1] <= 0xD7
-                ):
-                    mp += 1
-                if mp + 1 >= len(data):
-                    raise ValueError("jpeg: missing restart marker")
-                dec = _ArithDecoder(data, mp + 2)
+                dec = _restart(data, dec)
                 dc_stats, ac_stats = fresh_stats()
                 last_dc[:] = [0] * len(comps)
                 dc_ctx[:] = [0] * len(comps)

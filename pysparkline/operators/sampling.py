@@ -301,9 +301,15 @@ def top_k_per_group(
     guarantee ``stratified_sample``'s Bernoulli draws cannot give.
     The md5 ranking is portable SQL, so the selection is reproducible by
     any engine (the driver oracle replays it verbatim). One shuffle on
-    the group key; groups are window-partitioned, never collected."""
+    the group key; groups are window-partitioned, never collected.
+
+    Rows with a NULL id are EXCLUDED: concat_ws silently drops NULL args,
+    which would hash every NULL-id row identically (nondeterministic
+    ties) and diverge from SQL engines whose ``||`` yields NULL — there
+    is no deterministic, portable rank for an absent key."""
     from pyspark.sql import Window
 
+    df = df.where(F.col(id_col).isNotNull())
     h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
                           F.lit(str(int(seed)))))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())

@@ -1009,6 +1009,7 @@ def knn_join(
     query_chunk: int = 4096,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    cache_assignment: bool = True,
 ) -> DataFrame:
     """Distributed kNN JOIN: top-``k`` corpus neighbors for EVERY query row,
     with NEITHER side collected to the driver or broadcast.
@@ -1054,16 +1055,20 @@ def knn_join(
     n_cells = len(centroids)  # KMeans may return fewer on tiny corpora
     probes = n_cells if n_probe is None else min(n_probe, n_cells)
 
-    # Persisted: the per-cell count collect below materializes the cell
-    # assignment (the expensive Arrow-matmul pass over the whole corpus),
-    # and the cogrouped join then reuses the cache instead of recomputing
-    # the same full-corpus UDF pass a second time. MEMORY_AND_DISK and
-    # LRU-evictable, so long sessions reclaim it.
+    # cache_assignment=True persists the cell assignment so the per-cell
+    # count collect below materializes it once and the cogrouped join
+    # reuses the cache instead of recomputing the full-corpus Arrow-matmul
+    # pass. The cache is MEMORY_AND_DISK and LRU-evictable but lives until
+    # session end — loops calling knn_join repeatedly (per-epoch
+    # hard-negative refreshes) should pass cache_assignment=False to trade
+    # the second UDF pass for zero cache residue per call.
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
         _nearest_cells_expr(F.col(corpus_vec), centroids, 1)[0].alias("__cell"),
-    ).persist()
+    )
+    if cache_assignment:
+        c = c.persist()
     # Block count per cell: ceil(count / max_block). One bounded collect of
     # <= n_cells rows — never corpus data.
     counts = {
@@ -1185,10 +1190,14 @@ def hard_negatives(
     ``dup_pairs`` is whatever pairwise dedup produced (MinHash, SimHash,
     semantic, ...) — (id_a, id_b) in any orientation.
 
-    Retrieval depth: candidates are fetched at k + the corpus-wide MAX
-    duplicates per anchor (one bounded aggregate over dup_pairs) so the
-    anti-join can never leave an anchor short — every anchor with at
-    least k non-duplicate neighbors gets exactly k."""
+    Retrieval depth is TWO-PHASE so one boilerplate page with thousands
+    of duplicates cannot multiply everyone's cost (review-caught: the
+    old form widened EVERY anchor by the corpus-wide max dups): phase 1
+    retrieves k + min(max_dups, k) candidates for all anchors; anchors
+    left short after the anti-join (possible only when their dup count
+    exceeded the phase-1 slack) are re-retrieved ALONE at full
+    k + max_dups depth — every anchor with at least k non-duplicate
+    neighbors still gets exactly k."""
     both = dup_pairs.select(
         F.col(id_a).alias("query_id"), F.col(id_b).alias("neighbor_id")
     ).union(
@@ -1200,20 +1209,38 @@ def hard_negatives(
         both.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
         .agg(F.max("n")).first()
     )
-    depth = int(k) + int(max_dups_row[0] or 0)
+    max_dups = int(max_dups_row[0] or 0)
     q = corpus.select(
         F.col(corpus_id).alias("query_id"), F.col(corpus_vec).alias("embedding")
     )
-    cand = knn_join(
-        corpus, q, k=depth, corpus_id=corpus_id, corpus_vec=corpus_vec,
-        exclude_self=True, **knn_kwargs,
+
+    def mine(queries, depth):
+        cand = knn_join(
+            corpus, queries, k=depth, corpus_id=corpus_id,
+            corpus_vec=corpus_vec, exclude_self=True, **knn_kwargs,
+        )
+        kept = cand.join(both, ["query_id", "neighbor_id"], "left_anti")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            kept.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+    slack = min(max_dups, int(k))
+    out = mine(q, int(k) + slack)
+    if max_dups <= slack:
+        return out
+    out = out.persist()
+    short = (
+        out.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") < k)
+        .select("query_id")
     )
-    kept = cand.join(both, ["query_id", "neighbor_id"], "left_anti")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        kept.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    short_q = q.join(short, "query_id", "left_semi")
+    if short_q.limit(1).count() == 0:
+        return out
+    redone = mine(short_q, int(k) + max_dups)
+    return out.join(short, "query_id", "left_anti").unionByName(redone)

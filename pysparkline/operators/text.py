@@ -500,7 +500,10 @@ def length_bucketed_batches(
 
     if batch_size <= 0:
         raise ValueError("batch_size must be positive")
-    n = token_count(F.col(text_col))
+    # NULL text counts as an empty document (0 tokens, bucket 0): leaving
+    # n_tokens NULL would sort NULLS FIRST in Spark's ascending window but
+    # NULLS LAST in most SQL engines — a silent rank divergence
+    n = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     out = df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),

@@ -723,3 +723,28 @@ def test_canonical_docs_quality_champion(spark):
     out2 = {r.doc_id: r.is_canonical
             for r in dedup.canonical_docs(df2, p2).collect()}
     assert out2 == {1: True, 2: False}
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    """Pointer doubling: a 2000-node CHAIN (diameter 1999) converges within
+    the default max_iter=20 (plain min-label propagation would need 1999
+    rounds — the shape that crashed the sf0.1 canonical fixture)."""
+    from pysparkline.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1999)], "id_a long, id_b long"
+    )
+    out = dedup.cluster_pairs(pairs)
+    rows = out.collect()
+    assert len(rows) == 2000
+    assert all(r.cluster_id == 0 for r in rows)
+
+
+def test_cluster_pairs_multi_component_still_exact(spark):
+    from pysparkline.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 9), (2, 7), (100, 101)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
+    assert got == {0: 0, 5: 0, 9: 0, 2: 2, 7: 2, 100: 100, 101: 100}

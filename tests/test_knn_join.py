@@ -177,3 +177,42 @@ def test_exact_knn_join_with_duplicate_vectors(spark):
     )
     bf = _brute_excl_self(df, q, 7)
     assert {tuple(r) for r in kj.collect()} == {tuple(r) for r in bf.collect()}
+
+
+def test_hard_negatives_two_phase_depth(spark, emb):
+    """One anchor with many dups must not widen everyone's retrieval: the
+    two-phase form still gives every anchor its exact top-k non-dups —
+    verified against the single-pass full-depth formulation."""
+    # anchor 0 gets 20 dups; everyone else 0-1
+    dups = [(0, j) for j in range(1, 21)] + [(30, 31)]
+    dup = spark.createDataFrame(dups, "id_a long, id_b long")
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in similarity.hard_negatives(emb, dup, k=3, n_cells=8).collect()
+    }
+    # independent full-depth single-pass twin
+    both = dup.union(dup.select(F.col("id_b").alias("id_a"),
+                                F.col("id_a").alias("id_b"))).distinct()
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    cand = similarity.knn_join(emb, q, k=3 + 20, n_cells=8, exclude_self=True)
+    kept = cand.join(
+        both.select(F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias("neighbor_id")),
+        ["query_id", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine, r.r2)
+        for r in kept.withColumn("r2", F.row_number().over(w))
+        .where(F.col("r2") <= 3).collect()
+    }
+    assert got == want
+
+
+def test_knn_join_cache_assignment_off_identical(spark, emb):
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = similarity.knn_join(emb, q, k=4, n_cells=8, exclude_self=True)
+    b = similarity.knn_join(emb, q, k=4, n_cells=8, exclude_self=True,
+                            cache_assignment=False)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}

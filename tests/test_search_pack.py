@@ -547,3 +547,28 @@ def test_top_k_per_group_exact_and_layout_invariant(spark, duck):
             docs.repartition(23), "source", 7).collect()
     )
     assert got2 == got
+
+
+def test_top_k_per_group_null_ids_excluded(spark):
+    from pysparkline.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (None, "a"), (2, "a"), (3, "b")],
+        "doc_id long, source string",
+    )
+    out = sampling.top_k_per_group(df, "source", 2)
+    rows = [(r.source, r.doc_id) for r in out.collect()]
+    assert all(i is not None for _, i in rows)
+    assert sorted(rows) == [("a", 1), ("a", 2), ("b", 3)]
+
+
+def test_length_batches_null_text_is_empty_doc(spark, duck):
+    from pysparkline.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.bucket)
+           for r in T.length_bucketed_batches(df, 8).collect()}
+    assert got[1] == (0, 0) and got[3] == (0, 0)
+    assert got[2][0] == 3
