@@ -2470,7 +2470,8 @@ def _catalog(spark: SparkSession, sf_dir: str) -> "OlapCatalog":
 
 _FED_SQL = """
 WITH rev AS (
-  SELECT c_custkey % 20 AS b, CAST(SUM(l_extendedprice) AS DOUBLE) AS rev
+  SELECT c_custkey % 20 AS b,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   GROUP BY 1
@@ -2917,14 +2918,15 @@ WITH spine AS (
 ), agg AS (
   SELECT TIMESTAMP '1970-01-01 00:00:00'
            + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS bucket,
-         COUNT(*) AS n, SUM(value) AS sv
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
   FROM events
   WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
     AND ts < TIMESTAMP '2024-01-11 00:00:00'
     AND event_type = 'purchase'
   GROUP BY 1
 )
-SELECT s.bucket, coalesce(a.n, 0) AS n, coalesce(a.sv, 0) AS sv
+SELECT s.bucket, coalesce(a.n, 0) AS n, coalesce(a.sv, 0.0) AS sv
 FROM spine s LEFT JOIN agg a USING (bucket) ORDER BY 1
 """,
 )
@@ -2942,9 +2944,21 @@ def events_15min_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter=ir.SelectorFilter("event_type", "purchase"),
         aggregations=[
             ir.CountAgg("n"),
-            ir.FieldAgg("sum", "sv", "value"),
+            # decimal sum (exact, summation-order-independent) then cast back
+            # to DOUBLE in a post-agg — tpch.py:10-44 money convention; a raw
+            # double SUM can never hash-match the oracle (oracle-lint class)
+            ir.ExprAgg(
+                fn="sum",
+                name="__sv_dec",
+                expr="CAST(value AS DECIMAL(18,6))",
+                columns=["value"],
+            ),
+        ],
+        post_aggregations=[
+            ir.ArithmeticPostAgg(name="sv", expr="CAST(__sv_dec AS DOUBLE)")
         ],
         zero_fill=True,
+        output_order=["bucket", "n", "sv"],
     )
     return ctx.query(spec)
 
@@ -4221,14 +4235,15 @@ def sql_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_WINDOW_NTH = """
-SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS rev,
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
   nth_value(l_linestatus, 2) OVER
     (PARTITION BY l_returnflag
-     ORDER BY sum(l_extendedprice) DESC, l_linestatus
+     ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))) DESC, l_linestatus
      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS runner_up,
   last_value(l_linestatus) OVER
     (PARTITION BY l_returnflag
-     ORDER BY sum(l_extendedprice) DESC, l_linestatus
+     ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))) DESC, l_linestatus
      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS weakest
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
@@ -4291,9 +4306,11 @@ def sql_window_rowgrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_QUALIFY_TOPK = """
-SELECT l_returnflag, p_brand, round(sum(l_extendedprice), 2) AS rev,
+SELECT l_returnflag, p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
   rank() OVER (PARTITION BY l_returnflag
-               ORDER BY sum(l_extendedprice) DESC, p_brand) AS rk
+               ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))) DESC,
+                        p_brand) AS rk
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY l_returnflag, p_brand
 QUALIFY rk <= 3
