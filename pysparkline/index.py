@@ -183,15 +183,25 @@ class BatchLedger:
             for b in m["batches"]
             if max_age_seconds is None or now - b["ts"] <= max_age_seconds
         ]
-        if keep:
-            oldest = min(b["ts"] for b in keep)
-            m["batches"] = []
-            self.commit_batch(
-                lambda bdir: write_merged(keep, bdir), ts=oldest
-            )
-        else:
-            m["batches"] = []
-            self.write_manifest()
+        # Snapshot for rollback: if the merged write or the manifest rewrite
+        # throws, commit_batch only rolls back its OWN append — the in-memory
+        # list would be left empty while disk still lists the old batches,
+        # and a later append in this session would commit a manifest that
+        # drops every prior batch (ADVICE r6). Restore the full snapshot.
+        prev = list(m["batches"])
+        try:
+            if keep:
+                oldest = min(b["ts"] for b in keep)
+                m["batches"] = []
+                self.commit_batch(
+                    lambda bdir: write_merged(keep, bdir), ts=oldest
+                )
+            else:
+                m["batches"] = []
+                self.write_manifest()
+        except BaseException:
+            m["batches"] = prev
+            raise
         sweep_uncommitted_dirs(
             self.batches_path, {b["name"] for b in m["batches"]}
         )

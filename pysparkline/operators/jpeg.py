@@ -379,6 +379,16 @@ def _decode(payload: bytes) -> np.ndarray:
                 sel[cs] = (td, ta)
                 order.append(cs)
             try:
+                if not frame["progressive"] and ns < len(frame["comps"]):
+                    # a legal T.81 sequential file may carry per-component
+                    # scans (ns < Nf); the sequential paths below assume ONE
+                    # fully interleaved scan and would return garbage after
+                    # the first — decline like other unsupported shapes
+                    # (ADVICE r6)
+                    raise ValueError(
+                        "jpeg: non-interleaved multi-scan sequential "
+                        "not supported"
+                    )
                 if frame.get("arith") and not frame["progressive"]:
                     return _decode_scan_arith(
                         payload, pos + 2 + seglen, frame, sel, qtables,

@@ -1122,7 +1122,11 @@ def knn_join(
                 {"query_id": [], "neighbor_id": [], "cosine": []}
             )
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in left["__cv"]])
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        # floor the norm like brute_force_cosine_topk: a zero-norm vector
+        # must yield cosine 0.0, not NaN (NaN sorts last in numpy's local
+        # top-k but GREATEST under Spark's DESC window — the two stages
+        # would disagree and results would be block-unstable)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         nids = left["neighbor_id"].to_numpy()
         # neighbor-id order used for ties: positions sorted by id ascending
         id_order = np.argsort(nids, kind="stable")
@@ -1130,7 +1134,7 @@ def knn_join(
         for lo in range(0, len(right), chunk):
             sub = right.iloc[lo : lo + chunk]
             Q = np.vstack([np.asarray(v, dtype=np.float64) for v in sub["__qv"]])
-            Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
             S = np.round(Q @ V.T, rnd)  # (m, n) rounded BEFORE ranking
             m = S.shape[0]
             take = min(kk, S.shape[1])
@@ -1185,19 +1189,33 @@ def hard_negatives(
 
     Built on ``knn_join`` (so neither side is broadcast; all of its
     exactness/probing/salting knobs pass through via ``knn_kwargs``):
-    retrieve k + max_dups_per_anchor candidates, anti-join the known
-    duplicate pairs (both orientations) and the self pair, re-rank.
-    ``dup_pairs`` is whatever pairwise dedup produced (MinHash, SimHash,
-    semantic, ...) — (id_a, id_b) in any orientation.
+    retrieve k + dup-slack candidates, anti-join the known duplicate
+    pairs (both orientations) and the self pair, re-rank. ``dup_pairs``
+    is whatever pairwise dedup produced (MinHash, SimHash, semantic, ...)
+    — (id_a, id_b) in any orientation.
 
     Retrieval depth is TWO-PHASE so one boilerplate page with thousands
     of duplicates cannot multiply everyone's cost (review-caught: the
-    old form widened EVERY anchor by the corpus-wide max dups): phase 1
-    retrieves k + min(max_dups, k) candidates for all anchors; anchors
-    left short after the anti-join (possible only when their dup count
-    exceeded the phase-1 slack) are re-retrieved ALONE at full
-    k + max_dups depth — every anchor with at least k non-duplicate
-    neighbors still gets exactly k."""
+    old form widened EVERY anchor by the corpus-wide max dups). The
+    anchor split is decided from ``dup_pairs`` ALONE, before any
+    retrieval: LIGHT anchors (dup count <= slack = min(max_dups, k))
+    retrieve k + slack deep — enough that even if every duplicate lands
+    in the candidate list, >= k non-duplicates survive; HEAVY anchors
+    (dup count > slack — the only ones phase-1 depth could leave short,
+    including the anchor whose ENTIRE shallow candidate list is
+    duplicates) retrieve k + their cohort's max depth. Splitting up
+    front rather than inspecting phase-1 survivors means a
+    zero-survivor anchor cannot be silently dropped (an earlier form
+    derived the re-mine set from surviving rows and missed exactly the
+    all-duplicates-nearby case), and no intermediate needs persisting.
+    Every anchor with at least k non-duplicate corpus neighbors gets
+    exactly k rows.
+
+    Centroids are fit ONCE here and shared by both phases (identical
+    cell geometry, no duplicate KMeans), and ``cache_assignment``
+    defaults to False for the inner joins — repeated hard-negative
+    refreshes (the per-epoch loop) leave zero session-lifetime cache
+    residue. Callers can still override either via ``knn_kwargs``."""
     both = dup_pairs.select(
         F.col(id_a).alias("query_id"), F.col(id_b).alias("neighbor_id")
     ).union(
@@ -1205,14 +1223,22 @@ def hard_negatives(
             F.col(id_b).alias("query_id"), F.col(id_a).alias("neighbor_id")
         )
     ).distinct()
-    max_dups_row = (
-        both.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n")).first()
-    )
+    dup_counts = both.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    max_dups_row = dup_counts.agg(F.max("__n")).first()
     max_dups = int(max_dups_row[0] or 0)
     q = corpus.select(
         F.col(corpus_id).alias("query_id"), F.col(corpus_vec).alias("embedding")
     )
+    knn_kwargs = dict(knn_kwargs)
+    knn_kwargs.setdefault("cache_assignment", False)
+    if knn_kwargs.get("centroids") is None:
+        knn_kwargs["centroids"] = _fit_centroids(
+            corpus,
+            corpus_vec,
+            knn_kwargs.get("n_cells", 16),
+            knn_kwargs.get("seed", 42),
+        )
+    knn_kwargs.pop("n_cells", None)
 
     def mine(queries, depth):
         cand = knn_join(
@@ -1230,17 +1256,12 @@ def hard_negatives(
         )
 
     slack = min(max_dups, int(k))
-    out = mine(q, int(k) + slack)
     if max_dups <= slack:
-        return out
-    out = out.persist()
-    short = (
-        out.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") < k)
-        .select("query_id")
+        # max_dups <= k: the shallow depth already covers every anchor
+        return mine(q, int(k) + slack)
+    heavy_ids = dup_counts.where(F.col("__n") > slack).select("query_id")
+    light = q.join(heavy_ids, "query_id", "left_anti")
+    heavy = q.join(heavy_ids, "query_id", "left_semi")
+    return mine(light, int(k) + slack).unionByName(
+        mine(heavy, int(k) + max_dups)
     )
-    short_q = q.join(short, "query_id", "left_semi")
-    if short_q.limit(1).count() == 0:
-        return out
-    redone = mine(short_q, int(k) + max_dups)
-    return out.join(short, "query_id", "left_anti").unionByName(redone)

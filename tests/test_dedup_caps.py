@@ -748,3 +748,40 @@ def test_cluster_pairs_multi_component_still_exact(spark):
     )
     got = {r.id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
     assert got == {0: 0, 5: 0, 9: 0, 2: 2, 7: 2, 100: 100, 101: 100}
+
+
+def test_failed_compaction_rolls_back_batch_list(spark, tmp_path):
+    """ADVICE r6 (low): if compaction's merged write or manifest rewrite
+    throws, the in-memory batch list must roll back to the full pre-compact
+    snapshot — not be left empty while disk still lists the old batches (a
+    later append would then commit a manifest dropping every prior batch)."""
+    from pysparkline.index import BatchLedger
+    from pysparkline.operators.dedup import SignatureStore
+
+    store = SignatureStore.create(spark, str(tmp_path / "s"), threshold=0.5)
+    store.append(_mk_docs(spark, [(1, _basetext(1))]), "doc_id", "text")
+    store.append(_mk_docs(spark, [(2, _basetext(2))]), "doc_id", "text")
+    before = [dict(b) for b in store.manifest["batches"]]
+    assert len(before) == 2
+
+    orig = BatchLedger.write_manifest
+    BatchLedger.write_manifest = lambda self: (_ for _ in ()).throw(
+        OSError("disk gone")
+    )
+    try:
+        with pytest.raises(OSError):
+            store.compact()
+    finally:
+        BatchLedger.write_manifest = orig
+    assert store.manifest["batches"] == before
+
+    # and the session is still usable: a later append keeps ALL history —
+    # dups of both pre-compaction docs are still caught
+    v = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            _mk_docs(spark, [(10, _basetext(1)), (11, _basetext(2))]),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert v == {10: False, 11: False}

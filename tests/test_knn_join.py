@@ -216,3 +216,49 @@ def test_knn_join_cache_assignment_off_identical(spark, emb):
     b = similarity.knn_join(emb, q, k=4, n_cells=8, exclude_self=True,
                             cache_assignment=False)
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_hard_negatives_zero_survivor_anchor_not_dropped(spark, emb):
+    """ADVICE r6 (high): an anchor whose ENTIRE shallow candidate list is
+    duplicates (dups are by nature its nearest neighbors — the boilerplate
+    cluster case) must still get exactly k rows. The old form derived the
+    re-mine set from surviving rows, so a zero-survivor anchor was silently
+    omitted; the split is now decided from dup_pairs alone, up front."""
+    k = 3
+    # make anchor 0's 2k nearest non-self neighbors ALL duplicates: with
+    # slack = min(max_dups, k) = k, phase-1 depth is k + k and every
+    # candidate anti-joins away
+    q0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    near = _brute_excl_self(emb, q0, 2 * k).collect()
+    dups = [(0, int(r.neighbor_id)) for r in near]
+    dup = spark.createDataFrame(dups, "id_a long, id_b long")
+    out = similarity.hard_negatives(emb, dup, k=k, n_cells=8)
+    rows0 = out.where(F.col("query_id") == 0).collect()
+    assert len(rows0) == k, f"anchor 0 dropped/short: {rows0}"
+    # and the rows equal the full-depth twin for anchor 0
+    deep = _brute_excl_self(emb, q0, 2 * k + k).where(
+        ~F.col("neighbor_id").isin([d[1] for d in dups])
+    ).collect()
+    want = {(r.query_id, r.neighbor_id, r.cosine) for r in deep[:k]}
+    assert {(r.query_id, r.neighbor_id, r.cosine) for r in rows0} == want
+
+
+def test_no_cache_residue_across_loop_calls(spark, emb):
+    """VERDICT r6 #5 / ADVICE r6 (low): per-epoch hard-negative loops must
+    not accumulate session-lifetime cache residue — knn_join with
+    cache_assignment=False and hard_negatives (which now defaults the inner
+    joins to False and fits centroids once) leave getPersistentRDDs flat."""
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dup = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    for _ in range(3):
+        similarity.knn_join(
+            emb, q, k=3, n_cells=8, cache_assignment=False
+        ).collect()
+        similarity.hard_negatives(emb, dup, k=2, n_cells=8).collect()
+    assert jsc.getPersistentRDDs().size() == base

@@ -789,3 +789,22 @@ def test_hamming_blocked_pairs_zero_hamming(spark):
         for r in mm.hamming_blocked_pairs(df, 0).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_jpeg_sequential_multiscan_declines():
+    """ADVICE r6: a legal T.81 sequential file may carry NON-INTERLEAVED
+    per-component scans (SOS ns < frame Nf); the sequential decode paths
+    assume one fully interleaved scan and must decline cleanly instead of
+    returning garbage after the first scan."""
+    import pytest
+
+    from pysparkline.operators import jpeg
+
+    sof = bytes(
+        [0xFF, 0xC0, 0x00, 0x11, 8, 0, 16, 0, 16, 3,
+         1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = bytes([0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 0, 63, 0])
+    data = b"\xff\xd8" + sof + sos + b"\x00" * 8 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg.decode(data)
