@@ -3723,6 +3723,38 @@ def _sql_ctx(spark: SparkSession, sf_dir: str) -> OlapContext:
     return c
 
 
+_SQL_UNION_ARMS = f"""
+SELECT 'early' AS period, l_returnflag AS flag,
+       CAST(SUM({PRICE}) AS DOUBLE) AS rev, COUNT(*) AS n
+FROM lineitem WHERE l_shipdate < DATE '1997-01-01' GROUP BY l_returnflag
+UNION ALL
+SELECT 'late' AS period, l_returnflag AS flag,
+       CAST(SUM({PRICE}) AS DOUBLE) AS rev, COUNT(*) AS n
+FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' GROUP BY l_returnflag
+ORDER BY period, flag
+"""
+
+
+@_register("sql_union_arms", _SQL_UNION_ARMS)
+def sql_union_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation acceleration (round 7): the BI period-blend UNION ALL.
+    Each arm is planned and lowered through the index independently
+    (ir.SetOpQuery; the reference unioned per-grouping-set Druid queries
+    the same way, DruidStrategy.scala:74-76) and the lazy cube-served
+    results combine positionally in one DAG; the constant arm tags are
+    Druid's constant post-aggregator analog. Previously this whole shape
+    fell back to spark.sql over the raw base star. A non-servable arm
+    still declines the entire statement to the always-correct fallback
+    (tests/test_setops.py)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_UNION_ARMS)
+    backing = ctx.query_history[-1].backing
+    assert backing == "setop[cube,cube]", (
+        f"both arms must be index-served, got {backing}"
+    )
+    return out
+
+
 @_register(
     "sql_q1",
     f"""

@@ -731,6 +731,30 @@ class SelectQuery(QuerySpec):
     qualify: Optional[str] = None
 
 
+@_node
+@dataclass
+class SetOpQuery(QuerySpec):
+    """UNION [ALL] / INTERSECT / EXCEPT of two servable queries (round 7).
+
+    The reference unioned per-grouping-set Druid queries inside one plan
+    (DruidStrategy.scala:74-76) but never accelerated user-written set
+    operations — BI tools emit UNION ALL constantly (period blends,
+    actual-vs-plan), so here each arm is planned and lowered through the
+    index independently and the LAZY results combine in one Spark DAG
+    (positionally, ANSI set-op semantics — column names come from the left
+    arm). Arms may nest (a SetOpQuery child). A statement-level ORDER BY /
+    LIMIT / OFFSET applies after the combine. Any arm outside the
+    rewritable surface declines the WHOLE statement to the spark.sql
+    fallback (session.OlapContext.sql), which stays correct."""
+
+    op: str = "union"  # 'union' | 'intersect' | 'except'
+    all: bool = False
+    left: Optional["QuerySpec"] = None
+    right: Optional["QuerySpec"] = None
+    limit_spec: Optional[LimitSpec] = None
+    output_order: Optional[list] = None  # left arm's output names
+
+
 def query_referenced_columns(q: QuerySpec) -> set[str]:
     """Every source column a query touches (dims + filters + agg inputs)."""
     cols: set[str] = set()

@@ -206,6 +206,20 @@ class OlapContext:
             df, record = cached
             self.query_history.append(record)
             return df
+        if isinstance(spec, ir.SetOpQuery):
+            df, backings = self._lower_setop(spec)
+            record = QueryRecord(
+                spec.to_dict(),
+                f"set operation ({spec.op}"
+                + (" all" if spec.all else "")
+                + f"): arms [{backings}]",
+                f"setop[{backings}]",
+            )
+            self.query_history.append(record)
+            if len(self._plan_cache) >= 256:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = (df, record)
+            return df
         spec, backing, decision = self.plan(spec)
         record = QueryRecord(
             spec.to_dict(),
@@ -222,6 +236,48 @@ class OlapContext:
             self._pending_obs.append([df, record, spec, key, 0])
             del self._pending_obs[:-64]  # bounded
         return df
+
+    def _lower_setop(self, spec: "ir.SetOpQuery"):
+        """Plan + lower each arm through the index independently, combine
+        the LAZY results in one DAG (ir.SetOpQuery docstring). Positional
+        column alignment (ANSI set-op semantics): the right arm is renamed
+        to the left arm's output names before combining. Returns
+        (DataFrame, comma-joined per-arm backing names)."""
+        from pyspark.sql import functions as F
+
+        def arm(s):
+            if isinstance(s, ir.SetOpQuery):
+                return self._lower_setop(s)
+            s2, backing, decision = self.plan(s)
+            return lowering.lower(s2, backing), decision.backing
+
+        ldf, lb = arm(spec.left)
+        rdf, rb = arm(spec.right)
+        rdf = rdf.toDF(*ldf.columns)
+        if spec.op == "union":
+            df = ldf.union(rdf)
+            if not spec.all:
+                df = df.distinct()
+        elif spec.op == "intersect":
+            df = ldf.intersectAll(rdf) if spec.all else ldf.intersect(rdf)
+        else:  # except: ANSI EXCEPT is distinct; EXCEPT ALL is bag subtract
+            df = ldf.exceptAll(rdf) if spec.all else ldf.subtract(rdf)
+        ls = spec.limit_spec
+        if ls is not None:
+            if ls.columns:
+                df = df.orderBy(
+                    *[
+                        F.col(c.column).asc()
+                        if c.direction == "asc"
+                        else F.col(c.column).desc()
+                        for c in ls.columns
+                    ]
+                )
+            if getattr(ls, "offset", None):
+                df = df.offset(ls.offset)
+            if ls.limit is not None:
+                df = df.limit(ls.limit)
+        return df, f"{lb},{rb}"
 
     @staticmethod
     def _feedback_eligible(spec: ir.QuerySpec) -> bool:
@@ -349,6 +405,17 @@ class OlapContext:
                 spec = self._parse_sql(spec)
             except SQLFrontError as e:
                 return f"no rewrite: {e}\nfallback: spark.sql over base tables"
+        if isinstance(spec, ir.SetOpQuery):
+            lines = [
+                f"query shape: SetOpQuery ({spec.op}"
+                + (" all" if spec.all else "")
+                + ")"
+            ]
+            for side, arm in (("left", spec.left), ("right", spec.right)):
+                sub = self.explain_rewrite(arm)
+                lines.append(f"-- {side} arm --")
+                lines.extend("  " + ln for ln in sub.splitlines())
+            return "\n".join(lines)
         spec, backing, decision = self.plan(spec)
         lines = [f"query shape: {type(spec).__name__}", decision.pretty()]
         if decision.backing == "flat":

@@ -53,7 +53,7 @@ def _ast(sql: str) -> dict:
     if len(stmts) != 1:
         raise SQLFrontError("expected exactly one statement")
     node = stmts[0]["node"]
-    if node.get("type") != "SELECT_NODE":
+    if node.get("type") not in ("SELECT_NODE", "SET_OPERATION_NODE"):
         raise SQLFrontError(f"not a SELECT: {node.get('type')}")
     return node
 
@@ -1219,6 +1219,17 @@ def _analyze_select(
                 n_aggs += len(extracted)
         else:
             if has_any_agg:
+                if _is_const(item):
+                    # constant select item in an aggregate query — Druid's
+                    # constant post-aggregator (DruidQuerySpec.scala:390-398).
+                    # The BI set-op staple: SELECT 'actual' AS src, ...
+                    # UNION ALL SELECT 'plan' AS src, ...
+                    name = out_name_of(item, i)
+                    a.post_aggs.append(
+                        ir.ArithmeticPostAgg(name, _render_const(item))
+                    )
+                    a.output_order.append(name)
+                    continue
                 raise SQLFrontError(
                     f"select item {render(item)} neither grouped nor aggregated"
                 )
@@ -1800,9 +1811,125 @@ def parse_sql(
 
     Surface: SELECT [aggregates/dims/post-agg exprs] FROM fact [JOIN dim ON
     star-edge]* [WHERE ...] [GROUP BY ... [CUBE/ROLLUP/GROUPING SETS]]
-    [HAVING ...] [ORDER BY outputs] [LIMIT n].
+    [HAVING ...] [ORDER BY outputs] [LIMIT n], plus top-level
+    UNION [ALL] / INTERSECT / EXCEPT of such SELECTs (each arm planned
+    independently; ir.SetOpQuery).
     """
     node = _ast(sql)
+    return _parse_node(node, time_col, fact_table, star)
+
+
+_SETOP_TYPES = {"UNION": "union", "INTERSECT": "intersect", "EXCEPT": "except"}
+
+
+def _parse_node(
+    node: dict,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> ir.QuerySpec:
+    if node.get("type") == "SET_OPERATION_NODE":
+        return _parse_setop(node, time_col, fact_table, star)
+    if node.get("type") != "SELECT_NODE":
+        raise SQLFrontError(f"not a SELECT: {node.get('type')}")
+    return _parse_select(node, time_col, fact_table, star)
+
+
+def _spec_outputs(spec: ir.QuerySpec) -> list | None:
+    """The output column names of a parsed spec, if statically known."""
+    oo = getattr(spec, "output_order", None)
+    if oo:
+        return list(oo)
+    if isinstance(spec, ir.SelectQuery):
+        return [
+            c[1] if isinstance(c, (list, tuple)) else c for c in spec.columns
+        ]
+    return None
+
+
+def _leftmost_select(node: dict) -> dict:
+    while node.get("type") == "SET_OPERATION_NODE":
+        node = node["left"]
+    return node
+
+
+def _subst_ctes_deep(node: dict, defs: dict[str, dict]) -> None:
+    """Push CTE defs into every arm of a (possibly nested) set operation."""
+    if node.get("type") == "SET_OPERATION_NODE":
+        _subst_ctes_deep(node["left"], defs)
+        _subst_ctes_deep(node["right"], defs)
+    else:
+        _subst_cte_tables(node, defs)
+
+
+def _parse_setop(
+    node: dict,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> ir.QuerySpec:
+    """Top-level UNION [ALL] / INTERSECT / EXCEPT (round 7): lower each arm
+    through the planner independently and combine lazily — the reference's
+    own per-grouping-set union pattern (DruidStrategy.scala:74-76) applied
+    to user-written set operations. Any arm outside the surface raises
+    SQLFrontError here, declining the WHOLE statement to the spark.sql
+    fallback (which remains correct for every shape)."""
+    op = _SETOP_TYPES.get(node.get("setop_type"))
+    if op is None:
+        raise SQLFrontError(
+            f"unsupported set operation {node.get('setop_type')}"
+        )
+    cte_map = (node.get("cte_map") or {}).get("map") or []
+    if cte_map:
+        # WITH wrapping a set op: same rules as _inline_ctes, substituted
+        # into every arm (earlier CTEs visible inside later ones)
+        defs: dict[str, dict] = {}
+        for entry in cte_map:
+            if entry["value"].get("aliases"):
+                raise SQLFrontError("CTE column aliases unsupported")
+            body = entry["value"]["query"]["node"]
+            if body.get("type") != "SELECT_NODE":
+                raise SQLFrontError("non-SELECT CTE")
+            _subst_cte_tables(body, defs)
+            defs[entry["key"].lower()] = body
+        _subst_ctes_deep(node["left"], defs)
+        _subst_ctes_deep(node["right"], defs)
+        node["cte_map"] = {"map": []}
+    left = _parse_node(node["left"], time_col, fact_table, star)
+    right = _parse_node(node["right"], time_col, fact_table, star)
+    lout, rout = _spec_outputs(left), _spec_outputs(right)
+    if lout is None or rout is None:
+        raise SQLFrontError("set-op arm without a resolvable output list")
+    if len(lout) != len(rout):
+        raise SQLFrontError(
+            f"set-op arms select different column counts "
+            f"({len(lout)} vs {len(rout)})"
+        )
+    limit_spec = None
+    if node.get("modifiers"):
+        # ORDER BY/LIMIT on the whole set operation: names resolve against
+        # the left arm's outputs (ANSI), ordinals against the leftmost
+        # SELECT's list
+        sel_list = _leftmost_select(node["left"]).get("select_list") or []
+        order_cols, limit, offset = _order_limit(node, sel_list, set(lout))
+        if order_cols or limit is not None or offset is not None:
+            limit_spec = ir.LimitSpec(order_cols, limit, offset)
+    return ir.SetOpQuery(
+        op=op,
+        all=bool(node.get("setop_all")),
+        left=left,
+        right=right,
+        limit_spec=limit_spec,
+        output_order=list(lout),
+    )
+
+
+def _parse_select(
+    node: dict,
+    time_col: str | None = None,
+    fact_table: str | None = None,
+    star: StarSchema | None = None,
+) -> ir.QuerySpec:
     if node.get("sample"):
         raise SQLFrontError("SAMPLE unsupported")
     _inline_ctes(node)
