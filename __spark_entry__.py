@@ -431,6 +431,49 @@ def approx_topn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_TOPN_SUPPLIERS = [f"Supplier#{i:09d}" for i in range(8)]
+
+
+@_register(
+    "approx_topn_filtered",
+    FLAT_CTE
+    + f"""
+SELECT s_name, count(*) AS cnt
+FROM flat
+WHERE l_returnflag = 'R'
+  AND s_name IN ({", ".join(repr(s) for s in _TOPN_SUPPLIERS)})
+GROUP BY s_name
+ORDER BY cnt DESC, s_name LIMIT 5
+""",
+)
+def approx_topn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED approximate TopN (round-7 widening of r6's
+    approx_topn_supplier): a selector on a cube-grain dim selects CELLS
+    before the merge, and an IN on the SKETCHED dim itself post-filters
+    the exploded map — exact w.r.t. the sketch
+    (lowering.split_sketch_filter; previously any filter on the sketched
+    dim declined to the exact path). Same exact-regime contract as the
+    unfiltered row: fixture m (1024) exceeds per-cell supplier NDV at
+    every test SF, so bounds are all zero and DuckDB's exact filtered
+    top-5 is a true oracle (bound equality asserted in
+    tests/test_topk_sketch.py)."""
+    ctx = _ctx(spark, sf_dir)
+    spec = ir.TopNQuery(
+        dimension=ir.DefaultDim("s_name"),
+        metric="cnt",
+        threshold=5,
+        aggregations=[ir.CountAgg("cnt")],
+        filter=ir.and_(
+            ir.SelectorFilter("l_returnflag", "R"),
+            ir.InFilter("s_name", list(_TOPN_SUPPLIERS)),
+        ),
+        approx=True,
+    )
+    out = ctx.query(spec)
+    assert ctx.query_history[-1].backing == "cube", ctx.query_history[-1].decision
+    return out
+
+
 @_register(
     "search_ptype",
     FLAT_CTE
@@ -5182,115 +5225,177 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
-# each round. Round 6's window: (a) rows NEW this round or sitting on code
-# round 6 changed (EXCLUDE/DISTINCT window lowering, IvfIndex.search
-# multi-batch read, and the late-r5 uncommitted fixes — ffmpeg returncode,
-# pack string-id fallback, planner month regex, manifest fsync — which
-# landed AFTER r5's correctness run), then (b) the r3-verdicted cohort
-# below round 5's boundary, now the oldest verdicts (3 rounds). The rows
-# below this round's boundary all carry r4/r5 verdicts (<= 2 rounds old).
+# each round. Round 7's window (verdict-freshness rotation, VERDICT r6 #2):
+# (a) federated_rev_events — r6's one red, fixed this round (oracle decimal
+#     cast; reproduced driver-exact at sf0.01) — re-verifies first;
+# (b) the 5 rows that have NEVER carried a driver verdict (below r6's
+#     boundary): knn_join_probe_emb, hard_negatives_emb, length_batches_docs,
+#     image_features_arith, topk_per_group_docs;
+# (c) rows NEW this round: sql_union_arms (set-op acceleration),
+#     approx_topn_filtered (sketch-dim post-filtering);
+# (d) the r3-verdicted cohort (4 rounds old): q6 q14 q17 q18 ivf_index_topk;
+# (e) rows whose code changed this round: knn_join_emb (norm flooring,
+#     cache lifecycle), bpe_train_docs (delta pair-counting),
+#     events_15min_zero_fill (decimal-sum ExprAgg + post-agg);
+# (f) 34 of the 39 r4-verdicted rows (3 rounds old — the oldest cohort).
+# The 5 r4 rows that did not fit head the NEXT rotation, each with its
+# touched surface covered in-window: sql_latest_per_key (QUALIFY machinery
+# via sql_qualify_topk), events_15min (duration granularity via the
+# in-window events_15min_zero_fill superset), topn_monthly_brand (TopN
+# lowering via topn_brand + approx_topn_filtered), running_totals_user
+# (window lowering via sql_window_nth/qualify rows), avg_null_aware (avg
+# decomposition via q17's AVG). All below-boundary rows run typed+ordered
+# against their oracles every pytest (tests/test_entry_oracle.py).
 _PRIORITY = [
-    # --- round-6 window (first 50): (a) new or touched this round ---
-    "approx_topn_supplier",        # NEW: Druid approx-TopN sketch serving
-    "federated_rev_events",        # NEW: cross-datasource CTE federation
-    "sql_window_exclude",          # NEW: ANSI frame EXCLUDE lowering
-    "substring_dup_docs",          # NEW: substring-granularity dedup
-    "incremental_substring_docs",  # NEW: SubstringStore ingest dedup
-    "ivf_append_topk",             # NEW: IvfIndex incremental append
-    "image_dhash_pairs",           # NEW: perceptual image dedup
-    "knn_join_emb",                # NEW: distributed exact kNN join
-    "audio_fp_pairs",              # NEW: perceptual audio dedup
-    "video_dhash_pairs",           # NEW: perceptual video dedup
-    "bpe_train_docs",              # NEW: distributed BPE tokenizer training
-    "profile_lineitem",            # NEW: single-pass table profiling
-    "image_features_progressive",  # NEW: progressive JPEG decode (also
-    # exercises the image_features surface, whose baseline row —
-    # "image_features", r5-green, ffmpeg-decline-untouchable fixture —
-    # is displaced below)
-    "snapshot_diff_docs",          # NEW: corpus snapshot diff
-    "token_budget_docs",           # NEW: token-budget selection (scale path)
-    "canonical_docs",              # NEW: quality-preferring canonicals
-    # ivf_index_topk displaced below: ivf_append_topk (in-window, NEW this
-    # round) exercises the same multi-batch IvfIndex.search read path
-    # after an append — a strict superset of the touched code.
-    "sql_window_sum_distinct",     # fold edits (represents the fold path;
-    # sql_window_filter_distinct displaced below — same edited function,
-    # r5-green, typed+ordered-mirrored every pytest run)
-    # sql_window_range / sql_window_range_desc displaced below: the NEW
-    # sql_window_exclude row (in-window) exercises the same round-6-edited
-    # window-lowering area more deeply (EXCLUDE composes over RANGE
-    # frames); both are r5-green and typed+ordered-mirrored every pytest
-    # run.
-    # pack_docs displaced below: its round-6 touch (string-id shard
-    # fallback) is unreachable from the driver row's numeric doc ids and
-    # regression-covered in tests/test_search_pack; r5-green.
-    "incremental_dedup_docs",      # manifest fsync path (represents it;
-    # shard_docs displaced below — the r6 fsync touch is durability-only,
-    # unobservable in query output, and its row is r5-green)
-    # (b) the r3-verdicted cohort (oldest verdicts, 3 rounds)
-    "sql_window_share", "sql_window_mom",
-    "semantic_dedup_emb", "perplexity_docs",
-    "pq_topk", "curate_docs",
-    "tfidf_docs", "interval_join_events",
-    "ivfpq_index_topk", "sql_q1", "sql_star_join",
-    "theta_users_type", "theta_retention_daily", "theta_funnel_users",
-    "sql_theta", "hll_count_distinct", "events_hist_p90",
-    "events_user_distinct", "events_daily_types", "events_hourly",
-    "ivf_topk", "lsh_cosine_topk", "cosine_topk",
-    "embedding_neardup",
-    "q1", "q1_month", "basic_agg", "q3", "q5", "q7", "q8", "q10",
-    # --- 50-query window boundary ---
-    # q6/q14/q17/q18 are the r3 cohort's tail that did NOT fit this round's
-    # window (q6 displaced by the new approx_topn_supplier row) — the only
-    # rows still on r3 verdicts; they rotate FIRST next round, along with
-    # sql_multi_interval and ship_date_range (both r5-green; displaced by
-    # federated_rev_events and knn_join_emb — their round-6 touch was the
-    # behavior-neutral shared month regex, regression-covered by
-    # tests/test_file_pruning).
-    # knn_join_probe_emb / hard_negatives_emb / length_batches_docs are
-    # NEW but below the boundary (the window is full of this session's 9
-    # other new rows): the first two ride the in-window knn_join_emb's
-    # kernel (probe adds cell subsetting, hard negatives an anti-join),
-    # length_batches rides pack_sequences' shard machinery (its
-    # shard-invariance and DuckDB equality are test-asserted), and all
-    # three run typed+ordered in the local mirror every pytest. They
-    # rotate FIRST in r7 with the r3-cohort tail below.
-    "knn_join_probe_emb", "hard_negatives_emb", "length_batches_docs",
-    "image_features_arith",  # NEW (same decode surface as the in-window
-    # image_features_progressive row; QM coder bit-exact vs libjpeg)
-    "topk_per_group_docs",   # NEW (md5-rank sampling; oracle-verbatim)
-    "q6", "q14", "q17", "q18", "sql_multi_interval", "ship_date_range",
-    "sql_window_filter_distinct", "sql_window_range_desc", "audio_features",
-    "sql_window_range",
-    "pack_docs", "shard_docs", "image_features", "ivf_index_topk",
-    "sql_window_nth", "sql_window_lag_nulls",
-    "sql_qualify_topk", "sql_latest_per_key", "sql_window_rowgrain",
-    "select_pushdown", "temperature_mix_docs", "vocab_topk_docs",
-    "sql_window_ma",
-    "monthly_revenue", "dim_filters", "range_filters",
-    "in_null_not_filters", "contains_regex_filters", "filtered_agg",
-    "topn_brand", "search_ptype", "having_filter",
-    "count_distinct_exact", "rollup_flags", "cube_flags", "year_volume",
-    "expr_dim_prefix", "min_max_metrics", "dedup_exact_docs",
-    "doc_fingerprint", "text_stats_docs", "lang_quality",
-    "ngram_jaccard_docs", "asof_event_purchase", "running_totals_user",
+    "federated_rev_events",
+    "knn_join_probe_emb",
+    "hard_negatives_emb",
+    "length_batches_docs",
+    "image_features_arith",
+    "topk_per_group_docs",
+    "sql_union_arms",
+    "approx_topn_filtered",
+    "q6",
+    "q14",
+    "q17",
+    "q18",
+    "ivf_index_topk",
+    "knn_join_emb",
+    "bpe_train_docs",
+    "events_15min_zero_fill",
+    "sql_window_nth",
+    "sql_qualify_topk",
+    "monthly_revenue",
+    "dim_filters",
+    "range_filters",
+    "in_null_not_filters",
+    "contains_regex_filters",
+    "filtered_agg",
+    "topn_brand",
+    "search_ptype",
+    "having_filter",
+    "count_distinct_exact",
+    "rollup_flags",
+    "cube_flags",
+    "year_volume",
+    "expr_dim_prefix",
+    "min_max_metrics",
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "text_stats_docs",
+    "lang_quality",
+    "ngram_jaccard_docs",
+    "asof_event_purchase",
     "grouped_topn_brands",
-    "minhash_pairs_docs", "dedup_clusters_docs", "decontaminate_docs",
-    "sessionize_stats", "funnel_events",
-    "spatial_bounds", "events_15min", "tz_daily_revenue",
-    "topn_monthly_brand", "sql_select_scan", "sql_subquery",
-    "skew_salted_distinct", "avg_null_aware",
-    "boilerplate_prune_docs", "bpe_tokens_docs", "chunk_docs", "json_props",
-    "lang_id_docs", "length_quantiles_docs", "pii_redact_docs",
-    "quality_docs", "repetition_stats_docs", "simhash_pairs_docs",
-    "sql_count_distinct", "sql_cte", "sql_distinct", "sql_grouping_fns",
-    "sql_having_postagg", "sql_quantile", "sql_rollup",
-    "stratified_sample_docs", "time_parse_reformat", "topn_low_brand",
-    "tz_format_dim", "ym_format_dim",
-    "frame_sample", "mix_sources_docs", "search_strlen",
-    "theta_error_small_k", "bm25_topk_docs", "text_index_topk",
-    "hash_split_docs", "source_overlap_docs", "events_15min_zero_fill",
+    "minhash_pairs_docs",
+    "dedup_clusters_docs",
+    "decontaminate_docs",
+    "sessionize_stats",
+    "funnel_events",
+    "spatial_bounds",
+    "tz_daily_revenue",
+    "sql_select_scan",
+    "sql_subquery",
+    "skew_salted_distinct",
+    # --- 50-query window boundary ---
+    "sql_latest_per_key",
+    "events_15min",
+    "topn_monthly_brand",
+    "running_totals_user",
+    "avg_null_aware",
+    "sql_multi_interval",
+    "ship_date_range",
+    "sql_window_filter_distinct",
+    "sql_window_range_desc",
+    "audio_features",
+    "sql_window_range",
+    "pack_docs",
+    "shard_docs",
+    "image_features",
+    "sql_window_lag_nulls",
+    "sql_window_rowgrain",
+    "select_pushdown",
+    "temperature_mix_docs",
+    "vocab_topk_docs",
+    "sql_window_ma",
+    "boilerplate_prune_docs",
+    "bpe_tokens_docs",
+    "chunk_docs",
+    "json_props",
+    "lang_id_docs",
+    "length_quantiles_docs",
+    "pii_redact_docs",
+    "quality_docs",
+    "repetition_stats_docs",
+    "simhash_pairs_docs",
+    "sql_count_distinct",
+    "sql_cte",
+    "sql_distinct",
+    "sql_grouping_fns",
+    "sql_having_postagg",
+    "sql_quantile",
+    "sql_rollup",
+    "stratified_sample_docs",
+    "time_parse_reformat",
+    "topn_low_brand",
+    "tz_format_dim",
+    "ym_format_dim",
+    "frame_sample",
+    "mix_sources_docs",
+    "search_strlen",
+    "theta_error_small_k",
+    "bm25_topk_docs",
+    "text_index_topk",
+    "hash_split_docs",
+    "source_overlap_docs",
     "lookup_dim_market",
+    "approx_topn_supplier",
+    "sql_window_exclude",
+    "substring_dup_docs",
+    "incremental_substring_docs",
+    "ivf_append_topk",
+    "image_dhash_pairs",
+    "audio_fp_pairs",
+    "video_dhash_pairs",
+    "profile_lineitem",
+    "image_features_progressive",
+    "snapshot_diff_docs",
+    "token_budget_docs",
+    "canonical_docs",
+    "sql_window_sum_distinct",
+    "incremental_dedup_docs",
+    "sql_window_share",
+    "sql_window_mom",
+    "semantic_dedup_emb",
+    "perplexity_docs",
+    "pq_topk",
+    "curate_docs",
+    "tfidf_docs",
+    "interval_join_events",
+    "ivfpq_index_topk",
+    "sql_q1",
+    "sql_star_join",
+    "theta_users_type",
+    "theta_retention_daily",
+    "theta_funnel_users",
+    "sql_theta",
+    "hll_count_distinct",
+    "events_hist_p90",
+    "events_user_distinct",
+    "events_daily_types",
+    "events_hourly",
+    "ivf_topk",
+    "lsh_cosine_topk",
+    "cosine_topk",
+    "embedding_neardup",
+    "q1",
+    "q1_month",
+    "basic_agg",
+    "q3",
+    "q5",
+    "q7",
+    "q8",
+    "q10",
 ]
 
 

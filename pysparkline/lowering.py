@@ -1487,6 +1487,50 @@ def lower_timeseries(q: ir.TimeseriesQuery, backing: Backing) -> DataFrame:
     return joined
 
 
+def split_sketch_filter(
+    f: "ir.FilterSpec | None", sketch_dim: str
+) -> "tuple | None":
+    """Partition a TopN filter for approx (sketch-map) serving: returns
+    ``(cell_filter, values)`` where ``cell_filter`` is the conjunction of
+    parts NOT touching the sketched dimension (applied to cube CELLS before
+    the explode) and ``values`` is the list the sketched dim must be IN
+    (applied to the exploded map entries — ``None`` = unconstrained), or
+    ``None`` when any sketch-dim part is not a plain selector/IN conjunct
+    (round 7 widening; previously ANY filter on the sketched dim declined).
+
+    Post-filtering the merged map is exact w.r.t. the sketch: each kept
+    entry's summed weight is exactly what the unfiltered merge would carry
+    for that value, so the residual bound (est <= true <= est +
+    absent-cell bounds) holds per surviving value unchanged."""
+    if f is None:
+        return None, None
+    conjs = (
+        list(f.fields_)
+        if isinstance(f, ir.LogicalFilter) and f.op == "and"
+        else [f]
+    )
+    cell: list = []
+    vals: list | None = None
+    for c in conjs:
+        if sketch_dim in c.referenced_columns():
+            if isinstance(c, ir.SelectorFilter) and c.dimension == sketch_dim:
+                v = [c.value]
+            elif isinstance(c, ir.InFilter) and c.dimension == sketch_dim:
+                v = list(c.values)
+            else:
+                return None
+            vset = set(v)
+            vals = v if vals is None else [x for x in vals if x in vset]
+        else:
+            cell.append(c)
+    cell_f = (
+        None
+        if not cell
+        else (cell[0] if len(cell) == 1 else ir.LogicalFilter("and", cell))
+    )
+    return cell_f, vals
+
+
 def _lower_topn_sketch(q: ir.TopNQuery, backing: Backing) -> DataFrame:
     """Approximate TopN from a cube's TopKSpec map — Druid's per-segment
     top-m merge (the reference's allowTopN semantics,
@@ -1496,8 +1540,15 @@ def _lower_topn_sketch(q: ir.TopNQuery, backing: Backing) -> DataFrame:
     driver oracle pins); otherwise est <= true <= est + sum of absent
     cells' bounds. The merge's input is CUBE rows (cells x <= m entries),
     never the fact table — the scan and shuffle are both sketch-sized."""
+    import dataclasses
+
     tk = backing.topk
-    df = _apply_filters(backing.df, backing, q)
+    split = split_sketch_filter(q.filter, q.dimension.dimension)
+    assert split is not None, "planner gates non-splittable sketch filters"
+    cell_f, sketch_vals = split
+    df = _apply_filters(
+        backing.df, backing, dataclasses.replace(q, filter=cell_f)
+    )
     keys = []
     if q.granularity not in ("all",):
         keys.append(
@@ -1511,6 +1562,10 @@ def _lower_topn_sketch(q: ir.TopNQuery, backing: Backing) -> DataFrame:
     ex = df.select(
         *keys, F.explode(F.col(tk.col_name)).alias("__tkv", "__w")
     )
+    if sketch_vals is not None:
+        # selector/IN on the sketched dim applies to the exploded entries —
+        # exact w.r.t. the sketch (see split_sketch_filter)
+        ex = ex.where(F.col("__tkv").isin(sketch_vals))
     out = ex.groupBy(
         *key_names, F.col("__tkv").alias(q.dimension.out)
     ).agg(F.sum("__w").alias(q.metric))

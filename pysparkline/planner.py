@@ -215,8 +215,24 @@ def _topk_eligible(
         ):
             continue
         f = q.filter
-        if f is not None and not f.referenced_columns() <= cube_dims:
-            continue
+        if f is not None:
+            # round-7 widening: selector/IN conjuncts ON the sketched dim
+            # post-filter the exploded map (exact w.r.t. the sketch —
+            # lowering.split_sketch_filter); every OTHER conjunct must
+            # select cube CELLS, i.e. live in the grain
+            split = lowering.split_sketch_filter(f, q.dimension.dimension)
+            if split is None:
+                notes.append(
+                    "approx TopN: filter on the sketched dimension is not "
+                    "a selector/IN conjunct — exact path serves it"
+                )
+                return None
+            cell_f, _ = split
+            if (
+                cell_f is not None
+                and not cell_f.referenced_columns() <= cube_dims
+            ):
+                continue
         for tk in index.config.topk_specs:
             if tk.dim != q.dimension.dimension:
                 continue

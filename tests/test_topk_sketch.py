@@ -182,3 +182,30 @@ def test_exact_regime_bounds_are_zero(ctx):
             .collect()[0][0]
         )
         assert mx == 0.0, (name, mx)
+
+
+def test_sketch_dim_filter_post_filters_the_map(ctx):
+    """Round-7 widening: selector/IN conjuncts ON the sketched dim no longer
+    decline — they post-filter the exploded map (exact w.r.t. the sketch,
+    lowering.split_sketch_filter), composing with cell filters on grain
+    dims. Equivalence to the exact path holds in the exact regime."""
+    names = [f"Supplier#{i:09d}" for i in range(6)]
+    shapes = [
+        ir.InFilter("s_name", names),
+        ir.SelectorFilter("s_name", names[0]),
+        ir.and_(
+            ir.SelectorFilter("l_returnflag", "R"),
+            ir.InFilter("s_name", names),
+        ),
+    ]
+    for f in shapes:
+        _, b, d = ctx.plan(_spec(True, filter=f, threshold=5))
+        assert b.topk is not None, d.notes
+        assert _rows(ctx, _spec(True, filter=f, threshold=5)) == _rows(
+            ctx, _spec(False, filter=f, threshold=5)
+        ), f
+    # non-selector/IN shapes on the sketched dim still decline honestly
+    _, b2, _ = ctx.plan(
+        _spec(True, filter=ir.BoundFilter("s_name", lower="Supplier#000000003"))
+    )
+    assert b2.topk is None
