@@ -191,14 +191,18 @@ def decode_image(payload: bytes) -> np.ndarray:
         return via_pil
     if payload.startswith(b"\xff\xd8"):
         # JPEG without Pillow: the pure-numpy from-spec decoder
-        # (operators/jpeg.py) — baseline AND progressive; arithmetic/
-        # 12-bit/lossless still raise
+        # (operators/jpeg.py) — baseline, progressive, arithmetic, and
+        # 12-bit (uint16 0..4095, shifted down 4 bits here to keep this
+        # function's uniform uint8 contract); lossless still raises
         from . import jpeg
 
         try:
-            return jpeg.decode(payload)
+            img = jpeg.decode(payload)
         except ValueError as ex:
             raise UnsupportedMediaError(f"jpeg: {ex}") from ex
+        if img.dtype == np.uint16:
+            img = (img >> 4).astype(np.uint8)
+        return img
     if _is_webp(payload):
         # WEBP without Pillow: ffmpeg decodes stills as a 1-frame video
         w, h, _n, view = _ffmpeg_decode_video(payload, max_frames=1)

@@ -993,6 +993,28 @@ class IvfPqIndex:
         )
 
 
+# Assignment caches persisted by prior knn_join(cache_assignment=True)
+# calls. Bounded at 1 live entry: the next call (or an explicit
+# release_assignment_caches()) unpersists them. See knn_join's lifecycle
+# note — unpersisting never breaks correctness because persist retains
+# lineage (a stale result recomputes, a released cache just re-runs the
+# assignment matmul pass).
+_assignment_caches: list[DataFrame] = []
+
+
+def release_assignment_caches() -> None:
+    """Unpersist every cell-assignment cache held by prior
+    ``knn_join(cache_assignment=True)`` calls (VERDICT r6 #5). Call after
+    materializing a kNN-join result inside a loop to drop the cache
+    residue immediately instead of waiting for the next ``knn_join``."""
+    while _assignment_caches:
+        df = _assignment_caches.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing left to release
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1058,10 +1080,16 @@ def knn_join(
     # cache_assignment=True persists the cell assignment so the per-cell
     # count collect below materializes it once and the cogrouped join
     # reuses the cache instead of recomputing the full-corpus Arrow-matmul
-    # pass. The cache is MEMORY_AND_DISK and LRU-evictable but lives until
-    # session end — loops calling knn_join repeatedly (per-epoch
-    # hard-negative refreshes) should pass cache_assignment=False to trade
-    # the second UDF pass for zero cache residue per call.
+    # pass. Cache LIFECYCLE (VERDICT r6 #5): each call first retires every
+    # assignment cache persisted by PRIOR knn_join calls, so loops
+    # (per-epoch hard-negative refreshes) hold at most ONE cache at a time
+    # instead of accumulating session-lifetime residue. Retiring is always
+    # safe: persist keeps full lineage, so a prior call's not-yet-collected
+    # result simply recomputes its assignment pass. Callers can also call
+    # release_assignment_caches() explicitly once their result is
+    # materialized, or pass cache_assignment=False for zero residue.
+    if cache_assignment:
+        release_assignment_caches()
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
@@ -1069,6 +1097,7 @@ def knn_join(
     )
     if cache_assignment:
         c = c.persist()
+        _assignment_caches.append(c)
     # Block count per cell: ceil(count / max_block). One bounded collect of
     # <= n_cells rows — never corpus data.
     counts = {

@@ -572,23 +572,15 @@ class OlapCatalog:
         )
         return self.spark.sql(sql)
 
-    def _federated_sql(self, sql: str) -> DataFrame | None:
-        """Cross-datasource federation: a WITH statement whose CTE bodies
-        each live in ONE datasource runs every body through its owning
-        context (index-served — cube/flat/pruned, the works), registers the
-        lazy results as temp views, and lets Spark execute the OUTER query
-        over them. The final plan is one Spark DAG whose leaves are the
-        index-served sub-plans — a cross-datasource join costs two bounded
-        aggregate scans plus the join, never two raw star scans (which is
-        what the plain multi-datasource fallback pays).
-
-        Returns None (caller falls back) when the statement has no WITH,
-        when no CTE body is context-servable, or when the text is outside
-        the splitter's surface (RECURSIVE, CTE column aliases). A CTE
-        referencing an earlier CTE runs through spark.sql over the already-
-        registered views. CTE names shadow same-named base views for the
-        outer query (standard CTE scoping); the views are re-registered by
-        the next fallback statement."""
+    def _route_ctes(
+        self, sql: str
+    ) -> tuple[list[tuple[str, str, "OlapContext | None", "str | None"]], str] | None:
+        """The federation routing decision WITHOUT executing anything:
+        ``(plans, outer)`` where each plan is (cte_name, body_sql,
+        owner_context_or_None, owner_name_or_None) — or None when the
+        statement has no WITH, the text is outside the splitter's surface,
+        or no CTE body is context-servable. Shared by ``_federated_sql``
+        (execution) and ``explain_rewrite`` (rendering)."""
         from .sqlfront import SQLFrontError, referenced_tables, split_ctes
 
         try:
@@ -615,7 +607,30 @@ class OlapCatalog:
             plans.append((name, body, owner, owner_name))
             cte_names.add(name)
         if not any(owner is not None for _, _, owner, _ in plans):
+            return None
+        return plans, outer
+
+    def _federated_sql(self, sql: str) -> DataFrame | None:
+        """Cross-datasource federation: a WITH statement whose CTE bodies
+        each live in ONE datasource runs every body through its owning
+        context (index-served — cube/flat/pruned, the works), registers the
+        lazy results as temp views, and lets Spark execute the OUTER query
+        over them. The final plan is one Spark DAG whose leaves are the
+        index-served sub-plans — a cross-datasource join costs two bounded
+        aggregate scans plus the join, never two raw star scans (which is
+        what the plain multi-datasource fallback pays).
+
+        Returns None (caller falls back) when the statement has no WITH,
+        when no CTE body is context-servable, or when the text is outside
+        the splitter's surface (RECURSIVE, CTE column aliases). A CTE
+        referencing an earlier CTE runs through spark.sql over the already-
+        registered views. CTE names shadow same-named base views for the
+        outer query (standard CTE scoping); the views are re-registered by
+        the next fallback statement."""
+        routed = self._route_ctes(sql)
+        if routed is None:
             return None  # nothing index-servable: no benefit over fallback
+        plans, outer = routed
         self._register_all_views()  # base tables for outer + unowned bodies
         notes = []
         for name, body, owner, owner_name in plans:
@@ -644,7 +659,43 @@ class OlapCatalog:
         return out
 
     def explain_rewrite(self, sql: str) -> str:
+        """Catalog-level EXPLAIN (VERDICT r6 #6): the routing decision plus
+        the owning context's full explain. Single-datasource statements
+        name their context; federable WITH statements render each CTE
+        body's owner and its context explain (backing, keep ratios)
+        WITHOUT executing anything; everything else reports the
+        multi-datasource fallback."""
         ctx = self.context_for(sql)
-        if ctx is None:
-            return "no rewrite: tables span datasources or are unregistered"
-        return ctx.explain_rewrite(sql)
+        if ctx is not None:
+            ctx_name = next(
+                (nm for nm, c in sorted(self.contexts.items()) if c is ctx),
+                "?",
+            )
+            return (
+                f"routing: single datasource '{ctx_name}'\n"
+                + ctx.explain_rewrite(sql)
+            )
+        routed = self._route_ctes(sql)
+        if routed is None:
+            return (
+                "no rewrite: tables span datasources or are unregistered\n"
+                "fallback: spark.sql over all registered views"
+            )
+        plans, _outer = routed
+        lines = [
+            "routing: federated WITH — each owned CTE body index-served "
+            "by its context"
+        ]
+        for name, body, owner, owner_name in plans:
+            if owner is None:
+                lines.append(f"cte {name}: unowned -> spark.sql over views")
+                continue
+            lines.append(f"cte {name}: -> datasource '{owner_name}'")
+            lines.extend(
+                "  " + ln for ln in owner.explain_rewrite(body).splitlines()
+            )
+        lines.append(
+            "outer: spark.sql joining the lazy index-served CTE results "
+            "(one DAG)"
+        )
+        return "\n".join(lines)

@@ -186,6 +186,10 @@ def test_train_matches_reference_random_corpora(spark):
         got = bpe.bpe_train(df, "text", n_merges=6)
         want = _ref_train(texts, 6)
         assert got == want, (trial, texts, got, want)
+        # VERDICT r6 #4: the delta-counting default must equal the full
+        # re-aggregation verification mode exactly (ranks, pairs, freqs)
+        full = bpe.bpe_train(df, "text", n_merges=6, delta_counts=False)
+        assert got == full, (trial, texts, got, full)
         merges = got
         out = {
             r.id: list(r.tokens)

@@ -224,3 +224,34 @@ SELECT (SELECT count(*) FROM events) AS ev_n, max(n) AS m FROM r"""
     got = [tuple(r) for r in catalog.sql(sql).collect()]
     assert catalog.query_history[-1].backing == "sparksql"
     assert got[0][1] == 3
+
+
+def test_federated_explain_names_both_contexts(catalog):
+    """VERDICT r6 #6: catalog.explain_rewrite on a federable WITH renders
+    the routing decision plus each owned body's context explain — both
+    datasource names and both backings — WITHOUT executing anything."""
+    sql = """
+WITH rev AS (
+  SELECT l_returnflag AS flag, count(*) AS n_items
+  FROM lineitem GROUP BY l_returnflag
+), ev AS (
+  SELECT event_type, count(*) AS n_ev
+  FROM events GROUP BY event_type
+)
+SELECT flag, event_type, n_items, n_ev
+FROM rev CROSS JOIN ev
+"""
+    before = len(catalog.query_history)
+    txt = catalog.explain_rewrite(sql)
+    assert "routing: federated WITH" in txt
+    assert "cte rev: -> datasource 'tpch'" in txt
+    assert "cte ev: -> datasource 'events'" in txt
+    assert txt.count("backing=") == 2
+    assert "outer: spark.sql joining the lazy index-served CTE results" in txt
+    # explain executed nothing: no query-history entries were appended
+    assert len(catalog.query_history) == before
+    # and the single-datasource form names its context
+    one = catalog.explain_rewrite(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    )
+    assert one.startswith("routing: single datasource 'events'")
