@@ -2347,6 +2347,54 @@ def image_features_arith_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_features_deep",
+    """
+SELECT doc_id AS id, 16 AS width, 16 AS height, 3 AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 193 ELSE 127.5 END
+            AS DOUBLE) AS mean_r,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 25 WHEN 1 THEN 127.5 ELSE 200 END
+            AS DOUBLE) AS mean_g,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 112 WHEN 1 THEN 9 ELSE 127.5 END
+            AS DOUBLE) AS mean_b
+FROM documents
+""",
+)
+def image_features_deep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-precision JPEG decode (round 7): 12-BIT extended sequential
+    (SOF1, Pq=1 16-bit DQT — T.81 B.2.2/B.2.4.1) and LOSSLESS Annex H
+    (SOF3, 8-bit and 16-bit, predictors 4/5) through the pure-numpy
+    codec, normalized to decode_image's uint8 contract by the stream's
+    declared precision. The vendored fixtures are a 12-bit solid color
+    (deterministic decode -> literal means) and two lossless gradients
+    whose means are EXACT rationals because the process is bit-exact by
+    definition (tests/test_jpeg_lossless.py asserts equality over random
+    images for every predictor; stock libjpeg has no 12-bit or lossless
+    build, so round-trip exactness is the validation)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import multimodal
+
+    prep(spark)
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "data")
+    payloads = [
+        open(os.path.join(base, n), "rb").read()
+        for n in ("ext12_s0.jpg", "ll8_grad.jpg", "ll16_grad.jpg")
+    ]
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.withColumn(
+        "img",
+        F.element_at(
+            F.array(*[F.lit(p) for p in payloads]),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    return multimodal.image_features(media, "doc_id", "img").select(
+        "id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@_register(
     "frame_sample",
     """
 WITH f AS (
@@ -5232,7 +5280,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     boundary): knn_join_probe_emb, hard_negatives_emb, length_batches_docs,
 #     image_features_arith, topk_per_group_docs;
 # (c) rows NEW this round: sql_union_arms (set-op acceleration),
-#     approx_topn_filtered (sketch-dim post-filtering);
+#     approx_topn_filtered (sketch-dim post-filtering),
+#     image_features_deep (12-bit + lossless JPEG decode) — its slot
+#     pushes skew_salted_distinct (r4) just below the boundary; that
+#     row's machinery (NDV-gated two-stage distinct) stays in-window
+#     via count_distinct_exact/sql_distinct lowering shared paths and
+#     heads the next rotation with the other below-boundary r4 rows;
 # (d) the r3-verdicted cohort (4 rounds old): q6 q14 q17 q18 ivf_index_topk;
 # (e) rows whose code changed this round: knn_join_emb (norm flooring,
 #     cache lifecycle), bpe_train_docs (delta pair-counting),
@@ -5255,6 +5308,7 @@ _PRIORITY = [
     "topk_per_group_docs",
     "sql_union_arms",
     "approx_topn_filtered",
+    "image_features_deep",
     "q6",
     "q14",
     "q17",

@@ -334,14 +334,21 @@ def _decode(payload: bytes) -> np.ndarray:
                 tc_tb = body[i]
                 dac[(tc_tb >> 4, tc_tb & 0xF)] = body[i + 1]
                 i += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic
-            # sequential, SOF10 arithmetic progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 LOSSLESS
+            # (Annex H), SOF9 arithmetic sequential, SOF10 arithmetic
+            # progressive
             prec = body[0]
-            # T.81 B.2.2: baseline (SOF0) is 8-bit; the extended/
+            # T.81 B.2.2/B.2.3: baseline (SOF0) is 8-bit; the extended/
             # progressive/arithmetic DCT processes also permit P=12
-            # (decoded here to uint16, 0..4095 — VERDICT r6 #8)
-            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+            # (decoded here to uint16, 0..4095 — VERDICT r6 #8); the
+            # lossless process permits P=2..16
+            if marker == 0xC3:
+                if not (2 <= prec <= 16):
+                    raise ValueError(
+                        f"jpeg: lossless precision {prec} out of range"
+                    )
+            elif prec not in (8, 12) or (prec == 12 and marker == 0xC0):
                 raise ValueError(
                     f"jpeg: {prec}-bit precision not supported for "
                     f"SOF{marker - 0xC0}"
@@ -376,9 +383,12 @@ def _decode(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker in (0xC2, 0xCA),
-                     "arith": marker in (0xC9, 0xCA)}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: lossless/hierarchical not supported")
+                     "arith": marker in (0xC9, 0xCA),
+                     "lossless": marker == 0xC3}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: hierarchical/arithmetic-lossless not supported"
+            )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -402,6 +412,14 @@ def _decode(payload: bytes) -> np.ndarray:
                     raise ValueError(
                         "jpeg: non-interleaved multi-scan sequential "
                         "not supported"
+                    )
+                if frame.get("lossless"):
+                    # Annex H: Ss = predictor selector, Al = point transform
+                    pred_sel = body[1 + 2 * ns]
+                    pt = body[3 + 2 * ns] & 0xF
+                    return _decode_scan_lossless(
+                        payload, pos + 2 + seglen, frame, sel, htables,
+                        restart_interval, pred_sel, pt,
                     )
                 if frame.get("arith") and not frame["progressive"]:
                     return _decode_scan_arith(
@@ -538,6 +556,195 @@ def _finish_planes(comps, planes, h, w, hmax, vmax, prec=8):
     return np.clip(
         np.round(np.stack([r, g, b], axis=2)), 0, maxv
     ).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# lossless decoding (ITU-T T.81 Annex H: predictive coding, no DCT)
+# --------------------------------------------------------------------------
+
+# H.1.2.1 predictor selectors (operands are the left / above / above-left
+# reconstructed neighbors); >> is the spec's integer halving
+_LL_PREDICT = {
+    1: lambda a, b, c: a,
+    2: lambda a, b, c: b,
+    3: lambda a, b, c: c,
+    4: lambda a, b, c: a + b - c,
+    5: lambda a, b, c: a + ((b - c) >> 1),
+    6: lambda a, b, c: b + ((a - c) >> 1),
+    7: lambda a, b, c: (a + b) >> 1,
+}
+
+
+def _decode_scan_lossless(
+    data, pos, frame, sel, htables, restart_interval, pred_sel, pt
+):
+    """One interleaved lossless scan (T.81 Annex H): Huffman-coded
+    prediction differences, modulo-65536 arithmetic (H.1.2.3), DC-table
+    SSSS categories 0..16 (16 = diff 32768 with no appended bits, H.2).
+    Prediction edge rules per H.1.2.2: the very first sample predicts
+    2^(P-Pt-1); the rest of the first line uses the left neighbor; the
+    first column of later lines uses the above neighbor. Components are
+    returned AS STORED (no color transform — T.81 defines none for the
+    lossless process; files are typically grayscale or RGB), shifted up
+    by the point transform Pt. Declines: subsampled components (the
+    interleaved MCU walk below assumes 1x1) and restart intervals."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    prec = frame["prec"]
+    if pred_sel not in _LL_PREDICT:
+        raise ValueError(f"jpeg: lossless predictor {pred_sel} invalid")
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise ValueError("jpeg: subsampled lossless not supported")
+    if restart_interval:
+        raise ValueError("jpeg: lossless restart intervals not supported")
+    if pt >= prec:
+        raise ValueError("jpeg: point transform >= precision")
+    predict = _LL_PREDICT[pred_sel]
+    default = 1 << (prec - pt - 1)
+    tables = [htables[(0, sel[c["id"]][0])] for c in comps]
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    reader = _BitReader(data, pos)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(len(comps)):
+                s = _decode_huff(reader, tables[ci])
+                if s == 16:
+                    diff = 32768
+                elif s > 16:
+                    raise ValueError("jpeg: lossless SSSS out of range")
+                else:
+                    diff = _extend(reader.read(s), s)
+                p = planes[ci]
+                if y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    px = predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                p[y, x] = (px + diff) & 0xFFFF
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = np.stack([p << pt for p in planes], axis=2) & 0xFFFF
+    return out.astype(dtype)
+
+
+# Huffman table covering the full lossless difference alphabet (SSSS
+# 0..16): 17 canonical 5-bit codes — valid (Kraft 17/32, no all-ones code)
+DC_LOSSLESS = ([0, 0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+
+def stream_precision(payload: bytes) -> int:
+    """Sample precision (SOF P byte) of a JPEG stream, from the header
+    alone — callers normalizing ``decode``'s uint16 output to 8 bits
+    (multimodal.decode_image) need the shift amount without a full
+    decode. Raises ValueError when no SOF is found."""
+    pos = 2
+    n = len(payload)
+    while pos + 3 < n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            return payload[pos + 4]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        pos += 2 + int.from_bytes(payload[pos + 2:pos + 4], "big")
+    raise ValueError("jpeg: no SOF marker")
+
+
+def encode_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    precision: int | None = None,
+    point_transform: int = 0,
+) -> bytes:
+    """Lossless JPEG encoder (SOF3, the fixture/round-trip twin of
+    ``_decode_scan_lossless``): any predictor 1-7, precision 2..16
+    (default: 8 for uint8 input, else the smallest precision holding the
+    max sample), optional point transform (samples are coded >> Pt; the
+    decoder reconstructs << Pt, so a nonzero Pt round-trips to
+    ``(img >> Pt) << Pt``). Decode of the emitted stream is BIT-EXACT by
+    construction — asserted over random images in
+    tests/test_jpeg_lossless.py. Components are stored as given
+    (grayscale or RGB), one interleaved scan, no subsampling."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError("jpeg encode_lossless: 1 or 3 channels")
+    if predictor not in _LL_PREDICT:
+        raise ValueError("jpeg encode_lossless: predictor must be 1..7")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else max(
+            2, int(img.max(initial=1)).bit_length()
+        )
+    if not (2 <= precision <= 16):
+        raise ValueError("jpeg encode_lossless: precision must be 2..16")
+    pt = int(point_transform)
+    if not (0 <= pt < precision):
+        raise ValueError("jpeg encode_lossless: 0 <= Pt < precision")
+    if img.max(initial=0) >= (1 << precision):
+        raise ValueError("jpeg encode_lossless: samples exceed precision")
+    coded = img.astype(np.int64) >> pt
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    sof = bytearray([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ch)
+    for cid in range(1, ch + 1):
+        sof.extend([cid, 0x11, 0])  # 1x1 sampling; Tq unused in lossless
+    seg(0xC3, bytes(sof))
+    counts, values = DC_LOSSLESS
+    seg(0xC4, bytes([0x00]) + bytes(counts[1:]) + bytes(values))
+    sos = bytearray([ch])
+    for cid in range(1, ch + 1):
+        sos.extend([cid, 0x00])
+    sos.extend([predictor, 0, pt])  # Ss = predictor, Se = 0, AhAl = Pt
+    seg(0xDA, bytes(sos))
+
+    predict = _LL_PREDICT[predictor]
+    default = 1 << (precision - pt - 1)
+    codes = _huffman_codes(*DC_LOSSLESS)
+    writer = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ch):
+                p = coded[:, :, ci]
+                if y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    px = predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff == 32768:
+                    code, length = codes[16]
+                    writer.write(code, length)
+                    continue
+                v = diff if diff < 32768 else diff - 65536
+                size, bits = _mag_bits(v)
+                code, length = codes[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------

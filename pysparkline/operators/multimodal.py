@@ -191,17 +191,20 @@ def decode_image(payload: bytes) -> np.ndarray:
         return via_pil
     if payload.startswith(b"\xff\xd8"):
         # JPEG without Pillow: the pure-numpy from-spec decoder
-        # (operators/jpeg.py) — baseline, progressive, arithmetic, and
-        # 12-bit (uint16 0..4095, shifted down 4 bits here to keep this
-        # function's uniform uint8 contract); lossless still raises
+        # (operators/jpeg.py) — baseline, progressive, arithmetic,
+        # 12-bit, and lossless (SOF3). Deep-precision output (uint16) is
+        # shifted down to this function's uniform uint8 contract by the
+        # stream's declared precision.
         from . import jpeg
 
         try:
             img = jpeg.decode(payload)
+            if img.dtype == np.uint16:
+                img = (img >> (jpeg.stream_precision(payload) - 8)).astype(
+                    np.uint8
+                )
         except ValueError as ex:
             raise UnsupportedMediaError(f"jpeg: {ex}") from ex
-        if img.dtype == np.uint16:
-            img = (img >> 4).astype(np.uint8)
         return img
     if _is_webp(payload):
         # WEBP without Pillow: ffmpeg decodes stills as a 1-frame video
