@@ -2112,6 +2112,198 @@ def knn_join_probe_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_invariant(spark, emb, queries_df, ap, 10, 0.4)
 
 
+# Shared CTE: replay embed.quantize_int8's exact integer codes in SQL —
+# scale = max|v|/127 and floor(v/scale + 0.5) are bit-reproducible across
+# engines (float32 -> float64 casts are exact; same IEEE ops in the same
+# order), verified 0/500 mismatches at sf0.01 before shipping.
+_QUANT_CTE = """
+WITH s AS (
+  SELECT vec_id,
+         (SELECT MAX(ABS(CAST(x AS DOUBLE)))
+          FROM unnest(embedding) AS t(x)) / 127 AS scale,
+         embedding
+  FROM embeddings
+), c AS (
+  SELECT vec_id, scale,
+         [CASE WHEN scale > 0
+               THEN CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)
+               ELSE 0 END
+          FOR x IN embedding] AS codes,
+         embedding
+  FROM s
+)
+"""
+
+
+@_register(
+    "embed_quantize_emb",
+    _QUANT_CTE
+    + """
+SELECT vec_id, round(scale, 9) AS scale_r,
+       CAST((SELECT SUM(ABS(code)) FROM unnest(codes) AS t(code)) AS BIGINT)
+         AS code_l1,
+       CAST((SELECT MAX(ABS(code)) FROM unnest(codes) AS t(code)) AS INTEGER)
+         AS code_max,
+       round((SELECT MAX(ABS(CAST(code AS DOUBLE) * scale
+                            - CAST(v AS DOUBLE)))
+              FROM (SELECT unnest(codes) AS code, unnest(embedding) AS v)),
+             9) AS max_abs_err
+FROM c WHERE vec_id < 50 ORDER BY vec_id
+""",
+)
+def embed_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the 4x storage/scan lever at
+    100 TB): per-vector scale + code stats + max reconstruction error.
+    Codes are exact integer math replayed bit-for-bit by the oracle;
+    error metrics use only order-independent folds (MAX), so no
+    summation-order drift can exist."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import embed
+
+    prep(spark)
+    q = embed.quantize_int8(_emb(spark, sf_dir).where(F.col("vec_id") < 50))
+    err = F.aggregate(
+        F.zip_with(
+            "codes",
+            "embedding",
+            lambda c, v: F.abs(
+                c.cast("double") * F.col("scale") - v.cast("double")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.aggregate(
+            F.transform("codes", lambda c: F.abs(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("code_l1"),
+        F.aggregate(
+            "codes", F.lit(0), lambda acc, c: F.greatest(acc, F.abs(c))
+        ).alias("code_max"),
+        F.round(err, 9).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+@_register(
+    "matryoshka_topk_emb",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv
+           FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(c.embedding[1:16] AS DOUBLE[]),
+                                      CAST(q.qv AS DOUBLE[])), 6) AS cosine
+  FROM embeddings c, q
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+)
+def matryoshka_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncated-dimension retrieval: brute-force cosine
+    top-10 over the first 16 of 64 components — the low-dim shortlist
+    pass of an MRL funnel (4x less vector data scanned; re-rank the
+    shortlist at full dim when precision matters)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import embed
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return embed.matryoshka_topk(emb, queries_df, k=10, dim=16, round_to=6)
+
+
+@_register(
+    "quantized_topk_emb",
+    _QUANT_CTE
+    + """
+, q AS (SELECT vec_id AS query_id, codes AS qc FROM c WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(
+           CAST((SELECT SUM(CAST(x AS BIGINT) * CAST(y AS BIGINT))
+                 FROM (SELECT unnest(c.codes) AS x, unnest(q.qc) AS y))
+                AS DOUBLE)
+           / (sqrt(CAST((SELECT SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT))
+                         FROM (SELECT unnest(c.codes) AS x)) AS DOUBLE))
+            * sqrt(CAST((SELECT SUM(CAST(y AS BIGINT) * CAST(y AS BIGINT))
+                         FROM (SELECT unnest(q.qc) AS y)) AS DOUBLE))),
+           6) AS cosine
+  FROM c, q
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+)
+def quantized_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over int8-quantized vectors (per-vector scales cancel
+    in the cosine, so ranking = cosine of the integer code vectors). The
+    dot products are EXACT integer sums — engine-reproducible with no
+    rounding convention needed until the final normalize."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import embed
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return embed.quantized_cosine_topk(emb, queries_df, k=10, round_to=6)
+
+
+@_register(
+    "hamming_topk_emb",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+h AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST((SELECT COUNT(*)
+               FROM (SELECT unnest(c.embedding) AS x, unnest(q.qv) AS y)
+               WHERE (CAST(x AS DOUBLE) > 0) != (CAST(y AS DOUBLE) > 0))
+              AS INTEGER) AS hamming
+  FROM embeddings c, q
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, neighbor_id) AS rank
+  FROM h
+)
+SELECT query_id, neighbor_id, hamming, rank FROM ranked WHERE rank <= 10
+""",
+)
+def hamming_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) embedding quantization retrieval: Hamming distance
+    over dim/64 packed BIGINT words (32x less data than float32). The
+    Spark side XOR+popcounts the packed words; the oracle counts sign
+    disagreements directly — identical by construction (bit i of word w
+    is component 64w+i's sign; trailing pad bits match)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import embed
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return embed.hamming_topk(emb, queries_df, k=10, rerank=False)
+
+
 @_register(
     "asof_event_purchase",
     """
@@ -5290,15 +5482,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # (e) rows whose code changed this round: knn_join_emb (norm flooring,
 #     cache lifecycle), bpe_train_docs (delta pair-counting),
 #     events_15min_zero_fill (decimal-sum ExprAgg + post-agg);
-# (f) 34 of the 39 r4-verdicted rows (3 rounds old — the oldest cohort).
-# The 5 r4 rows that did not fit head the NEXT rotation, each with its
+# (f) 30 of the 39 r4-verdicted rows (3 rounds old — the oldest cohort);
+# (g) the 4 embedding-compression rows NEW this round (embed_quantize_emb,
+#     matryoshka_topk_emb, quantized_topk_emb, hamming_topk_emb) — new
+#     machinery gets a driver verdict immediately; their slots displace 4
+#     more r4 rows below the boundary (spatial_bounds, tz_daily_revenue,
+#     sql_select_scan, sql_subquery).
+# The 9 r4 rows that did not fit head the NEXT rotation, each with its
 # touched surface covered in-window: sql_latest_per_key (QUALIFY machinery
 # via sql_qualify_topk), events_15min (duration granularity via the
 # in-window events_15min_zero_fill superset), topn_monthly_brand (TopN
 # lowering via topn_brand + approx_topn_filtered), running_totals_user
 # (window lowering via sql_window_nth/qualify rows), avg_null_aware (avg
-# decomposition via q17's AVG). All below-boundary rows run typed+ordered
-# against their oracles every pytest (tests/test_entry_oracle.py).
+# decomposition via q17's AVG), spatial_bounds (spatial filter lowering —
+# r4-green, untouched since), tz_daily_revenue (tz granularity via
+# events_15min_zero_fill + q1_month), sql_select_scan / sql_subquery
+# (select lowering + subquery flatten — fuzzer-covered every pytest).
+# All below-boundary rows run typed+ordered against their oracles every
+# pytest (tests/test_entry_oracle.py).
 _PRIORITY = [
     "federated_rev_events",
     "knn_join_probe_emb",
@@ -5344,14 +5545,18 @@ _PRIORITY = [
     "minhash_pairs_docs",
     "dedup_clusters_docs",
     "decontaminate_docs",
+    "embed_quantize_emb",
+    "matryoshka_topk_emb",
+    "quantized_topk_emb",
+    "hamming_topk_emb",
     "sessionize_stats",
     "funnel_events",
+    # --- 50-query window boundary ---
     "spatial_bounds",
     "tz_daily_revenue",
     "sql_select_scan",
     "sql_subquery",
     "skew_salted_distinct",
-    # --- 50-query window boundary ---
     "sql_latest_per_key",
     "events_15min",
     "topn_monthly_brand",
