@@ -3664,6 +3664,57 @@ def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bigram_nll_docs",
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(ts) AS tok FROM tok) GROUP BY tok
+),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+p1 AS (SELECT tok, (c + 1.0) / (n + v) AS p1 FROM uni, tot),
+bg AS (
+  SELECT doc_id,
+         unnest(ts[1:len(ts) - 1]) AS w1,
+         unnest(ts[2:len(ts)]) AS w2
+  FROM tok WHERE len(ts) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c2) AS cc FROM c2 GROUP BY w1)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(-avg(ln(
+         CAST(0.7 AS DOUBLE) * (CAST(c2.c2 AS DOUBLE) / CAST(ctx.cc AS DOUBLE))
+         + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * p1.p1
+       )), 6) AS nll
+FROM bg b
+JOIN c2 USING (w1, w2)
+JOIN ctx USING (w1)
+JOIN p1 ON p1.tok = b.w2
+GROUP BY b.doc_id ORDER BY b.doc_id
+""",
+)
+def bigram_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (lam*p_bigram + (1-lam)*p1_addone,
+    lam=0.7) — the fidelity rung above the unigram filter toward CCNet's
+    5-gram KenLM. Exact dual implementation in DuckDB: same tokenizer
+    regex, same smoothing, and the interpolation complement computed as
+    the SAME IEEE subtraction (1.0 - 0.7 in float64) on both engines —
+    a decimal-literal 0.3 would differ from the double by 1 ULP."""
+    from pysparkline.operators import text
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    return text.bigram_perplexity_scores(docs, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+@_register(
     "stratified_sample_docs",
     """
 SELECT lang, COUNT(*) AS n_total, TRUE AS sample_ok
@@ -5483,12 +5534,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     cache lifecycle), bpe_train_docs (delta pair-counting),
 #     events_15min_zero_fill (decimal-sum ExprAgg + post-agg);
 # (f) 30 of the 39 r4-verdicted rows (3 rounds old — the oldest cohort);
-# (g) the 4 embedding-compression rows NEW this round (embed_quantize_emb,
-#     matryoshka_topk_emb, quantized_topk_emb, hamming_topk_emb) — new
-#     machinery gets a driver verdict immediately; their slots displace 4
-#     more r4 rows below the boundary (spatial_bounds, tz_daily_revenue,
-#     sql_select_scan, sql_subquery).
-# The 9 r4 rows that did not fit head the NEXT rotation, each with its
+# (g) the 5 rows NEW this round beyond (c) — embedding compression
+#     (embed_quantize_emb, matryoshka_topk_emb, quantized_topk_emb,
+#     hamming_topk_emb) and the interpolated bigram LM (bigram_nll_docs) —
+#     new machinery gets a driver verdict immediately; their slots displace
+#     5 more r4 rows below the boundary (funnel_events, spatial_bounds,
+#     tz_daily_revenue, sql_select_scan, sql_subquery).
+# The 10 r4 rows that did not fit head the NEXT rotation, each with its
 # touched surface covered in-window: sql_latest_per_key (QUALIFY machinery
 # via sql_qualify_topk), events_15min (duration granularity via the
 # in-window events_15min_zero_fill superset), topn_monthly_brand (TopN
@@ -5497,7 +5549,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # decomposition via q17's AVG), spatial_bounds (spatial filter lowering —
 # r4-green, untouched since), tz_daily_revenue (tz granularity via
 # events_15min_zero_fill + q1_month), sql_select_scan / sql_subquery
-# (select lowering + subquery flatten — fuzzer-covered every pytest).
+# (select lowering + subquery flatten — fuzzer-covered every pytest),
+# funnel_events (events.py window machinery via in-window sessionize_stats).
 # All below-boundary rows run typed+ordered against their oracles every
 # pytest (tests/test_entry_oracle.py).
 _PRIORITY = [
@@ -5549,9 +5602,10 @@ _PRIORITY = [
     "matryoshka_topk_emb",
     "quantized_topk_emb",
     "hamming_topk_emb",
+    "bigram_nll_docs",
     "sessionize_stats",
-    "funnel_events",
     # --- 50-query window boundary ---
+    "funnel_events",
     "spatial_bounds",
     "tz_daily_revenue",
     "sql_select_scan",

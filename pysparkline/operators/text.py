@@ -217,6 +217,109 @@ def perplexity_scores(
     )
 
 
+def _bigrams_expr(toks: Column) -> Column:
+    """Array of (w1, w2) structs for adjacent token pairs — a narrow
+    per-row map (zip the array with itself shifted by one), no shuffle."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+
+
+def bigram_lm(
+    df: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Corpus bigram LM tables: (bigram_counts(w1, w2, c2),
+    context_counts(w1, cc), unigram_probs(tok, p1)) over lowercased
+    whitespace tokens. ``p1`` is add-one smoothed ((c+1)/(N+V), the same
+    model :func:`unigram_lm` logs).
+
+    Scale: ONE map-side-combined shuffle over the bigram stream builds
+    ``bigram_counts``; ``context_counts`` re-aggregates that (already
+    model-sized) table, and unigrams ride their own single shuffle. All
+    three tables are vocabulary-scaled — weakly sub-linear in corpus
+    size — so downstream joins stay AQE-broadcastable until the bigram
+    vocabulary itself is huge, at which point they are ordinary
+    equi-joins on (w1, w2)."""
+    toks = df.select(tokens_col(F.lower(F.col(text_col))).alias("__toks"))
+    big = (
+        toks.where(F.size("__toks") >= 2)
+        .select(F.explode(_bigrams_expr(F.col("__toks"))).alias("bg"))
+        .select("bg.w1", "bg.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("cc"))
+    uni = (
+        toks.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    p1 = uni.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        ((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))).alias("p1"),
+    )
+    return c2, ctx, p1
+
+
+def bigram_perplexity_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an INTERPOLATED
+    bigram LM — the next-fidelity rung above :func:`perplexity_scores`
+    toward the CCNet 5-gram-KenLM quality filter:
+    ``p(w2|w1) = lam * c(w1 w2)/c(w1 ·) + (1-lam) * p1(w2)``.
+    Returns (id, n_bigrams, nll); documents with < 2 tokens are dropped
+    (no bigram likelihood is defined).
+
+    The quality-filter usage is scoring against a REFERENCE model (pass
+    ``lm`` built on e.g. curated text, the CCNet setup): clean text
+    scores low, divergent text high, and bigrams absent from the model
+    are skipped (inner join — the unigram operator's ANSI-portable
+    convention). Self-scoring (the default) measures IN-CORPUS
+    typicality instead: repeated template text scores lowest, but
+    one-off noise ALSO scores low because its singleton contexts get ML
+    probability 1 — the overfit regime reference-model scoring exists
+    to avoid (and why CCNet trains on Wikipedia, not the corpus being
+    filtered).
+
+    Scale: tokenize + bigram expansion are narrow maps; scoring is three
+    equi-joins against model-sized tables + one map-side-combined
+    aggregation by doc id. Nothing driver-side, nothing all-pairs."""
+    c2, ctx, p1 = lm if lm is not None else bigram_lm(df, text_col)
+    big = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            tokens_col(F.lower(F.col(text_col))).alias("__toks"),
+        )
+        .where(F.size("__toks") >= 2)
+        .select("__id", F.explode(_bigrams_expr(F.col("__toks"))).alias("bg"))
+        .select("__id", "bg.w1", "bg.w2")
+    )
+    p = (
+        F.lit(float(lam)) * (F.col("c2") / F.col("cc"))
+        + F.lit(1.0 - float(lam)) * F.col("p1")
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(p1, F.col("w2") == F.col("tok"))
+        .select("__id", F.log(p).alias("__logp"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("__logp"), 6).alias("nll"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized-content fingerprint: md5 of (lowercased, whitespace-collapsed,
     trimmed) text — the exact-dedup key for near-identical formatting."""
