@@ -1524,6 +1524,104 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "hybrid_rrf_docs",
+    """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclens AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS dl
+  FROM documents
+),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+postings AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('data', 'model', 'quality', 'training')
+  GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfreq
+          FROM postings GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (c.n - f.dfreq + 0.5) / (f.dfreq + 0.5))
+           * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(p.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE) / c.avgdl))
+         ), 4) AS score
+  FROM postings p
+  JOIN doclens d ON p.doc_id = d.doc_id
+  JOIN dfreq f ON p.term = f.term
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored ORDER BY score DESC, doc_id LIMIT 20
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.qv AS DOUBLE[])), 6) AS cosine
+  FROM embeddings c, q
+),
+cos AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+  FROM sims ORDER BY cosine DESC, doc_id LIMIT 20
+),
+u AS (SELECT doc_id, rank FROM bm
+      UNION ALL SELECT doc_id, rank FROM cos),
+f AS (
+  SELECT doc_id,
+         round(SUM(CAST(1.0 AS DOUBLE) / (60 + rank)), 9) AS rrf_score,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, n_lists,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack 2009) of the BM25
+    lexical top-20 over documents and the dense cosine top-20 for query
+    vector 0 (vec_id doubling as doc_id in this fixture) — the standard
+    lexical+dense serving combiner, rank-space so the two score scales
+    never need calibrating. Fusion math is engine-reproducible: both input
+    rankings are already deterministic driver rows; per-doc RRF sums <= 2
+    doubles (commutative) rounded to 9."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import search, similarity
+
+    prep(spark)
+    bm = search.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=20)
+    bm_r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    emb = _emb(spark, sf_dir)
+    cos = similarity.brute_force_cosine_topk(
+        emb,
+        emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=20,
+        round_to=6,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return search.rrf_fuse([bm_r, cos], k=10)
+
+
+@_register(
     "pack_docs",
     r"""
 WITH t AS (
@@ -5534,13 +5632,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     cache lifecycle), bpe_train_docs (delta pair-counting),
 #     events_15min_zero_fill (decimal-sum ExprAgg + post-agg);
 # (f) 30 of the 39 r4-verdicted rows (3 rounds old — the oldest cohort);
-# (g) the 5 rows NEW this round beyond (c) — embedding compression
+# (g) the 6 rows NEW this round beyond (c) — embedding compression
 #     (embed_quantize_emb, matryoshka_topk_emb, quantized_topk_emb,
-#     hamming_topk_emb) and the interpolated bigram LM (bigram_nll_docs) —
-#     new machinery gets a driver verdict immediately; their slots displace
-#     5 more r4 rows below the boundary (funnel_events, spatial_bounds,
+#     hamming_topk_emb), the interpolated bigram LM (bigram_nll_docs), and
+#     hybrid RRF retrieval (hybrid_rrf_docs) — new machinery gets a driver
+#     verdict immediately; their slots displace 6 more r4 rows below the
+#     boundary (sessionize_stats, funnel_events, spatial_bounds,
 #     tz_daily_revenue, sql_select_scan, sql_subquery).
-# The 10 r4 rows that did not fit head the NEXT rotation, each with its
+# The 11 r4 rows that did not fit head the NEXT rotation, each with its
 # touched surface covered in-window: sql_latest_per_key (QUALIFY machinery
 # via sql_qualify_topk), events_15min (duration granularity via the
 # in-window events_15min_zero_fill superset), topn_monthly_brand (TopN
@@ -5550,7 +5649,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # r4-green, untouched since), tz_daily_revenue (tz granularity via
 # events_15min_zero_fill + q1_month), sql_select_scan / sql_subquery
 # (select lowering + subquery flatten — fuzzer-covered every pytest),
-# funnel_events (events.py window machinery via in-window sessionize_stats).
+# sessionize_stats / funnel_events (events.py session-window machinery,
+# r4-green, untouched since; interval_join_events r6-green shares the module).
 # All below-boundary rows run typed+ordered against their oracles every
 # pytest (tests/test_entry_oracle.py).
 _PRIORITY = [
@@ -5603,8 +5703,9 @@ _PRIORITY = [
     "quantized_topk_emb",
     "hamming_topk_emb",
     "bigram_nll_docs",
-    "sessionize_stats",
+    "hybrid_rrf_docs",
     # --- 50-query window boundary ---
+    "sessionize_stats",
     "funnel_events",
     "spatial_bounds",
     "tz_daily_revenue",

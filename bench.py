@@ -132,6 +132,9 @@ LLM_OPS = [
     "sql_qualify_topk",
     "vocab_topk_docs",
     "knn_join_emb",
+    "quantized_topk_emb",
+    "hamming_topk_emb",
+    "bigram_nll_docs",
 ]
 
 

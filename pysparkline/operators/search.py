@@ -191,6 +191,50 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    query_col: str | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
+    lists — the standard hybrid-retrieval combiner (BM25 lexical + dense
+    cosine): ``rrf_score(d) = sum over lists of 1/(k0 + rank_d)``. Rank
+    space only, so the lists' score scales never need calibrating.
+
+    Each input needs (``id_col``, ``rank_col``) and, for multi-query
+    fusion, ``query_col``. Returns (query?, id, rrf_score, n_lists, rank)
+    — top-``k`` by (rrf_score DESC, id ASC), score rounded to 9 (a
+    group sums <= N doubles; rounding absorbs the <= 1-ULP association
+    noise so ranking is engine-reproducible).
+
+    Scale: the input lists are ALREADY top-n-per-query (bounded: N*n
+    rows per query), so the union + groupBy + per-query window all run
+    over candidate-set-sized data — the expensive retrieval stays in
+    the upstream operators."""
+    from pyspark.sql import Window
+
+    sel = ([query_col] if query_col else []) + [id_col, rank_col]
+    fused = rankings[0].select(*sel)
+    for r in rankings[1:]:
+        fused = fused.unionByName(r.select(*sel))
+    keys = ([query_col] if query_col else []) + [id_col]
+    agg = fused.groupBy(*keys).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(int(k0)) + F.col(rank_col))), 9
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy(*([query_col] if query_col else [])).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return agg.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 class TextIndex:
     """Persisted inverted index: the BM25 serving posture for a 100 TB corpus.
 
