@@ -109,22 +109,30 @@ def bpe_train(
     n_merges: int,
     min_freq: int = 1,
     checkpoint_every: int = 16,
-    delta_counts: bool = True,
+    delta_counts: bool = False,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns
     [(merge_rank, lhs, rhs, freq), ...] in learned order (the merge table
     is n_merges rows — driver-sized by definition; the word table never
     leaves the cluster). Stops early when no pair reaches ``min_freq``.
 
-    ``delta_counts=True`` (default — VERDICT r6 #4): the full pair table
-    is aggregated ONCE, then each merge round updates it from only the
-    words CONTAINING the merged pair — a merge cannot change adjacency
-    counts anywhere else (the standard fastBPE/HuggingFace delta), so the
-    per-round shuffle is delta-sized (the affected words' old pairs out,
-    new pairs in) instead of a full vocabulary explode+aggregate; the
-    vocabulary is only re-SCANNED narrowly for the containment predicate.
-    ``delta_counts=False`` keeps the full re-aggregation as the
-    verification mode (property-tested equal in tests/test_bpe.py)."""
+    ``delta_counts=True`` implements the classic fastBPE/HuggingFace
+    delta: the pair table is aggregated ONCE, then each round updates it
+    from only the words CONTAINING the merged pair (a merge cannot
+    change adjacency counts anywhere else). **Measured dead end as the
+    default** (VERDICT r6 #4 asked for it; the probe falsified the
+    premise): in the relational setting every delta round must
+    full-outer-join and RE-MATERIALIZE the whole pair-count table so the
+    next argmax can read it, plus scan the vocabulary for the
+    containment predicate — while the "naive" full re-aggregation is a
+    single map-side-combined shuffle over the (already vocab-sized,
+    NOT corpus-sized) word table. Measured on local[16], identical merge
+    tables both modes: 49k-word vocab / 3M tokens -> full 0.91 s/merge
+    vs delta 9.13; 573k-word vocab / 6M tokens -> full 3.08 s/merge vs
+    delta 46.5. The in-memory trick wins because a hashmap update is
+    free; a distributed table rewrite is not, and the gap WIDENS with
+    vocabulary (SCALE.md "BPE delta probe"). Kept as an opt-in
+    verification mode, property-tested equal in tests/test_bpe.py."""
     base = (
         word_counts(df, text_col)
         .select(F.split(F.col("word"), "").alias("syms"), F.col("cnt"))

@@ -186,10 +186,12 @@ def test_train_matches_reference_random_corpora(spark):
         got = bpe.bpe_train(df, "text", n_merges=6)
         want = _ref_train(texts, 6)
         assert got == want, (trial, texts, got, want)
-        # VERDICT r6 #4: the delta-counting default must equal the full
-        # re-aggregation verification mode exactly (ranks, pairs, freqs)
-        full = bpe.bpe_train(df, "text", n_merges=6, delta_counts=False)
-        assert got == full, (trial, texts, got, full)
+        # VERDICT r6 #4: delta counting must equal the full re-aggregation
+        # default exactly (ranks, pairs, freqs). Delta lost the benchmark
+        # (see bpe_train docstring) so full is now the default and delta
+        # the property-tested alternative formulation.
+        delta = bpe.bpe_train(df, "text", n_merges=6, delta_counts=True)
+        assert got == delta, (trial, texts, got, delta)
         merges = got
         out = {
             r.id: list(r.tokens)
