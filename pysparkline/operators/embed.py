@@ -137,6 +137,14 @@ def quantize_1bit(
     overflow even for bit 63 (ANSI mode would throw on SUM(2^63))."""
     vec = F.col(vec_col)
     n_words = F.ceil(F.size(vec) / F.lit(64)).cast("int")
+    # F.sequence(0, n-1) runs DESCENDING for n=0 (default step -1 when
+    # start > stop), which would fabricate two garbage words for an empty
+    # vector — guard empty to [] and NULL to NULL explicitly
+    idx = (
+        F.when(vec.isNull(), F.lit(None).cast("array<int>"))
+        .when(n_words <= 0, F.array().cast("array<int>"))
+        .otherwise(F.sequence(F.lit(0), n_words - 1))
+    )
     word = lambda w: F.aggregate(  # noqa: E731
         F.zip_with(
             F.slice(vec, w * 64 + 1, 64),
@@ -151,10 +159,7 @@ def quantize_1bit(
         F.lit(0).cast("long"),
         lambda acc, b: acc.bitwiseOR(b),
     )
-    return df.withColumn(
-        out_col,
-        F.transform(F.sequence(F.lit(0), n_words - 1), word),
-    )
+    return df.withColumn(out_col, F.transform(idx, word))
 
 
 def hamming64(a, b) -> F.Column:
@@ -257,8 +262,13 @@ def hamming_topk(
     joined = bc.crossJoin(bq).withColumn(
         "hamming", hamming64(F.col("__bits"), F.col("__qbits"))
     )
+    # all vectors must share one dimension (the standard embedding-ops
+    # contract); a dimension-mismatched row yields NULL hamming (zip_with
+    # pads, popcount of null is null) — asc_nulls_last keeps such rows out
+    # of the shortlist instead of ranking them first (Spark default is
+    # NULLS FIRST on ASC)
     wh = Window.partitionBy("query_id").orderBy(
-        F.col("hamming").asc(), F.col("neighbor_id").asc()
+        F.col("hamming").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     short = joined.withColumn("__hrank", F.row_number().over(wh)).where(
         F.col("__hrank") <= (sl if rerank else k)

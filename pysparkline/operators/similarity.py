@@ -39,8 +39,14 @@ def _norm(a):
 
 def cosine_similarity_col(a, b):
     """Cosine similarity of two array<numeric> columns, computed JVM-side with
-    strict left-to-right accumulation (deterministic)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    strict left-to-right accumulation (deterministic). Norms are floored at
+    1e-12 so a zero vector yields cosine 0.0 — NOT NaN (double 0/0), which
+    Spark's DESC ordering ranks GREATEST, silently putting garbage first;
+    this matches knn_join's numpy kernel exactly (review r7: the kernel
+    claimed parity with this function before this function actually had
+    the floor)."""
+    denom = F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+    return _dot(a, b) / denom
 
 
 def brute_force_cosine_topk(

@@ -1225,8 +1225,12 @@ def _analyze_select(
                     # The BI set-op staple: SELECT 'actual' AS src, ...
                     # UNION ALL SELECT 'plan' AS src, ...
                     name = out_name_of(item, i)
+                    # render (not _render_const): _is_const also accepts
+                    # CAST-wrapped constants (DuckDB serializes DATE '...'
+                    # as CAST of a VARCHAR constant), which have no
+                    # node["value"] — render() handles both shapes
                     a.post_aggs.append(
-                        ir.ArithmeticPostAgg(name, _render_const(item))
+                        ir.ArithmeticPostAgg(name, render(item))
                     )
                     a.output_order.append(name)
                     continue
@@ -1862,6 +1866,22 @@ def _subst_ctes_deep(node: dict, defs: dict[str, dict]) -> None:
         _subst_cte_tables(node, defs)
 
 
+def _auto_alias_consts_deep(node: dict) -> None:
+    """Alias unaliased constant select items in every SELECT under a
+    set-op arm whose output names are positionally discarded (ANSI: the
+    left arm names the result). Constants only — any other unaliased
+    expression still requires a name so errors stay early and local."""
+    if node.get("type") == "SET_OPERATION_NODE":
+        _auto_alias_consts_deep(node["left"])
+        _auto_alias_consts_deep(node["right"])
+        return
+    if node.get("type") != "SELECT_NODE":
+        return
+    for i, item in enumerate(node.get("select_list") or []):
+        if _is_const(item) and not item.get("alias"):
+            item["alias"] = f"__setop_c{i}"
+
+
 def _parse_setop(
     node: dict,
     time_col: str | None,
@@ -1895,6 +1915,13 @@ def _parse_setop(
         _subst_ctes_deep(node["left"], defs)
         _subst_ctes_deep(node["right"], defs)
         node["cte_map"] = {"map": []}
+    # ANSI: only the LEFT arm's column names reach the output (lowering
+    # renames every right arm positionally), so the BI staple
+    #   SELECT 'actual' AS src, ... UNION ALL SELECT 'plan', ...
+    # must not decline just because the right arm's constant lacks an
+    # alias — auto-alias unaliased constants in the whole right subtree
+    # (its leftmost SELECT's names are discarded by THIS op too)
+    _auto_alias_consts_deep(node["right"])
     left = _parse_node(node["left"], time_col, fact_table, star)
     right = _parse_node(node["right"], time_col, fact_table, star)
     lout, rout = _spec_outputs(left), _spec_outputs(right)

@@ -129,6 +129,42 @@ def test_quantize_1bit_packing_matches_sign_count(spark):
             assert ham == direct, (x.vec_id, y.vec_id)
 
 
+def test_quantize_1bit_empty_and_null(spark):
+    """F.sequence(0, -1) runs DESCENDING — an empty vector must pack to []
+    (not two garbage words) and NULL must stay NULL (review r7 #2)."""
+    df = spark.createDataFrame(
+        [(0, []), (1, None), (2, [1.0, -1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {r.vec_id: r.bits for r in embed.quantize_1bit(df).collect()}
+    assert list(rows[0]) == []
+    assert rows[1] is None
+    assert len(rows[2]) == 1 and rows[2][0] == 1
+
+
+def test_zero_vector_cosine_is_zero_not_nan(spark):
+    """cosine_similarity_col floors the norm: a zero vector scores 0.0
+    (ranked below any positive cosine), never NaN (which Spark's DESC
+    ordering ranks GREATEST) — and brute_force therefore agrees with
+    knn_join's numpy kernel on zero-norm rows (review r7 #4)."""
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [-1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id int, embedding array<float>"
+    )
+    bf = similarity.brute_force_cosine_topk(corpus, q, k=3, round_to=6)
+    got = {r.neighbor_id: r for r in bf.collect()}
+    assert got[0].cosine == 0.0 and not got[0].cosine != got[0].cosine
+    assert got[1].rank == 1 and got[0].rank == 2 and got[2].rank == 3
+    kj = similarity.knn_join(
+        corpus, q, k=3, n_cells=2, cache_assignment=False
+    )
+    kj_rows = {r.neighbor_id: r.rank for r in kj.collect()}
+    assert kj_rows == {1: 1, 0: 2, 2: 3}
+
+
 def test_hamming_topk_self_first_and_k_rows(spark, emb, queries_df):
     ht = embed.hamming_topk(emb, queries_df, k=5)
     rows = ht.collect()

@@ -176,6 +176,48 @@ FROM lineitem
     assert ctx.query_history[-1].backing != "sparksql"
 
 
+def test_unaliased_right_arm_constant_serves(ctx, duck):
+    """ANSI: only the left arm names the output, so BI-emitted statements
+    that alias constants ONLY in the first arm must still serve (review
+    r7 #3 — this shape used to decline to spark.sql)."""
+    sql = """
+SELECT 'early' AS period, COUNT(*) AS n
+FROM lineitem WHERE l_shipdate < DATE '1997-01-01'
+UNION ALL
+SELECT 'late', COUNT(*)
+FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+"""
+    _same(ctx, duck, sql)
+    assert ctx.query_history[-1].backing != "sparksql"
+
+
+def test_unaliased_left_arm_constant_still_declines(ctx, duck):
+    """The LEFT arm's names ARE the output names — an unaliased constant
+    there keeps requiring an alias (falls back, stays correct)."""
+    sql = """
+SELECT 'early', COUNT(*) AS n
+FROM lineitem WHERE l_shipdate < DATE '1997-01-01'
+UNION ALL
+SELECT 'late' AS period, COUNT(*) AS n
+FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+"""
+    got = [tuple(r) for r in ctx.sql(sql).collect()]
+    assert len(got) == 2
+    assert ctx.query_history[-1].backing == "sparksql"
+
+
+def test_cast_wrapped_constant_renders(ctx, duck):
+    """DATE '...' literals parse as CAST-of-VARCHAR-constant; the constant
+    post-agg path must render them instead of raising KeyError (review
+    r7 #1 — a crash, not a decline: fallback never got the chance)."""
+    sql = """
+SELECT DATE '1997-01-01' AS cutoff, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+FROM lineitem WHERE l_shipdate < DATE '1997-01-01'
+"""
+    _same(ctx, duck, sql)
+
+
 def test_setop_explain_names_both_arms(ctx):
     txt = ctx.explain_rewrite(UNION_ALL)
     assert "SetOpQuery (union all)" in txt
