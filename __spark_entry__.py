@@ -1374,6 +1374,48 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "fuzzy_join_docs",
+    r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 4, 1) + 1),
+           i -> substr(text, i, 5))) AS s
+  FROM documents
+), inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+common AS (
+  SELECT l.doc_id AS left_id, r.doc_id AS right_id, l.n AS na, r.n AS nb,
+         count(*) AS c
+  FROM inv l JOIN inv r ON l.g = r.g
+  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+  GROUP BY 1, 2, 3, 4
+)
+SELECT left_id, right_id, round(c * 1.0 / (na + nb - c), 6) AS jaccard
+FROM common WHERE c * 1.0 / (na + nb - c) >= 0.5
+""",
+)
+def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy JOIN (entity resolution between two datasets):
+    even-id documents joined against odd-id documents on exact shingle
+    Jaccard >= 0.5 via cross-table MinHash banding + exact verify —
+    dedup-against-another-dataset, the snapshot-linking staple. Recall
+    argument identical to minhash_pairs_docs (fixture near-dups sit at
+    j >= 0.9 where 16x4 banding misses with p ~ 3e-8); the oracle is the
+    exact cross-half pair set."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import dedup
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    return dedup.fuzzy_join(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+    )
+
+
+@_register(
     "ngram_jaccard_docs",
     r"""
 WITH toks AS (

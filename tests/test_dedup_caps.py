@@ -79,6 +79,47 @@ def test_minhash_verify_equals_exact(spark):
     assert (200, 201) in got and (300, 301) in got
 
 
+def test_fuzzy_join_cross_table(spark):
+    """Cross-corpus fuzzy join: finds planted left-right near-dups, emits
+    NO within-table pairs, ids may overlap across tables, and equals the
+    brute-force cross-table exact-Jaccard set."""
+    left_rows = [
+        (i, f"left corpus distinct document {i} about topic {i * 13}")
+        for i in range(20)
+    ] + [
+        (100, "the quick brown fox jumps over the lazy dog again and again"),
+        # within-LEFT near-dup pair: must NOT appear in the join output
+        (101, "the quick brown fox jumps over the lazy dog again and again!"),
+    ]
+    right_rows = [
+        (i, f"right corpus other document {i} concerning {i * 31}")
+        for i in range(20)
+    ] + [
+        (100, "the quick brown fox jumps over the lazy dog again and again?"),
+    ]
+    L = spark.createDataFrame(left_rows, "doc_id long, text string")
+    R = spark.createDataFrame(right_rows, "doc_id long, text string")
+    got = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in dedup.fuzzy_join(L, R, threshold=0.5).collect()
+    }
+    assert (100, 100) in got and (101, 100) in got
+    assert all(k[0] in (100, 101) and k[1] == 100 for k in got)
+    # brute-force cross-table exact set
+    shl = L.select("doc_id", dedup.shingle_set_col(F.col("text"), 5).alias("s"))
+    shr = R.select("doc_id", dedup.shingle_set_col(F.col("text"), 5).alias("s"))
+    inter = F.size(F.array_intersect("a.s", "b.s"))
+    uni = F.size("a.s") + F.size("b.s") - inter
+    brute = (
+        shl.alias("a")
+        .crossJoin(shr.alias("b"))
+        .where(inter / uni >= 0.5)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .collect()
+    )
+    assert set(got) == {(r.x, r.y) for r in brute}
+
+
 def test_simhash_matches_duckdb(spark, duck):
     """The md5-based 60-bit simhash is bit-identical across engines — the
     portability property the driver oracle depends on."""
