@@ -240,10 +240,19 @@ def hamming_topk(
     shortlist: int | None = None,
 ) -> DataFrame:
     """1-bit top-k: Hamming shortlist over packed sign bits (32x less
-    data scanned), then exact float cosine re-rank of the shortlist
-    (``shortlist`` per query, default 4k) — the binary-MRL serving
-    pattern. ``rerank=False`` returns the raw Hamming ranking
-    (ties broken by neighbor id)."""
+    data scanned; 21x smaller on-disk parquet measured), then exact
+    float cosine re-rank of the shortlist (``shortlist`` per query,
+    default 4*k) — the binary-MRL serving pattern. ``rerank=False``
+    returns the raw Hamming ranking (ties broken by neighbor id).
+
+    Sizing ``shortlist`` (measured, SCALE.md "embedding compression
+    probe"): sign bits resolve CLUSTER-level structure but not
+    within-cluster order — on a 500k corpus with ~15k-point clusters,
+    recall@10 vs the float ranking was 0.11 at shortlist 100, 0.41 at
+    1000, and 0.95 at 8000 (~ the cluster mass), still 2.6x faster than
+    the float brute force. Set ``shortlist`` to the expected mass of a
+    query's neighborhood cluster, not a small multiple of k, for
+    clustered (i.e. real) embedding distributions."""
     from pyspark.sql import Window
 
     sl = shortlist or 4 * k
