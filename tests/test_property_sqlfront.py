@@ -262,6 +262,54 @@ def select_sqls(draw):
     return sql
 
 
+@st.composite
+def setop_sqls(draw):
+    """Random two-arm set operations (round-7 surface): both arms share a
+    shape (same column count/types); UNION ALL may carry per-arm constant
+    tags (left aliased, right UNALIASED — the ANSI left-arm-names rule
+    and the auto-alias path); distinct-semantics ops (UNION/INTERSECT/
+    EXCEPT) avoid SUM so per-engine float dedup cannot diverge, and share
+    one tag value so intersections are non-vacuous."""
+    gcols = draw(st.lists(dim, min_size=1, max_size=2, unique=True))
+    op = draw(
+        st.sampled_from(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+    )
+    m = draw(st.sampled_from(METRICS))
+    if op == "UNION ALL":
+        agg = draw(
+            st.sampled_from(["COUNT(*)", "SUM({m})", "MIN({m})", "MAX({m})"])
+        ).format(m=m)
+        tags = ("actual", "plan")
+    else:
+        # exact-valued aggregates only: dedup on a 1-ULP-different SUM
+        # would collapse rows differently per engine
+        agg = draw(
+            st.sampled_from(["COUNT(*)", "MIN({m})", "MAX({m})"])
+        ).format(m=m)
+        tags = ("t", "t")
+    with_tag = draw(st.booleans())
+
+    def arm(where, tagval, first):
+        sel = []
+        if with_tag:
+            sel.append(f"'{tagval}' AS tag" if first else f"'{tagval}'")
+        sel += list(gcols)
+        sel.append(f"{agg} AS m0" if first else agg)
+        return (
+            f"SELECT {', '.join(sel)} FROM lineitem{where} "
+            f"GROUP BY {', '.join(gcols)}"
+        )
+
+    # no ORDER BY ... LIMIT draw: a LIMIT cut at a tied prefix of gcols[0]
+    # is engine-nondeterministic; the statement-level modifier path is
+    # covered by the deterministic unit tests (test_setop_limit_offset)
+    return (
+        arm(draw(where_clauses()), tags[0], True)
+        + f" {op} "
+        + arm(draw(where_clauses()), tags[1], False)
+    )
+
+
 @pytest.fixture(scope="module")
 def harness(spark):
     idx = tpch.build_or_load_index(spark, SF)
@@ -328,3 +376,34 @@ def test_random_sql_matches_duckdb(harness, sql):
     )
     # fuzzed SQL must stay inside the rewrite surface, not silently fall back
     assert backing in ("cube", "flat"), backing
+
+
+@settings(
+    max_examples=25 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sql=setop_sqls())
+def test_random_setops_match_duckdb(harness, sql):
+    ctx, con = harness
+    got = sorted(
+        [tuple(_norm(x) for x in r) for r in ctx.sql(sql).collect()],
+        key=_sort_key,
+    )
+    exp = sorted(
+        [tuple(_norm(x) for x in r) for r in con.execute(sql).fetchall()],
+        key=_sort_key,
+    )
+    backing = ctx.query_history[-1].backing
+    ok = len(got) == len(exp) and all(
+        _rows_equal(a, b) for a, b in zip(got, exp)
+    )
+    assert ok, (
+        f"\nsql: {sql}\nbacking: {backing}\n"
+        f"got {len(got)} rows, exp {len(exp)}\n"
+        f"first diff: "
+        f"{next(((a, b) for a, b in zip(got, exp) if not _rows_equal(a, b)), None)}"
+    )
+    # both arms must be index-served (one combined DAG, no fallback)
+    assert backing.startswith("setop["), backing
+    assert "sparksql" not in backing
