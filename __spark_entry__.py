@@ -2365,6 +2365,58 @@ def matryoshka_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "matryoshka_funnel_emb",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+s16 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(c.embedding[1:16] AS DOUBLE[]),
+                                      CAST(q.qv[1:16] AS DOUBLE[])), 6)
+           AS cos16
+  FROM embeddings c, q
+), short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos16 DESC, neighbor_id) AS r
+        FROM s16)
+  WHERE r <= 40
+), rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.qv AS DOUBLE[])), 6) AS cosine
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+)
+def matryoshka_funnel_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MRL funnel: dim-16 prefix cosine shortlists 40 candidates
+    per query (reading 1/4 of the vector bytes), the shortlist alone is
+    re-ranked at full 64 dims. Oracle replays both phases; the shortlist
+    cut ranks on ROUNDED prefix cosine so membership is
+    engine-reproducible."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import embed
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return embed.matryoshka_funnel_topk(
+        emb, queries_df, k=10, dim=16, shortlist=40, round_to=6
+    )
+
+
+@_register(
     "quantized_topk_emb",
     _QUANT_CTE
     + """

@@ -42,6 +42,7 @@ __all__ = [
     "quantize_1bit",
     "hamming64",
     "matryoshka_topk",
+    "matryoshka_funnel_topk",
     "quantized_cosine_topk",
     "hamming_topk",
 ]
@@ -195,6 +196,73 @@ def matryoshka_topk(
         query_id=query_id,
         query_vec=query_vec,
         round_to=round_to,
+    )
+
+
+def matryoshka_funnel_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    shortlist: int | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """The full MRL funnel: brute-force cosine over the first ``dim``
+    components shortlists ``shortlist`` (default 4*k) candidates per
+    query, then the shortlist alone is re-ranked at FULL dimension —
+    exact top-k w.r.t. the shortlist. The heavy pass touches dim/D of
+    the vector bytes; the full-dim pass reads only shortlist x queries
+    rows. Recall depends on how much ranking the prefix preserves
+    (MRL-trained embeddings: a lot; per-dim-independent noise: see the
+    recall test)."""
+    from pyspark.sql import Window
+
+    sl = shortlist or 4 * k
+    # round_to applies to the shortlist phase too: the CUT at rank sl must
+    # fall on a value both engines agree on, or 1-ULP ties make the
+    # shortlist membership itself engine-dependent
+    short = matryoshka_topk(
+        corpus,
+        queries,
+        k=sl,
+        dim=dim,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        query_id=query_id,
+        query_vec=query_vec,
+        round_to=round_to,
+    ).select("query_id", "neighbor_id")
+    cj = short.join(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__qv"),
+            )
+        ),
+        "query_id",
+    )
+    from pysparkline.operators.similarity import cosine_similarity_col
+
+    cos = cosine_similarity_col(F.col("__cv"), F.col("__qv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cj.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
 
 

@@ -97,6 +97,28 @@ def test_matryoshka_rank_invariant_to_renormalize(spark, emb, queries_df):
     assert agree >= len(ka) - 2  # ties at coarser rounding may swap order
 
 
+def test_matryoshka_funnel_exact_within_shortlist(spark, emb, queries_df):
+    """With shortlist = corpus size, the funnel IS the exact full-dim
+    ranking; with a small shortlist it returns k rows per query ranked by
+    exact full-dim cosine over the shortlist."""
+    full = similarity.brute_force_cosine_topk(emb, queries_df, k=5, round_to=6)
+    funnel = embed.matryoshka_funnel_topk(
+        emb, queries_df, k=5, dim=16, shortlist=500, round_to=6
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, funnel.collect()), key=lambda t: (t[0], t[3]))
+    small = embed.matryoshka_funnel_topk(
+        emb, queries_df, k=5, dim=16, shortlist=20, round_to=6
+    ).collect()
+    per_q = {}
+    for r in small:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
+    for qid, rs in per_q.items():
+        assert min(rs, key=lambda r: r.rank).neighbor_id == qid
+
+
 def test_quantized_topk_recall(spark, emb, queries_df):
     exact = similarity.brute_force_cosine_topk(emb, queries_df, k=5, round_to=6)
     quant = embed.quantized_cosine_topk(emb, queries_df, k=5, round_to=6)
