@@ -5726,14 +5726,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     cache lifecycle), bpe_train_docs (delta pair-counting),
 #     events_15min_zero_fill (decimal-sum ExprAgg + post-agg);
 # (f) 30 of the 39 r4-verdicted rows (3 rounds old — the oldest cohort);
-# (g) the 6 rows NEW this round beyond (c) — embedding compression
+# (g) the 8 rows NEW this round beyond (c) — embedding compression
 #     (embed_quantize_emb, matryoshka_topk_emb, quantized_topk_emb,
-#     hamming_topk_emb), the interpolated bigram LM (bigram_nll_docs), and
-#     hybrid RRF retrieval (hybrid_rrf_docs) — new machinery gets a driver
-#     verdict immediately; their slots displace 6 more r4 rows below the
-#     boundary (sessionize_stats, funnel_events, spatial_bounds,
-#     tz_daily_revenue, sql_select_scan, sql_subquery).
-# The 11 r4 rows that did not fit head the NEXT rotation, each with its
+#     hamming_topk_emb, matryoshka_funnel_emb), the interpolated bigram LM
+#     (bigram_nll_docs), hybrid RRF retrieval (hybrid_rrf_docs), and the
+#     cross-corpus fuzzy join (fuzzy_join_docs) — new machinery gets a
+#     driver verdict immediately (never-verified beats stale-verified);
+#     their slots displace 8 more r4 rows below the boundary
+#     (dedup_exact_docs, minhash_pairs_docs — its signature/banding/verify
+#     machinery is a strict subset of in-window fuzzy_join_docs —
+#     sessionize_stats, funnel_events, spatial_bounds, tz_daily_revenue,
+#     sql_select_scan, sql_subquery).
+# The 13 r4 rows that did not fit head the NEXT rotation, each with its
 # touched surface covered in-window: sql_latest_per_key (QUALIFY machinery
 # via sql_qualify_topk), events_15min (duration granularity via the
 # in-window events_15min_zero_fill superset), topn_monthly_brand (TopN
@@ -5744,7 +5748,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_15min_zero_fill + q1_month), sql_select_scan / sql_subquery
 # (select lowering + subquery flatten — fuzzer-covered every pytest),
 # sessionize_stats / funnel_events (events.py session-window machinery,
-# r4-green, untouched since; interval_join_events r6-green shares the module).
+# r4-green, untouched since; interval_join_events r6-green shares the module),
+# dedup_exact_docs (one groupBy — exercised by every agg row),
+# minhash_pairs_docs (signatures/banding/exact-verify all run inside the
+# in-window fuzzy_join_docs).
 # All below-boundary rows run typed+ordered against their oracles every
 # pytest (tests/test_entry_oracle.py).
 _PRIORITY = [
@@ -5782,14 +5789,14 @@ _PRIORITY = [
     "year_volume",
     "expr_dim_prefix",
     "min_max_metrics",
-    "dedup_exact_docs",
     "doc_fingerprint",
     "text_stats_docs",
     "lang_quality",
     "ngram_jaccard_docs",
     "asof_event_purchase",
     "grouped_topn_brands",
-    "minhash_pairs_docs",
+    "fuzzy_join_docs",
+    "matryoshka_funnel_emb",
     "dedup_clusters_docs",
     "decontaminate_docs",
     "embed_quantize_emb",
@@ -5799,6 +5806,8 @@ _PRIORITY = [
     "bigram_nll_docs",
     "hybrid_rrf_docs",
     # --- 50-query window boundary ---
+    "dedup_exact_docs",
+    "minhash_pairs_docs",
     "sessionize_stats",
     "funnel_events",
     "spatial_bounds",
