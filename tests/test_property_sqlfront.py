@@ -333,7 +333,16 @@ def _norm(v):
 
 
 def _sort_key(row):
-    return str(tuple(f"{x:.4g}" if isinstance(x, float) else x for x in row))
+    # full-precision float keys: set-op outputs can hold two rows with the
+    # SAME group key differing only in a measure (one per arm) — a .4g key
+    # collapsed 104947.66 and 104915.83 into one bucket, making the sorted
+    # order engine-dependent and zip() compare mismatched rows (found by
+    # the scale-6 setop fuzz). Rows within float tolerance of each other
+    # may still swap order across engines, but then EITHER pairing passes
+    # _rows_equal, so full precision is strictly safer.
+    return str(
+        tuple(f"{x:.17g}" if isinstance(x, float) else x for x in row)
+    )
 
 
 def _rows_equal(a, b):
