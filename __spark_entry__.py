@@ -4184,6 +4184,37 @@ def ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_index_append_topk",
+    _bm25_oracle_sql("documents", _BM25_QUERY, k=10),
+)
+def text_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index ingest (round 7 — the last persisted
+    index without it): TextIndex is built on HALF the documents, the other
+    half arrives through append (postings batch directory + corpus
+    constants updated in ONE atomic manifest rewrite). totalDl is an exact
+    integer, so search over base+batches is BIT-identical to an index
+    built on the full corpus — the same DuckDB oracle as text_index_topk
+    applies unchanged. Crash-invisibility + compaction pinned in
+    tests/test_search_pack.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators.search import TextIndex
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    idx = TextIndex.build(
+        spark,
+        docs.where(F.col("doc_id") % 2 == 0),
+        tempfile.mkdtemp(prefix="tix_append_"),
+        n_buckets=16,
+    )
+    idx.append(docs.where(F.col("doc_id") % 2 == 1))
+    return idx.search(_BM25_QUERY, k=10)
+
+
+@_register(
     "skew_salted_distinct",
     """
 SELECT event_type, COUNT(DISTINCT user_id) AS distinct_user_id
@@ -5732,11 +5763,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (bigram_nll_docs), hybrid RRF retrieval (hybrid_rrf_docs), and the
 #     cross-corpus fuzzy join (fuzzy_join_docs) — new machinery gets a
 #     driver verdict immediately (never-verified beats stale-verified);
-#     their slots displace 8 more r4 rows below the boundary
-#     (dedup_exact_docs, minhash_pairs_docs — its signature/banding/verify
-#     machinery is a strict subset of in-window fuzzy_join_docs —
-#     sessionize_stats, funnel_events, spatial_bounds, tz_daily_revenue,
-#     sql_select_scan, sql_subquery).
+#     plus incremental inverted-index ingest (text_index_append_topk);
+#     their slots displace 9 more r4 rows below the boundary
+#     (doc_fingerprint — one md5 map — dedup_exact_docs,
+#     minhash_pairs_docs — its signature/banding/verify machinery is a
+#     strict subset of in-window fuzzy_join_docs — sessionize_stats,
+#     funnel_events, spatial_bounds, tz_daily_revenue, sql_select_scan,
+#     sql_subquery).
 # The 13 r4 rows that did not fit head the NEXT rotation, each with its
 # touched surface covered in-window: sql_latest_per_key (QUALIFY machinery
 # via sql_qualify_topk), events_15min (duration granularity via the
@@ -5789,7 +5822,7 @@ _PRIORITY = [
     "year_volume",
     "expr_dim_prefix",
     "min_max_metrics",
-    "doc_fingerprint",
+    "text_index_append_topk",
     "text_stats_docs",
     "lang_quality",
     "ngram_jaccard_docs",
@@ -5806,6 +5839,7 @@ _PRIORITY = [
     "bigram_nll_docs",
     "hybrid_rrf_docs",
     # --- 50-query window boundary ---
+    "doc_fingerprint",
     "dedup_exact_docs",
     "minhash_pairs_docs",
     "sessionize_stats",

@@ -276,7 +276,8 @@ class TextIndex:
 
         postings, doclens = build_postings(docs, id_col, text_col)
         stats = doclens.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("total_dl"),
         ).collect()[0]
         denorm = postings.join(doclens, "doc_id").withColumn(
             "__bucket", F.pmod(F.hash(F.col("term")), F.lit(n_buckets))
@@ -284,12 +285,19 @@ class TextIndex:
         denorm.write.mode("overwrite").partitionBy("__bucket").parquet(
             os.path.join(path, "postings")
         )
+        n = int(stats["n"])
+        total_dl = int(stats["total_dl"] or 0)
         manifest = {
             "nBuckets": n_buckets,
-            "nDocs": int(stats["n"]),
-            "avgdl": float(stats["avgdl"]) if stats["n"] else 0.0,
+            "nDocs": n,
+            # totalDl is the EXACT integer token count, so avgdl after any
+            # append sequence equals a from-scratch build's bit-for-bit
+            # (integer sums commute; one float division at the end)
+            "totalDl": total_dl,
+            "avgdl": (total_dl / n) if n else 0.0,
             "idCol": id_col,
             "textCol": text_col,
+            "batches": [],
         }
         from ..index import atomic_json_dump
 
@@ -302,7 +310,98 @@ class TextIndex:
         import os
 
         with open(os.path.join(path, TextIndex.MANIFEST)) as fh:
-            return TextIndex(spark, path, json.load(fh))
+            m = json.load(fh)
+        # pre-append-era manifests: synthesize the incremental fields
+        m.setdefault("batches", [])
+        m.setdefault("totalDl", m["avgdl"] * m["nDocs"])
+        return TextIndex(spark, path, m)
+
+    def _ledger(self):
+        from ..index import BatchLedger
+
+        return BatchLedger(self.path, self.manifest, TextIndex.MANIFEST)
+
+    def _postings_paths(self) -> list[str]:
+        import os
+
+        return [os.path.join(self.path, "postings")] + self._ledger(
+        ).batch_paths("postings")
+
+    def append(
+        self, docs: DataFrame, id_col: str | None = None,
+        text_col: str | None = None,
+    ) -> str | None:
+        """Incremental ingest (the SignatureStore/IvfIndex committed-batch
+        discipline): the new documents' postings land as a batch directory,
+        and the corpus constants (nDocs, totalDl -> avgdl) update in the
+        SAME atomic manifest rewrite — a crash mid-append leaves an orphan
+        directory readers never see AND unchanged stats. Because totalDl
+        is an exact integer, search() after any append sequence returns
+        rows BIT-IDENTICAL to an index built from scratch on the combined
+        corpus (test-asserted). New doc ids must be disjoint from already-
+        indexed ones (segment semantics — a re-ingested id would carry two
+        dl/tf rows and double-count). Empty appends are no-ops (an
+        IvfIndex review precedent: a file-less batch dir poisons reads).
+        Returns the committed batch name, or None for an empty append."""
+        import os
+
+        idc = id_col or self.manifest["idCol"]
+        txc = text_col or self.manifest["textCol"]
+        nb = self.manifest["nBuckets"]
+        postings, doclens = build_postings(docs, idc, txc)
+        stats = doclens.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+        ).collect()[0]
+        if not stats["n"]:
+            return None
+        denorm = postings.join(doclens, "doc_id").withColumn(
+            "__bucket", F.pmod(F.hash(F.col("term")), F.lit(nb))
+        )
+        n = self.manifest["nDocs"] + int(stats["n"])
+        total_dl = self.manifest["totalDl"] + int(stats["total_dl"] or 0)
+        return self._ledger().commit_batch(
+            lambda bdir: denorm.write.partitionBy("__bucket").parquet(
+                os.path.join(bdir, "postings")
+            ),
+            extra={
+                "nDocs": n,
+                "totalDl": total_dl,
+                "avgdl": total_dl / n,
+            },
+        )
+
+    def compact(self) -> None:
+        """Merge all appended batches into one (fewer files/scans per
+        search); the base ``postings`` segment — usually the big one —
+        is left untouched. Search results are bit-identical before and
+        after (corpus constants don't change; postings rows are merely
+        re-laid-out). Crashed-append orphans are swept."""
+        import os
+
+        ledger = self._ledger()
+        if not self.manifest["batches"]:
+            from ..index import sweep_uncommitted_dirs
+
+            sweep_uncommitted_dirs(ledger.batches_path, set())
+            return
+
+        def write_merged(kept, bdir):
+            paths = [
+                os.path.join(ledger.batches_path, b["name"], "postings")
+                for b in kept
+            ]
+            merged = self.spark.read.option("basePath", paths[0]).parquet(
+                paths[0]
+            )
+            for p in paths[1:]:
+                merged = merged.unionByName(
+                    self.spark.read.option("basePath", p).parquet(p)
+                )
+            merged.write.partitionBy("__bucket").parquet(
+                os.path.join(bdir, "postings")
+            )
+
+        ledger.compact_batches(write_merged)
 
     def search(
         self, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
@@ -322,10 +421,15 @@ class TextIndex:
             [(t,) for t in q_terms], "term string"
         ).select("term", F.pmod(F.hash("term"), F.lit(nb)).alias("bkt"))
         buckets = sorted({int(r["bkt"]) for r in trows.collect()})
-        matched = (
-            self.spark.read.parquet(os.path.join(self.path, "postings"))
-            # literal IN over the partition column => static pruning
-            .where(F.col("__bucket").isin(buckets))
-            .where(F.col("term").isin(q_terms))
-        )
+        matched = None
+        for p in self._postings_paths():
+            # literal IN over the partition column => static pruning,
+            # applied PER SEGMENT scan (base + each committed batch)
+            seg = (
+                self.spark.read.parquet(p)
+                .where(F.col("__bucket").isin(buckets))
+                .where(F.col("term").isin(q_terms))
+                .select("term", "doc_id", "tf", "dl")
+            )
+            matched = seg if matched is None else matched.unionByName(seg)
         return _bm25_score(matched, n_docs, avgdl, k1, b, k)

@@ -572,3 +572,90 @@ def test_length_batches_null_text_is_empty_doc(spark, duck):
            for r in T.length_bucketed_batches(df, 8).collect()}
     assert got[1] == (0, 0) and got[3] == (0, 0)
     assert got[2][0] == 3
+
+
+def test_text_index_append_equals_full_build(spark, docs, tmp_path):
+    """Committed-batch incremental ingest: build on half the corpus, append
+    the rest in two batches -> search() is BIT-identical to one built on
+    the full corpus (exact integer totalDl => identical avgdl; df comes
+    from the unioned segments)."""
+    from pysparkline.operators.search import TextIndex
+
+    q = "data quality model training"
+    half1 = docs.where("doc_id % 3 = 0")
+    half2 = docs.where("doc_id % 3 = 1")
+    half3 = docs.where("doc_id % 3 = 2")
+    ti = TextIndex.build(spark, half1, str(tmp_path / "inc"), n_buckets=16)
+    assert ti.append(half2) is not None
+    assert ti.append(half3) is not None
+    full = TextIndex.build(spark, docs, str(tmp_path / "full"), n_buckets=16)
+    got = [(r["doc_id"], r["score"]) for r in ti.search(q, k=10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in full.search(q, k=10).collect()]
+    assert got == want
+    assert ti.manifest["nDocs"] == full.manifest["nDocs"]
+    assert ti.manifest["totalDl"] == full.manifest["totalDl"]
+    assert ti.manifest["avgdl"] == full.manifest["avgdl"]
+
+    # reload sees the committed batches
+    ti2 = TextIndex.load(spark, str(tmp_path / "inc"))
+    assert [
+        (r["doc_id"], r["score"]) for r in ti2.search(q, k=10).collect()
+    ] == want
+
+    # empty append is a no-op (no file-less batch dir, stats unchanged)
+    before = dict(ti2.manifest)
+    assert ti2.append(docs.where("doc_id < 0")) is None
+    assert ti2.manifest == before
+
+    # compact: one batch left, identical results, orphans swept
+    ti2.compact()
+    assert len(ti2.manifest["batches"]) == 1
+    assert [
+        (r["doc_id"], r["score"]) for r in ti2.search(q, k=10).collect()
+    ] == want
+
+
+def test_text_index_crashed_append_invisible(spark, docs, tmp_path):
+    """A crash between the batch write and the manifest commit leaves an
+    orphan readers never see: stats unchanged, search unchanged, and the
+    next compact() sweeps the orphan directory."""
+    import os
+
+    from pysparkline.operators.search import TextIndex
+
+    q = "data quality model training"
+    ti = TextIndex.build(
+        spark, docs.where("doc_id % 2 = 0"), str(tmp_path / "cr"),
+        n_buckets=16,
+    )
+    want = [(r["doc_id"], r["score"]) for r in ti.search(q, k=10).collect()]
+    n_before = ti.manifest["nDocs"]
+
+    from pysparkline import index as index_mod
+
+    real_dump = index_mod.atomic_json_dump
+    calls = {"n": 0}
+
+    def boom(obj, path):
+        calls["n"] += 1
+        raise OSError("simulated crash before manifest commit")
+
+    index_mod.atomic_json_dump = boom
+    try:
+        with pytest.raises(OSError):
+            ti.append(docs.where("doc_id % 2 = 1"))
+    finally:
+        index_mod.atomic_json_dump = real_dump
+    assert calls["n"] == 1
+    # in-memory rollback: stats and batch list restored
+    assert ti.manifest["nDocs"] == n_before
+    assert ti.manifest["batches"] == []
+    # on-disk state: reload sees the pre-append index; orphan dir exists
+    ti2 = TextIndex.load(spark, str(tmp_path / "cr"))
+    assert ti2.manifest["nDocs"] == n_before
+    got = [(r["doc_id"], r["score"]) for r in ti2.search(q, k=10).collect()]
+    assert got == want
+    orphans = os.listdir(os.path.join(str(tmp_path / "cr"), "batches"))
+    assert len(orphans) == 1
+    ti2.compact()
+    assert os.listdir(os.path.join(str(tmp_path / "cr"), "batches")) == []
