@@ -5455,6 +5455,41 @@ def topk_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "weighted_sample_docs",
+    """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))
+               ::UBIGINT + 0.5) / 4503599627370496.0)
+           / CAST(n_chars AS DOUBLE) AS key
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, source, n_chars,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+         AS sample_rank
+FROM w ORDER BY key DESC, doc_id LIMIT 50
+""",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis): 50 documents drawn length-proportionally (n_chars as the
+    weight) via content-keyed uniforms — the first 52 md5 bits, an
+    integer both engines convert to the SAME double, so the A-ES keys
+    ln(u)/w and therefore the drawn set and order replay exactly in
+    SQL."""
+    from pysparkline.operators import sampling
+
+    prep(spark)
+    out = sampling.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        "n_chars",
+        k=50,
+    )
+    return out.orderBy("sample_rank")
+
+
+@_register(
     "length_batches_docs",
     r"""
 WITH q AS (

@@ -286,6 +286,61 @@ def temperature_mix(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, 2006): rank rows by ``u^(1/w)`` — equivalently
+    ``ln(u)/w`` — and keep the top ``k`` (per group when ``group_col``
+    is set). Inclusion probability is weight-proportional in the A-ES
+    sense; the uniforms are CONTENT-KEYED (md5 of (id, seed) -> the
+    first 52 hash bits as a uniform in (0,1)), so the selection is
+    reproducible across partition layouts, re-shards, and engines — the
+    ``hash_split``/``top_k_per_group`` determinism discipline, upgraded
+    from uniform to weighted draws (quality- or length-proportional
+    subsampling, the curation staple ``temperature_mix``'s Bernoulli
+    rates cannot do with exact counts).
+
+    Adds ``sample_rank`` (1 = first drawn). Rows with a NULL id or a
+    NULL/non-positive weight are EXCLUDED (no defined key — and
+    concat_ws would hash all NULL ids identically). One shuffle (the
+    rank window); nothing collected."""
+    from pyspark.sql import Window
+
+    out = df.where(
+        F.col(id_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    # 52 hash bits -> exact double; +0.5 keeps u in (0,1) open interval
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    key = F.log((v + F.lit(0.5)) / F.lit(float(1 << 52))) / F.col(
+        weight_col
+    ).cast("double")
+    w = Window.partitionBy(
+        *([group_col] if group_col else [])
+    ).orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= int(k))
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_col: str,

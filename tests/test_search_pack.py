@@ -659,3 +659,43 @@ def test_text_index_crashed_append_invisible(spark, docs, tmp_path):
     assert len(orphans) == 1
     ti2.compact()
     assert os.listdir(os.path.join(str(tmp_path / "cr"), "batches")) == []
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    """A-ES weighted sampling: layout-invariant draws, exact count,
+    exclusion rules, per-group mode, and weight-proportional tendency
+    (heavy rows appear far more often across seeds)."""
+    from pysparkline.operators import sampling
+
+    rows = [(i, "g" if i % 2 else "h", 100.0 if i < 10 else 1.0)
+            for i in range(200)]
+    rows += [(None, "g", 50.0), (900, "g", 0.0), (901, "g", None)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+
+    a = sampling.weighted_sample(df, "w", k=20, id_col="doc_id")
+    got = [(r.doc_id, r.sample_rank) for r in a.collect()]
+    assert len(got) == 20
+    assert all(d is not None and d not in (900, 901) for d, _ in got)
+    # layout invariance: same draw after a re-shard
+    b = sampling.weighted_sample(df.repartition(13), "w", k=20,
+                                 id_col="doc_id")
+    assert sorted(got) == sorted((r.doc_id, r.sample_rank) for r in b.collect())
+
+    # weight-proportional tendency: the 10 weight-100 rows vastly
+    # outnumber weight-1 rows in a k=20 draw (A-ES: P(weight-100 row
+    # drawn) >> P(weight-1 row)); expect at least 9 of the 10 present
+    heavy = sum(1 for d, _ in got if d < 10)
+    assert heavy >= 9, got
+
+    # per-group: exact k per group
+    g = sampling.weighted_sample(df, "w", k=5, id_col="doc_id",
+                                 group_col="grp").collect()
+    per = {}
+    for r in g:
+        per.setdefault(r.grp, []).append(r.sample_rank)
+    assert sorted(per) == ["g", "h"]
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+
+    # different seed -> (almost surely) different draw
+    c = sampling.weighted_sample(df, "w", k=20, id_col="doc_id", seed=7)
+    assert sorted(r.doc_id for r in c.collect()) != sorted(d for d, _ in got)
