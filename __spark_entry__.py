@@ -5798,9 +5798,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (bigram_nll_docs), hybrid RRF retrieval (hybrid_rrf_docs), and the
 #     cross-corpus fuzzy join (fuzzy_join_docs) — new machinery gets a
 #     driver verdict immediately (never-verified beats stale-verified);
-#     plus incremental inverted-index ingest (text_index_append_topk);
-#     their slots displace 9 more r4 rows below the boundary
-#     (doc_fingerprint — one md5 map — dedup_exact_docs,
+#     plus incremental inverted-index ingest (text_index_append_topk)
+#     and A-ES weighted sampling (weighted_sample_docs);
+#     their slots displace 10 more r4 rows below the boundary
+#     (text_stats_docs — narrow token-stat maps, exercised by the
+#     in-window bigram/lang rows — doc_fingerprint — one md5 map —
+#     dedup_exact_docs,
 #     minhash_pairs_docs — its signature/banding/verify machinery is a
 #     strict subset of in-window fuzzy_join_docs — sessionize_stats,
 #     funnel_events, spatial_bounds, tz_daily_revenue, sql_select_scan,
@@ -5858,7 +5861,7 @@ _PRIORITY = [
     "expr_dim_prefix",
     "min_max_metrics",
     "text_index_append_topk",
-    "text_stats_docs",
+    "weighted_sample_docs",
     "lang_quality",
     "ngram_jaccard_docs",
     "asof_event_purchase",
@@ -5874,6 +5877,7 @@ _PRIORITY = [
     "bigram_nll_docs",
     "hybrid_rrf_docs",
     # --- 50-query window boundary ---
+    "text_stats_docs",
     "doc_fingerprint",
     "dedup_exact_docs",
     "minhash_pairs_docs",
