@@ -308,8 +308,15 @@ def weighted_sample(
 
     Adds ``sample_rank`` (1 = first drawn). Rows with a NULL id or a
     NULL/non-positive weight are EXCLUDED (no defined key — and
-    concat_ws would hash all NULL ids identically). One shuffle (the
-    rank window); nothing collected."""
+    concat_ws would hash all NULL ids identically).
+
+    Scale shape: the GLOBAL draw is orderBy(key).limit(k) — Spark's
+    TakeOrderedAndProject keeps a k-row heap per partition and merges
+    k-sized results, so no task ever sees more than its partition + k
+    rows (an unpartitioned rank window would shuffle the ENTIRE corpus
+    to one task); the rank is then assigned on the k surviving rows.
+    The per-group draw is a partitioned rank window — one shuffle on
+    the group key. Nothing corpus-sized is collected."""
     from pyspark.sql import Window
 
     out = df.where(
@@ -332,12 +339,24 @@ def weighted_sample(
     key = F.log((v + F.lit(0.5)) / F.lit(float(1 << 52))) / F.col(
         weight_col
     ).cast("double")
-    w = Window.partitionBy(
-        *([group_col] if group_col else [])
-    ).orderBy(key.desc(), F.col(id_col).asc())
-    return (
-        out.withColumn("sample_rank", F.row_number().over(w))
-        .where(F.col("sample_rank") <= int(k))
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(
+            key.desc(), F.col(id_col).asc()
+        )
+        return (
+            out.withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= int(k))
+        )
+    cut = (
+        out.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+    # the rank window runs over the k SURVIVING rows only — single
+    # partition by construction and bounded by k
+    return cut.withColumn("sample_rank", F.row_number().over(w)).drop(
+        "__key"
     )
 
 

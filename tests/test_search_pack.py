@@ -699,3 +699,14 @@ def test_weighted_sample_deterministic_and_weighted(spark):
     # different seed -> (almost surely) different draw
     c = sampling.weighted_sample(df, "w", k=20, id_col="doc_id", seed=7)
     assert sorted(r.doc_id for r in c.collect()) != sorted(d for d, _ in got)
+
+    # 100 TB plan shape: the GLOBAL draw must be TakeOrderedAndProject
+    # (per-partition k-row heaps), never an unpartitioned rank window
+    # shuffling the whole corpus to one task
+    plan = (
+        sampling.weighted_sample(df, "w", k=20, id_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
