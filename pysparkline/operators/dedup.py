@@ -374,6 +374,12 @@ def fuzzy_join(
             .drop("__bsz")
         )
 
+    # persist: the candidate set feeds THREE consumers (two shingle
+    # semi-joins + the verify join) — without this the whole subtree,
+    # including both corpora's signature-UDF passes, re-executes per
+    # consumer (seen as 3x Arrow evals per side in the executed plan).
+    # It is id-pair-sized (duplicate-mass-bounded), the same
+    # session-lifetime cache note as minhash_lsh_pairs' sigs applies.
     cand = (
         capped(ls)
         .alias("l")
@@ -386,6 +392,7 @@ def fuzzy_join(
             F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id")
         )
         .dropDuplicates(["left_id", "right_id"])
+        .persist()
     )
 
     def shingles(df: DataFrame, idc: str, txt: str, keep: DataFrame, kc: str):
