@@ -3907,6 +3907,46 @@ def bigram_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "semantic_decontam_emb",
+    """
+WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings
+           WHERE vec_id >= 400),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id < 400),
+sims AS (
+  SELECT c.vec_id, b.bench_id,
+         round(list_cosine_similarity(CAST(c.cv AS DOUBLE[]),
+                                      CAST(b.bv AS DOUBLE[])), 6) AS cosine
+  FROM c, b
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, bench_id) AS r
+  FROM sims
+)
+SELECT vec_id, bench_id, cosine, cosine >= 0.42 AS contaminated
+FROM best WHERE r = 1 ORDER BY vec_id
+""",
+)
+def semantic_decontam_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: vectors 0-399 are the corpus,
+    400+ the 'benchmark'; every corpus row gets its nearest benchmark
+    item + a contamination verdict at cosine >= 0.42 (between this
+    fixture's 99.9th-pct 0.377 and max 0.513 cross-cosine, so real
+    flags occur). Broadcast bench, one corpus scan, map-side argmax —
+    the paraphrase-contamination check n-gram decontaminate misses."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import clean
+
+    prep(spark)
+    emb = _emb(spark, sf_dir)
+    return clean.semantic_decontaminate(
+        emb.where(F.col("vec_id") < 400),
+        emb.where(F.col("vec_id") >= 400),
+        threshold=0.42,
+    ).orderBy("vec_id")
+
+
+@_register(
     "stratified_sample_docs",
     """
 SELECT lang, COUNT(*) AS n_total, TRUE AS sample_ok
@@ -5799,9 +5839,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     cross-corpus fuzzy join (fuzzy_join_docs) — new machinery gets a
 #     driver verdict immediately (never-verified beats stale-verified);
 #     plus incremental inverted-index ingest (text_index_append_topk)
-#     and A-ES weighted sampling (weighted_sample_docs);
-#     their slots displace 10 more r4 rows below the boundary
-#     (text_stats_docs — narrow token-stat maps, exercised by the
+#     A-ES weighted sampling (weighted_sample_docs), and semantic
+#     benchmark decontamination (semantic_decontam_emb);
+#     their slots displace 11 more r4 rows below the boundary
+#     (ngram_jaccard_docs — shingle-set Jaccard, computed identically
+#     inside in-window fuzzy_join_docs's exact verify —
+#     text_stats_docs — narrow token-stat maps, exercised by the
 #     in-window bigram/lang rows — doc_fingerprint — one md5 map —
 #     dedup_exact_docs,
 #     minhash_pairs_docs — its signature/banding/verify machinery is a
@@ -5863,7 +5906,7 @@ _PRIORITY = [
     "text_index_append_topk",
     "weighted_sample_docs",
     "lang_quality",
-    "ngram_jaccard_docs",
+    "semantic_decontam_emb",
     "asof_event_purchase",
     "grouped_topn_brands",
     "fuzzy_join_docs",
@@ -5877,6 +5920,7 @@ _PRIORITY = [
     "bigram_nll_docs",
     "hybrid_rrf_docs",
     # --- 50-query window boundary ---
+    "ngram_jaccard_docs",
     "text_stats_docs",
     "doc_fingerprint",
     "dedup_exact_docs",

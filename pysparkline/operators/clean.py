@@ -71,6 +71,67 @@ def decontaminate(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling of
+    :func:`decontaminate`: paraphrased or reformatted eval questions share
+    no 8-gram with the corpus but sit next to it in embedding space.
+    Returns per corpus row (id, bench_id, cosine, contaminated): its
+    single nearest benchmark item (ties: higher cosine, then smaller
+    bench id) and whether that cosine reaches ``threshold``. Filtering is
+    then a semi/anti join of ids, exactly like the n-gram report.
+
+    The benchmark side is broadcast (eval sets are small by nature — for
+    a benchmark too big to broadcast, use ``similarity.knn_join`` with
+    the bench as the query side and threshold the result); the corpus is
+    scanned once, never shuffled — the per-row argmax folds in the
+    map-side partial aggregate. Cosines are JVM-side (zip_with fold,
+    zero-norm -> 0.0) and rounded BEFORE the argmax so the nearest-item
+    choice is engine-reproducible."""
+    from pysparkline.operators.similarity import cosine_similarity_col
+
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    b = F.broadcast(
+        bench.select(
+            F.col(bid).alias("__bid"), F.col(bvec).alias("__bv")
+        )
+    )
+    cos = F.round(
+        cosine_similarity_col(F.col("__cv"), F.col("__bv")), round_to
+    )
+    sims = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    ).crossJoin(b).select(
+        "__cid",
+        "__bid",
+        cos.alias("__cos"),
+    )
+    # argmax via struct max: (cosine, -bench_id) orders ties to the
+    # smallest bench id — one map-side-combined aggregate, no window
+    best = sims.groupBy("__cid").agg(
+        F.max(
+            F.struct(F.col("__cos"), (-F.col("__bid")).alias("__nb"))
+        ).alias("__best")
+    )
+    return best.select(
+        F.col("__cid").alias(id_col),
+        (-F.col("__best.__nb")).alias("bench_id"),
+        F.col("__best.__cos").alias("cosine"),
+        (F.col("__best.__cos") >= F.lit(float(threshold))).alias(
+            "contaminated"
+        ),
+    )
+
+
 def prune_frequent_units(
     df: DataFrame,
     id_col: str,

@@ -210,3 +210,30 @@ def test_repetition_stats_fixture(spark):
     assert abs(r2.top_bigram_frac - 0.5) < 1e-12      # 2 distinct of 2
     r3 = rows[3]
     assert abs(r3.top_bigram_frac - 1.0) < 1e-12      # all bigrams equal
+
+
+def test_semantic_decontaminate(spark):
+    """Planted paraphrase-neighbor found; verdicts thresholded; argmax
+    ties break to the smaller bench id; corpus never shuffles (broadcast
+    bench)."""
+    from pysparkline.operators import clean
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.6, 0.8, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        # 100 and 101 are BOTH identical to corpus 0 -> tie, smaller id wins
+        [(101, [2.0, 0.0, 0.0]), (100, [1.0, 0.0, 0.0]),
+         (102, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in clean.semantic_decontaminate(
+        corpus, bench, threshold=0.9).collect()}
+    assert out[0].bench_id == 100 and out[0].cosine == 1.0
+    assert out[0].contaminated
+    assert not out[1].contaminated and out[1].cosine == 0.0
+    assert out[2].bench_id in (100, 101) and not out[2].contaminated
+    plan = clean.semantic_decontaminate(
+        corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
