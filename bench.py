@@ -135,6 +135,10 @@ LLM_OPS = [
     "quantized_topk_emb",
     "hamming_topk_emb",
     "bigram_nll_docs",
+    "hybrid_rrf_docs",
+    "fuzzy_join_docs",
+    "weighted_sample_docs",
+    "semantic_decontam_emb",
 ]
 
 
