@@ -1302,7 +1302,10 @@ common AS (
 )
 SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard,
        TRUE AS est_ok
-FROM common WHERE c * 1.0 / (na + nb - c) >= 0.5
+-- threshold the ROUNDED ratio like the operator (review r7b #6:
+-- a pair at exact jaccard in [0.4999995, 0.5) rounds up to 0.5 on
+-- the Spark side and must not be oracle-excluded)
+FROM common WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.5
 """,
 )
 def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,7 +1394,10 @@ common AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT left_id, right_id, round(c * 1.0 / (na + nb - c), 6) AS jaccard
-FROM common WHERE c * 1.0 / (na + nb - c) >= 0.5
+-- threshold the ROUNDED ratio like the operator (review r7b #6:
+-- a pair at exact jaccard in [0.4999995, 0.5) rounds up to 0.5 on
+-- the Spark side and must not be oracle-excluded)
+FROM common WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.5
 """,
 )
 def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5499,8 +5505,12 @@ def topk_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH w AS (
   SELECT doc_id, source, n_chars,
-         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))
-               ::UBIGINT + 0.5) / 4503599627370496.0)
+         -- ::DOUBLE BEFORE + 0.5: UBIGINT + 0.5 is DECIMAL(22,1) in DuckDB
+         -- and its decimal->double conversion rounds for payloads > 2^53,
+         -- drifting the uniform 1 ULP off Spark's exact-double path
+         -- (review r7b #3)
+         ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))
+               ::UBIGINT)::DOUBLE + 0.5) / 4503599627370496.0)
            / CAST(n_chars AS DOUBLE) AS key
   FROM documents
   WHERE doc_id IS NOT NULL AND n_chars > 0

@@ -359,7 +359,13 @@ def fuzzy_join(
     candidate join is bucket-bounded both sides; shingle arrays
     materialize only for documents appearing in a candidate pair. Cost
     is duplicate-mass-bounded, never |left| x |right|.
+
+    NULL-text rows are EXCLUDED on both sides (review r7b: the signature
+    kernel hashes NULL as '' — two NULL-text docs would otherwise emit a
+    fake jaccard-1.0 'match' on no content at all).
     """
+    left = left.where(F.col(left_text).isNotNull())
+    right = right.where(F.col(right_text).isNotNull())
     ls = minhash_signatures(left, left_id, left_text, num_perm, shingle_k, seed)
     rs = minhash_signatures(
         right, right_id, right_text, num_perm, shingle_k, seed

@@ -311,9 +311,14 @@ class TextIndex:
 
         with open(os.path.join(path, TextIndex.MANIFEST)) as fh:
             m = json.load(fh)
-        # pre-append-era manifests: synthesize the incremental fields
+        # pre-append-era manifests: synthesize the incremental fields.
+        # totalDl reconstructed from the stored float avgdl is APPROXIMATE
+        # (rounded back to int so later appends keep integer arithmetic);
+        # the bit-identical-to-full-rebuild guarantee holds only for
+        # indexes built after the append upgrade, which store the exact
+        # integer at build time.
         m.setdefault("batches", [])
-        m.setdefault("totalDl", m["avgdl"] * m["nDocs"])
+        m.setdefault("totalDl", int(round(m["avgdl"] * m["nDocs"])))
         return TextIndex(spark, path, m)
 
     def _ledger(self):
@@ -340,9 +345,13 @@ class TextIndex:
         rows BIT-IDENTICAL to an index built from scratch on the combined
         corpus (test-asserted). New doc ids must be disjoint from already-
         indexed ones (segment semantics — a re-ingested id would carry two
-        dl/tf rows and double-count). Empty appends are no-ops (an
-        IvfIndex review precedent: a file-less batch dir poisons reads).
-        Returns the committed batch name, or None for an empty append."""
+        dl/tf rows and double-count). Zero-document appends are no-ops;
+        appends whose documents carry NO tokens update the corpus
+        constants (they count toward nDocs/avgdl) but commit no batch
+        directory — a 0-row partitioned parquet write produces a
+        file-less dir that poisons reads (the IvfIndex review
+        precedent). Returns the committed batch name, or None when no
+        batch directory was written."""
         import os
 
         idc = id_col or self.manifest["idCol"]
@@ -354,20 +363,46 @@ class TextIndex:
         ).collect()[0]
         if not stats["n"]:
             return None
-        denorm = postings.join(doclens, "doc_id").withColumn(
-            "__bucket", F.pmod(F.hash(F.col("term")), F.lit(nb))
-        )
         n = self.manifest["nDocs"] + int(stats["n"])
         total_dl = self.manifest["totalDl"] + int(stats["total_dl"] or 0)
-        return self._ledger().commit_batch(
-            lambda bdir: denorm.write.partitionBy("__bucket").parquet(
-                os.path.join(bdir, "postings")
-            ),
-            extra={
-                "nDocs": n,
-                "totalDl": total_dl,
-                "avgdl": total_dl / n,
-            },
+        extra = {"nDocs": n, "totalDl": total_dl, "avgdl": total_dl / n}
+        denorm = postings.join(doclens, "doc_id").withColumn(
+            "__bucket", F.pmod(F.hash(F.col("term")), F.lit(nb))
+        ).persist()
+        try:
+            if denorm.limit(1).count() == 0:
+                # docs exist but none has a token (review r7b #1: the
+                # empty-POSTINGS guard, not empty-docs — a 0-row
+                # partitioned parquet write produces a file-less dir
+                # that poisons every later read). Token-free docs still
+                # count toward nDocs/avgdl (BM25 corpus stats), so the
+                # constants update lands as ONE atomic manifest rewrite
+                # with no batch directory (in-memory view rolled back on
+                # a failed rewrite, the BatchLedger discipline).
+                before = {k: self.manifest.get(k) for k in extra}
+                self.manifest.update(extra)
+                try:
+                    self.write_manifest_atomic()
+                except BaseException:
+                    self.manifest.update(before)
+                    raise
+                return None
+            return self._ledger().commit_batch(
+                lambda bdir: denorm.write.partitionBy("__bucket").parquet(
+                    os.path.join(bdir, "postings")
+                ),
+                extra=extra,
+            )
+        finally:
+            denorm.unpersist(blocking=False)
+
+    def write_manifest_atomic(self) -> None:
+        import os
+
+        from ..index import atomic_json_dump
+
+        atomic_json_dump(
+            self.manifest, os.path.join(self.path, TextIndex.MANIFEST)
         )
 
     def compact(self) -> None:

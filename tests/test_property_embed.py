@@ -21,10 +21,15 @@ _FUZZ_SCALE = int(os.environ.get("PYSPARKLINE_FUZZ_SCALE", "1"))
 # rejects hypothesis' st.floats outright (hypothesis detects the
 # interpreter cannot represent -0.0 — unsafe-math build), so floats are
 # derived as int * scale, which also guarantees exact float32 values.
+# both branches are power-of-two scaled so every drawn value is EXACTLY
+# float32-representable (n needs <= 20 significand bits): the double
+# arithmetic this test recomputes then matches Spark's float32->double
+# cast bit-for-bit. (n * 1e-10 was NOT float32-exact — the cast shifted
+# values across int8 code boundaries; review r7b #2.)
 component = st.one_of(
     st.just(0.0),
     st.integers(-10**6, 10**6).map(lambda n: float(n) / 1024.0),
-    st.integers(-100, 100).map(lambda n: float(n) * 1e-10),
+    st.integers(-100, 100).map(lambda n: float(n) * 2.0**-40),
 )
 
 

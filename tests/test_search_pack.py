@@ -710,3 +710,30 @@ def test_weighted_sample_deterministic_and_weighted(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_text_index_append_token_free_docs(spark, docs, tmp_path):
+    """Docs with no indexable tokens (review r7b #1): the corpus constants
+    still update (they count toward nDocs/avgdl), but NO batch directory
+    commits — a 0-row partitioned write would poison every later read."""
+    import os
+
+    from pysparkline.operators.search import TextIndex
+
+    ti = TextIndex.build(
+        spark, docs.where("doc_id % 2 = 0"), str(tmp_path / "tf"),
+        n_buckets=16,
+    )
+    n0, dl0 = ti.manifest["nDocs"], ti.manifest["totalDl"]
+    punct = spark.createDataFrame(
+        [(10**9, "!!! ???"), (10**9 + 1, "...")], "doc_id long, text string"
+    )
+    assert ti.append(punct) is None
+    assert ti.manifest["nDocs"] == n0 + 2
+    assert ti.manifest["totalDl"] == dl0  # zero tokens added
+    assert ti.manifest["batches"] == []
+    assert not os.path.exists(os.path.join(str(tmp_path / "tf"), "batches"))
+    # search still works and reload agrees with the in-memory view
+    assert len(ti.search("data quality", k=5).collect()) == 5
+    ti2 = TextIndex.load(spark, str(tmp_path / "tf"))
+    assert ti2.manifest["nDocs"] == n0 + 2
