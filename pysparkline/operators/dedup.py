@@ -255,6 +255,20 @@ def _banded(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
+def _bucket_capped(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop rows of (band, band_hash) buckets larger than ``max_bucket`` —
+    one window shuffle, no groupBy+join-back. Capped buckets trade recall
+    for a hard bound on candidate-join fan-out (boilerplate-dominated
+    corpora); at 100 TB this is the difference between a bounded job and
+    a quadratic one. Shared by the self-join and cross-table LSH paths."""
+    bw = Window.partitionBy("band", "band_hash")
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+        .where(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -293,11 +307,7 @@ def minhash_lsh_pairs(
     # candidate dedup — ids are 8 bytes. Signatures are joined back exactly
     # once per side after dropDuplicates collapses multi-band hits.
     banded = _banded(sigs, num_perm, bands)
-    # bucket-size cap via window (one shuffle) instead of a groupBy+join back
-    bw = Window.partitionBy("band", "band_hash")
-    small = banded.withColumn("__bsz", F.count(F.lit(1)).over(bw)).where(
-        F.col("__bsz") <= max_bucket
-    ).drop("__bsz")
+    small = _bucket_capped(banded, max_bucket)
     cand = (
         small.alias("l")
         .join(
@@ -370,16 +380,6 @@ def fuzzy_join(
     rs = minhash_signatures(
         right, right_id, right_text, num_perm, shingle_k, seed
     )
-    bw = Window.partitionBy("band", "band_hash")
-
-    def capped(sigs: DataFrame) -> DataFrame:
-        return (
-            _banded(sigs, num_perm, bands)
-            .withColumn("__bsz", F.count(F.lit(1)).over(bw))
-            .where(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
-
     # persist: the candidate set feeds THREE consumers (two shingle
     # semi-joins + the verify join) — without this the whole subtree,
     # including both corpora's signature-UDF passes, re-executes per
@@ -387,10 +387,12 @@ def fuzzy_join(
     # It is id-pair-sized (duplicate-mass-bounded), the same
     # session-lifetime cache note as minhash_lsh_pairs' sigs applies.
     cand = (
-        capped(ls)
+        _bucket_capped(_banded(ls, num_perm, bands), max_bucket)
         .alias("l")
         .join(
-            capped(rs).alias("r"),
+            _bucket_capped(_banded(rs, num_perm, bands), max_bucket).alias(
+                "r"
+            ),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash")),
         )
@@ -400,32 +402,19 @@ def fuzzy_join(
         .dropDuplicates(["left_id", "right_id"])
         .persist()
     )
-
-    def shingles(df: DataFrame, idc: str, txt: str, keep: DataFrame, kc: str):
-        return df.join(
-            keep, df[idc] == keep[kc], "left_semi"
-        ).select(
-            F.col(idc).alias(kc),
-            shingle_set_col(F.col(txt), shingle_k).alias(f"__sh_{kc}"),
-        )
-
-    lsh_ = shingles(
-        left, left_id, left_text, cand.select("left_id"), "left_id"
-    )
-    rsh_ = shingles(
-        right, right_id, right_text, cand.select("right_id"), "right_id"
-    )
-    j = cand.join(lsh_, "left_id").join(rsh_, "right_id")
-    inter = F.size(F.array_intersect("__sh_left_id", "__sh_right_id"))
-    union = (
-        F.size("__sh_left_id") + F.size("__sh_right_id") - inter
-    )
-    jac = F.round(inter.cast("double") / union, 6)
-    return (
-        j.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", "jaccard")
-    )
+    return verify_pairs_exact_jaccard(
+        cand,
+        left,
+        left_id,
+        left_text,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        right_docs=right,
+        right_id_col=right_id,
+        right_text_col=right_text,
+        a_col="left_id",
+        b_col="right_id",
+    ).select("left_id", "right_id", "jaccard")
 
 
 def shingle_set_col(text, k: int = 5):
@@ -449,41 +438,49 @@ def verify_pairs_exact_jaccard(
     shingle_k: int = 5,
     threshold: float = 0.5,
     round_to: int = 6,
+    right_docs: DataFrame | None = None,
+    right_id_col: str | None = None,
+    right_text_col: str | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
 ) -> DataFrame:
-    """Exact-verify candidate pairs: join each (id_a, id_b) back to its texts
-    and compute the true shingle-set Jaccard with JVM expressions, keeping
-    pairs with exact jaccard >= threshold.
+    """Exact-verify candidate pairs: join each (a, b) pair back to its
+    texts and compute the true shingle-set Jaccard with JVM expressions,
+    keeping pairs with ROUNDED jaccard >= threshold (the operators and
+    their oracles threshold the same rounded value).
 
-    This is the production LSH shape — candidate generation bounds the join,
-    exact verification removes false positives — and it makes the output an
-    oracle-checkable set (DuckDB can compute the same exact Jaccard).
-    Cost: shingle arrays are materialized ONLY for documents that appear in a
-    candidate pair (semi-join first) — at near-dup rates the verify side is
-    orders of magnitude smaller than the corpus.
+    This is the production LSH shape — candidate generation bounds the
+    join, exact verification removes false positives — and it makes the
+    output an oracle-checkable set (DuckDB can compute the same exact
+    Jaccard). The ``b`` side may come from a DIFFERENT table
+    (``right_docs``/``right_id_col``/``right_text_col`` — the
+    :func:`fuzzy_join` cross-corpus case); by default both sides read
+    ``docs``. Cost: shingle arrays are materialized ONLY for documents
+    that appear in a candidate pair (semi-join first) — at near-dup
+    rates the verify side is orders of magnitude smaller than the
+    corpus.
     """
-    ids = (
-        pairs.select(F.col("id_a").alias("__vid"))
-        .union(pairs.select(F.col("id_b").alias("__vid")))
-        .distinct()
+    rd = right_docs if right_docs is not None else docs
+    rid = right_id_col or id_col
+    rtx = right_text_col or text_col
+
+    def shingles(d: DataFrame, idc: str, txt: str, kc: str) -> DataFrame:
+        keep = pairs.select(kc)
+        return d.join(keep, d[idc] == keep[kc], "left_semi").select(
+            F.col(idc).alias(kc),
+            shingle_set_col(F.col(txt), shingle_k).alias(f"__sh_{kc}"),
+        )
+
+    j = pairs.join(shingles(docs, id_col, text_col, a_col), a_col).join(
+        shingles(rd, rid, rtx, b_col), b_col
     )
-    sh = docs.join(
-        ids, docs[id_col] == ids["__vid"], "left_semi"
-    ).select(
-        F.col(id_col).alias("__vid"),
-        shingle_set_col(F.col(text_col), shingle_k).alias("__sh"),
-    )
-    j = pairs.join(
-        sh.select(F.col("__vid").alias("id_a"), F.col("__sh").alias("__sa")), "id_a"
-    ).join(
-        sh.select(F.col("__vid").alias("id_b"), F.col("__sh").alias("__sb")), "id_b"
-    )
-    inter = F.size(F.array_intersect("__sa", "__sb"))
-    union = F.size("__sa") + F.size("__sb") - inter
+    inter = F.size(F.array_intersect(f"__sh_{a_col}", f"__sh_{b_col}"))
+    union = F.size(f"__sh_{a_col}") + F.size(f"__sh_{b_col}") - inter
     jac = F.round(inter.cast("double") / union, round_to)
     return (
         j.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
-        .drop("__sa", "__sb")
+        .drop(f"__sh_{a_col}", f"__sh_{b_col}")
     )
 
 
