@@ -4358,6 +4358,97 @@ def sql_union_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_IN_SUBQUERY = f"""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(SUM({PRICE}) AS DOUBLE) AS rev
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+  AND l_shipdate >= DATE '1995-12-01' AND l_shipdate < DATE '1997-09-01'
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_in_subquery", _SQL_IN_SUBQUERY)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN-subquery acceleration (round 8) — the reference's
+    "SubQry" benchmark family (BenchMarkDetails.org:95-102; its 357x ratio
+    rode the subquery's filters reaching Druid instead of a raw scan).
+    The subquery conjunct lowers as a left_semi join of the orders key set
+    (dim grain, read from the base table) into the interval-PRUNED flat
+    scan BEFORE aggregation (ir.SemiJoinQuery, session._lower_semijoin) —
+    previously this whole shape fell back to spark.sql over the raw star.
+    NOT IN / correlated subqueries decline honestly
+    (tests/test_semijoin.py)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_IN_SUBQUERY)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-base[orders]]", (
+        f"IN-subquery must be semi-join accelerated, got {backing}"
+    )
+    return out
+
+
+_SQL_EXISTS_SEMI = f"""
+SELECT l_linestatus AS status,
+       COUNT(*) AS n,
+       CAST(SUM({QTY}) AS DOUBLE) AS qty
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey AND o_totalprice > 150000)
+GROUP BY l_linestatus
+ORDER BY status
+"""
+
+
+@_register("sql_exists_semi", _SQL_EXISTS_SEMI)
+def sql_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-correlated EXISTS on the same semi-join hook (round 8): the
+    correlation conjunct (o_orderkey = l_orderkey) is resolved via star
+    column membership, the residual filter stays with the inner key set,
+    and the outer's flat scan left_semi joins it. Non-equi or multi-hop
+    correlation declines to the fallback (tests/test_semijoin.py)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_EXISTS_SEMI)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-base[orders]]", (
+        f"EXISTS must be semi-join accelerated, got {backing}"
+    )
+    return out
+
+
+_SQL_NOT_EXISTS_ANTI = f"""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(SUM({PRICE}) AS DOUBLE) AS rev
+FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey
+                    AND o_orderpriority = '1-URGENT')
+  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_not_exists_anti", _SQL_NOT_EXISTS_ANTI)
+def sql_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left_anti (no NULL trap, unlike NOT IN which declines)
+    composed with a second IN arm: both key sets join the SAME flat scan in
+    one DAG. Anti-join correctness note: a NULL outer key has no match, so
+    the row is kept — exactly SQL's NOT EXISTS with an equi-correlation
+    that can never be true."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_NOT_EXISTS_ANTI)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-anti:base[orders],base[part]]", (
+        f"NOT EXISTS + IN must both be accelerated, got {backing}"
+    )
+    return out
+
+
 @_register(
     "sql_q1",
     f"""

@@ -755,6 +755,63 @@ class SetOpQuery(QuerySpec):
     output_order: Optional[list] = None  # left arm's output names
 
 
+@_node
+@dataclass
+class BaseKeysQuery(QuerySpec):
+    """Distinct key set from ONE base (dimension-grain) table — the inner
+    arm of a :class:`SemiJoinQuery` whose FROM is a dimension table of the
+    star. It cannot lower through the index: the flat backing is FACT grain,
+    and a dim-grain key set computed over flat rows would silently drop dim
+    rows with no fact match — wrong for NOT EXISTS and for correlation keys
+    off the star join path. The session lowers it over the registered base
+    table instead: filter -> select(key...) -> distinct (map-side combined;
+    shrinks the semi-join build side before any shuffle)."""
+
+    table: str = ""
+    keys: list = field(default_factory=list)  # output key column names
+    filter: Optional[FilterSpec] = None
+
+
+@_node
+@dataclass
+class SemiJoinArm(IRNode):
+    """One `col IN (SELECT ...)` / `[NOT] EXISTS (...)` conjunct of a
+    SemiJoinQuery. ``outer_keys[i]`` equi-joins ``inner``'s output column
+    ``inner_keys[i]`` (left_semi, or left_anti when ``anti``)."""
+
+    inner: Optional["QuerySpec"] = None  # GroupByQuery (fact grain) | BaseKeysQuery
+    outer_keys: list = field(default_factory=list)
+    inner_keys: list = field(default_factory=list)
+    anti: bool = False
+
+
+@_node
+@dataclass
+class SemiJoinQuery(QuerySpec):
+    """Uncorrelated `IN (SELECT ...)` / equi-correlated `[NOT] EXISTS`
+    acceleration (round 8) — the reference's 357x "SubQry" benchmark shape
+    (BenchMarkDetails.org:95-102; SparklineData pushed the subquery's dims
+    as Druid filters after Catalyst rewrote IN to a semi-join).
+
+    The outer query (with the subquery conjuncts REMOVED from its WHERE)
+    runs over a ROW-GRAIN backing — the semi-join key is row grain, so the
+    planner is forced past the cubes to the pruned flat scan — and each
+    arm's key set left_semi/left_anti joins that scan BEFORE the outer's
+    aggregation. Arms are planned independently (fact-grain inners may use
+    a cube; dim-grain inners read the base table). The win over the
+    spark.sql fallback is the pruned flat scan + no star re-join, with the
+    aggregation still map-side combined above the semi-join.
+
+    Honest declines (sqlfront raises, statement falls back): NOT IN
+    (three-valued NULL semantics — one NULL inner key empties the result),
+    correlated IN, non-equi or multi-table correlation in EXISTS,
+    uncorrelated EXISTS (constant predicate), subqueries under OR."""
+
+    outer: Optional["QuerySpec"] = None
+    arms: list = field(default_factory=list)  # [SemiJoinArm]
+    output_order: Optional[list] = None  # outer's output names
+
+
 def query_referenced_columns(q: QuerySpec) -> set[str]:
     """Every source column a query touches (dims + filters + agg inputs)."""
     cols: set[str] = set()

@@ -1056,8 +1056,13 @@ def choose_backing(
     max_result_cardinality: float = 1_000_000,
     non_agg_handling: str = "push_project_and_filters",
     feedback: GroupCountFeedback | None = None,
+    force_row_grain: bool = False,
 ) -> tuple[Backing, PlanDecision]:
     notes: list[str] = []
+    if force_row_grain:
+        # SemiJoinQuery outer: the semi-join key is row grain, so cube cells
+        # (and cube TopK sketches) cannot be joined — only flat/base serve
+        notes.append("row grain forced (semi-join outer): cubes skipped")
     referenced = ir.query_referenced_columns(q)
     flat_cols = index.flat_columns()
 
@@ -1083,7 +1088,11 @@ def choose_backing(
             )
 
     est = None
-    if isinstance(q, ir.TopNQuery) and getattr(q, "approx", False):
+    if (
+        isinstance(q, ir.TopNQuery)
+        and getattr(q, "approx", False)
+        and not force_row_grain
+    ):
         b = _topk_eligible(q, index, notes)
         if b is not None:
             return b, PlanDecision("cube", b.cube_name, None, notes)
@@ -1093,7 +1102,9 @@ def choose_backing(
             est, fb_note = feedback.correct(q, est)
             if fb_note:
                 notes.append(fb_note)
-        if est is not None and est > max_result_cardinality:
+        if force_row_grain:
+            pass  # keep est for the distinct-skew guard; never pick a cube
+        elif est is not None and est > max_result_cardinality:
             notes.append(
                 f"estimated groups {int(est)} > maxResultCardinality "
                 f"{int(max_result_cardinality)}: pre-agg rejected"

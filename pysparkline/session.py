@@ -171,7 +171,7 @@ class OlapContext:
             self._base_df_cache = cached
         return cached
 
-    def plan(self, spec: ir.QuerySpec):
+    def plan(self, spec: ir.QuerySpec, force_row_grain: bool = False):
         spec = transforms.optimize(spec)
         if self.allow_topn and isinstance(spec, ir.TopNQuery):
             import dataclasses
@@ -185,6 +185,7 @@ class OlapContext:
             max_result_cardinality=self.max_result_cardinality,
             non_agg_handling=self.non_agg_handling,
             feedback=self._feedback,
+            force_row_grain=force_row_grain,
         )
         return spec, backing, decision
 
@@ -214,6 +215,16 @@ class OlapContext:
                 + (" all" if spec.all else "")
                 + f"): arms [{backings}]",
                 f"setop[{backings}]",
+            )
+            self.query_history.append(record)
+            if len(self._plan_cache) >= 256:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = (df, record)
+            return df
+        if isinstance(spec, ir.SemiJoinQuery):
+            df, desc = self._lower_semijoin(spec)
+            record = QueryRecord(
+                spec.to_dict(), f"semi-join acceleration: {desc}", desc
             )
             self.query_history.append(record)
             if len(self._plan_cache) >= 256:
@@ -278,6 +289,83 @@ class OlapContext:
             if ls.limit is not None:
                 df = df.limit(ls.limit)
         return df, f"{lb},{rb}"
+
+    def _lower_base_keys(self, spec: "ir.BaseKeysQuery") -> DataFrame:
+        """Lower a dim-grain key set over the registered base table (see
+        ir.BaseKeysQuery: the flat backing is fact grain, so dim rows with
+        no fact match would be dropped — wrong for anti-joins and off-path
+        correlation keys). filter -> select -> distinct: the distinct is a
+        map-side-combined agg that shrinks the semi-join build side before
+        any shuffle."""
+        from .sqlfront import SQLFrontError
+
+        tbl = (self.base_tables or {}).get(spec.table)
+        if tbl is None:
+            # also try case-insensitively: AST table names are lowercased
+            for name, df in (self.base_tables or {}).items():
+                if name.lower() == spec.table:
+                    tbl = df
+                    break
+        if tbl is None:
+            raise SQLFrontError(
+                f"subquery table {spec.table!r} has no registered base table"
+            )
+        if spec.filter is not None:
+            tbl = tbl.where(lowering.filter_to_column(spec.filter))
+        return tbl.select(*spec.keys).distinct()
+
+    def _lower_semijoin(self, spec: "ir.SemiJoinQuery"):
+        """Plan the arms independently (fact-grain inners may ride a cube;
+        dim-grain inners read the base table), force the OUTER past the
+        cubes to a row-grain backing (the semi-join key is row grain), and
+        left_semi/left_anti join each arm's key set into the outer's
+        pruned scan BEFORE its aggregation. Catalyst pushes the outer's
+        own filters below the join and AQE broadcast-converts small key
+        sets at runtime; at 100 TB a large key set degrades to a shuffled
+        hash semi-join on the key — never a cross product. Returns
+        (DataFrame, backing descriptor `semijoin[outer<-arm,...]`)."""
+        from pyspark.sql import functions as F
+
+        arm_dfs: list[DataFrame] = []
+        descs: list[str] = []
+        for arm in spec.arms:
+            if isinstance(arm.inner, ir.BaseKeysQuery):
+                arm_dfs.append(self._lower_base_keys(arm.inner))
+                descs.append(
+                    ("anti:" if arm.anti else "")
+                    + f"base[{arm.inner.table}]"
+                )
+            else:
+                s2, backing, decision = self.plan(arm.inner)
+                arm_dfs.append(lowering.lower(s2, backing))
+                descs.append(
+                    ("anti:" if arm.anti else "") + decision.backing
+                )
+        outer2, backing, decision = self.plan(
+            spec.outer, force_row_grain=True
+        )
+        assert backing.kind != "cube", "semi-join outer must be row grain"
+        df = backing.df
+        for i, (arm, adf) in enumerate(zip(spec.arms, arm_dfs)):
+            # unambiguous join keys: rename the arm's output columns — the
+            # semi/anti join emits left-side columns only, so the aliases
+            # never leak into the outer's plan
+            aliased = adf.select(
+                *[
+                    F.col(k).alias(f"__sj{i}_{j}")
+                    for j, k in enumerate(arm.inner_keys)
+                ]
+            )
+            cond = None
+            for j, ok in enumerate(arm.outer_keys):
+                c = F.col(ok) == F.col(f"__sj{i}_{j}")
+                cond = c if cond is None else (cond & c)
+            df = df.join(
+                aliased, cond, "left_anti" if arm.anti else "left_semi"
+            )
+        backing.df = df
+        out = lowering.lower(outer2, backing)
+        return out, f"semijoin[{decision.backing}<-{','.join(descs)}]"
 
     @staticmethod
     def _feedback_eligible(spec: ir.QuerySpec) -> bool:
@@ -415,6 +503,31 @@ class OlapContext:
                 sub = self.explain_rewrite(arm)
                 lines.append(f"-- {side} arm --")
                 lines.extend("  " + ln for ln in sub.splitlines())
+            return "\n".join(lines)
+        if isinstance(spec, ir.SemiJoinQuery):
+            lines = [
+                f"query shape: SemiJoinQuery ({len(spec.arms)} arm"
+                + ("s" if len(spec.arms) != 1 else "")
+                + "; outer forced to row grain)"
+            ]
+            for i, arm in enumerate(spec.arms):
+                how = "left_anti" if arm.anti else "left_semi"
+                on = ", ".join(
+                    f"{o}={k}"
+                    for o, k in zip(arm.outer_keys, arm.inner_keys)
+                )
+                lines.append(f"-- arm {i}: {how} on ({on}) --")
+                if isinstance(arm.inner, ir.BaseKeysQuery):
+                    lines.append(
+                        f"  distinct keys over base table"
+                        f" {arm.inner.table!r} (dim grain)"
+                    )
+                else:
+                    sub = self.explain_rewrite(arm.inner)
+                    lines.extend("  " + ln for ln in sub.splitlines())
+            lines.append("-- outer (subquery conjuncts removed) --")
+            _, _, decision = self.plan(spec.outer, force_row_grain=True)
+            lines.append("  " + decision.pretty().replace("\n", "\n  "))
             return "\n".join(lines)
         spec, backing, decision = self.plan(spec)
         lines = [f"query shape: {type(spec).__name__}", decision.pretty()]

@@ -1,0 +1,347 @@
+"""WHERE-clause subquery acceleration (round 8): uncorrelated
+`col IN (SELECT ...)` and equi-correlated `[NOT] EXISTS (...)` conjuncts
+lower as left_semi/left_anti joins into the outer's ROW-GRAIN scan before
+its aggregation (ir.SemiJoinQuery, session._lower_semijoin) — the
+reference's "SubQry" benchmark family (BenchMarkDetails.org:95-102)
+generalized to the WHERE-subquery spelling Catalyst itself rewrites to
+semi-joins.
+
+Every accelerated shape runs against the DuckDB oracle; backing strings
+assert the statement really was index-served (`semijoin[...]`, not the
+spark.sql fallback). Declines (NOT IN, correlated IN, uncorrelated EXISTS,
+subquery under OR, LIMIT/aggregates in the subquery) must fall back AND
+stay correct."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    from pysparkline import tpch
+    from pysparkline.session import OlapContext
+
+    idx = tpch.build_or_load_index(spark, SF)
+    base = tpch.load_star_tables(spark, SF)
+    return OlapContext(spark, idx, base_tables=base)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "part", "customer", "supplier",
+              "nation", "region"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _same(ctx, duck, sql, backing=None):
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    b = ctx.query_history[-1].backing
+    if backing is not None:
+        assert b == backing, f"expected backing {backing}, got {b}"
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert len(got) == len(exp), f"{len(got)} rows != {len(exp)}"
+    for r1, r2 in zip(got, exp):
+        for a, b2 in zip(r1, r2):
+            if isinstance(a, float) or isinstance(b2, float):
+                assert abs(float(a) - float(b2)) <= 1e-6 * max(
+                    1.0, abs(float(b2))
+                )
+            else:
+                assert a == b2, (r1, r2)
+    return got
+
+
+# -- accelerated shapes ------------------------------------------------------
+
+
+def test_in_dim_grain_inner(ctx, duck):
+    """IN over a dim-table subquery: BaseKeysQuery reads the base table
+    (dim grain — flat would drop orders with no lineitems, harmless for
+    semi but wrong as a general key set) and semi-joins the flat scan."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_in_fact_grain_inner(ctx, duck):
+    """IN over a fact-table subquery: the inner DISTINCT key set plans
+    through the index (flat grain == fact grain)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus, COUNT(*) AS n FROM lineitem
+           WHERE l_partkey IN (SELECT l_partkey FROM lineitem
+                               WHERE l_quantity > 45)
+           GROUP BY l_linestatus""",
+        backing="semijoin[flat<-flat]",
+    )
+
+
+def test_in_with_filters_and_interval(ctx, duck):
+    """The subquery conjunct composes with ordinary filters + the time
+    interval: pruning still applies to the outer scan."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                       AS DOUBLE) AS rev
+           FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_totalprice > 100000)
+             AND l_shipdate >= DATE '1996-01-01'
+             AND l_shipdate < DATE '1997-01-01'
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_exists_correlated(ctx, duck):
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_orderkey = l_orderkey
+                           AND o_orderpriority = '1-URGENT')
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_not_exists_anti(ctx, duck):
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_orderkey = l_orderkey
+                               AND o_orderpriority = '1-URGENT')
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-anti:base[orders]]",
+    )
+
+
+def test_exists_reversed_eq_sides(ctx, duck):
+    """Correlation resolves by star column membership, not operand order."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE l_orderkey = o_orderkey
+                           AND o_totalprice > 150000)
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_two_subquery_conjuncts(ctx, duck):
+    """Two arms: both key sets semi-join the same pruned scan."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+             AND l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_size > 25)""",
+        backing="semijoin[flat<-base[orders],base[part]]",
+    )
+
+
+def test_in_and_not_exists_mixed(ctx, duck):
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus, COUNT(*) AS n FROM lineitem
+           WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal > 2000)
+             AND NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_orderkey = l_orderkey
+                               AND o_orderstatus = 'F')
+           GROUP BY l_linestatus""",
+        backing="semijoin[flat<-base[supplier],anti:base[orders]]",
+    )
+
+
+def test_in_no_aggregation_select(ctx, duck):
+    """SemiJoin around a plain projection outer (SelectQuery)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_totalprice > 400000)
+           ORDER BY l_orderkey, l_linenumber""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_in_star_join_outer(ctx, duck):
+    """The outer may still be a star join (eliminated onto flat)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT p.p_brand AS brand, COUNT(*) AS n
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                                  WHERE o_orderpriority = '2-HIGH')
+           GROUP BY p.p_brand""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+# -- declines (fallback must fire AND stay correct) --------------------------
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # NOT IN: three-valued NULL semantics
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')""",
+        # correlated IN
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_totalprice > l_extendedprice)""",
+        # uncorrelated EXISTS (constant predicate)
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_orderpriority = '1-URGENT')""",
+        # subquery under OR
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_returnflag = 'R'
+              OR l_orderkey IN (SELECT o_orderkey FROM orders)""",
+        # LIMIT inside the subquery (order-dependent sampling)
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                ORDER BY o_totalprice DESC LIMIT 5)""",
+        # aggregate inside the subquery
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_quantity IN (SELECT MAX(l_quantity) FROM lineitem)""",
+        # scalar subquery comparison
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)""",
+    ],
+)
+def test_declines_fall_back_correct(ctx, duck, sql):
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    assert ctx.query_history[-1].backing == "sparksql"
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+
+
+def test_non_equi_correlated_exists_declines(ctx, duck):
+    sql = """SELECT COUNT(*) AS n FROM lineitem
+             WHERE EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderkey = l_orderkey
+                             AND o_totalprice > l_extendedprice)"""
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    assert ctx.query_history[-1].backing == "sparksql"
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+
+
+# -- plan / IR shape ---------------------------------------------------------
+
+
+def test_semijoin_plan_shape(ctx):
+    """The executed plan must contain the semi join ABOVE the pruned flat
+    scan and BELOW the aggregation — never a cross product, never the raw
+    star re-join the fallback would run."""
+    df = ctx.sql(
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+           GROUP BY l_returnflag"""
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # aggregation above the join: partial HashAggregate appears
+    assert "HashAggregate" in plan
+
+
+def test_ir_roundtrip(ctx):
+    """SemiJoinQuery/SemiJoinArm/BaseKeysQuery serialize through
+    to_dict/node_from_dict (plan-cache key + SerTest.scala analog)."""
+    from pysparkline import ir
+    from pysparkline.sqlfront import parse_sql
+
+    spec = parse_sql(
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+             AND NOT EXISTS (SELECT 1 FROM part
+                             WHERE p_partkey = l_partkey AND p_size > 40)
+           GROUP BY l_returnflag""",
+        time_col="l_shipdate",
+        fact_table="lineitem",
+        star=ctx.star,
+    )
+    assert isinstance(spec, ir.SemiJoinQuery)
+    assert len(spec.arms) == 2
+    assert spec.arms[0].anti is False and spec.arms[1].anti is True
+    rt = ir.node_from_dict(spec.to_dict())
+    assert rt.to_dict() == spec.to_dict()
+
+
+def test_explain_rewrite_semijoin(ctx):
+    txt = ctx.explain_rewrite(
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+           GROUP BY l_returnflag"""
+    )
+    assert "SemiJoinQuery" in txt
+    assert "left_semi" in txt
+    assert "base table 'orders'" in txt
+    assert "row grain" in txt
+
+
+def test_fact_only_star_accelerates(spark):
+    """A star-less (fact-only) context still accelerates: a single-table
+    scope has no outer names to capture, so uncorrelatedness holds by SQL
+    scoping even without star column lists (events_index has
+    table_columns={})."""
+    import duckdb as _duck
+
+    from pysparkline.events_index import build_or_load_events_index
+    from pysparkline.session import OlapContext
+
+    idx = build_or_load_events_index(spark, SF)
+    ectx = OlapContext(spark, idx)
+    sql = """SELECT event_type, COUNT(*) AS n FROM events
+             WHERE user_id IN (SELECT user_id FROM events WHERE value > 900)
+             GROUP BY event_type"""
+    got = sorted(tuple(r) for r in ectx.sql(sql).collect())
+    assert ectx.query_history[-1].backing == "semijoin[flat<-flat]"
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp
+
+
+def test_plan_cache_reuse(ctx):
+    sql = """SELECT COUNT(*) AS n FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                  WHERE o_orderpriority = '5-LOW')"""
+    before = len(ctx.query_history)
+    df1 = ctx.sql(sql)
+    df2 = ctx.sql(sql)
+    assert df1 is df2  # memoized compiled plan
+    assert len(ctx.query_history) == before + 2
