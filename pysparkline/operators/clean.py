@@ -115,16 +115,21 @@ def semantic_decontaminate(
         "__bid",
         cos.alias("__cos"),
     )
-    # argmax via struct max: (cosine, -bench_id) orders ties to the
-    # smallest bench id — one map-side-combined aggregate, no window
+    # argmax via min_by on (-cosine, bench_id): highest cosine, ties to the
+    # smallest bench id — one map-side-combined aggregate, no window. The
+    # ordering negates the COSINE (always numeric), not the bench id, so
+    # string benchmark ids — a common eval-set id shape — work too
+    # (ADVICE r7 #5: the old (cos, -bid) struct-max raised AnalysisException
+    # for string ids).
     best = sims.groupBy("__cid").agg(
-        F.max(
-            F.struct(F.col("__cos"), (-F.col("__bid")).alias("__nb"))
+        F.min_by(
+            F.struct(F.col("__bid"), F.col("__cos")),
+            F.struct((-F.col("__cos")).alias("__nc"), F.col("__bid")),
         ).alias("__best")
     )
     return best.select(
         F.col("__cid").alias(id_col),
-        (-F.col("__best.__nb")).alias("bench_id"),
+        F.col("__best.__bid").alias("bench_id"),
         F.col("__best.__cos").alias("cosine"),
         (F.col("__best.__cos") >= F.lit(float(threshold))).alias(
             "contaminated"

