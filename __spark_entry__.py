@@ -5915,61 +5915,151 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
-# each round. Round 7's window (verdict-freshness rotation, VERDICT r6 #2):
-# (a) federated_rev_events — r6's one red, fixed this round (oracle decimal
-#     cast; reproduced driver-exact at sf0.01) — re-verifies first;
-# (b) the 5 rows that have NEVER carried a driver verdict (below r6's
-#     boundary): knn_join_probe_emb, hard_negatives_emb, length_batches_docs,
-#     image_features_arith, topk_per_group_docs;
-# (c) rows NEW this round: sql_union_arms (set-op acceleration),
-#     approx_topn_filtered (sketch-dim post-filtering),
-#     image_features_deep (12-bit + lossless JPEG decode) — its slot
-#     pushes skew_salted_distinct (r4) just below the boundary; that
-#     row's machinery (NDV-gated two-stage distinct) stays in-window
-#     via count_distinct_exact/sql_distinct lowering shared paths and
-#     heads the next rotation with the other below-boundary r4 rows;
-# (d) the r3-verdicted cohort (4 rounds old): q6 q14 q17 q18 ivf_index_topk;
-# (e) rows whose code changed this round: knn_join_emb (norm flooring,
-#     cache lifecycle), bpe_train_docs (delta pair-counting),
-#     events_15min_zero_fill (decimal-sum ExprAgg + post-agg);
-# (f) 30 of the 39 r4-verdicted rows (3 rounds old — the oldest cohort);
-# (g) the 8 rows NEW this round beyond (c) — embedding compression
-#     (embed_quantize_emb, matryoshka_topk_emb, quantized_topk_emb,
-#     hamming_topk_emb, matryoshka_funnel_emb), the interpolated bigram LM
-#     (bigram_nll_docs), hybrid RRF retrieval (hybrid_rrf_docs), and the
-#     cross-corpus fuzzy join (fuzzy_join_docs) — new machinery gets a
-#     driver verdict immediately (never-verified beats stale-verified);
-#     plus incremental inverted-index ingest (text_index_append_topk)
-#     A-ES weighted sampling (weighted_sample_docs), and semantic
-#     benchmark decontamination (semantic_decontam_emb);
-#     their slots displace 11 more r4 rows below the boundary
-#     (ngram_jaccard_docs — shingle-set Jaccard, computed identically
-#     inside in-window fuzzy_join_docs's exact verify —
-#     text_stats_docs — narrow token-stat maps, exercised by the
-#     in-window bigram/lang rows — doc_fingerprint — one md5 map —
-#     dedup_exact_docs,
-#     minhash_pairs_docs — its signature/banding/verify machinery is a
-#     strict subset of in-window fuzzy_join_docs — sessionize_stats,
-#     funnel_events, spatial_bounds, tz_daily_revenue, sql_select_scan,
-#     sql_subquery).
-# The 13 r4 rows that did not fit head the NEXT rotation, each with its
-# touched surface covered in-window: sql_latest_per_key (QUALIFY machinery
-# via sql_qualify_topk), events_15min (duration granularity via the
-# in-window events_15min_zero_fill superset), topn_monthly_brand (TopN
-# lowering via topn_brand + approx_topn_filtered), running_totals_user
-# (window lowering via sql_window_nth/qualify rows), avg_null_aware (avg
-# decomposition via q17's AVG), spatial_bounds (spatial filter lowering —
-# r4-green, untouched since), tz_daily_revenue (tz granularity via
-# events_15min_zero_fill + q1_month), sql_select_scan / sql_subquery
-# (select lowering + subquery flatten — fuzzer-covered every pytest),
-# sessionize_stats / funnel_events (events.py session-window machinery,
-# r4-green, untouched since; interval_join_events r6-green shares the module),
-# dedup_exact_docs (one groupBy — exercised by every agg row),
-# minhash_pairs_docs (signatures/banding/exact-verify all run inside the
-# in-window fuzzy_join_docs).
-# All below-boundary rows run typed+ordered against their oracles every
-# pytest (tests/test_entry_oracle.py).
+# each round. Round 8's window (verdict-freshness rotation, VERDICT r7 #3):
+# (a) the 3 rows NEW this round (never-verified beats stale-verified):
+#     sql_in_subquery / sql_exists_semi / sql_not_exists_anti — the
+#     WHERE-subquery semi-join acceleration;
+# (b) the ENTIRE remaining r4-verdicted cohort (17 rows, 4 rounds old —
+#     VERDICT r7 #3 named 16; ngram_jaccard_docs is the 17th r4 row and
+#     rotates with them), so after this window no registered row carries a
+#     verdict older than r5: ngram_jaccard_docs, text_stats_docs,
+#     doc_fingerprint, dedup_exact_docs, minhash_pairs_docs,
+#     sessionize_stats, funnel_events, spatial_bounds, tz_daily_revenue,
+#     sql_select_scan, sql_subquery, skew_salted_distinct,
+#     sql_latest_per_key, events_15min, topn_monthly_brand,
+#     running_totals_user, avg_null_aware;
+# (c) rows whose CODE changed this round: the cosine_similarity_col
+#     per-factor norm floor (ADVICE r8 #1) feeds cosine_topk, ivf_topk,
+#     lsh_cosine_topk, embedding_neardup, semantic_dedup_emb (all
+#     r6-verdicted — they re-verify now), and the TextIndex legacy-manifest
+#     exactness change feeds text_index_topk (r5);
+# (d) the r5-verdicted cohort by registration order fills the remaining
+#     slots. The 21 r5 rows that did not fit (simhash_pairs_docs,
+#     sql_count_distinct, sql_cte, sql_distinct, sql_grouping_fns,
+#     sql_having_postagg, sql_quantile, sql_rollup, stratified_sample_docs,
+#     time_parse_reformat, topn_low_brand, tz_format_dim, ym_format_dim,
+#     frame_sample, mix_sources_docs, search_strlen, theta_error_small_k,
+#     bm25_topk_docs, hash_split_docs, source_overlap_docs,
+#     lookup_dim_market) head the NEXT rotation; each runs typed+ordered
+#     against its oracle every pytest (tests/test_entry_oracle.py), and
+#     their machinery is exercised in-window (windows via the r4
+#     sql_window rows, theta via semantic/dedup rows, grouping-set
+#     lowering via rollup/cube rows verified r7).
 _PRIORITY = [
+    "sql_in_subquery",
+    "sql_exists_semi",
+    "sql_not_exists_anti",
+    "ngram_jaccard_docs",
+    "text_stats_docs",
+    "doc_fingerprint",
+    "dedup_exact_docs",
+    "minhash_pairs_docs",
+    "sessionize_stats",
+    "funnel_events",
+    "spatial_bounds",
+    "tz_daily_revenue",
+    "sql_select_scan",
+    "sql_subquery",
+    "skew_salted_distinct",
+    "sql_latest_per_key",
+    "events_15min",
+    "topn_monthly_brand",
+    "running_totals_user",
+    "avg_null_aware",
+    "cosine_topk",
+    "ivf_topk",
+    "lsh_cosine_topk",
+    "embedding_neardup",
+    "semantic_dedup_emb",
+    "text_index_topk",
+    "sql_multi_interval",
+    "ship_date_range",
+    "sql_window_filter_distinct",
+    "sql_window_range_desc",
+    "audio_features",
+    "sql_window_range",
+    "pack_docs",
+    "shard_docs",
+    "image_features",
+    "sql_window_lag_nulls",
+    "sql_window_rowgrain",
+    "select_pushdown",
+    "temperature_mix_docs",
+    "vocab_topk_docs",
+    "sql_window_ma",
+    "boilerplate_prune_docs",
+    "bpe_tokens_docs",
+    "chunk_docs",
+    "json_props",
+    "lang_id_docs",
+    "length_quantiles_docs",
+    "pii_redact_docs",
+    "quality_docs",
+    "repetition_stats_docs",
+    # --- 50-query window boundary ---
+    "simhash_pairs_docs",
+    "sql_count_distinct",
+    "sql_cte",
+    "sql_distinct",
+    "sql_grouping_fns",
+    "sql_having_postagg",
+    "sql_quantile",
+    "sql_rollup",
+    "stratified_sample_docs",
+    "time_parse_reformat",
+    "topn_low_brand",
+    "tz_format_dim",
+    "ym_format_dim",
+    "frame_sample",
+    "mix_sources_docs",
+    "search_strlen",
+    "theta_error_small_k",
+    "bm25_topk_docs",
+    "hash_split_docs",
+    "source_overlap_docs",
+    "lookup_dim_market",
+    "approx_topn_supplier",
+    "sql_window_exclude",
+    "substring_dup_docs",
+    "incremental_substring_docs",
+    "ivf_append_topk",
+    "image_dhash_pairs",
+    "audio_fp_pairs",
+    "video_dhash_pairs",
+    "profile_lineitem",
+    "image_features_progressive",
+    "snapshot_diff_docs",
+    "token_budget_docs",
+    "canonical_docs",
+    "sql_window_sum_distinct",
+    "incremental_dedup_docs",
+    "sql_window_share",
+    "sql_window_mom",
+    "perplexity_docs",
+    "pq_topk",
+    "curate_docs",
+    "tfidf_docs",
+    "interval_join_events",
+    "ivfpq_index_topk",
+    "sql_q1",
+    "sql_star_join",
+    "theta_users_type",
+    "theta_retention_daily",
+    "theta_funnel_users",
+    "sql_theta",
+    "hll_count_distinct",
+    "events_hist_p90",
+    "events_user_distinct",
+    "events_daily_types",
+    "events_hourly",
+    "q1",
+    "q1_month",
+    "basic_agg",
+    "q3",
+    "q5",
+    "q7",
+    "q8",
+    "q10",
     "federated_rev_events",
     "knn_join_probe_emb",
     "hard_negatives_emb",
@@ -6020,117 +6110,6 @@ _PRIORITY = [
     "hamming_topk_emb",
     "bigram_nll_docs",
     "hybrid_rrf_docs",
-    # --- 50-query window boundary ---
-    "ngram_jaccard_docs",
-    "text_stats_docs",
-    "doc_fingerprint",
-    "dedup_exact_docs",
-    "minhash_pairs_docs",
-    "sessionize_stats",
-    "funnel_events",
-    "spatial_bounds",
-    "tz_daily_revenue",
-    "sql_select_scan",
-    "sql_subquery",
-    "skew_salted_distinct",
-    "sql_latest_per_key",
-    "events_15min",
-    "topn_monthly_brand",
-    "running_totals_user",
-    "avg_null_aware",
-    "sql_multi_interval",
-    "ship_date_range",
-    "sql_window_filter_distinct",
-    "sql_window_range_desc",
-    "audio_features",
-    "sql_window_range",
-    "pack_docs",
-    "shard_docs",
-    "image_features",
-    "sql_window_lag_nulls",
-    "sql_window_rowgrain",
-    "select_pushdown",
-    "temperature_mix_docs",
-    "vocab_topk_docs",
-    "sql_window_ma",
-    "boilerplate_prune_docs",
-    "bpe_tokens_docs",
-    "chunk_docs",
-    "json_props",
-    "lang_id_docs",
-    "length_quantiles_docs",
-    "pii_redact_docs",
-    "quality_docs",
-    "repetition_stats_docs",
-    "simhash_pairs_docs",
-    "sql_count_distinct",
-    "sql_cte",
-    "sql_distinct",
-    "sql_grouping_fns",
-    "sql_having_postagg",
-    "sql_quantile",
-    "sql_rollup",
-    "stratified_sample_docs",
-    "time_parse_reformat",
-    "topn_low_brand",
-    "tz_format_dim",
-    "ym_format_dim",
-    "frame_sample",
-    "mix_sources_docs",
-    "search_strlen",
-    "theta_error_small_k",
-    "bm25_topk_docs",
-    "text_index_topk",
-    "hash_split_docs",
-    "source_overlap_docs",
-    "lookup_dim_market",
-    "approx_topn_supplier",
-    "sql_window_exclude",
-    "substring_dup_docs",
-    "incremental_substring_docs",
-    "ivf_append_topk",
-    "image_dhash_pairs",
-    "audio_fp_pairs",
-    "video_dhash_pairs",
-    "profile_lineitem",
-    "image_features_progressive",
-    "snapshot_diff_docs",
-    "token_budget_docs",
-    "canonical_docs",
-    "sql_window_sum_distinct",
-    "incremental_dedup_docs",
-    "sql_window_share",
-    "sql_window_mom",
-    "semantic_dedup_emb",
-    "perplexity_docs",
-    "pq_topk",
-    "curate_docs",
-    "tfidf_docs",
-    "interval_join_events",
-    "ivfpq_index_topk",
-    "sql_q1",
-    "sql_star_join",
-    "theta_users_type",
-    "theta_retention_daily",
-    "theta_funnel_users",
-    "sql_theta",
-    "hll_count_distinct",
-    "events_hist_p90",
-    "events_user_distinct",
-    "events_daily_types",
-    "events_hourly",
-    "ivf_topk",
-    "lsh_cosine_topk",
-    "cosine_topk",
-    "embedding_neardup",
-    "q1",
-    "q1_month",
-    "basic_agg",
-    "q3",
-    "q5",
-    "q7",
-    "q8",
-    "q10",
 ]
 
 

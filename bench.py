@@ -167,6 +167,36 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
+    # ---- fixed-work calibration probe (VERDICT r7 #4) --------------------
+    # A constant raw-parquet scan + hash aggregate, measured with the same
+    # warm best-of-2 discipline as every query, run BEFORE and AFTER the
+    # measured block. Environment drift (CPU contention, turbo/thermal
+    # state, JIT luck) moves this probe and all queries together — r7's
+    # across-the-board 1.3-1.4x wall drift (raw twins included, scan rows
+    # identical) was indistinguishable from a real regression without it.
+    # Round-over-round comparisons should quote <time>/<calibration_sec>.
+    from pysparkline import tpch as _tpch
+
+    def _calibration_probe() -> float:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        df = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)),
+            F.sum(F.expr(_tpch.QTY)),
+            F.avg(F.expr(_tpch.DISC)),
+        )
+        # 2 warmups (JIT + page cache; the START probe runs right after the
+        # index build, where scan codepaths are still cold), then best-of-3
+        df.collect()
+        df.collect()
+        best = float("inf")
+        for _ in range(3):
+            t = time.perf_counter()
+            df.collect()
+            best = min(best, time.perf_counter() - t)
+        return round(best, 4)
+
+    calibration_sec = _calibration_probe()
+
     cold_times: dict[str, float] = {}
 
     def scan_rows(df, runs: int) -> int | None:
@@ -425,6 +455,19 @@ def main() -> None:
         if tasktime_raw.get(n) and tasktime_indexed.get(n)
     }
 
+    calibration_end_sec = _calibration_probe()
+    # normalize by the BEST of the two probes: the start probe can still
+    # carry JIT/GC backlog from the index build (observed 2x at sf0.01);
+    # the floor is the stable environment statistic, and round-over-round
+    # environment drift moves the floor
+    probes = [x for x in (calibration_sec, calibration_end_sec) if x]
+    cal = min(probes) if probes else 1.0
+
+    def _norm(d: dict) -> dict:
+        return {
+            n: (round(v / cal, 3) if v else None) for n, v in d.items()
+        }
+
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -432,6 +475,17 @@ def main() -> None:
         "queries": times,
         "llm_ops": llm_times,
         "llm_ops_total_sec": round(sum(llm_times.values()), 4),
+        # drift attribution (VERDICT r7 #4): quote the *_normalized maps
+        # (time / min(start,end) same-session calibration) when comparing
+        # rounds; if calibration itself moved round-over-round, the
+        # environment moved, not the plans. start-vs-end bounds intra-run
+        # drift (start can carry index-build JIT/GC backlog).
+        "calibration_sec": calibration_sec,
+        "calibration_used_sec": round(cal, 4),
+        "calibration_end_sec": calibration_end_sec,
+        "queries_normalized": _norm(times),
+        "llm_ops_normalized": _norm(llm_times),
+        "raw_normalized": _norm(raw_times),
         "sf": sf,
         "index_build_or_load_sec": round(index_sec, 2),
         "cold": cold_times,
@@ -478,6 +532,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "calibration_sec": round(cal, 4),
         "sf": sf,
         "tasktime_speedup_vs_raw": tasktime_speedup,
         "scan_reduction_vs_raw": detail["scan_reduction_vs_raw"],

@@ -259,6 +259,9 @@ def matryoshka_funnel_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # rank filter directly above the window: keeps Spark's
+    # WindowGroupLimit(Partial) below the exchange (per-partition top-k
+    # before shuffling) — plan-shape pinned in tests/test_plan_shape.py
     return (
         cj.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
@@ -347,6 +350,9 @@ def hamming_topk(
     wh = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc_nulls_last(), F.col("neighbor_id").asc()
     )
+    # rank filter directly above the window: keeps Spark's
+    # WindowGroupLimit(Partial) below the exchange (per-partition top-k
+    # before shuffling) — plan-shape pinned in tests/test_plan_shape.py
     short = joined.withColumn("__hrank", F.row_number().over(wh)).where(
         F.col("__hrank") <= (sl if rerank else k)
     )

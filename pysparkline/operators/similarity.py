@@ -89,6 +89,11 @@ def brute_force_cosine_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # the rank filter must stay DIRECTLY above the window: Spark's
+    # InferWindowGroupLimit only fires on that adjacency, inserting
+    # WindowGroupLimit(Partial) below the exchange (per-partition top-k
+    # heaps — shuffle is partitions*queries*k, never corpus-sized).
+    # Plan-shape pinned in tests/test_plan_shape.py.
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

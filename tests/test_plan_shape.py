@@ -505,3 +505,51 @@ def test_exclude_peers_use_raw_key_not_surrogate(spark):
     # the discriminating rows: each same-second neighbor must stay IN the
     # other's frame (they are not peers)
     assert got[0] == 20 + 40 and got[1] == 10 + 40
+
+
+def test_topk_window_group_limit_partial_below_exchange(spark):
+    """VERDICT r7 #6: the embed/brute-force top-k family depends on Spark
+    inserting WindowGroupLimit (Partial) BELOW the shuffle — per-partition
+    top-k heaps before the exchange, so the rank-filter window shuffles
+    partitions x queries x k rows, never corpus x queries. The rule only
+    fires on the rank-filter-above-window adjacency; a refactor separating
+    the filter from the window would silently revert to full shuffles.
+    This pins the shape for all three operators."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import embed, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def _assert_partial_below_exchange(df, name):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        exch = [
+            i for i, ln in enumerate(lines)
+            if "Exchange hashpartitioning(query_id" in ln
+        ]
+        assert exch, f"{name}: no query_id hash exchange in plan\n{plan}"
+        partial = [
+            i for i, ln in enumerate(lines)
+            if "WindowGroupLimit" in ln and "Partial" in ln
+        ]
+        # deeper in the tree = printed later: Partial must sit BELOW (after)
+        # the first query_id exchange
+        assert partial and max(partial) > exch[0], (
+            f"{name}: WindowGroupLimit Partial not below the exchange —"
+            f" per-partition top-k lost, shuffle is corpus-sized\n{plan}"
+        )
+
+    _assert_partial_below_exchange(
+        similarity.brute_force_cosine_topk(emb, q, k=5), "brute_force"
+    )
+    _assert_partial_below_exchange(
+        embed.hamming_topk(emb, q, k=5), "hamming_topk"
+    )
+    _assert_partial_below_exchange(
+        embed.matryoshka_funnel_topk(emb, q, k=5, dim=4),
+        "matryoshka_funnel_topk",
+    )

@@ -310,15 +310,74 @@ def setop_sqls(draw):
     )
 
 
+@st.composite
+def semijoin_sqls(draw):
+    """Random WHERE-subquery statements (round-8 surface): 1-2 conjunct
+    arms drawn from {uncorrelated IN over a dim table, uncorrelated IN
+    over the fact, [NOT] EXISTS equi-correlated on a dim table}, composed
+    with ordinary predicates. Aggregates stay exact-valued (COUNT/MIN/MAX)
+    so row sets compare exactly."""
+    gcols = draw(st.lists(dim, min_size=1, max_size=2, unique=True))
+    m = draw(st.sampled_from(METRICS))
+    agg = draw(
+        st.sampled_from(["COUNT(*)", "MIN({m})", "MAX({m})"])
+    ).format(m=m)
+
+    def orders_pred():
+        kind = draw(st.sampled_from(["prio", "status", "price"]))
+        if kind == "prio":
+            vs = draw(st.lists(
+                st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+                min_size=1, max_size=2, unique=True,
+            ))
+            return f"o_orderpriority IN ({', '.join(repr(v) for v in vs)})"
+        if kind == "status":
+            return f"o_orderstatus = '{draw(st.sampled_from('FOP'))}'"
+        return f"o_totalprice > {draw(st.integers(5, 45)) * 10000}"
+
+    def arm():
+        kind = draw(st.sampled_from(
+            ["in_dim", "in_fact", "exists", "not_exists"]
+        ))
+        if kind == "in_dim":
+            return (
+                "l_orderkey IN (SELECT o_orderkey FROM orders "
+                f"WHERE {orders_pred()})"
+            )
+        if kind == "in_fact":
+            q = draw(st.integers(35, 49))
+            return (
+                "l_partkey IN (SELECT l_partkey FROM lineitem "
+                f"WHERE l_quantity > {q})"
+            )
+        neg = "NOT " if kind == "not_exists" else ""
+        return (
+            f"{neg}EXISTS (SELECT 1 FROM orders "
+            f"WHERE o_orderkey = l_orderkey AND {orders_pred()})"
+        )
+
+    conj = [arm() for _ in range(draw(st.integers(1, 2)))]
+    if draw(st.booleans()):
+        conj.append(draw(predicates()))
+    if draw(st.booleans()):
+        y = draw(st.integers(1995, 1998))
+        conj.append(f"l_shipdate >= DATE '{y}-01-01'")
+    return (
+        f"SELECT {', '.join(gcols)}, {agg} AS m0 FROM lineitem "
+        f"WHERE {' AND '.join(conj)} GROUP BY {', '.join(gcols)}"
+    )
+
+
 @pytest.fixture(scope="module")
 def harness(spark):
     idx = tpch.build_or_load_index(spark, SF)
     base = tpch.load_star_tables(spark, SF)
     ctx = OlapContext(spark, idx, base_tables=base)
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
-    )
+    for t in ("lineitem", "orders", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
     return ctx, con
 
 
@@ -416,3 +475,33 @@ def test_random_setops_match_duckdb(harness, sql):
     # both arms must be index-served (one combined DAG, no fallback)
     assert backing.startswith("setop["), backing
     assert "sparksql" not in backing
+
+
+@settings(
+    max_examples=25 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sql=semijoin_sqls())
+def test_random_semijoins_match_duckdb(harness, sql):
+    ctx, con = harness
+    got = sorted(
+        [tuple(_norm(x) for x in r) for r in ctx.sql(sql).collect()],
+        key=_sort_key,
+    )
+    exp = sorted(
+        [tuple(_norm(x) for x in r) for r in con.execute(sql).fetchall()],
+        key=_sort_key,
+    )
+    backing = ctx.query_history[-1].backing
+    ok = len(got) == len(exp) and all(
+        _rows_equal(a, b) for a, b in zip(got, exp)
+    )
+    assert ok, (
+        f"\nsql: {sql}\nbacking: {backing}\n"
+        f"got {len(got)} rows, exp {len(exp)}\n"
+        f"first diff: "
+        f"{next(((a, b) for a, b in zip(got, exp) if not _rows_equal(a, b)), None)}"
+    )
+    # every drawn shape is inside the round-8 surface: must accelerate
+    assert backing.startswith("semijoin["), backing
