@@ -2785,6 +2785,57 @@ def image_features_deep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_features_hier",
+    """
+SELECT doc_id AS id, 16 AS width, 16 AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 200 ELSE 127.5 END
+            AS DOUBLE) AS mean_r,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 31 ELSE 127.5 END
+            AS DOUBLE) AS mean_g,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 90 ELSE 127.5 END
+            AS DOUBLE) AS mean_b
+FROM documents
+""",
+)
+def image_features_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL JPEG decode (round 8, T.81 Annex J — the last codec
+    decline closed): DHP/EXP markers, a non-differential first stage at
+    half resolution, and differential stages (SOF5 DCT / SOF7 lossless)
+    combined through the J.1.1.2 upsampling filter. Fixtures: a 2-stage
+    DCT pyramid of a solid color (decode is deterministic — the oracle
+    states its exact decoded means, green 31 being the pyramid's
+    quantization of 30), an 8-bit lossless pyramid gradient (BIT-exact,
+    mean exactly 127.5), and a 12-bit lossless pyramid (uint16 decode
+    path + precision shift). No stock codec implements Annex J (libjpeg
+    never did), so validation is round-trip exactness + structural
+    checks (tests/test_jpeg_hierarchical.py)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import multimodal
+
+    prep(spark)
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "data")
+    payloads = [
+        open(os.path.join(base, n), "rb").read()
+        for n in ("hier_dct_solid.jpg", "hier_ll8_grad.jpg",
+                  "hier_ll16_grad.jpg")
+    ]
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.withColumn(
+        "img",
+        F.element_at(
+            F.array(*[F.lit(p) for p in payloads]),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    return multimodal.image_features(media, "doc_id", "img").select(
+        "id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@_register(
     "frame_sample",
     """
 WITH f AS (

@@ -285,6 +285,7 @@ def _decode(payload: bytes) -> np.ndarray:
     frame = None
     coef = None  # progressive coefficient store, filled across scans
     dac: dict[tuple[int, int], int] = {}  # arithmetic conditioning (DAC)
+    hier = None  # hierarchical state (Annex J): set by DHP
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -334,60 +335,40 @@ def _decode(payload: bytes) -> np.ndarray:
                 tc_tb = body[i]
                 dac[(tc_tb >> 4, tc_tb & 0xF)] = body[i + 1]
                 i += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC7, 0xC9, 0xCA):
             # SOF0/1 sequential, SOF2 progressive, SOF3 LOSSLESS
-            # (Annex H), SOF9 arithmetic sequential, SOF10 arithmetic
-            # progressive
-            prec = body[0]
-            # T.81 B.2.2/B.2.3: baseline (SOF0) is 8-bit; the extended/
-            # progressive/arithmetic DCT processes also permit P=12
-            # (decoded here to uint16, 0..4095 — VERDICT r6 #8); the
-            # lossless process permits P=2..16
-            if marker == 0xC3:
-                if not (2 <= prec <= 16):
-                    raise ValueError(
-                        f"jpeg: lossless precision {prec} out of range"
-                    )
-            elif prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+            # (Annex H), SOF5/7 DIFFERENTIAL sequential/lossless (Annex J,
+            # hierarchical stages only), SOF9 arithmetic sequential,
+            # SOF10 arithmetic progressive
+            if marker in (0xC5, 0xC7) and hier is None:
                 raise ValueError(
-                    f"jpeg: {prec}-bit precision not supported for "
-                    f"SOF{marker - 0xC0}"
+                    "jpeg: differential frame outside hierarchical mode"
                 )
-            h = int.from_bytes(body[1:3], "big")
-            w = int.from_bytes(body[3:5], "big")
-            # corrupt/hostile headers must not demand multi-GB plane
-            # buffers from an executor: decode serves feature extraction
-            # over untrusted corpus bytes, so decline past a sane area
-            # (64 MP ≈ 8 uncompressed GB across 3 float planes)
-            if h == 0 or w == 0 or h * w > 64_000_000:
-                raise ValueError(f"jpeg: implausible dimensions {w}x{h}")
-            if len(body) < 6:
-                raise ValueError("jpeg: truncated SOF header")
-            ncomp = body[5]
-            # only greyscale and YCbCr are decodable here: 4-component
-            # (Adobe CMYK/YCCK) streams would otherwise be silently decoded
-            # as if the first planes were YCbCr — wrong pixels, not an
-            # honest decline
-            if ncomp not in (1, 3):
-                raise ValueError(
-                    f"jpeg: {ncomp}-component (CMYK/unknown) not supported"
-                )
-            if len(body) < 6 + 3 * ncomp:
-                raise ValueError("jpeg: truncated SOF component specs")
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
-                ch, cv = hv >> 4, hv & 0xF
-                if not (1 <= ch <= 4 and 1 <= cv <= 4):
-                    raise ValueError("jpeg: bad sampling factors")
-                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
-                     "progressive": marker in (0xC2, 0xCA),
-                     "arith": marker in (0xC9, 0xCA),
-                     "lossless": marker == 0xC3}
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = _parse_sof_body(body, marker)
+        elif marker == 0xDE:  # DHP: define hierarchical progression (J)
+            if hier is not None:
+                raise ValueError("jpeg: nested DHP")
+            if frame is not None:
+                raise ValueError("jpeg: DHP after a frame header")
+            hier = {
+                "dhp": _parse_sof_body(body, 0xC1),
+                "ref": None,
+                "exp": None,
+                "mode": None,
+            }
+        elif marker == 0xDF:  # EXP: expand reference components (J.1.1.2)
+            if hier is None:
+                raise ValueError("jpeg: EXP outside hierarchical mode")
+            if len(body) < 1:
+                raise ValueError("jpeg: truncated EXP")
+            eh, ev = body[0] >> 4, body[0] & 0xF
+            if eh > 1 or ev > 1:
+                raise ValueError("jpeg: EXP expansion must be 0 or 1")
+            hier["exp"] = (eh, ev)
+        elif marker in (0xC6, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "jpeg: hierarchical/arithmetic-lossless not supported"
+                "jpeg: differential-progressive/arithmetic-differential/"
+                "arithmetic-lossless not supported"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -403,6 +384,18 @@ def _decode(payload: bytes) -> np.ndarray:
                 sel[cs] = (td, ta)
                 order.append(cs)
             try:
+                if hier is not None:
+                    if frame is None or ns < len(frame["comps"]):
+                        raise ValueError(
+                            "jpeg: hierarchical stage needs one interleaved "
+                            "scan per frame"
+                        )
+                    pos = _hier_stage(
+                        payload, pos, seglen, body, ns, frame, hier, sel,
+                        qtables, htables, restart_interval,
+                    )
+                    frame = None  # next stage must declare its own SOF
+                    continue
                 if not frame["progressive"] and ns < len(frame["comps"]):
                     # a legal T.81 sequential file may carry per-component
                     # scans (ns < Nf); the sequential paths below assume ONE
@@ -459,6 +452,8 @@ def _decode(payload: bytes) -> np.ndarray:
                 # a corrupt stream: a clean decline, not a KeyError
                 raise ValueError(f"jpeg: missing table/component {ex}") from ex
         pos += 2 + seglen
+    if hier is not None:
+        return _hier_finish(hier)
     if frame is not None and frame.get("progressive") and coef is not None:
         try:
             return _reconstruct(frame, coef, qtables)
@@ -467,7 +462,212 @@ def _decode(payload: bytes) -> np.ndarray:
     raise ValueError("jpeg: no scan data")
 
 
+def _parse_sof_body(body: bytes, marker: int) -> dict:
+    """SOF/DHP segment body -> frame dict (shared syntax, T.81 B.2.2/J.2)."""
+    prec = body[0]
+    lossless = marker in (0xC3, 0xC7)
+    # T.81 B.2.2/B.2.3: baseline (SOF0) is 8-bit; the extended/
+    # progressive/arithmetic/differential DCT processes also permit P=12
+    # (decoded here to uint16, 0..4095 — VERDICT r6 #8); the lossless
+    # processes permit P=2..16
+    if lossless:
+        if not (2 <= prec <= 16):
+            raise ValueError(
+                f"jpeg: lossless precision {prec} out of range"
+            )
+    elif prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+        raise ValueError(
+            f"jpeg: {prec}-bit precision not supported for "
+            f"SOF{marker - 0xC0}"
+        )
+    h = int.from_bytes(body[1:3], "big")
+    w = int.from_bytes(body[3:5], "big")
+    # corrupt/hostile headers must not demand multi-GB plane
+    # buffers from an executor: decode serves feature extraction
+    # over untrusted corpus bytes, so decline past a sane area
+    # (64 MP ≈ 8 uncompressed GB across 3 float planes)
+    if h == 0 or w == 0 or h * w > 64_000_000:
+        raise ValueError(f"jpeg: implausible dimensions {w}x{h}")
+    if len(body) < 6:
+        raise ValueError("jpeg: truncated SOF header")
+    ncomp = body[5]
+    # only greyscale and YCbCr are decodable here: 4-component
+    # (Adobe CMYK/YCCK) streams would otherwise be silently decoded
+    # as if the first planes were YCbCr — wrong pixels, not an
+    # honest decline
+    if ncomp not in (1, 3):
+        raise ValueError(
+            f"jpeg: {ncomp}-component (CMYK/unknown) not supported"
+        )
+    if len(body) < 6 + 3 * ncomp:
+        raise ValueError("jpeg: truncated SOF component specs")
+    comps = []
+    for c in range(ncomp):
+        cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+        ch, cv = hv >> 4, hv & 0xF
+        if not (1 <= ch <= 4 and 1 <= cv <= 4):
+            raise ValueError("jpeg: bad sampling factors")
+        comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+    return {"h": h, "w": w, "comps": comps, "prec": prec,
+            "progressive": marker in (0xC2, 0xCA),
+            "arith": marker in (0xC9, 0xCA),
+            "lossless": lossless,
+            "differential": marker in (0xC5, 0xC7)}
+
+
+def _hier_upsample(p: np.ndarray, eh: int, ev: int, out_h: int,
+                   out_w: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference expansion: double a dimension by inserting
+    interpolated samples — out[2i] = in[i], out[2i+1] = (in[i] + in[i+1]
+    + 1) >> 1, last inserted sample replicates — then trim to the next
+    frame's dimensions."""
+    p = p.astype(np.int64, copy=False)
+    if eh:
+        q = np.empty((p.shape[0], 2 * p.shape[1]), dtype=np.int64)
+        q[:, 0::2] = p
+        if p.shape[1] > 1:
+            q[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        q[:, -1] = p[:, -1]
+        p = q[:, :out_w]
+    if ev:
+        q = np.empty((2 * p.shape[0], p.shape[1]), dtype=np.int64)
+        q[0::2, :] = p
+        if p.shape[0] > 1:
+            q[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        q[-1, :] = p[-1, :]
+        p = q[:out_h, :]
+    if p.shape != (out_h, out_w):
+        raise ValueError(
+            f"jpeg: expanded reference {p.shape} != frame {(out_h, out_w)}"
+        )
+    return p
+
+
+def _hier_stage(payload, pos, seglen, body, ns, frame, hier, sel,
+                qtables, htables, restart_interval):
+    """Decode ONE hierarchical stage's scan and fold it into the running
+    reference frame (T.81 Annex J). Returns the position after the scan.
+
+    Scope (each an honest ValueError decline): sequential-Huffman or
+    lossless-Huffman stages only, 1:1 sampling, full DHP component set per
+    frame, one interleaved scan per frame, no point transform, exactly one
+    non-differential (first) stage."""
+    dhp = hier["dhp"]
+    if frame.get("arith") or frame["progressive"]:
+        raise ValueError(
+            "jpeg: hierarchical stage must be sequential or lossless Huffman"
+        )
+    if any(c["h"] != 1 or c["v"] != 1 for c in frame["comps"]):
+        raise ValueError("jpeg: subsampled hierarchical stages not supported")
+    if [c["id"] for c in frame["comps"]] != [c["id"] for c in dhp["comps"]]:
+        raise ValueError("jpeg: hierarchical stage components must match DHP")
+    if frame["prec"] != dhp["prec"]:
+        raise ValueError("jpeg: hierarchical stage precision must match DHP")
+    if frame["h"] > dhp["h"] or frame["w"] > dhp["w"]:
+        raise ValueError("jpeg: hierarchical stage larger than DHP frame")
+    mode = "lossless" if frame.get("lossless") else "dct"
+    if hier["mode"] is None:
+        hier["mode"] = mode
+    elif hier["mode"] != mode:
+        raise ValueError("jpeg: mixed DCT/lossless hierarchical stages")
+    maxv = (1 << frame["prec"]) - 1
+    if mode == "lossless":
+        pred_sel = body[1 + 2 * ns]
+        pt = body[3 + 2 * ns] & 0xF
+        if pt:
+            raise ValueError(
+                "jpeg: point transform in hierarchical stages not supported"
+            )
+        planes, nxt = _decode_scan_lossless_planes(
+            payload, pos + 2 + seglen, frame, sel, htables,
+            restart_interval, pred_sel, pt,
+            differential=frame["differential"],
+        )
+    else:
+        fplanes, nxt = _decode_scan_planes(
+            payload, pos + 2 + seglen, frame, sel, qtables, htables,
+            restart_interval, differential=frame["differential"],
+        )
+        # crop the padded MCU grid to frame dims (1:1 sampling)
+        planes = [
+            np.round(p[:frame["h"], :frame["w"]]).astype(np.int64)
+            for p in fplanes
+        ]
+    if frame["differential"]:
+        if hier["ref"] is None:
+            raise ValueError("jpeg: differential stage before any reference")
+        ref = hier["ref"]
+        if hier["exp"] is not None:
+            eh, ev = hier["exp"]
+            hier["exp"] = None
+            ref = [
+                _hier_upsample(p, eh, ev, frame["h"], frame["w"])
+                for p in ref
+            ]
+        if ref[0].shape != (frame["h"], frame["w"]):
+            raise ValueError("jpeg: stage dims do not match the reference")
+        if mode == "lossless":
+            # J/H: differences add modulo 2^16 — bit-exact reconstruction
+            hier["ref"] = [(r + d) & 0xFFFF for r, d in zip(ref, planes)]
+        else:
+            # DCT: spatial difference adds with sample-range clamping
+            hier["ref"] = [
+                np.clip(r + d, 0, maxv) for r, d in zip(ref, planes)
+            ]
+    else:
+        if hier["ref"] is not None:
+            raise ValueError(
+                "jpeg: second non-differential hierarchical stage"
+            )
+        if hier["exp"] is not None:
+            raise ValueError("jpeg: EXP before the first stage")
+        if mode == "dct":
+            planes = [np.clip(p, 0, maxv) for p in planes]
+        hier["ref"] = planes
+    return nxt
+
+
+def _hier_finish(hier) -> np.ndarray:
+    dhp, ref = hier["dhp"], hier["ref"]
+    if ref is None:
+        raise ValueError("jpeg: hierarchical stream with no decoded stage")
+    if ref[0].shape != (dhp["h"], dhp["w"]):
+        raise ValueError(
+            f"jpeg: final stage {ref[0].shape} != DHP frame "
+            f"{(dhp['h'], dhp['w'])}"
+        )
+    prec = dhp["prec"]
+    if hier["mode"] == "lossless":
+        # as stored, no color transform (same contract as Annex H decode)
+        dtype = np.uint8 if prec <= 8 else np.uint16
+        return (np.stack(ref, axis=2) & 0xFFFF).astype(dtype)
+    return _finish_planes(
+        dhp["comps"], [p.astype(np.float64) for p in ref],
+        dhp["h"], dhp["w"], 1, 1, prec,
+    )
+
+
 def _decode_scan(data, pos, frame, sel, qtables, htables, restart_interval):
+    planes, _ = _decode_scan_planes(
+        data, pos, frame, sel, qtables, htables, restart_interval
+    )
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    return _finish_planes(
+        comps, planes, h, w, hmax, vmax, frame.get("prec", 8)
+    )
+
+
+def _decode_scan_planes(
+    data, pos, frame, sel, qtables, htables, restart_interval,
+    differential=False,
+):
+    """One interleaved DCT scan -> (per-component float planes on the
+    padded MCU grid, position of the next marker). ``differential``
+    (hierarchical stages, T.81 Annex J): DC is coded with PRED fixed at 0
+    and there is NO level shift — the IDCT output is a signed spatial
+    difference to be added to the upsampled reference frame."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -480,7 +680,8 @@ def _decode_scan(data, pos, frame, sel, qtables, htables, restart_interval):
         c["pred"] = 0
     reader = _BitReader(data, pos)
     idct_t = _DCT.T
-    mid = float(1 << (frame.get("prec", 8) - 1))  # level shift (A.3.1)
+    # level shift (A.3.1) — differential frames carry differences, no shift
+    mid = 0.0 if differential else float(1 << (frame.get("prec", 8) - 1))
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -502,8 +703,11 @@ def _decode_scan(data, pos, frame, sel, qtables, htables, restart_interval):
                         coeffs = np.zeros(64, dtype=np.int64)
                         s = _decode_huff(reader, dc_tbl)
                         diff = _extend(reader.read(s), s)
-                        c["pred"] += diff
-                        coeffs[0] = c["pred"]
+                        if differential:
+                            coeffs[0] = diff  # J.1: PRED is 0, not updated
+                        else:
+                            c["pred"] += diff
+                            coeffs[0] = c["pred"]
                         k = 1
                         while k < 64:
                             rs = _decode_huff(reader, ac_tbl)
@@ -525,9 +729,7 @@ def _decode_scan(data, pos, frame, sel, qtables, htables, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
             mcu_count += 1
-    return _finish_planes(
-        comps, planes, h, w, hmax, vmax, frame.get("prec", 8)
-    )
+    return planes, _next_marker_pos(data, reader.pos)
 
 
 def _finish_planes(comps, planes, h, w, hmax, vmax, prec=8):
@@ -598,7 +800,35 @@ def _decode_scan_lossless(
         raise ValueError("jpeg: lossless restart intervals not supported")
     if pt >= prec:
         raise ValueError("jpeg: point transform >= precision")
-    predict = _LL_PREDICT[pred_sel]
+    planes, _ = _decode_scan_lossless_planes(
+        data, pos, frame, sel, htables, restart_interval, pred_sel, pt
+    )
+    prec = frame["prec"]
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = np.stack([p << pt for p in planes], axis=2) & 0xFFFF
+    return out.astype(dtype)
+
+
+def _decode_scan_lossless_planes(
+    data, pos, frame, sel, htables, restart_interval, pred_sel, pt,
+    differential=False,
+):
+    """Lossless scan -> (per-component int64 (h, w) planes, next marker
+    position). ``differential`` (hierarchical, T.81 Annex J/H.1.2):
+    prediction is DISABLED — each decoded value IS the modulo-65536
+    difference to the upsampled reference frame (the hierarchical driver
+    adds it)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    prec = frame["prec"]
+    if pred_sel not in _LL_PREDICT and not differential:
+        raise ValueError(f"jpeg: lossless predictor {pred_sel} invalid")
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise ValueError("jpeg: subsampled lossless not supported")
+    if restart_interval:
+        raise ValueError("jpeg: lossless restart intervals not supported")
+    if pt >= prec:
+        raise ValueError("jpeg: point transform >= precision")
+    predict = _LL_PREDICT.get(pred_sel)
     default = 1 << (prec - pt - 1)
     tables = [htables[(0, sel[c["id"]][0])] for c in comps]
     planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
@@ -614,6 +844,9 @@ def _decode_scan_lossless(
                 else:
                     diff = _extend(reader.read(s), s)
                 p = planes[ci]
+                if differential:
+                    p[y, x] = diff & 0xFFFF
+                    continue
                 if y == 0:
                     px = default if x == 0 else int(p[0, x - 1])
                 elif x == 0:
@@ -624,9 +857,7 @@ def _decode_scan_lossless(
                         int(p[y - 1, x - 1]),
                     )
                 p[y, x] = (px + diff) & 0xFFFF
-    dtype = np.uint8 if prec <= 8 else np.uint16
-    out = np.stack([p << pt for p in planes], axis=2) & 0xFFFF
-    return out.astype(dtype)
+    return planes, _next_marker_pos(data, reader.pos)
 
 
 # Huffman table covering the full lossless difference alphabet (SSSS
@@ -646,7 +877,9 @@ def stream_precision(payload: bytes) -> int:
             pos += 1
             continue
         marker = payload[pos + 1]
-        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        # SOFs + DHP (0xDE: hierarchical, same header syntax) + the
+        # differential SOF5/7 stage markers
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC7, 0xC9, 0xCA, 0xDE):
             return payload[pos + 4]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -1527,6 +1760,339 @@ AC_EXT12 = (
     [0x00, 0xF0]
     + [(r << 4) | s for r in range(16) for s in range(1, 15)],
 )
+
+
+def _down2(p: np.ndarray) -> np.ndarray:
+    """2x box downsample with edge replication on odd dims (encoder-side
+    pyramid filter — T.81 J.1.1.1 leaves the downsampling filter to the
+    encoder). Integer arithmetic: (a+b+c+d+2)>>2."""
+    p = p.astype(np.int64, copy=False)
+    h, w = p.shape
+    if h % 2:
+        p = np.vstack([p, p[-1:, :]])
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+            + p[1::2, 1::2] + 2) >> 2
+
+
+def _encode_hier_dct_frame(
+    planes: list, h: int, w: int, quality: int, differential: bool
+) -> tuple[bytes, list]:
+    """One hierarchical DCT stage: (frame bytes [DQT+DHT+SOF+SOS+entropy],
+    per-component int64 reconstruction planes exactly as the decoder will
+    compute them). Non-differential stages level-shift and clamp; a
+    differential stage codes signed spatial differences with DC PRED
+    fixed at 0 (T.81 Annex J) — the wide DC_EXT12/AC_EXT12 alphabets
+    cover the larger differential coefficient range that Annex-K's
+    8-bit tables cannot."""
+    mid = 0.0 if differential else 128.0
+    maxv = 255
+    ncomp = len(planes)
+    ql = _scaled_q(QUANT_LUMA, quality).astype(np.float64)
+    qc = _scaled_q(QUANT_CHROMA, quality).astype(np.float64)
+    qs = [ql] + [qc] * (ncomp - 1)
+
+    def pad8(p):
+        ph, pw = -(-p.shape[0] // 8) * 8, -(-p.shape[1] // 8) * 8
+        out = np.empty((ph, pw), dtype=np.float64)
+        out[:p.shape[0], :p.shape[1]] = p
+        out[p.shape[0]:, :p.shape[1]] = out[p.shape[0] - 1:p.shape[0],
+                                            :p.shape[1]]
+        out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
+        return out
+
+    padded = [pad8(np.asarray(p, dtype=np.float64)) for p in planes]
+    seg = bytearray()
+
+    def emit(marker: int, body: bytes) -> None:
+        seg.extend(bytes([0xFF, marker]))
+        seg.extend((len(body) + 2).to_bytes(2, "big"))
+        seg.extend(body)
+
+    def dqt_body(tid: int, q: np.ndarray) -> bytes:
+        zz = q.reshape(-1)[ZIGZAG]
+        return bytes([tid]) + bytes(int(v) for v in zz)
+
+    emit(0xDB, dqt_body(0, ql))
+    if ncomp == 3:
+        emit(0xDB, dqt_body(1, qc))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof.extend([cid, 0x11, 0 if cid == 1 else 1])
+    emit(0xC5 if differential else 0xC0, bytes(sof))
+    counts, values = DC_EXT12
+    emit(0xC4, bytes([0x00]) + bytes(counts[1:]) + bytes(values))
+    counts, values = AC_EXT12
+    emit(0xC4, bytes([0x10]) + bytes(counts[1:]) + bytes(values))
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos.extend([cid, 0x00])
+    sos.extend([0, 63, 0])
+    emit(0xDA, bytes(sos))
+
+    dc_codes = _huffman_codes(*DC_EXT12)
+    ac_codes = _huffman_codes(*AC_EXT12)
+    writer = _BitWriter()
+    idct_t = _DCT.T
+    h8, w8 = -(-h // 8), -(-w // 8)
+    recon = [np.zeros_like(p) for p in padded]
+    preds = [0] * ncomp
+    for by in range(h8):
+        for bx in range(w8):
+            for ci in range(ncomp):
+                q = qs[ci]
+                block = padded[ci][by * 8:(by + 1) * 8,
+                                   bx * 8:(bx + 1) * 8] - mid
+                co = _DCT @ block @ _DCT.T
+                natural = np.round(co / q).astype(np.int64)
+                quant = natural.reshape(-1)[ZIGZAG]
+                dc = int(quant[0])
+                if differential:
+                    diff = dc  # J.1: PRED is 0, never updated
+                else:
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                size, bits = _mag_bits(diff)
+                code, length = dc_codes[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if quant[k] != 0:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    v = int(quant[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    size, bits = _mag_bits(v)
+                    code, length = ac_codes[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[0x00]
+                    writer.write(code, length)
+                # closed-loop reconstruction: EXACTLY the decoder's
+                # dequant+IDCT expression (same IEEE op order), so the
+                # next stage's differences are computed against what the
+                # decoder will actually hold
+                deq = np.zeros(64, dtype=np.float64)
+                deq[ZIGZAG] = quant.astype(np.float64) * q.reshape(-1)[ZIGZAG]
+                pix = idct_t @ deq.reshape(8, 8) @ _DCT + mid
+                recon[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
+    writer.flush()
+    seg.extend(writer.out)
+    out_recon = []
+    for p in recon:
+        p = np.round(p[:h, :w]).astype(np.int64)
+        if not differential:
+            p = np.clip(p, 0, maxv)
+        out_recon.append(p)
+    return bytes(seg), out_recon
+
+
+def _encode_hier_lossless_frame(
+    planes: list, h: int, w: int, differential: bool, precision: int
+) -> bytes:
+    """One hierarchical lossless stage (Annex H coding, Annex J
+    differential rules): non-differential stages use predictor 1;
+    differential stages code each modulo-65536 difference directly
+    (prediction disabled). Reconstruction is exact, so no recon return."""
+    seg = bytearray()
+
+    def emit(marker: int, body: bytes) -> None:
+        seg.extend(bytes([0xFF, marker]))
+        seg.extend((len(body) + 2).to_bytes(2, "big"))
+        seg.extend(body)
+
+    ncomp = len(planes)
+    sof = bytearray([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof.extend([cid, 0x11, 0])
+    emit(0xC7 if differential else 0xC3, bytes(sof))
+    counts, values = DC_LOSSLESS
+    emit(0xC4, bytes([0x00]) + bytes(counts[1:]) + bytes(values))
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos.extend([cid, 0x00])
+    sos.extend([0 if differential else 1, 0, 0])  # Ss, Se, Pt=0
+    emit(0xDA, bytes(sos))
+
+    codes = _huffman_codes(*DC_LOSSLESS)
+    writer = _BitWriter()
+    default = 1 << (precision - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                p = planes[ci]
+                if differential:
+                    diff = int(p[y, x]) & 0xFFFF
+                else:
+                    if y == 0:
+                        px = default if x == 0 else int(p[0, x - 1])
+                    elif x == 0:
+                        px = int(p[y - 1, 0])
+                    else:
+                        px = int(p[y, x - 1])  # predictor 1
+                    diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff == 32768:
+                    code, length = codes[16]
+                    writer.write(code, length)
+                    continue
+                v = diff if diff < 32768 else diff - 65536
+                size, bits = _mag_bits(v)
+                code, length = codes[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+    writer.flush()
+    seg.extend(writer.out)
+    return bytes(seg)
+
+
+def encode_hierarchical(
+    img: np.ndarray,
+    quality: int = 90,
+    lossless: bool = False,
+    levels: int = 2,
+    return_recon: bool = False,
+):
+    """Hierarchical JPEG encoder (T.81 Annex J — VERDICT r7 #8, the last
+    codec decline): a ``levels``-stage resolution pyramid where stage 0 is
+    a non-differential frame at 1/2^(levels-1) scale and each later stage
+    codes the spatial DIFFERENCE between the target resolution and the
+    J.1.1.2-upsampled reconstruction of the previous stage (EXP marker
+    before each differential frame).
+
+    ``lossless=False``: DCT stages (SOF0 first, SOF5 differential) in a
+    CLOSED LOOP — differences are computed against the encoder's own
+    dequant+IDCT reconstruction (bit-identical to the decoder's), so
+    ``decode(stream)`` equals the encoder's reconstruction EXACTLY
+    (``return_recon=True`` returns it for the test oracle).
+    ``lossless=True``: Annex-H stages (SOF3 first, SOF7 differential,
+    modulo-65536 differences) — ``decode(stream)`` is BIT-IDENTICAL to
+    ``img``. No stock codec implements Annex J (libjpeg never did), so
+    validation is round-trip exactness + structural stream checks, the
+    same posture as the 12-bit/lossless paths."""
+    if levels < 2:
+        raise ValueError("jpeg encode_hierarchical: levels must be >= 2")
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError("jpeg encode_hierarchical: 1 or 3 channels")
+    if not lossless and img.dtype != np.uint8:
+        raise ValueError("jpeg encode_hierarchical: DCT mode is 8-bit")
+    precision = 8
+    if lossless:
+        precision = 8 if img.dtype == np.uint8 else max(
+            2, int(img.max(initial=1)).bit_length()
+        )
+    # per-stage target dims, smallest first: dims[i-1] = ceil(dims[i]/2)
+    dims = [(h, w)]
+    for _ in range(levels - 1):
+        ph, pw = dims[0]
+        dims.insert(0, (-(-ph // 2), -(-pw // 2)))
+    if lossless:
+        full = [img[:, :, ci].astype(np.int64) for ci in range(ch)]
+    else:
+        mid = 128.0
+        if ch == 3:
+            rf, gf, bf = (img[:, :, i].astype(np.float64) for i in range(3))
+            full = [
+                0.299 * rf + 0.587 * gf + 0.114 * bf,
+                -0.168736 * rf - 0.331264 * gf + 0.5 * bf + mid,
+                0.5 * rf - 0.418688 * gf - 0.081312 * bf + mid,
+            ]
+        else:
+            full = [img[:, :, 0].astype(np.float64)]
+    # target planes per stage: successive 2x box downsamples of the full
+    # planes (integer for the lossless pyramid, rounded for DCT)
+    targets = [None] * levels
+    cur = [np.round(p).astype(np.int64) for p in full]
+    targets[levels - 1] = cur
+    for i in range(levels - 2, -1, -1):
+        cur = [_down2(p) for p in cur]
+        targets[i] = cur
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    dhp = bytearray([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    dhp.append(ch)
+    for cid in range(1, ch + 1):
+        dhp.extend([cid, 0x11, 0 if cid == 1 else 1])
+    seg(0xDE, bytes(dhp))
+
+    sh, sw = dims[0]
+    if lossless:
+        out.extend(
+            _encode_hier_lossless_frame(
+                targets[0], sh, sw, False, precision
+            )
+        )
+        recon = [p & 0xFFFF for p in targets[0]]
+    else:
+        frame_bytes, recon = _encode_hier_dct_frame(
+            [np.clip(p, 0, 255) for p in targets[0]], sh, sw, quality, False
+        )
+        out.extend(frame_bytes)
+    for i in range(1, levels):
+        nh, nw = dims[i]
+        seg(0xDF, bytes([0x11]))  # EXP: expand 2x both dimensions
+        ref_up = [_hier_upsample(p, 1, 1, nh, nw) for p in recon]
+        if lossless:
+            diffs = [
+                (t - r) & 0xFFFF for t, r in zip(targets[i], ref_up)
+            ]
+            out.extend(
+                _encode_hier_lossless_frame(diffs, nh, nw, True, precision)
+            )
+            recon = [
+                (r + d) & 0xFFFF for r, d in zip(ref_up, diffs)
+            ]
+        else:
+            diffs = [
+                t.astype(np.float64) - r for t, r in zip(targets[i], ref_up)
+            ]
+            frame_bytes, rdiff = _encode_hier_dct_frame(
+                diffs, nh, nw, quality, True
+            )
+            out.extend(frame_bytes)
+            recon = [
+                np.clip(r + d, 0, 255) for r, d in zip(ref_up, rdiff)
+            ]
+    out.extend(b"\xff\xd9")
+    payload = bytes(out)
+    if not return_recon:
+        return payload
+    if lossless:
+        dtype = np.uint8 if precision <= 8 else np.uint16
+        rimg = (np.stack(recon, axis=2) & 0xFFFF).astype(dtype)
+    else:
+        comps = [
+            {"id": cid, "h": 1, "v": 1, "tq": 0 if cid == 1 else 1}
+            for cid in range(1, ch + 1)
+        ]
+        rimg = _finish_planes(
+            comps, [p.astype(np.float64) for p in recon], h, w, 1, 1, 8
+        )
+    return payload, rimg
 
 
 def encode(img: np.ndarray, quality: int = 90, precision: int = 8) -> bytes:
