@@ -4470,6 +4470,42 @@ def sql_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_SCALAR_SUBQUERY = f"""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(SUM({PRICE}) AS DOUBLE) AS rev
+FROM lineitem
+WHERE l_quantity >= (SELECT MAX(l_quantity) - 5 FROM lineitem
+                     WHERE l_returnflag = 'R')
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_scalar_subquery", _SQL_SCALAR_SUBQUERY)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated SCALAR subquery acceleration (round 8): the
+    near-the-extreme BI staple. The 1-row inner aggregate plans through
+    the index — here it rides a CUBE (the filtered MAX merges the cube's
+    pre-built max(l_quantity) cells) — and broadcast-cross-joins the
+    outer's interval-pruned flat scan, filtering BEFORE aggregation:
+    lazy, no driver-side collect of the scalar, NULL scalar = zero rows
+    (ANSI). Correlated scalars (TPC-H Q17's per-group form) and
+    non-aggregate scalars decline honestly, including the outer-ALIAS
+    correlation shape the unqualified-name scope check cannot see
+    (tests/test_semijoin.py). The above-AVG form is also accelerated
+    (tests/test_semijoin.py::test_scalar_avg_fact_grain); AVG over a
+    cast expression keeps the IR's existing honest decline."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_SCALAR_SUBQUERY)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-scalar:cube]", (
+        f"scalar subquery must ride a cube, got {backing}"
+    )
+    return out
+
+
 _SQL_NOT_EXISTS_ANTI = f"""
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
@@ -5967,9 +6003,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
 # each round. Round 8's window (verdict-freshness rotation, VERDICT r7 #3):
-# (a) the 3 rows NEW this round (never-verified beats stale-verified):
-#     sql_in_subquery / sql_exists_semi / sql_not_exists_anti — the
-#     WHERE-subquery semi-join acceleration;
+# (a) the 5 rows NEW this round (never-verified beats stale-verified):
+#     sql_in_subquery / sql_exists_semi / sql_not_exists_anti /
+#     sql_scalar_subquery — the WHERE-subquery semi-join + lazy-scalar
+#     acceleration — and image_features_hier (hierarchical JPEG, Annex J);
 # (b) the ENTIRE remaining r4-verdicted cohort (17 rows, 4 rounds old —
 #     VERDICT r7 #3 named 16; ngram_jaccard_docs is the 17th r4 row and
 #     rotates with them), so after this window no registered row carries a
@@ -5985,7 +6022,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r6-verdicted — they re-verify now), and the TextIndex legacy-manifest
 #     exactness change feeds text_index_topk (r5);
 # (d) the r5-verdicted cohort by registration order fills the remaining
-#     slots. The 21 r5 rows that did not fit (simhash_pairs_docs,
+#     slots. The 23 r5 rows that did not fit (quality_docs and
+#     repetition_stats_docs — displaced by the two late-round new rows —
+#     plus simhash_pairs_docs,
 #     sql_count_distinct, sql_cte, sql_distinct, sql_grouping_fns,
 #     sql_having_postagg, sql_quantile, sql_rollup, stratified_sample_docs,
 #     time_parse_reformat, topn_low_brand, tz_format_dim, ym_format_dim,
@@ -6000,6 +6039,8 @@ _PRIORITY = [
     "sql_in_subquery",
     "sql_exists_semi",
     "sql_not_exists_anti",
+    "sql_scalar_subquery",
+    "image_features_hier",
     "ngram_jaccard_docs",
     "text_stats_docs",
     "doc_fingerprint",
@@ -6045,9 +6086,9 @@ _PRIORITY = [
     "lang_id_docs",
     "length_quantiles_docs",
     "pii_redact_docs",
+    # --- 50-query window boundary ---
     "quality_docs",
     "repetition_stats_docs",
-    # --- 50-query window boundary ---
     "simhash_pairs_docs",
     "sql_count_distinct",
     "sql_cte",

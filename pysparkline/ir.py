@@ -774,6 +774,40 @@ class BaseKeysQuery(QuerySpec):
 
 @_node
 @dataclass
+class BaseScalarQuery(QuerySpec):
+    """Single-row aggregate over ONE base (dimension-grain) table — the
+    inner of an uncorrelated scalar subquery whose FROM is a dim table.
+    Like :class:`BaseKeysQuery` it cannot lower through the fact-grain
+    index (an aggregate over orders evaluated on flat rows would weight
+    each order by its lineitem count); the session lowers it as
+    ``base_table.where(filter).agg(expr)`` — one map-side-combined global
+    aggregate, exactly one output row even on empty input (ANSI)."""
+
+    table: str = ""
+    agg_sql: str = ""  # Spark SQL aggregate expression text
+    filter: Optional[FilterSpec] = None
+
+
+@_node
+@dataclass
+class ScalarCond(IRNode):
+    """One `expr <op> (SELECT agg FROM ...)` conjunct of a SemiJoinQuery:
+    the 1-row inner broadcast-cross-joins the outer's row-grain scan and
+    ``outer_sql <op> <scalar>`` filters before aggregation — lazy (no
+    driver-side collect of the scalar), and a NULL scalar (e.g. AVG of an
+    empty set) makes the comparison NULL = row dropped, exactly ANSI.
+    ``flip`` marks the scalar appearing on the LEFT of the comparison."""
+
+    inner: Optional["QuerySpec"] = None  # 1-row aggregate spec
+    inner_col: str = ""  # the inner's single output column name
+    op: str = "="
+    outer_sql: str = ""  # rendered Spark SQL for the non-subquery side
+    outer_columns: list = field(default_factory=list)
+    flip: bool = False
+
+
+@_node
+@dataclass
 class SemiJoinArm(IRNode):
     """One `col IN (SELECT ...)` / `[NOT] EXISTS (...)` conjunct of a
     SemiJoinQuery. ``outer_keys[i]`` equi-joins ``inner``'s output column
@@ -802,13 +836,20 @@ class SemiJoinQuery(QuerySpec):
     spark.sql fallback is the pruned flat scan + no star re-join, with the
     aggregation still map-side combined above the semi-join.
 
+    Uncorrelated SCALAR subqueries (``x > (SELECT agg ...)``) ride the
+    same wrapper as :class:`ScalarCond` entries: the 1-row inner
+    broadcast-cross-joins the scan and filters before aggregation.
+
     Honest declines (sqlfront raises, statement falls back): NOT IN
     (three-valued NULL semantics — one NULL inner key empties the result),
-    correlated IN, non-equi or multi-table correlation in EXISTS,
-    uncorrelated EXISTS (constant predicate), subqueries under OR."""
+    correlated IN/scalar (including outer-ALIAS-qualified correlation),
+    non-equi or multi-table correlation in EXISTS, uncorrelated EXISTS
+    (constant predicate), non-aggregate or grouped scalars (no 1-row
+    guarantee), subqueries under OR."""
 
     outer: Optional["QuerySpec"] = None
     arms: list = field(default_factory=list)  # [SemiJoinArm]
+    scalar_conds: list = field(default_factory=list)  # [ScalarCond]
     output_order: Optional[list] = None  # outer's output names
 
 

@@ -297,22 +297,35 @@ class OlapContext:
         correlation keys). filter -> select -> distinct: the distinct is a
         map-side-combined agg that shrinks the semi-join build side before
         any shuffle."""
-        from .sqlfront import SQLFrontError
-
-        tbl = (self.base_tables or {}).get(spec.table)
-        if tbl is None:
-            # also try case-insensitively: AST table names are lowercased
-            for name, df in (self.base_tables or {}).items():
-                if name.lower() == spec.table:
-                    tbl = df
-                    break
-        if tbl is None:
-            raise SQLFrontError(
-                f"subquery table {spec.table!r} has no registered base table"
-            )
+        tbl = self._base_table(spec.table)
         if spec.filter is not None:
             tbl = tbl.where(lowering.filter_to_column(spec.filter))
         return tbl.select(*spec.keys).distinct()
+
+    def _base_table(self, name: str) -> DataFrame:
+        from .sqlfront import SQLFrontError
+
+        tbl = (self.base_tables or {}).get(name)
+        if tbl is None:
+            # AST table names are lowercased
+            for nm, df in (self.base_tables or {}).items():
+                if nm.lower() == name:
+                    return df
+            raise SQLFrontError(
+                f"subquery table {name!r} has no registered base table"
+            )
+        return tbl
+
+    def _lower_base_scalar(self, spec: "ir.BaseScalarQuery") -> DataFrame:
+        """1-row aggregate over the registered base table (dim grain — see
+        ir.BaseScalarQuery; an aggregate over orders evaluated on flat rows
+        would weight each order by its lineitem count)."""
+        from pyspark.sql import functions as F
+
+        tbl = self._base_table(spec.table)
+        if spec.filter is not None:
+            tbl = tbl.where(lowering.filter_to_column(spec.filter))
+        return tbl.agg(F.expr(spec.agg_sql).alias("__scalar"))
 
     def _lower_semijoin(self, spec: "ir.SemiJoinQuery"):
         """Plan the arms independently (fact-grain inners may ride a cube;
@@ -341,11 +354,32 @@ class OlapContext:
                 descs.append(
                     ("anti:" if arm.anti else "") + decision.backing
                 )
+        scalar_dfs: list[DataFrame] = []
+        for scond in spec.scalar_conds:
+            if isinstance(scond.inner, ir.BaseScalarQuery):
+                scalar_dfs.append(self._lower_base_scalar(scond.inner))
+                descs.append(f"scalar:base[{scond.inner.table}]")
+            else:
+                s2, b2, d2 = self.plan(scond.inner)
+                scalar_dfs.append(lowering.lower(s2, b2))
+                descs.append(f"scalar:{d2.backing}")
         outer2, backing, decision = self.plan(
             spec.outer, force_row_grain=True
         )
         assert backing.kind != "cube", "semi-join outer must be row grain"
         df = backing.df
+        for j, (scond, sdf) in enumerate(zip(spec.scalar_conds, scalar_dfs)):
+            # lazy scalar: broadcast the 1-row aggregate and filter — no
+            # driver-side collect, and a NULL scalar (empty input) makes
+            # the comparison NULL = rows dropped, exactly ANSI
+            one = F.broadcast(
+                sdf.select(F.col(scond.inner_col).alias(f"__sc{j}"))
+            )
+            df = df.crossJoin(one)
+            lhs, rhs = f"({scond.outer_sql})", f"`__sc{j}`"
+            if scond.flip:
+                lhs, rhs = rhs, lhs
+            df = df.where(F.expr(f"{lhs} {scond.op} {rhs}"))
         for i, (arm, adf) in enumerate(zip(spec.arms, arm_dfs)):
             # unambiguous join keys: rename the arm's output columns — the
             # semi/anti join emits left-side columns only, so the aliases
@@ -524,6 +558,22 @@ class OlapContext:
                     )
                 else:
                     sub = self.explain_rewrite(arm.inner)
+                    lines.extend("  " + ln for ln in sub.splitlines())
+            for j, sc in enumerate(spec.scalar_conds):
+                lhs, rhs = sc.outer_sql, "<scalar>"
+                if sc.flip:
+                    lhs, rhs = rhs, lhs
+                lines.append(
+                    f"-- scalar {j}: broadcast 1-row cross join, filter "
+                    f"{lhs} {sc.op} {rhs} --"
+                )
+                if isinstance(sc.inner, ir.BaseScalarQuery):
+                    lines.append(
+                        f"  aggregate over base table {sc.inner.table!r}"
+                        f" (dim grain): {sc.inner.agg_sql}"
+                    )
+                else:
+                    sub = self.explain_rewrite(sc.inner)
                     lines.extend("  " + ln for ln in sub.splitlines())
             lines.append("-- outer (subquery conjuncts removed) --")
             _, _, decision = self.plan(spec.outer, force_row_grain=True)

@@ -1992,16 +1992,20 @@ def _subquery_scope(
     inner_node: dict,
     fact_table: str | None,
     star: StarSchema | None,
+    allow_agg: bool = False,
 ) -> tuple[list[str], list[tuple[str, str]], set[str] | None]:
-    """Validate an IN/EXISTS subquery's shape and resolve its column scope.
+    """Validate an IN/EXISTS/scalar subquery's shape and resolve its
+    column scope.
 
     Returns (tables, join_pairs, inner_columns) where ``inner_columns`` is
     the set of column names visible inside the subquery (None when the star
     carries no column lists — scope then cannot be verified). Shape limits
     (round-8 surface, each an honest decline to the spark.sql fallback):
-    no GROUP BY / HAVING / aggregates / windows / LIMIT / nested subqueries
-    — the arm must reduce to a filtered DISTINCT key set whose grain is
-    either the fact's (FROM includes the fact) or one dim table's."""
+    no GROUP BY / HAVING / windows / LIMIT / nested subqueries, and
+    aggregates only when ``allow_agg`` (the scalar-subquery form, which
+    needs exactly one ungrouped aggregate for its 1-row guarantee) — an
+    IN/EXISTS arm must reduce to a filtered DISTINCT key set whose grain
+    is either the fact's (FROM includes the fact) or one dim table's."""
     if inner_node.get("sample"):
         raise SQLFrontError("SAMPLE in subquery")
     _inline_ctes(inner_node)
@@ -2015,12 +2019,12 @@ def _subquery_scope(
     if unknown:
         raise SQLFrontError(f"unknown tables in subquery {unknown}")
     if inner_node.get("group_expressions") or inner_node.get("having"):
-        raise SQLFrontError("GROUP BY/HAVING in IN/EXISTS subquery")
+        raise SQLFrontError("GROUP BY/HAVING in subquery")
     sel = inner_node.get("select_list") or []
-    if any(_contains_agg(s) for s in sel):
+    if not allow_agg and any(_contains_agg(s) for s in sel):
         raise SQLFrontError("aggregate in IN/EXISTS subquery")
     if any(_contains_window(s) for s in sel):
-        raise SQLFrontError("window function in IN/EXISTS subquery")
+        raise SQLFrontError("window function in subquery")
     for m in inner_node.get("modifiers") or []:
         if m.get("type") == "LIMIT_MODIFIER":
             # IN (SELECT ... LIMIT n) is order-dependent row sampling — the
@@ -2029,6 +2033,22 @@ def _subquery_scope(
     wc = inner_node.get("where_clause")
     if wc is not None and _contains_subquery(wc):
         raise SQLFrontError("nested subquery in IN/EXISTS subquery")
+    # ALIAS-QUALIFIED references: _columns_of strips qualifiers, so
+    # `FROM lineitem l1 ... WHERE x = l1.l_quantity` would otherwise look
+    # inner-scoped when l1 is the OUTER alias (a correlated subquery the
+    # unqualified-name check cannot see — caught by round-8's own decline
+    # test). Any qualifier that is not an inner table name/alias declines.
+    inner_quals = set(tables)
+    for bt in _base_table_nodes(inner_node.get("from_table")):
+        if bt.get("alias"):
+            inner_quals.add(bt["alias"].lower())
+    foreign = _foreign_qualifiers(
+        [inner_node.get("select_list"), wc], inner_quals
+    )
+    if foreign:
+        raise SQLFrontError(
+            f"subquery references outer aliases {sorted(foreign)}"
+        )
     inner_cols: set[str] | None = None
     if star is not None and star.table_columns:
         by_table = {t.lower(): cols for t, cols in star.table_columns.items()}
@@ -2036,6 +2056,43 @@ def _subquery_scope(
         for t in tables:
             inner_cols.update(by_table.get(t, ()))
     return tables, pairs, inner_cols
+
+
+def _base_table_nodes(node) -> list[dict]:
+    out: list[dict] = []
+
+    def walk(n):
+        if isinstance(n, dict):
+            if n.get("type") == "BASE_TABLE":
+                out.append(n)
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for v in n:
+                walk(v)
+
+    walk(node)
+    return out
+
+
+def _foreign_qualifiers(trees, inner_quals: set[str]) -> set[str]:
+    """Qualifiers of COLUMN_REFs under ``trees`` not in ``inner_quals``."""
+    out: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, dict):
+            if n.get("class") == "COLUMN_REF":
+                names = n.get("column_names") or []
+                if len(names) >= 2 and names[-2].lower() not in inner_quals:
+                    out.add(names[-2].lower())
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for v in n:
+                walk(v)
+
+    walk(trees)
+    return out
 
 
 def _build_inner_keyset(
@@ -2197,6 +2254,103 @@ def _parse_exists_arm(
     )
 
 
+def _star_columns(fact_table: str | None, star: StarSchema | None):
+    """All resolvable star column names, or None when unknowable."""
+    if star is not None and star.table_columns:
+        return {
+            c for cols in star.table_columns.values() for c in cols
+        }
+    return None
+
+
+def _parse_scalar_cond(
+    c: dict,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> ir.ScalarCond:
+    """`expr <op> (SELECT agg FROM ...)` -> ir.ScalarCond. The inner must
+    be a single UNGROUPED aggregate (exactly one output row, ANSI — so the
+    lazy broadcast cross-join is semantics-preserving; a NULL scalar makes
+    the comparison NULL = row dropped, also ANSI). Correlated scalars
+    (TPC-H Q17's per-group form) decline — they are per-row, not 1-row."""
+    left, right = c.get("left") or {}, c.get("right") or {}
+    flip = left.get("class") == "SUBQUERY"
+    s, other = (left, right) if flip else (right, left)
+    if s.get("subquery_type") != "SCALAR":
+        raise SQLFrontError(
+            f"unsupported subquery type {s.get('subquery_type')}"
+        )
+    if _contains_subquery(other):
+        raise SQLFrontError("two subqueries in one comparison")
+    op = _CMP.get(c.get("type"))
+    if op is None:
+        raise SQLFrontError(f"unsupported comparison {c.get('type')}")
+    inner_node = (s.get("subquery") or {}).get("node") or {}
+    if inner_node.get("type") != "SELECT_NODE":
+        raise SQLFrontError("set-operation subquery in WHERE")
+    sel = inner_node.get("select_list") or []
+    if len(sel) != 1 or not _contains_agg(sel[0]):
+        raise SQLFrontError(
+            "scalar subquery must be a single ungrouped aggregate"
+        )
+    tables, pairs, inner_cols = _subquery_scope(
+        inner_node, fact_table, star, allow_agg=True
+    )
+    wc = inner_node.get("where_clause")
+    refs = _columns_of(sel[0]) | (_columns_of(wc) if wc is not None else set())
+    if inner_cols is not None:
+        outer_refs = sorted(refs - inner_cols)
+        if outer_refs:
+            raise SQLFrontError(
+                f"correlated scalar subquery (outer refs {outer_refs})"
+            )
+    elif star is not None and len(star.tables) > 1:
+        raise SQLFrontError(
+            "star carries no column lists: cannot verify the subquery "
+            "is uncorrelated"
+        )
+    outer_sql = render(other)  # raises SQLFrontError on unsupported exprs
+    ocols = sorted(_columns_of(other))
+    all_cols = _star_columns(fact_table, star)
+    if all_cols is not None:
+        bad = sorted(set(ocols) - all_cols)
+        if bad:
+            raise SQLFrontError(
+                f"scalar comparison references unknown columns {bad}"
+            )
+    fact_grain = bool(fact_table) and fact_table.lower() in tables
+    if fact_grain:
+        if pairs:
+            if star is None or not star.is_star_join(set(pairs)):
+                raise SQLFrontError("subquery join is not a star join")
+        item = dict(sel[0])
+        item["alias"] = "__scalar"
+        node2 = dict(inner_node)
+        node2["select_list"] = [item]
+        node2["modifiers"] = []  # ORDER BY is vacuous on one row
+        inner = _parse_select(node2, time_col, fact_table, star)
+    else:
+        if pairs or len(tables) != 1:
+            raise SQLFrontError(
+                "multi-table scalar subquery without the fact table"
+            )
+        filt = None
+        if wc is not None:
+            filt = ir.and_(*[_to_filter(x) for x in _conjuncts(wc)])
+        inner = ir.BaseScalarQuery(
+            table=tables[0], agg_sql=render(sel[0]), filter=filt
+        )
+    return ir.ScalarCond(
+        inner=inner,
+        inner_col="__scalar",
+        op=op,
+        outer_sql=outer_sql,
+        outer_columns=ocols,
+        flip=flip,
+    )
+
+
 def _parse_semijoin(
     node: dict,
     time_col: str | None,
@@ -2211,6 +2365,7 @@ def _parse_semijoin(
     select list) declines the statement."""
     conj = _conjuncts(node["where_clause"])
     arms: list[ir.SemiJoinArm] = []
+    scalar_conds: list[ir.ScalarCond] = []
     rest: list[dict] = []
     for c in conj:
         neg, s = False, c
@@ -2218,6 +2373,17 @@ def _parse_semijoin(
             ch = s.get("children") or []
             if len(ch) == 1 and ch[0].get("class") == "SUBQUERY":
                 neg, s = True, ch[0]
+        left_sq = (s.get("left") or {}).get("class") == "SUBQUERY"
+        right_sq = (s.get("right") or {}).get("class") == "SUBQUERY"
+        if s.get("class") == "COMPARISON" and (left_sq != right_sq):
+            if neg:
+                # NOT (x op scalar) never parses here (the NOT peel only
+                # matches bare SUBQUERY children) — defensive
+                raise SQLFrontError("negated scalar comparison")
+            scalar_conds.append(
+                _parse_scalar_cond(s, time_col, fact_table, star)
+            )
+            continue
         if s.get("class") != "SUBQUERY":
             if _contains_subquery(c):
                 raise SQLFrontError(
@@ -2235,7 +2401,10 @@ def _parse_semijoin(
     node["where_clause"] = _and_node(rest)
     outer = _parse_select(node, time_col, fact_table, star)
     return ir.SemiJoinQuery(
-        outer=outer, arms=arms, output_order=_spec_outputs(outer)
+        outer=outer,
+        arms=arms,
+        scalar_conds=scalar_conds,
+        output_order=_spec_outputs(outer),
     )
 
 

@@ -337,8 +337,22 @@ def semijoin_sqls(draw):
 
     def arm():
         kind = draw(st.sampled_from(
-            ["in_dim", "in_fact", "exists", "not_exists"]
+            ["in_dim", "in_fact", "exists", "not_exists", "scalar"]
         ))
+        if kind == "scalar":
+            m2 = draw(st.sampled_from(METRICS))
+            aggf = draw(st.sampled_from(["AVG", "MIN", "MAX"]))
+            op2 = draw(st.sampled_from([">", ">=", "<", "<="]))
+            if draw(st.booleans()):
+                inner = (
+                    f"SELECT {aggf}({m2}) FROM lineitem WHERE "
+                    f"l_returnflag = '{draw(st.sampled_from('ANR'))}'"
+                )
+            else:
+                inner = f"SELECT {aggf}(o_totalprice) / 40 FROM orders"
+            if draw(st.booleans()):
+                return f"({inner}) {op2} {m2}"
+            return f"{m2} {op2} ({inner})"
         if kind == "in_dim":
             return (
                 "l_orderkey IN (SELECT o_orderkey FROM orders "

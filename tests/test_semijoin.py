@@ -202,6 +202,78 @@ def test_in_star_join_outer(ctx, duck):
     )
 
 
+# -- scalar subqueries (lazy broadcast 1-row cross join) ----------------------
+
+
+def test_scalar_avg_fact_grain(ctx, duck):
+    """`x > (SELECT AVG(...) FROM fact)`: the 1-row inner plans through
+    the index and broadcast-cross-joins the outer's pruned scan — no
+    driver-side collect of the scalar."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-scalar:flat]",
+    )
+
+
+def test_scalar_flipped_side_rides_cube(ctx, duck):
+    """Scalar on the LEFT of the comparison; the filtered MAX inner is
+    cube-servable."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE (SELECT MAX(l_quantity) FROM lineitem
+                  WHERE l_returnflag = 'R') <= l_quantity""",
+        backing="semijoin[flat<-scalar:cube]",
+    )
+
+
+def test_scalar_dim_grain_inner(ctx, duck):
+    """Dim-table scalar reads the BASE table: an aggregate over orders
+    evaluated on flat rows would weight each order by its lineitem count."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus, COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > (SELECT AVG(o_totalprice) / 50
+                                    FROM orders)
+           GROUP BY l_linestatus""",
+        backing="semijoin[flat<-scalar:base[orders]]",
+    )
+
+
+def test_scalar_composes_with_in_arm(ctx, duck):
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+             AND l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+             AND l_shipdate >= DATE '1996-01-01'
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-base[orders],scalar:flat]",
+    )
+
+
+def test_scalar_null_result_drops_all_rows(ctx, duck):
+    """AVG over an empty set is NULL; the comparison is NULL; zero rows
+    survive — exactly ANSI (the broadcast row carries the NULL)."""
+    got = _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem
+                               WHERE l_quantity > 9999)""",
+        backing="semijoin[flat<-scalar:flat]",
+    )
+    assert got == [(0,)]
+
+
 # -- declines (fallback must fire AND stay correct) --------------------------
 
 
@@ -231,9 +303,25 @@ def test_in_star_join_outer(ctx, duck):
         # aggregate inside the subquery
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE l_quantity IN (SELECT MAX(l_quantity) FROM lineitem)""",
-        # scalar subquery comparison
+        # non-aggregate scalar subquery (no 1-row guarantee)
         """SELECT COUNT(*) AS n FROM lineitem
-           WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)""",
+           WHERE l_quantity > (SELECT l_quantity FROM lineitem
+                               ORDER BY l_quantity DESC LIMIT 1)""",
+        # correlated scalar via an OUTER TABLE ALIAS — the qualifier check:
+        # unqualified-name scoping alone cannot see l1.l_quantity is outer
+        """SELECT COUNT(*) AS n FROM lineitem l1
+           WHERE l_extendedprice > (SELECT AVG(l_extendedprice)
+                                    FROM lineitem
+                                    WHERE l_quantity = l1.l_quantity)""",
+        # correlated IN via an outer alias (same hole, semi-join form)
+        """SELECT COUNT(*) AS n FROM lineitem l1
+           WHERE l_partkey IN (SELECT l_partkey FROM lineitem
+                               WHERE l_quantity > l1.l_quantity)""",
+        # grouped scalar subquery (no 1-row guarantee; ordered so the
+        # fallback comparison itself is deterministic on both engines)
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem
+                               GROUP BY l_returnflag ORDER BY 1 LIMIT 1)""",
     ],
 )
 def test_declines_fall_back_correct(ctx, duck, sql):
@@ -345,3 +433,12 @@ def test_plan_cache_reuse(ctx):
     df2 = ctx.sql(sql)
     assert df1 is df2  # memoized compiled plan
     assert len(ctx.query_history) == before + 2
+
+
+def test_explain_rewrite_scalar(ctx):
+    txt = ctx.explain_rewrite(
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)"""
+    )
+    assert "broadcast 1-row cross join" in txt
+    assert "scalar 0" in txt
