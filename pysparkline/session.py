@@ -259,6 +259,11 @@ class OlapContext:
         def arm(s):
             if isinstance(s, ir.SetOpQuery):
                 return self._lower_setop(s)
+            if isinstance(s, ir.SemiJoinQuery):
+                # a set-op arm carrying WHERE subqueries (round 8): lower
+                # through the semi-join path; its descriptor becomes the
+                # arm's backing name
+                return self._lower_semijoin(s)
             s2, backing, decision = self.plan(s)
             return lowering.lower(s2, backing), decision.backing
 

@@ -442,3 +442,24 @@ def test_explain_rewrite_scalar(ctx):
     )
     assert "broadcast 1-row cross join" in txt
     assert "scalar 0" in txt
+
+
+def test_semijoin_inside_setop_arm(ctx, duck):
+    """A set-operation arm carrying a WHERE subquery composes: the arm
+    lowers through the semi-join path (previously a TypeError crash, not
+    even a decline — caught in round 8's own composition check)."""
+    sql = """SELECT 'hot' AS tag, l_returnflag AS flag, COUNT(*) AS n
+             FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                  WHERE o_orderpriority = '1-URGENT')
+             GROUP BY l_returnflag
+             UNION ALL
+             SELECT 'all', l_returnflag, COUNT(*) FROM lineitem
+             GROUP BY l_returnflag
+             ORDER BY tag, flag"""
+    got = [tuple(r) for r in ctx.sql(sql).collect()]
+    assert ctx.query_history[-1].backing == (
+        "setop[semijoin[flat<-base[orders]],cube]"
+    )
+    exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == exp
