@@ -1,7 +1,12 @@
 import duckdb
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+# override for insurance sweeps at the driver's SF:
+#   PYSPARKLINE_TEST_SF_DIR=/root/testdata/sf0.01 \
+#     python -m pytest tests/test_entry_oracle.py -q
+import os as _os
+
+SF_DIR = _os.environ.get("PYSPARKLINE_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
