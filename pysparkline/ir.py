@@ -368,10 +368,16 @@ class FieldAgg(AggSpec):
 @dataclass
 class AvgAgg(AggSpec):
     """avg decomposed into sum+count at lowering (AggregateTransform.scala:
-    425-441; divide rebuilt above the scan, DruidStrategy.scala:422-431)."""
+    425-441; divide rebuilt above the scan, DruidStrategy.scala:422-431).
+    ``expr`` (round 8): avg over an arbitrary Spark SQL expression — the
+    decomposition emits ExprAgg sum/count of the expression (count(expr)
+    is the NON-NULL count, ANSI); ``columns`` lists its source columns
+    for the planner's coverage check."""
 
     name: str = ""
     field_name: str = ""
+    expr: Optional[str] = None
+    columns: list = field(default_factory=list)
 
 
 @_node
@@ -861,7 +867,10 @@ def query_referenced_columns(q: QuerySpec) -> set[str]:
         if isinstance(a, FieldAgg):
             cols.add(a.field_name)
         elif isinstance(a, AvgAgg):
-            cols.add(a.field_name)
+            if a.expr is not None:
+                cols.update(a.columns)
+            else:
+                cols.add(a.field_name)
         elif isinstance(a, ExprAgg):
             cols.update(a.columns)
         elif isinstance(a, FilteredAgg):

@@ -685,8 +685,15 @@ def _decompose_avgs(
             out.append(a)
             continue
         s, c = f"__avg_sum_{a.name}", f"__avg_cnt_{a.name}"
-        out.append(ir.FieldAgg("sum", s, a.field_name))
-        out.append(ir.FieldAgg("count", c, a.field_name))
+        if a.expr is not None:
+            # avg over an expression (round 8): sum/count of the SAME
+            # expression — count(expr) is the non-null count, so the ANSI
+            # divisor semantics match the column form exactly
+            out.append(ir.ExprAgg("sum", s, a.expr, list(a.columns)))
+            out.append(ir.ExprAgg("count", c, a.expr, list(a.columns)))
+        else:
+            out.append(ir.FieldAgg("sum", s, a.field_name))
+            out.append(ir.FieldAgg("count", c, a.field_name))
         post.append((a.name, f"CAST(`{s}` AS DOUBLE) / `{c}`"))
         have.add(s), have.add(c)
     return out, post

@@ -595,9 +595,20 @@ def _agg_spec(node: dict, name: str) -> ir.AggSpec:
             cols.append(c["column_names"][-1])
         return ir.CardinalityAgg(name, cols)
     if fn in ("avg", "mean"):
+        if node.get("distinct"):
+            raise SQLFrontError("avg(DISTINCT) unsupported")
         if len(ch) == 1 and ch[0].get("class") == "COLUMN_REF":
             return ir.AvgAgg(name, ch[0]["column_names"][-1])
-        raise SQLFrontError("avg of expression unsupported in IR; use sum/count")
+        if len(ch) == 1:
+            # avg over an expression (round 8): decomposes to ExprAgg
+            # sum/count of the rendered expression at lowering
+            return ir.AvgAgg(
+                name,
+                "",
+                expr=render(ch[0]),
+                columns=sorted(_columns_of(ch[0])),
+            )
+        raise SQLFrontError(f"avg arity {len(ch)}")
     if fn == "theta_count_distinct":
         # engine extension: distinct-count from a theta (KMV) sketch —
         # theta_count_distinct(col [, k]); rides a pre-built cube sketch when

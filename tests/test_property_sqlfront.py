@@ -117,6 +117,7 @@ def select_sqls(draw):
         st.lists(
             st.sampled_from(
                 ["COUNT(*)", "SUM({m})", "MIN({m})", "MAX({m})",
+                 "AVG({m})", "AVG({m} * 2 + 1)",
                  "COUNT(DISTINCT l_suppkey)",
                  "quantile_cont({m}, 0.9)", "median({m})"]
             ),

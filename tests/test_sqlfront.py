@@ -292,6 +292,32 @@ FROM lineitem GROUP BY l_returnflag""")
     assert ctx.query_history[-1].backing == "sparksql"
 
 
+def test_avg_over_expression(ctx, duck):
+    """AVG over an expression (round 8): decomposes to ExprAgg sum/count
+    of the SAME expression — previously an honest decline ('use
+    sum/count'). Divisor is the non-null count of the expression (ANSI)."""
+    assert_same(ctx, duck, """
+SELECT l_returnflag, AVG(CAST(l_extendedprice AS DECIMAL(12,2))) AS a
+FROM lineitem GROUP BY l_returnflag""")
+    assert ctx.query_history[-1].backing in ("cube", "flat")
+    assert_same(ctx, duck, """
+SELECT l_linestatus, AVG(l_extendedprice * (1 - l_discount)) AS a
+FROM lineitem GROUP BY l_linestatus""")
+    assert ctx.query_history[-1].backing in ("cube", "flat")
+
+
+def test_avg_distinct_declines(ctx, duck):
+    """AVG(DISTINCT): the old avg mapping IGNORED the distinct flag and
+    silently computed the plain average — a latent wrong-answer bug
+    (25.376 vs the correct 25.5 on the fixture) caught by round 8's
+    avg-expression work. It must decline to the fallback, which is
+    correct."""
+    assert_same(
+        ctx, duck, "SELECT AVG(DISTINCT l_quantity) AS a FROM lineitem"
+    )
+    assert ctx.query_history[-1].backing == "sparksql"
+
+
 def test_explain_rewrite_sql(ctx):
     txt = ctx.explain_rewrite(
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
