@@ -776,6 +776,10 @@ class BaseKeysQuery(QuerySpec):
     table: str = ""
     keys: list = field(default_factory=list)  # output key column names
     filter: Optional[FilterSpec] = None
+    # extra aliased outputs [(col, alias)] — inner columns a non-equi
+    # EXISTS residual references (aliased to reserved __sjr_* names so the
+    # join condition can address them unambiguously against the outer)
+    extra: list = field(default_factory=list)
 
 
 @_node
@@ -823,6 +827,12 @@ class SemiJoinArm(IRNode):
     outer_keys: list = field(default_factory=list)
     inner_keys: list = field(default_factory=list)
     anti: bool = False
+    # non-equi EXISTS residual (round 8): a boolean Spark SQL expression
+    # ANDed into the join condition; inner-scoped columns appear under
+    # their reserved __sjr_* aliases (exposed by the inner spec), outer
+    # columns under their bare names. NULL residual = no match, exactly
+    # the EXISTS/NOT EXISTS comparison semantics.
+    residual_sql: str = ""
 
 
 @_node

@@ -302,10 +302,15 @@ class OlapContext:
         correlation keys). filter -> select -> distinct: the distinct is a
         map-side-combined agg that shrinks the semi-join build side before
         any shuffle."""
+        from pyspark.sql import functions as F
+
         tbl = self._base_table(spec.table)
         if spec.filter is not None:
             tbl = tbl.where(lowering.filter_to_column(spec.filter))
-        return tbl.select(*spec.keys).distinct()
+        cols = [F.col(k) for k in spec.keys] + [
+            F.col(c).alias(a) for c, a in spec.extra
+        ]
+        return tbl.select(*cols).distinct()
 
     def _base_table(self, name: str) -> DataFrame:
         from .sqlfront import SQLFrontError
@@ -388,17 +393,23 @@ class OlapContext:
         for i, (arm, adf) in enumerate(zip(spec.arms, arm_dfs)):
             # unambiguous join keys: rename the arm's output columns — the
             # semi/anti join emits left-side columns only, so the aliases
-            # never leak into the outer's plan
-            aliased = adf.select(
-                *[
-                    F.col(k).alias(f"__sj{i}_{j}")
-                    for j, k in enumerate(arm.inner_keys)
-                ]
-            )
+            # never leak into the outer's plan. Reserved __sjr_* residual
+            # columns (non-equi EXISTS) pass through under their aliases.
+            cols = [
+                F.col(k).alias(f"__sj{i}_{j}")
+                for j, k in enumerate(arm.inner_keys)
+            ] + [F.col(c) for c in adf.columns if c.startswith("__sjr_")]
+            aliased = adf.select(*cols)
             cond = None
             for j, ok in enumerate(arm.outer_keys):
                 c = F.col(ok) == F.col(f"__sj{i}_{j}")
                 cond = c if cond is None else (cond & c)
+            if arm.residual_sql:
+                # non-equi residual: ANDed into the join condition — NULLs
+                # never match, exactly the EXISTS comparison semantics; the
+                # equi conjunct still drives the hash join, the residual
+                # filters within matches (never a theta join)
+                cond = cond & F.expr(arm.residual_sql)
             df = df.join(
                 aliased, cond, "left_anti" if arm.anti else "left_semi"
             )

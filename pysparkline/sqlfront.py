@@ -2106,6 +2106,32 @@ def _foreign_qualifiers(trees, inner_quals: set[str]) -> set[str]:
     return out
 
 
+def _rewrite_inner_refs(node: dict, rename) -> dict:
+    """Deep-copied ``node`` with every COLUMN_REF name passed through
+    ``rename`` (identity for outer-scoped names) — used to rebase a
+    non-equi EXISTS residual's inner references onto the reserved
+    __sjr_* aliases the inner spec exposes."""
+    import copy
+
+    out = copy.deepcopy(node)
+
+    def walk(x):
+        if isinstance(x, dict):
+            if x.get("class") == "COLUMN_REF":
+                names = x.get("column_names") or []
+                if names:
+                    x["column_names"] = [rename(names[-1])]
+                return
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, list):
+            for v in x:
+                walk(v)
+
+    walk(out)
+    return out
+
+
 def _build_inner_keyset(
     inner_node: dict,
     keys: list[str],
@@ -2115,6 +2141,7 @@ def _build_inner_keyset(
     time_col: str | None,
     fact_table: str | None,
     star: StarSchema | None,
+    extra: list | None = None,
 ) -> ir.QuerySpec:
     """The inner arm as a DISTINCT key-set spec.
 
@@ -2127,7 +2154,12 @@ def _build_inner_keyset(
     fact_grain = bool(fact_table) and fact_table.lower() in tables
     if fact_grain:
         node2 = dict(inner_node)
-        node2["select_list"] = [_colref(k) for k in keys]
+        sel = [_colref(k) for k in keys]
+        for col, alias in extra or []:
+            item = _colref(col)
+            item["alias"] = alias
+            sel.append(item)
+        node2["select_list"] = sel
         node2["modifiers"] = [{"type": "DISTINCT_MODIFIER"}]
         node2["group_expressions"] = []
         node2["having"] = None
@@ -2140,7 +2172,12 @@ def _build_inner_keyset(
     filt = None
     if residual_where is not None:
         filt = ir.and_(*[_to_filter(c) for c in _conjuncts(residual_where)])
-    return ir.BaseKeysQuery(table=tables[0], keys=list(keys), filter=filt)
+    return ir.BaseKeysQuery(
+        table=tables[0],
+        keys=list(keys),
+        filter=filt,
+        extra=[list(e) for e in (extra or [])],
+    )
 
 
 def _corr_pair(node: dict, inner_cols: set[str]) -> tuple[str, str] | None:
@@ -2232,23 +2269,49 @@ def _parse_exists_arm(
     wc = inner_node.get("where_clause")
     if wc is None:
         raise SQLFrontError("uncorrelated EXISTS (constant predicate)")
+    all_cols = _star_columns(fact_table, star)
     corr_inner: list[str] = []
     corr_outer: list[str] = []
     rest: list[dict] = []
+    residual_parts: list[str] = []
+    extra_map: dict[str, str] = {}  # inner col -> reserved __sjr_* alias
+
+    def rename(col: str) -> str:
+        if col not in inner_cols:
+            return col  # outer-scoped: bare name resolves against the scan
+        if col not in extra_map:
+            extra_map[col] = f"__sjr_{len(extra_map)}"
+        return extra_map[col]
+
     for c in _conjuncts(wc):
         pair = _corr_pair(c, inner_cols)
         if pair is not None:
             corr_inner.append(pair[0])
             corr_outer.append(pair[1])
             continue
-        bad = sorted(_columns_of(c) - inner_cols)
-        if bad:
-            raise SQLFrontError(
-                f"non-equi or nested correlation in EXISTS ({bad})"
-            )
-        rest.append(c)
+        outer_refs = sorted(_columns_of(c) - inner_cols)
+        if not outer_refs:
+            rest.append(c)  # inner-only: stays with the key-set filter
+            continue
+        # MIXED-scope conjunct (round 8): a non-equi residual — becomes
+        # part of the join CONDITION, with inner refs rebased onto the
+        # __sjr_* aliases the inner spec exposes. Outer refs must be
+        # star-resolvable (they read the outer scan directly).
+        if all_cols is not None:
+            bad = sorted(set(outer_refs) - all_cols)
+            if bad:
+                raise SQLFrontError(
+                    f"EXISTS residual references unknown columns {bad}"
+                )
+        residual_parts.append(render(_rewrite_inner_refs(c, rename)))
     if not corr_inner:
-        raise SQLFrontError("uncorrelated EXISTS (constant predicate)")
+        # residual-only correlation (no equi conjunct) would force a theta
+        # join — unbounded fan-out, decline (the fallback stays correct)
+        raise SQLFrontError(
+            "EXISTS without an equi-correlation conjunct"
+            if residual_parts
+            else "uncorrelated EXISTS (constant predicate)"
+        )
     # EXISTS ignores the select list entirely (SELECT 1 / * / anything)
     inner = _build_inner_keyset(
         inner_node,
@@ -2259,9 +2322,14 @@ def _parse_exists_arm(
         time_col,
         fact_table,
         star,
+        extra=[(col, alias) for col, alias in extra_map.items()],
     )
     return ir.SemiJoinArm(
-        inner=inner, outer_keys=corr_outer, inner_keys=corr_inner, anti=neg
+        inner=inner,
+        outer_keys=corr_outer,
+        inner_keys=corr_inner,
+        anti=neg,
+        residual_sql=" AND ".join(f"({p})" for p in residual_parts),
     )
 
 

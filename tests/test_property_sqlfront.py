@@ -366,9 +366,15 @@ def semijoin_sqls(draw):
                 f"WHERE l_quantity > {q})"
             )
         neg = "NOT " if kind == "not_exists" else ""
+        if draw(st.booleans()):
+            # non-equi residual: mixed-scope conjunct rides the join cond
+            mult = draw(st.integers(2, 60))
+            resid = f"o_totalprice > l_extendedprice * {mult}"
+        else:
+            resid = orders_pred()
         return (
             f"{neg}EXISTS (SELECT 1 FROM orders "
-            f"WHERE o_orderkey = l_orderkey AND {orders_pred()})"
+            f"WHERE o_orderkey = l_orderkey AND {resid})"
         )
 
     conj = [arm() for _ in range(draw(st.integers(1, 2)))]

@@ -331,15 +331,18 @@ def test_declines_fall_back_correct(ctx, duck, sql):
     assert got == exp
 
 
-def test_non_equi_correlated_exists_declines(ctx, duck):
-    sql = """SELECT COUNT(*) AS n FROM lineitem
-             WHERE EXISTS (SELECT 1 FROM orders
-                           WHERE o_orderkey = l_orderkey
-                             AND o_totalprice > l_extendedprice)"""
-    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
-    assert ctx.query_history[-1].backing == "sparksql"
-    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
-    assert got == exp
+def test_non_equi_correlated_exists_accelerates(ctx, duck):
+    """Round 8 (late): this shape DECLINED when first landed; the non-equi
+    residual support turned it into an accelerated join condition."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_orderkey = l_orderkey
+                           AND o_totalprice > l_extendedprice)""",
+        backing="semijoin[flat<-base[orders]]",
+    )
 
 
 # -- plan / IR shape ---------------------------------------------------------
@@ -462,4 +465,77 @@ def test_semijoin_inside_setop_arm(ctx, duck):
         "setop[semijoin[flat<-base[orders]],cube]"
     )
     exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == exp
+
+
+# -- non-equi EXISTS residuals (round 8, late) --------------------------------
+
+
+def test_exists_non_equi_residual(ctx, duck):
+    """Mixed-scope residual conjuncts join the CONDITION (equi key drives
+    the hash join, the residual filters within matches — never a theta
+    join): previously any outer reference beyond the equi pair declined."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_orderkey = l_orderkey
+                           AND o_totalprice > l_extendedprice * 20)
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_not_exists_non_equi_residual(ctx, duck):
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus, COUNT(*) AS n FROM lineitem
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_orderkey = l_orderkey
+                               AND o_totalprice > l_extendedprice * 20)
+           GROUP BY l_linestatus""",
+        backing="semijoin[flat<-anti:base[orders]]",
+    )
+
+
+def test_exists_residual_plus_inner_filter(ctx, duck):
+    """Inner-only conjuncts stay with the key-set filter; mixed-scope ones
+    ride the join condition — both in one EXISTS."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_orderkey = l_orderkey
+                           AND o_orderpriority = '1-URGENT'
+                           AND o_totalprice < l_extendedprice * 100)""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_exists_outer_only_residual(ctx, duck):
+    """A residual referencing only OUTER columns is a constant w.r.t. the
+    inner rows — still correct as a join-condition conjunct."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_orderkey = l_orderkey
+                           AND l_quantity > 30)""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_exists_residual_without_equi_declines(ctx, duck):
+    """Residual-only correlation would force a theta join (unbounded
+    fan-out) — decline, fallback stays correct."""
+    sql = """SELECT COUNT(*) AS n FROM lineitem
+             WHERE EXISTS (SELECT 1 FROM orders
+                           WHERE o_totalprice > l_extendedprice * 100)"""
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    assert ctx.query_history[-1].backing == "sparksql"
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert got == exp
