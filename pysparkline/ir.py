@@ -833,6 +833,9 @@ class SemiJoinArm(IRNode):
     # columns under their bare names. NULL residual = no match, exactly
     # the EXISTS/NOT EXISTS comparison semantics.
     residual_sql: str = ""
+    # outer columns the residual reads — counted into the outer backing's
+    # coverage check (they must exist on the row-grain scan)
+    residual_outer_cols: list = field(default_factory=list)
 
 
 @_node

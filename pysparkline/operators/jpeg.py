@@ -351,7 +351,13 @@ def _decode(payload: bytes) -> np.ndarray:
             if frame is not None:
                 raise ValueError("jpeg: DHP after a frame header")
             hier = {
-                "dhp": _parse_sof_body(body, 0xC1),
+                # DHP shares SOF syntax; parse with the LOSSLESS precision
+                # range (P=2..16, the widest) — mode-appropriate limits are
+                # enforced by each stage's own SOF marker (round-8 review
+                # finding #2: parsing with 0xC1's 8/12-only rules rejected
+                # lossless hierarchies at every other precision, streams
+                # our own encoder emits)
+                "dhp": _parse_sof_body(body, 0xC3),
                 "ref": None,
                 "exp": None,
                 "mode": None,

@@ -1057,6 +1057,7 @@ def choose_backing(
     non_agg_handling: str = "push_project_and_filters",
     feedback: GroupCountFeedback | None = None,
     force_row_grain: bool = False,
+    extra_columns: set | None = None,
 ) -> tuple[Backing, PlanDecision]:
     notes: list[str] = []
     if force_row_grain:
@@ -1064,6 +1065,13 @@ def choose_backing(
         # (and cube TopK sketches) cannot be joined — only flat/base serve
         notes.append("row grain forced (semi-join outer): cubes skipped")
     referenced = ir.query_referenced_columns(q)
+    if extra_columns:
+        # semi-join keys / scalar-comparison / residual outer columns: the
+        # spec itself doesn't reference them, but the join/filter applied
+        # on top of the chosen backing will — count them into coverage so
+        # a too-narrow flat falls back to base instead of failing analysis
+        # (round-8 review finding #3)
+        referenced = referenced | set(extra_columns)
     flat_cols = index.flat_columns()
 
     # nonAggregateQueryHandling (DruidRelationInfo.scala:27-32): how much of a

@@ -171,7 +171,12 @@ class OlapContext:
             self._base_df_cache = cached
         return cached
 
-    def plan(self, spec: ir.QuerySpec, force_row_grain: bool = False):
+    def plan(
+        self,
+        spec: ir.QuerySpec,
+        force_row_grain: bool = False,
+        extra_columns: set | None = None,
+    ):
         spec = transforms.optimize(spec)
         if self.allow_topn and isinstance(spec, ir.TopNQuery):
             import dataclasses
@@ -186,6 +191,7 @@ class OlapContext:
             non_agg_handling=self.non_agg_handling,
             feedback=self._feedback,
             force_row_grain=force_row_grain,
+            extra_columns=extra_columns,
         )
         return spec, backing, decision
 
@@ -373,8 +379,14 @@ class OlapContext:
                 s2, b2, d2 = self.plan(scond.inner)
                 scalar_dfs.append(lowering.lower(s2, b2))
                 descs.append(f"scalar:{d2.backing}")
+        join_cols: set = set()
+        for arm in spec.arms:
+            join_cols.update(arm.outer_keys)
+            join_cols.update(arm.residual_outer_cols)
+        for scond in spec.scalar_conds:
+            join_cols.update(scond.outer_columns)
         outer2, backing, decision = self.plan(
-            spec.outer, force_row_grain=True
+            spec.outer, force_row_grain=True, extra_columns=join_cols
         )
         assert backing.kind != "cube", "semi-join outer must be row grain"
         df = backing.df
@@ -511,17 +523,28 @@ class OlapContext:
         returns Nil => Spark plans normally)."""
         from .sqlfront import SQLFrontError
 
-        try:
-            spec = self._parse_sql(sql)
-        except SQLFrontError as e:
+        def fallback(e):
             if self.base_tables is None and not self.fact_name:
-                raise
+                raise e
             self.register_base_views()
             self.query_history.append(
                 QueryRecord({"sql": sql}, f"fallback: {e}", "sparksql")
             )
             return self.spark.sql(sql)
-        return self.query(spec)
+
+        try:
+            spec = self._parse_sql(sql)
+        except SQLFrontError as e:
+            return fallback(e)
+        try:
+            return self.query(spec)
+        except SQLFrontError as e:
+            # lowering-time declines (round-8 review finding #4): e.g. a
+            # dim-grain WHERE-subquery arm whose base table isn't
+            # registered — the statement is still plain SQL, so the
+            # spark.sql fallback stays the correct answer, same contract
+            # as a parse-time decline
+            return fallback(e)
 
     def register_base_views(self) -> None:
         for name, df in (self.base_tables or {}).items():
@@ -592,7 +615,15 @@ class OlapContext:
                     sub = self.explain_rewrite(sc.inner)
                     lines.extend("  " + ln for ln in sub.splitlines())
             lines.append("-- outer (subquery conjuncts removed) --")
-            _, _, decision = self.plan(spec.outer, force_row_grain=True)
+            jc: set = set()
+            for arm in spec.arms:
+                jc.update(arm.outer_keys)
+                jc.update(arm.residual_outer_cols)
+            for sc in spec.scalar_conds:
+                jc.update(sc.outer_columns)
+            _, _, decision = self.plan(
+                spec.outer, force_row_grain=True, extra_columns=jc
+            )
             lines.append("  " + decision.pretty().replace("\n", "\n  "))
             return "\n".join(lines)
         spec, backing, decision = self.plan(spec)

@@ -2049,10 +2049,18 @@ def _subquery_scope(
     # inner-scoped when l1 is the OUTER alias (a correlated subquery the
     # unqualified-name check cannot see — caught by round-8's own decline
     # test). Any qualifier that is not an inner table name/alias declines.
-    inner_quals = set(tables)
+    # SQL binding: an ALIASED table's name is HIDDEN inside the subquery
+    # (`FROM orders o` makes a bare `orders.x` refer to the OUTER orders,
+    # if any) — so the inner qualifier set holds the alias when present,
+    # the table name only when not (round-8 review finding #1: adding the
+    # name unconditionally misclassified hidden-name outer refs as inner,
+    # compiling an always-false filter instead of declining)
+    inner_quals: set[str] = set()
     for bt in _base_table_nodes(inner_node.get("from_table")):
         if bt.get("alias"):
             inner_quals.add(bt["alias"].lower())
+        else:
+            inner_quals.add((bt.get("table_name") or "").lower())
     foreign = _foreign_qualifiers(
         [inner_node.get("select_list"), wc], inner_quals
     )
@@ -2269,7 +2277,7 @@ def _parse_exists_arm(
     wc = inner_node.get("where_clause")
     if wc is None:
         raise SQLFrontError("uncorrelated EXISTS (constant predicate)")
-    all_cols = _star_columns(fact_table, star)
+    all_cols = _star_columns(star)
     corr_inner: list[str] = []
     corr_outer: list[str] = []
     rest: list[dict] = []
@@ -2283,6 +2291,7 @@ def _parse_exists_arm(
             extra_map[col] = f"__sjr_{len(extra_map)}"
         return extra_map[col]
 
+    residual_outer: set[str] = set()
     for c in _conjuncts(wc):
         pair = _corr_pair(c, inner_cols)
         if pair is not None:
@@ -2293,6 +2302,7 @@ def _parse_exists_arm(
         if not outer_refs:
             rest.append(c)  # inner-only: stays with the key-set filter
             continue
+        residual_outer.update(outer_refs)
         # MIXED-scope conjunct (round 8): a non-equi residual — becomes
         # part of the join CONDITION, with inner refs rebased onto the
         # __sjr_* aliases the inner spec exposes. Outer refs must be
@@ -2330,10 +2340,11 @@ def _parse_exists_arm(
         inner_keys=corr_inner,
         anti=neg,
         residual_sql=" AND ".join(f"({p})" for p in residual_parts),
+        residual_outer_cols=sorted(residual_outer),
     )
 
 
-def _star_columns(fact_table: str | None, star: StarSchema | None):
+def _star_columns(star: StarSchema | None):
     """All resolvable star column names, or None when unknowable."""
     if star is not None and star.table_columns:
         return {
@@ -2391,7 +2402,7 @@ def _parse_scalar_cond(
         )
     outer_sql = render(other)  # raises SQLFrontError on unsupported exprs
     ocols = sorted(_columns_of(other))
-    all_cols = _star_columns(fact_table, star)
+    all_cols = _star_columns(star)
     if all_cols is not None:
         bad = sorted(set(ocols) - all_cols)
         if bad:

@@ -203,3 +203,17 @@ def test_plain_lossless_still_bit_exact():
     assert np.array_equal(
         jpeg.decode(jpeg.encode_lossless(img, predictor=4)), img
     )
+
+
+def test_lossless_hierarchical_nonstandard_precisions():
+    """Review finding #2: DHP parses with the LOSSLESS precision range
+    (P=2..16) — 16-bit and 7-bit lossless pyramids round-trip (previously
+    the decoder rejected its own encoder's streams outside 8/12)."""
+    img16 = np.full((16, 16), 40000, np.uint16)
+    p = jpeg.encode_hierarchical(img16, lossless=True)
+    assert jpeg.stream_precision(p) == 16
+    assert np.array_equal(jpeg.decode(p), img16[:, :, None])
+    img7 = rng.integers(0, 100, (11, 9)).astype(np.uint16)
+    p2 = jpeg.encode_hierarchical(img7, lossless=True)
+    assert jpeg.stream_precision(p2) == 7
+    assert np.array_equal(jpeg.decode(p2), img7[:, :, None])

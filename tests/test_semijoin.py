@@ -539,3 +539,84 @@ def test_exists_residual_without_equi_declines(ctx, duck):
     assert ctx.query_history[-1].backing == "sparksql"
     exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert got == exp
+
+
+# -- round-8 self-review regressions ------------------------------------------
+
+
+def test_hidden_table_name_binds_outer_declines(ctx, duck):
+    """Review finding #1: `FROM orders o` HIDES the name `orders` inside
+    the subquery, so `orders.o_totalprice` binds to the OUTER orders row —
+    the qualifier check must decline (it previously compiled an
+    always-false inner filter: wrong answer, not a decline)."""
+    sql = """SELECT l_returnflag, COUNT(*) AS n
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = o_custkey
+                             AND orders.o_totalprice < o.o_totalprice)
+             GROUP BY l_returnflag"""
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    assert ctx.query_history[-1].backing == "sparksql"
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+    assert got and got[0][1] > 0  # data-dependent: not the empty set
+
+
+def test_outer_coverage_includes_join_columns(ctx):
+    """Review finding #3: the semi-join keys / residual / scalar outer
+    columns count into the outer backing's coverage check, so a backing
+    lacking them falls back to base instead of failing analysis."""
+    from pysparkline import ir, planner
+
+    outer = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("l_returnflag")],
+        aggregations=[ir.CountAgg("n")],
+    )
+    # a key column the flat star cannot serve + no base table -> the
+    # planner must REFUSE with the column named, not pick flat and crash
+    # at analysis
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no_such_key"):
+        planner.choose_backing(
+            outer,
+            ctx.index,
+            base_df=None,
+            force_row_grain=True,
+            extra_columns={"no_such_key"},
+        )
+    # with a base df supplied, the same case falls back to base
+    backing, decision = planner.choose_backing(
+        outer,
+        ctx.index,
+        base_df=ctx._base_df().withColumn(
+            "no_such_key", ctx._base_df()["l_orderkey"]
+        ),
+        force_row_grain=True,
+        extra_columns={"no_such_key"},
+    )
+    assert decision.backing == "base"
+
+
+def test_lowering_decline_falls_back(spark, duck):
+    """Review finding #4: a dim-grain subquery arm whose base table is not
+    registered raises SQLFrontError at LOWERING time — ctx.sql must fall
+    back to spark.sql (the statement is still plain SQL) instead of
+    crashing the caller."""
+    from pysparkline import tpch
+    from pysparkline.session import OlapContext
+
+    idx = tpch.build_or_load_index(spark, SF)
+    noctx = OlapContext(spark, idx)  # star from the index, NO base tables
+    # the fallback needs resolvable views: register them session-side
+    for name, df in tpch.load_star_tables(spark, SF).items():
+        df.createOrReplaceTempView(name)
+    sql = """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                  WHERE o_orderpriority = '1-URGENT')
+             GROUP BY l_returnflag"""
+    got = sorted(tuple(r) for r in noctx.sql(sql).collect())
+    assert noctx.query_history[-1].backing == "sparksql"
+    assert "no registered base table" in noctx.query_history[-1].decision
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
