@@ -68,7 +68,12 @@ def test_quantize_roundtrip_and_pack_invariants(spark, rows):
         assert math.isclose(r.scale, amax / 127.0, rel_tol=1e-7)
         assert all(abs(c) <= 127 for c in r.codes)
         for x, c, rx in zip(vec, r.codes, r.recon):
-            assert abs(float(rx) - float(x)) <= r.scale / 2 + 1e-9 * amax
+            # scale/2 is the round-half-up quantization bound; the extra
+            # term is the FLOAT32 representation of the reconstruction
+            # (array<float> output): ulp(recon) <= 2^-23 * amax. A scale-6
+            # fuzz drew x = amax/2 exactly — error lands ON scale/2 and the
+            # f32 cast pushed it ~1.2e-9 past the old 1e-9*amax slack.
+            assert abs(float(rx) - float(x)) <= r.scale / 2 + 1.2e-7 * amax
             if r.scale > 0:
                 assert c == math.floor(float(x) / r.scale + 0.5)
             else:
@@ -108,3 +113,26 @@ def test_funnel_full_shortlist_equals_exact(spark, rows, data):
     ka = sorted(map(tuple, exact.collect()))
     kb = sorted(map(tuple, funnel.collect()))
     assert ka == kb
+
+
+def test_quantize_exact_half_step_regression(spark):
+    """The scale-6 fuzz counterexample pinned deterministically: a vector
+    whose component is EXACTLY amax/2 sits on the round-half-up boundary
+    (x/scale = 63.5 -> code 64); reconstruction error equals scale/2 plus
+    the float32 cast of the recon — within the f32-ulp-aware bound."""
+    import math
+
+    from pysparkline.operators import embed
+
+    df = spark.createDataFrame(
+        [(0, [0.0439453125, 0.087890625])],
+        "vec_id long, embedding array<float>",
+    )
+    r = embed.dequantize_int8(
+        embed.quantize_int8(df), out_col="recon"
+    ).collect()[0]
+    amax = 0.087890625
+    assert math.isclose(r.scale, amax / 127.0, rel_tol=1e-7)
+    assert r.codes == [64, 127]  # exact half rounds UP (floor(x/s + 0.5))
+    for x, rx in zip([0.0439453125, amax], r.recon):
+        assert abs(float(rx) - float(x)) <= r.scale / 2 + 1.2e-7 * amax
