@@ -620,3 +620,62 @@ def test_lowering_decline_falls_back(spark, duck):
     assert "no registered base table" in noctx.query_history[-1].decision
     exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert got == exp
+
+
+def test_semijoin_composes_with_outer_machinery(ctx, duck):
+    """The outer keeps its full surface above the semi-join: HAVING,
+    ORDER/LIMIT, window posts, and an explicitly-DISTINCT arm all compose
+    (each vs the DuckDB oracle)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT DISTINCT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_totalprice > 200000)
+           GROUP BY l_returnflag HAVING COUNT(*) > 50""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+    got = [
+        tuple(r)
+        for r in ctx.sql(
+            """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+               WHERE EXISTS (SELECT 1 FROM orders
+                             WHERE o_orderkey = l_orderkey
+                               AND o_orderstatus = 'O')
+               GROUP BY l_returnflag
+               ORDER BY n DESC, l_returnflag LIMIT 2"""
+        ).collect()
+    ]
+    assert ctx.query_history[-1].backing == "semijoin[flat<-base[orders]]"
+    exp = [
+        tuple(r)
+        for r in duck.execute(
+            """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+               WHERE EXISTS (SELECT 1 FROM orders
+                             WHERE o_orderkey = l_orderkey
+                               AND o_orderstatus = 'O')
+               GROUP BY l_returnflag
+               ORDER BY n DESC, l_returnflag LIMIT 2"""
+        ).fetchall()
+    ]
+    assert got == exp  # emitted order (total ORDER BY)
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n,
+                  RANK() OVER (ORDER BY COUNT(*) DESC) AS rk
+           FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '2-HIGH')
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-base[orders]]",
+    )
