@@ -780,6 +780,9 @@ class BaseKeysQuery(QuerySpec):
     # EXISTS residual references (aliased to reserved __sjr_* names so the
     # join condition can address them unambiguously against the outer)
     extra: list = field(default_factory=list)
+    # expression keys [[sql, alias]] — an IN/NOT IN subquery selecting an
+    # expression rather than a plain column (round 8 cont.)
+    exprs: list = field(default_factory=list)
 
 
 @_node
@@ -796,6 +799,12 @@ class BaseScalarQuery(QuerySpec):
     table: str = ""
     agg_sql: str = ""  # Spark SQL aggregate expression text
     filter: Optional[FilterSpec] = None
+    # multi-aggregate form (round 8, quantified/correlated subqueries):
+    # [[sql, alias], ...] — when set, supersedes agg_sql
+    aggs: list = field(default_factory=list)
+    # correlated form: group by these key columns (one row PER KEY, not
+    # one row total — the decorrelated per-group scalar)
+    group_keys: list = field(default_factory=list)
 
 
 @_node
@@ -814,6 +823,54 @@ class ScalarCond(IRNode):
     outer_sql: str = ""  # rendered Spark SQL for the non-subquery side
     outer_columns: list = field(default_factory=list)
     flip: bool = False
+
+
+@_node
+@dataclass
+class GuardCond(IRNode):
+    """Quantified-comparison guard (round 8 cont.): ONE 1-row multi-
+    aggregate inner whose outputs (reserved ``__g{j}_{i}`` aliases)
+    broadcast-cross-join the outer's row-grain scan; ``cond_sql`` (a
+    boolean Spark SQL expression over those aliases + outer columns)
+    filters before aggregation. This is how ``[NOT] x <op> ANY (SELECT
+    ...)`` — including NOT IN and the ALL quantifiers DuckDB rewrites to
+    NOT+ANY — keeps ANSI three-valued semantics: the aggregate bundle
+    (count(*), count(item), min/max(item)) lets the condition encode the
+    empty-set and NULL-member cases a bare min/max rewrite would get
+    wrong."""
+
+    inner: Optional["QuerySpec"] = None  # 1-row aggregates (GroupByQuery | BaseScalarQuery)
+    inner_cols: list = field(default_factory=list)  # output aliases __g{j}_{i}
+    cond_sql: str = ""
+    outer_columns: list = field(default_factory=list)
+
+
+@_node
+@dataclass
+class CorrScalarCond(IRNode):
+    """Equi-correlated scalar-aggregate comparison (round 8 cont.) — the
+    TPC-H Q17 shape ``x < (SELECT 0.2*avg(q) FROM t WHERE t.k = outer.k)``
+    decorrelated the classical way: the inner becomes a GROUP BY over its
+    correlation keys computing each aggregate LEAF of the select item
+    (aliased ``__ca{j}_{i}``); the outer scan joins that per-key table on
+    the correlation pairs and ``outer_sql <op> value_sql`` filters before
+    aggregation. ``left_join`` is True when a count-class leaf requires
+    empty groups to still evaluate (COALESCE(leaf, 0) is baked into
+    value_sql); otherwise an inner join is identical (a missing group
+    yields a NULL scalar, the comparison is NULL, the row drops — ANSI).
+    NULL outer keys never match the equi join, matching the correlated
+    predicate ``k = NULL`` selecting nothing."""
+
+    inner: Optional["QuerySpec"] = None  # grouped agg (GroupByQuery | BaseScalarQuery)
+    inner_keys: list = field(default_factory=list)  # DEDUPED groupBy key names
+    pairs: list = field(default_factory=list)  # [[outer_col, inner_col], ...]
+    leaf_cols: list = field(default_factory=list)  # agg-leaf aliases __ca{j}_{i}
+    value_sql: str = ""  # select item over the leaf aliases
+    op: str = "="
+    outer_sql: str = ""
+    outer_columns: list = field(default_factory=list)
+    flip: bool = False
+    left_join: bool = False
 
 
 @_node
@@ -859,16 +916,26 @@ class SemiJoinQuery(QuerySpec):
     same wrapper as :class:`ScalarCond` entries: the 1-row inner
     broadcast-cross-joins the scan and filters before aggregation.
 
-    Honest declines (sqlfront raises, statement falls back): NOT IN
-    (three-valued NULL semantics — one NULL inner key empties the result),
-    correlated IN/scalar (including outer-ALIAS-qualified correlation),
-    non-equi or multi-table correlation in EXISTS, uncorrelated EXISTS
-    (constant predicate), non-aggregate or grouped scalars (no 1-row
-    guarantee), subqueries under OR."""
+    Round-8 continuation widened the surface: correlated IN rides the
+    EXISTS machinery (the IN equality is one more equi-correlation pair);
+    NOT IN lowers as a left_anti arm PLUS a :class:`GuardCond` encoding
+    its three-valued NULL semantics exactly; the ALL quantifiers (DuckDB
+    rewrites them to NOT + flipped ANY) and non-equal ANY comparisons
+    lower as pure guards; equi-correlated scalar aggregates (TPC-H Q17's
+    per-group form) decorrelate via :class:`CorrScalarCond`.
+
+    Honest declines (sqlfront raises, statement falls back): correlated
+    NOT IN / quantified comparisons, scalar subqueries with non-equi or
+    zero equi correlation, outer references inside aggregate arguments,
+    non-aggregate or grouped scalars (no 1-row guarantee), subqueries
+    under OR, unknown qualifiers (a qualifier naming neither an inner nor
+    an outer table/alias)."""
 
     outer: Optional["QuerySpec"] = None
     arms: list = field(default_factory=list)  # [SemiJoinArm]
     scalar_conds: list = field(default_factory=list)  # [ScalarCond]
+    guards: list = field(default_factory=list)  # [GuardCond]
+    corr_scalars: list = field(default_factory=list)  # [CorrScalarCond]
     output_order: Optional[list] = None  # outer's output names
 
 

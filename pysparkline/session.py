@@ -313,9 +313,11 @@ class OlapContext:
         tbl = self._base_table(spec.table)
         if spec.filter is not None:
             tbl = tbl.where(lowering.filter_to_column(spec.filter))
-        cols = [F.col(k) for k in spec.keys] + [
-            F.col(c).alias(a) for c, a in spec.extra
-        ]
+        cols = (
+            [F.col(k) for k in spec.keys]
+            + [F.expr(sql).alias(a) for sql, a in spec.exprs]
+            + [F.col(c).alias(a) for c, a in spec.extra]
+        )
         return tbl.select(*cols).distinct()
 
     def _base_table(self, name: str) -> DataFrame:
@@ -333,14 +335,21 @@ class OlapContext:
         return tbl
 
     def _lower_base_scalar(self, spec: "ir.BaseScalarQuery") -> DataFrame:
-        """1-row aggregate over the registered base table (dim grain — see
+        """Aggregate over the registered base table (dim grain — see
         ir.BaseScalarQuery; an aggregate over orders evaluated on flat rows
-        would weight each order by its lineitem count)."""
+        would weight each order by its lineitem count). The multi-agg form
+        (spec.aggs) serves guard bundles; group_keys makes it the
+        decorrelated per-key scalar (one row per key, map-side combined)."""
         from pyspark.sql import functions as F
 
         tbl = self._base_table(spec.table)
         if spec.filter is not None:
             tbl = tbl.where(lowering.filter_to_column(spec.filter))
+        if spec.aggs:
+            exprs = [F.expr(sql).alias(alias) for sql, alias in spec.aggs]
+            if spec.group_keys:
+                return tbl.groupBy(*spec.group_keys).agg(*exprs)
+            return tbl.agg(*exprs)
         return tbl.agg(F.expr(spec.agg_sql).alias("__scalar"))
 
     def _lower_semijoin(self, spec: "ir.SemiJoinQuery"):
@@ -379,12 +388,35 @@ class OlapContext:
                 s2, b2, d2 = self.plan(scond.inner)
                 scalar_dfs.append(lowering.lower(s2, b2))
                 descs.append(f"scalar:{d2.backing}")
+        guard_dfs: list[DataFrame] = []
+        for g in getattr(spec, "guards", []) or []:
+            if isinstance(g.inner, ir.BaseScalarQuery):
+                guard_dfs.append(self._lower_base_scalar(g.inner))
+                descs.append(f"guard:base[{g.inner.table}]")
+            else:
+                s2, b2, d2 = self.plan(g.inner)
+                guard_dfs.append(lowering.lower(s2, b2))
+                descs.append(f"guard:{d2.backing}")
+        corr_dfs: list[DataFrame] = []
+        for cc in getattr(spec, "corr_scalars", []) or []:
+            if isinstance(cc.inner, ir.BaseScalarQuery):
+                corr_dfs.append(self._lower_base_scalar(cc.inner))
+                descs.append(f"corrscalar:base[{cc.inner.table}]")
+            else:
+                s2, b2, d2 = self.plan(cc.inner)
+                corr_dfs.append(lowering.lower(s2, b2))
+                descs.append(f"corrscalar:{d2.backing}")
         join_cols: set = set()
         for arm in spec.arms:
             join_cols.update(arm.outer_keys)
             join_cols.update(arm.residual_outer_cols)
         for scond in spec.scalar_conds:
             join_cols.update(scond.outer_columns)
+        for g in getattr(spec, "guards", []) or []:
+            join_cols.update(g.outer_columns)
+        for cc in getattr(spec, "corr_scalars", []) or []:
+            join_cols.update(cc.outer_columns)
+            join_cols.update(o for o, _ in cc.pairs)
         outer2, backing, decision = self.plan(
             spec.outer, force_row_grain=True, extra_columns=join_cols
         )
@@ -402,6 +434,41 @@ class OlapContext:
             if scond.flip:
                 lhs, rhs = rhs, lhs
             df = df.where(F.expr(f"{lhs} {scond.op} {rhs}"))
+        for g, gdf in zip(getattr(spec, "guards", []) or [], guard_dfs):
+            # quantified guard: broadcast the 1-row aggregate bundle and
+            # filter with the three-valued condition (GuardCond docstring)
+            one = F.broadcast(gdf.select(*[F.col(c) for c in g.inner_cols]))
+            df = df.crossJoin(one).where(F.expr(g.cond_sql))
+        for j, (cc, adf) in enumerate(
+            zip(getattr(spec, "corr_scalars", []) or [], corr_dfs)
+        ):
+            # decorrelated scalar: join the per-key aggregate table on the
+            # correlation pairs (AQE broadcasts an NDV-bounded build side
+            # at runtime; a huge one degrades to a shuffled hash join on
+            # the key — never a per-row recomputation), then compare.
+            # left join only when a count-class leaf needs empty groups to
+            # evaluate (COALESCE in value_sql); otherwise inner — a
+            # missing group's NULL scalar drops the row either way (ANSI),
+            # and inner lets Catalyst push outer-side filters both ways.
+            key_alias = {
+                k: f"__ck{j}_{i}" for i, k in enumerate(cc.inner_keys)
+            }
+            aliased = adf.select(
+                *[F.col(k).alias(a) for k, a in key_alias.items()],
+                *[F.col(a) for a in cc.leaf_cols],
+            )
+            cond = None
+            for o, ik in cc.pairs:
+                c2 = F.col(o) == F.col(key_alias[ik])
+                cond = c2 if cond is None else (cond & c2)
+            df = df.join(
+                aliased, cond, "left" if cc.left_join else "inner"
+            )
+            lhs, rhs = f"({cc.outer_sql})", f"({cc.value_sql})"
+            if cc.flip:
+                lhs, rhs = rhs, lhs
+            df = df.where(F.expr(f"{lhs} {cc.op} {rhs}"))
+            df = df.drop(*key_alias.values(), *cc.leaf_cols)
         for i, (arm, adf) in enumerate(zip(spec.arms, arm_dfs)):
             # unambiguous join keys: rename the arm's output columns — the
             # semi/anti join emits left-side columns only, so the aliases
@@ -614,6 +681,40 @@ class OlapContext:
                 else:
                     sub = self.explain_rewrite(sc.inner)
                     lines.extend("  " + ln for ln in sub.splitlines())
+            for j, g in enumerate(getattr(spec, "guards", []) or []):
+                lines.append(
+                    f"-- guard {j}: broadcast 1-row aggregate bundle, "
+                    f"filter {g.cond_sql} --"
+                )
+                if isinstance(g.inner, ir.BaseScalarQuery):
+                    aggs = ", ".join(a for a, _ in g.inner.aggs)
+                    lines.append(
+                        f"  aggregates over base table {g.inner.table!r}"
+                        f" (dim grain): {aggs}"
+                    )
+                else:
+                    sub = self.explain_rewrite(g.inner)
+                    lines.extend("  " + ln for ln in sub.splitlines())
+            for j, cc in enumerate(getattr(spec, "corr_scalars", []) or []):
+                on = ", ".join(f"{o}={k}" for o, k in cc.pairs)
+                how = "left" if cc.left_join else "inner"
+                lhs, rhs = cc.outer_sql, cc.value_sql
+                if cc.flip:
+                    lhs, rhs = rhs, lhs
+                lines.append(
+                    f"-- correlated scalar {j}: decorrelated GROUP BY"
+                    f" ({', '.join(cc.inner_keys)}), {how} join on ({on}),"
+                    f" filter {lhs} {cc.op} {rhs} --"
+                )
+                if isinstance(cc.inner, ir.BaseScalarQuery):
+                    aggs = ", ".join(a for a, _ in cc.inner.aggs)
+                    lines.append(
+                        f"  per-key aggregates over base table"
+                        f" {cc.inner.table!r} (dim grain): {aggs}"
+                    )
+                else:
+                    sub = self.explain_rewrite(cc.inner)
+                    lines.extend("  " + ln for ln in sub.splitlines())
             lines.append("-- outer (subquery conjuncts removed) --")
             jc: set = set()
             for arm in spec.arms:
@@ -621,6 +722,11 @@ class OlapContext:
                 jc.update(arm.residual_outer_cols)
             for sc in spec.scalar_conds:
                 jc.update(sc.outer_columns)
+            for g in getattr(spec, "guards", []) or []:
+                jc.update(g.outer_columns)
+            for cc in getattr(spec, "corr_scalars", []) or []:
+                jc.update(cc.outer_columns)
+                jc.update(o for o, _ in cc.pairs)
             _, _, decision = self.plan(
                 spec.outer, force_row_grain=True, extra_columns=jc
             )

@@ -1999,12 +1999,106 @@ def _colref(name: str) -> dict:
     }
 
 
+@dataclass
+class _SubqScope:
+    """Column-reference scope resolver for a WHERE-clause subquery.
+
+    SQL binding inside a subquery: a QUALIFIED reference resolves to the
+    inner table/alias it names, to an OUTER table/alias otherwise (an
+    ALIASED table's bare name is hidden — round-8 review finding #1); an
+    UNQUALIFIED name resolves inner-first, outer only when no inner table
+    carries the column. ``inner_cols`` None = the star has no column
+    lists, so unqualified names are assumed inner (only sound for the
+    fact-only/star-less contexts that construct such scopes — a genuinely
+    single-table statement has no outer names to capture). The reserved
+    ``__outer__`` qualifier marks synthesized outer-side refs (the IN
+    child rebased into an EXISTS correlation conjunct) so a child whose
+    bare name collides with an inner column cannot be misread as inner."""
+
+    inner_quals: set
+    inner_cols: set | None
+    outer_quals: set
+
+    def side(self, ref: dict) -> str:
+        names = ref.get("column_names") or []
+        if not names:
+            raise SQLFrontError("empty column reference")
+        name = names[-1]
+        if len(names) >= 2:
+            q = names[-2].lower()
+            if q == "__outer__":
+                return "outer"
+            if q in self.inner_quals:
+                if self.inner_cols is not None and name not in self.inner_cols:
+                    raise SQLFrontError(
+                        f"column {name!r} not in subquery table {q!r}"
+                    )
+                return "inner"
+            if q in self.outer_quals:
+                return "outer"
+            raise SQLFrontError(f"unknown qualifier {q!r} in subquery")
+        if self.inner_cols is None or name in self.inner_cols:
+            return "inner"
+        return "outer"
+
+    def outer_names(self, tree) -> set[str]:
+        """Bare names of outer-side refs under ``tree`` (raises on unknown
+        qualifiers — classification IS validation)."""
+        out: set[str] = set()
+        for ref in _refs_of(tree):
+            if self.side(ref) == "outer":
+                out.add(ref["column_names"][-1])
+        return out
+
+    def has_outer(self, tree) -> bool:
+        return bool(self.outer_names(tree))
+
+    def validate(self, tree) -> None:
+        """Classify every reference (side() raises on unknown/invalid)."""
+        for ref in _refs_of(tree):
+            self.side(ref)
+
+
+def _refs_of(tree) -> list[dict]:
+    """All COLUMN_REF nodes under ``tree`` (full nodes, qualifiers kept —
+    unlike _columns_of, which strips to bare names)."""
+    out: list[dict] = []
+
+    def walk(n):
+        if isinstance(n, dict):
+            if n.get("class") == "COLUMN_REF":
+                out.append(n)
+                return
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for v in n:
+                walk(v)
+
+    walk(tree)
+    return out
+
+
+def _outer_quals_of(from_table) -> set:
+    """Outer-scope qualifiers: each base table's alias when present, its
+    name otherwise (the alias HIDES the name — same binding rule as
+    _SubqScope's inner side)."""
+    quals: set = set()
+    for bt in _base_table_nodes(from_table):
+        if bt.get("alias"):
+            quals.add(bt["alias"].lower())
+        else:
+            quals.add((bt.get("table_name") or "").lower())
+    return quals
+
+
 def _subquery_scope(
     inner_node: dict,
     fact_table: str | None,
     star: StarSchema | None,
+    outer_quals: set,
     allow_agg: bool = False,
-) -> tuple[list[str], list[tuple[str, str]], set[str] | None]:
+) -> tuple[list[str], list[tuple[str, str]], set[str] | None, _SubqScope]:
     """Validate an IN/EXISTS/scalar subquery's shape and resolve its
     column scope.
 
@@ -2044,37 +2138,27 @@ def _subquery_scope(
     wc = inner_node.get("where_clause")
     if wc is not None and _contains_subquery(wc):
         raise SQLFrontError("nested subquery in IN/EXISTS subquery")
-    # ALIAS-QUALIFIED references: _columns_of strips qualifiers, so
-    # `FROM lineitem l1 ... WHERE x = l1.l_quantity` would otherwise look
-    # inner-scoped when l1 is the OUTER alias (a correlated subquery the
-    # unqualified-name check cannot see — caught by round-8's own decline
-    # test). Any qualifier that is not an inner table name/alias declines.
-    # SQL binding: an ALIASED table's name is HIDDEN inside the subquery
-    # (`FROM orders o` makes a bare `orders.x` refer to the OUTER orders,
-    # if any) — so the inner qualifier set holds the alias when present,
-    # the table name only when not (round-8 review finding #1: adding the
-    # name unconditionally misclassified hidden-name outer refs as inner,
-    # compiling an always-false filter instead of declining)
+    # Scope resolution (round-8 cont.): qualified refs resolve inner-vs-
+    # outer by table/alias name (an ALIASED table's bare name is HIDDEN —
+    # round-8 review finding #1); unqualified names bind inner-first.
+    # Unknown qualifiers decline via _SubqScope.side. This replaced the
+    # earlier blanket foreign-qualifier decline when correlation support
+    # made outer-qualified references legitimate.
     inner_quals: set[str] = set()
     for bt in _base_table_nodes(inner_node.get("from_table")):
         if bt.get("alias"):
             inner_quals.add(bt["alias"].lower())
         else:
             inner_quals.add((bt.get("table_name") or "").lower())
-    foreign = _foreign_qualifiers(
-        [inner_node.get("select_list"), wc], inner_quals
-    )
-    if foreign:
-        raise SQLFrontError(
-            f"subquery references outer aliases {sorted(foreign)}"
-        )
     inner_cols: set[str] | None = None
     if star is not None and star.table_columns:
         by_table = {t.lower(): cols for t, cols in star.table_columns.items()}
         inner_cols = set()
         for t in tables:
             inner_cols.update(by_table.get(t, ()))
-    return tables, pairs, inner_cols
+    scope = _SubqScope(inner_quals, inner_cols, set(outer_quals))
+    scope.validate([inner_node.get("select_list"), wc])
+    return tables, pairs, inner_cols, scope
 
 
 def _base_table_nodes(node) -> list[dict]:
@@ -2094,31 +2178,12 @@ def _base_table_nodes(node) -> list[dict]:
     return out
 
 
-def _foreign_qualifiers(trees, inner_quals: set[str]) -> set[str]:
-    """Qualifiers of COLUMN_REFs under ``trees`` not in ``inner_quals``."""
-    out: set[str] = set()
-
-    def walk(n):
-        if isinstance(n, dict):
-            if n.get("class") == "COLUMN_REF":
-                names = n.get("column_names") or []
-                if len(names) >= 2 and names[-2].lower() not in inner_quals:
-                    out.add(names[-2].lower())
-            for v in n.values():
-                walk(v)
-        elif isinstance(n, list):
-            for v in n:
-                walk(v)
-
-    walk(trees)
-    return out
-
-
 def _rewrite_inner_refs(node: dict, rename) -> dict:
-    """Deep-copied ``node`` with every COLUMN_REF name passed through
-    ``rename`` (identity for outer-scoped names) — used to rebase a
-    non-equi EXISTS residual's inner references onto the reserved
-    __sjr_* aliases the inner spec exposes."""
+    """Deep-copied ``node`` with every COLUMN_REF rewritten to the single
+    bare name ``rename(ref)`` returns (bare outer names; reserved aliases
+    for inner-scoped refs) — used to rebase a non-equi residual's inner
+    references onto the __sjr_* aliases the inner spec exposes, and to
+    strip qualifiers before rendering outer-scope expressions."""
     import copy
 
     out = copy.deepcopy(node)
@@ -2126,9 +2191,8 @@ def _rewrite_inner_refs(node: dict, rename) -> dict:
     def walk(x):
         if isinstance(x, dict):
             if x.get("class") == "COLUMN_REF":
-                names = x.get("column_names") or []
-                if names:
-                    x["column_names"] = [rename(names[-1])]
+                if x.get("column_names"):
+                    x["column_names"] = [rename(x)]
                 return
             for v in x.values():
                 walk(v)
@@ -2150,8 +2214,11 @@ def _build_inner_keyset(
     fact_table: str | None,
     star: StarSchema | None,
     extra: list | None = None,
+    key_items: list | None = None,
 ) -> ir.QuerySpec:
-    """The inner arm as a DISTINCT key-set spec.
+    """The inner arm as a DISTINCT key-set spec. ``keys`` are plain column
+    names; ``key_items`` are (ast, alias) expression keys (an IN subquery
+    selecting an expression).
 
     FROM includes the fact -> synthesize ``SELECT DISTINCT key(s)`` and
     re-enter :func:`_parse_select` (flat grain == fact grain, so the planner
@@ -2163,6 +2230,10 @@ def _build_inner_keyset(
     if fact_grain:
         node2 = dict(inner_node)
         sel = [_colref(k) for k in keys]
+        for ast, alias in key_items or []:
+            item = dict(ast)
+            item["alias"] = alias
+            sel.append(item)
         for col, alias in extra or []:
             item = _colref(col)
             item["alias"] = alias
@@ -2185,37 +2256,158 @@ def _build_inner_keyset(
         keys=list(keys),
         filter=filt,
         extra=[list(e) for e in (extra or [])],
+        exprs=[[render(ast), alias] for ast, alias in key_items or []],
     )
 
 
-def _corr_pair(node: dict, inner_cols: set[str]) -> tuple[str, str] | None:
-    """``inner_col = outer_col`` equi-correlation conjunct -> (inner, outer);
-    None for anything else (both-inner comparisons are ordinary filters)."""
+def _fn_node(fn: str, *children: dict) -> dict:
+    """Minimal synthesized aggregate FUNCTION node (the fields _agg_spec /
+    render read; DuckDB's serializer emits a superset)."""
+    return {
+        "class": "FUNCTION",
+        "type": "FUNCTION",
+        "alias": "",
+        "function_name": fn,
+        "schema": "",
+        "children": list(children),
+        "filter": None,
+        "distinct": False,
+        "is_operator": False,
+        "catalog": "",
+    }
+
+
+def _int_const(v: int) -> dict:
+    return {
+        "class": "CONSTANT",
+        "type": "VALUE_CONSTANT",
+        "alias": "",
+        "value": {"type": {"id": "INTEGER"}, "is_null": False, "value": v},
+    }
+
+
+def _coalesce0(child: dict) -> dict:
+    return {
+        "class": "OPERATOR",
+        "type": "OPERATOR_COALESCE",
+        "alias": "",
+        "children": [child, _int_const(0)],
+    }
+
+
+# aggregates that return 0 (not NULL) over an empty input — an empty
+# correlated group must still evaluate the scalar expression for these
+_COUNT_CLASS_FNS = {
+    "count", "count_star", "approx_count_distinct", "theta_count_distinct",
+}
+
+
+def _render_agg_leaf(n: dict) -> str:
+    """Spark SQL text for one aggregate FUNCTION node including its FILTER
+    clause (render() ignores the 'filter' key — aggregate-only syntax)."""
+    base = render(n)
+    if n.get("filter") is not None:
+        return f"{base} FILTER (WHERE {render(n['filter'])})"
+    return base
+
+
+def _build_inner_aggs(
+    inner_node: dict,
+    agg_items: list[tuple[dict, str]],
+    group_keys: list[str],
+    tables: list[str],
+    pairs: list[tuple[str, str]],
+    residual_where: dict | None,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> ir.QuerySpec:
+    """The inner arm as an aggregate spec: ``agg_items`` are synthesized
+    aggregate AST nodes with their output aliases; ``group_keys`` are the
+    correlation keys (empty = global 1-row aggregate).
+
+    FROM includes the fact -> re-enter :func:`_parse_select` (the planner
+    may serve the aggregate from a cube). FROM is one dim table ->
+    :class:`ir.BaseScalarQuery` over the registered base table (a dim
+    aggregate evaluated on fact-grain flat rows would weight each dim row
+    by its fact multiplicity)."""
+    fact_grain = bool(fact_table) and fact_table.lower() in tables
+    if fact_grain:
+        node2 = dict(inner_node)
+        sel = [_colref(k) for k in group_keys]
+        for ast, alias in agg_items:
+            item = dict(ast)
+            item["alias"] = alias
+            sel.append(item)
+        node2["select_list"] = sel
+        node2["modifiers"] = []  # ORDER BY vacuous; DISTINCT agg-invariant
+        node2["group_expressions"] = [_colref(k) for k in group_keys]
+        node2["group_sets"] = (
+            [list(range(len(group_keys)))] if group_keys else []
+        )
+        node2["having"] = None
+        node2["where_clause"] = residual_where
+        return _parse_select(node2, time_col, fact_table, star)
+    if pairs or len(tables) != 1:
+        raise SQLFrontError(
+            "multi-table subquery without the fact table"
+        )
+    filt = None
+    if residual_where is not None:
+        filt = ir.and_(*[_to_filter(c) for c in _conjuncts(residual_where)])
+    return ir.BaseScalarQuery(
+        table=tables[0],
+        filter=filt,
+        aggs=[[_render_agg_leaf(ast), alias] for ast, alias in agg_items],
+        group_keys=list(group_keys),
+    )
+
+
+def _corr_pair(node: dict, scope: _SubqScope) -> tuple[str, str] | None:
+    """``inner_col = outer_col`` equi-correlation conjunct -> (inner, outer)
+    bare names; None for anything else (both-inner comparisons are ordinary
+    filters, both-outer / non-equi shapes classify elsewhere)."""
     if node.get("class") != "COMPARISON" or node.get("type") != "COMPARE_EQUAL":
         return None
     left, right = node.get("left") or {}, node.get("right") or {}
     if left.get("class") != "COLUMN_REF" or right.get("class") != "COLUMN_REF":
         return None
+    ls, rs = scope.side(left), scope.side(right)
     lc, rc = left["column_names"][-1], right["column_names"][-1]
-    lin, rin = lc in inner_cols, rc in inner_cols
-    if lin and not rin:
+    if ls == "inner" and rs == "outer":
         return lc, rc
-    if rin and not lin:
+    if rs == "inner" and ls == "outer":
         return rc, lc
     return None
+
+
+def _check_outer_child(child: dict, outer_quals: set) -> None:
+    """The quantified comparison's left side lives in the OUTER scope:
+    any qualifier it carries must name an outer table/alias."""
+    for ref in _refs_of(child):
+        names = ref.get("column_names") or []
+        if len(names) >= 2 and names[-2].lower() not in outer_quals:
+            raise SQLFrontError(
+                f"unknown qualifier {names[-2]!r} on subquery comparison"
+            )
 
 
 def _parse_in_arm(
     s: dict,
     neg: bool,
+    guard_idx: int,
     time_col: str | None,
     fact_table: str | None,
     star: StarSchema | None,
-) -> ir.SemiJoinArm:
-    if neg:
-        # one NULL inner key makes NOT IN three-valued (empties the result);
-        # an anti-join would keep rows SQL drops — decline, don't approximate
-        raise SQLFrontError("NOT IN (subquery): three-valued NULL semantics")
+    outer_quals: set,
+) -> tuple[ir.SemiJoinArm, "ir.GuardCond | None"]:
+    """``x [NOT] IN (SELECT key ...)`` -> semi/anti arm. Uncorrelated
+    NOT IN additionally emits a GuardCond carrying its three-valued NULL
+    semantics (one NULL inner key empties the result; a NULL x passes
+    only against an empty set). Correlated IN rides the EXISTS machinery:
+    the IN equality is one more equi-correlation conjunct (exact — IN's
+    NULL-key non-matches are precisely equi-join non-matches). Correlated
+    NOT IN declines (its NULL guards are per-group, not global)."""
     if s.get("comparison_type") != "COMPARE_EQUAL":
         raise SQLFrontError(
             f"quantified subquery comparison {s.get('comparison_type')}"
@@ -2223,6 +2415,7 @@ def _parse_in_arm(
     child = s.get("child") or {}
     if child.get("class") != "COLUMN_REF":
         raise SQLFrontError("IN (subquery) left side must be a plain column")
+    _check_outer_child(child, outer_quals)
     outer_key = child["column_names"][-1]
     inner_node = (s.get("subquery") or {}).get("node") or {}
     if inner_node.get("type") != "SELECT_NODE":
@@ -2230,32 +2423,251 @@ def _parse_in_arm(
     sel = inner_node.get("select_list") or []
     if len(sel) != 1:
         raise SQLFrontError("IN subquery must select exactly one column")
-    if sel[0].get("class") != "COLUMN_REF":
-        raise SQLFrontError("IN subquery select item must be a plain column")
-    inner_key = sel[0]["column_names"][-1]
-    tables, pairs, inner_cols = _subquery_scope(inner_node, fact_table, star)
+    tables, pairs, inner_cols, scope = _subquery_scope(
+        inner_node, fact_table, star, outer_quals
+    )
+    is_col = sel[0].get("class") == "COLUMN_REF"
+    if is_col:
+        if scope.side(sel[0]) != "inner":
+            raise SQLFrontError("IN subquery selects an outer column")
+        inner_key = sel[0]["column_names"][-1]
+        key_items = None
+    else:
+        # expression key (round 8 cont.): rendered + aliased on the key
+        # set; the guard's counts run over the same expression
+        render(sel[0])  # raises on unsupported expressions
+        for ref in _refs_of(sel[0]):
+            if scope.side(ref) != "inner":
+                raise SQLFrontError("IN subquery selects an outer column")
+        if _contains_agg(sel[0]) or _contains_window(sel[0]):
+            raise SQLFrontError("aggregate in IN/EXISTS subquery")
+        inner_key = "__k0"
+        item0 = dict(sel[0])
+        item0["alias"] = ""
+        key_items = [(item0, "__k0")]
     wc = inner_node.get("where_clause")
-    refs = {inner_key} | (_columns_of(wc) if wc is not None else set())
-    if inner_cols is not None:
-        outer_refs = sorted(refs - inner_cols)
-        if outer_refs:
-            # SQL scoping: unqualified names resolve inner-first, so a name
-            # outside the inner tables' columns IS an outer reference
-            raise SQLFrontError(
-                f"correlated IN subquery (outer refs {outer_refs})"
-            )
-    elif star is not None and len(star.tables) > 1:
+    if inner_cols is None and star is not None and len(star.tables) > 1:
         raise SQLFrontError(
             "star carries no column lists: cannot verify the subquery "
             "is uncorrelated"
         )
     # star is None or fact-only: a single-table scope has no outer names
     # to capture — every unqualified name is inner by SQL scoping
+    correlated = wc is not None and scope.has_outer(wc)
+    if correlated:
+        if neg:
+            raise SQLFrontError(
+                "correlated NOT IN (per-group NULL semantics)"
+            )
+        # x IN (SELECT y FROM t WHERE P) == EXISTS (SELECT 1 FROM t WHERE
+        # y = x AND P) exactly (WHERE context: FALSE and NULL both drop;
+        # NULL keys never match either form). The synthetic equality's
+        # outer side carries the reserved __outer__ qualifier so a child
+        # whose bare name collides with an inner column cannot be misread
+        # as an inner-only filter (which would compile y = y).
+        marked_child = {
+            "class": "COLUMN_REF",
+            "type": "COLUMN_REF",
+            "alias": "",
+            "column_names": ["__outer__", outer_key],
+        }
+        synth = {
+            "class": "COMPARISON",
+            "type": "COMPARE_EQUAL",
+            "alias": "",
+            # an expression key makes the synthetic equality a non-equi
+            # residual (no COLUMN_REF pair); it accelerates when another
+            # equi-correlation conjunct exists, declines honestly otherwise
+            "left": _colref(inner_key) if is_col else dict(key_items[0][0]),
+            "right": marked_child,
+        }
+        node2 = dict(inner_node)
+        node2["where_clause"] = _and_node(_conjuncts(wc) + [synth])
+        return (
+            _parse_exists_arm(
+                {"subquery": {"node": node2}},
+                False,
+                time_col,
+                fact_table,
+                star,
+                outer_quals,
+            ),
+            None,
+        )
     inner = _build_inner_keyset(
-        inner_node, [inner_key], tables, pairs, wc, time_col, fact_table, star
+        inner_node,
+        [inner_key] if is_col else [],
+        tables,
+        pairs,
+        wc,
+        time_col,
+        fact_table,
+        star,
+        key_items=key_items,
     )
-    return ir.SemiJoinArm(
-        inner=inner, outer_keys=[outer_key], inner_keys=[inner_key], anti=False
+    arm = ir.SemiJoinArm(
+        inner=inner, outer_keys=[outer_key], inner_keys=[inner_key], anti=neg
+    )
+    if not neg:
+        return arm, None
+    # NOT IN (uncorrelated): the anti join handles the match test; the
+    # guard encodes ANSI three-valued semantics — one NULL inner key
+    # empties the result, and a NULL x survives only against an EMPTY set
+    # (x NOT IN () is TRUE even for NULL x)
+    x_sql = render(child)
+    g0, g1 = f"`__g{guard_idx}_0`", f"`__g{guard_idx}_1`"
+    key_node = _colref(inner_key) if is_col else dict(key_items[0][0])
+    guard_inner = _build_inner_aggs(
+        inner_node,
+        [
+            (_fn_node("count_star"), f"__g{guard_idx}_0"),
+            (_fn_node("count", key_node), f"__g{guard_idx}_1"),
+        ],
+        [],
+        tables,
+        pairs,
+        wc,
+        time_col,
+        fact_table,
+        star,
+    )
+    guard = ir.GuardCond(
+        inner=guard_inner,
+        inner_cols=[f"__g{guard_idx}_0", f"__g{guard_idx}_1"],
+        cond_sql=f"({g0} = {g1} AND (({x_sql}) IS NOT NULL OR {g0} = 0))",
+        outer_columns=sorted(_columns_of(child)),
+    )
+    return arm, guard
+
+
+# positive ANY: `x <op> ANY(S)` in WHERE context reduces to a comparison
+# against min/max of the set (FALSE and NULL both drop rows, so the
+# empty-set / NULL-member cases coincide with the NULL aggregate)
+_QUANT_POS = {
+    "COMPARE_GREATERTHAN": (">", "min"),
+    "COMPARE_GREATERTHANOREQUALTO": (">=", "min"),
+    "COMPARE_LESSTHAN": ("<", "max"),
+    "COMPARE_LESSTHANOREQUALTO": ("<=", "max"),
+}
+# negated ANY (DuckDB rewrites `x <op> ALL(S)` to NOT(x <op'> ANY(S))):
+# the complement comparison against max/min, guarded by the exact
+# empty-set (keep everything) and NULL-member (drop everything) cases
+_QUANT_NEG = {
+    "COMPARE_LESSTHANOREQUALTO": (">", "max"),
+    "COMPARE_LESSTHAN": (">=", "max"),
+    "COMPARE_GREATERTHANOREQUALTO": ("<", "min"),
+    "COMPARE_GREATERTHAN": ("<=", "min"),
+}
+
+
+def _parse_quantified_guard(
+    s: dict,
+    neg: bool,
+    idx: int,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+    outer_quals: set,
+) -> "ir.GuardCond":
+    """Non-equal quantified comparison ``[NOT] x <op> ANY (SELECT item
+    ...)`` (the ALL quantifiers arrive as NOT + the complement op) ->
+    GuardCond: a 1-row aggregate bundle over the subquery broadcast-cross-
+    joins the scan and a condition encoding the exact ANSI three-valued
+    semantics filters rows. Uncorrelated only (a correlated form needs
+    per-group aggregates — declined honestly)."""
+    child = s.get("child") or {}
+    _check_outer_child(child, outer_quals)
+    x_sql = render(child)  # raises on unsupported expressions
+    inner_node = (s.get("subquery") or {}).get("node") or {}
+    if inner_node.get("type") != "SELECT_NODE":
+        raise SQLFrontError("set-operation subquery in WHERE")
+    sel = inner_node.get("select_list") or []
+    if len(sel) != 1:
+        raise SQLFrontError("quantified subquery must select one item")
+    tables, pairs, inner_cols, scope = _subquery_scope(
+        inner_node, fact_table, star, outer_quals
+    )
+    item = dict(sel[0])
+    item["alias"] = ""
+    for ref in _refs_of(item):
+        if scope.side(ref) != "inner":
+            raise SQLFrontError("quantified subquery selects an outer column")
+    if inner_cols is None and star is not None and len(star.tables) > 1:
+        raise SQLFrontError(
+            "star carries no column lists: cannot verify the subquery "
+            "is uncorrelated"
+        )
+    wc = inner_node.get("where_clause")
+    if wc is not None and scope.has_outer(wc):
+        raise SQLFrontError("correlated quantified comparison")
+    cmp = s.get("comparison_type")
+    g = [f"`__g{idx}_{i}`" for i in range(4)]
+    if not neg:
+        if cmp in _QUANT_POS:
+            op, mm = _QUANT_POS[cmp]
+            items = [_fn_node(mm, item)]
+            cond = f"(({x_sql}) {op} {g[0]})"
+        elif cmp == "COMPARE_NOTEQUAL":
+            # x <> ANY(S): some non-null member differs from x — i.e. the
+            # set has >= 2 distinct non-null values, or its single value
+            # differs; NULL x never passes (every comparison is NULL)
+            items = [
+                _fn_node("count", dict(item)),
+                _fn_node("min", dict(item)),
+                _fn_node("max", dict(item)),
+            ]
+            cond = (
+                f"(({x_sql}) IS NOT NULL AND {g[0]} > 0"
+                f" AND ({g[1]} <> {g[2]} OR ({x_sql}) <> {g[1]}))"
+            )
+        else:
+            raise SQLFrontError(f"quantified subquery comparison {cmp}")
+    else:
+        if cmp in _QUANT_NEG:
+            op, mm = _QUANT_NEG[cmp]
+            items = [
+                _fn_node("count_star"),
+                _fn_node("count", dict(item)),
+                _fn_node(mm, item),
+            ]
+            # empty set: ALL is vacuously TRUE (even for NULL x); any
+            # NULL member: nothing passes; else the complement comparison
+            cond = (
+                f"({g[0]} = {g[1]}"
+                f" AND (({x_sql}) {op} {g[2]} OR {g[0]} = 0))"
+            )
+        elif cmp == "COMPARE_NOTEQUAL":
+            # x = ALL(S): empty set passes everything; else no NULL
+            # member, a single distinct value, and x equals it
+            items = [
+                _fn_node("count_star"),
+                _fn_node("count", dict(item)),
+                _fn_node("min", dict(item)),
+                _fn_node("max", dict(item)),
+            ]
+            cond = (
+                f"({g[0]} = 0 OR ({g[0]} = {g[1]}"
+                f" AND {g[2]} = {g[3]} AND ({x_sql}) = {g[2]}))"
+            )
+        else:
+            raise SQLFrontError(f"quantified subquery comparison {cmp}")
+    aliases = [f"__g{idx}_{i}" for i in range(len(items))]
+    inner = _build_inner_aggs(
+        inner_node,
+        list(zip(items, aliases)),
+        [],
+        tables,
+        pairs,
+        wc,
+        time_col,
+        fact_table,
+        star,
+    )
+    return ir.GuardCond(
+        inner=inner,
+        inner_cols=aliases,
+        cond_sql=cond,
+        outer_columns=sorted(_columns_of(child)),
     )
 
 
@@ -2265,11 +2677,14 @@ def _parse_exists_arm(
     time_col: str | None,
     fact_table: str | None,
     star: StarSchema | None,
+    outer_quals: set,
 ) -> ir.SemiJoinArm:
     inner_node = (s.get("subquery") or {}).get("node") or {}
     if inner_node.get("type") != "SELECT_NODE":
         raise SQLFrontError("set-operation subquery in WHERE")
-    tables, pairs, inner_cols = _subquery_scope(inner_node, fact_table, star)
+    tables, pairs, inner_cols, scope = _subquery_scope(
+        inner_node, fact_table, star, outer_quals
+    )
     if inner_cols is None:
         raise SQLFrontError(
             "EXISTS needs star column lists to resolve correlation"
@@ -2284,21 +2699,23 @@ def _parse_exists_arm(
     residual_parts: list[str] = []
     extra_map: dict[str, str] = {}  # inner col -> reserved __sjr_* alias
 
-    def rename(col: str) -> str:
-        if col not in inner_cols:
-            return col  # outer-scoped: bare name resolves against the scan
+    def rename(ref: dict) -> str:
+        if scope.side(ref) == "outer":
+            # outer-scoped: bare name resolves against the scan
+            return ref["column_names"][-1]
+        col = ref["column_names"][-1]
         if col not in extra_map:
             extra_map[col] = f"__sjr_{len(extra_map)}"
         return extra_map[col]
 
     residual_outer: set[str] = set()
     for c in _conjuncts(wc):
-        pair = _corr_pair(c, inner_cols)
+        pair = _corr_pair(c, scope)
         if pair is not None:
             corr_inner.append(pair[0])
             corr_outer.append(pair[1])
             continue
-        outer_refs = sorted(_columns_of(c) - inner_cols)
+        outer_refs = sorted(scope.outer_names(c))
         if not outer_refs:
             rest.append(c)  # inner-only: stays with the key-set filter
             continue
@@ -2355,15 +2772,21 @@ def _star_columns(star: StarSchema | None):
 
 def _parse_scalar_cond(
     c: dict,
+    idx: int,
     time_col: str | None,
     fact_table: str | None,
     star: StarSchema | None,
-) -> ir.ScalarCond:
+    outer_quals: set,
+) -> "ir.ScalarCond | ir.CorrScalarCond":
     """`expr <op> (SELECT agg FROM ...)` -> ir.ScalarCond. The inner must
     be a single UNGROUPED aggregate (exactly one output row, ANSI — so the
     lazy broadcast cross-join is semantics-preserving; a NULL scalar makes
-    the comparison NULL = row dropped, also ANSI). Correlated scalars
-    (TPC-H Q17's per-group form) decline — they are per-row, not 1-row."""
+    the comparison NULL = row dropped, also ANSI).
+
+    Equi-correlated scalars (TPC-H Q17's per-group form) decorrelate to
+    ir.CorrScalarCond: the classical GROUP BY over the correlation keys +
+    equi join. Non-equi correlation and outer references inside aggregate
+    arguments decline (a per-row aggregate, not a per-group one)."""
     left, right = c.get("left") or {}, c.get("right") or {}
     flip = left.get("class") == "SUBQUERY"
     s, other = (left, right) if flip else (right, left)
@@ -2373,6 +2796,7 @@ def _parse_scalar_cond(
         )
     if _contains_subquery(other):
         raise SQLFrontError("two subqueries in one comparison")
+    _check_outer_child(other, outer_quals)
     op = _CMP.get(c.get("type"))
     if op is None:
         raise SQLFrontError(f"unsupported comparison {c.get('type')}")
@@ -2384,22 +2808,18 @@ def _parse_scalar_cond(
         raise SQLFrontError(
             "scalar subquery must be a single ungrouped aggregate"
         )
-    tables, pairs, inner_cols = _subquery_scope(
-        inner_node, fact_table, star, allow_agg=True
+    tables, pairs, inner_cols, scope = _subquery_scope(
+        inner_node, fact_table, star, outer_quals, allow_agg=True
     )
     wc = inner_node.get("where_clause")
-    refs = _columns_of(sel[0]) | (_columns_of(wc) if wc is not None else set())
-    if inner_cols is not None:
-        outer_refs = sorted(refs - inner_cols)
-        if outer_refs:
-            raise SQLFrontError(
-                f"correlated scalar subquery (outer refs {outer_refs})"
-            )
-    elif star is not None and len(star.tables) > 1:
+    if inner_cols is None and star is not None and len(star.tables) > 1:
         raise SQLFrontError(
             "star carries no column lists: cannot verify the subquery "
             "is uncorrelated"
         )
+    correlated = scope.has_outer(sel[0]) or (
+        wc is not None and scope.has_outer(wc)
+    )
     outer_sql = render(other)  # raises SQLFrontError on unsupported exprs
     ocols = sorted(_columns_of(other))
     all_cols = _star_columns(star)
@@ -2409,6 +2829,25 @@ def _parse_scalar_cond(
             raise SQLFrontError(
                 f"scalar comparison references unknown columns {bad}"
             )
+    if correlated:
+        if inner_cols is None:
+            raise SQLFrontError(
+                "correlated scalar needs star column lists"
+            )
+        return _parse_corr_scalar(
+            s,
+            other,
+            op,
+            flip,
+            idx,
+            scope,
+            tables,
+            pairs,
+            all_cols,
+            time_col,
+            fact_table,
+            star,
+        )
     fact_grain = bool(fact_table) and fact_table.lower() in tables
     if fact_grain:
         if pairs:
@@ -2441,6 +2880,119 @@ def _parse_scalar_cond(
     )
 
 
+def _parse_corr_scalar(
+    s: dict,
+    other: dict,
+    op: str,
+    flip: bool,
+    idx: int,
+    scope: _SubqScope,
+    tables: list[str],
+    pairs: list[tuple[str, str]],
+    all_cols,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> "ir.CorrScalarCond":
+    """Equi-correlated scalar aggregate -> ir.CorrScalarCond (the TPC-H
+    Q17 decorrelation): the WHERE splits into equi-correlation pairs and
+    inner-only filters (anything mixed/non-equi declines); each aggregate
+    LEAF of the select item is computed per correlation key and the item
+    re-renders over the leaf aliases (count-class leaves COALESCE to 0 so
+    empty groups evaluate like the 1-row scalar they replace)."""
+    inner_node = (s.get("subquery") or {}).get("node") or {}
+    sel = inner_node.get("select_list") or []
+    wc = inner_node.get("where_clause")
+    corr_inner: list[str] = []
+    corr_outer: list[str] = []
+    rest: list[dict] = []
+    for c2 in _conjuncts(wc) if wc is not None else []:
+        pair = _corr_pair(c2, scope)
+        if pair is not None:
+            corr_inner.append(pair[0])
+            corr_outer.append(pair[1])
+            continue
+        if scope.has_outer(c2):
+            raise SQLFrontError(
+                "non-equi correlation in scalar subquery"
+            )
+        rest.append(c2)
+    if not corr_inner:
+        raise SQLFrontError(
+            "correlated scalar without an equi-correlation conjunct"
+        )
+    if all_cols is not None:
+        bad = sorted(set(corr_outer) - all_cols)
+        if bad:
+            raise SQLFrontError(
+                f"correlation references unknown outer columns {bad}"
+            )
+    # rewrite the select item: each aggregate leaf -> a per-group column
+    import copy
+
+    leaves: list[tuple[dict, str]] = []
+    has_count = False
+
+    def rewrite(n):
+        nonlocal has_count
+        if isinstance(n, dict):
+            fn = (n.get("function_name") or "").lower()
+            if n.get("class") == "FUNCTION" and fn in _AGG_FNS:
+                for ref in _refs_of([n.get("children"), n.get("filter")]):
+                    if scope.side(ref) != "inner":
+                        raise SQLFrontError(
+                            "outer reference inside aggregate argument"
+                        )
+                alias = f"__ca{idx}_{len(leaves)}"
+                leaves.append((copy.deepcopy(n), alias))
+                ph = _colref(alias)
+                if fn in _COUNT_CLASS_FNS:
+                    has_count = True
+                    return _coalesce0(ph)
+                return ph
+            if n.get("class") == "COLUMN_REF":
+                # a bare column in an ungrouped select item has no
+                # single-value guarantee — decline whatever the scope
+                raise SQLFrontError(
+                    "non-aggregate column in scalar select item"
+                )
+            return {k: rewrite(v) for k, v in n.items()}
+        if isinstance(n, list):
+            return [rewrite(v) for v in n]
+        return n
+
+    item = copy.deepcopy(sel[0])
+    item["alias"] = ""
+    value_sql = render(rewrite(item))
+    keys: list[str] = []
+    for k in corr_inner:
+        if k not in keys:
+            keys.append(k)
+    inner = _build_inner_aggs(
+        inner_node,
+        leaves,
+        keys,
+        tables,
+        pairs,
+        _and_node(rest),
+        time_col,
+        fact_table,
+        star,
+    )
+    return ir.CorrScalarCond(
+        inner=inner,
+        inner_keys=keys,
+        pairs=[[o, i] for i, o in zip(corr_inner, corr_outer)],
+        leaf_cols=[a for _, a in leaves],
+        value_sql=value_sql,
+        op=op,
+        outer_sql=render(other),
+        outer_columns=sorted(_columns_of(other)),
+        flip=flip,
+        left_join=has_count,
+    )
+
+
 def _parse_semijoin(
     node: dict,
     time_col: str | None,
@@ -2454,8 +3006,11 @@ def _parse_semijoin(
     NOT a top-level WHERE conjunct (under OR, inside an expression, in the
     select list) declines the statement."""
     conj = _conjuncts(node["where_clause"])
+    outer_quals = _outer_quals_of(node.get("from_table"))
     arms: list[ir.SemiJoinArm] = []
     scalar_conds: list[ir.ScalarCond] = []
+    guards: list = []
+    corr_scalars: list = []
     rest: list[dict] = []
     for c in conj:
         neg, s = False, c
@@ -2470,9 +3025,13 @@ def _parse_semijoin(
                 # NOT (x op scalar) never parses here (the NOT peel only
                 # matches bare SUBQUERY children) — defensive
                 raise SQLFrontError("negated scalar comparison")
-            scalar_conds.append(
-                _parse_scalar_cond(s, time_col, fact_table, star)
+            sc = _parse_scalar_cond(
+                s, len(corr_scalars), time_col, fact_table, star, outer_quals
             )
+            if isinstance(sc, ir.CorrScalarCond):
+                corr_scalars.append(sc)
+            else:
+                scalar_conds.append(sc)
             continue
         if s.get("class") != "SUBQUERY":
             if _contains_subquery(c):
@@ -2483,10 +3042,38 @@ def _parse_semijoin(
             continue
         sq_type = s.get("subquery_type")
         if sq_type == "ANY":
-            arms.append(_parse_in_arm(s, neg, time_col, fact_table, star))
+            if s.get("comparison_type") == "COMPARE_EQUAL":
+                arm, guard = _parse_in_arm(
+                    s,
+                    neg,
+                    len(guards),
+                    time_col,
+                    fact_table,
+                    star,
+                    outer_quals,
+                )
+                arms.append(arm)
+                if guard is not None:
+                    guards.append(guard)
+            else:
+                guards.append(
+                    _parse_quantified_guard(
+                        s,
+                        neg,
+                        len(guards),
+                        time_col,
+                        fact_table,
+                        star,
+                        outer_quals,
+                    )
+                )
         elif sq_type == "EXISTS":
-            arms.append(_parse_exists_arm(s, neg, time_col, fact_table, star))
-        else:  # SCALAR / ALL quantifiers
+            arms.append(
+                _parse_exists_arm(
+                    s, neg, time_col, fact_table, star, outer_quals
+                )
+            )
+        else:  # SCALAR subquery outside a comparison, etc.
             raise SQLFrontError(f"unsupported subquery type {sq_type}")
     node["where_clause"] = _and_node(rest)
     outer = _parse_select(node, time_col, fact_table, star)
@@ -2494,6 +3081,8 @@ def _parse_semijoin(
         outer=outer,
         arms=arms,
         scalar_conds=scalar_conds,
+        guards=guards,
+        corr_scalars=corr_scalars,
         output_order=_spec_outputs(outer),
     )
 

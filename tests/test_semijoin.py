@@ -6,11 +6,18 @@ reference's "SubQry" benchmark family (BenchMarkDetails.org:95-102)
 generalized to the WHERE-subquery spelling Catalyst itself rewrites to
 semi-joins.
 
+The round-8 continuation widened the surface: correlated IN (rides the
+EXISTS machinery), uncorrelated NOT IN (anti arm + three-valued GuardCond),
+quantified ANY/ALL comparisons (guard bundles), expression IN keys, and
+equi-correlated scalar aggregates (the TPC-H Q17 shape, decorrelated via
+GROUP BY + join — ir.CorrScalarCond).
+
 Every accelerated shape runs against the DuckDB oracle; backing strings
 assert the statement really was index-served (`semijoin[...]`, not the
-spark.sql fallback). Declines (NOT IN, correlated IN, uncorrelated EXISTS,
-subquery under OR, LIMIT/aggregates in the subquery) must fall back AND
-stay correct."""
+spark.sql fallback). Declines (correlated NOT IN/quantified, uncorrelated
+EXISTS, subquery under OR, LIMIT/aggregates in the subquery, non-equi
+scalar correlation, outer refs inside aggregate arguments) must fall back
+AND stay correct."""
 
 import duckdb
 import pytest
@@ -280,14 +287,6 @@ def test_scalar_null_result_drops_all_rows(ctx, duck):
 @pytest.mark.parametrize(
     "sql",
     [
-        # NOT IN: three-valued NULL semantics
-        """SELECT COUNT(*) AS n FROM lineitem
-           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
-                                    WHERE o_orderpriority = '1-URGENT')""",
-        # correlated IN
-        """SELECT COUNT(*) AS n FROM lineitem
-           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-                                WHERE o_totalprice > l_extendedprice)""",
         # uncorrelated EXISTS (constant predicate)
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE EXISTS (SELECT 1 FROM orders
@@ -307,21 +306,29 @@ def test_scalar_null_result_drops_all_rows(ctx, duck):
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE l_quantity > (SELECT l_quantity FROM lineitem
                                ORDER BY l_quantity DESC LIMIT 1)""",
-        # correlated scalar via an OUTER TABLE ALIAS — the qualifier check:
-        # unqualified-name scoping alone cannot see l1.l_quantity is outer
-        """SELECT COUNT(*) AS n FROM lineitem l1
-           WHERE l_extendedprice > (SELECT AVG(l_extendedprice)
-                                    FROM lineitem
-                                    WHERE l_quantity = l1.l_quantity)""",
-        # correlated IN via an outer alias (same hole, semi-join form)
-        """SELECT COUNT(*) AS n FROM lineitem l1
-           WHERE l_partkey IN (SELECT l_partkey FROM lineitem
-                               WHERE l_quantity > l1.l_quantity)""",
         # grouped scalar subquery (no 1-row guarantee; ordered so the
         # fallback comparison itself is deterministic on both engines)
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem
                                GROUP BY l_returnflag ORDER BY 1 LIMIT 1)""",
+        # correlated NOT IN (per-group NULL guards, not global ones)
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_partkey NOT IN (SELECT p_partkey FROM part
+                                   WHERE p_size = l_linenumber)""",
+        # non-equi correlation in a scalar subquery
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > (SELECT AVG(o_totalprice) FROM orders
+                                    WHERE o_orderkey > l_orderkey)""",
+        # correlated scalar whose only correlation is non-equi via alias
+        """SELECT COUNT(*) AS n FROM lineitem l1
+           WHERE l_extendedprice > (SELECT AVG(l_extendedprice)
+                                    FROM lineitem
+                                    WHERE l_quantity > l1.l_quantity)""",
+        # correlated IN with an expression key and NO equi conjunct (the
+        # synthetic equality is a residual; nothing drives the hash join)
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber IN (SELECT o_orderkey % 7 FROM orders
+                                  WHERE o_totalprice > l_extendedprice)""",
     ],
 )
 def test_declines_fall_back_correct(ctx, duck, sql):
@@ -329,6 +336,377 @@ def test_declines_fall_back_correct(ctx, duck, sql):
     assert ctx.query_history[-1].backing == "sparksql"
     exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert got == exp
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        (
+            # correlated quantified comparison (per-group min/max/counts);
+            # Spark cannot even PARSE ALL quantifiers, so there is no
+            # runnable fallback — the decline must fire at parse and the
+            # engine's own error surfaces
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_extendedprice > ALL (SELECT o_totalprice FROM orders
+                                            WHERE o_orderkey = l_orderkey)""",
+            "correlated quantified",
+        ),
+        (
+            # outer reference inside the aggregate argument: a per-row
+            # aggregate, which Spark itself rejects
+            # (AGGREGATE_FUNCTION_MIXED_OUTER_LOCAL_REFERENCES)
+            """SELECT COUNT(*) AS n FROM lineitem l1
+               WHERE l_extendedprice > (SELECT AVG(l_extendedprice
+                                                   + l1.l_quantity)
+                                        FROM lineitem
+                                        WHERE l_partkey = l1.l_partkey)""",
+            "outer reference inside aggregate argument",
+        ),
+    ],
+)
+def test_fallback_inexpressible_declines_at_parse(ctx, sql, msg):
+    """Shapes whose fallback Spark cannot run either: the parse-level
+    decline is still honest (the engine's own error reaches the user
+    instead of a wrong answer)."""
+    from pysparkline.sqlfront import SQLFrontError, parse_sql
+
+    with pytest.raises(SQLFrontError, match=msg):
+        parse_sql(
+            sql,
+            time_col="l_shipdate",
+            fact_table="lineitem",
+            star=ctx.star,
+        )
+
+
+def test_unknown_qualifier_declines_at_parse(ctx):
+    """A qualifier naming neither an inner nor an outer table/alias cannot
+    be scoped — the statement declines at parse (both engines would
+    binder-error at execution; the decline just hands the error to the
+    engine instead of guessing a scope)."""
+    from pysparkline.sqlfront import SQLFrontError, parse_sql
+
+    with pytest.raises(SQLFrontError, match="unknown qualifier"):
+        parse_sql(
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                    WHERE zzz.o_totalprice > 1000)""",
+            time_col="l_shipdate",
+            fact_table="lineitem",
+            star=ctx.star,
+        )
+
+
+# -- round-8 continuation: correlated IN / NOT IN / quantified / Q17 ---------
+
+
+def test_correlated_in_residual(ctx, duck):
+    """Correlated IN rides the EXISTS machinery: the IN equality is the
+    equi-correlation pair, the correlated comparison becomes a non-equi
+    residual on the join condition. This exact shape was a DECLINE test
+    until the round-8 continuation."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_totalprice > l_extendedprice)""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_correlated_in_equi(ctx, duck):
+    """Correlated IN whose inner WHERE adds a second equi pair."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_size = l_linenumber)
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-base[part]]",
+    )
+
+
+def test_correlated_in_outer_alias(ctx, duck):
+    """Outer-ALIAS-qualified correlation (l1.l_quantity): the scope
+    resolver classifies the qualifier as outer; the conjunct becomes a
+    residual. Was a decline test (the round-8 qualifier hole) — now the
+    qualifier RESOLVES instead of declining."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem l1
+           WHERE l_partkey IN (SELECT l_partkey FROM lineitem
+                               WHERE l_quantity > l1.l_quantity)""",
+        backing="semijoin[flat<-flat]",
+    )
+
+
+def test_correlated_in_name_collision(ctx, duck):
+    """The IN child's bare name (l_partkey) is ALSO an inner column, and
+    the subquery is correlated: the synthetic IN equality's outer side
+    carries the reserved __outer__ marker, so it becomes the join's
+    l_suppkey = outer.l_partkey condition — NOT the always-true inner
+    filter l_suppkey = l_partkey an unqualified rebase would compile."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_partkey IN (SELECT l_suppkey FROM lineitem l2
+                               WHERE l2.l_orderkey = lineitem.l_orderkey)""",
+        backing="semijoin[flat<-flat]",
+    )
+
+
+def test_qualified_inner_binding_is_inner_first(ctx, duck):
+    """A qualifier naming the UNALIASED inner table binds inner (SQL
+    inner-first): lineitem.l_orderkey inside `FROM lineitem` is the inner
+    column, so the conjunct is an inner-only tautology filter and the
+    subquery is UNCORRELATED — backing must show the plain semi arm."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_partkey IN (SELECT l_suppkey FROM lineitem
+                               WHERE l_orderkey = lineitem.l_orderkey)""",
+        backing="semijoin[flat<-flat]",
+    )
+
+
+def test_not_in_uncorrelated(ctx, duck):
+    """Uncorrelated NOT IN: left_anti arm + the three-valued guard
+    (count(*) = count(key) rules out NULL members; NULL x needs an empty
+    set). The fixture column is NULL-free, so the guard passes and the
+    anti join decides."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-anti:base[orders],guard:base[orders]]",
+    )
+
+
+def test_not_in_null_member_empties(ctx, duck):
+    """One NULL in the NOT IN set empties the result (ANSI three-valued
+    logic) — exercised end-to-end via an expression key that synthesizes
+    NULLs; the guard's count(*) = count(expr) clause must catch it."""
+    got = _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT CASE
+                                        WHEN o_orderpriority = '1-URGENT'
+                                        THEN NULL ELSE o_orderkey END
+                                    FROM orders)""",
+        backing="semijoin[flat<-anti:base[orders],guard:base[orders]]",
+    )
+    assert got == [(0,)]
+
+
+def test_not_in_empty_set_keeps_all(ctx, duck):
+    """NOT IN over an empty set is TRUE for every row (even NULL x)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                    WHERE o_totalprice < 0)""",
+        backing="semijoin[flat<-anti:base[orders],guard:base[orders]]",
+    )
+
+
+def test_in_expression_key(ctx, duck):
+    """IN over an expression select item: the key set is the DISTINCT
+    rendered expression (fact-grain here, so it plans through the index)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_partkey IN (SELECT l_partkey + 1 FROM lineitem
+                               WHERE l_quantity > 49)
+           GROUP BY l_returnflag""",
+        backing="semijoin[flat<-flat]",
+    )
+
+
+def test_correlated_in_expression_key(ctx, duck):
+    """Correlated IN with an expression key AND an equi conjunct: the
+    equality on the expression rides the join condition as a residual,
+    the equi pair drives the hash join."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber IN (SELECT o_orderkey % 7 FROM orders
+                                  WHERE o_orderkey = l_orderkey)""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_gt_all_guard(ctx, duck):
+    """x > ALL(S): DuckDB serializes it as NOT(x <= ANY(S)); the guard
+    compares against max(S) with the empty-set / NULL-member cases."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > ALL (SELECT o_totalprice FROM orders
+                                        WHERE o_orderpriority = '1-URGENT'
+                                          AND o_totalprice < 2000)""",
+        backing="semijoin[flat<-guard:base[orders]]",
+    )
+
+
+def test_gt_all_empty_set_keeps_all(ctx, duck):
+    """ALL over an empty set is vacuously TRUE — every row passes."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > ALL (SELECT o_totalprice FROM orders
+                                        WHERE o_totalprice < 0)""",
+        backing="semijoin[flat<-guard:base[orders]]",
+    )
+
+
+def test_le_all_null_member_empties(ctx, duck):
+    """A NULL member makes <= ALL unknown for every row — nothing passes
+    (the guard's count(*) = count(item) clause)."""
+    got = _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_quantity <= ALL (SELECT CASE WHEN o_totalprice < 5000
+                                        THEN NULL ELSE o_totalprice END
+                                    FROM orders
+                                    WHERE o_totalprice < 20000)""",
+        backing="semijoin[flat<-guard:base[orders]]",
+    )
+    assert got == [(0,)]
+
+
+def test_gt_any_guard(ctx, duck):
+    """x > ANY(S) reduces to x > min(S) in WHERE context (FALSE and NULL
+    both drop), served by a 1-aggregate guard."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > ANY (SELECT o_totalprice FROM orders
+                                        WHERE o_orderpriority = '1-URGENT')""",
+        backing="semijoin[flat<-guard:base[orders]]",
+    )
+
+
+def test_ne_any_guard(ctx, duck):
+    """x <> ANY(S): needs >= 2 distinct non-null members, or one that
+    differs from x; fact-grain inner plans through the index."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber <> ANY (SELECT l_linenumber FROM lineitem
+                                      WHERE l_quantity > 49)""",
+        backing="semijoin[flat<-guard:flat]",
+    )
+
+
+def test_eq_all_guard(ctx, duck):
+    """x = ALL(S): empty set passes everything; else a single distinct
+    non-null value that equals x."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber = ALL (SELECT l_linenumber FROM lineitem
+                                     WHERE l_quantity > 9999)""",
+        backing="semijoin[flat<-guard:flat]",
+    )
+
+
+def test_correlated_scalar_q17_shape(ctx, duck):
+    """TPC-H Q17's correlated scalar aggregate, decorrelated: GROUP BY the
+    correlation key, join, filter. The inner is fact-grain so it plans
+    through the index."""
+    _same(
+        ctx,
+        duck,
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0
+                       AS DOUBLE) AS avg_yearly
+           FROM lineitem
+           WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = lineitem.l_partkey)""",
+        backing="semijoin[flat<-corrscalar:flat]",
+    )
+
+
+def test_correlated_scalar_outer_alias(ctx, duck):
+    """Outer-alias-qualified correlated scalar (was a decline test): the
+    scope resolver classifies l1.l_quantity as outer and the equi pair
+    decorrelates."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem l1
+           WHERE l_extendedprice > (SELECT AVG(l_extendedprice)
+                                    FROM lineitem
+                                    WHERE l_quantity = l1.l_quantity)""",
+        backing="semijoin[flat<-corrscalar:flat]",
+    )
+
+
+def test_correlated_scalar_count_left_join(ctx, duck):
+    """A count-class leaf must evaluate for EMPTY groups too (the 1-row
+    correlated scalar returns 0, not NULL): left join + COALESCE(leaf, 0).
+    The predicate deliberately passes rows whose correlated set is empty."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber > (SELECT COUNT(*) FROM orders
+                                 WHERE o_orderkey = l_orderkey
+                                   AND o_totalprice < 1000)""",
+        backing="semijoin[flat<-corrscalar:base[orders]]",
+    )
+
+
+def test_correlated_scalar_dim_grain(ctx, duck):
+    """Dim-grain correlated scalar: per-key aggregates over the base
+    table (flat rows would weight each order by its lineitem count)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > (SELECT AVG(o_totalprice) * 0.01
+                                    FROM orders
+                                    WHERE o_orderkey = l_orderkey)""",
+        backing="semijoin[flat<-corrscalar:base[orders]]",
+    )
+
+
+def test_composed_not_in_and_corr_scalar(ctx, duck):
+    """The new conjunct types compose in one statement: anti arm + guard
+    + decorrelated scalar, all before the outer aggregation."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+             AND l_quantity < (SELECT AVG(l_quantity) + 10
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = lineitem.l_partkey)
+           GROUP BY l_returnflag""",
+        backing=(
+            "semijoin[flat<-anti:base[orders],guard:base[orders],"
+            "corrscalar:flat]"
+        ),
+    )
 
 
 def test_non_equi_correlated_exists_accelerates(ctx, duck):
