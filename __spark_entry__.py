@@ -4536,6 +4536,126 @@ def sql_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_CORR_IN = f"""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(SUM({PRICE}) AS DOUBLE) AS rev
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT'
+                       AND o_totalprice > l_extendedprice * 20)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_corr_in", _SQL_CORR_IN)
+def sql_corr_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated IN acceleration (round-8 continuation): the IN equality
+    becomes one more equi-correlation pair on the EXISTS machinery —
+    exact, because IN's NULL-key non-matches are precisely equi-join
+    non-matches — and the correlated price comparison rides the join
+    condition as a non-equi residual. This shape previously declined to
+    the spark.sql fallback (it was a decline TEST until this round)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_CORR_IN)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-base[orders]]", (
+        f"correlated IN must be semi-join accelerated, got {backing}"
+    )
+    return out
+
+
+_SQL_NOT_IN = f"""
+SELECT l_linestatus AS status,
+       COUNT(*) AS n,
+       CAST(SUM({QTY}) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY status
+"""
+
+
+@_register("sql_not_in", _SQL_NOT_IN)
+def sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN acceleration (round-8 continuation): a left_anti arm over
+    the key set PLUS a GuardCond carrying NOT IN's three-valued NULL
+    semantics exactly — one NULL member empties the result, a NULL outer
+    key passes only against an empty set (the guard's count(*)=count(key)
+    and empty-set clauses; tests/test_semijoin.py exercises both edges
+    end-to-end via expression keys that synthesize NULLs). The interval
+    still prunes the outer scan. Correlated NOT IN declines honestly."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_NOT_IN)
+    backing = ctx.query_history[-1].backing
+    assert backing == (
+        "semijoin[flat<-anti:base[orders],guard:base[orders]]"
+    ), f"NOT IN must be anti-join + guard accelerated, got {backing}"
+    return out
+
+
+_SQL_QUANTIFIED = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price
+FROM lineitem
+WHERE l_extendedprice > ALL (SELECT o_totalprice / 400 FROM orders
+                             WHERE o_totalprice < 100000)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_quantified", _SQL_QUANTIFIED)
+def sql_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified ALL comparison (round-8 continuation): DuckDB rewrites
+    `x > ALL(S)` to NOT(x <= ANY(S)); the guard broadcasts a 1-row
+    aggregate bundle (count(*), count(item), max(item)) and filters with
+    the exact three-valued condition — empty set keeps everything, a NULL
+    member drops everything, else x > max. Spark SQL cannot even PARSE
+    ALL quantifiers, so this surface EXTENDS the fallback rather than
+    accelerating it (a decline would be an engine error, not a slow
+    path). The oracle runs the same text on DuckDB, which supports ALL
+    natively."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_QUANTIFIED)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-guard:base[orders]]", (
+        f"ALL quantifier must be guard accelerated, got {backing}"
+    )
+    return out
+
+
+_SQL_CORR_SCALAR = f"""
+SELECT CAST(SUM({PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+@_register("sql_corr_scalar", _SQL_CORR_SCALAR)
+def sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's correlated scalar aggregate in its NATIVE subquery
+    spelling (round-8 continuation; the q17 row expresses the same
+    semantics as a hand-written window): ir.CorrScalarCond decorrelates
+    the classical way — GROUP BY the correlation key, equi join, compare
+    before the outer aggregation. AVG(l_quantity) is engine-exact (the
+    column is integer-valued, so per-group double sums are exact in any
+    accumulation order). Non-equi correlation and outer refs inside
+    aggregate arguments decline honestly."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_CORR_SCALAR)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("semijoin[flat<-corrscalar:"), (
+        f"correlated scalar must decorrelate, got {backing}"
+    )
+    return out
+
+
 @_register(
     "sql_q1",
     f"""
@@ -6003,6 +6123,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
 # each round. Round 8's window (verdict-freshness rotation, VERDICT r7 #3):
+# (a0) the 4 rows from the round-8 CONTINUATION session (newest machinery
+#     first): sql_corr_in / sql_not_in / sql_quantified / sql_corr_scalar
+#     — correlated IN, guarded NOT IN, ALL quantifiers, and the Q17
+#     correlated-scalar decorrelation. They displace json_props /
+#     lang_id_docs / length_quantiles_docs / pii_redact_docs (r5-verdicted)
+#     past the boundary; those four head the next rotation;
 # (a) the 5 rows NEW this round (never-verified beats stale-verified):
 #     sql_in_subquery / sql_exists_semi / sql_not_exists_anti /
 #     sql_scalar_subquery — the WHERE-subquery semi-join + lazy-scalar
@@ -6036,6 +6162,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     sql_window rows, theta via semantic/dedup rows, grouping-set
 #     lowering via rollup/cube rows verified r7).
 _PRIORITY = [
+    "sql_corr_in",
+    "sql_not_in",
+    "sql_quantified",
+    "sql_corr_scalar",
     "sql_in_subquery",
     "sql_exists_semi",
     "sql_not_exists_anti",
@@ -6082,11 +6212,11 @@ _PRIORITY = [
     "boilerplate_prune_docs",
     "bpe_tokens_docs",
     "chunk_docs",
+    # --- 50-query window boundary ---
     "json_props",
     "lang_id_docs",
     "length_quantiles_docs",
     "pii_redact_docs",
-    # --- 50-query window boundary ---
     "quality_docs",
     "repetition_stats_docs",
     "simhash_pairs_docs",

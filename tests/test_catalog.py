@@ -309,3 +309,29 @@ def test_readme_explain_examples_stay_accurate(catalog):
         "-- outer (subquery conjuncts removed) --",
     ):
         assert marker in sj, marker
+    # README quantified/correlated example (round-8 continuation): NOT IN
+    # anti+guard, ALL-quantifier guard, Q17 decorrelation — all in one
+    # statement, advertised backing markers must render
+    quant_sql = """SELECT count(*) AS n FROM lineitem
+                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                            WHERE o_orderpriority
+                                                  = '1-URGENT')
+                     AND l_extendedprice > ALL (SELECT o_totalprice / 400
+                                                FROM orders
+                                                WHERE o_totalprice < 100000)
+                     AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                       FROM lineitem l2
+                                       WHERE l2.l_partkey
+                                             = lineitem.l_partkey)"""
+    catalog.sql(quant_sql).collect()
+    b = catalog.query_history[-1].backing
+    for marker in ("anti:base[orders]", "guard:base[orders]", "corrscalar:"):
+        assert marker in b, (marker, b)
+    qx = tctx.explain_rewrite(quant_sql)
+    for marker in (
+        "left_anti",
+        "guard 0: broadcast 1-row aggregate bundle",
+        "guard 1: broadcast 1-row aggregate bundle",
+        "correlated scalar 0: decorrelated GROUP BY (l_partkey)",
+    ):
+        assert marker in qx, marker

@@ -338,8 +338,73 @@ def semijoin_sqls(draw):
 
     def arm():
         kind = draw(st.sampled_from(
-            ["in_dim", "in_fact", "exists", "not_exists", "scalar"]
+            ["in_dim", "in_fact", "exists", "not_exists", "scalar",
+             "not_in", "corr_in", "quant", "corr_scalar"]
         ))
+        if kind == "not_in":
+            # uncorrelated NOT IN (anti arm + three-valued guard); the
+            # expression-key variant synthesizes NULL members so the
+            # guard's NULL clause actually fires on some draws
+            if draw(st.booleans()):
+                return (
+                    "l_orderkey NOT IN (SELECT o_orderkey FROM orders "
+                    f"WHERE {orders_pred()})"
+                )
+            nullth = draw(st.sampled_from([0, 5000, 20000]))
+            return (
+                "l_orderkey NOT IN (SELECT CASE WHEN o_totalprice < "
+                f"{nullth} THEN NULL ELSE o_orderkey END FROM orders "
+                f"WHERE o_totalprice < {draw(st.integers(2, 40)) * 10000})"
+            )
+        if kind == "corr_in":
+            # correlated IN rides the EXISTS machinery (equi pair from
+            # the IN equality, optional non-equi residual)
+            if draw(st.booleans()):
+                mult = draw(st.integers(2, 60))
+                return (
+                    "l_orderkey IN (SELECT o_orderkey FROM orders "
+                    f"WHERE o_totalprice > l_extendedprice * {mult})"
+                )
+            return (
+                "l_partkey IN (SELECT p_partkey FROM part "
+                f"WHERE p_size = l_linenumber AND p_size > "
+                f"{draw(st.integers(1, 40))})"
+            )
+        if kind == "quant":
+            # quantified ANY/ALL comparisons (guards); the divisor keeps
+            # the threshold inside the metric's range so both branches of
+            # the comparison are exercised
+            q = draw(st.sampled_from(["ANY", "ALL"]))
+            op2 = draw(st.sampled_from([">", ">=", "<", "<=", "<>"]))
+            if op2 == "<>" and q == "ALL":
+                # <> ALL is NOT IN — drawn by the not_in kind
+                op2 = ">"
+            div = draw(st.sampled_from([40, 400, 4000]))
+            nullth = draw(st.sampled_from([0, 5000]))
+            return (
+                f"{m} {op2} {q} (SELECT CASE WHEN o_totalprice < "
+                f"{nullth} THEN NULL ELSE o_totalprice / {div} END "
+                "FROM orders "
+                f"WHERE o_totalprice < {draw(st.integers(2, 20)) * 10000})"
+            )
+        if kind == "corr_scalar":
+            # equi-correlated scalar aggregate (Q17 decorrelation);
+            # integer-valued l_quantity keeps AVG engine-exact, COUNT
+            # exercises the left-join empty-group path
+            op2 = draw(st.sampled_from([">", ">=", "<", "<="]))
+            if draw(st.booleans()):
+                c = draw(st.sampled_from(["0.2", "0.5", "1.1"]))
+                return (
+                    f"l_quantity {op2} (SELECT {c} * AVG(l_quantity) "
+                    "FROM lineitem l2 "
+                    "WHERE l2.l_partkey = lineitem.l_partkey)"
+                )
+            th = draw(st.integers(2, 40)) * 10000
+            return (
+                f"l_linenumber {op2} (SELECT COUNT(*) FROM orders "
+                "WHERE o_orderkey = l_orderkey "
+                f"AND o_totalprice < {th})"
+            )
         if kind == "scalar":
             m2 = draw(st.sampled_from(METRICS))
             aggf = draw(st.sampled_from(["AVG", "MIN", "MAX"]))

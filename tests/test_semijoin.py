@@ -767,6 +767,53 @@ def test_ir_roundtrip(ctx):
     assert rt.to_dict() == spec.to_dict()
 
 
+def test_ir_roundtrip_new_nodes(ctx):
+    """GuardCond / CorrScalarCond / expression-key BaseKeysQuery serialize
+    through to_dict/node_from_dict (plan-cache key contract)."""
+    from pysparkline import ir
+    from pysparkline.sqlfront import parse_sql
+
+    spec = parse_sql(
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+             AND l_extendedprice > ALL (SELECT o_totalprice / 400
+                                        FROM orders
+                                        WHERE o_totalprice < 100000)
+             AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = lineitem.l_partkey)
+           GROUP BY l_returnflag""",
+        time_col="l_shipdate",
+        fact_table="lineitem",
+        star=ctx.star,
+    )
+    assert isinstance(spec, ir.SemiJoinQuery)
+    assert len(spec.arms) == 1 and spec.arms[0].anti
+    assert len(spec.guards) == 2  # NOT IN guard + ALL guard
+    assert len(spec.corr_scalars) == 1
+    assert spec.corr_scalars[0].inner_keys == ["l_partkey"]
+    assert not spec.corr_scalars[0].left_join  # AVG leaf, not count-class
+    rt = ir.node_from_dict(spec.to_dict())
+    assert rt.to_dict() == spec.to_dict()
+
+
+def test_explain_rewrite_new_conjuncts(ctx):
+    txt = ctx.explain_rewrite(
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+             AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = lineitem.l_partkey)
+           GROUP BY l_returnflag"""
+    )
+    assert "left_anti" in txt
+    assert "guard 0: broadcast 1-row aggregate bundle" in txt
+    assert "correlated scalar 0: decorrelated GROUP BY (l_partkey)" in txt
+    assert "row grain" in txt
+
+
 def test_explain_rewrite_semijoin(ctx):
     txt = ctx.explain_rewrite(
         """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
