@@ -4597,6 +4597,39 @@ def sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_CORR_NOT_IN = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_linenumber NOT IN (SELECT CASE WHEN o_totalprice < 150000
+                               THEN NULL ELSE o_orderkey % 7 END
+                           FROM orders
+                           WHERE o_orderkey = l_orderkey)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_corr_not_in", _SQL_CORR_NOT_IN)
+def sql_corr_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT IN (round-8 continuation): a multi-pair left_anti
+    arm (correlation pairs + the key equality) composed with the
+    PER-GROUP guard (ir.CorrScalarCond in guard form — count(*)/count(key)
+    per correlation key, LEFT-joined with COALESCE so a missing group
+    behaves as the empty set). The CASE key plants NULL members in SOME
+    groups only: those groups' rows fail the membership test entirely
+    while other groups still decide by the anti join — the global
+    (uncorrelated) guard would wrongly empty the whole result, which is
+    exactly why correlated NOT IN needed its own machinery."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_CORR_NOT_IN)
+    backing = ctx.query_history[-1].backing
+    assert backing == (
+        "semijoin[flat<-anti:base[orders],corrguard:base[orders]]"
+    ), f"correlated NOT IN must be anti + per-group guard, got {backing}"
+    return out
+
+
 _SQL_QUANTIFIED = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
@@ -6123,12 +6156,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
 # each round. Round 8's window (verdict-freshness rotation, VERDICT r7 #3):
-# (a0) the 4 rows from the round-8 CONTINUATION session (newest machinery
-#     first): sql_corr_in / sql_not_in / sql_quantified / sql_corr_scalar
-#     — correlated IN, guarded NOT IN, ALL quantifiers, and the Q17
-#     correlated-scalar decorrelation. They displace json_props /
-#     lang_id_docs / length_quantiles_docs / pii_redact_docs (r5-verdicted)
-#     past the boundary; those four head the next rotation;
+# (a0) the 5 rows from the round-8 CONTINUATION session (newest machinery
+#     first): sql_corr_in / sql_not_in / sql_corr_not_in / sql_quantified
+#     / sql_corr_scalar — correlated IN, guarded NOT IN (global and
+#     PER-GROUP guards), ALL quantifiers, and the Q17 correlated-scalar
+#     decorrelation. They displace json_props / lang_id_docs /
+#     length_quantiles_docs / pii_redact_docs / chunk_docs (r5-verdicted)
+#     past the boundary; those five head the next rotation;
 # (a) the 5 rows NEW this round (never-verified beats stale-verified):
 #     sql_in_subquery / sql_exists_semi / sql_not_exists_anti /
 #     sql_scalar_subquery — the WHERE-subquery semi-join + lazy-scalar
@@ -6164,6 +6198,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "sql_corr_in",
     "sql_not_in",
+    "sql_corr_not_in",
     "sql_quantified",
     "sql_corr_scalar",
     "sql_in_subquery",
@@ -6211,8 +6246,8 @@ _PRIORITY = [
     "sql_window_ma",
     "boilerplate_prune_docs",
     "bpe_tokens_docs",
-    "chunk_docs",
     # --- 50-query window boundary ---
+    "chunk_docs",
     "json_props",
     "lang_id_docs",
     "length_quantiles_docs",

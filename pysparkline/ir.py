@@ -871,6 +871,11 @@ class CorrScalarCond(IRNode):
     outer_columns: list = field(default_factory=list)
     flip: bool = False
     left_join: bool = False
+    # guard form (correlated NOT IN / quantified comparisons): a boolean
+    # condition over the leaf aliases + outer columns replaces the
+    # op-comparison entirely — the per-group analog of GuardCond, with
+    # COALESCE(count, 0) baked in where a missing group must still pass
+    cond_sql: str = ""
 
 
 @_node

@@ -399,13 +399,14 @@ class OlapContext:
                 descs.append(f"guard:{d2.backing}")
         corr_dfs: list[DataFrame] = []
         for cc in getattr(spec, "corr_scalars", []) or []:
+            tag = "corrguard" if cc.cond_sql else "corrscalar"
             if isinstance(cc.inner, ir.BaseScalarQuery):
                 corr_dfs.append(self._lower_base_scalar(cc.inner))
-                descs.append(f"corrscalar:base[{cc.inner.table}]")
+                descs.append(f"{tag}:base[{cc.inner.table}]")
             else:
                 s2, b2, d2 = self.plan(cc.inner)
                 corr_dfs.append(lowering.lower(s2, b2))
-                descs.append(f"corrscalar:{d2.backing}")
+                descs.append(f"{tag}:{d2.backing}")
         join_cols: set = set()
         for arm in spec.arms:
             join_cols.update(arm.outer_keys)
@@ -464,10 +465,15 @@ class OlapContext:
             df = df.join(
                 aliased, cond, "left" if cc.left_join else "inner"
             )
-            lhs, rhs = f"({cc.outer_sql})", f"({cc.value_sql})"
-            if cc.flip:
-                lhs, rhs = rhs, lhs
-            df = df.where(F.expr(f"{lhs} {cc.op} {rhs}"))
+            if cc.cond_sql:
+                # guard form (correlated NOT IN / quantified): the boolean
+                # condition IS the filter (CorrScalarCond.cond_sql)
+                df = df.where(F.expr(cc.cond_sql))
+            else:
+                lhs, rhs = f"({cc.outer_sql})", f"({cc.value_sql})"
+                if cc.flip:
+                    lhs, rhs = rhs, lhs
+                df = df.where(F.expr(f"{lhs} {cc.op} {rhs}"))
             df = df.drop(*key_alias.values(), *cc.leaf_cols)
         for i, (arm, adf) in enumerate(zip(spec.arms, arm_dfs)):
             # unambiguous join keys: rename the arm's output columns — the
@@ -698,13 +704,17 @@ class OlapContext:
             for j, cc in enumerate(getattr(spec, "corr_scalars", []) or []):
                 on = ", ".join(f"{o}={k}" for o, k in cc.pairs)
                 how = "left" if cc.left_join else "inner"
-                lhs, rhs = cc.outer_sql, cc.value_sql
-                if cc.flip:
-                    lhs, rhs = rhs, lhs
+                if cc.cond_sql:
+                    filt = cc.cond_sql
+                else:
+                    lhs, rhs = cc.outer_sql, cc.value_sql
+                    if cc.flip:
+                        lhs, rhs = rhs, lhs
+                    filt = f"{lhs} {cc.op} {rhs}"
                 lines.append(
                     f"-- correlated scalar {j}: decorrelated GROUP BY"
                     f" ({', '.join(cc.inner_keys)}), {how} join on ({on}),"
-                    f" filter {lhs} {cc.op} {rhs} --"
+                    f" filter {filt} --"
                 )
                 if isinstance(cc.inner, ir.BaseScalarQuery):
                     aggs = ", ".join(a for a, _ in cc.inner.aggs)

@@ -2363,6 +2363,32 @@ def _build_inner_aggs(
     )
 
 
+def _split_corr_conjuncts(
+    wc: dict | None, scope: _SubqScope, what: str
+) -> tuple[list[str], list[str], list[dict]]:
+    """Split a correlated subquery's WHERE into equi-correlation pairs and
+    inner-only rest; a MIXED-scope conjunct that is not an equi pair
+    declines (``what`` names the shape for the error). Returns
+    (corr_inner, corr_outer, rest)."""
+    corr_inner: list[str] = []
+    corr_outer: list[str] = []
+    rest: list[dict] = []
+    for c in _conjuncts(wc) if wc is not None else []:
+        pair = _corr_pair(c, scope)
+        if pair is not None:
+            corr_inner.append(pair[0])
+            corr_outer.append(pair[1])
+            continue
+        if scope.has_outer(c):
+            raise SQLFrontError(f"non-equi correlation in {what}")
+        rest.append(c)
+    if not corr_inner:
+        raise SQLFrontError(
+            f"correlated {what} without an equi-correlation conjunct"
+        )
+    return corr_inner, corr_outer, rest
+
+
 def _corr_pair(node: dict, scope: _SubqScope) -> tuple[str, str] | None:
     """``inner_col = outer_col`` equi-correlation conjunct -> (inner, outer)
     bare names; None for anything else (both-inner comparisons are ordinary
@@ -2396,18 +2422,22 @@ def _parse_in_arm(
     s: dict,
     neg: bool,
     guard_idx: int,
+    corr_idx: int,
     time_col: str | None,
     fact_table: str | None,
     star: StarSchema | None,
     outer_quals: set,
-) -> tuple[ir.SemiJoinArm, "ir.GuardCond | None"]:
+) -> tuple[ir.SemiJoinArm, "ir.GuardCond | ir.CorrScalarCond | None"]:
     """``x [NOT] IN (SELECT key ...)`` -> semi/anti arm. Uncorrelated
     NOT IN additionally emits a GuardCond carrying its three-valued NULL
     semantics (one NULL inner key empties the result; a NULL x passes
-    only against an empty set). Correlated IN rides the EXISTS machinery:
+    only against an EMPTY set). Correlated IN rides the EXISTS machinery:
     the IN equality is one more equi-correlation conjunct (exact — IN's
     NULL-key non-matches are precisely equi-join non-matches). Correlated
-    NOT IN declines (its NULL guards are per-group, not global)."""
+    NOT IN composes a multi-pair anti arm (correlation pairs + the key
+    equality) with the PER-GROUP guard analog (CorrScalarCond in guard
+    form: counts per correlation key, LEFT-joined so a missing group
+    behaves as the empty set)."""
     if s.get("comparison_type") != "COMPARE_EQUAL":
         raise SQLFrontError(
             f"quantified subquery comparison {s.get('comparison_type')}"
@@ -2456,9 +2486,73 @@ def _parse_in_arm(
     correlated = wc is not None and scope.has_outer(wc)
     if correlated:
         if neg:
-            raise SQLFrontError(
-                "correlated NOT IN (per-group NULL semantics)"
+            corr_inner, corr_outer, rest = _split_corr_conjuncts(
+                wc, scope, "NOT IN"
             )
+            all_cols = _star_columns(star)
+            if all_cols is not None:
+                bad = sorted(set(corr_outer) - all_cols)
+                if bad:
+                    raise SQLFrontError(
+                        f"correlation references unknown outer columns {bad}"
+                    )
+            x_sql = render(child)
+            key_node = _colref(inner_key) if is_col else dict(key_items[0][0])
+            kset_keys: list[str] = []
+            for k in corr_inner + ([inner_key] if is_col else []):
+                if k not in kset_keys:
+                    kset_keys.append(k)
+            keyset = _build_inner_keyset(
+                inner_node,
+                kset_keys,
+                tables,
+                pairs,
+                _and_node(rest),
+                time_col,
+                fact_table,
+                star,
+                key_items=key_items,
+            )
+            arm = ir.SemiJoinArm(
+                inner=keyset,
+                outer_keys=corr_outer + [outer_key],
+                inner_keys=corr_inner + [inner_key],
+                anti=True,
+            )
+            gkeys: list[str] = []
+            for k in corr_inner:
+                if k not in gkeys:
+                    gkeys.append(k)
+            aliases = [f"__ca{corr_idx}_0", f"__ca{corr_idx}_1"]
+            a0, a1 = f"`{aliases[0]}`", f"`{aliases[1]}`"
+            ginner = _build_inner_aggs(
+                inner_node,
+                [
+                    (_fn_node("count_star"), aliases[0]),
+                    (_fn_node("count", key_node), aliases[1]),
+                ],
+                gkeys,
+                tables,
+                pairs,
+                _and_node(rest),
+                time_col,
+                fact_table,
+                star,
+            )
+            guard = ir.CorrScalarCond(
+                inner=ginner,
+                inner_keys=gkeys,
+                pairs=[[o, i] for i, o in zip(corr_inner, corr_outer)],
+                leaf_cols=aliases,
+                cond_sql=(
+                    f"(coalesce({a0}, 0) = coalesce({a1}, 0)"
+                    f" AND (({x_sql}) IS NOT NULL"
+                    f" OR coalesce({a0}, 0) = 0))"
+                ),
+                outer_columns=sorted(_columns_of(child)),
+                left_join=True,
+            )
+            return arm, guard
         # x IN (SELECT y FROM t WHERE P) == EXISTS (SELECT 1 FROM t WHERE
         # y = x AND P) exactly (WHERE context: FALSE and NULL both drop;
         # NULL keys never match either form). The synthetic equality's
@@ -2564,17 +2658,20 @@ def _parse_quantified_guard(
     s: dict,
     neg: bool,
     idx: int,
+    cidx: int,
     time_col: str | None,
     fact_table: str | None,
     star: StarSchema | None,
     outer_quals: set,
-) -> "ir.GuardCond":
+) -> "ir.GuardCond | ir.CorrScalarCond":
     """Non-equal quantified comparison ``[NOT] x <op> ANY (SELECT item
     ...)`` (the ALL quantifiers arrive as NOT + the complement op) ->
     GuardCond: a 1-row aggregate bundle over the subquery broadcast-cross-
     joins the scan and a condition encoding the exact ANSI three-valued
-    semantics filters rows. Uncorrelated only (a correlated form needs
-    per-group aggregates — declined honestly)."""
+    semantics filters rows. Equi-correlated forms return the per-group
+    analog instead (CorrScalarCond in guard form — the aggregate bundle
+    computes per correlation key and joins; COALESCE(count, 0) makes
+    missing groups behave as empty sets)."""
     child = s.get("child") or {}
     _check_outer_child(child, outer_quals)
     x_sql = render(child)  # raises on unsupported expressions
@@ -2599,7 +2696,20 @@ def _parse_quantified_guard(
         )
     wc = inner_node.get("where_clause")
     if wc is not None and scope.has_outer(wc):
-        raise SQLFrontError("correlated quantified comparison")
+        return _parse_corr_quantified(
+            s,
+            neg,
+            cidx,
+            item,
+            x_sql,
+            scope,
+            tables,
+            pairs,
+            _star_columns(star),
+            time_col,
+            fact_table,
+            star,
+        )
     cmp = s.get("comparison_type")
     g = [f"`__g{idx}_{i}`" for i in range(4)]
     if not neg:
@@ -2668,6 +2778,124 @@ def _parse_quantified_guard(
         inner_cols=aliases,
         cond_sql=cond,
         outer_columns=sorted(_columns_of(child)),
+    )
+
+
+def _parse_corr_quantified(
+    s: dict,
+    neg: bool,
+    cidx: int,
+    item: dict,
+    x_sql: str,
+    scope: _SubqScope,
+    tables: list[str],
+    pairs: list[tuple[str, str]],
+    all_cols,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> "ir.CorrScalarCond":
+    """Equi-correlated quantified comparison -> per-group guard
+    (CorrScalarCond): the aggregate bundle computes per correlation key
+    and equi-joins the scan. A missing group IS the empty set — the ALL
+    family must still pass such rows, so its conditions COALESCE the
+    counts through a LEFT join; the ANY family drops them (inner join,
+    matching ANSI FALSE). Spark cannot express these shapes at all (no
+    ALL parse; correlated ANY only via EXISTS rewrites), so this is
+    engine surface beyond the fallback."""
+    inner_node = (s.get("subquery") or {}).get("node") or {}
+    wc = inner_node.get("where_clause")
+    corr_inner, corr_outer, rest = _split_corr_conjuncts(
+        wc, scope, "quantified comparison"
+    )
+    if all_cols is not None:
+        bad = sorted(set(corr_outer) - all_cols)
+        if bad:
+            raise SQLFrontError(
+                f"correlation references unknown outer columns {bad}"
+            )
+    cmp = s.get("comparison_type")
+    a = [f"`__ca{cidx}_{i}`" for i in range(4)]
+    cond = None
+    value_sql = None
+    op = "="
+    left_join = False
+    if not neg:
+        if cmp in _QUANT_POS:
+            # x <op> ANY(group): comparison vs the group's min/max; a
+            # missing/empty group is FALSE (inner join drops), NULL
+            # members are ignored by min/max exactly as ANSI ignores them
+            op, mm = _QUANT_POS[cmp]
+            items = [_fn_node(mm, item)]
+            value_sql = a[0]
+        elif cmp == "COMPARE_NOTEQUAL":
+            items = [
+                _fn_node("count", dict(item)),
+                _fn_node("min", dict(item)),
+                _fn_node("max", dict(item)),
+            ]
+            cond = (
+                f"(({x_sql}) IS NOT NULL AND {a[0]} > 0"
+                f" AND ({a[1]} <> {a[2]} OR ({x_sql}) <> {a[1]}))"
+            )
+        else:
+            raise SQLFrontError(f"quantified subquery comparison {cmp}")
+    else:
+        if cmp in _QUANT_NEG:
+            op2, mm = _QUANT_NEG[cmp]
+            items = [
+                _fn_node("count_star"),
+                _fn_node("count", dict(item)),
+                _fn_node(mm, item),
+            ]
+            cond = (
+                f"(coalesce({a[0]}, 0) = coalesce({a[1]}, 0)"
+                f" AND (({x_sql}) {op2} {a[2]}"
+                f" OR coalesce({a[0]}, 0) = 0))"
+            )
+            left_join = True
+        elif cmp == "COMPARE_NOTEQUAL":
+            items = [
+                _fn_node("count_star"),
+                _fn_node("count", dict(item)),
+                _fn_node("min", dict(item)),
+                _fn_node("max", dict(item)),
+            ]
+            cond = (
+                f"(coalesce({a[0]}, 0) = 0 OR ({a[0]} = {a[1]}"
+                f" AND {a[2]} = {a[3]} AND ({x_sql}) = {a[2]}))"
+            )
+            left_join = True
+        else:
+            raise SQLFrontError(f"quantified subquery comparison {cmp}")
+    keys: list[str] = []
+    for k in corr_inner:
+        if k not in keys:
+            keys.append(k)
+    aliases = [f"__ca{cidx}_{i}" for i in range(len(items))]
+    inner = _build_inner_aggs(
+        inner_node,
+        list(zip(items, aliases)),
+        keys,
+        tables,
+        pairs,
+        _and_node(rest),
+        time_col,
+        fact_table,
+        star,
+    )
+    return ir.CorrScalarCond(
+        inner=inner,
+        inner_keys=keys,
+        pairs=[[o, i] for i, o in zip(corr_inner, corr_outer)],
+        leaf_cols=aliases,
+        value_sql=value_sql or "",
+        op=op,
+        outer_sql=x_sql,
+        outer_columns=sorted(set(_columns_of(s.get("child") or {}))),
+        flip=False,
+        left_join=left_join,
+        cond_sql=cond or "",
     )
 
 
@@ -2903,24 +3131,9 @@ def _parse_corr_scalar(
     inner_node = (s.get("subquery") or {}).get("node") or {}
     sel = inner_node.get("select_list") or []
     wc = inner_node.get("where_clause")
-    corr_inner: list[str] = []
-    corr_outer: list[str] = []
-    rest: list[dict] = []
-    for c2 in _conjuncts(wc) if wc is not None else []:
-        pair = _corr_pair(c2, scope)
-        if pair is not None:
-            corr_inner.append(pair[0])
-            corr_outer.append(pair[1])
-            continue
-        if scope.has_outer(c2):
-            raise SQLFrontError(
-                "non-equi correlation in scalar subquery"
-            )
-        rest.append(c2)
-    if not corr_inner:
-        raise SQLFrontError(
-            "correlated scalar without an equi-correlation conjunct"
-        )
+    corr_inner, corr_outer, rest = _split_corr_conjuncts(
+        wc, scope, "scalar subquery"
+    )
     if all_cols is not None:
         bad = sorted(set(corr_outer) - all_cols)
         if bad:
@@ -3043,30 +3256,36 @@ def _parse_semijoin(
         sq_type = s.get("subquery_type")
         if sq_type == "ANY":
             if s.get("comparison_type") == "COMPARE_EQUAL":
-                arm, guard = _parse_in_arm(
+                arm, extra = _parse_in_arm(
                     s,
                     neg,
                     len(guards),
+                    len(corr_scalars),
                     time_col,
                     fact_table,
                     star,
                     outer_quals,
                 )
                 arms.append(arm)
-                if guard is not None:
-                    guards.append(guard)
+                if isinstance(extra, ir.CorrScalarCond):
+                    corr_scalars.append(extra)
+                elif extra is not None:
+                    guards.append(extra)
             else:
-                guards.append(
-                    _parse_quantified_guard(
-                        s,
-                        neg,
-                        len(guards),
-                        time_col,
-                        fact_table,
-                        star,
-                        outer_quals,
-                    )
+                q = _parse_quantified_guard(
+                    s,
+                    neg,
+                    len(guards),
+                    len(corr_scalars),
+                    time_col,
+                    fact_table,
+                    star,
+                    outer_quals,
                 )
+                if isinstance(q, ir.CorrScalarCond):
+                    corr_scalars.append(q)
+                else:
+                    guards.append(q)
         elif sq_type == "EXISTS":
             arms.append(
                 _parse_exists_arm(

@@ -339,8 +339,39 @@ def semijoin_sqls(draw):
     def arm():
         kind = draw(st.sampled_from(
             ["in_dim", "in_fact", "exists", "not_exists", "scalar",
-             "not_in", "corr_in", "quant", "corr_scalar"]
+             "not_in", "corr_in", "quant", "corr_scalar",
+             "corr_not_in", "corr_quant"]
         ))
+        if kind == "corr_not_in":
+            # correlated NOT IN: multi-pair anti arm + per-group guard;
+            # the CASE variant plants NULL members in SOME groups only
+            if draw(st.booleans()):
+                return (
+                    "l_partkey NOT IN (SELECT p_partkey FROM part "
+                    f"WHERE p_size = l_linenumber AND p_size < "
+                    f"{draw(st.integers(2, 50))})"
+                )
+            nullth = draw(st.sampled_from([0, 150000])) + 0
+            return (
+                "l_linenumber NOT IN (SELECT CASE WHEN o_totalprice < "
+                f"{nullth} THEN NULL ELSE o_orderkey % "
+                f"{draw(st.integers(2, 9))} END FROM orders "
+                "WHERE o_orderkey = l_orderkey)"
+            )
+        if kind == "corr_quant":
+            # correlated ANY/ALL: per-group stats guard (left join +
+            # coalesced counts for ALL; inner join for ANY)
+            q = draw(st.sampled_from(["ANY", "ALL"]))
+            op2 = draw(st.sampled_from([">", ">=", "<", "<=", "<>"]))
+            if op2 == "<>" and q == "ALL":
+                op2 = ">"  # <> ALL == NOT IN — drawn by corr_not_in
+            nullth = draw(st.sampled_from([0, 150000]))
+            div = draw(st.sampled_from([100, 2000]))
+            return (
+                f"l_quantity {op2} {q} (SELECT CASE WHEN o_totalprice < "
+                f"{nullth} THEN NULL ELSE o_totalprice / {div} END "
+                "FROM orders WHERE o_orderkey = l_orderkey)"
+            )
         if kind == "not_in":
             # uncorrelated NOT IN (anti arm + three-valued guard); the
             # expression-key variant synthesizes NULL members so the

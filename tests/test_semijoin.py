@@ -311,14 +311,16 @@ def test_scalar_null_result_drops_all_rows(ctx, duck):
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem
                                GROUP BY l_returnflag ORDER BY 1 LIMIT 1)""",
-        # correlated NOT IN (per-group NULL guards, not global ones)
-        """SELECT COUNT(*) AS n FROM lineitem
-           WHERE l_partkey NOT IN (SELECT p_partkey FROM part
-                                   WHERE p_size = l_linenumber)""",
         # non-equi correlation in a scalar subquery
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE l_extendedprice > (SELECT AVG(o_totalprice) FROM orders
                                     WHERE o_orderkey > l_orderkey)""",
+        # correlated NOT IN with a non-equi correlated conjunct: the
+        # per-group guard counts cannot be residual-filtered per row
+        # (Spark's null-aware anti join CAN run this — fallback compares)
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_partkey NOT IN (SELECT p_partkey FROM part
+                                   WHERE p_size > l_linenumber)""",
         # correlated scalar whose only correlation is non-equi via alias
         """SELECT COUNT(*) AS n FROM lineitem l1
            WHERE l_extendedprice > (SELECT AVG(l_extendedprice)
@@ -342,14 +344,16 @@ def test_declines_fall_back_correct(ctx, duck, sql):
     "sql,msg",
     [
         (
-            # correlated quantified comparison (per-group min/max/counts);
-            # Spark cannot even PARSE ALL quantifiers, so there is no
-            # runnable fallback — the decline must fire at parse and the
-            # engine's own error surfaces
+            # residual-only (non-equi) correlated quantified comparison:
+            # per-group stats cannot absorb an outer-dependent residual;
+            # Spark cannot PARSE ALL quantifiers, so there is no runnable
+            # fallback — the decline fires at parse and the engine's own
+            # error surfaces
             """SELECT COUNT(*) AS n FROM lineitem
                WHERE l_extendedprice > ALL (SELECT o_totalprice FROM orders
-                                            WHERE o_orderkey = l_orderkey)""",
-            "correlated quantified",
+                                            WHERE o_totalprice
+                                                  > l_extendedprice)""",
+            "non-equi correlation in quantified comparison",
         ),
         (
             # outer reference inside the aggregate argument: a per-row
@@ -625,6 +629,109 @@ def test_eq_all_guard(ctx, duck):
            WHERE l_linenumber = ALL (SELECT l_linenumber FROM lineitem
                                      WHERE l_quantity > 9999)""",
         backing="semijoin[flat<-guard:flat]",
+    )
+
+
+def test_correlated_not_in(ctx, duck):
+    """Correlated NOT IN: multi-pair anti arm (correlation + key
+    equality) composed with the PER-GROUP guard (counts per correlation
+    key, left-joined so a missing group behaves as the empty set). Was a
+    decline until the round-8 continuation."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_partkey NOT IN (SELECT p_partkey FROM part
+                                   WHERE p_size = l_linenumber)""",
+        backing="semijoin[flat<-anti:base[part],corrguard:base[part]]",
+    )
+
+
+def test_correlated_not_in_null_members(ctx, duck):
+    """Per-group NULL members: only the GROUPS containing a NULL empty
+    their rows' membership test — other groups still decide by the anti
+    join (the uncorrelated guard would wrongly empty the whole result)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber NOT IN (SELECT CASE
+                                          WHEN o_totalprice < 150000
+                                          THEN NULL
+                                          ELSE o_orderkey % 7 END
+                                      FROM orders
+                                      WHERE o_orderkey = l_orderkey)""",
+        backing="semijoin[flat<-anti:base[orders],corrguard:base[orders]]",
+    )
+
+
+def test_correlated_gt_all(ctx, duck):
+    """Correlated > ALL: per-group (count(*), count(item), max) stats,
+    LEFT-joined — rows whose correlated set is EMPTY must pass (ALL is
+    vacuously true). Spark cannot parse ALL at all: surface beyond the
+    fallback."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > ALL (SELECT o_totalprice / 100
+                                        FROM orders
+                                        WHERE o_orderkey = l_orderkey)""",
+        backing="semijoin[flat<-corrguard:base[orders]]",
+    )
+
+
+def test_correlated_le_all_null_members(ctx, duck):
+    """Correlated <= ALL with per-group NULL members: groups containing a
+    NULL pass nothing; empty groups pass everything."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_quantity <= ALL (SELECT CASE
+                                        WHEN o_totalprice < 150000
+                                        THEN NULL
+                                        ELSE o_totalprice / 2000 END
+                                    FROM orders
+                                    WHERE o_orderkey = l_orderkey)""",
+        backing="semijoin[flat<-corrguard:base[orders]]",
+    )
+
+
+def test_correlated_gt_any(ctx, duck):
+    """Correlated > ANY: comparison against the group's min via the
+    op-form CorrScalarCond (inner join — an empty group is ANSI FALSE)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > ANY (SELECT o_totalprice / 100
+                                        FROM orders
+                                        WHERE o_orderkey = l_orderkey)""",
+        backing="semijoin[flat<-corrscalar:base[orders]]",
+    )
+
+
+def test_correlated_ne_any_and_eq_all(ctx, duck):
+    """Correlated <> ANY / = ALL over the fact table (distinct-values
+    conditions per group; the = ALL form passes empty groups)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber <> ANY (SELECT l_linenumber FROM lineitem l2
+                                      WHERE l2.l_orderkey
+                                            = lineitem.l_orderkey)""",
+        backing="semijoin[flat<-corrguard:flat]",
+    )
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber = ALL (SELECT l_linenumber FROM lineitem l2
+                                     WHERE l2.l_orderkey
+                                           = lineitem.l_orderkey)""",
+        backing="semijoin[flat<-corrguard:flat]",
     )
 
 
