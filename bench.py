@@ -427,6 +427,40 @@ def main() -> None:
             )
         )
 
+    def _raw_not_in():
+        keys = orders_raw.where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        return (
+            raw_flat.where(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1998-01-01")
+            )
+            .join(keys, raw_flat["l_orderkey"] == keys["o_orderkey"],
+                  "left_anti")
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)),
+                F.sum(F.expr(tpch.QTY)),
+            )
+        )
+
+    def _raw_corr_scalar():
+        # Q17's correlated scalar in Spark's OWN planning (it decorrelates
+        # to an aggregate + join itself) over the raw parquet — the twin
+        # measures the pruned-scan/index advantage, not the rewrite
+        lineitem_raw = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        lineitem_raw.createOrReplaceTempView("__bench_li")
+        return spark.sql(
+            """SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0
+               FROM __bench_li
+               WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                                   FROM __bench_li l2
+                                   WHERE l2.l_partkey = __bench_li.l_partkey)"""
+        )
+
     raw_builders = {
         "q1": _raw_q1,
         "basic_agg": _raw_basic_agg,
@@ -444,6 +478,8 @@ def main() -> None:
         # headline total so `value` stays round-over-round comparable)
         "sql_in_subquery": _raw_in_subquery,
         "sql_scalar_subquery": _raw_scalar_subquery,
+        "sql_not_in": _raw_not_in,
+        "sql_corr_scalar": _raw_corr_scalar,
     }
 
     # same warm-plan discipline as the indexed side (queries() memoizes the
@@ -463,7 +499,8 @@ def main() -> None:
         scan_rows_raw[name] = scan_rows(df, 3)
 
     indexed_for_ratio = dict(times)
-    for extra in ("sql_subquery", "sql_in_subquery", "sql_scalar_subquery"):
+    for extra in ("sql_subquery", "sql_in_subquery", "sql_scalar_subquery",
+                  "sql_not_in", "sql_corr_scalar"):
         if extra not in indexed_for_ratio:
             indexed_for_ratio[extra] = timed(extra)
     speedups = {
@@ -484,7 +521,8 @@ def main() -> None:
     # work a first-time execution costs. Catalyst compile is driver-side
     # and does not pollute executor task time.
     tt_names = list(dict.fromkeys(
-        HEADLINE + ["sql_subquery", "sql_in_subquery", "sql_scalar_subquery"]
+        HEADLINE + ["sql_subquery", "sql_in_subquery", "sql_scalar_subquery",
+                    "sql_not_in", "sql_corr_scalar"]
     ))
     for name in tt_names:
         ctx._plan_cache.clear()
