@@ -874,6 +874,33 @@ def test_ir_roundtrip(ctx):
     assert rt.to_dict() == spec.to_dict()
 
 
+def test_corr_guard_plan_shape(ctx):
+    """100 TB posture pin for the decorrelated forms: the per-key
+    aggregate must be a partial+final HashAggregate (map-side combined)
+    feeding a HASH join on the correlation key — never a nested-loop join
+    against a multi-row side, never a cartesian product. The only
+    nested-loop allowed is the 1-row guard broadcast (its build side is a
+    SinglePartition global aggregate)."""
+    df = ctx.sql(
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber NOT IN (SELECT o_orderkey % 7 FROM orders
+                                      WHERE o_orderkey = l_orderkey)"""
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # correlation joins are hash joins (broadcast at this SF; AQE degrades
+    # to shuffled-hash on a huge key NDV — either is a hash join)
+    assert "HashJoin" in plan
+    assert "LeftAnti" in plan
+    # the per-key stats aggregate is partial+final (map-side combined)
+    assert "partial_count" in plan
+    # every BroadcastNestedLoopJoin is the 1-row guard broadcast: its
+    # build side must be a global (SinglePartition) aggregate
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "SinglePartition" in plan
+
+
 def test_ir_roundtrip_new_nodes(ctx):
     """GuardCond / CorrScalarCond / expression-key BaseKeysQuery serialize
     through to_dict/node_from_dict (plan-cache key contract)."""
