@@ -4630,6 +4630,38 @@ def sql_corr_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_SHARE_OF_TOTAL = f"""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(SUM({PRICE}) AS DOUBLE)
+       / (SELECT CAST(SUM({PRICE}) AS DOUBLE) FROM lineitem) AS share
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_share_of_total", _SQL_SHARE_OF_TOTAL)
+def sql_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-list scalar subquery (round-8 continuation) — the
+    share-of-total BI idiom in its subquery spelling (the window spelling
+    is served by WindowPostSpec). ir.ScalarSelectQuery: the SUM leaf is
+    appended to the base statement as a hidden aggregate (both it and the
+    grand total ride the CUBE here), the 1-row total broadcast-cross-joins
+    the grouped result, and the deferred projection re-renders the item;
+    ORDER BY is lifted above the join so emitted order is guaranteed.
+    House-style DOUBLE casts keep the division engine-exact
+    (ir.ScalarSelectQuery typing note). Correlated select-list scalars
+    and DISTINCT-over-scalar lists decline honestly."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_SHARE_OF_TOTAL)
+    backing = ctx.query_history[-1].backing
+    assert backing == "scalarselect[cube<-ss:cube]", (
+        f"share-of-total must ride cubes on both sides, got {backing}"
+    )
+    return out
+
+
 _SQL_QUANTIFIED = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
@@ -6156,13 +6188,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
 # each round. Round 8's window (verdict-freshness rotation, VERDICT r7 #3):
-# (a0) the 5 rows from the round-8 CONTINUATION session (newest machinery
+# (a0) the 6 rows from the round-8 CONTINUATION session (newest machinery
 #     first): sql_corr_in / sql_not_in / sql_corr_not_in / sql_quantified
-#     / sql_corr_scalar — correlated IN, guarded NOT IN (global and
-#     PER-GROUP guards), ALL quantifiers, and the Q17 correlated-scalar
-#     decorrelation. They displace json_props / lang_id_docs /
-#     length_quantiles_docs / pii_redact_docs / chunk_docs (r5-verdicted)
-#     past the boundary; those five head the next rotation;
+#     / sql_corr_scalar / sql_share_of_total — correlated IN, guarded
+#     NOT IN (global and PER-GROUP guards), ALL quantifiers, the Q17
+#     correlated-scalar decorrelation, and SELECT-list scalar subqueries
+#     (share-of-total). They displace bpe_tokens_docs / chunk_docs /
+#     json_props / lang_id_docs / length_quantiles_docs / pii_redact_docs
+#     (r5-verdicted) past the boundary; those six head the next rotation;
 # (a) the 5 rows NEW this round (never-verified beats stale-verified):
 #     sql_in_subquery / sql_exists_semi / sql_not_exists_anti /
 #     sql_scalar_subquery — the WHERE-subquery semi-join + lazy-scalar
@@ -6201,6 +6234,7 @@ _PRIORITY = [
     "sql_corr_not_in",
     "sql_quantified",
     "sql_corr_scalar",
+    "sql_share_of_total",
     "sql_in_subquery",
     "sql_exists_semi",
     "sql_not_exists_anti",
@@ -6245,8 +6279,8 @@ _PRIORITY = [
     "vocab_topk_docs",
     "sql_window_ma",
     "boilerplate_prune_docs",
-    "bpe_tokens_docs",
     # --- 50-query window boundary ---
+    "bpe_tokens_docs",
     "chunk_docs",
     "json_props",
     "lang_id_docs",

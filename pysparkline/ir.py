@@ -902,6 +902,48 @@ class SemiJoinArm(IRNode):
 
 @_node
 @dataclass
+class ScalarSelectQuery(QuerySpec):
+    """Uncorrelated scalar subqueries in the SELECT list (round 8 cont.)
+    — the share-of-total BI idiom ``sum(x) / (SELECT sum(x) FROM ...)``
+    and plain constant columns ``(SELECT max(...) ...) AS m``.
+
+    Parsed by DEFERRED PROJECTION: each subquery-bearing select item is
+    rewritten into (a) hidden aggregate leaves appended to the BASE
+    statement's select list (``__sa*`` aliases — computed by the base's
+    normal grouped lowering, cube-servable) and (b) scalar subquery
+    placeholders (``__ss*``), then re-rendered as a final projection
+    expression over those columns. Lowering runs the base, broadcast-
+    cross-joins each 1-row scalar (lazy, no driver collect; a NULL scalar
+    propagates NULL into the expression — ANSI), applies the final
+    projection in statement order, then the LIFTED ORDER BY/LIMIT (lifted
+    so the sort happens above the join — emitted order is guaranteed, and
+    ordering by scalar-derived outputs like the share itself works).
+
+    Typing note (pre-existing class, same as post-aggs over cubes): a
+    BARE decimal division like ``SUM(dec) / (SELECT SUM(dec) ...)``
+    derives its result scale from the operand precision, and cube-backed
+    sums carry wider accumulators than a direct aggregation — so the
+    derived scale can differ from the spark.sql fallback's (and engines
+    differ among themselves). Portable SQL casts the operands
+    (``CAST(SUM(..) AS DOUBLE) / ...``), which is exact and identical
+    everywhere; the oracle-backed driver rows use that house style.
+
+    Declines: correlated select-list scalars, DISTINCT over a
+    scalar-bearing select list (the projection can collapse differently
+    when the scalar is NULL), dimension references inside a
+    subquery-bearing item, unaliased subquery items, subqueries in
+    HAVING."""
+
+    base: Optional["QuerySpec"] = None
+    scalars: list = field(default_factory=list)  # [[inner_spec, alias]]
+    # ordered outputs: [[name, sql|None]] — None = passthrough base column
+    final: list = field(default_factory=list)
+    limit_spec: Optional[LimitSpec] = None  # lifted statement ORDER/LIMIT
+    output_order: Optional[list] = None
+
+
+@_node
+@dataclass
 class SemiJoinQuery(QuerySpec):
     """Uncorrelated `IN (SELECT ...)` / equi-correlated `[NOT] EXISTS`
     acceleration (round 8) — the reference's 357x "SubQry" benchmark shape

@@ -237,6 +237,18 @@ class OlapContext:
                 self._plan_cache.pop(next(iter(self._plan_cache)))
             self._plan_cache[key] = (df, record)
             return df
+        if isinstance(spec, ir.ScalarSelectQuery):
+            df, desc = self._lower_scalar_select(spec)
+            record = QueryRecord(
+                spec.to_dict(),
+                f"select-list scalar acceleration: {desc}",
+                desc,
+            )
+            self.query_history.append(record)
+            if len(self._plan_cache) >= 256:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = (df, record)
+            return df
         spec, backing, decision = self.plan(spec)
         record = QueryRecord(
             spec.to_dict(),
@@ -270,6 +282,8 @@ class OlapContext:
                 # through the semi-join path; its descriptor becomes the
                 # arm's backing name
                 return self._lower_semijoin(s)
+            if isinstance(s, ir.ScalarSelectQuery):
+                return self._lower_scalar_select(s)
             s2, backing, decision = self.plan(s)
             return lowering.lower(s2, backing), decision.backing
 
@@ -351,6 +365,57 @@ class OlapContext:
                 return tbl.groupBy(*spec.group_keys).agg(*exprs)
             return tbl.agg(*exprs)
         return tbl.agg(F.expr(spec.agg_sql).alias("__scalar"))
+
+    def _lower_scalar_select(self, spec: "ir.ScalarSelectQuery"):
+        """Lower the base (possibly a SemiJoinQuery — WHERE subqueries
+        compose), broadcast-cross-join each 1-row scalar, apply the
+        deferred projection in statement order, then the LIFTED
+        ORDER BY/LIMIT (above the joins, so emitted order is guaranteed
+        and scalar-derived outputs are sortable). Returns
+        (DataFrame, `scalarselect[base<-ss:...,...]`)."""
+        from pyspark.sql import functions as F
+
+        base = spec.base
+        if isinstance(base, ir.SemiJoinQuery):
+            bdf, bdesc = self._lower_semijoin(base)
+        else:
+            s2, backing, decision = self.plan(base)
+            bdf = lowering.lower(s2, backing)
+            bdesc = decision.backing
+        descs: list[str] = []
+        for inner, alias in spec.scalars:
+            if isinstance(inner, ir.BaseScalarQuery):
+                sdf = self._lower_base_scalar(inner)
+                descs.append(f"ss:base[{inner.table}]")
+            else:
+                s2, b2, d2 = self.plan(inner)
+                sdf = lowering.lower(s2, b2)
+                descs.append(f"ss:{d2.backing}")
+            bdf = bdf.crossJoin(
+                F.broadcast(sdf.select(F.col("__scalar").alias(alias)))
+            )
+        out = bdf.select(
+            *[
+                F.col(n) if sql is None else F.expr(sql).alias(n)
+                for n, sql in spec.final
+            ]
+        )
+        ls = spec.limit_spec
+        if ls is not None:
+            if ls.columns:
+                out = out.orderBy(
+                    *[
+                        F.col(c.column).asc()
+                        if c.direction == "asc"
+                        else F.col(c.column).desc()
+                        for c in ls.columns
+                    ]
+                )
+            if getattr(ls, "offset", None):
+                out = out.offset(ls.offset)
+            if ls.limit is not None:
+                out = out.limit(ls.limit)
+        return out, f"scalarselect[{bdesc}<-{','.join(descs)}]"
 
     def _lower_semijoin(self, spec: "ir.SemiJoinQuery"):
         """Plan the arms independently (fact-grain inners may ride a cube;
@@ -649,6 +714,33 @@ class OlapContext:
                 sub = self.explain_rewrite(arm)
                 lines.append(f"-- {side} arm --")
                 lines.extend("  " + ln for ln in sub.splitlines())
+            return "\n".join(lines)
+        if isinstance(spec, ir.ScalarSelectQuery):
+            lines = [
+                f"query shape: ScalarSelectQuery ({len(spec.scalars)}"
+                " select-list scalar"
+                + ("s" if len(spec.scalars) != 1 else "")
+                + "; deferred projection)"
+            ]
+            for j, (inner, alias) in enumerate(spec.scalars):
+                lines.append(
+                    f"-- scalar {alias}: broadcast 1-row cross join --"
+                )
+                if isinstance(inner, ir.BaseScalarQuery):
+                    lines.append(
+                        f"  aggregate over base table {inner.table!r}"
+                        f" (dim grain): {inner.agg_sql}"
+                    )
+                else:
+                    sub = self.explain_rewrite(inner)
+                    lines.extend("  " + ln for ln in sub.splitlines())
+            exprs = [
+                f"{n} = {sql}" for n, sql in spec.final if sql is not None
+            ]
+            lines.append(f"-- final projection: {'; '.join(exprs)} --")
+            lines.append("-- base (hidden aggregate leaves appended) --")
+            sub = self.explain_rewrite(spec.base)
+            lines.extend("  " + ln for ln in sub.splitlines())
             return "\n".join(lines)
         if isinstance(spec, ir.SemiJoinQuery):
             lines = [

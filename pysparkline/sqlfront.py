@@ -3076,28 +3076,9 @@ def _parse_scalar_cond(
             fact_table,
             star,
         )
-    fact_grain = bool(fact_table) and fact_table.lower() in tables
-    if fact_grain:
-        if pairs:
-            if star is None or not star.is_star_join(set(pairs)):
-                raise SQLFrontError("subquery join is not a star join")
-        item = dict(sel[0])
-        item["alias"] = "__scalar"
-        node2 = dict(inner_node)
-        node2["select_list"] = [item]
-        node2["modifiers"] = []  # ORDER BY is vacuous on one row
-        inner = _parse_select(node2, time_col, fact_table, star)
-    else:
-        if pairs or len(tables) != 1:
-            raise SQLFrontError(
-                "multi-table scalar subquery without the fact table"
-            )
-        filt = None
-        if wc is not None:
-            filt = ir.and_(*[_to_filter(x) for x in _conjuncts(wc)])
-        inner = ir.BaseScalarQuery(
-            table=tables[0], agg_sql=render(sel[0]), filter=filt
-        )
+    inner = _uncorr_scalar_inner(
+        inner_node, sel[0], tables, pairs, wc, time_col, fact_table, star
+    )
     return ir.ScalarCond(
         inner=inner,
         inner_col="__scalar",
@@ -3105,6 +3086,42 @@ def _parse_scalar_cond(
         outer_sql=outer_sql,
         outer_columns=ocols,
         flip=flip,
+    )
+
+
+def _uncorr_scalar_inner(
+    inner_node: dict,
+    sel_item: dict,
+    tables: list[str],
+    pairs: list[tuple[str, str]],
+    wc: dict | None,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> ir.QuerySpec:
+    """The 1-row inner of an uncorrelated scalar subquery, output column
+    ``__scalar`` (fact grain re-enters the planner — filtered MAX/AVG etc.
+    often ride a cube; dim grain aggregates the base table)."""
+    fact_grain = bool(fact_table) and fact_table.lower() in tables
+    if fact_grain:
+        if pairs:
+            if star is None or not star.is_star_join(set(pairs)):
+                raise SQLFrontError("subquery join is not a star join")
+        item = dict(sel_item)
+        item["alias"] = "__scalar"
+        node2 = dict(inner_node)
+        node2["select_list"] = [item]
+        node2["modifiers"] = []  # ORDER BY is vacuous on one row
+        return _parse_select(node2, time_col, fact_table, star)
+    if pairs or len(tables) != 1:
+        raise SQLFrontError(
+            "multi-table scalar subquery without the fact table"
+        )
+    filt = None
+    if wc is not None:
+        filt = ir.and_(*[_to_filter(x) for x in _conjuncts(wc)])
+    return ir.BaseScalarQuery(
+        table=tables[0], agg_sql=render(sel_item), filter=filt
     )
 
 
@@ -3204,6 +3221,143 @@ def _parse_corr_scalar(
         flip=flip,
         left_join=has_count,
     )
+
+
+def _parse_select_scalar(
+    s: dict,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+    outer_quals: set,
+) -> ir.QuerySpec:
+    """Validate + build the 1-row inner of a SELECT-LIST scalar subquery
+    (uncorrelated single ungrouped aggregate — the same contract as the
+    WHERE-clause ScalarCond inner)."""
+    if s.get("subquery_type") != "SCALAR":
+        raise SQLFrontError(
+            f"unsupported select-list subquery type {s.get('subquery_type')}"
+        )
+    inner_node = (s.get("subquery") or {}).get("node") or {}
+    if inner_node.get("type") != "SELECT_NODE":
+        raise SQLFrontError("set-operation subquery in select list")
+    sel = inner_node.get("select_list") or []
+    if len(sel) != 1 or not _contains_agg(sel[0]):
+        raise SQLFrontError(
+            "select-list scalar subquery must be a single ungrouped aggregate"
+        )
+    tables, pairs, inner_cols, scope = _subquery_scope(
+        inner_node, fact_table, star, outer_quals, allow_agg=True
+    )
+    wc = inner_node.get("where_clause")
+    if inner_cols is None and star is not None and len(star.tables) > 1:
+        raise SQLFrontError(
+            "star carries no column lists: cannot verify the subquery "
+            "is uncorrelated"
+        )
+    if scope.has_outer(sel[0]) or (wc is not None and scope.has_outer(wc)):
+        raise SQLFrontError("correlated scalar subquery in select list")
+    return _uncorr_scalar_inner(
+        inner_node, sel[0], tables, pairs, wc, time_col, fact_table, star
+    )
+
+
+def _extract_select_scalars(
+    node: dict,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+):
+    """SELECT-list scalar subqueries -> deferred projection (see
+    ir.ScalarSelectQuery). Returns None when no select item carries a
+    subquery; else (base_node, scalars, final, lifted_limit_spec)."""
+    sel = node.get("select_list") or []
+    if not any(_contains_subquery(it) for it in sel):
+        return None
+    if node.get("having") is not None and _contains_subquery(node["having"]):
+        raise SQLFrontError("subquery in HAVING")
+    for m in node.get("modifiers") or []:
+        if m.get("type") == "DISTINCT_MODIFIER":
+            # DISTINCT over the projected outputs can collapse rows
+            # differently than DISTINCT over the base outputs when a NULL
+            # scalar maps distinct leaf values to one NULL — decline
+            raise SQLFrontError("DISTINCT over a scalar-bearing select list")
+    outer_quals = _outer_quals_of(node.get("from_table"))
+    import copy
+
+    scalars: list = []
+    hidden: list = []
+    final: list = []
+    new_sel: list = []
+
+    def rewrite(n):
+        if isinstance(n, dict):
+            if n.get("class") == "SUBQUERY":
+                inner = _parse_select_scalar(
+                    n, time_col, fact_table, star, outer_quals
+                )
+                alias = f"__ss{len(scalars)}"
+                scalars.append([inner, alias])
+                return _colref(alias)
+            if n.get("class") == "WINDOW":
+                raise SQLFrontError("window in a scalar-subquery item")
+            if (
+                n.get("class") == "FUNCTION"
+                and (n.get("function_name") or "").lower() in _AGG_FNS
+            ):
+                if _contains_subquery(n):
+                    raise SQLFrontError("subquery inside aggregate argument")
+                alias = f"__sa{len(hidden)}"
+                item = copy.deepcopy(n)
+                item["alias"] = alias
+                hidden.append(item)
+                return _colref(alias)
+            if n.get("class") == "COLUMN_REF":
+                # a dimension reference inside a subquery-bearing item has
+                # no passthrough slot in the deferred projection — decline
+                raise SQLFrontError(
+                    "dimension reference in a scalar-subquery item"
+                )
+            return {k: rewrite(v) for k, v in n.items()}
+        if isinstance(n, list):
+            return [rewrite(v) for v in n]
+        return n
+
+    for it in sel:
+        if not _contains_subquery(it):
+            name = it.get("alias") or (
+                it["column_names"][-1]
+                if it.get("class") == "COLUMN_REF"
+                else None
+            )
+            if not name:
+                raise SQLFrontError(
+                    "unaliased select item beside a scalar subquery"
+                )
+            new_sel.append(it)
+            final.append([name, None])
+            continue
+        name = it.get("alias")
+        if not name:
+            raise SQLFrontError("scalar-subquery select item needs an alias")
+        it2 = copy.deepcopy(it)
+        it2["alias"] = ""
+        final.append([name, render(rewrite(it2))])
+    if not new_sel and not hidden:
+        # a pure-constant select over a row-grain FROM (one output row per
+        # input row with no computed base column) — fallback
+        raise SQLFrontError("select list reduces to scalar subqueries only")
+    # lift ORDER BY / LIMIT above the deferred projection: the sort runs
+    # over the FINAL outputs (so ordering by the share itself works, and
+    # emitted order is guaranteed above the scalar cross joins)
+    known = {n for n, _ in final}
+    order_cols, limit, offset = _order_limit(node, sel, known)
+    ls = None
+    if order_cols or limit is not None or offset is not None:
+        ls = ir.LimitSpec(columns=order_cols, limit=limit, offset=offset)
+    node2 = dict(node)
+    node2["select_list"] = new_sel + hidden
+    node2["modifiers"] = []
+    return node2, scalars, final, ls
 
 
 def _parse_semijoin(
@@ -3317,6 +3471,18 @@ def _parse_select(
     _inline_ctes(node)
     node = _flatten_subquery(node)
     _check_from(node["from_table"], fact_table, star)
+
+    ext = _extract_select_scalars(node, time_col, fact_table, star)
+    if ext is not None:
+        node2, scalars, final, ls = ext
+        base = _parse_select(node2, time_col, fact_table, star)
+        return ir.ScalarSelectQuery(
+            base=base,
+            scalars=scalars,
+            final=final,
+            limit_spec=ls,
+            output_order=[n for n, _ in final],
+        )
 
     if node.get("where_clause") is not None and _contains_subquery(
         node["where_clause"]

@@ -479,8 +479,19 @@ def semijoin_sqls(draw):
     if draw(st.booleans()):
         y = draw(st.integers(1995, 1998))
         conj.append(f"l_shipdate >= DATE '{y}-01-01'")
+    sel = f"{', '.join(gcols)}, {agg} AS m0"
+    if draw(st.booleans()):
+        # SELECT-list scalar subquery (deferred projection) composed with
+        # the WHERE subqueries; house-style DOUBLE casts keep the division
+        # engine-exact (ir.ScalarSelectQuery typing note)
+        q2 = draw(st.integers(30, 48))
+        sel += (
+            ", CAST(SUM(l_quantity) AS DOUBLE)"
+            " / (SELECT CAST(SUM(l_quantity) AS DOUBLE) FROM lineitem"
+            f" WHERE l_quantity > {q2}) AS share"
+        )
     return (
-        f"SELECT {', '.join(gcols)}, {agg} AS m0 FROM lineitem "
+        f"SELECT {sel} FROM lineitem "
         f"WHERE {' AND '.join(conj)} GROUP BY {', '.join(gcols)}"
     )
 
@@ -621,4 +632,6 @@ def test_random_semijoins_match_duckdb(harness, sql):
         f"{next(((a, b) for a, b in zip(got, exp) if not _rows_equal(a, b)), None)}"
     )
     # every drawn shape is inside the round-8 surface: must accelerate
-    assert backing.startswith("semijoin["), backing
+    assert backing.startswith("semijoin[") or backing.startswith(
+        "scalarselect[semijoin["
+    ), backing

@@ -874,6 +874,158 @@ def test_ir_roundtrip(ctx):
     assert rt.to_dict() == spec.to_dict()
 
 
+# -- select-list scalar subqueries (deferred projection) ---------------------
+
+
+def test_select_scalar_share_of_total(ctx, duck):
+    """The share-of-total BI idiom: the hidden SUM leaf rides the base's
+    grouped lowering (cube-servable), the total broadcast-cross-joins,
+    the projection re-renders the item. House-style DOUBLE casts keep the
+    division engine-exact (bare decimal division derives engine- and
+    backing-dependent scales — ir.ScalarSelectQuery typing note)."""
+    got = _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                       AS DOUBLE)
+                  / (SELECT CAST(SUM(CAST(l_extendedprice
+                                          AS DECIMAL(12,2))) AS DOUBLE)
+                     FROM lineitem) AS share
+           FROM lineitem GROUP BY l_returnflag ORDER BY flag""",
+        backing="scalarselect[cube<-ss:cube]",
+    )
+    assert abs(sum(r[2] for r in got) - 1.0) < 1e-9
+
+
+def test_select_scalar_constant_column(ctx, duck):
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus AS status, COUNT(*) AS n,
+                  (SELECT MAX(o_totalprice) FROM orders) AS max_price
+           FROM lineitem GROUP BY l_linestatus""",
+        backing="scalarselect[cube<-ss:base[orders]]",
+    )
+
+
+def test_select_scalar_order_by_share(ctx, duck):
+    """ORDER BY / LIMIT are LIFTED above the deferred projection: sorting
+    by the scalar-derived output itself works and emitted order is
+    guaranteed above the cross joins."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag,
+                  CAST(SUM(l_quantity) AS DOUBLE)
+                  / (SELECT CAST(SUM(l_quantity) AS DOUBLE)
+                     FROM lineitem) AS share
+           FROM lineitem GROUP BY l_returnflag
+           ORDER BY share DESC LIMIT 2""",
+        backing="scalarselect[flat<-ss:flat]",
+    )
+
+
+def test_select_scalar_null_propagates(ctx, duck):
+    """An empty inner yields a NULL scalar; the projection propagates it
+    (ANSI) instead of dropping rows — unlike the WHERE-clause form."""
+    got = _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag,
+                  CAST(SUM(l_quantity) AS DOUBLE)
+                  / (SELECT CAST(SUM(l_quantity) AS DOUBLE) FROM lineitem
+                     WHERE l_quantity > 9999) AS share
+           FROM lineitem GROUP BY l_returnflag""",
+        backing="scalarselect[flat<-ss:flat]",
+    )
+    assert len(got) == 3 and all(r[1] is None for r in got)
+
+
+def test_select_scalar_composes_with_where_subquery(ctx, duck):
+    """Select-list scalars compose with WHERE subqueries: the base is the
+    SemiJoinQuery, the scalar joins above it."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n,
+                  CAST(SUM(l_quantity) AS DOUBLE)
+                  / (SELECT CAST(SUM(l_quantity) AS DOUBLE)
+                     FROM lineitem) AS share
+           FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+           GROUP BY l_returnflag""",
+        backing="scalarselect[semijoin[flat<-base[orders]]<-ss:flat]",
+    )
+
+
+def test_select_scalar_two_scalars_mixed_grain(ctx, duck):
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag,
+                  CAST(SUM(l_quantity) AS DOUBLE)
+                  / (SELECT CAST(SUM(l_quantity) AS DOUBLE) FROM lineitem
+                     WHERE l_shipdate >= DATE '1996-01-01') AS share,
+                  (SELECT AVG(o_totalprice) FROM orders
+                   WHERE o_orderpriority = '1-URGENT') AS urgent_avg
+           FROM lineitem GROUP BY l_returnflag""",
+        backing="scalarselect[flat<-ss:flat,ss:base[orders]]",
+    )
+
+
+def test_select_scalar_declines_fall_back(ctx, duck):
+    """Correlated select-list scalars and DISTINCT-over-scalar lists
+    decline to the fallback, which Spark runs correctly."""
+    for sql in (
+        """SELECT l_orderkey AS k,
+                  (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                   WHERE l2.l_partkey = lineitem.l_partkey) AS pavg
+           FROM lineitem ORDER BY k, pavg LIMIT 5""",
+        """SELECT DISTINCT l_returnflag AS flag,
+                  (SELECT MAX(o_totalprice) FROM orders) AS m
+           FROM lineitem""",
+    ):
+        got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+        assert ctx.query_history[-1].backing == "sparksql"
+        exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+        assert len(got) == len(exp)
+        for r1, r2 in zip(got, exp):
+            for a, b in zip(r1, r2):
+                if isinstance(a, float) or isinstance(b, float):
+                    assert abs(float(a) - float(b)) <= 1e-9 * max(
+                        1.0, abs(float(b))
+                    )
+                else:
+                    assert a == b
+
+
+def test_select_scalar_ir_roundtrip_and_explain(ctx):
+    from pysparkline import ir
+    from pysparkline.sqlfront import parse_sql
+
+    sql = """SELECT l_returnflag AS flag,
+                    CAST(SUM(l_quantity) AS DOUBLE)
+                    / (SELECT CAST(SUM(l_quantity) AS DOUBLE)
+                       FROM lineitem) AS share
+             FROM lineitem GROUP BY l_returnflag ORDER BY share DESC"""
+    spec = parse_sql(
+        sql, time_col="l_shipdate", fact_table="lineitem", star=ctx.star
+    )
+    assert isinstance(spec, ir.ScalarSelectQuery)
+    assert [n for n, _ in spec.final] == ["flag", "share"]
+    assert spec.limit_spec is not None
+    assert spec.limit_spec.columns[0].column == "share"
+    rt = ir.node_from_dict(spec.to_dict())
+    assert rt.to_dict() == spec.to_dict()
+    txt = ctx.explain_rewrite(sql)
+    assert "ScalarSelectQuery" in txt
+    assert "scalar __ss0: broadcast 1-row cross join" in txt
+    assert "final projection" in txt
+    assert "base (hidden aggregate leaves appended)" in txt
+
+
 def test_corr_guard_plan_shape(ctx):
     """100 TB posture pin for the decorrelated forms: the per-key
     aggregate must be a partial+final HashAggregate (map-side combined)
