@@ -4662,6 +4662,35 @@ def sql_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_HAVING_SCALAR = """
+SELECT l_returnflag AS flag,
+       CAST(SUM(l_quantity) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY l_returnflag
+HAVING SUM(l_quantity) > (SELECT SUM(l_quantity) / 5 FROM lineitem)
+   AND COUNT(*) > 10
+ORDER BY flag
+"""
+
+
+@_register("sql_having_scalar", _SQL_HAVING_SCALAR)
+def sql_having_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING scalar subquery (round-8 continuation) — above-threshold
+    groups vs a global aggregate. The scalar-bearing HAVING conjunct
+    lifts to a post-filter over the joined frame (hidden SUM leaf +
+    broadcast 1-row scalar); the subquery-free conjunct stays in the
+    base statement's HAVING. Mirrored every pytest; rotates into the
+    driver window next round (the 50-row window is full of this
+    session's subquery rows)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_HAVING_SCALAR)
+    backing = ctx.query_history[-1].backing
+    assert backing == "scalarselect[flat<-ss:flat]", (
+        f"HAVING scalar must post-filter the joined frame, got {backing}"
+    )
+    return out
+
+
 _SQL_QUANTIFIED = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,

@@ -939,6 +939,10 @@ class ScalarSelectQuery(QuerySpec):
     # ordered outputs: [[name, sql|None]] — None = passthrough base column
     final: list = field(default_factory=list)
     limit_spec: Optional[LimitSpec] = None  # lifted statement ORDER/LIMIT
+    # HAVING conjuncts carrying scalar subqueries: boolean SQL over base
+    # outputs (incl. hidden __sa* leaves) + scalar aliases, applied after
+    # the cross joins and BEFORE the final projection / lifted ORDER BY
+    post_filters: list = field(default_factory=list)
     output_order: Optional[list] = None
 
 

@@ -394,6 +394,11 @@ class OlapContext:
             bdf = bdf.crossJoin(
                 F.broadcast(sdf.select(F.col("__scalar").alias(alias)))
             )
+        for pf in getattr(spec, "post_filters", []) or []:
+            # HAVING conjuncts carrying scalar subqueries: filter over the
+            # joined frame before the projection (base outputs + hidden
+            # leaves + scalar aliases all visible here)
+            bdf = bdf.where(F.expr(pf))
         out = bdf.select(
             *[
                 F.col(n) if sql is None else F.expr(sql).alias(n)
@@ -734,6 +739,8 @@ class OlapContext:
                 else:
                     sub = self.explain_rewrite(inner)
                     lines.extend("  " + ln for ln in sub.splitlines())
+            for pf in getattr(spec, "post_filters", []) or []:
+                lines.append(f"-- HAVING post-filter: {pf} --")
             exprs = [
                 f"{n} = {sql}" for n, sql in spec.final if sql is not None
             ]

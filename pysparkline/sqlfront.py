@@ -3267,14 +3267,15 @@ def _extract_select_scalars(
     fact_table: str | None,
     star: StarSchema | None,
 ):
-    """SELECT-list scalar subqueries -> deferred projection (see
-    ir.ScalarSelectQuery). Returns None when no select item carries a
-    subquery; else (base_node, scalars, final, lifted_limit_spec)."""
+    """SELECT-list / HAVING scalar subqueries -> deferred projection (see
+    ir.ScalarSelectQuery). Returns None when neither the select list nor
+    HAVING carries a subquery; else (base_node, scalars, final,
+    lifted_limit_spec, post_filters)."""
     sel = node.get("select_list") or []
-    if not any(_contains_subquery(it) for it in sel):
+    having = node.get("having")
+    having_sub = having is not None and _contains_subquery(having)
+    if not any(_contains_subquery(it) for it in sel) and not having_sub:
         return None
-    if node.get("having") is not None and _contains_subquery(node["having"]):
-        raise SQLFrontError("subquery in HAVING")
     for m in node.get("modifiers") or []:
         if m.get("type") == "DISTINCT_MODIFIER":
             # DISTINCT over the projected outputs can collapse rows
@@ -3288,8 +3289,9 @@ def _extract_select_scalars(
     hidden: list = []
     final: list = []
     new_sel: list = []
+    passthrough: set = set()
 
-    def rewrite(n):
+    def rewrite(n, allow_cols=False):
         if isinstance(n, dict):
             if n.get("class") == "SUBQUERY":
                 inner = _parse_select_scalar(
@@ -3312,14 +3314,19 @@ def _extract_select_scalars(
                 hidden.append(item)
                 return _colref(alias)
             if n.get("class") == "COLUMN_REF":
-                # a dimension reference inside a subquery-bearing item has
-                # no passthrough slot in the deferred projection — decline
+                # a HAVING conjunct may reference a SELECTED group column
+                # (it survives into the joined frame); anything else has
+                # no slot in the deferred projection — decline
+                if allow_cols and n["column_names"][-1] in passthrough:
+                    return _colref(n["column_names"][-1])
                 raise SQLFrontError(
                     "dimension reference in a scalar-subquery item"
                 )
-            return {k: rewrite(v) for k, v in n.items()}
+            return {
+                k: rewrite(v, allow_cols) for k, v in n.items()
+            }
         if isinstance(n, list):
-            return [rewrite(v) for v in n]
+            return [rewrite(v, allow_cols) for v in n]
         return n
 
     for it in sel:
@@ -3335,6 +3342,7 @@ def _extract_select_scalars(
                 )
             new_sel.append(it)
             final.append([name, None])
+            passthrough.add(name)
             continue
         name = it.get("alias")
         if not name:
@@ -3342,6 +3350,19 @@ def _extract_select_scalars(
         it2 = copy.deepcopy(it)
         it2["alias"] = ""
         final.append([name, render(rewrite(it2))])
+    # HAVING conjuncts carrying scalar subqueries become post-filters over
+    # the joined frame (base outputs + hidden leaves + scalar aliases);
+    # subquery-free conjuncts stay in the base statement's HAVING
+    post_filters: list = []
+    new_having = None
+    if having_sub:
+        keep: list = []
+        for c in _conjuncts(having):
+            if not _contains_subquery(c):
+                keep.append(c)
+                continue
+            post_filters.append(render(rewrite(c, allow_cols=True)))
+        new_having = _and_node(keep)
     if not new_sel and not hidden:
         # a pure-constant select over a row-grain FROM (one output row per
         # input row with no computed base column) — fallback
@@ -3357,7 +3378,9 @@ def _extract_select_scalars(
     node2 = dict(node)
     node2["select_list"] = new_sel + hidden
     node2["modifiers"] = []
-    return node2, scalars, final, ls
+    if having_sub:
+        node2["having"] = new_having
+    return node2, scalars, final, ls, post_filters
 
 
 def _parse_semijoin(
@@ -3474,13 +3497,14 @@ def _parse_select(
 
     ext = _extract_select_scalars(node, time_col, fact_table, star)
     if ext is not None:
-        node2, scalars, final, ls = ext
+        node2, scalars, final, ls, post_filters = ext
         base = _parse_select(node2, time_col, fact_table, star)
         return ir.ScalarSelectQuery(
             base=base,
             scalars=scalars,
             final=final,
             limit_spec=ls,
+            post_filters=post_filters,
             output_order=[n for n, _ in final],
         )
 

@@ -490,9 +490,18 @@ def semijoin_sqls(draw):
             " / (SELECT CAST(SUM(l_quantity) AS DOUBLE) FROM lineitem"
             f" WHERE l_quantity > {q2}) AS share"
         )
+    having = ""
+    if draw(st.booleans()):
+        # HAVING scalar subquery (post-filter over the joined frame);
+        # the divisor scales the threshold so both branches fire
+        hdiv = draw(st.sampled_from([3, 5, 10]))
+        having = (
+            " HAVING SUM(l_quantity)"
+            f" > (SELECT SUM(l_quantity) / {hdiv} FROM lineitem)"
+        )
     return (
         f"SELECT {sel} FROM lineitem "
-        f"WHERE {' AND '.join(conj)} GROUP BY {', '.join(gcols)}"
+        f"WHERE {' AND '.join(conj)} GROUP BY {', '.join(gcols)}{having}"
     )
 
 

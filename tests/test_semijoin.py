@@ -975,6 +975,63 @@ def test_select_scalar_two_scalars_mixed_grain(ctx, duck):
     )
 
 
+def test_having_scalar_above_average(ctx, duck):
+    """HAVING scalar subqueries (the above-average-groups staple): the
+    conjunct becomes a post-filter over the joined frame (hidden leaves +
+    broadcast scalar), applied before the deferred projection."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_partkey AS pk, COUNT(*) AS n FROM lineitem
+           GROUP BY l_partkey
+           HAVING COUNT(*) > (SELECT CAST(COUNT(*) AS DOUBLE)
+                              / COUNT(DISTINCT l_partkey) FROM lineitem)""",
+        backing="scalarselect[flat<-ss:flat]",
+    )
+
+
+def test_having_scalar_mixed_conjuncts(ctx, duck):
+    """Subquery-free HAVING conjuncts stay in the base statement; only
+    the scalar-bearing one lifts to a post-filter. ORDER BY still lifts
+    above everything."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag,
+                  CAST(SUM(l_quantity) AS DOUBLE) AS qty FROM lineitem
+           GROUP BY l_returnflag
+           HAVING SUM(l_quantity) > (SELECT SUM(l_quantity) / 5
+                                     FROM lineitem)
+              AND COUNT(*) > 10
+           ORDER BY flag""",
+        backing="scalarselect[flat<-ss:flat]",
+    )
+
+
+def test_having_scalar_plus_select_scalar(ctx, duck):
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag,
+                  CAST(SUM(l_quantity) AS DOUBLE)
+                  / (SELECT CAST(SUM(l_quantity) AS DOUBLE)
+                     FROM lineitem) AS share
+           FROM lineitem GROUP BY l_returnflag
+           HAVING COUNT(*) > (SELECT COUNT(*) / 4 FROM lineitem)""",
+        backing="scalarselect[flat<-ss:flat,ss:cube]",
+    )
+
+
+def test_having_scalar_ungrouped(ctx, duck):
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           HAVING COUNT(*) > (SELECT COUNT(*) FROM orders)""",
+        backing="scalarselect[cube<-ss:base[orders]]",
+    )
+
+
 def test_select_scalar_declines_fall_back(ctx, duck):
     """Correlated select-list scalars and DISTINCT-over-scalar lists
     decline to the fallback, which Spark runs correctly."""
