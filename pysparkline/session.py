@@ -213,42 +213,29 @@ class OlapContext:
             df, record = cached
             self.query_history.append(record)
             return df
+        def memo(df: DataFrame, explain: str, backing: str) -> DataFrame:
+            record = QueryRecord(spec.to_dict(), explain, backing)
+            self.query_history.append(record)
+            if len(self._plan_cache) >= 256:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = (df, record)
+            return df
+
         if isinstance(spec, ir.SetOpQuery):
             df, backings = self._lower_setop(spec)
-            record = QueryRecord(
-                spec.to_dict(),
+            return memo(
+                df,
                 f"set operation ({spec.op}"
                 + (" all" if spec.all else "")
                 + f"): arms [{backings}]",
                 f"setop[{backings}]",
             )
-            self.query_history.append(record)
-            if len(self._plan_cache) >= 256:
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = (df, record)
-            return df
         if isinstance(spec, ir.SemiJoinQuery):
             df, desc = self._lower_semijoin(spec)
-            record = QueryRecord(
-                spec.to_dict(), f"semi-join acceleration: {desc}", desc
-            )
-            self.query_history.append(record)
-            if len(self._plan_cache) >= 256:
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = (df, record)
-            return df
+            return memo(df, f"semi-join acceleration: {desc}", desc)
         if isinstance(spec, ir.ScalarSelectQuery):
             df, desc = self._lower_scalar_select(spec)
-            record = QueryRecord(
-                spec.to_dict(),
-                f"select-list scalar acceleration: {desc}",
-                desc,
-            )
-            self.query_history.append(record)
-            if len(self._plan_cache) >= 256:
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = (df, record)
-            return df
+            return memo(df, f"select-list scalar acceleration: {desc}", desc)
         spec, backing, decision = self.plan(spec)
         record = QueryRecord(
             spec.to_dict(),
@@ -394,7 +381,7 @@ class OlapContext:
             bdf = bdf.crossJoin(
                 F.broadcast(sdf.select(F.col("__scalar").alias(alias)))
             )
-        for pf in getattr(spec, "post_filters", []) or []:
+        for pf in spec.post_filters:
             # HAVING conjuncts carrying scalar subqueries: filter over the
             # joined frame before the projection (base outputs + hidden
             # leaves + scalar aliases all visible here)
@@ -459,7 +446,7 @@ class OlapContext:
                 scalar_dfs.append(lowering.lower(s2, b2))
                 descs.append(f"scalar:{d2.backing}")
         guard_dfs: list[DataFrame] = []
-        for g in getattr(spec, "guards", []) or []:
+        for g in spec.guards:
             if isinstance(g.inner, ir.BaseScalarQuery):
                 guard_dfs.append(self._lower_base_scalar(g.inner))
                 descs.append(f"guard:base[{g.inner.table}]")
@@ -468,7 +455,7 @@ class OlapContext:
                 guard_dfs.append(lowering.lower(s2, b2))
                 descs.append(f"guard:{d2.backing}")
         corr_dfs: list[DataFrame] = []
-        for cc in getattr(spec, "corr_scalars", []) or []:
+        for cc in spec.corr_scalars:
             tag = "corrguard" if cc.cond_sql else "corrscalar"
             if isinstance(cc.inner, ir.BaseScalarQuery):
                 corr_dfs.append(self._lower_base_scalar(cc.inner))
@@ -483,9 +470,9 @@ class OlapContext:
             join_cols.update(arm.residual_outer_cols)
         for scond in spec.scalar_conds:
             join_cols.update(scond.outer_columns)
-        for g in getattr(spec, "guards", []) or []:
+        for g in spec.guards:
             join_cols.update(g.outer_columns)
-        for cc in getattr(spec, "corr_scalars", []) or []:
+        for cc in spec.corr_scalars:
             join_cols.update(cc.outer_columns)
             join_cols.update(o for o, _ in cc.pairs)
         outer2, backing, decision = self.plan(
@@ -505,13 +492,13 @@ class OlapContext:
             if scond.flip:
                 lhs, rhs = rhs, lhs
             df = df.where(F.expr(f"{lhs} {scond.op} {rhs}"))
-        for g, gdf in zip(getattr(spec, "guards", []) or [], guard_dfs):
+        for g, gdf in zip(spec.guards, guard_dfs):
             # quantified guard: broadcast the 1-row aggregate bundle and
             # filter with the three-valued condition (GuardCond docstring)
             one = F.broadcast(gdf.select(*[F.col(c) for c in g.inner_cols]))
             df = df.crossJoin(one).where(F.expr(g.cond_sql))
         for j, (cc, adf) in enumerate(
-            zip(getattr(spec, "corr_scalars", []) or [], corr_dfs)
+            zip(spec.corr_scalars, corr_dfs)
         ):
             # decorrelated scalar: join the per-key aggregate table on the
             # correlation pairs (AQE broadcasts an NDV-bounded build side
@@ -739,7 +726,7 @@ class OlapContext:
                 else:
                     sub = self.explain_rewrite(inner)
                     lines.extend("  " + ln for ln in sub.splitlines())
-            for pf in getattr(spec, "post_filters", []) or []:
+            for pf in spec.post_filters:
                 lines.append(f"-- HAVING post-filter: {pf} --")
             exprs = [
                 f"{n} = {sql}" for n, sql in spec.final if sql is not None
@@ -786,7 +773,7 @@ class OlapContext:
                 else:
                     sub = self.explain_rewrite(sc.inner)
                     lines.extend("  " + ln for ln in sub.splitlines())
-            for j, g in enumerate(getattr(spec, "guards", []) or []):
+            for j, g in enumerate(spec.guards):
                 lines.append(
                     f"-- guard {j}: broadcast 1-row aggregate bundle, "
                     f"filter {g.cond_sql} --"
@@ -800,7 +787,7 @@ class OlapContext:
                 else:
                     sub = self.explain_rewrite(g.inner)
                     lines.extend("  " + ln for ln in sub.splitlines())
-            for j, cc in enumerate(getattr(spec, "corr_scalars", []) or []):
+            for j, cc in enumerate(spec.corr_scalars):
                 on = ", ".join(f"{o}={k}" for o, k in cc.pairs)
                 how = "left" if cc.left_join else "inner"
                 if cc.cond_sql:
@@ -831,9 +818,9 @@ class OlapContext:
                 jc.update(arm.residual_outer_cols)
             for sc in spec.scalar_conds:
                 jc.update(sc.outer_columns)
-            for g in getattr(spec, "guards", []) or []:
+            for g in spec.guards:
                 jc.update(g.outer_columns)
-            for cc in getattr(spec, "corr_scalars", []) or []:
+            for cc in spec.corr_scalars:
                 jc.update(cc.outer_columns)
                 jc.update(o for o, _ in cc.pairs)
             _, _, decision = self.plan(

@@ -2437,11 +2437,10 @@ def _parse_in_arm(
     NOT IN composes a multi-pair anti arm (correlation pairs + the key
     equality) with the PER-GROUP guard analog (CorrScalarCond in guard
     form: counts per correlation key, LEFT-joined so a missing group
-    behaves as the empty set)."""
-    if s.get("comparison_type") != "COMPARE_EQUAL":
-        raise SQLFrontError(
-            f"quantified subquery comparison {s.get('comparison_type')}"
-        )
+    behaves as the empty set).
+
+    Only reached for comparison_type COMPARE_EQUAL (the _parse_semijoin
+    dispatch routes other comparisons to _parse_quantified_guard)."""
     child = s.get("child") or {}
     if child.get("class") != "COLUMN_REF":
         raise SQLFrontError("IN (subquery) left side must be a plain column")
@@ -2465,12 +2464,12 @@ def _parse_in_arm(
     else:
         # expression key (round 8 cont.): rendered + aliased on the key
         # set; the guard's counts run over the same expression
+        # (aggregates/windows in the item already declined by
+        # _subquery_scope above)
         render(sel[0])  # raises on unsupported expressions
         for ref in _refs_of(sel[0]):
             if scope.side(ref) != "inner":
                 raise SQLFrontError("IN subquery selects an outer column")
-        if _contains_agg(sel[0]) or _contains_window(sel[0]):
-            raise SQLFrontError("aggregate in IN/EXISTS subquery")
         inner_key = "__k0"
         item0 = dict(sel[0])
         item0["alias"] = ""
@@ -2498,10 +2497,9 @@ def _parse_in_arm(
                     )
             x_sql = render(child)
             key_node = _colref(inner_key) if is_col else dict(key_items[0][0])
-            kset_keys: list[str] = []
-            for k in corr_inner + ([inner_key] if is_col else []):
-                if k not in kset_keys:
-                    kset_keys.append(k)
+            kset_keys = list(
+                dict.fromkeys(corr_inner + ([inner_key] if is_col else []))
+            )
             keyset = _build_inner_keyset(
                 inner_node,
                 kset_keys,
@@ -2519,10 +2517,7 @@ def _parse_in_arm(
                 inner_keys=corr_inner + [inner_key],
                 anti=True,
             )
-            gkeys: list[str] = []
-            for k in corr_inner:
-                if k not in gkeys:
-                    gkeys.append(k)
+            gkeys = list(dict.fromkeys(corr_inner))
             aliases = [f"__ca{corr_idx}_0", f"__ca{corr_idx}_1"]
             a0, a1 = f"`{aliases[0]}`", f"`{aliases[1]}`"
             ginner = _build_inner_aggs(
@@ -2868,10 +2863,7 @@ def _parse_corr_quantified(
             left_join = True
         else:
             raise SQLFrontError(f"quantified subquery comparison {cmp}")
-    keys: list[str] = []
-    for k in corr_inner:
-        if k not in keys:
-            keys.append(k)
+    keys = list(dict.fromkeys(corr_inner))
     aliases = [f"__ca{cidx}_{i}" for i in range(len(items))]
     inner = _build_inner_aggs(
         inner_node,
@@ -3194,10 +3186,7 @@ def _parse_corr_scalar(
     item = copy.deepcopy(sel[0])
     item["alias"] = ""
     value_sql = render(rewrite(item))
-    keys: list[str] = []
-    for k in corr_inner:
-        if k not in keys:
-            keys.append(k)
+    keys = list(dict.fromkeys(corr_inner))
     inner = _build_inner_aggs(
         inner_node,
         leaves,
