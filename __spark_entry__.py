@@ -4662,6 +4662,38 @@ def sql_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_OR_SUBQUERIES = f"""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(SUM({QTY}) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+   OR l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_or_subqueries", _SQL_OR_SUBQUERIES)
+def sql_or_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery under OR (round-8 continuation) — Catalyst's
+    ExistenceJoin re-expressed: the IN atom becomes a LEFT marker join of
+    the DISTINCT key set (distinct on the full join condition, so no
+    duplication is possible) and the OR renders over the flag; UNKNOWN
+    collapses to FALSE, which is row-set-preserving in a positive
+    (no-NOT-above) context. NOT IN / quantified / scalar atoms inline
+    their guard conditions the same way; residual-carrying EXISTS
+    declines (its key set is not distinct on the join condition)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_OR_SUBQUERIES)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-mark:base[orders]]", (
+        f"OR subquery must be marker-join accelerated, got {backing}"
+    )
+    return out
+
+
 _SQL_HAVING_SCALAR = """
 SELECT l_returnflag AS flag,
        CAST(SUM(l_quantity) AS DOUBLE) AS qty
@@ -6217,14 +6249,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
 # each round. Round 8's window (verdict-freshness rotation, VERDICT r7 #3):
-# (a0) the 6 rows from the round-8 CONTINUATION session (newest machinery
+# (a0) the 7 rows from the round-8 CONTINUATION session (newest machinery
 #     first): sql_corr_in / sql_not_in / sql_corr_not_in / sql_quantified
-#     / sql_corr_scalar / sql_share_of_total — correlated IN, guarded
-#     NOT IN (global and PER-GROUP guards), ALL quantifiers, the Q17
-#     correlated-scalar decorrelation, and SELECT-list scalar subqueries
-#     (share-of-total). They displace bpe_tokens_docs / chunk_docs /
-#     json_props / lang_id_docs / length_quantiles_docs / pii_redact_docs
-#     (r5-verdicted) past the boundary; those six head the next rotation;
+#     / sql_corr_scalar / sql_share_of_total / sql_or_subqueries —
+#     correlated IN, guarded NOT IN (global and PER-GROUP guards), ALL
+#     quantifiers, the Q17 correlated-scalar decorrelation, SELECT-list
+#     scalar subqueries (share-of-total), and subqueries under OR
+#     (marker joins). They displace boilerplate_prune_docs /
+#     bpe_tokens_docs / chunk_docs / json_props / lang_id_docs /
+#     length_quantiles_docs / pii_redact_docs (r5-verdicted) past the
+#     boundary; those seven head the next rotation with sql_having_scalar;
 # (a) the 5 rows NEW this round (never-verified beats stale-verified):
 #     sql_in_subquery / sql_exists_semi / sql_not_exists_anti /
 #     sql_scalar_subquery — the WHERE-subquery semi-join + lazy-scalar
@@ -6264,6 +6298,7 @@ _PRIORITY = [
     "sql_quantified",
     "sql_corr_scalar",
     "sql_share_of_total",
+    "sql_or_subqueries",
     "sql_in_subquery",
     "sql_exists_semi",
     "sql_not_exists_anti",
@@ -6307,8 +6342,8 @@ _PRIORITY = [
     "temperature_mix_docs",
     "vocab_topk_docs",
     "sql_window_ma",
-    "boilerplate_prune_docs",
     # --- 50-query window boundary ---
+    "boilerplate_prune_docs",
     "bpe_tokens_docs",
     "chunk_docs",
     "json_props",

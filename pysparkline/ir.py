@@ -823,6 +823,11 @@ class ScalarCond(IRNode):
     outer_sql: str = ""  # rendered Spark SQL for the non-subquery side
     outer_columns: list = field(default_factory=list)
     flip: bool = False
+    # parse-assigned broadcast column name (__sc{j}); when standalone is
+    # False the comparison is NOT applied as its own filter — it appears
+    # inline inside an or_filters expression instead (subquery under OR)
+    alias: str = ""
+    standalone: bool = True
 
 
 @_node
@@ -843,6 +848,9 @@ class GuardCond(IRNode):
     inner_cols: list = field(default_factory=list)  # output aliases __g{j}_{i}
     cond_sql: str = ""
     outer_columns: list = field(default_factory=list)
+    # False = the condition appears inline inside an or_filters expression
+    # (subquery under OR) instead of filtering on its own
+    standalone: bool = True
 
 
 @_node
@@ -876,6 +884,10 @@ class CorrScalarCond(IRNode):
     # op-comparison entirely — the per-group analog of GuardCond, with
     # COALESCE(count, 0) baked in where a missing group must still pass
     cond_sql: str = ""
+    # False = the condition appears inline inside an or_filters expression
+    # (subquery under OR); the per-key join still happens, its leaf
+    # columns stay visible until the OR filter has run
+    standalone: bool = True
 
 
 @_node
@@ -889,6 +901,13 @@ class SemiJoinArm(IRNode):
     outer_keys: list = field(default_factory=list)
     inner_keys: list = field(default_factory=list)
     anti: bool = False
+    # marker mode (round 8 cont. — Catalyst ExistenceJoin analog): instead
+    # of a semi/anti join, LEFT join the key set with a literal-true flag
+    # under this name; the OR-level filter (SemiJoinQuery.or_filters)
+    # reads the flag. Only emitted for arms whose key set is DISTINCT on
+    # the full join condition (no residual), so the left join cannot
+    # duplicate outer rows.
+    marker: str = ""
     # non-equi EXISTS residual (round 8): a boolean Spark SQL expression
     # ANDed into the join condition; inner-scoped columns appear under
     # their reserved __sjr_* aliases (exposed by the inner spec), outer
@@ -987,6 +1006,17 @@ class SemiJoinQuery(QuerySpec):
     scalar_conds: list = field(default_factory=list)  # [ScalarCond]
     guards: list = field(default_factory=list)  # [GuardCond]
     corr_scalars: list = field(default_factory=list)  # [CorrScalarCond]
+    # OR-composed conjuncts containing subqueries (round 8 cont.): each is
+    # a boolean Spark SQL expression over scan columns + marker flags +
+    # inline scalar/guard conditions, applied after the marker joins and
+    # broadcast cross joins, BEFORE the semi/anti arms and aggregation.
+    # Exactness argument: in a WHERE with no NOT above a subquery atom,
+    # collapsing a predicate's UNKNOWN to FALSE never changes the kept row
+    # set (monotone positive context); EXISTS atoms are two-valued anyway,
+    # and NOT EXISTS renders as NOT coalesce(flag, false).
+    or_filters: list = field(default_factory=list)
+    # scan columns the or_filters read (outer coverage)
+    or_columns: list = field(default_factory=list)
     output_order: Optional[list] = None  # outer's output names
 
 

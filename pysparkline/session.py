@@ -424,18 +424,14 @@ class OlapContext:
         arm_dfs: list[DataFrame] = []
         descs: list[str] = []
         for arm in spec.arms:
+            tag = "mark:" if arm.marker else ("anti:" if arm.anti else "")
             if isinstance(arm.inner, ir.BaseKeysQuery):
                 arm_dfs.append(self._lower_base_keys(arm.inner))
-                descs.append(
-                    ("anti:" if arm.anti else "")
-                    + f"base[{arm.inner.table}]"
-                )
+                descs.append(tag + f"base[{arm.inner.table}]")
             else:
                 s2, backing, decision = self.plan(arm.inner)
                 arm_dfs.append(lowering.lower(s2, backing))
-                descs.append(
-                    ("anti:" if arm.anti else "") + decision.backing
-                )
+                descs.append(tag + decision.backing)
         scalar_dfs: list[DataFrame] = []
         for scond in spec.scalar_conds:
             if isinstance(scond.inner, ir.BaseScalarQuery):
@@ -475,28 +471,36 @@ class OlapContext:
         for cc in spec.corr_scalars:
             join_cols.update(cc.outer_columns)
             join_cols.update(o for o, _ in cc.pairs)
+        join_cols.update(spec.or_columns)
         outer2, backing, decision = self.plan(
             spec.outer, force_row_grain=True, extra_columns=join_cols
         )
         assert backing.kind != "cube", "semi-join outer must be row grain"
         df = backing.df
+        deferred_drop: list[str] = []  # inline corr-guard columns
         for j, (scond, sdf) in enumerate(zip(spec.scalar_conds, scalar_dfs)):
             # lazy scalar: broadcast the 1-row aggregate and filter — no
             # driver-side collect, and a NULL scalar (empty input) makes
-            # the comparison NULL = rows dropped, exactly ANSI
+            # the comparison NULL = rows dropped, exactly ANSI. Inline
+            # (OR-composed) conditions filter via or_filters instead.
+            alias = scond.alias or f"__sc{j}"
             one = F.broadcast(
-                sdf.select(F.col(scond.inner_col).alias(f"__sc{j}"))
+                sdf.select(F.col(scond.inner_col).alias(alias))
             )
             df = df.crossJoin(one)
-            lhs, rhs = f"({scond.outer_sql})", f"`__sc{j}`"
-            if scond.flip:
-                lhs, rhs = rhs, lhs
-            df = df.where(F.expr(f"{lhs} {scond.op} {rhs}"))
+            if scond.standalone:
+                lhs, rhs = f"({scond.outer_sql})", f"`{alias}`"
+                if scond.flip:
+                    lhs, rhs = rhs, lhs
+                df = df.where(F.expr(f"{lhs} {scond.op} {rhs}"))
         for g, gdf in zip(spec.guards, guard_dfs):
             # quantified guard: broadcast the 1-row aggregate bundle and
-            # filter with the three-valued condition (GuardCond docstring)
+            # filter with the three-valued condition (GuardCond docstring);
+            # inline (OR-composed) conditions filter via or_filters
             one = F.broadcast(gdf.select(*[F.col(c) for c in g.inner_cols]))
-            df = df.crossJoin(one).where(F.expr(g.cond_sql))
+            df = df.crossJoin(one)
+            if g.standalone:
+                df = df.where(F.expr(g.cond_sql))
         for j, (cc, adf) in enumerate(
             zip(spec.corr_scalars, corr_dfs)
         ):
@@ -522,16 +526,24 @@ class OlapContext:
             df = df.join(
                 aliased, cond, "left" if cc.left_join else "inner"
             )
-            if cc.cond_sql:
-                # guard form (correlated NOT IN / quantified): the boolean
-                # condition IS the filter (CorrScalarCond.cond_sql)
-                df = df.where(F.expr(cc.cond_sql))
+            if not cc.standalone:
+                # inline (OR-composed) form: the condition lives inside an
+                # or_filters expression — keep the leaf columns visible
+                # until that filter has run (dropped below)
+                deferred_drop.extend(key_alias.values())
+                deferred_drop.extend(cc.leaf_cols)
             else:
-                lhs, rhs = f"({cc.outer_sql})", f"({cc.value_sql})"
-                if cc.flip:
-                    lhs, rhs = rhs, lhs
-                df = df.where(F.expr(f"{lhs} {cc.op} {rhs}"))
-            df = df.drop(*key_alias.values(), *cc.leaf_cols)
+                if cc.cond_sql:
+                    # guard form (correlated NOT IN / quantified): the
+                    # boolean condition IS the filter
+                    df = df.where(F.expr(cc.cond_sql))
+                else:
+                    lhs, rhs = f"({cc.outer_sql})", f"({cc.value_sql})"
+                    if cc.flip:
+                        lhs, rhs = rhs, lhs
+                    df = df.where(F.expr(f"{lhs} {cc.op} {rhs}"))
+                df = df.drop(*key_alias.values(), *cc.leaf_cols)
+        markers: list[str] = []
         for i, (arm, adf) in enumerate(zip(spec.arms, arm_dfs)):
             # unambiguous join keys: rename the arm's output columns — the
             # semi/anti join emits left-side columns only, so the aliases
@@ -552,9 +564,24 @@ class OlapContext:
                 # equi conjunct still drives the hash join, the residual
                 # filters within matches (never a theta join)
                 cond = cond & F.expr(arm.residual_sql)
-            df = df.join(
-                aliased, cond, "left_anti" if arm.anti else "left_semi"
-            )
+            if arm.marker:
+                # OR-composed atom (ExistenceJoin analog): LEFT join the
+                # key set with a literal-true flag; the key set is
+                # DISTINCT on the full join condition (parse guarantees no
+                # residual), so the join cannot duplicate outer rows
+                flagged = aliased.withColumn(arm.marker, F.lit(True))
+                df = df.join(flagged, cond, "left").drop(
+                    *[f"__sj{i}_{j}" for j in range(len(arm.inner_keys))]
+                )
+                markers.append(arm.marker)
+            else:
+                df = df.join(
+                    aliased, cond, "left_anti" if arm.anti else "left_semi"
+                )
+        for of in spec.or_filters:
+            df = df.where(F.expr(of))
+        if markers or deferred_drop:
+            df = df.drop(*markers, *deferred_drop)
         backing.df = df
         out = lowering.lower(outer2, backing)
         return out, f"semijoin[{decision.backing}<-{','.join(descs)}]"
@@ -811,6 +838,11 @@ class OlapContext:
                 else:
                     sub = self.explain_rewrite(cc.inner)
                     lines.extend("  " + ln for ln in sub.splitlines())
+            for j, of in enumerate(spec.or_filters):
+                lines.append(
+                    f"-- OR filter {j} (marker joins + inline conditions):"
+                    f" {of} --"
+                )
             lines.append("-- outer (subquery conjuncts removed) --")
             jc: set = set()
             for arm in spec.arms:
@@ -823,6 +855,7 @@ class OlapContext:
             for cc in spec.corr_scalars:
                 jc.update(cc.outer_columns)
                 jc.update(o for o, _ in cc.pairs)
+            jc.update(spec.or_columns)
             _, _, decision = self.plan(
                 spec.outer, force_row_grain=True, extra_columns=jc
             )

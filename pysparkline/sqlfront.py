@@ -3390,7 +3390,138 @@ def _parse_semijoin(
     scalar_conds: list[ir.ScalarCond] = []
     guards: list = []
     corr_scalars: list = []
+    or_filters: list[str] = []
+    or_cols: set = set()
     rest: list[dict] = []
+
+    def or_subquery_atom(s2: dict, negated: bool) -> str:
+        """One subquery atom inside an OR-composed conjunct -> its inline
+        SQL (a marker flag, or an inline scalar/guard condition). Marker
+        joins are LEFT joins of a key set DISTINCT on the full join
+        condition, so they cannot duplicate outer rows — which is why
+        arms carrying a non-equi residual decline here (their key sets
+        can hold several rows per key)."""
+        sq = s2.get("subquery_type")
+        if sq == "EXISTS":
+            arm = _parse_exists_arm(
+                s2, False, time_col, fact_table, star, outer_quals
+            )
+            if arm.residual_sql:
+                raise SQLFrontError("EXISTS residual under OR")
+            arm.marker = f"__m{len(arms)}"
+            arms.append(arm)
+            if negated:
+                # EXISTS is two-valued; an unmatched LEFT join leaves the
+                # flag NULL, which must read as FALSE before the NOT
+                return f"(NOT coalesce(`{arm.marker}`, false))"
+            return f"`{arm.marker}`"
+        if sq != "ANY":
+            raise SQLFrontError(f"subquery type {sq} under OR")
+        if s2.get("comparison_type") == "COMPARE_EQUAL":
+            arm, extra = _parse_in_arm(
+                s2,
+                negated,
+                len(guards),
+                len(corr_scalars),
+                time_col,
+                fact_table,
+                star,
+                outer_quals,
+            )
+            if arm.residual_sql:
+                raise SQLFrontError(
+                    "correlated IN with a non-equi residual under OR"
+                )
+            arm.anti = False  # marker mode: the flag carries the polarity
+            arm.marker = f"__m{len(arms)}"
+            arms.append(arm)
+            if not negated:
+                return f"`{arm.marker}`"
+            # NOT IN inline: the membership marker (two-valued) plus the
+            # NULL-semantics guard condition — FALSE where the true
+            # predicate is UNKNOWN, which is row-set-preserving in this
+            # positive context
+            if isinstance(extra, ir.CorrScalarCond):
+                extra.standalone = False
+                corr_scalars.append(extra)
+            else:
+                extra.standalone = False
+                guards.append(extra)
+            return (
+                f"({extra.cond_sql}"
+                f" AND NOT coalesce(`{arm.marker}`, false))"
+            )
+        q = _parse_quantified_guard(
+            s2,
+            negated,
+            len(guards),
+            len(corr_scalars),
+            time_col,
+            fact_table,
+            star,
+            outer_quals,
+        )
+        if isinstance(q, ir.CorrScalarCond):
+            if not q.cond_sql:
+                # the positive-ANY op form compares against the group
+                # min/max through an INNER join, which would DROP rows the
+                # OR's other branch should keep — only the guard (left
+                # join) form is safe under OR
+                lhs, rhs = f"({q.outer_sql})", f"({q.value_sql})"
+                if q.flip:
+                    lhs, rhs = rhs, lhs
+                q.cond_sql = f"({lhs} {q.op} {rhs})"
+            q.left_join = True  # missing groups must reach the OR filter
+            q.standalone = False
+            corr_scalars.append(q)
+            return q.cond_sql
+        q.standalone = False
+        guards.append(q)
+        return q.cond_sql
+
+    def walk_or(n: dict) -> str:
+        """Render an OR-composed boolean tree with subquery atoms replaced
+        by marker flags / inline conditions. Subquery atoms may appear
+        only in positive (no-NOT-above) positions — collapsing UNKNOWN to
+        FALSE is row-set-preserving there (ir.SemiJoinQuery.or_filters)."""
+        cls = n.get("class")
+        if cls == "SUBQUERY":
+            return or_subquery_atom(n, False)
+        if cls == "CONJUNCTION":
+            op = " AND " if n.get("type") == "CONJUNCTION_AND" else " OR "
+            return "(" + op.join(walk_or(x) for x in n["children"]) + ")"
+        if cls == "OPERATOR" and n.get("type") == "OPERATOR_NOT":
+            ch = n.get("children") or []
+            if len(ch) == 1 and ch[0].get("class") == "SUBQUERY":
+                return or_subquery_atom(ch[0], True)
+            if _contains_subquery(n):
+                raise SQLFrontError("NOT above a subquery expression")
+        if cls == "COMPARISON":
+            lsq = (n.get("left") or {}).get("class") == "SUBQUERY"
+            rsq = (n.get("right") or {}).get("class") == "SUBQUERY"
+            if lsq != rsq:
+                sc = _parse_scalar_cond(
+                    n,
+                    len(corr_scalars),
+                    time_col,
+                    fact_table,
+                    star,
+                    outer_quals,
+                )
+                if isinstance(sc, ir.CorrScalarCond):
+                    raise SQLFrontError("correlated scalar under OR")
+                sc.alias = f"__sc{len(scalar_conds)}"
+                sc.standalone = False
+                scalar_conds.append(sc)
+                lhs, rhs = f"({sc.outer_sql})", f"`{sc.alias}`"
+                if sc.flip:
+                    lhs, rhs = rhs, lhs
+                return f"({lhs} {sc.op} {rhs})"
+        if _contains_subquery(n):
+            raise SQLFrontError("subquery nested in an expression")
+        or_cols.update(_columns_of(n))
+        return render(n)
+
     for c in conj:
         neg, s = False, c
         if s.get("class") == "OPERATOR" and s.get("type") == "OPERATOR_NOT":
@@ -3410,13 +3541,15 @@ def _parse_semijoin(
             if isinstance(sc, ir.CorrScalarCond):
                 corr_scalars.append(sc)
             else:
+                sc.alias = f"__sc{len(scalar_conds)}"
                 scalar_conds.append(sc)
             continue
         if s.get("class") != "SUBQUERY":
             if _contains_subquery(c):
-                raise SQLFrontError(
-                    "subquery under OR / inside an expression"
-                )
+                # OR-composed conjunct carrying subqueries (round 8
+                # cont.): marker joins + inline conditions
+                or_filters.append(walk_or(c))
+                continue
             rest.append(c)
             continue
         sq_type = s.get("subquery_type")
@@ -3468,6 +3601,8 @@ def _parse_semijoin(
         scalar_conds=scalar_conds,
         guards=guards,
         corr_scalars=corr_scalars,
+        or_filters=or_filters,
+        or_columns=sorted(or_cols),
         output_order=_spec_outputs(outer),
     )
 

@@ -336,12 +336,13 @@ def semijoin_sqls(draw):
             return f"o_orderstatus = '{draw(st.sampled_from('FOP'))}'"
         return f"o_totalprice > {draw(st.integers(5, 45)) * 10000}"
 
-    def arm():
-        kind = draw(st.sampled_from(
-            ["in_dim", "in_fact", "exists", "not_exists", "scalar",
-             "not_in", "corr_in", "quant", "corr_scalar",
-             "corr_not_in", "corr_quant"]
-        ))
+    def arm(kind=None):
+        if kind is None:
+            kind = draw(st.sampled_from(
+                ["in_dim", "in_fact", "exists", "not_exists", "scalar",
+                 "not_in", "corr_in", "quant", "corr_scalar",
+                 "corr_not_in", "corr_quant"]
+            ))
         if kind == "corr_not_in":
             # correlated NOT IN: multi-pair anti arm + per-group guard;
             # the CASE variant plants NULL members in SOME groups only
@@ -474,6 +475,16 @@ def semijoin_sqls(draw):
         )
 
     conj = [arm() for _ in range(draw(st.integers(1, 2)))]
+    if draw(st.booleans()):
+        # OR-composed conjunct (marker joins / inline conditions). Only
+        # kinds guaranteed residual-free are safe under OR (a residual
+        # key set could duplicate rows through the marker LEFT join, so
+        # those shapes decline — and the fuzzer asserts acceleration)
+        kind = draw(st.sampled_from(
+            ["in_dim", "in_fact", "not_in", "quant",
+             "corr_not_in", "corr_quant", "scalar"]
+        ))
+        conj.append(f"({arm(kind)} OR {draw(predicates())})")
     if draw(st.booleans()):
         conj.append(draw(predicates()))
     if draw(st.booleans()):

@@ -291,10 +291,11 @@ def test_scalar_null_result_drops_all_rows(ctx, duck):
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE EXISTS (SELECT 1 FROM orders
                          WHERE o_orderpriority = '1-URGENT')""",
-        # subquery under OR
+        # subquery nested inside an arithmetic expression (not a direct
+        # comparison side) — no inline slot for it
         """SELECT COUNT(*) AS n FROM lineitem
-           WHERE l_returnflag = 'R'
-              OR l_orderkey IN (SELECT o_orderkey FROM orders)""",
+           WHERE l_quantity + (SELECT COUNT(*) FROM orders
+                               WHERE o_totalprice > 400000) > 60""",
         # LIMIT inside the subquery (order-dependent sampling)
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
@@ -872,6 +873,159 @@ def test_ir_roundtrip(ctx):
     assert spec.arms[0].anti is False and spec.arms[1].anti is True
     rt = ir.node_from_dict(spec.to_dict())
     assert rt.to_dict() == spec.to_dict()
+
+
+# -- subqueries under OR (marker joins / inline conditions) ------------------
+
+
+@pytest.mark.parametrize(
+    "sql,backing",
+    [
+        (
+            # plain predicate OR IN: the IN becomes a marker flag
+            """SELECT l_returnflag AS flag, COUNT(*) AS n FROM lineitem
+               WHERE l_returnflag = 'R'
+                  OR l_orderkey IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+               GROUP BY l_returnflag""",
+            "semijoin[flat<-mark:base[orders]]",
+        ),
+        (
+            # IN OR IN: two marker joins, one OR filter
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+                  OR l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_size > 45)""",
+            "semijoin[flat<-mark:base[orders],mark:base[part]]",
+        ),
+        (
+            # equi-correlated EXISTS OR a parenthesized AND
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE (EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey = l_orderkey
+                                AND o_totalprice > 300000)
+                      OR (l_quantity > 48 AND l_returnflag = 'A'))""",
+            "semijoin[flat<-mark:base[orders]]",
+        ),
+        (
+            # NOT EXISTS under OR: EXISTS is two-valued, the unmatched
+            # flag is NULL and must read FALSE before the NOT
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_orderkey = l_orderkey
+                                   AND o_totalprice < 200000)
+                  OR l_quantity > 45""",
+            "semijoin[flat<-mark:base[orders]]",
+        ),
+        (
+            # scalar comparison under OR: inline condition, broadcast
+            # still attached, no standalone filter
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_extendedprice > (SELECT AVG(o_totalprice)
+                                        FROM orders)
+                  OR l_quantity < 3""",
+            "semijoin[flat<-scalar:base[orders]]",
+        ),
+        (
+            # ALL quantifier under OR: the guard condition inlines
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_extendedprice > ALL (SELECT o_totalprice / 5
+                                            FROM orders
+                                            WHERE o_totalprice < 20000)
+                  OR l_returnflag = 'N'""",
+            "semijoin[flat<-guard:base[orders]]",
+        ),
+        (
+            # NOT IN under OR: membership marker + inline NULL guard
+            # (FALSE where the true predicate is UNKNOWN — row-set-
+            # preserving in a positive context)
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                        WHERE o_orderpriority
+                                              = '1-URGENT')
+                  OR l_quantity > 49""",
+            "semijoin[flat<-mark:base[orders],guard:base[orders]]",
+        ),
+        (
+            # NOT IN with NULL members under OR: the guard clause empties
+            # the NOT IN branch, the OR's other branch still keeps rows
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT CASE
+                                            WHEN o_orderpriority
+                                                 = '1-URGENT'
+                                            THEN NULL
+                                            ELSE o_orderkey END
+                                        FROM orders)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-mark:base[orders],guard:base[orders]]",
+        ),
+        (
+            # correlated NOT IN under OR: multi-pair marker + per-group
+            # inline guard
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_linenumber NOT IN (SELECT o_orderkey % 7
+                                          FROM orders
+                                          WHERE o_orderkey = l_orderkey)
+                  OR l_returnflag = 'R'""",
+            "semijoin[flat<-mark:base[orders],corrguard:base[orders]]",
+        ),
+        (
+            # correlated ALL under OR: per-group guard, left join so
+            # empty groups reach the OR filter
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_extendedprice > ALL (SELECT o_totalprice / 100
+                                            FROM orders
+                                            WHERE o_orderkey
+                                                  = l_orderkey)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrguard:base[orders]]",
+        ),
+        (
+            # correlated positive ANY under OR: the op form converts to
+            # an inline condition over a LEFT join (an inner join would
+            # drop rows the OR's other branch must keep)
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_extendedprice > ANY (SELECT o_totalprice / 100
+                                            FROM orders
+                                            WHERE o_orderkey
+                                                  = l_orderkey)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrguard:base[orders]]",
+        ),
+        (
+            # top-level semi arm AND an OR-composed conjunct
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                    WHERE o_totalprice > 100000)
+                 AND (l_returnflag = 'R'
+                      OR l_partkey IN (SELECT p_partkey FROM part
+                                       WHERE p_size > 45))""",
+            "semijoin[flat<-base[orders],mark:base[part]]",
+        ),
+    ],
+)
+def test_or_composed_subqueries(ctx, duck, sql, backing):
+    """Subqueries under OR (round-8 continuation): marker LEFT joins
+    (Catalyst ExistenceJoin analog — key sets DISTINCT on the full join
+    condition, so no duplication) + inline scalar/guard conditions,
+    composed into one OR filter before aggregation."""
+    _same(ctx, duck, sql, backing=backing)
+
+
+def test_or_residual_exists_declines(ctx, duck):
+    """An EXISTS with a non-equi residual under OR declines: its key set
+    is not DISTINCT on the join condition, so a marker LEFT join could
+    duplicate outer rows."""
+    sql = """SELECT COUNT(*) AS n FROM lineitem
+             WHERE EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderkey = l_orderkey
+                             AND o_totalprice > l_extendedprice * 30)
+                OR l_quantity > 49"""
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    assert ctx.query_history[-1].backing == "sparksql"
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
 
 
 # -- select-list scalar subqueries (deferred projection) ---------------------
