@@ -1008,8 +1008,9 @@ class SemiJoinQuery(QuerySpec):
     corr_scalars: list = field(default_factory=list)  # [CorrScalarCond]
     # OR-composed conjuncts containing subqueries (round 8 cont.): each is
     # a boolean Spark SQL expression over scan columns + marker flags +
-    # inline scalar/guard conditions, applied after the marker joins and
-    # broadcast cross joins, BEFORE the semi/anti arms and aggregation.
+    # inline scalar/guard conditions, applied once every marker join and
+    # broadcast cross join is attached (after the arm joins — all these
+    # conjuncts commute) and BEFORE the outer aggregation.
     # Exactness argument: in a WHERE with no NOT above a subquery atom,
     # collapsing a predicate's UNKNOWN to FALSE never changes the kept row
     # set (monotone positive context); EXISTS atoms are two-valued anyway,

@@ -253,6 +253,32 @@ class OlapContext:
             del self._pending_obs[:-64]  # bounded
         return df
 
+    @staticmethod
+    def _apply_limit_spec(df: DataFrame, ls) -> DataFrame:
+        """Statement-level ORDER BY / OFFSET / LIMIT over final outputs
+        (set-op and scalar-select wrappers; lowering.py keeps its own
+        variant because the cube-backed path folds the sort into one
+        coalesced task — an optimization that does not apply above
+        joins/unions of already-lowered frames)."""
+        from pyspark.sql import functions as F
+
+        if ls is None:
+            return df
+        if ls.columns:
+            df = df.orderBy(
+                *[
+                    F.col(c.column).asc()
+                    if c.direction == "asc"
+                    else F.col(c.column).desc()
+                    for c in ls.columns
+                ]
+            )
+        if getattr(ls, "offset", None):
+            df = df.offset(ls.offset)
+        if ls.limit is not None:
+            df = df.limit(ls.limit)
+        return df
+
     def _lower_setop(self, spec: "ir.SetOpQuery"):
         """Plan + lower each arm through the index independently, combine
         the LAZY results in one DAG (ir.SetOpQuery docstring). Positional
@@ -285,21 +311,7 @@ class OlapContext:
             df = ldf.intersectAll(rdf) if spec.all else ldf.intersect(rdf)
         else:  # except: ANSI EXCEPT is distinct; EXCEPT ALL is bag subtract
             df = ldf.exceptAll(rdf) if spec.all else ldf.subtract(rdf)
-        ls = spec.limit_spec
-        if ls is not None:
-            if ls.columns:
-                df = df.orderBy(
-                    *[
-                        F.col(c.column).asc()
-                        if c.direction == "asc"
-                        else F.col(c.column).desc()
-                        for c in ls.columns
-                    ]
-                )
-            if getattr(ls, "offset", None):
-                df = df.offset(ls.offset)
-            if ls.limit is not None:
-                df = df.limit(ls.limit)
+        df = self._apply_limit_spec(df, spec.limit_spec)
         return df, f"{lb},{rb}"
 
     def _lower_base_keys(self, spec: "ir.BaseKeysQuery") -> DataFrame:
@@ -392,21 +404,7 @@ class OlapContext:
                 for n, sql in spec.final
             ]
         )
-        ls = spec.limit_spec
-        if ls is not None:
-            if ls.columns:
-                out = out.orderBy(
-                    *[
-                        F.col(c.column).asc()
-                        if c.direction == "asc"
-                        else F.col(c.column).desc()
-                        for c in ls.columns
-                    ]
-                )
-            if getattr(ls, "offset", None):
-                out = out.offset(ls.offset)
-            if ls.limit is not None:
-                out = out.limit(ls.limit)
+        out = self._apply_limit_spec(out, spec.limit_spec)
         return out, f"scalarselect[{bdesc}<-{','.join(descs)}]"
 
     def _lower_semijoin(self, spec: "ir.SemiJoinQuery"):
@@ -770,7 +768,10 @@ class OlapContext:
                 + "; outer forced to row grain)"
             ]
             for i, arm in enumerate(spec.arms):
-                how = "left_anti" if arm.anti else "left_semi"
+                if arm.marker:
+                    how = f"left marker join (flag {arm.marker})"
+                else:
+                    how = "left_anti" if arm.anti else "left_semi"
                 on = ", ".join(
                     f"{o}={k}"
                     for o, k in zip(arm.outer_keys, arm.inner_keys)
@@ -788,9 +789,13 @@ class OlapContext:
                 lhs, rhs = sc.outer_sql, "<scalar>"
                 if sc.flip:
                     lhs, rhs = rhs, lhs
+                where = (
+                    f"filter {lhs} {sc.op} {rhs}"
+                    if sc.standalone
+                    else f"condition {lhs} {sc.op} {rhs} inline in OR filter"
+                )
                 lines.append(
-                    f"-- scalar {j}: broadcast 1-row cross join, filter "
-                    f"{lhs} {sc.op} {rhs} --"
+                    f"-- scalar {j}: broadcast 1-row cross join, {where} --"
                 )
                 if isinstance(sc.inner, ir.BaseScalarQuery):
                     lines.append(
@@ -801,9 +806,13 @@ class OlapContext:
                     sub = self.explain_rewrite(sc.inner)
                     lines.extend("  " + ln for ln in sub.splitlines())
             for j, g in enumerate(spec.guards):
+                gw = (
+                    f"filter {g.cond_sql}"
+                    if g.standalone
+                    else f"condition {g.cond_sql} inline in OR filter"
+                )
                 lines.append(
-                    f"-- guard {j}: broadcast 1-row aggregate bundle, "
-                    f"filter {g.cond_sql} --"
+                    f"-- guard {j}: broadcast 1-row aggregate bundle, {gw} --"
                 )
                 if isinstance(g.inner, ir.BaseScalarQuery):
                     aggs = ", ".join(a for a, _ in g.inner.aggs)

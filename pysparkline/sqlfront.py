@@ -3279,15 +3279,23 @@ def _extract_select_scalars(
     final: list = []
     new_sel: list = []
     passthrough: set = set()
+    # textually identical subqueries / aggregate leaves share one slot
+    # (the share-of-total shape repeats the grand total per item)
+    scalar_memo: dict = {}
+    leaf_memo: dict = {}
 
     def rewrite(n, allow_cols=False):
         if isinstance(n, dict):
             if n.get("class") == "SUBQUERY":
-                inner = _parse_select_scalar(
-                    n, time_col, fact_table, star, outer_quals
-                )
-                alias = f"__ss{len(scalars)}"
-                scalars.append([inner, alias])
+                key = json.dumps(_strip(n), sort_keys=True)
+                alias = scalar_memo.get(key)
+                if alias is None:
+                    inner = _parse_select_scalar(
+                        n, time_col, fact_table, star, outer_quals
+                    )
+                    alias = f"__ss{len(scalars)}"
+                    scalars.append([inner, alias])
+                    scalar_memo[key] = alias
                 return _colref(alias)
             if n.get("class") == "WINDOW":
                 raise SQLFrontError("window in a scalar-subquery item")
@@ -3297,10 +3305,14 @@ def _extract_select_scalars(
             ):
                 if _contains_subquery(n):
                     raise SQLFrontError("subquery inside aggregate argument")
-                alias = f"__sa{len(hidden)}"
-                item = copy.deepcopy(n)
-                item["alias"] = alias
-                hidden.append(item)
+                key = json.dumps(_strip(n), sort_keys=True)
+                alias = leaf_memo.get(key)
+                if alias is None:
+                    alias = f"__sa{len(hidden)}"
+                    item = copy.deepcopy(n)
+                    item["alias"] = alias
+                    hidden.append(item)
+                    leaf_memo[key] = alias
                 return _colref(alias)
             if n.get("class") == "COLUMN_REF":
                 # a HAVING conjunct may reference a SELECTED group column

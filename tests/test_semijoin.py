@@ -1212,6 +1212,29 @@ def test_select_scalar_declines_fall_back(ctx, duck):
                     assert a == b
 
 
+def test_select_scalar_dedup(ctx, duck):
+    """Textually identical scalar subqueries and aggregate leaves share
+    one slot: two shares over the same grand total plan ONE broadcast
+    scalar and ONE hidden leaf."""
+    from pysparkline import ir
+    from pysparkline.sqlfront import parse_sql
+
+    sql = """SELECT l_returnflag AS flag,
+                    CAST(SUM(l_quantity) AS DOUBLE)
+                    / (SELECT CAST(SUM(l_quantity) AS DOUBLE)
+                       FROM lineitem) AS share,
+                    CAST(SUM(l_quantity) AS DOUBLE) * 2
+                    / (SELECT CAST(SUM(l_quantity) AS DOUBLE)
+                       FROM lineitem) AS share2
+             FROM lineitem GROUP BY l_returnflag"""
+    spec = parse_sql(
+        sql, time_col="l_shipdate", fact_table="lineitem", star=ctx.star
+    )
+    assert isinstance(spec, ir.ScalarSelectQuery)
+    assert len(spec.scalars) == 1  # one grand total, not two
+    _same(ctx, duck, sql, backing="scalarselect[flat<-ss:flat]")
+
+
 def test_select_scalar_ir_roundtrip_and_explain(ctx):
     from pysparkline import ir
     from pysparkline.sqlfront import parse_sql
