@@ -525,18 +525,52 @@ def main() -> None:
                     "sql_not_in", "sql_corr_scalar"]
     ))
     for name in tt_names:
+        # BOTH memo layers must clear for a genuinely fresh plan: the
+        # ctx plan cache AND the entry registry's DataFrame cache — a
+        # memoized DataFrame re-collects with its shuffle map stages
+        # SKIPPED (same RDD lineage), attributing only the final stage's
+        # work to the group and inflating the speedup ratio (found in the
+        # round-8 continuation: the subquery family read ~1 ms indexed).
+        # Plan CONSTRUCTION runs OUTSIDE the job group: the planner's
+        # one-off NDV estimation probes are serving-cache state, not
+        # per-query execution cost (in-group they added seconds of
+        # executor time per query); collect() then runs every stage of
+        # the fresh lineage in-group.
         ctx._plan_cache.clear()
+        entry_mod._DF_CACHE.clear()
+        df = qs[name](spark, sf_dir)
         meter.group(f"ix:{name}")
-        qs[name](spark, sf_dir).collect()
+        df.collect()
+        meter.clear()
+        # warm serving cost: re-collect the SAME lineage — the plan cache
+        # returns this DataFrame for repeated identical queries, and Spark
+        # skips its materialized shuffle map stages, so only final stages
+        # re-run. This is the steady-state repeated-query cost (a real
+        # serving property, like Druid's segment caches) — NOT comparable
+        # to the fresh raw side.
+        meter.group(f"ixw:{name}")
+        df.collect()
         meter.clear()
     for name, mk in raw_builders.items():
+        df = mk()
         meter.group(f"raw:{name}")
-        mk().collect()
+        df.collect()
         meter.clear()
 
     tt = meter.collect()
     tasktime_indexed = {n: tt.get(f"ix:{n}") for n in indexed_for_ratio}
+    tasktime_warm = {n: tt.get(f"ixw:{n}") for n in indexed_for_ratio}
     tasktime_raw = {n: tt.get(f"raw:{n}") for n in raw_builders}
+    # fresh-vs-fresh: both sides execute a brand-new lineage end to end.
+    # METHOD CORRECTION (round-8 continuation): earlier rounds re-collected
+    # the MEMOIZED indexed DataFrame here, so its shuffle map stages were
+    # skipped and only final-stage work was attributed — an asymmetric
+    # comparison (warm indexed vs fresh raw) that overstated flat-backed
+    # ratios by orders of magnitude. Fresh task time at this tiny SF is
+    # dominated by per-file fixed costs on the z-ordered many-file layout
+    # (a cost that amortizes at production file sizes); scan_reduction_
+    # vs_raw remains the scale-faithful signal, tasktime_warm_indexed_sec
+    # the repeated-query serving cost.
     tasktime_speedup = {
         n: round(tasktime_raw[n] / tasktime_indexed[n], 2)
         for n in raw_builders
@@ -580,6 +614,7 @@ def main() -> None:
         "raw": raw_times,
         "speedup_vs_raw": speedups,
         "tasktime_indexed_sec": tasktime_indexed,
+        "tasktime_warm_indexed_sec": tasktime_warm,
         "tasktime_raw_sec": tasktime_raw,
         "tasktime_speedup_vs_raw": tasktime_speedup,
         "scan_rows_indexed": scan_rows_indexed,
