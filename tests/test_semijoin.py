@@ -1212,6 +1212,27 @@ def test_select_scalar_declines_fall_back(ctx, duck):
                     assert a == b
 
 
+def test_select_scalar_in_setop_arm(ctx, duck):
+    """A set-operation arm carrying a select-list scalar lowers through
+    the scalar-select path (arm backing appears in the setop
+    descriptor)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT 'share' AS kind, l_returnflag AS flag,
+                  CAST(SUM(l_quantity) AS DOUBLE)
+                  / (SELECT CAST(SUM(l_quantity) AS DOUBLE)
+                     FROM lineitem) AS v
+           FROM lineitem GROUP BY l_returnflag
+           UNION ALL
+           SELECT 'qty' AS kind, l_returnflag AS flag,
+                  CAST(SUM(l_quantity) AS DOUBLE) AS v
+           FROM lineitem GROUP BY l_returnflag
+           ORDER BY kind, flag""",
+        backing="setop[scalarselect[flat<-ss:flat],flat]",
+    )
+
+
 def test_select_scalar_dedup(ctx, duck):
     """Textually identical scalar subqueries and aggregate leaves share
     one slot: two shares over the same grand total plan ONE broadcast
