@@ -3884,6 +3884,69 @@ def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "nb_classify_docs",
+    r"""
+WITH labeled AS (SELECT * FROM documents WHERE lang IS NOT NULL),
+tok AS (SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM labeled),
+tc AS (SELECT lang AS label, tok, count(*) AS c FROM tok GROUP BY lang, tok),
+cls AS (SELECT lang AS label, count(*) AS n_docs FROM labeled GROUP BY lang),
+ctok AS (SELECT lang AS label, count(*) AS n_tokens FROM tok GROUP BY lang),
+consts AS (SELECT (SELECT count(DISTINCT tok) FROM tc) AS v,
+                  (SELECT count(*) FROM labeled) AS total),
+dtok AS (SELECT doc_id,
+                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '')) AS tok
+         FROM documents),
+pairs AS (SELECT d.doc_id, c.label, d.tok FROM dtok d CROSS JOIN cls c),
+ll AS (
+  SELECT p.doc_id, p.label,
+         sum(ln((coalesce(tc.c, 0) + 1.0) / (ct.n_tokens + consts.v))) AS s
+  FROM pairs p
+  JOIN ctok ct ON ct.label = p.label
+  LEFT JOIN tc ON tc.label = p.label AND tc.tok = p.tok, consts
+  GROUP BY p.doc_id, p.label
+),
+empt AS (SELECT doc_id FROM documents
+         EXCEPT SELECT DISTINCT doc_id FROM dtok),
+ll2 AS (SELECT * FROM ll UNION ALL
+        SELECT e.doc_id, c.label, 0.0 FROM empt e CROSS JOIN cls c),
+sc AS (SELECT l.doc_id, l.label,
+              round(l.s + ln(CAST(c.n_docs AS DOUBLE) / consts.total),
+                    6) AS nb_score
+       FROM ll2 l JOIN cls c USING (label), consts),
+best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY nb_score DESC, label) AS r
+         FROM sc)
+SELECT doc_id, label AS nb_label, nb_score FROM best WHERE r = 1
+ORDER BY doc_id
+""",
+)
+def nb_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes document classifier (round-8 continuation)
+    — the fastText-style quality/domain/language filter slot of a
+    CCNet-class ingest pipeline, trained in ONE map-side-combined
+    aggregation (no gradient loop) and scored with pure joins: per class,
+    add-one-smoothed token log-likelihood sums + log-prior, argmax per
+    document with the engine-agreed tie rule (6dp-rounded score, then
+    smallest label). Token-free documents score on the prior alone. The
+    oracle replays training AND scoring relationally in DuckDB — exact
+    to the rounded score. Accuracy on this synthetic fixture is
+    fixture-dependent (the oracle verifies the math, not label quality);
+    operators/text.py nb_train/nb_score docstrings carry the 100 TB
+    posture (model-sized shuffles, broadcast class list, token-keyed
+    model join)."""
+    from pysparkline.operators import text
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    m = text.nb_train(docs, "text", "lang")
+    return text.nb_score(docs, "doc_id", "text", m).orderBy("doc_id")
+
+
+@_register(
     "perplexity_docs",
     r"""
 WITH tok AS (

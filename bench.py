@@ -139,6 +139,7 @@ LLM_OPS = [
     "fuzzy_join_docs",
     "weighted_sample_docs",
     "semantic_decontam_emb",
+    "nb_classify_docs",
 ]
 
 

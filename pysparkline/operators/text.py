@@ -5,6 +5,8 @@ so they vectorize inside whole-stage codegen at any scale.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic.
@@ -317,6 +319,133 @@ def bigram_perplexity_scores(
             F.round(-F.avg("__logp"), 6).alias("nll"),
         )
         .withColumnRenamed("__id", id_col)
+    )
+
+
+@dataclass
+class NbModel:
+    """Multinomial Naive Bayes model (one relational training pass).
+
+    ``token_counts``: (label, tok, c) — per-class token counts;
+    ``classes``: (label, n_tokens, n_docs) — per-class totals;
+    ``vocab_size`` / ``total_docs``: corpus constants (two bounded 1-row
+    collects at fit time — model-sized driver state, like the BPE vocab).
+    """
+
+    token_counts: DataFrame
+    classes: DataFrame
+    vocab_size: int
+    total_docs: int
+
+
+def nb_train(df: DataFrame, text_col: str, label_col: str) -> NbModel:
+    """Train a multinomial Naive Bayes document classifier — the
+    one-pass, fully relational analog of the fastText-style quality /
+    domain / language filter an LLM-data pipeline runs at ingest (CCNet
+    trains a linear classifier for exactly this slot; NB's counts train
+    in ONE map-side-combined aggregation and score with pure joins, no
+    gradient loop). Shared lowercased whitespace tokenizer (the LM-row
+    convention); rows with a NULL label are excluded from training
+    (unlabeled — they are what the classifier will score).
+
+    100 TB posture: training is one groupBy(label, token) over the
+    token stream (map-side combined; shuffle is model-sized, bounded by
+    vocab x classes) plus two tiny aggregates for the constants."""
+    labeled = df.where(F.col(label_col).isNotNull())
+    toks = labeled.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    token_counts = toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    classes = (
+        labeled.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            toks.groupBy("label").agg(
+                F.count(F.lit(1)).alias("n_tokens")
+            ),
+            "label",
+            "left",
+        )
+        .fillna(0, subset=["n_tokens"])
+    )
+    vocab_size = token_counts.select("tok").distinct().count()
+    total_docs = labeled.count()
+    return NbModel(token_counts, classes, int(vocab_size), int(total_docs))
+
+
+def nb_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: NbModel,
+    score_col: str = "nb_score",
+    label_out: str = "nb_label",
+) -> DataFrame:
+    """Score documents against an :func:`nb_train` model: per class,
+    sum of add-one-smoothed token log-likelihoods plus the class
+    log-prior; output = argmax class per document (ties break to the
+    lexicographically smallest label over the 6dp-ROUNDED score — the
+    engine-agreed tie rule every scoring row uses).
+
+    Token-free documents (empty or NULL text) score on the prior alone.
+
+    100 TB posture: the token stream crosses only the CLASS list (a
+    broadcast of L rows), the model join keys on (label, tok) — Spark
+    broadcasts a small model, a huge one degrades to a shuffled hash
+    join — and the per-document aggregation is map-side combined; the
+    final argmax is a window over L rows per document."""
+    from pyspark.sql import Window
+
+    v = F.lit(float(model.vocab_size))
+    prior = F.log(
+        F.col("n_docs").cast("double") / F.lit(float(model.total_docs))
+    )
+    labels = F.broadcast(model.classes)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    scored = (
+        toks.crossJoin(labels.select("label", "n_tokens"))
+        .join(model.token_counts, ["label", "tok"], "left")
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("n_tokens").cast("double") + v)
+            ),
+        )
+        .groupBy(id_col, "label")
+        .agg(F.sum("__logp").alias("__ll"))
+    )
+    # token-free documents: every class scores on the prior alone
+    empties = (
+        df.join(toks.select(id_col).distinct(), id_col, "left_anti")
+        .select(id_col)
+        .crossJoin(labels.select("label"))
+        .withColumn("__ll", F.lit(0.0))
+    )
+    per_class = (
+        scored.unionByName(empties)
+        .join(F.broadcast(model.classes.select("label", "n_docs")), "label")
+        .withColumn(
+            score_col, F.round(F.col("__ll") + prior, 6)
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(score_col).desc(), F.col("label").asc()
+    )
+    return (
+        per_class.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col(id_col),
+            F.col("label").alias(label_out),
+            F.col(score_col),
+        )
     )
 
 

@@ -192,3 +192,90 @@ def test_tfidf_vectors_unit_norm_and_similarity_ready(spark):
     got = {(r.query_id, r.neighbor_id) for r in top.collect()}
     assert got == {(r.query_id, r.query_id) for r in q.collect()}
     vecs.unpersist()
+
+
+# -- Naive Bayes classifier (round-8 continuation) ---------------------------
+
+
+def test_nb_train_score_hand_example(spark):
+    """Hand-checkable two-class corpus: counts, smoothing, priors, and the
+    argmax all verifiable by arithmetic."""
+    from pysparkline.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good movie", "pos"),
+            (2, "bad bad plot", "neg"),
+            (3, "good plot", "pos"),
+            (4, "good movie", None),  # unlabeled: excluded from training
+        ],
+        ["doc_id", "text", "label"],
+    )
+    m = T.nb_train(docs, "text", "label")
+    assert m.total_docs == 3  # NULL label excluded
+    assert m.vocab_size == 4  # good, movie, bad, plot
+    cls = {r.label: (r.n_tokens, r.n_docs) for r in m.classes.collect()}
+    assert cls == {"pos": (5, 2), "neg": (3, 1)}
+    out = {
+        r.doc_id: (r.nb_label, r.nb_score)
+        for r in T.nb_score(docs, "doc_id", "text", m).collect()
+    }
+    assert len(out) == 4
+    # doc 4 "good movie": pos has good=3, movie=1 of 5 tokens; neg has
+    # neither of 3 tokens — pos must win
+    assert out[4][0] == "pos"
+    exp_pos = (
+        math.log((3 + 1) / (5 + 4))
+        + math.log((1 + 1) / (5 + 4))
+        + math.log(2 / 3)
+    )
+    assert abs(out[4][1] - round(exp_pos, 6)) < 1e-9
+    # doc 2 is the only 'bad'-heavy doc: neg wins despite the pos prior
+    assert out[2][0] == "neg"
+
+
+def test_nb_score_empty_doc_prior_only(spark):
+    """A token-free document scores on the class prior alone; ties on the
+    rounded score break to the lexicographically smallest label."""
+    from pyspark.sql import Row
+
+    from pysparkline.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y", "a"),
+            (2, "x z", "a"),
+            (3, "y z", "b"),
+            (4, "", "b"),
+            (5, None, None),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    m = T.nb_train(docs, "text", "label")
+    out = {r.doc_id: r for r in T.nb_score(docs, "doc_id", "text", m).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 5 (NULL text): prior-only — 'a' has 2 docs of 4 vs 'b' 2 of 4;
+    # equal priors round equal -> tie breaks to 'a'
+    assert out[5].nb_label == "a"
+    assert out[5].nb_score == round(math.log(2 / 4), 6)
+
+
+def test_nb_cross_corpus_scoring(spark):
+    """The ingest usage: train on the labeled half, score the unlabeled
+    half (model tables join by token — no leakage of scored rows into
+    counts)."""
+    from pysparkline.operators import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    m = T.nb_train(train, "text", "lang")
+    out = T.nb_score(test, "doc_id", "text", m)
+    assert out.count() == test.count()
+    labels = {r.label for r in m.classes.collect()}
+    got_labels = {r.nb_label for r in out.collect()}
+    assert got_labels <= labels
+    # retrain on everything changes the model (sanity that train really
+    # only saw the training half)
+    m2 = T.nb_train(docs, "text", "lang")
+    assert m2.total_docs > m.total_docs
