@@ -3884,6 +3884,96 @@ def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dsir_select_docs",
+    r"""
+WITH rtok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')),
+                                                '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+ttok AS (
+  SELECT list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents WHERE lang = 'en'
+),
+rfeat AS (
+  SELECT doc_id, unnest(ts) AS f FROM rtok
+  UNION ALL
+  SELECT doc_id, w1 || ' ' || w2 AS f FROM (
+    SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1,
+           unnest(ts[2:len(ts)]) AS w2
+    FROM rtok WHERE len(ts) >= 2)
+),
+tfeat AS (
+  SELECT unnest(ts) AS f FROM ttok
+  UNION ALL
+  SELECT w1 || ' ' || w2 AS f FROM (
+    SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+    FROM ttok WHERE len(ts) >= 2)
+),
+rb AS (SELECT doc_id,
+              CAST('0x' || substr(md5(f),1,8) AS BIGINT) % 10000 AS b
+       FROM rfeat),
+tb AS (SELECT CAST('0x' || substr(md5(f),1,8) AS BIGINT) % 10000 AS b
+       FROM tfeat),
+cr AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+ct AS (SELECT b, count(*) AS ct FROM tb GROUP BY b),
+tot AS (SELECT (SELECT sum(cr) FROM cr) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM ct) AS tt),
+lw AS (
+  SELECT r.doc_id,
+         round(sum(ln((coalesce(ct.ct, 0) + 1.0) / (cr.cr + 1.0))
+                   + ln((CAST(tot.tr AS DOUBLE) + 10000.0)
+                        / (CAST(tot.tt AS DOUBLE) + 10000.0))),
+               6) AS dsir_logw
+  FROM rb r JOIN cr ON cr.b = r.b LEFT JOIN ct ON ct.b = r.b, tot
+  GROUP BY r.doc_id
+),
+alld AS (
+  SELECT d.doc_id, coalesce(lw.dsir_logw, 0.0) AS dsir_logw
+  FROM documents d LEFT JOIN lw USING (doc_id)
+  WHERE d.doc_id IS NOT NULL
+),
+keyed AS (
+  SELECT doc_id, dsir_logw,
+         round(dsir_logw + (-ln(-ln(
+           (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                1, 13) AS BIGINT)
+            + 0.5) / 4503599627370496.0))), 6) AS key
+  FROM alld
+),
+top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 60)
+SELECT doc_id, dsir_logw,
+       row_number() OVER (ORDER BY key DESC, doc_id) AS sample_rank
+FROM top ORDER BY sample_rank
+""",
+)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), the production "make the crawl look like the
+    target corpus" curation method: hashed unigram+bigram features
+    (portable md5 buckets), add-one-smoothed importance weights
+    ln(p_target/p_raw) summed per document, Gumbel-top-k resampling with
+    CONTENT-KEYED uniforms (the weighted_sample discipline) so the draw
+    replays bit-for-bit across engines and partition layouts. Here the
+    target distribution is the English slice; the selection measurably
+    over-represents it (tests). The oracle replays feature hashing,
+    both distributions, the weights AND the Gumbel draw in DuckDB.
+    100 TB posture: bucket-count tables bounded by n_buckets
+    (broadcast), one map-side-combined per-doc sum, top-k heap
+    (TakeOrderedAndProject) — nothing corpus-sized shuffles."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import sampling
+
+    prep(spark)
+    docs = _docs(spark, sf_dir)
+    return sampling.dsir_select(
+        docs, docs.where(F.col("lang") == "en"), 60
+    ).orderBy("sample_rank")
+
+
+@_register(
     "nb_classify_docs",
     r"""
 WITH labeled AS (SELECT * FROM documents WHERE lang IS NOT NULL),

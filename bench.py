@@ -140,6 +140,7 @@ LLM_OPS = [
     "weighted_sample_docs",
     "semantic_decontam_emb",
     "nb_classify_docs",
+    "dsir_select_docs",
 ]
 
 

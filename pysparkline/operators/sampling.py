@@ -392,3 +392,158 @@ def top_k_per_group(
         .where(F.col("__rk") <= int(k))
         .drop("__rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select raw documents whose hashed-n-gram feature
+# distribution looks like a TARGET corpus, by importance weight
+# p_target(features)/p_raw(features), then Gumbel-top-k resampling.
+# The production method behind "make CommonCrawl look like Wikipedia"
+# curation — fully relational here: two bucket-count tables (bounded by
+# n_buckets, broadcast-class), one per-document log-sum, one top-k heap.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_features(text) -> "F.Column":
+    """Hashed-feature stream per document: lowercased whitespace unigrams
+    + adjacent bigrams ("w1 w2") — the paper's hashed n-gram features.
+    Empty/NULL text -> empty array (the document scores logw = 0 and
+    competes on Gumbel noise alone)."""
+    from .text import tokens_col
+
+    toks = tokens_col(F.lower(text))
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.coalesce(toks, F.array().cast("array<string>")), bi)
+
+
+def _dsir_bucket(feat, n_buckets: int) -> "F.Column":
+    """Portable md5 feature bucket (the hash_split idiom: first 8 hex
+    chars -> int -> modulo; identical SQL exists on every engine)."""
+    return (
+        F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("bigint")
+        % F.lit(int(n_buckets))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-document DSIR log importance weight:
+    ``sum over feature occurrences of ln((c_target(b)+1)/(c_raw(b)+1))
+    + n_features * ln((T_raw+B)/(T_target+B))`` — algebraically the
+    add-one-smoothed ``ln(p_t/p_r)`` sum with the constant factored out
+    so both engines compute the identical expression. Rounded to 6dp
+    (the cross-engine float discipline every scoring row uses).
+
+    Every feature bucket of a raw document exists in the raw counts by
+    construction; target-side misses coalesce to 0. Documents with no
+    features (empty/NULL text) get logw = 0.0.
+
+    100 TB posture: the two count tables are bounded by ``n_buckets``
+    (broadcast-class at the default 10k); the per-document sum is one
+    map-side-combined aggregation over the exploded feature stream."""
+    feats_raw = raw.select(
+        F.col(id_col),
+        F.explode_outer(_dsir_features(F.col(text_col))).alias("__feat"),
+    ).withColumn("__b", _dsir_bucket(F.col("__feat"), n_buckets))
+    feats_tgt = target.select(
+        F.explode(_dsir_features(F.col(text_col))).alias("__feat")
+    ).withColumn("__b", _dsir_bucket(F.col("__feat"), n_buckets))
+    cr = feats_raw.where(F.col("__b").isNotNull()).groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr")
+    )
+    ct = feats_tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    tr = cr.agg(F.sum("__cr")).collect()[0][0] or 0
+    tt = ct.agg(F.sum("__ct")).collect()[0][0] or 0
+    const = float(n_buckets)
+    # ln((T_raw+B)/(T_target+B)): exact same double both engines
+    c_norm = F.log(
+        (F.lit(float(tr)) + F.lit(const))
+        / (F.lit(float(tt)) + F.lit(const))
+    )
+    per_doc = (
+        feats_raw.join(F.broadcast(cr), "__b", "left")
+        .join(F.broadcast(ct), "__b", "left")
+        .withColumn(
+            "__lr",
+            F.when(
+                F.col("__b").isNotNull(),
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(1.0))
+                )
+                + c_norm,
+            ).otherwise(F.lit(0.0)),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__lr"), 6).alias("dsir_logw"))
+    )
+    return per_doc
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k over the importance weights — adding
+    independent Gumbel noise to each log-weight and keeping the top k
+    samples WITHOUT replacement proportionally to the (softmax of the)
+    weights, exactly the paper's resampling step. The Gumbel uniforms
+    are CONTENT-KEYED (md5 of (id, seed), the weighted_sample
+    discipline), so the draw replays bit-for-bit across engines and
+    partition layouts; the selection key rounds to 6dp with an id
+    tie-break so marginal ULP drift cannot flip the cut.
+
+    Scale shape: orderBy(key).limit(k) = TakeOrderedAndProject (k-row
+    heap per partition; nothing corpus-sized shuffles or collects).
+    Returns (id, dsir_logw, sample_rank). NULL-id rows are excluded
+    (no defined uniform)."""
+    from pyspark.sql import Window
+
+    w = dsir_weights(raw, target, id_col, text_col, n_buckets)
+    w = w.where(F.col(id_col).isNotNull())
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 52))
+    key = F.round(
+        F.col("dsir_logw") + (-F.log(-F.log(u))), 6
+    )
+    top = (
+        w.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    rk = Window.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+    return (
+        top.withColumn("sample_rank", F.row_number().over(rk))
+        .select(id_col, "dsir_logw", "sample_rank")
+    )

@@ -279,3 +279,71 @@ def test_nb_cross_corpus_scoring(spark):
     # only saw the training half)
     m2 = T.nb_train(docs, "text", "lang")
     assert m2.total_docs > m.total_docs
+
+
+# -- DSIR importance resampling (round-8 continuation) -----------------------
+
+
+def test_dsir_weights_skew_toward_target(spark):
+    """Documents from the target language must carry higher importance
+    weights on average, and the Gumbel-top-k selection over-represents
+    the target class relative to the corpus."""
+    from pysparkline.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.where(F.col("lang") == "en")
+    w = sampling.dsir_weights(docs, target)
+    joined = {
+        r.doc_id: r.dsir_logw for r in w.collect()
+    }
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    en = [v for d, v in joined.items() if langs[d] == "en"]
+    other = [v for d, v in joined.items() if langs[d] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+    sel = sampling.dsir_select(docs, target, 60)
+    picked = [r.doc_id for r in sel.collect()]
+    sel_share = sum(1 for d in picked if langs[d] == "en") / len(picked)
+    corpus_share = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert sel_share > corpus_share
+
+
+def test_dsir_deterministic_across_layouts(spark):
+    """Content-keyed uniforms + rounded keys: the same draw replays
+    after repartitioning (the weighted_sample discipline)."""
+    from pysparkline.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.where(F.col("lang") == "de")
+    a = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in sampling.dsir_select(docs, target, 25).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in sampling.dsir_select(
+            docs.repartition(17), target.repartition(3), 25
+        ).collect()
+    )
+    assert a == b
+    # a different seed draws a different sample
+    c = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in sampling.dsir_select(docs, target, 25, seed=7).collect()
+    )
+    assert a != c
+
+
+def test_dsir_empty_text_scores_zero(spark):
+    from pysparkline.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, ""), (3, None), (4, "bb cc")],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame([(10, "aa aa bb")], ["doc_id", "text"])
+    w = {r.doc_id: r.dsir_logw for r in
+         sampling.dsir_weights(docs, target).collect()}
+    assert set(w) == {1, 2, 3, 4}
+    assert w[2] == 0.0 and w[3] == 0.0
+    # doc 1 shares features with the target; doc 4 mostly does not
+    assert w[1] > w[4]
