@@ -2439,9 +2439,35 @@ def _parse_in_arm(
     form: counts per correlation key, LEFT-joined so a missing group
     behaves as the empty set).
 
+    Row-value IN (``(a, b) IN (SELECT x, y ...)``, arriving as a row()
+    child) becomes a multi-pair arm; row-value NOT IN declines (its
+    three-valued logic is per-COMPONENT — a row comparison is NULL when
+    any pair is NULL and none is definitely unequal, which the global
+    count guard cannot encode).
+
     Only reached for comparison_type COMPARE_EQUAL (the _parse_semijoin
     dispatch routes other comparisons to _parse_quantified_guard)."""
     child = s.get("child") or {}
+    row_children = None
+    if (
+        child.get("class") == "FUNCTION"
+        and (child.get("function_name") or "").lower() == "row"
+    ):
+        if neg:
+            raise SQLFrontError(
+                "row-value NOT IN (per-component NULL semantics)"
+            )
+        row_children = child.get("children") or []
+        if not row_children or any(
+            c.get("class") != "COLUMN_REF" for c in row_children
+        ):
+            raise SQLFrontError(
+                "row-value IN components must be plain columns"
+            )
+        _check_outer_child(child, outer_quals)
+        return _parse_row_in_arm(
+            s, row_children, time_col, fact_table, star, outer_quals
+        )
     if child.get("class") != "COLUMN_REF":
         raise SQLFrontError("IN (subquery) left side must be a plain column")
     _check_outer_child(child, outer_quals)
@@ -2627,6 +2653,92 @@ def _parse_in_arm(
         outer_columns=sorted(_columns_of(child)),
     )
     return arm, guard
+
+
+def _parse_row_in_arm(
+    s: dict,
+    row_children: list[dict],
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+    outer_quals: set,
+) -> tuple[ir.SemiJoinArm, None]:
+    """Row-value IN: each (outer component, inner select item) pair is
+    one equi condition of a single multi-pair semi arm; correlated forms
+    ride the EXISTS machinery with one synthetic equality per pair (all
+    components equal == row equality for matching purposes; a NULL in
+    any component never matches either way — exact in WHERE context)."""
+    outer_keys = [c["column_names"][-1] for c in row_children]
+    inner_node = (s.get("subquery") or {}).get("node") or {}
+    if inner_node.get("type") != "SELECT_NODE":
+        raise SQLFrontError("set-operation subquery in WHERE")
+    sel = inner_node.get("select_list") or []
+    if len(sel) != len(row_children):
+        raise SQLFrontError("row-value IN arity mismatch")
+    tables, pairs, inner_cols, scope = _subquery_scope(
+        inner_node, fact_table, star, outer_quals
+    )
+    inner_keys: list[str] = []
+    for it in sel:
+        if it.get("class") != "COLUMN_REF" or scope.side(it) != "inner":
+            raise SQLFrontError(
+                "row-value IN subquery items must be plain inner columns"
+            )
+        inner_keys.append(it["column_names"][-1])
+    wc = inner_node.get("where_clause")
+    if inner_cols is None and star is not None and len(star.tables) > 1:
+        raise SQLFrontError(
+            "star carries no column lists: cannot verify the subquery "
+            "is uncorrelated"
+        )
+    if wc is not None and scope.has_outer(wc):
+        synths = [
+            {
+                "class": "COMPARISON",
+                "type": "COMPARE_EQUAL",
+                "alias": "",
+                "left": _colref(ik),
+                "right": {
+                    "class": "COLUMN_REF",
+                    "type": "COLUMN_REF",
+                    "alias": "",
+                    "column_names": ["__outer__", ok],
+                },
+            }
+            for ik, ok in zip(inner_keys, outer_keys)
+        ]
+        node2 = dict(inner_node)
+        node2["where_clause"] = _and_node(_conjuncts(wc) + synths)
+        return (
+            _parse_exists_arm(
+                {"subquery": {"node": node2}},
+                False,
+                time_col,
+                fact_table,
+                star,
+                outer_quals,
+            ),
+            None,
+        )
+    inner = _build_inner_keyset(
+        inner_node,
+        list(dict.fromkeys(inner_keys)),
+        tables,
+        pairs,
+        wc,
+        time_col,
+        fact_table,
+        star,
+    )
+    return (
+        ir.SemiJoinArm(
+            inner=inner,
+            outer_keys=outer_keys,
+            inner_keys=inner_keys,
+            anti=False,
+        ),
+        None,
+    )
 
 
 # positive ANY: `x <op> ANY(S)` in WHERE context reduces to a comparison

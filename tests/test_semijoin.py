@@ -875,6 +875,98 @@ def test_ir_roundtrip(ctx):
     assert rt.to_dict() == spec.to_dict()
 
 
+# -- row-value IN (multi-column semi arms) -----------------------------------
+
+
+def _same_oracle(ctx, duck, sql, oracle, backing=None):
+    """Compare against a DIFFERENT DuckDB spelling (DuckDB parses
+    row-value IN but cannot bind it — the oracle uses the equivalent
+    EXISTS form)."""
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    b = ctx.query_history[-1].backing
+    if backing is not None:
+        assert b == backing, f"expected backing {backing}, got {b}"
+    exp = sorted(tuple(r) for r in duck.execute(oracle).fetchall())
+    assert got == exp, (got[:3], exp[:3])
+
+
+def test_row_value_in(ctx, duck):
+    """(a, b) IN (SELECT x, y ...): one multi-pair semi arm (fact-grain
+    inner plans through the index)."""
+    _same_oracle(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE (l_orderkey, l_linenumber) IN
+                 (SELECT l_orderkey, l_linenumber FROM lineitem
+                  WHERE l_quantity > 45)""",
+        """SELECT COUNT(*) AS n FROM lineitem l1
+           WHERE EXISTS (SELECT 1 FROM lineitem l2
+                         WHERE l2.l_quantity > 45
+                           AND l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_linenumber = l1.l_linenumber)""",
+        backing="semijoin[flat<-flat]",
+    )
+
+
+def test_row_value_in_correlated_and_or(ctx, duck):
+    """Correlated row-value IN rides the EXISTS machinery (one synthetic
+    equality per component); under OR it becomes a marker join."""
+    _same_oracle(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE (l_orderkey, l_linenumber) IN
+                 (SELECT l_orderkey, l_linenumber FROM lineitem l2
+                  WHERE l2.l_quantity > l_quantity - 5)""",
+        """SELECT COUNT(*) AS n FROM lineitem l1
+           WHERE EXISTS (SELECT 1 FROM lineitem l2
+                         WHERE l2.l_quantity > l1.l_quantity - 5
+                           AND l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_linenumber = l1.l_linenumber)""",
+        backing="semijoin[flat<-flat]",
+    )
+    _same_oracle(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE (l_orderkey, l_linenumber) IN
+                 (SELECT l_orderkey, l_linenumber FROM lineitem
+                  WHERE l_quantity > 45)
+              OR l_returnflag = 'N'""",
+        """SELECT COUNT(*) AS n FROM lineitem l1
+           WHERE EXISTS (SELECT 1 FROM lineitem l2
+                         WHERE l2.l_quantity > 45
+                           AND l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_linenumber = l1.l_linenumber)
+              OR l_returnflag = 'N'""",
+        backing="semijoin[flat<-mark:flat]",
+    )
+
+
+def test_row_value_not_in_declines(ctx, duck):
+    """Row-value NOT IN: per-component three-valued logic the global
+    guard cannot encode — declines; Spark's null-aware anti join runs it
+    (compared against the NULL-free NOT EXISTS equivalent)."""
+    sql = """SELECT COUNT(*) AS n FROM lineitem
+             WHERE (l_orderkey, l_partkey) NOT IN
+                   (SELECT o_orderkey, o_custkey FROM orders
+                    WHERE o_totalprice > 100000)"""
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    assert ctx.query_history[-1].backing == "sparksql"
+    exp = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_totalprice > 100000
+                                   AND o_orderkey = l_orderkey
+                                   AND o_custkey = l_partkey)"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
 # -- subqueries under OR (marker joins / inline conditions) ------------------
 
 
