@@ -268,9 +268,68 @@ def main() -> None:
     raw_flat, _ = tpch.flat_star_df(spark, sf_dir)
     REV = F.expr(tpch.DISC_PRICE)
 
+    # ---- layout-matched raw twin (VERDICT r8 #2) -------------------------
+    # The natural raw twin reads the driver's few-file parquet; the index's
+    # flat layout carries time-partition directories whose per-file/per-task
+    # fixed costs dominate task time at bench SF. To make plan quality and
+    # layout separable, build a SECOND twin whose FACT side (lineitem) is
+    # re-written at the index's own granularity and file count — same bytes
+    # discipline, zero engine artifacts (no z-order, no manifest, star
+    # joined at query time). Cached per (sf_dir, granularity, nfiles).
+    def matched_lineitem():
+        import hashlib
+
+        from pysparkline.index import PARTITION_FORMATS
+
+        gran = ctx.index.config.partition_granularity
+        nfiles = len(ctx.index.flat_input_files())
+        fmt = PARTITION_FORMATS.get(gran, "yyyy-MM")
+        key = hashlib.sha256(
+            json.dumps(
+                {"sf": os.path.abspath(sf_dir), "gran": gran, "n": nfiles}
+            ).encode()
+        ).hexdigest()[:12]
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".olap_cache",
+            f"rawmatched_{os.path.basename(os.path.normpath(sf_dir))}_{key}",
+        )
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            li = spark.read.parquet(
+                os.path.join(sf_dir, "lineitem.parquet")
+            ).withColumn(
+                "__part", F.date_format(F.col("l_shipdate"), fmt)
+            )
+            (
+                li.repartitionByRange(nfiles, "__part", "l_orderkey")
+                .write.mode("overwrite")
+                .partitionBy("__part")
+                .parquet(out)
+            )
+        return spark.read.parquet(out).drop("__part")
+
+    matched_li = matched_lineitem()
+    tables_matched = tpch.load_star_tables(spark, sf_dir)
+    tables_matched["lineitem"] = matched_li
+    from pysparkline.index import flatten_star as _flatten
+
+    matched_flat = _flatten(
+        spark, tables_matched, tpch.tpch_star(tables_matched)
+    ).withColumn("order_year", F.year("o_orderdate"))
+
+    # the fact-side frames the twins read: "flat" = the star join to run
+    # queries over, "li" = bare lineitem (corr_scalar's view). The natural
+    # pass binds the driver's few-file layout; the matched pass rebinds the
+    # SAME builders to the layout-matched twin, so both measurements run
+    # identical code.
+    frames = {
+        "flat": raw_flat,
+        "li": spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+    }
+
     def _raw_q1():
         return (
-            raw_flat.where(F.col("l_shipdate") < "1998-09-01")
+            frames["flat"].where(F.col("l_shipdate") < "1998-09-01")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
                 F.sum(F.expr(tpch.QTY)),
@@ -282,23 +341,23 @@ def main() -> None:
         )
 
     def _raw_basic_agg():
-        return raw_flat.agg(F.count(F.lit(1)), F.sum(F.expr(tpch.QTY)), F.sum(REV))
+        return frames["flat"].agg(F.count(F.lit(1)), F.sum(F.expr(tpch.QTY)), F.sum(REV))
 
     def _raw_sdr():
-        return raw_flat.where(
+        return frames["flat"].where(
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1996-04-01")
         ).agg(F.count(F.lit(1)), F.sum(REV))
 
     def _raw_monthly_revenue():
         return (
-            raw_flat.groupBy(F.date_trunc("month", F.col("l_shipdate")))
+            frames["flat"].groupBy(F.date_trunc("month", F.col("l_shipdate")))
             .agg(F.count(F.lit(1)), F.sum(REV))
         )
 
     def _raw_dim_filters():
         return (
-            raw_flat.where(
+            frames["flat"].where(
                 F.col("c_region").isin("AMERICA", "ASIA")
                 & (F.col("o_orderpriority") == "1-URGENT")
                 & ~(F.col("o_orderstatus") == "P")
@@ -309,7 +368,7 @@ def main() -> None:
 
     def _raw_topn_brand():
         return (
-            raw_flat.groupBy("p_brand")
+            frames["flat"].groupBy("p_brand")
             .agg(F.sum(REV).alias("revenue"))
             .orderBy(F.col("revenue").desc(), "p_brand")
             .limit(5)
@@ -317,7 +376,7 @@ def main() -> None:
 
     def _raw_q3():
         return (
-            raw_flat.where(
+            frames["flat"].where(
                 (F.col("c_mktsegment") == "BUILDING")
                 & (F.col("o_orderdate") < "1996-06-01")
                 & (F.col("l_shipdate") >= "1996-06-01")
@@ -330,7 +389,7 @@ def main() -> None:
 
     def _raw_q5():
         return (
-            raw_flat.where(
+            frames["flat"].where(
                 (F.col("c_region") == "ASIA")
                 & (F.col("order_year") == 1996)
                 & (F.col("c_nation") == F.col("s_nation"))
@@ -342,7 +401,7 @@ def main() -> None:
     def _raw_q7():
         n1, n2 = "NATION_1", "NATION_2"
         return (
-            raw_flat.where(
+            frames["flat"].where(
                 (
                     ((F.col("c_nation") == n1) & (F.col("s_nation") == n2))
                     | ((F.col("c_nation") == n2) & (F.col("s_nation") == n1))
@@ -357,14 +416,14 @@ def main() -> None:
     def _raw_q8():
         nat = F.when(F.col("s_nation") == "NATION_3", REV)
         return (
-            raw_flat.where(F.col("c_region") == "AMERICA")
+            frames["flat"].where(F.col("c_region") == "AMERICA")
             .groupBy("order_year")
             .agg(F.sum(nat), F.sum(REV))
         )
 
     def _raw_q10():
         return (
-            raw_flat.where(
+            frames["flat"].where(
                 (F.col("l_returnflag") == "R")
                 & (F.col("o_orderdate") >= "1996-01-01")
                 & (F.col("o_orderdate") < "1996-07-01")
@@ -377,7 +436,7 @@ def main() -> None:
 
     def _raw_subquery():
         return (
-            raw_flat.where(
+            frames["flat"].where(
                 (F.col("l_quantity") > 20)
                 & (F.col("l_shipdate") >= "1996-01-01")
                 & (F.col("l_shipdate") < "1997-01-01")
@@ -397,11 +456,11 @@ def main() -> None:
             F.col("o_orderpriority") == "1-URGENT"
         ).select("o_orderkey")
         return (
-            raw_flat.where(
+            frames["flat"].where(
                 (F.col("l_shipdate") >= "1995-12-01")
                 & (F.col("l_shipdate") < "1997-09-01")
             )
-            .join(keys, raw_flat["l_orderkey"] == keys["o_orderkey"],
+            .join(keys, frames["flat"]["l_orderkey"] == keys["o_orderkey"],
                   "left_semi")
             .groupBy("l_returnflag")
             .agg(
@@ -412,11 +471,11 @@ def main() -> None:
 
     def _raw_scalar_subquery():
         scalar = (
-            raw_flat.where(F.col("l_returnflag") == "R")
+            frames["flat"].where(F.col("l_returnflag") == "R")
             .agg((F.max("l_quantity") - F.lit(5)).alias("__sc"))
         )
         return (
-            raw_flat.where(
+            frames["flat"].where(
                 (F.col("l_shipdate") >= "1996-01-01")
                 & (F.col("l_shipdate") < "1997-01-01")
             )
@@ -434,11 +493,11 @@ def main() -> None:
             F.col("o_orderpriority") == "1-URGENT"
         ).select("o_orderkey")
         return (
-            raw_flat.where(
+            frames["flat"].where(
                 (F.col("l_shipdate") >= "1996-01-01")
                 & (F.col("l_shipdate") < "1998-01-01")
             )
-            .join(keys, raw_flat["l_orderkey"] == keys["o_orderkey"],
+            .join(keys, frames["flat"]["l_orderkey"] == keys["o_orderkey"],
                   "left_anti")
             .groupBy("l_linestatus")
             .agg(
@@ -451,10 +510,7 @@ def main() -> None:
         # Q17's correlated scalar in Spark's OWN planning (it decorrelates
         # to an aggregate + join itself) over the raw parquet — the twin
         # measures the pruned-scan/index advantage, not the rewrite
-        lineitem_raw = spark.read.parquet(
-            os.path.join(sf_dir, "lineitem.parquet")
-        )
-        lineitem_raw.createOrReplaceTempView("__bench_li")
+        frames["li"].createOrReplaceTempView("__bench_li")
         return spark.sql(
             """SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0
                FROM __bench_li
@@ -538,6 +594,16 @@ def main() -> None:
         # per-query execution cost (in-group they added seconds of
         # executor time per query); collect() then runs every stage of
         # the fresh lineage in-group.
+        # SYMMETRY (round 9): the raw twins execute their fresh lineage in
+        # a process already JIT-warm on that exact plan (their warm-timing
+        # loop ran moments before); a single-shot indexed fresh run pays
+        # cold codegen/JIT instead (measured 2-7x on q3 at sf0.1, decaying
+        # to a ~320 ms steady state by the 3rd fresh execution). Measure
+        # the SECOND fresh lineage on the indexed side too — both columns
+        # then mean "steady-state cost of executing a brand-new plan".
+        ctx._plan_cache.clear()
+        entry_mod._DF_CACHE.clear()
+        qs[name](spark, sf_dir).collect()  # fresh warm-up lineage
         ctx._plan_cache.clear()
         entry_mod._DF_CACHE.clear()
         df = qs[name](spark, sf_dir)
@@ -558,11 +624,27 @@ def main() -> None:
         meter.group(f"raw:{name}")
         df.collect()
         meter.clear()
+    # layout-matched raw pass (VERDICT r8 #2): the SAME builders over the
+    # fact table re-written at the index's own partition granularity and
+    # file count — plan quality (pruning, star elimination, decorrelation)
+    # and layout (per-file/per-task fixed costs at bench SF) become
+    # separable: ix vs raw = the whole engine, ix vs raw_matched = the
+    # engine's plan wins at equal layout.
+    frames["flat"] = matched_flat
+    frames["li"] = matched_li
+    for name, mk in raw_builders.items():
+        df = mk()
+        df.collect()  # one warm pass: codegen/JIT parity with raw pass
+        df = mk()
+        meter.group(f"rawm:{name}")
+        df.collect()
+        meter.clear()
 
     tt = meter.collect()
     tasktime_indexed = {n: tt.get(f"ix:{n}") for n in indexed_for_ratio}
     tasktime_warm = {n: tt.get(f"ixw:{n}") for n in indexed_for_ratio}
     tasktime_raw = {n: tt.get(f"raw:{n}") for n in raw_builders}
+    tasktime_raw_matched = {n: tt.get(f"rawm:{n}") for n in raw_builders}
     # fresh-vs-fresh: both sides execute a brand-new lineage end to end.
     # METHOD CORRECTION (round-8 continuation): earlier rounds re-collected
     # the MEMOIZED indexed DataFrame here, so its shuffle map stages were
@@ -577,6 +659,11 @@ def main() -> None:
         n: round(tasktime_raw[n] / tasktime_indexed[n], 2)
         for n in raw_builders
         if tasktime_raw.get(n) and tasktime_indexed.get(n)
+    }
+    tasktime_speedup_matched = {
+        n: round(tasktime_raw_matched[n] / tasktime_indexed[n], 2)
+        for n in raw_builders
+        if tasktime_raw_matched.get(n) and tasktime_indexed.get(n)
     }
 
     calibration_end_sec = _calibration_probe()
@@ -618,7 +705,9 @@ def main() -> None:
         "tasktime_indexed_sec": tasktime_indexed,
         "tasktime_warm_indexed_sec": tasktime_warm,
         "tasktime_raw_sec": tasktime_raw,
+        "tasktime_raw_matched_sec": tasktime_raw_matched,
         "tasktime_speedup_vs_raw": tasktime_speedup,
+        "tasktime_speedup_vs_raw_matched": tasktime_speedup_matched,
         "scan_rows_indexed": scan_rows_indexed,
         "scan_rows_raw": scan_rows_raw,
         "scan_reduction_vs_raw": {
@@ -662,6 +751,7 @@ def main() -> None:
         "calibration_sec": round(cal, 4),
         "sf": sf,
         "tasktime_speedup_vs_raw": tasktime_speedup,
+        "tasktime_speedup_vs_raw_matched": tasktime_speedup_matched,
         "scan_reduction_vs_raw": detail["scan_reduction_vs_raw"],
         "llm_ops_total_sec": detail["llm_ops_total_sec"],
         "index_build_or_load_sec": detail["index_build_or_load_sec"],

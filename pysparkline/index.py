@@ -355,6 +355,12 @@ class IndexConfig:
     metrics: list[MetricSpec] = field(default_factory=list)
     hll_cols: list[str] = field(default_factory=list)
     cubes: list[CubeSpec] = field(default_factory=list)
+    # directory time-partitioning grain ('month' | 'year'). This is an
+    # UPPER BOUND on fineness: with target_file_bytes active the build
+    # coarsens month->year when average month bytes fall below the target
+    # (choose_partition_granularity) and records the choice in the
+    # manifest — per-file time min/max stats keep interval pruning exact
+    # at either grain.
     partition_granularity: str = "month"
     # secondary sort inside each time partition: columns whose row-group
     # min/max stats should be tight so parquet skips row groups on their
@@ -373,6 +379,18 @@ class IndexConfig:
     # = more selective file-level pruning; file SIZE stays bounded by the
     # writer's maxRecordsPerFile regardless, so this needn't scale with data
     files_per_time_partition: int = 8
+    # BYTE FLOOR on the count above (VERDICT r8 #1): the effective file count
+    # per time partition is clamp(round(partition_bytes / target_file_bytes),
+    # 1, files_per_time_partition). At production scale a time partition holds
+    # many × target bytes, so the configured count (and maxRecordsPerFile)
+    # govern unchanged; at small scale the floor collapses what would be
+    # thousands of KB-sized files (each paying ~3-15 ms reader/codegen init —
+    # measured DOMINATING flat-query task time at sf0.1, BENCH_r08) into
+    # partition-sized files. Z-order still sorts rows WITHIN the merged files,
+    # so parquet row-group/page (column-index) stats keep pruning where the
+    # per-file manifest no longer can. 0 disables (tests that pin fine-slice
+    # keep ratios at tiny scale set 0 explicitly).
+    target_file_bytes: int = 64 << 20
     # columns whose global NDV is at or under this get an exact per-file
     # distinct-value set in the file manifest (the dictionary-presence index);
     # every scalar column gets per-file min/max
@@ -425,6 +443,11 @@ class IndexConfig:
             ]
         if self.files_per_time_partition != 8:
             d["filesPerTimePartition"] = self.files_per_time_partition
+        if self.target_file_bytes:
+            # serialized whenever ACTIVE (not just when non-default): the
+            # value participates in build-cache keys, so indexes built before
+            # the byte floor existed (keys without it) invalidate cleanly
+            d["targetFileBytes"] = self.target_file_bytes
         if self.manifest_set_max_ndv != 256:
             d["manifestSetMaxNdv"] = self.manifest_set_max_ndv
         if self.zorder_cols:
@@ -456,6 +479,9 @@ class IndexConfig:
                 for t in d.get("topkSpecs", [])
             ],
             files_per_time_partition=d.get("filesPerTimePartition", 8),
+            # absent key = manifest predates the byte floor (or floor
+            # disabled): reflect how the index was actually laid out
+            target_file_bytes=d.get("targetFileBytes", 0),
             manifest_set_max_ndv=d.get("manifestSetMaxNdv", 256),
             zorder_cols=list(d.get("zorderCols", [])),
             zorder_bits=d.get("zorderBits", 8),
@@ -552,17 +578,113 @@ def zvalue_column(df: DataFrame, cols: list, bits: int = 8, max_dict: int = 1024
     return z
 
 
+# directory-partition value formats by time-partition granularity; the
+# chosen granularity is recorded in the manifest so predicates
+# (lowering.interval_predicate) and appends (streaming ingest) always
+# agree with the on-disk directory values
+PARTITION_FORMATS = {"month": "yyyy-MM", "year": "yyyy"}
+
+
+def choose_partition_granularity(
+    config: IndexConfig,
+    total_bytes: float | None,
+    months: int,
+    years: int,
+) -> str:
+    """Byte-aware time-partition granularity (the directory analog of the
+    file-count floor): when an average MONTH partition holds less than
+    target_file_bytes of compressed parquet, partition by YEAR instead —
+    at bench SF a month-partitioned 100 MB table becomes 60+ directories
+    of KB-sized files whose per-file/per-task fixed costs (reader init,
+    codegen warm-up on many tiny tasks) dominate measured task time by
+    10-20x (round-9 probe), while at 100 TB a month holds thousands x
+    target and the configured granularity governs unchanged. Per-file
+    time-column min/max stats in the manifest keep interval pruning exact
+    at either granularity."""
+    gran = config.partition_granularity
+    if (
+        gran != "month"
+        or config.target_file_bytes <= 0
+        or not total_bytes
+        or months <= 0
+    ):
+        return gran
+    if total_bytes / months < config.target_file_bytes and years < months:
+        return "year"
+    return gran
+
+
+def effective_files_per_partition(
+    config: IndexConfig, partition_bytes: float | None
+) -> int:
+    """Byte-aware effective file count for one time partition (the VERDICT r8
+    #1 floor): the configured ``files_per_time_partition`` capped so each file
+    targets at least ``target_file_bytes`` of compressed parquet. At 100 TB a
+    month partition holds thousands × target, so the cap never binds and the
+    configured pruning granularity governs; at bench SF it merges KB-sized
+    slices whose per-file reader init dominates task time. Unknown sizes or a
+    disabled floor (0) keep the configured count."""
+    fppt = max(1, config.files_per_time_partition)
+    if config.target_file_bytes <= 0 or not partition_bytes:
+        return fppt
+    want = int(round(partition_bytes / config.target_file_bytes))
+    return max(1, min(fppt, want))
+
+
+def measure_bytes_per_row(
+    spark: SparkSession,
+    df: DataFrame,
+    scratch_dir: str,
+    total_rows: int,
+    sample_rows: int = 100_000,
+) -> float | None:
+    """Measured compressed parquet bytes/row from a bounded sample write —
+    the input to the byte floor. One job over ≤``sample_rows`` rows at ANY
+    data size (the probe cost does not scale with the table); the sample is
+    a prefix, so column value distributions (and thus compression) are an
+    estimate, fine for an order-of-magnitude file-count decision."""
+    import shutil
+
+    if total_rows <= 0:
+        return None
+    n = min(sample_rows, total_rows)
+    probe = os.path.join(scratch_dir, "_size_probe")
+    try:
+        df.limit(n).write.mode("overwrite").parquet(probe)
+        size = 0
+        for root, _dirs, files in os.walk(probe):
+            for f in files:
+                if f.endswith(".parquet"):
+                    size += os.path.getsize(os.path.join(root, f))
+        return (size / n) if size else None
+    except Exception:  # noqa: BLE001 — probe is best-effort; floor degrades off
+        return None
+    finally:
+        shutil.rmtree(probe, ignore_errors=True)
+
+
 def cluster_for_layout(
-    df: DataFrame, config: IndexConfig, n: int, lead_cols: tuple = ()
+    df: DataFrame,
+    config: IndexConfig,
+    n: int,
+    lead_cols: tuple = (),
+    files_per_partition: int | None = None,
 ) -> DataFrame:
     """Apply the index layout's clustering (z-order buckets or lexicographic
     sort) to ``df`` — the ONE definition shared by the initial build
     (lead_cols=(MONTH_COL,), clustering across all partitions) and per-month
-    flat compaction (lead_cols=()), so the two can never diverge."""
+    flat compaction (lead_cols=()), so the two can never diverge.
+    ``files_per_partition`` overrides the config's count when the byte floor
+    has already clamped it (effective_files_per_partition)."""
     if config.zorder_cols:
         import math as _math
 
-        k = max(1, int(_math.log2(max(2, config.files_per_time_partition))))
+        fpp = files_per_partition or config.files_per_time_partition
+        # k coarse z-prefix bits = log2(files per partition); fpp=1 (byte
+        # floor fully bound) → k=0 → __zb is constant and ranges follow the
+        # lead cols alone: one file per partition, rows still fine-z-sorted
+        # within it for row-group/page stats
+        k = int(_math.log2(max(2, fpp))) if fpp > 1 else 0
         shift = max(0, config.zorder_bits * len(config.zorder_cols) - k)
         z = zvalue_column(df, config.zorder_cols, config.zorder_bits)
         return (
@@ -761,7 +883,10 @@ class OlapIndex:
         def compute_stats():
             stats_aggs = [F.count(F.lit(1)).alias("__rows"),
                           F.min(t).alias("__tmin"), F.max(t).alias("__tmax"),
-                          F.approx_count_distinct(MONTH_COL).alias("__parts")]
+                          F.approx_count_distinct(MONTH_COL).alias("__parts"),
+                          F.approx_count_distinct(
+                              F.substring(MONTH_COL, 1, 4)
+                          ).alias("__parts_year")]
             data_cols = [c for c in pre.columns if c != MONTH_COL]
             if compute_ndv:
                 stats_aggs += [
@@ -770,8 +895,50 @@ class OlapIndex:
                 ]
             return pre.agg(*stats_aggs).collect()[0].asDict()
 
+        # granularity chosen by write_flat (byte-aware coarsening); read
+        # after the pool completes to stamp the manifest
+        chosen = {"granularity": config.partition_granularity}
+
+        def layout_frame(stats_future):
+            """(frame, partitions, effective files/partition, write tasks)
+            for the flat layout — the byte floor applied to the partition
+            granularity first (month -> year when months are tiny,
+            choose_partition_granularity), then to the configured file
+            count. One bounded sample-write probe measures compressed
+            bytes/row; the build-parallelism floor (defaultParallelism)
+            applies only when the byte floor is NOT binding — when it
+            binds, data is small by construction and task count equals
+            file count."""
+            st = stats_future.result()
+            months = int(st["__parts"])
+            years = int(st["__parts_year"])
+            rows = int(st["__rows"])
+            bpr = (
+                measure_bytes_per_row(spark, pre, out_dir, rows)
+                if config.target_file_bytes > 0
+                else None
+            )
+            total = rows * bpr if bpr else None
+            gran = choose_partition_granularity(config, total, months, years)
+            chosen["granularity"] = gran
+            frame = pre
+            parts = months
+            if gran != config.partition_granularity:
+                frame = pre.withColumn(
+                    MONTH_COL,
+                    F.date_format(F.col(t), PARTITION_FORMATS[gran]),
+                )
+                parts = years
+            part_bytes = (total / max(1, parts)) if total else None
+            eff = effective_files_per_partition(config, part_bytes)
+            n = parts * eff
+            if eff >= max(1, config.files_per_time_partition):
+                n = max(n, spark.sparkContext.defaultParallelism)
+            return frame, parts, eff, n
+
         def write_flat(stats_future):
-            to_write = pre
+            frame, _parts, eff, n = layout_frame(stats_future)
+            to_write = frame
             if config.zorder_cols:
                 # multi-dimensional clustering: range-partition each time
                 # partition by the interleaved-bit z-value so per-file
@@ -785,13 +952,9 @@ class OlapIndex:
                 # cut points. Oversized buckets still split under
                 # maxRecordsPerFile; the fine z orders rows within files so
                 # row-group stats refine further.
-                parts = int(stats_future.result()["__parts"])
-                n = max(
-                    parts * max(1, config.files_per_time_partition),
-                    spark.sparkContext.defaultParallelism,
-                )
                 to_write = cluster_for_layout(
-                    pre, config, n, lead_cols=(MONTH_COL,)
+                    frame, config, n, lead_cols=(MONTH_COL,),
+                    files_per_partition=eff,
                 )
             elif config.sort_cols:
                 # layout for pruning: range-partition by (month, sort cols)
@@ -805,12 +968,7 @@ class OlapIndex:
                 # parallelism floor keeps a huge build from serializing onto
                 # few range tasks (file SIZE is bounded by maxRecordsPerFile
                 # either way).
-                parts = int(stats_future.result()["__parts"])
-                n = max(
-                    parts * max(1, config.files_per_time_partition),
-                    spark.sparkContext.defaultParallelism,
-                )
-                to_write = pre.repartitionByRange(
+                to_write = frame.repartitionByRange(
                     n, MONTH_COL, *config.sort_cols
                 ).sortWithinPartitions(MONTH_COL, *config.sort_cols)
             (
@@ -850,6 +1008,11 @@ class OlapIndex:
             )
             manifest["cubes"] = dict(f.result() for f in cube_fs)
             manifest["fileManifest"] = fm_f.result()
+        # record the granularity the byte floor actually chose: loaded
+        # indexes derive partition predicates (lowering.interval_predicate)
+        # and append/compact directory values from the manifest, so they
+        # must reflect the on-disk layout, not the requested config
+        manifest["config"]["partitionGranularity"] = chosen["granularity"]
         flat = spark.read.parquet(flat_path)
 
         manifest["flat"] = {

@@ -947,21 +947,48 @@ class ScalarSelectQuery(QuerySpec):
     (``CAST(SUM(..) AS DOUBLE) / ...``), which is exact and identical
     everywhere; the oracle-backed driver rows use that house style.
 
-    Declines: correlated select-list scalars, DISTINCT over a
-    scalar-bearing select list (the projection can collapse differently
-    when the scalar is NULL), dimension references inside a
-    subquery-bearing item, unaliased subquery items, subqueries in
-    HAVING."""
+    Round 9 widens HAVING to the NON-scalar subquery kinds the WHERE side
+    already accelerates, re-expressed over the POST-AGGREGATION frame:
+    ``HAVING x IN (SELECT ...)`` becomes a marker LEFT join of the inner's
+    DISTINCT key set (``having_arms`` — the key set is distinct on the
+    join key, so the left join cannot duplicate group rows; the HAVING
+    conjunct renders inline as ``coalesce(flag, false)``, exact in filter
+    context), and ``HAVING [NOT] x <op> ANY/ALL (...)`` / ``[NOT]
+    EXISTS (...)`` / ``NOT IN`` become broadcast 1-row aggregate bundles
+    (``having_guards``, reusing :class:`GuardCond`) whose three-valued
+    conditions render inline into the same post_filters. All inners must
+    be UNCORRELATED — a HAVING correlation would bind to the outer's
+    GROUPS, a different decorrelation problem — correlated forms decline
+    to the always-correct fallback.
+
+    Declines: correlated select-list scalars AND correlated HAVING
+    subqueries, DISTINCT over a scalar-bearing select list (the
+    projection can collapse differently when the scalar is NULL),
+    dimension references inside a subquery-bearing item (HAVING may
+    reference SELECTED group columns only), unaliased subquery items,
+    row-value IN in HAVING."""
 
     base: Optional["QuerySpec"] = None
     scalars: list = field(default_factory=list)  # [[inner_spec, alias]]
     # ordered outputs: [[name, sql|None]] — None = passthrough base column
     final: list = field(default_factory=list)
     limit_spec: Optional[LimitSpec] = None  # lifted statement ORDER/LIMIT
-    # HAVING conjuncts carrying scalar subqueries: boolean SQL over base
-    # outputs (incl. hidden __sa* leaves) + scalar aliases, applied after
-    # the cross joins and BEFORE the final projection / lifted ORDER BY
+    # HAVING conjuncts carrying subqueries: boolean SQL over base outputs
+    # (incl. hidden __sa* leaves) + scalar aliases + __hm* marker flags +
+    # __hg* guard columns, applied after every join below and BEFORE the
+    # final projection / lifted ORDER BY
     post_filters: list = field(default_factory=list)
+    # HAVING membership arms (round 9): [[inner_spec, outer_sql,
+    # inner_key, marker]] — inner_spec's DISTINCT key set LEFT-joins the
+    # aggregated frame on outer_sql == key with a literal-true flag named
+    # marker (__hm{j}); key sets are NDV-bounded and AQE broadcast-
+    # converts small ones at runtime (no forced broadcast — a huge key
+    # set degrades to a shuffled hash join, never a cross product)
+    having_arms: list = field(default_factory=list)
+    # HAVING guard bundles (round 9): [GuardCond] with standalone=False —
+    # 1-row aggregate bundles broadcast-cross-joined; their conditions
+    # live inline in post_filters (polarity/OR composition comes free)
+    having_guards: list = field(default_factory=list)
     output_order: Optional[list] = None
 
 

@@ -272,11 +272,21 @@ def interval_predicate(backing: Backing, intervals: list[ir.Interval]) -> Column
         if iv.end is not None:
             preds.append(t < F.lit(iv.end).cast("timestamp"))
         if backing.month_col is not None:
+            # the partition value format follows the granularity the build's
+            # byte floor recorded in the manifest (index.PARTITION_FORMATS):
+            # 'yyyy-MM' dirs compare against 7-char prefixes, 'yyyy' against
+            # 4-char — a mismatch would silently prune valid partitions
+            gran = (
+                backing.index.config.partition_granularity
+                if backing.index is not None
+                else "month"
+            )
+            plen, pfmt = (4, "%Y") if gran == "year" else (7, "%Y-%m")
             if iv.start is not None:
-                preds.append(F.col(backing.month_col) >= iv.start[:7])
+                preds.append(F.col(backing.month_col) >= iv.start[:plen])
             if iv.end is not None:
                 end_dt = _parse_iso(iv.end) - timedelta(microseconds=1)
-                preds.append(F.col(backing.month_col) <= end_dt.strftime("%Y-%m"))
+                preds.append(F.col(backing.month_col) <= end_dt.strftime(pfmt))
         if not preds:
             continue
         p = preds[0]

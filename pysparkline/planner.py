@@ -644,11 +644,16 @@ def _month_survives(month: str, bounds: list) -> bool:
     from datetime import datetime
 
     try:
-        y, mo = month.split("-")
-        start = datetime(int(y), int(mo), 1)
-        end = datetime(
-            start.year + (start.month == 12), start.month % 12 + 1, 1
-        )
+        if "-" in month:
+            y, mo = month.split("-")
+            start = datetime(int(y), int(mo), 1)
+            end = datetime(
+                start.year + (start.month == 12), start.month % 12 + 1, 1
+            )
+        else:
+            # byte-floor-coarsened layout: a bare 'yyyy' year partition
+            start = datetime(int(month), 1, 1)
+            end = datetime(start.year + 1, 1, 1)
     except (ValueError, TypeError):
         return True
     for s, e in bounds:

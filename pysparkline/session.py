@@ -393,10 +393,48 @@ class OlapContext:
             bdf = bdf.crossJoin(
                 F.broadcast(sdf.select(F.col("__scalar").alias(alias)))
             )
+        for j, (inner, outer_sql, inner_key, marker) in enumerate(
+            spec.having_arms
+        ):
+            # HAVING membership arm (round 9): LEFT join the inner's
+            # DISTINCT key set onto the aggregated frame with a
+            # literal-true flag — distinct on the join key, so group rows
+            # never duplicate; AQE broadcast-converts NDV-bounded key
+            # sets at runtime (a huge set degrades to a shuffled hash
+            # join on the key — never a cross product). The post_filters
+            # below read the flag (coalesce(flag,false) / NOT ...).
+            if isinstance(inner, ir.BaseKeysQuery):
+                kdf = self._lower_base_keys(inner)
+                descs.append(f"hm:base[{inner.table}]")
+            else:
+                s2, b2, d2 = self.plan(inner)
+                kdf = lowering.lower(s2, b2)
+                descs.append(f"hm:{d2.backing}")
+            key_alias = f"__hk{j}"
+            kdf = kdf.select(F.col(inner_key).alias(key_alias)).withColumn(
+                marker, F.lit(True)
+            )
+            bdf = bdf.join(
+                kdf, F.expr(f"({outer_sql})") == F.col(key_alias), "left"
+            ).drop(key_alias)
+        for g in spec.having_guards:
+            # HAVING guard bundle (round 9): broadcast the 1-row aggregate
+            # bundle; its three-valued condition lives inline in the
+            # post_filters (GuardCond.standalone is False here)
+            if isinstance(g.inner, ir.BaseScalarQuery):
+                gdf = self._lower_base_scalar(g.inner)
+                descs.append(f"hg:base[{g.inner.table}]")
+            else:
+                s2, b2, d2 = self.plan(g.inner)
+                gdf = lowering.lower(s2, b2)
+                descs.append(f"hg:{d2.backing}")
+            bdf = bdf.crossJoin(
+                F.broadcast(gdf.select(*[F.col(c) for c in g.inner_cols]))
+            )
         for pf in spec.post_filters:
-            # HAVING conjuncts carrying scalar subqueries: filter over the
-            # joined frame before the projection (base outputs + hidden
-            # leaves + scalar aliases all visible here)
+            # HAVING conjuncts carrying subqueries: filter over the joined
+            # frame before the projection (base outputs + hidden leaves +
+            # scalar aliases + marker flags + guard columns all visible)
             bdf = bdf.where(F.expr(pf))
         out = bdf.select(
             *[

@@ -2761,6 +2761,69 @@ _QUANT_NEG = {
 }
 
 
+def _quant_bundle(
+    cmp: str, neg: bool, x_sql: str, item: dict, prefix: str
+) -> tuple[list, list, str]:
+    """Uncorrelated quantified-comparison aggregate bundle: ([(agg_node,
+    alias)], aliases, cond_sql) encoding the exact ANSI three-valued
+    semantics of ``[NOT] x <op> ANY (SELECT item ...)``. Shared by the
+    WHERE-side GuardCond (prefix ``__g{idx}``) and the round-9 HAVING
+    frame (prefix ``__hg{j}``) — the condition is pure SQL over the
+    aliases + ``x_sql``, so it filters any frame those columns join."""
+    g = [f"`{prefix}_{i}`" for i in range(4)]
+    if not neg:
+        if cmp in _QUANT_POS:
+            op, mm = _QUANT_POS[cmp]
+            items = [_fn_node(mm, item)]
+            cond = f"(({x_sql}) {op} {g[0]})"
+        elif cmp == "COMPARE_NOTEQUAL":
+            # x <> ANY(S): some non-null member differs from x — i.e. the
+            # set has >= 2 distinct non-null values, or its single value
+            # differs; NULL x never passes (every comparison is NULL)
+            items = [
+                _fn_node("count", dict(item)),
+                _fn_node("min", dict(item)),
+                _fn_node("max", dict(item)),
+            ]
+            cond = (
+                f"(({x_sql}) IS NOT NULL AND {g[0]} > 0"
+                f" AND ({g[1]} <> {g[2]} OR ({x_sql}) <> {g[1]}))"
+            )
+        else:
+            raise SQLFrontError(f"quantified subquery comparison {cmp}")
+    else:
+        if cmp in _QUANT_NEG:
+            op, mm = _QUANT_NEG[cmp]
+            items = [
+                _fn_node("count_star"),
+                _fn_node("count", dict(item)),
+                _fn_node(mm, item),
+            ]
+            # empty set: ALL is vacuously TRUE (even for NULL x); any
+            # NULL member: nothing passes; else the complement comparison
+            cond = (
+                f"({g[0]} = {g[1]}"
+                f" AND (({x_sql}) {op} {g[2]} OR {g[0]} = 0))"
+            )
+        elif cmp == "COMPARE_NOTEQUAL":
+            # x = ALL(S): empty set passes everything; else no NULL
+            # member, a single distinct value, and x equals it
+            items = [
+                _fn_node("count_star"),
+                _fn_node("count", dict(item)),
+                _fn_node("min", dict(item)),
+                _fn_node("max", dict(item)),
+            ]
+            cond = (
+                f"({g[0]} = 0 OR ({g[0]} = {g[1]}"
+                f" AND {g[2]} = {g[3]} AND ({x_sql}) = {g[2]}))"
+            )
+        else:
+            raise SQLFrontError(f"quantified subquery comparison {cmp}")
+    aliases = [f"{prefix}_{i}" for i in range(len(items))]
+    return list(zip(items, aliases)), aliases, cond
+
+
 def _parse_quantified_guard(
     s: dict,
     neg: bool,
@@ -2818,57 +2881,8 @@ def _parse_quantified_guard(
             star,
         )
     cmp = s.get("comparison_type")
-    g = [f"`__g{idx}_{i}`" for i in range(4)]
-    if not neg:
-        if cmp in _QUANT_POS:
-            op, mm = _QUANT_POS[cmp]
-            items = [_fn_node(mm, item)]
-            cond = f"(({x_sql}) {op} {g[0]})"
-        elif cmp == "COMPARE_NOTEQUAL":
-            # x <> ANY(S): some non-null member differs from x — i.e. the
-            # set has >= 2 distinct non-null values, or its single value
-            # differs; NULL x never passes (every comparison is NULL)
-            items = [
-                _fn_node("count", dict(item)),
-                _fn_node("min", dict(item)),
-                _fn_node("max", dict(item)),
-            ]
-            cond = (
-                f"(({x_sql}) IS NOT NULL AND {g[0]} > 0"
-                f" AND ({g[1]} <> {g[2]} OR ({x_sql}) <> {g[1]}))"
-            )
-        else:
-            raise SQLFrontError(f"quantified subquery comparison {cmp}")
-    else:
-        if cmp in _QUANT_NEG:
-            op, mm = _QUANT_NEG[cmp]
-            items = [
-                _fn_node("count_star"),
-                _fn_node("count", dict(item)),
-                _fn_node(mm, item),
-            ]
-            # empty set: ALL is vacuously TRUE (even for NULL x); any
-            # NULL member: nothing passes; else the complement comparison
-            cond = (
-                f"({g[0]} = {g[1]}"
-                f" AND (({x_sql}) {op} {g[2]} OR {g[0]} = 0))"
-            )
-        elif cmp == "COMPARE_NOTEQUAL":
-            # x = ALL(S): empty set passes everything; else no NULL
-            # member, a single distinct value, and x equals it
-            items = [
-                _fn_node("count_star"),
-                _fn_node("count", dict(item)),
-                _fn_node("min", dict(item)),
-                _fn_node("max", dict(item)),
-            ]
-            cond = (
-                f"({g[0]} = 0 OR ({g[0]} = {g[1]}"
-                f" AND {g[2]} = {g[3]} AND ({x_sql}) = {g[2]}))"
-            )
-        else:
-            raise SQLFrontError(f"quantified subquery comparison {cmp}")
-    aliases = [f"__g{idx}_{i}" for i in range(len(items))]
+    pairs_items, aliases, cond = _quant_bundle(cmp, neg, x_sql, item, f"__g{idx}")
+    items = [n for n, _ in pairs_items]
     inner = _build_inner_aggs(
         inner_node,
         list(zip(items, aliases)),
@@ -3391,6 +3405,7 @@ def _extract_select_scalars(
     final: list = []
     new_sel: list = []
     passthrough: set = set()
+    passthrough_src: dict = {}  # source column -> output alias (COLUMN_REF items)
     # textually identical subqueries / aggregate leaves share one slot
     # (the share-of-total shape repeats the grand total per item)
     scalar_memo: dict = {}
@@ -3428,10 +3443,15 @@ def _extract_select_scalars(
                 return _colref(alias)
             if n.get("class") == "COLUMN_REF":
                 # a HAVING conjunct may reference a SELECTED group column
-                # (it survives into the joined frame); anything else has
-                # no slot in the deferred projection — decline
-                if allow_cols and n["column_names"][-1] in passthrough:
-                    return _colref(n["column_names"][-1])
+                # (it survives into the joined frame) — by its output name
+                # or, for plain aliased column items, its SOURCE name
+                # (``SELECT k AS g ... HAVING k IN (...)``); anything else
+                # has no slot in the deferred projection — decline
+                nm = n["column_names"][-1]
+                if allow_cols and nm in passthrough:
+                    return _colref(nm)
+                if allow_cols and nm in passthrough_src:
+                    return _colref(passthrough_src[nm])
                 raise SQLFrontError(
                     "dimension reference in a scalar-subquery item"
                 )
@@ -3456,6 +3476,8 @@ def _extract_select_scalars(
             new_sel.append(it)
             final.append([name, None])
             passthrough.add(name)
+            if it.get("class") == "COLUMN_REF":
+                passthrough_src[it["column_names"][-1]] = name
             continue
         name = it.get("alias")
         if not name:
@@ -3463,9 +3485,166 @@ def _extract_select_scalars(
         it2 = copy.deepcopy(it)
         it2["alias"] = ""
         final.append([name, render(rewrite(it2))])
-    # HAVING conjuncts carrying scalar subqueries become post-filters over
-    # the joined frame (base outputs + hidden leaves + scalar aliases);
-    # subquery-free conjuncts stay in the base statement's HAVING
+    # HAVING conjuncts carrying subqueries become post-filters over the
+    # joined frame (base outputs + hidden leaves + scalar aliases +
+    # round-9 marker flags / guard columns); subquery-free conjuncts stay
+    # in the base statement's HAVING
+    having_arms: list = []
+    having_guards: list = []
+
+    def having_atom(s2: dict, negated: bool) -> str:
+        """One non-scalar subquery atom in a HAVING conjunct -> its inline
+        SQL over the joined frame: [NOT] IN becomes a marker LEFT join of
+        the inner's DISTINCT key set (plus the exact NULL-semantics count
+        guard for NOT IN), [NOT] EXISTS a count(*) bundle, quantified
+        ANY/ALL the shared _quant_bundle. All inners must be UNCORRELATED
+        — HAVING correlation binds to the outer's groups, which this
+        machinery does not model; decline to the fallback."""
+        sq = s2.get("subquery_type")
+        inner_node = (s2.get("subquery") or {}).get("node") or {}
+        if inner_node.get("type") != "SELECT_NODE":
+            raise SQLFrontError("set-operation subquery in HAVING")
+        tables, pairs, inner_cols, scope = _subquery_scope(
+            inner_node, fact_table, star, outer_quals
+        )
+        if inner_cols is None and star is not None and len(star.tables) > 1:
+            raise SQLFrontError(
+                "star carries no column lists: cannot verify the HAVING "
+                "subquery is uncorrelated"
+            )
+        wc2 = inner_node.get("where_clause")
+        sel2 = inner_node.get("select_list") or []
+        if (wc2 is not None and scope.has_outer(wc2)) or any(
+            scope.has_outer(it) for it in sel2
+        ):
+            # correlated HAVING subquery: the correlation would bind to
+            # the post-aggregation groups — outside this machinery
+            raise SQLFrontError("correlated subquery in HAVING")
+        if sq == "EXISTS":
+            j = len(having_guards)
+            alias = f"__hg{j}_0"
+            ginner = _build_inner_aggs(
+                inner_node,
+                [(_fn_node("count_star"), alias)],
+                [],
+                tables, pairs, wc2, time_col, fact_table, star,
+            )
+            having_guards.append(
+                ir.GuardCond(
+                    inner=ginner, inner_cols=[alias], cond_sql="",
+                    standalone=False,
+                )
+            )
+            op = "=" if negated else ">"
+            return f"(coalesce(`{alias}`, 0) {op} 0)"
+        if sq != "ANY":
+            raise SQLFrontError(f"HAVING subquery type {sq}")
+        child = s2.get("child") or {}
+        # lhs over the joined frame: aggregate subtrees -> hidden __sa*
+        # leaves, SELECTED group columns pass through; anything else has
+        # no slot in the deferred projection and declines inside rewrite
+        lhs_sql = render(rewrite(copy.deepcopy(child), allow_cols=True))
+        cmp = s2.get("comparison_type")
+        if len(sel2) != 1:
+            raise SQLFrontError("HAVING subquery must select one item")
+        item = dict(sel2[0])
+        item["alias"] = ""
+        for ref in _refs_of(item):
+            if scope.side(ref) != "inner":
+                raise SQLFrontError("HAVING subquery selects an outer column")
+        if cmp == "COMPARE_EQUAL":
+            is_col = sel2[0].get("class") == "COLUMN_REF"
+            if is_col:
+                inner_key = sel2[0]["column_names"][-1]
+                key_items = None
+            else:
+                render(sel2[0])  # raises on unsupported expressions
+                inner_key = "__k0"
+                item0 = dict(sel2[0])
+                item0["alias"] = ""
+                key_items = [(item0, "__k0")]
+            keyset = _build_inner_keyset(
+                inner_node,
+                [inner_key] if is_col else [],
+                tables, pairs, wc2, time_col, fact_table, star,
+                key_items=key_items,
+            )
+            j = len(having_arms)
+            marker = f"__hm{j}"
+            having_arms.append([keyset, lhs_sql, inner_key, marker])
+            if not negated:
+                # IN in filter context: UNKNOWN (NULL lhs / no match)
+                # collapses to FALSE — exactly what the missing-flag
+                # coalesce does
+                return f"coalesce(`{marker}`, false)"
+            # NOT IN: three-valued guard (one NULL member empties the
+            # result; NULL lhs survives only an EMPTY set) AND no match
+            k = len(having_guards)
+            g0a, g1a = f"__hg{k}_0", f"__hg{k}_1"
+            key_node = _colref(inner_key) if is_col else dict(key_items[0][0])
+            ginner = _build_inner_aggs(
+                inner_node,
+                [
+                    (_fn_node("count_star"), g0a),
+                    (_fn_node("count", key_node), g1a),
+                ],
+                [],
+                tables, pairs, wc2, time_col, fact_table, star,
+            )
+            having_guards.append(
+                ir.GuardCond(
+                    inner=ginner, inner_cols=[g0a, g1a], cond_sql="",
+                    standalone=False,
+                )
+            )
+            return (
+                f"(`{g0a}` = `{g1a}`"
+                f" AND (({lhs_sql}) IS NOT NULL OR `{g0a}` = 0)"
+                f" AND NOT coalesce(`{marker}`, false))"
+            )
+        # quantified [NOT] <op> ANY — the ALL family arrives as NOT + the
+        # complement op (DuckDB's rewrite), same as the WHERE side
+        j = len(having_guards)
+        pairs_items, aliases, cond = _quant_bundle(
+            cmp, negated, lhs_sql, item, f"__hg{j}"
+        )
+        ginner = _build_inner_aggs(
+            inner_node, pairs_items, [],
+            tables, pairs, wc2, time_col, fact_table, star,
+        )
+        having_guards.append(
+            ir.GuardCond(
+                inner=ginner, inner_cols=aliases, cond_sql="",
+                standalone=False,
+            )
+        )
+        return cond
+
+    def walk_having(n: dict) -> str:
+        """Render a HAVING conjunct with subquery atoms replaced by marker
+        flags / inline guard conditions (the post-aggregation analog of
+        the WHERE side's walk_or). Non-scalar atoms may appear only in
+        positive boolean positions or directly under NOT — inside those,
+        UNKNOWN-to-FALSE collapsing is row-set-preserving in filter
+        context; scalar comparisons keep the existing rewrite path."""
+        cls = n.get("class")
+        if cls == "SUBQUERY" and n.get("subquery_type") != "SCALAR":
+            return having_atom(n, False)
+        if cls == "CONJUNCTION":
+            op = " AND " if n.get("type") == "CONJUNCTION_AND" else " OR "
+            return "(" + op.join(walk_having(x) for x in n["children"]) + ")"
+        if cls == "OPERATOR" and n.get("type") == "OPERATOR_NOT":
+            ch = n.get("children") or []
+            if (
+                len(ch) == 1
+                and ch[0].get("class") == "SUBQUERY"
+                and ch[0].get("subquery_type") != "SCALAR"
+            ):
+                return having_atom(ch[0], True)
+        # scalar subqueries (inside comparisons/expressions) and plain
+        # subtrees: the existing deferred-projection rewrite
+        return render(rewrite(n, allow_cols=True))
+
     post_filters: list = []
     new_having = None
     if having_sub:
@@ -3474,7 +3653,7 @@ def _extract_select_scalars(
             if not _contains_subquery(c):
                 keep.append(c)
                 continue
-            post_filters.append(render(rewrite(c, allow_cols=True)))
+            post_filters.append(walk_having(c))
         new_having = _and_node(keep)
     if not new_sel and not hidden:
         # a pure-constant select over a row-grain FROM (one output row per
@@ -3493,7 +3672,7 @@ def _extract_select_scalars(
     node2["modifiers"] = []
     if having_sub:
         node2["having"] = new_having
-    return node2, scalars, final, ls, post_filters
+    return node2, scalars, final, ls, post_filters, having_arms, having_guards
 
 
 def _parse_semijoin(
@@ -3745,7 +3924,7 @@ def _parse_select(
 
     ext = _extract_select_scalars(node, time_col, fact_table, star)
     if ext is not None:
-        node2, scalars, final, ls, post_filters = ext
+        node2, scalars, final, ls, post_filters, h_arms, h_guards = ext
         base = _parse_select(node2, time_col, fact_table, star)
         return ir.ScalarSelectQuery(
             base=base,
@@ -3753,6 +3932,8 @@ def _parse_select(
             final=final,
             limit_spec=ls,
             post_filters=post_filters,
+            having_arms=h_arms,
+            having_guards=h_guards,
             output_order=[n for n, _ in final],
         )
 

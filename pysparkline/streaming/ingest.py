@@ -176,10 +176,20 @@ class StreamingIngest:
             n = batch_df.count()
             if n == 0:
                 return
-            # 1. flat rows, partitioned by the month bucket (partition-pruned
-            #    reads keep working on the appended data)
+            # 1. flat rows, partitioned by the time bucket the BUILD chose
+            #    (manifest-recorded granularity — a month-format append into
+            #    a year-partitioned layout would fork the directory scheme);
+            #    partition-pruned reads keep working on the appended data
+            from ..index import PARTITION_FORMATS
+
             flat = batch_df.withColumn(
-                MONTH_COL, F.date_format(F.col(t), "yyyy-MM")
+                MONTH_COL,
+                F.date_format(
+                    F.col(t),
+                    PARTITION_FORMATS.get(
+                        cfg.partition_granularity, "yyyy-MM"
+                    ),
+                ),
             )
             flat.write.mode("append").partitionBy(MONTH_COL).parquet(
                 os.path.join(self.index.path, "flat")
@@ -356,11 +366,24 @@ class StreamingIngest:
         if not months:
             return 0
 
-        n_files = max(1, cfg.files_per_time_partition)
+        from ..index import effective_files_per_partition
+
         for m in months:
             mdir = os.path.join(flat_root, f"{MONTH_COL}={m}")
+            # byte floor applied EXACTLY here (no probe needed): the month's
+            # compressed bytes are on disk — compaction merges accumulated
+            # small batch files up to the configured count only when the
+            # month actually holds enough bytes for them
+            month_bytes = sum(
+                os.path.getsize(os.path.join(mdir, f))
+                for f in os.listdir(mdir)
+                if f.endswith(".parquet")
+            )
+            n_files = effective_files_per_partition(cfg, month_bytes)
             df = spark.read.parquet(mdir)
-            out = cluster_for_layout(df, cfg, n_files)
+            out = cluster_for_layout(
+                df, cfg, n_files, files_per_partition=n_files
+            )
             tmp = os.path.join(idx.path, f"_compact_flat__{m}")
             out.write.mode("overwrite").option(
                 "maxRecordsPerFile", 5_000_000

@@ -182,8 +182,14 @@ def tpch_index_config() -> IndexConfig:
         zorder_cols=["c_mktsegment", "l_returnflag", "o_orderdate"],
         # 32 z-buckets per time partition = 5 interleaved prefix bits of
         # per-file resolution across the three z dims (aligned buckets:
-        # q10's flag+date filters keep ~8% of files, q3 ~12%). File COUNT
-        # scales with partitions, not data — size stays writer-bounded.
+        # q10's flag+date filters keep ~8% of files, q3 ~12% — at scales
+        # where months hold 32+ × target_file_bytes). The default 64 MB
+        # byte floor (IndexConfig.target_file_bytes) caps the EFFECTIVE
+        # count when months are smaller: at bench SF the old fixed count
+        # manufactured 1992 × 48 KB files whose per-file reader init was
+        # ~100% of flat-query task time (BENCH_r08/VERDICT r8 #1); floored,
+        # small months become one z-sorted file each and intra-month
+        # pruning moves to parquet row-group/page (column-index) stats.
         files_per_time_partition=32,
         cubes=[
             CubeSpec("flags", ("l_returnflag", "l_linestatus"), "day"),
@@ -219,11 +225,16 @@ DEFAULT_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".
 
 
 def build_or_load_index(
-    spark: SparkSession, sf_dir: str, cache_root: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cache_root: str | None = None,
+    config: IndexConfig | None = None,
 ) -> OlapIndex:
     """Build the TPC-H OLAP index for ``sf_dir`` once; reuse from cache after.
 
     Cache key = sf_dir + config, so config changes invalidate cleanly.
+    ``config`` overrides the default layout (tests pinning fine-slice
+    pruning ratios pass a floor-free variant).
     """
     from .index import cached_build_or_load
 
@@ -237,7 +248,7 @@ def build_or_load_index(
         sf_dir,
         cache_root or DEFAULT_CACHE_ROOT,
         "tpch",
-        tpch_index_config(),
+        config or tpch_index_config(),
         flat_fn,
         star=tpch_star(tables),
     )

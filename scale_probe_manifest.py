@@ -134,6 +134,10 @@ def main() -> None:
     cfg.theta_specs = []
     cfg.hist_specs = []
     cfg.files_per_time_partition = 2048
+    # this arm probes MANIFEST scalability (2048 manifest rows/partition at
+    # sf0.001 stands in for a 100 TB month's file count) — the byte floor
+    # would correctly collapse such tiny slices, so it is disabled here
+    cfg.target_file_bytes = 0
 
     tmp = tempfile.mkdtemp(prefix="manifest_probe_")
     try:

@@ -27,6 +27,18 @@ def ctx(spark):
     return OlapContext(spark, tpch.build_or_load_index(spark, SF_DIR))
 
 
+@pytest.fixture(scope="module")
+def fine_ctx(spark):
+    """TPC-H index with the byte floor DISABLED: at sf0.001 the production
+    config (64 MB target) collapses each month to one file, so per-month
+    fine-slice keep ratios — the layout property that matters at scales
+    where months hold many × target bytes — are only observable on a
+    floor-free build."""
+    cfg = tpch.tpch_index_config()
+    cfg.target_file_bytes = 0
+    return OlapContext(spark, tpch.build_or_load_index(spark, SF_DIR, config=cfg))
+
+
 # ------------------------------------------------------------- driver-side unit
 
 
@@ -132,9 +144,12 @@ def test_q3_shape_prunes_and_matches_full_scan(ctx):
     assert got == want and got
 
 
-def test_prune_fraction_is_material(ctx):
+def test_prune_fraction_is_material(fine_ctx):
     """The clustered layout must make the segment selector selective: the
-    kept-file fraction stays under half of the interval-only baseline."""
+    kept-file fraction stays under half of the interval-only baseline.
+    Runs on the floor-free build — the production config's multi-file
+    regime only engages when months exceed target_file_bytes."""
+    ctx = fine_ctx
     spec = _q3_spec()
     files, total = planner.prune_flat_files(ctx.index, spec)
     iv_only = ir.GroupByQuery(
@@ -341,6 +356,7 @@ def test_zorder_prunes_on_every_dimension(spark, tmp_path):
         metrics=[MetricSpec("v_sum", "v", "sum")],
         zorder_cols=["a", "b"],
         files_per_time_partition=16,
+        target_file_bytes=0,  # pin the fine-slice property at test scale
     )
     idx = OlapIndex.build(spark, df, cfg, str(tmp_path / "zidx"))
 
@@ -379,6 +395,130 @@ def test_zorder_prunes_on_every_dimension(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_effective_files_per_partition_floor():
+    """Byte floor unit contract (VERDICT r8 #1): configured count governs at
+    scale, collapses toward 1 file when partitions are small, off switch
+    and unknown sizes preserve the configured count."""
+    from pysparkline.index import IndexConfig, effective_files_per_partition
+
+    cfg = IndexConfig(time_col="ts", files_per_time_partition=32)
+    t = cfg.target_file_bytes
+    assert t == 64 << 20
+    # 100 TB regime: a month holds thousands x target -> configured count
+    assert effective_files_per_partition(cfg, 4096 * t) == 32
+    # floor binds: 1.5 MB month -> one file
+    assert effective_files_per_partition(cfg, 1.5 * (1 << 20)) == 1
+    # partial bind: ~3 x target -> 3 files
+    assert effective_files_per_partition(cfg, 3.2 * t) == 3
+    # unknown bytes / disabled floor -> configured count
+    assert effective_files_per_partition(cfg, None) == 32
+    cfg.target_file_bytes = 0
+    assert effective_files_per_partition(cfg, 1024) == 32
+
+
+def test_choose_partition_granularity():
+    """Directory-grain floor: months below target coarsen to year; the
+    100 TB regime, explicit year configs, unknown sizes, and a disabled
+    floor all keep the configured granularity."""
+    from pysparkline.index import IndexConfig, choose_partition_granularity
+
+    cfg = IndexConfig(time_col="ts")
+    t = cfg.target_file_bytes
+    # 100 TB regime: months hold many x target -> stays monthly
+    assert choose_partition_granularity(cfg, 1200 * 100 * t, 1200, 100) == "month"
+    # bench regime: 96 MB over 62 months -> year
+    assert choose_partition_granularity(cfg, 96 << 20, 62, 7) == "year"
+    # coarsening that wouldn't reduce partition count is pointless
+    assert choose_partition_granularity(cfg, 1 << 20, 3, 3) == "month"
+    # unknown bytes -> conservative keep
+    assert choose_partition_granularity(cfg, None, 62, 7) == "month"
+    cfg.target_file_bytes = 0
+    assert choose_partition_granularity(cfg, 96 << 20, 62, 7) == "month"
+    cfg2 = IndexConfig(time_col="ts", partition_granularity="year")
+    assert choose_partition_granularity(cfg2, 96 << 20, 62, 7) == "year"
+
+
+def test_byte_floor_collapses_small_partitions(spark, tmp_path):
+    """End-to-end: a z-order build over months far below target_file_bytes
+    coarsens the time partitioning month->year AND writes ONE file per
+    partition (not files_per_time_partition); answers — including
+    interval-filtered ones, which exercise the year-format partition
+    predicates — match row-grain evaluation."""
+    from pysparkline.index import IndexConfig, MetricSpec, OlapIndex
+
+    df = spark.range(0, 20_000).select(
+        F.to_timestamp(
+            F.when(F.col("id") % 4 == 0, F.lit("2023-11-15")).otherwise(
+                F.concat(
+                    F.lit("2024-0"), (F.col("id") % 3) + 1, F.lit("-15")
+                )
+            )
+        ).alias("ts"),
+        F.concat(F.lit("a"), F.pmod(F.hash(F.col("id")), 5)).alias("a"),
+        (F.col("id") % 100).alias("v"),
+    )
+    cfg = IndexConfig(
+        time_col="ts",
+        metrics=[MetricSpec("v_sum", "v", "sum")],
+        zorder_cols=["a"],
+        files_per_time_partition=16,
+    )
+    idx = OlapIndex.build(spark, df, cfg, str(tmp_path / "floored"))
+    assert idx.config.partition_granularity == "year"
+    by_part: dict[str, int] = {}
+    for f in idx.flat_input_files():
+        m = f.split("__month=")[1].split("/")[0]
+        by_part[m] = by_part.get(m, 0) + 1
+    assert sorted(by_part) == ["2023", "2024"], by_part
+    assert all(n == 1 for n in by_part.values()), by_part
+    ctx = OlapContext(spark, idx, fact_name="floored")
+    spec = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("a")],
+        filter=ir.SelectorFilter("a", "a1"),
+        aggregations=[ir.CountAgg("n"), ir.FieldAgg("sum", "sv", "v")],
+    )
+    got = sorted(map(tuple, ctx.query(spec).collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.where(F.col("a") == "a1")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect(),
+        )
+    )
+    assert got == want and got
+    # interval crossing the year boundary: the 'yyyy' partition predicate
+    # must keep BOTH year dirs (a month-format comparison would silently
+    # drop 2024) and the time filter must still apply exactly
+    spec_iv = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("a")],
+        intervals=[ir.Interval("2023-12-01", "2024-02-20")],
+        aggregations=[ir.CountAgg("n"), ir.FieldAgg("sum", "sv", "v")],
+    )
+    got_iv = sorted(map(tuple, ctx.query(spec_iv).collect()))
+    want_iv = sorted(
+        map(
+            tuple,
+            df.where(
+                (F.col("ts") >= "2023-12-01") & (F.col("ts") < "2024-02-20")
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect(),
+        )
+    )
+    assert got_iv == want_iv and got_iv
+    # and a pre-range interval prunes the 2024 partition entirely
+    spec_old = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("a")],
+        intervals=[ir.Interval(None, "2023-12-01")],
+        aggregations=[ir.CountAgg("n")],
+    )
+    res = planner.prune_flat_files(idx, spec_old)
+    assert res is not None and len(res[0]) < res[1]
 
 
 def test_zvalue_column_order_preserving(spark):
@@ -505,6 +645,7 @@ def test_compact_flat_restores_pruning(spark, tmp_path):
         metrics=[MetricSpec("v_sum", "v", "sum")],
         zorder_cols=["a"],
         files_per_time_partition=8,
+        target_file_bytes=0,  # pin the fine-slice property at test scale
     )
     idx = OlapIndex.build(spark, mk(0, 8000), cfg, str(tmp_path / "cidx"))
     ing = StreamingIngest(idx)
