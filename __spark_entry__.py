@@ -82,18 +82,25 @@ _ORACLES: dict[str, str] = {}
 # compiled-DataFrame memo: repeated invocations of the same query reuse the
 # analyzed/optimized plan (execution still runs per collect) — Catalyst
 # analysis of a freshly built plan costs ~0.3-0.5 s of pure driver latency,
-# which would otherwise dominate sub-second queries in bench loops
+# which would otherwise dominate sub-second queries in bench loops.
+# BOUNDED (VERDICT r8 #4 nit): keyed by (name, session, sf_dir), so a
+# long-lived process cycling sf_dirs/sessions would otherwise grow it
+# without limit; LRU-evict past _DF_CACHE_MAX (dict preserves insertion
+# order — move-to-end on hit makes the front the least recent).
 _DF_CACHE: dict[tuple, DataFrame] = {}
+_DF_CACHE_MAX = 4 * 200  # ~4 (sf_dir, session) contexts x registry size
 
 
 def _register(name: str, oracle: str | None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (name, spark, os.path.abspath(sf_dir))
-            df = _DF_CACHE.get(key)
+            df = _DF_CACHE.pop(key, None)
             if df is None:
                 df = fn(spark, sf_dir)
-                _DF_CACHE[key] = df
+                while len(_DF_CACHE) >= _DF_CACHE_MAX:
+                    _DF_CACHE.pop(next(iter(_DF_CACHE)))
+            _DF_CACHE[key] = df
             return df
 
         wrapped.__name__ = fn.__name__
@@ -4876,6 +4883,96 @@ def sql_having_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_HAVING_IN = """
+SELECT l_returnflag AS flag,
+       CAST(SUM(l_quantity) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY l_returnflag
+HAVING l_returnflag IN (SELECT DISTINCT l_returnflag FROM lineitem
+                        WHERE l_quantity > 45)
+   AND COUNT(*) > 10
+ORDER BY flag
+"""
+
+
+@_register("sql_having_in", _SQL_HAVING_IN)
+def sql_having_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING membership subquery (round 9, VERDICT r8 #3) — the group
+    key filtered against a subquery's key set AFTER aggregation. The arm
+    LEFT-joins the inner's DISTINCT key set onto the aggregated frame
+    with a marker flag (ir.ScalarSelectQuery.having_arms) and the HAVING
+    conjunct renders as coalesce(flag, false) — exact in filter context;
+    the subquery-free conjunct stays in the base HAVING. The reference
+    never served HAVING subqueries at all (SURVEY.md §2 'notably
+    absent'); this reuses the WHERE-side key-set machinery against the
+    post-aggregation frame."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_HAVING_IN)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("scalarselect[") and "hm:" in backing, (
+        f"HAVING IN must be marker-join accelerated, got {backing}"
+    )
+    return out
+
+
+_SQL_HAVING_EXISTS = """
+SELECT l_linestatus AS st,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_linestatus
+HAVING EXISTS (SELECT 1 FROM orders WHERE o_orderpriority = '1-URGENT')
+   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_totalprice > 1e12)
+ORDER BY st
+"""
+
+
+@_register("sql_having_exists", _SQL_HAVING_EXISTS)
+def sql_having_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING [NOT] EXISTS (round 9, VERDICT r8 #3): uncorrelated
+    existence tests gate the whole result set — each lowers as a
+    broadcast 1-row count(*) bundle (having_guards) whose condition
+    renders inline into the post-filter; correlated forms decline to the
+    always-correct fallback (decline-tested in
+    tests/test_having_subquery.py)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_HAVING_EXISTS)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("scalarselect[") and backing.count("hg:") == 2, (
+        f"HAVING EXISTS must be guard-accelerated, got {backing}"
+    )
+    return out
+
+
+_SQL_CORR_QUANT = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_quantity >= ALL (SELECT l2.l_quantity FROM lineitem l2
+                         WHERE l2.l_orderkey = lineitem.l_orderkey)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_corr_quant", _SQL_CORR_QUANT)
+def sql_corr_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated quantified comparison (VERDICT r8 #6 driver row) — 'is
+    this line the max-quantity line of its order': DuckDB rewrites
+    `x >= ALL(S)` to NOT(x < ANY(S)); the per-group guard
+    (ir.CorrScalarCond in guard form) computes count(*)/count(item)/max
+    PER correlation key (l_orderkey), LEFT-joins the scan on the key and
+    filters with coalesced counts so an empty group passes vacuously.
+    Spark cannot PARSE ALL quantifiers — engine surface beyond the
+    fallback."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_CORR_QUANT)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("semijoin[") and "corrguard:" in backing, (
+        f"correlated ALL must per-group-guard accelerate, got {backing}"
+    )
+    return out
+
+
 _SQL_QUANTIFIED = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
@@ -6401,101 +6498,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
-# each round. Round 8's window (verdict-freshness rotation, VERDICT r7 #3):
-# (a0) the 7 rows from the round-8 CONTINUATION session (newest machinery
-#     first): sql_corr_in / sql_not_in / sql_corr_not_in / sql_quantified
-#     / sql_corr_scalar / sql_share_of_total / sql_or_subqueries —
-#     correlated IN, guarded NOT IN (global and PER-GROUP guards), ALL
-#     quantifiers, the Q17 correlated-scalar decorrelation, SELECT-list
-#     scalar subqueries (share-of-total), and subqueries under OR
-#     (marker joins). They displace boilerplate_prune_docs /
-#     bpe_tokens_docs / chunk_docs / json_props / lang_id_docs /
-#     length_quantiles_docs / pii_redact_docs (r5-verdicted) past the
-#     boundary; those seven head the next rotation with sql_having_scalar;
-# (a) the 5 rows NEW this round (never-verified beats stale-verified):
-#     sql_in_subquery / sql_exists_semi / sql_not_exists_anti /
-#     sql_scalar_subquery — the WHERE-subquery semi-join + lazy-scalar
-#     acceleration — and image_features_hier (hierarchical JPEG, Annex J);
-# (b) the ENTIRE remaining r4-verdicted cohort (17 rows, 4 rounds old —
-#     VERDICT r7 #3 named 16; ngram_jaccard_docs is the 17th r4 row and
-#     rotates with them), so after this window no registered row carries a
-#     verdict older than r5: ngram_jaccard_docs, text_stats_docs,
-#     doc_fingerprint, dedup_exact_docs, minhash_pairs_docs,
-#     sessionize_stats, funnel_events, spatial_bounds, tz_daily_revenue,
-#     sql_select_scan, sql_subquery, skew_salted_distinct,
-#     sql_latest_per_key, events_15min, topn_monthly_brand,
-#     running_totals_user, avg_null_aware;
-# (c) rows whose CODE changed this round: the cosine_similarity_col
-#     per-factor norm floor (ADVICE r8 #1) feeds cosine_topk, ivf_topk,
-#     lsh_cosine_topk, embedding_neardup, semantic_dedup_emb (all
-#     r6-verdicted — they re-verify now), and the TextIndex legacy-manifest
-#     exactness change feeds text_index_topk (r5);
-# (d) the r5-verdicted cohort by registration order fills the remaining
-#     slots. The 23 r5 rows that did not fit (quality_docs and
-#     repetition_stats_docs — displaced by the two late-round new rows —
-#     plus simhash_pairs_docs,
-#     sql_count_distinct, sql_cte, sql_distinct, sql_grouping_fns,
-#     sql_having_postagg, sql_quantile, sql_rollup, stratified_sample_docs,
-#     time_parse_reformat, topn_low_brand, tz_format_dim, ym_format_dim,
-#     frame_sample, mix_sources_docs, search_strlen, theta_error_small_k,
-#     bm25_topk_docs, hash_split_docs, source_overlap_docs,
-#     lookup_dim_market) head the NEXT rotation; each runs typed+ordered
-#     against its oracle every pytest (tests/test_entry_oracle.py), and
-#     their machinery is exercised in-window (windows via the r4
-#     sql_window rows, theta via semantic/dedup rows, grouping-set
-#     lowering via rollup/cube rows verified r7).
+# each round. Round 9's window (verdict-freshness rotation, VERDICT r8 #4):
+# (a) the 6 never-driver-verified rows first: dsir_select_docs /
+#     nb_classify_docs / sql_having_scalar (registered late in r8, below
+#     that round's full window) and the three NEW r9 rows —
+#     sql_having_in / sql_having_exists (HAVING-clause subquery
+#     acceleration, VERDICT r8 #3) and sql_corr_quant (correlated
+#     quantified ALL, VERDICT r8 #6);
+# (b) the ENTIRE r5-verdicted cohort (30 rows — the 23 queued in TODO.md
+#     "Round-9 rotation" plus the 7 displaced by r8's continuation rows:
+#     boilerplate_prune_docs, bpe_tokens_docs, chunk_docs, json_props,
+#     lang_id_docs, length_quantiles_docs, pii_redact_docs), so after
+#     this window no registered row's driver verdict is older than r6;
+# (c) 14 r6-verdicted rows whose BACKING LAYOUT changed this round (the
+#     byte-aware file floor + month->year partition coarsening rewrote
+#     the flat layout under every index): the TPC-H headliners q1 / q3 /
+#     q5 / q7 / q8 / q10 / q1_month / sql_q1 / basic_agg / sql_star_join
+#     and the events-index rows events_hourly / events_daily_types /
+#     events_hist_p90 / events_user_distinct.
+# The 28 remaining r6 rows head the r10 rotation (TODO.md); each runs
+# typed+ordered against its oracle every pytest regardless
+# (tests/test_entry_oracle.py).
 _PRIORITY = [
-    "sql_corr_in",
-    "sql_not_in",
-    "sql_corr_not_in",
-    "sql_quantified",
-    "sql_corr_scalar",
-    "sql_share_of_total",
-    "sql_or_subqueries",
-    "sql_in_subquery",
-    "sql_exists_semi",
-    "sql_not_exists_anti",
-    "sql_scalar_subquery",
-    "image_features_hier",
-    "ngram_jaccard_docs",
-    "text_stats_docs",
-    "doc_fingerprint",
-    "dedup_exact_docs",
-    "minhash_pairs_docs",
-    "sessionize_stats",
-    "funnel_events",
-    "spatial_bounds",
-    "tz_daily_revenue",
-    "sql_select_scan",
-    "sql_subquery",
-    "skew_salted_distinct",
-    "sql_latest_per_key",
-    "events_15min",
-    "topn_monthly_brand",
-    "running_totals_user",
-    "avg_null_aware",
-    "cosine_topk",
-    "ivf_topk",
-    "lsh_cosine_topk",
-    "embedding_neardup",
-    "semantic_dedup_emb",
-    "text_index_topk",
-    "sql_multi_interval",
-    "ship_date_range",
-    "sql_window_filter_distinct",
-    "sql_window_range_desc",
-    "audio_features",
-    "sql_window_range",
-    "pack_docs",
-    "shard_docs",
-    "image_features",
-    "sql_window_lag_nulls",
-    "sql_window_rowgrain",
-    "select_pushdown",
-    "temperature_mix_docs",
-    "vocab_topk_docs",
-    "sql_window_ma",
-    # --- 50-query window boundary ---
+    # (a) never-driver-verified
+    "dsir_select_docs",
+    "nb_classify_docs",
+    "sql_having_scalar",
+    "sql_having_in",
+    "sql_having_exists",
+    "sql_corr_quant",
+    # (b) the full r5 cohort
     "boilerplate_prune_docs",
     "bpe_tokens_docs",
     "chunk_docs",
@@ -6526,98 +6558,21 @@ _PRIORITY = [
     "hash_split_docs",
     "source_overlap_docs",
     "lookup_dim_market",
-    "approx_topn_supplier",
-    "sql_window_exclude",
-    "substring_dup_docs",
-    "incremental_substring_docs",
-    "ivf_append_topk",
-    "image_dhash_pairs",
-    "audio_fp_pairs",
-    "video_dhash_pairs",
-    "profile_lineitem",
-    "image_features_progressive",
-    "snapshot_diff_docs",
-    "token_budget_docs",
-    "canonical_docs",
-    "sql_window_sum_distinct",
-    "incremental_dedup_docs",
-    "sql_window_share",
-    "sql_window_mom",
-    "perplexity_docs",
-    "pq_topk",
-    "curate_docs",
-    "tfidf_docs",
-    "interval_join_events",
-    "ivfpq_index_topk",
-    "sql_q1",
-    "sql_star_join",
-    "theta_users_type",
-    "theta_retention_daily",
-    "theta_funnel_users",
-    "sql_theta",
-    "hll_count_distinct",
-    "events_hist_p90",
-    "events_user_distinct",
-    "events_daily_types",
-    "events_hourly",
+    # (c) r6 rows over the rewritten flat/events layouts
     "q1",
-    "q1_month",
-    "basic_agg",
     "q3",
     "q5",
     "q7",
     "q8",
     "q10",
-    "federated_rev_events",
-    "knn_join_probe_emb",
-    "hard_negatives_emb",
-    "length_batches_docs",
-    "image_features_arith",
-    "topk_per_group_docs",
-    "sql_union_arms",
-    "approx_topn_filtered",
-    "image_features_deep",
-    "q6",
-    "q14",
-    "q17",
-    "q18",
-    "ivf_index_topk",
-    "knn_join_emb",
-    "bpe_train_docs",
-    "events_15min_zero_fill",
-    "sql_window_nth",
-    "sql_qualify_topk",
-    "monthly_revenue",
-    "dim_filters",
-    "range_filters",
-    "in_null_not_filters",
-    "contains_regex_filters",
-    "filtered_agg",
-    "topn_brand",
-    "search_ptype",
-    "having_filter",
-    "count_distinct_exact",
-    "rollup_flags",
-    "cube_flags",
-    "year_volume",
-    "expr_dim_prefix",
-    "min_max_metrics",
-    "text_index_append_topk",
-    "weighted_sample_docs",
-    "lang_quality",
-    "semantic_decontam_emb",
-    "asof_event_purchase",
-    "grouped_topn_brands",
-    "fuzzy_join_docs",
-    "matryoshka_funnel_emb",
-    "dedup_clusters_docs",
-    "decontaminate_docs",
-    "embed_quantize_emb",
-    "matryoshka_topk_emb",
-    "quantized_topk_emb",
-    "hamming_topk_emb",
-    "bigram_nll_docs",
-    "hybrid_rrf_docs",
+    "q1_month",
+    "sql_q1",
+    "basic_agg",
+    "sql_star_join",
+    "events_hourly",
+    "events_daily_types",
+    "events_hist_p90",
+    "events_user_distinct",
 ]
 
 

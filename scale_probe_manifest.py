@@ -258,6 +258,50 @@ def main() -> None:
                     len(pr[0]) if pr else None
                 )
         out["driver_scaling"] = scaling
+
+        # ---- A2. real build at the DEFAULT byte-floored layout ----------
+        # (VERDICT r8 #5): the same 2-month slice under the production
+        # config — target_file_bytes active, so the floor collapses the
+        # tiny months (and may coarsen the partition grain). Reports the
+        # measured file count, keep ratios and pruning cost at the
+        # opposite file-count regime from arm A; intra-file pruning
+        # responsibility moves to parquet row-group/page stats there,
+        # which test_file_pruning's floored-build correctness pins.
+        cfg2 = tpch.tpch_index_config()
+        cfg2.cubes = []
+        cfg2.hll_cols = []
+        cfg2.theta_specs = []
+        cfg2.hist_specs = []
+        t0 = time.perf_counter()
+        idx2 = OlapIndex.build(spark, flat, cfg2, os.path.join(tmp, "idx2"))
+        floored: dict = {
+            "build_s": round(time.perf_counter() - t0, 2),
+            "n_files": len(idx2.flat_input_files()),
+            "partition_granularity": idx2.config.partition_granularity,
+        }
+        for name, f in [
+            ("q3", Q3_FILTER), ("q10", Q10_FILTER),
+            ("segment_only", SEG_FILTER), ("flag_only", FLAG_FILTER),
+        ]:
+            q = _probe_query(f)
+            t0 = time.perf_counter()
+            pr = planner.prune_flat_files(idx2, q)
+            ms = round((time.perf_counter() - t0) * 1e3, 1)
+            kept, total = pr if pr is not None else (
+                idx2.flat_input_files(), floored["n_files"]
+            )
+            floored[name] = {
+                "kept": len(kept), "total": total,
+                "keep_pct": round(100 * len(kept) / max(1, total), 1),
+                "prune_ms": ms,
+            }
+            got = (
+                planner._pruned_flat_df(idx2, kept)
+                .where(lowering_filter(f)).count()
+            )
+            want = idx2.flat_df().where(lowering_filter(f)).count()
+            assert got == want, (name, got, want)
+        out["byte_floored"] = floored
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
