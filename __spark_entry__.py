@@ -2843,6 +2843,55 @@ def image_features_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_features_webp",
+    """
+SELECT doc_id AS id, 16 AS width, 16 AS height, 3 AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 127.5 ELSE 130 END
+            AS DOUBLE) AS mean_r,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 31 WHEN 1 THEN 127.5 ELSE 103 END
+            AS DOUBLE) AS mean_g,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 90 WHEN 1 THEN 127.5 ELSE 60 END
+            AS DOUBLE) AS mean_b
+FROM documents
+""",
+)
+def image_features_webp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBP VP8L decode from spec (round 9 — the WEBP arm of the codec
+    tail closed): full RFC 9649 lossless bitstream — prefix codes, color
+    cache, meta-prefix groups, LZ77 with the 2D distance neighborhood,
+    and all four inverse transforms (predictor / cross-color /
+    subtract-green / palette with pixel bundling). Lossless decode is
+    exact by construction, so the oracle states the fixtures' literal
+    means: a solid color, a gradient whose channels each average exactly
+    127.5, and a two-color checkerboard. Bit-exactness against libwebp's
+    own decoder is asserted over fresh random encodings every pytest
+    (tests/test_webp.py, ctypes harness). Lossy VP8 still declines
+    honestly to Pillow/ffmpeg dispatch."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import multimodal
+
+    prep(spark)
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "data")
+    payloads = [
+        open(os.path.join(base, n), "rb").read()
+        for n in ("webp_solid.webp", "webp_grad.webp", "webp_checker.webp")
+    ]
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.withColumn(
+        "img",
+        F.element_at(
+            F.array(*[F.lit(p) for p in payloads]),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    return multimodal.image_features(media, "doc_id", "img").select(
+        "id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@_register(
     "frame_sample",
     """
 WITH f AS (
@@ -6515,7 +6564,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the flat layout under every index): the TPC-H headliners q1 / q3 /
 #     q5 / q7 / q8 / q10 / q1_month / sql_q1 / basic_agg / sql_star_join
 #     and the events-index rows events_hourly / events_daily_types /
-#     events_hist_p90 / events_user_distinct.
+#     events_hist_p90 (events_user_distinct yields its slot to the NEW
+#     image_features_webp row — its theta/HLL machinery is in-window via
+#     events_hist_p90 and the theta family mirrors).
 # The 28 remaining r6 rows head the r10 rotation (TODO.md); each runs
 # typed+ordered against its oracle every pytest regardless
 # (tests/test_entry_oracle.py).
@@ -6527,6 +6578,7 @@ _PRIORITY = [
     "sql_having_in",
     "sql_having_exists",
     "sql_corr_quant",
+    "image_features_webp",
     # (b) the full r5 cohort
     "boilerplate_prune_docs",
     "bpe_tokens_docs",
@@ -6572,7 +6624,6 @@ _PRIORITY = [
     "events_hourly",
     "events_daily_types",
     "events_hist_p90",
-    "events_user_distinct",
 ]
 
 

@@ -207,7 +207,15 @@ def decode_image(payload: bytes) -> np.ndarray:
             raise UnsupportedMediaError(f"jpeg: {ex}") from ex
         return img
     if _is_webp(payload):
-        # WEBP without Pillow: ffmpeg decodes stills as a 1-frame video
+        # WEBP without Pillow: the from-spec VP8L decoder first (lossless —
+        # exact by construction, round 9); lossy VP8 / animation fall to
+        # ffmpeg, which decodes stills as a 1-frame video
+        from . import webp
+
+        try:
+            return webp.decode(payload)
+        except ValueError:
+            pass
         w, h, _n, view = _ffmpeg_decode_video(payload, max_frames=1)
         return np.frombuffer(bytes(view[: w * h * 3]), np.uint8).reshape(
             h, w, 3

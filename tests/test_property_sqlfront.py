@@ -503,13 +503,59 @@ def semijoin_sqls(draw):
         )
     having = ""
     if draw(st.booleans()):
-        # HAVING scalar subquery (post-filter over the joined frame);
-        # the divisor scales the threshold so both branches fire
-        hdiv = draw(st.sampled_from([3, 5, 10]))
-        having = (
-            " HAVING SUM(l_quantity)"
-            f" > (SELECT SUM(l_quantity) / {hdiv} FROM lineitem)"
-        )
+        hkind = draw(st.sampled_from(
+            ["scalar", "hin", "hnot_in", "hexists", "hquant", "hin_or"]
+        ))
+        if hkind == "scalar":
+            # HAVING scalar subquery (post-filter over the joined frame);
+            # the divisor scales the threshold so both branches fire
+            hdiv = draw(st.sampled_from([3, 5, 10]))
+            having = (
+                " HAVING SUM(l_quantity)"
+                f" > (SELECT SUM(l_quantity) / {hdiv} FROM lineitem)"
+            )
+        elif hkind in ("hin", "hnot_in", "hin_or"):
+            # round-9 HAVING membership arm over a SELECTED group column:
+            # marker LEFT join of the inner's DISTINCT key set onto the
+            # aggregated frame; the NULL-synthesizing inner exercises the
+            # NOT IN three-valued guard, the OR form the inline rendering
+            g0 = gcols[0]
+            if draw(st.booleans()):
+                q2 = draw(st.integers(40, 49))
+                inner = (
+                    f"SELECT DISTINCT {g0} FROM lineitem"
+                    f" WHERE l_quantity > {q2}"
+                )
+            else:
+                nullth = draw(st.sampled_from([0, 150000]))
+                inner = (
+                    f"SELECT CASE WHEN o_totalprice < {nullth} THEN NULL"
+                    f" ELSE '{draw(st.sampled_from('ANRFO'))}' END"
+                    " FROM orders"
+                )
+            neg = "NOT " if hkind == "hnot_in" else ""
+            atom = f"{g0} {neg}IN ({inner})"
+            if hkind == "hin_or":
+                hn = draw(st.integers(1, 20))
+                atom = f"({atom} OR COUNT(*) > {hn * 100})"
+            having = f" HAVING {atom}"
+        elif hkind == "hexists":
+            op2 = "" if draw(st.booleans()) else "NOT "
+            thresh = draw(st.sampled_from([100000, 10**12]))
+            having = (
+                f" HAVING {op2}EXISTS (SELECT 1 FROM orders"
+                f" WHERE o_totalprice > {thresh})"
+            )
+        else:  # hquant: [NOT-via-ALL] quantified over a multi-row inner
+            q = draw(st.sampled_from(["ANY", "ALL"]))
+            op2 = draw(st.sampled_from([">", ">=", "<", "<="]))
+            div = draw(st.sampled_from([50, 2000]))
+            having = (
+                f" HAVING SUM(l_quantity) {op2} {q}"
+                f" (SELECT CAST(o_totalprice / {div} AS DOUBLE)"
+                " FROM orders WHERE o_totalprice >"
+                f" {draw(st.integers(10, 40)) * 10000})"
+            )
     return (
         f"SELECT {sel} FROM lineitem "
         f"WHERE {' AND '.join(conj)} GROUP BY {', '.join(gcols)}{having}"
