@@ -956,17 +956,21 @@ class ScalarSelectQuery(QuerySpec):
     context), and ``HAVING [NOT] x <op> ANY/ALL (...)`` / ``[NOT]
     EXISTS (...)`` / ``NOT IN`` become broadcast 1-row aggregate bundles
     (``having_guards``, reusing :class:`GuardCond`) whose three-valued
-    conditions render inline into the same post_filters. All inners must
-    be UNCORRELATED — a HAVING correlation would bind to the outer's
-    GROUPS, a different decorrelation problem — correlated forms decline
-    to the always-correct fallback.
+    conditions render inline into the same post_filters. Equi-CORRELATED
+    ``[NOT] EXISTS`` / ``IN`` also serve: a HAVING correlation binds to
+    the outer's GROUP columns, so when every correlation column is
+    SELECTED the arm is a multi-key membership test of the aggregated
+    frame (correlation pairs + the IN equality as join keys — exact,
+    two-valued in filter context).
 
-    Declines: correlated select-list scalars AND correlated HAVING
-    subqueries, DISTINCT over a scalar-bearing select list (the
-    projection can collapse differently when the scalar is NULL),
-    dimension references inside a subquery-bearing item (HAVING may
-    reference SELECTED group columns only), unaliased subquery items,
-    row-value IN in HAVING."""
+    Declines: correlated select-list scalars, correlated HAVING NOT IN /
+    quantified comparisons (per-group three-valued logic over the frame),
+    HAVING correlation on unselected columns or with non-equi residuals,
+    DISTINCT over a scalar-bearing select list (the projection can
+    collapse differently when the scalar is NULL), dimension references
+    inside a subquery-bearing item (HAVING may reference SELECTED group
+    columns only; a select alias shadowing a different real column
+    declines), unaliased subquery items, row-value IN in HAVING."""
 
     base: Optional["QuerySpec"] = None
     scalars: list = field(default_factory=list)  # [[inner_spec, alias]]
@@ -978,12 +982,16 @@ class ScalarSelectQuery(QuerySpec):
     # __hg* guard columns, applied after every join below and BEFORE the
     # final projection / lifted ORDER BY
     post_filters: list = field(default_factory=list)
-    # HAVING membership arms (round 9): [[inner_spec, outer_sql,
-    # inner_key, marker]] — inner_spec's DISTINCT key set LEFT-joins the
-    # aggregated frame on outer_sql == key with a literal-true flag named
-    # marker (__hm{j}); key sets are NDV-bounded and AQE broadcast-
+    # HAVING membership arms (round 9): [[inner_spec, outer_sqls,
+    # inner_keys, marker]] — inner_spec's key set (DISTINCT on ALL its
+    # keys) LEFT-joins the aggregated frame on pairwise outer_sqls[i] ==
+    # inner_keys[i] with a literal-true flag named marker (__hm{j}).
+    # Single-key arms carry uncorrelated [NOT] IN; multi-key arms carry
+    # equi-CORRELATED [NOT] EXISTS / IN, whose correlation pairs bind to
+    # SELECTED group columns of the frame (correlation on an unselected
+    # column declines). Key sets are NDV-bounded and AQE broadcast-
     # converts small ones at runtime (no forced broadcast — a huge key
-    # set degrades to a shuffled hash join, never a cross product)
+    # set degrades to a shuffled hash join, never a cross product).
     having_arms: list = field(default_factory=list)
     # HAVING guard bundles (round 9): [GuardCond] with standalone=False —
     # 1-row aggregate bundles broadcast-cross-joined; their conditions

@@ -393,16 +393,18 @@ class OlapContext:
             bdf = bdf.crossJoin(
                 F.broadcast(sdf.select(F.col("__scalar").alias(alias)))
             )
-        for j, (inner, outer_sql, inner_key, marker) in enumerate(
+        for j, (inner, outer_sqls, inner_keys, marker) in enumerate(
             spec.having_arms
         ):
             # HAVING membership arm (round 9): LEFT join the inner's
             # DISTINCT key set onto the aggregated frame with a
-            # literal-true flag — distinct on the join key, so group rows
+            # literal-true flag — distinct on ALL join keys, so group rows
             # never duplicate; AQE broadcast-converts NDV-bounded key
             # sets at runtime (a huge set degrades to a shuffled hash
-            # join on the key — never a cross product). The post_filters
-            # below read the flag (coalesce(flag,false) / NOT ...).
+            # join on the keys — never a cross product). Multi-key arms
+            # carry equi-correlated [NOT] EXISTS / IN (the correlation
+            # pairs bind to selected group columns of the frame). The
+            # post_filters below read the flag (coalesce(flag,false)).
             if isinstance(inner, ir.BaseKeysQuery):
                 kdf = self._lower_base_keys(inner)
                 descs.append(f"hm:base[{inner.table}]")
@@ -410,13 +412,15 @@ class OlapContext:
                 s2, b2, d2 = self.plan(inner)
                 kdf = lowering.lower(s2, b2)
                 descs.append(f"hm:{d2.backing}")
-            key_alias = f"__hk{j}"
-            kdf = kdf.select(F.col(inner_key).alias(key_alias)).withColumn(
-                marker, F.lit(True)
-            )
-            bdf = bdf.join(
-                kdf, F.expr(f"({outer_sql})") == F.col(key_alias), "left"
-            ).drop(key_alias)
+            aliases = [f"__hk{j}_{i}" for i in range(len(inner_keys))]
+            kdf = kdf.select(
+                *[F.col(k).alias(a) for k, a in zip(inner_keys, aliases)]
+            ).withColumn(marker, F.lit(True))
+            cond = None
+            for osql, a in zip(outer_sqls, aliases):
+                c2 = F.expr(osql) == F.col(a)
+                cond = c2 if cond is None else (cond & c2)
+            bdf = bdf.join(kdf, cond, "left").drop(*aliases)
         for g in spec.having_guards:
             # HAVING guard bundle (round 9): broadcast the 1-row aggregate
             # bundle; its three-valued condition lives inline in the

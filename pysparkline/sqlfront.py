@@ -3443,15 +3443,21 @@ def _extract_select_scalars(
                 return _colref(alias)
             if n.get("class") == "COLUMN_REF":
                 # a HAVING conjunct may reference a SELECTED group column
-                # (it survives into the joined frame) — by its output name
-                # or, for plain aliased column items, its SOURCE name
-                # (``SELECT k AS g ... HAVING k IN (...)``); anything else
-                # has no slot in the deferred projection — decline
+                # (it survives into the joined frame). SQL scoping: a bare
+                # name binds to the SOURCE column first (``SELECT k AS g
+                # ... HAVING k ...``), and to a select ALIAS only when no
+                # source column of that name exists — an alias SHADOWING a
+                # different real column must decline (serving it from the
+                # aliased output would silently answer a different query).
                 nm = n["column_names"][-1]
-                if allow_cols and nm in passthrough:
-                    return _colref(nm)
                 if allow_cols and nm in passthrough_src:
                     return _colref(passthrough_src[nm])
+                if (
+                    allow_cols
+                    and nm in passthrough
+                    and nm not in (_star_columns(star) or ())
+                ):
+                    return _colref(nm)
                 raise SQLFrontError(
                     "dimension reference in a scalar-subquery item"
                 )
@@ -3514,13 +3520,62 @@ def _extract_select_scalars(
             )
         wc2 = inner_node.get("where_clause")
         sel2 = inner_node.get("select_list") or []
-        if (wc2 is not None and scope.has_outer(wc2)) or any(
-            scope.has_outer(it) for it in sel2
-        ):
-            # correlated HAVING subquery: the correlation would bind to
-            # the post-aggregation groups — outside this machinery
-            raise SQLFrontError("correlated subquery in HAVING")
+        if any(scope.has_outer(it) for it in sel2):
+            raise SQLFrontError("HAVING subquery selects an outer column")
+        correlated = wc2 is not None and scope.has_outer(wc2)
+
+        def frame_col(src: str) -> str:
+            """An outer-correlation column is usable only when the SOURCE
+            column is selected (it then survives into the aggregated
+            frame under its output alias) — correlation binds to source
+            columns, never to select aliases."""
+            if src in passthrough_src:
+                return passthrough_src[src]
+            raise SQLFrontError(
+                "HAVING correlation on an unselected column"
+            )
+
         if sq == "EXISTS":
+            if correlated:
+                # round 9: equi-correlated [NOT] EXISTS in HAVING — the
+                # correlation binds to SELECTED GROUP columns, so it is a
+                # semi/anti membership test of the aggregated frame:
+                # marker LEFT join on the DISTINCT correlation-key set
+                # (distinct on ALL join keys — no duplication); inner-only
+                # conjuncts stay in the key set, mixed-scope residuals
+                # decline inside _split_corr_conjuncts
+                corr_inner, corr_outer, rest = _split_corr_conjuncts(
+                    wc2, scope, "HAVING EXISTS"
+                )
+                if len(set(corr_inner)) != len(corr_inner):
+                    # one inner key equated to several outer columns: the
+                    # deduped key set cannot carry both equalities
+                    raise SQLFrontError(
+                        "duplicate correlation key in HAVING EXISTS"
+                    )
+                all_cols = _star_columns(star)
+                if all_cols is not None:
+                    bad = sorted(set(corr_outer) - all_cols)
+                    if bad:
+                        raise SQLFrontError(
+                            f"correlation references unknown columns {bad}"
+                        )
+                outer_sqls = [
+                    f"`{frame_col(o)}`" for o in corr_outer
+                ]
+                keyset = _build_inner_keyset(
+                    inner_node,
+                    corr_inner,
+                    tables, pairs, _and_node(rest),
+                    time_col, fact_table, star,
+                )
+                j = len(having_arms)
+                marker = f"__hm{j}"
+                having_arms.append(
+                    [keyset, outer_sqls, corr_inner, marker]
+                )
+                flag = f"coalesce(`{marker}`, false)"
+                return f"(NOT {flag})" if negated else flag
             j = len(having_guards)
             alias = f"__hg{j}_0"
             ginner = _build_inner_aggs(
@@ -3537,6 +3592,58 @@ def _extract_select_scalars(
             )
             op = "=" if negated else ">"
             return f"(coalesce(`{alias}`, 0) {op} 0)"
+        if correlated and sq == "ANY" and (
+            s2.get("comparison_type") == "COMPARE_EQUAL" and not negated
+        ):
+            # round 9: equi-correlated IN in HAVING — exactly EXISTS with
+            # the IN equality as one more pair; the lhs must itself live
+            # on the frame (selected group column / aggregate leaf)
+            child = s2.get("child") or {}
+            lhs_sql = render(rewrite(copy.deepcopy(child), allow_cols=True))
+            if len(sel2) != 1:
+                raise SQLFrontError("HAVING IN subquery must select one item")
+            if sel2[0].get("class") != "COLUMN_REF" or scope.side(
+                sel2[0]
+            ) != "inner":
+                raise SQLFrontError(
+                    "correlated HAVING IN needs a plain inner key column"
+                )
+            in_key = sel2[0]["column_names"][-1]
+            corr_inner, corr_outer, rest = _split_corr_conjuncts(
+                wc2, scope, "HAVING IN"
+            )
+            all_cols = _star_columns(star)
+            if all_cols is not None:
+                bad = sorted(set(corr_outer) - all_cols)
+                if bad:
+                    raise SQLFrontError(
+                        f"correlation references unknown columns {bad}"
+                    )
+            if in_key in corr_inner or len(set(corr_inner)) != len(
+                corr_inner
+            ):
+                # one inner key equated to several outer sides: the
+                # deduped key set cannot carry both equalities — decline
+                raise SQLFrontError(
+                    "HAVING IN key coincides with a correlation column"
+                )
+            keys = corr_inner + [in_key]
+            outer_sqls = [
+                f"`{frame_col(o)}`" for o in corr_outer
+            ] + [f"({lhs_sql})"]
+            keyset = _build_inner_keyset(
+                inner_node, keys, tables, pairs, _and_node(rest),
+                time_col, fact_table, star,
+            )
+            j = len(having_arms)
+            marker = f"__hm{j}"
+            having_arms.append([keyset, outer_sqls, keys, marker])
+            return f"coalesce(`{marker}`, false)"
+        if correlated:
+            # correlated NOT IN / quantified in HAVING: per-group
+            # three-valued logic over the aggregated frame — outside this
+            # machinery; decline to the always-correct fallback
+            raise SQLFrontError("correlated subquery in HAVING")
         if sq != "ANY":
             raise SQLFrontError(f"HAVING subquery type {sq}")
         child = s2.get("child") or {}
@@ -3571,7 +3678,9 @@ def _extract_select_scalars(
             )
             j = len(having_arms)
             marker = f"__hm{j}"
-            having_arms.append([keyset, lhs_sql, inner_key, marker])
+            having_arms.append(
+                [keyset, [f"({lhs_sql})"], [inner_key], marker]
+            )
             if not negated:
                 # IN in filter context: UNKNOWN (NULL lhs / no match)
                 # collapses to FALSE — exactly what the missing-flag

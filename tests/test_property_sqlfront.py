@@ -504,8 +504,20 @@ def semijoin_sqls(draw):
     having = ""
     if draw(st.booleans()):
         hkind = draw(st.sampled_from(
-            ["scalar", "hin", "hnot_in", "hexists", "hquant", "hin_or"]
+            ["scalar", "hin", "hnot_in", "hexists", "hquant", "hin_or",
+             "hcorr_exists"]
         ))
+        if hkind == "hcorr_exists":
+            # round-9 equi-correlated [NOT] EXISTS in HAVING: correlation
+            # binds to the SELECTED group column -> multi-key marker join
+            # of the aggregated frame
+            neg = "NOT " if draw(st.booleans()) else ""
+            having = (
+                f" HAVING {neg}EXISTS (SELECT 1 FROM orders"
+                f" WHERE o_orderstatus = {gcols[0]}"
+                f" AND {orders_pred()})"
+            )
+            hkind = "done"
         if hkind == "scalar":
             # HAVING scalar subquery (post-filter over the joined frame);
             # the divisor scales the threshold so both branches fire
