@@ -723,8 +723,12 @@ def main() -> None:
             "scheduling floor (~25-40ms/stage) on BOTH sides, compressing "
             "speedup_vs_raw toward 1; the floor-free signals are "
             "tasktime_speedup_vs_raw (summed executor task time, no "
-            "scheduling floor) and scan_reduction_vs_raw (rows read); "
-            "'cold' holds first-query latency incl. Catalyst compile"
+            "scheduling floor, both sides measuring the second fresh-"
+            "lineage execution) and scan_reduction_vs_raw (rows read); "
+            "tasktime_speedup_vs_raw_matched re-runs the same twins over "
+            "a fact table laid out at the index's own granularity/file "
+            "count, separating plan quality from layout; 'cold' holds "
+            "first-query latency incl. Catalyst compile"
         ),
         # legacy keys (round-1 BENCH continuity)
         "raw_q1_sec": raw_times["q1"],

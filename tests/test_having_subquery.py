@@ -312,6 +312,38 @@ def test_having_correlated_exists_accelerates(ctx, duck):
     assert got is not None
 
 
+def test_having_correlated_exists_fact_grain_inner(ctx, duck):
+    """The correlated arm's key set may live at FACT grain (plans through
+    the index — here the flat scan); outer references use the table-name
+    qualifier since the inner aliases the same table. Also pins SQL
+    scoping: an UNQUALIFIED l_returnflag inside the l2 subquery binds to
+    l2 (innermost scope), making that spelling uncorrelated."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag
+           HAVING EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_returnflag = lineitem.l_returnflag
+                            AND l2.l_quantity > 49)
+           ORDER BY flag""",
+        backing="scalarselect[cube<-hm:flat]",
+    )
+    # the innermost-scope binding: bare l_returnflag = l2's own column ->
+    # uncorrelated guard, NOT a correlation arm
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag
+           HAVING EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_returnflag = l_returnflag
+                            AND l2.l_quantity > 49)
+           ORDER BY flag""",
+        backing="scalarselect[cube<-hg:flat]",
+    )
+
+
 def test_having_correlated_in_accelerates(ctx, duck):
     """Equi-correlated IN in HAVING: the IN equality joins as one more
     key next to the correlation pair."""
