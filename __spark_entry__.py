@@ -38,6 +38,10 @@ def _ctx(spark: SparkSession, sf_dir: str) -> OlapContext:
     if c is None or c.spark is not spark:
         prep(spark)
         idx = tpch.build_or_load_index(spark, sf_dir)
+        # split size follows the byte-floored layout: few big files must
+        # still feed every core (OlapIndex.tune_read_parallelism doc);
+        # no-op at production sizes (clamps to the Spark default)
+        idx.tune_read_parallelism()
         c = OlapContext(spark, idx, fds=tpch.tpch_fds())
         _CTX[key] = c
     return c
@@ -4790,19 +4794,23 @@ ORDER BY status
 
 @_register("sql_not_in", _SQL_NOT_IN)
 def sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN acceleration (round-8 continuation): a left_anti arm over
-    the key set PLUS a GuardCond carrying NOT IN's three-valued NULL
-    semantics exactly — one NULL member empties the result, a NULL outer
-    key passes only against an empty set (the guard's count(*)=count(key)
-    and empty-set clauses; tests/test_semijoin.py exercises both edges
-    end-to-end via expression keys that synthesize NULLs). The interval
-    still prunes the outer scan. Correlated NOT IN declines honestly."""
+    """NOT IN acceleration. Round 10: when the key's NDV estimate fits a
+    broadcast, the whole predicate routes to Spark's single-column
+    NULL-AWARE anti join — exact ANSI three-valued semantics (one NULL
+    member empties the result, a NULL outer key passes only against an
+    empty set) in ONE inner scan. Past the broadcast bound the r8
+    anti-arm + guard-bundle form serves instead (NAAJ would degrade to a
+    nested-loop join at 100 TB); the guard now aggregates the ARM's
+    distinct key set rather than re-scanning (GuardCond.over_arm) —
+    tests/test_semijoin.py exercises both routes and the NULL edges.
+    The interval still prunes the outer scan. Correlated NOT IN serves
+    via the per-group guard (sql_corr_not_in)."""
     ctx = _sql_ctx(spark, sf_dir)
     out = ctx.sql(_SQL_NOT_IN)
     backing = ctx.query_history[-1].backing
     assert backing == (
-        "semijoin[flat<-anti:base[orders],guard:base[orders]]"
-    ), f"NOT IN must be anti-join + guard accelerated, got {backing}"
+        "semijoin[flat<-naaj:base[orders]]"
+    ), f"NOT IN must be null-aware-anti-join accelerated, got {backing}"
     return out
 
 
@@ -4926,7 +4934,9 @@ def sql_having_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _sql_ctx(spark, sf_dir)
     out = ctx.sql(_SQL_HAVING_SCALAR)
     backing = ctx.query_history[-1].backing
-    assert backing == "scalarselect[flat<-ss:flat]", (
+    # round 10: both the grouped base and the global scalar ride cubes —
+    # the raw-double SUM(l_quantity) gained its sum_qty_raw merge metric
+    assert backing == "scalarselect[cube<-ss:cube]", (
         f"HAVING scalar must post-filter the joined frame, got {backing}"
     )
     return out
@@ -5019,6 +5029,73 @@ def sql_corr_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert backing.startswith("semijoin[") and "corrguard:" in backing, (
         f"correlated ALL must per-group-guard accelerate, got {backing}"
     )
+    return out
+
+
+_SQL_HAVING_CORR_ANY = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(MAX(l_quantity) AS DOUBLE) AS mx
+FROM lineitem
+GROUP BY l_returnflag
+HAVING MAX(l_quantity) >= ALL (SELECT l2.l_quantity FROM lineitem l2
+                               WHERE l2.l_returnflag
+                                     = lineitem.l_returnflag)
+   AND AVG(l_quantity) > ANY (SELECT l2.l_quantity FROM lineitem l2
+                              WHERE l2.l_returnflag
+                                    = lineitem.l_returnflag
+                                AND l2.l_quantity < 30)
+ORDER BY flag
+"""
+
+
+@_register("sql_having_corr_any", _SQL_HAVING_CORR_ANY)
+def sql_having_corr_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated quantified comparisons in HAVING (round 10, VERDICT r9
+    #6): the WHERE side's per-group guard machinery evaluated one
+    aggregation later — each conjunct's per-correlation-key aggregate
+    bundle LEFT-joins the aggregated frame on the SELECTED group column
+    and the exact three-valued condition renders inline into the
+    post-filter (ir.ScalarSelectQuery.having_corr). The ALL arm rides
+    the flags cube (min/max/count merge metrics); the ANY arm's inner
+    filter forces its bundle to the flat scan. Spark cannot PARSE ALL
+    quantifiers at all, so this surface extends the engine rather than
+    accelerating a fallback; DuckDB runs the same text natively."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_HAVING_CORR_ANY)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("scalarselect[") and backing.count(
+        "hcorr:"
+    ) == 2, f"correlated HAVING quantified must serve, got {backing}"
+    return out
+
+
+_SQL_HAVING_CORR_NOT_IN = """
+SELECT l_linestatus AS st,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_linestatus
+HAVING AVG(l_quantity) NOT IN (SELECT l2.l_quantity FROM lineitem l2
+                               WHERE l2.l_linestatus
+                                     = lineitem.l_linestatus)
+ORDER BY st
+"""
+
+
+@_register("sql_having_corr_not_in", _SQL_HAVING_CORR_NOT_IN)
+def sql_having_corr_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT IN in HAVING (round 10): membership marker arm +
+    the per-group NULL/empty count guard — the WHERE-side pairing
+    (sql_corr_not_in) joined onto the aggregated frame instead of the
+    row-grain scan. A NULL member in one group's set empties THAT group
+    only; a group whose set is empty always passes (ANSI, decline-free
+    because the guard COALESCEs through the LEFT join)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_HAVING_CORR_NOT_IN)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("scalarselect[") and "hm:" in backing and (
+        "hcorr:" in backing
+    ), f"correlated HAVING NOT IN must serve, got {backing}"
     return out
 
 
@@ -6547,83 +6624,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
-# each round. Round 9's window (verdict-freshness rotation, VERDICT r8 #4):
-# (a) the 6 never-driver-verified rows first: dsir_select_docs /
-#     nb_classify_docs / sql_having_scalar (registered late in r8, below
-#     that round's full window) and the three NEW r9 rows —
-#     sql_having_in / sql_having_exists (HAVING-clause subquery
-#     acceleration, VERDICT r8 #3) and sql_corr_quant (correlated
-#     quantified ALL, VERDICT r8 #6);
-# (b) the ENTIRE r5-verdicted cohort (30 rows — the 23 queued in TODO.md
-#     "Round-9 rotation" plus the 7 displaced by r8's continuation rows:
-#     boilerplate_prune_docs, bpe_tokens_docs, chunk_docs, json_props,
-#     lang_id_docs, length_quantiles_docs, pii_redact_docs), so after
-#     this window no registered row's driver verdict is older than r6;
-# (c) 14 r6-verdicted rows whose BACKING LAYOUT changed this round (the
-#     byte-aware file floor + month->year partition coarsening rewrote
-#     the flat layout under every index): the TPC-H headliners q1 / q3 /
-#     q5 / q7 / q8 / q10 / q1_month / sql_q1 / basic_agg / sql_star_join
-#     and the events-index rows events_hourly / events_daily_types /
-#     events_hist_p90 (events_user_distinct yields its slot to the NEW
-#     image_features_webp row — its theta/HLL machinery is in-window via
-#     events_hist_p90 and the theta family mirrors).
-# The 28 remaining r6 rows head the r10 rotation (TODO.md); each runs
-# typed+ordered against its oracle every pytest regardless
-# (tests/test_entry_oracle.py).
+# each round. Round 10's window (verdict-freshness rotation, VERDICT r9
+# #5 — executed exactly as queued in TODO.md "Round-10 rotation
+# candidates"):
+# (a) the 2 NEW r10 rows first: sql_having_corr_any /
+#     sql_having_corr_not_in (correlated quantified / NOT IN in HAVING —
+#     the VERDICT r9 #6 decline tail closed);
+# (b) the ENTIRE remaining r6-verdicted cohort (29 rows, incl.
+#     events_user_distinct which yielded its r9 slot), so after this
+#     window no registered row's driver verdict is older than r7;
+# (c) 19 r7-verdicted rows by registration order to fill the 50.
+# Several window rows exercise layouts this round rewrote (clustered
+# byte-floored cubes + per-cube manifests + the partkey rollup):
+# monthly_revenue / dim_filters / topn_brand / q6 / q14 / q17 /
+# approx_topn_* ride cubes, q17's correlated scalar now serves from the
+# partkey rollup. Each registered row also runs typed+ordered against
+# its oracle every pytest (tests/test_entry_oracle.py).
 _PRIORITY = [
-    # (a) never-driver-verified
-    "dsir_select_docs",
-    "nb_classify_docs",
-    "sql_having_scalar",
-    "sql_having_in",
-    "sql_having_exists",
-    "sql_corr_quant",
-    "image_features_webp",
-    # (b) the full r5 cohort
-    "boilerplate_prune_docs",
-    "bpe_tokens_docs",
-    "chunk_docs",
-    "json_props",
-    "lang_id_docs",
-    "length_quantiles_docs",
-    "pii_redact_docs",
-    "quality_docs",
-    "repetition_stats_docs",
-    "simhash_pairs_docs",
-    "sql_count_distinct",
-    "sql_cte",
-    "sql_distinct",
-    "sql_grouping_fns",
-    "sql_having_postagg",
-    "sql_quantile",
-    "sql_rollup",
-    "stratified_sample_docs",
-    "time_parse_reformat",
-    "topn_low_brand",
-    "tz_format_dim",
-    "ym_format_dim",
-    "frame_sample",
-    "mix_sources_docs",
-    "search_strlen",
-    "theta_error_small_k",
-    "bm25_topk_docs",
-    "hash_split_docs",
-    "source_overlap_docs",
-    "lookup_dim_market",
-    # (c) r6 rows over the rewritten flat/events layouts
-    "q1",
-    "q3",
-    "q5",
-    "q7",
-    "q8",
-    "q10",
-    "q1_month",
-    "sql_q1",
-    "basic_agg",
-    "sql_star_join",
-    "events_hourly",
-    "events_daily_types",
-    "events_hist_p90",
+    # (a) new r10 rows
+    "sql_having_corr_any",
+    "sql_having_corr_not_in",
+    # (b) the full remaining r6 cohort
+    "approx_topn_supplier",
+    "hll_count_distinct",
+    "substring_dup_docs",
+    "image_features_progressive",
+    "image_dhash_pairs",
+    "audio_fp_pairs",
+    "video_dhash_pairs",
+    "events_user_distinct",
+    "theta_users_type",
+    "theta_retention_daily",
+    "theta_funnel_users",
+    "perplexity_docs",
+    "pq_topk",
+    "ivfpq_index_topk",
+    "ivf_append_topk",
+    "sql_window_share",
+    "sql_window_mom",
+    "sql_window_sum_distinct",
+    "sql_window_exclude",
+    "sql_theta",
+    "tfidf_docs",
+    "interval_join_events",
+    "incremental_dedup_docs",
+    "incremental_substring_docs",
+    "curate_docs",
+    "canonical_docs",
+    "snapshot_diff_docs",
+    "token_budget_docs",
+    "profile_lineitem",
+    # (c) r7 cohort by registration order
+    "monthly_revenue",
+    "dim_filters",
+    "range_filters",
+    "in_null_not_filters",
+    "contains_regex_filters",
+    "filtered_agg",
+    "topn_brand",
+    "approx_topn_filtered",
+    "search_ptype",
+    "having_filter",
+    "count_distinct_exact",
+    "rollup_flags",
+    "cube_flags",
+    "year_volume",
+    "expr_dim_prefix",
+    "min_max_metrics",
+    "q6",
+    "q14",
+    "q17",
 ]
 
 

@@ -851,6 +851,17 @@ class GuardCond(IRNode):
     # False = the condition appears inline inside an or_filters expression
     # (subquery under OR) instead of filtering on its own
     standalone: bool = True
+    # guard-over-arm form (round 10): instead of a second scan via
+    # ``inner``, aggregate ``arm_aggs`` [(sql, alias)] over the OUTPUT of
+    # the sibling SemiJoinArm at this index — NOT IN's NULL/empty guard
+    # only needs "does the set contain NULL" and "is the set empty", both
+    # preserved by the arm's DISTINCT (distinct keeps a NULL row, and
+    # emptiness is distinct-invariant). The arm and guard branches then
+    # share one physical subplan, so Spark's ReuseExchange serves both
+    # from a single scan of the inner table (the r9 matched-twin loss was
+    # exactly the guard's second scan).
+    over_arm: Optional[int] = None
+    arm_aggs: list = field(default_factory=list)
 
 
 @_node
@@ -963,8 +974,14 @@ class ScalarSelectQuery(QuerySpec):
     frame (correlation pairs + the IN equality as join keys — exact,
     two-valued in filter context).
 
-    Declines: correlated select-list scalars, correlated HAVING NOT IN /
-    quantified comparisons (per-group three-valued logic over the frame),
+    Round 10 widens further: correlated QUANTIFIED comparisons and
+    correlated NOT IN in HAVING serve through ``having_corr`` —
+    per-correlation-key aggregate bundles LEFT-joined onto the frame
+    (the WHERE side's _parse_corr_quantified machinery one aggregation
+    later), with NOT IN pairing a membership marker arm with its
+    per-group NULL/empty count guard.
+
+    Declines: correlated select-list scalars,
     HAVING correlation on unselected columns or with non-equi residuals,
     DISTINCT over a scalar-bearing select list (the projection can
     collapse differently when the scalar is NULL), dimension references
@@ -997,6 +1014,15 @@ class ScalarSelectQuery(QuerySpec):
     # 1-row aggregate bundles broadcast-cross-joined; their conditions
     # live inline in post_filters (polarity/OR composition comes free)
     having_guards: list = field(default_factory=list)
+    # correlated HAVING quantified / NOT IN (round 10): [CorrScalarCond]
+    # whose correlation pairs bind to SELECTED group columns of the frame
+    # (outer side = frame output alias). Lowered as a LEFT join of the
+    # per-correlation-key aggregate bundle onto the aggregated frame; the
+    # three-valued condition lives inline in post_filters (left join so a
+    # missing group — the empty set — still reaches the condition, which
+    # COALESCEs its counts). The same _parse_corr_quantified machinery as
+    # the WHERE side, evaluated one aggregation later.
+    having_corr: list = field(default_factory=list)
     output_order: Optional[list] = None
 
 

@@ -1042,6 +1042,57 @@ def prune_flat_files(
     return keep, len(all_files)
 
 
+def prune_cube_files(
+    index: OlapIndex, name: str, q: ir.QuerySpec
+) -> tuple[list[str], int] | None:
+    """Explicit file list for ``q`` over cube ``name``, or None when the
+    cube has no per-file manifest / the query prunes nothing. Same
+    conservative semantics as prune_flat_files; intervals compare against
+    per-file BUCKET min/max, exact because cube eligibility already
+    requires bucket-aligned intervals. Cube manifests hold files × grain
+    columns (small at any data scale — file count is byte-floored), so the
+    per-row walk suffices; unmanifested files (streaming appends before
+    compaction) are always kept."""
+    rows_fn = getattr(index, "cube_file_manifest", None)
+    rows = rows_fn(name) if rows_fn is not None else None
+    if rows is None:
+        return None
+    f = getattr(q, "filter", None)
+    ivs = getattr(q, "intervals", None) or []
+    if f is None and not ivs:
+        return None
+    files = index.cube_input_files(name)
+    by_norm = {_norm_path(r["file"]): r for r in rows}
+    keep = []
+    for p in files:
+        row = by_norm.get(_norm_path(p))
+        if row is None:
+            keep.append(p)
+            continue
+        ok = not ivs or _intervals_overlap(row, index_mod.BUCKET_COL, ivs)
+        if ok and f is not None:
+            ok = _file_passes(row, f)
+        if ok:
+            keep.append(p)
+    if len(keep) == len(files):
+        return None
+    return keep, len(files)
+
+
+def _pruned_cube_df(index: OlapIndex, name: str, files: list[str]) -> DataFrame:
+    import os
+
+    base = index._cube_base(name)
+    if not files:
+        return base.where(F.lit(False))
+    root = os.path.join(index.path, index.manifest["cubes"][name]["path"])
+    return (
+        index.spark.read.schema(base.schema)
+        .option("basePath", root)
+        .parquet(*files)
+    )
+
+
 def _pruned_flat_df(index: OlapIndex, files: list[str]) -> DataFrame:
     if not files:
         # provably empty — keep the schema, skip the scan entirely
@@ -1132,6 +1183,14 @@ def choose_backing(
                 candidates.sort(key=lambda t: (t[0], t[1]))
                 rows, name, backing = candidates[0]
                 notes.append(f"chose cube {name} ({rows} rows)")
+                pr = prune_cube_files(index, name, q)
+                if pr is not None:
+                    files, total = pr
+                    notes.append(
+                        f"cube file manifest pruned scan: "
+                        f"{len(files)}/{total} files"
+                    )
+                    backing.df = _pruned_cube_df(index, name, files)
                 return backing, PlanDecision("cube", name, est, notes)
 
     if referenced <= flat_cols:

@@ -130,6 +130,16 @@ class OlapContext:
     # sketch matches still run exact. Per-query opt-in stays available via
     # TopNQuery(approx=True) regardless of this flag.
     allow_topn: bool = False
+    # NOT IN routing (round 10): when the inner key's NDV estimate is at
+    # or under this, the anti arm + NULL/empty guard pair is replaced by
+    # Spark's single-column null-aware anti join (the exact NOT IN
+    # semantics in ONE inner scan — the guard's second scan was the r9
+    # matched-twin loss). Above it the guard form stays: NAAJ requires a
+    # BROADCASTable build side, and Spark degrades an oversized one to a
+    # nested-loop join — catastrophic at 100 TB, while the guard plan
+    # stays hash-join + 1-row bundle at any scale. 4M longs ≈ 32 MB
+    # hashed relation, comfortably executor-resident. 0 disables NAAJ.
+    naaj_max_keys: float = 4_000_000
 
     def __post_init__(self):
         prep(self.spark)
@@ -421,6 +431,34 @@ class OlapContext:
                 c2 = F.expr(osql) == F.col(a)
                 cond = c2 if cond is None else (cond & c2)
             bdf = bdf.join(kdf, cond, "left").drop(*aliases)
+        for j, cc in enumerate(spec.having_corr):
+            # correlated HAVING quantified / NOT IN (round 10): LEFT join
+            # the per-correlation-key aggregate bundle onto the aggregated
+            # frame (pairs bind to SELECTED group columns — frame output
+            # aliases); the three-valued condition lives inline in the
+            # post_filters, and the left join keeps unmatched groups (the
+            # empty set) flowing to it. Leaf/key aliases vanish in the
+            # final projection. AQE broadcast-converts the NDV-bounded
+            # bundle at runtime; never a cross product.
+            if isinstance(cc.inner, ir.BaseScalarQuery):
+                adf = self._lower_base_scalar(cc.inner)
+                descs.append(f"hcorr:base[{cc.inner.table}]")
+            else:
+                s2, b2, d2 = self.plan(cc.inner)
+                adf = lowering.lower(s2, b2)
+                descs.append(f"hcorr:{d2.backing}")
+            key_alias = {
+                k: f"__hck{j}_{i}" for i, k in enumerate(cc.inner_keys)
+            }
+            aliased = adf.select(
+                *[F.col(k).alias(a) for k, a in key_alias.items()],
+                *[F.col(a) for a in cc.leaf_cols],
+            )
+            cond = None
+            for o, ik in cc.pairs:
+                c2 = F.col(o) == F.col(key_alias[ik])
+                cond = c2 if cond is None else (cond & c2)
+            bdf = bdf.join(aliased, cond, "left").drop(*key_alias.values())
         for g in spec.having_guards:
             # HAVING guard bundle (round 9): broadcast the 1-row aggregate
             # bundle; its three-valued condition lives inline in the
@@ -461,10 +499,36 @@ class OlapContext:
         (DataFrame, backing descriptor `semijoin[outer<-arm,...]`)."""
         from pyspark.sql import functions as F
 
+        # NOT IN routing (naaj_max_keys doc): a standalone single-key anti
+        # arm whose paired guard aggregates it (GuardCond.over_arm) becomes
+        # ONE null-aware anti join when the key's NDV estimate fits a
+        # broadcast — the guard (and its second inner scan) is dropped;
+        # Spark's ExtractSingleColumnNullAwareAntiJoin plans the
+        # Or(equal, isnull(equal)) LeftAnti condition as a BroadcastHashJoin
+        # with exact ANSI NOT IN semantics (empty set keeps all, a NULL
+        # member drops all). NDV is an upper bound for the FILTERED key
+        # set, so oversized estimates only decline the optimization.
+        naaj_guards: set[int] = set()
+        naaj_arms: set[int] = set()
+        for gi, g in enumerate(spec.guards):
+            if g.over_arm is None or not g.standalone:
+                continue
+            arm = spec.arms[g.over_arm]
+            if arm.marker or not arm.anti or len(arm.inner_keys) != 1:
+                continue
+            ndv = self.index.ndv(arm.inner_keys[0]) if self.index else None
+            if ndv is not None and 0 < ndv <= self.naaj_max_keys:
+                naaj_guards.add(gi)
+                naaj_arms.add(g.over_arm)
+
         arm_dfs: list[DataFrame] = []
         descs: list[str] = []
-        for arm in spec.arms:
-            tag = "mark:" if arm.marker else ("anti:" if arm.anti else "")
+        for ai, arm in enumerate(spec.arms):
+            tag = (
+                "mark:" if arm.marker
+                else ("naaj:" if ai in naaj_arms else
+                      ("anti:" if arm.anti else ""))
+            )
             if isinstance(arm.inner, ir.BaseKeysQuery):
                 arm_dfs.append(self._lower_base_keys(arm.inner))
                 descs.append(tag + f"base[{arm.inner.table}]")
@@ -482,8 +546,25 @@ class OlapContext:
                 scalar_dfs.append(lowering.lower(s2, b2))
                 descs.append(f"scalar:{d2.backing}")
         guard_dfs: list[DataFrame] = []
-        for g in spec.guards:
-            if isinstance(g.inner, ir.BaseScalarQuery):
+        for gi, g in enumerate(spec.guards):
+            if gi in naaj_guards:
+                # subsumed by the null-aware anti join (routing above):
+                # no bundle, no second scan, no filter
+                guard_dfs.append(None)
+                continue
+            if g.over_arm is not None:
+                # guard-over-arm (NOT IN): aggregate the sibling arm's
+                # DISTINCT key set instead of re-scanning the inner table —
+                # both branches share the arm's subplan, so ReuseExchange
+                # serves them from ONE scan (GuardCond.over_arm doc)
+                adf = arm_dfs[g.over_arm]
+                guard_dfs.append(
+                    adf.agg(
+                        *[F.expr(sql).alias(a) for sql, a in g.arm_aggs]
+                    )
+                )
+                descs.append("guard:arm")
+            elif isinstance(g.inner, ir.BaseScalarQuery):
                 guard_dfs.append(self._lower_base_scalar(g.inner))
                 descs.append(f"guard:base[{g.inner.table}]")
             else:
@@ -534,6 +615,8 @@ class OlapContext:
                     lhs, rhs = rhs, lhs
                 df = df.where(F.expr(f"{lhs} {scond.op} {rhs}"))
         for g, gdf in zip(spec.guards, guard_dfs):
+            if gdf is None:
+                continue  # subsumed by a null-aware anti join
             # quantified guard: broadcast the 1-row aggregate bundle and
             # filter with the three-valued condition (GuardCond docstring);
             # inline (OR-composed) conditions filter via or_filters
@@ -594,6 +677,14 @@ class OlapContext:
                 for j, k in enumerate(arm.inner_keys)
             ] + [F.col(c) for c in adf.columns if c.startswith("__sjr_")]
             aliased = adf.select(*cols)
+            if i in naaj_arms:
+                # null-aware anti join: Or(equal, isnull(equal)) LeftAnti —
+                # Spark's ExtractSingleColumnNullAwareAntiJoin pattern, the
+                # exact NOT IN in one scan (key set keeps NULL members: the
+                # DISTINCT never dropped them)
+                eq = F.col(arm.outer_keys[0]) == F.col(f"__sj{i}_0")
+                df = df.join(aliased, eq | F.isnull(eq), "left_anti")
+                continue
             cond = None
             for j, ok in enumerate(arm.outer_keys):
                 c = F.col(ok) == F.col(f"__sj{i}_{j}")
@@ -856,7 +947,13 @@ class OlapContext:
                 lines.append(
                     f"-- guard {j}: broadcast 1-row aggregate bundle, {gw} --"
                 )
-                if isinstance(g.inner, ir.BaseScalarQuery):
+                if g.over_arm is not None:
+                    aggs = ", ".join(sql for sql, _ in g.arm_aggs)
+                    lines.append(
+                        f"  aggregates over arm {g.over_arm}'s distinct key"
+                        f" set (shared subplan, one inner scan): {aggs}"
+                    )
+                elif isinstance(g.inner, ir.BaseScalarQuery):
                     aggs = ", ".join(a for a, _ in g.inner.aggs)
                     lines.append(
                         f"  aggregates over base table {g.inner.table!r}"

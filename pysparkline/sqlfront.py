@@ -2628,29 +2628,23 @@ def _parse_in_arm(
     # NOT IN (uncorrelated): the anti join handles the match test; the
     # guard encodes ANSI three-valued semantics — one NULL inner key
     # empties the result, and a NULL x survives only against an EMPTY set
-    # (x NOT IN () is TRUE even for NULL x)
+    # (x NOT IN () is TRUE even for NULL x). The guard aggregates the
+    # ARM's distinct key set (GuardCond.over_arm — set by the caller once
+    # the arm's index is known) rather than re-scanning the inner table:
+    # over the distinct set, count(*) = count(key) still decides "contains
+    # NULL" and count(*) = 0 still decides "empty", and sharing the arm's
+    # subplan lets ReuseExchange serve both from ONE inner scan.
     x_sql = render(child)
     g0, g1 = f"`__g{guard_idx}_0`", f"`__g{guard_idx}_1`"
-    key_node = _colref(inner_key) if is_col else dict(key_items[0][0])
-    guard_inner = _build_inner_aggs(
-        inner_node,
-        [
-            (_fn_node("count_star"), f"__g{guard_idx}_0"),
-            (_fn_node("count", key_node), f"__g{guard_idx}_1"),
-        ],
-        [],
-        tables,
-        pairs,
-        wc,
-        time_col,
-        fact_table,
-        star,
-    )
     guard = ir.GuardCond(
-        inner=guard_inner,
+        inner=None,
         inner_cols=[f"__g{guard_idx}_0", f"__g{guard_idx}_1"],
         cond_sql=f"({g0} = {g1} AND (({x_sql}) IS NOT NULL OR {g0} = 0))",
         outer_columns=sorted(_columns_of(child)),
+        arm_aggs=[
+            ("count(*)", f"__g{guard_idx}_0"),
+            (f"count(`{inner_key}`)", f"__g{guard_idx}_1"),
+        ],
     )
     return arm, guard
 
@@ -3497,6 +3491,7 @@ def _extract_select_scalars(
     # in the base statement's HAVING
     having_arms: list = []
     having_guards: list = []
+    having_corr: list = []
 
     def having_atom(s2: dict, negated: bool) -> str:
         """One non-scalar subquery atom in a HAVING conjunct -> its inline
@@ -3640,10 +3635,132 @@ def _extract_select_scalars(
             having_arms.append([keyset, outer_sqls, keys, marker])
             return f"coalesce(`{marker}`, false)"
         if correlated:
-            # correlated NOT IN / quantified in HAVING: per-group
-            # three-valued logic over the aggregated frame — outside this
-            # machinery; decline to the always-correct fallback
-            raise SQLFrontError("correlated subquery in HAVING")
+            # round 10: correlated QUANTIFIED / NOT IN in HAVING — the
+            # WHERE side's per-group guard machinery
+            # (_parse_corr_quantified) evaluated one aggregation later:
+            # correlation binds to SELECTED group columns of the frame,
+            # the per-key bundle LEFT-joins the aggregated frame, and the
+            # three-valued condition renders inline into post_filters.
+            # Non-equi residual correlation still declines inside
+            # _split_corr_conjuncts (a residual-bearing key set could
+            # duplicate frame rows through the join) — decline-tested.
+            if sq != "ANY":
+                raise SQLFrontError(f"HAVING subquery type {sq}")
+            child = s2.get("child") or {}
+            lhs_sql = render(rewrite(copy.deepcopy(child), allow_cols=True))
+            if len(sel2) != 1:
+                raise SQLFrontError("HAVING subquery must select one item")
+            item = dict(sel2[0])
+            item["alias"] = ""
+            if s2.get("comparison_type") == "COMPARE_EQUAL":
+                # correlated NOT IN (negated =ANY; the positive form was
+                # served by the membership-arm branch above): membership
+                # marker arm + the per-group NULL/empty count guard —
+                # exactly the WHERE-side pairing, joined to the frame.
+                # Expression keys alias onto the key set (same as the
+                # WHERE side); the guard's count runs over the expression
+                if sel2[0].get("class") == "COLUMN_REF":
+                    if scope.side(sel2[0]) != "inner":
+                        raise SQLFrontError(
+                            "HAVING NOT IN selects an outer column"
+                        )
+                    in_key = sel2[0]["column_names"][-1]
+                    key_items2 = None
+                    key_node2 = _colref(in_key)
+                else:
+                    render(sel2[0])  # raises on unsupported expressions
+                    for ref in _refs_of(sel2[0]):
+                        if scope.side(ref) != "inner":
+                            raise SQLFrontError(
+                                "HAVING NOT IN selects an outer column"
+                            )
+                    in_key = "__hke"
+                    item2 = dict(sel2[0])
+                    item2["alias"] = ""
+                    key_items2 = [(item2, in_key)]
+                    key_node2 = dict(item2)
+                corr_inner, corr_outer, rest = _split_corr_conjuncts(
+                    wc2, scope, "HAVING NOT IN"
+                )
+                all_cols = _star_columns(star)
+                if all_cols is not None:
+                    bad = sorted(set(corr_outer) - all_cols)
+                    if bad:
+                        raise SQLFrontError(
+                            f"correlation references unknown columns {bad}"
+                        )
+                if in_key in corr_inner or len(set(corr_inner)) != len(
+                    corr_inner
+                ):
+                    raise SQLFrontError(
+                        "HAVING NOT IN key coincides with a correlation "
+                        "column"
+                    )
+                keys = corr_inner + ([in_key] if key_items2 is None else [])
+                outer_sqls = [
+                    f"`{frame_col(o)}`" for o in corr_outer
+                ] + [f"({lhs_sql})"]
+                keyset = _build_inner_keyset(
+                    inner_node, keys, tables, pairs, _and_node(rest),
+                    time_col, fact_table, star, key_items=key_items2,
+                )
+                j = len(having_arms)
+                marker = f"__hm{j}"
+                having_arms.append(
+                    [keyset, outer_sqls, corr_inner + [in_key], marker]
+                )
+                k = len(having_corr)
+                gkeys = list(dict.fromkeys(corr_inner))
+                aliases = [f"__cah{k}_0", f"__cah{k}_1"]
+                a0, a1 = f"`{aliases[0]}`", f"`{aliases[1]}`"
+                ginner = _build_inner_aggs(
+                    inner_node,
+                    [
+                        (_fn_node("count_star"), aliases[0]),
+                        (_fn_node("count", key_node2), aliases[1]),
+                    ],
+                    gkeys, tables, pairs, _and_node(rest),
+                    time_col, fact_table, star,
+                )
+                having_corr.append(
+                    ir.CorrScalarCond(
+                        inner=ginner,
+                        inner_keys=gkeys,
+                        pairs=[
+                            [frame_col(o), i]
+                            for i, o in zip(corr_inner, corr_outer)
+                        ],
+                        leaf_cols=aliases,
+                        cond_sql="",  # composed below with the marker
+                        left_join=True,
+                        standalone=False,
+                    )
+                )
+                return (
+                    f"(coalesce({a0}, 0) = coalesce({a1}, 0)"
+                    f" AND (({lhs_sql}) IS NOT NULL"
+                    f" OR coalesce({a0}, 0) = 0)"
+                    f" AND NOT coalesce(`{marker}`, false))"
+                )
+            cc = _parse_corr_quantified(
+                s2, negated, f"h{len(having_corr)}", item, lhs_sql,
+                scope, tables, pairs, _star_columns(star),
+                time_col, fact_table, star,
+            )
+            cc.pairs = [[frame_col(o), k] for o, k in cc.pairs]
+            if not cc.cond_sql:
+                # positive-ANY op form: inline in post_filters, so force
+                # the LEFT-join + condition form (an inner join would
+                # drop frame rows an OR sibling must keep; an unmatched
+                # group's NULL condition reads FALSE in filter context)
+                lhs, rhs = f"({cc.outer_sql})", f"({cc.value_sql})"
+                if cc.flip:
+                    lhs, rhs = rhs, lhs
+                cc.cond_sql = f"({lhs} {cc.op} {rhs})"
+            cc.left_join = True
+            cc.standalone = False
+            having_corr.append(cc)
+            return cc.cond_sql
         if sq != "ANY":
             raise SQLFrontError(f"HAVING subquery type {sq}")
         child = s2.get("child") or {}
@@ -3781,7 +3898,8 @@ def _extract_select_scalars(
     node2["modifiers"] = []
     if having_sub:
         node2["having"] = new_having
-    return node2, scalars, final, ls, post_filters, having_arms, having_guards
+    return (node2, scalars, final, ls, post_filters, having_arms,
+            having_guards, having_corr)
 
 
 def _parse_semijoin(
@@ -3858,6 +3976,9 @@ def _parse_semijoin(
                 corr_scalars.append(extra)
             else:
                 extra.standalone = False
+                if extra.arm_aggs:
+                    # guard-over-arm: bind to the marker arm just appended
+                    extra.over_arm = len(arms) - 1
                 guards.append(extra)
             return (
                 f"({extra.cond_sql}"
@@ -3981,6 +4102,9 @@ def _parse_semijoin(
                 if isinstance(extra, ir.CorrScalarCond):
                     corr_scalars.append(extra)
                 elif extra is not None:
+                    if extra.arm_aggs:
+                        # guard-over-arm: bind to the anti arm just appended
+                        extra.over_arm = len(arms) - 1
                     guards.append(extra)
             else:
                 q = _parse_quantified_guard(
@@ -4033,7 +4157,8 @@ def _parse_select(
 
     ext = _extract_select_scalars(node, time_col, fact_table, star)
     if ext is not None:
-        node2, scalars, final, ls, post_filters, h_arms, h_guards = ext
+        (node2, scalars, final, ls, post_filters, h_arms, h_guards,
+         h_corr) = ext
         base = _parse_select(node2, time_col, fact_table, star)
         return ir.ScalarSelectQuery(
             base=base,
@@ -4043,6 +4168,7 @@ def _parse_select(
             post_filters=post_filters,
             having_arms=h_arms,
             having_guards=h_guards,
+            having_corr=h_corr,
             output_order=[n for n, _ in final],
         )
 

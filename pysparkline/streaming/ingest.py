@@ -261,19 +261,23 @@ class StreamingIngest:
         ``_append``/this rewrite for Delta/Iceberg commits to lift both
         restrictions). The temp-dir staging only bounds the inconsistency
         window; it does not eliminate it."""
+        from ..index import METRIC_MERGE_FNS
+
         spark = self.index.spark
         cfg = self.index.config
         info = self.index.manifest["cubes"][cube_name]
+        cube = cfg.cube_by_name(cube_name)
         path = os.path.join(self.index.path, f"cube_{cube_name}")
         df = spark.read.parquet(path)
         keys = [BUCKET_COL, *info["dims"]]
         aggs = [F.sum(COUNT_COL).alias(COUNT_COL)]
-        for m in cfg.metrics:
-            fn = {"sum": F.sum, "min": F.min, "max": F.max}[m.agg]
+        for m in cfg.cube_metrics(cube):
+            # count partials merge by SUMMING (METRIC_MERGE_FNS doc)
+            fn = METRIC_MERGE_FNS[m.agg]
             aggs.append(fn(F.col(m.col_name)).alias(m.col_name))
-        for c in cfg.hll_cols:
+        for c in cfg.cube_hll_cols(cube):
             aggs.append(F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}"))
-        for h in cfg.hist_specs:
+        for h in cfg.cube_hist_specs(cube):
             # histogram partials merge by element-wise sum (same as querying)
             aggs.append(
                 F.array(
@@ -283,17 +287,20 @@ class StreamingIngest:
                     ]
                 ).alias(h.col_name)
             )
-        for t in cfg.theta_specs:
+        for t in cfg.cube_theta_specs(cube):
             # theta partials merge exactly (k smallest of the union of the
             # parts' k-smallest sets — same merge the query path runs)
             aggs.append(t.merge_agg().alias(t.col_name))
         merged = df.groupBy(*keys).agg(*aggs)
-        if cfg.topk_specs:
+        topks = cfg.cube_topk_specs(cube)
+        if topks:
             # top-k maps re-merge by value-sum + re-rank; the merged bound
             # absorbs the partials' bounds plus any truncation (the query
             # path needs NO merge — explode+sum is additive across
             # partials — so this is schema maintenance, like the rest)
-            merged = OlapIndex._merge_topk_partials(df, cfg, keys, merged)
+            merged = OlapIndex._merge_topk_partials(
+                df, cfg, keys, merged, topk_specs=topks
+            )
         # re-aggregation widens decimal types (sum(DECIMAL(22,2)) =>
         # DECIMAL(32,2)); cast back so compacted files share a schema with
         # future appended partials — and keep the original column ORDER so
@@ -305,11 +312,22 @@ class StreamingIngest:
         tmp = path + "__compact"
         merged.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(path)
+        rows = final.count()
+        # compaction restores the BUILD's cube layout discipline (clustered,
+        # byte-floored, bloom-filtered) and refreshes the per-cube file
+        # manifest — appended partials land unclustered/unmanifested (kept
+        # unconditionally by the pruner), so without this an always-
+        # appending cube degrades toward full scans, same as compact_flat
+        OlapIndex._write_cube_clustered(
+            spark, final, cfg, cube, path, self.index.path, rows
+        )
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
-        info["rowCount"] = self.index.spark.read.parquet(path).count()
+        info["rowCount"] = rows
+        info["fileManifest"] = OlapIndex._build_cube_file_manifest(
+            spark, path, self.index.path, cfg, cube
+        )
         from ..index import atomic_json_dump
 
         atomic_json_dump(

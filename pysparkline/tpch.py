@@ -157,6 +157,11 @@ def tpch_index_config() -> IndexConfig:
             MetricSpec("qty", "l_quantity", "max"),
             MetricSpec("price", "l_extendedprice", "min"),
             MetricSpec("price", "l_extendedprice", "max"),
+            # raw-double qty sum + non-null count: the avg(l_quantity)
+            # serving pair (exact — l_quantity is integer-valued, so double
+            # sums are order-independent) for the partkey rollup below
+            MetricSpec("qty_raw", "l_quantity", "sum"),
+            MetricSpec("qty_raw", "l_quantity", "count"),
         ],
         hll_cols=["o_orderkey", "c_custkey"],
         # approximate-TopN serving maps (TopKSpec): per-cell top-m supplier
@@ -204,7 +209,29 @@ def tpch_index_config() -> IndexConfig:
                 ("c_nation", "c_region", "s_nation", "s_region", "order_year"),
                 "month",
             ),
+            # coarsest-rollup routing target (VERDICT r9 #1): the nation-pair
+            # family (q5/q7/q8) needs only year ship-time grain — at any SF
+            # this rollup saturates near |nations|^2 x years x order_years,
+            # orders of magnitude under the month-grain 5-dim cube the
+            # planner otherwise reads (95,500 rows for q7's two-pair
+            # selector at sf0.1). The planner picks the smallest eligible
+            # cube, so adding the coarse grain IS the routing fix.
+            CubeSpec(
+                "nations_yr",
+                ("c_nation", "c_region", "s_nation", "s_region", "order_year"),
+                "year",
+            ),
             CubeSpec("part", ("p_brand", "p_type", "s_nation"), "month"),
+            # per-partkey avg(l_quantity) server for Q17-shaped correlated
+            # scalars (VERDICT r9 #4): high-NDV key, so only the two avg
+            # partials are materialized (measures subset — no HLL/top-k
+            # sketch state per cell)
+            CubeSpec(
+                "partkey",
+                ("l_partkey",),
+                "year",
+                measures=("sum_qty_raw", "count_qty_raw"),
+            ),
         ],
         partition_granularity="month",
     )

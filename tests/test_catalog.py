@@ -325,7 +325,11 @@ def test_readme_explain_examples_stay_accurate(catalog):
                                              = lineitem.l_partkey)"""
     catalog.sql(quant_sql).collect()
     b = catalog.query_history[-1].backing
-    for marker in ("anti:base[orders]", "guard:base[orders]", "corrscalar:"):
+    # naaj = NOT IN as a null-aware anti join (broadcast-sized key set);
+    # guard:base[orders] = the ALL quantifier's min/max bundle
+    for marker in (
+        "naaj:base[orders]", "guard:base[orders]", "corrscalar:",
+    ):
         assert marker in b, (marker, b)
     qx = tctx.explain_rewrite(quant_sql)
     for marker in (

@@ -77,7 +77,7 @@ def test_having_in_group_column_source_name(ctx, duck):
            HAVING l_returnflag IN (SELECT DISTINCT l_returnflag
                                    FROM lineitem WHERE l_quantity > 49)
            ORDER BY flag""",
-        backing="scalarselect[flat<-hm:flat]",
+        backing="scalarselect[cube<-hm:flat]",
     )
     assert got  # the inner is non-empty at this SF
 
@@ -188,7 +188,7 @@ def test_having_quantified_all(ctx, duck):
                                          FROM orders
                                          WHERE o_totalprice < 10000)
            ORDER BY flag""",
-        backing="scalarselect[flat<-hg:base[orders]]",
+        backing="scalarselect[cube<-hg:base[orders]]",
     )
 
 
@@ -221,7 +221,7 @@ def test_having_quantified_any(ctx, duck):
                                          FROM orders
                                          WHERE o_totalprice > 100000)
            ORDER BY flag""",
-        backing="scalarselect[flat<-hg:base[orders]]",
+        backing="scalarselect[cube<-hg:base[orders]]",
     )
 
 
@@ -243,7 +243,7 @@ def test_having_in_or_aggregate(ctx, duck):
                    OR COUNT(*) > 1000000)
               AND COUNT(*) > 10
            ORDER BY flag""",
-        backing="scalarselect[flat<-hm:flat]",
+        backing="scalarselect[cube<-hm:flat]",
     )
 
 

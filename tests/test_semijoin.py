@@ -215,14 +215,17 @@ def test_in_star_join_outer(ctx, duck):
 def test_scalar_avg_fact_grain(ctx, duck):
     """`x > (SELECT AVG(...) FROM fact)`: the 1-row inner plans through
     the index and broadcast-cross-joins the outer's pruned scan — no
-    driver-side collect of the scalar."""
+    driver-side collect of the scalar. Since round 10 the avg inner rides
+    the partkey rollup's sum_qty_raw/count_qty_raw merge pair (exact:
+    l_quantity is integer-valued, so double sums are order-independent)
+    instead of re-scanning flat."""
     _same(
         ctx,
         duck,
         """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
            WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
            GROUP BY l_returnflag""",
-        backing="semijoin[flat<-scalar:flat]",
+        backing="semijoin[flat<-scalar:cube]",
     )
 
 
@@ -263,7 +266,7 @@ def test_scalar_composes_with_in_arm(ctx, duck):
                                 WHERE o_orderpriority = '1-URGENT')
              AND l_shipdate >= DATE '1996-01-01'
            GROUP BY l_returnflag""",
-        backing="semijoin[flat<-base[orders],scalar:flat]",
+        backing="semijoin[flat<-base[orders],scalar:cube]",
     )
 
 
@@ -480,10 +483,8 @@ def test_qualified_inner_binding_is_inner_first(ctx, duck):
 
 
 def test_not_in_uncorrelated(ctx, duck):
-    """Uncorrelated NOT IN: left_anti arm + the three-valued guard
-    (count(*) = count(key) rules out NULL members; NULL x needs an empty
-    set). The fixture column is NULL-free, so the guard passes and the
-    anti join decides."""
+    """Uncorrelated NOT IN, broadcast-sized key: routes to Spark's
+    null-aware anti join (one inner scan, exact ANSI semantics)."""
     _same(
         ctx,
         duck,
@@ -491,8 +492,32 @@ def test_not_in_uncorrelated(ctx, duck):
            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
                                     WHERE o_orderpriority = '1-URGENT')
            GROUP BY l_returnflag""",
-        backing="semijoin[flat<-anti:base[orders],guard:base[orders]]",
+        backing="semijoin[flat<-naaj:base[orders]]",
     )
+
+
+def test_not_in_guard_route_past_broadcast_bound(ctx, duck):
+    """The same NOT IN with the NAAJ bound disabled (the 100 TB route —
+    a key set past the broadcast bound must NOT become a nested-loop
+    join): anti arm + three-valued guard aggregating the ARM's distinct
+    key set (one logical definition, count(*) = count(key) over the
+    distinct set still decides NULL-membership and emptiness)."""
+    prev = ctx.naaj_max_keys
+    ctx.naaj_max_keys = 0
+    ctx._plan_cache.clear()
+    try:
+        _same(
+            ctx,
+            duck,
+            """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                        WHERE o_orderpriority = '1-URGENT')
+               GROUP BY l_returnflag""",
+            backing="semijoin[flat<-anti:base[orders],guard:arm]",
+        )
+    finally:
+        ctx.naaj_max_keys = prev
+        ctx._plan_cache.clear()
 
 
 def test_not_in_null_member_empties(ctx, duck):
@@ -507,20 +532,21 @@ def test_not_in_null_member_empties(ctx, duck):
                                         WHEN o_orderpriority = '1-URGENT'
                                         THEN NULL ELSE o_orderkey END
                                     FROM orders)""",
-        backing="semijoin[flat<-anti:base[orders],guard:base[orders]]",
+        backing="semijoin[flat<-anti:base[orders],guard:arm]",
     )
     assert got == [(0,)]
 
 
 def test_not_in_empty_set_keeps_all(ctx, duck):
-    """NOT IN over an empty set is TRUE for every row (even NULL x)."""
+    """NOT IN over an empty set is TRUE for every row (even NULL x) —
+    the null-aware anti join's empty-build edge."""
     _same(
         ctx,
         duck,
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
                                     WHERE o_totalprice < 0)""",
-        backing="semijoin[flat<-anti:base[orders],guard:base[orders]]",
+        backing="semijoin[flat<-naaj:base[orders]]",
     )
 
 
@@ -749,7 +775,7 @@ def test_correlated_scalar_q17_shape(ctx, duck):
            WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
                                FROM lineitem l2
                                WHERE l2.l_partkey = lineitem.l_partkey)""",
-        backing="semijoin[flat<-corrscalar:flat]",
+        backing="semijoin[flat<-corrscalar:cube]",
     )
 
 
@@ -798,8 +824,8 @@ def test_correlated_scalar_dim_grain(ctx, duck):
 
 
 def test_composed_not_in_and_corr_scalar(ctx, duck):
-    """The new conjunct types compose in one statement: anti arm + guard
-    + decorrelated scalar, all before the outer aggregation."""
+    """The new conjunct types compose in one statement: null-aware anti
+    join + decorrelated scalar, all before the outer aggregation."""
     _same(
         ctx,
         duck,
@@ -811,8 +837,7 @@ def test_composed_not_in_and_corr_scalar(ctx, duck):
                                WHERE l2.l_partkey = lineitem.l_partkey)
            GROUP BY l_returnflag""",
         backing=(
-            "semijoin[flat<-anti:base[orders],guard:base[orders],"
-            "corrscalar:flat]"
+            "semijoin[flat<-naaj:base[orders],corrscalar:cube]"
         ),
     )
 
@@ -1037,7 +1062,7 @@ def test_row_value_not_in_declines(ctx, duck):
                                         WHERE o_orderpriority
                                               = '1-URGENT')
                   OR l_quantity > 49""",
-            "semijoin[flat<-mark:base[orders],guard:base[orders]]",
+            "semijoin[flat<-mark:base[orders],guard:arm]",
         ),
         (
             # NOT IN with NULL members under OR: the guard clause empties
@@ -1050,7 +1075,7 @@ def test_row_value_not_in_declines(ctx, duck):
                                             ELSE o_orderkey END
                                         FROM orders)
                   OR l_quantity > 49""",
-            "semijoin[flat<-mark:base[orders],guard:base[orders]]",
+            "semijoin[flat<-mark:base[orders],guard:arm]",
         ),
         (
             # correlated NOT IN under OR: multi-pair marker + per-group
@@ -1168,7 +1193,7 @@ def test_select_scalar_order_by_share(ctx, duck):
                      FROM lineitem) AS share
            FROM lineitem GROUP BY l_returnflag
            ORDER BY share DESC LIMIT 2""",
-        backing="scalarselect[flat<-ss:flat]",
+        backing="scalarselect[cube<-ss:cube]",
     )
 
 
@@ -1183,7 +1208,7 @@ def test_select_scalar_null_propagates(ctx, duck):
                   / (SELECT CAST(SUM(l_quantity) AS DOUBLE) FROM lineitem
                      WHERE l_quantity > 9999) AS share
            FROM lineitem GROUP BY l_returnflag""",
-        backing="scalarselect[flat<-ss:flat]",
+        backing="scalarselect[cube<-ss:flat]",
     )
     assert len(got) == 3 and all(r[1] is None for r in got)
 
@@ -1202,7 +1227,7 @@ def test_select_scalar_composes_with_where_subquery(ctx, duck):
            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                 WHERE o_orderpriority = '1-URGENT')
            GROUP BY l_returnflag""",
-        backing="scalarselect[semijoin[flat<-base[orders]]<-ss:flat]",
+        backing="scalarselect[semijoin[flat<-base[orders]]<-ss:cube]",
     )
 
 
@@ -1217,7 +1242,7 @@ def test_select_scalar_two_scalars_mixed_grain(ctx, duck):
                   (SELECT AVG(o_totalprice) FROM orders
                    WHERE o_orderpriority = '1-URGENT') AS urgent_avg
            FROM lineitem GROUP BY l_returnflag""",
-        backing="scalarselect[flat<-ss:flat,ss:base[orders]]",
+        backing="scalarselect[cube<-ss:cube,ss:base[orders]]",
     )
 
 
@@ -1232,7 +1257,7 @@ def test_having_scalar_above_average(ctx, duck):
            GROUP BY l_partkey
            HAVING COUNT(*) > (SELECT CAST(COUNT(*) AS DOUBLE)
                               / COUNT(DISTINCT l_partkey) FROM lineitem)""",
-        backing="scalarselect[flat<-ss:flat]",
+        backing="scalarselect[cube<-ss:cube]",
     )
 
 
@@ -1250,7 +1275,7 @@ def test_having_scalar_mixed_conjuncts(ctx, duck):
                                      FROM lineitem)
               AND COUNT(*) > 10
            ORDER BY flag""",
-        backing="scalarselect[flat<-ss:flat]",
+        backing="scalarselect[cube<-ss:cube]",
     )
 
 
@@ -1264,7 +1289,7 @@ def test_having_scalar_plus_select_scalar(ctx, duck):
                      FROM lineitem) AS share
            FROM lineitem GROUP BY l_returnflag
            HAVING COUNT(*) > (SELECT COUNT(*) / 4 FROM lineitem)""",
-        backing="scalarselect[flat<-ss:flat,ss:cube]",
+        backing="scalarselect[cube<-ss:cube,ss:cube]",
     )
 
 
@@ -1321,7 +1346,7 @@ def test_select_scalar_in_setop_arm(ctx, duck):
                   CAST(SUM(l_quantity) AS DOUBLE) AS v
            FROM lineitem GROUP BY l_returnflag
            ORDER BY kind, flag""",
-        backing="setop[scalarselect[flat<-ss:flat],flat]",
+        backing="setop[scalarselect[cube<-ss:cube],cube]",
     )
 
 
@@ -1345,7 +1370,7 @@ def test_select_scalar_dedup(ctx, duck):
     )
     assert isinstance(spec, ir.ScalarSelectQuery)
     assert len(spec.scalars) == 1  # one grand total, not two
-    _same(ctx, duck, sql, backing="scalarselect[flat<-ss:flat]")
+    _same(ctx, duck, sql, backing="scalarselect[cube<-ss:cube]")
 
 
 def test_select_scalar_ir_roundtrip_and_explain(ctx):
