@@ -18,7 +18,7 @@ merge-form rules (AggregateTransform.scala):
 
 Scale note: every lowering path is a single groupBy (one shuffle with map-side
 partial aggregation) or a pure scan; time intervals are additionally rewritten
-onto the ``__month`` partition column so the Parquet source prunes partitions
+onto the ``__tpart`` partition column so the Parquet source prunes partitions
 before reading (PartitionFilters in .explain()).
 """
 
@@ -259,7 +259,7 @@ def interval_aligned(iv: ir.Interval, granularity: str) -> bool:
 
 
 def interval_predicate(backing: Backing, intervals: list[ir.Interval]) -> Column | None:
-    """Time predicate + (for the flat backing) a redundant ``__month`` range
+    """Time predicate + (for the flat backing) a redundant ``__tpart`` range
     predicate that Catalyst turns into partition pruning."""
     if not intervals:
         return None

@@ -637,7 +637,7 @@ def _parse_interval_bounds(ivs: list):
 
 
 def _month_survives(month: str, bounds: list) -> bool:
-    """May a ``__month=yyyy-MM`` partition contain rows inside any parsed
+    """May a ``__tpart=yyyy-MM`` partition contain rows inside any parsed
     interval? False only on proof (unparseable month strings keep the
     month). Interval semantics are [start, end), matching
     _intervals_overlap."""

@@ -16,7 +16,7 @@ correctness. Compaction (re-grouping appended partials) is purely a
 performance knob, exposed as :meth:`StreamingIngest.compact`.
 
 Scale notes (100 TB / 1000 executors):
-- flat appends are partitioned by the ``__month`` bucket, so a micro-batch
+- flat appends are partitioned by the ``__tpart`` time bucket, so a micro-batch
   touches only the partitions its event times fall in; queries keep pruning.
 - cube appends are tiny (|dims| x buckets-per-batch rows) and never shuffle
   more than one groupBy per batch.

@@ -194,7 +194,7 @@ def main() -> None:
                 y, mo = 1993 + (r // 12) % 10, 1 + r % 12
                 month = f"{y:04d}-{mo:02d}"
                 paths = [
-                    f"/synthetic/part{r}/__month={month}/f{i}.parquet"
+                    f"/synthetic/part{r}/__tpart={month}/f{i}.parquet"
                     for i in range(base_tbl.num_rows)
                 ]
                 import datetime as _dt

@@ -262,7 +262,7 @@ def test_count_metric_serves_exact_avg_with_nulls(spark, tmp_path):
 def test_parquet_write_options_shape():
     cfg = IndexConfig(time_col="ts", target_file_bytes=64 << 20)
     opts = parquet_write_options(cfg)
-    assert opts["parquet.block.size"] == str(4 << 20)
+    assert opts["parquet.block.size"] == str(8 << 20)
     assert opts["parquet.bloom.filter.enabled"] == "true"
     assert opts["parquet.bloom.filter.adaptive.enabled"] == "true"
     # floor disabled -> no overrides (probe-free builds stay default)
@@ -289,14 +289,62 @@ def test_block_size_yields_multiple_row_groups(spark, tmp_path):
     assert pq.ParquetFile(f).metadata.num_row_groups > 1
 
 
+def test_floored_flat_row_groups_are_skippable(spark, tmp_path):
+    """The inverted-index analog that SURVIVES the byte floor (VERDICT r9
+    #3): when the floor collapses a partition to one big file, the small
+    parquet.block.size + the z/lex sort inside the file must leave
+    row-group min/max stats selective on the cluster column — a point
+    predicate can skip most row groups. Pinned structurally (parquet
+    footers), since Spark exposes no skipped-row-group metric: row groups
+    must be (a) plural and (b) near-disjoint on the lead sort column."""
+    import pyarrow.parquet as pq
+
+    n = 1_500_000
+    flat = spark.range(n).select(
+        F.expr(
+            "timestampadd(SECOND, CAST(id % 2000000 AS INT),"
+            " timestamp'1996-01-01 00:00:00')"
+        ).alias("ts"),
+        F.concat(F.lit("g"), (F.col("id") % 40).cast("string")).alias("g"),
+        F.rand(7).alias("x"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    cfg = IndexConfig(
+        time_col="ts",
+        metrics=[],
+        sort_cols=["g"],
+        # 8 MB target -> 512 KB row groups; the whole table is ~a few MB
+        # compressed so the floor collapses it to one file per partition
+        target_file_bytes=8 << 20,
+        files_per_time_partition=8,
+    )
+    idx = OlapIndex.build(spark, flat, cfg, str(tmp_path / "idx"))
+    files = [f for f in idx.flat_input_files()]
+    assert files
+    f = files[0].replace("file:", "")
+    md = pq.ParquetFile(f).metadata
+    assert md.num_row_groups > 3, "byte-floored file must still split into row groups"
+    schema_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    gi = schema_idx["g"]
+    ranges = []
+    for r in range(md.num_row_groups):
+        st = md.row_group(r).column(gi).statistics
+        ranges.append((st.min, st.max))
+    # selectivity: a single value must be skippable in most row groups —
+    # count how many row groups could contain the median value
+    probe = sorted(v for lo, hi in ranges for v in (lo, hi))[len(ranges)]
+    containing = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+    assert containing <= max(2, md.num_row_groups // 3), (ranges, probe)
+
+
 def test_tune_read_parallelism_clamps(ctx):
     spark = ctx.spark
     before = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         got = ctx.index.tune_read_parallelism()
-        assert (1 << 20) <= got <= (128 << 20)
+        assert (16 << 20) <= got <= (128 << 20)
         assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(got)
-        # a tiny sf0.001 flat must clamp to the floor (maximum splits)
-        assert got == 1 << 20
+        # a tiny sf0.001 flat must clamp to the measured 16 MB floor
+        assert got == 16 << 20
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", before)

@@ -469,7 +469,7 @@ def test_byte_floor_collapses_small_partitions(spark, tmp_path):
     assert idx.config.partition_granularity == "year"
     by_part: dict[str, int] = {}
     for f in idx.flat_input_files():
-        m = f.split("__month=")[1].split("/")[0]
+        m = f.split("__tpart=")[1].split("/")[0]
         by_part[m] = by_part.get(m, 0) + 1
     assert sorted(by_part) == ["2023", "2024"], by_part
     assert all(n == 1 for n in by_part.values()), by_part

@@ -28,19 +28,19 @@ def _physical(df) -> str:
 
 
 def test_interval_becomes_partition_filter(ctx):
-    """A time interval on the flat backing must prune __month partitions."""
+    """A time interval on the flat backing must prune __tpart partitions."""
     spec = ir.SelectQuery(
         columns=["l_orderkey", "l_quantity"],
         intervals=[ir.Interval("1996-01-01", "1996-04-01")],
     )
     df = ctx.query(spec)
     plan = _physical(df)
-    assert "__month" in plan and "PartitionFilters" in plan
+    assert "__tpart" in plan and "PartitionFilters" in plan
     # the pruned scan reads 3 months, not all ~84
     import re
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "__month" in m.group(1)
+    assert m and "__tpart" in m.group(1)
 
 
 def test_column_pruning_reaches_scan(ctx):
