@@ -130,11 +130,29 @@ def tpch_star(tables: dict[str, DataFrame]) -> StarSchema:
 
 
 def tpch_fds() -> list[FunctionalDependency]:
-    """Fixture FDs (BaseTest.scala:40-49 spirit, mapped to testdata columns)."""
+    """Fixture FDs (BaseTest.scala:40-49 spirit, mapped to testdata columns).
+
+    Round 10 adds the ORDER-KEY dependencies: on the flattened star every
+    order attribute is a function of l_orderkey (each flat row belongs to
+    exactly one order), so a group-by over (l_orderkey, o_orderdate,
+    o_orderpriority, ...) has |orders| groups, not the NDV product — the
+    collapse that lets Q3-shaped order-grain aggregations pass the
+    maxResultCardinality gate and route to the orderline rollup."""
     return [
         FunctionalDependency("c_nation", "c_region", N_TO_ONE),
         FunctionalDependency("s_nation", "s_region", N_TO_ONE),
         FunctionalDependency("p_brand", "p_type", N_TO_ONE),  # heuristic
+        FunctionalDependency("l_orderkey", "o_orderdate", N_TO_ONE),
+        FunctionalDependency("l_orderkey", "o_orderpriority", N_TO_ONE),
+        FunctionalDependency("l_orderkey", "o_orderstatus", N_TO_ONE),
+        FunctionalDependency("l_orderkey", "o_custkey", N_TO_ONE),
+        FunctionalDependency("l_orderkey", "c_mktsegment", N_TO_ONE),
+        # customer-key dependencies: Q10-shaped customer-grain group-bys
+        # have |customers| groups, not the NDV product
+        FunctionalDependency("c_custkey", "c_name", N_TO_ONE),
+        FunctionalDependency("c_custkey", "c_acctbal", N_TO_ONE),
+        FunctionalDependency("c_custkey", "c_nation", N_TO_ONE),
+        FunctionalDependency("c_custkey", "c_mktsegment", N_TO_ONE),
     ]
 
 
@@ -162,6 +180,8 @@ def tpch_index_config() -> IndexConfig:
             # sums are order-independent) for the partkey rollup below
             MetricSpec("qty_raw", "l_quantity", "sum"),
             MetricSpec("qty_raw", "l_quantity", "count"),
+            # Q6's forecasting measure (price x discount), decimal-exact
+            MetricSpec("disc_rev", f"{PRICE} * {DISC}", "sum"),
         ],
         hll_cols=["o_orderkey", "c_custkey"],
         # approximate-TopN serving maps (TopKSpec): per-cell top-m supplier
@@ -222,6 +242,20 @@ def tpch_index_config() -> IndexConfig:
                 "year",
             ),
             CubeSpec("part", ("p_brand", "p_type", "s_nation"), "month"),
+            # order-grain rollup for the Q3 family (round 10): lineitems of
+            # one order collapse per ship-month — modest row compression
+            # (~1.5-2x) but the table is NARROW (5 columns + one measure vs
+            # the wide flat) and dim-SORTED with c_mktsegment leading, so
+            # the segment selector prunes row groups the flat's z-order
+            # shares with two other dims. measures subset: only the
+            # revenue sum — no sketch state at order NDV.
+            CubeSpec(
+                "orderline",
+                ("c_mktsegment", "o_orderdate", "o_orderpriority",
+                 "l_orderkey"),
+                "month",
+                measures=("sum_disc_price",),
+            ),
             # per-partkey avg(l_quantity) server for Q17-shaped correlated
             # scalars (VERDICT r9 #4): high-NDV key, so only the two avg
             # partials are materialized (measures subset — no HLL/top-k
@@ -231,6 +265,28 @@ def tpch_index_config() -> IndexConfig:
                 ("l_partkey",),
                 "year",
                 measures=("sum_qty_raw", "count_qty_raw"),
+            ),
+            # customer-grain twin for the Q10 family: l_returnflag +
+            # o_orderdate LEAD the sort, so q10's selector + date range
+            # prune row groups directly; row compression is near 1 but the
+            # 8-column sorted rollup beats the wide z-shuffled flat the
+            # same way orderline does for q3
+            CubeSpec(
+                "custline",
+                ("l_returnflag", "o_orderdate", "c_custkey", "c_name",
+                 "c_acctbal", "c_nation"),
+                "month",
+                measures=("sum_disc_price",),
+            ),
+            # tiny measure-value cube for the quantity/discount predicate
+            # family (SubQry-with-filters, Q6): dims are the MEASURE value
+            # domains (NDV 50 x 11), so the cube saturates at ~|values| x
+            # months rows at ANY data size
+            CubeSpec(
+                "qtyline",
+                ("l_linestatus", "l_quantity", "l_discount"),
+                "month",
+                measures=("sum_base_price", "sum_disc_rev", "sum_qty"),
             ),
         ],
         partition_granularity="month",
