@@ -209,6 +209,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     if _is_webp(payload):
         # WEBP without Pillow: the from-spec VP8L decoder first (lossless —
         # exact by construction, round 9); lossy VP8 / animation fall to
+        # the system libwebp runtime via ctypes (round 10 — same
+        # preferred-tool dispatch as Pillow/ffmpeg; a from-spec VP8 intra
+        # decoder is out of reach OFFLINE because RFC 6386's ~2.5 KB of
+        # TRAINED probability tables — default_coeff_probs, update probs,
+        # kf_bmode_prob — are constants, not derivable structure), then
         # ffmpeg, which decodes stills as a 1-frame video
         from . import webp
 
@@ -216,11 +221,61 @@ def decode_image(payload: bytes) -> np.ndarray:
             return webp.decode(payload)
         except ValueError:
             pass
+        via_lib = _libwebp_decode(payload)
+        if via_lib is not None:
+            return via_lib
         w, h, _n, view = _ffmpeg_decode_video(payload, max_frames=1)
         return np.frombuffer(bytes(view[: w * h * 3]), np.uint8).reshape(
             h, w, 3
         )
     raise UnsupportedMediaError("unrecognized image format")
+
+
+_LIBWEBP = None
+
+
+def _libwebp_decode(payload: bytes) -> np.ndarray | None:
+    """Lossy/animated WEBP through the system ``libwebp`` runtime when
+    present (ctypes, no Python package needed — this container ships the
+    .so but neither Pillow nor ffmpeg). Returns (h, w, 3|4) uint8, or
+    None when the library is absent or declines, letting the dispatch
+    fall through. The buffer returned by libwebp is copied then freed
+    (WebPFree) — no leak per payload at mapInPandas batch scale."""
+    global _LIBWEBP
+    import ctypes
+
+    if _LIBWEBP is None:
+        try:
+            lib = ctypes.CDLL("libwebp.so.7")
+            for fn in ("WebPDecodeRGB", "WebPDecodeRGBA"):
+                f = getattr(lib, fn)
+                f.restype = ctypes.POINTER(ctypes.c_uint8)
+                f.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+            lib.WebPFree.restype = None
+            lib.WebPFree.argtypes = [ctypes.c_void_p]
+            _LIBWEBP = lib
+        except (OSError, AttributeError):
+            _LIBWEBP = False
+    if _LIBWEBP is False:
+        return None
+    # alpha only when the container declares it (ALPH chunk / VP8L alpha)
+    has_alpha = b"ALPH" in payload[:64] or payload[12:16] == b"VP8L"
+    fn = _LIBWEBP.WebPDecodeRGBA if has_alpha else _LIBWEBP.WebPDecodeRGB
+    nch = 4 if has_alpha else 3
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ptr = fn(payload, len(payload), ctypes.byref(w), ctypes.byref(h))
+    if not ptr:
+        return None
+    try:
+        buf = ctypes.string_at(ptr, w.value * h.value * nch)
+    finally:
+        _LIBWEBP.WebPFree(ctypes.cast(ptr, ctypes.c_void_p))
+    return np.frombuffer(buf, np.uint8).reshape(h.value, w.value, nch).copy()
 
 
 def _is_webp(payload: bytes) -> bool:

@@ -132,8 +132,18 @@ def test_manifest_built_and_covers_all_files(ctx):
     assert "o_orderdate" in info["statsCols"]
 
 
-def test_q3_shape_prunes_and_matches_full_scan(ctx):
+def _q3_row_grain_spec():
+    """_q3_spec plus a row-grain dimension (l_linenumber): same filters and
+    interval, but no cube covers the grain — these tests pin the FLAT
+    backing's file-manifest pruning, and since round 10 the plain q3 shape
+    routes to the orderline rollup instead."""
     spec = _q3_spec()
+    spec.dimensions.append(ir.DefaultDim("l_linenumber"))
+    return spec
+
+
+def test_q3_shape_prunes_and_matches_full_scan(ctx):
+    spec = _q3_row_grain_spec()
     planned, backing, dec = ctx.plan(spec)
     note = "\n".join(dec.notes)
     assert "file manifest pruned scan" in note, note
@@ -326,7 +336,7 @@ def test_appended_files_are_kept(spark, tmp_path):
 def test_pruned_plan_reads_fewer_files(ctx):
     """The executed plan's scan reads only the kept files (file-level skip,
     not just a predicate over the full listing)."""
-    spec = _q3_spec()
+    spec = _q3_row_grain_spec()
     files, total = planner.prune_flat_files(ctx.index, spec)
     df = ctx.query(spec)
     df.collect()

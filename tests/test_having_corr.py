@@ -207,7 +207,9 @@ def test_having_corr_not_in_null_member_empties_group(ctx, duck):
                FROM lineitem l2
                WHERE l2.l_linestatus = lineitem.l_linestatus)
            ORDER BY st""",
-        backing="scalarselect[cube<-hm:flat,hcorr:flat]",
+        # the expression key set references only (l_linestatus, l_quantity)
+        # — the qtyline measure-value rollup serves its DISTINCT directly
+        backing="scalarselect[cube<-hm:cube,hcorr:flat]",
     )
 
 

@@ -182,9 +182,60 @@ def test_dimensions_without_decoding():
 
 
 def test_lossy_vp8_declines_honestly():
+    """The FROM-SPEC decoder declines lossy VP8 (RFC 6386's trained
+    probability tables are constants the offline build cannot re-derive);
+    the dispatch layer picks it up below."""
     lossy = open(os.path.join(DATA, "webp_lossy_solid.webp"), "rb").read()
     with pytest.raises(ValueError, match="lossy VP8"):
         webp.decode(lossy)
+
+
+def test_lossy_vp8_decodes_via_system_libwebp():
+    """decode_image's round-10 arm: lossy VP8 routes to the system
+    libwebp runtime via ctypes (this container has the .so but neither
+    Pillow nor ffmpeg) — output matches a direct library decode exactly
+    and is plausibly near the encoder input."""
+    from pysparkline.operators import multimodal
+
+    lossy = open(os.path.join(DATA, "webp_lossy_solid.webp"), "rb").read()
+    got = multimodal.decode_image(lossy)
+    assert got.ndim == 3 and got.shape[2] == 3
+    if LIB is not None:
+        direct = _lib_decode_rgba(lossy)[:, :, :3]
+        assert got.shape == direct.shape
+        assert (got == direct).all()
+
+
+@needs_lib
+def test_lossy_vp8_random_image_via_dispatch():
+    """Fresh lossy encodings each run: encode random smooth images with
+    the system encoder, decode through the DISPATCH (not the lib
+    directly), compare bit-exactly with the library's own decode and
+    sanity-bound the lossy error vs the source."""
+    rng = np.random.default_rng(11)
+    for w, h in [(32, 24), (65, 33)]:
+        base = rng.integers(0, 255, (1, 1, 3), dtype=np.uint8)
+        img = np.clip(
+            base.astype(int)
+            + rng.integers(-12, 12, (h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        LIB.WebPEncodeRGB.restype = ctypes.c_size_t
+        LIB.WebPEncodeRGB.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        n = LIB.WebPEncodeRGB(img.tobytes(), w, h, w * 3, 90.0,
+                              ctypes.byref(out))
+        assert n > 0
+        data = bytes(bytearray(out[i] for i in range(n)))
+        from pysparkline.operators import multimodal
+
+        got = multimodal.decode_image(data)
+        direct = _lib_decode_rgba(data)[:, :, :3]
+        assert (got == direct).all()
+        err = np.abs(got.astype(int) - img.astype(int)).mean()
+        assert err < 12, err  # lossy but near the smooth source
 
 
 def test_garbage_declines():
