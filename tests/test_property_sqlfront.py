@@ -505,8 +505,45 @@ def semijoin_sqls(draw):
     if draw(st.booleans()):
         hkind = draw(st.sampled_from(
             ["scalar", "hin", "hnot_in", "hexists", "hquant", "hin_or",
-             "hcorr_exists"]
+             "hcorr_exists", "hcorr_quant", "hcorr_not_in"]
         ))
+        if hkind == "hcorr_quant":
+            # round-10 correlated quantified in HAVING: the per-key bundle
+            # LEFT-joins the aggregated frame on the SELECTED group column;
+            # ANY and (DuckDB-rewritten) ALL arms, all four ops, plus an
+            # emptiness-inducing inner filter branch for the empty-set edge
+            g0 = gcols[0]
+            q = draw(st.sampled_from(["ANY", "ALL"]))
+            op2 = draw(st.sampled_from([">", ">=", "<", "<="]))
+            extra = (
+                f" AND l2.l_quantity > {draw(st.sampled_from([30, 999]))}"
+                if draw(st.booleans())
+                else ""
+            )
+            having = (
+                f" HAVING AVG(l_quantity) {op2} {q}"
+                f" (SELECT l2.l_quantity FROM lineitem l2"
+                f" WHERE l2.{g0} = lineitem.{g0}{extra})"
+            )
+            hkind = "done"
+        if hkind == "hcorr_not_in":
+            # round-10 correlated NOT IN in HAVING: marker arm + per-group
+            # NULL/empty count guard; the CASE branch plants NULL members
+            # in SOME groups only (the per-group, not global, semantics)
+            g0 = gcols[0]
+            if draw(st.booleans()):
+                inner_item = "l2.l_quantity"
+            else:
+                nullth = draw(st.integers(44, 50))
+                inner_item = (
+                    f"CASE WHEN l2.l_quantity > {nullth} THEN NULL"
+                    " ELSE l2.l_quantity END"
+                )
+            having = (
+                f" HAVING AVG(l_quantity) NOT IN (SELECT {inner_item}"
+                f" FROM lineitem l2 WHERE l2.{g0} = lineitem.{g0})"
+            )
+            hkind = "done"
         if hkind == "hcorr_exists":
             # round-9 equi-correlated [NOT] EXISTS in HAVING: correlation
             # binds to the SELECTED group column -> multi-key marker join
