@@ -448,6 +448,14 @@ class IndexConfig:
     # manifest anyway) and catches grains that are finer than the data —
     # a 5-dim month cube at 2x compression reads almost like the fact
     # table but with none of its pruning machinery. 0 disables.
+    # CAVEAT (why 0 is the default): row compression is not the only way
+    # a rollup pays — a NARROW, dim-SORTED rollup at ~1.0x compression can
+    # still beat the wide flat by an order of magnitude (the round-10
+    # orderline cube: 1.02x rows, q3 task time 474 ms -> 51 ms via
+    # row-group pruning on its leading sort dim + 6x fewer column bytes).
+    # Enable the gate only for cube sets whose value IS row reduction,
+    # and pin deliberate near-1x rollups by declaring them at an already-
+    # coarsenable-no-further grain or leaving the gate off.
     min_cube_compression: float = 0.0
 
     # -- per-cube measure filtering (CubeSpec.measures) ---------------------
