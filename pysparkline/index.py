@@ -381,6 +381,28 @@ class TopKSpec:
         return "1" if self.metric == "count" else self.metric
 
 
+@dataclass(frozen=True)
+class ProjectionSpec:
+    """A NARROW, sorted, row-grain copy of the flat table — the Vertica-
+    projection / Druid-narrow-segment analog (round 10). Row-GRAIN is what
+    distinguishes it from a cube: every flat row appears exactly once, so
+    any query whose referenced columns it covers — including semi-join
+    OUTERS, which cubes can never serve — answers from it with identical
+    results while reading a fraction of the column bytes, sorted so its
+    own predicates prune row groups. ``columns`` need not list the time
+    column or the partition column; both are always included."""
+
+    name: str
+    columns: tuple
+    sort_cols: tuple = ()
+
+
+def projection_columns(config: "IndexConfig", p: ProjectionSpec) -> list:
+    """Ordered column list a projection stores (time col first, dedup) —
+    one definition shared by build, append, and coverage checks."""
+    return list(dict.fromkeys([config.time_col, *p.columns]))
+
+
 @dataclass
 class IndexConfig:
     time_col: str
@@ -457,6 +479,9 @@ class IndexConfig:
     # and pin deliberate near-1x rollups by declaring them at an already-
     # coarsenable-no-further grain or leaving the gate off.
     min_cube_compression: float = 0.0
+    # narrow row-grain projections (ProjectionSpec): sorted column-subset
+    # copies of the flat table the planner serves covered queries from
+    projections: list = field(default_factory=list)
 
     # -- per-cube measure filtering (CubeSpec.measures) ---------------------
     def cube_metrics(self, cube: CubeSpec) -> list:
@@ -546,6 +571,15 @@ class IndexConfig:
             d["zorderBits"] = self.zorder_bits
         if self.min_cube_compression:
             d["minCubeCompression"] = self.min_cube_compression
+        if self.projections:
+            d["projections"] = [
+                {
+                    "name": p.name,
+                    "columns": list(p.columns),
+                    "sortCols": list(p.sort_cols),
+                }
+                for p in self.projections
+            ]
         return d
 
     @staticmethod
@@ -586,6 +620,12 @@ class IndexConfig:
             zorder_cols=list(d.get("zorderCols", [])),
             zorder_bits=d.get("zorderBits", 8),
             min_cube_compression=d.get("minCubeCompression", 0.0),
+            projections=[
+                ProjectionSpec(
+                    p["name"], tuple(p["columns"]), tuple(p["sortCols"])
+                )
+                for p in d.get("projections", [])
+            ],
         )
 
 
@@ -1060,6 +1100,11 @@ class OlapIndex:
         # after the pool completes to stamp the manifest
         chosen = {"granularity": config.partition_granularity}
 
+        import threading
+
+        layout_memo: dict = {}
+        layout_lock = threading.Lock()
+
         def layout_frame(stats_future):
             """(frame, partitions, effective files/partition, write tasks)
             for the flat layout — the byte floor applied to the partition
@@ -1069,7 +1114,15 @@ class OlapIndex:
             bytes/row; the build-parallelism floor (defaultParallelism)
             applies only when the byte floor is NOT binding — when it
             binds, data is small by construction and task count equals
-            file count."""
+            file count. Memoized (one probe) — the flat write and every
+            projection write consume the same layout."""
+            with layout_lock:
+                if "v" in layout_memo:
+                    return layout_memo["v"]
+                layout_memo["v"] = _layout_frame_uncached(stats_future)
+                return layout_memo["v"]
+
+        def _layout_frame_uncached(stats_future):
             st = stats_future.result()
             months = int(st["__parts"])
             years = int(st["__parts_year"])
@@ -1146,6 +1199,53 @@ class OlapIndex:
                 .parquet(flat_path)
             )
 
+        def write_projection(p: ProjectionSpec):
+            """Narrow sorted row-grain copy (ProjectionSpec doc): same
+            partition scheme as the flat, its OWN byte floor (narrower
+            bytes/row -> fewer files), sort_cols leading inside partitions
+            so its predicates get tight row-group stats, and a per-file
+            stats manifest for whole-file pruning."""
+            frame, parts, _eff, _n = layout_frame(stats_f)
+            st = stats_f.result()
+            rows = int(st["__rows"])
+            cols = projection_columns(config, p)
+            proj = frame.select(MONTH_COL, *cols)
+            rel = f"proj_{p.name}"
+            proj_path = os.path.join(out_dir, rel)
+            nfiles = parts
+            if config.target_file_bytes > 0 and rows > 0:
+                bpr = measure_bytes_per_row(
+                    spark, proj, out_dir, rows,
+                    probe_name=f"_size_probe_proj_{p.name}",
+                )
+                if bpr:
+                    eff = effective_files_per_partition(
+                        config, rows * bpr / max(1, parts)
+                    )
+                    nfiles = parts * eff
+            to_write = proj
+            if p.sort_cols:
+                to_write = proj.repartitionByRange(
+                    max(1, nfiles), MONTH_COL, *p.sort_cols
+                ).sortWithinPartitions(MONTH_COL, *p.sort_cols)
+            (
+                to_write.write.mode("overwrite")
+                .partitionBy(MONTH_COL)
+                .option("maxRecordsPerFile", 5_000_000)
+                .options(**parquet_write_options(config))
+                .parquet(proj_path)
+            )
+            fm = OlapIndex._build_file_manifest(
+                spark, proj_path, out_dir, config,
+                None, st, rel_name=f"{rel}_manifest",
+            )
+            return p.name, {
+                "path": rel,
+                "columns": cols,
+                "sortCols": list(p.sort_cols),
+                "fileManifest": fm,
+            }
+
         def build_one_cube(cube: CubeSpec):
             # grain auto-coarsening (min_cube_compression doc): measure the
             # cube's actual compression — a grain finer than the data
@@ -1196,10 +1296,15 @@ class OlapIndex:
                 entry["measures"] = list(cube.measures)
             return cube.name, entry
 
-        with ThreadPoolExecutor(max_workers=3 + len(config.cubes)) as pool:
+        with ThreadPoolExecutor(
+            max_workers=3 + len(config.cubes) + len(config.projections)
+        ) as pool:
             stats_f = pool.submit(compute_stats)
             write_f = pool.submit(write_flat, stats_f)
             cube_fs = [pool.submit(build_one_cube, c) for c in config.cubes]
+            proj_fs = [
+                pool.submit(write_projection, p) for p in config.projections
+            ]
             stats = stats_f.result()
             write_f.result()
             fm_f = pool.submit(
@@ -1207,6 +1312,8 @@ class OlapIndex:
                 spark, flat_path, out_dir, config, pre.schema, stats,
             )
             manifest["cubes"] = dict(f.result() for f in cube_fs)
+            if proj_fs:
+                manifest["projections"] = dict(f.result() for f in proj_fs)
             manifest["fileManifest"] = fm_f.result()
         # record the granularity the byte floor actually chose: loaded
         # indexes derive partition predicates (lowering.interval_predicate)
@@ -1568,6 +1675,7 @@ class OlapIndex:
         config: IndexConfig,
         schema,
         stats: dict,
+        rel_name: str = FILE_MANIFEST,
     ) -> dict:
         """Per-FILE dimension manifest — the Druid per-dimension inverted
         index re-expressed at file granularity (the reference's headline
@@ -1596,9 +1704,9 @@ class OlapIndex:
             F.col("_metadata.file_path").alias("file")
         ).agg(*manifest_stat_aggs(mm_cols, set_cols))
         fm.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, FILE_MANIFEST)
+            os.path.join(out_dir, rel_name)
         )
-        return {"path": FILE_MANIFEST, "statsCols": mm_cols, "setCols": set_cols}
+        return {"path": rel_name, "statsCols": mm_cols, "setCols": set_cols}
 
     # ------------------------------------------------------------------- load
     @staticmethod
@@ -1736,6 +1844,40 @@ class OlapIndex:
         if name not in self._cube_files:
             self._cube_files[name] = list(self._cube_base(name).inputFiles())
         return self._cube_files[name]
+
+    def projection_df(self, name: str) -> DataFrame:
+        """A narrow row-grain projection's relation (memoized per epoch)."""
+        key = f"proj_{name}"
+        df = self._df_memo.get(key)
+        if df is None:
+            rel = self.manifest["projections"][name]["path"]
+            df = self.spark.read.parquet(os.path.join(self.path, rel))
+            self._df_memo[key] = df
+        return df
+
+    def projection_file_manifest(self, name: str) -> list | None:
+        """Per-file stats rows for one projection (same format/semantics as
+        cube manifests; memoized per epoch)."""
+        key = f"proj:{name}"
+        if key not in self._cube_manifests:
+            info = self.manifest["projections"][name].get("fileManifest")
+            if not info:
+                self._cube_manifests[key] = None
+            else:
+                import pyarrow.parquet as pq
+
+                self._cube_manifests[key] = pq.read_table(
+                    os.path.join(self.path, info["path"])
+                ).to_pylist()
+        return self._cube_manifests[key]
+
+    def projection_input_files(self, name: str) -> list[str]:
+        key = f"proj:{name}"
+        if key not in self._cube_files:
+            self._cube_files[key] = list(
+                self.projection_df(name).inputFiles()
+            )
+        return self._cube_files[key]
 
     def tune_read_parallelism(
         self, floor: int = 16 << 20, ceil: int = 128 << 20, per_core: int = 2

@@ -1057,11 +1057,20 @@ def prune_cube_files(
     rows = rows_fn(name) if rows_fn is not None else None
     if rows is None:
         return None
+    files = index.cube_input_files(name)
+    return _prune_files_per_row(files, rows, index_mod.BUCKET_COL, q)
+
+
+def _prune_files_per_row(
+    files: list[str], rows: list, time_col: str, q: ir.QuerySpec
+) -> tuple[list[str], int] | None:
+    """Per-row manifest walk shared by cube and projection pruning (their
+    manifests are byte-floored-small; the flat path keeps its vectorized
+    arrow pass). Same conservative semantics as prune_flat_files."""
     f = getattr(q, "filter", None)
     ivs = getattr(q, "intervals", None) or []
     if f is None and not ivs:
         return None
-    files = index.cube_input_files(name)
     by_norm = {_norm_path(r["file"]): r for r in rows}
     keep = []
     for p in files:
@@ -1069,7 +1078,7 @@ def prune_cube_files(
         if row is None:
             keep.append(p)
             continue
-        ok = not ivs or _intervals_overlap(row, index_mod.BUCKET_COL, ivs)
+        ok = not ivs or _intervals_overlap(row, time_col, ivs)
         if ok and f is not None:
             ok = _file_passes(row, f)
         if ok:
@@ -1079,13 +1088,104 @@ def prune_cube_files(
     return keep, len(files)
 
 
+def prune_projection_files(
+    index: OlapIndex, name: str, q: ir.QuerySpec
+) -> tuple[list[str], int] | None:
+    """Explicit file list for ``q`` over projection ``name`` — whole-file
+    skipping on the projection's own per-file stats (its sort_cols ranges
+    are tight by construction); intervals compare against the REAL time
+    column's per-file min/max, so no bucket-alignment requirement."""
+    rows_fn = getattr(index, "projection_file_manifest", None)
+    rows = rows_fn(name) if rows_fn is not None else None
+    if rows is None:
+        return None
+    files = index.projection_input_files(name)
+    return _prune_files_per_row(files, rows, index.time_col, q)
+
+
+def _columns_provable(q: ir.QuerySpec) -> bool:
+    """True when the query's referenced-column set is PROVABLY complete.
+
+    ``ir.query_referenced_columns`` under-reports when an Expr* node
+    carries a free-form SQL expression without its ``columns`` list — safe
+    for the flat/base fallback decision (the flat has every star column,
+    so under-reporting only ever errs toward a backing that has more), but
+    FATAL for projection choice: a narrow projection picked off an
+    incomplete set would fail analysis (or worse, shadow a column). Any
+    unprovable expression disqualifies projections; the full flat serves."""
+    def agg_ok(a) -> bool:
+        if isinstance(a, ir.ExprAgg):
+            return not a.expr or bool(a.columns)
+        if isinstance(a, ir.AvgAgg):
+            return a.expr is None or bool(a.columns)
+        if isinstance(a, ir.FilteredAgg):
+            return filter_ok(a.filter) and agg_ok(a.agg)
+        return True
+
+    def filter_ok(f) -> bool:
+        if f is None:
+            return True
+        if isinstance(f, ir.ExprFilter):
+            return bool(f.columns)
+        if isinstance(f, ir.LogicalFilter):
+            return all(filter_ok(c) for c in f.fields_)
+        if isinstance(f, ir.NotFilter):
+            return filter_ok(f.field_)
+        return True
+
+    def dim_ok(d) -> bool:
+        if isinstance(d, ir.ExprDim):
+            return bool(d.referenced_columns())
+        return True
+
+    dims = (
+        list(getattr(q, "dimensions", []) or [])
+        + ([q.dimension] if isinstance(q, ir.TopNQuery) else [])
+    )
+    return (
+        all(dim_ok(d) for d in dims)
+        and filter_ok(getattr(q, "filter", None))
+        and all(agg_ok(a) for a in getattr(q, "aggregations", []) or [])
+    )
+
+
+def choose_projection(
+    index: OlapIndex, referenced: set, q: ir.QuerySpec
+) -> str | None:
+    """The NARROWEST projection covering every referenced column, or None.
+    Projections are row grain, so coverage is the only correctness
+    condition — semi-join outers and cardinality-rejected aggregations
+    qualify exactly like plain scans. Queries whose column set cannot be
+    PROVEN complete (_columns_provable) never ride a projection."""
+    if not (index.manifest.get("projections") or {}):
+        return None
+    if not _columns_provable(q):
+        return None
+    best = None
+    best_width = None
+    for name, info in (index.manifest.get("projections") or {}).items():
+        cols = set(info["columns"])
+        if referenced <= cols and (
+            best is None or len(cols) < best_width
+        ):
+            best, best_width = name, len(cols)
+    return best
+
+
 def _pruned_cube_df(index: OlapIndex, name: str, files: list[str]) -> DataFrame:
+    base = index._cube_base(name)
+    rel = index.manifest["cubes"][name]["path"]
+    return _pruned_aux_df(index, base, rel, files)
+
+
+def _pruned_aux_df(
+    index: OlapIndex, base: DataFrame, rel: str, files: list[str]
+) -> DataFrame:
     import os
 
-    base = index._cube_base(name)
     if not files:
         return base.where(F.lit(False))
-    root = os.path.join(index.path, index.manifest["cubes"][name]["path"])
+    root = os.path.join(index.path, rel)
     return (
         index.spark.read.schema(base.schema)
         .option("basePath", root)
@@ -1196,13 +1296,34 @@ def choose_backing(
     if referenced <= flat_cols:
         notes.append("flat backing: all referenced columns in flattened star")
         backing = Backing.flat(index)
-        pr = prune_flat_files(index, q)
-        if pr is not None:
-            files, total = pr
+        proj = choose_projection(index, referenced, q)
+        if proj is not None:
+            # narrow row-grain projection covers the query: identical rows,
+            # a fraction of the column bytes, sorted for its own predicates
+            info = index.manifest["projections"][proj]
             notes.append(
-                f"file manifest pruned scan: {len(files)}/{total} files"
+                f"projection {proj} covers the scan "
+                f"({len(info['columns'])} cols vs {len(flat_cols)} flat)"
             )
-            backing.df = _pruned_flat_df(index, files)
+            backing.df = index.projection_df(proj)
+            pr = prune_projection_files(index, proj, q)
+            if pr is not None:
+                files, total = pr
+                notes.append(
+                    f"projection file manifest pruned scan: "
+                    f"{len(files)}/{total} files"
+                )
+                backing.df = _pruned_aux_df(
+                    index, backing.df, info["path"], files
+                )
+        else:
+            pr = prune_flat_files(index, q)
+            if pr is not None:
+                files, total = pr
+                notes.append(
+                    f"file manifest pruned scan: {len(files)}/{total} files"
+                )
+                backing.df = _pruned_flat_df(index, files)
         n = _distinct_skew_buckets(q, est, backing.df)
         if n > 1:
             backing.distinct_buckets = n

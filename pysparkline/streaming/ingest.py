@@ -194,6 +194,18 @@ class StreamingIngest:
             flat.write.mode("append").partitionBy(MONTH_COL).parquet(
                 os.path.join(self.index.path, "flat")
             )
+            # 1b. the same rows into every narrow projection (row grain —
+            #     a projection missing appended rows would answer covered
+            #     queries wrongly; appended files are unmanifested, so the
+            #     pruner keeps them unconditionally until compaction)
+            from ..index import projection_columns
+
+            for p in cfg.projections:
+                flat.select(
+                    MONTH_COL, *projection_columns(cfg, p)
+                ).write.mode("append").partitionBy(MONTH_COL).parquet(
+                    os.path.join(self.index.path, f"proj_{p.name}")
+                )
             # 2. one merge-form partial row per cube group for this batch
             for cube in cfg.cubes:
                 partial = OlapIndex._build_cube(batch_df, cfg, cube)

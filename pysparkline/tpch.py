@@ -23,7 +23,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .index import (
-    CubeSpec, IndexConfig, MetricSpec, OlapIndex, TopKSpec, flatten_star,
+    CubeSpec, IndexConfig, MetricSpec, OlapIndex, ProjectionSpec, TopKSpec,
+    flatten_star,
 )
 from .metadata import (
     N_TO_ONE,
@@ -287,6 +288,26 @@ def tpch_index_config() -> IndexConfig:
                 ("l_linestatus", "l_quantity", "l_discount"),
                 "month",
                 measures=("sum_base_price", "sum_disc_rev", "sum_qty"),
+            ),
+        ],
+        # narrow row-grain projections (round 10 — the backing cubes can
+        # never be): semi-join OUTERS and cardinality-rejected aggregations
+        # are row grain, and the wide z-shuffled flat makes them pay
+        # column-chunk overhead a narrow sorted copy avoids. li_probe
+        # serves Q17-shaped probes (sorted by the correlation key);
+        # li_order serves the SubQry-family outers (sorted by the semi-join
+        # key, so the anti/semi joins probe sorted data)
+        projections=[
+            ProjectionSpec(
+                "li_probe",
+                ("l_partkey", "l_quantity", "l_extendedprice"),
+                ("l_partkey",),
+            ),
+            ProjectionSpec(
+                "li_order",
+                ("l_orderkey", "l_returnflag", "l_linestatus",
+                 "l_quantity", "l_extendedprice"),
+                ("l_orderkey",),
             ),
         ],
         partition_granularity="month",
