@@ -137,8 +137,7 @@ def test_append_keeps_projection_consistent(spark, tmp_path):
         target_file_bytes=0,
     )
     idx = OlapIndex.build(spark, flat, cfg, str(tmp_path / "idx"))
-    batch = _synth_flat(spark, 2100).where("id IS NULL OR true").limit(0)
-    # a disjoint batch: shift ids into a fresh value range via union trick
+    # a disjoint batch: ids in a fresh range
     batch = spark.range(1500, 2100).select(
         F.expr(
             "timestampadd(HOUR, CAST(id % 17000 AS INT),"
