@@ -455,3 +455,96 @@ class StreamingIngest:
         shutil.rmtree(tmp_fm, ignore_errors=True)
         self.index.invalidate()
         return len(months)
+
+    def compact_projections(self, names: list[str] | None = None) -> int:
+        """Re-sort appended projection files into the indexed layout and
+        rebuild their file manifests — the projection twin of
+        :meth:`compact_flat`. Appends land partition-correct but unsorted
+        and UNMANIFESTED (the pruner keeps unknown files unconditionally:
+        correct, never fast), so an always-appending projection degrades
+        toward full scans until this runs. Returns the number of
+        (projection, partition) pairs rewritten. Same maintenance-window
+        contract as every compaction here (plain parquet directory swaps
+        are not transactional)."""
+        import shutil
+
+        from ..index import OlapIndex as _OI
+        from ..index import effective_files_per_partition, projection_columns
+
+        idx, cfg, spark = self.index, self.index.config, self.index.spark
+        rewritten = 0
+        for p in cfg.projections:
+            if names is not None and p.name not in names:
+                continue
+            info = idx.manifest.get("projections", {}).get(p.name)
+            if info is None or not info.get("fileManifest"):
+                continue
+            root = os.path.join(idx.path, info["path"])
+            known = {
+                r["file"]
+                for r in (idx.projection_file_manifest(p.name) or [])
+            }
+            parts = []
+            for d in sorted(os.listdir(root)):
+                if not d.startswith(f"{MONTH_COL}="):
+                    continue
+                pdir = os.path.join(root, d)
+                files = [
+                    os.path.join(pdir, f)
+                    for f in os.listdir(pdir)
+                    if f.endswith(".parquet")
+                ]
+                if any(
+                    f"file:{f}" not in known and f not in known
+                    for f in files
+                ):
+                    parts.append(d.split("=", 1)[1])
+            if not parts:
+                continue
+            from ..index import parquet_write_options
+
+            for m in parts:
+                pdir = os.path.join(root, f"{MONTH_COL}={m}")
+                part_bytes = sum(
+                    os.path.getsize(os.path.join(pdir, f))
+                    for f in os.listdir(pdir)
+                    if f.endswith(".parquet")
+                )
+                n_files = effective_files_per_partition(cfg, part_bytes)
+                df = spark.read.parquet(pdir)
+                out = df
+                if p.sort_cols:
+                    out = df.repartitionByRange(
+                        n_files, *p.sort_cols
+                    ).sortWithinPartitions(*p.sort_cols)
+                tmp = os.path.join(idx.path, f"_compact_proj__{p.name}_{m}")
+                (
+                    out.write.mode("overwrite")
+                    .option("maxRecordsPerFile", 5_000_000)
+                    .options(**parquet_write_options(cfg))
+                    .parquet(tmp)
+                )
+                old = pdir + "__old"
+                os.rename(pdir, old)
+                os.rename(tmp, pdir)
+                shutil.rmtree(old, ignore_errors=True)
+                rewritten += 1
+            # projection manifests are tiny (files x columns): rebuild
+            # whole rather than merge per-partition rows
+            st = {
+                f"ndv__{c}": idx.ndv(c)
+                for c in projection_columns(cfg, p)
+            }
+            info["fileManifest"] = _OI._build_file_manifest(
+                spark, root, idx.path, cfg, None, st,
+                rel_name=f"{info['path']}_manifest",
+            )
+        if rewritten:
+            from ..index import atomic_json_dump
+
+            atomic_json_dump(
+                idx.manifest, os.path.join(idx.path, "manifest.json"),
+                indent=1, default=str,
+            )
+            self.index.invalidate()
+        return rewritten

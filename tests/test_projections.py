@@ -168,6 +168,57 @@ def test_append_keeps_projection_consistent(spark, tmp_path):
     assert got == exp
 
 
+def test_compact_projections_restores_pruning(spark, tmp_path):
+    """Appends land unsorted/unmanifested (pruner keeps them — correct,
+    never fast); compact_projections re-sorts the affected partitions,
+    rebuilds the manifest, and pruning covers every file again, with
+    identical answers throughout."""
+    from pysparkline.streaming.ingest import StreamingIngest
+
+    flat = _synth_flat(spark, 2000)
+    cfg = IndexConfig(
+        time_col="ts",
+        metrics=[MetricSpec("v", "v", "sum")],
+        projections=[ProjectionSpec("kv", ("k", "v"), ("k",))],
+        target_file_bytes=2048,
+        files_per_time_partition=8,
+    )
+    idx = OlapIndex.build(spark, flat, cfg, str(tmp_path / "idx"))
+    batch = _synth_flat(spark, 2600).where("u >= 0")  # same generator
+    idx.append_batch(batch)
+    q = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("k")],
+        filter=ir.SelectorFilter("k", "k3"),
+        aggregations=[ir.FieldAgg("sum", "sv", "v"), ir.CountAgg("n")],
+    )
+    from pysparkline import lowering
+
+    def run():
+        b, dec = planner.choose_backing(q, idx, force_row_grain=True)
+        return {tuple(r) for r in lowering.lower(q, b).collect()}, dec
+
+    both = flat.unionByName(batch)
+    exp = {
+        tuple(r)
+        for r in both.where("k = 'k3'")
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_pre, _ = run()
+    assert got_pre == exp  # appended (unmanifested) files are kept
+    n = StreamingIngest(idx).compact_projections()
+    assert n > 0
+    got_post, dec = run()
+    assert got_post == exp
+    # post-compaction every file is manifested again and pruning engages
+    rows = idx.projection_file_manifest("kv")
+    files = idx.projection_input_files("kv")
+    known = {planner._norm_path(r["file"]) for r in rows}
+    assert all(planner._norm_path(f) in known for f in files)
+    assert any("projection file manifest pruned" in x for x in dec.notes)
+
+
 def test_tpch_semijoin_outers_ride_projections(spark):
     """The motivating workload: Q17-shaped probes ride li_probe, the
     SubQry-family outers li_order (with file pruning) — visible in the
