@@ -331,12 +331,18 @@ class StreamingIngest:
         # unconditionally by the pruner), so without this an always-
         # appending cube degrades toward full scans, same as compact_flat
         OlapIndex._write_cube_clustered(
-            spark, final, cfg, cube, path, self.index.path, rows
+            spark, final, cfg, cube, path, self.index.path, rows,
+            # the manifest's on-disk stamp seeds the byte floor — no probe
+            # write per compaction
+            bpr_hint=info.get("bytesPerRow"),
         )
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
         info["rowCount"] = rows
+        from ..index import dir_parquet_bytes
+
+        info["bytesPerRow"] = round(dir_parquet_bytes(path) / max(rows, 1), 4)
         info["fileManifest"] = OlapIndex._build_cube_file_manifest(
             spark, path, self.index.path, cfg, cube
         )
