@@ -1068,9 +1068,10 @@ def cached_build_or_load(
         {
             "sf_dir": os.path.abspath(sf_dir),
             "config": config.to_dict(),
-            # bumped when the manifest gains fields the planner consumes
-            # (2: bytesPerRow cost stamps) so stale cached fixtures rebuild
-            "format": 2,
+            # bumped when the manifest or layout changes shape (2: bytesPerRow
+            # cost stamps; 3: byte-floor-collapsed unpartitioned projections)
+            # so stale cached fixtures rebuild
+            "format": 3,
             **(extra_key or {}),
         },
         sort_keys=True,
@@ -1304,6 +1305,7 @@ class OlapIndex:
             rel = f"proj_{p.name}"
             proj_path = os.path.join(out_dir, rel)
             nfiles = parts
+            partitioned = True
             if config.target_file_bytes > 0 and rows > 0:
                 # seeded from the flat probe's per-column split (no probe
                 # write per projection); fall back to an own probe only
@@ -1315,19 +1317,45 @@ class OlapIndex:
                     probe_name=f"_size_probe_proj_{p.name}",
                 )
                 if bpr:
-                    eff = effective_files_per_partition(
-                        config, rows * bpr / max(1, parts)
-                    )
-                    nfiles = parts * eff
-            to_write = proj
-            if p.sort_cols:
+                    total = rows * bpr
+                    if total / max(1, parts) < config.target_file_bytes:
+                        # the byte floor taken one step past the month->
+                        # year coarsening: time-partition DIRS whose
+                        # average content is under one target file cost a
+                        # file (and a ~20-60 ms reader/task init) per dir
+                        # — measured 3-5x a probe query's entire task time
+                        # at bench SF. Collapse to an UNPARTITIONED write
+                        # clustered purely on sort_cols; MONTH_COL becomes
+                        # an ordinary stored column (same name/values, so
+                        # interval predicates lower identically) and
+                        # interval pruning rides the per-file manifest's
+                        # real time-column stats, which never needed the
+                        # dirs. At production scale partitions exceed the
+                        # target and the partitioned layout governs.
+                        partitioned = False
+                        nfiles = max(
+                            1, int(round(total / config.target_file_bytes))
+                        )
+                    else:
+                        eff = effective_files_per_partition(
+                            config, total / max(1, parts)
+                        )
+                        nfiles = parts * eff
+            if partitioned:
+                to_write = proj
+                if p.sort_cols:
+                    to_write = proj.repartitionByRange(
+                        max(1, nfiles), MONTH_COL, *p.sort_cols
+                    ).sortWithinPartitions(MONTH_COL, *p.sort_cols)
+                w = to_write.write.mode("overwrite").partitionBy(MONTH_COL)
+            else:
+                keys = list(p.sort_cols) or [config.time_col]
                 to_write = proj.repartitionByRange(
-                    max(1, nfiles), MONTH_COL, *p.sort_cols
-                ).sortWithinPartitions(MONTH_COL, *p.sort_cols)
+                    max(1, nfiles), *keys
+                ).sortWithinPartitions(*keys)
+                w = to_write.write.mode("overwrite")
             (
-                to_write.write.mode("overwrite")
-                .partitionBy(MONTH_COL)
-                .option("maxRecordsPerFile", 5_000_000)
+                w.option("maxRecordsPerFile", 5_000_000)
                 .options(**parquet_write_options(config))
                 .parquet(proj_path)
             )
@@ -1339,6 +1367,9 @@ class OlapIndex:
                 "path": rel,
                 "columns": cols,
                 "sortCols": list(p.sort_cols),
+                # False when the byte floor collapsed the time-partition
+                # dirs (appends/compaction must write the same layout)
+                "partitioned": partitioned,
                 "fileManifest": fm,
                 # exact on-disk stamp (not the seeded estimate): feeds the
                 # planner's kept-bytes cost tie-breaker

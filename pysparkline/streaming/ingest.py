@@ -201,11 +201,17 @@ class StreamingIngest:
             from ..index import projection_columns
 
             for p in cfg.projections:
-                flat.select(
-                    MONTH_COL, *projection_columns(cfg, p)
-                ).write.mode("append").partitionBy(MONTH_COL).parquet(
-                    os.path.join(self.index.path, f"proj_{p.name}")
-                )
+                pdf = flat.select(MONTH_COL, *projection_columns(cfg, p))
+                pw = pdf.write.mode("append")
+                pinfo = (self.index.manifest.get("projections") or {}).get(
+                    p.name
+                ) or {}
+                if pinfo.get("partitioned", True):
+                    pw = pw.partitionBy(MONTH_COL)
+                # else: the build's byte floor collapsed this projection's
+                # partition dirs — append into the flat root with MONTH_COL
+                # stored as an ordinary column, matching the base layout
+                pw.parquet(os.path.join(self.index.path, f"proj_{p.name}"))
             # 2. one merge-form partial row per cube group for this batch
             for cube in cfg.cubes:
                 partial = OlapIndex._build_cube(batch_df, cfg, cube)
@@ -462,6 +468,67 @@ class StreamingIngest:
         self.index.invalidate()
         return len(months)
 
+    def _rebuild_projection_manifest(self, p, info: dict, root: str) -> None:
+        """Projection manifests are tiny (files x columns): rebuild whole
+        rather than merge per-partition rows."""
+        from ..index import OlapIndex as _OI
+        from ..index import projection_columns
+
+        idx, cfg, spark = self.index, self.index.config, self.index.spark
+        st = {
+            f"ndv__{c}": idx.ndv(c)
+            for c in projection_columns(cfg, p)
+        }
+        info["fileManifest"] = _OI._build_file_manifest(
+            spark, root, idx.path, cfg, None, st,
+            rel_name=f"{info['path']}_manifest",
+        )
+
+    def _compact_projection_flat_root(
+        self, p, info: dict, root: str, known: set
+    ) -> bool:
+        """Full re-sort of an UNPARTITIONED (byte-floor-collapsed)
+        projection when it holds manifest-unknown appended files. Bounded:
+        the layout only exists when the whole projection is around one
+        target file of parquet. Returns True when a rewrite happened."""
+        import shutil
+
+        idx, cfg, spark = self.index, self.index.config, self.index.spark
+        files = [
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.endswith(".parquet")
+        ]
+        if not any(
+            f"file:{f}" not in known and f not in known for f in files
+        ):
+            return False
+        from ..index import parquet_write_options
+
+        total = sum(os.path.getsize(f) for f in files)
+        n_files = (
+            max(1, int(round(total / cfg.target_file_bytes)))
+            if cfg.target_file_bytes > 0
+            else 1
+        )
+        df = spark.read.parquet(root)
+        keys = list(p.sort_cols) or [cfg.time_col]
+        out = df.repartitionByRange(n_files, *keys).sortWithinPartitions(
+            *keys
+        )
+        tmp = os.path.join(idx.path, f"_compact_proj__{p.name}")
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", 5_000_000)
+            .options(**parquet_write_options(cfg))
+            .parquet(tmp)
+        )
+        old = root + "__old"
+        os.rename(root, old)
+        os.rename(tmp, root)
+        shutil.rmtree(old, ignore_errors=True)
+        return True
+
     def compact_projections(self, names: list[str] | None = None) -> int:
         """Re-sort appended projection files into the indexed layout and
         rebuild their file manifests — the projection twin of
@@ -490,6 +557,17 @@ class StreamingIngest:
                 r["file"]
                 for r in (idx.projection_file_manifest(p.name) or [])
             }
+            if not info.get("partitioned", True):
+                # byte-floor-collapsed layout (no time dirs): the whole
+                # projection is smaller than ~one target file by
+                # construction, so "compaction" is a bounded full re-sort —
+                # the same work one partition costs in the partitioned case
+                if self._compact_projection_flat_root(p, info, root, known):
+                    rewritten += 1
+                else:
+                    continue
+                self._rebuild_projection_manifest(p, info, root)
+                continue
             parts = []
             for d in sorted(os.listdir(root)):
                 if not d.startswith(f"{MONTH_COL}="):
@@ -535,16 +613,7 @@ class StreamingIngest:
                 os.rename(tmp, pdir)
                 shutil.rmtree(old, ignore_errors=True)
                 rewritten += 1
-            # projection manifests are tiny (files x columns): rebuild
-            # whole rather than merge per-partition rows
-            st = {
-                f"ndv__{c}": idx.ndv(c)
-                for c in projection_columns(cfg, p)
-            }
-            info["fileManifest"] = _OI._build_file_manifest(
-                spark, root, idx.path, cfg, None, st,
-                rel_name=f"{info['path']}_manifest",
-            )
+            self._rebuild_projection_manifest(p, info, root)
         if rewritten:
             from ..index import atomic_json_dump
 

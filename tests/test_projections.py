@@ -219,6 +219,72 @@ def test_compact_projections_restores_pruning(spark, tmp_path):
     assert any("projection file manifest pruned" in x for x in dec.notes)
 
 
+def test_unpartitioned_projection_lifecycle(spark, tmp_path):
+    """Round 11: when every time partition averages under the byte floor,
+    the projection writes UNPARTITIONED (no __tpart dirs — the dirs cost a
+    file + reader init per partition, measured 3-5x a probe query's task
+    time at bench SF). MONTH_COL is stored as an ordinary column, covered
+    queries answer identically, appends land in the same flat-root layout,
+    and compaction re-sorts the whole (byte-floor-bounded) root."""
+    import glob as _glob
+    import os
+
+    from pysparkline.streaming.ingest import StreamingIngest
+
+    flat = _synth_flat(spark, 2000)
+    cfg = IndexConfig(
+        time_col="ts",
+        metrics=[MetricSpec("v", "v", "sum")],
+        projections=[ProjectionSpec("kv", ("k", "v"), ("k",))],
+        # huge target -> every partition is under the floor -> collapsed
+        target_file_bytes=64 << 20,
+        files_per_time_partition=8,
+    )
+    idx = OlapIndex.build(spark, flat, cfg, str(tmp_path / "idx"))
+    info = idx.manifest["projections"]["kv"]
+    assert info["partitioned"] is False
+    root = str(tmp_path / "idx" / "proj_kv")
+    assert not _glob.glob(os.path.join(root, "__tpart=*")), "no time dirs"
+    files = _glob.glob(os.path.join(root, "*.parquet"))
+    assert len(files) == 1, files  # single byte-floored file
+    q = ir.GroupByQuery(
+        dimensions=[ir.DefaultDim("k")],
+        intervals=[ir.Interval("1996-01-01", "1996-04-01")],
+        aggregations=[ir.FieldAgg("sum", "sv", "v"), ir.CountAgg("n")],
+    )
+    from pysparkline import lowering
+
+    def run():
+        b, dec = planner.choose_backing(q, idx, force_row_grain=True)
+        assert any("projection kv covers" in n for n in dec.notes), dec.notes
+        return {tuple(r) for r in lowering.lower(q, b).collect()}
+
+    def expect(src):
+        return {
+            tuple(r)
+            for r in src.where("ts >= '1996-01-01' AND ts < '1996-04-01'")
+            .groupBy("k")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    assert run() == expect(flat)
+    # append lands in the SAME (dir-free) layout; answers stay exact
+    batch = _synth_flat(spark, 2600).where("u >= 0")
+    idx.append_batch(batch)
+    assert not _glob.glob(os.path.join(root, "__tpart=*")), "append made dirs"
+    both = flat.unionByName(batch)
+    assert run() == expect(both)
+    # compaction re-sorts the root and re-manifests every file
+    n = StreamingIngest(idx).compact_projections()
+    assert n > 0
+    assert run() == expect(both)
+    rows = idx.projection_file_manifest("kv")
+    files = idx.projection_input_files("kv")
+    known = {planner._norm_path(r["file"]) for r in rows}
+    assert all(planner._norm_path(f) in known for f in files)
+
+
 def test_tpch_semijoin_outers_ride_projections(spark):
     """The motivating workload: Q17-shaped probes ride li_probe, the
     SubQry-family outers li_order (with file pruning) — visible in the
