@@ -5070,6 +5070,49 @@ def sql_having_corr_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_HAVING_CORR_RESIDUAL = """
+SELECT l_linenumber AS ln,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq
+FROM lineitem
+GROUP BY l_linenumber
+HAVING SUM(l_quantity) > ANY (SELECT l2.l_quantity * 1000 FROM lineitem l2
+                              WHERE l2.l_linenumber = lineitem.l_linenumber
+                                AND l2.l_quantity
+                                    < lineitem.l_linenumber + 3)
+   AND MIN(l_extendedprice) <= ALL (SELECT l2.l_extendedprice
+                                    FROM lineitem l2
+                                    WHERE l2.l_linenumber
+                                          = lineitem.l_linenumber
+                                      AND l2.l_quantity
+                                          > lineitem.l_linenumber * 6)
+ORDER BY ln
+"""
+
+
+@_register("sql_having_corr_residual", _SQL_HAVING_CORR_RESIDUAL)
+def sql_having_corr_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated quantified HAVING with NON-EQUI residuals (round 11,
+    VERDICT r10 missing #2 closed): ``inner.d < f(outer.g)`` conjuncts
+    mean the per-key bundle cannot precompute, so the inner stays row
+    grain and the bundle recomputes per DISTINCT (correlation + residual
+    frame column) tuple after the residual-conditioned join
+    (ir.CorrScalarCond.row_grain; served in session._lower_scalar_select)
+    — joined back null-safely, so frame rows can never duplicate. Both
+    the ANY and ALL three-valued guards evaluate over the residual-matched
+    set (counts read 0 on empty, min/max NULL). The reference never
+    served ANY HAVING subquery (DruidQuerySpec.scala:458-476); Spark
+    cannot parse quantifiers — engine surface twice over. DuckDB runs the
+    same text natively as the oracle."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_HAVING_CORR_RESIDUAL)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("scalarselect[") and backing.count(
+        "hcorr-row:"
+    ) == 2, f"residual correlated HAVING must serve, got {backing}"
+    return out
+
+
 _SQL_HAVING_CORR_NOT_IN = """
 SELECT l_linestatus AS st,
        COUNT(*) AS n
@@ -6624,76 +6667,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 registered queries; every registered
 # query additionally runs against its oracle in tests/test_entry_oracle
-# each round. Round 10's window (verdict-freshness rotation, VERDICT r9
-# #5 — executed exactly as queued in TODO.md "Round-10 rotation
-# candidates"):
-# (a) the 2 NEW r10 rows first: sql_having_corr_any /
-#     sql_having_corr_not_in (correlated quantified / NOT IN in HAVING —
-#     the VERDICT r9 #6 decline tail closed);
-# (b) the ENTIRE remaining r6-verdicted cohort (29 rows, incl.
-#     events_user_distinct which yielded its r9 slot), so after this
-#     window no registered row's driver verdict is older than r7;
-# (c) 19 r7-verdicted rows by registration order to fill the 50.
-# Several window rows exercise layouts this round rewrote (clustered
-# byte-floored cubes + per-cube manifests + the partkey rollup):
-# monthly_revenue / dim_filters / topn_brand / q6 / q14 / q17 /
-# approx_topn_* ride cubes, q17's correlated scalar now serves from the
-# partkey rollup. Each registered row also runs typed+ordered against
-# its oracle every pytest (tests/test_entry_oracle.py).
+# each round. Round 11's window (verdict-freshness rotation, VERDICT r10
+# #4 — after r10 the oldest driver verdicts are the 50 r8 rows):
+# (a) the NEW r11 row first: sql_having_corr_residual (correlated
+#     quantified HAVING with non-equi residuals — VERDICT r10 missing #2
+#     closed via the row-grain bundle);
+# (b) the r8 rows exercising THIS round's rewrites next: the projection
+#     riders (sql_corr_scalar / sql_not_in / sql_subquery /
+#     sql_in_subquery / select_pushdown / sql_select_scan ride the
+#     byte-floor-collapsed li_probe/li_order layouts) and
+#     ship_date_range (cost tie-breaker routing);
+# (c) the remaining r8 cohort by registration order, filling the 50 —
+#     only sql_latest_per_key stays at its r8 verdict (mirror-green every
+#     pytest), so after r11 no registered row's verdict is older than r8.
 _PRIORITY = [
-    # (a) new r10 rows
-    "sql_having_corr_any",
-    "sql_having_corr_not_in",
-    # (b) the full remaining r6 cohort
-    "approx_topn_supplier",
-    "hll_count_distinct",
-    "substring_dup_docs",
-    "image_features_progressive",
-    "image_dhash_pairs",
-    "audio_fp_pairs",
-    "video_dhash_pairs",
-    "events_user_distinct",
-    "theta_users_type",
-    "theta_retention_daily",
-    "theta_funnel_users",
-    "perplexity_docs",
-    "pq_topk",
-    "ivfpq_index_topk",
-    "ivf_append_topk",
-    "sql_window_share",
-    "sql_window_mom",
-    "sql_window_sum_distinct",
-    "sql_window_exclude",
-    "sql_theta",
-    "tfidf_docs",
-    "interval_join_events",
-    "incremental_dedup_docs",
-    "incremental_substring_docs",
-    "curate_docs",
-    "canonical_docs",
-    "snapshot_diff_docs",
-    "token_budget_docs",
-    "profile_lineitem",
-    # (c) r7 cohort by registration order
-    "monthly_revenue",
-    "dim_filters",
-    "range_filters",
-    "in_null_not_filters",
-    "contains_regex_filters",
-    "filtered_agg",
-    "topn_brand",
-    "approx_topn_filtered",
-    "search_ptype",
-    "having_filter",
-    "count_distinct_exact",
-    "rollup_flags",
-    "cube_flags",
-    "year_volume",
-    "expr_dim_prefix",
-    "min_max_metrics",
-    "q6",
-    "q14",
-    "q17",
+    # (a) new r11 row
+    "sql_having_corr_residual",
+    # (b) r8 rows over this round's rewrites
+    "sql_corr_scalar",
+    "sql_not_in",
+    "sql_subquery",
+    "sql_in_subquery",
+    "select_pushdown",
+    "sql_select_scan",
+    "ship_date_range",
+    # (c) remaining r8 cohort by registration order
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "text_stats_docs",
+    "vocab_topk_docs",
+    "minhash_pairs_docs",
+    "ngram_jaccard_docs",
+    "pack_docs",
+    "temperature_mix_docs",
+    "shard_docs",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "sessionize_stats",
+    "running_totals_user",
+    "image_features",
+    "audio_features",
+    "image_features_hier",
+    "tz_daily_revenue",
+    "events_15min",
+    "funnel_events",
+    "spatial_bounds",
+    "topn_monthly_brand",
+    "sql_multi_interval",
+    "embedding_neardup",
+    "semantic_dedup_emb",
+    "ivf_topk",
+    "text_index_topk",
+    "skew_salted_distinct",
+    "avg_null_aware",
+    "sql_exists_semi",
+    "sql_scalar_subquery",
+    "sql_not_exists_anti",
+    "sql_corr_in",
+    "sql_corr_not_in",
+    "sql_share_of_total",
+    "sql_or_subqueries",
+    "sql_quantified",
+    "sql_window_ma",
+    "sql_window_range",
+    "sql_window_range_desc",
+    "sql_window_filter_distinct",
+    "sql_window_lag_nulls",
+    "sql_window_rowgrain",
 ]
 
 

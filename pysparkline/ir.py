@@ -899,6 +899,25 @@ class CorrScalarCond(IRNode):
     # (subquery under OR); the per-key join still happens, its leaf
     # columns stay visible until the OR filter has run
     standalone: bool = True
+    # ROW-GRAIN residual mode (round 11, HAVING serving): a NON-EQUI
+    # residual conjunct referencing selected outer group columns means the
+    # per-key bundle cannot precompute — ``inner`` stays a row-grain
+    # select (keys + leaf arguments + residual columns) and the server
+    # builds the bundle per DISTINCT (pair outer cols + residual frame
+    # cols) tuple: distinct frame tuples LEFT-join the rows on the equi
+    # pairs AND residual_sql, the leaf aggregates recompute per tuple
+    # (leaf_aggs), and the bundle joins back null-safely — no frame-row
+    # duplication is possible by construction.
+    row_grain: bool = False
+    # residual condition over frame output aliases + __hcr* inner aliases
+    residual_sql: str = ""
+    # frame output aliases the residual reads (bundle key extension)
+    residual_frame_cols: list = field(default_factory=list)
+    # inner-side residual column aliases exposed by the row-grain inner
+    residual_cols: list = field(default_factory=list)
+    # [[fn, arg_alias | None, leaf_alias]] with fn in
+    # count_star/count/min/max — the re-aggregation recipe
+    leaf_aggs: list = field(default_factory=list)
 
 
 @_node

@@ -440,16 +440,73 @@ class OlapContext:
             # empty set) flowing to it. Leaf/key aliases vanish in the
             # final projection. AQE broadcast-converts the NDV-bounded
             # bundle at runtime; never a cross product.
+            tag = "hcorr-row" if getattr(cc, "row_grain", False) else "hcorr"
             if isinstance(cc.inner, ir.BaseScalarQuery):
                 adf = self._lower_base_scalar(cc.inner)
-                descs.append(f"hcorr:base[{cc.inner.table}]")
+                descs.append(f"{tag}:base[{cc.inner.table}]")
             else:
                 s2, b2, d2 = self.plan(cc.inner)
                 adf = lowering.lower(s2, b2)
-                descs.append(f"hcorr:{d2.backing}")
+                descs.append(f"{tag}:{d2.backing}")
             key_alias = {
                 k: f"__hck{j}_{i}" for i, k in enumerate(cc.inner_keys)
             }
+            if getattr(cc, "row_grain", False):
+                # non-equi residual mode (round 11): the bundle cannot
+                # precompute per correlation key, so build it per DISTINCT
+                # (pair outer cols + residual frame cols) tuple — distinct
+                # frame tuples LEFT-join the inner's raw rows on the equi
+                # pairs AND residual_sql, the leaf aggregates recompute
+                # per tuple, and the bundle joins back null-safely. Frame
+                # rows can never duplicate (bundle is keyed by the tuple),
+                # and scale is |distinct tuples| x matched rows — the
+                # shuffle is on the correlation keys, never a cross
+                # product. count_star counts a key alias (non-null exactly
+                # on residual-matched join rows), so an empty residual set
+                # reads 0, matching the bundle-miss semantics cond_sql's
+                # COALESCEs expect.
+                fkey_cols = list(dict.fromkeys(
+                    [o for o, _ in cc.pairs]
+                    + list(cc.residual_frame_cols)
+                ))
+                fkeys = bdf.select(*fkey_cols).distinct()
+                rows = adf.select(
+                    *[F.col(k).alias(a) for k, a in key_alias.items()],
+                    *[F.col(c) for c in cc.residual_cols],
+                )
+                cond = None
+                for o, ik in cc.pairs:
+                    c2 = F.col(o) == F.col(key_alias[ik])
+                    cond = c2 if cond is None else (cond & c2)
+                if cc.residual_sql:
+                    cond = cond & F.expr(cc.residual_sql)
+                k0 = key_alias[cc.inner_keys[0]]
+                aggs = []
+                for fn, arg, alias in cc.leaf_aggs:
+                    # arg is a SQL expression over the reserved __hcr*
+                    # inner aliases (the compared item); count_star counts
+                    # a join key instead (non-null exactly on matches)
+                    col = F.col(k0) if fn == "count_star" else F.expr(arg)
+                    f2 = F.count if fn in ("count_star", "count") else (
+                        F.min if fn == "min" else F.max
+                    )
+                    aggs.append(f2(col).alias(alias))
+                bundle = (
+                    fkeys.join(rows, cond, "left")
+                    .groupBy(*[F.col(c) for c in fkey_cols])
+                    .agg(*aggs)
+                )
+                back = {c: f"__hbk{j}_{i}" for i, c in enumerate(fkey_cols)}
+                bundle = bundle.select(
+                    *[F.col(c).alias(a) for c, a in back.items()],
+                    *[F.col(al) for _f, _a, al in cc.leaf_aggs],
+                )
+                jcond = None
+                for c, a in back.items():
+                    c2 = F.col(c).eqNullSafe(F.col(a))
+                    jcond = c2 if jcond is None else (jcond & c2)
+                bdf = bdf.join(bundle, jcond, "left").drop(*back.values())
+                continue
             aliased = adf.select(
                 *[F.col(k).alias(a) for k, a in key_alias.items()],
                 *[F.col(a) for a in cc.leaf_cols],

@@ -2389,6 +2389,103 @@ def _split_corr_conjuncts(
     return corr_inner, corr_outer, rest
 
 
+def _split_corr_conjuncts_res(
+    wc: dict | None, scope: _SubqScope, what: str
+) -> tuple[list[str], list[str], list[dict], list[dict]]:
+    """Like :func:`_split_corr_conjuncts`, but mixed-scope NON-equi
+    conjuncts come back as ``residuals`` instead of declining (round 11 —
+    HAVING quantified subqueries serve them by keeping the inner row
+    grain and re-aggregating after a residual-conditioned join). An
+    equi-correlation conjunct is still required (it drives the bundle
+    join)."""
+    corr_inner: list[str] = []
+    corr_outer: list[str] = []
+    rest: list[dict] = []
+    residuals: list[dict] = []
+    for c in _conjuncts(wc) if wc is not None else []:
+        pair = _corr_pair(c, scope)
+        if pair is not None:
+            corr_inner.append(pair[0])
+            corr_outer.append(pair[1])
+            continue
+        if scope.has_outer(c):
+            residuals.append(c)
+            continue
+        rest.append(c)
+    if not corr_inner:
+        raise SQLFrontError(
+            f"correlated {what} without an equi-correlation conjunct"
+        )
+    return corr_inner, corr_outer, rest, residuals
+
+
+def _rewrite_residual(
+    c: dict,
+    scope: _SubqScope,
+    frame_col,
+    inner_alias: dict,
+    tag: str,
+) -> str:
+    """Render one mixed-scope residual conjunct with outer COLUMN_REFs
+    bound to their frame output aliases (via ``frame_col`` — raises for
+    unselected columns) and inner refs to reserved ``__hcr{tag}_*``
+    aliases (collected into ``inner_alias``: src -> alias). Anything
+    render() can't express raises (decline path)."""
+    import copy
+
+    def walk(n):
+        if isinstance(n, dict):
+            if n.get("class") == "COLUMN_REF":
+                name = n["column_names"][-1]
+                if scope.side(n) == "outer":
+                    return _colref(frame_col(name))
+                a = inner_alias.setdefault(
+                    name, f"__hcr{tag}_{len(inner_alias)}"
+                )
+                return _colref(a)
+            return {k: walk(v) for k, v in n.items()}
+        if isinstance(n, list):
+            return [walk(v) for v in n]
+        return n
+
+    return render(walk(copy.deepcopy(c)))
+
+
+def _build_inner_rows(
+    inner_node: dict,
+    keys: list[str],
+    extra_items: list[tuple[dict, str]],
+    tables: list[str],
+    pairs: list[tuple[str, str]],
+    residual_where: dict | None,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> ir.QuerySpec:
+    """The inner arm as a ROW-GRAIN select (no DISTINCT — downstream
+    re-aggregation needs multiplicity): keys + aliased extra items
+    (leaf arguments, residual columns). Fact-grain only; a dim-grain
+    inner declines (BaseKeysQuery is distinct by contract)."""
+    fact_grain = bool(fact_table) and fact_table.lower() in tables
+    if not fact_grain:
+        raise SQLFrontError(
+            "row-grain correlated subquery without the fact table"
+        )
+    node2 = dict(inner_node)
+    sel = [_colref(k) for k in keys]
+    for ast, alias in extra_items:
+        item = dict(ast)
+        item["alias"] = alias
+        sel.append(item)
+    node2["select_list"] = sel
+    node2["modifiers"] = []
+    node2["group_expressions"] = []
+    node2["group_sets"] = []
+    node2["having"] = None
+    node2["where_clause"] = residual_where
+    return _parse_select(node2, time_col, fact_table, star)
+
+
 def _corr_pair(node: dict, scope: _SubqScope) -> tuple[str, str] | None:
     """``inner_col = outer_col`` equi-correlation conjunct -> (inner, outer)
     bare names; None for anything else (both-inner comparisons are ordinary
@@ -2909,6 +3006,7 @@ def _parse_corr_quantified(
     time_col: str | None,
     fact_table: str | None,
     star: StarSchema | None,
+    frame_col=None,
 ) -> "ir.CorrScalarCond":
     """Equi-correlated quantified comparison -> per-group guard
     (CorrScalarCond): the aggregate bundle computes per correlation key
@@ -2917,12 +3015,26 @@ def _parse_corr_quantified(
     counts through a LEFT join; the ANY family drops them (inner join,
     matching ANSI FALSE). Spark cannot express these shapes at all (no
     ALL parse; correlated ANY only via EXISTS rewrites), so this is
-    engine surface beyond the fallback."""
+    engine surface beyond the fallback.
+
+    ``frame_col`` (HAVING serving only): enables the round-11 NON-EQUI
+    residual mode — mixed-scope non-equi conjuncts render into
+    ``residual_sql`` (outer refs bound to frame output aliases via
+    ``frame_col``), the inner stays row grain, and the bundle recomputes
+    per distinct (correlation + residual frame column) tuple after the
+    residual-conditioned join (CorrScalarCond.row_grain). Without it the
+    WHERE-side decline stands."""
     inner_node = (s.get("subquery") or {}).get("node") or {}
     wc = inner_node.get("where_clause")
-    corr_inner, corr_outer, rest = _split_corr_conjuncts(
-        wc, scope, "quantified comparison"
-    )
+    residuals: list[dict] = []
+    if frame_col is not None:
+        corr_inner, corr_outer, rest, residuals = _split_corr_conjuncts_res(
+            wc, scope, "quantified comparison"
+        )
+    else:
+        corr_inner, corr_outer, rest = _split_corr_conjuncts(
+            wc, scope, "quantified comparison"
+        )
     if all_cols is not None:
         bad = sorted(set(corr_outer) - all_cols)
         if bad:
@@ -2985,6 +3097,62 @@ def _parse_corr_quantified(
             raise SQLFrontError(f"quantified subquery comparison {cmp}")
     keys = list(dict.fromkeys(corr_inner))
     aliases = [f"__ca{cidx}_{i}" for i in range(len(items))]
+    if residuals:
+        # row-grain residual mode (round 11): the inner stays a plain
+        # select of keys + the compared item + the residual's inner
+        # columns; the bundle aggregates (count_star/count/min/max of the
+        # item) recompute server-side per distinct (correlation + residual
+        # frame column) tuple after the residual joins
+        inner_alias: dict = {}
+        res_sqls = [
+            _rewrite_residual(c, scope, frame_col, inner_alias, cidx)
+            for c in residuals
+        ]
+        # the compared item re-renders over the same reserved inner
+        # aliases and evaluates inside the bundle aggregation (the
+        # row-grain select carries only PLAIN columns)
+        val_sql = _rewrite_residual(item, scope, frame_col, inner_alias, cidx)
+        extra = [
+            (_colref(src), alias) for src, alias in inner_alias.items()
+        ]
+        inner = _build_inner_rows(
+            inner_node, keys, extra, tables, pairs, _and_node(rest),
+            time_col, fact_table, star,
+        )
+        leaf_aggs = []
+        for ast, alias in zip(items, aliases):
+            fn = (ast.get("function_name") or "").lower()
+            arg = val_sql if ast.get("children") else None
+            if fn not in ("count_star", "count", "min", "max"):
+                raise SQLFrontError(f"row-grain bundle leaf {fn}")
+            leaf_aggs.append([fn, arg, alias])
+        rfcols = sorted(
+            {
+                c
+                for r in residuals
+                for ref in _refs_of(r)
+                if scope.side(ref) == "outer"
+                for c in [frame_col(ref["column_names"][-1])]
+            }
+        )
+        return ir.CorrScalarCond(
+            inner=inner,
+            inner_keys=keys,
+            pairs=[[o, i] for i, o in zip(corr_inner, corr_outer)],
+            leaf_cols=aliases,
+            value_sql=value_sql or "",
+            op=op,
+            outer_sql=x_sql,
+            outer_columns=sorted(set(_columns_of(s.get("child") or {}))),
+            flip=False,
+            left_join=left_join,
+            cond_sql=cond or "",
+            row_grain=True,
+            residual_sql=" AND ".join(res_sqls),
+            residual_frame_cols=rfcols,
+            residual_cols=sorted(inner_alias.values()),
+            leaf_aggs=leaf_aggs,
+        )
     inner = _build_inner_aggs(
         inner_node,
         list(zip(items, aliases)),
@@ -3641,9 +3809,13 @@ def _extract_select_scalars(
             # correlation binds to SELECTED group columns of the frame,
             # the per-key bundle LEFT-joins the aggregated frame, and the
             # three-valued condition renders inline into post_filters.
-            # Non-equi residual correlation still declines inside
-            # _split_corr_conjuncts (a residual-bearing key set could
-            # duplicate frame rows through the join) — decline-tested.
+            # Round 11: quantified comparisons additionally admit NON-EQUI
+            # residual conjuncts (inner.d < outer.g) — the bundle
+            # recomputes per distinct (correlation + residual frame
+            # column) tuple after a residual-conditioned row join
+            # (CorrScalarCond.row_grain), so frame rows can never
+            # duplicate. NOT IN keeps the equi-only decline (its marker
+            # arm's key-set dedup cannot carry a residual).
             if sq != "ANY":
                 raise SQLFrontError(f"HAVING subquery type {sq}")
             child = s2.get("child") or {}
@@ -3746,6 +3918,10 @@ def _extract_select_scalars(
                 s2, negated, f"h{len(having_corr)}", item, lhs_sql,
                 scope, tables, pairs, _star_columns(star),
                 time_col, fact_table, star,
+                # round 11: HAVING serving can re-aggregate after a
+                # residual-conditioned join, so non-equi residual
+                # correlation is admitted here (and only here)
+                frame_col=frame_col,
             )
             cc.pairs = [[frame_col(o), k] for o, k in cc.pairs]
             if not cc.cond_sql:

@@ -253,9 +253,10 @@ def test_having_corr_unselected_column_declines(ctx, duck):
 
 
 def test_having_corr_non_equi_residual_declines(ctx, duck):
-    """A non-equi correlated conjunct inside the subquery cannot ride the
-    key-set/bundle machinery (the per-key grouping no longer captures the
-    correlation): decline, fallback stays correct."""
+    """Purely non-equi correlation (no equi conjunct to drive the bundle
+    join) still declines — round 11's residual mode requires an equi
+    anchor; fallback stays correct. (IN-form additionally declines with
+    ANY residual: its membership arm's key-set dedup cannot carry one.)"""
     _same(
         ctx,
         duck,
@@ -267,6 +268,97 @@ def test_having_corr_non_equi_residual_declines(ctx, duck):
            ORDER BY flag""",
         backing="sparksql",
     )
+
+
+# ------------------------------------------- non-equi residuals (round 11)
+
+
+def test_having_corr_any_nonequi_residual(ctx, duck):
+    """`HAVING agg > ANY (... WHERE inner.k = outer.k AND inner.d <
+    f(outer.g))` — the VERDICT r10 missing-#2 shape. The bundle recomputes
+    per distinct (correlation + residual frame column) tuple after the
+    residual-conditioned row join; frame rows can never duplicate."""
+    got = _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                      AS sq
+           FROM lineitem GROUP BY l_linenumber
+           HAVING SUM(l_quantity) > ANY (
+               SELECT l2.l_quantity * 1000 FROM lineitem l2
+               WHERE l2.l_linenumber = lineitem.l_linenumber
+                 AND l2.l_quantity < lineitem.l_linenumber + 3)
+           ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row:flat]",
+    )
+    assert got  # low line numbers have sub-threshold quantities
+
+
+def test_having_corr_all_nonequi_residual(ctx, duck):
+    """ALL with a residual: the count_star/count/min-max guards recompute
+    over the residual-matched set, so NULL members and per-group EMPTY
+    residual sets keep exact ANSI three-valued semantics."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING MIN(l_extendedprice) <= ALL (
+               SELECT l2.l_extendedprice FROM lineitem l2
+               WHERE l2.l_linenumber = lineitem.l_linenumber
+                 AND l2.l_quantity > lineitem.l_linenumber * 6)
+           ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row:flat]",
+    )
+
+
+def test_having_corr_residual_empty_sets(ctx, duck):
+    """Residual that matches nothing: ANY reads FALSE (no group
+    survives), ALL reads TRUE (every group survives) — through the
+    0-count bundle rows, not join misses."""
+    got_any = _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag
+           HAVING AVG(l_quantity) > ANY (
+               SELECT l2.l_quantity FROM lineitem l2
+               WHERE l2.l_returnflag = lineitem.l_returnflag
+                 AND l2.l_quantity > LENGTH(lineitem.l_returnflag) + 999)
+           ORDER BY flag""",
+        backing="scalarselect[cube<-hcorr-row:flat]",
+    )
+    assert got_any == []
+    got_all = _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag
+           HAVING AVG(l_quantity) <= ALL (
+               SELECT l2.l_quantity FROM lineitem l2
+               WHERE l2.l_returnflag = lineitem.l_returnflag
+                 AND l2.l_quantity > LENGTH(lineitem.l_returnflag) + 999)
+           ORDER BY flag""",
+        backing="scalarselect[cube<-hcorr-row:flat]",
+    )
+    assert len(got_all) == 3
+
+
+def test_having_corr_residual_unselected_column_declines(ctx, duck):
+    """A residual referencing an UNSELECTED outer column has no frame
+    slot: decline (and the fallback cannot parse ANY — the statement
+    raises rather than answering a different query)."""
+    sql = """SELECT l_returnflag AS flag, COUNT(*) AS n
+             FROM lineitem GROUP BY l_returnflag, l_linenumber
+             HAVING AVG(l_quantity) > ANY (
+                 SELECT l2.l_quantity FROM lineitem l2
+                 WHERE l2.l_returnflag = lineitem.l_returnflag
+                   AND l2.l_quantity > lineitem.l_linenumber * 2)
+             ORDER BY flag, n"""
+    duck.execute(sql).fetchall()  # DuckDB-valid: the decline is ours
+    with pytest.raises(Exception, match="PARSE_SYNTAX_ERROR|ANY"):
+        ctx.sql(sql).collect()
 
 
 def test_having_corr_quantified_unservable_raises(ctx, duck):
