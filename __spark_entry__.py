@@ -2604,6 +2604,44 @@ def running_totals_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("groups_frame_qty", None)
+def groups_frame_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI GROUPS window frame (round 11 stretch): sum over 1 peer GROUP
+    preceding through the current group, per returnflag partition ordered
+    by linestatus. IR-level engine surface — Spark has no GROUPS mode and
+    DuckDB cannot even PARSE one, so no SQL oracle exists on either side
+    (the driver's rows-only gate applies); the exact semantics are pinned
+    against an in-test reference implementation in
+    tests/test_plan_shape.py::test_groups_window_frame_self_oracle. The
+    lowering (lowering._apply_window_posts) materializes the peer-group
+    index as dense_rank over the full ORDER BY tuple and reuses Spark's
+    numeric RANGE machinery over it — whole groups enter or leave the
+    frame together, exactly the ANSI mode."""
+    spec = ir.GroupByQuery(
+        dimensions=[
+            ir.DefaultDim("l_returnflag"),
+            ir.DefaultDim("l_linestatus"),
+        ],
+        aggregations=[ir.ExprAgg("sum", "sum_qty", QTY), ir.CountAgg("n")],
+        window_posts=[
+            ir.WindowPostSpec(
+                "grp_qty", "sum", "CAST(`sum_qty` AS DOUBLE)",
+                ["l_returnflag"],
+                [ir.OrderByColumn("`l_linestatus`", "asc")],
+                frame=[-1, 0], frame_type="groups",
+            ),
+        ],
+        post_aggregations=_dbl("sum_qty"),
+        limit_spec=ir.LimitSpec(
+            columns=[
+                ir.OrderByColumn("l_returnflag", "asc"),
+                ir.OrderByColumn("l_linestatus", "asc"),
+            ]
+        ),
+    )
+    return _ctx(spark, sf_dir).query(spec)
+
+
 def _media(spark, sf_dir):
     """documents + synthetic but VALID media payloads (PNG/WAV/RVID bytes
     derived from doc_id on executors) — the decode side is the real parser,

@@ -1069,9 +1069,12 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
     from pyspark.sql.window import Window
 
     wcols: dict[str, Column] = {}
+    drop_after: list[str] = []
     for w in posts:
         frame = getattr(w, "frame", None)
-        is_range = frame is not None and getattr(w, "frame_type", None) == "range"
+        ftype = getattr(w, "frame_type", None)
+        is_range = frame is not None and ftype == "range"
+        is_groups = frame is not None and ftype == "groups"
         spec = Window.partitionBy(*[F.col(p) for p in w.partition])
         # ANSI peer group = equal ORDER BY tuple: an equality PARTITION over
         # the RAW order expressions, never a rangeBetween(0,0) over the
@@ -1115,6 +1118,50 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                 Window.unboundedPreceding if frame[0] is None else frame[0] * scale,
                 Window.unboundedFollowing if frame[1] is None else frame[1] * scale,
             )
+        elif is_groups:
+            # GROUPS frame (ANSI mode N groups of ORDER-BY peers; Spark
+            # has no native mode and DuckDB cannot even parse one, so this
+            # is IR-level engine surface with a fixture self-oracle): the
+            # peer-group INDEX is dense_rank over the full ORDER BY tuple,
+            # and "N PRECEDING/FOLLOWING groups" is exactly the numeric
+            # RANGE [-N, +N] over that index — materialized as a surrogate
+            # column (a window expression cannot nest inside another
+            # window's ORDER BY), dropped after the projection. Aggregate
+            # window functions only; EXCLUDE composes no further here.
+            if not w.order:
+                raise AggLoweringError(
+                    f"window {w.func}: GROUPS frame requires ORDER BY"
+                )
+            if w.func not in ("sum", "count", "avg", "min", "max"):
+                raise AggLoweringError(
+                    f"window {w.func}: GROUPS frame supports aggregate "
+                    "functions only"
+                )
+            if getattr(w, "exclude", "NO_OTHER") != "NO_OTHER":
+                raise AggLoweringError(
+                    "GROUPS frame with EXCLUDE unsupported"
+                )
+            gname = f"__grp_{w.name}"
+            df = df.withColumn(
+                gname,
+                F.dense_rank().over(
+                    Window.partitionBy(
+                        *[F.col(p) for p in w.partition]
+                    ).orderBy(
+                        *[
+                            F.expr(o.column).asc()
+                            if o.direction == "asc"
+                            else F.expr(o.column).desc()
+                            for o in w.order
+                        ]
+                    )
+                ),
+            )
+            drop_after.append(gname)
+            spec = spec.orderBy(F.col(gname).asc()).rangeBetween(
+                Window.unboundedPreceding if frame[0] is None else frame[0],
+                Window.unboundedFollowing if frame[1] is None else frame[1],
+            )
         elif w.order:
             spec = spec.orderBy(
                 *[
@@ -1133,7 +1180,7 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
             # ordered first constant per partition — same in ANSI and Spark;
             # explicit ROWS/RANGE frames (e.g. last_value over UNBOUNDED
             # FOLLOWING) apply below like aggregate windows
-            if frame is not None and not is_range:
+            if frame is not None and not is_range and not is_groups:
                 lo = Window.unboundedPreceding if frame[0] is None else frame[0]
                 hi = Window.unboundedFollowing if frame[1] is None else frame[1]
                 spec = spec.rowsBetween(lo, hi)
@@ -1174,7 +1221,7 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
             # count = size(set); sum/avg = a typed fold over the set (the
             # set drops NULLs exactly as DISTINCT aggregation does), for
             # whole-partition, running, and explicit frames
-            if frame is not None and not is_range:
+            if frame is not None and not is_range and not is_groups:
                 lo = Window.unboundedPreceding if frame[0] is None else frame[0]
                 hi = Window.unboundedFollowing if frame[1] is None else frame[1]
                 spec = spec.rowsBetween(lo, hi)
@@ -1217,7 +1264,7 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
                 ).otherwise(val)
         else:
             base = spec  # partition (+ order) before any explicit frame
-            if frame is not None and not is_range:
+            if frame is not None and not is_range and not is_groups:
                 lo = Window.unboundedPreceding if frame[0] is None else frame[0]
                 hi = Window.unboundedFollowing if frame[1] is None else frame[1]
                 spec = spec.rowsBetween(lo, hi)
@@ -1230,7 +1277,8 @@ def _apply_window_posts(df: DataFrame, posts: list) -> DataFrame:
             # w.order without a frame keeps Spark's default ordered frame
             # (RANGE ... CURRENT ROW with tie-peers — the ANSI running agg)
             wcols[w.name] = F.expr(f"{w.func}({w.arg})").over(spec)
-    return df.withColumns(wcols)
+    out = df.withColumns(wcols)
+    return out.drop(*drop_after) if drop_after else out
 
 
 def _excluded_window_agg(w, excl, framed, base, peers, frame):

@@ -507,6 +507,86 @@ def test_exclude_peers_use_raw_key_not_surrogate(spark):
     assert got[0] == 20 + 40 and got[1] == 10 + 40
 
 
+def test_groups_window_frame_self_oracle(spark):
+    """GROUPS window frames (round 11 stretch — IR-level engine surface:
+    Spark has no GROUPS mode and DuckDB cannot parse one, so the oracle
+    is an in-test reference implementation of the ANSI semantics). The
+    lowering materializes the peer-group index (dense_rank over the full
+    ORDER BY tuple) and reuses numeric RANGE over it: N PRECEDING = N
+    peer GROUPS back, ties always whole-group in or out."""
+    from pysparkline import ir
+    from pysparkline.lowering import _apply_window_posts
+
+    rows = [
+        # (i, p, k, v): k carries ties -> real peer groups per partition
+        (0, "a", 1, 10), (1, "a", 1, 11), (2, "a", 2, 20),
+        (3, "a", 4, 40), (4, "a", 4, 41), (5, "a", 4, 42),
+        (6, "a", 9, 90),
+        (7, "b", 5, 50), (8, "b", 7, 70), (9, "b", 7, 71),
+    ]
+    df = spark.createDataFrame(rows, "i int, p string, k int, v int")
+
+    def reference(lo, hi):
+        """ANSI GROUPS frame computed directly: peer groups = distinct k
+        per partition in ORDER BY order; the frame of a row in group g is
+        every row whose group index is in [g+lo, g+hi]."""
+        exp = {}
+        for part in {p for _i, p, _k, _v in rows}:
+            ks = sorted({k for _i, p2, k, _v in rows if p2 == part})
+            gidx = {k: n for n, k in enumerate(ks)}
+            for i, p2, k, _v in rows:
+                if p2 != part:
+                    continue
+                g = gidx[k]
+                a = g + lo if lo is not None else None
+                b = g + hi if hi is not None else None
+                vals = [
+                    v2
+                    for _i2, p3, k2, v2 in rows
+                    if p3 == part
+                    and (a is None or gidx[k2] >= a)
+                    and (b is None or gidx[k2] <= b)
+                ]
+                # ANSI: an aggregate over an EMPTY frame is NULL, not 0
+                exp[i] = sum(vals) if vals else None
+        return exp
+
+    for lo, hi in [(-1, 0), (-1, 1), (0, 1), (None, 0), (-2, -1)]:
+        w = ir.WindowPostSpec(
+            "s", "sum", "v", ["p"], [ir.OrderByColumn("k", "asc")],
+            frame=[lo, hi], frame_type="groups",
+        )
+        out = _apply_window_posts(df, [w])
+        assert "__grp_s" not in out.columns  # surrogate dropped
+        got = {r.i: r.s for r in out.collect()}
+        assert got == reference(lo, hi), (lo, hi, got)
+
+
+def test_groups_window_frame_declines(spark):
+    """GROUPS shapes outside the gated surface decline loudly: no ORDER
+    BY, non-aggregate function, EXCLUDE."""
+    import pytest as _pytest
+
+    from pysparkline import ir
+    from pysparkline.lowering import AggLoweringError, _apply_window_posts
+
+    df = spark.createDataFrame([(1, "a", 1, 1)], "i int, p string, k int, v int")
+    bad = [
+        ir.WindowPostSpec("s", "sum", "v", ["p"], [],
+                          frame=[-1, 0], frame_type="groups"),
+        ir.WindowPostSpec("s", "first_value", "v", ["p"],
+                          [ir.OrderByColumn("k", "asc")],
+                          frame=[-1, 0], frame_type="groups"),
+        ir.WindowPostSpec("s", "sum", "v", ["p"],
+                          [ir.OrderByColumn("k", "asc")],
+                          frame=[-1, 0], frame_type="groups",
+                          exclude="CURRENT_ROW"),
+    ]
+    for w in bad:
+        with _pytest.raises(AggLoweringError):
+            _apply_window_posts(df, [w])
+
+
 def test_topk_window_group_limit_partial_below_exchange(spark):
     """VERDICT r7 #6: the embed/brute-force top-k family depends on Spark
     inserting WindowGroupLimit (Partial) BELOW the shuffle — per-partition
