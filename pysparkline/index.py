@@ -1018,17 +1018,22 @@ def flatten_star(
     tables: dict[str, DataFrame],
     star: StarSchema,
     broadcast_dims: bool = True,
-    broadcast_max_bytes: int = 512 << 20,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Inner-join the star into one denormalized DataFrame.
 
     Join order follows the star tree. A dimension side is broadcast only
-    when its Catalyst size estimate fits ``broadcast_max_bytes`` (default
-    512 MB — comfortably executor-resident): genuinely small dims never
-    shuffle the fact side, but a fact-SIZED "dimension" (TPC-H ``orders``
-    is ~25% of a 100 TB dataset) must NOT be forced into a broadcast that
-    would OOM every executor — it takes the sort-merge/shuffle join Spark
-    plans for it, the unavoidable one-time build cost. Unknown sizes also
+    when its Catalyst size estimate fits ``broadcast_max_bytes``:
+    genuinely small dims never shuffle the fact side, but a fact-SIZED
+    "dimension" (TPC-H ``orders`` is ~25% of a 100 TB dataset) must NOT
+    be forced into a broadcast that would OOM every executor — it takes
+    the sort-merge/shuffle join Spark plans for it, the unavoidable
+    one-time build cost. The 64 MB default is a cap on the COMPRESSED
+    plan-size estimate; deserialized broadcast rows amplify ~5-10x, so
+    the old 512 MB cap admitted a ~350 MB replicated orders side whose
+    single 4.3 GB broadcast array wedged the whole build on a dead
+    exchange thread (measured at the 19 GB bench — the GC cannot satisfy
+    one humongous allocation even with heap free). Unknown sizes also
     decline the forced broadcast and leave the choice to Catalyst/AQE,
     which still auto-broadcasts small sides at runtime.
     """
@@ -1154,6 +1159,27 @@ class OlapIndex:
         pre = flat_df.withColumn(
             MONTH_COL, F.date_format(F.col(t), "yyyy-MM")
         )
+        # SHUFFLE-JOIN flatten guard: the stats pass, the flat write, each
+        # cube, and each projection all consume ``pre`` as independent
+        # jobs. When every star side broadcasts, that is 13 map-only
+        # pipelines sharing one scan pattern — cheap and parallel. When a
+        # fact-SIZED side declined the broadcast cap (TPC-H orders at
+        # scale), each consumer would re-run the multi-GB sort-merge join:
+        # 13 repetitions of the most expensive stage in the build
+        # (measured wedging a 19 GB build). Persist the joined frame to
+        # DISK (serialized, no heap pressure) and materialize it ONCE
+        # before fan-out, so every consumer reads the cached join.
+        _persisted = False
+        try:
+            pp = pre._jdf.queryExecution().sparkPlan().toString()
+            _persisted = "SortMergeJoin" in pp or "ShuffledHashJoin" in pp
+        except Exception:  # noqa: BLE001 — plan introspection best-effort
+            pass
+        if _persisted:
+            from pyspark.storagelevel import StorageLevel
+
+            pre = pre.persist(StorageLevel.DISK_ONLY)
+            pre.count()  # materialize before the consumer fan-out
         flat_path = os.path.join(out_dir, "flat")
 
         manifest: dict = {
@@ -1499,6 +1525,8 @@ class OlapIndex:
         atomic_json_dump(
             manifest, os.path.join(out_dir, MANIFEST), indent=1, default=str
         )
+        if _persisted:
+            pre.unpersist()
         return OlapIndex(spark, out_dir, manifest)
 
     @staticmethod
