@@ -602,14 +602,16 @@ def main() -> None:
         # the SECOND fresh lineage on the indexed side too — both columns
         # then mean "steady-state cost of executing a brand-new plan".
         # VARIANCE (round 10): one fresh execution is 2-3x noisy at this
-        # SF (GC/shuffle-timing luck on ~0.5 s measurements); measure TWO
-        # fresh lineages per side in separate groups and report the MIN —
-        # the same best-of statistic the wall columns use, applied
-        # symmetrically to ix, raw and matched-raw passes.
+        # SF (GC/shuffle-timing luck on ~0.5 s measurements); round 11
+        # widens to THREE fresh lineages per side (min-of-3, symmetric on
+        # ix / raw / matched passes): consecutive fresh lineages of the
+        # same query decay ~1.6x as the JIT warms their regenerated
+        # codegen (measured 0.186 -> 0.112 s over 4 reps on
+        # sql_corr_scalar), and min-of-2 sampled the decay mid-slope.
         ctx._plan_cache.clear()
         entry_mod._DF_CACHE.clear()
         qs[name](spark, sf_dir).collect()  # fresh warm-up lineage
-        for rep in (1, 2):
+        for rep in (1, 2, 3):
             ctx._plan_cache.clear()
             entry_mod._DF_CACHE.clear()
             df = qs[name](spark, sf_dir)
@@ -632,7 +634,7 @@ def main() -> None:
     tt_ix_pass = meter.collect()
     for name, mk in raw_builders.items():
         mk().collect()  # fresh warm-up lineage (JIT parity with ix pass)
-        for rep in (1, 2):
+        for rep in (1, 2, 3):
             df = mk()
             meter.group(f"raw{rep}:{name}")
             df.collect()
@@ -648,7 +650,7 @@ def main() -> None:
     frames["li"] = matched_li
     for name, mk in raw_builders.items():
         mk().collect()  # one warm pass: codegen/JIT parity with raw pass
-        for rep in (1, 2):
+        for rep in (1, 2, 3):
             df = mk()
             meter.group(f"rawm{rep}:{name}")
             df.collect()
@@ -662,7 +664,8 @@ def main() -> None:
         return {
             n: min(
                 (v for v in (tt.get(f"{prefix}1:{n}"),
-                             tt.get(f"{prefix}2:{n}")) if v),
+                             tt.get(f"{prefix}2:{n}"),
+                             tt.get(f"{prefix}3:{n}")) if v),
                 default=None,
             )
             for n in names

@@ -829,6 +829,59 @@ def parquet_write_options(config: "IndexConfig") -> dict:
 _PARQUET_FILE_FLOOR_BYTES = 2048
 
 
+def dir_column_bytes_per_row(
+    path: str, rows: int, sample_files: int = 64
+) -> dict[str, float] | None:
+    """Per-COLUMN compressed bytes/row for the parquet files under
+    ``path``, from a bounded SAMPLE of file footers (column-chunk sizes),
+    scaled so the per-column sum matches the directory's true total bytes.
+    Bounded driver cost at any scale (``sample_files`` footer reads); the
+    planner's cost tie-breaker consumes this to price only the columns a
+    query actually scans — whole-row pricing made sketch-heavy small cubes
+    (HLL/top-k state is ~90% of their bytes) lose to near-raw-sized narrow
+    rollups whose columns the query then had to scan in full (measured:
+    ship_date_range 61x -> 3x before this split)."""
+    if rows <= 0:
+        return None
+    files = []
+    total = 0
+    for root, _dirs, fs in os.walk(path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                files.append(p)
+                total += os.path.getsize(p)
+    if not files or not total:
+        return None
+    step = max(1, len(files) // sample_files)
+    col_bytes: dict[str, float] = {}
+    sampled = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for p in files[::step][:sample_files]:
+            md = pq.ParquetFile(p).metadata
+            sampled += os.path.getsize(p)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema.split(".")[0]
+                    col_bytes[name] = (
+                        col_bytes.get(name, 0.0) + c.total_compressed_size
+                    )
+    except Exception:  # noqa: BLE001 — stamp is best-effort
+        return None
+    data = sum(col_bytes.values())
+    if not data:
+        return None
+    # per-column SHARES come from the sample; the magnitude comes from the
+    # directory's true total (footer overhead folds in proportionally)
+    return {
+        c: round((b / data) * total / rows, 6) for c, b in col_bytes.items()
+    }
+
+
 def dir_parquet_bytes(path: str) -> int:
     """Total on-disk bytes of the parquet files under ``path`` — driver-side
     listing of files this process just wrote (local/posix; an object-store
@@ -1074,9 +1127,9 @@ def cached_build_or_load(
             "sf_dir": os.path.abspath(sf_dir),
             "config": config.to_dict(),
             # bumped when the manifest or layout changes shape (2: bytesPerRow
-            # cost stamps; 3: byte-floor-collapsed unpartitioned projections)
-            # so stale cached fixtures rebuild
-            "format": 3,
+            # cost stamps; 3: byte-floor-collapsed unpartitioned projections;
+            # 4: per-column cost stamps) so stale cached fixtures rebuild
+            "format": 4,
             **(extra_key or {}),
         },
         sort_keys=True,
@@ -1403,6 +1456,9 @@ class OlapIndex:
                 "bytesPerRow": round(
                     dir_parquet_bytes(proj_path) / max(rows, 1), 4
                 ),
+                "columnBytesPerRow": dir_column_bytes_per_row(
+                    proj_path, rows
+                ),
             }
 
         def build_one_cube(cube: CubeSpec):
@@ -1456,6 +1512,9 @@ class OlapIndex:
                 "bytesPerRow": round(
                     dir_parquet_bytes(cube_path) / max(rows, 1), 4
                 ),
+                "columnBytesPerRow": dir_column_bytes_per_row(
+                    cube_path, rows
+                ),
                 "compression": round(flat_rows / max(rows, 1), 2),
                 "columns": {
                     f.name: {"type": f.dataType.simpleString()}
@@ -1507,6 +1566,9 @@ class OlapIndex:
             "rowCount": stats["__rows"],
             "bytesPerRow": round(
                 dir_parquet_bytes(flat_path) / max(int(stats["__rows"]), 1), 4
+            ),
+            "columnBytesPerRow": dir_column_bytes_per_row(
+                flat_path, int(stats["__rows"])
             ),
             "timeMin": str(stats["__tmin"]),
             "timeMax": str(stats["__tmax"]),

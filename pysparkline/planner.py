@@ -1178,6 +1178,57 @@ def choose_projection(
     return cov[0] if cov else None
 
 
+_SKETCH_AGG_TYPES = (
+    ir.CardinalityAgg, ir.HyperUniqueAgg, ir.ThetaAgg, ir.ThetaSketchAgg,
+    ir.HistQuantileAgg, ir.QuantileAgg,
+)
+
+
+def _query_has_sketch_aggs(q: ir.QuerySpec) -> bool:
+    def unwrap(a):
+        return a.agg if isinstance(a, ir.FilteredAgg) else a
+
+    return any(
+        isinstance(unwrap(a), _SKETCH_AGG_TYPES)
+        for a in getattr(q, "aggregations", []) or []
+    )
+
+
+def _cube_scan_bytes_per_row(
+    info: dict, q: ir.QuerySpec, referenced: set
+) -> float | None:
+    """Estimated bytes/row a cube scan actually READS for ``q`` — the
+    column-store cost, not the row width. Whole-row pricing made
+    sketch-heavy small cubes (HLL binaries + top-k maps are ~90% of their
+    bytes) lose to near-raw-sized narrow rollups whose columns the query
+    then scanned in full (measured ship_date_range 61x -> 3x regression).
+    Priced columns: the bucket, the referenced grain dims, and every
+    SCALAR measure column (over-counts the 2-3 the lowering touches, but
+    scalar measures are thin and near-uniform across candidates, so the
+    ordering stays fair); sketch-typed columns (binary/map/array) are
+    charged only when the query carries sketch-consuming aggregates.
+    None when the manifest predates the per-column stamp — the caller
+    falls back to whole-row, then to rowCount order."""
+    col_bpr = info.get("columnBytesPerRow")
+    if not col_bpr:
+        return info.get("bytesPerRow")
+    dims = set(info.get("dims") or [])
+    sketchy = _query_has_sketch_aggs(q)
+    total = 0.0
+    for c, meta in (info.get("columns") or {}).items():
+        t = (meta or {}).get("type", "")
+        is_sketch = (
+            t == "binary" or t.startswith("map<") or t.startswith("array<")
+        )
+        if c in dims:
+            if c not in referenced:
+                continue
+        elif is_sketch and not sketchy:
+            continue
+        total += col_bpr.get(c, 0.0)
+    return total or info.get("bytesPerRow")
+
+
 def _pruned_cube_df(index: OlapIndex, name: str, files: list[str]) -> DataFrame:
     base = index._cube_base(name)
     rel = index.manifest["cubes"][name]["path"]
@@ -1299,7 +1350,9 @@ def choose_backing(
                 for rows, name, b in candidates:
                     pr = prune_cube_files(index, name, q)
                     ratio = len(pr[0]) / pr[1] if pr and pr[1] else 1.0
-                    bpr = index.manifest["cubes"][name].get("bytesPerRow")
+                    bpr = _cube_scan_bytes_per_row(
+                        index.manifest["cubes"][name], q, referenced
+                    )
                     cost = rows * bpr * ratio if bpr else None
                     scored.append((cost, rows, name, b, pr))
                 if all(s[0] is not None for s in scored):
@@ -1345,6 +1398,21 @@ def choose_backing(
             flat_pr = prune_flat_files(index, q)
             flat_pruned = True
             flat_info = index.manifest.get("flat") or {}
+            # price only the columns the scan reads (column store): the
+            # per-column stamp makes flat-vs-projection a fair fight —
+            # both sides read the same referenced set, so the decision
+            # reduces to kept-file ratios + in-situ compression. Whole-row
+            # widths stand in when a manifest predates the stamp.
+            scan_cols = referenced | {index.time_col}
+
+            def _row_bytes(info):
+                col_bpr = info.get("columnBytesPerRow")
+                if not col_bpr:
+                    return info.get("bytesPerRow")
+                got = [col_bpr[c] for c in scan_cols if c in col_bpr]
+                if not got:
+                    return info.get("bytesPerRow")
+                return sum(got)
 
             def _cost(bpr, rows, pr):
                 if not bpr or not rows:
@@ -1356,18 +1424,22 @@ def choose_backing(
             for name in cov:
                 info = index.manifest["projections"][name]
                 ppr = prune_projection_files(index, name, q)
-                c = _cost(info.get("bytesPerRow"), info.get("rowCount"), ppr)
+                c = _cost(_row_bytes(info), info.get("rowCount"), ppr)
                 scored.append((c, len(info["columns"]), name, ppr))
             flat_cost = _cost(
-                flat_info.get("bytesPerRow"), flat_info.get("rowCount"),
-                flat_pr,
+                _row_bytes(flat_info), flat_info.get("rowCount"), flat_pr,
             )
             if flat_cost is not None and all(
                 s[0] is not None for s in scored
             ):
                 scored.sort(key=lambda s: (s[0], s[1], s[2]))
                 best = scored[0]
-                if best[0] <= flat_cost:
+                # the flat must be meaningfully cheaper (25%+) to override
+                # a covering projection: the byte model can't see the
+                # projection's sort selectivity (tight row groups on its
+                # own predicates), and near-ties at small scale are
+                # footer-overhead noise
+                if best[0] <= flat_cost * 1.25:
                     proj, proj_pr = best[2], best[3]
                     notes.append(
                         f"kept-bytes cost: projection {proj} "

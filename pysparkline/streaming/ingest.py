@@ -346,9 +346,10 @@ class StreamingIngest:
 
         shutil.rmtree(tmp, ignore_errors=True)
         info["rowCount"] = rows
-        from ..index import dir_parquet_bytes
+        from ..index import dir_column_bytes_per_row, dir_parquet_bytes
 
         info["bytesPerRow"] = round(dir_parquet_bytes(path) / max(rows, 1), 4)
+        info["columnBytesPerRow"] = dir_column_bytes_per_row(path, rows)
         info["fileManifest"] = OlapIndex._build_cube_file_manifest(
             spark, path, self.index.path, cfg, cube
         )
