@@ -2486,6 +2486,90 @@ def _build_inner_rows(
     return _parse_select(node2, time_col, fact_table, star)
 
 
+def _having_corr_in_residual(
+    item_ast: dict,
+    negated: bool,
+    cidx: str,
+    lhs_sql: str,
+    lhs_frame_cols: list[str],
+    inner_node: dict,
+    scope: _SubqScope,
+    tables: list[str],
+    pairs: list[tuple[str, str]],
+    corr_inner: list[str],
+    corr_outer: list[str],
+    rest: list[dict],
+    residuals: list[dict],
+    frame_col,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> tuple["ir.CorrScalarCond", str]:
+    """Correlated ``[NOT] IN`` in HAVING with NON-EQUI residual conjuncts
+    (round 11): the membership arm's deduped key set cannot carry a
+    residual, so the shape rides the row-grain bundle instead — per
+    DISTINCT (correlation + residual/lhs frame column) tuple, count the
+    residual-matched rows (a0), their non-NULL items (a1), and the exact
+    item-equals-lhs matches (a2 — the equality evaluates inside the
+    bundle aggregation, where the tuple's frame columns are in scope).
+    IN is ``a2 > 0`` (UNKNOWN flattens to FALSE, exactly what filter
+    context requires); NOT IN keeps full three-valued semantics: TRUE iff
+    the residual-matched set is empty, or lhs is non-NULL with no NULL
+    member and no equal member."""
+    inner_alias: dict = {}
+    res_sqls = [
+        _rewrite_residual(c, scope, frame_col, inner_alias, cidx)
+        for c in residuals
+    ]
+    item2 = dict(item_ast)
+    item2["alias"] = ""
+    val_sql = _rewrite_residual(item2, scope, frame_col, inner_alias, cidx)
+    keys = list(dict.fromkeys(corr_inner))
+    a = [f"__ca{cidx}_{i}" for i in range(3)]
+    inner = _build_inner_rows(
+        inner_node, keys,
+        [(_colref(src), alias) for src, alias in inner_alias.items()],
+        tables, pairs, _and_node(rest), time_col, fact_table, star,
+    )
+    leaf_aggs = [
+        ["count_star", None, a[0]],
+        ["count", val_sql, a[1]],
+        ["count", f"CASE WHEN ({val_sql}) = ({lhs_sql}) THEN 1 END", a[2]],
+    ]
+    rfcols = sorted(
+        {
+            frame_col(ref["column_names"][-1])
+            for r in residuals
+            for ref in _refs_of(r)
+            if scope.side(ref) == "outer"
+        }
+        | set(lhs_frame_cols)
+    )
+    if negated:
+        cond = (
+            f"(coalesce(`{a[0]}`, 0) = 0 OR (({lhs_sql}) IS NOT NULL"
+            f" AND coalesce(`{a[0]}`, 0) = coalesce(`{a[1]}`, 0)"
+            f" AND coalesce(`{a[2]}`, 0) = 0))"
+        )
+    else:
+        cond = f"(coalesce(`{a[2]}`, 0) > 0)"
+    cc = ir.CorrScalarCond(
+        inner=inner,
+        inner_keys=keys,
+        pairs=[[frame_col(o), i] for i, o in zip(corr_inner, corr_outer)],
+        leaf_cols=a,
+        cond_sql=cond,
+        left_join=True,
+        standalone=False,
+        row_grain=True,
+        residual_sql=" AND ".join(res_sqls),
+        residual_frame_cols=rfcols,
+        residual_cols=sorted(inner_alias.values()),
+        leaf_aggs=leaf_aggs,
+    )
+    return cc, cond
+
+
 def _corr_pair(node: dict, scope: _SubqScope) -> tuple[str, str] | None:
     """``inner_col = outer_col`` equi-correlation conjunct -> (inner, outer)
     bare names; None for anything else (both-inner comparisons are ordinary
@@ -3762,18 +3846,12 @@ def _extract_select_scalars(
             # the IN equality as one more pair; the lhs must itself live
             # on the frame (selected group column / aggregate leaf)
             child = s2.get("child") or {}
-            lhs_sql = render(rewrite(copy.deepcopy(child), allow_cols=True))
+            child2 = rewrite(copy.deepcopy(child), allow_cols=True)
+            lhs_sql = render(child2)
             if len(sel2) != 1:
                 raise SQLFrontError("HAVING IN subquery must select one item")
-            if sel2[0].get("class") != "COLUMN_REF" or scope.side(
-                sel2[0]
-            ) != "inner":
-                raise SQLFrontError(
-                    "correlated HAVING IN needs a plain inner key column"
-                )
-            in_key = sel2[0]["column_names"][-1]
-            corr_inner, corr_outer, rest = _split_corr_conjuncts(
-                wc2, scope, "HAVING IN"
+            corr_inner, corr_outer, rest, residuals = (
+                _split_corr_conjuncts_res(wc2, scope, "HAVING IN")
             )
             all_cols = _star_columns(star)
             if all_cols is not None:
@@ -3782,6 +3860,32 @@ def _extract_select_scalars(
                     raise SQLFrontError(
                         f"correlation references unknown columns {bad}"
                     )
+            if residuals:
+                # round 11: residual conjuncts take the row-grain bundle
+                # (the marker arm's key-set dedup cannot carry them)
+                for ref in _refs_of(sel2[0]):
+                    if scope.side(ref) != "inner":
+                        raise SQLFrontError(
+                            "HAVING IN selects an outer column"
+                        )
+                cc, cond = _having_corr_in_residual(
+                    sel2[0], False, f"h{len(having_corr)}", lhs_sql,
+                    sorted({
+                        r["column_names"][-1] for r in _refs_of(child2)
+                    }),
+                    inner_node, scope, tables, pairs,
+                    corr_inner, corr_outer, rest, residuals,
+                    frame_col, time_col, fact_table, star,
+                )
+                having_corr.append(cc)
+                return cond
+            if sel2[0].get("class") != "COLUMN_REF" or scope.side(
+                sel2[0]
+            ) != "inner":
+                raise SQLFrontError(
+                    "correlated HAVING IN needs a plain inner key column"
+                )
+            in_key = sel2[0]["column_names"][-1]
             if in_key in corr_inner or len(set(corr_inner)) != len(
                 corr_inner
             ):
@@ -3814,8 +3918,9 @@ def _extract_select_scalars(
             # recomputes per distinct (correlation + residual frame
             # column) tuple after a residual-conditioned row join
             # (CorrScalarCond.row_grain), so frame rows can never
-            # duplicate. NOT IN keeps the equi-only decline (its marker
-            # arm's key-set dedup cannot carry a residual).
+            # duplicate. [NOT] IN with residuals rides the same bundle
+            # (_having_corr_in_residual): the IN equality becomes a
+            # counted leaf inside the bundle aggregation.
             if sq != "ANY":
                 raise SQLFrontError(f"HAVING subquery type {sq}")
             child = s2.get("child") or {}
@@ -3851,8 +3956,8 @@ def _extract_select_scalars(
                     item2["alias"] = ""
                     key_items2 = [(item2, in_key)]
                     key_node2 = dict(item2)
-                corr_inner, corr_outer, rest = _split_corr_conjuncts(
-                    wc2, scope, "HAVING NOT IN"
+                corr_inner, corr_outer, rest, residuals = (
+                    _split_corr_conjuncts_res(wc2, scope, "HAVING NOT IN")
                 )
                 all_cols = _star_columns(star)
                 if all_cols is not None:
@@ -3861,6 +3966,24 @@ def _extract_select_scalars(
                         raise SQLFrontError(
                             f"correlation references unknown columns {bad}"
                         )
+                if residuals:
+                    # round 11: residual NOT IN rides the row-grain
+                    # bundle with the exact three-valued guard (the
+                    # marker-arm + count-guard pairing cannot carry a
+                    # residual through its deduped key set)
+                    child3 = rewrite(copy.deepcopy(child), allow_cols=True)
+                    cc, cond = _having_corr_in_residual(
+                        sel2[0], True, f"h{len(having_corr)}",
+                        render(child3),
+                        sorted({
+                            r["column_names"][-1] for r in _refs_of(child3)
+                        }),
+                        inner_node, scope, tables, pairs,
+                        corr_inner, corr_outer, rest, residuals,
+                        frame_col, time_col, fact_table, star,
+                    )
+                    having_corr.append(cc)
+                    return cond
                 if in_key in corr_inner or len(set(corr_inner)) != len(
                     corr_inner
                 ):

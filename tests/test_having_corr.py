@@ -255,8 +255,7 @@ def test_having_corr_unselected_column_declines(ctx, duck):
 def test_having_corr_non_equi_residual_declines(ctx, duck):
     """Purely non-equi correlation (no equi conjunct to drive the bundle
     join) still declines — round 11's residual mode requires an equi
-    anchor; fallback stays correct. (IN-form additionally declines with
-    ANY residual: its membership arm's key-set dedup cannot carry one.)"""
+    anchor; fallback stays correct."""
     _same(
         ctx,
         duck,
@@ -343,6 +342,66 @@ def test_having_corr_residual_empty_sets(ctx, duck):
         backing="scalarselect[cube<-hcorr-row:flat]",
     )
     assert len(got_all) == 3
+
+
+def test_having_corr_in_nonequi_residual(ctx, duck):
+    """Correlated IN in HAVING with a residual (round 11): rides the
+    row-grain bundle — the equality counts inside the bundle aggregation
+    (a2), where the tuple's frame columns are in scope."""
+    got = _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING MAX(l_quantity) IN (
+               SELECT l2.l_quantity FROM lineitem l2
+               WHERE l2.l_linenumber = lineitem.l_linenumber
+                 AND l2.l_quantity >= lineitem.l_linenumber * 6)
+           ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row:flat]",
+    )
+    assert got
+
+
+def test_having_corr_not_in_nonequi_residual_null_members(ctx, duck):
+    """Residual NOT IN keeps exact three-valued semantics over the
+    residual-matched set: a NULL member (injected via the item
+    expression) empties only the groups whose matched set contains it;
+    groups with an EMPTY matched set always pass."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING MIN(l_quantity) NOT IN (
+               SELECT CASE WHEN l2.l_quantity > 40 THEN NULL
+                           ELSE l2.l_quantity END
+               FROM lineitem l2
+               WHERE l2.l_linenumber = lineitem.l_linenumber
+                 AND l2.l_quantity > lineitem.l_linenumber * 6)
+           ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row:flat]",
+    )
+
+
+def test_having_corr_in_residual_expression_item(ctx, duck):
+    """The residual IN path accepts EXPRESSION items (the plain marker
+    arm required a bare inner column): item and residual re-render over
+    the reserved inner aliases."""
+    got = _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING CAST(MAX(l_quantity) + 2 AS INT) IN (
+               SELECT CAST(l2.l_quantity + 2 AS INT)
+               FROM lineitem l2
+               WHERE l2.l_linenumber = lineitem.l_linenumber
+                 AND l2.l_quantity < lineitem.l_linenumber + 50)
+           ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row:flat]",
+    )
+    assert got
 
 
 def test_having_corr_residual_unselected_column_declines(ctx, duck):
