@@ -5151,6 +5151,46 @@ def sql_having_corr_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_QUANTIFIED_RESIDUAL = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq
+FROM lineitem
+WHERE l_extendedprice > ANY (SELECT o.o_totalprice / 8 FROM orders o
+                             WHERE o.o_orderkey = lineitem.l_orderkey
+                               AND o.o_totalprice
+                                   < lineitem.l_extendedprice * 40)
+  AND l_quantity <= ALL (SELECT o.o_totalprice / 900 FROM orders o
+                         WHERE o.o_orderkey = lineitem.l_orderkey
+                           AND o.o_totalprice > lineitem.l_quantity * 100)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_quantified_residual", _SQL_QUANTIFIED_RESIDUAL)
+def sql_quantified_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE-side correlated quantified comparisons with NON-EQUI residual
+    conjuncts (round 11): per-key bundles cannot precompute over a
+    residual-filtered set, so standalone conjuncts rewrite to EXISTS-style
+    arms with the comparison folded into the join condition
+    (sqlfront._quantified_residual_arm) — `x > ANY` is a SEMI arm
+    (exists a matched row with x > item), `x <= ALL` (NOT + complement
+    ANY) an ANTI arm matching rows where the comparison IS NOT FALSE, so
+    NULL members and the empty matched set keep exact ANSI three-valued
+    semantics in plain hash semi/anti joins (never a theta join — an
+    equi anchor is required, decline-tested). Spark cannot parse ALL
+    quantifiers at all; DuckDB runs the same text natively as the
+    oracle."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_QUANTIFIED_RESIDUAL)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("semijoin[") and "anti:" in backing, (
+        f"quantified residual must serve via arms, got {backing}"
+    )
+    return out
+
+
 _SQL_HAVING_CORR_NOT_IN = """
 SELECT l_linestatus AS st,
        COUNT(*) AS n
@@ -6716,11 +6756,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     byte-floor-collapsed li_probe/li_order layouts) and
 #     ship_date_range (cost tie-breaker routing);
 # (c) the remaining r8 cohort by registration order, filling the 50 —
-#     only sql_latest_per_key stays at its r8 verdict (mirror-green every
-#     pytest), so after r11 no registered row's verdict is older than r8.
+#     only sql_latest_per_key and sql_window_rowgrain stay at their r8
+#     verdicts (mirror-green every pytest), so after r11 no registered
+#     row's verdict is older than r8.
 _PRIORITY = [
-    # (a) new r11 row
+    # (a) new r11 rows
     "sql_having_corr_residual",
+    "sql_quantified_residual",
     # (b) r8 rows over this round's rewrites
     "sql_corr_scalar",
     "sql_not_in",
@@ -6771,7 +6813,6 @@ _PRIORITY = [
     "sql_window_range_desc",
     "sql_window_filter_distinct",
     "sql_window_lag_nulls",
-    "sql_window_rowgrain",
 ]
 
 

@@ -2999,6 +2999,87 @@ def _quant_bundle(
     return list(zip(items, aliases)), aliases, cond
 
 
+def _quantified_residual_arm(
+    s: dict,
+    neg: bool,
+    item: dict,
+    x_sql: str,
+    x_cols: set,
+    inner_node: dict,
+    scope: _SubqScope,
+    tables: list[str],
+    pairs: list[tuple[str, str]],
+    corr_inner: list[str],
+    corr_outer: list[str],
+    rest: list[dict],
+    residuals: list[dict],
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> ir.SemiJoinArm:
+    """WHERE-side quantified comparison with NON-EQUI residual conjuncts
+    (round 11) -> an EXISTS-style semi/anti arm with the comparison
+    folded into the join condition:
+
+    - ``x <op> ANY (… equi AND residual)`` is EXISTS(row: equi AND
+      residual AND x <op> item) — a SEMI arm; a NULL comparison never
+      matches, exactly ANY's UNKNOWN-is-not-TRUE filter semantics.
+    - ``NOT (x <op> ANY …)`` (the ALL family) is TRUE iff EVERY matched
+      comparison is FALSE — an ANTI arm whose condition matches rows
+      where the comparison IS NOT FALSE (TRUE or UNKNOWN): any such row
+      excludes the outer row, the empty matched set keeps it, and a NULL
+      member or NULL x correctly drops it (the ANSI UNKNOWN).
+
+    The row set joins on the equi pairs (hash join; never a theta join —
+    an equi anchor is required) and the item/residual inner columns ride
+    the key set under reserved __sjr_* aliases, exactly like round 8's
+    non-equi EXISTS residuals."""
+    all_cols = _star_columns(star)
+    extra_map: dict[str, str] = {}
+
+    def rename(ref: dict) -> str:
+        if scope.side(ref) == "outer":
+            return ref["column_names"][-1]
+        col = ref["column_names"][-1]
+        if col not in extra_map:
+            extra_map[col] = f"__sjr_{len(extra_map)}"
+        return extra_map[col]
+
+    residual_parts: list[str] = []
+    residual_outer: set[str] = set(x_cols)
+    for c in residuals:
+        outer_refs = sorted(scope.outer_names(c))
+        residual_outer.update(outer_refs)
+        if all_cols is not None:
+            bad = sorted(set(outer_refs) - all_cols)
+            if bad:
+                raise SQLFrontError(
+                    f"quantified residual references unknown columns {bad}"
+                )
+    # render AFTER collecting outer refs: rename() mutates extra_map
+    for c in residuals:
+        residual_parts.append(render(_rewrite_inner_refs(c, rename)))
+    item_sql = render(_rewrite_inner_refs(dict(item), rename))
+    op = _CMP[s.get("comparison_type")]
+    cmp_sql = f"(({x_sql}) {op} ({item_sql}))"
+    if neg:
+        cmp_sql = f"({cmp_sql} IS NOT FALSE)"
+    residual_parts.append(cmp_sql)
+    inner = _build_inner_keyset(
+        inner_node, corr_inner, tables, pairs, _and_node(rest),
+        time_col, fact_table, star,
+        extra=[(col, alias) for col, alias in extra_map.items()],
+    )
+    return ir.SemiJoinArm(
+        inner=inner,
+        outer_keys=list(corr_outer),
+        inner_keys=list(corr_inner),
+        anti=neg,
+        residual_sql=" AND ".join(f"({p})" for p in residual_parts),
+        residual_outer_cols=sorted(residual_outer),
+    )
+
+
 def _parse_quantified_guard(
     s: dict,
     neg: bool,
@@ -3008,7 +3089,8 @@ def _parse_quantified_guard(
     fact_table: str | None,
     star: StarSchema | None,
     outer_quals: set,
-) -> "ir.GuardCond | ir.CorrScalarCond":
+    allow_arm: bool = False,
+) -> "ir.GuardCond | ir.CorrScalarCond | ir.SemiJoinArm":
     """Non-equal quantified comparison ``[NOT] x <op> ANY (SELECT item
     ...)`` (the ALL quantifiers arrive as NOT + the complement op) ->
     GuardCond: a 1-row aggregate bundle over the subquery broadcast-cross-
@@ -3016,7 +3098,11 @@ def _parse_quantified_guard(
     semantics filters rows. Equi-correlated forms return the per-group
     analog instead (CorrScalarCond in guard form — the aggregate bundle
     computes per correlation key and joins; COALESCE(count, 0) makes
-    missing groups behave as empty sets)."""
+    missing groups behave as empty sets). With ``allow_arm`` (standalone
+    conjuncts only — marker/OR composition can't carry residual arms),
+    correlated forms with NON-EQUI residual conjuncts return an
+    EXISTS-style semi/anti arm instead (round 11,
+    :func:`_quantified_residual_arm`)."""
     child = s.get("child") or {}
     _check_outer_child(child, outer_quals)
     x_sql = render(child)  # raises on unsupported expressions
@@ -3041,6 +3127,23 @@ def _parse_quantified_guard(
         )
     wc = inner_node.get("where_clause")
     if wc is not None and scope.has_outer(wc):
+        if allow_arm:
+            ci, co, rest2, residuals2 = _split_corr_conjuncts_res(
+                wc, scope, "quantified comparison"
+            )
+            if residuals2:
+                # round 11: the residual means per-key bundles cannot
+                # precompute; standalone conjuncts rewrite to an
+                # EXISTS-style arm with the comparison in the join
+                # condition (OR-composed conjuncts keep the decline —
+                # marker arms can't carry residuals)
+                return _quantified_residual_arm(
+                    s, neg, item, x_sql,
+                    set(_columns_of(child)),
+                    inner_node, scope, tables, pairs,
+                    ci, co, rest2, residuals2,
+                    time_col, fact_table, star,
+                )
         return _parse_corr_quantified(
             s,
             neg,
@@ -4415,8 +4518,12 @@ def _parse_semijoin(
                     fact_table,
                     star,
                     outer_quals,
+                    allow_arm=True,  # standalone conjunct: residual forms
+                    # may rewrite to an EXISTS-style arm (round 11)
                 )
-                if isinstance(q, ir.CorrScalarCond):
+                if isinstance(q, ir.SemiJoinArm):
+                    arms.append(q)
+                elif isinstance(q, ir.CorrScalarCond):
                     corr_scalars.append(q)
                 else:
                     guards.append(q)

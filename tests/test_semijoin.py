@@ -348,16 +348,18 @@ def test_declines_fall_back_correct(ctx, duck, sql):
     "sql,msg",
     [
         (
-            # residual-only (non-equi) correlated quantified comparison:
-            # per-group stats cannot absorb an outer-dependent residual;
-            # Spark cannot PARSE ALL quantifiers, so there is no runnable
-            # fallback — the decline fires at parse and the engine's own
-            # error surfaces
+            # residual-ONLY correlated quantified comparison (round 11:
+            # residuals WITH an equi anchor now rewrite to EXISTS-style
+            # arms, but with no equi conjunct nothing drives the hash
+            # join — a theta join is never acceptable); Spark cannot
+            # PARSE ALL quantifiers, so there is no runnable fallback —
+            # the decline fires at parse and the engine's own error
+            # surfaces
             """SELECT COUNT(*) AS n FROM lineitem
                WHERE l_extendedprice > ALL (SELECT o_totalprice FROM orders
                                             WHERE o_totalprice
                                                   > l_extendedprice)""",
-            "non-equi correlation in quantified comparison",
+            "without an equi-correlation conjunct",
         ),
         (
             # outer reference inside the aggregate argument: a per-row
@@ -1609,6 +1611,76 @@ def test_exists_outer_only_residual(ctx, duck):
                          WHERE o_orderkey = l_orderkey
                            AND l_quantity > 30)""",
         backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_quantified_any_nonequi_residual_arm(ctx, duck):
+    """Round 11: WHERE-side correlated ANY with a non-equi residual
+    rewrites to an EXISTS-style SEMI arm with the comparison in the join
+    condition (`x > ANY(... equi AND residual)` = exists a matched row
+    with x > item) — the per-key bundle cannot precompute over a
+    residual-filtered set."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n
+           FROM lineitem
+           WHERE l_extendedprice > ANY (
+               SELECT o.o_totalprice / 8 FROM orders o
+               WHERE o.o_orderkey = lineitem.l_orderkey
+                 AND o.o_totalprice < lineitem.l_extendedprice * 40)
+           GROUP BY l_returnflag ORDER BY flag""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+
+
+def test_quantified_all_nonequi_residual_arm(ctx, duck):
+    """`x <= ALL(... residual)` (arriving as NOT + complement ANY) is an
+    ANTI arm matching rows where the comparison IS NOT FALSE: any TRUE or
+    UNKNOWN member excludes the outer row, the empty matched set keeps it
+    — exact ANSI three-valued semantics in one hash anti join."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n
+           FROM lineitem
+           WHERE l_quantity <= ALL (
+               SELECT o.o_totalprice / 3000 FROM orders o
+               WHERE o.o_orderkey = lineitem.l_orderkey
+                 AND o.o_totalprice > lineitem.l_quantity * 100)
+           GROUP BY l_returnflag ORDER BY flag""",
+        backing="semijoin[flat<-anti:base[orders]]",
+    )
+
+
+def test_quantified_noteq_any_residual_and_negation(ctx, duck):
+    """<> ANY with a residual (semi arm), and its negation (= ALL: anti
+    arm) — expression items re-render over the reserved __sjr aliases.
+    FLOOR keeps the item engine-neutral (CAST(double AS INT) rounds in
+    DuckDB but truncates in Spark)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus AS st, COUNT(*) AS n
+           FROM lineitem
+           WHERE l_quantity <> ANY (
+               SELECT FLOOR(o.o_totalprice) % 50 FROM orders o
+               WHERE o.o_orderkey = lineitem.l_orderkey
+                 AND o.o_totalprice > lineitem.l_quantity * 1000)
+           GROUP BY l_linestatus ORDER BY st""",
+        backing="semijoin[flat<-base[orders]]",
+    )
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n
+           FROM lineitem
+           WHERE NOT (l_quantity <> ANY (
+               SELECT FLOOR(o.o_totalprice) % 100 FROM orders o
+               WHERE o.o_orderkey = lineitem.l_orderkey
+                 AND o.o_totalprice > lineitem.l_quantity * 500))
+           GROUP BY l_returnflag ORDER BY flag""",
+        backing="semijoin[flat<-anti:base[orders]]",
     )
 
 
