@@ -2692,8 +2692,8 @@ def _parse_in_arm(
     correlated = wc is not None and scope.has_outer(wc)
     if correlated:
         if neg:
-            corr_inner, corr_outer, rest = _split_corr_conjuncts(
-                wc, scope, "NOT IN"
+            corr_inner, corr_outer, rest, residuals = (
+                _split_corr_conjuncts_res(wc, scope, "NOT IN")
             )
             all_cols = _star_columns(star)
             if all_cols is not None:
@@ -2702,6 +2702,22 @@ def _parse_in_arm(
                     raise SQLFrontError(
                         f"correlation references unknown outer columns {bad}"
                     )
+            if residuals:
+                # round 11: NOT IN with a non-equi residual is exactly
+                # NOT(x = ANY(residual-filtered set)) — the quantified
+                # residual ANTI arm, whose `(x = item) IS NOT FALSE`
+                # condition carries the full three-valued logic (a NULL
+                # member or NULL x matches -> excludes; the empty matched
+                # set keeps the row), so no count guard is needed
+                arm = _quantified_residual_arm(
+                    {"comparison_type": "COMPARE_EQUAL"}, True,
+                    dict(sel[0]), render(child),
+                    set(_columns_of(child)),
+                    inner_node, scope, tables, pairs,
+                    corr_inner, corr_outer, rest, residuals,
+                    time_col, fact_table, star,
+                )
+                return arm, None
             x_sql = render(child)
             key_node = _colref(inner_key) if is_col else dict(key_items[0][0])
             kset_keys = list(

@@ -1684,6 +1684,50 @@ def test_quantified_noteq_any_residual_and_negation(ctx, duck):
     )
 
 
+def test_corr_not_in_nonequi_residual_arm(ctx, duck):
+    """Round 11: correlated NOT IN with a non-equi residual is exactly
+    NOT(x = ANY(residual set)) — the quantified ANTI arm whose
+    `(x = item) IS NOT FALSE` condition carries the full three-valued
+    logic with NO count guard: a NULL member (injected via the item
+    CASE) or NULL x matches -> excludes the row; an empty matched set
+    keeps it."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus AS st, COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber NOT IN (
+               SELECT FLOOR(o.o_totalprice) % 8 FROM orders o
+               WHERE o.o_orderkey = lineitem.l_orderkey
+                 AND o.o_totalprice > lineitem.l_extendedprice)
+           GROUP BY l_linestatus ORDER BY st""",
+        backing="semijoin[flat<-anti:base[orders]]",
+    )
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus AS st, COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber NOT IN (
+               SELECT CASE WHEN o.o_totalprice > 200000 THEN NULL
+                           ELSE FLOOR(o.o_totalprice) % 8 END
+               FROM orders o
+               WHERE o.o_orderkey = lineitem.l_orderkey
+                 AND o.o_totalprice > lineitem.l_extendedprice)
+           GROUP BY l_linestatus ORDER BY st""",
+        backing="semijoin[flat<-anti:base[orders]]",
+    )
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber NOT IN (
+               SELECT FLOOR(o.o_totalprice) FROM orders o
+               WHERE o.o_orderkey = lineitem.l_orderkey
+                 AND o.o_totalprice > lineitem.l_extendedprice * 9999)
+           GROUP BY l_returnflag ORDER BY flag""",
+        backing="semijoin[flat<-anti:base[orders]]",
+    )
+
+
 def test_exists_residual_without_equi_declines(ctx, duck):
     """Residual-only correlation would force a theta join (unbounded
     fan-out) — decline, fallback stays correct."""
