@@ -5151,6 +5151,35 @@ def sql_having_corr_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_CORR_SCALAR_RESIDUAL = f"""
+SELECT CAST(SUM({PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey
+                      AND l2.l_shipdate <= lineitem.l_shipdate)
+"""
+
+
+@_register("sql_corr_scalar_residual", _SQL_CORR_SCALAR_RESIDUAL)
+def sql_corr_scalar_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 with a HISTORY-TO-DATE residual (round 11): the
+    correlated scalar's per-partkey average is taken over lineitems
+    shipped up to the probe row's own date — a non-equi residual the
+    classical per-key GROUP BY cannot absorb. The leaves recompute per
+    DISTINCT (l_partkey, l_shipdate) tuple after the residual-conditioned
+    row join (ir.CorrScalarCond.row_grain; sqlfront._parse_corr_scalar
+    residual branch), joined back null-safely — never a per-row
+    recomputation, never a theta join (the equi pair drives the hash
+    join). DuckDB runs the same text natively as the oracle."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_CORR_SCALAR_RESIDUAL)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("semijoin[") and "corrscalar:" in backing, (
+        f"residual correlated scalar must decorrelate, got {backing}"
+    )
+    return out
+
+
 _SQL_QUANTIFIED_RESIDUAL = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
@@ -6756,13 +6785,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     byte-floor-collapsed li_probe/li_order layouts) and
 #     ship_date_range (cost tie-breaker routing);
 # (c) the remaining r8 cohort by registration order, filling the 50 —
-#     only sql_latest_per_key and sql_window_rowgrain stay at their r8
-#     verdicts (mirror-green every pytest), so after r11 no registered
-#     row's verdict is older than r8.
+#     only sql_latest_per_key / sql_window_rowgrain /
+#     sql_window_lag_nulls stay at their r8 verdicts (mirror-green every
+#     pytest), so after r11 no registered row's verdict is older than r8.
 _PRIORITY = [
     # (a) new r11 rows
     "sql_having_corr_residual",
     "sql_quantified_residual",
+    "sql_corr_scalar_residual",
     # (b) r8 rows over this round's rewrites
     "sql_corr_scalar",
     "sql_not_in",
@@ -6812,7 +6842,6 @@ _PRIORITY = [
     "sql_window_range",
     "sql_window_range_desc",
     "sql_window_filter_distinct",
-    "sql_window_lag_nulls",
 ]
 
 

@@ -649,6 +649,7 @@ class OlapContext:
         for cc in spec.corr_scalars:
             join_cols.update(cc.outer_columns)
             join_cols.update(o for o, _ in cc.pairs)
+            join_cols.update(getattr(cc, "residual_frame_cols", []) or [])
         join_cols.update(spec.or_columns)
         outer2, backing, decision = self.plan(
             spec.outer, force_row_grain=True, extra_columns=join_cols
@@ -695,6 +696,67 @@ class OlapContext:
             key_alias = {
                 k: f"__ck{j}_{i}" for i, k in enumerate(cc.inner_keys)
             }
+            if getattr(cc, "row_grain", False):
+                # NON-EQUI residual mode (round 11 — the HAVING machinery
+                # with the row-grain scan as the frame): bundle leaves
+                # recompute per DISTINCT (pair outer + residual outer
+                # column) tuple after the residual-conditioned join, then
+                # join back null-safely — never per outer ROW, and scale
+                # is |distinct tuples| x matched rows on the correlation
+                # keys (the classical decorrelation Spark itself plans
+                # for these shapes; this serves it from the pruned
+                # backing instead of a raw re-scan).
+                fkey_cols = list(dict.fromkeys(
+                    [o for o, _ in cc.pairs]
+                    + list(cc.residual_frame_cols)
+                ))
+                fkeys = df.select(*fkey_cols).distinct()
+                rows_df = adf.select(
+                    *[F.col(k).alias(a) for k, a in key_alias.items()],
+                    *[F.col(c) for c in cc.residual_cols],
+                )
+                rcond = None
+                for o, ik in cc.pairs:
+                    c2 = F.col(o) == F.col(key_alias[ik])
+                    rcond = c2 if rcond is None else (rcond & c2)
+                if cc.residual_sql:
+                    rcond = rcond & F.expr(cc.residual_sql)
+                k0 = key_alias[cc.inner_keys[0]]
+                aggs = []
+                for fn, arg, alias in cc.leaf_aggs:
+                    col = F.col(k0) if fn == "count_star" else F.expr(arg)
+                    f2 = {
+                        "count_star": F.count, "count": F.count,
+                        "min": F.min, "max": F.max,
+                        "sum": F.sum, "avg": F.avg,
+                    }[fn]
+                    aggs.append(f2(col).alias(alias))
+                bundle = (
+                    fkeys.join(rows_df, rcond, "left")
+                    .groupBy(*[F.col(c) for c in fkey_cols])
+                    .agg(*aggs)
+                )
+                back = {
+                    c: f"__cbk{j}_{i}" for i, c in enumerate(fkey_cols)
+                }
+                bundle = bundle.select(
+                    *[F.col(c).alias(a) for c, a in back.items()],
+                    *[F.col(a) for a in cc.leaf_cols],
+                )
+                jcond = None
+                for c, a in back.items():
+                    c2 = F.col(c).eqNullSafe(F.col(a))
+                    jcond = c2 if jcond is None else (jcond & c2)
+                df = df.join(bundle, jcond, "left").drop(*back.values())
+                if not cc.standalone:
+                    deferred_drop.extend(cc.leaf_cols)
+                else:
+                    lhs, rhs = f"({cc.outer_sql})", f"({cc.value_sql})"
+                    if cc.flip:
+                        lhs, rhs = rhs, lhs
+                    df = df.where(F.expr(f"{lhs} {cc.op} {rhs}"))
+                    df = df.drop(*cc.leaf_cols)
+                continue
             aliased = adf.select(
                 *[F.col(k).alias(a) for k, a in key_alias.items()],
                 *[F.col(a) for a in cc.leaf_cols],

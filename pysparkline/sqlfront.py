@@ -3631,7 +3631,7 @@ def _parse_corr_scalar(
     inner_node = (s.get("subquery") or {}).get("node") or {}
     sel = inner_node.get("select_list") or []
     wc = inner_node.get("where_clause")
-    corr_inner, corr_outer, rest = _split_corr_conjuncts(
+    corr_inner, corr_outer, rest, residuals = _split_corr_conjuncts_res(
         wc, scope, "scalar subquery"
     )
     if all_cols is not None:
@@ -3678,6 +3678,76 @@ def _parse_corr_scalar(
     item["alias"] = ""
     value_sql = render(rewrite(item))
     keys = list(dict.fromkeys(corr_inner))
+    if residuals:
+        # round 11: NON-EQUI residual conjuncts — the per-key GROUP BY
+        # cannot absorb an outer-dependent filter, so the inner stays row
+        # grain and the server recomputes the leaves per DISTINCT
+        # (correlation + residual outer column) tuple after the
+        # residual-conditioned join (CorrScalarCond.row_grain — the same
+        # machinery HAVING uses, with the row-grain scan as the frame;
+        # Spark itself serves the shape through its own decorrelation, so
+        # this is acceleration, not new surface). Leaves must be plain
+        # (FILTER/DISTINCT decline) and of a recomputable family.
+        inner_alias: dict = {}
+        res_sqls = [
+            _rewrite_residual(c, scope, lambda name: name, inner_alias, idx)
+            for c in residuals
+        ]
+        rfcols = sorted({
+            ref["column_names"][-1]
+            for r in residuals
+            for ref in _refs_of(r)
+            if scope.side(ref) == "outer"
+        })
+        if all_cols is not None:
+            bad = sorted(set(rfcols) - all_cols)
+            if bad:
+                raise SQLFrontError(
+                    f"residual references unknown outer columns {bad}"
+                )
+        leaf_aggs = []
+        for ast, alias in leaves:
+            fn = (ast.get("function_name") or "").lower()
+            if ast.get("filter") or ast.get("distinct"):
+                raise SQLFrontError(
+                    "FILTER/DISTINCT aggregate with residual correlation"
+                )
+            ch = ast.get("children") or []
+            if fn == "count" and not ch:
+                fn = "count_star"
+            if fn == "count_star":
+                leaf_aggs.append([fn, None, alias])
+                continue
+            if fn not in ("count", "sum", "min", "max", "avg") or len(ch) != 1:
+                raise SQLFrontError(
+                    f"aggregate {fn} with residual correlation"
+                )
+            arg = _rewrite_residual(
+                dict(ch[0]), scope, lambda name: name, inner_alias, idx
+            )
+            leaf_aggs.append([fn, arg, alias])
+        inner = _build_inner_rows(
+            inner_node, keys,
+            [(_colref(src), a) for src, a in inner_alias.items()],
+            tables, pairs, _and_node(rest), time_col, fact_table, star,
+        )
+        return ir.CorrScalarCond(
+            inner=inner,
+            inner_keys=keys,
+            pairs=[[o, i] for i, o in zip(corr_inner, corr_outer)],
+            leaf_cols=[a for _, a in leaves],
+            value_sql=value_sql,
+            op=op,
+            outer_sql=render(other),
+            outer_columns=sorted(_columns_of(other)),
+            flip=flip,
+            left_join=has_count,
+            row_grain=True,
+            residual_sql=" AND ".join(res_sqls),
+            residual_frame_cols=rfcols,
+            residual_cols=sorted(inner_alias.values()),
+            leaf_aggs=leaf_aggs,
+        )
     inner = _build_inner_aggs(
         inner_node,
         leaves,

@@ -1684,6 +1684,50 @@ def test_quantified_noteq_any_residual_and_negation(ctx, duck):
     )
 
 
+def test_corr_scalar_nonequi_residual(ctx, duck):
+    """Round 11: correlated SCALAR aggregates with non-equi residuals —
+    the per-key GROUP BY cannot absorb an outer-dependent filter, so the
+    leaves recompute per DISTINCT (correlation + residual outer column)
+    tuple after the residual-conditioned row join
+    (ir.CorrScalarCond.row_grain in WHERE serving). AVG/COUNT/SUM/MAX
+    leaves, empty matched sets (COUNT reads 0, others NULL-compare-drop),
+    and multi-leaf items all vs DuckDB."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus AS st, COUNT(*) AS n FROM lineitem
+           WHERE l_quantity < (
+               SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+               WHERE l2.l_partkey = lineitem.l_partkey
+                 AND l2.l_linenumber < lineitem.l_linenumber + 2)
+           GROUP BY l_linestatus ORDER BY st""",
+        backing="semijoin[flat<-corrscalar:flat]",
+    )
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber > (
+               SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = lineitem.l_partkey
+                 AND l2.l_extendedprice > lineitem.l_extendedprice * 50)
+           GROUP BY l_returnflag ORDER BY flag""",
+        backing="semijoin[flat<-corrscalar:flat]",
+    )
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linestatus AS st, COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice * 3 > (
+               SELECT MAX(l2.l_extendedprice) + SUM(l2.l_quantity)
+               FROM lineitem l2
+               WHERE l2.l_partkey = lineitem.l_partkey
+                 AND l2.l_quantity <= lineitem.l_quantity)
+           GROUP BY l_linestatus ORDER BY st""",
+        backing="semijoin[flat<-corrscalar:flat]",
+    )
+
+
 def test_corr_not_in_nonequi_residual_arm(ctx, duck):
     """Round 11: correlated NOT IN with a non-equi residual is exactly
     NOT(x = ANY(residual set)) — the quantified ANTI arm whose
