@@ -5151,6 +5151,45 @@ def sql_having_corr_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_SELECT_CORR_SCALAR = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST((SELECT AVG(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_returnflag = lineitem.l_returnflag)
+            AS DOUBLE) AS grp_avg,
+       CAST(100.0 * COUNT(*) / (SELECT COUNT(*) FROM lineitem l2
+                                WHERE l2.l_returnflag
+                                      = lineitem.l_returnflag)
+            AS DOUBLE) AS pct_of_grp
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_select_corr_scalar", _SQL_SELECT_CORR_SCALAR)
+def sql_select_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT LIST (round 11): the
+    per-correlation-key bundle LEFT-joins the aggregated frame
+    (having_corr with an empty condition) and the select item's value
+    expression re-renders over the leaf aliases, splicing back into the
+    enclosing item so arithmetic around the subquery (the share-of-own-
+    group division here) composes naturally — the dedup memo gives
+    textually identical subqueries one bundle. Both bundles here ride the
+    flags CUBE end to end (the frame AND the per-key aggregates are
+    index-served). A missing group's NULL leaves evaluate like the empty
+    set (count-class leaves COALESCE to 0, ANSI). Correlation on an
+    unselected column declines (no frame slot — and Spark's own fallback
+    rejects the shape too)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_SELECT_CORR_SCALAR)
+    backing = ctx.query_history[-1].backing
+    assert backing.startswith("scalarselect[") and "hcorr:" in backing, (
+        f"select-list correlated scalar must serve, got {backing}"
+    )
+    return out
+
+
 _SQL_CORR_SCALAR_RESIDUAL = f"""
 SELECT CAST(SUM({PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem
@@ -6786,13 +6825,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ship_date_range (cost tie-breaker routing);
 # (c) the remaining r8 cohort by registration order, filling the 50 —
 #     only sql_latest_per_key / sql_window_rowgrain /
-#     sql_window_lag_nulls stay at their r8 verdicts (mirror-green every
-#     pytest), so after r11 no registered row's verdict is older than r8.
+#     sql_window_lag_nulls / sql_window_filter_distinct stay at their r8
+#     verdicts (mirror-green every pytest), so after r11 no registered
+#     row's verdict is older than r8.
 _PRIORITY = [
     # (a) new r11 rows
     "sql_having_corr_residual",
     "sql_quantified_residual",
     "sql_corr_scalar_residual",
+    "sql_select_corr_scalar",
     # (b) r8 rows over this round's rewrites
     "sql_corr_scalar",
     "sql_not_in",
@@ -6841,7 +6882,6 @@ _PRIORITY = [
     "sql_window_ma",
     "sql_window_range",
     "sql_window_range_desc",
-    "sql_window_filter_distinct",
 ]
 
 

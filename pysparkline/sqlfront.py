@@ -3845,19 +3845,197 @@ def _extract_select_scalars(
     # (the share-of-total shape repeats the grand total per item)
     scalar_memo: dict = {}
     leaf_memo: dict = {}
+    corr_value_memo: dict = {}
+    # declared BEFORE rewrite (correlated select-list scalars append
+    # here from inside the select-item loop); the HAVING section below
+    # reuses the same lists
+    having_arms: list = []
+    having_guards: list = []
+    having_corr: list = []
+    # source-column -> output-alias map PRE-SCANNED over the whole select
+    # list: a correlated scalar in item 1 may bind to a group column
+    # selected in item 3 (passthrough_src fills incrementally, too late)
+    src_map: dict = {}
+    for _it in sel:
+        if not _contains_subquery(_it) and _it.get("class") == "COLUMN_REF":
+            src_map[_it["column_names"][-1]] = (
+                _it.get("alias") or _it["column_names"][-1]
+            )
+
+    def _frame_src(name: str) -> str:
+        """Correlation/residual binding for select-list scalars: the
+        SOURCE column must be selected (it then survives into the
+        aggregated frame under its output alias) — same contract as the
+        HAVING side's frame_col."""
+        if name in src_map:
+            return src_map[name]
+        raise SQLFrontError(
+            "select-list scalar correlation on an unselected column"
+        )
+
+    def _corr_select_scalar(n: dict) -> dict:
+        """Correlated scalar subquery in the SELECT list / HAVING item
+        position (round 11): per-correlation-key bundle LEFT-joined onto
+        the aggregated frame (ir.ScalarSelectQuery.having_corr — no
+        filter; cond_sql empty) with the select item's VALUE expression
+        re-rendered over the leaf aliases and spliced back into the
+        enclosing item AST, so arithmetic around the subquery composes
+        naturally. Non-equi residuals ride the row-grain bundle exactly
+        like the HAVING quantified family. A missing group's NULL leaves
+        evaluate like the empty set (count-class leaves COALESCE to 0)."""
+        inner_node = (n.get("subquery") or {}).get("node") or {}
+        if inner_node.get("type") != "SELECT_NODE":
+            raise SQLFrontError("set-operation subquery in select list")
+        sel1 = inner_node.get("select_list") or []
+        if len(sel1) != 1 or not _contains_agg(sel1[0]):
+            raise SQLFrontError(
+                "select-list scalar subquery must be a single ungrouped "
+                "aggregate"
+            )
+        tables, pairs, inner_cols, scope = _subquery_scope(
+            inner_node, fact_table, star, outer_quals, allow_agg=True
+        )
+        if inner_cols is None and star is not None and len(star.tables) > 1:
+            raise SQLFrontError(
+                "star carries no column lists: cannot verify scalar "
+                "correlation"
+            )
+        wc1 = inner_node.get("where_clause")
+        tag = f"s{len(having_corr)}"
+        corr_inner, corr_outer, rest1, residuals1 = (
+            _split_corr_conjuncts_res(wc1, scope, "select-list scalar")
+        )
+        leaves: list = []
+
+        def leaf_rw(x):
+            if isinstance(x, dict):
+                fn = (x.get("function_name") or "").lower()
+                if x.get("class") == "FUNCTION" and fn in _AGG_FNS:
+                    for ref in _refs_of([x.get("children"), x.get("filter")]):
+                        if scope.side(ref) != "inner":
+                            raise SQLFrontError(
+                                "outer reference inside aggregate argument"
+                            )
+                    al = f"__ca{tag}_{len(leaves)}"
+                    leaves.append((copy.deepcopy(x), al))
+                    ph = _colref(al)
+                    return _coalesce0(ph) if fn in _COUNT_CLASS_FNS else ph
+                if x.get("class") == "COLUMN_REF":
+                    raise SQLFrontError(
+                        "non-aggregate column in scalar select item"
+                    )
+                return {k: leaf_rw(v) for k, v in x.items()}
+            if isinstance(x, list):
+                return [leaf_rw(v) for v in x]
+            return x
+
+        item1 = copy.deepcopy(sel1[0])
+        item1["alias"] = ""
+        value_ast = leaf_rw(item1)
+        cc_pairs = [
+            [_frame_src(o), i] for i, o in zip(corr_inner, corr_outer)
+        ]
+        keys = list(dict.fromkeys(corr_inner))
+        if residuals1:
+            inner_alias: dict = {}
+            res_sqls = [
+                _rewrite_residual(c, scope, _frame_src, inner_alias, tag)
+                for c in residuals1
+            ]
+            rfcols = sorted({
+                _frame_src(ref["column_names"][-1])
+                for r in residuals1
+                for ref in _refs_of(r)
+                if scope.side(ref) == "outer"
+            })
+            leaf_aggs = []
+            for ast, al in leaves:
+                fn = (ast.get("function_name") or "").lower()
+                if ast.get("filter") or ast.get("distinct"):
+                    raise SQLFrontError(
+                        "FILTER/DISTINCT aggregate with residual correlation"
+                    )
+                ch = ast.get("children") or []
+                if fn == "count" and not ch:
+                    fn = "count_star"
+                if fn == "count_star":
+                    leaf_aggs.append([fn, None, al])
+                    continue
+                if fn not in ("count", "sum", "min", "max", "avg") or (
+                    len(ch) != 1
+                ):
+                    raise SQLFrontError(
+                        f"aggregate {fn} with residual correlation"
+                    )
+                leaf_aggs.append([
+                    fn,
+                    _rewrite_residual(
+                        dict(ch[0]), scope, _frame_src, inner_alias, tag
+                    ),
+                    al,
+                ])
+            inner = _build_inner_rows(
+                inner_node, keys,
+                [(_colref(src), a) for src, a in inner_alias.items()],
+                tables, pairs, _and_node(rest1),
+                time_col, fact_table, star,
+            )
+            having_corr.append(ir.CorrScalarCond(
+                inner=inner, inner_keys=keys, pairs=cc_pairs,
+                leaf_cols=[a for _, a in leaves],
+                cond_sql="", standalone=False, left_join=True,
+                row_grain=True, residual_sql=" AND ".join(res_sqls),
+                residual_frame_cols=rfcols,
+                residual_cols=sorted(inner_alias.values()),
+                leaf_aggs=leaf_aggs,
+            ))
+        else:
+            inner = _build_inner_aggs(
+                inner_node, leaves, keys, tables, pairs,
+                _and_node(rest1), time_col, fact_table, star,
+            )
+            having_corr.append(ir.CorrScalarCond(
+                inner=inner, inner_keys=keys, pairs=cc_pairs,
+                leaf_cols=[a for _, a in leaves],
+                cond_sql="", standalone=False, left_join=True,
+            ))
+        return value_ast
 
     def rewrite(n, allow_cols=False):
         if isinstance(n, dict):
             if n.get("class") == "SUBQUERY":
                 key = json.dumps(_strip(n), sort_keys=True)
                 alias = scalar_memo.get(key)
-                if alias is None:
-                    inner = _parse_select_scalar(
-                        n, time_col, fact_table, star, outer_quals
+                if alias is not None:
+                    return _colref(alias)
+                if key in corr_value_memo:
+                    return copy.deepcopy(corr_value_memo[key])
+                inner_node = (n.get("subquery") or {}).get("node") or {}
+                sel1 = inner_node.get("select_list") or []
+                wc1 = inner_node.get("where_clause")
+                try:
+                    _t, _p, _ic, sscope = _subquery_scope(
+                        inner_node, fact_table, star, outer_quals,
+                        allow_agg=True,
                     )
-                    alias = f"__ss{len(scalars)}"
-                    scalars.append([inner, alias])
-                    scalar_memo[key] = alias
+                    corr = (
+                        len(sel1) == 1 and wc1 is not None
+                        and sscope.has_outer(wc1)
+                    )
+                except SQLFrontError:
+                    corr = False
+                if corr:
+                    # round 11: correlated select-list scalar — per-key
+                    # bundle joined onto the frame, value inlined
+                    v = _corr_select_scalar(n)
+                    corr_value_memo[key] = v
+                    return copy.deepcopy(v)
+                inner = _parse_select_scalar(
+                    n, time_col, fact_table, star, outer_quals
+                )
+                alias = f"__ss{len(scalars)}"
+                scalars.append([inner, alias])
+                scalar_memo[key] = alias
                 return _colref(alias)
             if n.get("class") == "WINDOW":
                 raise SQLFrontError("window in a scalar-subquery item")
@@ -3929,10 +4107,9 @@ def _extract_select_scalars(
     # HAVING conjuncts carrying subqueries become post-filters over the
     # joined frame (base outputs + hidden leaves + scalar aliases +
     # round-9 marker flags / guard columns); subquery-free conjuncts stay
-    # in the base statement's HAVING
-    having_arms: list = []
-    having_guards: list = []
-    having_corr: list = []
+    # in the base statement's HAVING. (having_arms/guards/corr are
+    # declared above rewrite — correlated select-list scalars share
+    # having_corr.)
 
     def having_atom(s2: dict, negated: bool) -> str:
         """One non-scalar subquery atom in a HAVING conjunct -> its inline

@@ -451,3 +451,91 @@ def test_having_corr_not_in_key_coincides_declines(ctx, duck):
            ORDER BY st""",
         backing="sparksql",
     )
+
+
+# --------------------------------- correlated SELECT-list scalars (round 11)
+
+
+def test_select_list_corr_scalar(ctx, duck):
+    """A correlated scalar in the SELECT list serves from the per-key
+    bundle LEFT-joined onto the frame (having_corr with an empty
+    condition), its value expression inlined into the final projection —
+    and the bundle itself rides a cube here."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n,
+                  CAST((SELECT AVG(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_returnflag = lineitem.l_returnflag)
+                       AS DOUBLE) AS grp_avg
+           FROM lineitem GROUP BY l_returnflag ORDER BY flag""",
+        backing="scalarselect[cube<-hcorr:cube]",
+    )
+
+
+def test_select_list_corr_scalar_in_arithmetic(ctx, duck):
+    """The subquery composes inside arithmetic (share-of-own-group): the
+    value AST splices into the enclosing item, so the division renders
+    over the joined leaf columns."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag,
+                  CAST(100.0 * COUNT(*) /
+                       (SELECT COUNT(*) FROM lineitem l2
+                        WHERE l2.l_returnflag = lineitem.l_returnflag)
+                       AS DOUBLE) AS pct
+           FROM lineitem GROUP BY l_returnflag ORDER BY flag""",
+        backing="scalarselect[cube<-hcorr:cube]",
+    )
+
+
+def test_select_list_corr_scalar_nonequi_residual(ctx, duck):
+    """Correlated select-list scalar WITH a non-equi residual rides the
+    row-grain bundle (per distinct correlation+residual tuple)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n,
+                  CAST((SELECT MAX(l2.l_extendedprice) FROM lineitem l2
+                        WHERE l2.l_linenumber = lineitem.l_linenumber
+                          AND l2.l_quantity < lineitem.l_linenumber * 8)
+                       AS DOUBLE) AS mx
+           FROM lineitem GROUP BY l_linenumber ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row:flat]",
+    )
+
+
+def test_having_corr_scalar_comparison(ctx, duck):
+    """A correlated scalar inside a HAVING comparison (not quantified —
+    plain >) serves through the same inlining: the rendered post-filter
+    reads the joined leaf columns."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_returnflag AS flag, COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag
+           HAVING AVG(l_quantity) > (SELECT AVG(l2.l_quantity) - 0.2
+                                     FROM lineitem l2
+                                     WHERE l2.l_returnflag
+                                           = lineitem.l_returnflag)
+           ORDER BY flag""",
+        backing="scalarselect[cube<-hcorr:cube]",
+    )
+
+
+def test_select_list_corr_scalar_unselected_declines(ctx, duck):
+    """Correlation on an UNSELECTED column has no frame slot — decline.
+    Spark's own fallback ALSO rejects the shape (a correlated scalar in
+    an Aggregate's select list may only reference selected/grouping
+    outputs), so the statement raises rather than silently answering a
+    different query; DuckDB runs it (the honest gap is Spark's)."""
+    sql = """SELECT l_returnflag AS flag, COUNT(*) AS n,
+                    CAST((SELECT AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_linestatus = lineitem.l_linestatus)
+                         AS DOUBLE) AS other_avg
+             FROM lineitem GROUP BY l_returnflag, l_linestatus
+             ORDER BY flag, n"""
+    duck.execute(sql).fetchall()  # DuckDB-valid: the decline is ours
+    with pytest.raises(Exception):
+        ctx.sql(sql).collect()
