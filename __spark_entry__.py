@@ -4949,6 +4949,39 @@ def sql_or_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_OR_CORR_SCALAR = f"""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(SUM({QTY}) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+   OR l_quantity > 49
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_or_corr_scalar", _SQL_OR_CORR_SCALAR)
+def sql_or_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery under OR (round 11, the last
+    OR-composition decline closed): Q17's per-partkey bundle joins the
+    row-grain scan LEFT (one bundle row per key — no duplication; an
+    inner join would drop rows the OR's other branch must keep) and the
+    comparison inlines into the OR filter. A missing group's NULL value
+    makes its branch UNKNOWN -> FALSE, which is row-set-preserving in
+    the positive context — exactly the 1-row scalar semantics. The
+    bundle still rides the partkey cube. AVG(l_quantity) is
+    engine-exact (integer-valued column)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_OR_CORR_SCALAR)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-corrscalar:cube]", (
+        f"correlated scalar under OR must decorrelate, got {backing}"
+    )
+    return out
+
+
 _SQL_HAVING_SCALAR = """
 SELECT l_returnflag AS flag,
        CAST(SUM(l_quantity) AS DOUBLE) AS qty
@@ -6834,6 +6867,7 @@ _PRIORITY = [
     "sql_quantified_residual",
     "sql_corr_scalar_residual",
     "sql_select_corr_scalar",
+    "sql_or_corr_scalar",
     # (b) r8 rows over this round's rewrites
     "sql_corr_scalar",
     "sql_not_in",

@@ -4707,7 +4707,25 @@ def _parse_semijoin(
                     outer_quals,
                 )
                 if isinstance(sc, ir.CorrScalarCond):
-                    raise SQLFrontError("correlated scalar under OR")
+                    # round 11: correlated scalar under OR serves inline.
+                    # The per-key bundle is ONE row per correlation key
+                    # (GROUP BY), so a LEFT join cannot duplicate outer
+                    # rows; a missing group's NULL value makes the
+                    # comparison UNKNOWN -> FALSE in this positive
+                    # context — exactly the 1-row scalar semantics
+                    # (count-class leaves COALESCE to 0 in value_sql).
+                    # An INNER join would drop rows the OR's other
+                    # branch must keep, hence left_join unconditionally.
+                    # Residual (row_grain) forms ride the same inline
+                    # path: their bundle joins back null-safely LEFT by
+                    # construction.
+                    sc.left_join = True
+                    sc.standalone = False
+                    corr_scalars.append(sc)
+                    lhs, rhs = f"({sc.outer_sql})", f"({sc.value_sql})"
+                    if sc.flip:
+                        lhs, rhs = rhs, lhs
+                    return f"({lhs} {sc.op} {rhs})"
                 sc.alias = f"__sc{len(scalar_conds)}"
                 sc.standalone = False
                 scalar_conds.append(sc)

@@ -477,12 +477,14 @@ def semijoin_sqls(draw):
     conj = [arm() for _ in range(draw(st.integers(1, 2)))]
     if draw(st.booleans()):
         # OR-composed conjunct (marker joins / inline conditions). Only
-        # kinds guaranteed residual-free are safe under OR (a residual
-        # key set could duplicate rows through the marker LEFT join, so
-        # those shapes decline — and the fuzzer asserts acceleration)
+        # kinds guaranteed residual-free are safe under OR for ARMS (a
+        # residual key set could duplicate rows through the marker LEFT
+        # join, so those shapes decline — and the fuzzer asserts
+        # acceleration); corr_scalar is safe since round 11 (per-key
+        # bundle is one row per key, forced LEFT join)
         kind = draw(st.sampled_from(
             ["in_dim", "in_fact", "not_in", "quant",
-             "corr_not_in", "corr_quant", "scalar"]
+             "corr_not_in", "corr_quant", "scalar", "corr_scalar"]
         ))
         conj.append(f"({arm(kind)} OR {draw(predicates())})")
     if draw(st.booleans()):

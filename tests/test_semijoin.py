@@ -1122,6 +1122,51 @@ def test_row_value_not_in_declines(ctx, duck):
                                        WHERE p_size > 45))""",
             "semijoin[flat<-base[orders],mark:base[part]]",
         ),
+        (
+            # correlated SCALAR under OR (round 11): per-key bundle LEFT
+            # joins (one row per key — no duplication), comparison
+            # inlines into the OR filter
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_extendedprice > (SELECT AVG(o_totalprice) * 0.01
+                                        FROM orders
+                                        WHERE o_orderkey = l_orderkey)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrscalar:base[orders]]",
+        ),
+        (
+            # correlated scalar under OR with EMPTY groups: the missing
+            # group's NULL scalar makes its branch UNKNOWN -> FALSE, but
+            # the OR's other branch must still keep those rows (this is
+            # why the join is forced LEFT)
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_extendedprice > (SELECT AVG(o_totalprice)
+                                        FROM orders
+                                        WHERE o_orderkey = l_orderkey
+                                          AND o_totalprice < 10000)
+                  OR l_quantity > 45""",
+            "semijoin[flat<-corrscalar:base[orders]]",
+        ),
+        (
+            # count-class correlated scalar under OR: COUNT over an
+            # empty group is 0 (COALESCE in value_sql), not NULL
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_linenumber > (SELECT COUNT(*) FROM orders
+                                     WHERE o_orderkey = l_orderkey
+                                       AND o_totalprice < 1000)
+                  OR l_returnflag = 'R'""",
+            "semijoin[flat<-corrscalar:base[orders]]",
+        ),
+        (
+            # Q17's fact-grain correlated scalar under OR: the per-key
+            # bundle still rides the partkey cube
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey
+                                         = lineitem.l_partkey)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrscalar:cube]",
+        ),
     ],
 )
 def test_or_composed_subqueries(ctx, duck, sql, backing):
@@ -1130,6 +1175,25 @@ def test_or_composed_subqueries(ctx, duck, sql, backing):
     condition, so no duplication) + inline scalar/guard conditions,
     composed into one OR filter before aggregation."""
     _same(ctx, duck, sql, backing=backing)
+
+
+def test_or_corr_scalar_residual_row_grain(ctx, duck):
+    """A correlated scalar with a NON-EQUI residual under OR (round 11):
+    the row-grain bundle recomputes per DISTINCT (correlation + residual
+    outer column) tuple and joins back null-safely LEFT — one bundle row
+    per tuple, so the inline OR composition cannot duplicate rows."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_quantity < (SELECT AVG(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = lineitem.l_partkey
+                                 AND l2.l_linenumber
+                                     < lineitem.l_linenumber)
+              OR l_quantity > 49""",
+        backing="semijoin[flat<-corrscalar:flat]",
+    )
 
 
 def test_or_residual_exists_declines(ctx, duck):
