@@ -582,6 +582,42 @@ def main() -> None:
         HEADLINE + ["sql_subquery", "sql_in_subquery", "sql_scalar_subquery",
                     "sql_not_in", "sql_corr_scalar"]
     ))
+    _MAX_FRESH_REPS = 6
+    tt_snaps: dict[str, float] = {}  # earliest-wins accumulated snapshots
+
+    def _snapshot() -> dict[str, float]:
+        snap = meter.collect()
+        for k, v in snap.items():
+            tt_snaps.setdefault(k, v)
+        return snap
+
+    def fresh_until_steady(prefix: str, name: str, build):
+        """Execute fresh lineages until the JIT decay flattens: at least
+        3 reps (the round-10/11 variance floor), then continue while each
+        new rep still improves the prior best by >10% (the decay slope —
+        measured ~1.6x over 4 consecutive fresh lineages), capped at
+        _MAX_FRESH_REPS. The per-rep snapshot also protects the earliest
+        groups from UI-store eviction. Returns the last DataFrame (the ix
+        pass re-collects it for the warm serving stat)."""
+        df = None
+        for rep in range(1, _MAX_FRESH_REPS + 1):
+            df = build()
+            meter.group(f"{prefix}{rep}:{name}")
+            df.collect()
+            meter.clear()
+            if rep < 3:
+                continue
+            snap = _snapshot()
+            cur = snap.get(f"{prefix}{rep}:{name}")
+            prior = [
+                v for k in range(1, rep)
+                if (v := snap.get(f"{prefix}{k}:{name}"))
+            ]
+            if cur is None or not prior:
+                break  # meter unavailable: keep the 3-rep floor
+            if cur >= min(prior) * 0.9:
+                break  # improvement under 10% — steady state reached
+        return df
     for name in tt_names:
         # BOTH memo layers must clear for a genuinely fresh plan: the
         # ctx plan cache AND the entry registry's DataFrame cache — a
@@ -608,16 +644,22 @@ def main() -> None:
         # same query decay ~1.6x as the JIT warms their regenerated
         # codegen (measured 0.186 -> 0.112 s over 4 reps on
         # sql_corr_scalar), and min-of-2 sampled the decay mid-slope.
+        # STEADY STATE (round 11, late): a fixed rep count still samples
+        # the decay mid-slope for the slowest-warming plans (the
+        # sql_corr_scalar twins read 0.94x in-harness vs 1.44x in a
+        # clean-process decomposition) — reps now continue PER QUERY
+        # while each new fresh lineage improves the prior best by >10%,
+        # capped at _MAX_FRESH_REPS, symmetric on all three sides.
         ctx._plan_cache.clear()
         entry_mod._DF_CACHE.clear()
         qs[name](spark, sf_dir).collect()  # fresh warm-up lineage
-        for rep in (1, 2, 3):
+
+        def _build_ix(name=name):
             ctx._plan_cache.clear()
             entry_mod._DF_CACHE.clear()
-            df = qs[name](spark, sf_dir)
-            meter.group(f"ix{rep}:{name}")
-            df.collect()
-            meter.clear()
+            return qs[name](spark, sf_dir)
+
+        df = fresh_until_steady("ix", name, _build_ix)
         # warm serving cost: re-collect the SAME lineage — the plan cache
         # returns this DataFrame for repeated identical queries, and Spark
         # skips its materialized shuffle map stages, so only final stages
@@ -631,15 +673,11 @@ def main() -> None:
     # jobs/stages (spark.ui.retainedJobs/Stages), and the min-of-2 reps
     # doubled the job count — a single collect() at the end loses the
     # earliest groups to eviction
-    tt_ix_pass = meter.collect()
+    tt_ix_pass = _snapshot()
     for name, mk in raw_builders.items():
         mk().collect()  # fresh warm-up lineage (JIT parity with ix pass)
-        for rep in (1, 2, 3):
-            df = mk()
-            meter.group(f"raw{rep}:{name}")
-            df.collect()
-            meter.clear()
-    tt_raw_pass = meter.collect()
+        fresh_until_steady("raw", name, mk)
+    tt_raw_pass = _snapshot()
     # layout-matched raw pass (VERDICT r8 #2): the SAME builders over the
     # fact table re-written at the index's own partition granularity and
     # file count — plan quality (pruning, star elimination, decorrelation)
@@ -650,31 +688,29 @@ def main() -> None:
     frames["li"] = matched_li
     for name, mk in raw_builders.items():
         mk().collect()  # one warm pass: codegen/JIT parity with raw pass
-        for rep in (1, 2, 3):
-            df = mk()
-            meter.group(f"rawm{rep}:{name}")
-            df.collect()
-            meter.clear()
+        fresh_until_steady("rawm", name, mk)
 
     # merge pass snapshots, earliest snapshot winning for its own groups
-    # (later snapshots may have lost them to UI-store eviction)
-    tt = {**meter.collect(), **tt_raw_pass, **tt_ix_pass}
+    # (later snapshots may have lost them to UI-store eviction); the
+    # per-rep steady-state snapshots accumulated in tt_snaps are the
+    # earliest of all
+    _snapshot()
+    tt = {**tt_raw_pass, **tt_ix_pass, **tt_snaps}
 
-    def _min2(prefix: str, names) -> dict:
+    def _min_reps(prefix: str, names) -> dict:
         return {
             n: min(
-                (v for v in (tt.get(f"{prefix}1:{n}"),
-                             tt.get(f"{prefix}2:{n}"),
-                             tt.get(f"{prefix}3:{n}")) if v),
+                (v for v in (tt.get(f"{prefix}{r}:{n}")
+                             for r in range(1, _MAX_FRESH_REPS + 1)) if v),
                 default=None,
             )
             for n in names
         }
 
-    tasktime_indexed = _min2("ix", indexed_for_ratio)
+    tasktime_indexed = _min_reps("ix", indexed_for_ratio)
     tasktime_warm = {n: tt.get(f"ixw:{n}") for n in indexed_for_ratio}
-    tasktime_raw = _min2("raw", raw_builders)
-    tasktime_raw_matched = _min2("rawm", raw_builders)
+    tasktime_raw = _min_reps("raw", raw_builders)
+    tasktime_raw_matched = _min_reps("rawm", raw_builders)
     # fresh-vs-fresh: both sides execute a brand-new lineage end to end.
     # METHOD CORRECTION (round-8 continuation): earlier rounds re-collected
     # the MEMOIZED indexed DataFrame here, so its shuffle map stages were
