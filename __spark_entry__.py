@@ -4982,6 +4982,37 @@ def sql_or_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_EXISTS_THETA = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM part
+              WHERE p_size = 1 AND p_retailprice < l_extendedprice)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_exists_theta", _SQL_EXISTS_THETA)
+def sql_exists_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-only correlated EXISTS (round 11): NO equi anchor — the
+    join condition is pure theta, which is never acceptable at scale over
+    an arbitrary inner. The serve path is a broadcast nested-loop semi
+    join gated by a tiny-inner PROOF: the dim-grain distinct row set is
+    probed against theta_inner_max_rows (default 1000) at lowering; past
+    the cap the statement declines to the always-correct spark.sql
+    fallback. Within it, the fact side streams and per-row work is
+    bounded by the cap — scale-safe at 100 TB. The fact-table-inner and
+    OR-composed variants decline (tests/test_semijoin.py)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_EXISTS_THETA)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-theta:base[part]]", (
+        f"residual-only EXISTS must broadcast-theta join, got {backing}"
+    )
+    return out
+
+
 _SQL_HAVING_SCALAR = """
 SELECT l_returnflag AS flag,
        CAST(SUM(l_quantity) AS DOUBLE) AS qty
@@ -6868,6 +6899,7 @@ _PRIORITY = [
     "sql_corr_scalar_residual",
     "sql_select_corr_scalar",
     "sql_or_corr_scalar",
+    "sql_exists_theta",
     # (b) r8 rows over this round's rewrites
     "sql_corr_scalar",
     "sql_not_in",

@@ -947,6 +947,16 @@ class SemiJoinArm(IRNode):
     # outer columns the residual reads — counted into the outer backing's
     # coverage check (they must exist on the row-grain scan)
     residual_outer_cols: list = field(default_factory=list)
+    # RESIDUAL-ONLY correlation (round 11): no equi anchor at all — the
+    # arm joins on residual_sql alone. Serving this is a theta join,
+    # acceptable ONLY as a broadcast nested loop over a PROVABLY TINY
+    # inner: the server probes the materialized inner row set against
+    # OlapContext.theta_inner_max_rows and declines past the bound
+    # (the spark.sql fallback stays correct). outer_keys/inner_keys are
+    # empty; the inner is a dim-grain BaseKeysQuery exposing only the
+    # __sjr_* residual columns. Never marker-composable (a theta match
+    # set is not distinct per outer row).
+    broadcast_theta: bool = False
 
 
 @_node

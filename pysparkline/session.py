@@ -140,6 +140,17 @@ class OlapContext:
     # stays hash-join + 1-row bundle at any scale. 4M longs ≈ 32 MB
     # hashed relation, comfortably executor-resident. 0 disables NAAJ.
     naaj_max_keys: float = 4_000_000
+    # Residual-only EXISTS routing (round 11): a correlated EXISTS with
+    # NO equi anchor joins on its residual alone — a theta join, served
+    # ONLY as a broadcast nested loop over a PROVABLY tiny inner. The
+    # server materializes the inner's (dim-grain, filtered, distinct)
+    # row set with a LIMIT probe; at or under this row cap it broadcasts
+    # and nested-loop semi/anti joins (per-outer-row work = cap
+    # comparisons — trivial at this default, and the broadcast is a few
+    # KB); past it the query declines to the spark.sql fallback, which
+    # stays correct (Spark plans the same BroadcastNestedLoopJoin but
+    # without the proof). 0 disables the routing entirely.
+    theta_inner_max_rows: float = 1_000
 
     def __post_init__(self):
         prep(self.spark)
@@ -581,10 +592,13 @@ class OlapContext:
         arm_dfs: list[DataFrame] = []
         descs: list[str] = []
         for ai, arm in enumerate(spec.arms):
+            theta = getattr(arm, "broadcast_theta", False)
             tag = (
                 "mark:" if arm.marker
                 else ("naaj:" if ai in naaj_arms else
-                      ("anti:" if arm.anti else ""))
+                      ("theta-anti:" if theta and arm.anti else
+                       ("theta:" if theta else
+                        ("anti:" if arm.anti else ""))))
             )
             if isinstance(arm.inner, ir.BaseKeysQuery):
                 arm_dfs.append(self._lower_base_keys(arm.inner))
@@ -796,6 +810,32 @@ class OlapContext:
                 for j, k in enumerate(arm.inner_keys)
             ] + [F.col(c) for c in adf.columns if c.startswith("__sjr_")]
             aliased = adf.select(*cols)
+            if getattr(arm, "broadcast_theta", False):
+                # residual-only EXISTS (ir.SemiJoinArm.broadcast_theta):
+                # the tiny-inner PROOF runs here — a LIMIT probe over the
+                # dim-grain distinct row set (bounded: one dim scan,
+                # collects at most cap+1 rows). Past the cap the decline
+                # surfaces as a lowering-time SQLFrontError and the
+                # spark.sql fallback answers correctly. Within it, a
+                # broadcast nested-loop semi/anti join on the residual:
+                # the fact side streams, per-row work is <= cap predicate
+                # evaluations, and NULL comparisons never match — exactly
+                # [NOT] EXISTS semantics.
+                from .sqlfront import SQLFrontError
+
+                cap = int(self.theta_inner_max_rows)
+                n = aliased.limit(cap + 1).count() if cap > 0 else cap + 1
+                if n > cap:
+                    raise SQLFrontError(
+                        "residual-only EXISTS inner exceeds"
+                        f" theta_inner_max_rows ({n} > {cap})"
+                    )
+                df = df.join(
+                    F.broadcast(aliased),
+                    F.expr(arm.residual_sql),
+                    "left_anti" if arm.anti else "left_semi",
+                )
+                continue
             if i in naaj_arms:
                 # null-aware anti join: Or(equal, isnull(equal)) LeftAnti —
                 # Spark's ExtractSingleColumnNullAwareAntiJoin pattern, the
@@ -1028,7 +1068,15 @@ class OlapContext:
                     f"{o}={k}"
                     for o, k in zip(arm.outer_keys, arm.inner_keys)
                 )
-                lines.append(f"-- arm {i}: {how} on ({on}) --")
+                if getattr(arm, "broadcast_theta", False):
+                    lines.append(
+                        f"-- arm {i}: broadcast nested-loop {how} on"
+                        f" residual ({arm.residual_sql}); tiny-inner"
+                        f" proof at <= {int(self.theta_inner_max_rows)}"
+                        " rows, declines past it --"
+                    )
+                else:
+                    lines.append(f"-- arm {i}: {how} on ({on}) --")
                 if isinstance(arm.inner, ir.BaseKeysQuery):
                     lines.append(
                         f"  distinct keys over base table"

@@ -3443,12 +3443,42 @@ def _parse_exists_arm(
                 )
         residual_parts.append(render(_rewrite_inner_refs(c, rename)))
     if not corr_inner:
-        # residual-only correlation (no equi conjunct) would force a theta
-        # join — unbounded fan-out, decline (the fallback stays correct)
-        raise SQLFrontError(
-            "EXISTS without an equi-correlation conjunct"
-            if residual_parts
-            else "uncorrelated EXISTS (constant predicate)"
+        if not residual_parts:
+            raise SQLFrontError("uncorrelated EXISTS (constant predicate)")
+        # residual-only correlation (round 11): no equi anchor — the join
+        # condition is pure theta. A theta join over an arbitrary inner is
+        # never acceptable at scale (unbounded per-row fan-out), but a
+        # PROVABLY TINY inner serves honestly as a broadcast nested loop:
+        # the fact side streams, the broadcast side is a handful of dim
+        # rows, and per-outer-row work is bounded by the row cap the
+        # server enforces at lowering (OlapContext.theta_inner_max_rows —
+        # past it the decline surfaces and the spark.sql fallback stays
+        # correct). Only a single NON-fact base table qualifies: proving
+        # a filtered fact tiny would itself cost a fact scan.
+        fact_grain = bool(fact_table) and fact_table.lower() in tables
+        if fact_grain or pairs or len(tables) != 1:
+            raise SQLFrontError(
+                "residual-only EXISTS needs a single dimension-table inner"
+            )
+        inner = _build_inner_keyset(
+            inner_node,
+            [],
+            tables,
+            pairs,
+            _and_node(rest),
+            time_col,
+            fact_table,
+            star,
+            extra=[(col, alias) for col, alias in extra_map.items()],
+        )
+        return ir.SemiJoinArm(
+            inner=inner,
+            outer_keys=[],
+            inner_keys=[],
+            anti=neg,
+            residual_sql=" AND ".join(f"({p})" for p in residual_parts),
+            residual_outer_cols=sorted(residual_outer),
+            broadcast_theta=True,
         )
     # EXISTS ignores the select list entirely (SELECT 1 / * / anything)
     inner = _build_inner_keyset(

@@ -463,6 +463,16 @@ def semijoin_sqls(draw):
                 f"WHERE l_quantity > {q})"
             )
         neg = "NOT " if kind == "not_exists" else ""
+        if draw(st.integers(0, 3)) == 0:
+            # residual-only (round 11): NO equi anchor — broadcast
+            # nested-loop over the tiny filtered dim (p_size pins the
+            # inner well under theta_inner_max_rows at fixture scale)
+            sz = draw(st.integers(1, 3))
+            mult = draw(st.sampled_from([1, 2, 50]))
+            return (
+                f"{neg}EXISTS (SELECT 1 FROM part WHERE p_size = {sz} "
+                f"AND p_retailprice < l_extendedprice * {mult})"
+            )
         if draw(st.booleans()):
             # non-equi residual: mixed-scope conjunct rides the join cond
             mult = draw(st.integers(2, 60))

@@ -1177,6 +1177,109 @@ def test_or_composed_subqueries(ctx, duck, sql, backing):
     _same(ctx, duck, sql, backing=backing)
 
 
+# -- residual-only EXISTS (broadcast theta over a provably tiny inner) -------
+
+
+@pytest.mark.parametrize(
+    "sql,backing",
+    [
+        (
+            # residual-only EXISTS: no equi anchor at all — broadcast
+            # nested-loop semi join over the tiny filtered dim row set
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE EXISTS (SELECT 1 FROM part
+                             WHERE p_size = 1
+                               AND p_retailprice < l_extendedprice)""",
+            "semijoin[flat<-theta:base[part]]",
+        ),
+        (
+            # NOT EXISTS form: broadcast nested-loop anti join — NULL
+            # comparisons never match, exactly NOT EXISTS semantics
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE NOT EXISTS (SELECT 1 FROM part
+                                 WHERE p_size = 1
+                                   AND p_retailprice
+                                       > l_extendedprice * 2)""",
+            "semijoin[flat<-theta-anti:base[part]]",
+        ),
+        (
+            # several residual conjuncts over several outer/inner columns
+            """SELECT l_returnflag AS flag, COUNT(*) AS n FROM lineitem
+               WHERE EXISTS (SELECT 1 FROM part
+                             WHERE p_size = 1
+                               AND p_retailprice < l_extendedprice
+                               AND p_partkey <> l_partkey)
+               GROUP BY l_returnflag""",
+            "semijoin[flat<-theta:base[part]]",
+        ),
+        (
+            # composes with an equi-anchored arm in the same statement
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                    WHERE o_totalprice > 100000)
+                 AND EXISTS (SELECT 1 FROM part
+                             WHERE p_size = 1
+                               AND p_retailprice < l_extendedprice)""",
+            "semijoin[flat<-base[orders],theta:base[part]]",
+        ),
+    ],
+)
+def test_residual_only_exists_theta(ctx, duck, sql, backing):
+    """Residual-only correlated EXISTS (round 11): with NO equi anchor the
+    join is pure theta — servable ONLY as a broadcast nested loop over a
+    provably tiny inner. The server probes the dim-grain distinct row set
+    against theta_inner_max_rows before broadcasting."""
+    _same(ctx, duck, sql, backing=backing)
+
+
+def test_residual_only_exists_over_cap_declines(ctx, duck, spark):
+    """Past theta_inner_max_rows the tiny-inner proof fails and the
+    statement falls back to spark.sql — correct, never a silent oversized
+    broadcast nested loop."""
+    from pysparkline import tpch
+    from pysparkline.session import OlapContext
+
+    idx = tpch.build_or_load_index(spark, SF)
+    c2 = OlapContext(spark, idx, base_tables=tpch.load_star_tables(spark, SF))
+    c2.theta_inner_max_rows = 3
+    sql = """SELECT COUNT(*) AS n FROM lineitem
+             WHERE EXISTS (SELECT 1 FROM part
+                           WHERE p_size = 1
+                             AND p_retailprice < l_extendedprice)"""
+    got = sorted(tuple(r) for r in c2.sql(sql).collect())
+    assert c2.query_history[-1].backing == "sparksql"
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+
+
+def test_residual_only_exists_fact_inner_declines(ctx, duck):
+    """A residual-only EXISTS over the FACT table declines at parse:
+    proving a filtered fact tiny would itself cost a fact scan, and an
+    unproven theta join is never acceptable at scale."""
+    sql = """SELECT COUNT(*) AS n FROM orders
+             WHERE EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_extendedprice > o_totalprice)"""
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    assert ctx.query_history[-1].backing == "sparksql"
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+
+
+def test_residual_only_exists_under_or_declines(ctx, duck):
+    """Theta arms carry a residual, so the OR marker composition declines
+    them (a theta match set is not distinct per outer row — a marker LEFT
+    join could duplicate)."""
+    sql = """SELECT COUNT(*) AS n FROM lineitem
+             WHERE EXISTS (SELECT 1 FROM part
+                           WHERE p_size = 1
+                             AND p_retailprice < l_extendedprice)
+                OR l_quantity > 49"""
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    assert ctx.query_history[-1].backing == "sparksql"
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+
+
 def test_or_corr_scalar_residual_row_grain(ctx, duck):
     """A correlated scalar with a NON-EQUI residual under OR (round 11):
     the row-grain bundle recomputes per DISTINCT (correlation + residual
