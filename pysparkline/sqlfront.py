@@ -2390,14 +2390,16 @@ def _split_corr_conjuncts(
 
 
 def _split_corr_conjuncts_res(
-    wc: dict | None, scope: _SubqScope, what: str
+    wc: dict | None, scope: _SubqScope, what: str,
+    require_anchor: bool = True,
 ) -> tuple[list[str], list[str], list[dict], list[dict]]:
     """Like :func:`_split_corr_conjuncts`, but mixed-scope NON-equi
     conjuncts come back as ``residuals`` instead of declining (round 11 —
     HAVING quantified subqueries serve them by keeping the inner row
     grain and re-aggregating after a residual-conditioned join). An
-    equi-correlation conjunct is still required (it drives the bundle
-    join)."""
+    equi-correlation conjunct is required unless ``require_anchor`` is
+    False (the broadcast-theta path over a provably tiny inner — the
+    only anchor-free form that is acceptable at scale)."""
     corr_inner: list[str] = []
     corr_outer: list[str] = []
     rest: list[dict] = []
@@ -2412,7 +2414,7 @@ def _split_corr_conjuncts_res(
             residuals.append(c)
             continue
         rest.append(c)
-    if not corr_inner:
+    if not corr_inner and require_anchor:
         raise SQLFrontError(
             f"correlated {what} without an equi-correlation conjunct"
         )
@@ -3145,7 +3147,7 @@ def _parse_quantified_guard(
     if wc is not None and scope.has_outer(wc):
         if allow_arm:
             ci, co, rest2, residuals2 = _split_corr_conjuncts_res(
-                wc, scope, "quantified comparison"
+                wc, scope, "quantified comparison", require_anchor=False
             )
             if residuals2:
                 # round 11: the residual means per-key bundles cannot
@@ -3153,12 +3155,37 @@ def _parse_quantified_guard(
                 # EXISTS-style arm with the comparison in the join
                 # condition (OR-composed conjuncts keep the decline —
                 # marker arms can't carry residuals)
-                return _quantified_residual_arm(
+                if not ci:
+                    # residual-only (round 11, late — the EXISTS theta
+                    # analog): no equi anchor, so the arm joins on the
+                    # residual + comparison alone. Acceptable only as a
+                    # broadcast nested loop over a provably tiny
+                    # dimension inner; the server's row-cap probe is the
+                    # proof (ir.SemiJoinArm.broadcast_theta).
+                    fact_grain = (
+                        bool(fact_table) and fact_table.lower() in tables
+                    )
+                    if fact_grain or pairs or len(tables) != 1:
+                        raise SQLFrontError(
+                            "residual-only quantified comparison needs a"
+                            " single dimension-table inner"
+                        )
+                arm = _quantified_residual_arm(
                     s, neg, item, x_sql,
                     set(_columns_of(child)),
                     inner_node, scope, tables, pairs,
                     ci, co, rest2, residuals2,
                     time_col, fact_table, star,
+                )
+                if not ci:
+                    arm.broadcast_theta = True
+                return arm
+            if not ci:
+                # every correlated conjunct was an equi pair, none found:
+                # impossible (has_outer held) — defensive
+                raise SQLFrontError(
+                    "correlated quantified comparison without an"
+                    " equi-correlation conjunct"
                 )
         return _parse_corr_quantified(
             s,

@@ -366,6 +366,16 @@ def semijoin_sqls(draw):
             op2 = draw(st.sampled_from([">", ">=", "<", "<=", "<>"]))
             if op2 == "<>" and q == "ALL":
                 op2 = ">"  # <> ALL == NOT IN — drawn by corr_not_in
+            if draw(st.integers(0, 2)) == 0:
+                # residual-only (round 11, late): no equi anchor —
+                # broadcast theta over the tiny filtered dim
+                sz = draw(st.integers(3, 9))
+                mult = draw(st.sampled_from([1, 2]))
+                return (
+                    f"l_quantity {op2} {q} (SELECT p_size FROM part "
+                    f"WHERE p_size < {sz} AND p_retailprice "
+                    f"< l_extendedprice * {mult})"
+                )
             nullth = draw(st.sampled_from([0, 150000]))
             div = draw(st.sampled_from([100, 2000]))
             return (

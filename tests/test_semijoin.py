@@ -344,23 +344,38 @@ def test_declines_fall_back_correct(ctx, duck, sql):
     assert got == exp
 
 
+def test_residual_only_quantified_cap_behavior(ctx, duck, spark):
+    """Residual-only ALL over a dim (round 11, late): the shape PARSES
+    into a broadcast-theta arm; the tiny-inner proof decides at lowering.
+    Over the cap there is no runnable fallback (Spark cannot parse ALL
+    quantifiers), so the engine's error surfaces honestly; within a
+    raised cap the query serves — surface NEITHER engine alone offers."""
+    from pysparkline import tpch
+    from pysparkline.session import OlapContext
+
+    sql = """SELECT COUNT(*) AS n FROM lineitem
+             WHERE l_extendedprice > ALL (SELECT o_totalprice FROM orders
+                                          WHERE o_totalprice
+                                                > l_extendedprice)"""
+    # default cap 1000 < |orders| at this SF: the probe declines, the
+    # spark.sql fallback cannot parse ALL — the error reaches the user
+    # instead of a wrong answer
+    with pytest.raises(Exception):
+        ctx.sql(sql).collect()
+    idx = tpch.build_or_load_index(spark, SF)
+    c2 = OlapContext(spark, idx, base_tables=tpch.load_star_tables(spark, SF))
+    c2.theta_inner_max_rows = 5000
+    got = sorted(tuple(r) for r in c2.sql(sql).collect())
+    assert c2.query_history[-1].backing == (
+        "semijoin[flat<-theta-anti:base[orders]]"
+    )
+    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == exp
+
+
 @pytest.mark.parametrize(
     "sql,msg",
     [
-        (
-            # residual-ONLY correlated quantified comparison (round 11:
-            # residuals WITH an equi anchor now rewrite to EXISTS-style
-            # arms, but with no equi conjunct nothing drives the hash
-            # join — a theta join is never acceptable); Spark cannot
-            # PARSE ALL quantifiers, so there is no runnable fallback —
-            # the decline fires at parse and the engine's own error
-            # surfaces
-            """SELECT COUNT(*) AS n FROM lineitem
-               WHERE l_extendedprice > ALL (SELECT o_totalprice FROM orders
-                                            WHERE o_totalprice
-                                                  > l_extendedprice)""",
-            "without an equi-correlation conjunct",
-        ),
         (
             # outer reference inside the aggregate argument: a per-row
             # aggregate, which Spark itself rejects
@@ -1229,6 +1244,54 @@ def test_residual_only_exists_theta(ctx, duck, sql, backing):
     join is pure theta — servable ONLY as a broadcast nested loop over a
     provably tiny inner. The server probes the dim-grain distinct row set
     against theta_inner_max_rows before broadcasting."""
+    _same(ctx, duck, sql, backing=backing)
+
+
+@pytest.mark.parametrize(
+    "sql,backing",
+    [
+        (
+            # residual-only ANY: theta semi arm, comparison folded into
+            # the join condition (NULL comparison never matches — ANY's
+            # UNKNOWN-is-not-TRUE semantics)
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_quantity > ANY (SELECT p_size FROM part
+                                       WHERE p_size < 8
+                                         AND p_retailprice
+                                             < l_extendedprice)""",
+            "semijoin[flat<-theta:base[part]]",
+        ),
+        (
+            # residual-only ALL (arrives as NOT ANY): theta ANTI arm
+            # matching rows where the comparison IS NOT FALSE
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_quantity >= ALL (SELECT p_size FROM part
+                                        WHERE p_size < 8
+                                          AND p_retailprice
+                                              < l_extendedprice)""",
+            "semijoin[flat<-theta-anti:base[part]]",
+        ),
+        (
+            # NULL members: a NULL item makes the ALL comparison UNKNOWN
+            # (IS NOT FALSE matches -> outer row dropped), exactly ANSI
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_quantity <= ALL (SELECT CASE WHEN p_size = 2
+                                               THEN NULL
+                                               ELSE p_size + 40 END
+                                        FROM part
+                                        WHERE p_size < 8
+                                          AND p_retailprice
+                                              < l_extendedprice)""",
+            "semijoin[flat<-theta-anti:base[part]]",
+        ),
+    ],
+)
+def test_residual_only_quantified_theta(ctx, duck, sql, backing):
+    """Residual-only quantified ANY/ALL (round 11, late): no equi anchor
+    — the comparison and residual fold into a broadcast-theta arm over
+    the provably tiny dim inner, riding the EXISTS theta machinery.
+    Spark cannot parse the ALL forms at all (engine surface beyond the
+    fallback)."""
     _same(ctx, duck, sql, backing=backing)
 
 
