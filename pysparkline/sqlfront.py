@@ -2695,7 +2695,9 @@ def _parse_in_arm(
     if correlated:
         if neg:
             corr_inner, corr_outer, rest, residuals = (
-                _split_corr_conjuncts_res(wc, scope, "NOT IN")
+                _split_corr_conjuncts_res(
+                    wc, scope, "NOT IN", require_anchor=False
+                )
             )
             all_cols = _star_columns(star)
             if all_cols is not None:
@@ -2711,6 +2713,19 @@ def _parse_in_arm(
                 # condition carries the full three-valued logic (a NULL
                 # member or NULL x matches -> excludes; the empty matched
                 # set keeps the row), so no count guard is needed
+                if not corr_inner:
+                    # residual-only (round 11, late): no equi anchor —
+                    # the broadcast-theta anti arm over a provably tiny
+                    # dim inner (the server's row-cap probe is the proof;
+                    # past it the spark.sql fallback runs NOT IN exactly)
+                    fact_grain = (
+                        bool(fact_table) and fact_table.lower() in tables
+                    )
+                    if fact_grain or pairs or len(tables) != 1:
+                        raise SQLFrontError(
+                            "residual-only NOT IN needs a single"
+                            " dimension-table inner"
+                        )
                 arm = _quantified_residual_arm(
                     {"comparison_type": "COMPARE_EQUAL"}, True,
                     dict(sel[0]), render(child),
@@ -2719,7 +2734,15 @@ def _parse_in_arm(
                     corr_inner, corr_outer, rest, residuals,
                     time_col, fact_table, star,
                 )
+                if not corr_inner:
+                    arm.broadcast_theta = True
                 return arm, None
+            if not corr_inner:
+                # defensive: has_outer held, so some conjunct was a pair
+                # or a residual
+                raise SQLFrontError(
+                    "correlated NOT IN without an equi-correlation conjunct"
+                )
             x_sql = render(child)
             key_node = _colref(inner_key) if is_col else dict(key_items[0][0])
             kset_keys = list(

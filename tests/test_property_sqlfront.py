@@ -336,7 +336,10 @@ def semijoin_sqls(draw):
             return f"o_orderstatus = '{draw(st.sampled_from('FOP'))}'"
         return f"o_totalprice > {draw(st.integers(5, 45)) * 10000}"
 
-    def arm(kind=None):
+    def arm(kind=None, under_or=False):
+        # under_or suppresses the residual-only (broadcast theta) draw
+        # variants: theta arms carry a residual, which the OR marker
+        # composition declines (match sets are not distinct per row)
         if kind is None:
             kind = draw(st.sampled_from(
                 ["in_dim", "in_fact", "exists", "not_exists", "scalar",
@@ -346,6 +349,20 @@ def semijoin_sqls(draw):
         if kind == "corr_not_in":
             # correlated NOT IN: multi-pair anti arm + per-group guard;
             # the CASE variant plants NULL members in SOME groups only
+            if not under_or and draw(st.integers(0, 3)) == 0:
+                # residual-only (round 11, late): theta anti arm over the
+                # tiny dim, (x = item) IS NOT FALSE carries the 3VL
+                sz = draw(st.integers(2, 5))
+                mult = draw(st.sampled_from([1, 2]))
+                key = draw(st.sampled_from(
+                    ["p_partkey",
+                     "CASE WHEN p_size = 2 THEN NULL ELSE p_partkey END"]
+                ))
+                return (
+                    f"l_partkey NOT IN (SELECT {key} FROM part "
+                    f"WHERE p_size < {sz} AND p_retailprice "
+                    f"< l_extendedprice * {mult})"
+                )
             if draw(st.booleans()):
                 return (
                     "l_partkey NOT IN (SELECT p_partkey FROM part "
@@ -366,7 +383,7 @@ def semijoin_sqls(draw):
             op2 = draw(st.sampled_from([">", ">=", "<", "<=", "<>"]))
             if op2 == "<>" and q == "ALL":
                 op2 = ">"  # <> ALL == NOT IN — drawn by corr_not_in
-            if draw(st.integers(0, 2)) == 0:
+            if not under_or and draw(st.integers(0, 2)) == 0:
                 # residual-only (round 11, late): no equi anchor —
                 # broadcast theta over the tiny filtered dim
                 sz = draw(st.integers(3, 9))
@@ -473,7 +490,7 @@ def semijoin_sqls(draw):
                 f"WHERE l_quantity > {q})"
             )
         neg = "NOT " if kind == "not_exists" else ""
-        if draw(st.integers(0, 3)) == 0:
+        if not under_or and draw(st.integers(0, 3)) == 0:
             # residual-only (round 11): NO equi anchor — broadcast
             # nested-loop over the tiny filtered dim (p_size pins the
             # inner well under theta_inner_max_rows at fixture scale)
@@ -506,7 +523,7 @@ def semijoin_sqls(draw):
             ["in_dim", "in_fact", "not_in", "quant",
              "corr_not_in", "corr_quant", "scalar", "corr_scalar"]
         ))
-        conj.append(f"({arm(kind)} OR {draw(predicates())})")
+        conj.append(f"({arm(kind, under_or=True)} OR {draw(predicates())})")
     if draw(st.booleans()):
         conj.append(draw(predicates()))
     if draw(st.booleans()):

@@ -319,12 +319,6 @@ def test_scalar_null_result_drops_all_rows(ctx, duck):
         """SELECT COUNT(*) AS n FROM lineitem
            WHERE l_extendedprice > (SELECT AVG(o_totalprice) FROM orders
                                     WHERE o_orderkey > l_orderkey)""",
-        # correlated NOT IN with a non-equi correlated conjunct: the
-        # per-group guard counts cannot be residual-filtered per row
-        # (Spark's null-aware anti join CAN run this — fallback compares)
-        """SELECT COUNT(*) AS n FROM lineitem
-           WHERE l_partkey NOT IN (SELECT p_partkey FROM part
-                                   WHERE p_size > l_linenumber)""",
         # correlated scalar whose only correlation is non-equi via alias
         """SELECT COUNT(*) AS n FROM lineitem l1
            WHERE l_extendedprice > (SELECT AVG(l_extendedprice)
@@ -1293,6 +1287,39 @@ def test_residual_only_quantified_theta(ctx, duck, sql, backing):
     Spark cannot parse the ALL forms at all (engine surface beyond the
     fallback)."""
     _same(ctx, duck, sql, backing=backing)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # residual-only NOT IN: theta ANTI arm with (x = item) IS NOT
+        # FALSE — the guard-free three-valued construction
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_partkey NOT IN (SELECT p_partkey FROM part
+                                   WHERE p_size = 1
+                                     AND p_retailprice
+                                         < l_extendedprice)""",
+        # NULL members planted in SOME per-row member sets: IS NOT FALSE
+        # matches them, excluding the outer row — exact ANSI NOT IN
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_partkey NOT IN (SELECT CASE WHEN p_size = 1 THEN NULL
+                                          ELSE p_partkey END
+                                   FROM part
+                                   WHERE p_size < 4
+                                     AND p_retailprice
+                                         < l_extendedprice)""",
+        # the shape that DECLINED until round 11 late (was in the
+        # declines-fall-back table): whole-dim inner under the cap
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_partkey NOT IN (SELECT p_partkey FROM part
+                                   WHERE p_size > l_linenumber)""",
+    ],
+)
+def test_residual_only_not_in_theta(ctx, duck, sql):
+    """Residual-only correlated NOT IN (round 11, late): the IN equality
+    folds into the broadcast-theta anti arm as `(x = item) IS NOT FALSE`
+    — no count guard needed, the condition IS the three-valued logic."""
+    _same(ctx, duck, sql, backing="semijoin[flat<-theta-anti:base[part]]")
 
 
 def test_residual_only_exists_over_cap_declines(ctx, duck, spark):
