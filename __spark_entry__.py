@@ -5013,6 +5013,41 @@ def sql_exists_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_SCALAR_THETA = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_extendedprice > (SELECT MAX(p_retailprice) FROM part
+                         WHERE p_size < 10
+                           AND p_size > l_linenumber)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_scalar_theta", _SQL_SCALAR_THETA)
+def sql_scalar_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-only correlated SCALAR (round 11, late) — the rate-card
+    idiom: a per-row aggregate over dim rows selected by a RANGE
+    condition on the outer row (tiered pricing / SLA / rate tables).
+    No equi anchor exists, so the row-grain bundle joins DISTINCT outer
+    residual tuples to the broadcast dim row set on the residual alone
+    (theta), re-aggregates per tuple, and joins back null-safely — all
+    gated by the theta_inner_max_rows proof (the p_size < 10 filter
+    keeps the inner a few hundred rows at any tested SF). Empty match
+    sets give a NULL scalar -> comparison UNKNOWN -> row dropped, exact
+    ANSI. MAX is order-independent, so the comparison is engine-exact
+    on the double column (AVG would risk summation-order ULP drift —
+    the oracle-lint class)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_SCALAR_THETA)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-corrscalar-theta:base[part]]", (
+        f"residual-only scalar must serve the theta bundle, got {backing}"
+    )
+    return out
+
+
 _SQL_HAVING_SCALAR = """
 SELECT l_returnflag AS flag,
        CAST(SUM(l_quantity) AS DOUBLE) AS qty
@@ -6900,6 +6935,7 @@ _PRIORITY = [
     "sql_select_corr_scalar",
     "sql_or_corr_scalar",
     "sql_exists_theta",
+    "sql_scalar_theta",
     # (b) r8 rows over this round's rewrites
     "sql_corr_scalar",
     "sql_not_in",

@@ -783,6 +783,12 @@ class BaseKeysQuery(QuerySpec):
     # expression keys [[sql, alias]] — an IN/NOT IN subquery selecting an
     # expression rather than a plain column (round 8 cont.)
     exprs: list = field(default_factory=list)
+    # ROW-GRAIN mode (round 11, theta correlated scalars): False keeps
+    # duplicate rows — the residual-only scalar bundle re-aggregates
+    # SUM/AVG/COUNT leaves over the matched dim rows, where multiplicity
+    # is semantics. Distinct stays the default (semi/anti arms only need
+    # existence, and the distinct shrinks the build side).
+    distinct: bool = True
 
 
 @_node
@@ -918,6 +924,14 @@ class CorrScalarCond(IRNode):
     # [[fn, arg_alias | None, leaf_alias]] with fn in
     # count_star/count/min/max — the re-aggregation recipe
     leaf_aggs: list = field(default_factory=list)
+    # RESIDUAL-ONLY correlation (round 11, late): no equi anchor — the
+    # row-grain bundle joins distinct outer residual tuples to the dim
+    # rows on the residual ALONE (a theta join), acceptable only as a
+    # broadcast nested loop over a PROVABLY tiny inner: the server
+    # probes the row set against theta_inner_max_rows and declines past
+    # it. The rate-card idiom: `(SELECT MAX(rate) FROM rates WHERE
+    # rates.threshold <= o.amount)`.
+    broadcast_theta: bool = False
 
 
 @_node

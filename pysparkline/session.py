@@ -352,7 +352,10 @@ class OlapContext:
             + [F.expr(sql).alias(a) for sql, a in spec.exprs]
             + [F.col(c).alias(a) for c, a in spec.extra]
         )
-        return tbl.select(*cols).distinct()
+        out = tbl.select(*cols)
+        # row-grain mode (theta scalar bundles) keeps multiplicity —
+        # SUM/AVG/COUNT re-aggregation over the matched rows needs it
+        return out.distinct() if spec.distinct else out
 
     def _base_table(self, name: str) -> DataFrame:
         from .sqlfront import SQLFrontError
@@ -645,8 +648,15 @@ class OlapContext:
         corr_dfs: list[DataFrame] = []
         for cc in spec.corr_scalars:
             tag = "corrguard" if cc.cond_sql else "corrscalar"
+            if getattr(cc, "broadcast_theta", False):
+                tag += "-theta"
             if isinstance(cc.inner, ir.BaseScalarQuery):
                 corr_dfs.append(self._lower_base_scalar(cc.inner))
+                descs.append(f"{tag}:base[{cc.inner.table}]")
+            elif isinstance(cc.inner, ir.BaseKeysQuery):
+                # dim-grain ROW set (theta scalar bundles: distinct=False
+                # keeps multiplicity for SUM/AVG/COUNT re-aggregation)
+                corr_dfs.append(self._lower_base_keys(cc.inner))
                 descs.append(f"{tag}:base[{cc.inner.table}]")
             else:
                 s2, b2, d2 = self.plan(cc.inner)
@@ -729,16 +739,42 @@ class OlapContext:
                     *[F.col(k).alias(a) for k, a in key_alias.items()],
                     *[F.col(c) for c in cc.residual_cols],
                 )
+                if getattr(cc, "broadcast_theta", False):
+                    # residual-only (no equi anchor): the tuple-to-rows
+                    # join below is pure theta — run the tiny-inner
+                    # proof and broadcast the dim row set (cost per
+                    # tuple is <= cap predicate evaluations, the same
+                    # class as the theta semi arms). __one marks real
+                    # inner rows so count(*) leaves can count matches
+                    # through the left join (a residual COLUMN may be
+                    # legitimately NULL on a matched row).
+                    from .sqlfront import SQLFrontError
+
+                    cap = int(self.theta_inner_max_rows)
+                    n = (
+                        rows_df.limit(cap + 1).count()
+                        if cap > 0 else cap + 1
+                    )
+                    if n > cap:
+                        raise SQLFrontError(
+                            "residual-only scalar inner exceeds"
+                            f" theta_inner_max_rows ({n} > {cap})"
+                        )
+                    rows_df = F.broadcast(
+                        rows_df.withColumn("__one", F.lit(1))
+                    )
+                else:
+                    rows_df = rows_df.withColumn("__one", F.lit(1))
                 rcond = None
                 for o, ik in cc.pairs:
                     c2 = F.col(o) == F.col(key_alias[ik])
                     rcond = c2 if rcond is None else (rcond & c2)
                 if cc.residual_sql:
-                    rcond = rcond & F.expr(cc.residual_sql)
-                k0 = key_alias[cc.inner_keys[0]]
+                    r2 = F.expr(cc.residual_sql)
+                    rcond = r2 if rcond is None else (rcond & r2)
                 aggs = []
                 for fn, arg, alias in cc.leaf_aggs:
-                    col = F.col(k0) if fn == "count_star" else F.expr(arg)
+                    col = F.col("__one") if fn == "count_star" else F.expr(arg)
                     f2 = {
                         "count_star": F.count, "count": F.count,
                         "min": F.min, "max": F.max,

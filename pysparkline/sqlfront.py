@@ -3712,8 +3712,16 @@ def _parse_corr_scalar(
     sel = inner_node.get("select_list") or []
     wc = inner_node.get("where_clause")
     corr_inner, corr_outer, rest, residuals = _split_corr_conjuncts_res(
-        wc, scope, "scalar subquery"
+        wc, scope, "scalar subquery", require_anchor=False
     )
+    if not corr_inner and not residuals:
+        # correlation lives only in the select item — rewrite() below
+        # declines outer refs inside aggregate arguments; nothing else
+        # can anchor the decorrelation
+        raise SQLFrontError(
+            "correlated scalar subquery without an equi-correlation"
+            " conjunct"
+        )
     if all_cols is not None:
         bad = sorted(set(corr_outer) - all_cols)
         if bad:
@@ -3806,11 +3814,37 @@ def _parse_corr_scalar(
                 dict(ch[0]), scope, lambda name: name, inner_alias, idx
             )
             leaf_aggs.append([fn, arg, alias])
-        inner = _build_inner_rows(
-            inner_node, keys,
-            [(_colref(src), a) for src, a in inner_alias.items()],
-            tables, pairs, _and_node(rest), time_col, fact_table, star,
-        )
+        theta = not corr_inner
+        if theta:
+            # residual-only (round 11, late — the rate-card idiom
+            # `(SELECT MAX(rate) FROM rates WHERE threshold <= o.amt)`):
+            # no equi anchor, so the bundle join is pure theta —
+            # acceptable only over a provably tiny dimension inner (the
+            # server's theta_inner_max_rows probe is the proof). The
+            # inner stays ROW grain (distinct=False: SUM/AVG/COUNT
+            # multiplicity) over the single dim table.
+            fact_grain = bool(fact_table) and fact_table.lower() in tables
+            if fact_grain or pairs or len(tables) != 1:
+                raise SQLFrontError(
+                    "residual-only correlated scalar needs a single"
+                    " dimension-table inner"
+                )
+            filt = None
+            if rest:
+                filt = ir.and_(*[_to_filter(c) for c in rest])
+            inner = ir.BaseKeysQuery(
+                table=tables[0],
+                keys=[],
+                filter=filt,
+                extra=[[src, a] for src, a in inner_alias.items()],
+                distinct=False,
+            )
+        else:
+            inner = _build_inner_rows(
+                inner_node, keys,
+                [(_colref(src), a) for src, a in inner_alias.items()],
+                tables, pairs, _and_node(rest), time_col, fact_table, star,
+            )
         return ir.CorrScalarCond(
             inner=inner,
             inner_keys=keys,
@@ -3827,6 +3861,7 @@ def _parse_corr_scalar(
             residual_frame_cols=rfcols,
             residual_cols=sorted(inner_alias.values()),
             leaf_aggs=leaf_aggs,
+            broadcast_theta=theta,
         )
     inner = _build_inner_aggs(
         inner_node,

@@ -451,6 +451,17 @@ def semijoin_sqls(draw):
             # integer-valued l_quantity keeps AVG engine-exact, COUNT
             # exercises the left-join empty-group path
             op2 = draw(st.sampled_from([">", ">=", "<", "<="]))
+            if draw(st.integers(0, 3)) == 0:
+                # residual-only (round 11, late): the rate-card idiom —
+                # theta bundle over the tiny dim, safe under OR too
+                # (the bundle joins back null-safely, one row/tuple)
+                aggf = draw(st.sampled_from(["MAX", "MIN", "COUNT"]))
+                sz = draw(st.integers(4, 9))
+                return (
+                    f"l_linenumber {op2} (SELECT {aggf}(p_size) "
+                    f"FROM part WHERE p_size < {sz} "
+                    "AND p_size > l_linenumber)"
+                )
             if draw(st.booleans()):
                 c = draw(st.sampled_from(["0.2", "0.5", "1.1"]))
                 return (

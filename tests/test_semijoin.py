@@ -1322,6 +1322,58 @@ def test_residual_only_not_in_theta(ctx, duck, sql):
     _same(ctx, duck, sql, backing="semijoin[flat<-theta-anti:base[part]]")
 
 
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # the rate-card idiom: threshold lookup by range against a dim
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > (SELECT MAX(p_retailprice) FROM part
+                                    WHERE p_size > l_linenumber)""",
+        # AVG + inner-only filter; big l_linenumber rows have EMPTY
+        # match sets -> NULL scalar -> comparison UNKNOWN -> dropped
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > (SELECT AVG(p_retailprice) FROM part
+                                    WHERE p_size < 10
+                                      AND p_size > l_linenumber)""",
+        # COUNT leaf: an empty theta-match set evaluates as 0, not NULL
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber < (SELECT COUNT(*) FROM part
+                                 WHERE p_size > l_linenumber
+                                   AND p_size < 6)""",
+        # arithmetic over two leaves recomputes per distinct tuple
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > (SELECT 0.5 * AVG(p_retailprice)
+                                           + MAX(p_size)
+                                    FROM part
+                                    WHERE p_size > l_linenumber)""",
+    ],
+)
+def test_residual_only_scalar_theta(ctx, duck, sql):
+    """Residual-only correlated SCALAR (round 11, late): the row-grain
+    bundle's tuple-to-rows join is pure theta — served by broadcasting
+    the provably tiny dim row set (theta_inner_max_rows probe) and
+    re-aggregating the leaves per DISTINCT outer residual tuple. Cost
+    per tuple is <= cap predicate evaluations, the same class as the
+    theta semi arms."""
+    _same(ctx, duck, sql,
+          backing="semijoin[flat<-corrscalar-theta:base[part]]")
+
+
+def test_residual_only_scalar_theta_under_or(ctx, duck):
+    """The theta scalar composes under OR: the bundle is one row per
+    distinct tuple and joins back null-safely LEFT, so the inline OR
+    form cannot duplicate rows."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice > (SELECT MAX(p_retailprice) FROM part
+                                    WHERE p_size > l_linenumber)
+              OR l_quantity > 49""",
+        backing="semijoin[flat<-corrscalar-theta:base[part]]",
+    )
+
+
 def test_residual_only_exists_over_cap_declines(ctx, duck, spark):
     """Past theta_inner_max_rows the tiny-inner proof fails and the
     statement falls back to spark.sql — correct, never a silent oversized
