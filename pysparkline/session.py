@@ -487,23 +487,35 @@ class OlapContext:
                 rows = adf.select(
                     *[F.col(k).alias(a) for k, a in key_alias.items()],
                     *[F.col(c) for c in cc.residual_cols],
-                )
+                ).withColumn("__one", F.lit(1))
                 cond = None
                 for o, ik in cc.pairs:
                     c2 = F.col(o) == F.col(key_alias[ik])
                     cond = c2 if cond is None else (cond & c2)
                 if cc.residual_sql:
-                    cond = cond & F.expr(cc.residual_sql)
-                k0 = key_alias[cc.inner_keys[0]]
+                    r2 = F.expr(cc.residual_sql)
+                    cond = r2 if cond is None else (cond & r2)
                 aggs = []
                 for fn, arg, alias in cc.leaf_aggs:
                     # arg is a SQL expression over the reserved __hcr*
                     # inner aliases (the compared item); count_star counts
-                    # a join key instead (non-null exactly on matches)
-                    col = F.col(k0) if fn == "count_star" else F.expr(arg)
-                    f2 = F.count if fn in ("count_star", "count") else (
-                        F.min if fn == "min" else F.max
+                    # the __one marker (non-null exactly on matched rows —
+                    # a residual COLUMN may be NULL on a matched row, and
+                    # with no equi keys there is no key alias to count).
+                    # The full leaf family maps here: select-list /
+                    # HAVING-comparison correlated scalars carry SUM/AVG
+                    # leaves, not just the quantified bundle's
+                    # count/min/max (mapping SUM through max was a
+                    # wrong-answer bug, caught round 11 late).
+                    col = (
+                        F.col("__one") if fn == "count_star"
+                        else F.expr(arg)
                     )
+                    f2 = {
+                        "count_star": F.count, "count": F.count,
+                        "min": F.min, "max": F.max,
+                        "sum": F.sum, "avg": F.avg,
+                    }[fn]
                     aggs.append(f2(col).alias(alias))
                 bundle = (
                     fkeys.join(rows, cond, "left")

@@ -506,6 +506,38 @@ def test_select_list_corr_scalar_nonequi_residual(ctx, duck):
     )
 
 
+def test_select_list_corr_scalar_residual_avg_sum(ctx, duck):
+    """REGRESSION (round 11, late): the HAVING-frame row-grain
+    re-aggregation mapped every non-count leaf through min/max — a
+    SUM/AVG leaf with a residual silently returned the MAX (caught live:
+    prior-average read 49.0 for every group). The leaf map now carries
+    the full count/sum/min/max/avg family, and count_star counts a
+    synthesized __one marker (no key alias exists once anchors are
+    optional, and a residual column may be NULL on a matched row)."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n,
+                  CAST((SELECT AVG(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_linenumber = lineitem.l_linenumber
+                          AND l2.l_quantity < lineitem.l_linenumber * 8)
+                       AS DOUBLE) AS prior_avg
+           FROM lineitem GROUP BY l_linenumber ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row:flat]",
+    )
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n,
+                  CAST((SELECT SUM(l2.l_linenumber) FROM lineitem l2
+                        WHERE l2.l_linenumber = lineitem.l_linenumber
+                          AND l2.l_quantity < lineitem.l_linenumber * 8)
+                       AS DOUBLE) AS s
+           FROM lineitem GROUP BY l_linenumber ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row:flat]",
+    )
+
+
 def test_having_corr_scalar_comparison(ctx, duck):
     """A correlated scalar inside a HAVING comparison (not quantified —
     plain >) serves through the same inlining: the rendered post-filter
