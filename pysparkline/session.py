@@ -455,8 +455,14 @@ class OlapContext:
             # final projection. AQE broadcast-converts the NDV-bounded
             # bundle at runtime; never a cross product.
             tag = "hcorr-row" if getattr(cc, "row_grain", False) else "hcorr"
+            if getattr(cc, "broadcast_theta", False):
+                tag += "-theta"
             if isinstance(cc.inner, ir.BaseScalarQuery):
                 adf = self._lower_base_scalar(cc.inner)
+                descs.append(f"{tag}:base[{cc.inner.table}]")
+            elif isinstance(cc.inner, ir.BaseKeysQuery):
+                # dim-grain ROW set (theta scalar bundles, distinct=False)
+                adf = self._lower_base_keys(cc.inner)
                 descs.append(f"{tag}:base[{cc.inner.table}]")
             else:
                 s2, b2, d2 = self.plan(cc.inner)
@@ -488,6 +494,24 @@ class OlapContext:
                     *[F.col(k).alias(a) for k, a in key_alias.items()],
                     *[F.col(c) for c in cc.residual_cols],
                 ).withColumn("__one", F.lit(1))
+                if getattr(cc, "broadcast_theta", False):
+                    # residual-only: the tuple-to-rows join is pure
+                    # theta — run the tiny-inner proof and broadcast
+                    # (frame tuples are group-sized; per-tuple work is
+                    # <= cap predicate evaluations)
+                    from .sqlfront import SQLFrontError
+
+                    cap = int(self.theta_inner_max_rows)
+                    n = (
+                        rows.limit(cap + 1).count()
+                        if cap > 0 else cap + 1
+                    )
+                    if n > cap:
+                        raise SQLFrontError(
+                            "residual-only scalar inner exceeds"
+                            f" theta_inner_max_rows ({n} > {cap})"
+                        )
+                    rows = F.broadcast(rows)
                 cond = None
                 for o, ik in cc.pairs:
                     c2 = F.col(o) == F.col(key_alias[ik])

@@ -4018,8 +4018,17 @@ def _extract_select_scalars(
         wc1 = inner_node.get("where_clause")
         tag = f"s{len(having_corr)}"
         corr_inner, corr_outer, rest1, residuals1 = (
-            _split_corr_conjuncts_res(wc1, scope, "select-list scalar")
+            _split_corr_conjuncts_res(
+                wc1, scope, "select-list scalar", require_anchor=False
+            )
         )
+        if not corr_inner and not residuals1:
+            # correlation lives only in the select item — leaf_rw below
+            # declines outer refs inside aggregate arguments
+            raise SQLFrontError(
+                "correlated select-list scalar without an"
+                " equi-correlation conjunct"
+            )
         leaves: list = []
 
         def leaf_rw(x):
@@ -4089,12 +4098,39 @@ def _extract_select_scalars(
                     ),
                     al,
                 ])
-            inner = _build_inner_rows(
-                inner_node, keys,
-                [(_colref(src), a) for src, a in inner_alias.items()],
-                tables, pairs, _and_node(rest1),
-                time_col, fact_table, star,
-            )
+            theta = not corr_inner
+            if theta:
+                # residual-only (round 11, late — the per-GROUP rate-card
+                # idiom): no equi anchor, the bundle join is pure theta —
+                # only a provably tiny dimension inner serves (the
+                # server's theta_inner_max_rows probe is the proof; the
+                # frame side is group-sized, so per-tuple cost is <= cap
+                # predicate evaluations). Row grain keeps multiplicity.
+                fact_grain = (
+                    bool(fact_table) and fact_table.lower() in tables
+                )
+                if fact_grain or pairs or len(tables) != 1:
+                    raise SQLFrontError(
+                        "residual-only select-list scalar needs a single"
+                        " dimension-table inner"
+                    )
+                filt1 = None
+                if rest1:
+                    filt1 = ir.and_(*[_to_filter(c) for c in rest1])
+                inner = ir.BaseKeysQuery(
+                    table=tables[0],
+                    keys=[],
+                    filter=filt1,
+                    extra=[[src, a] for src, a in inner_alias.items()],
+                    distinct=False,
+                )
+            else:
+                inner = _build_inner_rows(
+                    inner_node, keys,
+                    [(_colref(src), a) for src, a in inner_alias.items()],
+                    tables, pairs, _and_node(rest1),
+                    time_col, fact_table, star,
+                )
             having_corr.append(ir.CorrScalarCond(
                 inner=inner, inner_keys=keys, pairs=cc_pairs,
                 leaf_cols=[a for _, a in leaves],
@@ -4103,6 +4139,7 @@ def _extract_select_scalars(
                 residual_frame_cols=rfcols,
                 residual_cols=sorted(inner_alias.values()),
                 leaf_aggs=leaf_aggs,
+                broadcast_theta=theta,
             ))
         else:
             inner = _build_inner_aggs(

@@ -538,6 +538,41 @@ def test_select_list_corr_scalar_residual_avg_sum(ctx, duck):
     )
 
 
+def test_select_list_scalar_residual_only_theta(ctx, duck):
+    """Residual-only correlated scalar in the SELECT list (round 11,
+    late) — the per-GROUP rate-card idiom: a range lookup against a tiny
+    dim per group. No equi anchor, so the bundle joins distinct frame
+    tuples to the broadcast dim row set on the residual alone, gated by
+    the theta_inner_max_rows proof."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n,
+                  CAST((SELECT MAX(p_retailprice) FROM part
+                        WHERE p_size > lineitem.l_linenumber
+                          AND p_size < 10) AS DOUBLE) AS cap_price
+           FROM lineitem GROUP BY l_linenumber ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row-theta:base[part]]",
+    )
+
+
+def test_having_scalar_residual_only_theta(ctx, duck):
+    """The same residual-only theta bundle serving a HAVING comparison;
+    COUNT over an empty theta-match set evaluates as 0 (the __one
+    marker), keeping groups whose match set is empty comparable."""
+    _same(
+        ctx,
+        duck,
+        """SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING COUNT(*) > (SELECT COUNT(*) * 20 FROM part
+                              WHERE p_size > l_linenumber
+                                AND p_size < 8)
+           ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row-theta:base[part]]",
+    )
+
+
 def test_having_corr_scalar_comparison(ctx, duck):
     """A correlated scalar inside a HAVING comparison (not quantified —
     plain >) serves through the same inlining: the rendered post-filter
