@@ -4986,28 +4986,45 @@ _SQL_EXISTS_THETA = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n
 FROM lineitem
-WHERE EXISTS (SELECT 1 FROM part
-              WHERE p_size = 1 AND p_retailprice < l_extendedprice)
+WHERE EXISTS (SELECT 1 FROM custnation
+              WHERE cn_regionkey * 2 > l_linenumber
+                AND cn_nationkey < 20)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+# oracle spelling: the engine's custnation view is nation renamed
+# (tpch.load_star_tables) — DuckDB reads the raw table
+_SQL_EXISTS_THETA_ORACLE = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM nation
+              WHERE n_regionkey * 2 > l_linenumber
+                AND n_nationkey < 20)
 GROUP BY l_returnflag
 ORDER BY flag
 """
 
 
-@_register("sql_exists_theta", _SQL_EXISTS_THETA)
+@_register("sql_exists_theta", _SQL_EXISTS_THETA_ORACLE)
 def sql_exists_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-only correlated EXISTS (round 11): NO equi anchor — the
     join condition is pure theta, which is never acceptable at scale over
     an arbitrary inner. The serve path is a broadcast nested-loop semi
     join gated by a tiny-inner PROOF: the dim-grain distinct row set is
-    probed against theta_inner_max_rows (default 1000) at lowering; past
-    the cap the statement declines to the always-correct spark.sql
-    fallback. Within it, the fact side streams and per-row work is
-    bounded by the cap — scale-safe at 100 TB. The fact-table-inner and
-    OR-composed variants decline (tests/test_semijoin.py)."""
+    materialized locally under theta_inner_max_rows (default 1000; one
+    scan serves proof and join); past the cap the statement declines to
+    the always-correct spark.sql fallback. The inner here is custnation
+    — 25 rows at EVERY scale factor (TPC-H fixes the nation table), so
+    the row stays green at any SF the harness picks (a p_size-filtered
+    part inner, the first spelling, crossed the cap at sf0.1 — review
+    finding). The fact-table-inner and OR-composed variants decline
+    (tests/test_semijoin.py)."""
     ctx = _sql_ctx(spark, sf_dir)
     out = ctx.sql(_SQL_EXISTS_THETA)
     backing = ctx.query_history[-1].backing
-    assert backing == "semijoin[flat<-theta:base[part]]", (
+    assert backing == "semijoin[flat<-theta:base[custnation]]", (
         f"residual-only EXISTS must broadcast-theta join, got {backing}"
     )
     return out
@@ -5017,15 +5034,24 @@ _SQL_SCALAR_THETA = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n
 FROM lineitem
-WHERE l_extendedprice > (SELECT MAX(p_retailprice) FROM part
-                         WHERE p_size < 10
-                           AND p_size > l_linenumber)
+WHERE l_quantity < (SELECT 10 + MAX(cn_regionkey) * 9 FROM custnation
+                    WHERE cn_nationkey > l_linenumber * 3)
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+_SQL_SCALAR_THETA_ORACLE = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_quantity < (SELECT 10 + MAX(n_regionkey) * 9 FROM nation
+                    WHERE n_nationkey > l_linenumber * 3)
 GROUP BY l_returnflag
 ORDER BY flag
 """
 
 
-@_register("sql_scalar_theta", _SQL_SCALAR_THETA)
+@_register("sql_scalar_theta", _SQL_SCALAR_THETA_ORACLE)
 def sql_scalar_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-only correlated SCALAR (round 11, late) — the rate-card
     idiom: a per-row aggregate over dim rows selected by a RANGE
@@ -5033,16 +5059,16 @@ def sql_scalar_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     No equi anchor exists, so the row-grain bundle joins DISTINCT outer
     residual tuples to the broadcast dim row set on the residual alone
     (theta), re-aggregates per tuple, and joins back null-safely — all
-    gated by the theta_inner_max_rows proof (the p_size < 10 filter
-    keeps the inner a few hundred rows at any tested SF). Empty match
-    sets give a NULL scalar -> comparison UNKNOWN -> row dropped, exact
-    ANSI. MAX is order-independent, so the comparison is engine-exact
-    on the double column (AVG would risk summation-order ULP drift —
-    the oracle-lint class)."""
+    gated by the theta_inner_max_rows proof. The inner is custnation —
+    25 rows at EVERY scale factor, so the proof holds at any SF the
+    harness picks (the first spelling's p_size-filtered part inner
+    crossed the cap at sf0.1 — review finding). Empty match sets give a
+    NULL scalar -> comparison UNKNOWN -> row dropped, exact ANSI;
+    MAX over integers is order-independent and engine-exact."""
     ctx = _sql_ctx(spark, sf_dir)
     out = ctx.sql(_SQL_SCALAR_THETA)
     backing = ctx.query_history[-1].backing
-    assert backing == "semijoin[flat<-corrscalar-theta:base[part]]", (
+    assert backing == "semijoin[flat<-corrscalar-theta:base[custnation]]", (
         f"residual-only scalar must serve the theta bundle, got {backing}"
     )
     return out
@@ -6914,9 +6940,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # query additionally runs against its oracle in tests/test_entry_oracle
 # each round. Round 11's window (verdict-freshness rotation, VERDICT r10
 # #4 — after r10 the oldest driver verdicts are the 50 r8 rows):
-# (a) the NEW r11 row first: sql_having_corr_residual (correlated
-#     quantified HAVING with non-equi residuals — VERDICT r10 missing #2
-#     closed via the row-grain bundle);
+# (a) the NEW r11 rows first: sql_having_corr_residual /
+#     sql_quantified_residual / sql_corr_scalar_residual (the non-equi
+#     residual family with equi anchors), sql_select_corr_scalar
+#     (SELECT-list correlated scalars), and the late-session trio —
+#     sql_or_corr_scalar (correlated scalar under OR),
+#     sql_exists_theta + sql_scalar_theta (the residual-only
+#     broadcast-theta family: no equi anchor, tiny-inner proof);
 # (b) the r8 rows exercising THIS round's rewrites next: the projection
 #     riders (sql_corr_scalar / sql_not_in / sql_subquery /
 #     sql_in_subquery / select_pushdown / sql_select_scan ride the

@@ -103,6 +103,33 @@ def _executed_output_rows(df: DataFrame) -> int | None:
         return None
 
 
+def _leaf_aggs(leaf_aggs: list) -> list:
+    """Re-aggregation recipe for row-grain residual bundles (shared by
+    the WHERE-side and HAVING-frame servers). Every leaf must evaluate
+    over MATCHED rows only: the bundle's left join null-extends
+    unmatched tuples, and a null-insensitive argument (COUNT(1),
+    SUM(2), MIN(constant)) would read the extension row as a match —
+    so the __one marker (non-null exactly on real inner rows) guards
+    count_star AND every expression argument. (Wrong-answer bug caught
+    by the round-11 review: COUNT(1) over an empty match set read 1,
+    on both the theta and the equi-anchored residual paths.)"""
+    from pyspark.sql import functions as F
+
+    out = []
+    for fn, arg, alias in leaf_aggs:
+        col = (
+            F.col("__one") if fn == "count_star"
+            else F.when(F.col("__one").isNotNull(), F.expr(arg))
+        )
+        f2 = {
+            "count_star": F.count, "count": F.count,
+            "min": F.min, "max": F.max,
+            "sum": F.sum, "avg": F.avg,
+        }[fn]
+        out.append(f2(col).alias(alias))
+    return out
+
+
 @dataclass
 class OlapContext:
     spark: SparkSession
@@ -335,6 +362,31 @@ class OlapContext:
         df = self._apply_limit_spec(df, spec.limit_spec)
         return df, f"{lb},{rb}"
 
+    def _prove_tiny_inner(self, df: DataFrame, what: str) -> DataFrame:
+        """The tiny-inner PROOF behind every residual-only (theta)
+        construct: LIMIT-probe the row set against theta_inner_max_rows
+        and return a LOCAL DataFrame of the proven-tiny rows — ONE scan
+        serves both the proof and the subsequent broadcast join (the
+        probe already materializes at most cap+1 rows, so re-planning
+        the inner for the join would just scan the dim table twice).
+        Past the cap (or with the routing disabled) a lowering-time
+        SQLFrontError surfaces and the spark.sql fallback answers."""
+        from .sqlfront import SQLFrontError
+
+        cap = int(self.theta_inner_max_rows)
+        if cap <= 0:
+            raise SQLFrontError(
+                f"residual-only {what} routing disabled"
+                " (theta_inner_max_rows <= 0)"
+            )
+        rows = df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise SQLFrontError(
+                f"residual-only {what} inner exceeds theta_inner_max_rows"
+                f" ({len(rows)} > {cap})"
+            )
+        return self.spark.createDataFrame(rows, df.schema)
+
     def _lower_base_keys(self, spec: "ir.BaseKeysQuery") -> DataFrame:
         """Lower a dim-grain key set over the registered base table (see
         ir.BaseKeysQuery: the flat backing is fact grain, so dim rows with
@@ -493,25 +545,19 @@ class OlapContext:
                 rows = adf.select(
                     *[F.col(k).alias(a) for k, a in key_alias.items()],
                     *[F.col(c) for c in cc.residual_cols],
-                ).withColumn("__one", F.lit(1))
+                )
                 if getattr(cc, "broadcast_theta", False):
                     # residual-only: the tuple-to-rows join is pure
-                    # theta — run the tiny-inner proof and broadcast
-                    # (frame tuples are group-sized; per-tuple work is
-                    # <= cap predicate evaluations)
-                    from .sqlfront import SQLFrontError
-
-                    cap = int(self.theta_inner_max_rows)
-                    n = (
-                        rows.limit(cap + 1).count()
-                        if cap > 0 else cap + 1
+                    # theta — prove the dim row set tiny, materialize
+                    # locally (one scan serves proof and join),
+                    # broadcast (frame tuples are group-sized;
+                    # per-tuple work is <= cap predicate evaluations)
+                    rows = F.broadcast(
+                        self._prove_tiny_inner(rows, "scalar")
+                        .withColumn("__one", F.lit(1))
                     )
-                    if n > cap:
-                        raise SQLFrontError(
-                            "residual-only scalar inner exceeds"
-                            f" theta_inner_max_rows ({n} > {cap})"
-                        )
-                    rows = F.broadcast(rows)
+                else:
+                    rows = rows.withColumn("__one", F.lit(1))
                 cond = None
                 for o, ik in cc.pairs:
                     c2 = F.col(o) == F.col(key_alias[ik])
@@ -519,32 +565,10 @@ class OlapContext:
                 if cc.residual_sql:
                     r2 = F.expr(cc.residual_sql)
                     cond = r2 if cond is None else (cond & r2)
-                aggs = []
-                for fn, arg, alias in cc.leaf_aggs:
-                    # arg is a SQL expression over the reserved __hcr*
-                    # inner aliases (the compared item); count_star counts
-                    # the __one marker (non-null exactly on matched rows —
-                    # a residual COLUMN may be NULL on a matched row, and
-                    # with no equi keys there is no key alias to count).
-                    # The full leaf family maps here: select-list /
-                    # HAVING-comparison correlated scalars carry SUM/AVG
-                    # leaves, not just the quantified bundle's
-                    # count/min/max (mapping SUM through max was a
-                    # wrong-answer bug, caught round 11 late).
-                    col = (
-                        F.col("__one") if fn == "count_star"
-                        else F.expr(arg)
-                    )
-                    f2 = {
-                        "count_star": F.count, "count": F.count,
-                        "min": F.min, "max": F.max,
-                        "sum": F.sum, "avg": F.avg,
-                    }[fn]
-                    aggs.append(f2(col).alias(alias))
                 bundle = (
                     fkeys.join(rows, cond, "left")
                     .groupBy(*[F.col(c) for c in fkey_cols])
-                    .agg(*aggs)
+                    .agg(*_leaf_aggs(cc.leaf_aggs))
                 )
                 back = {c: f"__hbk{j}_{i}" for i, c in enumerate(fkey_cols)}
                 bundle = bundle.select(
@@ -777,27 +801,17 @@ class OlapContext:
                 )
                 if getattr(cc, "broadcast_theta", False):
                     # residual-only (no equi anchor): the tuple-to-rows
-                    # join below is pure theta — run the tiny-inner
-                    # proof and broadcast the dim row set (cost per
-                    # tuple is <= cap predicate evaluations, the same
-                    # class as the theta semi arms). __one marks real
-                    # inner rows so count(*) leaves can count matches
-                    # through the left join (a residual COLUMN may be
+                    # join below is pure theta — prove the dim row set
+                    # tiny, materialize it locally (one scan serves
+                    # proof and join), broadcast (cost per tuple is
+                    # <= cap predicate evaluations, the same class as
+                    # the theta semi arms). __one marks real inner rows
+                    # so leaf aggregates see ONLY matched rows through
+                    # the left join (a residual COLUMN may be
                     # legitimately NULL on a matched row).
-                    from .sqlfront import SQLFrontError
-
-                    cap = int(self.theta_inner_max_rows)
-                    n = (
-                        rows_df.limit(cap + 1).count()
-                        if cap > 0 else cap + 1
-                    )
-                    if n > cap:
-                        raise SQLFrontError(
-                            "residual-only scalar inner exceeds"
-                            f" theta_inner_max_rows ({n} > {cap})"
-                        )
                     rows_df = F.broadcast(
-                        rows_df.withColumn("__one", F.lit(1))
+                        self._prove_tiny_inner(rows_df, "scalar")
+                        .withColumn("__one", F.lit(1))
                     )
                 else:
                     rows_df = rows_df.withColumn("__one", F.lit(1))
@@ -808,15 +822,7 @@ class OlapContext:
                 if cc.residual_sql:
                     r2 = F.expr(cc.residual_sql)
                     rcond = r2 if rcond is None else (rcond & r2)
-                aggs = []
-                for fn, arg, alias in cc.leaf_aggs:
-                    col = F.col("__one") if fn == "count_star" else F.expr(arg)
-                    f2 = {
-                        "count_star": F.count, "count": F.count,
-                        "min": F.min, "max": F.max,
-                        "sum": F.sum, "avg": F.avg,
-                    }[fn]
-                    aggs.append(f2(col).alias(alias))
+                aggs = _leaf_aggs(cc.leaf_aggs)
                 bundle = (
                     fkeys.join(rows_df, rcond, "left")
                     .groupBy(*[F.col(c) for c in fkey_cols])
@@ -884,26 +890,16 @@ class OlapContext:
             aliased = adf.select(*cols)
             if getattr(arm, "broadcast_theta", False):
                 # residual-only EXISTS (ir.SemiJoinArm.broadcast_theta):
-                # the tiny-inner PROOF runs here — a LIMIT probe over the
-                # dim-grain distinct row set (bounded: one dim scan,
-                # collects at most cap+1 rows). Past the cap the decline
-                # surfaces as a lowering-time SQLFrontError and the
-                # spark.sql fallback answers correctly. Within it, a
-                # broadcast nested-loop semi/anti join on the residual:
-                # the fact side streams, per-row work is <= cap predicate
-                # evaluations, and NULL comparisons never match — exactly
-                # [NOT] EXISTS semantics.
-                from .sqlfront import SQLFrontError
-
-                cap = int(self.theta_inner_max_rows)
-                n = aliased.limit(cap + 1).count() if cap > 0 else cap + 1
-                if n > cap:
-                    raise SQLFrontError(
-                        "residual-only EXISTS inner exceeds"
-                        f" theta_inner_max_rows ({n} > {cap})"
-                    )
+                # the tiny-inner proof materializes the dim-grain
+                # distinct row set locally (_prove_tiny_inner — one
+                # scan serves proof AND join), then a broadcast
+                # nested-loop semi/anti join on the residual: the fact
+                # side streams, per-row work is <= cap predicate
+                # evaluations, and NULL comparisons never match —
+                # exactly [NOT] EXISTS semantics.
+                local = self._prove_tiny_inner(aliased, "EXISTS")
                 df = df.join(
-                    F.broadcast(aliased),
+                    F.broadcast(local),
                     F.expr(arm.residual_sql),
                     "left_anti" if arm.anti else "left_semi",
                 )

@@ -2718,14 +2718,9 @@ def _parse_in_arm(
                     # the broadcast-theta anti arm over a provably tiny
                     # dim inner (the server's row-cap probe is the proof;
                     # past it the spark.sql fallback runs NOT IN exactly)
-                    fact_grain = (
-                        bool(fact_table) and fact_table.lower() in tables
+                    _require_single_dim_inner(
+                        "NOT IN", tables, pairs, fact_table
                     )
-                    if fact_grain or pairs or len(tables) != 1:
-                        raise SQLFrontError(
-                            "residual-only NOT IN needs a single"
-                            " dimension-table inner"
-                        )
                 arm = _quantified_residual_arm(
                     {"comparison_type": "COMPARE_EQUAL"}, True,
                     dict(sel[0]), render(child),
@@ -3185,14 +3180,9 @@ def _parse_quantified_guard(
                     # broadcast nested loop over a provably tiny
                     # dimension inner; the server's row-cap probe is the
                     # proof (ir.SemiJoinArm.broadcast_theta).
-                    fact_grain = (
-                        bool(fact_table) and fact_table.lower() in tables
+                    _require_single_dim_inner(
+                        "quantified comparison", tables, pairs, fact_table
                     )
-                    if fact_grain or pairs or len(tables) != 1:
-                        raise SQLFrontError(
-                            "residual-only quantified comparison needs a"
-                            " single dimension-table inner"
-                        )
                 arm = _quantified_residual_arm(
                     s, neg, item, x_sql,
                     set(_columns_of(child)),
@@ -3432,6 +3422,39 @@ def _parse_corr_quantified(
     )
 
 
+
+def _require_single_dim_inner(
+    what: str,
+    tables: list,
+    pairs: list,
+    fact_table: str | None,
+) -> None:
+    """Residual-only (theta) gate, shared by every anchor-free form:
+    only a single NON-fact base table can be proven tiny (proving a
+    filtered fact tiny would itself cost a fact scan, and an unproven
+    theta join is never acceptable at scale)."""
+    fact_grain = bool(fact_table) and fact_table.lower() in tables
+    if fact_grain or pairs or len(tables) != 1:
+        raise SQLFrontError(
+            f"residual-only {what} needs a single dimension-table inner"
+        )
+
+
+def _theta_rows_inner(table: str, rest: list, inner_alias: dict):
+    """Row-grain dim inner for a theta scalar bundle (distinct=False —
+    SUM/AVG/COUNT multiplicity is semantics)."""
+    filt = None
+    if rest:
+        filt = ir.and_(*[_to_filter(c) for c in rest])
+    return ir.BaseKeysQuery(
+        table=table,
+        keys=[],
+        filter=filt,
+        extra=[[s, a] for s, a in inner_alias.items()],
+        distinct=False,
+    )
+
+
 def _parse_exists_arm(
     s: dict,
     neg: bool,
@@ -3505,11 +3528,7 @@ def _parse_exists_arm(
         # past it the decline surfaces and the spark.sql fallback stays
         # correct). Only a single NON-fact base table qualifies: proving
         # a filtered fact tiny would itself cost a fact scan.
-        fact_grain = bool(fact_table) and fact_table.lower() in tables
-        if fact_grain or pairs or len(tables) != 1:
-            raise SQLFrontError(
-                "residual-only EXISTS needs a single dimension-table inner"
-            )
+        _require_single_dim_inner("EXISTS", tables, pairs, fact_table)
         inner = _build_inner_keyset(
             inner_node,
             [],
@@ -3823,22 +3842,10 @@ def _parse_corr_scalar(
             # server's theta_inner_max_rows probe is the proof). The
             # inner stays ROW grain (distinct=False: SUM/AVG/COUNT
             # multiplicity) over the single dim table.
-            fact_grain = bool(fact_table) and fact_table.lower() in tables
-            if fact_grain or pairs or len(tables) != 1:
-                raise SQLFrontError(
-                    "residual-only correlated scalar needs a single"
-                    " dimension-table inner"
-                )
-            filt = None
-            if rest:
-                filt = ir.and_(*[_to_filter(c) for c in rest])
-            inner = ir.BaseKeysQuery(
-                table=tables[0],
-                keys=[],
-                filter=filt,
-                extra=[[src, a] for src, a in inner_alias.items()],
-                distinct=False,
+            _require_single_dim_inner(
+                "correlated scalar", tables, pairs, fact_table
             )
+            inner = _theta_rows_inner(tables[0], rest, inner_alias)
         else:
             inner = _build_inner_rows(
                 inner_node, keys,
@@ -4106,24 +4113,10 @@ def _extract_select_scalars(
                 # server's theta_inner_max_rows probe is the proof; the
                 # frame side is group-sized, so per-tuple cost is <= cap
                 # predicate evaluations). Row grain keeps multiplicity.
-                fact_grain = (
-                    bool(fact_table) and fact_table.lower() in tables
+                _require_single_dim_inner(
+                    "select-list scalar", tables, pairs, fact_table
                 )
-                if fact_grain or pairs or len(tables) != 1:
-                    raise SQLFrontError(
-                        "residual-only select-list scalar needs a single"
-                        " dimension-table inner"
-                    )
-                filt1 = None
-                if rest1:
-                    filt1 = ir.and_(*[_to_filter(c) for c in rest1])
-                inner = ir.BaseKeysQuery(
-                    table=tables[0],
-                    keys=[],
-                    filter=filt1,
-                    extra=[[src, a] for src, a in inner_alias.items()],
-                    distinct=False,
-                )
+                inner = _theta_rows_inner(tables[0], rest1, inner_alias)
             else:
                 inner = _build_inner_rows(
                     inner_node, keys,

@@ -1359,6 +1359,37 @@ def test_residual_only_scalar_theta(ctx, duck, sql):
           backing="semijoin[flat<-corrscalar-theta:base[part]]")
 
 
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # COUNT(1): null-insensitive argument — the left join's
+        # null-extension row must NOT count as a match (theta path)
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE 1 <= (SELECT COUNT(1) FROM part
+                       WHERE p_size > l_linenumber AND p_size < 6)""",
+        # same defect class on the equi-ANCHORED residual path
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE 1 <= (SELECT COUNT(1) FROM lineitem l2
+                       WHERE l2.l_partkey = lineitem.l_partkey
+                         AND l2.l_quantity < lineitem.l_linenumber)""",
+        # SUM over a constant: empty match set must read NULL (UNKNOWN
+        # comparison -> dropped), not the constant
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_linenumber > (SELECT SUM(2) FROM part
+                                 WHERE p_size > l_linenumber
+                                   AND p_size < 4)""",
+    ],
+)
+def test_residual_bundle_null_insensitive_args(ctx, duck, sql):
+    """REGRESSION (round-11 review): leaf aggregates over the residual
+    bundle's LEFT join evaluated raw arguments — a null-insensitive
+    argument like COUNT(1) or SUM(2) read the null-extension row of an
+    EMPTY match set as a real match (COUNT(1) said 1 where ANSI says 0),
+    on both the theta and the equi-anchored residual paths. Every leaf
+    argument is now guarded by the __one marker (_leaf_aggs)."""
+    _same(ctx, duck, sql)
+
+
 def test_residual_only_scalar_theta_under_or(ctx, duck):
     """The theta scalar composes under OR: the bundle is one row per
     distinct tuple and joins back null-safely LEFT, so the inline OR
