@@ -2528,11 +2528,18 @@ def _having_corr_in_residual(
     val_sql = _rewrite_residual(item2, scope, frame_col, inner_alias, cidx)
     keys = list(dict.fromkeys(corr_inner))
     a = [f"__ca{cidx}_{i}" for i in range(3)]
-    inner = _build_inner_rows(
-        inner_node, keys,
-        [(_colref(src), alias) for src, alias in inner_alias.items()],
-        tables, pairs, _and_node(rest), time_col, fact_table, star,
-    )
+    theta = not corr_inner
+    if theta:
+        # residual-only (round 11, late): the same broadcast-theta
+        # bundle against the group-sized frame
+        _require_single_dim_inner("[NOT] IN", tables, pairs, fact_table)
+        inner = _theta_rows_inner(tables[0], rest, inner_alias)
+    else:
+        inner = _build_inner_rows(
+            inner_node, keys,
+            [(_colref(src), alias) for src, alias in inner_alias.items()],
+            tables, pairs, _and_node(rest), time_col, fact_table, star,
+        )
     leaf_aggs = [
         ["count_star", None, a[0]],
         ["count", val_sql, a[1]],
@@ -2568,6 +2575,7 @@ def _having_corr_in_residual(
         residual_frame_cols=rfcols,
         residual_cols=sorted(inner_alias.values()),
         leaf_aggs=leaf_aggs,
+        broadcast_theta=theta,
     )
     return cc, cond
 
@@ -3272,8 +3280,13 @@ def _parse_corr_quantified(
     residuals: list[dict] = []
     if frame_col is not None:
         corr_inner, corr_outer, rest, residuals = _split_corr_conjuncts_res(
-            wc, scope, "quantified comparison"
+            wc, scope, "quantified comparison", require_anchor=False
         )
+        if not corr_inner and not residuals:
+            raise SQLFrontError(
+                "correlated quantified comparison without an"
+                " equi-correlation conjunct"
+            )
     else:
         corr_inner, corr_outer, rest = _split_corr_conjuncts(
             wc, scope, "quantified comparison"
@@ -3355,13 +3368,23 @@ def _parse_corr_quantified(
         # aliases and evaluates inside the bundle aggregation (the
         # row-grain select carries only PLAIN columns)
         val_sql = _rewrite_residual(item, scope, frame_col, inner_alias, cidx)
-        extra = [
-            (_colref(src), alias) for src, alias in inner_alias.items()
-        ]
-        inner = _build_inner_rows(
-            inner_node, keys, extra, tables, pairs, _and_node(rest),
-            time_col, fact_table, star,
-        )
+        theta = not corr_inner
+        if theta:
+            # residual-only in HAVING (round 11, late): the broadcast-
+            # theta bundle against the group-sized frame — same proof
+            # gate as every anchor-free form
+            _require_single_dim_inner(
+                "quantified comparison", tables, pairs, fact_table
+            )
+            inner = _theta_rows_inner(tables[0], rest, inner_alias)
+        else:
+            extra = [
+                (_colref(src), alias) for src, alias in inner_alias.items()
+            ]
+            inner = _build_inner_rows(
+                inner_node, keys, extra, tables, pairs, _and_node(rest),
+                time_col, fact_table, star,
+            )
         leaf_aggs = []
         for ast, alias in zip(items, aliases):
             fn = (ast.get("function_name") or "").lower()
@@ -3395,6 +3418,7 @@ def _parse_corr_quantified(
             residual_frame_cols=rfcols,
             residual_cols=sorted(inner_alias.values()),
             leaf_aggs=leaf_aggs,
+            broadcast_theta=theta,
         )
     inner = _build_inner_aggs(
         inner_node,
@@ -4362,8 +4386,15 @@ def _extract_select_scalars(
             if len(sel2) != 1:
                 raise SQLFrontError("HAVING IN subquery must select one item")
             corr_inner, corr_outer, rest, residuals = (
-                _split_corr_conjuncts_res(wc2, scope, "HAVING IN")
+                _split_corr_conjuncts_res(
+                    wc2, scope, "HAVING IN", require_anchor=False
+                )
             )
+            if not corr_inner and not residuals:
+                raise SQLFrontError(
+                    "correlated HAVING IN without an equi-correlation"
+                    " conjunct"
+                )
             all_cols = _star_columns(star)
             if all_cols is not None:
                 bad = sorted(set(corr_outer) - all_cols)
@@ -4468,8 +4499,15 @@ def _extract_select_scalars(
                     key_items2 = [(item2, in_key)]
                     key_node2 = dict(item2)
                 corr_inner, corr_outer, rest, residuals = (
-                    _split_corr_conjuncts_res(wc2, scope, "HAVING NOT IN")
+                    _split_corr_conjuncts_res(
+                        wc2, scope, "HAVING NOT IN", require_anchor=False
+                    )
                 )
+                if not corr_inner and not residuals:
+                    raise SQLFrontError(
+                        "correlated HAVING NOT IN without an"
+                        " equi-correlation conjunct"
+                    )
                 all_cols = _star_columns(star)
                 if all_cols is not None:
                     bad = sorted(set(corr_outer) - all_cols)

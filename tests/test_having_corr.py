@@ -573,6 +573,55 @@ def test_having_scalar_residual_only_theta(ctx, duck):
     )
 
 
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # residual-only ALL in HAVING (theta bundle vs the frame)
+        """SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING COUNT(*) >= ALL (SELECT p_partkey / 2 FROM part
+                                   WHERE p_size > l_linenumber
+                                     AND p_size < 5)
+           ORDER BY ln""",
+        # residual-only positive ANY
+        """SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING COUNT(*) > ANY (SELECT p_partkey FROM part
+                                  WHERE p_size > l_linenumber
+                                    AND p_size < 5)
+           ORDER BY ln""",
+        # residual-only IN (expression item; the equality is a counted
+        # leaf inside the bundle)
+        """SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING l_linenumber IN (SELECT p_size - 1 FROM part
+                                   WHERE p_retailprice / 300
+                                         > l_linenumber)
+           ORDER BY ln""",
+        # residual-only NOT IN with NULL members planted in SOME
+        # per-group match sets — exact three-valued semantics
+        """SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING l_linenumber NOT IN (SELECT CASE WHEN p_size = 2
+                                              THEN NULL
+                                              ELSE p_size - 1 END
+                                       FROM part
+                                       WHERE p_retailprice / 300
+                                             > l_linenumber)
+           ORDER BY ln""",
+    ],
+)
+def test_having_residual_only_theta(ctx, duck, sql):
+    """Residual-only quantified / [NOT] IN in HAVING (round 11, late):
+    the anchor-free forms ride the same broadcast-theta row-grain bundle
+    as the frame-side scalars — distinct frame tuples join the proven-
+    tiny dim row set on the residual alone, the guard leaves recompute
+    per tuple, and the three-valued conditions render inline. Completes
+    the residual-only matrix on every clause side."""
+    _same(ctx, duck, sql,
+          backing="scalarselect[flat<-hcorr-row-theta:base[part]]")
+
+
 def test_having_corr_scalar_comparison(ctx, duck):
     """A correlated scalar inside a HAVING comparison (not quantified —
     plain >) serves through the same inlining: the rendered post-filter
