@@ -555,8 +555,42 @@ def semijoin_sqls(draw):
     if draw(st.booleans()):
         hkind = draw(st.sampled_from(
             ["scalar", "hin", "hnot_in", "hexists", "hquant", "hin_or",
-             "hcorr_exists", "hcorr_quant", "hcorr_not_in"]
+             "hcorr_exists", "hcorr_quant", "hcorr_not_in", "htheta"]
         ))
+        if hkind == "htheta":
+            # round-11 late: residual-only quantified / [NOT] IN in
+            # HAVING — the broadcast-theta row-grain bundle against the
+            # frame (no equi anchor; tiny part inner under the cap). The
+            # residual binds the SELECTED group column through a CASE so
+            # per-group match sets genuinely differ.
+            g0 = gcols[0]
+            v = draw(st.sampled_from(DIMS[g0]))
+            thr = draw(st.integers(1, 4))
+            sz = draw(st.integers(4, 8))
+            res = (
+                f"p_size > CASE WHEN {g0} = '{v}' THEN {thr}"
+                f" ELSE {thr + 2} END"
+            )
+            form = draw(st.integers(0, 2))
+            if form == 0:
+                q = draw(st.sampled_from(["ANY", "ALL"]))
+                op2 = draw(st.sampled_from([">", ">=", "<", "<="]))
+                having = (
+                    f" HAVING AVG(l_quantity) {op2} {q}"
+                    f" (SELECT p_partkey / 2 FROM part"
+                    f" WHERE p_size < {sz} AND {res})"
+                )
+            else:
+                neg = "NOT " if form == 2 else ""
+                item = draw(st.sampled_from(
+                    ["p_size - 1",
+                     "CASE WHEN p_size = 2 THEN NULL ELSE p_size - 1 END"]
+                ))
+                having = (
+                    f" HAVING COUNT(*) % 7 {neg}IN (SELECT {item}"
+                    f" FROM part WHERE p_size < {sz} AND {res})"
+                )
+            hkind = "done"
         if hkind == "hcorr_quant":
             # round-10 correlated quantified in HAVING: the per-key bundle
             # LEFT-joins the aggregated frame on the SELECTED group column;
