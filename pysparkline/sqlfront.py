@@ -4324,16 +4324,29 @@ def _extract_select_scalars(
                 # semi/anti membership test of the aggregated frame:
                 # marker LEFT join on the DISTINCT correlation-key set
                 # (distinct on ALL join keys — no duplication); inner-only
-                # conjuncts stay in the key set, mixed-scope residuals
-                # decline inside _split_corr_conjuncts
-                corr_inner, corr_outer, rest = _split_corr_conjuncts(
-                    wc2, scope, "HAVING EXISTS"
+                # conjuncts stay in the key set. Round 11 late: residual
+                # conjuncts (incl. residual-ONLY, no anchor) ride a
+                # count_star row-grain bundle instead — EXISTS is exactly
+                # `count of matched rows > 0`, NOT EXISTS `= 0`; the
+                # anchor-free form takes the broadcast-theta proof path.
+                corr_inner, corr_outer, rest, residuals = (
+                    _split_corr_conjuncts_res(
+                        wc2, scope, "HAVING EXISTS", require_anchor=False
+                    )
                 )
-                if len(set(corr_inner)) != len(corr_inner):
-                    # one inner key equated to several outer columns: the
-                    # deduped key set cannot carry both equalities
+                if not corr_inner and not residuals:
                     raise SQLFrontError(
-                        "duplicate correlation key in HAVING EXISTS"
+                        "correlated HAVING EXISTS without an"
+                        " equi-correlation conjunct"
+                    )
+                if any(_contains_agg(c) for c in rest + residuals):
+                    # an OUTER aggregate inside the subquery's WHERE has
+                    # no column to bind through the frame map — decline
+                    # at parse (DuckDB can bind the shape; Spark's
+                    # fallback errors, and the engine's error surfacing
+                    # honestly beats a lowering-time crash)
+                    raise SQLFrontError(
+                        "aggregate inside a HAVING EXISTS subquery filter"
                     )
                 all_cols = _star_columns(star)
                 if all_cols is not None:
@@ -4342,6 +4355,66 @@ def _extract_select_scalars(
                         raise SQLFrontError(
                             f"correlation references unknown columns {bad}"
                         )
+                if residuals:
+                    tagi = f"h{len(having_corr)}"
+                    inner_alias: dict = {}
+                    res_sqls = [
+                        _rewrite_residual(c, scope, frame_col, inner_alias, tagi)
+                        for c in residuals
+                    ]
+                    rfcols = sorted({
+                        frame_col(ref["column_names"][-1])
+                        for r in residuals
+                        for ref in _refs_of(r)
+                        if scope.side(ref) == "outer"
+                    })
+                    keys = list(dict.fromkeys(corr_inner))
+                    a0 = f"__ca{tagi}_0"
+                    theta = not corr_inner
+                    if theta:
+                        _require_single_dim_inner(
+                            "EXISTS", tables, pairs, fact_table
+                        )
+                        inner2 = _theta_rows_inner(
+                            tables[0], rest, inner_alias
+                        )
+                    else:
+                        inner2 = _build_inner_rows(
+                            inner_node, keys,
+                            [(_colref(src), alias)
+                             for src, alias in inner_alias.items()],
+                            tables, pairs, _and_node(rest),
+                            time_col, fact_table, star,
+                        )
+                    cond = (
+                        f"(coalesce(`{a0}`, 0) = 0)" if negated
+                        else f"(coalesce(`{a0}`, 0) > 0)"
+                    )
+                    having_corr.append(ir.CorrScalarCond(
+                        inner=inner2,
+                        inner_keys=keys,
+                        pairs=[
+                            [frame_col(o), i]
+                            for i, o in zip(corr_inner, corr_outer)
+                        ],
+                        leaf_cols=[a0],
+                        cond_sql=cond,
+                        left_join=True,
+                        standalone=False,
+                        row_grain=True,
+                        residual_sql=" AND ".join(res_sqls),
+                        residual_frame_cols=rfcols,
+                        residual_cols=sorted(inner_alias.values()),
+                        leaf_aggs=[["count_star", None, a0]],
+                        broadcast_theta=theta,
+                    ))
+                    return cond
+                if len(set(corr_inner)) != len(corr_inner):
+                    # one inner key equated to several outer columns: the
+                    # deduped key set cannot carry both equalities
+                    raise SQLFrontError(
+                        "duplicate correlation key in HAVING EXISTS"
+                    )
                 outer_sqls = [
                     f"`{frame_col(o)}`" for o in corr_outer
                 ]

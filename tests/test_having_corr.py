@@ -622,6 +622,65 @@ def test_having_residual_only_theta(ctx, duck, sql):
           backing="scalarselect[flat<-hcorr-row-theta:base[part]]")
 
 
+@pytest.mark.parametrize(
+    "neg", ["", "NOT "],
+)
+def test_having_residual_only_exists_theta(ctx, duck, neg):
+    """Residual-only [NOT] EXISTS in HAVING (round 11, late — the last
+    theta-family cell): EXISTS is exactly `count of matched rows > 0`,
+    so the anchor-free form rides a count_star broadcast-theta bundle
+    against the frame."""
+    _same(
+        ctx,
+        duck,
+        f"""SELECT l_linenumber AS ln, COUNT(*) AS n
+           FROM lineitem GROUP BY l_linenumber
+           HAVING {neg}EXISTS (SELECT 1 FROM part
+                               WHERE p_size > l_linenumber
+                                 AND p_size < 4)
+           ORDER BY ln""",
+        backing="scalarselect[flat<-hcorr-row-theta:base[part]]",
+    )
+
+
+def test_having_exists_anchored_residual(ctx, duck):
+    """Equi-ANCHORED [NOT] EXISTS with a residual in HAVING (previously
+    declined through the marker arm's residual restriction): the same
+    count_star row-grain bundle, recomputed per (anchor + residual
+    frame column) tuple."""
+    for neg in ("", "NOT "):
+        _same(
+            ctx,
+            duck,
+            f"""SELECT l_returnflag AS flag, COUNT(*) AS n
+               FROM lineitem GROUP BY l_returnflag
+               HAVING {neg}EXISTS (SELECT 1 FROM lineitem l2
+                                   WHERE l2.l_returnflag
+                                         = lineitem.l_returnflag
+                                     AND l2.l_quantity > CASE WHEN
+                                         lineitem.l_returnflag = 'A'
+                                         THEN 48 ELSE 50 END)
+               ORDER BY flag""",
+            backing="scalarselect[cube<-hcorr-row:flat]",
+        )
+
+
+def test_having_exists_aggregate_filter_declines(ctx):
+    """An OUTER aggregate inside the EXISTS subquery's WHERE has no
+    column to bind through the frame map — parse-time decline (Spark's
+    fallback cannot bind the shape either; the engine's error surfaces
+    honestly instead of a lowering-time crash)."""
+    with pytest.raises(Exception):
+        ctx.sql(
+            """SELECT l_returnflag AS flag, COUNT(*) AS n
+               FROM lineitem GROUP BY l_returnflag
+               HAVING EXISTS (SELECT 1 FROM lineitem l2
+                              WHERE l2.l_returnflag
+                                    = lineitem.l_returnflag
+                                AND l2.l_quantity * 25 > COUNT(*))"""
+        ).collect()
+
+
 def test_having_corr_scalar_comparison(ctx, duck):
     """A correlated scalar inside a HAVING comparison (not quantified —
     plain >) serves through the same inlining: the rendered post-filter
