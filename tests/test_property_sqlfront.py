@@ -631,12 +631,24 @@ def semijoin_sqls(draw):
         if hkind == "hcorr_exists":
             # round-9 equi-correlated [NOT] EXISTS in HAVING: correlation
             # binds to the SELECTED group column -> multi-key marker join
-            # of the aggregated frame
+            # of the aggregated frame; round-11 late: a RESIDUAL variant
+            # (mixed-scope CASE over the group column) rides the
+            # count_star row-grain bundle instead
             neg = "NOT " if draw(st.booleans()) else ""
+            if draw(st.booleans()):
+                g0 = gcols[0]
+                v = draw(st.sampled_from(DIMS[g0]))
+                th = draw(st.integers(2, 40)) * 10000
+                resid = (
+                    f"o_totalprice > CASE WHEN {g0} = '{v}'"
+                    f" THEN {th} ELSE {th * 10} END"
+                )
+            else:
+                resid = orders_pred()
             having = (
                 f" HAVING {neg}EXISTS (SELECT 1 FROM orders"
                 f" WHERE o_orderstatus = {gcols[0]}"
-                f" AND {orders_pred()})"
+                f" AND {resid})"
             )
             hkind = "done"
         if hkind == "scalar":
