@@ -2518,6 +2518,13 @@ def _having_corr_in_residual(
     context requires); NOT IN keeps full three-valued semantics: TRUE iff
     the residual-matched set is empty, or lhs is non-NULL with no NULL
     member and no equal member."""
+    if any(_contains_agg(c) for c in rest + residuals):
+        # an OUTER aggregate inside the subquery's WHERE has no column
+        # to bind through the frame map — decline at parse (uniform
+        # with the EXISTS branch; previously a lowering-time crash)
+        raise SQLFrontError(
+            "aggregate inside a HAVING subquery filter"
+        )
     inner_alias: dict = {}
     res_sqls = [
         _rewrite_residual(c, scope, frame_col, inner_alias, cidx)
@@ -3359,6 +3366,14 @@ def _parse_corr_quantified(
         # columns; the bundle aggregates (count_star/count/min/max of the
         # item) recompute server-side per distinct (correlation + residual
         # frame column) tuple after the residual joins
+        if any(_contains_agg(c) for c in rest + residuals):
+            # an OUTER aggregate inside the subquery's WHERE has no
+            # column to bind through the frame map — decline at parse
+            # (uniform with the EXISTS branch; previously a
+            # lowering-time crash)
+            raise SQLFrontError(
+                "aggregate inside a HAVING subquery filter"
+            )
         inner_alias: dict = {}
         res_sqls = [
             _rewrite_residual(c, scope, frame_col, inner_alias, cidx)

@@ -636,20 +636,26 @@ def semijoin_sqls(draw):
             # count_star row-grain bundle instead
             neg = "NOT " if draw(st.booleans()) else ""
             if draw(st.booleans()):
+                # residual variant: anchored + mixed-scope residual needs
+                # a FACT-grain inner (the row-grain bundle's
+                # _build_inner_rows gate), so it correlates through the
+                # fact table; the CASE over the group column makes the
+                # per-group match sets differ
                 g0 = gcols[0]
                 v = draw(st.sampled_from(DIMS[g0]))
-                th = draw(st.integers(2, 40)) * 10000
-                resid = (
-                    f"o_totalprice > CASE WHEN {g0} = '{v}'"
-                    f" THEN {th} ELSE {th * 10} END"
+                th = draw(st.sampled_from([46, 48, 51]))
+                having = (
+                    f" HAVING {neg}EXISTS (SELECT 1 FROM lineitem l2"
+                    f" WHERE l2.{g0} = lineitem.{g0}"
+                    f" AND l2.l_quantity > CASE WHEN {g0} = '{v}'"
+                    f" THEN {th} ELSE {th + 2} END)"
                 )
             else:
-                resid = orders_pred()
-            having = (
-                f" HAVING {neg}EXISTS (SELECT 1 FROM orders"
-                f" WHERE o_orderstatus = {gcols[0]}"
-                f" AND {resid})"
-            )
+                having = (
+                    f" HAVING {neg}EXISTS (SELECT 1 FROM orders"
+                    f" WHERE o_orderstatus = {gcols[0]}"
+                    f" AND {orders_pred()})"
+                )
             hkind = "done"
         if hkind == "scalar":
             # HAVING scalar subquery (post-filter over the joined frame);
@@ -691,7 +697,14 @@ def semijoin_sqls(draw):
                 f" HAVING {op2}EXISTS (SELECT 1 FROM orders"
                 f" WHERE o_totalprice > {thresh})"
             )
-        else:  # hquant: [NOT-via-ALL] quantified over a multi-row inner
+        elif hkind == "hquant":
+            # [NOT-via-ALL] quantified over a multi-row inner.
+            # EXPLICIT match (round-11 review): a bare `else` also
+            # matched the `hkind = "done"` sentinel, silently replacing
+            # EVERY correlated-HAVING draw (hcorr_quant / hcorr_not_in /
+            # hcorr_exists since round 10, htheta since round 11) with
+            # this clause — the advertised correlated-HAVING fuzz
+            # coverage never actually executed.
             q = draw(st.sampled_from(["ANY", "ALL"]))
             op2 = draw(st.sampled_from([">", ">=", "<", "<="]))
             div = draw(st.sampled_from([50, 2000]))
