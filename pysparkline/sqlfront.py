@@ -2536,17 +2536,10 @@ def _having_corr_in_residual(
     keys = list(dict.fromkeys(corr_inner))
     a = [f"__ca{cidx}_{i}" for i in range(3)]
     theta = not corr_inner
-    if theta:
-        # residual-only (round 11, late): the same broadcast-theta
-        # bundle against the group-sized frame
-        _require_single_dim_inner("[NOT] IN", tables, pairs, fact_table)
-        inner = _theta_rows_inner(tables[0], rest, inner_alias)
-    else:
-        inner = _build_inner_rows(
-            inner_node, keys,
-            [(_colref(src), alias) for src, alias in inner_alias.items()],
-            tables, pairs, _and_node(rest), time_col, fact_table, star,
-        )
+    inner = _residual_rows_inner(
+        "[NOT] IN", inner_node, keys, inner_alias,
+        tables, pairs, rest, time_col, fact_table, star,
+    )
     leaf_aggs = [
         ["count_star", None, a[0]],
         ["count", val_sql, a[1]],
@@ -2582,6 +2575,87 @@ def _having_corr_in_residual(
         residual_frame_cols=rfcols,
         residual_cols=sorted(inner_alias.values()),
         leaf_aggs=leaf_aggs,
+        broadcast_theta=theta,
+    )
+    return cc, cond
+
+
+def _or_exists_count_bundle(
+    s2: dict,
+    negated: bool,
+    cidx: str,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+    outer_quals: set,
+) -> tuple["ir.CorrScalarCond", str]:
+    """[NOT] EXISTS with residual conjuncts under OR (round 11, late):
+    the marker join cannot carry a residual (the key set is not distinct
+    per key), but EXISTS is exactly ``count of matched rows > 0`` — a
+    row-grain count bundle per DISTINCT (correlation + residual outer
+    column) tuple joins back null-safely, one bundle row per tuple, so
+    the inline OR composition cannot duplicate. This is the HAVING-side
+    machinery with the row-grain scan as the frame (frame binding is the
+    identity — outer refs read the scan bare). Anchor-free forms take
+    the broadcast-theta proof path."""
+    inner_node = (s2.get("subquery") or {}).get("node") or {}
+    if inner_node.get("type") != "SELECT_NODE":
+        raise SQLFrontError("set-operation subquery in WHERE")
+    tables, pairs, inner_cols, scope = _subquery_scope(
+        inner_node, fact_table, star, outer_quals
+    )
+    if inner_cols is None:
+        raise SQLFrontError(
+            "EXISTS needs star column lists to resolve correlation"
+        )
+    wc = inner_node.get("where_clause")
+    ci, co, rest, residuals = _split_corr_conjuncts_res(
+        wc, scope, "EXISTS", require_anchor=False
+    )
+    if not ci and not residuals:
+        raise SQLFrontError("uncorrelated EXISTS (constant predicate)")
+    all_cols = _star_columns(star)
+    inner_alias: dict = {}
+    res_sqls = [
+        _rewrite_residual(c, scope, lambda n: n, inner_alias, cidx)
+        for c in residuals
+    ]
+    rfcols = sorted({
+        ref["column_names"][-1]
+        for r in residuals
+        for ref in _refs_of(r)
+        if scope.side(ref) == "outer"
+    })
+    if all_cols is not None:
+        bad = sorted((set(co) | set(rfcols)) - all_cols)
+        if bad:
+            raise SQLFrontError(
+                f"EXISTS residual references unknown columns {bad}"
+            )
+    keys = list(dict.fromkeys(ci))
+    a0 = f"__ca{cidx}_0"
+    theta = not ci
+    inner = _residual_rows_inner(
+        "EXISTS", inner_node, keys, inner_alias,
+        tables, pairs, rest, time_col, fact_table, star,
+    )
+    cond = (
+        f"(coalesce(`{a0}`, 0) = 0)" if negated
+        else f"(coalesce(`{a0}`, 0) > 0)"
+    )
+    cc = ir.CorrScalarCond(
+        inner=inner,
+        inner_keys=keys,
+        pairs=[[o, i] for i, o in zip(ci, co)],
+        leaf_cols=[a0],
+        cond_sql=cond,
+        left_join=True,
+        standalone=False,
+        row_grain=True,
+        residual_sql=" AND ".join(res_sqls),
+        residual_frame_cols=rfcols,
+        residual_cols=sorted(inner_alias.values()),
+        leaf_aggs=[["count_star", None, a0]],
         broadcast_theta=theta,
     )
     return cc, cond
@@ -3141,6 +3215,7 @@ def _parse_quantified_guard(
     star: StarSchema | None,
     outer_quals: set,
     allow_arm: bool = False,
+    frame_col=None,
 ) -> "ir.GuardCond | ir.CorrScalarCond | ir.SemiJoinArm":
     """Non-equal quantified comparison ``[NOT] x <op> ANY (SELECT item
     ...)`` (the ALL quantifiers arrive as NOT + the complement op) ->
@@ -3215,6 +3290,9 @@ def _parse_quantified_guard(
                     "correlated quantified comparison without an"
                     " equi-correlation conjunct"
                 )
+        # frame_col (round 11 late): the OR path passes the identity so
+        # residual (and residual-only) correlation rides the row-grain
+        # bundle with the scan as the frame instead of declining
         return _parse_corr_quantified(
             s,
             neg,
@@ -3228,6 +3306,7 @@ def _parse_quantified_guard(
             time_col,
             fact_table,
             star,
+            frame_col=frame_col,
         )
     cmp = s.get("comparison_type")
     pairs_items, aliases, cond = _quant_bundle(cmp, neg, x_sql, item, f"__g{idx}")
@@ -3384,22 +3463,10 @@ def _parse_corr_quantified(
         # row-grain select carries only PLAIN columns)
         val_sql = _rewrite_residual(item, scope, frame_col, inner_alias, cidx)
         theta = not corr_inner
-        if theta:
-            # residual-only in HAVING (round 11, late): the broadcast-
-            # theta bundle against the group-sized frame — same proof
-            # gate as every anchor-free form
-            _require_single_dim_inner(
-                "quantified comparison", tables, pairs, fact_table
-            )
-            inner = _theta_rows_inner(tables[0], rest, inner_alias)
-        else:
-            extra = [
-                (_colref(src), alias) for src, alias in inner_alias.items()
-            ]
-            inner = _build_inner_rows(
-                inner_node, keys, extra, tables, pairs, _and_node(rest),
-                time_col, fact_table, star,
-            )
+        inner = _residual_rows_inner(
+            "quantified comparison", inner_node, keys, inner_alias,
+            tables, pairs, rest, time_col, fact_table, star,
+        )
         leaf_aggs = []
         for ast, alias in zip(items, aliases):
             fn = (ast.get("function_name") or "").lower()
@@ -3479,18 +3546,57 @@ def _require_single_dim_inner(
         )
 
 
-def _theta_rows_inner(table: str, rest: list, inner_alias: dict):
-    """Row-grain dim inner for a theta scalar bundle (distinct=False —
-    SUM/AVG/COUNT multiplicity is semantics)."""
+def _theta_rows_inner(
+    table: str, rest: list, inner_alias: dict, keys: list | None = None
+):
+    """Row-grain dim inner for a residual bundle (distinct=False —
+    SUM/AVG/COUNT multiplicity is semantics). ``keys`` carries the
+    correlation columns for ANCHORED dim inners (the theta form has
+    none)."""
     filt = None
     if rest:
         filt = ir.and_(*[_to_filter(c) for c in rest])
     return ir.BaseKeysQuery(
         table=table,
-        keys=[],
+        keys=list(keys or []),
         filter=filt,
         extra=[[s, a] for s, a in inner_alias.items()],
         distinct=False,
+    )
+
+
+def _residual_rows_inner(
+    what: str,
+    inner_node: dict,
+    keys: list,
+    inner_alias: dict,
+    tables: list,
+    pairs: list,
+    rest: list,
+    time_col: str | None,
+    fact_table: str | None,
+    star: StarSchema | None,
+) -> "ir.QuerySpec":
+    """ONE row-grain inner builder for every residual bundle (round 11
+    late — consolidating the per-site copies the review flagged):
+
+    - no correlation keys (theta): single tiny dim, proof-gated at
+      lowering (``_require_single_dim_inner`` + broadcast probe);
+    - anchored single NON-fact dim: row-grain base-table read
+      (BaseKeysQuery distinct=False) — no proof needed, the bundle
+      joins on the equi pairs (previously declined through
+      _build_inner_rows's fact gate);
+    - fact-bearing inner: re-enters the planner (_build_inner_rows)."""
+    fact_grain = bool(fact_table) and fact_table.lower() in tables
+    if not keys:
+        _require_single_dim_inner(what, tables, pairs, fact_table)
+        return _theta_rows_inner(tables[0], rest, inner_alias)
+    if not fact_grain and not pairs and len(tables) == 1:
+        return _theta_rows_inner(tables[0], rest, inner_alias, keys=keys)
+    return _build_inner_rows(
+        inner_node, keys,
+        [(_colref(src), a) for src, a in inner_alias.items()],
+        tables, pairs, _and_node(rest), time_col, fact_table, star,
     )
 
 
@@ -3873,24 +3979,12 @@ def _parse_corr_scalar(
             )
             leaf_aggs.append([fn, arg, alias])
         theta = not corr_inner
-        if theta:
-            # residual-only (round 11, late — the rate-card idiom
-            # `(SELECT MAX(rate) FROM rates WHERE threshold <= o.amt)`):
-            # no equi anchor, so the bundle join is pure theta —
-            # acceptable only over a provably tiny dimension inner (the
-            # server's theta_inner_max_rows probe is the proof). The
-            # inner stays ROW grain (distinct=False: SUM/AVG/COUNT
-            # multiplicity) over the single dim table.
-            _require_single_dim_inner(
-                "correlated scalar", tables, pairs, fact_table
-            )
-            inner = _theta_rows_inner(tables[0], rest, inner_alias)
-        else:
-            inner = _build_inner_rows(
-                inner_node, keys,
-                [(_colref(src), a) for src, a in inner_alias.items()],
-                tables, pairs, _and_node(rest), time_col, fact_table, star,
-            )
+        # theta = the rate-card idiom `(SELECT MAX(rate) FROM rates
+        # WHERE threshold <= o.amt)`: no equi anchor, proof-gated
+        inner = _residual_rows_inner(
+            "correlated scalar", inner_node, keys, inner_alias,
+            tables, pairs, rest, time_col, fact_table, star,
+        )
         return ir.CorrScalarCond(
             inner=inner,
             inner_keys=keys,
@@ -4145,24 +4239,10 @@ def _extract_select_scalars(
                     al,
                 ])
             theta = not corr_inner
-            if theta:
-                # residual-only (round 11, late — the per-GROUP rate-card
-                # idiom): no equi anchor, the bundle join is pure theta —
-                # only a provably tiny dimension inner serves (the
-                # server's theta_inner_max_rows probe is the proof; the
-                # frame side is group-sized, so per-tuple cost is <= cap
-                # predicate evaluations). Row grain keeps multiplicity.
-                _require_single_dim_inner(
-                    "select-list scalar", tables, pairs, fact_table
-                )
-                inner = _theta_rows_inner(tables[0], rest1, inner_alias)
-            else:
-                inner = _build_inner_rows(
-                    inner_node, keys,
-                    [(_colref(src), a) for src, a in inner_alias.items()],
-                    tables, pairs, _and_node(rest1),
-                    time_col, fact_table, star,
-                )
+            inner = _residual_rows_inner(
+                "select-list scalar", inner_node, keys, inner_alias,
+                tables, pairs, rest1, time_col, fact_table, star,
+            )
             having_corr.append(ir.CorrScalarCond(
                 inner=inner, inner_keys=keys, pairs=cc_pairs,
                 leaf_cols=[a for _, a in leaves],
@@ -4386,21 +4466,10 @@ def _extract_select_scalars(
                     keys = list(dict.fromkeys(corr_inner))
                     a0 = f"__ca{tagi}_0"
                     theta = not corr_inner
-                    if theta:
-                        _require_single_dim_inner(
-                            "EXISTS", tables, pairs, fact_table
-                        )
-                        inner2 = _theta_rows_inner(
-                            tables[0], rest, inner_alias
-                        )
-                    else:
-                        inner2 = _build_inner_rows(
-                            inner_node, keys,
-                            [(_colref(src), alias)
-                             for src, alias in inner_alias.items()],
-                            tables, pairs, _and_node(rest),
-                            time_col, fact_table, star,
-                        )
+                    inner2 = _residual_rows_inner(
+                        "EXISTS", inner_node, keys, inner_alias,
+                        tables, pairs, rest, time_col, fact_table, star,
+                    )
                     cond = (
                         f"(coalesce(`{a0}`, 0) = 0)" if negated
                         else f"(coalesce(`{a0}`, 0) > 0)"
@@ -4864,16 +4933,27 @@ def _parse_semijoin(
         """One subquery atom inside an OR-composed conjunct -> its inline
         SQL (a marker flag, or an inline scalar/guard condition). Marker
         joins are LEFT joins of a key set DISTINCT on the full join
-        condition, so they cannot duplicate outer rows — which is why
-        arms carrying a non-equi residual decline here (their key sets
-        can hold several rows per key)."""
+        condition, so they cannot duplicate outer rows. Residual-carrying
+        atoms (whose key sets can hold several rows per key) rewrite to
+        per-distinct-tuple row-grain bundles instead (round 11 late):
+        EXISTS = `count of matched rows > 0`, IN folds its equality into
+        the bundle pairs, NOT IN / quantified keep their three-valued
+        guard leaves — one bundle row per tuple, so no duplication."""
         sq = s2.get("subquery_type")
         if sq == "EXISTS":
             arm = _parse_exists_arm(
                 s2, False, time_col, fact_table, star, outer_quals
             )
             if arm.residual_sql:
-                raise SQLFrontError("EXISTS residual under OR")
+                # round 11 late: residual-carrying EXISTS (anchored or
+                # theta) composes under OR as a count bundle — one
+                # bundle row per tuple, no duplication
+                cc, cond = _or_exists_count_bundle(
+                    s2, negated, f"o{len(corr_scalars)}",
+                    time_col, fact_table, star, outer_quals,
+                )
+                corr_scalars.append(cc)
+                return cond
             arm.marker = f"__m{len(arms)}"
             arms.append(arm)
             if negated:
@@ -4895,9 +4975,42 @@ def _parse_semijoin(
                 outer_quals,
             )
             if arm.residual_sql:
-                raise SQLFrontError(
-                    "correlated IN with a non-equi residual under OR"
+                # round 11 late: residual-carrying [NOT] IN under OR —
+                # the HAVING-side row-grain bundle with the scan as the
+                # frame (the IN equality is a counted leaf; NOT IN keeps
+                # exact three-valued semantics in cond_sql)
+                inner_node2 = (s2.get("subquery") or {}).get("node") or {}
+                sel1 = inner_node2.get("select_list") or []
+                child2 = s2.get("child") or {}
+                tables2, pairs2, _ic, scope2 = _subquery_scope(
+                    inner_node2, fact_table, star, outer_quals
                 )
+                for ref in _refs_of(sel1[0]):
+                    if scope2.side(ref) != "inner":
+                        raise SQLFrontError(
+                            "IN subquery selects an outer column"
+                        )
+                ci2, co2, rest2, residuals2 = _split_corr_conjuncts_res(
+                    inner_node2.get("where_clause"), scope2, "IN",
+                    require_anchor=False,
+                )
+                if not negated and sel1[0].get("class") == "COLUMN_REF":
+                    # positive IN: the IN equality is an exact equi
+                    # anchor (a NULL key never matches = non-membership),
+                    # so the bundle hash-joins on it instead of paying
+                    # the theta proof; the counted item leaf stays
+                    # (redundant within the keyed group, still exact)
+                    ci2 = ci2 + [sel1[0]["column_names"][-1]]
+                    co2 = co2 + [child2["column_names"][-1]]
+                cc, cond = _having_corr_in_residual(
+                    sel1[0], negated, f"o{len(corr_scalars)}",
+                    render(child2), sorted(_columns_of(child2)),
+                    inner_node2, scope2, tables2, pairs2,
+                    ci2, co2, rest2, residuals2,
+                    lambda n: n, time_col, fact_table, star,
+                )
+                corr_scalars.append(cc)
+                return cond
             arm.anti = False  # marker mode: the flag carries the polarity
             arm.marker = f"__m{len(arms)}"
             arms.append(arm)
@@ -4929,6 +5042,9 @@ def _parse_semijoin(
             fact_table,
             star,
             outer_quals,
+            # identity frame binding (round 11 late): residual-carrying
+            # quantified comparisons ride the row-grain bundle under OR
+            frame_col=lambda name: name,
         )
         if isinstance(q, ir.CorrScalarCond):
             if not q.cond_sql:

@@ -349,9 +349,10 @@ def semijoin_sqls(draw):
         if kind == "corr_not_in":
             # correlated NOT IN: multi-pair anti arm + per-group guard;
             # the CASE variant plants NULL members in SOME groups only
-            if not under_or and draw(st.integers(0, 3)) == 0:
+            if draw(st.integers(0, 3)) == 0:
                 # residual-only (round 11, late): theta anti arm over the
                 # tiny dim, (x = item) IS NOT FALSE carries the 3VL
+                # (under OR: the count-bundle rewrite serves it)
                 sz = draw(st.integers(2, 5))
                 mult = draw(st.sampled_from([1, 2]))
                 key = draw(st.sampled_from(
@@ -383,9 +384,10 @@ def semijoin_sqls(draw):
             op2 = draw(st.sampled_from([">", ">=", "<", "<=", "<>"]))
             if op2 == "<>" and q == "ALL":
                 op2 = ">"  # <> ALL == NOT IN — drawn by corr_not_in
-            if not under_or and draw(st.integers(0, 2)) == 0:
+            if draw(st.integers(0, 2)) == 0:
                 # residual-only (round 11, late): no equi anchor —
-                # broadcast theta over the tiny filtered dim
+                # broadcast theta over the tiny filtered dim (under OR:
+                # the row-grain bundle serves it)
                 sz = draw(st.integers(3, 9))
                 mult = draw(st.sampled_from([1, 2]))
                 return (
@@ -501,10 +503,11 @@ def semijoin_sqls(draw):
                 f"WHERE l_quantity > {q})"
             )
         neg = "NOT " if kind == "not_exists" else ""
-        if not under_or and draw(st.integers(0, 3)) == 0:
+        if draw(st.integers(0, 3)) == 0:
             # residual-only (round 11): NO equi anchor — broadcast
             # nested-loop over the tiny filtered dim (p_size pins the
-            # inner well under theta_inner_max_rows at fixture scale)
+            # inner well under theta_inner_max_rows at fixture scale;
+            # under OR the count-bundle rewrite serves it)
             sz = draw(st.integers(1, 3))
             mult = draw(st.sampled_from([1, 2, 50]))
             return (
@@ -531,7 +534,8 @@ def semijoin_sqls(draw):
         # acceleration); corr_scalar is safe since round 11 (per-key
         # bundle is one row per key, forced LEFT join)
         kind = draw(st.sampled_from(
-            ["in_dim", "in_fact", "not_in", "quant",
+            ["in_dim", "in_fact", "not_in", "quant", "exists",
+             "not_exists", "corr_in",
              "corr_not_in", "corr_quant", "scalar", "corr_scalar"]
         ))
         conj.append(f"({arm(kind, under_or=True)} OR {draw(predicates())})")

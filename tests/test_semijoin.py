@@ -1438,19 +1438,114 @@ def test_residual_only_exists_fact_inner_declines(ctx, duck):
     assert got == exp
 
 
-def test_residual_only_exists_under_or_declines(ctx, duck):
-    """Theta arms carry a residual, so the OR marker composition declines
-    them (a theta match set is not distinct per outer row — a marker LEFT
-    join could duplicate)."""
-    sql = """SELECT COUNT(*) AS n FROM lineitem
-             WHERE EXISTS (SELECT 1 FROM part
-                           WHERE p_size = 1
-                             AND p_retailprice < l_extendedprice)
-                OR l_quantity > 49"""
-    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
-    assert ctx.query_history[-1].backing == "sparksql"
-    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
-    assert got == exp
+def test_residual_only_exists_under_or_serves(ctx, duck):
+    """Residual-only (theta) EXISTS under OR (was a decline test): the
+    count-bundle rewrite composes it — the proof-gated broadcast-theta
+    bundle is one row per distinct residual tuple, so no duplication."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM part
+                         WHERE p_size = 1
+                           AND p_retailprice < l_extendedprice)
+              OR l_quantity > 49""",
+        backing="semijoin[flat<-corrguard-theta:base[part]]",
+    )
+
+
+@pytest.mark.parametrize(
+    "sql,backing",
+    [
+        (
+            # NOT EXISTS + residual under OR: count bundle reads = 0
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_orderkey = l_orderkey
+                                   AND o_totalprice
+                                       > l_extendedprice * 30)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrguard:base[orders]]",
+        ),
+        (
+            # correlated IN + residual under OR: the IN equality folds
+            # into the bundle's equi pairs (a NULL key never matches =
+            # non-membership — exact)
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                    WHERE o_totalprice
+                                          > l_extendedprice * 30)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrguard:base[orders]]",
+        ),
+        (
+            # correlated NOT IN + residual + NULL members under OR:
+            # the counted-leaf three-valued construction
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_linenumber NOT IN (SELECT CASE
+                                              WHEN o_totalprice < 150000
+                                              THEN NULL
+                                              ELSE o_orderkey % 7 END
+                                          FROM orders
+                                          WHERE o_orderkey = l_orderkey
+                                            AND o_totalprice
+                                                > l_extendedprice * 20)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrguard:base[orders]]",
+        ),
+        (
+            # quantified ANY + residual under OR
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_quantity > ANY (SELECT o_totalprice / 10000
+                                       FROM orders
+                                       WHERE o_orderkey = l_orderkey
+                                         AND o_totalprice
+                                             > l_extendedprice * 20)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrguard:base[orders]]",
+        ),
+        (
+            # quantified ALL + residual under OR (IS NOT FALSE logic
+            # inside the per-tuple guard leaves)
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_quantity <= ALL (SELECT o_totalprice / 5000
+                                        FROM orders
+                                        WHERE o_orderkey = l_orderkey
+                                          AND o_totalprice
+                                              > l_extendedprice * 20)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrguard:base[orders]]",
+        ),
+        (
+            # FACT-grain inner with residual under OR
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE EXISTS (SELECT 1 FROM lineitem l2
+                             WHERE l2.l_partkey = lineitem.l_partkey
+                               AND l2.l_quantity
+                                   < lineitem.l_linenumber)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrguard:flat]",
+        ),
+        (
+            # residual-only ALL (theta) under OR
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE l_quantity >= ALL (SELECT p_size FROM part
+                                        WHERE p_size < 8
+                                          AND p_retailprice
+                                              < l_extendedprice)
+                  OR l_quantity > 49""",
+            "semijoin[flat<-corrguard-theta:base[part]]",
+        ),
+    ],
+)
+def test_or_residual_family_serves(ctx, duck, sql, backing):
+    """Round 11 (late): EVERY residual-carrying subquery kind composes
+    under OR via per-distinct-tuple row-grain bundles (EXISTS = count >
+    0; IN folds its equality into the pairs; NOT IN and the quantified
+    family keep their exact three-valued guard leaves; anchor-free forms
+    take the broadcast-theta proof path). One bundle row per tuple —
+    the inline OR composition cannot duplicate outer rows."""
+    _same(ctx, duck, sql, backing=backing)
 
 
 def test_or_corr_scalar_residual_row_grain(ctx, duck):
@@ -1472,19 +1567,22 @@ def test_or_corr_scalar_residual_row_grain(ctx, duck):
     )
 
 
-def test_or_residual_exists_declines(ctx, duck):
-    """An EXISTS with a non-equi residual under OR declines: its key set
-    is not DISTINCT on the join condition, so a marker LEFT join could
-    duplicate outer rows."""
-    sql = """SELECT COUNT(*) AS n FROM lineitem
-             WHERE EXISTS (SELECT 1 FROM orders
-                           WHERE o_orderkey = l_orderkey
-                             AND o_totalprice > l_extendedprice * 30)
-                OR l_quantity > 49"""
-    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
-    assert ctx.query_history[-1].backing == "sparksql"
-    exp = sorted(tuple(r) for r in duck.execute(sql).fetchall())
-    assert got == exp
+def test_or_residual_exists_serves(ctx, duck):
+    """An EXISTS with a non-equi residual under OR (was a decline test —
+    a marker LEFT join could duplicate): round 11 late rewrites the atom
+    to a count bundle (`count of matched rows > 0`) per distinct
+    (anchor + residual outer column) tuple — one bundle row per tuple,
+    so the inline OR composition cannot duplicate."""
+    _same(
+        ctx,
+        duck,
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_orderkey = l_orderkey
+                           AND o_totalprice > l_extendedprice * 30)
+              OR l_quantity > 49""",
+        backing="semijoin[flat<-corrguard:base[orders]]",
+    )
 
 
 # -- select-list scalar subqueries (deferred projection) ---------------------
