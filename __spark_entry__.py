@@ -5074,6 +5074,40 @@ def sql_scalar_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_OR_EXISTS_RESIDUAL = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey
+                AND o_totalprice > l_extendedprice * 30)
+   OR l_quantity > 49
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@_register("sql_or_exists_residual", _SQL_OR_EXISTS_RESIDUAL)
+def sql_or_exists_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-carrying EXISTS under OR (round 11, late — the last
+    OR-composition decline closed): the marker join cannot carry a
+    residual (its key set is not distinct per key), so the atom
+    rewrites to `count of matched rows > 0` — a row-grain count bundle
+    per DISTINCT (anchor + residual outer column) tuple, joined back
+    null-safely onto the scan (one bundle row per tuple: the inline OR
+    composition cannot duplicate). The same rewrite composes IN / NOT
+    IN / quantified / scalar residual atoms under OR
+    (tests/test_semijoin.py::test_or_residual_family_serves)."""
+    ctx = _sql_ctx(spark, sf_dir)
+    out = ctx.sql(_SQL_OR_EXISTS_RESIDUAL)
+    backing = ctx.query_history[-1].backing
+    assert backing == "semijoin[flat<-corrguard:base[orders]]", (
+        f"residual EXISTS under OR must ride the count bundle,"
+        f" got {backing}"
+    )
+    return out
+
+
 _SQL_HAVING_SCALAR = """
 SELECT l_returnflag AS flag,
        CAST(SUM(l_quantity) AS DOUBLE) AS qty
@@ -6966,6 +7000,7 @@ _PRIORITY = [
     "sql_or_corr_scalar",
     "sql_exists_theta",
     "sql_scalar_theta",
+    "sql_or_exists_residual",
     # (b) r8 rows over this round's rewrites
     "sql_corr_scalar",
     "sql_not_in",
