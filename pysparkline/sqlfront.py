@@ -2614,6 +2614,12 @@ def _or_exists_count_bundle(
     )
     if not ci and not residuals:
         raise SQLFrontError("uncorrelated EXISTS (constant predicate)")
+    if any(_contains_agg(c) for c in rest + residuals):
+        # an aggregate in a WHERE-clause subquery filter is invalid SQL
+        # Spark's fallback rejects cleanly — decline at parse instead
+        # of embedding it into a join condition (uniform with the
+        # HAVING-side copies; review finding)
+        raise SQLFrontError("aggregate inside an EXISTS subquery filter")
     all_cols = _star_columns(star)
     inner_alias: dict = {}
     res_sqls = [
@@ -4982,6 +4988,14 @@ def _parse_semijoin(
                 inner_node2 = (s2.get("subquery") or {}).get("node") or {}
                 sel1 = inner_node2.get("select_list") or []
                 child2 = s2.get("child") or {}
+                if child2.get("class") != "COLUMN_REF" or len(sel1) != 1:
+                    # row-value IN (the child is a row() FUNCTION node,
+                    # the select list has >= 2 items): the bundle models
+                    # a scalar lhs only — decline to the fallback (this
+                    # was a KeyError crash, review finding)
+                    raise SQLFrontError(
+                        "row-value IN with a residual under OR"
+                    )
                 tables2, pairs2, _ic, scope2 = _subquery_scope(
                     inner_node2, fact_table, star, outer_quals
                 )

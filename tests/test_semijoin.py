@@ -1548,6 +1548,43 @@ def test_or_residual_family_serves(ctx, duck, sql, backing):
     _same(ctx, duck, sql, backing=backing)
 
 
+def test_row_value_in_residual_under_or_declines(ctx, duck):
+    """Row-value IN with a residual under OR declines to the fallback
+    (REGRESSION pinned by the fourth review: the bundle rewrite models a
+    scalar lhs only, and the unguarded anchor fold crashed with a
+    KeyError on the row() child). DuckDB cannot bind row-value IN at
+    all, so the oracle is the equivalent EXISTS spelling."""
+    sql = """SELECT COUNT(*) AS n FROM lineitem
+             WHERE (l_orderkey, l_suppkey)
+                   IN (SELECT o_orderkey, o_custkey FROM orders
+                       WHERE o_totalprice > l_extendedprice * 30)
+                OR l_quantity > 49"""
+    got = sorted(tuple(r) for r in ctx.sql(sql).collect())
+    assert ctx.query_history[-1].backing == "sparksql"
+    oracle = """SELECT COUNT(*) AS n FROM lineitem
+                WHERE EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey = l_orderkey
+                                AND o_custkey = l_suppkey
+                                AND o_totalprice > l_extendedprice * 30)
+                   OR l_quantity > 49"""
+    exp = sorted(tuple(r) for r in duck.execute(oracle).fetchall())
+    assert got == exp
+
+
+def test_or_exists_aggregate_residual_declines(ctx):
+    """An aggregate inside the EXISTS subquery's WHERE under OR declines
+    at parse (invalid SQL — Spark's fallback rejects it cleanly instead
+    of the bundle embedding it into a join condition)."""
+    with pytest.raises(Exception):
+        ctx.sql(
+            """SELECT COUNT(*) AS n FROM lineitem
+               WHERE EXISTS (SELECT 1 FROM orders
+                             WHERE o_orderkey = l_orderkey
+                               AND o_totalprice > SUM(l_quantity))
+                  OR l_quantity > 49"""
+        ).collect()
+
+
 def test_or_corr_scalar_residual_row_grain(ctx, duck):
     """A correlated scalar with a NON-EQUI residual under OR (round 11):
     the row-grain bundle recomputes per DISTINCT (correlation + residual
