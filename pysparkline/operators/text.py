@@ -46,23 +46,43 @@ def text_stats(
 ) -> DataFrame:
     """Per-document stats: token/char counts and punctuation/digit/space
     ratios, all as exact-arithmetic-friendly columns."""
+    from .util import ensure_parallelism
+
+    # narrow single-file corpora otherwise run this regex-heavy projection
+    # on one core (documents.parquet is one scan split at bench SF); wide
+    # production inputs skip the repartition entirely
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     n_chars = F.length(text)
     n_tokens = token_count(text)
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    n_digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
-    n_spaces = F.length(text) - F.length(F.regexp_replace(text, r" ", ""))
-    return df.select(
+    # literal character classes: translate() counts digits/spaces in one
+    # linear pass — byte-identical to the regexp_replace('[0-9]'/' ') forms
+    # it replaces, without the per-char regex-engine cost
+    n_digits = F.length(text) - F.length(F.translate(text, "0123456789", ""))
+    n_spaces = F.length(text) - F.length(F.translate(text, " ", ""))
+    # two-stage select: the ratio columns reference the COUNT columns, not
+    # re-inlined copies of their expressions — inlining re-ran the punct
+    # regex and the tokenizing split once more per row (CollapseProject
+    # keeps the split because the counts are non-cheap, multiply-referenced)
+    base = df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"),
         n_digits.alias("n_digits"),
         n_spaces.alias("n_spaces"),
-        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
-        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
-            "avg_token_len"
-        ),
+    )
+    return base.select(
+        "*",
+        (
+            F.col("n_punct").cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("avg_token_len"),
     )
 
 
@@ -89,6 +109,15 @@ def lang_id(
 
     ``append=True`` keeps the input columns (join-free pipeline
     composition) instead of projecting down to (id, signals)."""
+    if not append:
+        # standalone mode: spread narrow single-file corpora across the
+        # fleet before the token-scoring projection (one scan split would
+        # otherwise run it on one core). append=True composes into fused
+        # single-scan pipelines (curate_corpus) and must not inject a
+        # shuffle there.
+        from .util import ensure_parallelism
+
+        df = ensure_parallelism(df)
     keep = list(df.columns)
     langs = sorted(STOPWORDS)
     mask: dict[str, int] = {}
@@ -122,11 +151,19 @@ def lang_id(
         F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
         lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
     )
+    # materialize the fold ONCE: inlining `best` into the three output
+    # expressions re-evaluated the whole interpreted HOF chain (5 filters +
+    # the fold) per reference — 3x the per-row cost, visible as triplicated
+    # aggregate(...) trees in the physical plan. A non-cheap column
+    # referenced three times survives CollapseProject, exactly like
+    # __masks above.
+    df = df.withColumn("__best", best)
+    bestc = F.col("__best")
     out_cols = [
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+        F.when(bestc["hits"] > 0, bestc["lang"]).otherwise(F.lit("und")).alias(
             "detected_lang"
         ),
-        best["hits"].alias("stopword_hits"),
+        bestc["hits"].alias("stopword_hits"),
     ]
     if append:
         return df.select(*keep, *out_cols)
