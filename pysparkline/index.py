@@ -921,7 +921,7 @@ def measure_layout_probe(
     spark: SparkSession,
     df: DataFrame,
     scratch_dir: str,
-    total_rows: int,
+    total_rows: int | None = None,
     sample_rows: int = 100_000,
     probe_name: str = "_size_probe",
 ) -> tuple[float | None, dict[str, float] | None]:
@@ -932,16 +932,24 @@ def measure_layout_probe(
     floor of every cube/projection write by summing its column subset
     (VERDICT r10 what's-wrong #3: 11 probe writes per cold build collapsed
     to 1) — the file-count decision only needs order-of-magnitude bytes,
-    which column-subset scaling preserves."""
+    which column-subset scaling preserves.
+
+    ``total_rows`` is optional: the probe counts its OWN written rows from
+    the same footers it reads for the column split, so it no longer needs
+    the stats pass's row count. That lets the build start the probe
+    CONCURRENTLY with the (much heavier) NDV stats job instead of behind
+    it — the probe sat on the cold-build critical path (stats -> probe ->
+    flat write; measured 5.5 s serial at bench SF)."""
     import shutil
 
-    if total_rows <= 0:
+    if total_rows is not None and total_rows <= 0:
         return None, None
-    n = min(sample_rows, total_rows)
+    n = sample_rows if total_rows is None else min(sample_rows, total_rows)
     probe = os.path.join(scratch_dir, probe_name)
     try:
         df.limit(n).write.mode("overwrite").parquet(probe)
         size = 0
+        written_rows = 0
         col_bytes: dict[str, float] = {}
         for root, _dirs, files in os.walk(probe):
             for f in files:
@@ -953,6 +961,7 @@ def measure_layout_probe(
                     import pyarrow.parquet as pq
 
                     md = pq.ParquetFile(p).metadata
+                    written_rows += md.num_rows
                     for rg in range(md.num_row_groups):
                         g = md.row_group(rg)
                         for ci in range(g.num_columns):
@@ -966,6 +975,10 @@ def measure_layout_probe(
                     pass
         if not size:
             return None, None
+        # actual written rows (a table smaller than the sample cap yields
+        # them all); fall back to the requested cap if no footer was
+        # readable
+        n = written_rows or n
         bpr = size / n
         if not col_bytes:
             return bpr, None
@@ -1114,12 +1127,14 @@ def cached_build_or_load(
     prefix: str,
     config: "IndexConfig",
     flat_fn,
-    star: StarSchema | None = None,
+    star: "StarSchema | Callable[[], StarSchema] | None" = None,
     extra_key: dict | None = None,
 ) -> "OlapIndex":
     """Build an index once per (sf_dir, config[, extra_key]) and reuse it from
     ``cache_root`` after — the shared cache protocol for fixtures.
-    ``flat_fn()`` is only invoked on a cache miss."""
+    ``flat_fn()`` — and ``star`` when passed as a zero-arg callable — are
+    only invoked on a cache miss (loads restore the star from the
+    manifest)."""
     import hashlib
 
     key_src = json.dumps(
@@ -1138,7 +1153,12 @@ def cached_build_or_load(
     base = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(cache_root, f"{prefix}_{base}_{key}")
     if os.path.exists(os.path.join(out_dir, MANIFEST)):
+        # cache hit restores the star from the manifest — a callable star
+        # is deliberately NOT invoked (tpch passes one so the 8 star-table
+        # reads are skipped on loads)
         return OlapIndex.load(spark, out_dir)
+    if callable(star):
+        star = star()
     return OlapIndex.build(spark, flat_fn(), config, out_dir, star=star)
 
 
@@ -1249,20 +1269,33 @@ class OlapIndex:
         # aggregations don't need the sort, and skipping it avoids its shuffle.
         from concurrent.futures import ThreadPoolExecutor
 
-        def compute_stats():
-            stats_aggs = [F.count(F.lit(1)).alias("__rows"),
-                          F.min(t).alias("__tmin"), F.max(t).alias("__tmax"),
-                          F.approx_count_distinct(MONTH_COL).alias("__parts"),
-                          F.approx_count_distinct(
-                              F.substring(MONTH_COL, 1, 4)
-                          ).alias("__parts_year")]
+        def compute_layout_stats():
+            """Row count, time bounds, partition counts — the ONLY stats the
+            flat-write layout decision needs. Split from the per-column NDV
+            pass (one approx_count_distinct sketch per data column, the
+            heaviest single job of the build) so the flat write starts as
+            soon as this cheap agg lands instead of behind the NDV job —
+            the NDV pass then overlaps the write off the critical path
+            (measured: stats gated the write by ~16 s at bench SF)."""
+            return pre.agg(
+                F.count(F.lit(1)).alias("__rows"),
+                F.min(t).alias("__tmin"), F.max(t).alias("__tmax"),
+                F.approx_count_distinct(MONTH_COL).alias("__parts"),
+                F.approx_count_distinct(
+                    F.substring(MONTH_COL, 1, 4)
+                ).alias("__parts_year"),
+            ).collect()[0].asDict()
+
+        def compute_ndv_stats():
             data_cols = [c for c in pre.columns if c != MONTH_COL]
-            if compute_ndv:
-                stats_aggs += [
+            if not compute_ndv:
+                return {}
+            return pre.agg(
+                *[
                     F.approx_count_distinct(c).alias(f"ndv__{c}")
                     for c in data_cols
                 ]
-            return pre.agg(*stats_aggs).collect()[0].asDict()
+            ).collect()[0].asDict()
 
         # granularity chosen by write_flat (byte-aware coarsening); read
         # after the pool completes to stamp the manifest
@@ -1295,11 +1328,9 @@ class OlapIndex:
             months = int(st["__parts"])
             years = int(st["__parts_year"])
             rows = int(st["__rows"])
-            bpr, col_bpr = (
-                measure_layout_probe(spark, pre, out_dir, rows)
-                if config.target_file_bytes > 0
-                else (None, None)
-            )
+            # probe launched concurrently with the stats pass (it counts
+            # its own sampled rows from footers — measure_layout_probe doc)
+            bpr, col_bpr = probe_f.result()
             # per-column split seeds every cube/projection byte floor below
             # (one probe write per cold build, not one per materialization)
             layout_memo["col_bpr"] = col_bpr
@@ -1377,7 +1408,11 @@ class OlapIndex:
             so its predicates get tight row-group stats, and a per-file
             stats manifest for whole-file pruning."""
             frame, parts, _eff, _n = layout_frame(stats_f)
-            st = stats_f.result()
+            # merged (layout + NDV) — the per-file manifest below gates its
+            # value-set columns on the ndv__ entries; projections are off
+            # the flat-write critical path so waiting on the NDV job here
+            # costs no wall time
+            st = merged_f.result()
             rows = int(st["__rows"])
             cols = projection_columns(config, p)
             proj = frame.select(MONTH_COL, *cols)
@@ -1442,9 +1477,16 @@ class OlapIndex:
                 spark, proj_path, out_dir, config,
                 None, st, rel_name=f"{rel}_manifest",
             )
+            written_schema = spark.read.parquet(proj_path).schema
             return p.name, {
                 "path": rel,
                 "columns": cols,
+                # read-back schema (order + partition-dir types): lets a
+                # later load skip the schema-inference job (_manifest_schema)
+                "columnTypes": [
+                    [f.name, f.dataType.simpleString()]
+                    for f in written_schema.fields
+                ],
                 "sortCols": list(p.sort_cols),
                 # False when the byte floor collapsed the time-partition
                 # dirs (appends/compaction must write the same layout)
@@ -1531,16 +1573,33 @@ class OlapIndex:
             return cube.name, entry
 
         with ThreadPoolExecutor(
-            max_workers=3 + len(config.cubes) + len(config.projections)
+            max_workers=5 + len(config.cubes) + len(config.projections)
         ) as pool:
-            stats_f = pool.submit(compute_stats)
+            stats_f = pool.submit(compute_layout_stats)
+            ndv_f = pool.submit(compute_ndv_stats)
+
+            class _MergedStats:
+                """Future-like view of layout + NDV stats combined (the
+                file-manifest builders need the ndv__ gates; everything on
+                the write path waits only on the cheap layout half)."""
+
+                @staticmethod
+                def result() -> dict:
+                    return {**stats_f.result(), **ndv_f.result()}
+
+            merged_f = _MergedStats()
+            probe_f = pool.submit(
+                lambda: measure_layout_probe(spark, pre, out_dir)
+                if config.target_file_bytes > 0
+                else (None, None)
+            )
             write_f = pool.submit(write_flat, stats_f)
             cube_fs = [pool.submit(build_one_cube, c) for c in config.cubes]
             proj_fs = [
                 pool.submit(write_projection, p) for p in config.projections
             ]
-            stats = stats_f.result()
             write_f.result()
+            stats = merged_f.result()
             fm_f = pool.submit(
                 OlapIndex._build_file_manifest,
                 spark, flat_path, out_dir, config, pre.schema, stats,
@@ -1976,12 +2035,42 @@ class OlapIndex:
     def time_col(self) -> str:
         return self.config.time_col
 
+    def _manifest_schema(self, cols) -> "object | None":
+        """StructType rebuilt from manifest-stored column types, or None.
+
+        The build stamps every relation's columns with the simpleString
+        types READ BACK from the written dataset (so partition-dir columns
+        carry their inferred type — e.g. year-grain ``__tpart`` dirs stamp
+        ``int``). Feeding that schema to ``spark.read.schema(...)`` skips
+        the per-relation schema-inference job: on a cold JVM those jobs
+        cost ~0.4 s EACH, and a load touches 12+ relations (flat + cubes +
+        projections) — measured 3.9 s of pure driver-side planning before
+        this. Any parse problem falls back to inference (None)."""
+        try:
+            from pyspark.sql.types import StructType
+
+            if isinstance(cols, dict):
+                items = [(n, i["type"]) for n, i in cols.items()]
+            else:
+                items = list(cols)
+            return StructType.fromDDL(
+                ", ".join(f"`{n}` {t}" for n, t in items)
+            )
+        except Exception:
+            return None
+
     def flat_df(self) -> DataFrame:
         # memoized: repeated queries reuse the analyzed relation instead of
         # re-listing files + re-reading footers (py4j + driver overhead)
         df = self._df_memo.get("flat")
         if df is None:
-            df = self.spark.read.parquet(os.path.join(self.path, "flat"))
+            reader = self.spark.read
+            schema = self._manifest_schema(
+                self.manifest.get("flat", {}).get("columns")
+            )
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(os.path.join(self.path, "flat"))
             self._df_memo["flat"] = df
         return df
 
@@ -2104,8 +2193,14 @@ class OlapIndex:
         key = f"proj_{name}"
         df = self._df_memo.get(key)
         if df is None:
-            rel = self.manifest["projections"][name]["path"]
-            df = self.spark.read.parquet(os.path.join(self.path, rel))
+            entry = self.manifest["projections"][name]
+            reader = self.spark.read
+            # columnTypes is the read-back schema stamped at build; older
+            # manifests lack it and fall back to inference
+            schema = self._manifest_schema(entry.get("columnTypes"))
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(os.path.join(self.path, entry["path"]))
             self._df_memo[key] = df
         return df
 
@@ -2173,8 +2268,14 @@ class OlapIndex:
         key = f"cube_{name}__base"
         df = self._df_memo.get(key)
         if df is None:
-            rel = self.manifest["cubes"][name]["path"]
-            df = self.spark.read.parquet(os.path.join(self.path, rel))
+            entry = self.manifest["cubes"][name]
+            reader = self.spark.read
+            # the stored columns dict is the read-back schema (order and
+            # partition-dir types included) — skips the inference job
+            schema = self._manifest_schema(entry.get("columns"))
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(os.path.join(self.path, entry["path"]))
             self._df_memo[key] = df
         return df
 

@@ -346,7 +346,13 @@ def build_or_load_index(
         flat, _ = flat_star_df(spark, sf_dir)
         return flat
 
-    tables = load_star_tables(spark, sf_dir)
+    def star_fn():
+        # only evaluated on a cache MISS: a cache-hit load restores the
+        # star from the manifest, and eagerly reading the 8 star parquets
+        # here just to derive it cost ~4 s of cold-JVM schema inference per
+        # load (measured at bench SF)
+        return tpch_star(load_star_tables(spark, sf_dir))
+
     return cached_build_or_load(
         spark,
         sf_dir,
@@ -354,5 +360,5 @@ def build_or_load_index(
         "tpch",
         config or tpch_index_config(),
         flat_fn,
-        star=tpch_star(tables),
+        star=star_fn,
     )
