@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from .util import pinned_shuffle
+
 # Intermediate caches persisted by minhash_lsh_pairs (signatures) and
 # fuzzy_join (candidate pairs), keyed per (SparkSession -> operator group)
 # exactly like similarity._assignment_caches: repeated calls in a loop
@@ -318,6 +320,13 @@ def _bucket_capped(banded: DataFrame, max_bucket: int) -> DataFrame:
     for a hard bound on candidate-join fan-out (boilerplate-dominated
     corpora); at 100 TB this is the difference between a bounded job and
     a quadratic one. Shared by the self-join and cross-table LSH paths."""
+    # pin the window's (band, band_hash) exchange at the configured fleet
+    # width: the band rows are byte-tiny, so AQE's byte-based coalescing
+    # would hand the window AND the candidate self-join that reuses this
+    # partitioning to a single core (pinned_shuffle doc — measured one
+    # 0.8 s task for the whole join+dedup+est chain at bench SF). Same
+    # keys the window requires, so this REPLACES the exchange.
+    banded = pinned_shuffle(banded, "band", "band_hash")
     bw = Window.partitionBy("band", "band_hash")
     return (
         banded.withColumn("__bsz", F.count(F.lit(1)).over(bw))
@@ -378,6 +387,10 @@ def minhash_lsh_pairs(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        # pinned on the dedup keys: the dedup exchange would otherwise be
+        # AQE-coalesced to one reader partition, serializing the downstream
+        # per-pair signature comparison (pinned_shuffle doc)
+        .transform(lambda d: pinned_shuffle(d, "id_a", "id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = cand.join(
@@ -462,6 +475,10 @@ def fuzzy_join(
         .select(
             F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id")
         )
+        # pinned on the dedup keys, mirroring the self-join path: keeps the
+        # persisted candidate frame (and the exact-verify pass that streams
+        # it) at fleet width instead of 1-2 AQE-coalesced partitions
+        .transform(lambda d: pinned_shuffle(d, "left_id", "right_id"))
         .dropDuplicates(["left_id", "right_id"])
         .persist()
     )

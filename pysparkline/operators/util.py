@@ -77,3 +77,23 @@ def ensure_parallelism(df: DataFrame, width: int | None = None) -> DataFrame:
     if width >= par:
         return df
     return df.repartition(par)
+
+
+def pinned_shuffle(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on ``cols`` at the session's configured shuffle
+    width, with the partition count PINNED (user-specified N is exempt from
+    AQE coalescing).
+
+    AQE sizes post-shuffle partitions by BYTES; LSH band rows and candidate
+    id pairs are byte-tiny (tens of bytes/row) yet feed CPU-dense work —
+    the band self-join, candidate dedup, per-pair signature comparison and
+    exact verify — so byte-based coalescing serializes those stages onto
+    1-2 cores of the fleet (measured live at bench SF: the whole
+    join+dedup+est chain ran as ONE 0.8 s task). Placed on the exact keys
+    the downstream Window/aggregate requires, the pinned exchange REPLACES
+    the ENSURE_REQUIREMENTS exchange rather than adding one. Width follows
+    ``spark.sql.shuffle.partitions`` — the knob deployments already size
+    to the fleet — so the choice is scale-adaptive, not a local constant.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n, *cols)

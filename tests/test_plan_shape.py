@@ -670,3 +670,16 @@ def test_text_stats_single_regex_pass(spark):
     plan = _physical(text.text_stats(docs, "doc_id", "text"))
     assert plan.count("regexp_replace") == 1
     assert plan.count("translate") == 2
+
+
+def test_lsh_candidate_stages_pinned_at_fleet_width(spark):
+    """The band window and candidate dedup exchanges must be user-pinned
+    (REPARTITION_BY_NUM): AQE's byte-based coalescing otherwise runs the
+    byte-tiny but CPU-dense join+dedup+est chain as ONE task (round-11
+    optimization: minhash_pairs 0.83 -> 0.16 s warm at bench SF)."""
+    from pysparkline.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    plan = _physical(out)
+    assert plan.count("REPARTITION_BY_NUM") >= 2
