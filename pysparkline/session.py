@@ -17,6 +17,7 @@ PySpark-native surface:
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,7 +30,7 @@ from .metadata import FDGraph, FunctionalDependency, StarSchema
 def get_spark(
     app: str = "pysparkline",
     cpus: str | int = "*",
-    shuffle_partitions: int = 32,
+    shuffle_partitions: int | None = None,
 ) -> SparkSession:
     """Local-mode session with the configs every pysparkline workload wants.
 
@@ -37,7 +38,18 @@ def get_spark(
     100 TB: AQE on (runtime coalescing + skew-join), session TZ pinned to UTC
     (the reference pinned spark.sparklinedata.tz.id, DruidPlanner.scala:73-76),
     and a shuffle-partition count sized to the executor fleet.
+
+    ``shuffle_partitions`` defaults to the fleet size (the ``cpus`` master
+    setting, or the machine's cores for ``*``), floored at 8: the width
+    every pinned exchange and non-AQE shuffle inherits should follow the
+    fleet, not a constant tuned for one bench shape — the driver re-runs
+    the bench at lower core counts exactly to check this scales down.
     """
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, int(cpus))
+        except (TypeError, ValueError):
+            shuffle_partitions = max(8, os.cpu_count() or 8)
     return (
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
