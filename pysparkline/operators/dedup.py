@@ -583,17 +583,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     which makes the whole simhash — and therefore the near-dup pair set —
     independently recomputable as an oracle. (xxhash64 would be ~2x faster
     but is Spark-specific.)"""
+    from .util import ensure_parallelism
+
+    # single-file corpora would run the 60 per-bit folds on one core
+    df = ensure_parallelism(df)
     tokens = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    # per-bit weighted sum: sum over tokens of (+1 if bit set else -1)
     th = F.transform(
         tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
+    # materialize the token-hash array ONCE: referenced as an inline
+    # expression, each of the 60 per-bit folds below re-evaluated the whole
+    # md5 transform (60x one md5+conv per token per row — measured 52 s
+    # cold at bench SF; a multiply-referenced non-cheap column survives
+    # CollapseProject, so the hashes are computed once per row)
+    hashed = df.select(F.col(id_col).alias("id"), th.alias("__th"))
+    thc = F.col("__th")
+    # per-bit weighted sum: sum over tokens of (+1 if bit set else -1)
     bit_cols = []
     for bit in range(SIMHASH_BITS):
         contrib = F.aggregate(
-            th,
+            thc,
             F.lit(0),
             lambda acc, h: acc
             + F.when(h.bitwiseAND(F.lit(1 << bit)) != 0, 1).otherwise(-1),
@@ -602,7 +613,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sh = F.lit(0).cast("long")
     for bit, c in enumerate(bit_cols):
         sh = sh + (c.cast("long") * F.lit(1 << bit))
-    return df.select(F.col(id_col).alias("id"), sh.alias("simhash"))
+    return hashed.select("id", sh.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -685,6 +696,12 @@ def ngram_jaccard_pairs(
     grams — a bounded-recall / bounded-cost trade, same as minhash's
     ``max_bucket``. Pass None to disable (exact, unbounded).
     """
+    from .util import ensure_parallelism
+
+    # gram extraction is an interpreted per-token transform; spread narrow
+    # single-file corpora before it (measured one ~10 s scan task at bench
+    # SF; wide inputs skip the repartition)
+    df = ensure_parallelism(df)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
@@ -806,6 +823,8 @@ def _substr_fingerprints(
     """(id, h): distinct xxhash64 window fingerprints per document,
     optionally 0-mod-p sampled (content-defined, so selection is identical
     for the same run in two documents)."""
+    from .util import ensure_parallelism
+
     hashes = F.array_distinct(
         F.transform(
             _substr_windows(text_col, L), lambda w: F.xxhash64(w)
@@ -813,7 +832,9 @@ def _substr_fingerprints(
     )
     if sample_mod > 1:
         hashes = F.filter(hashes, lambda h: h % sample_mod == 0)
-    return df.select(
+    # window extraction is an interpreted per-token chain; spread narrow
+    # single-file corpora before it (no-op on wide inputs)
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(hashes).alias("h")
     )
 
@@ -1121,12 +1142,40 @@ def cosine_neardup_pairs(
     similarity.lsh_cosine_topk) so only same-bucket pairs are scored — the
     100 TB path; recall < 1 near the threshold, rising with n_tables.
     """
-    from .similarity import _hyperplanes, cosine_similarity_col
+    from .similarity import _dot, _hyperplanes, _norm, cosine_similarity_col
+    from .util import ensure_parallelism
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # per-ROW norms hoisted out of the pair loop: the cosine's two norm
+    # folds are per-vector expressions, so computing them per PAIR tripled
+    # the interpreted array-fold work of the O(n^2) exact path (measured
+    # 218 s cold at bench SF — 2M pairs x 3 folds on ONE core, the
+    # single-file scan feeding the broadcast join unsplit). Same
+    # expression over the same array = bit-identical cosine.
+    nrm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        nrm.alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        nrm.alias("__nb"),
+    )
     if not approximate:
-        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        # spread the streamed side: a one-file corpus otherwise runs every
+        # pair evaluation in a single scan task
+        pairs = ensure_parallelism(a).join(
+            F.broadcast(b), F.col("id_a") < F.col("id_b")
+        )
+        cos = _dot(F.col("__va"), F.col("__vb")) / (
+            F.col("__na") * F.col("__nb")
+        )
+        return (
+            pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .orderBy("id_a", "id_b")
+        )
     else:
         if dim is None:
             raise ValueError("approximate=True requires dim")
