@@ -856,6 +856,24 @@ def image_dhash(
     )
 
 
+def _persist_fingerprints(group: str, d: DataFrame) -> DataFrame:
+    """Persist a decoded fingerprint frame that feeds several consumers.
+
+    The pigeonhole blocking self-joins the fingerprint frame (and the
+    video path additionally aggregates per-id frame counts), so without a
+    persist every consumer re-runs the WHOLE decode pass — observed as 4
+    copies of the Arrow decode subtree in one executed video_dhash_pairs
+    plan (16 Python nodes). The frame is (id, pos, h)-sized — fingerprint
+    rows, never payload bytes. Lifecycle mirrors dedup's signature cache:
+    each call retires the previous same-session frame, and
+    dedup.release_dedup_caches() releases eagerly.
+    """
+    from .dedup import _retire_cache, _track_cache
+
+    _retire_cache(group, d.sparkSession)
+    return _track_cache(group, d.persist())
+
+
 def image_dhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -873,7 +891,9 @@ def image_dhash_pairs(
     Arrow-batched map; the only shuffle is the segment-keyed candidate
     join, so cost scales with genuine perceptual-duplicate mass, never
     corpus^2."""
-    d = image_dhash(df, id_col, binary_col, on_error=on_error)
+    d = _persist_fingerprints(
+        "image_dhash_fps", image_dhash(df, id_col, binary_col, on_error=on_error)
+    )
     return hamming_blocked_pairs(
         d.withColumnRenamed("dhash", "h"), max_hamming
     )
@@ -1120,7 +1140,9 @@ def audio_fingerprint_pairs(
     (``hamming_blocked_pairs``): the decode+fingerprint pass is a narrow
     Arrow-batched map, the only shuffle is the segment-keyed candidate
     join, so cost scales with duplicate mass, never corpus^2."""
-    d = audio_fingerprint(df, id_col, binary_col, on_error=on_error)
+    d = _persist_fingerprints(
+        "audio_fp_fps", audio_fingerprint(df, id_col, binary_col, on_error=on_error)
+    )
     return hamming_blocked_pairs(d.withColumnRenamed("fp", "h"), max_hamming)
 
 
@@ -1235,7 +1257,10 @@ def video_dhash_pairs(
     near-duplicate frame mass, never corpus^2 x frames^2. Completes the
     image (dHash) / audio (spectral fingerprint) / video modality triple on
     one blocking implementation."""
-    d = video_dhash(df, id_col, binary_col, every_n=every_n, on_error=on_error)
+    d = _persist_fingerprints(
+        "video_dhash_fps",
+        video_dhash(df, id_col, binary_col, every_n=every_n, on_error=on_error),
+    )
     counts = d.groupBy("id").agg(F.count(F.lit(1)).alias("nf"))
     matched = (
         hamming_blocked_pairs(d, max_hamming, key_cols=["pos"])

@@ -808,3 +808,25 @@ def test_jpeg_sequential_multiscan_declines():
     data = b"\xff\xd8" + sof + sos + b"\x00" * 8 + b"\xff\xd9"
     with pytest.raises(ValueError, match="non-interleaved"):
         jpeg.decode(data)
+
+
+def test_pair_ops_decode_once_via_persisted_fingerprints(spark):
+    """The blocking self-join and (for video) the frame-count aggregate
+    must consume the PERSISTED fingerprint frame — without it every
+    consumer re-ran the whole Arrow decode pass (4 copies of the decode
+    subtree observed in one executed plan; round-11 optimization)."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import multimodal
+
+    docs = spark.range(0, 64).select(F.col("id").alias("doc_id"))
+    media = multimodal.with_patterned_videos(docs, "doc_id", n_seeds=8)
+    out = multimodal.video_dhash_pairs(
+        media, "doc_id", "vid", max_hamming=4, min_match_frac=0.8
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+    from pysparkline.operators.dedup import release_dedup_caches
+
+    release_dedup_caches(spark)
