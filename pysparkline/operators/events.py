@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .util import pinned_shuffle
+
 
 def _epoch_us(c) -> Column:
     """Exact integer epoch-microseconds of a timestamp column.
@@ -30,6 +32,10 @@ def sessionize(
     gap_minutes: float = 30.0,
 ) -> DataFrame:
     """Adds ``session_seq`` (1-based per user) to every event row."""
+    # event rows are byte-tiny; AQE coalesces the window's exchange to 1-2
+    # tasks, serializing both window passes (pinned_shuffle doc). The pin
+    # replaces the ENSURE_REQUIREMENTS exchange — no extra shuffle.
+    df = pinned_shuffle(df, user_col)
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
     # integer-microsecond gap: exact, engine-portable boundary comparison
     gap_us = _epoch_us(ts_col) - F.lag(_epoch_us(ts_col)).over(w)
@@ -73,6 +79,7 @@ def running_totals(
     """Per-user running event count and running value sum ordered by time —
     the window-function surface the reference never rewrote (SURVEY §2
     'notably absent') but Spark provides natively."""
+    df = pinned_shuffle(df, user_col)  # see sessionize: keeps fleet width
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.col(ts_col).asc())

@@ -683,3 +683,19 @@ def test_lsh_candidate_stages_pinned_at_fleet_width(spark):
     out = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
     plan = _physical(out)
     assert plan.count("REPARTITION_BY_NUM") >= 2
+
+
+def test_event_window_shuffle_pinned_and_single_exchange(spark):
+    """sessionize/running_totals pin their user_id shuffle at fleet width
+    (events rows are byte-tiny, so AQE would coalesce the window stage to
+    1-2 tasks) — and the pin must REPLACE the window's ENSURE_REQUIREMENTS
+    exchange, not add a second one; the downstream per-(user, session)
+    aggregate must also reuse the same partitioning (exactly one Exchange
+    in the whole session_stats plan)."""
+    from pysparkline.operators import events as ev_ops
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for out in (ev_ops.session_stats(ev), ev_ops.running_totals(ev)):
+        plan = _physical(out)
+        assert plan.count("REPARTITION_BY_NUM") == 1
+        assert plan.count("ENSURE_REQUIREMENTS") == 0
