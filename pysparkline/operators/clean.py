@@ -54,9 +54,14 @@ def decontaminate(
     report. n defaults to 8 — large enough that natural collisions are rare,
     the usual choice for contamination sweeps.
     """
+    from pysparkline.operators.util import ensure_parallelism
+
     bid = bench_id_col or id_col
     btext = bench_text_col or text_col
-    cg = corpus.select(
+    # the per-document tokenize + n-gram explode is the expensive stage; a
+    # narrow single-file corpus would run it all on one core (no-op on
+    # fleet-wide inputs). The bench side stays unspread: it broadcasts.
+    cg = ensure_parallelism(corpus).select(
         F.col(id_col).alias("corpus_id"),
         F.explode(_token_ngrams(F.col(text_col), n)).alias("gram"),
     )
@@ -92,11 +97,15 @@ def semantic_decontaminate(
     The benchmark side is broadcast (eval sets are small by nature — for
     a benchmark too big to broadcast, use ``similarity.knn_join`` with
     the bench as the query side and threshold the result); the corpus is
-    scanned once, never shuffled — the per-row argmax folds in the
-    map-side partial aggregate. Cosines are JVM-side (zip_with fold,
-    zero-norm -> 0.0) and rounded BEFORE the argmax so the nearest-item
-    choice is engine-reproducible."""
+    scanned once — the per-row argmax folds in the map-side partial
+    aggregate. A narrow single-file corpus is spread across the fleet
+    first (``ensure_parallelism``, a no-op on wide production inputs):
+    corpus-rows x bench-rows cosine folds are CPU-dense, and a one-split
+    scan would run them all on one core. Cosines are JVM-side (zip_with
+    fold, zero-norm -> 0.0) and rounded BEFORE the argmax so the
+    nearest-item choice is engine-reproducible."""
     from pysparkline.operators.similarity import cosine_similarity_col
+    from pysparkline.operators.util import ensure_parallelism
 
     bid = bench_id_col or id_col
     bvec = bench_vec_col or vec_col
@@ -108,9 +117,9 @@ def semantic_decontaminate(
     cos = F.round(
         cosine_similarity_col(F.col("__cv"), F.col("__bv")), round_to
     )
-    sims = corpus.select(
+    sims = ensure_parallelism(corpus.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
-    ).crossJoin(b).select(
+    )).crossJoin(b).select(
         "__cid",
         "__bid",
         cos.alias("__cos"),
@@ -353,9 +362,13 @@ def source_overlap(
     pair explosion a naive doc-level cross join would hit cannot occur.
     """
     from .dedup import shingle_set_col
+    from .util import ensure_parallelism
 
+    # per-document shingle-set construction is the CPU-dense stage and runs
+    # upstream of the distinct shuffle — spread a narrow single-file input
+    # across the fleet first (no-op on wide production inputs)
     gs = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(group_col).alias("g"),
             F.explode(shingle_set_col(F.col(text_col), shingle_k)).alias("sh"),
         )

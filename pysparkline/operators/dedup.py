@@ -1537,10 +1537,17 @@ class SignatureStore:
         m = self.manifest
 
         def write_files(bdir: str) -> None:
-            sigs.write.parquet(os.path.join(bdir, "sigs"))
-            _banded(sigs, m["numPerm"], m["bands"]).write.parquet(
-                os.path.join(bdir, "bands")
-            )
+            # two write actions below — cache the signature rows so the
+            # minhash pass (the expensive subtree) runs once, not once per
+            # write (same reason compact() localCheckpoints its merge)
+            s = sigs.persist()
+            try:
+                s.write.parquet(os.path.join(bdir, "sigs"))
+                _banded(s, m["numPerm"], m["bands"]).write.parquet(
+                    os.path.join(bdir, "bands")
+                )
+            finally:
+                s.unpersist()
 
         return self._ledger.commit_batch(write_files, extra=extra, ts=ts)
 
@@ -1688,6 +1695,12 @@ class SignatureStore:
         )
         sigs_all = sigs_new.unionByName(sigs_old)
         if history_docs is not None:
+            # two consumers below (exact-verify semi join + estimate anti
+            # join) — cache the candidate id pairs so the band join/cap
+            # window/dedup chain over the store's full band history runs
+            # once, not once per consumer (released after the verdict
+            # materializes)
+            cand = cand.persist()
             texts = history_docs.select(
                 F.col(id_col), F.col(text_col)
             ).unionByName(docs.select(F.col(id_col), F.col(text_col)))
@@ -1733,6 +1746,7 @@ class SignatureStore:
             sigs_new.join(survivors, "id", "left_semi"), extra=_commit_extra
         )
         sigs_new.unpersist()
+        cand.unpersist()
         return verdict
 
     # -- streaming ingest --------------------------------------------------

@@ -44,7 +44,17 @@ def curate_corpus(
     independent of the flags, so re-running curation with different
     thresholds never moves a surviving document across splits.
     """
-    d = text.lang_id(docs, id_col, text_col, append=True)
+    from .util import ensure_parallelism
+
+    # the whole fused per-document projection chain (language folds,
+    # quality score, repetition stats, tokenize) runs upstream of the
+    # first shuffle (the content-hash window) — on a narrow single-file
+    # corpus that is ONE core doing all the per-row work. Spread once at
+    # the head (no-op on fleet-wide inputs); every flag is row-local or
+    # content-keyed, so partitioning cannot change any verdict. The
+    # contamination branch below keeps the UNSPREAD input: decontaminate
+    # spreads its corpus side itself.
+    d = text.lang_id(ensure_parallelism(docs), id_col, text_col, append=True)
     d = d.withColumn(
         "quality_score", text.quality_score_col(F.col(text_col))
     )

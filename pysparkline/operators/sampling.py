@@ -455,19 +455,35 @@ def dsir_weights(
     100 TB posture: the two count tables are bounded by ``n_buckets``
     (broadcast-class at the default 10k); the per-document sum is one
     map-side-combined aggregation over the exploded feature stream."""
-    feats_raw = raw.select(
+    from .util import ensure_parallelism
+
+    # feature explode + md5 bucketing is the CPU-dense stage: spread narrow
+    # single-file inputs across the fleet first (no-op on wide inputs)
+    feats_raw = ensure_parallelism(raw).select(
         F.col(id_col),
         F.explode_outer(_dsir_features(F.col(text_col))).alias("__feat"),
     ).withColumn("__b", _dsir_bucket(F.col("__feat"), n_buckets))
-    feats_tgt = target.select(
+    feats_tgt = ensure_parallelism(target).select(
         F.explode(_dsir_features(F.col(text_col))).alias("__feat")
     ).withColumn("__b", _dsir_bucket(F.col("__feat"), n_buckets))
-    cr = feats_raw.where(F.col("__b").isNotNull()).groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__cr")
+    # materialize each count table ONCE (bounded by n_buckets — driver-safe
+    # by the same contract that lets them broadcast): the totals and the
+    # per-doc join below otherwise each re-ran the full feature explode
+    # (3 corpus passes + 2 target passes -> 1 each). Local relations keep
+    # zero persist residue and the identical broadcast join.
+    cr_rows = (
+        feats_raw.where(F.col("__b").isNotNull()).groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cr")).collect()
     )
-    ct = feats_tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    tr = cr.agg(F.sum("__cr")).collect()[0][0] or 0
-    tt = ct.agg(F.sum("__ct")).collect()[0][0] or 0
+    ct_rows = (
+        feats_tgt.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct")).collect()
+    )
+    spark = raw.sparkSession
+    cr = spark.createDataFrame(cr_rows, "__b bigint, __cr bigint")
+    ct = spark.createDataFrame(ct_rows, "__b bigint, __ct bigint")
+    tr = sum(r["__cr"] for r in cr_rows)
+    tt = sum(r["__ct"] for r in ct_rows)
     const = float(n_buckets)
     # ln((T_raw+B)/(T_target+B)): exact same double both engines
     c_norm = F.log(

@@ -882,3 +882,50 @@ def test_failed_compaction_rolls_back_batch_list(spark, tmp_path):
         ).collect()
     }
     assert v == {10: False, 11: False}
+
+
+def test_signature_store_releases_intermediate_caches(spark, tmp_path):
+    """append/dedup_and_append cache their expensive intermediates (the
+    signature rows feeding the sigs+bands double write; the candidate
+    pairs feeding both the exact-verify semi join and the estimate anti
+    join) but must RELEASE them before returning — only the verdict's
+    localCheckpoint may outlive the call (round-11: the double write
+    recomputed the minhash pass, the verify pair re-ran the whole band
+    join chain)."""
+    import time
+
+    from pysparkline.operators import dedup
+    from pysparkline.operators.dedup import SignatureStore
+
+    jsc = spark.sparkContext._jsc
+
+    def _quiesce():
+        last, deadline = -1, time.time() + 15.0
+        while time.time() < deadline:
+            cur = jsc.getPersistentRDDs().size()
+            if cur == last:
+                return cur
+            last = cur
+            time.sleep(0.5)
+        return last
+
+    dedup.release_dedup_caches()
+    base = _quiesce()
+    store = SignatureStore.create(
+        spark, str(tmp_path / "sighygiene"), threshold=0.5
+    )
+    old = _mk_docs(spark, [(i, _basetext(i)) for i in range(1, 6)])
+    store.append(old, "doc_id", "text")
+    assert _quiesce() <= base  # append leaves no persist residue
+    new = _mk_docs(
+        spark, [(10, _basetext(1)), (11, _basetext(99))]
+    )
+    v = {
+        r.id: r.kept
+        for r in store.dedup_and_append(
+            new, "doc_id", "text", history_docs=old
+        ).collect()
+    }
+    assert v == {10: False, 11: True}
+    # only the returned verdict's localCheckpoint remains live
+    assert _quiesce() <= base + 1

@@ -159,6 +159,28 @@ def test_decontaminate_broadcasts_bench_side(spark):
     plan = _physical(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # round-11: the corpus-side tokenize + n-gram explode must not run on
+    # one core when the corpus is a narrow single-file scan
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_dsir_count_tables_are_local_relations(spark):
+    """The two DSIR bucket-count tables (bounded by n_buckets) must lower
+    to local relations: building them as live subplans re-ran the full
+    feature explode once per consumer (totals + the per-doc join — 5
+    corpus/target passes instead of 2; round-11: 6 parquet scans -> 2 in
+    the executed plan). The remaining corpus pass spreads narrow inputs."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sampling.dsir_select(
+        docs, docs.where(F.col("lang") == "en"), 10
+    )
+    plan = _physical(out)
+    assert plan.count("Scan parquet") <= 2
+    assert "REPARTITION_BY_NUM" in plan
 
 
 def test_prune_frequent_units_no_python_and_pruned_scan(spark):
@@ -193,6 +215,29 @@ def test_redact_pii_is_narrow_map(spark):
     # the redaction itself stays a projection (no Python, no extra shuffle)
     assert plan.count("Exchange") == 1
     assert "REPARTITION_BY_NUM" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_semantic_decontaminate_narrow_corpus_spreads(spark):
+    """A single-file corpus must spread across the fleet before the
+    broadcast cross join (round-11: corpus-rows x bench-rows cosine folds
+    all ran in ONE task — 12.8 s of a 13 s cold). The spread is the
+    AQE-exempt pinned form; the bench side stays broadcast and the op
+    stays JVM-only."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators import clean
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _physical(
+        clean.semantic_decontaminate(
+            emb.where(F.col("vec_id") < 40),
+            emb.where(F.col("vec_id") >= 40),
+            threshold=0.42,
+        )
+    )
+    assert "REPARTITION_BY_NUM" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan
 
 
