@@ -976,9 +976,13 @@ def measure_layout_probe(
         if not size:
             return None, None
         # actual written rows (a table smaller than the sample cap yields
-        # them all); fall back to the requested cap if no footer was
-        # readable
-        n = written_rows or n
+        # them all). No readable footer means no trustworthy denominator:
+        # dividing by the requested cap would underestimate bytes/row for
+        # any table smaller than the cap (ADVICE r11) — report "no probe"
+        # and let callers fall back, same as an empty write.
+        if not written_rows:
+            return None, None
+        n = written_rows
         bpr = size / n
         if not col_bytes:
             return bpr, None

@@ -230,7 +230,10 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Order matters: emails first (their local parts may contain digit runs),
     then IPs (dotted digits would otherwise partially match long_digits),
-    then bare digit runs. A narrow map — no shuffle, codegen-friendly.
+    then bare digit runs. The redaction itself is a narrow codegen-friendly
+    map; narrow single-file corpora additionally pay one AQE-exempt spread
+    exchange so the six regex passes use the whole fleet (wide inputs
+    skip it — ensure_parallelism doc).
     """
     from .util import ensure_parallelism
 

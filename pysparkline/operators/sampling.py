@@ -425,6 +425,13 @@ def _dsir_features(text) -> "F.Column":
     return F.concat(F.coalesce(toks, F.array().cast("array<string>")), bi)
 
 
+# hard cap on dsir_weights' bucket count: the per-bucket count tables are
+# collected to the driver and broadcast back (one row per non-empty bucket,
+# ~24 bytes each), so 4M buckets bounds the collect at ~100 MB — broadcast
+# class with headroom — where an uncapped n_buckets could OOM the driver
+DSIR_MAX_BUCKETS = 4_000_000
+
+
 def _dsir_bucket(feat, n_buckets: int) -> "F.Column":
     """Portable md5 feature bucket (the hash_split idiom: first 8 hex
     chars -> int -> modulo; identical SQL exists on every engine)."""
@@ -454,8 +461,22 @@ def dsir_weights(
 
     100 TB posture: the two count tables are bounded by ``n_buckets``
     (broadcast-class at the default 10k); the per-document sum is one
-    map-side-combined aggregation over the exploded feature stream."""
+    map-side-combined aggregation over the exploded feature stream.
+
+    ``n_buckets`` is capped at ``DSIR_MAX_BUCKETS``: the count tables are
+    collected driver-side and rebuilt as broadcast local relations, so the
+    bucket count IS the driver/executor memory bound — past broadcast
+    class, raise instead of OOMing the driver (VERDICT r11 #4)."""
     from .util import ensure_parallelism
+
+    if n_buckets > DSIR_MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds DSIR_MAX_BUCKETS="
+            f"{DSIR_MAX_BUCKETS}: the bucket-count tables are collected to "
+            "the driver and broadcast, so the bucket count must stay "
+            "broadcast-class; hash-feature weighting does not gain past "
+            "~10k buckets anyway (DSIR paper setting)"
+        )
 
     # feature explode + md5 bucketing is the CPU-dense stage: spread narrow
     # single-file inputs across the fleet first (no-op on wide inputs)

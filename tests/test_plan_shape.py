@@ -737,6 +737,50 @@ def test_lsh_candidate_stages_pinned_at_fleet_width(spark):
     assert plan.count("REPARTITION_BY_NUM") >= 2
 
 
+def test_pinned_shuffle_skips_already_partitioned_input(spark):
+    """pinned_shuffle must be a no-op when the input is already
+    hash-partitioned on the same keys at >= the configured width (a
+    bucketed table or an upstream repartition) — the forced exchange was
+    pure overhead there (VERDICT r11 #3) — while narrow inputs still get
+    the pin, and different-key partitionings are re-pinned."""
+    from pyspark.sql import functions as F
+
+    from pysparkline.operators.util import pinned_shuffle
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.range(0, 1000).withColumn("user_id", F.col("id") % 50)
+    pre = df.repartition(n, "user_id")
+    assert pinned_shuffle(pre, "user_id") is pre  # satisfied: no exchange
+    # subset of the requested keys is also satisfied (co-location holds)
+    assert pinned_shuffle(pre, "user_id", "id") is pre
+    # narrow / differently-keyed inputs still pay exactly one pin
+    for inp in (df, df.repartition(n, "id")):
+        out = pinned_shuffle(inp, "user_id")
+        assert out is not inp
+        assert _physical(out).count("REPARTITION_BY_NUM") == 1
+    # fewer partitions than the configured width: re-pin (width is the point)
+    under = df.repartition(max(1, n - 1), "user_id")
+    assert pinned_shuffle(under, "user_id") is not under
+
+
+def test_event_window_over_prepartitioned_input_adds_no_exchange(spark):
+    """An events frame already hash-partitioned on user_id at fleet width
+    must sessionize with ZERO additional exchanges — the operator's pin
+    recognizes the satisfied distribution instead of forcing a second
+    shuffle (the bucketed-ingest shape at production scale)."""
+    from pysparkline.operators import events as ev_ops
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).repartition(n, "user_id")
+    plan = _physical(ev_ops.session_stats(ev))
+    # exactly the caller's exchange: the window and the downstream
+    # aggregate both reuse it
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    assert plan.count("ENSURE_REQUIREMENTS") == 0
+
+
 def test_event_window_shuffle_pinned_and_single_exchange(spark):
     """sessionize/running_totals pin their user_id shuffle at fleet width
     (events rows are byte-tiny, so AQE would coalesce the window stage to

@@ -347,3 +347,21 @@ def test_dsir_empty_text_scores_zero(spark):
     assert w[2] == 0.0 and w[3] == 0.0
     # doc 1 shares features with the target; doc 4 mostly does not
     assert w[1] > w[4]
+
+
+def test_dsir_bucket_cap_guards_driver_collect(spark):
+    """dsir_weights collects its bucket-count tables driver-side (bounded
+    by n_buckets); past the broadcast-class cap it must raise instead of
+    OOMing the driver (VERDICT r11 #4)."""
+    import pytest
+
+    from pysparkline.operators import sampling
+
+    docs = spark.createDataFrame([(1, "aa bb")], ["doc_id", "text"])
+    target = spark.createDataFrame([(10, "aa")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="DSIR_MAX_BUCKETS"):
+        sampling.dsir_weights(
+            docs, target, n_buckets=sampling.DSIR_MAX_BUCKETS + 1
+        )
+    # the cap itself is accepted (construction only — no job)
+    sampling.dsir_weights(docs, target, n_buckets=10_000)
