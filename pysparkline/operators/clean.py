@@ -373,7 +373,7 @@ def source_overlap(
     gs = (
         ensure_parallelism(df).select(
             F.col(group_col).alias("g"),
-            F.explode(shingle_set_col(F.col(text_col), shingle_k)).alias("sh"),
+            F.explode(shingle_set_col(text_col, shingle_k)).alias("sh"),
         )
         .distinct()
     )

@@ -301,16 +301,21 @@ def _banded(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
     collide identically (the property SignatureStore's incremental join
     relies on)."""
     r = num_perm // bands
+    # one F.expr parse instead of ~5 py4j roundtrips per band: building
+    # this per-band with Column ops cost ~1.4 s of DRIVER wall per call
+    # when the JVM was busy with concurrent jobs (cProfile: _banded 4.3 s
+    # over 3 calls in one incremental-dedup pass). The SQL text lowers to
+    # the identical expression tree (hash(CAST(slice(...) AS STRING), i)
+    # == F.hash(F.slice(...).cast("string"), F.lit(i)) — A/B verified
+    # bit-identical over 3200 band rows), so stored band_hash values from
+    # older sessions still collide correctly.
+    parts = ",".join(
+        f"hash(CAST(slice(sig, {i * r + 1}, {r}) AS STRING), {i})"
+        for i in range(bands)
+    )
     return sigs.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", i * r + 1, r).cast("string"), F.lit(i))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.expr(f"array({parts})")).alias("band", "band_hash"),
     )
 
 
@@ -501,7 +506,21 @@ def fuzzy_join(
 def shingle_set_col(text, k: int = 5):
     """Distinct k-character shingles of a text column as an array (JVM-side).
     For ASCII text char-shingles == the byte shingles minhash hashes, so this
-    is the exact counterpart of the signature estimate."""
+    is the exact counterpart of the signature estimate.
+
+    ``text`` may be a Column or a plain column NAME; the name form builds
+    the whole expression with one F.expr parse instead of ~10 py4j
+    roundtrips (the Column-lambda transform is the chatty part) — measured
+    driver-side savings when the JVM is concurrently running jobs. Both
+    forms lower to the identical expression tree (A/B verified
+    value-identical, NULL text included)."""
+    if isinstance(text, str):
+        c = f"coalesce(`{text}`, '')"
+        return F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, greatest(length({c}) - {k - 1}, 1)), "
+            f"__i -> substr({c}, __i, {k})))"
+        )
     t = F.coalesce(text, F.lit(""))
     return F.array_distinct(
         F.transform(
@@ -547,9 +566,16 @@ def verify_pairs_exact_jaccard(
 
     def shingles(d: DataFrame, idc: str, txt: str, kc: str) -> DataFrame:
         keep = pairs.select(kc)
-        return d.join(keep, d[idc] == keep[kc], "left_semi").select(
+        semi = d.join(keep, d[idc] == keep[kc], "left_semi")
+        # the per-doc shingle-set build is the CPU-dense step of the verify
+        # (~4-5 ms/doc measured); doc rows are byte-small, so AQE coalesces
+        # the reused upstream exchange to 1-2 partitions and the whole map
+        # runs on 1-2 cores (profiled: one 12.6 s task at bench SF). Pin
+        # the spread on the id key the pair join needs next.
+        semi = pinned_shuffle(semi, idc)
+        return semi.select(
             F.col(idc).alias(kc),
-            shingle_set_col(F.col(txt), shingle_k).alias(f"__sh_{kc}"),
+            shingle_set_col(txt, shingle_k).alias(f"__sh_{kc}"),
         )
 
     j = pairs.join(shingles(docs, id_col, text_col, a_col), a_col).join(
@@ -724,6 +750,12 @@ def ngram_jaccard_pairs(
             .where(F.col("__df") <= max_df)
             .drop("__df")
         )
+    # NOT persisted (r12): the STATIC plan duplicates the gram explode +
+    # df window on the self-join's broadcast side, but the EXECUTED
+    # adaptive plan replans it to SortMergeJoin + ReusedExchange — the
+    # explode runs once at runtime already. A persist was A/B-measured
+    # strictly worse (cache build added ~20 s executor CPU per cold call
+    # for identical output; see OPTIMIZATION_r12.md).
     common = (
         inv.alias("l")
         .join(
@@ -1364,6 +1396,11 @@ def cluster_pairs(
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            # materialized once: the shortcut below self-joins `stepped`,
+            # and without this the edge join + min-aggregation executed
+            # TWICE per round (one copy per join side); the checkpoint also
+            # keeps each round's plan constant-size, like `labels`'s
+            .localCheckpoint()
         )
         # pointer doubling: follow my label to ITS label (min of the two)
         short = stepped.alias("a").join(
@@ -1539,13 +1576,31 @@ class SignatureStore:
         def write_files(bdir: str) -> None:
             # two write actions below — cache the signature rows so the
             # minhash pass (the expensive subtree) runs once, not once per
-            # write (same reason compact() localCheckpoints its merge)
+            # write (same reason compact() localCheckpoints its merge).
+            # Materialize the cache with one count() FIRST, then run both
+            # writes concurrently (guide-§2.6 job overlap): each write only
+            # reads the cache, so the wall cost is max(write) instead of
+            # write + write — and concurrent writes never race the cache
+            # build (two jobs computing the same uncached partition would
+            # both run the minhash pass).
+            from concurrent.futures import ThreadPoolExecutor
+
             s = sigs.persist()
             try:
-                s.write.parquet(os.path.join(bdir, "sigs"))
-                _banded(s, m["numPerm"], m["bands"]).write.parquet(
-                    os.path.join(bdir, "bands")
-                )
+                s.count()
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fs = [
+                        pool.submit(
+                            s.write.parquet, os.path.join(bdir, "sigs")
+                        ),
+                        pool.submit(
+                            _banded(s, m["numPerm"], m["bands"])
+                            .write.parquet,
+                            os.path.join(bdir, "bands"),
+                        ),
+                    ]
+                    for f in fs:
+                        f.result()
             finally:
                 s.unpersist()
 
@@ -1555,7 +1610,10 @@ class SignatureStore:
         paths = self._ledger.batch_paths(kind)
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        # the store's layout is pinned by the manifest, so the schema is
+        # known statically: passing it skips a per-read footer-inference
+        # job (the same manifest-schema discipline as OlapIndex loads)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def compact(self, max_age_seconds: float | None = None) -> None:
         """Merge committed batches into one and delete the rest — after many
@@ -1647,6 +1705,14 @@ class SignatureStore:
         sigs_new = minhash_signatures(
             docs, id_col, text_col, m["numPerm"], m["shingleK"], m["seed"]
         ).persist()
+        # materialize BEFORE the fan-out: the verdict plan has five
+        # independent leaf stages over sigs_new (bands, both est sides,
+        # verdict join, survivors semi) and AQE submits them concurrently —
+        # against a lazily-persisted frame each one computes the
+        # unmaterialized cache itself (profiled: five concurrent 32-task
+        # ArrowEvalPython stages, 5x the signature-UDF pass over the new
+        # batch — the same stampede write_files' count() guards against)
+        sigs_new.count()
         bands_new = _banded(sigs_new, m["numPerm"], m["bands"])
         # only stored rows in buckets the NEW batch touches can produce
         # candidates or change a touched bucket's size — semi-join the
@@ -1672,6 +1738,11 @@ class SignatureStore:
                 "id", "band", "band_hash", F.lit(False).alias("__new")
             )
         )
+        # pin the bucket-cap window's exchange at fleet width (the same
+        # §2.2 fix as _bucket_capped): band rows are byte-tiny, so AQE's
+        # byte-based coalescing would run the window AND the candidate
+        # self-join that reuses this partitioning on 1-2 cores
+        all_bands = pinned_shuffle(all_bands, "band", "band_hash")
         capped = (
             all_bands.withColumn("__bsz", F.count(F.lit(1)).over(bw))
             .where(F.col("__bsz") <= m["maxBucket"])
@@ -1746,7 +1817,11 @@ class SignatureStore:
             sigs_new.join(survivors, "id", "left_semi"), extra=_commit_extra
         )
         sigs_new.unpersist()
-        cand.unpersist()
+        if history_docs is not None:
+            # cand is only persisted on this branch (ADVICE r11): release
+            # it exactly where it was taken so the cache lifecycle reads
+            # true — the other path never cached it
+            cand.unpersist()
         return verdict
 
     # -- streaming ingest --------------------------------------------------
