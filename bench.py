@@ -740,6 +740,44 @@ def main() -> None:
     probes = [x for x in (calibration_sec, calibration_end_sec) if x]
     cal = min(probes) if probes else 1.0
 
+    # media-pair decomposition (VERDICT r11 #9, additions-only): the three
+    # 778k-row pair ops collect large outputs, conflating compute with
+    # driver Arrow-collect cost. Time the same warm plan at BOTH sinks so
+    # the split is visible round-over-round. Measured LAST — after the end
+    # calibration probe — so every pre-existing number above is untouched;
+    # reported only in bench_detail, never in the headline metric or the
+    # stdout `queries` map.
+    media_pairs: dict = {}
+    for mname in ("image_dhash_pairs", "video_dhash_pairs", "audio_fp_pairs"):
+        if mname not in qs:
+            continue
+        try:
+            t = time.perf_counter()
+            qs[mname](spark, sf_dir).collect()  # cold: compile + decode
+            mcold = round(time.perf_counter() - t, 4)
+            mcoll = float("inf")
+            mnoop = float("inf")
+            for _ in range(2):
+                t = time.perf_counter()
+                qs[mname](spark, sf_dir).collect()
+                mcoll = min(mcoll, time.perf_counter() - t)
+                t = time.perf_counter()
+                (
+                    qs[mname](spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                mnoop = min(mnoop, time.perf_counter() - t)
+            media_pairs[mname] = {
+                "cold_sec": mcold,
+                "warm_collect_sec": round(mcoll, 4),
+                "warm_noop_sec": round(mnoop, 4),
+                "collect_overhead_sec": round(mcoll - mnoop, 4),
+            }
+        except Exception as ex:  # noqa: BLE001 — extra block never fails the bench
+            media_pairs[mname] = {"error": str(ex)[:120]}
+
     def _norm(d: dict) -> dict:
         return {
             n: (round(v / cal, 3) if v else None) for n, v in d.items()
@@ -776,6 +814,7 @@ def main() -> None:
         "tasktime_speedup_vs_raw_matched": tasktime_speedup_matched,
         "scan_rows_indexed": scan_rows_indexed,
         "scan_rows_raw": scan_rows_raw,
+        "media_pairs": media_pairs,
         "scan_reduction_vs_raw": {
             n: round(scan_rows_raw[n] / scan_rows_indexed[n], 1)
             for n in scan_rows_raw
