@@ -883,13 +883,19 @@ def _substr_verify_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    wstr = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            _substr_windows(text_col, L).alias("wins"),
-        )
-        .join(cand_ids, "id", "left_semi")
-        .select("id", F.explode(F.array_distinct(F.col("wins"))).alias("w"))
+    # tokenize + window-string build is the CPU-dense step and the doc
+    # rows are byte-small — the same AQE-coalescing exposure as the
+    # shingle verify (r12: one 12.6 s task); semi-join FIRST, then pin
+    # the bounded candidate-doc set at fleet width before the compute
+    semi = docs.select(F.col(id_col).alias("id"), F.col(text_col)).join(
+        cand_ids, "id", "left_semi"
+    )
+    semi = pinned_shuffle(semi, "id")
+    wstr = semi.select(
+        "id",
+        F.explode(
+            F.array_distinct(_substr_windows(text_col, L))
+        ).alias("w"),
     )
     return (
         cand.join(wstr.alias("wa"), F.col("id_a") == F.col("wa.id"))
@@ -992,7 +998,10 @@ class SubstringStore:
         paths = self._ledger.batch_paths("fps")
         if not paths:
             return self.spark.createDataFrame([], "id long, h long")
-        return self.spark.read.parquet(*paths)
+        # fingerprint layout is fixed by the store: the static schema skips
+        # a per-read footer-inference job (same manifest-schema discipline
+        # as SignatureStore._stored / OlapIndex loads)
+        return self.spark.read.schema("id long, h long").parquet(*paths)
 
     def compact(self, max_age_seconds: float | None = None) -> None:
         """Merge committed batches into one; ``max_age_seconds`` first
@@ -1048,6 +1057,13 @@ class SubstringStore:
         fingerprint match rather than silently passing."""
         m = self.manifest
         fps_new = self._fps(docs, id_col, text_col).persist()
+        # materialize before the fan-out: the verdict plan has multiple
+        # independent leaf stages over fps_new (union side, candidate
+        # join, verdict join, survivors semi) which AQE submits
+        # concurrently — against a lazy cache each would recompute the
+        # fingerprint pass itself (the SignatureStore stampede, profiled
+        # in r12 as five concurrent duplicate UDF stages)
+        fps_new.count()
         # only stored rows whose fingerprint occurs in the NEW batch can
         # matter — semi-join the store down to those before the df-cap
         # window and candidate join, so an ingest batch shuffles O(batch
@@ -1063,6 +1079,11 @@ class SubstringStore:
             stored_matched.select("id", "h", F.lit(False).alias("__new"))
         )
         if m.get("maxDf") is not None:
+            # pin the df-cap window's exchange at fleet width ((id, h)
+            # rows are byte-tiny, so AQE coalescing would run the window
+            # AND the candidate self-join reusing this partitioning on
+            # 1-2 cores — same §2.2 fix as the SignatureStore band cap)
+            both = pinned_shuffle(both, "h")
             hw = Window.partitionBy("h")
             both = (
                 both.withColumn("__df", F.count(F.lit(1)).over(hw))
